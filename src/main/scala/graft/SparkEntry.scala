@@ -1,13 +1,165 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.EtlOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator family from SURVEY §2 (plus
+  * the LLM-pipeline extensions); [[oracleSql]] holds the equivalent DuckDB
+  * SQL over the same parquet tables. Column names and row ORDER match on
+  * both sides; float outputs are either per-row arithmetic or
+  * decimal-summed-then-double so they are bit-reproducible.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    EtlOps.fullIngest(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_full_ingest"        -> (EtlOps.fullIngest _),
+    "q02_ordered_projection" -> (EtlOps.orderedProjection _),
+    "q03_audit_columns"      -> (EtlOps.auditColumns _),
+    "q04_null_sentinel"      -> (EtlOps.nullSentinelRoundtrip _),
+    "q05_bool_normalize"     -> (EtlOps.boolNormalize _),
+    "q06_nullable_int"       -> (EtlOps.nullableIntFix _),
+    "q07_sci_notation"       -> (EtlOps.sciNotationFix _),
+    "q08_datetime_truncate"  -> (EtlOps.datetimeTruncate _),
+    "q09_nvarchar_truncate"  -> (EtlOps.nvarcharTruncate _),
+    "q10_odd_columns"        -> (EtlOps.oddColumns _),
+    "q11_notnull_fix"        -> (EtlOps.notNullableFix _),
+    "q12_config_semi_join"   -> (EtlOps.configSemiJoin _),
+    "q13_marker_anti_join"   -> (EtlOps.markerAntiJoin _),
+    "q14_env_filter"         -> (EtlOps.envFilter _),
+    "q15_date_filter"        -> (EtlOps.dateFilter _),
+    "q16_freshness_latest"   -> (EtlOps.freshnessLatest _),
+    "q17_freshness_stale"    -> (EtlOps.freshnessStale _),
+    "q18_test_query_shape"   -> (EtlOps.testQueryShape _),
+    "q19_distinct_ids"       -> (EtlOps.distinctIds _),
+    "q20_existence_probe"    -> (EtlOps.existenceProbe _),
+    "q21_run_summary"        -> (EtlOps.runSummary _),
+    "q22_latest_per_group"   -> (EtlOps.latestPerGroup _),
+    "q23_enrich_join"        -> (EtlOps.enrichJoin _),
+    "q24_revenue_per_nation" -> (EtlOps.revenuePerNation _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_full_ingest" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+        |       CAST(l_linenumber AS VARCHAR) AS l_linenumber,
+        |       CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS l_quantity,
+        |       l_returnflag,
+        |       CAST(l_shipdate AS VARCHAR) AS l_shipdate,
+        |       CAST(NULL AS VARCHAR) AS MissingCol,
+        |       'NL' AS Environment,
+        |       '2019-07-03' AS CIGCopyTime,
+        |       '0' AS CIGProcessed
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q02_ordered_projection" ->
+      "SELECT o_orderstatus AS status, o_orderkey AS id FROM orders ORDER BY id",
+    "q03_audit_columns" ->
+      """SELECT n_nationkey, n_name, n_regionkey, 'NL' AS Environment,
+        |'2019-07-03' AS CIGCopyTime, '0' AS CIGProcessed
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q04_null_sentinel" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 5 = 2 THEN 'nanarnia'
+        |       WHEN event_id % 5 = 4 THEN 'x' ELSE NULL END AS cleaned
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q05_bool_normalize" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 3 = 0 THEN '1'
+        |       WHEN event_id % 3 = 1 THEN '0' ELSE 'Truex' END AS flag
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q06_nullable_int" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS qty
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q07_sci_notation" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 4 = 0 THEN CAST('1.801439850948301e+16' AS DOUBLE)
+        |       WHEN event_id % 4 = 1 THEN CAST('2.5e-3' AS DOUBLE)
+        |       WHEN event_id % 4 = 2 THEN NULL
+        |       ELSE CAST(42 AS DOUBLE) END AS value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q08_datetime_truncate" ->
+      """SELECT event_id,
+        |  substr(concat('2019-07-0', CAST(event_id % 9 + 1 AS VARCHAR),
+        |    ' 12:34:56.789012', CAST(event_id % 10 AS VARCHAR)), 1, 23) AS dt
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q09_nvarchar_truncate" ->
+      """SELECT doc_id, substr(text, 1, 150) AS text_capped,
+        |  length(text) AS orig_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q10_odd_columns" ->
+      """SELECT p_partkey, 'POINT (0 0)' AS Geolocation,
+        |  CAST(NULL AS VARCHAR) AS Logo
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q11_notnull_fix" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 3 = 0 THEN ''
+        |       ELSE concat('v', CAST(event_id AS VARCHAR)) END AS val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q12_config_semi_join" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer
+        |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        |ORDER BY c_custkey""".stripMargin,
+    "q13_marker_anti_join" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey % 3 <> 0 ORDER BY o_orderkey""".stripMargin,
+    "q14_env_filter" ->
+      """SELECT event_id, event_type, user_id FROM events
+        |WHERE event_type IN ('click', 'purchase') ORDER BY event_id""".stripMargin,
+    "q15_date_filter" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q16_freshness_latest" ->
+      """SELECT event_type, CAST(max(ts) AS VARCHAR) AS latest_ts,
+        |  count(*) AS n_files
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q17_freshness_stale" ->
+      """SELECT user_id, event_type, CAST(max_ts AS VARCHAR) AS latest_ts
+        |FROM (SELECT user_id, event_type, max(ts) AS max_ts FROM events
+        |      GROUP BY user_id, event_type) t
+        |WHERE max_ts < TIMESTAMP '2024-01-29 00:00:00'
+        |  AND user_id NOT IN (3, 7, 11, 13)
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q18_test_query_shape" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(o_orderdate AS DATE) AS order_date
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND upper(o_orderpriority) = '1-URGENT'
+        |ORDER BY order_date, o_orderkey""".stripMargin,
+    "q19_distinct_ids" ->
+      "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
+    "q20_existence_probe" ->
+      """SELECT count(*) > 0 AS marker_exists, count(*) AS n_rows
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q21_run_summary" ->
+      """SELECT event_type, count(*) AS n_tasks,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q22_latest_per_group" ->
+      """SELECT user_id, event_id, CAST(ts AS VARCHAR) AS ts
+        |FROM (SELECT user_id, event_id, ts,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q23_enrich_join" ->
+      """SELECT l_orderkey, l_linenumber, p_brand, p_type
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q24_revenue_per_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+  )
 }
