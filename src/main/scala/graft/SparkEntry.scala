@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.EtlOps
+import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,6 +42,19 @@ object SparkEntry {
     "q22_latest_per_group"   -> (EtlOps.latestPerGroup _),
     "q23_enrich_join"        -> (EtlOps.enrichJoin _),
     "q24_revenue_per_nation" -> (EtlOps.revenuePerNation _),
+    "q25_token_stats"        -> (TextOps.tokenStats _),
+    "q26_lang_id"            -> (TextOps.langId _),
+    "q27_quality_score"      -> (TextOps.qualityScore _),
+    "q28_fingerprint"        -> (TextOps.fingerprint _),
+    "q29_exact_dedup"        -> (DedupOps.exactDedup _),
+    "q30_ngram_jaccard"      -> (DedupOps.ngramJaccard _),
+    "q31_minhash_lsh"        -> (DedupOps.minhashLsh _),
+    "q32_simhash"            -> (DedupOps.simhashDedup _),
+    "q33_embedding_neardup"  -> (SimilarityOps.embeddingNearDup _),
+    "q34_cosine_topk"        -> (SimilarityOps.cosineTopK _),
+    "q35_lsh_ann"            -> (SimilarityOps.lshAnn _),
+    "q36_multimodal_meta"    -> (MultimodalOps.multimodalMeta _),
+    "q37_streaming_window"   -> (StreamingOps.streamingWindow _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -161,5 +174,50 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q25_token_stats" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens,
+        |  length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q26_lang_id" -> OracleGen.q26LangId,
+    "q27_quality_score" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+        |  CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|is|you|that)\b')) AS DOUBLE)
+        |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS stop_ratio,
+        |  CAST(length(text) AS DOUBLE)
+        |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS avg_token_span,
+        |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+        |    / CAST(length(text) AS DOUBLE) * 0.5
+        |  + CAST(len(regexp_extract_all(text, '\b(the|and|of|to|in|is|you|that)\b')) AS DOUBLE)
+        |    / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) * 0.3
+        |  + (CASE WHEN length(text) >= 100 AND length(text) <= 500
+        |     THEN 0.2 ELSE 0.0 END) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q28_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST('0x' || substr(md5(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 15) AS BIGINT) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q29_exact_dedup"       -> OracleGen.q29ExactDedup,
+    "q30_ngram_jaccard"     -> OracleGen.q30NgramJaccard,
+    "q31_minhash_lsh"       -> OracleGen.q31MinhashLsh,
+    "q32_simhash"           -> OracleGen.q32Simhash,
+    "q33_embedding_neardup" -> OracleGen.q33EmbeddingNearDup,
+    "q34_cosine_topk"       -> OracleGen.q34CosineTopK,
+    "q35_lsh_ann"           -> OracleGen.q35LshAnn,
+    "q36_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS byte_len,
+        |  sha256(text) AS sha,
+        |  lower(hex(encode(substr(text, 1, 4)))) AS header_hex,
+        |  CAST(ascii(substr(CAST(doc_id AS VARCHAR), 1, 1)) % 64 + 16 AS BIGINT) AS fake_width,
+        |  CAST(octet_length(encode(text)) % 64 + 16 AS BIGINT) AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q37_streaming_window" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
   )
 }

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data-pipeline extension:
+  * exact (hash-group), word-shingle Jaccard, MinHash+LSH banding, SimHash.
+  *
+  * The driver corpus has no natural duplicates, so each query builds a
+  * deterministic corpus = documents ∪ perturbed-copy (ids offset by
+  * [[CopyOffset]]) and must re-discover the planted near-dup pairs. The
+  * oracle replays the identical construction in DuckDB.
+  *
+  * Scale notes (100 TB): exact dedup is one hash-aggregate (map-side
+  * partial on md5 → tiny shuffle). Shingle-join Jaccard is quadratic in
+  * colliding shingle groups — it is the *verifier*; MinHash banding is the
+  * scale path: signatures are one narrow pass, band buckets shard the
+  * candidate join, and only candidates pay the exact-Jaccard cost. SimHash
+  * reduces each doc to one 60-bit key; banding or bit-rotation sharding
+  * replaces the all-pairs compare at scale.
+  */
+object DedupOps {
+
+  import EtlOps.t
+  import TextOps.md5Fingerprint60
+
+  val CopyOffset = 1000000L
+
+  /** documents ∪ exact copies (ids offset). */
+  def corpusExact(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionAll(d.select((col("doc_id") + CopyOffset).as("doc_id"),
+      col("text")))
+  }
+
+  /** documents ∪ near-copies (first word dropped; ids offset). */
+  def corpusNear(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionAll(d.select(
+      (col("doc_id") + CopyOffset).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+
+  /** Distinct word-trigram shingles per doc: (doc_id, shingle). */
+  def shingles(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat(element_at(toks, i), ' ',
+          |              element_at(toks, i + 1), ' ',
+          |              element_at(toks, i + 2)))""".stripMargin)))
+        .as("shingle"))
+
+  /** q29 — exact dedup: hash-group on content, survivor = min doc_id.
+    * One aggregate; at scale this is the cheapest dedup (md5 map-side,
+    * 16-byte keys shuffled, not documents). */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    corpusExact(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("survivor_id"),
+        count(lit(1)).as("n_copies"))
+      .select("survivor_id", "n_copies")
+      .orderBy("survivor_id")
+
+  /** Exact pairwise Jaccard over shingle sets for pairs sharing ≥1
+    * shingle; returns (doc_a, doc_b, jaccard). */
+  def jaccardPairs(sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+  }
+
+  /** q30 — n-gram Jaccard near-dup pairs (threshold 0.6). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(shingles(corpusNear(s, dir)))
+      .filter(col("jaccard") >= 0.6)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  // --- MinHash ---------------------------------------------------------
+
+  val MinhashPrime = 2147483647L // 2^31 - 1
+  val NumPerms = 16
+  val BandSize = 4
+  def permA(i: Int): Long = 2L * i + 3
+  def permB(i: Int): Long = 7L * i + 1
+
+  /** MinHash signature per doc: NumPerms columns h0..h{n-1}, where
+    * h_i = min over shingles of (a_i * x + b_i) mod p with x the 60-bit
+    * md5 shingle fingerprint reduced mod p. a_i ≤ 35 keeps a_i * x well
+    * under 2^63 (ANSI-safe, no overflow on either engine). */
+  def minhashSignatures(sh: DataFrame): DataFrame = {
+    val x = md5Fingerprint60(col("shingle")) % MinhashPrime
+    val aggs = (0 until NumPerms).map { i =>
+      min((x * permA(i) + permB(i)) % MinhashPrime).as(s"h$i")
+    }
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band keys: (doc_id, band_idx, band_hash) — md5 of the band's
+    * signature slice. Candidates = pairs sharing any (band_idx, hash). */
+  def lshBands(sigs: DataFrame): DataFrame = {
+    val bands = (0 until NumPerms / BandSize).map { bIdx =>
+      val slice = (0 until BandSize)
+        .map(r => col(s"h${bIdx * BandSize + r}").cast("string"))
+      struct(lit(bIdx).as("band_idx"),
+        md5(concat_ws(",", slice: _*)).as("band_hash"))
+    }
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_idx").as("band_idx"),
+        col("band.band_hash").as("band_hash"))
+  }
+
+  /** q31 — MinHash+LSH near-dup detection: signatures → band buckets →
+    * candidate pairs → exact Jaccard on candidates only (threshold 0.5).
+    * At 100 TB only the (tiny) candidate set pays the exact-Jaccard
+    * shingle join; the band join shards by (band_idx, hash). */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(corpusNear(s, dir))
+    val bands = lshBands(minhashSignatures(sh))
+    val cands = bands.select(col("doc_id").as("doc_a"), col("band_idx"),
+        col("band_hash"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"),
+        col("band_hash")), Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    jaccardPairs(sh)
+      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // --- SimHash ---------------------------------------------------------
+
+  /** 60-bit SimHash per doc: per-bit majority vote over token hashes
+    * (all occurrences, not distinct — standard SimHash weighting). 60 bits
+    * (the md5 fingerprint width) gives usable discrimination over a
+    * shared-vocabulary corpus where 32 bits collapses. */
+  val SimhashBits = 60
+  val SimhashMaxHamming = 4
+
+  def simhashSignatures(corpus: DataFrame): DataFrame = {
+    val toks = corpus.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok"))
+      .withColumn("th", md5Fingerprint60(col("tok")))
+    val votes = (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
+    val sig = (0 until SimhashBits).map { b =>
+      when(col(s"v$b") > 0, 1L << b).otherwise(0L)
+    }.reduce(_ + _)
+    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** q32 — SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ 4 over
+    * all pairs. (All-pairs is the sf-scale verifier; at 100 TB shard by
+    * signature bands / rotated prefixes instead of a cross join.) */
+  def simhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSignatures(corpusNear(s, dir))
+    val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("bigint"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, processed per-partition in batches.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB ([[FakeDecoder]]); everything
+  * Spark-side — schema, binary column handling, partition batching, typed
+  * Dataset plumbing — is real and is what would carry a true decoder at
+  * 100 TB (same shape as a Pandas-UDF/`mapInPandas` pipeline in PySpark:
+  * one decoder instantiation per partition, row batches streamed through).
+  */
+object MultimodalOps {
+
+  import EtlOps.t
+
+  /** Typed metadata extracted from a media blob. */
+  final case class MediaMeta(
+      doc_id: Long, byte_len: Long, sha: String,
+      width: Int, height: Int, n_frames: Int)
+
+  /** STUB decoder: a real implementation would wrap an image/audio codec
+    * here (one instance per partition; called per batch). The fake is
+    * deterministic on the blob bytes so tests are stable. */
+  object FakeDecoder {
+    def decode(docId: Long, blob: Array[Byte]): MediaMeta = {
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(blob).map("%02x".format(_)).mkString
+      val b0 = if (blob.nonEmpty) blob(0) & 0xff else 0
+      MediaMeta(docId, blob.length.toLong, sha,
+        width = b0 % 64 + 16,
+        height = (blob.length % 64) + 16,
+        n_frames = blob.length % 7 + 1)
+    }
+  }
+
+  /** Real plumbing: documents.text → binary blob column (stand-in for an
+    * image/audio payload) with typed metadata columns. */
+  def asBinaryTable(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("blob"),
+      col("source"), col("lang"))
+
+  /** Partition-batched decode through the stub: the `mapPartitions` shape
+    * a real codec needs (per-partition init, streamed batches, typed
+    * output). Not oracle-checked (the stub is Scala-side); covered by
+    * ScalaTest. */
+  def decodeMeta(s: SparkSession, dir: String): Dataset[MediaMeta] = {
+    import s.implicits._
+    asBinaryTable(s, dir)
+      .select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init happens here in a real codec
+        it.map { case (id, blob) => FakeDecoder.decode(id, blob) }
+      }
+  }
+
+  /** q36 — the SQL-expressible slice of the multimodal pipeline: blob
+    * length, content hash, header bytes, deterministic fake dimensions.
+    * Mirrors [[FakeDecoder]] so the DuckDB oracle can check the plumbing
+    * end-to-end. */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    asBinaryTable(s, dir)
+      .join(t(s, dir, "documents").select(col("doc_id"), col("text")),
+        Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        length(col("blob")).cast("bigint").as("byte_len"),
+        sha2(col("text"), 256).as("sha"),
+        lower(hex(encode(substring(col("text"), 1, 4), "UTF-8")))
+          .as("header_hex"),
+        (ascii(substring(col("doc_id").cast("string"), 1, 1)) % 64 + 16)
+          .cast("bigint").as("fake_width"),
+        (length(col("blob")) % 64 + 16).cast("bigint").as("fake_height"))
+      .orderBy("doc_id")
+}
+
+/** Streaming-shaped aggregation: the same `window()` plan works in batch
+  * and Structured Streaming (`readStream` + watermark); ScalaTest drives
+  * the streaming path through a memory sink. */
+object StreamingOps {
+
+  /** Tumbling 1-day window counts + exact value sums. Works on a batch OR
+    * streaming events frame (caller adds watermark for streams). */
+  def dailyWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("total_value"))
+      .select(to_date(col("window.start")).as("day"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** q37 — batch evaluation of the streaming aggregation. */
+  def streamingWindow(s: SparkSession, dir: String): DataFrame =
+    dailyWindowAgg(EtlOps.events(s, dir))
+      .orderBy("day", "event_type")
+}

@@ -1,0 +1,178 @@
+package graft.operators
+
+/** DuckDB oracle SQL for the LLM-pipeline queries. The structurally
+  * identical expression trees (esp. every floating-point op order) are
+  * generated from the same code that feeds Spark where it matters
+  * (VecSql); the rest mirrors the Spark plans statement by statement.
+  */
+object OracleGen {
+
+  import VecSql.{dot, lshSig}
+
+  /** Shared corpus CTEs (mirror DedupOps.corpusExact / corpusNear). */
+  val CorpusExact: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents)""".stripMargin
+
+  val CorpusNear: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000 AS doc_id,
+      |    substring(text, instr(text, ' ') + 1) AS text FROM documents)""".stripMargin
+
+  /** Word-trigram shingle CTE over `corpus` (mirrors DedupOps.shingles). */
+  val ShingleCtes: String =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+      |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+      |  FROM tok) u)""".stripMargin
+
+  /** Jaccard tail over `sh` with a threshold (mirrors jaccardPairs). */
+  def jaccardTail(threshold: String, extraJoin: String = ""): String =
+    s"""sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT doc_a, doc_b,
+       |    n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM jac $extraJoin
+       |WHERE jaccard >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val q29ExactDedup: String =
+    s"""WITH $CorpusExact
+       |SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
+       |FROM corpus GROUP BY md5(text) ORDER BY survivor_id""".stripMargin
+
+  val q30NgramJaccard: String =
+    s"""WITH $CorpusNear,
+       |$ShingleCtes,
+       |${jaccardTail("0.6")}""".stripMargin
+
+  /** 60-bit md5 fingerprint in DuckDB (≡ TextOps.md5Fingerprint60). */
+  def fp60(x: String): String =
+    s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+
+  val q31MinhashLsh: String = {
+    val p = DedupOps.MinhashPrime
+    val x = s"${fp60("shingle")} % $p"
+    val mins = (0 until DedupOps.NumPerms).map { i =>
+      s"min((($x) * ${DedupOps.permA(i)} + ${DedupOps.permB(i)}) % $p) AS h$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until DedupOps.NumPerms / DedupOps.BandSize)
+      .map { b =>
+        val cols = (0 until DedupOps.BandSize)
+          .map(r => s"CAST(h${b * DedupOps.BandSize + r} AS VARCHAR)")
+          .mkString(", ")
+        s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $cols)) AS band_hash FROM sigs"
+      }.mkString("\n  UNION ALL ")
+    s"""WITH $CorpusNear,
+       |$ShingleCtes,
+       |sigs AS (SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |   AND a.doc_id < b.doc_id),
+       |${jaccardTail("0.5",
+          "JOIN cand USING (doc_a, doc_b)")}""".stripMargin
+  }
+
+  val q32Simhash: String = {
+    val votes = (0 until DedupOps.SimhashBits).map { b =>
+      s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(",\n    ")
+    val sig = (0 until DedupOps.SimhashBits).map { b =>
+      s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH $CorpusNear,
+       |tokens AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM corpus),
+       |th AS (SELECT doc_id, ${fp60("tok")} AS th FROM tokens),
+       |votes AS (SELECT doc_id,
+       |    $votes
+       |  FROM th GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, $sig AS simhash FROM votes)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= ${DedupOps.SimhashMaxHamming}
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  val q33EmbeddingNearDup: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings WHERE vec_id < ${SimilarityOps.CorpusCap}),
+       |corpus AS (
+       |  SELECT vec_id, emb FROM base
+       |  UNION ALL SELECT vec_id + ${SimilarityOps.CopyOffset} AS vec_id,
+       |    list_transform(emb, x -> x * 1.001) AS emb FROM base),
+       |v AS (SELECT vec_id, emb,
+       |    sqrt(${dot("emb", "emb", spark = false)}) AS norm FROM corpus),
+       |s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    (${dot("a.emb", "b.emb", spark = false)}) / (a.norm * b.norm) AS cos
+       |  FROM v a, v b WHERE a.vec_id < b.vec_id)
+       |SELECT vec_a, vec_b, round(cos, 6) AS cos_sim FROM s
+       |WHERE cos >= 0.999 ORDER BY vec_a, vec_b""".stripMargin
+
+  val q34CosineTopK: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb,
+       |    sqrt(${dot("emb", "emb", spark = false)}) AS norm FROM v),
+       |s AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |    (${dot("q.emb", "c.emb", spark = false)}) / (q.norm * c.norm) AS cos
+       |  FROM n q, n c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+       |r AS (SELECT q_id, cand_id, cos, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rnk FROM s)
+       |SELECT q_id, cand_id, CAST(rnk AS BIGINT) AS "rank",
+       |  round(cos, 6) AS cos_sim
+       |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  val q35LshAnn: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb,
+       |    sqrt(${dot("emb", "emb", spark = false)}) AS norm,
+       |    (${lshSig("emb", SimilarityOps.AnnPlanes, spark = false)}) AS bucket
+       |  FROM v),
+       |s AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |    (${dot("q.emb", "c.emb", spark = false)}) / (q.norm * c.norm) AS cos
+       |  FROM n q JOIN n c ON q.bucket = c.bucket
+       |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+       |r AS (SELECT q_id, cand_id, cos, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rnk FROM s)
+       |SELECT q_id, cand_id, CAST(rnk AS BIGINT) AS "rank",
+       |  round(cos, 6) AS cos_sim
+       |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
+  val q26LangId: String = {
+    val scores = TextOps.LangStopwords.map { case (lang, words) =>
+      s"len(regexp_extract_all(text, '\\b($words)\\b')) AS score_$lang"
+    }.mkString(",\n    ")
+    val langs = TextOps.LangStopwords.map(_._1)
+    val best = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+    val guess = langs.map(l =>
+      s"WHEN score_$l = g AND g > 0 THEN '$l'").mkString(" ")
+    s"""WITH s AS (SELECT doc_id,
+       |    $scores
+       |  FROM documents),
+       |g AS (SELECT *, $best AS g FROM s)
+       |SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+       |  CASE $guess ELSE 'und' END AS lang_guess
+       |FROM g ORDER BY doc_id""".stripMargin
+  }
+}

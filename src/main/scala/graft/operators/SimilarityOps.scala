@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Dialect-shared SQL generators for vector math. The SAME generated
+  * string feeds Spark (`selectExpr`) and the DuckDB oracle (modulo element
+  * access syntax), so the expression tree — and therefore every IEEE
+  * operation order — is identical on both engines: results are
+  * bit-reproducible without tolerances. Sums are left-associated chains.
+  */
+object VecSql {
+  val Dims = 64
+
+  def el(c: String, j: Int, spark: Boolean): String =
+    if (spark) s"element_at($c, $j)" else s"$c[$j]"
+
+  /** Σ_j CAST(a[j] AS DOUBLE) * CAST(b[j] AS DOUBLE), left-associated. */
+  def dot(a: String, b: String, spark: Boolean, dims: Int = Dims): String =
+    (1 to dims).map(j =>
+      s"CAST(${el(a, j, spark)} AS DOUBLE) * CAST(${el(b, j, spark)} AS DOUBLE)")
+      .mkString(" + ")
+
+  /** Random-hyperplane LSH signature: `planes` sign bits from LCG-derived
+    * plane weights. Weights are integer literals divided by 2^31 so both
+    * SQL dialects parse the exact same doubles (no float-literal
+    * formatting involved). */
+  def lshSig(embCol: String, planes: Int, spark: Boolean,
+      dims: Int = Dims): String =
+    (0 until planes).map { p =>
+      val dotp = (1 to dims).map { j =>
+        val k = (1103515245L * (p * dims + (j - 1)) + 12345L) % 2147483648L
+        s"($k.0/2147483648.0 - 0.5) * CAST(${el(embCol, j, spark)} AS DOUBLE)"
+      }.mkString(" + ")
+      s"(CASE WHEN ($dotp) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+}
+
+/** Similarity-search operators over the embeddings table: brute-force
+  * cosine top-k (the baseline/verifier) and random-hyperplane-LSH
+  * bucketed ANN (the scale path: at 100 TB the cross join is replaced by
+  * a bucket-sharded join — each vector is scanned once for its signature
+  * and candidates are confined to its bucket).
+  */
+object SimilarityOps {
+
+  import EtlOps.t
+  import VecSql._
+
+  val CopyOffset = 1000000L
+  val CorpusCap = 600 // keeps the all-pairs verifier quadratic-but-small
+
+  /** embeddings as double arrays with precomputed norms. */
+  def withNorm(df: DataFrame): DataFrame =
+    df.selectExpr("vec_id", "emb",
+      s"sqrt(${dot("emb", "emb", spark = true)}) AS norm")
+
+  def baseVectors(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+
+  /** q33 corpus: capped embeddings ∪ scaled near-copies (cos = 1). */
+  def corpusNear(s: SparkSession, dir: String): DataFrame = {
+    val e = baseVectors(s, dir).filter(col("vec_id") < CorpusCap)
+    e.unionAll(e.selectExpr(s"vec_id + $CopyOffset AS vec_id",
+      "transform(emb, x -> x * 1.001) AS emb"))
+  }
+
+  /** q33 — embedding-cosine near-dup pairs (cos ≥ 0.999). All-pairs at
+    * sf scale; the LSH variant (q35) is the 100 TB path. */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val v = withNorm(corpusNear(s, dir))
+    val a = v.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+      col("norm").as("norm_a"))
+    val b = v.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+      col("norm").as("norm_b"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .selectExpr("vec_a", "vec_b",
+        s"(${dot("emb_a", "emb_b", spark = true)}) / (norm_a * norm_b) AS cos")
+      .filter(col("cos") >= 0.999)
+      .selectExpr("vec_a", "vec_b", "round(cos, 6) AS cos_sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** q34 — brute-force cosine top-k (k=5) for query vectors vec_id < 8:
+    * the exact baseline every ANN variant is measured against. The query
+    * side is broadcast; candidates stream by partition. */
+  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val v = withNorm(baseVectors(s, dir))
+    val q = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("emb").as("emb_q"),
+        col("norm").as("norm_q"))
+    val c = v.select(col("vec_id").as("cand_id"), col("emb").as("emb_c"),
+      col("norm").as("norm_c"))
+    val sims = broadcast(q).crossJoin(c)
+      .filter(col("q_id") =!= col("cand_id"))
+      .selectExpr("q_id", "cand_id",
+        s"(${dot("emb_q", "emb_c", spark = true)}) / (norm_q * norm_c) AS cos")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .selectExpr("q_id", "cand_id", "CAST(rank AS BIGINT) AS rank", "round(cos, 6) AS cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
+  val AnnPlanes = 8 // 256 buckets
+
+  /** q35 — LSH-bucketed ANN: 8 random-hyperplane sign bits → bucket;
+    * candidates share the query's bucket; exact cosine + top-3 inside the
+    * bucket only. Misses vs q34 are the expected recall trade-off. */
+  def lshAnn(s: SparkSession, dir: String): DataFrame = {
+    val v = withNorm(baseVectors(s, dir))
+      .selectExpr("vec_id", "emb", "norm",
+        s"(${lshSig("emb", AnnPlanes, spark = true)}) AS bucket")
+    val q = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("emb").as("emb_q"),
+        col("norm").as("norm_q"), col("bucket"))
+    val c = v.select(col("vec_id").as("cand_id"), col("emb").as("emb_c"),
+      col("norm").as("norm_c"), col("bucket"))
+    val sims = broadcast(q).join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .selectExpr("q_id", "cand_id",
+        s"(${dot("emb_q", "emb_c", spark = true)}) / (norm_q * norm_c) AS cos")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .selectExpr("q_id", "cand_id", "CAST(rank AS BIGINT) AS rank", "round(cos, 6) AS cos_sim")
+      .orderBy("q_id", "rank")
+  }
+}

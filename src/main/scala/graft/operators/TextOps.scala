@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data-pipeline extension
+  * (BASELINE.json north_star): token counting, language ID, quality
+  * scoring, document fingerprinting. All are narrow per-row expressions —
+  * they scale linearly with partition count, no shuffle.
+  */
+object TextOps {
+
+  import EtlOps.t
+
+  /** Whitespace token count (bigint for oracle parity). */
+  def wsTokenCount(c: Column): Column =
+    size(split(trim(c), "\\s+")).cast("bigint")
+
+  /** BPE-ish token count: alpha runs, single digits, single punctuation —
+    * the classic pre-tokenizer upper bound on BPE token count. */
+  val BpeTokenRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit(BpeTokenRe)).cast("bigint")
+
+  /** Stopword sets per language for the n-gram/stopword language-ID
+    * heuristic. Kept tiny and deterministic; scores are whole-token hit
+    * counts. */
+  val LangStopwords: Seq[(String, String)] = Seq(
+    "en" -> "the|and|of|to|in|is|you|that",
+    "de" -> "der|die|und|das|ist|nicht|ein",
+    "es" -> "el|la|los|que|de|no|un",
+    "fr" -> "le|les|des|et|un|est|pas")
+
+  def stopwordHits(c: Column, words: String): Column =
+    regexp_count(c, lit("\\b(" + words + ")\\b")).cast("bigint")
+
+  /** q25 — token/char statistics per document. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      wsTokenCount(col("text")).as("ws_tokens"),
+      bpeTokenCount(col("text")).as("bpe_tokens"),
+      length(col("text")).cast("bigint").as("n_chars"))
+      .orderBy("doc_id")
+
+  /** q26 — language ID by stopword-hit argmax (tie → earlier language in
+    * [[LangStopwords]]; all-zero → "und"). */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(
+      (col("doc_id") +: LangStopwords.map { case (lang, words) =>
+        stopwordHits(col("text"), words).as(s"score_$lang")
+      }).toIndexedSeq: _*)
+    val best = LangStopwords.map(l => col(s"score_${l._1}"))
+      .reduce((a, b) => greatest(a, b))
+    val guess = LangStopwords.foldRight(lit("und")) {
+      case ((lang, _), elseExpr) =>
+        when(col(s"score_$lang") === best && best > 0, lit(lang))
+          .otherwise(elseExpr)
+    }
+    // foldRight builds en-first priority: en wins ties, then de, es, fr.
+    scored.withColumn("lang_guess", guess)
+      .orderBy("doc_id")
+  }
+
+  /** q27 — quality score: alpha ratio, stopword ratio, length band.
+    * Pure per-row double arithmetic (identical op order in the oracle →
+    * bit-reproducible). */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val len = length(col("text")).cast("double")
+    val alpha = length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+      .cast("double")
+    val toks = wsTokenCount(col("text")).cast("double")
+    val stops = stopwordHits(col("text"), LangStopwords.head._2)
+      .cast("double")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      (alpha / len).as("alpha_ratio"),
+      (stops / toks).as("stop_ratio"),
+      (len / toks).as("avg_token_span"),
+      ((alpha / len) * 0.5 + (stops / toks) * 0.3 +
+        when(len >= 100 && len <= 500, 0.2).otherwise(0.0)).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** 60-bit fingerprint from the md5 of a string: first 15 hex chars
+    * parsed as a bigint. Same construction is expressible in DuckDB as
+    * `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`. */
+  def md5Fingerprint60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
+  /** q28 — document fingerprint over whitespace-normalized lowercase text. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      md5Fingerprint60(norm).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Behavioral tests for the LLM-pipeline operators on sf0.001: planted
+  * near-dup recall, ANN-vs-brute-force consistency, multimodal stub
+  * plumbing, and the streaming path of the windowed aggregation. */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("exact dedup collapses each planted copy-pair to one survivor") {
+    val out = DedupOps.exactDedup(spark, dir).collect()
+    assert(out.length == 500)
+    assert(out.forall(_.getLong(1) == 2)) // every group: original + copy
+  }
+
+  test("ngram jaccard finds every planted near-dup pair") {
+    val pairs = DedupOps.ngramJaccard(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val planted = docs.map(id => (id, id + DedupOps.CopyOffset)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missing ${planted.diff(pairs).size} planted pairs")
+  }
+
+  test("minhash LSH recall vs exact jaccard is high and candidates are sound") {
+    val exact = DedupOps.ngramJaccard(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashLsh(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH (threshold .5) must be a superset-or-close of exact (threshold .6)
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.95, s"LSH recall $recall too low")
+  }
+
+  test("simhash finds most planted pairs without flooding") {
+    val out = DedupOps.simhashDedup(spark, dir).collect()
+    val planted = out.count(r =>
+      r.getLong(1) == r.getLong(0) + DedupOps.CopyOffset)
+    assert(planted >= 400, s"only $planted/500 planted pairs at hamming<=4")
+    assert(out.length <= 1500, s"${out.length} pairs — detector flooding")
+  }
+
+  test("embedding near-dup finds exactly the planted scaled copies") {
+    val out = SimilarityOps.embeddingNearDup(spark, dir).collect()
+    assert(out.length == 500)
+    assert(out.forall(r =>
+      r.getLong(1) == r.getLong(0) + SimilarityOps.CopyOffset))
+  }
+
+  test("LSH ANN results are a subset of brute-force candidates with same cosines") {
+    val brute = SimilarityOps.cosineTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val ann = SimilarityOps.lshAnn(spark, dir).collect()
+    assert(ann.nonEmpty)
+    ann.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(c => assert(c == r.getDouble(3)))
+    }
+  }
+
+  test("multimodal stub decode: typed plumbing round-trips deterministically") {
+    val metas = MultimodalOps.decodeMeta(spark, dir).collect()
+    assert(metas.length == 500)
+    val m = metas.minBy(_.doc_id)
+    assert(m.sha.length == 64 && m.byte_len > 0)
+    assert(m.width >= 16 && m.width < 80)
+    // rerun → identical (stub is deterministic)
+    assert(MultimodalOps.decodeMeta(spark, dir).collect()
+      .minBy(_.doc_id) == m)
+  }
+
+  test("streaming window agg: readStream path matches batch result") {
+    val batch = StreamingOps.streamingWindow(spark, dir).collect()
+    val events = EtlOps.events(spark, dir)
+    // stage a micros-typed copy so readStream sees a clean schema
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream")
+      .toString
+    events.write.mode("overwrite").parquet(tmp)
+    val sdf = spark.readStream.schema(events.schema).parquet(tmp)
+    val q = StreamingOps.dailyWindowAgg(sdf.withWatermark("ts", "1 day"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("daily_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("daily_out")
+        .orderBy("day", "event_type").collect()
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+}
