@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+import graft.config.JsonConfig
+import graft.plans.IngestionJob
+import graft.sources.FileMarkerLedger
+
+/** CLI entry point ≡ the reference's `main.py` / `main_mailbox.py`:
+  *
+  *   runMain graft.IngestMain <ingestion_config.json> <tables.json> \
+  *     <outDir> [--mailbox]
+  *
+  * Reads the config documents, discovers date/environment-partitioned
+  * parquet under the config's data_folder, runs the cleanup pipeline per
+  * table, appends to the parquet sink at <outDir>, and prints a run
+  * summary (the reference's Luigi `detailed_summary`, `main.py:170-186`).
+  * The marker ledger is file-backed at <outDir>/_marker.tsv so re-runs
+  * skip completed files; production wires
+  * [[graft.sources.JdbcMarkerLedger]] + [[IngestionJob.JdbcSink]].
+  */
+object IngestMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: IngestMain <ingestion_config.json> <tables.json> <outDir> [--mailbox]")
+    val Array(cfgPath, tablesPath, outDir) = args.take(3)
+    val mailbox = args.contains("--mailbox")
+
+    val tables = JsonConfig.parseTables(
+      Files.readString(Paths.get(tablesPath)))
+    val cfg = JsonConfig.parseIngestionConfig(
+      Files.readString(Paths.get(cfgPath)), tables)
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-ingest")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val ledger = new FileMarkerLedger(Paths.get(outDir, "_marker.tsv"))
+    val report = IngestionJob.run(spark, cfg, ledger,
+      new IngestionJob.ParquetSink(outDir),
+      mailbox = mailbox, countRows = true)
+
+    println(s"[ingest] discovered=${report.discovered} " +
+      s"skipped_by_marker=${report.skippedByMarker} " +
+      s"ingested_files=${report.ingested.size} rows=${report.rowsWritten}")
+    report.ingested.foreach(p => println(s"[ingest]   $p"))
+    spark.stop()
+  }
+}

@@ -101,11 +101,15 @@ object DedupOps {
     * md5 shingle fingerprint reduced mod p. a_i ≤ 35 keeps a_i * x well
     * under 2^63 (ANSI-safe, no overflow on either engine). */
   def minhashSignatures(sh: DataFrame): DataFrame = {
-    val x = md5Fingerprint60(col("shingle")) % MinhashPrime
+    // materialize the base hash once per shingle — 16 aggregate
+    // expressions each holding their own md5 subtree would hash every
+    // shingle 16 times
+    val withX = sh.withColumn("mh_x",
+      md5Fingerprint60(col("shingle")) % MinhashPrime)
     val aggs = (0 until NumPerms).map { i =>
-      min((x * permA(i) + permB(i)) % MinhashPrime).as(s"h$i")
+      min((col("mh_x") * permA(i) + permB(i)) % MinhashPrime).as(s"h$i")
     }
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    withX.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band keys: (doc_id, band_idx, band_hash) — md5 of the band's
@@ -123,9 +127,11 @@ object DedupOps {
   }
 
   /** q31 — MinHash+LSH near-dup detection: signatures → band buckets →
-    * candidate pairs → exact Jaccard on candidates only (threshold 0.5).
-    * At 100 TB only the (tiny) candidate set pays the exact-Jaccard
-    * shingle join; the band join shards by (band_idx, hash). */
+    * candidate pairs → exact Jaccard computed for the CANDIDATES ONLY
+    * (threshold 0.5). This is the LSH scale contract: the all-pairs
+    * shingle join (q30's verifier shape) never runs — only candidate
+    * pairs explode back to their shingles for the intersection count, so
+    * cost is O(candidates × shingles/doc), not O(collisions²). */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(corpusNear(s, dir))
     val bands = lshBands(minhashSignatures(sh))
@@ -135,8 +141,20 @@ object DedupOps {
         col("band_hash")), Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    jaccardPairs(sh)
-      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+    val sa = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = cands
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")

@@ -46,19 +46,23 @@ object VecSql {
 object SimilarityOps {
 
   import EtlOps.t
-  import VecSql._
+  import graft.functions.VectorFunctions
 
   val CopyOffset = 1000000L
   val CorpusCap = 600 // keeps the all-pairs verifier quadratic-but-small
 
-  /** embeddings as double arrays with precomputed norms. */
+  /** embeddings as double arrays with precomputed norms. The norm (and
+    * every cosine below) evaluates through the native [[graft.functions.DotProduct]]
+    * expression — a codegen'd primitive loop with the same IEEE op order
+    * as the oracle's generated 64-term chain. */
   def withNorm(df: DataFrame): DataFrame =
-    df.selectExpr("vec_id", "emb",
-      s"sqrt(${dot("emb", "emb", spark = true)}) AS norm")
+    df.selectExpr("vec_id", "emb", "sqrt(dot_product(emb, emb)) AS norm")
 
-  def baseVectors(s: SparkSession, dir: String): DataFrame =
+  def baseVectors(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s, AnnPlanes)
     t(s, dir, "embeddings")
       .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+  }
 
   /** q33 corpus: capped embeddings ∪ scaled near-copies (cos = 1). */
   def corpusNear(s: SparkSession, dir: String): DataFrame = {
@@ -78,7 +82,7 @@ object SimilarityOps {
     a.crossJoin(b)
       .filter(col("vec_a") < col("vec_b"))
       .selectExpr("vec_a", "vec_b",
-        s"(${dot("emb_a", "emb_b", spark = true)}) / (norm_a * norm_b) AS cos")
+        "dot_product(emb_a, emb_b) / (norm_a * norm_b) AS cos")
       .filter(col("cos") >= 0.999)
       .selectExpr("vec_a", "vec_b", "round(cos, 6) AS cos_sim")
       .orderBy("vec_a", "vec_b")
@@ -97,7 +101,7 @@ object SimilarityOps {
     val sims = broadcast(q).crossJoin(c)
       .filter(col("q_id") =!= col("cand_id"))
       .selectExpr("q_id", "cand_id",
-        s"(${dot("emb_q", "emb_c", spark = true)}) / (norm_q * norm_c) AS cos")
+        "dot_product(emb_q, emb_c) / (norm_q * norm_c) AS cos")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     sims.withColumn("rank", row_number().over(w))
@@ -113,8 +117,7 @@ object SimilarityOps {
     * bucket only. Misses vs q34 are the expected recall trade-off. */
   def lshAnn(s: SparkSession, dir: String): DataFrame = {
     val v = withNorm(baseVectors(s, dir))
-      .selectExpr("vec_id", "emb", "norm",
-        s"(${lshSig("emb", AnnPlanes, spark = true)}) AS bucket")
+      .selectExpr("vec_id", "emb", "norm", "lsh_sig(emb) AS bucket")
     val q = v.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("emb").as("emb_q"),
         col("norm").as("norm_q"), col("bucket"))
@@ -123,7 +126,7 @@ object SimilarityOps {
     val sims = broadcast(q).join(c, Seq("bucket"))
       .filter(col("q_id") =!= col("cand_id"))
       .selectExpr("q_id", "cand_id",
-        s"(${dot("emb_q", "emb_c", spark = true)}) / (norm_q * norm_c) AS cos")
+        "dot_product(emb_q, emb_c) / (norm_q * norm_c) AS cos")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     sims.withColumn("rank", row_number().over(w))

@@ -1,0 +1,103 @@
+package graft.plans
+
+import java.time.{LocalDate, LocalDateTime}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.config.{IngestionConfig, TableConfig}
+import graft.sources.{Discovery, MarkerEntry, MarkerLedger}
+import graft.transforms.CigTransforms
+
+/** The end-to-end ingestion job: the Spark re-expression of the
+  * reference's Luigi DAG (`main.py` EP1 / `main_mailbox.py` EP2).
+  *
+  * Plan per run:
+  *  1. discover ingestion files under the data root (driver-side LIST with
+  *     explicit date-pruned prefixes — no executor listing),
+  *  2. filter: entity ∈ config (P3), environment allow-list (P4),
+  *     date ≥ ingestion_date + is_enabled (P5),
+  *  3. anti-join against the marker ledger (P10) — already-complete
+  *     (file, env, table) triples are skipped, making re-runs idempotent,
+  *  4. per (table, environment): ONE `spark.read.parquet(files…)` over all
+  *     that table's remaining files (Spark's per-file tasks subsume the
+  *     reference's one-file-one-task fan-out), then the fused T0→T8
+  *     cleanup pipeline, P11 sentinel→NULL, and the sink append,
+  *  5. touch the marker for each completed file.
+  *
+  * Sinks are pluggable: parquet for tests/this container, JDBC writer
+  * (`df.write.mode(Append).jdbc` with `batchsize`/`numPartitions`) in
+  * production — same contract as the reference's batched ODBC insert
+  * (`ParquetFileInsertion.py:60-65`), including its at-least-once
+  * semantics on task retry (marker touched only after a full success).
+  *
+  * Scale: the whole pipeline is narrow (scan → project), so throughput is
+  * bounded by input split count × sink write speed; there is no shuffle.
+  */
+object IngestionJob {
+
+  /** Pluggable sink: receives the cleaned frame for (table, environment). */
+  trait Sink {
+    def write(df: DataFrame, config: TableConfig, environment: String): Unit
+  }
+
+  final class ParquetSink(outRoot: String) extends Sink {
+    override def write(df: DataFrame, config: TableConfig,
+        environment: String): Unit =
+      df.write.mode(SaveMode.Append)
+        .parquet(s"$outRoot/${config.targetName}")
+  }
+
+  final class JdbcSink(url: String, props: java.util.Properties,
+      batchSize: Int = 10000, numPartitions: Int = 8) extends Sink {
+    override def write(df: DataFrame, config: TableConfig,
+        environment: String): Unit =
+      df.coalesce(numPartitions)
+        .write.mode(SaveMode.Append)
+        .option("batchsize", batchSize.toString)
+        .jdbc(url, s"raw.${config.targetName}", props)
+  }
+
+  final case class RunReport(
+      discovered: Int, skippedByMarker: Int, ingested: Seq[String],
+      rowsWritten: Long)
+
+  def run(spark: SparkSession, cfg: IngestionConfig, ledger: MarkerLedger,
+      sink: Sink, mailbox: Boolean = false,
+      countRows: Boolean = false): RunReport = {
+
+    val byEntity: Map[String, TableConfig] =
+      cfg.enabledTables.map(t => t.source -> t).toMap
+
+    // 1-2. discover + filter (driver-side; file lists are small metadata)
+    val files = Discovery.discover(cfg.dataFolder, mailbox)
+      .filter(f => byEntity.contains(f.entity))           // P3 semi-join
+      .filter(f => cfg.environments.contains(f.environment)) // P4
+      .filter(f => !f.date.isBefore(cfg.ingestionDate))   // P5
+
+    // 3. marker anti-join (P10)
+    val (done, todo) = files.partition { f =>
+      ledger.exists(f.path, f.environment, byEntity(f.entity).targetName)
+    }
+
+    // 4. one read+pipeline per (table, environment) over all its files
+    var rows = 0L
+    val ingested = scala.collection.mutable.ArrayBuffer[String]()
+    todo.groupBy(f => (f.entity, f.environment)).toSeq.sortBy(_._1)
+      .foreach { case ((entity, env), group) =>
+        val table = byEntity(entity)
+        val raw = spark.read.parquet(group.map(_.path): _*)
+        val cleaned = CigTransforms.sentinelsToNull(
+          CigTransforms.pipeline(raw, table, env, cfg.ingestionDate))
+        sink.write(cleaned, table, env)
+        // optional report count — a second scan, so off by default
+        if (countRows) rows += cleaned.count()
+        // 5. mark each file complete (after the whole group's write, as
+        // the reference touches after a successful task run)
+        group.foreach { f =>
+          ledger.touch(MarkerEntry(f.path, table.targetName, env, f.date,
+            LocalDateTime.now()))
+          ingested += f.path
+        }
+      }
+    RunReport(files.size, done.size, ingested.toSeq, rows)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.time.LocalDate
+
+/** Partition-path discovery: the reference's file-tree walk + path parse
+  * (`main.py:87-124`, `main_mailbox.py:90-122`) as a pure path model.
+  *
+  * Two layouts exist:
+  *  - Main: `<root>/environment=<ENV>/<Entity>/<yyyy>/<MM>/<dd>/<file>.parquet`
+  *    (`main.py:88,105`) — `environment=` is genuinely Hive-style, so Spark
+  *    discovers it as a partition column for free; the positional
+  *    `yyyy/MM/dd` tail is NOT Hive-style and is pruned by constructing
+  *    explicit paths (same strategy as the reference's PowerShell mirror,
+  *    `download_from_s3_hosting.ps1:60`).
+  *  - Mailbox: `<root>/<DataSource>/<Entity>/yyyy/MM/dd/<file>.parquet`
+  *    with environment = prefix of DataSource before `_`
+  *    (`main_mailbox.py:56,108`).
+  *
+  * At 100 TB the list step runs driver-side against the object store
+  * (one LIST per constructed date prefix — no full-bucket scan), and the
+  * resulting explicit file list feeds one `spark.read.parquet(paths: _*)`
+  * per table so executors never re-list.
+  */
+object Discovery {
+
+  /** One discovered ingestion unit (≡ reference `CigIngestionFile`,
+    * `main.py:101-124`). */
+  final case class IngestionFile(
+      environment: String, entity: String, date: LocalDate, path: String)
+
+  /** Construct the explicit date-pruned glob paths to read for one
+    * (environment, entity) from `fromDate` to `toDate` inclusive — the
+    * partition-pruning strategy for the positional date dirs. */
+  def datePaths(root: String, environment: String, entity: String,
+      fromDate: LocalDate, toDate: LocalDate,
+      mailbox: Boolean = false): Seq[String] = {
+    val prefix =
+      if (mailbox) s"$root/$environment" // mailbox: env IS the datasource dir
+      else s"$root/environment=$environment"
+    Iterator.iterate(fromDate)(_.plusDays(1))
+      .takeWhile(!_.isAfter(toDate))
+      .map(d => f"$prefix/$entity/${d.getYear}%04d/${d.getMonthValue}%02d/${d.getDayOfMonth}%02d")
+      .toSeq
+  }
+
+  /** Walk a local tree (tests' stand-in for the object-store LIST) and
+    * parse every parquet file found. Malformed paths are dropped, as the
+    * reference's shape predicate does. */
+  def discover(root: String, mailbox: Boolean): Seq[IngestionFile] = {
+    import java.nio.file._
+    val base = Paths.get(root)
+    if (!Files.exists(base)) return Nil
+    val out = scala.collection.mutable.ArrayBuffer[IngestionFile]()
+    Files.walk(base).forEach { p =>
+      if (p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        parseFilePath(p.toString, mailbox).foreach(out += _)
+    }
+    out.toSeq.sortBy(f => (f.environment, f.entity, f.path))
+  }
+
+  /** Parse a …/<head>/<Entity>/<yyyy>/<MM>/<dd>/<file>.parquet path. */
+  def parseFilePath(path: String, mailbox: Boolean): Option[IngestionFile] = {
+    val seg = path.split('/').filter(_.nonEmpty)
+    if (seg.length < 6) return None
+    val head = seg(seg.length - 6)
+    val envOpt =
+      if (mailbox)
+        if (head.contains("_") && !head.contains("=")) Some(head.split("_")(0))
+        else None
+      else if (head.contains("=")) Some(head.split("=", 2)(1))
+      else None
+    envOpt.flatMap { env =>
+      try {
+        val date = LocalDate.of(seg(seg.length - 4).toInt,
+          seg(seg.length - 3).toInt, seg(seg.length - 2).toInt)
+        Some(IngestionFile(env, seg(seg.length - 5), date, path))
+      } catch { case _: Exception => None }
+    }
+  }
+}
