@@ -55,6 +55,8 @@ object SparkEntry {
     "q35_lsh_ann"            -> (SimilarityOps.lshAnn _),
     "q36_multimodal_meta"    -> (MultimodalOps.multimodalMeta _),
     "q37_streaming_window"   -> (StreamingOps.streamingWindow _),
+    "q38_salted_token_counts" -> (ScaleOps.saltedTokenCounts _),
+    "q39_sessionization"     -> (ScaleOps.sessionize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -219,5 +221,26 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+    "q38_salted_token_counts" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY token""".stripMargin,
+    "q39_sessionization" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |f AS (SELECT user_id, event_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS prev_ts FROM e),
+        |g AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |        THEN 1 ELSE 0 END AS new_session FROM f),
+        |h AS (SELECT *, CAST(sum(new_session) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM g)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  CAST(min(ts) AS VARCHAR) AS session_start,
+        |  CAST(max(ts) AS VARCHAR) AS session_end
+        |FROM h GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
   )
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Scale-pattern operators: skew-resistant aggregation and sessionization.
+  *
+  * These exist because at 100 TB two things break naive plans: hot keys
+  * (one reducer drowns) and per-key state (cross-row logic the built-in
+  * aggregates can't express). The salted aggregate shards hot keys across
+  * reducers and recombines; sessionization is shown twice — the
+  * window-function form (batch, oracle-checkable) and the
+  * `flatMapGroupsWithState` form (the Structured-Streaming-native state
+  * machine, identical output on batch input).
+  */
+object ScaleOps {
+
+  import EtlOps.t
+
+  val SaltBuckets = 16
+
+  /** q38 — token frequencies via salted two-phase aggregation. A directly
+    * skewed workload: the vocabulary is tiny, so a plain groupBy(token)
+    * sends every occurrence of a hot token to one reducer. Phase 1
+    * aggregates (token, salt) — hot keys spread over [[SaltBuckets]]
+    * reducers; phase 2 recombines the per-salt partials. Result is
+    * identical to the naive plan (the oracle is the naive plan). */
+  def saltedTokenCounts(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .withColumn("salt", pmod(col("doc_id"), lit(SaltBuckets)))
+    val phase1 = toks.groupBy("token", "salt")
+      .agg(count(lit(1)).as("partial"))
+    phase1.groupBy("token")
+      .agg(sum(col("partial")).as("n"))
+      .orderBy("token")
+  }
+
+  val SessionGapMinutes = 30
+
+  /** q39 — sessionization, window-function form: a session breaks when
+    * the gap to the previous event exceeds [[SessionGapMinutes]].
+    * lag → gap flag → running sum = session index; then one aggregate
+    * per (user, session). Two narrow window passes over ts-sorted
+    * partitions — partition-parallel by user at any scale. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val flagged = t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            SessionGapMinutes * 60L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).cast("string").as("session_start"),
+        max(col("ts")).cast("string").as("session_end"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  // --- stateful form ----------------------------------------------------
+
+  final case class Ev(event_id: Long, user_id: Long, tsMicros: Long)
+  final case class SessionOut(user_id: Long, session_idx: Long,
+      n_events: Long, session_start: Long, session_end: Long)
+  final case class SessState(sessionIdx: Long, nEvents: Long,
+      startMicros: Long, lastMicros: Long)
+
+  /** The same session semantics as a `flatMapGroupsWithState` state
+    * machine — the shape a streaming deployment uses (per-key mutable
+    * state, incremental emission). On batch input each group's full
+    * iterator arrives at once, so output ≡ [[sessionize]]. */
+  def sessionizeStateful(s: SparkSession, dir: String): Dataset[SessionOut] = {
+    import s.implicits._
+    val gapMicros = SessionGapMinutes * 60L * 1000000L
+    val evs = EtlOps.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tsMicros"))
+      .as[Ev]
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, events: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = events.toSeq.sortBy(e => (e.tsMicros, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            st match {
+              case null =>
+                st = SessState(1L, 1L, e.tsMicros, e.tsMicros)
+              case s0 if e.tsMicros - s0.lastMicros > gapMicros =>
+                out += SessionOut(user, s0.sessionIdx, s0.nEvents,
+                  s0.startMicros, s0.lastMicros)
+                st = SessState(s0.sessionIdx + 1, 1L, e.tsMicros, e.tsMicros)
+              case s0 =>
+                st = s0.copy(nEvents = s0.nEvents + 1, lastMicros = e.tsMicros)
+            }
+          }
+          // batch execution: the group is complete — flush the open session
+          if (st != null) {
+            out += SessionOut(user, st.sessionIdx, st.nEvents,
+              st.startMicros, st.lastMicros)
+            state.remove()
+          }
+          out.iterator
+      }
+  }
+}
