@@ -5,12 +5,17 @@ import org.apache.spark.sql.SparkSession
 
 import graft.config.JsonConfig
 import graft.plans.IngestionJob
-import graft.sources.FileMarkerLedger
+import graft.sources.{FileMarkerLedger, JdbcMarkerLedger, MarkerLedger}
 
 /** CLI entry point ≡ the reference's `main.py` / `main_mailbox.py`:
   *
   *   runMain graft.IngestMain <ingestion_config.json> <tables.json> \
-  *     <outDir> [--mailbox]
+  *     <outDir> [--mailbox] [--jdbc-url <url>]
+  *
+  * With `--jdbc-url`, rows append to `raw.<target>` tables over JDBC (the
+  * production path; the reference's SQL Server insert) and the marker
+  * ledger lives in the same database; otherwise a parquet sink + file
+  * ledger under <outDir>.
   *
   * Reads the config documents, discovers date/environment-partitioned
   * parquet under the config's data_folder, runs the cleanup pipeline per
@@ -42,9 +47,20 @@ object IngestMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val ledger = new FileMarkerLedger(Paths.get(outDir, "_marker.tsv"))
-    val report = IngestionJob.run(spark, cfg, ledger,
-      new IngestionJob.ParquetSink(outDir),
+    val jdbcUrl = args.sliding(2).collectFirst {
+      case Array("--jdbc-url", u) => u
+    }
+    val (ledger: MarkerLedger, sink: IngestionJob.Sink) = jdbcUrl match {
+      case Some(url) =>
+        val props = new java.util.Properties()
+        val l = new JdbcMarkerLedger(url, "ETL_Import_From_S3_Marker", props)
+        l.ensureTable()
+        (l, new IngestionJob.JdbcSink(url, props))
+      case None =>
+        (new FileMarkerLedger(Paths.get(outDir, "_marker.tsv")),
+          new IngestionJob.ParquetSink(outDir))
+    }
+    val report = IngestionJob.run(spark, cfg, ledger, sink,
       mailbox = mailbox, countRows = true)
 
     println(s"[ingest] discovered=${report.discovered} " +

@@ -82,13 +82,17 @@ final class JdbcMarkerLedger(url: String, table: String,
 
   def ensureTable(): Unit = withConn { c =>
     val st = c.createStatement()
+    // portable create-if-absent: attempt and swallow "already exists"
+    // (Derby X0Y32, SQL Server 2714, ...); DDL mirrors
+    // CustomMarkerTable.py:74-80
     try st.execute(
-      s"""CREATE TABLE IF NOT EXISTS $table (
-         |  ParquetSource VARCHAR(128) PRIMARY KEY,
+      s"""CREATE TABLE $table (
+         |  ParquetSource VARCHAR(512) PRIMARY KEY,
          |  TargetTable   VARCHAR(128),
          |  Environment   VARCHAR(128),
          |  BackupDate    TIMESTAMP,
          |  InsertedDate  TIMESTAMP)""".stripMargin)
+    catch { case _: java.sql.SQLException => () }
     finally st.close()
   }
 
@@ -99,8 +103,10 @@ final class JdbcMarkerLedger(url: String, table: String,
 
   override def exists(src: String, env: String, table0: String): Boolean =
     withConn { c =>
+      // keyed existence (CustomMarkerTable.py:47-59); no LIMIT for
+      // dialect portability — the PK bounds the scan to one row anyway
       val ps = c.prepareStatement(
-        s"SELECT 1 FROM $table WHERE ParquetSource = ? AND Environment = ? AND TargetTable = ? LIMIT 1")
+        s"SELECT 1 FROM $table WHERE ParquetSource = ? AND Environment = ? AND TargetTable = ?")
       try {
         ps.setString(1, src); ps.setString(2, env); ps.setString(3, table0)
         val rs = ps.executeQuery()
@@ -114,8 +120,9 @@ final class JdbcMarkerLedger(url: String, table: String,
     val upd = c.prepareStatement(
       s"UPDATE $table SET BackupDate = ?, InsertedDate = ? WHERE ParquetSource = ? AND Environment = ? AND TargetTable = ?")
     try {
-      upd.setObject(1, e.backupDate.atStartOfDay())
-      upd.setObject(2, e.insertedDate)
+      upd.setTimestamp(1,
+        java.sql.Timestamp.valueOf(e.backupDate.atStartOfDay()))
+      upd.setTimestamp(2, java.sql.Timestamp.valueOf(e.insertedDate))
       upd.setString(3, e.parquetSource)
       upd.setString(4, e.environment)
       upd.setString(5, e.targetTable)
@@ -126,8 +133,9 @@ final class JdbcMarkerLedger(url: String, table: String,
           ins.setString(1, e.parquetSource)
           ins.setString(2, e.targetTable)
           ins.setString(3, e.environment)
-          ins.setObject(4, e.backupDate.atStartOfDay())
-          ins.setObject(5, e.insertedDate)
+          ins.setTimestamp(4,
+            java.sql.Timestamp.valueOf(e.backupDate.atStartOfDay()))
+          ins.setTimestamp(5, java.sql.Timestamp.valueOf(e.insertedDate))
           ins.executeUpdate()
         } finally ins.close()
       }

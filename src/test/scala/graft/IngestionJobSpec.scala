@@ -132,6 +132,27 @@ class IngestionJobSpec extends AnyFunSuite {
     assert(names == Set("StalePlain", "StaticTooOld", "PastGrace"))
   }
 
+  test("streaming ingestion: the same cleanup pipeline runs under readStream") {
+    val root = Files.createTempDirectory("graft-stream-ingest").toString
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet").limit(40)
+    li.write.mode("overwrite").parquet(s"$root/drop1")
+    val schema = spark.read.parquet(s"$root/drop1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$root/drop1")
+    val cleaned = graft.transforms.CigTransforms.sentinelsToNull(
+      graft.transforms.CigTransforms.pipeline(
+        stream, tableCfg, "NL_Hosting", LocalDate.of(2019, 7, 3)))
+    val q = cleaned.writeStream.outputMode("append")
+      .format("memory").queryName("stream_ingest").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("stream_ingest")
+      assert(out.count() == 40)
+      assert(out.columns.toSeq == tableCfg.columnNames)
+      assert(out.select("Environment").distinct().head().getString(0) == "NL")
+    } finally q.stop()
+  }
+
   test("config JSON round-trip with typed column specs") {
     val tables = JsonConfig.parseTables(
       """[{"target_name": "HOST_CIG_T", "source": "T", "is_enabled": true,
