@@ -57,6 +57,9 @@ object SparkEntry {
     "q37_streaming_window"   -> (StreamingOps.streamingWindow _),
     "q38_salted_token_counts" -> (ScaleOps.saltedTokenCounts _),
     "q39_sessionization"     -> (ScaleOps.sessionize _),
+    "q40_rollup_stats"       -> (ProfileOps.rollupStats _),
+    "q41_table_profile"      -> (ProfileOps.tableProfile _),
+    "q42_approx_stats"       -> (ProfileOps.approxStats _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -242,5 +245,33 @@ object SparkEntry {
         |  CAST(max(ts) AS VARCHAR) AS session_end
         |FROM h GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+    "q40_rollup_stats" ->
+      """SELECT coalesce(lang, '<all>') AS lang,
+        |  coalesce(source, '<all>') AS source,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS lvl
+        |FROM documents GROUP BY ROLLUP(lang, source)
+        |ORDER BY lang, source""".stripMargin,
+    "q41_table_profile" ->
+      """SELECT 'l_quantity' AS col_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |  count(DISTINCT l_quantity) AS n_distinct,
+        |  CAST(min(l_quantity) AS VARCHAR) AS min_v,
+        |  CAST(max(l_quantity) AS VARCHAR) AS max_v FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*),
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT l_returnflag),
+        |  CAST(min(l_returnflag) AS VARCHAR),
+        |  CAST(max(l_returnflag) AS VARCHAR) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', count(*),
+        |  CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT l_discount),
+        |  CAST(min(l_discount) AS VARCHAR),
+        |  CAST(max(l_discount) AS VARCHAR) FROM lineitem
+        |ORDER BY col_name""".stripMargin,
+    // q42 intentionally has no oracle: HLL/quantile sketches are
+    // engine-specific — the driver records the weaker rows-only check.
   )
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Profiling / multi-level aggregation operators — the data-quality side
+  * of a training-data pipeline (generalizing the reference's freshness
+  * monitor from one metric to whole-table profiles).
+  */
+object ProfileOps {
+
+  import EtlOps.t
+
+  /** q40 — corpus stats at every rollup level (lang × source): one pass,
+    * grouping-set expansion handled by Spark's Expand operator — no
+    * multiple scans. NULL level markers are coalesced to '<all>' so the
+    * output is sort-stable across engines. */
+  def rollupStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .rollup(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        grouping_id().cast("bigint").as("lvl"))
+      .select(
+        coalesce(col("lang"), lit("<all>")).as("lang"),
+        coalesce(col("source"), lit("<all>")).as("source"),
+        col("n_docs"), col("total_chars"), col("lvl"))
+      .orderBy("lang", "source")
+
+  /** q41 — per-column table profile: count / nulls / distincts / min /
+    * max for a column set, one aggregate pass per column group, unioned.
+    * Values stringified for a uniform schema (the usual profile-table
+    * shape). */
+  def tableProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    def prof(c: String): DataFrame =
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("string").as("min_v"),
+        max(col(c)).cast("string").as("max_v"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_v"), col("max_v"))
+    prof("l_quantity")
+      .unionAll(prof("l_returnflag"))
+      .unionAll(prof("l_discount"))
+      .orderBy("col_name")
+  }
+
+  /** q42 — approximate distinct-count + quantiles (HLL / quantile sketch
+    * territory — the 100 TB substitutes for exact countDistinct / sort).
+    * Sketch values are engine-specific, so this query is rows-only
+    * checked (no DuckDB oracle). */
+  def approxStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("median_price_approx"))
+}

@@ -71,4 +71,30 @@ class JdbcPathSpec extends AnyFunSuite {
     assert(ledger.all.size == 1)
     assert(ledger.all.head.backupDate == LocalDate.of(2019, 7, 4))
   }
+
+  test("target-schema reflection maps JDBC metadata to cleanup type classes") {
+    import graft.sources.TargetSchema
+    val c = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = c.createStatement()
+      try st.execute(
+        """CREATE TABLE REFL_T (
+          |  ID VARCHAR(36) NOT NULL,
+          |  Amount INT,
+          |  BigN BIGINT,
+          |  Created TIMESTAMP,
+          |  Notes CLOB,
+          |  Name VARCHAR(50))""".stripMargin)
+      catch { case _: java.sql.SQLException => () }
+      finally st.close()
+    } finally c.close()
+    val cols = TargetSchema.reflect(url, props, null, "REFL_T")
+    assert(cols.map(_.name) ==
+      Seq("ID", "AMOUNT", "BIGN", "CREATED", "NOTES", "NAME"))
+    assert(cols.map(_.typeClass) == Seq(
+      TypeClass.Str, TypeClass.IntLike, TypeClass.IntLike,
+      TypeClass.DateTime, TypeClass.TextMax, TypeClass.Str))
+    assert(cols.map(_.nullable) ==
+      Seq(false, true, true, true, true, true))
+  }
 }
