@@ -81,7 +81,14 @@ object DedupOps {
         col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
   }
 
-  /** q30 — n-gram Jaccard near-dup pairs (threshold 0.6). */
+  /** q30 — n-gram Jaccard near-dup pairs (threshold 0.6): the exact
+    * all-pairs verifier. Deliberately naive — it is the ground truth the
+    * LSH path is measured against; q31 (MinHash banding + candidate-only
+    * exact Jaccard) is the 100 TB path. (A prefix-filter variant was
+    * measured 3-10x SLOWER here: the corpus vocabulary is tiny, so even
+    * globally-rare shingles are hot and the extra freq/rank/join passes
+    * dominate — prefix filtering pays off on heavy-tailed vocabularies.)
+    */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(shingles(corpusNear(s, dir)))
       .filter(col("jaccard") >= 0.6)
