@@ -60,6 +60,10 @@ object SparkEntry {
     "q40_rollup_stats"       -> (ProfileOps.rollupStats _),
     "q41_table_profile"      -> (ProfileOps.tableProfile _),
     "q42_approx_stats"       -> (ProfileOps.approxStats _),
+    // rows-only (IVF bucket assignment is an argmax over sampled
+    // centroids — deterministic, but the interesting check is the
+    // ScalaTest consistency-vs-brute-force, not SQL re-derivation)
+    "q43_ivf_ann"            -> (SimilarityOps.ivfAnn _),
   )
 
   def oracleSql: Map[String, String] = Map(

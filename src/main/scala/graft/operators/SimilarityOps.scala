@@ -110,6 +110,50 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** q43 — IVF-style ANN (rows-only check; the coarse-quantizer twin of
+    * q35): bucket = nearest of K fixed coarse centroids (a deterministic
+    * sample of the corpus — a trained KMeans would slot in identically);
+    * queries probe their own centroid's inverted list only (nprobe=1),
+    * paying exact cosine just within it. At 100 TB the assignment pass is
+    * one broadcast(centroids) map over the corpus and each query touches
+    * 1/K of the data. */
+  val IvfCentroids = 16
+
+  def ivfAnn(s: SparkSession, dir: String): DataFrame = {
+    val v = withNorm(baseVectors(s, dir))
+    val cents = v.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
+        col("norm").as("cent_norm"))
+    def assign(side: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cent_cos").desc, col("cent_id"))
+      side.crossJoin(broadcast(cents))
+        .selectExpr("vec_id", "emb", "norm", "cent_id",
+          "dot_product(emb, cent_emb) / (norm * cent_norm) AS cent_cos")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("emb"), col("norm"),
+          col("cent_id").as("bucket"))
+    }
+    val assigned = assign(v)
+    val q = assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("emb").as("emb_q"),
+        col("norm").as("norm_q"), col("bucket"))
+    val c = assigned.select(col("vec_id").as("cand_id"),
+      col("emb").as("emb_c"), col("norm").as("norm_c"), col("bucket"))
+    val sims = broadcast(q).join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .selectExpr("q_id", "cand_id",
+        "dot_product(emb_q, emb_c) / (norm_q * norm_c) AS cos")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .selectExpr("q_id", "cand_id", "CAST(rank AS BIGINT) AS rank",
+        "round(cos, 6) AS cos_sim")
+      .orderBy("q_id", "rank")
+  }
+
   val AnnPlanes = 8 // 256 buckets
 
   /** q35 — LSH-bucketed ANN: 8 random-hyperplane sign bits → bucket;

@@ -69,6 +69,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: buckets partition the corpus; cosines agree with brute force") {
+    val ann = SimilarityOps.ivfAnn(spark, dir).collect()
+    assert(ann.nonEmpty)
+    val brute = SimilarityOps.cosineTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    ann.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1)))
+        .foreach(c => assert(c == r.getDouble(3)))
+    }
+  }
+
   test("multimodal stub decode: typed plumbing round-trips deterministically") {
     val metas = MultimodalOps.decodeMeta(spark, dir).collect()
     assert(metas.length == 500)
