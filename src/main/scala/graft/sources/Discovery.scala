@@ -58,6 +58,29 @@ object Discovery {
     out.toSeq.sortBy(f => (f.environment, f.entity, f.path))
   }
 
+  /** Object-store discovery via the Hadoop FileSystem API — the
+    * production path (S5/S6): the SAME code lists `file://` in tests and
+    * `s3a://bucket/...` on a cluster (one recursive LIST from the
+    * driver; executors never list). Replaces the reference's
+    * PowerShell-mirror + boto walk (S7 is eliminated — Spark reads the
+    * store directly). */
+  def discoverHadoop(root: String, mailbox: Boolean,
+      hadoopConf: org.apache.hadoop.conf.Configuration): Seq[IngestionFile] = {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val p = new Path(root)
+    val fs = FileSystem.get(p.toUri, hadoopConf)
+    if (!fs.exists(p)) return Nil
+    val out = scala.collection.mutable.ArrayBuffer[IngestionFile]()
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val path = f.getPath.toUri.getPath
+      if (path.endsWith(".parquet"))
+        parseFilePath(path, mailbox).foreach(out += _)
+    }
+    out.toSeq.sortBy(f => (f.environment, f.entity, f.path))
+  }
+
   /** Parse a …/<head>/<Entity>/<yyyy>/<MM>/<dd>/<file>.parquet path. */
   def parseFilePath(path: String, mailbox: Boolean): Option[IngestionFile] = {
     val seg = path.split('/').filter(_.nonEmpty)

@@ -97,6 +97,15 @@ class IngestionJobSpec extends AnyFunSuite {
       mailbox = false).isEmpty)
   }
 
+  test("Hadoop FileSystem discovery matches the local walk") {
+    val root = Files.createTempDirectory("graft-hfs").toString
+    buildTree(root)
+    val local = Discovery.discover(root, mailbox = false)
+    val hadoop = Discovery.discoverHadoop(root, mailbox = false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(local.nonEmpty && hadoop == local)
+  }
+
   test("date-path construction prunes to explicit day prefixes") {
     val paths = Discovery.datePaths("/d", "NL", "Accounts",
       LocalDate.of(2019, 12, 30), LocalDate.of(2020, 1, 2))
