@@ -61,7 +61,7 @@ object IngestMain {
           new IngestionJob.ParquetSink(outDir))
     }
     val report = IngestionJob.run(spark, cfg, ledger, sink,
-      mailbox = mailbox, countRows = true)
+      mailbox = mailbox)
 
     println(s"[ingest] discovered=${report.discovered} " +
       s"skipped_by_marker=${report.skippedByMarker} " +

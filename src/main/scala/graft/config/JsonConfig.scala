@@ -21,16 +21,22 @@ object JsonConfig {
 
   def parseColumn(spec: String): ColumnMeta = spec.split(":") match {
     case Array(n)          => ColumnMeta(n)
-    case Array(n, t)       => ColumnMeta(n, typeClass(t))
-    case Array(n, t, "notnull") => ColumnMeta(n, typeClass(t), nullable = false)
-    case other             => ColumnMeta(other.head)
+    case Array(n, t)       => ColumnMeta(n, typeClass(t, spec))
+    case Array(n, t, "notnull") =>
+      ColumnMeta(n, typeClass(t, spec), nullable = false)
+    case _ =>
+      // a typo'd spec must not silently become a nullable Str — that
+      // would skip the type-driven cleanups and write wrong data
+      throw new IllegalArgumentException(s"bad column spec: '$spec'")
   }
 
-  private def typeClass(t: String): TypeClass = t match {
+  private def typeClass(t: String, spec: String): TypeClass = t match {
     case "int" | "bigint" => TypeClass.IntLike
     case "datetime"       => TypeClass.DateTime
     case "text"           => TypeClass.TextMax
-    case _                => TypeClass.Str
+    case "str"            => TypeClass.Str
+    case _ =>
+      throw new IllegalArgumentException(s"bad column type in spec: '$spec'")
   }
 
   /** Parse a tables JSON array: [{target_name, source, is_enabled,

@@ -41,15 +41,21 @@ object DedupOps {
       expr("substring(text, instr(text, ' ') + 1)").as("text")))
   }
 
-  /** Distinct word-trigram shingles per doc: (doc_id, shingle). */
+  /** Distinct word-trigram shingles per doc: (doc_id, shingle). Docs with
+    * fewer than 3 tokens yield no shingles — the guard matters because
+    * Spark's sequence(1, 0) counts DOWN ([1, 0]) and would then index
+    * element_at(toks, 0), a runtime error (DuckDB's range(1, n-1) is
+    * already empty there). */
   def shingles(corpus: DataFrame): DataFrame =
     corpus
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(array_distinct(expr(
-        """transform(sequence(1, size(toks) - 2),
-          |  i -> concat(element_at(toks, i), ' ',
-          |              element_at(toks, i + 1), ' ',
-          |              element_at(toks, i + 2)))""".stripMargin)))
+        """CASE WHEN size(toks) >= 3 THEN
+          |  transform(sequence(1, size(toks) - 2),
+          |    i -> concat(element_at(toks, i), ' ',
+          |                element_at(toks, i + 1), ' ',
+          |                element_at(toks, i + 2)))
+          |ELSE array() END""".stripMargin)))
         .as("shingle"))
 
   /** q29 — exact dedup: hash-group on content, survivor = min doc_id.

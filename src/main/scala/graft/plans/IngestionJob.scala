@@ -2,6 +2,7 @@ package graft.plans
 
 import java.time.{LocalDate, LocalDateTime}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 import graft.config.{IngestionConfig, TableConfig}
 import graft.sources.{Discovery, MarkerEntry, MarkerLedger}
@@ -61,11 +62,18 @@ object IngestionJob {
       rowsWritten: Long)
 
   def run(spark: SparkSession, cfg: IngestionConfig, ledger: MarkerLedger,
-      sink: Sink, mailbox: Boolean = false,
-      countRows: Boolean = false): RunReport = {
+      sink: Sink, mailbox: Boolean = false): RunReport = {
 
+    // first config wins per source, as in the reference's enrich-first-
+    // match (`main.py:82-84`); toMap would silently keep the LAST and
+    // swap the target table
     val byEntity: Map[String, TableConfig] =
-      cfg.enabledTables.map(t => t.source -> t).toMap
+      cfg.enabledTables.groupBy(_.source).map { case (src, cfgs) =>
+        if (cfgs.size > 1)
+          System.err.println(s"[ingest] WARN: ${cfgs.size} enabled tables " +
+            s"share source '$src'; using first (${cfgs.head.targetName})")
+        src -> cfgs.head
+      }
 
     // 1-2. discover + filter (driver-side; file lists are small metadata)
     val files = Discovery.discover(cfg.dataFolder, mailbox)
@@ -73,9 +81,13 @@ object IngestionJob {
       .filter(f => cfg.environments.contains(f.environment)) // P4
       .filter(f => !f.date.isBefore(cfg.ingestionDate))   // P5
 
-    // 3. marker anti-join (P10)
+    // 3. marker anti-join (P10): ONE ledger read snapshotted to a set —
+    // a per-file exists() would be N JDBC round-trips on the JDBC ledger
+    val doneKeys: Set[(String, String, String)] =
+      ledger.all.map(e => (e.parquetSource, e.environment, e.targetTable))
+        .toSet
     val (done, todo) = files.partition { f =>
-      ledger.exists(f.path, f.environment, byEntity(f.entity).targetName)
+      doneKeys((f.path, f.environment, byEntity(f.entity).targetName))
     }
 
     // 4. one read+pipeline per (table, environment) over all its files
@@ -87,9 +99,11 @@ object IngestionJob {
         val raw = spark.read.parquet(group.map(_.path): _*)
         val cleaned = CigTransforms.sentinelsToNull(
           CigTransforms.pipeline(raw, table, env, cfg.ingestionDate))
-        sink.write(cleaned, table, env)
-        // optional report count — a second scan, so off by default
-        if (countRows) rows += cleaned.count()
+        // row count piggybacks on the write via an observed metric —
+        // no second scan
+        val obs = new org.apache.spark.sql.Observation()
+        sink.write(cleaned.observe(obs, count(lit(1)).as("n")), table, env)
+        rows += obs.get("n").asInstanceOf[Long]
         // 5. mark each file complete (after the whole group's write, as
         // the reference touches after a successful task run)
         group.foreach { f =>

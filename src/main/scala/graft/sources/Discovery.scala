@@ -51,10 +51,11 @@ object Discovery {
     val base = Paths.get(root)
     if (!Files.exists(base)) return Nil
     val out = scala.collection.mutable.ArrayBuffer[IngestionFile]()
-    Files.walk(base).forEach { p =>
+    val stream = Files.walk(base) // must be closed: holds DirectoryStreams
+    try stream.forEach { p =>
       if (p.toString.endsWith(".parquet") && Files.isRegularFile(p))
         parseFilePath(p.toString, mailbox).foreach(out += _)
-    }
+    } finally stream.close()
     out.toSeq.sortBy(f => (f.environment, f.entity, f.path))
   }
 

@@ -85,13 +85,18 @@ final class JdbcMarkerLedger(url: String, table: String,
     // portable create-if-absent: attempt and swallow "already exists"
     // (Derby X0Y32, SQL Server 2714, ...); DDL mirrors
     // CustomMarkerTable.py:74-80
+    // composite PK: the ledger is KEYED on the triple everywhere
+    // (exists/touch WHERE clauses, InMemoryMarkerLedger's map key) — the
+    // reference's single-column PK (CustomMarkerTable.py:75) breaks when
+    // one file feeds two target tables
     try st.execute(
       s"""CREATE TABLE $table (
-         |  ParquetSource VARCHAR(512) PRIMARY KEY,
-         |  TargetTable   VARCHAR(128),
-         |  Environment   VARCHAR(128),
+         |  ParquetSource VARCHAR(512) NOT NULL,
+         |  TargetTable   VARCHAR(128) NOT NULL,
+         |  Environment   VARCHAR(128) NOT NULL,
          |  BackupDate    TIMESTAMP,
-         |  InsertedDate  TIMESTAMP)""".stripMargin)
+         |  InsertedDate  TIMESTAMP,
+         |  PRIMARY KEY (ParquetSource, Environment, TargetTable))""".stripMargin)
     catch { case _: java.sql.SQLException => () }
     finally st.close()
   }

@@ -57,7 +57,7 @@ class IngestionJobSpec extends AnyFunSuite {
     val ledger = new InMemoryMarkerLedger
     val sink = new IngestionJob.ParquetSink(out)
 
-    val r1 = IngestionJob.run(spark, cfg, ledger, sink, countRows = true)
+    val r1 = IngestionJob.run(spark, cfg, ledger, sink)
     // NL/07-03 + BE/07-04 pass every filter; disabled/old/US/unknown don't
     assert(r1.ingested.size == 2, s"ingested: ${r1.ingested}")
     assert(r1.skippedByMarker == 0)
@@ -75,7 +75,7 @@ class IngestionJobSpec extends AnyFunSuite {
       == "2019-07-03")
 
     // second run: everything already marked → no-op
-    val r2 = IngestionJob.run(spark, cfg, ledger, sink, countRows = true)
+    val r2 = IngestionJob.run(spark, cfg, ledger, sink)
     assert(r2.ingested.isEmpty && r2.skippedByMarker == 2)
     assert(spark.read.parquet(s"$out/HOST_CIG_Lineitem").count() == 100)
   }
