@@ -40,11 +40,17 @@ object IngestionJob {
     def write(df: DataFrame, config: TableConfig, environment: String): Unit
   }
 
-  final class ParquetSink(outRoot: String) extends Sink {
+  /** Parquet sink; with `partitionByEnvironment` the output mirrors the
+    * input's Hive layout (`.../Environment=NL/...`) so downstream reads
+    * prune by environment for free. */
+  final class ParquetSink(outRoot: String,
+      partitionByEnvironment: Boolean = false) extends Sink {
     override def write(df: DataFrame, config: TableConfig,
-        environment: String): Unit =
-      df.write.mode(SaveMode.Append)
+        environment: String): Unit = {
+      val w = df.write.mode(SaveMode.Append)
+      (if (partitionByEnvironment) w.partitionBy("Environment") else w)
         .parquet(s"$outRoot/${config.targetName}")
+    }
   }
 
   final class JdbcSink(url: String, props: java.util.Properties,
