@@ -91,6 +91,32 @@ class PipelineOpsSpec extends AnyFunSuite {
       .minBy(_.doc_id) == m)
   }
 
+  test("streaming watermark: late data beyond the watermark is dropped in append mode") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-late").toString
+    val events = EtlOps.events(spark, dir)
+    val schema = events.schema
+    // batch 1: the bulk of January
+    events.filter(col("ts") < lit("2024-01-20").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$tmp/b1")
+    val sdf = spark.readStream.schema(schema).parquet(s"$tmp/b1")
+    val agg = StreamingOps.dailyWindowAgg(sdf.withWatermark("ts", "1 day"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("late_out").count()
+      // batch 2: one event far BEFORE the advanced watermark (late) and
+      // nothing new on time — the late day must not (re)appear
+      events.filter(col("ts") < lit("2024-01-02").cast("timestamp"))
+        .limit(1).write.mode("append").parquet(s"$tmp/b1")
+      q.processAllAvailable()
+      val afterB2 = spark.table("late_out").count()
+      assert(afterB1 > 0, "append mode should emit closed windows")
+      assert(afterB2 == afterB1, "late event must be dropped by the watermark")
+    } finally q.stop()
+  }
+
   test("streaming window agg: readStream path matches batch result") {
     val batch = StreamingOps.streamingWindow(spark, dir).collect()
     val events = EtlOps.events(spark, dir)
