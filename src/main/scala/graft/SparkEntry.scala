@@ -64,6 +64,7 @@ object SparkEntry {
     // centroids — deterministic, but the interesting check is the
     // ScalaTest consistency-vs-brute-force, not SQL re-derivation)
     "q43_ivf_ann"            -> (SimilarityOps.ivfAnn _),
+    "q44_frame_sampling"     -> (MultimodalOps.frameSamples _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -277,5 +278,15 @@ object SparkEntry {
         |ORDER BY col_name""".stripMargin,
     // q42 intentionally has no oracle: HLL/quantile sketches are
     // engine-specific — the driver records the weaker rows-only check.
+    "q44_frame_sampling" ->
+      """SELECT doc_id, CAST(off // 128 AS INTEGER) AS frame_idx,
+        |  off AS "offset",
+        |  CAST(least(64, octet_length(encode(text)) - off) AS BIGINT)
+        |    AS frame_len,
+        |  sha256(substr(text, CAST(off AS INTEGER) + 1, 64)) AS frame_sha
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(0, octet_length(encode(text)), 128)) AS off
+        |      FROM documents) t
+        |ORDER BY doc_id, frame_idx""".stripMargin,
   )
 }

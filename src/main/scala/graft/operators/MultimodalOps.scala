@@ -60,6 +60,40 @@ object MultimodalOps {
       }
   }
 
+  /** One sampled "frame" of a media blob. */
+  final case class FrameMeta(
+      doc_id: Long, frame_idx: Int, offset: Long, frame_len: Long,
+      frame_sha: String)
+
+  /** Frame sampling: the one-to-many multimodal shape (video → frames,
+    * audio → windows). The stub samples fixed-stride byte windows of the
+    * blob; a real decoder would emit decoded frames at the same
+    * cardinality. flatMap keeps it partition-parallel with no shuffle —
+    * each blob expands in place. */
+  def sampleFrames(s: SparkSession, dir: String,
+      frameLen: Int = 64, stride: Int = 128): Dataset[FrameMeta] = {
+    import s.implicits._
+    asBinaryTable(s, dir)
+      .select(col("doc_id"), col("blob"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, blob) =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        Iterator.range(0, blob.length, stride).zipWithIndex.map {
+          case (off, idx) =>
+            val end = math.min(off + frameLen, blob.length)
+            val frame = java.util.Arrays.copyOfRange(blob, off, end)
+            FrameMeta(id, idx, off.toLong, frame.length.toLong,
+              md.digest(frame).map("%02x".format(_)).mkString)
+        }
+      }
+  }
+
+  /** q44 — frame sampling as a flat query result (typed flatMap under
+    * the hood; ordered for the oracle). */
+  def frameSamples(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(s, dir).toDF()
+      .orderBy("doc_id", "frame_idx")
+
   /** q36 — the SQL-expressible slice of the multimodal pipeline: blob
     * length, content hash, header bytes, deterministic fake dimensions.
     * Mirrors [[FakeDecoder]] so the DuckDB oracle can check the plumbing

@@ -91,6 +91,22 @@ class PipelineOpsSpec extends AnyFunSuite {
       .minBy(_.doc_id) == m)
   }
 
+  test("multimodal frame sampling: cardinality and offsets follow the stride") {
+    val frames = MultimodalOps.sampleFrames(spark, dir).collect()
+    val byDoc = frames.groupBy(_.doc_id)
+    assert(byDoc.size == 500)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "CAST(octet_length(encode(text, 'UTF-8')) AS BIGINT) AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc.foreach { case (id, fs) =>
+      val expected = math.ceil(docs(id) / 128.0).toInt
+      assert(fs.length == expected, s"doc $id frame count")
+      assert(fs.sortBy(_.frame_idx).zipWithIndex
+        .forall { case (f, i) => f.frame_idx == i && f.offset == i * 128L })
+      assert(fs.forall(f => f.frame_len <= 64 && f.frame_sha.length == 64))
+    }
+  }
+
   test("streaming watermark: late data beyond the watermark is dropped in append mode") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-late").toString
