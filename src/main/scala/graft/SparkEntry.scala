@@ -65,6 +65,7 @@ object SparkEntry {
     // ScalaTest consistency-vs-brute-force, not SQL re-derivation)
     "q43_ivf_ann"            -> (SimilarityOps.ivfAnn _),
     "q44_frame_sampling"     -> (MultimodalOps.frameSamples _),
+    "q45_rolling_fingerprint" -> (TextOps.rollingFingerprint _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -288,5 +289,14 @@ object SparkEntry {
         |        unnest(range(0, octet_length(encode(text)), 128)) AS off
         |      FROM documents) t
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q45_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_transform(range(1, length(text) + 1),
+        |    i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp,
+        |  list_reduce(list_transform(range(1, length(text) + 1),
+        |    i -> CAST(ascii(substr(lower(text), CAST(i AS INTEGER), 1)) AS BIGINT)),
+        |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp_lower
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

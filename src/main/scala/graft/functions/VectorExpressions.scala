@@ -92,6 +92,39 @@ case class LshSignature(child: Expression, planes: Int)
     copy(child = newChild)
 }
 
+/** Polynomial rolling hash over a string's characters:
+  * acc₀ = code(c₀); accᵢ = (accᵢ₋₁ · 31 + code(cᵢ)) mod (2³¹−1).
+  * The classic content-defined-chunking / Rabin-style fingerprint
+  * primitive — accumulator stays < 2³⁶ so the same fold is expressible
+  * overflow-free in the DuckDB oracle (`list_reduce`). NULL for the
+  * empty string (no seed element, matching list_reduce's domain). */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "rolling_hash"
+
+  private val P = 2147483647L
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    if (s.isEmpty) null
+    else {
+      var acc = s.charAt(0).toLong
+      var i = 1
+      while (i < s.length) {
+        acc = (acc * 31 + s.charAt(i)) % P
+        i += 1
+      }
+      java.lang.Long.valueOf(acc)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Register dot_product / lsh_sig as SQL functions on this session so
     * `selectExpr` can use them. Idempotent. */
@@ -101,5 +134,7 @@ object VectorFunctions {
       exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("lsh_sig",
       exprs => LshSignature(exprs.head, annPlanes), "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_hash",
+      exprs => RollingHash(exprs.head), "scala_udf")
   }
 }

@@ -35,6 +35,16 @@ object MultimodalOps {
         height = (blob.length % 64) + 16,
         n_frames = blob.length % 7 + 1)
     }
+
+    /** Resize stub: aspect-preserving downscale to fit maxDim — a real
+      * implementation calls the codec's scaler; the arithmetic contract
+      * (aspect ratio, bounds) is what the pipeline depends on. */
+    def resize(width: Int, height: Int, maxDim: Int): (Int, Int) = {
+      val scale = maxDim.toDouble / math.max(width, height)
+      if (scale >= 1.0) (width, height)
+      else (math.max(1, math.round(width * scale).toInt),
+        math.max(1, math.round(height * scale).toInt))
+    }
   }
 
   /** Real plumbing: documents.text → binary blob column (stand-in for an

@@ -96,4 +96,16 @@ object TextOps {
       md5Fingerprint60(norm).as("fingerprint"))
       .orderBy("doc_id")
   }
+
+  /** q45 — polynomial ROLLING-hash fingerprint (native
+    * [[graft.functions.RollingHash]] expression): the primitive behind
+    * content-defined chunking; one narrow pass, no shuffle. */
+  def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s, SimilarityOps.AnnPlanes)
+    t(s, dir, "documents")
+      .selectExpr("doc_id",
+        "rolling_hash(text) AS fp",
+        "rolling_hash(lower(text)) AS fp_lower")
+      .orderBy("doc_id")
+  }
 }

@@ -91,6 +91,14 @@ class PipelineOpsSpec extends AnyFunSuite {
       .minBy(_.doc_id) == m)
   }
 
+  test("multimodal resize stub preserves aspect ratio and bounds") {
+    import MultimodalOps.FakeDecoder.resize
+    assert(resize(640, 480, 320) == (320, 240))
+    assert(resize(480, 640, 320) == (240, 320))
+    assert(resize(100, 50, 320) == (100, 50))   // never upscale
+    assert(resize(5000, 1, 100) == (100, 1))    // floor at 1
+  }
+
   test("multimodal frame sampling: cardinality and offsets follow the stride") {
     val frames = MultimodalOps.sampleFrames(spark, dir).collect()
     val byDoc = frames.groupBy(_.doc_id)
