@@ -17,6 +17,7 @@ object PlanAudit {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events table is TIMESTAMP(NANOS)
       // AQE off for the audit: the adaptive wrapper hides codegen spans
       // in the pre-execution plan string; logical structure is the same
       .config("spark.sql.adaptive.enabled", "false")

@@ -279,14 +279,17 @@ object SparkEntry {
         |ORDER BY col_name""".stripMargin,
     // q42 intentionally has no oracle: HLL/quantile sketches are
     // engine-specific — the driver records the weaker rows-only check.
+    // q44: `a` is the ASCII-normalized text (same regexp_replace as the
+    // Spark side, MultimodalOps.asciiBinaryTable) so character slices ≡
+    // byte slices structurally — no latent ASCII-corpus assumption.
     "q44_frame_sampling" ->
       """SELECT doc_id, CAST(off // 128 AS INTEGER) AS frame_idx,
         |  off AS "offset",
-        |  CAST(least(64, octet_length(encode(text)) - off) AS BIGINT)
+        |  CAST(least(64, octet_length(encode(a)) - off) AS BIGINT)
         |    AS frame_len,
-        |  sha256(substr(text, CAST(off AS INTEGER) + 1, 64)) AS frame_sha
-        |FROM (SELECT doc_id, text,
-        |        unnest(range(0, octet_length(encode(text)), 128)) AS off
+        |  sha256(substr(a, CAST(off AS INTEGER) + 1, 64)) AS frame_sha
+        |FROM (SELECT doc_id, regexp_replace(text, '[^\x00-\x7f]', '?', 'g') AS a,
+        |        unnest(range(0, octet_length(encode(regexp_replace(text, '[^\x00-\x7f]', '?', 'g'))), 128)) AS off
         |      FROM documents) t
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q45_rolling_fingerprint" ->

@@ -92,12 +92,14 @@ case class LshSignature(child: Expression, planes: Int)
     copy(child = newChild)
 }
 
-/** Polynomial rolling hash over a string's characters:
-  * acc₀ = code(c₀); accᵢ = (accᵢ₋₁ · 31 + code(cᵢ)) mod (2³¹−1).
+/** Polynomial rolling hash over a string's Unicode CODE POINTS:
+  * acc₀ = cp₀; accᵢ = (accᵢ₋₁ · 31 + cpᵢ) mod (2³¹−1).
   * The classic content-defined-chunking / Rabin-style fingerprint
   * primitive — accumulator stays < 2³⁶ so the same fold is expressible
-  * overflow-free in the DuckDB oracle (`list_reduce`). NULL for the
-  * empty string (no seed element, matching list_reduce's domain). */
+  * overflow-free in the DuckDB oracle (`list_reduce` over
+  * `ascii(substr(...))`, which also yields code points — iterating UTF-16
+  * units here would diverge on non-BMP text). NULL for the empty string
+  * (no seed element, matching list_reduce's domain). */
 case class RollingHash(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -111,10 +113,11 @@ case class RollingHash(child: Expression)
     val s = input.toString
     if (s.isEmpty) null
     else {
-      var acc = s.charAt(0).toLong
+      val cps = s.codePoints().toArray
+      var acc = cps(0).toLong
       var i = 1
-      while (i < s.length) {
-        acc = (acc * 31 + s.charAt(i)) % P
+      while (i < cps.length) {
+        acc = (acc * 31 + cps(i)) % P
         i += 1
       }
       java.lang.Long.valueOf(acc)

@@ -197,10 +197,50 @@ object DedupOps {
       .select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** q32 — SimHash near-dup pairs: hamming(simhash_a, simhash_b) ≤ 4 over
-    * all pairs. (All-pairs is the sf-scale verifier; at 100 TB shard by
-    * signature bands / rotated prefixes instead of a cross join.) */
+  /** Number of disjoint signature bands for the pigeonhole candidate
+    * filter: with hamming ≤ [[SimhashMaxHamming]] = 4 differing bits and
+    * 5 bands, at least one band is untouched, so every qualifying pair
+    * shares at least one exact (band_idx, band_value) bucket. */
+  val SimhashBands: Int = SimhashMaxHamming + 1 // 5 bands × 12 bits
+
+  /** q32 — SimHash near-dup pairs: hamming(sig_a, sig_b) ≤ 4, found via
+    * pigeonhole banding instead of an all-pairs cross join. Candidates =
+    * pairs sharing any 12-bit band bucket; exact hamming is verified per
+    * candidate and duplicates (pairs colliding in several bands) collapse
+    * in one distinct. The result set is IDENTICAL to the all-pairs form
+    * (the band bound is lossless — see [[simhashDedupAllPairs]] and the
+    * equivalence spec); cost is O(Σ bucket²) instead of O(N²), which is
+    * the shape that survives a 100× scale-up. */
   def simhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSignatures(corpusNear(s, dir))
+    val bandW = SimhashBits / SimhashBands
+    val bandStructs = (0 until SimhashBands).map { i =>
+      struct(lit(i).as("band_idx"),
+        shiftright(col("simhash"), i * bandW)
+          .bitwiseAND((1L << bandW) - 1).as("band_val"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("simhash"),
+        col("band.band_idx").as("band_idx"),
+        col("band.band_val").as("band_val"))
+    val a = bands.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sig_a"), col("band_idx"), col("band_val"))
+    val b = bands.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sig_b"), col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("bigint"))
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .select("doc_a", "doc_b", "hamming").distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The naive all-pairs form of q32 — kept as the equivalence oracle for
+    * the banding rewrite (spec-only; never on the bench path). */
+  def simhashDedupAllPairs(s: SparkSession, dir: String): DataFrame = {
     val sigs = simhashSignatures(corpusNear(s, dir))
     val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))

@@ -29,7 +29,16 @@ object EtlOps {
     * Spark's vectorized reader rejects by default. Read nanos as raw longs
     * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to a
     * microsecond timestamp — the same lossless conversion DuckDB applies
-    * (the testdata's nano field is micro-granular). */
+    * (the testdata's nano field is micro-granular).
+    *
+    * The flag is deliberately SESSION-scoped, not save/restored around the
+    * read: Spark re-converts each file footer's schema at task execution
+    * time from a planning-time conf snapshot, so the flag must still be on
+    * when the returned (lazy) DataFrame is finally executed — restoring it
+    * here would break any later action (verified: only `count()` survives,
+    * because it prunes every column). Entry points we own ([[graft.Bench]],
+    * [[graft.Verify]], [[graft.TimeQ]], [[graft.IngestMain]], tests) set it
+    * at session construction; this set covers driver-owned sessions. */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")

@@ -75,6 +75,19 @@ object MultimodalOps {
       doc_id: Long, frame_idx: Int, offset: Long, frame_len: Long,
       frame_sha: String)
 
+  /** q44 parity invariant: frame offsets address BYTES of the blob while
+    * the DuckDB oracle slices CHARACTERS (`substr(text, off+1, 64)`) —
+    * the two agree only when every character is single-byte. Enforce it
+    * structurally: non-ASCII characters are replaced by '?' before
+    * encoding, with the identical `regexp_replace` in the oracle SQL, so
+    * parity holds for any corpus rather than resting on a latent
+    * ASCII-only assumption. */
+  def asciiBinaryTable(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      encode(regexp_replace(col("text"), "[^\\x00-\\x7F]", "?"), "UTF-8")
+        .as("blob"))
+
   /** Frame sampling: the one-to-many multimodal shape (video → frames,
     * audio → windows). The stub samples fixed-stride byte windows of the
     * blob; a real decoder would emit decoded frames at the same
@@ -83,8 +96,7 @@ object MultimodalOps {
   def sampleFrames(s: SparkSession, dir: String,
       frameLen: Int = 64, stride: Int = 128): Dataset[FrameMeta] = {
     import s.implicits._
-    asBinaryTable(s, dir)
-      .select(col("doc_id"), col("blob"))
+    asciiBinaryTable(s, dir)
       .as[(Long, Array[Byte])]
       .flatMap { case (id, blob) =>
         val md = java.security.MessageDigest.getInstance("SHA-256")

@@ -91,7 +91,11 @@ object Discovery {
       if (mailbox)
         if (head.contains("_") && !head.contains("=")) Some(head.split("_")(0))
         else None
-      else if (head.contains("=")) Some(head.split("=", 2)(1))
+      // the key must literally be "environment" — a stray Hive-partitioned
+      // dir like /data/foo=NL/... is NOT an ingestion root (main.py:112
+      // splits blindly; we tighten to the documented layout)
+      else if (head.startsWith("environment="))
+        Some(head.substring("environment=".length))
       else None
     envOpt.flatMap { env =>
       try {

@@ -97,7 +97,13 @@ final class JdbcMarkerLedger(url: String, table: String,
          |  BackupDate    TIMESTAMP,
          |  InsertedDate  TIMESTAMP,
          |  PRIMARY KEY (ParquetSource, Environment, TargetTable))""".stripMargin)
-    catch { case _: java.sql.SQLException => () }
+    catch {
+      // swallow ONLY "table already exists"; genuine DDL failures
+      // (permissions, connectivity) must surface here, not later as
+      // confusing errors on exists/touch
+      case e: java.sql.SQLException
+          if e.getSQLState == "X0Y32" || e.getErrorCode == 2714 => ()
+    }
     finally st.close()
   }
 

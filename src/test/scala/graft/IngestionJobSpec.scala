@@ -92,6 +92,9 @@ class IngestionJobSpec extends AnyFunSuite {
         f.environment == "NL" && f.entity == "BankLinks"))
     assert(Discovery.parseFilePath(
       "/data/badshape/Accounts/2019/12/31/x.parquet", mailbox = false).isEmpty)
+    // a stray Hive-partitioned dir with a different key is NOT an env root
+    assert(Discovery.parseFilePath(
+      "/data/foo=NL/Accounts/2019/07/03/x.parquet", mailbox = false).isEmpty)
     assert(Discovery.parseFilePath(
       "/data/environment=NL/Accounts/2019/xx/31/x.parquet",
       mailbox = false).isEmpty)

@@ -51,6 +51,14 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.length <= 1500, s"${out.length} pairs — detector flooding")
   }
 
+  test("simhash banding is lossless: identical result set to all-pairs") {
+    val banded = DedupOps.simhashDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val allPairs = DedupOps.simhashDedupAllPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == allPairs)
+  }
+
   test("embedding near-dup finds exactly the planted scaled copies") {
     val out = SimilarityOps.embeddingNearDup(spark, dir).collect()
     assert(out.length == 500)
