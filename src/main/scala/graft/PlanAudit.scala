@@ -18,6 +18,7 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events table is TIMESTAMP(NANOS)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // AQE off for the audit: the adaptive wrapper hides codegen spans
       // in the pre-execution plan string; logical structure is the same
       .config("spark.sql.adaptive.enabled", "false")

@@ -66,6 +66,16 @@ object SparkEntry {
     "q43_ivf_ann"            -> (SimilarityOps.ivfAnn _),
     "q44_frame_sampling"     -> (MultimodalOps.frameSamples _),
     "q45_rolling_fingerprint" -> (TextOps.rollingFingerprint _),
+    "q46_set_ops"            -> (RelationalOps.setOps _),
+    "q47_pivot"              -> (RelationalOps.pivotCounts _),
+    "q48_window_suite"       -> (RelationalOps.windowSuite _),
+    "q49_percentiles"        -> (RelationalOps.percentiles _),
+    "q50_asof_join"          -> (JoinOps.asofJoin _),
+    "q51_range_join"         -> (JoinOps.bandedRangeJoin _),
+    "q52_cube_stats"         -> (RelationalOps.cubeStats _),
+    "q53_salted_skew_join"   -> (JoinOps.saltedSkewJoin _),
+    "q54_vector_quantize"    -> (SimilarityOps.quantizeVectors _),
+    "q55_doc_chunking"       -> (TextOps.chunkDocuments _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -301,5 +311,91 @@ object SparkEntry {
         |    i -> CAST(ascii(substr(lower(text), CAST(i AS INTEGER), 1)) AS BIGINT)),
         |    (acc, x) -> (acc * 31 + x) % 2147483647) AS fp_lower
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q46_set_ops" ->
+      """SELECT 'with_orders' AS tag, c_custkey FROM
+        |  (SELECT c_custkey FROM customer
+        |   INTERSECT SELECT o_custkey FROM orders) a
+        |UNION ALL
+        |SELECT 'no_orders' AS tag, c_custkey FROM
+        |  (SELECT c_custkey FROM customer
+        |   EXCEPT SELECT o_custkey FROM orders) b
+        |ORDER BY tag, c_custkey""".stripMargin,
+    "q47_pivot" -> {
+      val cols = RelationalOps.EventTypes.map(t =>
+        s"  CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS $t")
+        .mkString(",\n")
+      s"""SELECT user_id,
+         |$cols
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+    "q48_window_suite" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  lag(CAST(o_orderdate AS DATE)) OVER w AS prev_date,
+        |  lead(o_orderkey) OVER w AS next_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_spend,
+        |  CAST(rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS price_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q49_percentiles" ->
+      """WITH r AS (SELECT l_returnflag, l_quantity,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_rows,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN l_quantity END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN l_quantity END) AS p90,
+        |  max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN l_quantity END) AS p99
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q50_asof_join" ->
+      """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.event_id, CAST(p.ts AS VARCHAR) AS ts,
+        |  CAST(c.ts AS VARCHAR) AS last_click_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+    "q51_range_join" -> {
+      val values = JoinOps.PriceBands.map { case (id, lo, hi) =>
+        s"($id, $lo, $hi)"
+      }.mkString(", ")
+      s"""SELECT CAST(band_id AS BIGINT) AS band_id, count(*) AS n_items,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         |FROM lineitem
+         |JOIN (VALUES $values) AS b(band_id, lo, hi)
+         |  ON l_extendedprice >= lo AND l_extendedprice < hi
+         |GROUP BY band_id ORDER BY band_id""".stripMargin
+    },
+    "q52_cube_stats" ->
+      """SELECT coalesce(lang, '<all>') AS lang,
+        |  coalesce(source, '<all>') AS source,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS lvl
+        |FROM documents GROUP BY CUBE(lang, source)
+        |ORDER BY lang, source""".stripMargin,
+    // q53's oracle is the PLAIN join/aggregate — the salted plan must be
+    // bit-identical to the unsalted semantics it optimizes.
+    "q53_salted_skew_join" ->
+      """SELECT concat('u', CAST(user_id AS VARCHAR)) AS user_name,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_name""".stripMargin,
+    "q54_vector_quantize" -> OracleGen.q54VectorQuantize,
+    "q55_doc_chunking" -> {
+      val (ck, st) = (TextOps.ChunkTokens, TextOps.ChunkStride)
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |u AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         |c AS (SELECT doc_id, toks, unnest(range(0, n, $st)) AS s FROM u)
+         |SELECT doc_id, CAST(s // $st AS BIGINT) AS chunk_idx,
+         |  CAST(s AS BIGINT) AS start_tok,
+         |  CAST(len(toks[s + 1:s + $ck]) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(toks[s + 1:s + $ck], ' ')) AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+    },
   )
 }

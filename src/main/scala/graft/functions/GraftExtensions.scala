@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the native expressions
+  * ([[DotProduct]], [[LshSignature]], [[RollingHash]]) as permanent SQL
+  * functions at session build time —
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
+  *
+  * This is the idiomatic injection path (same mechanism Delta/Iceberg
+  * use): functions exist before any query is planned and survive
+  * `newSession()`. [[VectorFunctions.register]] remains as the runtime
+  * fallback for driver-owned sessions built without the config; it
+  * skips names that already exist so the two paths compose quietly. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(clazz: Class[_], name: String) =
+    new ExpressionInfo(clazz.getName, name)
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      info(classOf[DotProduct], "dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("lsh_sig"),
+      info(classOf[LshSignature], "lsh_sig"),
+      (exprs: Seq[Expression]) =>
+        LshSignature(exprs.head, VectorFunctions.DefaultAnnPlanes)))
+    e.injectFunction((FunctionIdentifier("rolling_hash"),
+      info(classOf[RollingHash], "rolling_hash"),
+      (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+  }
+}

@@ -129,15 +129,24 @@ case class RollingHash(child: Expression)
 }
 
 object VectorFunctions {
-  /** Register dot_product / lsh_sig as SQL functions on this session so
-    * `selectExpr` can use them. Idempotent. */
+
+  /** 8 hyperplanes → 256 LSH buckets (the q35/q43 contract). */
+  val DefaultAnnPlanes = 8
+
+  /** Register dot_product / lsh_sig / rolling_hash on this session so
+    * `selectExpr` can use them — the runtime fallback for sessions built
+    * without [[GraftExtensions]]. Skips names that already exist
+    * (idempotent AND quiet — no replace warnings per query). */
   def register(spark: SparkSession, annPlanes: Int): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("dot_product",
-      exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
-    reg.createOrReplaceTempFunction("lsh_sig",
-      exprs => LshSignature(exprs.head, annPlanes), "scala_udf")
-    reg.createOrReplaceTempFunction("rolling_hash",
-      exprs => RollingHash(exprs.head), "scala_udf")
+    def add(name: String,
+        builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    add("dot_product", exprs => DotProduct(exprs(0), exprs(1)))
+    add("lsh_sig", exprs => LshSignature(exprs.head, annPlanes))
+    add("rolling_hash", exprs => RollingHash(exprs.head))
   }
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Join operators Spark has no dedicated keyword for, each built the way
+  * it survives 100 TB:
+  *
+  *  - as-of join: NOT a range join — the classic distributed form is the
+  *    sort-merge "union trick": tag both streams, union, one window pass
+  *    per key carries the latest right-side value forward. One shuffle on
+  *    the key, zero row explosion, no inequality join at all.
+  *  - banded range join: the small band table broadcasts; the fact side
+  *    streams through a broadcast nested-loop that never shuffles the
+  *    fact. (For fact-to-fact interval joins the same banding idea
+  *    bucketizes both sides to convert the inequality into an equi-join.)
+  *  - salted skew join: a hot-keyed fact joined to a dimension by
+  *    replicating the dimension once per salt bucket — the standard cure
+  *    when one key would drown a single reducer. Complements q38's
+  *    salted aggregation.
+  */
+object JoinOps {
+
+  /** q50 — as-of join: for each purchase event, the latest click of the
+    * same user at-or-before the purchase timestamp (NULL when none).
+    * Union-trick plan: clicks sort before purchases at equal ts (side
+    * 0 < 1), so `last(click_ts, ignoreNulls)` over rows-unbounded-
+    * preceding is exactly the as-of match. The DuckDB oracle states the
+    * same query with its native ASOF LEFT JOIN. */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = EtlOps.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"), col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("event_id"), lit(null).cast("timestamp").as("click_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionAll(purchases)
+      .withColumn("last_click_ts",
+        last(col("click_ts"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("string").as("ts"),
+        col("last_click_ts").cast("string").as("last_click_ts"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Irregular price bands for the range join — irregular so no closed
+    * form exists and a genuine interval predicate is exercised. */
+  val PriceBands: Seq[(Long, Double, Double)] = Seq(
+    (0L, 0.0, 1000.0), (1L, 1000.0, 5000.0), (2L, 5000.0, 20000.0),
+    (3L, 20000.0, 60000.0), (4L, 60000.0, 200000.0))
+
+  /** q51 — banded range join: lineitems histogrammed into irregular price
+    * bands via `lo <= price < hi`. The band table is broadcast, so the
+    * plan is a BroadcastNestedLoopJoin that streams the fact side in
+    * place — no shuffle of lineitem, and the aggregate is map-side
+    * partial. */
+  def bandedRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = PriceBands.toDF("band_id", "lo", "hi")
+    EtlOps.t(s, dir, "lineitem")
+      .join(broadcast(bands),
+        col("l_extendedprice") >= col("lo") &&
+          col("l_extendedprice") < col("hi"))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double").as("total_price"))
+      .orderBy("band_id")
+  }
+
+  val JoinSalts = 8
+
+  /** q53 — salted skew join: events (hot user keys) ⋈ user dimension.
+    * The dimension is replicated once per salt value and the fact picks a
+    * deterministic salt per row, so each hot key spreads over
+    * [[JoinSalts]] reducers instead of drowning one. Result is provably
+    * the plain join (the oracle IS the plain join). AQE's skew handling
+    * does this adaptively for sort-merge joins; the explicit form also
+    * covers broadcast-ineligible dimensions and pre-AQE engines. */
+  def saltedSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.events(s, dir)
+    val dim = ev.select(col("user_id")).distinct()
+      .withColumn("user_name", concat(lit("u"), col("user_id")))
+    val saltedDim = dim.withColumn("salt",
+      explode(sequence(lit(0), lit(JoinSalts - 1))))
+    val saltedFact = ev.withColumn("salt",
+      pmod(hash(col("event_id")), lit(JoinSalts)))
+    saltedFact.join(saltedDim, Seq("user_id", "salt"))
+      .groupBy("user_name")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("total_value"))
+      .orderBy("user_name")
+  }
+}

@@ -159,6 +159,19 @@ object OracleGen {
        |  round(cos, 6) AS cos_sim
        |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  val q54VectorQuantize: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |m AS (SELECT vec_id, emb,
+       |    ${VecSql.vMin("emb", spark = false)} AS vmin,
+       |    ${VecSql.vMax("emb", spark = false)} AS vmax FROM v),
+       |scd AS (SELECT vec_id, emb, vmin, (vmax - vmin) / 255.0 AS sc FROM m)
+       |SELECT vec_id,
+       |  CAST(${VecSql.quantSum("emb", spark = false)} AS BIGINT) AS qsum,
+       |  ${VecSql.quantMaxErr("emb", spark = false)} AS max_err
+       |FROM scd ORDER BY vec_id""".stripMargin
+
   val q26LangId: String = {
     val scores = TextOps.LangStopwords.map { case (lang, words) =>
       s"len(regexp_extract_all(text, '\\b($words)\\b')) AS score_$lang"

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** General relational operators beyond the reference's own surface: set
+  * operations, pivot, the window-function suite, exact distributed
+  * percentiles, and cube grouping sets. These round out the engine to a
+  * full analytics surface (SURVEY §2.6 notes the reference has only
+  * degenerate forms of these — list-difference, max-per-group).
+  *
+  * Scale notes: set ops and pivot are single-shuffle hash aggregates;
+  * the window suite shuffles once on the partition key and every
+  * function shares that sort; percentiles use rank arithmetic (two
+  * window passes), never a driver-side sort.
+  */
+object RelationalOps {
+
+  import EtlOps.t
+
+  /** q46 — set operations (INTERSECT / EXCEPT), the generalization of the
+    * reference's list-difference exception rules
+    * (`check_bucket_latest_folders.py:222-229`): customers partitioned
+    * into has-orders / no-orders via set ops on the key column. Both ops
+    * compile to one hash aggregate + one shuffle each. */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").select(col("c_custkey"))
+    val withOrd = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    cust.intersect(withOrd).withColumn("tag", lit("with_orders"))
+      .unionAll(cust.except(withOrd).withColumn("tag", lit("no_orders")))
+      .select(col("tag"), col("c_custkey"))
+      .orderBy("tag", "c_custkey")
+  }
+
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q47 — pivot: per-user counts fanned out one column per event type.
+    * The pivot values are DECLARED ([[EventTypes]]) so Spark skips the
+    * extra distinct-values scan — the whole pivot is one hash aggregate
+    * (scale rule: never let pivot infer values from 100 TB of data). */
+  def pivotCounts(s: SparkSession, dir: String): DataFrame =
+    EtlOps.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0, EventTypes)
+      .orderBy("user_id")
+
+  /** q48 — the window-function suite over one shared sort: row_number,
+    * lag, lead, running sum, rank. All five reuse the single
+    * shuffle+sort on (o_custkey, o_orderdate, o_orderkey); the running
+    * money sum goes through DECIMAL so it is exact (and the rank window
+    * re-sorts within the same partitioning — no second shuffle). */
+  def windowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"),
+      to_date(col("o_orderdate")).as("order_date"),
+      row_number().over(w).cast("bigint").as("rn"),
+      lag(to_date(col("o_orderdate")), 1).over(w).as("prev_date"),
+      lead(col("o_orderkey"), 1).over(w).as("next_key"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(wRows)
+        .cast("double").as("cum_spend"),
+      rank().over(wPrice).cast("bigint").as("price_rank"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q49 — exact distributed percentiles (p50/p90/p99 of l_quantity per
+    * return flag) via rank arithmetic: value at row ceil(p·n) of the
+    * per-group sort. Integer position logic means both engines pick the
+    * same physical row — no float interpolation to diverge on. At scale
+    * this is two window passes + one aggregate, all partition-parallel
+    * by group (vs. a single-node sort in naive implementations). */
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    def pick(p: Double) = max(when(
+      col("rn") === ceil(lit(p) * col("n")).cast("bigint"),
+      col("l_quantity")))
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"),
+        row_number().over(w).cast("bigint").as("rn"),
+        count(lit(1)).over(wAll).as("n"))
+      .groupBy("l_returnflag")
+      .agg(max(col("n")).as("n_rows"),
+        pick(0.50).as("p50"), pick(0.90).as("p90"), pick(0.99).as("p99"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q52 — CUBE grouping sets (every (lang, source) subtotal combination)
+    * — the full-lattice sibling of q40's ROLLUP. One pass; Spark's Expand
+    * operator replicates each row into its 4 grouping sets before one
+    * hash aggregate — never 4 scans. */
+  def cubeStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        grouping_id().cast("bigint").as("lvl"))
+      .select(
+        coalesce(col("lang"), lit("<all>")).as("lang"),
+        coalesce(col("source"), lit("<all>")).as("source"),
+        col("n_docs"), col("total_chars"), col("lvl"))
+      .orderBy("lang", "source")
+}

@@ -35,6 +35,32 @@ object VecSql {
       }.mkString(" + ")
       s"(CASE WHEN ($dotp) > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Per-vector min / max over all dims as variadic least/greatest —
+    * exact comparisons, so no fp-order concern. */
+  def vMin(c: String, spark: Boolean, dims: Int = Dims): String =
+    "least(" + (1 to dims).map(j =>
+      s"CAST(${el(c, j, spark)} AS DOUBLE)").mkString(", ") + ")"
+  def vMax(c: String, spark: Boolean, dims: Int = Dims): String =
+    "greatest(" + (1 to dims).map(j =>
+      s"CAST(${el(c, j, spark)} AS DOUBLE)").mkString(", ") + ")"
+
+  /** int8-style quantization code for element j, referencing sibling
+    * columns `vmin` and `sc` (= (vmax-vmin)/255). floor/least/greatest
+    * on integral-valued doubles are exact on both engines. */
+  private def qCode(c: String, j: Int, spark: Boolean): String =
+    s"greatest(0.0, least(255.0, floor((CAST(${el(c, j, spark)} AS DOUBLE) - vmin) / sc)))"
+
+  /** Σ_j code_j — integer-valued doubles, exact up to 255·dims. */
+  def quantSum(c: String, spark: Boolean, dims: Int = Dims): String =
+    (1 to dims).map(j => qCode(c, j, spark)).mkString(" + ")
+
+  /** max_j |x_j − dequant(code_j)| — per-element arithmetic with the
+    * identical op order on both engines, combined by exact greatest. */
+  def quantMaxErr(c: String, spark: Boolean, dims: Int = Dims): String =
+    "greatest(" + (1 to dims).map { j =>
+      s"abs(CAST(${el(c, j, spark)} AS DOUBLE) - (vmin + (${qCode(c, j, spark)} + 0.5) * sc))"
+    }.mkString(", ") + ")"
 }
 
 /** Similarity-search operators over the embeddings table: brute-force
@@ -154,7 +180,24 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
-  val AnnPlanes = 8 // 256 buckets
+  /** q54 — scalar int8 quantization of embeddings: per-vector min/max →
+    * uniform 256-level codes → reconstruction error. The compression
+    * primitive that makes 100 TB of fp32 vectors a 25 TB int8 store;
+    * a narrow per-row pass (no shuffle), codegen'd end to end. Outputs
+    * the code checksum (exact) and max reconstruction error (identical
+    * fp op order to the oracle via the shared [[VecSql]] generators). */
+  def quantizeVectors(s: SparkSession, dir: String): DataFrame =
+    baseVectors(s, dir)
+      .selectExpr("vec_id", "emb",
+        s"${VecSql.vMin("emb", spark = true)} AS vmin",
+        s"${VecSql.vMax("emb", spark = true)} AS vmax")
+      .selectExpr("vec_id", "emb", "vmin", "(vmax - vmin) / 255.0 AS sc")
+      .selectExpr("vec_id",
+        s"CAST(${VecSql.quantSum("emb", spark = true)} AS BIGINT) AS qsum",
+        s"${VecSql.quantMaxErr("emb", spark = true)} AS max_err")
+      .orderBy("vec_id")
+
+  val AnnPlanes: Int = graft.functions.VectorFunctions.DefaultAnnPlanes // 256 buckets
 
   /** q35 — LSH-bucketed ANN: 8 random-hyperplane sign bits → bucket;
     * candidates share the query's bucket; exact cosine + top-3 inside the

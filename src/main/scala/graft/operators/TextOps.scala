@@ -97,6 +97,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  val ChunkTokens = 64
+  val ChunkStride = 48 // 16-token overlap between consecutive chunks
+
+  /** q55 — overlapping token-window chunking: each document expands into
+    * [[ChunkTokens]]-token chunks every [[ChunkStride]] tokens (the
+    * context-window preparation step of an embedding/training pipeline).
+    * One generate (explode) per document, partition-parallel, no shuffle
+    * — the same one-to-many shape as q44's frame sampling but on the
+    * token axis, fully SQL-expressible so the oracle checks it. */
+  def chunkDocuments(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(s"sequence(0, n - 1, $ChunkStride)")).as("s"))
+      .selectExpr(
+        "doc_id",
+        s"CAST(s div $ChunkStride AS BIGINT) AS chunk_idx",
+        "CAST(s AS BIGINT) AS start_tok",
+        s"CAST(size(slice(toks, s + 1, $ChunkTokens)) AS BIGINT) AS n_tokens",
+        s"md5(array_join(slice(toks, s + 1, $ChunkTokens), ' ')) AS chunk_fp")
+      .orderBy("doc_id", "chunk_idx")
+
   /** q45 — polynomial ROLLING-hash fingerprint (native
     * [[graft.functions.RollingHash]] expression): the primitive behind
     * content-defined chunking; one narrow pass, no shuffle. */

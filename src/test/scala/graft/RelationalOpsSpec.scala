@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Behavioral tests for the relational/join additions (q46-q55): semantic
+  * invariants the DuckDB oracle can't state (equivalence to unsalted
+  * plans, as-of ordering contracts, quantization error bounds). */
+class RelationalOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("set ops partition the customer keys exactly") {
+    val out = RelationalOps.setOps(spark, dir)
+    val total = spark.read.parquet(s"$dir/customer.parquet").count()
+    assert(out.count() == total) // every customer in exactly one side
+    assert(out.select("c_custkey").distinct().count() == total)
+  }
+
+  test("pivot counts match the per-type groupBy") {
+    val out = RelationalOps.pivotCounts(spark, dir)
+    val plain = EtlOps.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.collect().foreach { r =>
+      assert(r.getLong(r.fieldIndex("click")) ==
+        plain.getOrElse(r.getLong(0), 0L))
+    }
+  }
+
+  test("percentiles are order statistics of the group") {
+    val rows = RelationalOps.percentiles(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
+
+  test("as-of join: match is at-or-before, and some purchases have no prior click") {
+    val out = JoinOps.asofJoin(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getString(3) <= r.getString(2), // ts strings sort temporally
+        s"click ${r.getString(3)} after purchase ${r.getString(2)}")
+    }
+    // cross-check one user against a driver-side as-of computation
+    val uid = out.head.getLong(0)
+    val evs = EtlOps.events(spark, dir)
+      .filter(col("user_id") === uid)
+      .select(col("event_type"), col("ts").cast("string"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expected = evs.filter(_._1 == "purchase").sortBy(_._3).map { p =>
+      val prior = evs.filter(e => e._1 == "click" && e._2 <= p._2)
+      (p._3, if (prior.isEmpty) null else prior.map(_._2).max)
+    }.toMap
+    out.filter(_.getLong(0) == uid).foreach { r =>
+      assert(expected(r.getLong(1)) ==
+        (if (r.isNullAt(3)) null else r.getString(3)))
+    }
+  }
+
+  test("salted skew join equals the plain join aggregate") {
+    val salted = JoinOps.saltedSkewJoin(spark, dir).collect()
+    val plain = EtlOps.events(spark, dir)
+      .groupBy(concat(lit("u"), col("user_id")).as("user_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("total_value"))
+      .orderBy("user_name").collect()
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("banded range join covers every lineitem exactly once") {
+    val out = JoinOps.bandedRangeJoin(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(out.map(_.getLong(1)).sum == total) // bands partition the domain
+  }
+
+  test("vector quantization: codes in range, reconstruction error within half-step") {
+    val v = SimilarityOps.quantizeVectors(spark, dir)
+    val withBound = SimilarityOps.baseVectors(spark, dir)
+      .selectExpr("vec_id",
+        s"(${VecSql.vMax("emb", spark = true)} - ${VecSql.vMin("emb", spark = true)}) / 255.0 AS sc")
+    val joined = v.join(withBound, "vec_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val qsum = r.getLong(r.fieldIndex("qsum"))
+      assert(qsum >= 0 && qsum <= 255L * VecSql.Dims)
+      val err = r.getDouble(r.fieldIndex("max_err"))
+      val sc = r.getDouble(r.fieldIndex("sc"))
+      assert(err <= sc * 0.5 + 1e-12, s"err $err exceeds half-step ${sc / 2}")
+    }
+  }
+
+  test("chunking tiles every document's token axis with the configured stride") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = TextOps.chunkDocuments(spark, dir).collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.foreach { case (id, cs) =>
+      val n = docs(id)
+      val expected = ((n - 1) / TextOps.ChunkStride) + 1
+      assert(cs.length == expected, s"doc $id chunk count")
+      assert(cs.forall(_.getLong(3) <= TextOps.ChunkTokens))
+      // last chunk reaches the end of the document
+      val last = cs.maxBy(_.getLong(1))
+      assert(last.getLong(2) + last.getLong(3) == n)
+    }
+  }
+}
