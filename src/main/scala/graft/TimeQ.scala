@@ -27,6 +27,8 @@ object TimeQ {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"[timeq] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      // match Bench semantics: intra-query persists don't carry across reps
+      spark.catalog.clearCache()
     }
     if (sys.env.get("TIMEQ_EXPLAIN").contains("1"))
       fn(spark, sfDir).explain("formatted")

@@ -41,6 +41,14 @@ object DedupOps {
       expr("substring(text, instr(text, ' ') + 1)").as("text")))
   }
 
+  /** Persist a multiply-referenced intermediate for the duration of one
+    * query. Self-joins and per-doc size aggregates would otherwise
+    * recompute the whole subtree once per reference (ReusedExchange only
+    * fires on identical exchange subtrees, and the a/b join sides hash
+    * on different keys). The harness mains (Bench/Verify) clear the
+    * session cache after each query, so persists never accumulate. */
+  private def shared(df: DataFrame): DataFrame = df.persist()
+
   /** Distinct word-trigram shingles per doc: (doc_id, shingle). Docs with
     * fewer than 3 tokens yield no shingles — the guard matters because
     * Spark's sequence(1, 0) counts DOWN ([1, 0]) and would then index
@@ -70,13 +78,27 @@ object DedupOps {
       .orderBy("survivor_id")
 
   /** Exact pairwise Jaccard over shingle sets for pairs sharing ≥1
-    * shingle; returns (doc_a, doc_b, jaccard). */
+    * shingle; returns (doc_a, doc_b, jaccard).
+    *
+    * Pair generation is group-then-combine, not a self-join: group by
+    * shingle into a sorted doc list, then emit every i<j pair in-task.
+    * Same 5M-ish pair rows as the join form but with no sort-merge of
+    * two 500k-row string-keyed sides, no a<b half-discard, and the
+    * multiply-consumed intermediate is the 30k-group list frame (one
+    * row per distinct shingle), far smaller than the exploded shingle
+    * frame. Sizes fall out of the same grouped frame. */
   def jaccardPairs(sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+    val grouped = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds")).persist()
+    val sizes = grouped.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = grouped
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1),
+          |    y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
@@ -121,7 +143,7 @@ object DedupOps {
       md5Fingerprint60(col("shingle")) % MinhashPrime)
     val aggs = (0 until NumPerms).map { i =>
       min((col("mh_x") * permA(i) + permB(i)) % MinhashPrime).as(s"h$i")
-    }
+    } :+ count(lit(1)).as("n_sh") // shingle count rides the same pass
     withX.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -146,8 +168,9 @@ object DedupOps {
     * pairs explode back to their shingles for the intersection count, so
     * cost is O(candidates × shingles/doc), not O(collisions²). */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(corpusNear(s, dir))
-    val bands = lshBands(minhashSignatures(sh))
+    val sh = shared(shingles(corpusNear(s, dir)))
+    val sigs = shared(minhashSignatures(sh))
+    val bands = lshBands(sigs)
     val cands = bands.select(col("doc_id").as("doc_a"), col("band_idx"),
         col("band_hash"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"),
@@ -160,7 +183,7 @@ object DedupOps {
       .join(sa, Seq("doc_a"))
       .join(sb, Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val sizes = sigs.select(col("doc_id"), col("n_sh"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
         Seq("doc_a"))
@@ -212,7 +235,8 @@ object DedupOps {
     * equivalence spec); cost is O(Σ bucket²) instead of O(N²), which is
     * the shape that survives a 100× scale-up. */
   def simhashDedup(s: SparkSession, dir: String): DataFrame = {
-    val sigs = simhashSignatures(corpusNear(s, dir))
+    // the a/b band sides would each recompute the 60-vote aggregation
+    val sigs = shared(simhashSignatures(corpusNear(s, dir)))
     val bandW = SimhashBits / SimhashBands
     val bandStructs = (0 until SimhashBands).map { i =>
       struct(lit(i).as("band_idx"),
