@@ -10,7 +10,7 @@ import graft.sources.{FileMarkerLedger, JdbcMarkerLedger, MarkerLedger}
 /** CLI entry point ≡ the reference's `main.py` / `main_mailbox.py`:
   *
   *   runMain graft.IngestMain <ingestion_config.json> <tables.json> \
-  *     <outDir> [--mailbox] [--jdbc-url <url>]
+  *     <outDir> [--mailbox] [--jdbc-url <url>] [--format parquet|csv|json]
   *
   * With `--jdbc-url`, rows append to `raw.<target>` tables over JDBC (the
   * production path; the reference's SQL Server insert) and the marker
@@ -52,6 +52,9 @@ object IngestMain {
     val jdbcUrl = args.sliding(2).collectFirst {
       case Array("--jdbc-url", u) => u
     }
+    val format = args.sliding(2).collectFirst {
+      case Array("--format", f) => f
+    }.getOrElse("parquet")
     val (ledger: MarkerLedger, sink: IngestionJob.Sink) = jdbcUrl match {
       case Some(url) =>
         val props = new java.util.Properties()
@@ -63,7 +66,7 @@ object IngestMain {
           new IngestionJob.ParquetSink(outDir))
     }
     val report = IngestionJob.run(spark, cfg, ledger, sink,
-      mailbox = mailbox)
+      mailbox = mailbox, format = format)
 
     println(s"[ingest] discovered=${report.discovered} " +
       s"skipped_by_marker=${report.skippedByMarker} " +

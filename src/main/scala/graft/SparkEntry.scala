@@ -59,11 +59,8 @@ object SparkEntry {
     "q39_sessionization"     -> (ScaleOps.sessionize _),
     "q40_rollup_stats"       -> (ProfileOps.rollupStats _),
     "q41_table_profile"      -> (ProfileOps.tableProfile _),
-    "q42_approx_stats"       -> (ProfileOps.approxStats _),
-    // rows-only (IVF bucket assignment is an argmax over sampled
-    // centroids — deterministic, but the interesting check is the
-    // ScalaTest consistency-vs-brute-force, not SQL re-derivation)
-    "q43_ivf_ann"            -> (SimilarityOps.ivfAnn _),
+    "q42_approx_stats"       -> (ProfileOps.approxStats _), // rows-only (sketches)
+    "q43_ivf_ann"            -> (SimilarityOps.ivfAnn _),   // oracle: full IVF replay
     "q44_frame_sampling"     -> (MultimodalOps.frameSamples _),
     "q45_rolling_fingerprint" -> (TextOps.rollingFingerprint _),
     "q46_set_ops"            -> (RelationalOps.setOps _),
@@ -289,6 +286,7 @@ object SparkEntry {
         |ORDER BY col_name""".stripMargin,
     // q42 intentionally has no oracle: HLL/quantile sketches are
     // engine-specific — the driver records the weaker rows-only check.
+    "q43_ivf_ann" -> OracleGen.q43IvfAnn,
     // q44: `a` is the ASCII-normalized text (same regexp_replace as the
     // Spark side, MultimodalOps.asciiBinaryTable) so character slices ≡
     // byte slices structurally — no latent ASCII-corpus assumption.

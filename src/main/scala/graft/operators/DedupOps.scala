@@ -196,6 +196,15 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Streaming exact dedup: state-backed key dedup bounded by the
+    * watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming
+    * twin of q29's batch content dedup. Duplicates arriving in ANY
+    * micro-batch within the watermark are dropped; state is evicted once
+    * the watermark passes, so memory is bounded at 100 TB/day rates.
+    * Caller supplies a watermarked streaming frame. */
+  def streamingDedup(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.dropDuplicatesWithinWatermark(keys)
+
   // --- SimHash ---------------------------------------------------------
 
   /** 60-bit SimHash per doc: per-bit majority vote over token hashes

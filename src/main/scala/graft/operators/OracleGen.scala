@@ -159,6 +159,38 @@ object OracleGen {
        |  round(cos, 6) AS cos_sim
        |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
 
+  /** q43 IVF ANN is fully deterministic (fixed coarse-centroid sample,
+    * argmax assignment with cent_id tie-break, nprobe=1, exact cosine in
+    * bucket), so the oracle replays it end to end with the same
+    * left-associated dot chains — ties resolve identically because the
+    * doubles are bit-identical. */
+  val q43IvfAnn: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb,
+       |    sqrt(${dot("emb", "emb", spark = false)}) AS norm FROM v),
+       |cents AS (SELECT vec_id AS cent_id, emb AS cent_emb, norm AS cent_norm
+       |  FROM n WHERE vec_id < ${SimilarityOps.IvfCentroids}),
+       |asg AS (SELECT vec_id, emb, norm, cent_id,
+       |    (${dot("emb", "cent_emb", spark = false)}) / (norm * cent_norm) AS cent_cos
+       |  FROM n, cents),
+       |r AS (SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cent_cos DESC, cent_id) AS rn FROM asg),
+       |a AS (SELECT vec_id, emb, norm, cent_id AS bucket FROM r WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, emb AS emb_q, norm AS norm_q, bucket
+       |  FROM a WHERE vec_id < 8),
+       |c AS (SELECT vec_id AS cand_id, emb AS emb_c, norm AS norm_c, bucket
+       |  FROM a),
+       |s AS (SELECT q_id, cand_id,
+       |    (${dot("emb_q", "emb_c", spark = false)}) / (norm_q * norm_c) AS cos
+       |  FROM q JOIN c USING (bucket) WHERE q_id <> cand_id),
+       |rr AS (SELECT q_id, cand_id, cos, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rnk FROM s)
+       |SELECT q_id, cand_id, CAST(rnk AS BIGINT) AS "rank",
+       |  round(cos, 6) AS cos_sim
+       |FROM rr WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+
   val q54VectorQuantize: String =
     s"""WITH v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

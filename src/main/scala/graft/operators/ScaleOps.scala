@@ -73,6 +73,60 @@ object ScaleOps {
   final case class SessState(sessionIdx: Long, nEvents: Long,
       startMicros: Long, lastMicros: Long)
 
+  final case class EvT(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp)
+
+  /** The streaming-NATIVE sessionizer: unlike [[sessionizeStateful]]
+    * (which flushes open sessions when a batch group's iterator ends),
+    * this keeps the open session in [[GroupState]] across micro-batches
+    * and closes it via EVENT-TIME TIMEOUT — the session ends only when
+    * the watermark passes last_event + gap, exactly the semantics a
+    * 24/7 deployment needs (sessions spanning micro-batches never
+    * split). Caller supplies a watermarked streaming Dataset[EvT]. */
+  def sessionizeStreaming(evs: Dataset[EvT]): Dataset[SessionOut] = {
+    import evs.sparkSession.implicits._
+    val gapMicros = SessionGapMinutes * 60L * 1000000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[EvT], state: GroupState[SessState]) =>
+          if (events.isEmpty && state.hasTimedOut) {
+            // watermark passed last_event + gap: the session is closed
+            val s0 = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s0.sessionIdx, s0.nEvents,
+              s0.startMicros, s0.lastMicros))
+          } else {
+            val sorted = events.toSeq
+              .sortBy(e => (micros(e.ts), e.event_id))
+            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var st = state.getOption.orNull
+            sorted.foreach { e =>
+              val t = micros(e.ts)
+              st match {
+                case null =>
+                  st = SessState(1L, 1L, t, t)
+                case s0 if t - s0.lastMicros > gapMicros =>
+                  out += SessionOut(user, s0.sessionIdx, s0.nEvents,
+                    s0.startMicros, s0.lastMicros)
+                  st = SessState(s0.sessionIdx + 1, 1L, t, t)
+                case s0 =>
+                  st = s0.copy(nEvents = s0.nEvents + 1, lastMicros = t)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              // close when the watermark passes the gap after the last
+              // event seen so far
+              state.setTimeoutTimestamp((st.lastMicros + gapMicros) / 1000L)
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** The same session semantics as a `flatMapGroupsWithState` state
     * machine — the shape a streaming deployment uses (per-key mutable
     * state, incremental emission). On batch input each group's full

@@ -67,8 +67,23 @@ object IngestionJob {
       discovered: Int, skippedByMarker: Int, ingested: Seq[String],
       rowsWritten: Long)
 
+  /** Source formats the job can ingest. The reference is parquet-only;
+    * CSV/JSON ride the same partition layout and — because the cleanup
+    * pipeline is deliberately stringly-typed (SURVEY §1.2) — CSV's
+    * all-string schema needs no special casing: the pipeline casts every
+    * column to string regardless. */
+  val SourceFormats: Map[String, (String, Map[String, String])] = Map(
+    "parquet" -> (".parquet", Map.empty),
+    "csv" -> (".csv", Map("header" -> "true")),
+    "json" -> (".json", Map.empty))
+
   def run(spark: SparkSession, cfg: IngestionConfig, ledger: MarkerLedger,
-      sink: Sink, mailbox: Boolean = false): RunReport = {
+      sink: Sink, mailbox: Boolean = false,
+      format: String = "parquet"): RunReport = {
+
+    val (ext, readOptions) = SourceFormats.getOrElse(format,
+      throw new IllegalArgumentException(
+        s"unknown source format '$format' (expected one of ${SourceFormats.keys.mkString(", ")})"))
 
     // first config wins per source, as in the reference's enrich-first-
     // match (`main.py:82-84`); toMap would silently keep the LAST and
@@ -82,7 +97,7 @@ object IngestionJob {
       }
 
     // 1-2. discover + filter (driver-side; file lists are small metadata)
-    val files = Discovery.discover(cfg.dataFolder, mailbox)
+    val files = Discovery.discover(cfg.dataFolder, mailbox, ext)
       .filter(f => byEntity.contains(f.entity))           // P3 semi-join
       .filter(f => cfg.environments.contains(f.environment)) // P4
       .filter(f => !f.date.isBefore(cfg.ingestionDate))   // P5
@@ -102,7 +117,8 @@ object IngestionJob {
     todo.groupBy(f => (f.entity, f.environment)).toSeq.sortBy(_._1)
       .foreach { case ((entity, env), group) =>
         val table = byEntity(entity)
-        val raw = spark.read.parquet(group.map(_.path): _*)
+        val raw = spark.read.format(format).options(readOptions)
+          .load(group.map(_.path): _*)
         val cleaned = CigTransforms.sentinelsToNull(
           CigTransforms.pipeline(raw, table, env, cfg.ingestionDate))
         // row count piggybacks on the write via an observed metric —

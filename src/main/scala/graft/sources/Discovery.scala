@@ -44,17 +44,20 @@ object Discovery {
   }
 
   /** Walk a local tree (tests' stand-in for the object-store LIST) and
-    * parse every parquet file found. Malformed paths are dropped, as the
-    * reference's shape predicate does. */
-  def discover(root: String, mailbox: Boolean): Seq[IngestionFile] = {
+    * parse every data file found (`ext` selects the source format; the
+    * reference is parquet-only, CSV/JSON are format extensions riding
+    * the same layout). Malformed paths are dropped, as the reference's
+    * shape predicate does. */
+  def discover(root: String, mailbox: Boolean,
+      ext: String = ".parquet"): Seq[IngestionFile] = {
     import java.nio.file._
     val base = Paths.get(root)
     if (!Files.exists(base)) return Nil
     val out = scala.collection.mutable.ArrayBuffer[IngestionFile]()
     val stream = Files.walk(base) // must be closed: holds DirectoryStreams
     try stream.forEach { p =>
-      if (p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-        parseFilePath(p.toString, mailbox).foreach(out += _)
+      if (p.toString.endsWith(ext) && Files.isRegularFile(p))
+        parseFilePath(p.toString, mailbox, ext).foreach(out += _)
     } finally stream.close()
     out.toSeq.sortBy(f => (f.environment, f.entity, f.path))
   }
@@ -82,10 +85,11 @@ object Discovery {
     out.toSeq.sortBy(f => (f.environment, f.entity, f.path))
   }
 
-  /** Parse a …/<head>/<Entity>/<yyyy>/<MM>/<dd>/<file>.parquet path. */
-  def parseFilePath(path: String, mailbox: Boolean): Option[IngestionFile] = {
+  /** Parse a …/<head>/<Entity>/<yyyy>/<MM>/<dd>/<file><ext> path. */
+  def parseFilePath(path: String, mailbox: Boolean,
+      ext: String = ".parquet"): Option[IngestionFile] = {
     val seg = path.split('/').filter(_.nonEmpty)
-    if (seg.length < 6) return None
+    if (seg.length < 6 || !path.endsWith(ext)) return None
     val head = seg(seg.length - 6)
     val envOpt =
       if (mailbox)

@@ -80,6 +80,33 @@ class IngestionJobSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/HOST_CIG_Lineitem").count() == 100)
   }
 
+  test("CSV source format rides the same layout through the same pipeline") {
+    val root = Files.createTempDirectory("graft-csv").toString
+    val out = Files.createTempDirectory("graft-csv-out").toString
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet").limit(40)
+      .selectExpr("l_orderkey", "l_linenumber", "l_returnflag")
+    li.coalesce(1).write.mode("overwrite").option("header", "true")
+      .csv(s"$root/environment=NL/Lineitem/2019/07/03")
+    val cfg = IngestionConfig(
+      environments = Seq("NL"),
+      ingestionDate = LocalDate.of(2019, 7, 3),
+      dataFolder = root,
+      tables = Seq(tableCfg))
+    val r = IngestionJob.run(spark, cfg, new InMemoryMarkerLedger,
+      new IngestionJob.ParquetSink(out), format = "csv")
+    assert(r.rowsWritten == 40 && r.ingested.size == 1)
+    val written = spark.read.parquet(s"$out/HOST_CIG_Lineitem")
+    assert(written.count() == 40)
+    assert(written.columns.toSeq == tableCfg.columnNames)
+    // CSV arrives all-string; the stringly-typed pipeline is agnostic
+    assert(written.select("Environment").distinct().head().getString(0) == "NL")
+    intercept[IllegalArgumentException] {
+      IngestionJob.run(spark, cfg, new InMemoryMarkerLedger,
+        new IngestionJob.ParquetSink(out), format = "avro")
+    }
+  }
+
   test("discovery parses layouts and drops malformed paths") {
     assert(Discovery.parseFilePath(
       "/data/environment=NL/Accounts/2019/12/31/x.parquet", mailbox = false)

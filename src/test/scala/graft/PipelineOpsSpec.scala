@@ -149,6 +149,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: cross-micro-batch duplicates within the watermark are dropped") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    val evs = EtlOps.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts")).limit(200)
+    evs.write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(evs.schema).parquet(s"$tmp/in")
+      .withWatermark("ts", "30 days") // horizon covers the whole fixture
+    val q = DedupOps.streamingDedup(stream, Seq("event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_out").start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.table("sdedup_out").count()
+      assert(n1 == 200)
+      // micro-batch 2: the SAME events again — all are duplicates
+      evs.write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable()
+      assert(spark.table("sdedup_out").count() == n1,
+        "replayed events must be dropped by keyed state")
+    } finally q.stop()
+  }
+
   test("streaming window agg: readStream path matches batch result") {
     val batch = StreamingOps.streamingWindow(spark, dir).collect()
     val events = EtlOps.events(spark, dir)

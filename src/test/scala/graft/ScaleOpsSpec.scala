@@ -21,6 +21,45 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted == naive)
   }
 
+  test("streaming sessionization: event-time timeout closes sessions across micro-batches") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val evs = graft.operators.EtlOps.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // micro-batch 1: all real events; micro-batch 2: one far-future
+    // synthetic event that advances the watermark past every open
+    // session's (last_event + gap) timeout
+    evs.write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(evs.schema).parquet(s"$tmp/in")
+      .withWatermark("ts", "0 seconds")
+      .as[ScaleOps.EvT]
+    val q = ScaleOps.sessionizeStreaming(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("sess_out").count()
+      evs.limit(1).select(lit(999999L).as("event_id"),
+        lit(999999L).as("user_id"),
+        (col("ts") + expr("INTERVAL 100 DAYS")).as("ts"))
+        .write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable()
+      val streamed = spark.table("sess_out")
+        .filter(col("user_id") =!= 999999L)
+        .select("user_id", "session_idx", "n_events").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = ScaleOps.sessionize(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // every session closed by the advanced watermark matches the batch
+      // result exactly — sessions spanning micro-batches never split
+      assert(streamed == batch,
+        s"streamed ${streamed.size} vs batch ${batch.size}; " +
+          s"afterB1=$afterB1 (intra-batch closures only)")
+      assert(afterB1 < batch.size, "open sessions must wait for the watermark")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization equals the window-function form") {
     val windowed = ScaleOps.sessionize(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
