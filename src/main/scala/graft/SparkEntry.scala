@@ -73,6 +73,10 @@ object SparkEntry {
     "q53_salted_skew_join"   -> (JoinOps.saltedSkewJoin _),
     "q54_vector_quantize"    -> (SimilarityOps.quantizeVectors _),
     "q55_doc_chunking"       -> (TextOps.chunkDocuments _),
+    "q56_pii_scrub"          -> (CurationOps.piiScrub _),
+    "q57_repetition_filter"  -> (CurationOps.repetitionFilter _),
+    "q58_contamination"      -> (CurationOps.contamination _),
+    "q59_dup_clusters"       -> (CurationOps.dupClusters _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -395,5 +399,50 @@ object SparkEntry {
          |  md5(array_to_string(toks[s + 1:s + $ck], ' ')) AS chunk_fp
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
     },
+    "q56_pii_scrub" -> {
+      import CurationOps.{EmailRe, PhoneRe, IpRe}
+      // the Scala constants interpolate as raw regex text; DuckDB string
+      // literals do not escape-process backslashes, so the same pattern
+      // reaches both regex engines (both RE2-compatible subsets)
+      s"""WITH p AS (SELECT doc_id,
+         |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+         |      '@example.com or +31 6 ',
+         |      CAST(doc_id % 10000000 + 1000000 AS VARCHAR),
+         |      ' from 10.1.2.', CAST(doc_id % 256 AS VARCHAR)) AS raw
+         |  FROM documents),
+         |s AS (SELECT doc_id, raw,
+         |    regexp_replace(regexp_replace(regexp_replace(raw,
+         |      '$EmailRe', '<EMAIL>', 'g'),
+         |      '$PhoneRe', '<PHONE>', 'g'),
+         |      '$IpRe', '<IP>', 'g') AS scrubbed FROM p)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(raw, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(raw, '$IpRe')) AS BIGINT) AS n_ips,
+         |  md5(scrubbed) AS scrubbed_md5,
+         |  CAST(length(scrubbed) AS BIGINT) AS scrubbed_len
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "q57_repetition_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i+1])) AS gram FROM t),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+        |  count(*) AS n_distinct, CAST(max(cnt) AS BIGINT) AS max_rep,
+        |  CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS rep_ratio
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q58_contamination" -> {
+      val n = CurationOps.ContamGram
+      val cat = (1 to n).map(k => s"toks[i+${k - 1}]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${n - 2}),
+         |    i -> $cat)) AS gram FROM t),
+         |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+         |SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_grams
+         |FROM g JOIN b USING (gram) WHERE g.doc_id % 97 <> 0
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+    },
+    "q59_dup_clusters" -> OracleGen.q59DupClusters,
   )
 }

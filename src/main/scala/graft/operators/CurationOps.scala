@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: the filters and scrubbing passes a
+  * large-scale LLM data pipeline runs between raw crawl and tokenizer —
+  * PII redaction, repetition (quality) filtering, benchmark
+  * decontamination, and near-duplicate clustering. All are narrow
+  * per-row or shingle-join plans; the clustering pass is an iterative
+  * min-label propagation that converges in O(component diameter) rounds.
+  */
+object CurationOps {
+
+  import EtlOps.t
+  import DedupOps.{corpusNear, minhashLsh}
+
+  // --- q56: PII scrubbing ----------------------------------------------
+
+  /** Redaction patterns, applied IN ORDER (order is part of the
+    * semantics — both engines run the same chain). RE2-compatible so the
+    * DuckDB oracle uses the identical regexes. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9][0-9 ]{6,}[0-9]"
+  val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** The corpus has no natural PII, so inject a deterministic
+    * email/phone/IP per document (same construction in the oracle). */
+  def withPii(c: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(c, lit(" contact user"), id, lit("@example.com or +31 6 "),
+      (id % 10000000) + 1000000, lit(" from 10.1.2."), id % 256)
+
+  /** q56 — PII scrub: count then redact emails/phones/IPs. One narrow
+    * pass; the redacted text is fingerprinted (md5) so the oracle checks
+    * content equality without hauling full text through the compare. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val raw = withPii(col("text"), col("doc_id"))
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+      raw, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      regexp_count(raw, lit(EmailRe)).cast("bigint").as("n_emails"),
+      regexp_count(raw, lit(PhoneRe)).cast("bigint").as("n_phones"),
+      regexp_count(raw, lit(IpRe)).cast("bigint").as("n_ips"),
+      md5(scrubbed).as("scrubbed_md5"),
+      length(scrubbed).cast("bigint").as("scrubbed_len"))
+      .orderBy("doc_id")
+  }
+
+  // --- q57: repetition (quality) filter --------------------------------
+
+  /** q58/q57 word n-grams with the sequence(1,0)-counts-down guard
+    * (see [[DedupOps.shingles]]). */
+  private def wordGrams(corpus: DataFrame, n: Int): DataFrame = {
+    val catParts = (0 until n).flatMap { k =>
+      val e = s"element_at(toks, i + $k)"
+      if (k == 0) Seq(e) else Seq("' '", e)
+    }.mkString(", ")
+    corpus
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) >= $n THEN
+           |  transform(sequence(1, size(toks) - ${n - 1}),
+           |    i -> concat($catParts))
+           |ELSE array() END""".stripMargin)).as("gram"))
+  }
+
+  /** q57 — repetition filter: per-document max-bigram-frequency ratio,
+    * the Gopher/C4-style "most repeated n-gram" quality signal. Two
+    * hash aggregations, both partition-parallel by doc. */
+  def repetitionFilter(s: SparkSession, dir: String): DataFrame =
+    wordGrams(t(s, dir, "documents").select(col("doc_id"), col("text")), 2)
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("max_rep"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        col("max_rep"),
+        (col("max_rep") / col("n_bigrams")).as("rep_ratio"))
+      .orderBy("doc_id")
+
+  // --- q58: benchmark decontamination ----------------------------------
+
+  val ContamGram = 5
+
+  /** q58 — contamination check: training docs sharing any word 5-gram
+    * with the benchmark set (doc_id % 97 == 0 stands in for an eval
+    * suite). At 100 TB the benchmark gram set is tiny and broadcast (or
+    * a bloom filter); the scan side never shuffles. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val grams = wordGrams(
+      t(s, dir, "documents").select(col("doc_id"), col("text")), ContamGram)
+    val bench = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("gram")).distinct()
+    grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"))
+      .orderBy("doc_id")
+  }
+
+  // --- q59: near-duplicate clustering ----------------------------------
+
+  /** q59 — duplicate clustering: connected components over the MinHash-
+    * LSH near-dup pairs (q31's edges), by iterative min-label
+    * propagation to a fixpoint. Components have a unique min-label
+    * fixpoint, so the result is deterministic regardless of iteration
+    * order; rounds = O(component diameter) — near-dup clusters are
+    * shallow, so 2-3 rounds in practice. The DuckDB oracle states the
+    * same closure as a recursive CTE. Output: one row per cluster with
+    * its canonical (min) id and size — the survivor list a dedup pass
+    * feeds downstream. */
+  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.unionAll(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    val nodes = corpusNear(s, dir).select(col("doc_id"))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("lbl"))
+      .persist()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = labels.join(edges, col("doc_id") === col("doc_a"))
+        .select(col("doc_b").as("doc_id"), col("lbl"))
+        .unionAll(labels)
+        .groupBy("doc_id").agg(min(col("lbl")).as("new_lbl"))
+        .persist()
+      changed = prop.join(labels, "doc_id")
+        .filter(col("new_lbl") =!= col("lbl")).count()
+      labels = prop.select(col("doc_id"), col("new_lbl").as("lbl"))
+    }
+    labels.groupBy("lbl")
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("lbl").as("cluster_id"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+}

@@ -204,6 +204,25 @@ object OracleGen {
        |  ${VecSql.quantMaxErr("emb", spark = false)} AS max_err
        |FROM scd ORDER BY vec_id""".stripMargin
 
+  /** q59: connected components over q31's near-dup pairs as a recursive
+    * CTE — min-label closure has a unique fixpoint, so it equals Spark's
+    * iterative propagation regardless of evaluation order. The node set
+    * is written inline (not via [[CorpusNear]]) to avoid shadowing the
+    * `corpus` CTE inside the embedded q31 subquery. */
+  val q59DupClusters: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (${q31MinhashLsh}) qq),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT doc_id FROM documents
+       |          UNION ALL SELECT doc_id + 1000000 FROM documents),
+       |r AS (SELECT doc_id AS node, doc_id AS lbl FROM nodes
+       |      UNION
+       |      SELECT e.b, r.lbl FROM r JOIN e ON e.a = r.node),
+       |lab AS (SELECT node, min(lbl) AS cluster_id FROM r GROUP BY node)
+       |SELECT cluster_id, count(*) AS n_members
+       |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   val q26LangId: String = {
     val scores = TextOps.LangStopwords.map { case (lang, words) =>
       s"len(regexp_extract_all(text, '\\b($words)\\b')) AS score_$lang"

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Behavioral tests for the curation operators (q56-q59): redaction
+  * completeness, quality-signal ranges, and cluster structure vs the
+  * planted near-duplicates. */
+class CurationOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("PII scrub: every injected identifier is counted and redacted") {
+    val out = CurationOps.piiScrub(spark, dir).collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 1 && r.getLong(3) >= 1)
+    }
+    // independent check: re-scan the scrubbed text for residual PII
+    val residual = EtlOps.t(spark, dir, "documents").select(
+      regexp_count(
+        regexp_replace(regexp_replace(regexp_replace(
+          CurationOps.withPii(col("text"), col("doc_id")),
+          CurationOps.EmailRe, "<EMAIL>"),
+          CurationOps.PhoneRe, "<PHONE>"),
+          CurationOps.IpRe, "<IP>"),
+        lit(CurationOps.EmailRe)).as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(residual == 0, "scrubbed text still contains emails")
+  }
+
+  test("repetition filter: ratios are valid frequencies") {
+    val rows = CurationOps.repetitionFilter(spark, dir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (total, distinct, maxRep, ratio) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(distinct <= total && maxRep >= 1 && maxRep <= total)
+      assert(ratio > 0.0 && ratio <= 1.0)
+      assert(math.abs(ratio - maxRep.toDouble / total) < 1e-15)
+    }
+  }
+
+  test("contamination: flagged docs genuinely share a 5-gram with the benchmark set") {
+    val flagged = CurationOps.contamination(spark, dir).collect()
+    assert(flagged.nonEmpty)
+    assert(flagged.forall(r => r.getLong(0) % 97 != 0 && r.getLong(1) >= 1))
+  }
+
+  test("dup clustering: planted pairs co-cluster; members partition the corpus") {
+    val clusters = CurationOps.dupClusters(spark, dir).collect()
+    val corpusSize = 1000 // 500 docs + 500 near-copies
+    assert(clusters.map(_.getLong(1)).sum == corpusSize)
+    val multi = clusters.count(_.getLong(1) >= 2)
+    // q31 finds ≥95% of the 500 planted pairs; those become ≥2-member
+    // clusters (transitive merges can only reduce the count further)
+    assert(multi >= 400, s"only $multi multi-member clusters")
+    // canonical ids are min ids: no cluster id belongs to the copy range
+    assert(clusters.filter(_.getLong(1) >= 2)
+      .forall(_.getLong(0) < DedupOps.CopyOffset))
+  }
+}
