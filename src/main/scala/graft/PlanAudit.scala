@@ -45,6 +45,11 @@ object PlanAudit {
       } catch { case e: Throwable =>
         println(s"| $name | ERROR ${e.getClass.getSimpleName} | | | | | |")
       }
+      // persist() registers plans with the cache manager immediately, and
+      // Catalyst substitutes InMemoryRelation into LATER queries' plans
+      // (q59 would show 0 scans after q31's audit) — audit each query's
+      // standalone plan instead
+      spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -136,8 +136,12 @@ object VectorFunctions {
   /** Register dot_product / lsh_sig / rolling_hash on this session so
     * `selectExpr` can use them — the runtime fallback for sessions built
     * without [[GraftExtensions]]. Skips names that already exist
-    * (idempotent AND quiet — no replace warnings per query). */
-  def register(spark: SparkSession, annPlanes: Int): Unit = {
+    * (idempotent AND quiet — no replace warnings per query). lsh_sig
+    * always binds [[DefaultAnnPlanes]]: taking a planes parameter here
+    * would be a trap, because a session built with GraftExtensions has
+    * the name registered already and the parameter would be silently
+    * ignored — there is ONE plane count, defined in one place. */
+  def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def add(name: String,
         builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
@@ -146,7 +150,7 @@ object VectorFunctions {
           org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
         reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     add("dot_product", exprs => DotProduct(exprs(0), exprs(1)))
-    add("lsh_sig", exprs => LshSignature(exprs.head, annPlanes))
+    add("lsh_sig", exprs => LshSignature(exprs.head, DefaultAnnPlanes))
     add("rolling_hash", exprs => RollingHash(exprs.head))
   }
 }

@@ -50,21 +50,13 @@ object CurationOps {
 
   // --- q57: repetition (quality) filter --------------------------------
 
-  /** q58/q57 word n-grams with the sequence(1,0)-counts-down guard
-    * (see [[DedupOps.shingles]]). */
-  private def wordGrams(corpus: DataFrame, n: Int): DataFrame = {
-    val catParts = (0 until n).flatMap { k =>
-      val e = s"element_at(toks, i + $k)"
-      if (k == 0) Seq(e) else Seq("' '", e)
-    }.mkString(", ")
+  /** q57/q58 word n-grams (all occurrences, not distinct) over the one
+    * shared generator [[DedupOps.wordGramArrayExpr]]. */
+  private def wordGrams(corpus: DataFrame, n: Int): DataFrame =
     corpus
       .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(toks) >= $n THEN
-           |  transform(sequence(1, size(toks) - ${n - 1}),
-           |    i -> concat($catParts))
-           |ELSE array() END""".stripMargin)).as("gram"))
-  }
+      .select(col("doc_id"),
+        explode(expr(DedupOps.wordGramArrayExpr(n))).as("gram"))
 
   /** q57 — repetition filter: per-document max-bigram-frequency ratio,
     * the Gopher/C4-style "most repeated n-gram" quality signal. Two

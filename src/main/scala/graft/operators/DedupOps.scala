@@ -49,22 +49,30 @@ object DedupOps {
     * session cache after each query, so persists never accumulate. */
   private def shared(df: DataFrame): DataFrame = df.persist()
 
-  /** Distinct word-trigram shingles per doc: (doc_id, shingle). Docs with
-    * fewer than 3 tokens yield no shingles — the guard matters because
-    * Spark's sequence(1, 0) counts DOWN ([1, 0]) and would then index
+  /** Word n-gram ARRAY expression over a `toks` column — the ONE n-gram
+    * generator (shingles here, bigrams/5-grams in
+    * [[CurationOps.wordGrams]] build on it). Docs with fewer than n
+    * tokens yield an empty array — the guard matters because Spark's
+    * sequence(1, 0) counts DOWN ([1, 0]) and would then index
     * element_at(toks, 0), a runtime error (DuckDB's range(1, n-1) is
     * already empty there). */
+  def wordGramArrayExpr(n: Int): String = {
+    val catParts = (0 until n).map { k =>
+      if (k == 0) s"element_at(toks, i + $k)"
+      else s"' ', element_at(toks, i + $k)"
+    }.mkString(", ")
+    s"""CASE WHEN size(toks) >= $n THEN
+       |  transform(sequence(1, size(toks) - ${n - 1}),
+       |    i -> concat($catParts))
+       |ELSE array() END""".stripMargin
+  }
+
+  /** Distinct word-trigram shingles per doc: (doc_id, shingle). */
   def shingles(corpus: DataFrame): DataFrame =
     corpus
       .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """CASE WHEN size(toks) >= 3 THEN
-          |  transform(sequence(1, size(toks) - 2),
-          |    i -> concat(element_at(toks, i), ' ',
-          |                element_at(toks, i + 1), ' ',
-          |                element_at(toks, i + 2)))
-          |ELSE array() END""".stripMargin)))
-        .as("shingle"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(wordGramArrayExpr(3)))).as("shingle"))
 
   /** q29 — exact dedup: hash-group on content, survivor = min doc_id.
     * One aggregate; at scale this is the cheapest dedup (md5 map-side,

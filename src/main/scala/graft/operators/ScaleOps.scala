@@ -93,9 +93,13 @@ object ScaleOps {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, events: Iterator[EvT], state: GroupState[SessState]) =>
           if (events.isEmpty && state.hasTimedOut) {
-            // watermark passed last_event + gap: the session is closed
+            // watermark passed last_event + gap: the session is closed.
+            // Keep a no-open-session marker (nEvents == 0) carrying the
+            // NEXT session index so numbering continues monotonically —
+            // state.remove() here would restart a later session at 1 and
+            // duplicate the (user, session_idx) key downstream.
             val s0 = state.get
-            state.remove()
+            state.update(SessState(s0.sessionIdx + 1, 0L, 0L, 0L))
             Iterator.single(SessionOut(user, s0.sessionIdx, s0.nEvents,
               s0.startMicros, s0.lastMicros))
           } else {
@@ -108,6 +112,8 @@ object ScaleOps {
               st match {
                 case null =>
                   st = SessState(1L, 1L, t, t)
+                case s0 if s0.nEvents == 0L => // marker: open session #idx
+                  st = SessState(s0.sessionIdx, 1L, t, t)
                 case s0 if t - s0.lastMicros > gapMicros =>
                   out += SessionOut(user, s0.sessionIdx, s0.nEvents,
                     s0.startMicros, s0.lastMicros)
@@ -116,11 +122,17 @@ object ScaleOps {
                   st = s0.copy(nEvents = s0.nEvents + 1, lastMicros = t)
               }
             }
-            if (st != null) {
+            if (st != null && st.nEvents > 0) {
               state.update(st)
               // close when the watermark passes the gap after the last
-              // event seen so far
-              state.setTimeoutTimestamp((st.lastMicros + gapMicros) / 1000L)
+              // event seen so far. flatMapGroupsWithState does NOT drop
+              // late rows, so a very late event can put lastMicros + gap
+              // at or below the current watermark — Spark rejects such a
+              // timestamp, so clamp just past the watermark (the session
+              // then closes at the next trigger).
+              state.setTimeoutTimestamp(math.max(
+                (st.lastMicros + gapMicros) / 1000L,
+                state.getCurrentWatermarkMs() + 1))
             }
             out.iterator
           }

@@ -85,7 +85,7 @@ object SimilarityOps {
     df.selectExpr("vec_id", "emb", "sqrt(dot_product(emb, emb)) AS norm")
 
   def baseVectors(s: SparkSession, dir: String): DataFrame = {
-    VectorFunctions.register(s, AnnPlanes)
+    VectorFunctions.register(s)
     t(s, dir, "embeddings")
       .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
   }

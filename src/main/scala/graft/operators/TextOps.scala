@@ -124,7 +124,7 @@ object TextOps {
     * [[graft.functions.RollingHash]] expression): the primitive behind
     * content-defined chunking; one narrow pass, no shuffle. */
   def rollingFingerprint(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s, SimilarityOps.AnnPlanes)
+    graft.functions.VectorFunctions.register(s)
     t(s, dir, "documents")
       .selectExpr("doc_id",
         "rolling_hash(text) AS fp",

@@ -69,7 +69,8 @@ object Discovery {
     * PowerShell-mirror + boto walk (S7 is eliminated — Spark reads the
     * store directly). */
   def discoverHadoop(root: String, mailbox: Boolean,
-      hadoopConf: org.apache.hadoop.conf.Configuration): Seq[IngestionFile] = {
+      hadoopConf: org.apache.hadoop.conf.Configuration,
+      ext: String = ".parquet"): Seq[IngestionFile] = {
     import org.apache.hadoop.fs.{FileSystem, Path}
     val p = new Path(root)
     val fs = FileSystem.get(p.toUri, hadoopConf)
@@ -79,8 +80,8 @@ object Discovery {
     while (it.hasNext) {
       val f = it.next()
       val path = f.getPath.toUri.getPath
-      if (path.endsWith(".parquet"))
-        parseFilePath(path, mailbox).foreach(out += _)
+      if (path.endsWith(ext))
+        parseFilePath(path, mailbox, ext).foreach(out += _)
     }
     out.toSeq.sortBy(f => (f.environment, f.entity, f.path))
   }

@@ -100,12 +100,28 @@ final class JdbcMarkerLedger(url: String, table: String,
     catch {
       // swallow ONLY "table already exists"; genuine DDL failures
       // (permissions, connectivity) must surface here, not later as
-      // confusing errors on exists/touch
+      // confusing errors on exists/touch. Known codes cover Derby /
+      // SQL Server / Postgres / MySQL; for any other backend, probe the
+      // catalog — if the table is actually there, the failure was the
+      // expected duplicate-create race, otherwise rethrow.
       case e: java.sql.SQLException
-          if e.getSQLState == "X0Y32" || e.getErrorCode == 2714 => ()
+          if e.getSQLState == "X0Y32" || e.getSQLState == "42P07" ||
+            e.getErrorCode == 2714 || e.getErrorCode == 1050 ||
+            tableExists(st.getConnection, table) => ()
     }
     finally st.close()
   }
+
+  /** Backend-agnostic existence probe via JDBC catalog metadata (case
+    * variants cover folding dialects). Returns false on any failure so
+    * the caller's original exception propagates. */
+  private def tableExists(c: java.sql.Connection, name: String): Boolean =
+    try {
+      Seq(name, name.toUpperCase, name.toLowerCase).exists { n =>
+        val rs = c.getMetaData.getTables(null, null, n, null)
+        try rs.next() finally rs.close()
+      }
+    } catch { case _: java.sql.SQLException => false }
 
   private def withConn[A](f: java.sql.Connection => A): A = {
     val c = java.sql.DriverManager.getConnection(url, props)

@@ -60,6 +60,38 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization: numbering continues after a timeout-closed session") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess2").toString
+    def batch(rows: (Long, Long, String)*): Unit =
+      rows.toSeq.toDF("event_id", "user_id", "s")
+        .select(col("event_id"), col("user_id"),
+          col("s").cast("timestamp").as("ts"))
+        .write.mode("append").parquet(s"$tmp/in")
+    batch((1L, 1L, "2024-01-01 00:00:00"))
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
+      .withWatermark("ts", "0 seconds")
+      .as[ScaleOps.EvT]
+    val q = ScaleOps.sessionizeStreaming(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess2_out").start()
+    try {
+      q.processAllAvailable()
+      batch((2L, 999L, "2024-02-01 00:00:00")) // advances wm → closes u1 s1
+      q.processAllAvailable()
+      batch((3L, 1L, "2024-03-01 00:00:00"))   // u1 opens a NEW session
+      q.processAllAvailable()
+      batch((4L, 998L, "2024-04-01 00:00:00")) // advances wm → closes u1 s2
+      q.processAllAvailable()
+      val u1 = spark.table("sess2_out").filter(col("user_id") === 1L)
+        .select("session_idx").collect().map(_.getLong(0)).sorted.toSeq
+      assert(u1 == Seq(1L, 2L),
+        s"expected session indices 1,2 for user 1, got $u1")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization equals the window-function form") {
     val windowed = ScaleOps.sessionize(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
