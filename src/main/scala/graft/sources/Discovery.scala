@@ -94,7 +94,12 @@ object Discovery {
     val head = seg(seg.length - 6)
     val envOpt =
       if (mailbox)
-        if (head.contains("_") && !head.contains("=")) Some(head.split("_")(0))
+        // keep the FULL datasource name: the reference's mailbox
+        // allow-list filters on DataSource (`main_mailbox.py:41-43`);
+        // the audit column's prefix-shortening is T0a's job inside the
+        // pipeline (`CigEolHostingIngestionLogic.py:16-19`), not
+        // discovery's
+        if (head.contains("_") && !head.contains("=")) Some(head)
         else None
       // the key must literally be "environment" — a stray Hive-partitioned
       // dir like /data/foo=NL/... is NOT an ingestion root (main.py:112

@@ -80,6 +80,28 @@ class IngestionJobSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/HOST_CIG_Lineitem").count() == 100)
   }
 
+  test("mailbox layout end-to-end: datasource dirs, env from prefix") {
+    val root = Files.createTempDirectory("graft-mailbox").toString
+    val out = Files.createTempDirectory("graft-mailbox-out").toString
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet").limit(30)
+    li.write.mode("overwrite")
+      .parquet(s"$root/NL_Hosting_Mailbox/Lineitem/2019/07/03")
+    li.write.mode("overwrite")
+      .parquet(s"$root/BE_Hosting_Mailbox/Lineitem/2019/07/03")
+    val cfg = IngestionConfig(
+      environments = Seq("NL_Hosting_Mailbox"), // allow-list is by datasource
+      ingestionDate = LocalDate.of(2019, 7, 3),
+      dataFolder = root,
+      tables = Seq(tableCfg))
+    val r = IngestionJob.run(spark, cfg, new InMemoryMarkerLedger,
+      new IngestionJob.ParquetSink(out), mailbox = true)
+    assert(r.rowsWritten == 30 && r.ingested.size == 1, s"$r")
+    val written = spark.read.parquet(s"$out/HOST_CIG_Lineitem")
+    // environment column is the datasource prefix before '_'
+    assert(written.select("Environment").distinct().head().getString(0) == "NL")
+  }
+
   test("CSV source format rides the same layout through the same pipeline") {
     val root = Files.createTempDirectory("graft-csv").toString
     val out = Files.createTempDirectory("graft-csv-out").toString
@@ -113,10 +135,12 @@ class IngestionJobSpec extends AnyFunSuite {
       .contains(Discovery.IngestionFile("NL", "Accounts",
         LocalDate.of(2019, 12, 31),
         "/data/environment=NL/Accounts/2019/12/31/x.parquet")))
+    // mailbox keeps the FULL datasource (the reference allow-lists on
+    // DataSource; T0a shortens to the env prefix inside the pipeline)
     assert(Discovery.parseFilePath(
       "/data/NL_Hosting_Mailbox/BankLinks/2019/12/31/x.parquet",
       mailbox = true).exists(f =>
-        f.environment == "NL" && f.entity == "BankLinks"))
+        f.environment == "NL_Hosting_Mailbox" && f.entity == "BankLinks"))
     assert(Discovery.parseFilePath(
       "/data/badshape/Accounts/2019/12/31/x.parquet", mailbox = false).isEmpty)
     // a stray Hive-partitioned dir with a different key is NOT an env root

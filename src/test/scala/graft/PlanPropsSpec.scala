@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config._
+import graft.operators._
+import graft.transforms.CigTransforms
+
+/** Physical-plan property tests: the committed PLANS.md records the
+  * numbers, these specs FAIL when a load-bearing plan property regresses
+  * — filters must reach the parquet scan, small sides must broadcast,
+  * the ingest hot path must stay shuffle-free, salted aggregation must
+  * keep its two-phase shape. */
+class PlanPropsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("ingest cleanup pipeline is shuffle-free (scan → project, no Exchange)") {
+    val cleaned = CigTransforms.sentinelsToNull(CigTransforms.pipeline(
+      spark.read.parquet(s"$dir/lineitem.parquet"),
+      EtlOps.lineitemConfig, "NL_Hosting", EtlOps.IngestionDate))
+    val p = plan(cleaned)
+    assert(!p.contains("Exchange"), s"ingest pipeline shuffles:\n$p")
+    assert(p.contains("Scan parquet"))
+  }
+
+  test("date filter is pushed down to the parquet scan") {
+    val p = plan(EtlOps.dateFilter(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "GreaterThanOrEqual(l_shipdate"),
+      s"no pushed date filter:\n${p.take(2000)}")
+  }
+
+  test("column pruning reaches the scan: 2-col projection reads 2 columns") {
+    val p = plan(EtlOps.orderedProjection(spark, dir))
+    val readSchema = "ReadSchema: struct<(.*?)>".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.split(",").length == 2,
+      s"scan reads more than the projection: $readSchema")
+  }
+
+  test("dimension enrich join broadcasts the small side") {
+    val p = plan(EtlOps.enrichJoin(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("salted aggregation keeps its two-phase shape (two hash aggregates per phase)") {
+    val p = plan(ScaleOps.saltedTokenCounts(spark, dir))
+    // phase 1 (token,salt) + phase 2 (token), each with partial+final
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"salted agg collapsed:\n${p.take(1500)}")
+  }
+
+  test("banded range join broadcasts the band table (fact side never shuffles for the join)") {
+    val p = plan(JoinOps.bandedRangeJoin(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"range join not broadcast:\n${p.take(1500)}")
+  }
+
+  test("pivot with declared values plans as one aggregate (no distinct-values scan)") {
+    val df = RelationalOps.pivotCounts(spark, dir)
+    // one scan of events only — value inference would add another
+    assert("Scan parquet".r.findAllIn(plan(df)).length == 1)
+  }
+}
