@@ -77,6 +77,8 @@ object SparkEntry {
     "q57_repetition_filter"  -> (CurationOps.repetitionFilter _),
     "q58_contamination"      -> (CurationOps.contamination _),
     "q59_dup_clusters"       -> (CurationOps.dupClusters _),
+    "q60_sketch_accuracy"    -> (ProfileOps.sketchAccuracy _),
+    "q61_dataset_split"      -> (CurationOps.datasetSplit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -444,5 +446,22 @@ object SparkEntry {
          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
     },
     "q59_dup_clusters" -> OracleGen.q59DupClusters,
+    // q60's oracle: exact counts + literal TRUE bounds — the gate fails
+    // if Spark's HLL estimate leaves its 3σ envelope (sketch VALUES stay
+    // rows-only in q42; engines' sketches legitimately differ).
+    "q60_sketch_accuracy" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_within_3sigma, TRUE AS orders_within_3sigma
+        |FROM lineitem""".stripMargin,
+    "q61_dataset_split" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |s AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train'
+        |        WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split FROM b)
+        |SELECT split, count(*) AS n_docs, min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
   )
 }

@@ -93,6 +93,27 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  // --- q61: deterministic dataset splitting -----------------------------
+
+  /** q61 — hash-based train/val/test split: bucket = 60-bit md5
+    * fingerprint of the doc id mod 100 → 90/5/5. Content-independent,
+    * deterministic, and stable under re-partitioning or re-runs — the
+    * property a training pipeline needs so a document never migrates
+    * between splits. One narrow pass + a tiny aggregate. */
+  def datasetSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      TextOps.md5Fingerprint60(col("doc_id").cast("string")), lit(100L))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        when(bucket < 90, "train")
+          .when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("split")
+  }
+
   // --- q59: near-duplicate clustering ----------------------------------
 
   /** q59 — duplicate clustering: connected components over the MinHash-

@@ -60,4 +60,26 @@ object ProfileOps {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
           .as("median_price_approx"))
+
+  /** q60 — sketch-accuracy contract: exact distinct counts plus booleans
+    * asserting the HLL estimates sit within 3σ (15% at the default
+    * rsd=0.05). The oracle computes the exact counts and literal TRUEs —
+    * so the correctness gate now also fails if a sketch regression
+    * pushes the estimate out of bounds, without requiring the engines'
+    * sketches to agree bit-for-bit (they can't; that part stays q42's
+    * rows-only check). HLL is deterministic given the data, so the
+    * booleans are stable per scale factor. */
+  def sketchAccuracy(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey")).as("ao"))
+      .select(
+        col("exact_parts"), col("exact_orders"),
+        (abs(col("ap") - col("exact_parts")) <=
+          col("exact_parts") * 0.15).as("parts_within_3sigma"),
+        (abs(col("ao") - col("exact_orders")) <=
+          col("exact_orders") * 0.15).as("orders_within_3sigma"))
 }
