@@ -30,5 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("rolling_hash"),
       info(classOf[RollingHash], "rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash(exprs.head)))
+    e.injectFunction((FunctionIdentifier("minhash_agg"),
+      info(classOf[MinHashAgg], "minhash_agg"),
+      MinHashAgg.builder(_)))
   }
 }

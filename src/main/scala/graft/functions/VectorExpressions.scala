@@ -152,5 +152,6 @@ object VectorFunctions {
     add("dot_product", exprs => DotProduct(exprs(0), exprs(1)))
     add("lsh_sig", exprs => LshSignature(exprs.head, DefaultAnnPlanes))
     add("rolling_hash", exprs => RollingHash(exprs.head))
+    add("minhash_agg", MinHashAgg.builder)
   }
 }

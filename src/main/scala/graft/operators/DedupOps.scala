@@ -155,6 +155,26 @@ object DedupOps {
     withX.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[minhashSignatures]] via the native buffer aggregate
+    * [[graft.functions.MinHashAgg]]: ONE array<long> state updated with
+    * a primitive loop instead of 16 separate min(...) aggregate
+    * expressions (16 buffer slots, 16 expression dispatches per row).
+    * Output schema and VALUES are bit-identical (spec-asserted); this is
+    * the TypedImperativeAggregate tier of the custom-operator ladder,
+    * the shape to prefer when signatures grow to 128+ permutations. */
+  def minhashSignaturesNative(sh: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(sh.sparkSession)
+    val withX = sh.withColumn("mh_x",
+      md5Fingerprint60(col("shingle")) % MinhashPrime)
+    val agged = withX.groupBy("doc_id")
+      .agg(expr(s"minhash_agg(mh_x, $NumPerms, $MinhashPrime)").as("sig"),
+        count(lit(1)).as("n_sh"))
+    val cols = col("doc_id") +:
+      (0 until NumPerms).map(i => element_at(col("sig"), i + 1).as(s"h$i")) :+
+      col("n_sh")
+    agged.select(cols: _*)
+  }
+
   /** LSH band keys: (doc_id, band_idx, band_hash) — md5 of the band's
     * signature slice. Candidates = pairs sharing any (band_idx, hash). */
   def lshBands(sigs: DataFrame): DataFrame = {

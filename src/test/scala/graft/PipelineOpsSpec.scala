@@ -51,6 +51,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.length <= 1500, s"${out.length} pairs — detector flooding")
   }
 
+  test("native MinHashAgg signatures are bit-identical to the 16-expression form") {
+    val sh = DedupOps.shingles(DedupOps.corpusNear(spark, dir))
+    val expr16 = DedupOps.minhashSignatures(sh).collect()
+      .map(r => r.toSeq).toSet
+    val native = DedupOps.minhashSignaturesNative(sh).collect()
+      .map(r => r.toSeq).toSet
+    assert(native == expr16)
+    assert(native.nonEmpty)
+  }
+
   test("simhash banding is lossless: identical result set to all-pairs") {
     val banded = DedupOps.simhashDedup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
