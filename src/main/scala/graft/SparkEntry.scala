@@ -79,6 +79,7 @@ object SparkEntry {
     "q59_dup_clusters"       -> (CurationOps.dupClusters _),
     "q60_sketch_accuracy"    -> (ProfileOps.sketchAccuracy _),
     "q61_dataset_split"      -> (CurationOps.datasetSplit _),
+    "q62_json_extract"       -> (RelationalOps.jsonExtract _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -463,5 +464,11 @@ object SparkEntry {
         |SELECT split, count(*) AS n_docs, min(doc_id) AS min_id,
         |  max(doc_id) AS max_id
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    "q62_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -93,6 +93,22 @@ object RelationalOps {
       .orderBy("l_returnflag")
   }
 
+  /** q62 — JSON column processing: extract a typed field from the
+    * events' JSON props and aggregate per type. `get_json_object` is a
+    * codegen'd built-in (no UDF); at scale prefer parsing ONCE with
+    * `from_json` + a schema when several fields are read (single parse,
+    * pruned struct) — one field extracts cheaper via the path form. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    EtlOps.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   /** q52 — CUBE grouping sets (every (lang, source) subtotal combination)
     * — the full-lattice sibling of q40's ROLLUP. One pass; Spark's Expand
     * operator replicates each row into its 4 grouping sets before one
