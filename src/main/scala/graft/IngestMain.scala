@@ -12,6 +12,12 @@ import graft.sources.{FileMarkerLedger, JdbcMarkerLedger, MarkerLedger}
   *   runMain graft.IngestMain <ingestion_config.json> <tables.json> \
   *     <outDir> [--mailbox] [--jdbc-url <url>] [--format parquet|csv|json]
   *
+  * With `--mailbox`, the config's `environments` allow-list holds FULL
+  * datasource names (`NL_Hosting_Mailbox`), matching the reference's
+  * `data_sources_to_ingest`; the `Environment` audit column still gets
+  * the shortened prefix via the pipeline's T0a rule. Marker-ledger keys
+  * likewise use the full datasource name.
+  *
   * With `--jdbc-url`, rows append to `raw.<target>` tables over JDBC (the
   * production path; the reference's SQL Server insert) and the marker
   * ledger lives in the same database; otherwise a parquet sink + file

@@ -133,11 +133,14 @@ object DedupOps {
 
   // --- MinHash ---------------------------------------------------------
 
-  val MinhashPrime = 2147483647L // 2^31 - 1
+  // permutation family lives in ONE place ([[graft.functions.MinHashPerms]])
+  // — the expression form, the native aggregate, and the generated DuckDB
+  // oracle all read these forwarders, so they cannot drift
+  val MinhashPrime: Long = graft.functions.MinHashPerms.Prime
   val NumPerms = 16
   val BandSize = 4
-  def permA(i: Int): Long = 2L * i + 3
-  def permB(i: Int): Long = 7L * i + 1
+  def permA(i: Int): Long = graft.functions.MinHashPerms.permA(i)
+  def permB(i: Int): Long = graft.functions.MinHashPerms.permB(i)
 
   /** MinHash signature per doc: NumPerms columns h0..h{n-1}, where
     * h_i = min over shingles of (a_i * x + b_i) mod p with x the 60-bit

@@ -12,9 +12,14 @@ import java.time.LocalDate
   *    `yyyy/MM/dd` tail is NOT Hive-style and is pruned by constructing
   *    explicit paths (same strategy as the reference's PowerShell mirror,
   *    `download_from_s3_hosting.ps1:60`).
-  *  - Mailbox: `<root>/<DataSource>/<Entity>/yyyy/MM/dd/<file>.parquet`
-  *    with environment = prefix of DataSource before `_`
-  *    (`main_mailbox.py:56,108`).
+  *  - Mailbox: `<root>/<DataSource>/<Entity>/yyyy/MM/dd/<file>.parquet`.
+  *    Discovery keeps the FULL DataSource name as `environment` — the
+  *    reference allow-lists on DataSource (`main_mailbox.py:41-43`) and
+  *    only the audit column shortens to the prefix before `_`, which is
+  *    T0a's job inside the pipeline (`main_mailbox.py:56`,
+  *    `CigEolHostingIngestionLogic.py:16-19`). Mailbox allow-list
+  *    configs and marker-ledger keys therefore use full datasource
+  *    names (e.g. `NL_Hosting_Mailbox`, not `NL`).
   *
   * At 100 TB the list step runs driver-side against the object store
   * (one LIST per constructed date prefix — no full-bucket scan), and the
