@@ -80,6 +80,7 @@ object SparkEntry {
     "q60_sketch_accuracy"    -> (ProfileOps.sketchAccuracy _),
     "q61_dataset_split"      -> (CurationOps.datasetSplit _),
     "q62_json_extract"       -> (RelationalOps.jsonExtract _),
+    "q63_attribution_join"   -> (StreamingOps.attribution _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -470,5 +471,16 @@ object SparkEntry {
         |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
         |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q63_attribution_join" ->
+      """WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, purchase_id, click_id,
+        |  CAST(p_ts AS VARCHAR) AS purchase_ts,
+        |  CAST(c_ts AS VARCHAR) AS click_ts
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR
+        |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
   )
 }

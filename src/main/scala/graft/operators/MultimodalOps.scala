@@ -156,4 +156,37 @@ object StreamingOps {
   def streamingWindow(s: SparkSession, dir: String): DataFrame =
     dailyWindowAgg(EtlOps.events(s, dir))
       .orderBy("day", "event_type")
+
+  /** Stream-stream inner join: purchases ⋈ clicks of the same user with
+    * the click inside [purchase − 1h, purchase] — attribution, the
+    * canonical streaming join. The event-time range predicate is what
+    * BOUNDS the join state: with watermarks on both sides Spark evicts
+    * click state older than purchase-watermark − 1h, so state is O(rate
+    * × window), not O(stream). The same plan runs on batch frames (the
+    * spec proves batch ≡ streaming on identical input). */
+  /** q63 — batch evaluation of the attribution join (oracle-checked);
+    * the spec proves the same plan gives identical results as a
+    * watermarked stream-stream join. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val e = EtlOps.events(s, dir)
+    attributionJoin(
+      e.filter(col("event_type") === "purchase"),
+      e.filter(col("event_type") === "click"))
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
+  def attributionJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("event_id").as("click_id"), col("ts").as("c_ts"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"),
+        col("p_ts").cast("string").as("purchase_ts"),
+        col("c_ts").cast("string").as("click_ts"))
+  }
 }

@@ -181,6 +181,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches the batch join on identical input") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    val events = EtlOps.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+    events.write.mode("overwrite").parquet(s"$tmp/in")
+    def side(df: org.apache.spark.sql.DataFrame, t: String) =
+      df.filter(col("event_type") === t)
+    val batch = StreamingOps.attributionJoin(
+      side(events, "purchase"), side(events, "click"))
+      .orderBy("user_id", "purchase_id", "click_id").collect()
+    assert(batch.nonEmpty, "fixture yields no attribution pairs")
+    val sdf = spark.readStream.schema(events.schema).parquet(s"$tmp/in")
+    // both sides watermarked: the range condition + watermarks bound the
+    // join state (Spark requires this for streaming-streaming joins)
+    val q = StreamingOps.attributionJoin(
+      side(sdf, "purchase").withWatermark("ts", "1 hour"),
+      side(sdf, "click").withWatermark("ts", "2 hours"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out")
+        .orderBy("user_id", "purchase_id", "click_id").collect()
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming window agg: readStream path matches batch result") {
     val batch = StreamingOps.streamingWindow(spark, dir).collect()
     val events = EtlOps.events(spark, dir)
