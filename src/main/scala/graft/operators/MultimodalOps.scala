@@ -157,13 +157,6 @@ object StreamingOps {
     dailyWindowAgg(EtlOps.events(s, dir))
       .orderBy("day", "event_type")
 
-  /** Stream-stream inner join: purchases ⋈ clicks of the same user with
-    * the click inside [purchase − 1h, purchase] — attribution, the
-    * canonical streaming join. The event-time range predicate is what
-    * BOUNDS the join state: with watermarks on both sides Spark evicts
-    * click state older than purchase-watermark − 1h, so state is O(rate
-    * × window), not O(stream). The same plan runs on batch frames (the
-    * spec proves batch ≡ streaming on identical input). */
   /** q63 — batch evaluation of the attribution join (oracle-checked);
     * the spec proves the same plan gives identical results as a
     * watermarked stream-stream join. */
@@ -175,6 +168,13 @@ object StreamingOps {
       .orderBy("user_id", "purchase_id", "click_id")
   }
 
+  /** Stream-stream inner join: purchases ⋈ clicks of the same user with
+    * the click inside [purchase − 1h, purchase] — attribution, the
+    * canonical streaming join. The event-time range predicate is what
+    * BOUNDS the join state: with watermarks on both sides Spark evicts
+    * click state older than purchase-watermark − 1h, so state is O(rate
+    * × window), not O(stream). The same plan runs on batch frames (the
+    * spec proves batch ≡ streaming on identical input). */
   def attributionJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
     val p = purchases.select(col("user_id").as("p_user"),
       col("event_id").as("purchase_id"), col("ts").as("p_ts"))
