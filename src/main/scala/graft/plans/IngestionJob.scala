@@ -74,6 +74,7 @@ object IngestionJob {
     * column to string regardless. */
   val SourceFormats: Map[String, (String, Map[String, String])] = Map(
     "parquet" -> (".parquet", Map.empty),
+    "orc" -> (".orc", Map.empty),
     "csv" -> (".csv", Map("header" -> "true")),
     "json" -> (".json", Map.empty))
 

@@ -129,6 +129,23 @@ class IngestionJobSpec extends AnyFunSuite {
     }
   }
 
+  test("ORC source format ingests through the same pipeline") {
+    val root = Files.createTempDirectory("graft-orc").toString
+    val out = Files.createTempDirectory("graft-orc-out").toString
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(20)
+      .selectExpr("l_orderkey", "l_linenumber", "l_returnflag")
+      .write.mode("overwrite").orc(s"$root/environment=NL/Lineitem/2019/07/03")
+    val cfg = IngestionConfig(
+      environments = Seq("NL"),
+      ingestionDate = LocalDate.of(2019, 7, 3),
+      dataFolder = root,
+      tables = Seq(tableCfg))
+    val r = IngestionJob.run(spark, cfg, new InMemoryMarkerLedger,
+      new IngestionJob.ParquetSink(out), format = "orc")
+    assert(r.rowsWritten == 20 && r.ingested.size == 1)
+    assert(spark.read.parquet(s"$out/HOST_CIG_Lineitem").count() == 20)
+  }
+
   test("discovery parses layouts and drops malformed paths") {
     assert(Discovery.parseFilePath(
       "/data/environment=NL/Accounts/2019/12/31/x.parquet", mailbox = false)

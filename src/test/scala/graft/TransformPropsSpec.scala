@@ -94,6 +94,35 @@ class TransformPropsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("prop: rolling_hash folds Unicode CODE POINTS (incl. non-BMP) like the reference model") {
+    graft.functions.VectorFunctions.register(spark)
+    val uniGen: Gen[String] = Gen.listOf(Gen.frequency(
+      4 -> Gen.alphaNumChar.map(_.toString),
+      1 -> Gen.oneOf("é", "ß", "中", "🙂", "𝕊", " "))) // incl. surrogate pairs
+      .map(_.mkString)
+    val in = Gen.listOfN(200, uniGen)
+      .apply(Gen.Parameters.default, Seed(7)).get
+    def model(s: String): Any =
+      if (s.isEmpty) null
+      else {
+        val cps = s.codePoints().toArray
+        cps.tail.foldLeft(cps.head.toLong)((acc, c) =>
+          (acc * 31 + c) % 2147483647L)
+      }
+    val got = {
+      val rows = in.zipWithIndex.map { case (s, i) => Row(i, s) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 2),
+        StructType(Seq(
+          StructField("i", org.apache.spark.sql.types.IntegerType, false),
+          StructField("c", StringType, nullable = true))))
+      df.selectExpr("i", "rolling_hash(c) AS h").collect()
+        .sortBy(_.getInt(0))
+        .map(r => if (r.isNullAt(1)) null else r.getLong(1)).toSeq
+    }
+    assert(got == in.map(model))
+  }
+
   test("prop: ordered projection returns exactly the requested permutation") {
     val cols = ('a' to 'j').map(_.toString)
     val df = spark.createDataFrame(
