@@ -81,6 +81,8 @@ object SparkEntry {
     "q61_dataset_split"      -> (CurationOps.datasetSplit _),
     "q62_json_extract"       -> (RelationalOps.jsonExtract _),
     "q63_attribution_join"   -> (StreamingOps.attribution _),
+    "q64_stratified_sample"  -> (CurationOps.stratifiedSample _),
+    "q65_vocabulary"         -> (TextOps.vocabulary _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -482,5 +484,24 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR
         |ORDER BY p.user_id, purchase_id, click_id""".stripMargin,
+    "q64_stratified_sample" -> {
+      val k = CurationOps.SamplePerStratum
+      s"""WITH r AS (SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM documents)
+         |SELECT lang, doc_id, CAST(rn AS BIGINT) AS sample_rank
+         |FROM r WHERE rn <= $k ORDER BY lang, sample_rank""".stripMargin
+    },
+    "q65_vocabulary" -> {
+      val k = TextOps.VocabTopK
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+         |           FROM documents),
+         |c AS (SELECT token, count(*) AS n FROM t GROUP BY token),
+         |r AS (SELECT token, n,
+         |    row_number() OVER (ORDER BY n DESC, token) AS "rank" FROM c)
+         |SELECT CAST("rank" AS BIGINT) AS "rank", token, n
+         |FROM r WHERE "rank" <= $k ORDER BY "rank"""".stripMargin
+    },
   )
 }

@@ -114,6 +114,25 @@ object CurationOps {
       .orderBy("split")
   }
 
+  /** q64 — deterministic stratified sampling: k docs per language in
+    * md5-hash order. Content-independent and stable under re-partition
+    * or re-run (same property as q61's split) — the "uniform sample for
+    * eval/inspection" every curation pipeline needs, without RAND()'s
+    * nondeterminism. One window pass, partition-parallel by stratum. */
+  val SamplePerStratum = 5
+
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SamplePerStratum)
+      .select(col("lang"), col("doc_id"),
+        col("rn").cast("bigint").as("sample_rank"))
+      .orderBy("lang", "sample_rank")
+  }
+
   // --- q59: near-duplicate clustering ----------------------------------
 
   /** q59 — duplicate clustering: connected components over the MinHash-

@@ -120,6 +120,26 @@ object TextOps {
         s"md5(array_join(slice(toks, s + 1, $ChunkTokens), ' ')) AS chunk_fp")
       .orderBy("doc_id", "chunk_idx")
 
+  val VocabTopK = 20
+
+  /** q65 — vocabulary building: top-K tokens by corpus frequency with
+    * deterministic rank (count desc, then token). The tokenizer-training
+    * prep step. Scale shape: the full count aggregate is distributed;
+    * only the POST-aggregate top-K passes through the single-partition
+    * ranking window (orderBy + limit prunes to K rows first, so the
+    * unpartitioned window touches K rows, not the vocabulary). */
+  def vocabulary(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("token")).limit(VocabTopK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    top.withColumn("rank", row_number().over(w).cast("bigint"))
+      .select(col("rank"), col("token"), col("n"))
+      .orderBy("rank")
+  }
+
   /** q45 — polynomial ROLLING-hash fingerprint (native
     * [[graft.functions.RollingHash]] expression): the primitive behind
     * content-defined chunking; one narrow pass, no shuffle. */
