@@ -76,13 +76,28 @@ object ScaleOps {
   final case class EvT(event_id: Long, user_id: Long,
       ts: java.sql.Timestamp)
 
+  /** How long a closed-session numbering marker outlives its session
+    * (watermark time). Within this horizon a returning user continues
+    * session numbering monotonically; a user idle longer restarts at 1,
+    * so state stays bounded by users ACTIVE within the horizon instead
+    * of growing with all-time distinct-user cardinality. */
+  val MarkerTtlHours = 24L
+
   /** The streaming-NATIVE sessionizer: unlike [[sessionizeStateful]]
     * (which flushes open sessions when a batch group's iterator ends),
     * this keeps the open session in [[GroupState]] across micro-batches
     * and closes it via EVENT-TIME TIMEOUT — the session ends only when
     * the watermark passes last_event + gap, exactly the semantics a
     * 24/7 deployment needs (sessions spanning micro-batches never
-    * split). Caller supplies a watermarked streaming Dataset[EvT]. */
+    * split). Caller supplies a watermarked streaming Dataset[EvT].
+    *
+    * State lifecycle: open session → closed-session numbering marker
+    * (nEvents == 0, holds the NEXT session index) → removed when the
+    * marker's own [[MarkerTtlHours]] timeout fires. The TTL bounds state
+    * for a 24/7 deployment; the trade-off is that a user returning after
+    * the TTL restarts numbering at session 1, so downstream keys needing
+    * all-time uniqueness should use (user_id, session_start), which is
+    * unique regardless. */
   def sessionizeStreaming(evs: Dataset[EvT]): Dataset[SessionOut] = {
     import evs.sparkSession.implicits._
     val gapMicros = SessionGapMinutes * 60L * 1000000L
@@ -92,14 +107,22 @@ object ScaleOps {
       .flatMapGroupsWithState[SessState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, events: Iterator[EvT], state: GroupState[SessState]) =>
-          if (events.isEmpty && state.hasTimedOut) {
+          if (events.isEmpty && state.hasTimedOut && state.get.nEvents == 0L) {
+            // the numbering marker's TTL expired: drop it. This is the
+            // state-eviction path that keeps the keyspace bounded.
+            state.remove()
+            Iterator.empty
+          } else if (events.isEmpty && state.hasTimedOut) {
             // watermark passed last_event + gap: the session is closed.
             // Keep a no-open-session marker (nEvents == 0) carrying the
             // NEXT session index so numbering continues monotonically —
-            // state.remove() here would restart a later session at 1 and
-            // duplicate the (user, session_idx) key downstream.
+            // immediate state.remove() would restart a later session at 1
+            // and duplicate the (user, session_idx) key downstream. The
+            // marker itself times out after MarkerTtlHours (branch above).
             val s0 = state.get
             state.update(SessState(s0.sessionIdx + 1, 0L, 0L, 0L))
+            state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + MarkerTtlHours * 3600L * 1000L)
             Iterator.single(SessionOut(user, s0.sessionIdx, s0.nEvents,
               s0.startMicros, s0.lastMicros))
           } else {

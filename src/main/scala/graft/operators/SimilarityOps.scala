@@ -47,9 +47,13 @@ object VecSql {
 
   /** int8-style quantization code for element j, referencing sibling
     * columns `vmin` and `sc` (= (vmax-vmin)/255). floor/least/greatest
-    * on integral-valued doubles are exact on both engines. */
+    * on integral-valued doubles are exact on both engines. A constant
+    * vector has sc = 0 and the unguarded form divides 0/0 — the result
+    * would then hinge on each engine's NaN ordering inside
+    * least/greatest, so the CASE pins that edge to code 0 (every element
+    * IS vmin) instead of relying on matching NaN semantics. */
   private def qCode(c: String, j: Int, spark: Boolean): String =
-    s"greatest(0.0, least(255.0, floor((CAST(${el(c, j, spark)} AS DOUBLE) - vmin) / sc)))"
+    s"(CASE WHEN sc = 0.0 THEN 0.0 ELSE greatest(0.0, least(255.0, floor((CAST(${el(c, j, spark)} AS DOUBLE) - vmin) / sc))) END)"
 
   /** Σ_j code_j — integer-valued doubles, exact up to 255·dims. */
   def quantSum(c: String, spark: Boolean, dims: Int = Dims): String =

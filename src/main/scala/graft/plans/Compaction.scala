@@ -11,13 +11,43 @@ import org.apache.spark.sql.SparkSession
   *
   * Mechanics: size the directory via one driver-side LIST, compute the
   * target file count, rewrite with `repartition(n)` (round-robin — even
-  * output sizes), then swap directories. The swap is rename-based:
-  * readers racing the swap see the old OR the new complete directory,
-  * never a mix (same guarantee level as the reference's
-  * whole-file-or-nothing ingest; a table format (Delta/Iceberg) is the
-  * production-grade answer when concurrent writers exist).
+  * output sizes), then swap directories. FLAT layouts only: a directory
+  * containing subdirectories (Hive partitions) is rejected up front —
+  * `repartition(n).write` would flatten the partition layout and the
+  * top-level LIST undercounts its bytes. Compact each leaf partition
+  * directory individually instead.
+  *
+  * The swap is two renames (live → `._compact_old`, tmp → live), so it
+  * is NOT atomic: a reader racing the swap can see path-not-found in the
+  * gap, and a crash between the renames leaves the data parked at
+  * `._compact_old` with nothing at the live path. [[recover]] repairs
+  * that state and should run at startup before reads; a table format
+  * (Delta/Iceberg) is the production-grade answer when concurrent
+  * readers/writers exist.
   */
 object Compaction {
+
+  /** Startup repair for a crash between [[compact]]'s two renames: if the
+    * live path is missing but `._compact_old` exists, move it back.
+    * Returns true when a restore happened. No-op (false) otherwise —
+    * including the crash-before-first-rename case, where the live dir is
+    * still intact and stray `._compact_tmp`/`._compact_old` dirs are just
+    * deleted. */
+  def recover(spark: SparkSession, dir: String): Boolean = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(dir + "._compact_old")
+    val tmp = new Path(dir + "._compact_tmp")
+    if (!fs.exists(path) && fs.exists(old)) {
+      if (!fs.rename(old, path))
+        throw new java.io.IOException(s"recover: cannot restore $old to $path")
+      fs.delete(tmp, true)
+      true
+    } else {
+      if (fs.exists(path)) { fs.delete(tmp, true); fs.delete(old, true) }
+      false
+    }
+  }
 
   final case class CompactReport(
       filesBefore: Int, filesAfter: Int,
@@ -27,7 +57,14 @@ object Compaction {
       targetFileBytes: Long = 128L * 1024 * 1024): CompactReport = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(path)
+    val entries = fs.listStatus(path)
+    val subdirs = entries.filter(e =>
+      e.isDirectory && !e.getPath.getName.startsWith("_"))
+    if (subdirs.nonEmpty)
+      throw new IllegalArgumentException(
+        s"compact: $dir has subdirectories (${subdirs.head.getPath.getName}, " +
+          s"…) — partitioned layouts must be compacted per leaf directory")
+    val files = entries
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
     val bytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)

@@ -113,14 +113,33 @@ final class JdbcMarkerLedger(url: String, table: String,
   }
 
   /** Backend-agnostic existence probe via JDBC catalog metadata (case
-    * variants cover folding dialects). Returns false on any failure so
+    * variants cover folding dialects). getTables treats its name
+    * arguments as LIKE patterns — '_' matches any character — so a name
+    * like 'ingestion_markers' would also match unrelated tables and
+    * wrongly swallow a genuine CREATE failure: escape pattern chars with
+    * the driver's escape string, and route an optional 'schema.table'
+    * qualifier into the schemaPattern argument (a dotted name can never
+    * match the bare table-name pattern). Returns false on any failure so
     * the caller's original exception propagates. */
   private def tableExists(c: java.sql.Connection, name: String): Boolean =
     try {
-      Seq(name, name.toUpperCase, name.toLowerCase).exists { n =>
-        val rs = c.getMetaData.getTables(null, null, n, null)
-        try rs.next() finally rs.close()
+      val md = c.getMetaData
+      val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+      def quote(n: String): String = n
+        .replace(esc, esc + esc)
+        .replace("_", esc + "_")
+        .replace("%", esc + "%")
+      val (schemaPat, tablePat) = name.split("\\.", 2) match {
+        case Array(sch, tbl) => (Some(sch), tbl)
+        case _               => (None, name)
       }
+      Seq[String => String](identity, _.toUpperCase, _.toLowerCase)
+        .exists { fold =>
+          val rs = md.getTables(null,
+            schemaPat.map(s => quote(fold(s))).orNull,
+            quote(fold(tablePat)), null)
+          try rs.next() finally rs.close()
+        }
     } catch { case _: java.sql.SQLException => false }
 
   private def withConn[A](f: java.sql.Connection => A): A = {

@@ -32,4 +32,36 @@ class CompactionSpec extends AnyFunSuite {
     val r2 = Compaction.compact(spark, dir, targetFileBytes = 512L * 1024 * 1024)
     assert(r2.filesAfter == 1 && r2.rows == wantRows)
   }
+
+  test("compaction rejects partitioned (subdirectory) layouts instead of flattening them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-part")
+      .resolve("t").toString
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .write.partitionBy("l_returnflag").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, dir)
+    }
+    assert(e.getMessage.contains("subdirectories"))
+    // layout untouched by the rejected call
+    assert(spark.read.parquet(dir).columns.contains("l_returnflag"))
+  }
+
+  test("recover restores the live directory after a crash between the swap renames") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-rec")
+      .resolve("t").toString
+    val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    src.write.parquet(dir)
+    val wantRows = src.count()
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window: live moved aside, tmp never moved in
+    assert(fs.rename(new Path(dir), new Path(dir + "._compact_old")))
+    assert(!fs.exists(new Path(dir)))
+    assert(Compaction.recover(spark, dir))
+    assert(spark.read.parquet(dir).count() == wantRows)
+    assert(!fs.exists(new Path(dir + "._compact_old")))
+    // healthy state: recover is a no-op that just clears stray dirs
+    assert(!Compaction.recover(spark, dir))
+  }
 }

@@ -98,6 +98,23 @@ class RelationalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("vector quantization: constant vector (sc = 0) is defined — code 0, zero error") {
+    // degenerate edge: vmax == vmin makes the step size 0; the guarded
+    // generator must pin every code to 0 (not divide 0/0 into NaN)
+    val df = spark.sql(
+      s"SELECT transform(sequence(1, ${VecSql.Dims}), x -> 7.0D) AS emb")
+      .selectExpr(
+        s"${VecSql.vMin("emb", spark = true)} AS vmin",
+        s"${VecSql.vMax("emb", spark = true)} AS vmax", "emb")
+      .selectExpr("emb", "vmin", "(vmax - vmin) / 255.0 AS sc")
+      .selectExpr(
+        s"CAST(${VecSql.quantSum("emb", spark = true)} AS BIGINT) AS qsum",
+        s"${VecSql.quantMaxErr("emb", spark = true)} AS max_err")
+      .head()
+    assert(df.getLong(0) == 0L)
+    assert(df.getDouble(1) == 0.0)
+  }
+
   test("chunking tiles every document's token axis with the configured stride") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n")
