@@ -83,6 +83,15 @@ object SparkEntry {
     "q63_attribution_join"   -> (StreamingOps.attribution _),
     "q64_stratified_sample"  -> (CurationOps.stratifiedSample _),
     "q65_vocabulary"         -> (TextOps.vocabulary _),
+    "q66_bloom_prune_join"   -> (JoinOps.bloomPruneJoin _),
+    "q67_funnel"             -> (AnalyticsOps.funnel _),
+    "q68_bigram_lm"          -> (AnalyticsOps.bigramLm _),
+    "q69_tfidf_topk"         -> (AnalyticsOps.tfidfTopK _),
+    "q70_pagerank"           -> (GraphOps.pageRank _),
+    "q71_scd2"               -> (AnalyticsOps.scd2 _),
+    "q72_incremental_merge"  -> (AnalyticsOps.incrementalMerge _),
+    "q73_zscore_anomalies"   -> (AnalyticsOps.zscoreAnomalies _),
+    "q74_zorder_layout"      -> (ScaleOps.zorderLayout _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -503,5 +512,113 @@ object SparkEntry {
          |SELECT CAST("rank" AS BIGINT) AS "rank", token, n
          |FROM r WHERE "rank" <= $k ORDER BY "rank"""".stripMargin
     },
+    // q66's oracle is the PLAIN join — the bloom pre-filter admits ≤fpp
+    // false positives which the exact join then removes, so the pruned
+    // plan must be bit-identical to the unpruned semantics.
+    "q66_bloom_prune_join" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY order_month ORDER BY order_month""".stripMargin,
+    "q67_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, min(ts) AS first_view FROM events
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS first_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.first_view
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+        |      GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CAST(v.first_view AS VARCHAR) AS first_view,
+        |  CAST(c.first_click AS VARCHAR) AS first_click,
+        |  CAST(p.first_purchase AS VARCHAR) AS first_purchase,
+        |  CAST(CASE WHEN p.first_purchase IS NOT NULL THEN 3
+        |       WHEN c.first_click IS NOT NULL THEN 2
+        |       WHEN v.first_view IS NOT NULL THEN 1
+        |       ELSE 0 END AS BIGINT) AS stage
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |  LEFT JOIN p USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
+    "q68_bigram_lm" -> {
+      val k = AnalyticsOps.LmTopK
+      s"""WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         |g AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t),
+         |g2 AS (SELECT bigram, string_split(bigram, ' ')[1] AS w1 FROM g),
+         |c12 AS (SELECT bigram, w1, count(*) AS c12 FROM g2 GROUP BY bigram, w1),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM g2 GROUP BY w1),
+         |v AS (SELECT count(DISTINCT tok) AS v FROM
+         |      (SELECT unnest(string_split(text, ' ')) AS tok FROM documents))
+         |SELECT bigram, c12, c1, (c12 + 1) / (c1 + v) AS p_smooth
+         |FROM c12 JOIN c1 USING (w1) CROSS JOIN v
+         |ORDER BY c12 DESC, bigram LIMIT $k""".stripMargin
+    },
+    "q69_tfidf_topk" -> {
+      val k = AnalyticsOps.TfidfTopK
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |              FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+         |       GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM
+         |       (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    tf.tf * (CAST(n.n_docs AS DOUBLE) / df.df) AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, term) AS rnk FROM sc)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS "rank", term, tf, df, score
+         |FROM r WHERE rnk <= $k ORDER BY doc_id, "rank"""".stripMargin
+    },
+    "q70_pagerank" -> GraphOps.pageRankOracle,
+    "q71_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts FROM events),
+        |f AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev_type FROM e),
+        |g AS (SELECT *, CASE WHEN prev_type IS NULL
+        |    OR prev_type <> event_type THEN 1 ELSE 0 END AS chg FROM f),
+        |h AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS version FROM g),
+        |v AS (SELECT user_id, version, event_type,
+        |    min(ts) AS valid_from_ts, count(*) AS n_events
+        |  FROM h GROUP BY user_id, version, event_type),
+        |w AS (SELECT *, lead(valid_from_ts) OVER (PARTITION BY user_id
+        |    ORDER BY version) AS valid_to_ts FROM v)
+        |SELECT user_id, version, event_type,
+        |  CAST(valid_from_ts AS VARCHAR) AS valid_from,
+        |  CAST(valid_to_ts AS VARCHAR) AS valid_to,
+        |  valid_to_ts IS NULL AS is_current, n_events
+        |FROM w ORDER BY user_id, version""".stripMargin,
+    // q72's oracle aggregates the RAW table directly — the merged daily
+    // partials must be bit-identical (exact decimal re-aggregation).
+    "q72_incremental_merge" ->
+      """SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ship_month,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY ship_month ORDER BY ship_month""".stripMargin,
+    "q73_zscore_anomalies" -> {
+      val th = AnalyticsOps.ZThreshold
+      s"""WITH e AS (SELECT event_id, event_type, value FROM events),
+         |st AS (SELECT event_type, count(*) AS n,
+         |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         |    CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS s2
+         |  FROM e GROUP BY event_type),
+         |m AS (SELECT event_type, s1 / n AS mean, s2, n FROM st),
+         |m2 AS (SELECT event_type, mean,
+         |    sqrt(s2 / n - mean * mean) AS std FROM m),
+         |zz AS (SELECT e.event_id, e.event_type, e.value,
+         |    (e.value - m2.mean) / m2.std AS z
+         |  FROM e JOIN m2 USING (event_type))
+         |SELECT event_id, event_type, value, z FROM zz
+         |WHERE abs(z) > $th ORDER BY event_id""".stripMargin
+    },
+    "q74_zorder_layout" -> ScaleOps.zorderOracle,
   )
 }

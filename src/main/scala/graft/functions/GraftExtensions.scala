@@ -33,5 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("minhash_agg"),
       info(classOf[MinHashAgg], "minhash_agg"),
       MinHashAgg.builder(_)))
+    e.injectFunction((FunctionIdentifier("bloom_might_contain"),
+      info(classOf[BloomMightContain], "bloom_might_contain"),
+      (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))
   }
 }

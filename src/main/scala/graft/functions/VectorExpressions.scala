@@ -153,5 +153,6 @@ object VectorFunctions {
     add("lsh_sig", exprs => LshSignature(exprs.head, DefaultAnnPlanes))
     add("rolling_hash", exprs => RollingHash(exprs.head))
     add("minhash_agg", MinHashAgg.builder)
+    add("bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)))
   }
 }

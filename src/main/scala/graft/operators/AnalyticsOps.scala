@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Analytics operators a large-scale event/text pipeline runs daily:
+  * conversion funnels, n-gram language-model statistics, TF-IDF keyword
+  * extraction, SCD type-2 dimension building, incremental partial-
+  * aggregate merging, and statistical anomaly detection.
+  *
+  * Scale stance: every operator here is one or two key-partitioned
+  * shuffles with map-side partial aggregation — no driver-side loops, no
+  * collect. Funnel and SCD2 shuffle once on the entity key and do all
+  * sequence logic inside the partition (window functions); the LM and
+  * TF-IDF passes shuffle on the term key exactly once; the incremental
+  * merge is the associative-reaggregation contract that makes daily
+  * partials foldable into any coarser rollup without touching raw data.
+  *
+  * Float parity with the oracle follows the proven rules: sums go
+  * through DECIMAL (exact, order-independent), derived doubles use one
+  * fixed op order on both engines, sqrt is IEEE-exact.
+  */
+object AnalyticsOps {
+
+  import EtlOps.t
+
+  // --- q67: conversion funnel -------------------------------------------
+
+  /** q67 — view → click → purchase funnel per user: the first view, the
+    * first click strictly after that view, the first purchase strictly
+    * after that click, and the funnel stage reached (0-3). Each stage is
+    * one conditional min-aggregate on the user key; the three aggs reuse
+    * the same hash partitioning, so the whole funnel is ONE logical
+    * shuffle at scale (Spark reuses the exchange across the chained
+    * aggregations). */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = EtlOps.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val users = e.select("user_id").distinct()
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("first_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("first_view"))
+      .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("first_click"))
+      .groupBy("user_id").agg(min(col("ts")).as("first_purchase"))
+    users
+      .join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        col("first_view").cast("string").as("first_view"),
+        col("first_click").cast("string").as("first_click"),
+        col("first_purchase").cast("string").as("first_purchase"),
+        when(col("first_purchase").isNotNull, 3L)
+          .when(col("first_click").isNotNull, 2L)
+          .when(col("first_view").isNotNull, 1L)
+          .otherwise(0L).as("stage"))
+      .orderBy("user_id")
+  }
+
+  // --- q68: bigram language model ---------------------------------------
+
+  val LmTopK = 20
+
+  /** q68 — bigram language-model statistics: count every adjacent token
+    * pair, condition on the first token, and report the top
+    * [[LmTopK]] bigrams with their add-one-smoothed conditional
+    * probability (c₁₂+1)/(c₁+V). The two count passes share the bigram
+    * frame; V (vocabulary size) is a broadcast scalar. The heavy shuffle
+    * keys on the bigram string with map-side partials — the same shape
+    * that builds n-gram LMs over web-scale corpora. */
+  def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    val grams = t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(expr(DedupOps.wordGramArrayExpr(2))).as("bigram"))
+      .withColumn("w1", split(col("bigram"), " ")(0))
+    val c12 = grams.groupBy("bigram", "w1")
+      .agg(count(lit(1)).as("c12"))
+    val c1 = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    c12.join(c1, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("bigram"), col("c12"), col("c1"),
+        ((col("c12") + 1L) / (col("c1") + col("v"))).as("p_smooth"))
+      .orderBy(col("c12").desc, col("bigram"))
+      .limit(LmTopK)
+  }
+
+  // --- q69: TF-IDF keyword extraction -----------------------------------
+
+  val TfidfTopK = 3
+
+  /** q69 — TF-IDF top-[[TfidfTopK]] terms per document. The score is
+    * tf × (N/df) with a plain (not log-damped) inverse document
+    * frequency: N/df is one exact IEEE division and tf × it one exact
+    * multiply, so both engines produce bit-identical doubles — a log()
+    * would hinge on matching libm implementations, which nothing
+    * guarantees. The tf pass shuffles on (doc, term), the df pass on
+    * term, the rank is one window over the doc key. */
+  def tfidfTopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * (col("n_docs").cast("double") / col("df")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= TfidfTopK)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rank")
+  }
+
+  // --- q71: SCD type-2 dimension build ----------------------------------
+
+  /** q71 — slowly-changing-dimension type 2: collapse each user's event
+    * stream into versioned validity intervals, one row per consecutive
+    * run of the same event_type, with [valid_from, valid_to) bounds and
+    * an is_current flag on the open interval. One shuffle on user_id;
+    * run detection, version numbering, and interval closing are three
+    * window passes inside the partition — the standard distributed SCD2
+    * build (no self-join, no driver logic). */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = EtlOps.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("chg",
+        when(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("version",
+        sum(col("chg")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val versions = runs.groupBy("user_id", "version", "event_type")
+      .agg(min(col("ts")).as("valid_from_ts"),
+        count(lit(1)).as("n_events"))
+    val byVersion = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    versions
+      .withColumn("valid_to_ts", lead(col("valid_from_ts"), 1).over(byVersion))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from_ts").cast("string").as("valid_from"),
+        col("valid_to_ts").cast("string").as("valid_to"),
+        col("valid_to_ts").isNull.as("is_current"),
+        col("n_events"))
+      .orderBy("user_id", "version")
+  }
+
+  // --- q72: incremental partial-aggregate merge -------------------------
+
+  /** q72 — incremental aggregation: daily revenue partials merged into a
+    * monthly rollup. The partials are DECIMAL sums, so re-aggregation is
+    * exact and associative — merging yesterday's partials with today's
+    * delta gives bit-identical results to recomputing from raw data,
+    * which is what the oracle asserts (it aggregates the raw table
+    * directly). This is the contract that lets a 100 TB pipeline
+    * maintain rollups by folding per-day partials instead of rescanning
+    * history. */
+  def incrementalMerge(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "lineitem")
+      .groupBy(col("l_shipdate").cast("date").as("ship_day"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("rev_partial"),
+        count(lit(1)).as("n_partial"))
+    daily
+      .groupBy(date_format(col("ship_day"), "yyyy-MM").as("ship_month"))
+      .agg(sum(col("rev_partial")).cast("double").as("revenue"),
+        sum(col("n_partial")).as("n_lines"))
+      .orderBy("ship_month")
+  }
+
+  // --- q73: statistical anomaly detection -------------------------------
+
+  /** z-score threshold: the event values are roughly uniform per type
+    * (bounded support ⇒ |z| ≲ √3), so 1.7 marks the genuine upper tail
+    * rather than selecting nothing, as the gaussian-habit 3.0 would. */
+  val ZThreshold = 1.7
+
+  /** q73 — group-wise anomaly detection: per event_type mean/stddev from
+    * exact DECIMAL-summed moments, then every event whose |z| exceeds
+    * [[ZThreshold]]. The moment pass is one map-side-partial aggregate;
+    * the small per-type stats broadcast back onto the stream, so the
+    * fact table is scanned twice and shuffled never — at 100 TB the
+    * stats pass is the only coordination. Parity: Σx and Σx² are exact
+    * decimals; mean/var/z use one fixed op order (var = S2/n − mean²,
+    * Bessel-free population form); sqrt is IEEE correctly-rounded. */
+  def zscoreAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val e = EtlOps.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val stats = e.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast("decimal(18,6)")).cast("double").as("s1"),
+      sum((col("value") * col("value")).cast("decimal(28,10)"))
+        .cast("double").as("s2"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("std",
+        sqrt(col("s2") / col("n") - col("mean") * col("mean")))
+    e.join(broadcast(stats.select("event_type", "mean", "std")), "event_type")
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .filter(abs(col("z")) > ZThreshold)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("z"))
+      .orderBy("event_id")
+  }
+}

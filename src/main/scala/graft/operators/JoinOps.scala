@@ -74,6 +74,46 @@ object JoinOps {
       .orderBy("band_id")
   }
 
+  /** Bloom false-positive rate for [[bloomPruneJoin]]: 1% keeps the
+    * filter ~1.2 KB per 1k keys — broadcastable at any dimension size
+    * that is itself broadcastable. */
+  val BloomFpp = 0.01
+
+  /** q66 — bloom-pruned join: revenue of lineitems belonging to URGENT
+    * orders. The urgent-order keys are compressed into a
+    * [[org.apache.spark.util.sketch.BloomFilter]] on the driver, and the
+    * fact table is pre-filtered by the native
+    * [[graft.functions.BloomMightContain]] probe INSIDE the parquet scan
+    * stage — before the join's shuffle — so only ~selectivity × fact
+    * rows (plus ≤1% false positives) are ever shuffled. The exact join
+    * then removes the false positives: the result is bit-identical to
+    * the plain join, which is exactly what the oracle states. This is
+    * Spark's runtime-filter/DPP contract made explicit for hand-built
+    * plans; at 100 TB it is the difference between shuffling 100 TB and
+    * shuffling the selectivity. */
+  def bloomPruneJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val urgent = EtlOps.t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    // two light driver passes over the (already filtered) dimension side:
+    // size the filter, then fold the keys into it
+    val nKeys = math.max(urgent.count(), 1L)
+    val bloom = urgent.stat.bloomFilter("o_orderkey", nKeys, BloomFpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val pruned = EtlOps.t(s, dir, "lineitem")
+      .filter(call_function("bloom_might_contain",
+        lit(bos.toByteArray), col("l_orderkey")))
+    pruned
+      .join(urgent, pruned("l_orderkey") === urgent("o_orderkey"))
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("order_month"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy("order_month")
+  }
+
   val JoinSalts = 8
 
   /** q53 — salted skew join: events (hot user keys) ⋈ user dimension.

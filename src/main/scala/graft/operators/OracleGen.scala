@@ -198,11 +198,13 @@ object OracleGen {
        |m AS (SELECT vec_id, emb,
        |    ${VecSql.vMin("emb", spark = false)} AS vmin,
        |    ${VecSql.vMax("emb", spark = false)} AS vmax FROM v),
-       |scd AS (SELECT vec_id, emb, vmin, (vmax - vmin) / 255.0 AS sc FROM m)
+       |scd AS (SELECT vec_id, emb, vmin, (vmax - vmin) / 255.0 AS sc FROM m),
+       |sg AS (SELECT *, CASE WHEN sc = 0.0 THEN 1.0 ELSE sc END AS scdiv
+       |       FROM scd)
        |SELECT vec_id,
        |  CAST(${VecSql.quantSum("emb", spark = false)} AS BIGINT) AS qsum,
        |  ${VecSql.quantMaxErr("emb", spark = false)} AS max_err
-       |FROM scd ORDER BY vec_id""".stripMargin
+       |FROM sg ORDER BY vec_id""".stripMargin
 
   /** q59: connected components over q31's near-dup pairs as a recursive
     * CTE — min-label closure has a unique fixpoint, so it equals Spark's

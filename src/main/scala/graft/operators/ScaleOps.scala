@@ -201,4 +201,65 @@ object ScaleOps {
           out.iterator
       }
   }
+
+  // --- Z-order data layout ----------------------------------------------
+
+  /** Bits interleaved per dimension by [[mortonExpr]]. 8 bits cover both
+    * clustered dimensions here (p_size ≤ 50, price bucket < 256). */
+  val MortonBits = 8
+
+  /** Z-cell width: [[zorderLayout]] groups rows by `z >> ZCellShift`,
+    * i.e. 64-key Morton cells ≈ one file/row-group worth of locality. */
+  val ZCellShift = 6
+
+  /** Morton (Z-order) interleave of two [[MortonBits]]-bit integer
+    * expressions — bit b of x lands at position 2b, of y at 2b+1. Pure
+    * integer shifts/masks/adds generated for BOTH dialects from one
+    * place, so the oracle cannot drift. Spark spells shift as
+    * `shiftright`, DuckDB as `>>`; the set-bit contribution is `* 2^k`
+    * (disjoint bits, so + ≡ |). */
+  def mortonExpr(x: String, y: String, spark: Boolean): String = {
+    def shr(c: String, b: Int): String =
+      if (spark) s"shiftright($c, $b)" else s"($c >> $b)"
+    (0 until MortonBits).flatMap { b =>
+      Seq(s"(${shr(x, b)} & 1) * ${1L << (2 * b)}",
+        s"(${shr(y, b)} & 1) * ${1L << (2 * b + 1)}")
+    }.mkString(" + ")
+  }
+
+  /** q74 — Z-order layout audit: cluster parts by the Morton interleave
+    * of (size, price bucket) and report per-cell min/max of BOTH
+    * dimensions. This is the data-layout primitive behind multi-column
+    * file skipping: sorting 100 TB by z and cutting files at cell
+    * boundaries bounds every file's range in EVERY interleaved dimension
+    * (which a lexicographic sort only does for the leading column), so
+    * min/max footer stats prune scans for predicates on either
+    * dimension. The narrow per-cell ranges in the output ARE the
+    * skipping guarantee. */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val shiftCell =
+      s"shiftright(zval, $ZCellShift)"
+    t(s, dir, "part")
+      .selectExpr("p_partkey", "CAST(p_size AS BIGINT) AS x",
+        "CAST(floor(p_retailprice) AS BIGINT) % 256 AS y")
+      .selectExpr("p_partkey", "x", "y",
+        s"(${mortonExpr("x", "y", spark = true)}) AS zval")
+      .selectExpr("p_partkey", "x", "y", s"CAST($shiftCell AS BIGINT) AS zcell")
+      .groupBy("zcell")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_size"), max(col("x")).as("max_size"),
+        min(col("y")).as("min_pricebucket"), max(col("y")).as("max_pricebucket"))
+      .orderBy("zcell")
+  }
+
+  /** The DuckDB oracle for q74 — same generated Morton expression. */
+  def zorderOracle: String =
+    s"""WITH b AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
+       |    CAST(floor(p_retailprice) AS BIGINT) % 256 AS y FROM part),
+       |z AS (SELECT p_partkey, x, y,
+       |    (${mortonExpr("x", "y", spark = false)}) AS zval FROM b)
+       |SELECT (zval >> $ZCellShift) AS zcell, count(*) AS n_rows,
+       |  min(x) AS min_size, max(x) AS max_size,
+       |  min(y) AS min_pricebucket, max(y) AS max_pricebucket
+       |FROM z GROUP BY zcell ORDER BY zcell""".stripMargin
 }

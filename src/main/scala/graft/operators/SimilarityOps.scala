@@ -46,14 +46,19 @@ object VecSql {
       s"CAST(${el(c, j, spark)} AS DOUBLE)").mkString(", ") + ")"
 
   /** int8-style quantization code for element j, referencing sibling
-    * columns `vmin` and `sc` (= (vmax-vmin)/255). floor/least/greatest
-    * on integral-valued doubles are exact on both engines. A constant
-    * vector has sc = 0 and the unguarded form divides 0/0 — the result
-    * would then hinge on each engine's NaN ordering inside
-    * least/greatest, so the CASE pins that edge to code 0 (every element
-    * IS vmin) instead of relying on matching NaN semantics. */
+    * columns `vmin` and `scdiv`. `scdiv` is the GUARDED divisor the
+    * caller must provide as `CASE WHEN sc = 0.0 THEN 1.0 ELSE sc END`
+    * (sc = (vmax-vmin)/255): a constant vector has sc = 0 and dividing
+    * by it yields 0/0 = NaN, whose ordering inside least/greatest the
+    * two engines need not agree on. With the guard, x − vmin is 0 for
+    * every element of a constant vector, so 0/1 pins the code to 0 —
+    * and hoisting the single CASE into one column keeps the 64
+    * per-element terms branch-free (a CASE per term blows the generated
+    * processNext() past Janino's method limits and drops the whole
+    * stage out of codegen). floor/least/greatest on integral-valued
+    * doubles are exact on both engines. */
   private def qCode(c: String, j: Int, spark: Boolean): String =
-    s"(CASE WHEN sc = 0.0 THEN 0.0 ELSE greatest(0.0, least(255.0, floor((CAST(${el(c, j, spark)} AS DOUBLE) - vmin) / sc))) END)"
+    s"greatest(0.0, least(255.0, floor((CAST(${el(c, j, spark)} AS DOUBLE) - vmin) / scdiv)))"
 
   /** Σ_j code_j — integer-valued doubles, exact up to 255·dims. */
   def quantSum(c: String, spark: Boolean, dims: Int = Dims): String =
@@ -196,6 +201,8 @@ object SimilarityOps {
         s"${VecSql.vMin("emb", spark = true)} AS vmin",
         s"${VecSql.vMax("emb", spark = true)} AS vmax")
       .selectExpr("vec_id", "emb", "vmin", "(vmax - vmin) / 255.0 AS sc")
+      .selectExpr("vec_id", "emb", "vmin", "sc",
+        "CASE WHEN sc = 0.0 THEN 1.0 ELSE sc END AS scdiv")
       .selectExpr("vec_id",
         s"CAST(${VecSql.quantSum("emb", spark = true)} AS BIGINT) AS qsum",
         s"${VecSql.quantMaxErr("emb", spark = true)} AS max_err")

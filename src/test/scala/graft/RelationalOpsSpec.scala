@@ -107,6 +107,8 @@ class RelationalOpsSpec extends AnyFunSuite {
         s"${VecSql.vMin("emb", spark = true)} AS vmin",
         s"${VecSql.vMax("emb", spark = true)} AS vmax", "emb")
       .selectExpr("emb", "vmin", "(vmax - vmin) / 255.0 AS sc")
+      .selectExpr("emb", "vmin", "sc",
+        "CASE WHEN sc = 0.0 THEN 1.0 ELSE sc END AS scdiv")
       .selectExpr(
         s"CAST(${VecSql.quantSum("emb", spark = true)} AS BIGINT) AS qsum",
         s"${VecSql.quantMaxErr("emb", spark = true)} AS max_err")
