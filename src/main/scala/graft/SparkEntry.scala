@@ -92,6 +92,10 @@ object SparkEntry {
     "q72_incremental_merge"  -> (AnalyticsOps.incrementalMerge _),
     "q73_zscore_anomalies"   -> (AnalyticsOps.zscoreAnomalies _),
     "q74_zorder_layout"      -> (ScaleOps.zorderLayout _),
+    "q75_weighted_sample"    -> (CurationOps.weightedSample _),
+    "q76_novelty_score"      -> (CurationOps.noveltyScore _),
+    "q77_collocations"       -> (TextOps.collocations _),
+    "q78_cdc_apply"          -> (AnalyticsOps.cdcApply _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -620,5 +624,81 @@ object SparkEntry {
          |WHERE abs(z) > $th ORDER BY event_id""".stripMargin
     },
     "q74_zorder_layout" -> ScaleOps.zorderOracle,
+    "q75_weighted_sample" -> {
+      val k = CurationOps.WeightedSampleK
+      s"""WITH p AS (SELECT doc_id, n_chars,
+         |    (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+         |      / 1152921504606846976.0) / n_chars AS priority
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_chars, priority,
+         |    row_number() OVER (ORDER BY priority, doc_id) AS rn FROM p)
+         |SELECT CAST(rn AS BIGINT) AS sample_rank, doc_id, n_chars, priority
+         |FROM r WHERE rn <= $k ORDER BY sample_rank""".stripMargin
+    },
+    "q76_novelty_score" -> {
+      val cat = (0 until CurationOps.NoveltyGram)
+        .map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |g AS (SELECT DISTINCT doc_id, gram FROM
+         |      (SELECT doc_id, unnest(list_transform(
+         |         range(1, len(toks) - ${CurationOps.NoveltyGram - 2}),
+         |         i -> $cat)) AS gram FROM t)),
+         |d AS (SELECT gram, count(*) AS gram_df FROM g GROUP BY gram)
+         |SELECT g.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN gram_df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |  CAST(sum(CASE WHEN gram_df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    / count(*) AS novelty
+         |FROM g JOIN d USING (gram) GROUP BY g.doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q77_collocations" -> {
+      val (minC, k) = (TextOps.CollocMinCount, TextOps.CollocTopK)
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+         |              FROM documents),
+         |g AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+         |  FROM (SELECT string_split(text, ' ') AS toks FROM documents)),
+         |g2 AS (SELECT bigram, string_split(bigram, ' ')[1] AS w1,
+         |    string_split(bigram, ' ')[2] AS w2 FROM g),
+         |c12 AS (SELECT bigram, w1, w2, count(*) AS c12 FROM g2
+         |        GROUP BY 1, 2, 3 HAVING count(*) >= $minC),
+         |uni AS (SELECT tok, count(*) AS cu FROM toks GROUP BY tok),
+         |tot AS (SELECT (SELECT count(*) FROM toks) AS t_toks,
+         |               (SELECT count(*) FROM g) AS b_grams),
+         |j AS (SELECT c12.bigram, c12.c12, u1.cu AS c1, u2.cu AS c2
+         |      FROM c12 JOIN uni u1 ON c12.w1 = u1.tok
+         |      JOIN uni u2 ON c12.w2 = u2.tok)
+         |SELECT bigram, c12, c1, c2,
+         |  (c12 / b_grams) / ((c1 / t_toks) * (c2 / t_toks)) AS lift
+         |FROM j CROSS JOIN tot
+         |ORDER BY lift DESC, bigram LIMIT $k""".stripMargin
+    },
+    "q78_cdc_apply" -> {
+      val cut = AnalyticsOps.CdcCutoff
+      s"""WITH e AS (SELECT user_id, event_id, event_type, value, ts
+         |           FROM events),
+         |b AS (SELECT user_id, event_id AS b_event_id, value AS b_value,
+         |        ts AS b_ts FROM
+         |      (SELECT *, row_number() OVER (PARTITION BY user_id
+         |         ORDER BY ts DESC, event_id DESC) AS rn
+         |       FROM e WHERE ts < TIMESTAMP '$cut') WHERE rn = 1),
+         |d AS (SELECT user_id, event_id AS d_event_id, value AS d_value,
+         |        ts AS d_ts,
+         |        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+         |      FROM
+         |      (SELECT *, row_number() OVER (PARTITION BY user_id
+         |         ORDER BY ts DESC, event_id DESC) AS rn
+         |       FROM e WHERE ts >= TIMESTAMP '$cut') WHERE rn = 1)
+         |SELECT user_id,
+         |  CASE WHEN op = 'U' THEN 'delta' ELSE 'base' END AS src,
+         |  CASE WHEN op = 'U' THEN d_event_id ELSE b_event_id END AS event_id,
+         |  CASE WHEN op = 'U' THEN d_value ELSE b_value END AS value,
+         |  CAST(CASE WHEN op = 'U' THEN d_ts ELSE b_ts END AS VARCHAR)
+         |    AS state_ts
+         |FROM b FULL JOIN d USING (user_id)
+         |WHERE op IS NULL OR op = 'U'
+         |ORDER BY user_id""".stripMargin
+    },
   )
 }

@@ -182,6 +182,52 @@ object AnalyticsOps {
       .orderBy("ship_month")
   }
 
+  // --- q78: CDC merge-apply ---------------------------------------------
+
+  val CdcCutoff = "2024-01-15"
+
+  /** q78 — CDC apply (MERGE semantics on plain parquet): a base snapshot
+    * (latest state per user before [[CdcCutoff]]) merged with a change
+    * stream (events at-or-after it; 'error' events act as DELETEs, all
+    * others as UPSERTs). Per user: the latest delta wins — a delete
+    * removes the user, an upsert replaces the state — and users without
+    * deltas keep their base row. This is the reference's marker-style
+    * append-only model upgraded to keyed mutation, and the batch core
+    * of every warehouse MERGE INTO. Distributed shape: two window
+    * passes and one full-outer join, all on the user key — one
+    * partitioning end to end; at 100 TB the delta side is a day's
+    * changes, far smaller than the snapshot, and never blocks on it. */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val e = EtlOps.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts"))
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val base = e.filter(col("ts") < lit(CdcCutoff).cast("timestamp"))
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("b_event_id"),
+        col("value").as("b_value"), col("ts").as("b_ts"))
+    val delta = e.filter(col("ts") >= lit(CdcCutoff).cast("timestamp"))
+      .withColumn("op",
+        when(col("event_type") === "error", "D").otherwise("U"))
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("d_event_id"),
+        col("value").as("d_value"), col("ts").as("d_ts"), col("op"))
+    base.join(delta, Seq("user_id"), "full_outer")
+      .filter(col("op").isNull || col("op") === "U")
+      .select(col("user_id"),
+        when(col("op") === "U", "delta").otherwise("base").as("src"),
+        when(col("op") === "U", col("d_event_id"))
+          .otherwise(col("b_event_id")).as("event_id"),
+        when(col("op") === "U", col("d_value"))
+          .otherwise(col("b_value")).as("value"),
+        when(col("op") === "U", col("d_ts")).otherwise(col("b_ts"))
+          .cast("string").as("state_ts"))
+      .orderBy("user_id")
+  }
+
   // --- q73: statistical anomaly detection -------------------------------
 
   /** z-score threshold: the event values are roughly uniform per type

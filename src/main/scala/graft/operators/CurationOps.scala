@@ -133,6 +133,60 @@ object CurationOps {
       .orderBy("lang", "sample_rank")
   }
 
+  // --- q75: deterministic weighted sampling -----------------------------
+
+  val WeightedSampleK = 100
+
+  /** q75 — deterministic weighted priority sampling: each document gets
+    * priority u/w where u is a hash-derived uniform in [0,1) (the 60-bit
+    * md5 fingerprint of its id scaled by 2⁻⁶⁰) and w = n_chars; the
+    * [[WeightedSampleK]] smallest priorities win, so selection odds
+    * scale with document length. Like q61/q64 this is content-stable
+    * and re-run-stable (no RAND()), but with IMPORTANCE weighting — the
+    * sampling mode that oversamples long documents for inspection or
+    * mixture tuning. Distributed cost: one narrow pass + a top-k sort
+    * (Spark's TakeOrderedAndProject — per-partition heaps, no global
+    * sort at 100 TB). Parity: u and u/w are single IEEE divisions. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = TextOps.md5Fingerprint60(col("doc_id").cast("string"))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("priority"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        (u / col("n_chars")).as("priority"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(WeightedSampleK)
+      .withColumn("sample_rank", row_number().over(w).cast("bigint"))
+      .select("sample_rank", "doc_id", "n_chars", "priority")
+      .orderBy("sample_rank")
+  }
+
+  // --- q76: n-gram novelty scoring --------------------------------------
+
+  val NoveltyGram = 5
+
+  /** q76 — novelty scoring: the fraction of a document's distinct word
+    * 5-grams that occur in NO other document. The inverse of q58's
+    * contamination signal — high novelty marks content the corpus has
+    * not seen elsewhere (template/boilerplate pages score near 0). Two
+    * aggregates: gram → document-frequency, then doc → unique fraction;
+    * both partition-parallel with map-side partials. */
+  def noveltyScore(s: SparkSession, dir: String): DataFrame = {
+    val grams = wordGrams(
+      t(s, dir, "documents").select(col("doc_id"), col("text")), NoveltyGram)
+      .distinct()
+    val dfreq = grams.groupBy("gram")
+      .agg(count(lit(1)).as("gram_df"))
+    grams.join(dfreq, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gram_df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        (col("n_unique") / col("n_grams")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   // --- q59: near-duplicate clustering ----------------------------------
 
   /** q59 — duplicate clustering: connected components over the MinHash-

@@ -140,6 +140,44 @@ object TextOps {
       .orderBy("rank")
   }
 
+  val CollocMinCount = 5
+  val CollocTopK = 20
+
+  /** q77 — collocation mining by lift: bigrams whose observed frequency
+    * beats the independence expectation, scored
+    * (c₁₂/B) / ((c₁/T)·(c₂/T)) — PMI's ratio without the log, so both
+    * engines produce bit-identical doubles (log would hinge on libm
+    * parity; the RANKING is identical either way since log is
+    * monotonic). The phrase-mining step of tokenizer/LM data prep.
+    * Counts shuffle on the gram key with map-side partials; the two
+    * scalar totals broadcast. */
+  def collocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val grams = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(expr(DedupOps.wordGramArrayExpr(2))).as("bigram"))
+      .select(col("bigram"),
+        split(col("bigram"), " ")(0).as("w1"),
+        split(col("bigram"), " ")(1).as("w2"))
+    val c12 = grams.groupBy("bigram", "w1", "w2")
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= CollocMinCount)
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val totals = toks.agg(count(lit(1)).as("t_toks"))
+      .crossJoin(grams.agg(count(lit(1)).as("b_grams")))
+    c12
+      .join(uni.select(col("tok").as("w1"), col("cu").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("cu").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("bigram"), col("c12"), col("c1"), col("c2"),
+        ((col("c12") / col("b_grams")) /
+          ((col("c1") / col("t_toks")) * (col("c2") / col("t_toks"))))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(CollocTopK)
+  }
+
   /** q45 — polynomial ROLLING-hash fingerprint (native
     * [[graft.functions.RollingHash]] expression): the primitive behind
     * content-defined chunking; one narrow pass, no shuffle. */

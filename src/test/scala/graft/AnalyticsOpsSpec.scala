@@ -138,6 +138,66 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(math.abs(r.getDouble(3)) > AnalyticsOps.ZThreshold))
   }
 
+  test("weighted sample favors long documents") {
+    import graft.operators.CurationOps
+    val rows = CurationOps.weightedSample(spark, dir).collect()
+    assert(rows.length == CurationOps.WeightedSampleK)
+    val prios = rows.map(_.getDouble(3)).toSeq
+    assert(prios.zip(prios.tail).forall { case (a, b) => a <= b },
+      "priorities ascend with sample_rank")
+    val sampleMean = rows.map(_.getLong(2)).sum.toDouble / rows.length
+    val corpusMean = spark.read.parquet(s"$dir/documents.parquet")
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"length-weighted sample mean $sampleMean should beat corpus mean $corpusMean")
+  }
+
+  test("novelty is a valid fraction and unique grams never exceed total") {
+    val rows = graft.operators.CurationOps.noveltyScore(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val nov = r.getDouble(3)
+      assert(nov >= 0.0 && nov <= 1.0)
+    }
+  }
+
+  test("collocations: lift-ranked bigrams meet the support floor") {
+    import graft.operators.TextOps
+    val rows = TextOps.collocations(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= TextOps.CollocTopK)
+    val lifts = rows.map(_.getDouble(4)).toSeq
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getLong(1) >= TextOps.CollocMinCount)
+      assert(r.getDouble(4) > 0.0)
+    }
+  }
+
+  test("cdc apply: deletes remove users, timestamps respect the cutoff") {
+    val rows = AnalyticsOps.cdcApply(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length,
+      "one state row per surviving user")
+    rows.foreach { r =>
+      val (src, ts) = (r.getString(1), r.getString(4))
+      if (src == "delta") assert(ts >= AnalyticsOps.CdcCutoff)
+      else assert(ts < AnalyticsOps.CdcCutoff)
+    }
+    // users whose LATEST post-cutoff event is an error must be absent
+    val e = graft.operators.EtlOps.events(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val deleted = e
+      .filter(col("ts") >= lit(AnalyticsOps.CdcCutoff).cast("timestamp"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("event_type") === "error")
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(deleted.nonEmpty, "corpus should exercise the delete path")
+    val present = rows.map(_.getLong(0)).toSet
+    assert(deleted.intersect(present).isEmpty)
+  }
+
   test("z-order cells bound BOTH dimensions (the file-skipping guarantee)") {
     val rows = ScaleOps.zorderLayout(spark, dir).collect()
     assert(rows.nonEmpty)
