@@ -96,6 +96,7 @@ object SparkEntry {
     "q76_novelty_score"      -> (CurationOps.noveltyScore _),
     "q77_collocations"       -> (TextOps.collocations _),
     "q78_cdc_apply"          -> (AnalyticsOps.cdcApply _),
+    "q79_kmeans_step"        -> (ClusterOps.kmeansStep _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -700,5 +701,6 @@ object SparkEntry {
          |WHERE op IS NULL OR op = 'U'
          |ORDER BY user_id""".stripMargin
     },
+    "q79_kmeans_step" -> ClusterOps.kmeansOracle,
   )
 }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** K-means clustering on the embeddings table — one full Lloyd
+  * iteration (assign → update → re-assign) with deterministic
+  * initialization, as a pure DataFrame computation.
+  *
+  * Distributed shape: centroids are K rows and BROADCAST; the vector
+  * table streams through the assignment cross-join without shuffling
+  * (the argmin is a per-vector window over K candidate rows, K tiny),
+  * and the centroid update is one map-side-partial aggregate on the
+  * assignment key. Each additional Lloyd iteration repeats the same two
+  * passes — the loop discipline (persist + materialize per generation)
+  * is demonstrated by [[GraphOps.pageRank]]; one iteration here keeps
+  * the oracle an unrollable CTE chain.
+  *
+  * Parity: squared-L2 distances are generated 64-term chains with one
+  * fixed op order (the [[VecSql]] technique); centroid means and
+  * inertia go through floor(x·10⁹) BIGINT fixed-point sums — exact and
+  * order-independent on both engines (double→DECIMAL casts round
+  * differently across engines; floor does not). Ties in the argmin
+  * break on cent_id over bit-identical distances.
+  */
+object ClusterOps {
+
+  val K = 8
+  private val Fp = "1000000000.0" // 10⁹ fixed-point scale (exact ≤ ~9e6)
+
+  /** Σ_j (a[j]-b[j])², left-associated, generated for both dialects. */
+  def dsqExpr(a: String, b: String, spark: Boolean): String =
+    (1 to VecSql.Dims).map { j =>
+      val x = VecSql.el(a, j, spark)
+      val c = VecSql.el(b, j, spark)
+      s"($x - $c) * ($x - $c)"
+    }.mkString(" + ")
+
+  /** q79 — one deterministic Lloyd step: init centroids = vectors with
+    * vec_id < [[K]]; assign; recompute centroids as fixed-point means;
+    * re-assign; report per-cluster size and inertia (sum of squared
+    * distances to the updated centroid). */
+  def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val v = SimilarityOps.baseVectors(s, dir).persist()
+    val c0 = v.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cemb"))
+
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist"), col("cent_id"))
+      v.crossJoin(broadcast(cents))
+        .withColumn("dist", expr(dsqExpr("emb", "cemb", spark = true)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "emb", "cent_id", "dist")
+    }
+
+    val a1 = assign(c0)
+    val sums = (1 to VecSql.Dims).map { j =>
+      sum(expr(s"CAST(floor(element_at(emb, $j) * $Fp) AS BIGINT)"))
+        .as(s"s$j")
+    }
+    val cnt = count(lit(1)).as("cnt")
+    val c1 = a1.groupBy("cent_id")
+      .agg(cnt, sums: _*)
+      .select(col("cent_id"),
+        array((1 to VecSql.Dims).map { j =>
+          (col(s"s$j").cast("double") / lit(1e9)) / col("cnt")
+        }: _*).as("cemb"))
+    val a2 = assign(c1)
+    a2.groupBy("cent_id")
+      .agg(count(lit(1)).as("n_assigned"),
+        (sum(expr(s"CAST(floor(dist * $Fp) AS BIGINT)")).cast("double")
+          / lit(1e9)).as("inertia"))
+      .orderBy("cent_id")
+  }
+
+  /** The DuckDB oracle: the identical step as a CTE chain, generated
+    * from the same constants and expression generators. */
+  def kmeansOracle: String = {
+    val sumCols = (1 to VecSql.Dims).map { j =>
+      s"CAST(CAST(sum(CAST(floor(emb[$j] * $Fp) AS BIGINT)) AS BIGINT) AS DOUBLE) AS s$j"
+    }.mkString(",\n    ")
+    val meanList = (1 to VecSql.Dims).map { j =>
+      s"(s$j / $Fp) / cnt"
+    }.mkString(", ")
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, emb AS cemb FROM v WHERE vec_id < $K),
+       |d1 AS (SELECT v.vec_id, v.emb, c0.cent_id,
+       |    ${dsqExpr("emb", "cemb", spark = false)} AS dist
+       |  FROM v CROSS JOIN c0),
+       |a1 AS (SELECT vec_id, emb, cent_id FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY dist, cent_id) AS rn FROM d1) WHERE rn = 1),
+       |c1 AS (SELECT cent_id, count(*) AS cnt,
+       |    $sumCols
+       |  FROM a1 GROUP BY cent_id),
+       |c1a AS (SELECT cent_id, [$meanList] AS cemb FROM c1),
+       |d2 AS (SELECT v.vec_id, c1a.cent_id,
+       |    ${dsqExpr("emb", "cemb", spark = false)} AS dist
+       |  FROM v CROSS JOIN c1a),
+       |a2 AS (SELECT vec_id, cent_id, dist FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY dist, cent_id) AS rn FROM d2) WHERE rn = 1)
+       |SELECT cent_id, count(*) AS n_assigned,
+       |  CAST(CAST(sum(CAST(floor(dist * $Fp) AS BIGINT)) AS BIGINT) AS DOUBLE)
+       |    / $Fp AS inertia
+       |FROM a2 GROUP BY cent_id ORDER BY cent_id""".stripMargin
+  }
+}

@@ -198,6 +198,31 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(deleted.intersect(present).isEmpty)
   }
 
+  test("kmeans step partitions every vector and obeys Lloyd monotonicity") {
+    import graft.operators.{ClusterOps, SimilarityOps}
+    import org.apache.spark.sql.expressions.Window
+    val out = ClusterOps.kmeansStep(spark, dir).collect()
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.map(_.getLong(1)).sum == n, "every vector lands in a cluster")
+    assert(out.forall(_.getDouble(2) >= 0.0))
+    // assignment to UPDATED centroids cannot beat the initial assignment
+    // inertia-wise in reverse: mean-update then reassign only decreases
+    // total within-cluster squared distance (small epsilon absorbs the
+    // fixed-point quantization of the means)
+    val v = SimilarityOps.baseVectors(spark, dir)
+    val c0 = v.filter(col("vec_id") < ClusterOps.K)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cemb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cent_id"))
+    val initInertia = v.crossJoin(broadcast(c0))
+      .withColumn("dist", expr(ClusterOps.dsqExpr("emb", "cemb", spark = true)))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .agg(sum(col("dist"))).head().getDouble(0)
+    val finalInertia = out.map(_.getDouble(2)).sum
+    assert(finalInertia <= initInertia + 1e-3,
+      s"Lloyd step must not increase inertia: $finalInertia vs $initInertia")
+  }
+
   test("z-order cells bound BOTH dimensions (the file-skipping guarantee)") {
     val rows = ScaleOps.zorderLayout(spark, dir).collect()
     assert(rows.nonEmpty)
