@@ -64,6 +64,18 @@ class PlanPropsSpec extends AnyFunSuite {
       s"range join not broadcast:\n${p.take(1500)}")
   }
 
+  test("bloom probe filters the fact scan BELOW the join (pre-shuffle pruning)") {
+    val p = plan(JoinOps.bloomPruneJoin(spark, dir))
+    val probeAt = p.indexOf("bloom_might_contain")
+    assert(probeAt >= 0, s"bloom probe missing from plan:\n${p.take(1500)}")
+    // plans print top-down: every join sits ABOVE (prints before) the
+    // probe, so the pruning runs in the scan stage, not post-join
+    val joinAt = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+      .map(p.indexOf).filter(_ >= 0).min
+    assert(joinAt < probeAt,
+      "bloom probe must be below the join (scan-side), not above it")
+  }
+
   test("pivot with declared values runs NO job at construction (no distinct-values inference)") {
     // pivot without declared values collects distinct pivot values in an
     // EAGER job at DataFrame-construction time (it never shows in the
