@@ -29,11 +29,15 @@ object AnalyticsOps {
 
   /** q67 — view → click → purchase funnel per user: the first view, the
     * first click strictly after that view, the first purchase strictly
-    * after that click, and the funnel stage reached (0-3). Each stage is
-    * one conditional min-aggregate on the user key; the three aggs reuse
-    * the same hash partitioning, so the whole funnel is ONE logical
-    * shuffle at scale (Spark reuses the exchange across the chained
-    * aggregations). */
+    * after that click, and the funnel stage reached (0-3). Each stage
+    * is one conditional min-aggregate joined against the previous
+    * stage's result — every shuffle keys on user_id, but because each
+    * stage filters on the PREVIOUS stage's timestamp the exchanges
+    * chain rather than merge (the committed plan audit records 6
+    * exchanges). What scales is that each exchange moves only
+    * stage-filtered events and per-user stage rows, never the full
+    * event table twice, and all of them partition on the same key so
+    * AQE coalesces them against the same layout. */
   def funnel(s: SparkSession, dir: String): DataFrame = {
     val e = EtlOps.events(s, dir)
       .select(col("user_id"), col("event_type"), col("ts"))
@@ -70,18 +74,22 @@ object AnalyticsOps {
   /** q68 — bigram language-model statistics: count every adjacent token
     * pair, condition on the first token, and report the top
     * [[LmTopK]] bigrams with their add-one-smoothed conditional
-    * probability (c₁₂+1)/(c₁+V). The two count passes share the bigram
-    * frame; V (vocabulary size) is a broadcast scalar. The heavy shuffle
-    * keys on the bigram string with map-side partials — the same shape
-    * that builds n-gram LMs over web-scale corpora. */
+    * probability (c₁₂+1)/(c₁+V). The conditioning denominator c₁ is
+    * DERIVED from the bigram counts (Σ c₁₂ over bigrams starting with
+    * w₁) rather than re-counted from the corpus, so the heavy data is
+    * scanned once for the bigram aggregate and once for the (distinct-
+    * token) vocabulary scalar — the c₁ roll-up touches only the already-
+    * aggregated bigram table. The bigram shuffle keys on the gram string
+    * with map-side partials — the shape that builds n-gram LMs over
+    * web-scale corpora. */
   def bigramLm(s: SparkSession, dir: String): DataFrame = {
-    val grams = t(s, dir, "documents")
+    val c12 = t(s, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
       .select(explode(expr(DedupOps.wordGramArrayExpr(2))).as("bigram"))
       .withColumn("w1", split(col("bigram"), " ")(0))
-    val c12 = grams.groupBy("bigram", "w1")
+      .groupBy("bigram", "w1")
       .agg(count(lit(1)).as("c12"))
-    val c1 = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vocab = t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))

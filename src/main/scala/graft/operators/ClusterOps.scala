@@ -42,6 +42,11 @@ object ClusterOps {
     * re-assign; report per-cluster size and inertia (sum of squared
     * distances to the updated centroid). */
   def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    // v feeds both assignment passes and the centroid update of the ONE
+    // action the caller runs — the cache engages during that execution,
+    // so it cannot be unpersisted here (nothing is materialized yet).
+    // Long-lived sessions reclaim it via clearCache, as Bench/Verify do
+    // per query.
     val v = SimilarityOps.baseVectors(s, dir).persist()
     val c0 = v.filter(col("vec_id") < K)
       .select(col("vec_id").as("cent_id"), col("emb").as("cemb"))

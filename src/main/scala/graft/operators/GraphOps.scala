@@ -48,7 +48,14 @@ object GraphOps {
     * of the undirected graph has degree ≥ 1, so there is no dangling
     * mass and the per-iteration update is exactly
     * r'(v) = 0.15 + 0.85 · Σ_{u→v} r(u)/deg(u). */
-  def pageRank(s: SparkSession, dir: String): DataFrame = {
+  def pageRank(s: SparkSession, dir: String): DataFrame =
+    pageRankRanks(s, dir).orderBy(col("pr").desc, col("node")).limit(TopK)
+
+  /** The full final rank table (one row per node) — q70 takes its
+    * top-[[TopK]]; the spec checks rank-mass conservation on ALL rows
+    * (Σ pr = node count at every damped iteration, up to fixed-point
+    * truncation). */
+  def pageRankRanks(s: SparkSession, dir: String): DataFrame = {
     // e feeds both the degree aggregate and the degree-annotated edge
     // table — persist so the scan+join+distinct runs once
     val e = edges(s, dir).persist()
@@ -81,7 +88,13 @@ object GraphOps {
       ranks.unpersist()
       ranks = next
     }
-    ranks.orderBy(col("pr").desc, col("node")).limit(TopK)
+    // e/ew are dead once the final generation is materialized — free
+    // them so long-lived sessions (libraries, notebooks) don't pin the
+    // edge table in storage; the final ranks cache stays, scoped by the
+    // caller (Bench/Verify clearCache per query)
+    ew.unpersist()
+    e.unpersist()
+    ranks
   }
 
   /** The DuckDB oracle: the identical computation as an unrolled CTE

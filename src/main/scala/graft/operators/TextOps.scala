@@ -149,26 +149,32 @@ object TextOps {
     * engines produce bit-identical doubles (log would hinge on libm
     * parity; the RANKING is identical either way since log is
     * monotonic). The phrase-mining step of tokenizer/LM data prep.
-    * Counts shuffle on the gram key with map-side partials; the two
-    * scalar totals broadcast. */
+    *
+    * Scan discipline: the tokenized corpus persists once and feeds both
+    * the unigram and bigram aggregates; the scalar totals T and B are
+    * DERIVED from those aggregates (Σcu, Σc₁₂) instead of re-scanning,
+    * and the unfiltered bigram counts persist so the support filter and
+    * the B total share one aggregation. Net: one corpus scan, two
+    * shuffles (gram key, token key), two tiny derived scalars. */
   def collocations(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
-    val grams = docs
+    val base = t(s, dir, "documents")
       .withColumn("toks", split(col("text"), " "))
+      .select(col("toks")).persist()
+    val toks = base.select(explode(col("toks")).as("tok"))
+    val c12all = base
       .select(explode(expr(DedupOps.wordGramArrayExpr(2))).as("bigram"))
       .select(col("bigram"),
         split(col("bigram"), " ")(0).as("w1"),
         split(col("bigram"), " ")(1).as("w2"))
-    val c12 = grams.groupBy("bigram", "w1", "w2")
-      .agg(count(lit(1)).as("c12"))
-      .filter(col("c12") >= CollocMinCount)
-    val uni = toks.groupBy("tok").agg(count(lit(1)).as("cu"))
-    val totals = toks.agg(count(lit(1)).as("t_toks"))
-      .crossJoin(grams.agg(count(lit(1)).as("b_grams")))
+      .groupBy("bigram", "w1", "w2")
+      .agg(count(lit(1)).as("c12")).persist()
+    val c12 = c12all.filter(col("c12") >= CollocMinCount)
+    val uniCounts = toks.groupBy("tok").agg(count(lit(1)).as("cu")).persist()
+    val totals = uniCounts.agg(sum(col("cu")).as("t_toks"))
+      .crossJoin(c12all.agg(sum(col("c12")).as("b_grams")))
     c12
-      .join(uni.select(col("tok").as("w1"), col("cu").as("c1")), "w1")
-      .join(uni.select(col("tok").as("w2"), col("cu").as("c2")), "w2")
+      .join(uniCounts.select(col("tok").as("w1"), col("cu").as("c1")), "w1")
+      .join(uniCounts.select(col("tok").as("w2"), col("cu").as("c2")), "w2")
       .crossJoin(broadcast(totals))
       .select(col("bigram"), col("c12"), col("c1"), col("c2"),
         ((col("c12") / col("b_grams")) /

@@ -34,10 +34,10 @@ object Compaction {
     * still intact and stray `._compact_tmp`/`._compact_old` dirs are just
     * deleted. */
   def recover(spark: SparkSession, dir: String): Boolean = {
-    val path = new Path(dir)
+    val path = new Path(dir) // Path normalizes trailing slashes
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new Path(dir + "._compact_old")
-    val tmp = new Path(dir + "._compact_tmp")
+    val old = sibling(path, "._compact_old")
+    val tmp = sibling(path, "._compact_tmp")
     if (!fs.exists(path) && fs.exists(old)) {
       if (!fs.rename(old, path))
         throw new java.io.IOException(s"recover: cannot restore $old to $path")
@@ -53,25 +53,40 @@ object Compaction {
       filesBefore: Int, filesAfter: Int,
       bytesBefore: Long, rows: Long)
 
+  /** Sibling path `<dir><suffix>` built via parent/name so a trailing
+    * slash in the caller's dir string cannot nest the scratch dirs
+    * INSIDE the live directory (Path normalizes the slash; plain string
+    * concat would not — and renaming a dir into its own child fails
+    * mid-swap). */
+  private def sibling(p: Path, suffix: String): Path =
+    if (p.getParent == null) new Path(p.toString + suffix)
+    else new Path(p.getParent, p.getName + suffix)
+
+  /** Names Spark/Hadoop treat as hidden metadata ('_SUCCESS', '.crc',
+    * '._compact_*' debris) — excluded from both the data-size LIST and
+    * the partitioned-layout guard. */
+  private def isHidden(name: String): Boolean =
+    name.startsWith("_") || name.startsWith(".")
+
   def compact(spark: SparkSession, dir: String,
       targetFileBytes: Long = 128L * 1024 * 1024): CompactReport = {
-    val path = new Path(dir)
+    val path = new Path(dir) // normalizes trailing slashes
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = fs.listStatus(path)
     val subdirs = entries.filter(e =>
-      e.isDirectory && !e.getPath.getName.startsWith("_"))
+      e.isDirectory && !isHidden(e.getPath.getName))
     if (subdirs.nonEmpty)
       throw new IllegalArgumentException(
         s"compact: $dir has subdirectories (${subdirs.head.getPath.getName}, " +
           s"…) — partitioned layouts must be compacted per leaf directory")
     val files = entries
-      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .filter(f => f.isFile && !isHidden(f.getPath.getName))
     val bytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
 
     val df = spark.read.parquet(dir)
-    val tmp = new Path(dir + "._compact_tmp")
-    val old = new Path(dir + "._compact_old")
+    val tmp = sibling(path, "._compact_tmp")
+    val old = sibling(path, "._compact_old")
     fs.delete(tmp, true); fs.delete(old, true)
     df.repartition(nOut).write.parquet(tmp.toString)
     val rows = spark.read.parquet(tmp.toString).count()
@@ -86,7 +101,7 @@ object Compaction {
     fs.delete(old, true)
 
     val after = fs.listStatus(path)
-      .count(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+      .count(f => f.isFile && !isHidden(f.getPath.getName) &&
         f.getPath.getName.endsWith(".parquet"))
     CompactReport(files.length, after, bytes, rows)
   }

@@ -85,17 +85,20 @@ class AnalyticsOpsSpec extends AnyFunSuite {
   }
 
   test("pagerank conserves total rank mass across iterations") {
-    val e = GraphOps.edges(spark, dir)
-    val n = e.select("src").distinct().count()
-    // full rank table (not top-k): re-run the iteration body via the
-    // public query but validate mass on the complete result
+    val n = GraphOps.edges(spark, dir).select("src").distinct().count()
+    val all = GraphOps.pageRankRanks(spark, dir).collect()
+    assert(all.length == n, "every node keeps a rank row")
+    // each damped iteration redistributes mass without creating or
+    // destroying it: Σ pr = 0.15·n + 0.85·Σ prev = n at every step
+    // (up to the floor(x·1e12) fixed-point truncation per edge)
+    val mass = all.map(_.getDouble(1)).sum
+    assert(math.abs(mass - n) < 1e-3 * n,
+      s"rank mass $mass drifted from node count $n")
+    assert(all.forall(_.getDouble(1) > 0.15), "damping floor holds")
     val top = GraphOps.pageRank(spark, dir).collect()
     assert(top.length == GraphOps.TopK)
-    assert(top.forall(_.getDouble(1) > 0.15), "damping floor holds")
-    // ranks are sorted descending
     val prs = top.map(_.getDouble(1)).toSeq
     assert(prs.zip(prs.tail).forall { case (a, b) => a >= b })
-    assert(n > 0)
   }
 
   test("scd2: versions tile each user's history, one open interval per user") {

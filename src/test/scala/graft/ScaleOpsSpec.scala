@@ -92,6 +92,43 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionization: marker TTL evicts state and numbering restarts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess3").toString
+    def batch(rows: (Long, Long, String)*): Unit =
+      rows.toSeq.toDF("event_id", "user_id", "s")
+        .select(col("event_id"), col("user_id"),
+          col("s").cast("timestamp").as("ts"))
+        .write.mode("append").parquet(s"$tmp/in")
+    batch((1L, 1L, "2024-01-01 00:00:00"))
+    val schema = spark.read.parquet(s"$tmp/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
+      .withWatermark("ts", "0 seconds")
+      .as[ScaleOps.EvT]
+    val q = ScaleOps.sessionizeStreaming(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess3_out").start()
+    try {
+      q.processAllAvailable()
+      batch((2L, 999L, "2024-02-01 00:00:00")) // wm past gap → closes u1 s1,
+      q.processAllAvailable()                  // marker armed wm + 24h TTL
+      batch((3L, 998L, "2024-03-01 00:00:00")) // wm past the TTL → marker
+      q.processAllAvailable()                  // evicted (no data for u1)
+      batch((4L, 1L, "2024-04-01 00:00:00"))   // u1 returns AFTER eviction
+      q.processAllAvailable()
+      batch((5L, 997L, "2024-05-01 00:00:00")) // closes u1's new session
+      q.processAllAvailable()
+      val u1 = spark.table("sess3_out").filter(col("user_id") === 1L)
+        .select("session_idx").collect().map(_.getLong(0)).toSeq
+      // the documented TTL trade-off: numbering restarted at 1 — the
+      // marker was REMOVED, proving state does not grow with all-time
+      // user cardinality. (Contrast sess2's within-TTL continuation.)
+      assert(u1 == Seq(1L, 1L),
+        s"expected restart-at-1 after marker TTL eviction, got $u1")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization equals the window-function form") {
     val windowed = ScaleOps.sessionize(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
