@@ -97,6 +97,14 @@ object SparkEntry {
     "q77_collocations"       -> (TextOps.collocations _),
     "q78_cdc_apply"          -> (AnalyticsOps.cdcApply _),
     "q79_kmeans_step"        -> (ClusterOps.kmeansStep _),
+    "q80_cohort_retention"   -> (TimeSeriesOps.cohortRetention _),
+    "q81_rolling_distinct"   -> (TimeSeriesOps.rollingDistinctUsers _),
+    "q82_gap_fill"           -> (TimeSeriesOps.gapFillForwardFill _),
+    "q83_ewma"               -> (TimeSeriesOps.ewma _),
+    "q84_feature_hash"       -> (MlPrepOps.featureHash _),
+    "q85_boilerplate"        -> (MlPrepOps.boilerplateRemoval _),
+    "q86_knn_graph"          -> (GraphOps.knnGraphStats _),
+    "q87_histogram"          -> (ProfileOps.valueHistogram _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -702,5 +710,123 @@ object SparkEntry {
          |ORDER BY user_id""".stripMargin
     },
     "q79_kmeans_step" -> ClusterOps.kmeansOracle,
+    // q80: week index = day-diff div 7 from a fixed anchor — engine week
+    // truncation semantics (ISO vs locale) never enter
+    "q80_cohort_retention" -> {
+      val a = TimeSeriesOps.CohortAnchor
+      s"""WITH uw AS (SELECT DISTINCT user_id,
+         |    (CAST(ts AS DATE) - DATE '$a') // 7 AS wk FROM events),
+         |c AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id),
+         |sz AS (SELECT cohort_wk, count(*) AS cohort_n FROM c GROUP BY cohort_wk),
+         |act AS (SELECT c.cohort_wk, uw.wk - c.cohort_wk AS week_offset,
+         |    count(*) AS n_active
+         |  FROM uw JOIN c USING (user_id) GROUP BY 1, 2)
+         |SELECT act.cohort_wk, act.week_offset, act.n_active,
+         |  act.n_active / sz.cohort_n AS retention
+         |FROM act JOIN sz USING (cohort_wk)
+         |ORDER BY cohort_wk, week_offset""".stripMargin
+    },
+    // q81: the oracle states the rolling distinct declaratively (range
+    // predicate); the Spark plan explodes each user-day into its ≤7
+    // windows — same result, linear shuffle
+    "q81_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |days AS (SELECT DISTINCT d FROM ud),
+        |dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d)
+        |SELECT days.d AS day, dau.dau,
+        |  (SELECT count(DISTINCT u.user_id) FROM ud u
+        |   WHERE u.d BETWEEN days.d - 6 AND days.d) AS u7
+        |FROM days JOIN dau ON dau.d = days.d
+        |ORDER BY day""".stripMargin,
+    "q82_gap_fill" ->
+      """WITH o AS (SELECT o_orderpriority AS prio,
+        |    CAST(o_orderdate AS DATE) AS day, o_totalprice FROM orders),
+        |daily AS (SELECT prio, day, count(*) AS n_orders,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+        |  FROM o GROUP BY prio, day),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM o),
+        |spine AS (SELECT p.prio, CAST(unnest(generate_series(b.lo, b.hi,
+        |    INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM (SELECT DISTINCT prio FROM o) p, b)
+        |SELECT s.prio, s.day, coalesce(d.n_orders, 0) AS n_orders,
+        |  last_value(d.rev IGNORE NULLS) OVER (PARTITION BY s.prio
+        |    ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS rev_ffill,
+        |  d.rev IS NULL AS is_gap
+        |FROM spine s LEFT JOIN daily d USING (prio, day)
+        |ORDER BY prio, day""".stripMargin,
+    // q83: weights are 1/2^k (exact scaling); terms quantized
+    // floor(·10¹²) and summed as BIGINT — order-free on both engines
+    "q83_ewma" -> {
+      val n = TimeSeriesOps.EwmaN
+      s"""WITH r AS (SELECT user_id, value, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rd
+         |  FROM events),
+         |f AS (SELECT user_id, value, rd FROM r WHERE rd <= $n),
+         |nu AS (SELECT user_id, count(*) AS nu FROM f GROUP BY user_id),
+         |t AS (SELECT f.user_id, f.value, nu.nu,
+         |    CASE WHEN f.rd = nu.nu THEN nu.nu - 1 ELSE f.rd END AS k
+         |  FROM f JOIN nu USING (user_id))
+         |SELECT user_id, max(nu) AS n_used,
+         |  CAST(sum(CAST(floor(value * (1.0 / CAST((CAST(1 AS BIGINT) << k)
+         |    AS DOUBLE)) * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+         |    / 1000000000000.0 AS ewma
+         |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+    "q84_feature_hash" -> {
+      val d = MlPrepOps.HashDim
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS fp FROM tok),
+         |f AS (SELECT doc_id, fp % $d AS bucket,
+         |    (fp // $d) % 2 * 2 - 1 AS sign FROM h)
+         |SELECT doc_id, bucket, count(*) AS cnt,
+         |  CAST(sum(sign) AS BIGINT) AS signed_cnt
+         |FROM f GROUP BY doc_id, bucket
+         |ORDER BY doc_id, bucket""".stripMargin
+    },
+    // q85: segments are 1-based inclusive-end list slices in DuckDB ≡
+    // Spark slice(toks, s+1, w); string_agg over zero surviving
+    // segments is NULL, matching the Spark when(n_kept > 0, …) guard
+    "q85_boilerplate" -> {
+      val (w, m) = (MlPrepOps.BoilerSegTokens, MlPrepOps.BoilerMinDocs)
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |u AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         |c AS (SELECT doc_id, unnest(range(0, n, $w)) AS s, toks FROM u),
+         |g AS (SELECT doc_id, s,
+         |    array_to_string(toks[s + 1:s + $w], ' ') AS seg FROM c),
+         |f AS (SELECT doc_id, s, seg, md5(seg) AS fp FROM g),
+         |bl AS (SELECT fp FROM f GROUP BY fp
+         |  HAVING count(DISTINCT doc_id) >= $m),
+         |mk AS (SELECT f.*, fp IN (SELECT fp FROM bl) AS is_boiler FROM f)
+         |SELECT doc_id, count(*) AS n_seg,
+         |  CAST(sum(CASE WHEN is_boiler THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_kept,
+         |  md5(string_agg(CASE WHEN is_boiler THEN NULL ELSE seg END,
+         |    ' ' ORDER BY s)) AS clean_md5
+         |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+    "q86_knn_graph" -> GraphOps.knnGraphOracle,
+    "q87_histogram" -> {
+      val nb = ProfileOps.HistBins
+      s"""WITH e AS (SELECT event_type, value FROM events),
+         |st AS (SELECT event_type, min(value) AS vmin, max(value) AS vmax
+         |  FROM e GROUP BY event_type),
+         |bi AS (SELECT e.event_type,
+         |    CASE WHEN st.vmax = st.vmin THEN 0
+         |      ELSE least(${nb - 1}, CAST(floor((e.value - st.vmin)
+         |        / (st.vmax - st.vmin) * $nb.0) AS BIGINT)) END AS bin
+         |  FROM e JOIN st USING (event_type)),
+         |cn AS (SELECT event_type, bin, count(*) AS cnt
+         |  FROM bi GROUP BY event_type, bin)
+         |SELECT cn.event_type, cn.bin,
+         |  st.vmin + cn.bin * ((st.vmax - st.vmin) / $nb) AS bin_lo,
+         |  st.vmin + (cn.bin + 1) * ((st.vmax - st.vmin) / $nb) AS bin_hi,
+         |  cn.cnt
+         |FROM cn JOIN st USING (event_type)
+         |ORDER BY event_type, bin""".stripMargin
+    },
   )
 }

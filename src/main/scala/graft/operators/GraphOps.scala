@@ -118,4 +118,111 @@ object GraphOps {
        |SELECT node, pr FROM r$Iterations
        |ORDER BY pr DESC, node LIMIT $TopK""".stripMargin
   }
+
+  // --- q86: mutual-kNN graph clustering ---------------------------------
+
+  /** kNN-graph corpus cap and neighbor count. The cap keeps the exact
+    * all-pairs kNN build quadratic-but-small for the verifier; the
+    * 100 TB build swaps in the LSH/IVF candidate generation (q35/q43)
+    * and the graph math below is unchanged. */
+  val KnnCap = 256
+  val KnnK = 6
+
+  /** q86 — local clustering structure of the mutual-kNN embedding
+    * graph: connect vectors that list EACH OTHER in their top-[[KnnK]]
+    * cosine neighbors, then per node report degree, triangle count, and
+    * local clustering coefficient 2·tri/(deg·(deg−1)) — the standard
+    * embedding-space cohesion diagnostic (a high coefficient marks
+    * tight near-dup clusters; a near-zero one, uniform noise).
+    *
+    * Distributed shape: the kNN pass is the q34 broadcast pattern; the
+    * mutuality check and the triangle join key on edge endpoints — the
+    * mutual edge set is ~k·n and sparse BY CONSTRUCTION (mutual top-k
+    * bounds degree at k), which is what keeps the triangle join linear
+    * in edges where a co-occurrence projection explodes.
+    *
+    * Parity: cosine chains are the generated fixed-order expressions;
+    * degree/triangle counts are BIGINT; the coefficient is one
+    * BIGINT/BIGINT float division on both engines. */
+  def knnGraphStats(s: SparkSession, dir: String): DataFrame = {
+    val v = SimilarityOps.withNorm(
+      SimilarityOps.baseVectors(s, dir).filter(col("vec_id") < KnnCap))
+    val a = v.select(col("vec_id").as("qa"), col("emb").as("emb_a"),
+      col("norm").as("norm_a"))
+    val b = v.select(col("vec_id").as("qb"), col("emb").as("emb_b"),
+      col("norm").as("norm_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qa")).orderBy(col("cos").desc, col("qb"))
+    val knn = a.crossJoin(b).filter(col("qa") =!= col("qb"))
+      .selectExpr("qa", "qb",
+        "dot_product(emb_a, emb_b) / (norm_a * norm_b) AS cos")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KnnK)
+      .select("qa", "qb")
+    // mut feeds the degree union twice and the triangle join three
+    // times — persist so the quadratic kNN subtree runs once (cache
+    // engages during the caller's one action; Bench/Verify clearCache
+    // per query)
+    val mut = knn.as("x")
+      .join(knn.as("y"),
+        col("x.qa") === col("y.qb") && col("x.qb") === col("y.qa"))
+      .filter(col("x.qa") < col("x.qb"))
+      .select(col("x.qa").as("s1"), col("x.qb").as("s2"))
+      .persist()
+    val tri = mut.as("e1")
+      .join(mut.as("e2"), col("e1.s2") === col("e2.s1"))
+      .join(mut.as("e3"),
+        col("e3.s1") === col("e1.s1") && col("e3.s2") === col("e2.s2"))
+      .select(col("e1.s1").as("ta"), col("e1.s2").as("tb"),
+        col("e2.s2").as("tc"))
+    val deg = mut.select(col("s1").as("node"))
+      .unionAll(mut.select(col("s2").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tn = tri.select(col("ta").as("node"))
+      .unionAll(tri.select(col("tb").as("node")))
+      .unionAll(tri.select(col("tc").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(tn, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coef",
+        when(col("deg") >= 2,
+          (lit(2) * col("n_tri")) / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)))
+      .orderBy("node")
+  }
+
+  /** The DuckDB oracle for q86: the same kNN → mutual → triangle
+    * pipeline with the generated fixed-order cosine chains. */
+  def knnGraphOracle: String = {
+    import VecSql.dot
+    s"""WITH v0 AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings WHERE vec_id < $KnnCap),
+       |v AS (SELECT vec_id, emb,
+       |    sqrt(${dot("emb", "emb", spark = false)}) AS norm FROM v0),
+       |s AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+       |    (${dot("a.emb", "b.emb", spark = false)}) / (a.norm * b.norm) AS cos
+       |  FROM v a, v b WHERE a.vec_id <> b.vec_id),
+       |r AS (SELECT qa, qb, row_number() OVER (
+       |    PARTITION BY qa ORDER BY cos DESC, qb) AS rnk FROM s),
+       |knn AS (SELECT qa, qb FROM r WHERE rnk <= $KnnK),
+       |mut AS (SELECT x.qa AS s1, x.qb AS s2 FROM knn x
+       |  JOIN knn y ON x.qa = y.qb AND x.qb = y.qa WHERE x.qa < x.qb),
+       |tr3 AS (SELECT e1.s1 AS ta, e1.s2 AS tb, e2.s2 AS tc
+       |  FROM mut e1 JOIN mut e2 ON e1.s2 = e2.s1
+       |  JOIN mut e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2),
+       |dg AS (SELECT node, count(*) AS deg FROM (
+       |    SELECT s1 AS node FROM mut UNION ALL SELECT s2 FROM mut) u
+       |  GROUP BY node),
+       |tn AS (SELECT node, count(*) AS n_tri FROM (
+       |    SELECT ta AS node FROM tr3 UNION ALL SELECT tb FROM tr3
+       |    UNION ALL SELECT tc FROM tr3) u
+       |  GROUP BY node)
+       |SELECT dg.node, dg.deg, coalesce(tn.n_tri, 0) AS n_tri,
+       |  CASE WHEN dg.deg >= 2
+       |    THEN (2 * coalesce(tn.n_tri, 0)) / (dg.deg * (dg.deg - 1))
+       |    ELSE 0.0 END AS coef
+       |FROM dg LEFT JOIN tn USING (node) ORDER BY node""".stripMargin
+  }
 }

@@ -82,4 +82,41 @@ object ProfileOps {
           col("exact_parts") * 0.15).as("parts_within_3sigma"),
         (abs(col("ao") - col("exact_orders")) <=
           col("exact_orders") * 0.15).as("orders_within_3sigma"))
+
+  // --- q87: equi-width histogram ----------------------------------------
+
+  val HistBins = 10
+
+  /** q87 — per-group equi-width histogram: [[HistBins]] bins over each
+    * event type's value range, with bin bounds derived from the group's
+    * min/max. Two passes over the fact table, zero shuffles of it: the
+    * per-type min/max aggregate is map-side-partial and tiny, broadcast
+    * back for binning, and the (type, bin) count aggregate has ≤
+    * types×bins groups. The profile histogram every data-quality
+    * dashboard draws, at any scale.
+    *
+    * Parity: bin = least(9, floor((v−min)/(max−min)·10)) is one fixed
+    * op order; Spark's floor(double) is already LONG, DuckDB's stays
+    * DOUBLE until the integral-exact BIGINT cast; bounds are per-row
+    * double arithmetic with identical order. */
+  def valueHistogram(s: SparkSession, dir: String): DataFrame = {
+    val e = EtlOps.events(s, dir).select(col("event_type"), col("value"))
+    val stats = e.groupBy("event_type")
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val binned = e.join(broadcast(stats), "event_type")
+      .withColumn("bin",
+        when(col("vmax") === col("vmin"), 0L)
+          .otherwise(least(lit((HistBins - 1).toLong),
+            expr(s"CAST(floor((value - vmin) / (vmax - vmin) * $HistBins.0) AS BIGINT)"))))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("cnt"))
+    binned.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("bin"),
+        (col("vmin") + col("bin") * ((col("vmax") - col("vmin")) / HistBins))
+          .as("bin_lo"),
+        (col("vmin") + (col("bin") + 1) * ((col("vmax") - col("vmin")) / HistBins))
+          .as("bin_hi"),
+        col("cnt"))
+      .orderBy("event_type", "bin")
+  }
 }

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Time-indexed analytics over the event stream and order history:
+  * cohort retention, sliding-window distinct users, calendar gap-fill
+  * with forward-fill, and exponentially-weighted smoothing.
+  *
+  * These generalize the reference's freshness monitor
+  * (`check_bucket_latest_folders.py:52-62` — "latest date per group")
+  * from a single max-date scalar to the full time-bucketed shapes a
+  * training-data pipeline reports daily.
+  *
+  * Scale stance: every operator shuffles on a (key, time-bucket) pair
+  * with map-side partial aggregation. The sliding distinct avoids the
+  * O(days²) self-join by EXPLODING each observation into the ≤7 windows
+  * it participates in (shuffle volume = 7× the distinct user-day table,
+  * constant factor, not quadratic); the calendar spine is generated, not
+  * scanned; the EWMA turns a sequential recurrence into one windowed
+  * fixed-point sum so it needs no iterative driver loop.
+  *
+  * Parity: dates use day arithmetic only (no engine week semantics);
+  * counts are BIGINT; ratios are one BIGINT/BIGINT float division;
+  * EWMA weights are powers of two (exact scaling) summed in fixed-point.
+  */
+object TimeSeriesOps {
+
+  import EtlOps.t
+
+  /** Cohort-week anchor: the Monday the synthetic event stream starts.
+    * Week indices are `(day - anchor) div 7` on BOTH engines — engine
+    * week-truncation (ISO vs locale) never enters. */
+  val CohortAnchor = "2024-01-01"
+
+  // --- q80: cohort retention ---------------------------------------------
+
+  /** q80 — weekly cohort retention: users bucketed by first-active week,
+    * then for every (cohort, later week) the fraction of the cohort
+    * still active. The canonical product-analytics triangle matrix.
+    *
+    * Distributed shape: one distinct on (user, week) — the only pass
+    * over raw events — then a per-user min-aggregate and a user-keyed
+    * join, all partitioned on user_id so the exchanges chain on one
+    * layout; the final (cohort, offset) aggregate and the cohort-size
+    * table are tiny. At 100 TB the raw scan happens once. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    // uw (distinct user-weeks — orders of magnitude smaller than raw
+    // events) feeds both the cohort min-aggregate and the activity join:
+    // persist so the raw scan + distinct shuffle run once
+    val uw = EtlOps.events(s, dir)
+      .select(col("user_id"),
+        expr(s"CAST(datediff(CAST(ts AS DATE), DATE'$CohortAnchor') div 7 AS BIGINT)")
+          .as("wk"))
+      .distinct()
+      .persist()
+    val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    val sizes = cohort.groupBy("cohort_wk")
+      .agg(count(lit(1)).as("cohort_n"))
+    uw.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_wk")
+      .select(col("cohort_wk"), col("week_offset"), col("n_active"),
+        (col("n_active") / col("cohort_n")).as("retention"))
+      .orderBy("cohort_wk", "week_offset")
+  }
+
+  // --- q81: sliding-window distinct users --------------------------------
+
+  /** q81 — DAU and trailing-7-day distinct users per active day. The
+    * rolling distinct cannot be a window aggregate (no DISTINCT inside
+    * frames on either engine); the scalable form explodes each distinct
+    * user-day into the ≤7 window days it serves, then one
+    * (window-day)-keyed distinct count. Shuffle volume is 7× the
+    * user-day table — linear, where the naive day×day range self-join
+    * is quadratic in the calendar and rescans users per day. */
+  def rollingDistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    // ud feeds the day list, the DAU aggregate, and the window explode —
+    // persist the (small) distinct user-day table so raw events are
+    // scanned once
+    val ud = EtlOps.events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("d"))
+      .distinct()
+      .persist()
+    val days = ud.select(col("d")).distinct()
+    val dau = ud.groupBy("d").agg(count(lit(1)).as("dau"))
+    val contrib = ud.select(col("user_id"),
+      explode(expr("sequence(d, date_add(d, 6))")).as("wd"))
+    contrib.join(days.withColumnRenamed("d", "wd"), "wd")
+      .groupBy(col("wd").as("day"))
+      .agg(countDistinct(col("user_id")).as("u7"))
+      .join(dau.withColumnRenamed("d", "day"), "day")
+      .select(col("day"), col("dau"), col("u7"))
+      .orderBy("day")
+  }
+
+  // --- q82: calendar gap-fill + forward fill -----------------------------
+
+  /** q82 — per-priority daily order revenue on a complete calendar
+    * spine: missing days appear with n_orders = 0 and the last known
+    * revenue carried forward (the standard time-series densification
+    * before any per-day model sees the data).
+    *
+    * The spine is GENERATED (sequence over the global min/max date ×
+    * distinct priorities) — never scanned; the left join keys on
+    * (priority, day); the forward fill is one window pass per priority.
+    * Parity: revenue sums go through DECIMAL then one double cast, and
+    * the filled value is a straight copy of an already-exact double. */
+  def gapFillForwardFill(s: SparkSession, dir: String): DataFrame = {
+    // one scan of the fact table: bounds and the priority list derive
+    // from the (tiny) daily aggregate, not from re-reading orders
+    val daily = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        col("o_orderdate").cast("date").as("day"),
+        col("o_totalprice"))
+      .groupBy("prio", "day")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,4)"))
+          .cast("double").as("rev"))
+      .persist()
+    val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = daily.select("prio").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("prio"), explode(expr("sequence(lo, hi)")).as("day"))
+    val w = Window.partitionBy(col("prio")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("prio", "day"), "left")
+      .select(col("prio"), col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        last(col("rev"), ignoreNulls = true).over(w).as("rev_ffill"),
+        col("rev").isNull.as("is_gap"))
+      .orderBy("prio", "day")
+  }
+
+  // --- q83: exponentially-weighted moving average ------------------------
+
+  /** EWMA lookback: only the newest [[EwmaN]] events per user enter the
+    * average — beyond that, α = ½ weights are below 2⁻³¹ and the
+    * contribution is sub-ulp anyway. Bounding the window also bounds the
+    * weight exponent so the power-of-two weight stays an exact BIGINT
+    * shift. */
+  val EwmaN = 32
+
+  /** q83 — per-user EWMA of event values with α = ½. The recurrence
+    * ewma_t = ½·x_t + ½·ewma_{t-1} unrolls to Σ wᵢ·xᵢ with weights
+    * ½, ¼, … (newest first; the oldest term keeps the closing ½ⁿ⁻¹):
+    * a SEQUENTIAL definition turned into one order-free aggregate, which
+    * is what makes it distributable — one shuffle on user_id, no
+    * iteration.
+    *
+    * Parity: each weight is 1/2ᵏ (exact double scaling — multiplying by
+    * a power of two never rounds); each term is quantized
+    * floor(term·10¹²) and summed as BIGINT, so the sum is exact and
+    * order-independent on both engines (the double→DECIMAL cast would
+    * round in Spark but truncate in DuckDB). */
+  def ewma(s: SparkSession, dir: String): DataFrame = {
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val recent = EtlOps.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      .withColumn("rd", row_number().over(wDesc))
+      .filter(col("rd") <= EwmaN)
+    val n = Window.partitionBy(col("user_id"))
+    recent
+      .withColumn("nu", count(lit(1)).over(n))
+      .withColumn("k",
+        when(col("rd") === col("nu"), col("nu") - 1).otherwise(col("rd")))
+      .withColumn("term", expr(
+        "CAST(floor(value * (1.0 / CAST(shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(k AS INT)) AS DOUBLE)) * 1000000000000.0) AS BIGINT)"))
+      .groupBy("user_id")
+      .agg(max(col("nu")).as("n_used"),
+        (sum(col("term")).cast("double") / 1000000000000.0).as("ewma"))
+      .orderBy("user_id")
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{EtlOps, GraphOps, MlPrepOps, ProfileOps, TimeSeriesOps}
+
+/** Property tests for the q80-q87 batch: invariants the DuckDB oracle
+  * cannot express (cross-row conservation laws, recurrence equivalence,
+  * graph-theoretic bounds). */
+class TimeSeriesOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = TestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("cohort retention: offset-0 retention is exactly 1 and cohorts partition users") {
+    val r = TimeSeriesOps.cohortRetention(spark, dir).collect()
+    val atZero = r.filter(_.getLong(1) == 0L)
+    assert(atZero.nonEmpty)
+    // every user is active in their own cohort week by construction
+    atZero.foreach(row => assert(row.getDouble(3) == 1.0,
+      s"cohort ${row.getLong(0)} offset-0 retention ${row.getDouble(3)}"))
+    // cohort sizes sum to the distinct-user count
+    val users = EtlOps.events(spark, dir)
+      .select("user_id").distinct().count()
+    val cohortSizes = r.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    assert(cohortSizes == users)
+    // retention never exceeds 1
+    r.foreach(row => assert(row.getDouble(3) <= 1.0))
+  }
+
+  test("rolling distinct: u7 bounds — at least dau, at most total users, monotone under window growth") {
+    val rows = TimeSeriesOps.rollingDistinctUsers(spark, dir).collect()
+    val total = EtlOps.events(spark, dir).select("user_id").distinct().count()
+    rows.foreach { r =>
+      val (dau, u7) = (r.getLong(1), r.getLong(2))
+      assert(u7 >= dau, s"day ${r.get(0)}: u7 $u7 < dau $dau")
+      assert(u7 <= total)
+    }
+  }
+
+  test("gap fill: spine is complete per priority, zero-filled gaps, ffill matches last seen") {
+    val rows = TimeSeriesOps.gapFillForwardFill(spark, dir).collect()
+    val byPrio = rows.groupBy(_.getString(0))
+    val nDays = byPrio.values.map(_.length).toSet
+    assert(nDays.size == 1, s"priorities disagree on spine length: $nDays")
+    byPrio.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getDate(1).toString)
+      var lastRev: Option[Double] = None
+      sorted.foreach { r =>
+        val isGap = r.getBoolean(4)
+        if (isGap) {
+          assert(r.getLong(2) == 0L, "gap day with nonzero order count")
+          // forward fill carries the last seen value (null before any)
+          if (lastRev.isEmpty) assert(r.isNullAt(3))
+          else assert(r.getDouble(3) == lastRev.get)
+        } else {
+          assert(r.getLong(2) > 0L)
+          lastRev = Some(r.getDouble(3))
+        }
+      }
+    }
+  }
+
+  test("ewma: equals the sequential recurrence applied per user") {
+    val got = TimeSeriesOps.ewma(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // recompute the textbook recurrence driver-side (oldest → newest)
+    val events = EtlOps.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getTimestamp(3).getTime))
+    events.groupBy(_._1).foreach { case (uid, rows) =>
+      val recent = rows.sortBy(r => (-r._4, -r._2)).take(TimeSeriesOps.EwmaN)
+        .reverse // oldest first
+      var e = recent.head._3
+      recent.tail.foreach(r => e = 0.5 * r._3 + 0.5 * e)
+      val (nUsed, gotE) = got(uid)
+      assert(nUsed == recent.length)
+      // fixed-point quantization floors each term at 1e-12: n terms ⇒
+      // at most n ulps of slack vs the float recurrence
+      assert(math.abs(gotE - e) < 1e-9,
+        s"user $uid: ewma $gotE vs recurrence $e")
+    }
+  }
+
+  test("feature hash: per-doc bucket counts sum to token count; signed bounded by cnt") {
+    val rows = MlPrepOps.featureHash(spark, dir).collect()
+    rows.foreach { r =>
+      val (cnt, signed) = (r.getLong(2), r.getLong(3))
+      assert(math.abs(signed) <= cnt)
+      assert((cnt - math.abs(signed)) % 2 == 0,
+        "cnt and |signed| must have equal parity (sum of ±1)")
+      assert(r.getLong(1) >= 0 && r.getLong(1) < MlPrepOps.HashDim)
+    }
+    val perDoc = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    val tokCounts = EtlOps.t(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    perDoc.foreach { case (doc, n) => assert(n == tokCounts(doc)) }
+  }
+
+  test("boilerplate: kept ≤ total; segments shared by ≥2 docs are exactly the dropped ones") {
+    val rows = MlPrepOps.boilerplateRemoval(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var dropped = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      dropped += r.getLong(1) - r.getLong(2)
+      // clean_md5 is null iff nothing survived
+      assert(r.isNullAt(3) == (r.getLong(2) == 0L))
+    }
+    assert(dropped > 0, "synthetic corpus repeats trigrams; expected boilerplate")
+  }
+
+  test("knn graph: mutual degree ≤ k, triangle handshake, coefficient in [0,1]") {
+    val rows = GraphOps.knnGraphStats(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var triSum = 0L
+    rows.foreach { r =>
+      val (deg, tri, coef) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(deg >= 1 && deg <= GraphOps.KnnK,
+        s"mutual-kNN degree $deg outside [1, ${GraphOps.KnnK}]")
+      assert(coef >= 0.0 && coef <= 1.0)
+      triSum += tri
+    }
+    // every triangle contributes to exactly 3 nodes
+    assert(triSum % 3 == 0, s"per-node triangle sum $triSum not divisible by 3")
+    assert(triSum > 0, "embedding kNN graph should close some triangles")
+  }
+
+  test("histogram: per-type counts conserve rows; bins cover [min,max]") {
+    val rows = ProfileOps.valueHistogram(spark, dir).collect()
+    val n = EtlOps.events(spark, dir).count()
+    assert(rows.map(_.getLong(4)).sum == n)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      rs.foreach { r =>
+        assert(r.getLong(1) >= 0 && r.getLong(1) < ProfileOps.HistBins)
+        assert(r.getDouble(2) < r.getDouble(3), "empty-width bin")
+      }
+    }
+  }
+}
