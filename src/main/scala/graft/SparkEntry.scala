@@ -105,6 +105,9 @@ object SparkEntry {
     "q85_boilerplate"        -> (MlPrepOps.boilerplateRemoval _),
     "q86_knn_graph"          -> (GraphOps.knnGraphStats _),
     "q87_histogram"          -> (ProfileOps.valueHistogram _),
+    "q88_inverted_index"     -> (MlPrepOps.invertedIndex _),
+    "q89_winsorized_mean"    -> (AnalyticsOps.winsorizedMean _),
+    "q90_group_ols"          -> (AnalyticsOps.groupOls _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -809,6 +812,68 @@ object SparkEntry {
          |FROM mk GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
     "q86_knn_graph" -> GraphOps.knnGraphOracle,
+    "q88_inverted_index" -> {
+      val cap = MlPrepOps.PostingsCap
+      s"""WITH tf AS (SELECT term, doc_id, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |    FROM documents) u
+         |  GROUP BY term, doc_id),
+         |st AS (SELECT term, count(*) AS df,
+         |    CAST(sum(tf) AS BIGINT) AS tf_total FROM tf GROUP BY term),
+         |r AS (SELECT term, doc_id, tf, row_number() OVER (
+         |    PARTITION BY term ORDER BY doc_id) AS rn FROM tf),
+         |hd AS (SELECT term, string_agg(
+         |    CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+         |    ',' ORDER BY doc_id) AS postings_head
+         |  FROM r WHERE rn <= $cap GROUP BY term)
+         |SELECT st.term, st.df, st.tf_total, hd.postings_head
+         |FROM st JOIN hd USING (term) ORDER BY term""".stripMargin
+    },
+    "q89_winsorized_mean" ->
+      """WITH r AS (SELECT event_type, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |b AS (SELECT event_type,
+        |    max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT)
+        |      THEN value END) AS p05,
+        |    max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+        |      THEN value END) AS p95
+        |  FROM r GROUP BY event_type)
+        |SELECT r.event_type, count(*) AS n,
+        |  CAST(sum(CAST(r.value AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |    AS mean_raw,
+        |  CAST(sum(CAST(least(greatest(r.value, b.p05), b.p95)
+        |    AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_winsor,
+        |  CAST(sum(CASE WHEN r.value < b.p05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CASE WHEN r.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi
+        |FROM r JOIN b USING (event_type)
+        |GROUP BY r.event_type ORDER BY event_type""".stripMargin,
+    // q90: moment sums are fixed-point BIGINT (floor(v·10⁹)) — exact and
+    // order-free; the closed form then runs one identical double op
+    // order on both engines
+    "q90_group_ols" -> {
+      val (a, sc) = (TimeSeriesOps.CohortAnchor, "1000000000.0")
+      s"""WITH e AS (SELECT event_type, value,
+         |    CAST(CAST(ts AS DATE) - DATE '$a' AS BIGINT) AS x FROM events),
+         |m AS (SELECT event_type, count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(CAST(floor(value * $sc) AS BIGINT)) AS BIGINT) AS sy_fp,
+         |    CAST(sum(CAST(floor(CAST(x AS DOUBLE) * value * $sc) AS BIGINT))
+         |      AS BIGINT) AS sxy_fp
+         |  FROM e GROUP BY event_type),
+         |s AS (SELECT event_type, n, sx, sy_fp / $sc AS sy,
+         |    (n * (sxy_fp / $sc) - sx * (sy_fp / $sc)) /
+         |      (n * sxx - sx * sx) AS slope
+         |  FROM m)
+         |SELECT event_type, n, slope,
+         |  (sy - slope * sx) / n AS intercept
+         |FROM s ORDER BY event_type""".stripMargin
+    },
     "q87_histogram" -> {
       val nb = ProfileOps.HistBins
       s"""WITH e AS (SELECT event_type, value FROM events),

@@ -269,4 +269,94 @@ object AnalyticsOps {
         col("z"))
       .orderBy("event_id")
   }
+
+  // --- q89: winsorized robust mean --------------------------------------
+
+  /** q89 — winsorized mean per event type: exact rank-based p05/p95
+    * (the q49 integer-position pick — no float interpolation), every
+    * value clamped into [p05, p95], then the robust mean next to the raw
+    * one with clip counts. The outlier-trimming step a metrics pipeline
+    * applies before averaging heavy-tailed telemetry.
+    *
+    * Distributed shape: one windowed rank pass per group (partition-
+    * parallel), the tiny per-group bounds broadcast back, one aggregate.
+    * Parity: bound picking is integer row selection; clamping is exact
+    * double comparison (least/greatest); both means are DECIMAL sums
+    * divided once. */
+  def winsorizedMean(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    // one scan: the ranked table feeds both the bound pick and the
+    // clamped aggregate (persist so the sort-window runs once)
+    val ranked = EtlOps.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        row_number().over(w).cast("bigint").as("rn"),
+        count(lit(1)).over(wAll).as("n"))
+      .persist()
+    def pick(p: Double) = max(when(
+      col("rn") === ceil(lit(p) * col("n")).cast("bigint"), col("value")))
+    val bounds = ranked.groupBy("event_type")
+      .agg(pick(0.05).as("p05"), pick(0.95).as("p95"))
+    ranked.select(col("event_type"), col("value"))
+      .join(broadcast(bounds), "event_type")
+      .withColumn("wv", least(greatest(col("value"), col("p05")), col("p95")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("mean_raw"),
+        (sum(col("wv").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("mean_winsor"),
+        sum(when(col("value") < col("p05"), 1L).otherwise(0L))
+          .as("n_clip_lo"),
+        sum(when(col("value") > col("p95"), 1L).otherwise(0L))
+          .as("n_clip_hi"))
+      .orderBy("event_type")
+  }
+
+  // --- q90: group-wise OLS regression -----------------------------------
+
+  /** Fixed-point scale for the regression moment sums: values and
+    * day-indices are small (|xy| < 10⁵), so 10⁹ keeps every summand
+    * exactly representable in BIGINT with 10⁴ headroom on row count
+    * even at sf 100. */
+  val OlsScale = 1e9
+
+  /** q90 — per-group ordinary least squares: regress event value on the
+    * day index, one (slope, intercept, n) row per event type — the
+    * trend-per-segment primitive behind drift dashboards.
+    *
+    * The whole regression is ONE map-side-partial aggregate over exact
+    * fixed-point moment sums (Σx, Σy, Σxy, Σx²) — no window, no second
+    * scan, no driver math; the closed form needs nothing else. Σx/Σx²
+    * are integer-exact by nature; Σy/Σxy quantize per-row as
+    * floor(v·10⁹) (double→DECIMAL would round on Spark but truncate on
+    * DuckDB), so every sum is order-free BIGINT arithmetic and the
+    * closed-form slope/intercept evaluate through one identical double
+    * op order on both engines. */
+  def groupOls(s: SparkSession, dir: String): DataFrame = {
+    val anchor = TimeSeriesOps.CohortAnchor
+    EtlOps.events(s, dir)
+      .select(col("event_type"), col("value"),
+        expr(s"CAST(datediff(CAST(ts AS DATE), DATE'$anchor') AS BIGINT)")
+          .as("x"))
+      .withColumn("y_fp", expr(s"CAST(floor(value * $OlsScale) AS BIGINT)"))
+      .withColumn("xy_fp",
+        expr(s"CAST(floor(CAST(x AS DOUBLE) * value * $OlsScale) AS BIGINT)"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y_fp")).as("sy_fp"),
+        sum(col("xy_fp")).as("sxy_fp"))
+      .select(col("event_type"), col("n"), col("sx"),
+        (col("sy_fp") / lit(OlsScale)).as("sy"),
+        ((col("n") * (col("sxy_fp") / lit(OlsScale)) -
+          col("sx") * (col("sy_fp") / lit(OlsScale))) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+          .as("slope"))
+      .select(col("event_type"), col("n"), col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"))
+      .orderBy("event_type")
+  }
 }

@@ -93,4 +93,47 @@ object MlPrepOps {
           .as("clean_md5"))
       .orderBy("doc_id")
   }
+
+  // --- q88: inverted index build ----------------------------------------
+
+  /** Posting-list head length: the index row keeps full df/tf stats but
+    * only the first [[PostingsCap]] doc entries inline — the impact-
+    * ordered-prefix layout search engines ship, and what keeps a row
+    * bounded when a stopword's posting list is the whole corpus. */
+  val PostingsCap = 20
+
+  /** q88 — inverted index over the corpus: per term, document frequency,
+    * total term frequency, and the head of the (doc_id-ordered) posting
+    * list rendered as `doc:tf` pairs.
+    *
+    * Distributed shape: one (term, doc) aggregate — THE canonical
+    * map-side-combinable shuffle — then a term-keyed window for the
+    * head cut and one term aggregate. Postings assemble via
+    * collect_list + array_sort so their order never depends on shuffle
+    * arrival. Index build is a pure group-by at any corpus size; the
+    * cap bounds per-row memory against stopword skew. */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+      .persist() // feeds both the stats aggregate and the head window
+    val stats = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("doc_id"))
+    val heads = tf
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PostingsCap)
+      .groupBy("term")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("tf"))))
+        .as("entries"))
+      .select(col("term"),
+        array_join(expr(
+          "transform(entries, e -> concat(CAST(e.doc_id AS STRING), ':', CAST(e.tf AS STRING)))"),
+          ",").as("postings_head"))
+    stats.join(heads, "term")
+      .select(col("term"), col("df"), col("tf_total"), col("postings_head"))
+      .orderBy("term")
+  }
 }

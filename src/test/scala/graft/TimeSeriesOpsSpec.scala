@@ -131,6 +131,63 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(triSum > 0, "embedding kNN graph should close some triangles")
   }
 
+  test("inverted index: df × head length consistency; postings parse and stay sorted") {
+    val rows = MlPrepOps.invertedIndex(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (df, tfTotal, head) = (r.getLong(1), r.getLong(2), r.getString(3))
+      val entries = head.split(",").map { e =>
+        val Array(d, tf) = e.split(":"); (d.toLong, tf.toLong)
+      }
+      assert(entries.length == math.min(df, MlPrepOps.PostingsCap.toLong))
+      assert(entries.map(_._1).toSeq == entries.map(_._1).sorted.toSeq,
+        "posting head not doc-ordered")
+      assert(tfTotal >= df, "total tf below document frequency")
+      if (df <= MlPrepOps.PostingsCap)
+        assert(entries.map(_._2).sum == tfTotal,
+          "uncapped posting list must carry the whole tf mass")
+    }
+  }
+
+  test("winsorized mean: pulled toward the center, clip counts bounded by 5% tails") {
+    val rows = graft.operators.AnalyticsOps.winsorizedMean(spark, dir).collect()
+    rows.foreach { r =>
+      val (n, raw, win) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val (lo, hi) = (r.getLong(4), r.getLong(5))
+      // clamping keeps the mean inside the observed value range
+      val vals = EtlOps.events(spark, dir)
+        .filter(col("event_type") === r.getString(0))
+        .agg(min(col("value")), max(col("value"))).collect()(0)
+      assert(win >= vals.getDouble(0) && win <= vals.getDouble(1))
+      assert(!win.isNaN && !raw.isNaN)
+      // ceil(0.05·n)-rank bounds clip strictly less than ~5% + 1 per tail
+      assert(lo <= n / 20 + 1, s"low clips $lo exceed 5% of $n")
+      assert(hi <= n / 20 + 1, s"high clips $hi exceed 5% of $n")
+    }
+  }
+
+  test("group OLS: slope/intercept reproduce the closed form computed driver-side") {
+    val got = graft.operators.AnalyticsOps.groupOls(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val ev = EtlOps.events(spark, dir)
+      .selectExpr("event_type", "value",
+        s"CAST(datediff(CAST(ts AS DATE), DATE'${TimeSeriesOps.CohortAnchor}') AS DOUBLE) AS x")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    ev.groupBy(_._1).foreach { case (et, rs) =>
+      val n = rs.length.toDouble
+      val sx = rs.map(_._3).sum; val sy = rs.map(_._2).sum
+      val sxy = rs.map(r => r._3 * r._2).sum
+      val sxx = rs.map(r => r._3 * r._3).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy - slope * sx) / n
+      val (gn, gs, gi) = got(et)
+      assert(gn == rs.length)
+      assert(math.abs(gs - slope) < 1e-6, s"$et slope $gs vs $slope")
+      assert(math.abs(gi - intercept) < 1e-6, s"$et intercept $gi vs $intercept")
+    }
+  }
+
   test("histogram: per-type counts conserve rows; bins cover [min,max]") {
     val rows = ProfileOps.valueHistogram(spark, dir).collect()
     val n = EtlOps.events(spark, dir).count()
