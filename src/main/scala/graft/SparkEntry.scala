@@ -108,6 +108,9 @@ object SparkEntry {
     "q88_inverted_index"     -> (MlPrepOps.invertedIndex _),
     "q89_winsorized_mean"    -> (AnalyticsOps.winsorizedMean _),
     "q90_group_ols"          -> (AnalyticsOps.groupOls _),
+    "q91_snapshot_digest"    -> (ScaleOps.snapshotDigest _),
+    "q92_equidepth_hist"     -> (ProfileOps.equiDepthHistogram _),
+    "q93_fuzzy_match"        -> (DedupOps.fuzzyNameMatch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -855,6 +858,29 @@ object SparkEntry {
     // q90: moment sums are fixed-point BIGINT (floor(v·10⁹)) — exact and
     // order-free; the closed form then runs one identical double op
     // order on both engines
+    "q91_snapshot_digest" -> ScaleOps.snapshotDigestOracle,
+    "q92_equidepth_hist" -> {
+      val b = ProfileOps.DepthBuckets
+      s"""WITH r AS (SELECT event_type, value,
+         |    CAST(row_number() OVER (PARTITION BY event_type
+         |      ORDER BY value, event_id) AS BIGINT) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events)
+         |SELECT event_type, (rn - 1) * $b // n AS bucket,
+         |  count(*) AS cnt, min(value) AS lo, max(value) AS hi
+         |FROM r GROUP BY event_type, bucket
+         |ORDER BY event_type, bucket""".stripMargin
+    },
+    "q93_fuzzy_match" -> {
+      val m = DedupOps.MaxEdit
+      s"""WITH n AS (SELECT DISTINCT p_name FROM part),
+         |bn AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n)
+         |SELECT a.blk, a.p_name AS name_a, b.p_name AS name_b,
+         |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+         |FROM bn a JOIN bn b ON a.blk = b.blk AND a.p_name < b.p_name
+         |WHERE levenshtein(a.p_name, b.p_name) <= $m
+         |ORDER BY name_a, name_b""".stripMargin
+    },
     "q90_group_ols" -> {
       val (a, sc) = (TimeSeriesOps.CohortAnchor, "1000000000.0")
       s"""WITH e AS (SELECT event_type, value,

@@ -316,4 +316,33 @@ object DedupOps {
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
   }
+
+  // --- q93: blocked fuzzy matching (record linkage) ---------------------
+
+  /** Maximum edit distance for a fuzzy name match. */
+  val MaxEdit = 2
+
+  /** q93 — record linkage by blocked edit distance: distinct part names
+    * pair up within a blocking key (their head noun — the last token),
+    * and pairs within levenshtein ≤ [[MaxEdit]] surface as match
+    * candidates. Blocking is THE scale move of entity resolution: the
+    * quadratic comparison runs per block, so cost is Σ|block|², not
+    * |names|² — at 100 TB the blocks shuffle-partition independently
+    * and a skewed block (too-generic key) is visible in the block
+    * column for salting. Levenshtein is an integer metric with one
+    * classic definition — both engines agree exactly. */
+  def fuzzyNameMatch(s: SparkSession, dir: String): DataFrame = {
+    val names = EtlOps.t(s, dir, "part")
+      .select(col("p_name")).distinct()
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    val a = names.select(col("blk"), col("p_name").as("name_a"))
+    val b = names.select(col("blk"), col("p_name").as("name_b"))
+    a.join(b, "blk")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("edit_dist",
+        levenshtein(col("name_a"), col("name_b")).cast("bigint"))
+      .filter(col("edit_dist") <= MaxEdit)
+      .select(col("blk"), col("name_a"), col("name_b"), col("edit_dist"))
+      .orderBy("name_a", "name_b")
+  }
 }

@@ -119,4 +119,33 @@ object ProfileOps {
         col("cnt"))
       .orderBy("event_type", "bin")
   }
+
+  // --- q92: equi-depth histogram ----------------------------------------
+
+  val DepthBuckets = 8
+
+  /** q92 — equi-depth (equal-frequency) histogram per event type:
+    * [[DepthBuckets]] buckets of (nearly) equal row count with their
+    * value ranges — the complement of q87's equi-width bins, and the
+    * boundary structure a query optimizer's column statistics actually
+    * store. Bucket assignment is pure integer rank arithmetic
+    * (bucket = (rn−1)·B div n), so both engines place every row
+    * identically — no float interpolation, no engine quantile semantics.
+    * One windowed rank pass per group (partition-parallel), one
+    * aggregate. */
+  def equiDepthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+    EtlOps.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        row_number().over(w).cast("bigint").as("rn"),
+        count(lit(1)).over(wAll).as("n"))
+      .withColumn("bucket", expr(s"(rn - 1) * $DepthBuckets div n"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy("event_type", "bucket")
+  }
 }

@@ -262,4 +262,74 @@ object ScaleOps {
        |  min(x) AS min_size, max(x) AS max_size,
        |  min(y) AS min_pricebucket, max(y) AS max_pricebucket
        |FROM z GROUP BY zcell ORDER BY zcell""".stripMargin
+
+  // --- q91: snapshot digest reconciliation ------------------------------
+
+  /** Digest bucket count and the synthetic drift modulus (rows whose
+    * order key divides by it differ between the two snapshots). */
+  val DigestBuckets = 256
+  val DriftMod = 97
+
+  /** q91 — Merkle-style snapshot reconciliation: two copies of a table
+    * reduce to [[DigestBuckets]] (count, XOR-of-row-hash) digests,
+    * compared bucket-by-bucket. XOR is commutative/associative, so each
+    * digest is one map-side-combinable aggregate with NO row order
+    * sensitivity — two 100 TB replicas compare by exchanging a
+    * constant-size digest table, and only mismatching buckets need a
+    * row-level diff. The synthetic second snapshot perturbs quantities
+    * on keys ≡ 0 mod [[DriftMod]], so expected mismatches are known.
+    *
+    * Parity: the row hash is the shared 60-bit md5 fingerprint over a
+    * canonical string of the key + integral quantity; bit_xor(BIGINT)
+    * is exact on both engines. */
+  def snapshotDigest(s: SparkSession, dir: String): DataFrame = {
+    def digest(drift: Boolean): DataFrame = {
+      val qty =
+        if (drift)
+          expr(s"CAST(floor(l_quantity) AS BIGINT) + " +
+            s"CASE WHEN l_orderkey % $DriftMod = 0 THEN 1 ELSE 0 END")
+        else expr("CAST(floor(l_quantity) AS BIGINT)")
+      EtlOps.t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), qty.as("qty"))
+        .withColumn("rh", TextOps.md5Fingerprint60(
+          concat_ws("|", col("l_orderkey"), col("l_linenumber"), col("qty"))))
+        .withColumn("bucket", TextOps.md5Fingerprint60(
+          concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+          % DigestBuckets)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), expr("bit_xor(rh)").as("dg"))
+    }
+    val a = digest(drift = false)
+      .select(col("bucket"), col("n").as("n_a"), col("dg").as("dg_a"))
+    val b = digest(drift = true)
+      .select(col("bucket"), col("n").as("n_b"), col("dg").as("dg_b"))
+    a.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"), col("n_a"), col("n_b"),
+        (col("n_a") === col("n_b") && col("dg_a") === col("dg_b"))
+          .as("bucket_match"))
+      .orderBy("bucket")
+  }
+
+  /** q91 oracle — the same digest comparison, CTE per snapshot. */
+  def snapshotDigestOracle: String = {
+    def fp(x: String) = s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+    def snap(alias: String, drift: Boolean): String = {
+      val qty =
+        if (drift)
+          s"CAST(floor(l_quantity) AS BIGINT) + CASE WHEN l_orderkey % $DriftMod = 0 THEN 1 ELSE 0 END"
+        else "CAST(floor(l_quantity) AS BIGINT)"
+      s"""$alias AS (SELECT
+         |    ${fp(s"concat_ws('|', l_orderkey, l_linenumber)")} % $DigestBuckets AS bucket,
+         |    count(*) AS n,
+         |    bit_xor(${fp(s"concat_ws('|', l_orderkey, l_linenumber, $qty)")}) AS dg
+         |  FROM lineitem GROUP BY 1)""".stripMargin
+    }
+    s"""WITH ${snap("a", drift = false)},
+       |${snap("b", drift = true)}
+       |SELECT coalesce(a.bucket, b.bucket) AS bucket,
+       |  a.n AS n_a, b.n AS n_b,
+       |  (a.n = b.n AND a.dg = b.dg) AS bucket_match
+       |FROM a FULL JOIN b ON a.bucket = b.bucket
+       |ORDER BY bucket""".stripMargin
+  }
 }

@@ -188,6 +188,70 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot digest: exactly the drifted buckets mismatch") {
+    import graft.operators.ScaleOps
+    val rows = ScaleOps.snapshotDigest(spark, dir).collect()
+    assert(rows.length == ScaleOps.DigestBuckets)
+    // recompute which buckets contain a drifted key
+    val driftBuckets = EtlOps.t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % ScaleOps.DriftMod === 0)
+      .select((graft.operators.TextOps.md5Fingerprint60(
+        concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+        % ScaleOps.DigestBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(driftBuckets.nonEmpty)
+    rows.foreach { r =>
+      val (bucket, matches) = (r.getLong(0), r.getBoolean(3))
+      assert(matches == !driftBuckets.contains(bucket),
+        s"bucket $bucket: match=$matches but drift=${driftBuckets.contains(bucket)}")
+      assert(r.getLong(1) == r.getLong(2), "row counts must agree (drift mutates, not inserts)")
+    }
+  }
+
+  test("equi-depth histogram: depths within 1, ranges tile without overlap") {
+    import graft.operators.ProfileOps
+    val rows = ProfileOps.equiDepthHistogram(spark, dir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val cnts = rs.map(_.getLong(2))
+      assert(cnts.max - cnts.min <= 1, s"depths ${cnts.toList} not balanced")
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(x, y) => assert(x.getDouble(4) <= y.getDouble(3),
+          "bucket ranges out of order")
+        case _ =>
+      }
+    }
+  }
+
+  test("fuzzy match: pairs share a block, respect the edit bound, and the symmetric closure is complete") {
+    import graft.operators.DedupOps
+    val rows = DedupOps.fuzzyNameMatch(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(1) < r.getString(2))
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= DedupOps.MaxEdit)
+      assert(r.getString(1).endsWith(r.getString(0)) &&
+        r.getString(2).endsWith(r.getString(0)), "pair outside its block")
+    }
+    // brute-force closure over the distinct names must agree
+    val names = EtlOps.t(spark, dir, "part")
+      .select("p_name").distinct().collect().map(_.getString(0))
+    val expect = (for {
+      x <- names; y <- names
+      if x < y && x.split(" ").last == y.split(" ").last
+      d = {
+        val dp = Array.tabulate(x.length + 1, y.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to x.length; j <- 1 to y.length)
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+            dp(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+        dp(x.length)(y.length)
+      }
+      if d <= DedupOps.MaxEdit
+    } yield (x, y)).toSet
+    assert(rows.map(r => (r.getString(1), r.getString(2))).toSet == expect)
+  }
+
   test("histogram: per-type counts conserve rows; bins cover [min,max]") {
     val rows = ProfileOps.valueHistogram(spark, dir).collect()
     val n = EtlOps.events(spark, dir).count()
