@@ -111,6 +111,7 @@ object SparkEntry {
     "q91_snapshot_digest"    -> (ScaleOps.snapshotDigest _),
     "q92_equidepth_hist"     -> (ProfileOps.equiDepthHistogram _),
     "q93_fuzzy_match"        -> (DedupOps.fuzzyNameMatch _),
+    "q94_temporal_dim_join"  -> (JoinOps.temporalDimJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -881,6 +882,31 @@ object SparkEntry {
          |WHERE levenshtein(a.p_name, b.p_name) <= $m
          |ORDER BY name_a, name_b""".stripMargin
     },
+    "q94_temporal_dim_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts FROM events),
+        |st AS (SELECT user_id, event_id, event_type, ts,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) IS NULL
+        |      OR lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) <> event_type
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM e WHERE event_type <> 'purchase'),
+        |rn AS (SELECT user_id, event_type, ts,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version FROM st),
+        |dim AS (SELECT user_id AS d_user, version, event_type AS state,
+        |    min(ts) AS valid_from
+        |  FROM rn GROUP BY 1, 2, 3),
+        |dim2 AS (SELECT *, lead(valid_from) OVER (PARTITION BY d_user
+        |    ORDER BY version) AS valid_to FROM dim),
+        |f AS (SELECT user_id, event_id, ts FROM e
+        |  WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.event_id, CAST(f.ts AS VARCHAR) AS ts,
+        |  d.state AS state_at_purchase, d.version
+        |FROM f LEFT JOIN dim2 d ON f.user_id = d.d_user
+        |  AND f.ts >= d.valid_from
+        |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+        |ORDER BY event_id""".stripMargin,
     "q90_group_ols" -> {
       val (a, sc) = (TimeSeriesOps.CohortAnchor, "1000000000.0")
       s"""WITH e AS (SELECT event_type, value,

@@ -138,4 +138,50 @@ object JoinOps {
           .as("total_value"))
       .orderBy("user_name")
   }
+
+  // --- q94: point-in-time (temporal) dimension join ---------------------
+
+  /** q94 — point-in-time join against an SCD2 dimension: every purchase
+    * event looks up the state interval (built from the user's
+    * NON-purchase event runs, q71-style) that was valid AT its
+    * timestamp — the correctness-critical lookup behind training-data
+    * label joins ("what did we know at prediction time"), where a naive
+    * latest-value join silently leaks the future.
+    *
+    * Distributed shape: dimension build is one user-keyed window pass;
+    * the temporal join is a user-keyed EQUI-join with the interval
+    * containment as a post-join filter — intervals per user are
+    * disjoint, so no row explosion, and both sides share the user_id
+    * partitioning (no extra shuffle between build and join). A range/
+    * banded join is unnecessary when the equi-key already bounds the
+    * candidate set. */
+  def temporalDimJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = EtlOps.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = e.filter(col("event_type") =!= "purchase")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .withColumn("chg",
+        when(col("prev_type").isNull ||
+          col("prev_type") =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("version",
+        sum(col("chg")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val byVersion = Window.partitionBy(col("d_user")).orderBy(col("version"))
+    val dim = runs.groupBy(col("user_id").as("d_user"), col("version"),
+        col("event_type").as("state"))
+      .agg(min(col("ts")).as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+    val facts = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    facts.join(dim,
+        facts("user_id") === dim("d_user") &&
+          facts("ts") >= dim("valid_from") &&
+          (dim("valid_to").isNull || facts("ts") < dim("valid_to")),
+        "left")
+      .select(col("user_id"), col("event_id"),
+        col("ts").cast("string").as("ts"),
+        col("state").as("state_at_purchase"), col("version"))
+      .orderBy("event_id")
+  }
 }

@@ -252,6 +252,31 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getString(1), r.getString(2))).toSet == expect)
   }
 
+  test("temporal dim join: state at purchase = last non-purchase event at-or-before ts (no future leak)") {
+    val got = graft.operators.JoinOps.temporalDimJoin(spark, dir).collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(3)) null else r.getString(3)))
+      .toMap
+    val ev = EtlOps.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3).getTime))
+    val byUser = ev.groupBy(_._1)
+    val purchases = ev.filter(_._3 == "purchase")
+    assert(purchases.nonEmpty && got.size == purchases.length)
+    purchases.foreach { case (uid, eid, _, t) =>
+      // the dimension interval starts at the run's min ts; a state event
+      // at the exact purchase ts with a later event_id still opens its
+      // interval at that ts, so include ties by timestamp alone
+      val priorByTs = byUser(uid).filter(e => e._3 != "purchase" && e._4 <= t)
+      val expected =
+        if (priorByTs.isEmpty) null
+        else priorByTs.maxBy(e => (e._4, e._2))._3
+      assert(got(eid) == expected,
+        s"purchase $eid: state ${got(eid)} vs expected $expected")
+    }
+  }
+
   test("histogram: per-type counts conserve rows; bins cover [min,max]") {
     val rows = ProfileOps.valueHistogram(spark, dir).collect()
     val n = EtlOps.events(spark, dir).count()
