@@ -112,6 +112,8 @@ object SparkEntry {
     "q92_equidepth_hist"     -> (ProfileOps.equiDepthHistogram _),
     "q93_fuzzy_match"        -> (DedupOps.fuzzyNameMatch _),
     "q94_temporal_dim_join"  -> (JoinOps.temporalDimJoin _),
+    "q95_audience_overlap"   -> (AnalyticsOps.audienceOverlap _),
+    "q96_transition_matrix"  -> (AnalyticsOps.transitionMatrix _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -907,6 +909,36 @@ object SparkEntry {
         |  AND f.ts >= d.valid_from
         |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
         |ORDER BY event_id""".stripMargin,
+    "q95_audience_overlap" ->
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, count(*) AS n_users FROM tu
+        |  GROUP BY event_type),
+        |iv AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT iv.type_a, iv.type_b, sa.n_users AS n_a, sb.n_users AS n_b,
+        |  iv.n_both,
+        |  iv.n_both / (sa.n_users + sb.n_users - iv.n_both) AS jaccard
+        |FROM iv
+        |JOIN sz sa ON sa.event_type = iv.type_a
+        |JOIN sz sb ON sb.event_type = iv.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
+    "q96_transition_matrix" ->
+      """WITH l AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type,
+        |    count(*) AS n_trans
+        |  FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+        |  FROM c GROUP BY prev_type)
+        |SELECT c.prev_type, c.next_type, c.n_trans,
+        |  c.n_trans / t.n_from AS p_trans
+        |FROM c JOIN t USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin,
     "q90_group_ols" -> {
       val (a, sc) = (TimeSeriesOps.CohortAnchor, "1000000000.0")
       s"""WITH e AS (SELECT event_type, value,

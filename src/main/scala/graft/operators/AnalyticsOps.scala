@@ -359,4 +359,66 @@ object AnalyticsOps {
         ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"))
       .orderBy("event_type")
   }
+
+  // --- q95: audience overlap matrix -------------------------------------
+
+  /** q95 — pairwise audience overlap: for every ordered pair of event
+    * types, the distinct-user intersection size and Jaccard overlap of
+    * their audiences. The segment-overlap matrix behind every audience
+    * dashboard.
+    *
+    * Distributed shape: ONE distinct pass over (type, user), then the
+    * intersection counts come from a self-join on user_id — each user
+    * contributes their own type-pair cross product (bounded by the
+    * type-count, not the user count), so shuffle volume is |user-type|²
+    * /|users| not |events|². Audience sizes broadcast back onto the
+    * tiny pair table. */
+  def audienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    // tu feeds the sizes aggregate and both sides of the pair join
+    val tu = EtlOps.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct().persist()
+    val sizes = tu.groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    val inter = tu.select(col("event_type").as("type_a"), col("user_id"))
+      .join(tu.select(col("event_type").as("type_b"), col("user_id")),
+        "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n_users").as("n_a"))), "type_a")
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n_users").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        (col("n_both") / (col("n_a") + col("n_b") - col("n_both")))
+          .as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  // --- q96: event-transition matrix -------------------------------------
+
+  /** q96 — first-order Markov transition statistics: for every adjacent
+    * (prev event type → event type) pair inside a user's ordered stream,
+    * the transition count and the row-normalized probability. Path
+    * analysis / next-event modeling in one window pass + one aggregate:
+    * the lag shuffles once on user_id, the count once on the (tiny)
+    * type-pair key, and the denominator derives from the already-
+    * aggregated counts — raw events are scanned exactly once. */
+  def transitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cnt = EtlOps.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val totals = cnt.groupBy("prev_type")
+      .agg(sum(col("n_trans")).as("n_from"))
+    cnt.join(broadcast(totals), "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n_trans"),
+        (col("n_trans") / col("n_from")).as("p_trans"))
+      .orderBy("prev_type", "next_type")
+  }
 }

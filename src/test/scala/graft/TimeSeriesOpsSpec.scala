@@ -277,6 +277,31 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("audience overlap: inclusion-exclusion bounds and symmetric pair coverage") {
+    val rows = graft.operators.AnalyticsOps.audienceOverlap(spark, dir).collect()
+    val types = EtlOps.events(spark, dir)
+      .select("event_type").distinct().count().toInt
+    assert(rows.length == types * (types - 1) / 2, "one row per unordered pair")
+    rows.foreach { r =>
+      val (na, nb, both, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(both <= math.min(na, nb), "intersection exceeds a side")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+
+  test("transition matrix: probabilities row-normalize to 1 and transitions conserve rows") {
+    val rows = graft.operators.AnalyticsOps.transitionMatrix(spark, dir).collect()
+    val n = EtlOps.events(spark, dir).count()
+    val users = EtlOps.events(spark, dir).select("user_id").distinct().count()
+    // each user's stream of k events yields k-1 transitions
+    assert(rows.map(_.getLong(2)).sum == n - users)
+    rows.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val p = rs.map(_.getDouble(3)).sum
+      assert(math.abs(p - 1.0) < 1e-9, s"row $from sums to $p")
+    }
+  }
+
   test("histogram: per-type counts conserve rows; bins cover [min,max]") {
     val rows = ProfileOps.valueHistogram(spark, dir).collect()
     val n = EtlOps.events(spark, dir).count()
