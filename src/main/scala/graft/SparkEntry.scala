@@ -114,6 +114,7 @@ object SparkEntry {
     "q94_temporal_dim_join"  -> (JoinOps.temporalDimJoin _),
     "q95_audience_overlap"   -> (AnalyticsOps.audienceOverlap _),
     "q96_transition_matrix"  -> (AnalyticsOps.transitionMatrix _),
+    "q97_digest_drilldown"   -> (ScaleOps.digestDrilldown _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -862,6 +863,7 @@ object SparkEntry {
     // order-free; the closed form then runs one identical double op
     // order on both engines
     "q91_snapshot_digest" -> ScaleOps.snapshotDigestOracle,
+    "q97_digest_drilldown" -> ScaleOps.digestDrilldownOracle,
     "q92_equidepth_hist" -> {
       val b = ProfileOps.DepthBuckets
       s"""WITH r AS (SELECT event_type, value,

@@ -332,4 +332,70 @@ object ScaleOps {
        |FROM a FULL JOIN b ON a.bucket = b.bucket
        |ORDER BY bucket""".stripMargin
   }
+
+  // --- q97: digest drill-down (row-level repair plan) -------------------
+
+  /** q97 — the second phase of q91's reconciliation: recompute row
+    * hashes ONLY inside the digest-mismatched buckets and emit the
+    * row-level diff (key, both quantities). This is the efficiency
+    * contract of Merkle reconciliation made explicit: the row-level
+    * pass semi-joins the fact table against the (tiny, broadcast)
+    * mismatched-bucket list, so a 100 TB replica pair repairs by
+    * scanning only drifted buckets' rows — the scan is pruned by the
+    * digest, never by a full-table compare.
+    *
+    * Both snapshots derive from one cached scan; the final diff is a
+    * key-equi join inside the pruned row set. The oracle re-states the
+    * whole two-phase flow in SQL, so the gate checks digest logic AND
+    * drill-down agree end to end. */
+  def digestDrilldown(s: SparkSession, dir: String): DataFrame = {
+    // base feeds both snapshots and the bucket computation once
+    val base = EtlOps.t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast("bigint").as("l_linenumber"),
+        expr("CAST(floor(l_quantity) AS BIGINT)").as("qty_a"))
+      .withColumn("qty_b",
+        col("qty_a") +
+          when(col("l_orderkey") % DriftMod === 0, 1L).otherwise(0L))
+      .withColumn("bucket", TextOps.md5Fingerprint60(
+        concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+        % DigestBuckets)
+      .persist()
+    def dg(qty: String) = base
+      .withColumn("rh", TextOps.md5Fingerprint60(
+        concat_ws("|", col("l_orderkey"), col("l_linenumber"), col(qty))))
+      .groupBy("bucket").agg(expr("bit_xor(rh)").as(s"dg_$qty"))
+    val bad = dg("qty_a").join(dg("qty_b"), "bucket")
+      .filter(col("dg_qty_a") =!= col("dg_qty_b"))
+      .select(col("bucket"))
+    base.join(broadcast(bad), "bucket")
+      .filter(col("qty_a") =!= col("qty_b"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("qty_a"), col("qty_b"), col("bucket"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** q97 oracle — two-phase reconciliation as one SQL statement. */
+  def digestDrilldownOracle: String = {
+    def fp(x: String) = s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+    s"""WITH base AS (SELECT l_orderkey, l_linenumber,
+       |    CAST(floor(l_quantity) AS BIGINT) AS qty_a,
+       |    CAST(floor(l_quantity) AS BIGINT) +
+       |      CASE WHEN l_orderkey % $DriftMod = 0 THEN 1 ELSE 0 END AS qty_b,
+       |    ${fp("concat_ws('|', l_orderkey, l_linenumber)")} % $DigestBuckets
+       |      AS bucket
+       |  FROM lineitem),
+       |da AS (SELECT bucket,
+       |    bit_xor(${fp("concat_ws('|', l_orderkey, l_linenumber, qty_a)")})
+       |      AS dga FROM base GROUP BY bucket),
+       |db AS (SELECT bucket,
+       |    bit_xor(${fp("concat_ws('|', l_orderkey, l_linenumber, qty_b)")})
+       |      AS dgb FROM base GROUP BY bucket),
+       |bad AS (SELECT da.bucket FROM da JOIN db USING (bucket)
+       |  WHERE da.dga <> db.dgb)
+       |SELECT b.l_orderkey, b.l_linenumber, b.qty_a, b.qty_b, b.bucket
+       |FROM base b JOIN bad USING (bucket)
+       |WHERE b.qty_a <> b.qty_b
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
 }

@@ -302,6 +302,24 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("digest drilldown: finds exactly the drifted rows, touching only mismatched buckets") {
+    import graft.operators.ScaleOps
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)
+    val rows = ScaleOps.digestDrilldown(spark, dir).collect()
+    val expect = EtlOps.t(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % ScaleOps.DriftMod === 0)
+      .select(col("l_orderkey"), col("l_linenumber")).collect()
+      .map(key).toSet
+    assert(rows.map(key).toSet == expect)
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(2) + 1,
+      "drift is exactly +1 on quantity"))
+    // drilldown must touch strictly fewer buckets than exist — the
+    // pruning that makes phase 2 cheap
+    val badBuckets = rows.map(_.getLong(4)).distinct.length
+    assert(badBuckets < ScaleOps.DigestBuckets)
+  }
+
   test("histogram: per-type counts conserve rows; bins cover [min,max]") {
     val rows = ProfileOps.valueHistogram(spark, dir).collect()
     val n = EtlOps.events(spark, dir).count()
