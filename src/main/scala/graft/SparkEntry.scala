@@ -115,6 +115,8 @@ object SparkEntry {
     "q95_audience_overlap"   -> (AnalyticsOps.audienceOverlap _),
     "q96_transition_matrix"  -> (AnalyticsOps.transitionMatrix _),
     "q97_digest_drilldown"   -> (ScaleOps.digestDrilldown _),
+    "q98_interval_coalesce"  -> (TimeSeriesOps.intervalCoalesce _),
+    "q99_entity_consolidate" -> (DedupOps.entityConsolidate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -864,6 +866,26 @@ object SparkEntry {
     // order on both engines
     "q91_snapshot_digest" -> ScaleOps.snapshotDigestOracle,
     "q97_digest_drilldown" -> ScaleOps.digestDrilldownOracle,
+    "q98_interval_coalesce" -> {
+      val g = TimeSeriesOps.IslandGapS * 1000000L
+      s"""WITH i AS (SELECT user_id, event_id, epoch_us(ts) AS st,
+         |    epoch_us(ts) + $g AS en FROM events),
+         |m AS (SELECT *, max(en) OVER (PARTITION BY user_id
+         |    ORDER BY st, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |  FROM i),
+         |o AS (SELECT *, CASE WHEN pmax IS NULL OR st > pmax
+         |    THEN 1 ELSE 0 END AS opens FROM m),
+         |li AS (SELECT *, CAST(sum(opens) OVER (PARTITION BY user_id
+         |    ORDER BY st, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS island FROM o),
+         |gi AS (SELECT user_id, island, min(st) AS i_start,
+         |    max(en) AS i_end FROM li GROUP BY user_id, island)
+         |SELECT user_id, count(*) AS n_islands,
+         |  CAST(sum((i_end - i_start) // 1000000) AS BIGINT) AS covered_s
+         |FROM gi GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
+    "q99_entity_consolidate" -> DedupOps.entityConsolidateOracle,
     "q92_equidepth_hist" -> {
       val b = ProfileOps.DepthBuckets
       s"""WITH r AS (SELECT event_type, value,

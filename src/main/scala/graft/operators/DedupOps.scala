@@ -345,4 +345,73 @@ object DedupOps {
       .select(col("blk"), col("name_a"), col("name_b"), col("edit_dist"))
       .orderBy("name_a", "name_b")
   }
+
+  // --- q99: entity consolidation (golden record) ------------------------
+
+  /** Label-propagation rounds for the name clusters. Blocks hold ≤ 8
+    * names, so component diameter stays well under this; the spec
+    * asserts the fixpoint was actually reached. Fixed (not
+    * while-changed) so the oracle can state the identical unrolled
+    * computation. */
+  val ConsolidateRounds = 3
+
+  /** q99 — the survivorship step after q93's linkage: names connected by
+    * fuzzy matches collapse into one entity via [[ConsolidateRounds]]
+    * min-label propagation rounds, then the part table consolidates per
+    * entity — canonical (min) name, distinct variant count, part count,
+    * mean price. The "golden record" close of an entity-resolution
+    * pipeline: dedup is only done when downstream aggregates run over
+    * the RESOLVED key, not the raw string.
+    *
+    * Scale: propagation joins key on the name (edges are the tiny match
+    * table; the label table is one row per distinct name); the final
+    * consolidation is the fact-table aggregate re-keyed by resolved
+    * entity — one extra (broadcastable) join over the naive group-by. */
+  def entityConsolidate(s: SparkSession, dir: String): DataFrame = {
+    val pairs = fuzzyNameMatch(s, dir).select(col("name_a"), col("name_b"))
+    val edges = pairs.unionAll(
+      pairs.select(col("name_b").as("name_a"), col("name_a").as("name_b")))
+      .persist()
+    val names = EtlOps.t(s, dir, "part").select(col("p_name")).distinct()
+    var lbl = names.select(col("p_name"), col("p_name").as("lbl"))
+    for (_ <- 1 to ConsolidateRounds)
+      lbl = edges.join(lbl, edges("name_a") === lbl("p_name"))
+        .select(col("name_b").as("p_name"), col("lbl"))
+        .unionAll(lbl)
+        .groupBy("p_name").agg(min(col("lbl")).as("lbl"))
+    EtlOps.t(s, dir, "part")
+      .join(broadcast(lbl), "p_name")
+      .groupBy(col("lbl").as("canonical_name"))
+      .agg(countDistinct(col("p_name")).as("n_names"),
+        count(lit(1)).as("n_parts"),
+        (sum(col("p_retailprice").cast("decimal(18,4)")).cast("double") /
+          count(lit(1))).as("mean_price"))
+      .orderBy("canonical_name")
+  }
+
+  /** q99 oracle — the identical unrolled label propagation, generated
+    * from the same round count so the two sides cannot drift. */
+  def entityConsolidateOracle: String = {
+    val rounds = (1 to ConsolidateRounds).map { i =>
+      s"""l$i AS (SELECT p_name, min(lbl) AS lbl FROM (
+         |  SELECT ed.nb AS p_name, l${i - 1}.lbl FROM ed
+         |    JOIN l${i - 1} ON ed.na = l${i - 1}.p_name
+         |  UNION ALL SELECT p_name, lbl FROM l${i - 1}) u
+         |  GROUP BY p_name)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT DISTINCT p_name FROM part),
+       |bn AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM n),
+       |pr AS (SELECT a.p_name AS na, b.p_name AS nb FROM bn a
+       |  JOIN bn b ON a.blk = b.blk AND a.p_name < b.p_name
+       |  WHERE levenshtein(a.p_name, b.p_name) <= $MaxEdit),
+       |ed AS (SELECT na, nb FROM pr UNION ALL SELECT nb AS na, na AS nb FROM pr),
+       |l0 AS (SELECT p_name, p_name AS lbl FROM n),
+       |$rounds
+       |SELECT l.lbl AS canonical_name,
+       |  count(DISTINCT p.p_name) AS n_names, count(*) AS n_parts,
+       |  CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE)
+       |    / count(*) AS mean_price
+       |FROM part p JOIN l$ConsolidateRounds l ON p.p_name = l.p_name
+       |GROUP BY l.lbl ORDER BY canonical_name""".stripMargin
+  }
 }

@@ -175,4 +175,44 @@ object TimeSeriesOps {
         (sum(col("term")).cast("double") / 1000000000000.0).as("ewma"))
       .orderBy("user_id")
   }
+
+  // --- q98: interval coalescing -----------------------------------------
+
+  /** Activity halo: each event opens a [ts, ts+5min) interval; touching
+    * intervals merge into activity islands. */
+  val IslandGapS = 300L
+
+  /** q98 — interval union (coalescing) per user: merge each user's
+    * overlapping event intervals into maximal islands and report island
+    * count and total covered seconds — the "distinct busy time"
+    * primitive (billing, utilization, dedup of overlapping spans)
+    * that a naive sum of durations double-counts.
+    *
+    * The classic distributed form: one window pass computes the running
+    * max of interval ends over PRECEDING rows; a row opens a new island
+    * iff its start exceeds that max. Island ids are a running sum of
+    * the open flags; covered time sums (end − start) per island. One
+    * shuffle on user_id; everything else is within-partition window
+    * math on exact epoch-microsecond integers. */
+  def intervalCoalesce(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("st"), col("event_id"))
+    val prevMax = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    val run = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    EtlOps.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("st"))
+      .withColumn("en", col("st") + IslandGapS * 1000000L)
+      .withColumn("pmax", max(col("en")).over(prevMax))
+      .withColumn("opens",
+        when(col("pmax").isNull || col("st") > col("pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("opens")).over(run))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("st")).as("i_start"), max(col("en")).as("i_end"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(expr("(i_end - i_start) div 1000000")).as("covered_s"))
+      .orderBy("user_id")
+  }
 }

@@ -320,6 +320,59 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(badBuckets < ScaleOps.DigestBuckets)
   }
 
+  test("interval coalesce: covered time bounded by [300s·islands, 300s·events] and matches driver merge") {
+    val got = TimeSeriesOps.intervalCoalesce(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = EtlOps.events(spark, dir)
+      .selectExpr("user_id", "unix_micros(ts) AS st").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val gap = TimeSeriesOps.IslandGapS * 1000000L
+    ev.groupBy(_._1).foreach { case (uid, rows) =>
+      // driver-side sweep merge over sorted starts
+      val starts = rows.map(_._2).sorted
+      var (nIsl, covered, curS, curE) = (0L, 0L, Long.MinValue, Long.MinValue)
+      starts.foreach { s =>
+        if (s > curE) {
+          if (curE != Long.MinValue) covered += (curE - curS) / 1000000L
+          nIsl += 1; curS = s; curE = s + gap
+        } else curE = math.max(curE, s + gap)
+      }
+      covered += (curE - curS) / 1000000L
+      val (gn, gc) = got(uid)
+      assert(gn == nIsl, s"user $uid islands $gn vs $nIsl")
+      assert(gc == covered, s"user $uid covered $gc vs $covered")
+    }
+  }
+
+  test("entity consolidation: labels reached a fixpoint and partition the name set") {
+    import graft.operators.DedupOps
+    val rows = DedupOps.entityConsolidate(spark, dir).collect()
+    val nNames = EtlOps.t(spark, dir, "part")
+      .select("p_name").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nNames, "clusters must partition names")
+    val nParts = EtlOps.t(spark, dir, "part").count()
+    assert(rows.map(_.getLong(2)).sum == nParts)
+    // fixpoint: one more propagation round must not change any label —
+    // recompute driver-side over the match graph
+    val pairs = DedupOps.fuzzyNameMatch(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val names = EtlOps.t(spark, dir, "part")
+      .select("p_name").distinct().collect().map(_.getString(0))
+    var lbl = names.map(n => n -> n).toMap
+    def round(m: Map[String, String]) = names.map { n =>
+      val cand = adj.getOrElse(n, Set.empty).map(m) + m(n)
+      n -> cand.min
+    }.toMap
+    for (_ <- 1 to DedupOps.ConsolidateRounds) lbl = round(lbl)
+    assert(round(lbl) == lbl,
+      s"${DedupOps.ConsolidateRounds} rounds did not reach the fixpoint")
+    // the operator's clusters are exactly the fixpoint label groups
+    val expect = lbl.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
+  }
+
   test("histogram: per-type counts conserve rows; bins cover [min,max]") {
     val rows = ProfileOps.valueHistogram(spark, dir).collect()
     val n = EtlOps.events(spark, dir).count()
