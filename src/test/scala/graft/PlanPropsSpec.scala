@@ -102,4 +102,37 @@ class PlanPropsSpec extends AnyFunSuite {
       assert("Scan parquet".r.findAllIn(plan(df)).length == 1)
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("histogram binning broadcasts the per-group stats (fact side never shuffles for the join)") {
+    val p = plan(ProfileOps.valueHistogram(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"stats not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"), "fact-side sort-merge join crept in")
+  }
+
+  test("snapshot digest aggregates map-side (partial bit_xor before the shuffle)") {
+    val p = plan(ScaleOps.snapshotDigest(spark, dir))
+    assert(p.contains("partial_bit_xor") || p.contains("partial bit_xor")
+      || "HashAggregate.*bit_xor".r.findFirstIn(p).isDefined,
+      s"digest aggregate lost its partial phase:\n${p.take(2000)}")
+  }
+
+  test("rolling distinct uses the explode plan, not a quadratic non-equi join") {
+    val p = plan(TimeSeriesOps.rollingDistinctUsers(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range self-join shape detected:\n${p.take(1500)}")
+    assert(p.contains("Generate explode"), "window explode missing")
+  }
+
+  test("temporal dim join keys on user equality (interval is a filter, not a nested loop)") {
+    val p = plan(JoinOps.temporalDimJoin(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"temporal join degenerated to a nested loop:\n${p.take(1500)}")
+  }
+
+  test("feature hashing is one aggregate exchange plus the output sort — nothing else") {
+    val p = plan(MlPrepOps.featureHash(spark, dir))
+    val n = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(p).length
+    assert(n <= 2, s"feature hash grew extra shuffles ($n):\n${p.take(1500)}")
+  }
 }
