@@ -117,6 +117,7 @@ object SparkEntry {
     "q97_digest_drilldown"   -> (ScaleOps.digestDrilldown _),
     "q98_interval_coalesce"  -> (TimeSeriesOps.intervalCoalesce _),
     "q99_entity_consolidate" -> (DedupOps.entityConsolidate _),
+    "q100_skew_advisor"      -> (ProfileOps.skewAdvisor _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -886,6 +887,20 @@ object SparkEntry {
          |FROM gi GROUP BY user_id ORDER BY user_id""".stripMargin
     },
     "q99_entity_consolidate" -> DedupOps.entityConsolidateOracle,
+    "q100_skew_advisor" -> {
+      val f = ProfileOps.SkewFactor
+      def one(tbl: String, c: String) =
+        s"""SELECT '$tbl.$c' AS key_col, CAST(sum(cnt) AS BIGINT) AS n_rows,
+           |  count(*) AS n_keys, max(cnt) AS max_cnt,
+           |  (max(cnt) * count(*)) / CAST(sum(cnt) AS BIGINT) AS hot_ratio,
+           |  (max(cnt) * count(*)) / CAST(sum(cnt) AS BIGINT) > $f
+           |    AS needs_salt
+           |FROM (SELECT $c, count(*) AS cnt FROM $tbl GROUP BY $c) g""".stripMargin
+      Seq(one("lineitem", "l_orderkey"), one("lineitem", "l_suppkey"),
+        one("lineitem", "l_partkey"), one("events", "user_id"),
+        one("events", "event_type"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY key_col")
+    },
     "q92_equidepth_hist" -> {
       val b = ProfileOps.DepthBuckets
       s"""WITH r AS (SELECT event_type, value,

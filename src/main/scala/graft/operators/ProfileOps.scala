@@ -133,6 +133,41 @@ object ProfileOps {
     * identically — no float interpolation, no engine quantile semantics.
     * One windowed rank pass per group (partition-parallel), one
     * aggregate. */
+  /** Hot-key ratio above which a key column is flagged for salting. */
+  val SkewFactor = 4.0
+
+  /** q100 — join-key skew advisor: for each candidate shuffle key,
+    * the cardinality profile that decides the physical plan at 100 TB —
+    * row count, distinct keys, the hottest key's row count, and the
+    * hot ratio max_cnt/(rows/keys). A ratio ≫ 1 says one reducer
+    * drowns and the key needs salting (q38/q53) or AQE skew handling;
+    * ≈ 1 says hash partitioning balances. This is the measurement
+    * behind every "should I salt?" decision, run as ONE aggregate pair
+    * per key column (both map-side-partial).
+    *
+    * Parity: the ratio is (max_cnt · n_keys) / n_rows — BIGINT products
+    * then one float division, so no intermediate rounding. */
+  def skewAdvisor(s: SparkSession, dir: String): DataFrame = {
+    def audit(df: DataFrame, c: String, label: String): DataFrame =
+      df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("cnt")).as("max_cnt"))
+        .select(lit(label).as("key_col"), col("n_rows"), col("n_keys"),
+          col("max_cnt"),
+          ((col("max_cnt") * col("n_keys")) / col("n_rows"))
+            .as("hot_ratio"))
+        .withColumn("needs_salt", col("hot_ratio") > SkewFactor)
+    val li = EtlOps.t(s, dir, "lineitem")
+    val ev = EtlOps.events(s, dir)
+    audit(li, "l_orderkey", "lineitem.l_orderkey")
+      .unionAll(audit(li, "l_suppkey", "lineitem.l_suppkey"))
+      .unionAll(audit(li, "l_partkey", "lineitem.l_partkey"))
+      .unionAll(audit(ev, "user_id", "events.user_id"))
+      .unionAll(audit(ev, "event_type", "events.event_type"))
+      .orderBy("key_col")
+  }
+
   def equiDepthHistogram(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))

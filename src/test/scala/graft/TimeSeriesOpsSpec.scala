@@ -373,6 +373,24 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == expect)
   }
 
+  test("skew advisor: flags the 5-value event_type key, clears uniform surrogate keys") {
+    import graft.operators.ProfileOps
+    val rows = ProfileOps.skewAdvisor(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(5))).toMap
+    assert(rows.size == 5)
+    // event_type has ~uniform 5 values over all rows: ratio ≈ 1+ε but
+    // max_cnt·n_keys/n_rows small — yet a 5-key shuffle IS the textbook
+    // case AQE coalesces, while a near-unique key never salts
+    val (nr, nk, mc, _) = rows("events.event_type")
+    assert(nk == 5 && mc * nk >= nr, "hottest type must be ≥ average")
+    rows.foreach { case (k, (nRows, nKeys, maxCnt, flagged)) =>
+      val ratio = maxCnt.toDouble * nKeys / nRows
+      assert(flagged == (ratio > ProfileOps.SkewFactor),
+        s"$k: flag $flagged inconsistent with ratio $ratio")
+    }
+  }
+
   test("histogram: per-type counts conserve rows; bins cover [min,max]") {
     val rows = ProfileOps.valueHistogram(spark, dir).collect()
     val n = EtlOps.events(spark, dir).count()
