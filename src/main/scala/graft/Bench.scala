@@ -5,8 +5,35 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   * A short untimed warmup absorbs JVM/session startup so timings reflect
-  * steady-state plan execution, which is what scales. */
+  * steady-state plan execution, which is what scales.
+  *
+  * Cross-round de-noising: host CPU throughput on shared infrastructure
+  * swings several-fold minute to minute (measured: identical binaries
+  * moved 32s → 48s aggregate across two rounds), so raw seconds are not
+  * comparable across runs. Each timed rep is therefore paired with a
+  * fixed CPU-bound calibration op run IMMEDIATELY before it on the same
+  * thread pool; the calibrated series rescales every rep to a fixed
+  * nominal host speed ([[Bench.CalibRef]]) before taking the min. The
+  * JSON line carries BOTH series — `queries` stays raw (driver
+  * contract), `queries_calibrated` is the cross-round-comparable one. */
 object Bench {
+
+  /** Nominal seconds for [[calibOnce]] on an unloaded host — the fixed
+    * reference speed the calibrated series is expressed in. Pinned once
+    * (never retuned per run, or rounds would stop being comparable). */
+  val CalibRef = 0.25
+
+  /** Fixed CPU-bound probe: Σ id·id over a 32-way parallel range —
+    * saturates the same executor thread pool the queries use, no I/O,
+    * no shuffle, so its runtime tracks instantaneous host CPU
+    * throughput and nothing else. */
+  def calibOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0, 100000000L, 1, 32)
+      .selectExpr("sum(CAST(id AS DOUBLE) * id)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,6 +47,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // diagnostic mode: sample the calibration probe alone (used to pin
+    // CalibRef and to sanity-check host speed before a timed run)
+    if (args.contains("--calib-probe")) {
+      calibOnce(spark) // codegen warmup
+      val xs = (1 to 8).map(_ => calibOnce(spark))
+      println(xs.map(x => f"$x%.4f").mkString("calib samples: ", " ", " s"))
+      spark.stop()
+      return
+    }
 
     // warmup: JIT + codegen + FS metadata, untimed
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -35,14 +72,22 @@ object Bench {
     // the minimum is the standard noise-robust estimator of sustained
     // plan cost. Each rep pays the full cost — intra-query persists are
     // dropped between reps, so nothing is subsidized across runs.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    // prime the calibration op's own codegen so the first paired probe
+    // isn't inflated by Janino compile
+    calibOnce(spark)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         if (doWarm) {
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
           spark.catalog.clearCache()
         }
-        val times = (1 to reps).map { _ =>
+        // each rep = (probe, query) back to back: the probe samples host
+        // speed at the moment this rep runs, so a slow minute inflates
+        // probe and query together and divides out of the calibrated
+        // number
+        val samples = (1 to reps).map { _ =>
+          val calib = calibOnce(spark)
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
             catch { case e: Throwable =>
@@ -51,14 +96,26 @@ object Bench {
             }
           val sec = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
-          if (ok) sec else -1.0
+          (if (ok) sec else -1.0, calib)
         }
-        (name, if (times.exists(_ >= 0)) times.filter(_ >= 0).min else -1.0)
+        val good = samples.filter(_._1 >= 0)
+        val raw = if (good.nonEmpty) good.map(_._1).min else -1.0
+        val cal = if (good.nonEmpty)
+          good.map { case (sec, c) => sec * (CalibRef / c) }.min else -1.0
+        val calMed = if (good.nonEmpty) {
+          val cs = good.map(_._2).sorted; cs(cs.size / 2)
+        } else -1.0
+        (name, raw, cal, calMed)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def obj(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = obj(results.map(r => (r._1, r._2)))
+    val qsCal = obj(results.map(r => (r._1, r._3)))
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalCal = results.map(_._3).filter(_ >= 0).sum
+    val calibs = results.map(_._4).filter(_ >= 0).sorted
+    val calibMed = if (calibs.nonEmpty) calibs(calibs.size / 2) else -1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_ref":$CalibRef,"calib_median":$calibMed,"reps":$reps,"value_calibrated":$totalCal,"queries_calibrated":$qsCal}""")
     spark.stop()
   }
 }
