@@ -59,7 +59,7 @@ object SparkEntry {
     "q39_sessionization"     -> (ScaleOps.sessionize _),
     "q40_rollup_stats"       -> (ProfileOps.rollupStats _),
     "q41_table_profile"      -> (ProfileOps.tableProfile _),
-    "q42_approx_stats"       -> (ProfileOps.approxStats _), // rows-only (sketches)
+    "q42_approx_stats"       -> (ProfileOps.approxStats _), // 3σ-gated sketches
     "q43_ivf_ann"            -> (SimilarityOps.ivfAnn _),   // oracle: full IVF replay
     "q44_frame_sampling"     -> (MultimodalOps.frameSamples _),
     "q45_rolling_fingerprint" -> (TextOps.rollingFingerprint _),
@@ -329,8 +329,23 @@ object SparkEntry {
         |  CAST(min(l_discount) AS VARCHAR),
         |  CAST(max(l_discount) AS VARCHAR) FROM lineitem
         |ORDER BY col_name""".stripMargin,
-    // q42 intentionally has no oracle: HLL/quantile sketches are
-    // engine-specific — the driver records the weaker rows-only check.
+    // q42's oracle (q60's pattern, extended to the quantile sketch):
+    // exact anchors + literal TRUE accuracy bounds. Sketch VALUES stay
+    // unchecked (engines' sketches legitimately differ); the gate fails
+    // if Spark's HLL leaves 3σ or percentile_approx leaves [p40, p60].
+    "q42_approx_stats" ->
+      """WITH a AS (SELECT count(*) AS n_rows,
+        |    count(DISTINCT l_suppkey) AS exact_supp FROM lineitem),
+        |r AS (SELECT l_extendedprice AS v,
+        |    row_number() OVER (ORDER BY l_extendedprice) AS rn
+        |  FROM lineitem)
+        |SELECT max(a.n_rows) AS n_rows, max(a.exact_supp) AS exact_supp,
+        |  min(CASE WHEN rn = floor((a.n_rows - 1) * 0.4) + 1 THEN v END)
+        |    AS p40,
+        |  min(CASE WHEN rn = floor((a.n_rows - 1) * 0.6) + 1 THEN v END)
+        |    AS p60,
+        |  TRUE AS supp_within_3sigma, TRUE AS median_in_bounds
+        |FROM r, a""".stripMargin,
     "q43_ivf_ann" -> OracleGen.q43IvfAnn,
     // q44: `a` is the ASCII-normalized text (same regexp_replace as the
     // Spark side, MultimodalOps.asciiBinaryTable) so character slices ≡

@@ -49,17 +49,58 @@ object ProfileOps {
       .orderBy("col_name")
   }
 
-  /** q42 — approximate distinct-count + quantiles (HLL / quantile sketch
-    * territory — the 100 TB substitutes for exact countDistinct / sort).
-    * Sketch values are engine-specific, so this query is rows-only
-    * checked (no DuckDB oracle). */
-  def approxStats(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+  /** q42 — approximate distinct-count + quantile sketches under a HARD
+    * oracle gate (q60's pattern, extended to the quantile sketch). The
+    * sketches (HLL, GK-quantile) are the 100 TB substitutes for exact
+    * countDistinct / global sort; their raw values are engine-specific,
+    * so the oracle-checked output is the accuracy CONTRACT instead:
+    *
+    *  - `supp_within_3sigma`: the HLL estimate of distinct l_suppkey
+    *    sits within 15% (3σ at the default rsd = 0.05) of the exact
+    *    count — a column q60 doesn't cover.
+    *  - `median_in_bounds`: `percentile_approx(l_extendedprice, 0.5,
+    *    1000)` lands between the EXACT discrete p40 and p60 values.
+    *    The sketch guarantees rank error ≤ n/1000, so the bound holds
+    *    for ANY merge order of partial sketches — the boolean is
+    *    stable even though the sketch value itself may vary with
+    *    partitioning.
+    *
+    * The exact anchors (row count, exact distinct, exact rank-picked
+    * p40/p60) are emitted alongside and hash-compared. Rank-picking is
+    * pure integer arithmetic on row_number ordered by value — the value
+    * AT a rank is deterministic under ties — so both engines select the
+    * identical parquet double: bit parity without tolerance. The global
+    * window sort is the exact-verifier side only; the sketch path (one
+    * map-combinable aggregate) is what runs at 100 TB. */
+  def approxStats(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val agg = li.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_suppkey")).as("exact_supp"),
+      approx_count_distinct(col("l_suppkey")).as("approx_supp"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+        .as("amed"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("l_extendedprice"))
+    val ranked = li.select(col("l_extendedprice").as("v"),
+      row_number().over(w).cast("bigint").as("rn"))
+    ranked.crossJoin(broadcast(agg))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("median_price_approx"))
+        max(col("n_rows")).as("n_rows"),
+        max(col("exact_supp")).as("exact_supp"),
+        max(col("approx_supp")).as("approx_supp"),
+        max(col("amed")).as("amed"),
+        min(when(col("rn") === floor((col("n_rows") - 1) * 0.4) + 1,
+          col("v"))).as("p40"),
+        min(when(col("rn") === floor((col("n_rows") - 1) * 0.6) + 1,
+          col("v"))).as("p60"))
+      .select(
+        col("n_rows"), col("exact_supp"), col("p40"), col("p60"),
+        (abs(col("approx_supp") - col("exact_supp")) <=
+          col("exact_supp") * 0.15).as("supp_within_3sigma"),
+        (col("amed") >= col("p40") && col("amed") <= col("p60"))
+          .as("median_in_bounds"))
+  }
 
   /** q60 — sketch-accuracy contract: exact distinct counts plus booleans
     * asserting the HLL estimates sit within 3σ (15% at the default
