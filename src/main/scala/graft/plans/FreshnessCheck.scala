@@ -67,6 +67,32 @@ object FreshnessCheck {
   def latestPerSource(partitions: DataFrame): DataFrame =
     partitions.groupBy("environment", "source_name")
       .agg(max(col("date")).as("latest_date"))
+
+  /** The full monitor run (reference `check_bucket_latest_folders.py`
+    * tail: assemble the not-up-to-date list and post it): computes the
+    * stale set and, when non-empty, notifies with one line per
+    * (environment, source). Returns the stale rows for the caller.
+    *
+    * The stale set is a per-(environment, source) AGGREGATE — its size
+    * is bounded by the number of configured sources (hundreds), not by
+    * data volume, so the driver-side collect here is O(sources) at any
+    * scale. */
+  def checkAndNotify(spark: SparkSession, latest: DataFrame,
+      staticRules: Seq[StaticRule], graceRules: Seq[GraceRule],
+      today: LocalDate, notifier: Notifier): Array[(String, String, String)] = {
+    val stale = findStale(spark, latest, staticRules, graceRules, today)
+      .select(col("environment"), col("source_name"),
+        col("latest_date").cast("string"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    if (stale.nonEmpty) {
+      val lines = stale.map { case (env, src, d) =>
+        s"$env/$src latest=$d" }
+      notifier.notify(
+        s"Tables not up to date (${stale.length}):\n" + lines.mkString("\n"))
+    }
+    stale
+  }
 }
 
 /** Out-of-data-path notification (reference `SlackNotifier.py`): a trait
