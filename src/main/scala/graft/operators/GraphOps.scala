@@ -55,13 +55,37 @@ object GraphOps {
     * top-[[TopK]]; the spec checks rank-mass conservation on ALL rows
     * (Σ pr = node count at every damped iteration, up to fixed-point
     * truncation). */
+  /** One damped PageRank update from (degree-annotated edges, ranks) —
+    * exposed so the spec can pin the iteration's PHYSICAL shape: with
+    * [[pageRankRanks]]'s pre-partitioned cached `ew`, the join reuses
+    * the cached partitioning and only the rank side (plus the dst
+    * re-aggregation) exchanges. */
+  private[graft] def pageRankStep(ew: DataFrame, ranks: DataFrame): DataFrame =
+    ew.join(ranks, ew("src") === ranks("node"))
+      .select(col("dst"),
+        floor(col("pr") / col("out_deg") * lit(1e12)).cast("long")
+          .as("contrib"))
+      .groupBy("dst")
+      .agg(sum(col("contrib")).as("sfp"))
+      .select(col("dst").as("node"),
+        (lit(0.15) + lit(0.85) * (col("sfp").cast("double") / lit(1e12)))
+          .as("pr"))
+
   def pageRankRanks(s: SparkSession, dir: String): DataFrame = {
     // e feeds both the degree aggregate and the degree-annotated edge
     // table — persist so the scan+join+distinct runs once
     val e = edges(s, dir).persist()
     val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    // edges with degree attached are consumed once per iteration
-    val ew = e.join(deg, "src").persist()
+    // Edges with degree attached are consumed once per iteration,
+    // ALWAYS joined on src — cache them already hash-partitioned on the
+    // join key. The cached InMemoryRelation advertises that
+    // partitioning, so every iteration's sort-merge/shuffled-hash join
+    // leaves the big table in place and moves only the rank table: the
+    // edge-side shuffle happens once at build, not once per iteration.
+    // (When ranks are small enough Spark broadcasts them and neither
+    // side moves; the pre-partitioning is what keeps the join
+    // edge-side-exchange-free once ranks outgrow broadcast at 100 TB.)
+    val ew = e.join(deg, "src").repartition(col("src")).persist()
     // Iterative-DataFrame discipline: persist AND materialize each rank
     // generation, then drop its parent. Without the cut, iteration i's
     // plan embeds the full lineage of iterations 1..i-1 — the optimizer
@@ -74,16 +98,7 @@ object GraphOps {
     var ranks = deg.select(col("src").as("node"),
       lit(1.0).as("pr")).persist()
     for (_ <- 1 to Iterations) {
-      val next = ew.join(ranks, ew("src") === ranks("node"))
-        .select(col("dst"),
-          floor(col("pr") / col("out_deg") * lit(1e12)).cast("long")
-            .as("contrib"))
-        .groupBy("dst")
-        .agg(sum(col("contrib")).as("sfp"))
-        .select(col("dst").as("node"),
-          (lit(0.15) + lit(0.85) * (col("sfp").cast("double") / lit(1e12)))
-            .as("pr"))
-        .persist()
+      val next = pageRankStep(ew, ranks).persist()
       next.count()
       ranks.unpersist()
       ranks = next
@@ -121,12 +136,67 @@ object GraphOps {
 
   // --- q86: mutual-kNN graph clustering ---------------------------------
 
-  /** kNN-graph corpus cap and neighbor count. The cap keeps the exact
-    * all-pairs kNN build quadratic-but-small for the verifier; the
-    * 100 TB build swaps in the LSH/IVF candidate generation (q35/q43)
-    * and the graph math below is unchanged. */
-  val KnnCap = 256
+  /** kNN-graph corpus cap, neighbor count, and LSH plane count. The
+    * candidate pass is LSH-bucketed (below), so the cap is a guard rail,
+    * not a scalability crutch — it sits above every test corpus and a
+    * 10× raise only grows the per-bucket quadratic by 100/2^planes.
+    * Planes scale as log₂(n / target_bucket_size): 4 planes → 16
+    * buckets keeps buckets ≳ k·2 at the sf corpus sizes (500–2000
+    * vectors); a 100 TB corpus raises planes, not the algorithm. */
+  val KnnCap = 2560
   val KnnK = 6
+  val KnnPlanes = 4
+
+  private def knnVectors(s: SparkSession, dir: String): DataFrame =
+    SimilarityOps.withNorm(
+      SimilarityOps.baseVectors(s, dir).filter(col("vec_id") < KnnCap))
+
+  /** kNN edge list, LSH-bucketed (the q35 candidate pattern): each
+    * vector's neighbors are its top-[[KnnK]] cosines AMONG VECTORS
+    * SHARING ITS RANDOM-HYPERPLANE BUCKET. Candidate volume is
+    * Σ|bucket|² ≈ n²/2^planes instead of n² — the scale knob is the
+    * plane count. `planes = 0` degenerates to one bucket ≡ exact
+    * all-pairs kNN, which the spec uses to pin equivalence against
+    * [[knnEdgesBrute]]. Bucket equality is symmetric, so the mutual
+    * filter downstream stays well-defined. */
+  def knnEdgesLsh(s: SparkSession, dir: String,
+      planes: Int = KnnPlanes): DataFrame = {
+    val base = knnVectors(s, dir)
+    val v = if (planes == 0) base.withColumn("bucket", lit(0L))
+      else base.selectExpr("vec_id", "emb", "norm",
+        s"${VecSql.lshSig("emb", planes, spark = true)} AS bucket")
+    val a = v.select(col("vec_id").as("qa"), col("emb").as("emb_a"),
+      col("norm").as("norm_a"), col("bucket"))
+    val b = v.select(col("vec_id").as("qb"), col("emb").as("emb_b"),
+      col("norm").as("norm_b"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qa")).orderBy(col("cos").desc, col("qb"))
+    a.join(b, Seq("bucket")).filter(col("qa") =!= col("qb"))
+      .selectExpr("qa", "qb",
+        "dot_product(emb_a, emb_b) / (norm_a * norm_b) AS cos")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KnnK)
+      .select("qa", "qb")
+  }
+
+  /** Exact all-pairs kNN edges — the spec-only equivalence oracle for
+    * [[knnEdgesLsh]] (the q32 simhash pattern: keep the quadratic form
+    * OUT of the query surface, use it to certify the banded one). */
+  def knnEdgesBrute(s: SparkSession, dir: String): DataFrame = {
+    val v = knnVectors(s, dir)
+    val a = v.select(col("vec_id").as("qa"), col("emb").as("emb_a"),
+      col("norm").as("norm_a"))
+    val b = v.select(col("vec_id").as("qb"), col("emb").as("emb_b"),
+      col("norm").as("norm_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qa")).orderBy(col("cos").desc, col("qb"))
+    a.crossJoin(b).filter(col("qa") =!= col("qb"))
+      .selectExpr("qa", "qb",
+        "dot_product(emb_a, emb_b) / (norm_a * norm_b) AS cos")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= KnnK)
+      .select("qa", "qb")
+  }
 
   /** q86 — local clustering structure of the mutual-kNN embedding
     * graph: connect vectors that list EACH OTHER in their top-[[KnnK]]
@@ -135,32 +205,26 @@ object GraphOps {
     * embedding-space cohesion diagnostic (a high coefficient marks
     * tight near-dup clusters; a near-zero one, uniform noise).
     *
-    * Distributed shape: the kNN pass is the q34 broadcast pattern; the
+    * Distributed shape: the kNN pass is LSH-bucketed
+    * ([[knnEdgesLsh]] — no cartesian anywhere in the plan); the
     * mutuality check and the triangle join key on edge endpoints — the
     * mutual edge set is ~k·n and sparse BY CONSTRUCTION (mutual top-k
     * bounds degree at k), which is what keeps the triangle join linear
     * in edges where a co-occurrence projection explodes.
     *
-    * Parity: cosine chains are the generated fixed-order expressions;
+    * Parity: cosine chains are the generated fixed-order expressions
+    * and the bucket signature is the dialect-shared [[VecSql.lshSig]],
+    * so the oracle replays the identical bucketed build;
     * degree/triangle counts are BIGINT; the coefficient is one
     * BIGINT/BIGINT float division on both engines. */
-  def knnGraphStats(s: SparkSession, dir: String): DataFrame = {
-    val v = SimilarityOps.withNorm(
-      SimilarityOps.baseVectors(s, dir).filter(col("vec_id") < KnnCap))
-    val a = v.select(col("vec_id").as("qa"), col("emb").as("emb_a"),
-      col("norm").as("norm_a"))
-    val b = v.select(col("vec_id").as("qb"), col("emb").as("emb_b"),
-      col("norm").as("norm_b"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qa")).orderBy(col("cos").desc, col("qb"))
-    val knn = a.crossJoin(b).filter(col("qa") =!= col("qb"))
-      .selectExpr("qa", "qb",
-        "dot_product(emb_a, emb_b) / (norm_a * norm_b) AS cos")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= KnnK)
-      .select("qa", "qb")
+  def knnGraphStats(s: SparkSession, dir: String): DataFrame =
+    mutualGraphStats(knnEdgesLsh(s, dir))
+
+  /** The graph math downstream of ANY kNN edge list (LSH-bucketed or
+    * brute): mutual filter → degree, triangles, clustering coefficient. */
+  def mutualGraphStats(knn: DataFrame): DataFrame = {
     // mut feeds the degree union twice and the triangle join three
-    // times — persist so the quadratic kNN subtree runs once (cache
+    // times — persist so the kNN candidate subtree runs once (cache
     // engages during the caller's one action; Bench/Verify clearCache
     // per query)
     val mut = knn.as("x")
@@ -192,18 +256,23 @@ object GraphOps {
       .orderBy("node")
   }
 
-  /** The DuckDB oracle for q86: the same kNN → mutual → triangle
-    * pipeline with the generated fixed-order cosine chains. */
+  /** The DuckDB oracle for q86: the same LSH-bucketed kNN → mutual →
+    * triangle pipeline — bucket signature and cosine chains are the
+    * dialect-shared generated expressions, so both engines build the
+    * identical graph. */
   def knnGraphOracle: String = {
     import VecSql.dot
     s"""WITH v0 AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings WHERE vec_id < $KnnCap),
        |v AS (SELECT vec_id, emb,
-       |    sqrt(${dot("emb", "emb", spark = false)}) AS norm FROM v0),
+       |    sqrt(${dot("emb", "emb", spark = false)}) AS norm,
+       |    ${VecSql.lshSig("emb", KnnPlanes, spark = false)} AS bucket
+       |  FROM v0),
        |s AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
        |    (${dot("a.emb", "b.emb", spark = false)}) / (a.norm * b.norm) AS cos
-       |  FROM v a, v b WHERE a.vec_id <> b.vec_id),
+       |  FROM v a JOIN v b ON a.bucket = b.bucket
+       |    AND a.vec_id <> b.vec_id),
        |r AS (SELECT qa, qb, row_number() OVER (
        |    PARTITION BY qa ORDER BY cos DESC, qb) AS rnk FROM s),
        |knn AS (SELECT qa, qb FROM r WHERE rnk <= $KnnK),

@@ -101,6 +101,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(prs.zip(prs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("LSH-bucketed kNN at planes=0 is exactly the brute-force kNN") {
+    // one bucket ≡ all-pairs: the banded candidate generator must
+    // reproduce the quadratic form bit-for-bit (the q32 simhash
+    // certification pattern — brute force lives only in this spec)
+    val lsh = GraphOps.knnEdgesLsh(spark, dir, planes = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = GraphOps.knnEdgesBrute(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute, "planes=0 LSH kNN diverged from brute force")
+    assert(brute.nonEmpty)
+  }
+
+  test("q86 surface carries no cartesian (graph invariants: TimeSeriesOpsSpec)") {
+    val p = GraphOps.knnGraphStats(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"bucketed kNN degenerated to a cartesian:\n${p.take(1500)}")
+  }
+
   test("scd2: versions tile each user's history, one open interval per user") {
     val rows = AnalyticsOps.scd2(spark, dir).collect()
     val byUser = rows.groupBy(_.getLong(0))

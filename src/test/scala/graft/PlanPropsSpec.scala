@@ -129,6 +129,49 @@ class PlanPropsSpec extends AnyFunSuite {
       s"temporal join degenerated to a nested loop:\n${p.take(1500)}")
   }
 
+  test("pagerank iteration leaves the cached edge table in place (rank side + re-agg exchange only)") {
+    // force the 100 TB shape: ranks too big to broadcast → the join must
+    // run shuffled, and the pre-partitioned cached `ew` must satisfy its
+    // side's distribution so ONLY ranks (1 exchange) and the dst
+    // re-aggregation (1 exchange) move
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE off so executedPlan is a concrete tree we can walk; the
+    // cached build hides behind the InMemoryTableScan LEAF, so the
+    // walk counts only the iteration's own exchanges
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = GraphOps.edges(spark, dir)
+      val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
+      val ew = e.join(deg, "src").repartition(col("src")).persist()
+      ew.count() // materialize the cache so the iteration plans against it
+      // ranks is always a persisted generation in the real loop —
+      // materialize it here too so the measured plan is the iteration,
+      // not the rank table's own lineage
+      val ranks = deg.select(col("src").as("node"), lit(1.0).as("pr"))
+        .persist()
+      ranks.count()
+      try {
+        val exec = GraphOps.pageRankStep(ew, ranks)
+          .queryExecution.executedPlan
+        val shuffles = exec.collect {
+          case x: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => x
+        }
+        assert(shuffles.size <= 2,
+          s"iteration grew ${shuffles.size} exchanges:\n${exec.toString.take(2000)}")
+        assert(!shuffles.exists(_.outputPartitioning.toString.contains("src")),
+          "edge side re-shuffled on src — cached partitioning not reused")
+        assert(exec.collect {
+          case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => s
+        }.nonEmpty, "cached ew not used")
+      } finally { ew.unpersist(); ranks.unpersist() }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("feature hashing is one aggregate exchange plus the output sort — nothing else") {
     val p = plan(MlPrepOps.featureHash(spark, dir))
     val n = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
