@@ -15,6 +15,31 @@ object CurationOps {
   import EtlOps.t
   import DedupOps.{corpusNear, minhashLsh}
 
+  /** Conf key selecting the lineage-cut mode for iterative DataFrames. */
+  val CheckpointDirKey = "spark.graft.checkpoint.dir"
+
+  /** Lineage cut for iterative DataFrames. Default: `localCheckpoint()`
+    * — executor-local block storage, fastest, but blocks die with an
+    * executor, so a lost executor aborts the job (acceptable on
+    * local[*] and short cluster jobs). With [[CheckpointDirKey]] set,
+    * the cut becomes a RELIABLE `checkpoint()` into that (HDFS/S3)
+    * directory: each round's labels survive executor loss, the mode a
+    * multi-hour 100 TB clustering run wants. Both are eager, so either
+    * way the logical plan downstream starts from materialized data —
+    * the property the iteration needs (plan doubling measured
+    * 1.4s → 30s without a cut). */
+  def cutLineage(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    df.sparkSession.conf.getOption(CheckpointDirKey) match {
+      case Some(d) =>
+        // setCheckpointDir appends a session UUID subdir — re-set only
+        // when the configured root actually changed
+        if (!sc.getCheckpointDir.exists(_.contains(d))) sc.setCheckpointDir(d)
+        df.checkpoint()
+      case None => df.localCheckpoint()
+    }
+  }
+
   // --- q56: PII scrubbing ----------------------------------------------
 
   /** Redaction patterns, applied IN ORDER (order is part of the
@@ -208,21 +233,21 @@ object CurationOps {
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
     val nodes = corpusNear(s, dir).select(col("doc_id"))
-    // localCheckpoint, NOT persist: each round's plan references `labels`
-    // twice (join + union), so without truncating the LOGICAL lineage the
-    // plan doubles every round and Catalyst re-analysis grows
-    // exponentially even though the data is cached (measured: rounds of
-    // 1.4s → 7s → 30s with persist; flat 0.8s with localCheckpoint).
-    // On a cluster with executor loss, swap for reliable checkpoint().
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("lbl"))
-      .localCheckpoint()
+    // cutLineage (localCheckpoint / reliable checkpoint per config), NOT
+    // persist: each round's plan references `labels` twice (join +
+    // union), so without truncating the LOGICAL lineage the plan doubles
+    // every round and Catalyst re-analysis grows exponentially even
+    // though the data is cached (measured: rounds of 1.4s → 7s → 30s
+    // with persist; flat 0.8s with a cut).
+    var labels = cutLineage(
+      nodes.select(col("doc_id"), col("doc_id").as("lbl")))
     var changed = 1L
     while (changed > 0) {
-      val prop = labels.join(edges, col("doc_id") === col("doc_a"))
-        .select(col("doc_b").as("doc_id"), col("lbl"))
-        .unionAll(labels)
-        .groupBy("doc_id").agg(min(col("lbl")).as("new_lbl"))
-        .localCheckpoint()
+      val prop = cutLineage(
+        labels.join(edges, col("doc_id") === col("doc_a"))
+          .select(col("doc_b").as("doc_id"), col("lbl"))
+          .unionAll(labels)
+          .groupBy("doc_id").agg(min(col("lbl")).as("new_lbl")))
       changed = prop.join(labels, "doc_id")
         .filter(col("new_lbl") =!= col("lbl")).count()
       labels = prop.select(col("doc_id"), col("new_lbl").as("lbl"))

@@ -63,4 +63,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(clusters.filter(_.getLong(1) >= 2)
       .forall(_.getLong(0) < DedupOps.CopyOffset))
   }
+
+  test("dup clustering: reliable-checkpoint mode matches localCheckpoint mode") {
+    val local = CurationOps.dupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft-ck").toString
+    spark.conf.set(CurationOps.CheckpointDirKey, ckDir)
+    try {
+      val reliable = CurationOps.dupClusters(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(reliable == local,
+        "checkpoint mode changed the clustering result")
+      // the cut really went through the reliable path: RDD checkpoint
+      // data landed under the configured root
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(p => p.getFileName.toString.startsWith("rdd-"))
+        .count()
+      assert(wrote > 0, s"no rdd checkpoints written under $ckDir")
+    } finally spark.conf.unset(CurationOps.CheckpointDirKey)
+  }
 }
