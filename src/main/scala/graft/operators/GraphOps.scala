@@ -140,12 +140,18 @@ object GraphOps {
     * candidate pass is LSH-bucketed (below), so the cap is a guard rail,
     * not a scalability crutch — it sits above every test corpus and a
     * 10× raise only grows the per-bucket quadratic by 100/2^planes.
-    * Planes scale as log₂(n / target_bucket_size): 4 planes → 16
-    * buckets keeps buckets ≳ k·2 at the sf corpus sizes (500–2000
-    * vectors); a 100 TB corpus raises planes, not the algorithm. */
+    * Planes scale as log₂(n / target_bucket_size): 5 planes → 32
+    * buckets keeps mean buckets ≳ 2k at the sf corpus sizes (500–2000
+    * vectors) AND matches the executor thread count (the bucket join's
+    * parallelism ceiling is the bucket count — 16 buckets left half of
+    * local[32] idle, measured 1.8× slower calibrated); a 100 TB corpus
+    * raises
+    * planes, not the algorithm. A singleton bucket just yields a
+    * neighborless vector — semantically fine, replayed identically by
+    * the oracle. */
   val KnnCap = 2560
   val KnnK = 6
-  val KnnPlanes = 4
+  val KnnPlanes = 5
 
   private def knnVectors(s: SparkSession, dir: String): DataFrame =
     SimilarityOps.withNorm(
