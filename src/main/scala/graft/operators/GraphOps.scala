@@ -36,10 +36,14 @@ object GraphOps {
   def edges(s: SparkSession, dir: String): DataFrame = {
     val li = EtlOps.t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
     val o = EtlOps.t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    // distinct on the INT key pair, prefix-concat after: the dedup
+    // shuffle moves 16 bytes per row instead of two strings, and the
+    // aggregate hashes ints — same output, cheaper exchange
     val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("c"),
-        concat(lit("s"), col("l_suppkey")).as("sp"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
       .distinct()
+      .select(concat(lit("c"), col("ck")).as("c"),
+        concat(lit("s"), col("sk")).as("sp"))
     cs.select(col("c").as("src"), col("sp").as("dst"))
       .unionAll(cs.select(col("sp").as("src"), col("c").as("dst")))
   }
