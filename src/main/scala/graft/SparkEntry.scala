@@ -118,6 +118,11 @@ object SparkEntry {
     "q98_interval_coalesce"  -> (TimeSeriesOps.intervalCoalesce _),
     "q99_entity_consolidate" -> (DedupOps.entityConsolidate _),
     "q100_skew_advisor"      -> (ProfileOps.skewAdvisor _),
+    "q101_sequence_pack"     -> (TrainPrepOps.sequencePack _),
+    "q102_mixture_epochs"    -> (TrainPrepOps.mixtureEpochs _),
+    "q103_incremental_dedup" -> (TrainPrepOps.incrementalDedup _),
+    "q104_gopher_rules"      -> (TrainPrepOps.gopherRules _),
+    "q105_shard_plan"        -> (TrainPrepOps.shardPlan _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -902,6 +907,92 @@ object SparkEntry {
          |FROM gi GROUP BY user_id ORDER BY user_id""".stripMargin
     },
     "q99_entity_consolidate" -> DedupOps.entityConsolidateOracle,
+    "q101_sequence_pack" -> {
+      val b = TrainPrepOps.PackBudget
+      s"""WITH RECURSIVE ord AS (
+         |  SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |packed AS (
+         |  SELECT source, doc_id, n_chars, rn,
+         |    CAST(0 AS BIGINT) AS bin, n_chars AS fill
+         |  FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.source, o.doc_id, o.n_chars, o.rn,
+         |    CASE WHEN p.fill + o.n_chars <= $b THEN p.bin ELSE p.bin + 1 END,
+         |    CASE WHEN p.fill + o.n_chars <= $b THEN p.fill + o.n_chars
+         |         ELSE o.n_chars END
+         |  FROM packed p JOIN ord o ON o.source = p.source AND o.rn = p.rn + 1)
+         |SELECT doc_id, source, bin, fill FROM packed
+         |ORDER BY source, doc_id""".stripMargin
+    },
+    "q102_mixture_epochs" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    500 + (CAST(substr(source, 4) AS INT) % 4) * 750 AS w1000,
+        |    CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 1000 AS fp
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |    CAST(w1000 // 1000
+        |      + CASE WHEN fp < w1000 % 1000 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS n_copies
+        |  FROM w)
+        |SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy, n_copies
+        |FROM c WHERE n_copies >= 1 ORDER BY doc_id, copy""".stripMargin,
+    "q103_incremental_dedup" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        |  FROM documents),
+        |base AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id % 5 <> 0),
+        |batch AS (SELECT * FROM f WHERE doc_id % 5 = 0),
+        |fresh AS (SELECT b.* FROM batch b
+        |  WHERE b.fingerprint NOT IN (SELECT fingerprint FROM base)),
+        |r AS (SELECT doc_id, fingerprint,
+        |    row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY fingerprint) AS n_batch_dups
+        |  FROM fresh)
+        |SELECT doc_id, fingerprint, n_batch_dups FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q104_gopher_rules" ->
+      """WITH m AS (SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_words,
+        |    length(regexp_replace(text, '\s+', '', 'g')) AS nonspace,
+        |    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS symbols,
+        |    length(text) AS n_chars,
+        |    len(regexp_extract_all(text, '\b(the|and|of|to|in|is|you|that)\b'))
+        |      AS stops
+        |  FROM documents)
+        |SELECT doc_id, n_words,
+        |  CAST(nonspace AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+        |  CAST(symbols AS DOUBLE) / CAST(n_chars AS DOUBLE) AS symbol_ratio,
+        |  n_words >= 10 AND n_words <= 100000 AS flag_words,
+        |  CAST(nonspace AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+        |    AND CAST(nonspace AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+        |    AS flag_mwl,
+        |  CAST(symbols AS DOUBLE) / CAST(n_chars AS DOUBLE) < 0.1 AS flag_symbol,
+        |  stops >= 2 AS flag_stop,
+        |  n_words >= 10 AND n_words <= 100000
+        |    AND CAST(nonspace AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+        |    AND CAST(nonspace AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+        |    AND CAST(symbols AS DOUBLE) / CAST(n_chars AS DOUBLE) < 0.1
+        |    AND stops >= 2 AS passes
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q105_shard_plan" -> {
+      val n = TrainPrepOps.NShards
+      s"""WITH s AS (SELECT
+         |    CAST('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 15)
+         |      AS BIGINT) % $n AS shard,
+         |    n_chars
+         |  FROM documents),
+         |g AS (SELECT shard, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |  FROM s GROUP BY shard)
+         |SELECT shard, n_docs, total_chars,
+         |  CAST(total_chars AS DOUBLE) * $n
+         |    / CAST(CAST(sum(total_chars) OVER () AS BIGINT) AS DOUBLE)
+         |    AS load_ratio
+         |FROM g ORDER BY shard""".stripMargin
+    },
     "q100_skew_advisor" -> {
       val f = ProfileOps.SkewFactor
       def one(tbl: String, c: String) =

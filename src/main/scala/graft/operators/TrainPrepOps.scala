@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-set assembly operators — the last mile between a curated
+  * corpus and the batches a trainer reads: sequence packing into
+  * fixed-size context windows, mixture-weight epoch resampling,
+  * incremental-batch dedup against the already-ingested corpus,
+  * rule-based quality gating (the Gopher/FineWeb-style filter stack),
+  * and deterministic shard planning for the output writer.
+  *
+  * These extend the reference's ingest surface (nightly parquet drops →
+  * cleaned tables, `/root/reference/ParquetFileInsertion.py:30-66`) with
+  * the corpus-to-training-batch steps a 100 TB LLM data pipeline runs
+  * after ingest. Every operator is a one-exchange shape: packing
+  * shuffles once on its grouping key and then streams each partition;
+  * everything else is hash-aggregate or fingerprint-join work that
+  * map-side combines.
+  */
+object TrainPrepOps {
+
+  import EtlOps.t
+  import TextOps.{wsTokenCount, stopwordHits, LangStopwords}
+
+  /** 60-bit md5 fingerprint of a salted doc id — the deterministic,
+    * engine-portable randomness source used for mixture sampling and
+    * shard assignment (same construction as [[TextOps.md5Fingerprint60]],
+    * DuckDB twin `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`). */
+  private def saltedFp(salt: String): Column =
+    conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("bigint")
+
+  // --- q101: sequence packing -------------------------------------------
+
+  /** Context-window budget in characters. Chars stand in for tokens so
+    * the operator needs no tokenizer parity; the algorithm is identical
+    * for any additive cost column. */
+  val PackBudget = 1024L
+
+  case class PackIn(source: String, doc_id: Long, n_chars: Long)
+  case class PackOut(doc_id: Long, source: String, bin: Long, fill: Long)
+
+  /** q101 — greedy contiguous sequence packing: within each source, in
+    * doc_id order, documents accumulate into the current window until
+    * the next one would exceed [[PackBudget]], which starts a new
+    * window. A document larger than the budget occupies a window alone.
+    * Output is each document's window index and the window's running
+    * fill after the document — the assignment a batch writer needs to
+    * emit fixed-size training sequences.
+    *
+    * Packing is inherently a sequential scan per group, so the
+    * distributed shape is: ONE hash exchange on the packing key
+    * (source), an in-partition sort by (source, doc_id), then a
+    * streaming `mapPartitions` pass that carries (source, bin, fill)
+    * state and resets it at each source boundary — no driver state, no
+    * per-group collect, memory O(1) per task. At 100 TB the unit of
+    * packing would be (source, date-partition) so no single group
+    * serializes a whole source; the state machine is unchanged. */
+  def sequencePack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = PackBudget
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .as[PackIn]
+      .repartition(col("source"))
+      .sortWithinPartitions("source", "doc_id")
+      .mapPartitions { it =>
+        var src: String = null
+        var bin = 0L
+        var fill = 0L
+        it.map { r =>
+          if (r.source != src) { src = r.source; bin = 0L; fill = r.n_chars }
+          else if (fill + r.n_chars <= budget) { fill += r.n_chars }
+          else { bin += 1L; fill = r.n_chars }
+          PackOut(r.doc_id, r.source, bin, fill)
+        }
+      }
+      .toDF()
+      .orderBy("source", "doc_id")
+  }
+
+  // --- q102: mixture-weight epoch resampling ----------------------------
+
+  /** q102 — data-mixture resampling: each source carries an epoch weight
+    * (how many times its documents appear in one training pass; < 1
+    * downsamples, > 1 upsamples). A document materializes
+    * floor(w) copies plus one more when its fingerprint falls under the
+    * fractional part — deterministic repeat-factor sampling, so every
+    * run and every engine agrees on exactly which copies exist.
+    *
+    * Weights here derive from the source name (0.5 + (n % 4) · 0.75,
+    * i.e. 0.5/1.25/2.0/2.75 epochs) and are carried in integer
+    * thousandths so copy counts are exact integer arithmetic — no float
+    * thresholds. Shape: a narrow map plus a bounded `sequence` explode;
+    * output size is Σ w_i·|source_i| regardless of cluster size, and no
+    * shuffle happens at all — the explode pipelines into whatever
+    * consumes it. */
+  def mixtureEpochs(s: SparkSession, dir: String): DataFrame = {
+    val w1000 = (lit(500) + (substring(col("source"), 4, 10).cast("int") % 4) * 750)
+      .as("w1000")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), w1000,
+        (saltedFp("mix") % 1000).as("fp"))
+      .withColumn("n_copies",
+        (expr("w1000 div 1000") +
+          when(col("fp") < col("w1000") % 1000, 1L).otherwise(0L))
+          .cast("bigint"))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy"),
+        col("n_copies"))
+      .orderBy("doc_id", "copy")
+  }
+
+  // --- q103: incremental-batch dedup ------------------------------------
+
+  /** q103 — incremental ingest dedup: the arriving batch (here: doc_id ≡
+    * 0 mod 5, standing in for "today's partition") is deduplicated
+    * against the already-ingested corpus by normalized-text fingerprint,
+    * then within itself (first doc_id wins). Survivors report how many
+    * batch rows shared their fingerprint.
+    *
+    * Shape: the corpus side reduces to DISTINCT fingerprints before the
+    * anti-join, so the join carries one row per distinct historical
+    * document, not one per row; the within-batch step is a
+    * fingerprint-keyed window over the (small) surviving batch. At
+    * 100 TB the corpus fingerprint set is exactly what a bloom-filter
+    * pre-prune (q66's operator) compresses to executor-memory size —
+    * the anti-join then only shuffles probable-duplicate rows. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("fingerprint",
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+      .select("fingerprint").distinct()
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    batch.join(base, Seq("fingerprint"), "left_anti")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("fingerprint").orderBy("doc_id")))
+      .withColumn("n_batch_dups",
+        count(lit(1)).over(Window.partitionBy("fingerprint")))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("fingerprint"), col("n_batch_dups"))
+      .orderBy("doc_id")
+  }
+
+  // --- q104: rule-based quality gate ------------------------------------
+
+  /** q104 — Gopher/FineWeb-style rule stack: per document, the word
+    * count, mean word length, and symbol ratio, each gated by its
+    * published-heuristic range, plus a stopword-presence check; a
+    * document passes only if every rule passes. Unlike q27's blended
+    * score this is the boolean filter stack production pipelines apply
+    * before scoring — and each rule's flag is reported so rejection
+    * reasons aggregate for free.
+    *
+    * Every column is per-row arithmetic on one input row — a pure
+    * narrow map that fuses into the scan under whole-stage codegen; at
+    * any scale this runs at parquet-read speed and the filter can push
+    * into the consumer. */
+  def gopherRules(s: SparkSession, dir: String): DataFrame = {
+    val nWords = wsTokenCount(col("text"))
+    val nonspace = length(regexp_replace(col("text"), "\\s+", "")).cast("bigint")
+    val symbols = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("bigint")
+    val meanWordLen = nonspace.cast("double") / nWords.cast("double")
+    val symbolRatio = symbols.cast("double") / length(col("text")).cast("double")
+    val stops = stopwordHits(col("text"), LangStopwords.head._2)
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        meanWordLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"),
+        (nWords >= 10 && nWords <= 100000).as("flag_words"),
+        (meanWordLen >= 3.0 && meanWordLen <= 10.0).as("flag_mwl"),
+        (symbolRatio < 0.1).as("flag_symbol"),
+        (stops >= 2).as("flag_stop"))
+      .withColumn("passes",
+        col("flag_words") && col("flag_mwl") && col("flag_symbol") && col("flag_stop"))
+      .orderBy("doc_id")
+  }
+
+  // --- q105: output shard planning --------------------------------------
+
+  /** Number of output shards the writer targets. */
+  val NShards = 16
+
+  /** q105 — deterministic shard plan: every document hashes to one of
+    * [[NShards]] output shards; the plan reports each shard's document
+    * count, byte load, and load ratio against the ideal even split —
+    * the pre-write audit that catches a skewed shard before the writer
+    * produces a straggler file.
+    *
+    * Shape: one map-side-combinable aggregate down to [[NShards]] rows,
+    * then the grand total via a window over those rows — the full-corpus
+    * scan happens exactly once no matter the scale. */
+  def shardPlan(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select((saltedFp("shard") % NShards).as("shard"), col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .withColumn("load_ratio",
+        col("total_chars").cast("double") * NShards /
+          sum("total_chars").over(Window.partitionBy()).cast("double"))
+      .orderBy("shard")
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TrainPrepOps
+
+/** Invariant specs for the training-set assembly operators (q101-q105).
+  * The DuckDB oracle gate checks exact row parity; these specs pin the
+  * algorithmic invariants that survive any data change.
+  */
+class TrainPrepOpsSpec extends AnyFunSuite {
+
+  private val spark = TestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q101 sequence packing matches a sequential reference loop") {
+    val got = TrainPrepOps.sequencePack(spark, dir)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+
+    // reference: per-source sequential greedy pack over (doc_id, n_chars)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "doc_id", "n_chars")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = docs.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var bin = 0L; var fill = 0L
+      rows.sortBy(_._2).zipWithIndex.map { case ((_, id, n), i) =>
+        if (i == 0) { fill = n }
+        else if (fill + n <= TrainPrepOps.PackBudget) { fill += n }
+        else { bin += 1; fill = n }
+        (src, id, bin, fill)
+      }
+    }.toSeq.sortBy(t => (t._1, t._2))
+
+    assert(got.toSeq == want)
+  }
+
+  test("q101 never overfills a window unless the document alone exceeds the budget") {
+    val over = TrainPrepOps.sequencePack(spark, dir)
+      .join(
+        spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars"),
+        "doc_id")
+      .filter(col("fill") > TrainPrepOps.PackBudget &&
+        col("n_chars") <= TrainPrepOps.PackBudget)
+      .count()
+    assert(over == 0L)
+  }
+
+  test("q102 copy counts are floor(w) or ceil(w) and copies number 1..n contiguously") {
+    val rows = TrainPrepOps.mixtureEpochs(spark, dir).collect()
+    val bySrc = rows.groupBy(_.getString(1))
+    for ((src, rs) <- bySrc) {
+      val w1000 = 500 + (src.drop(3).toInt % 4) * 750
+      val (lo, hi) = (w1000 / 1000, w1000 / 1000 + (if (w1000 % 1000 > 0) 1 else 0))
+      val perDoc = rs.groupBy(_.getLong(0))
+      for ((_, copies) <- perDoc) {
+        val n = copies.head.getLong(3)
+        assert(n >= lo && n <= hi, s"$src: n_copies $n outside [$lo,$hi]")
+        assert(copies.map(_.getLong(2)).sorted.toSeq == (1L to n).toSeq)
+      }
+    }
+    // downweighted sources must actually lose documents (w=0.5 → ~half dropped)
+    val srcDocs = bySrc.map { case (s, rs) => s -> rs.map(_.getLong(0)).distinct.length }
+    val half = srcDocs.filter { case (s, _) => s.drop(3).toInt % 4 == 0 }
+    assert(half.nonEmpty && half.values.forall(_ < 25))
+  }
+
+  test("q103 survivors are unique by fingerprint and disjoint from the base corpus") {
+    val out = TrainPrepOps.incrementalDedup(spark, dir)
+    val fps = out.select("fingerprint").collect().map(_.getString(0))
+    assert(fps.length == fps.distinct.length)
+    val baseFps = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(fps.forall(!baseFps.contains(_)))
+    // every survivor is from the batch slice
+    assert(out.filter(col("doc_id") % 5 =!= 0).count() == 0L)
+  }
+
+  test("q104 passes is exactly the conjunction of the rule flags") {
+    val bad = TrainPrepOps.gopherRules(spark, dir)
+      .filter(col("passes") =!=
+        (col("flag_words") && col("flag_mwl") && col("flag_symbol") && col("flag_stop")))
+      .count()
+    assert(bad == 0L)
+    // the rule stack must discriminate on this corpus, not rubber-stamp it
+    val agg = TrainPrepOps.gopherRules(spark, dir)
+      .agg(sum(when(col("passes"), 1).otherwise(0)), count(lit(1)))
+      .head()
+    assert(agg.getLong(0) > 0 && agg.getLong(0) < agg.getLong(1))
+  }
+
+  test("q105 shard plan conserves totals and load ratios average to 1") {
+    val plan = TrainPrepOps.shardPlan(spark, dir).collect()
+    assert(plan.forall(r => r.getLong(0) >= 0 && r.getLong(0) < TrainPrepOps.NShards))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(plan.map(_.getLong(1)).sum == docs.count())
+    assert(plan.map(_.getLong(2)).sum ==
+      docs.agg(sum("n_chars")).head().getLong(0))
+    assert(math.abs(plan.map(_.getDouble(3)).sum / plan.length - 1.0) < 0.5)
+  }
+}
