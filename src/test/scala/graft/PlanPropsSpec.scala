@@ -178,4 +178,33 @@ class PlanPropsSpec extends AnyFunSuite {
       .findAllIn(p).length
     assert(n <= 2, s"feature hash grew extra shuffles ($n):\n${p.take(1500)}")
   }
+
+  test("sequence packing is one hash exchange on source plus the output sort") {
+    val p = plan(TrainPrepOps.sequencePack(spark, dir))
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(p).length == 1,
+      s"packing must shuffle exactly once, on its grouping key:\n${p.take(1500)}")
+    assert("Exchange ".r.findAllIn(p).length <= 2,
+      s"packing grew extra shuffles:\n${p.take(1500)}")
+  }
+
+  test("gopher rule stack is a pure narrow map (no shuffle before the output sort)") {
+    val p = plan(TrainPrepOps.gopherRules(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"rule stack must not shuffle:\n${p.take(1500)}")
+    assert(!p.contains("HashAggregate"))
+  }
+
+  test("incremental dedup anti-joins by broadcast, never sort-merge") {
+    val p = plan(TrainPrepOps.incrementalDedup(spark, dir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"corpus anti-join not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("mixture resampling pushes its copy-count filter and never shuffles") {
+    val p = plan(TrainPrepOps.mixtureEpochs(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"resampling must stay narrow:\n${p.take(1500)}")
+    assert(p.contains("Generate explode"), s"sequence explode missing:\n${p.take(1500)}")
+  }
 }
