@@ -123,6 +123,8 @@ object SparkEntry {
     "q103_incremental_dedup" -> (TrainPrepOps.incrementalDedup _),
     "q104_gopher_rules"      -> (TrainPrepOps.gopherRules _),
     "q105_shard_plan"        -> (TrainPrepOps.shardPlan _),
+    "q106_semantic_outliers" -> (ClusterOps.semanticOutliers _),
+    "q107_label_confusion"   -> (ClusterOps.labelConfusion _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -993,6 +995,8 @@ object SparkEntry {
          |    AS load_ratio
          |FROM g ORDER BY shard""".stripMargin
     },
+    "q106_semantic_outliers" -> ClusterOps.semanticOutliersOracle,
+    "q107_label_confusion"  -> ClusterOps.labelConfusionOracle,
     "q100_skew_advisor" -> {
       val f = ProfileOps.SkewFactor
       def one(tbl: String, c: String) =

@@ -115,4 +115,131 @@ object ClusterOps {
        |    / $Fp AS inertia
        |FROM a2 GROUP BY cent_id ORDER BY cent_id""".stripMargin
   }
+
+  // --- q106/q107: label-centroid diagnostics ----------------------------
+
+  /** Outliers reported per label. */
+  val OutlierK = 5
+
+  /** The per-label centroid table: fixed-point means over each label's
+    * member vectors — the same exact-summation construction as the q79
+    * centroid update, keyed by the data's own label instead of an
+    * assignment. One map-side-combinable aggregate down to |labels|
+    * rows, which then BROADCAST to every consumer. */
+  private def labelCentroids(v: DataFrame): DataFrame = {
+    val sums = (1 to VecSql.Dims).map { j =>
+      sum(expr(s"CAST(floor(element_at(emb, $j) * $Fp) AS BIGINT)"))
+        .as(s"s$j")
+    }
+    v.groupBy("label")
+      .agg(count(lit(1)).as("cnt"), sums: _*)
+      .select(col("label"),
+        array((1 to VecSql.Dims).map { j =>
+          (col(s"s$j").cast("double") / lit(1e9)) / col("cnt")
+        }: _*).as("cemb"))
+  }
+
+  private def labeledVectors(s: SparkSession, dir: String): DataFrame =
+    EtlOps.t(s, dir, "embeddings")
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+
+  /** q106 — semantic outlier report: the [[OutlierK]] vectors farthest
+    * (squared L2) from their own label's centroid, per label — the
+    * embedding-space analogue of the text quality gate: items that sit
+    * far from their group's mass are mislabeled, noisy, or genuinely
+    * novel, and a curation pipeline routes them to review before
+    * training.
+    *
+    * Shape: one aggregate to |labels| centroid rows, broadcast back, a
+    * per-row 64-term distance chain (codegen'd, no shuffle), and a
+    * per-label top-k window. The fact table streams through exactly
+    * once; nothing here grows with corpus size except the one
+    * label-keyed exchange for the window. */
+  def semanticOutliers(s: SparkSession, dir: String): DataFrame = {
+    val v = labeledVectors(s, dir).persist()
+    val w = Window.partitionBy("label")
+      .orderBy(col("dist").desc, col("vec_id"))
+    v.join(broadcast(labelCentroids(v)), "label")
+      .withColumn("dist", expr(dsqExpr("emb", "cemb", spark = true)))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= OutlierK)
+      .select(col("label"), col("vec_id"), col("rank"),
+        round(col("dist"), 6).as("dist2"))
+      .orderBy("label", "rank")
+  }
+
+  /** q106 oracle — identical CTE chain, generated from the same
+    * expression builders. */
+  def semanticOutliersOracle: String = {
+    val sumCols = (1 to VecSql.Dims).map { j =>
+      s"CAST(CAST(sum(CAST(floor(emb[$j] * $Fp) AS BIGINT)) AS BIGINT) AS DOUBLE) AS s$j"
+    }.mkString(",\n    ")
+    val meanList = (1 to VecSql.Dims).map(j => s"(s$j / $Fp) / cnt").mkString(", ")
+    s"""WITH v AS (SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |c AS (SELECT label, count(*) AS cnt,
+       |    $sumCols
+       |  FROM v GROUP BY label),
+       |ca AS (SELECT label, [$meanList] AS cemb FROM c),
+       |d AS (SELECT v.label, v.vec_id,
+       |    ${dsqExpr("emb", "cemb", spark = false)} AS dist
+       |  FROM v JOIN ca ON v.label = ca.label),
+       |r AS (SELECT label, vec_id, dist, row_number() OVER (
+       |    PARTITION BY label ORDER BY dist DESC, vec_id) AS rnk FROM d)
+       |SELECT label, vec_id, CAST(rnk AS BIGINT) AS "rank",
+       |  round(dist, 6) AS dist2
+       |FROM r WHERE rnk <= $OutlierK ORDER BY label, rnk""".stripMargin
+  }
+
+  /** q107 — label-confusion matrix: assign every vector to its NEAREST
+    * label centroid (ties on label id over bit-identical distances) and
+    * count (true label, assigned label) pairs. Off-diagonal mass is the
+    * standard label-noise / class-overlap audit a dataset card reports;
+    * it also validates whether label-partitioned sampling (q102) mixes
+    * semantically distinct material.
+    *
+    * Shape: centroids broadcast (|labels| rows), assignment is a
+    * streamed cross-join + per-vector argmin window, and the confusion
+    * matrix is one integer-count aggregate — all-integer output, no
+    * float comparisons cross the engine boundary. */
+  def labelConfusion(s: SparkSession, dir: String): DataFrame = {
+    val v = labeledVectors(s, dir).persist()
+    val cents = labelCentroids(v)
+      .select(col("label").as("pred_label"), col("cemb"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("dist"), col("pred_label"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(dsqExpr("emb", "cemb", spark = true)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy("label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred_label")
+  }
+
+  /** q107 oracle — identical CTE chain. */
+  def labelConfusionOracle: String = {
+    val sumCols = (1 to VecSql.Dims).map { j =>
+      s"CAST(CAST(sum(CAST(floor(emb[$j] * $Fp) AS BIGINT)) AS BIGINT) AS DOUBLE) AS s$j"
+    }.mkString(",\n    ")
+    val meanList = (1 to VecSql.Dims).map(j => s"(s$j / $Fp) / cnt").mkString(", ")
+    s"""WITH v AS (SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |c AS (SELECT label, count(*) AS cnt,
+       |    $sumCols
+       |  FROM v GROUP BY label),
+       |ca AS (SELECT label AS pred_label, [$meanList] AS cemb FROM c),
+       |d AS (SELECT v.label, v.vec_id, ca.pred_label,
+       |    ${dsqExpr("emb", "cemb", spark = false)} AS dist
+       |  FROM v CROSS JOIN ca),
+       |a AS (SELECT label, vec_id, pred_label FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY dist, pred_label) AS rn FROM d) WHERE rn = 1)
+       |SELECT label, pred_label, count(*) AS n
+       |FROM a GROUP BY label, pred_label
+       |ORDER BY label, pred_label""".stripMargin
+  }
 }

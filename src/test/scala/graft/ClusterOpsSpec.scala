@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ClusterOps
+
+/** Invariant specs for the label-centroid diagnostics (q106-q107); the
+  * DuckDB oracle gate checks exact row parity.
+  */
+class ClusterOpsSpec extends AnyFunSuite {
+
+  private val spark = TestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q106 reports exactly OutlierK ranked outliers per label, farthest first") {
+    val rows = ClusterOps.semanticOutliers(spark, dir).collect()
+    val byLabel = rows.groupBy(_.getInt(0))
+    for ((label, rs) <- byLabel) {
+      assert(rs.length == ClusterOps.OutlierK, s"label $label")
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to ClusterOps.OutlierK).toSeq)
+      val dists = rs.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a >= b },
+        s"label $label outliers not ranked by distance: ${dists.mkString(",")}")
+    }
+  }
+
+  test("q106 outliers really are their label's max-distance members") {
+    // the rank-1 outlier's distance must be >= every reported distance
+    val rows = ClusterOps.semanticOutliers(spark, dir).collect()
+    for ((_, rs) <- rows.groupBy(_.getInt(0))) {
+      val top = rs.filter(_.getLong(2) == 1L).head.getDouble(3)
+      assert(rs.forall(_.getDouble(3) <= top))
+    }
+  }
+
+  test("q107 confusion matrix conserves the corpus and keeps labels in range") {
+    val rows = ClusterOps.labelConfusion(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    assert(rows.forall(r => labels.contains(r.getInt(0)) && labels.contains(r.getInt(1))))
+    assert(rows.forall(_.getLong(2) > 0))
+  }
+
+  test("q107 assignment is a function: each vector contributes to exactly one cell") {
+    // conservation per true label: row sums equal the label's member count
+    val conf = ClusterOps.labelConfusion(spark, dir)
+      .groupBy("label").agg(sum("n").as("assigned"))
+    val truth = spark.read.parquet(s"$dir/embeddings.parquet")
+      .groupBy("label").agg(count(lit(1)).as("members"))
+    val bad = conf.join(truth, "label")
+      .filter(col("assigned") =!= col("members")).count()
+    assert(bad == 0L)
+  }
+}
