@@ -125,6 +125,8 @@ object SparkEntry {
     "q105_shard_plan"        -> (TrainPrepOps.shardPlan _),
     "q106_semantic_outliers" -> (ClusterOps.semanticOutliers _),
     "q107_label_confusion"   -> (ClusterOps.labelConfusion _),
+    "q108_k_anonymity"       -> (CurationOps.kAnonymity _),
+    "q109_corpus_report"     -> (TrainPrepOps.corpusReport _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -997,6 +999,39 @@ object SparkEntry {
     },
     "q106_semantic_outliers" -> ClusterOps.semanticOutliersOracle,
     "q107_label_confusion"  -> ClusterOps.labelConfusionOracle,
+    "q108_k_anonymity" -> {
+      val k = CurationOps.AnonK
+      s"""SELECT event_type, CAST(ts AS DATE) AS day,
+         |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k_prop,
+         |  count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY event_type, day, k_prop
+         |HAVING count(DISTINCT user_id) < $k
+         |ORDER BY event_type, day, k_prop""".stripMargin
+    },
+    "q109_corpus_report" ->
+      """WITH m AS (SELECT source, lang, n_chars,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |    CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 10
+        |      AND len(string_split_regex(trim(text), '\s+')) <= 100000
+        |      AND CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |        / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) >= 3.0
+        |      AND CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |        / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) <= 10.0
+        |      AND CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |        / CAST(length(text) AS DOUBLE) < 0.1
+        |      AND len(regexp_extract_all(text, '\b(the|and|of|to|in|is|you|that)\b')) >= 2
+        |      THEN 1 ELSE 0 END AS pass
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  count(DISTINCT lang) AS n_langs,
+        |  count(*) - count(DISTINCT fp) AS n_exact_dups,
+        |  CAST(sum(pass) AS BIGINT) AS n_quality_pass,
+        |  CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS avg_chars,
+        |  CAST(CAST(sum(pass) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS pass_rate
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
     "q100_skew_advisor" -> {
       val f = ProfileOps.SkewFactor
       def one(tbl: String, c: String) =

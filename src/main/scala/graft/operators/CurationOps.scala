@@ -257,4 +257,33 @@ object CurationOps {
       .select(col("lbl").as("cluster_id"), col("n_members"))
       .orderBy("cluster_id")
   }
+
+  // --- q108: k-anonymity audit ------------------------------------------
+
+  /** Minimum distinct users a quasi-identifier combination must carry. */
+  val AnonK = 5
+
+  /** q108 — k-anonymity audit: group the event log by its
+    * quasi-identifier combination (event type, event date, and the
+    * `k` attribute from the JSON props) and report every combination
+    * carried by fewer than [[AnonK]] distinct users — the rows where a
+    * released dataset would re-identify individuals, and exactly what a
+    * privacy review asks for before training data leaves the pipeline.
+    *
+    * Shape: ONE map-side-combinable aggregate over the quasi-id key
+    * (distinct-user counting is a two-phase partial aggregate), then a
+    * filter that keeps only the rare combinations — output shrinks as
+    * data grows (more data = more anonymity), so at 100 TB this returns
+    * the handful of genuinely risky cells, not a report proportional to
+    * input size. */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame =
+    EtlOps.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k_prop"),
+        col("user_id"))
+      .groupBy("event_type", "day", "k_prop")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"))
+      .filter(col("n_users") < AnonK)
+      .orderBy("event_type", "day", "k_prop")
 }

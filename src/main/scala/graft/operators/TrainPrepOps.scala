@@ -205,4 +205,45 @@ object TrainPrepOps {
         col("total_chars").cast("double") * NShards /
           sum("total_chars").over(Window.partitionBy()).cast("double"))
       .orderBy("shard")
+
+  // --- q109: corpus datasheet -------------------------------------------
+
+  /** q109 — per-source corpus datasheet: the one-row-per-source summary
+    * a dataset card publishes — document and character volume, language
+    * spread, exact-duplicate count (docs minus distinct normalized-text
+    * fingerprints), and how much of the source survives the q104 rule
+    * stack. The numbers a data-mixture decision (q102 weights) is
+    * actually made from.
+    *
+    * Shape: one aggregate over the source key; the two distinct counts
+    * are standard two-phase partial aggregates and everything else
+    * map-side combines, so the report stays one pass at any corpus
+    * size. Ratios are single divisions of exactly-aggregated integers. */
+  def corpusReport(s: SparkSession, dir: String): DataFrame = {
+    val nWords = wsTokenCount(col("text"))
+    val nonspace = length(regexp_replace(col("text"), "\\s+", "")).cast("bigint")
+    val symbols = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("bigint")
+    val meanWordLen = nonspace.cast("double") / nWords.cast("double")
+    val symbolRatio = symbols.cast("double") / length(col("text")).cast("double")
+    val passes = nWords >= 10 && nWords <= 100000 &&
+      meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+      symbolRatio < 0.1 &&
+      stopwordHits(col("text"), LangStopwords.head._2) >= 2
+    t(s, dir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"),
+        when(passes, 1L).otherwise(0L).as("pass"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
+        sum("pass").as("n_quality_pass"))
+      .withColumn("avg_chars",
+        col("total_chars").cast("double") / col("n_docs").cast("double"))
+      .withColumn("pass_rate",
+        col("n_quality_pass").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source")
+  }
 }

@@ -102,4 +102,34 @@ class TrainPrepOpsSpec extends AnyFunSuite {
       docs.agg(sum("n_chars")).head().getLong(0))
     assert(math.abs(plan.map(_.getDouble(3)).sum / plan.length - 1.0) < 0.5)
   }
+
+  test("q108 reports only under-k quasi-id groups, verified by recount") {
+    import graft.operators.CurationOps
+    val out = CurationOps.kAnonymity(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(4) < CurationOps.AnonK))
+    // spot-check one reported cell against a direct recount
+    val r = out.head
+    val recount = graft.operators.EtlOps.events(spark, dir)
+      .filter(col("event_type") === r.getString(0) &&
+        to_date(col("ts")) === r.getDate(1) &&
+        get_json_object(col("props"), "$.k").cast("bigint") === r.getLong(2))
+      .agg(countDistinct(col("user_id")))
+      .head().getLong(0)
+    assert(recount == r.getLong(4))
+  }
+
+  test("q109 datasheet conserves corpus totals and keeps ratios consistent") {
+    val rep = TrainPrepOps.corpusReport(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(rep.map(_.getLong(1)).sum == docs.count())
+    assert(rep.map(_.getLong(2)).sum ==
+      docs.agg(sum("n_chars")).head().getLong(0))
+    for (r <- rep) {
+      assert(r.getLong(4) >= 0 && r.getLong(4) < r.getLong(1))      // dups < docs
+      assert(r.getLong(5) <= r.getLong(1))                          // passes <= docs
+      assert(math.abs(r.getDouble(6) - r.getLong(2).toDouble / r.getLong(1)) < 1e-9)
+      assert(math.abs(r.getDouble(7) - r.getLong(5).toDouble / r.getLong(1)) < 1e-9)
+    }
+  }
 }
