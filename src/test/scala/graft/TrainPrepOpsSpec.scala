@@ -119,6 +119,42 @@ class TrainPrepOpsSpec extends AnyFunSuite {
     assert(recount == r.getLong(4))
   }
 
+  test("incremental dedup generalizes to streaming: state-store dropDuplicates across micro-batches") {
+    // q103 models one arriving batch against the ingested corpus; under
+    // readStream the state store carries the corpus fingerprints across
+    // micro-batches, so the same first-doc-wins semantics holds with no
+    // explicit anti-join. Two file drops = two micro-batches.
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("fingerprint",
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .select("doc_id", "fingerprint")
+    docs.filter(col("doc_id") % 5 =!= 0).coalesce(1).write.parquet(s"$root/in")
+    val schema = spark.read.parquet(s"$root/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      .dropDuplicates("fingerprint")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup").start()
+    try {
+      q.processAllAvailable()
+      val afterB1 = spark.table("stream_dedup").count()
+      docs.filter(col("doc_id") % 5 === 0).coalesce(1)
+        .write.mode("append").parquet(s"$root/in")
+      q.processAllAvailable()
+      val out = spark.table("stream_dedup")
+      // batch-2 survivors = exactly the fingerprints q103 reports
+      val streamed = out.filter(col("doc_id") % 5 === 0)
+        .select("fingerprint").collect().map(_.getString(0)).toSet
+      val batch = TrainPrepOps.incrementalDedup(spark, dir)
+        .select("fingerprint").collect().map(_.getString(0)).toSet
+      assert(streamed == batch)
+      // and the stream never emitted a fingerprint twice
+      assert(out.count() == out.select("fingerprint").distinct().count())
+      assert(out.count() >= afterB1)
+    } finally q.stop()
+  }
+
   test("q109 datasheet conserves corpus totals and keeps ratios consistent") {
     val rep = TrainPrepOps.corpusReport(spark, dir).collect()
     val docs = spark.read.parquet(s"$dir/documents.parquet")
