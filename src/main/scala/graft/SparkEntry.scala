@@ -127,6 +127,8 @@ object SparkEntry {
     "q107_label_confusion"   -> (ClusterOps.labelConfusion _),
     "q108_k_anonymity"       -> (CurationOps.kAnonymity _),
     "q109_corpus_report"     -> (TrainPrepOps.corpusReport _),
+    "q110_cluster_reps"      -> (CurationOps.clusterRepresentatives _),
+    "q111_epoch_schedule"    -> (TrainPrepOps.epochSchedule _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -509,6 +511,7 @@ object SparkEntry {
          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
     },
     "q59_dup_clusters" -> OracleGen.q59DupClusters,
+    "q110_cluster_reps" -> OracleGen.q110ClusterRepresentatives,
     // q60's oracle: exact counts + literal TRUE bounds — the gate fails
     // if Spark's HLL estimate leaves its 3σ envelope (sketch VALUES stay
     // rows-only in q42; engines' sketches legitimately differ).
@@ -943,6 +946,28 @@ object SparkEntry {
         |  FROM w)
         |SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy, n_copies
         |FROM c WHERE n_copies >= 1 ORDER BY doc_id, copy""".stripMargin,
+    "q111_epoch_schedule" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    500 + (CAST(substr(source, 4) AS INT) % 4) * 750 AS w1000,
+        |    CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) % 1000 AS fp
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |    CAST(w1000 // 1000
+        |      + CASE WHEN fp < w1000 % 1000 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS n_copies
+        |  FROM w),
+        |x AS (SELECT doc_id, source,
+        |    unnest(range(1, n_copies + 1)) AS copy
+        |  FROM c WHERE n_copies >= 1),
+        |r AS (SELECT doc_id, source, copy,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY doc_id, copy) AS BIGINT) AS r,
+        |    count(*) OVER (PARTITION BY source) AS n_total
+        |  FROM x)
+        |SELECT doc_id, source, copy, r,
+        |  (CAST(r AS DOUBLE) - 0.5) / CAST(n_total AS DOUBLE) AS pos
+        |FROM r ORDER BY pos, source, doc_id, copy""".stripMargin,
     "q103_incremental_dedup" ->
       """WITH f AS (SELECT doc_id,
         |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint

@@ -223,7 +223,16 @@ object CurationOps {
     * same closure as a recursive CTE. Output: one row per cluster with
     * its canonical (min) id and size — the survivor list a dedup pass
     * feeds downstream. */
-  def dupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dupClusters(s: SparkSession, dir: String): DataFrame =
+    dupLabels(s, dir)
+      .groupBy("lbl")
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("lbl").as("cluster_id"), col("n_members"))
+      .orderBy("cluster_id")
+
+  /** The per-node cluster labels behind q59/q110: min-label propagation
+    * over the MinHash near-dup edges to the fixpoint. */
+  private def dupLabels(s: SparkSession, dir: String): DataFrame = {
     // persist pairs BEFORE the symmetric union: both union branches
     // reference it, and without the cache each would re-run the whole
     // MinHash candidate pipeline
@@ -252,9 +261,35 @@ object CurationOps {
         .filter(col("new_lbl") =!= col("lbl")).count()
       labels = prop.select(col("doc_id"), col("new_lbl").as("lbl"))
     }
-    labels.groupBy("lbl")
-      .agg(count(lit(1)).as("n_members"))
-      .select(col("lbl").as("cluster_id"), col("n_members"))
+    labels
+  }
+
+  /** q110 — cluster-representative selection: after near-dup clustering
+    * (q59's labels), keep ONE document per cluster — the longest real
+    * document (ties to the lowest doc_id) — and report it with the
+    * cluster size. This is the survivor-selection step an LLM dedup
+    * pass actually ships: clusters are detected (q31→q59), then exactly
+    * one member survives into the training set. Synthetic near-copy
+    * nodes (ids ≥ [[DedupOps.CopyOffset]]) are never eligible, so
+    * copy-only clusters drop out entirely.
+    *
+    * Shape: the label table joins doc metadata on doc_id (equi-join),
+    * the pick is a per-cluster top-1 window, and the size is the q59
+    * aggregate — nothing here exceeds the clustering cost itself, and
+    * the quality metric is pluggable (any per-doc score column). */
+  def clusterRepresentatives(s: SparkSession, dir: String): DataFrame = {
+    val lab = dupLabels(s, dir).persist()
+    val sizes = lab.groupBy("lbl").agg(count(lit(1)).as("n_members"))
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lbl")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    lab.filter(col("doc_id") < DedupOps.CopyOffset)
+      .join(docs, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(sizes, "lbl")
+      .select(col("lbl").as("cluster_id"), col("doc_id").as("rep_doc"),
+        col("n_chars").as("rep_chars"), col("n_members"))
       .orderBy("cluster_id")
   }
 

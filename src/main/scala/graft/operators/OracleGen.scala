@@ -225,6 +225,33 @@ object OracleGen {
        |SELECT cluster_id, count(*) AS n_members
        |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  /** q110: the q59 label closure extended with survivor selection —
+    * longest real document per cluster, ties to the lowest doc_id;
+    * copy-only clusters have no eligible member and drop out. */
+  val q110ClusterRepresentatives: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (${q31MinhashLsh}) qq),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT doc_id FROM documents
+       |          UNION ALL SELECT doc_id + ${DedupOps.CopyOffset} FROM documents),
+       |r AS (SELECT doc_id AS node, doc_id AS lbl FROM nodes
+       |      UNION
+       |      SELECT e.b, r.lbl FROM r JOIN e ON e.a = r.node),
+       |lab AS (SELECT node, min(lbl) AS cluster_id FROM r GROUP BY node),
+       |sz AS (SELECT cluster_id, count(*) AS n_members FROM lab
+       |       GROUP BY cluster_id),
+       |j AS (SELECT l.cluster_id, l.node AS doc_id, d.n_chars
+       |      FROM lab l JOIN documents d ON d.doc_id = l.node
+       |      WHERE l.node < ${DedupOps.CopyOffset}),
+       |rk AS (SELECT cluster_id, doc_id, n_chars, row_number() OVER (
+       |    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM j)
+       |SELECT k.cluster_id, k.doc_id AS rep_doc, k.n_chars AS rep_chars,
+       |  s.n_members
+       |FROM rk k JOIN sz s ON s.cluster_id = k.cluster_id
+       |WHERE k.rn = 1 ORDER BY k.cluster_id""".stripMargin
+
   val q26LangId: String = {
     val scores = TextOps.LangStopwords.map { case (lang, words) =>
       s"len(regexp_extract_all(text, '\\b($words)\\b')) AS score_$lang"

@@ -97,7 +97,9 @@ object TrainPrepOps {
     * output size is Σ w_i·|source_i| regardless of cluster size, and no
     * shuffle happens at all — the explode pipelines into whatever
     * consumes it. */
-  def mixtureEpochs(s: SparkSession, dir: String): DataFrame = {
+  /** The mixture's materialized copies: (doc_id, source, copy, n_copies),
+    * one row per training-pass appearance. Shared by q102 and q111. */
+  private def mixtureCopies(s: SparkSession, dir: String): DataFrame = {
     val w1000 = (lit(500) + (substring(col("source"), 4, 10).cast("int") % 4) * 750)
       .as("w1000")
     t(s, dir, "documents")
@@ -111,7 +113,40 @@ object TrainPrepOps {
       .select(col("doc_id"), col("source"),
         explode(sequence(lit(1L), col("n_copies"))).as("copy"),
         col("n_copies"))
-      .orderBy("doc_id", "copy")
+  }
+
+  def mixtureEpochs(s: SparkSession, dir: String): DataFrame =
+    mixtureCopies(s, dir).orderBy("doc_id", "copy")
+
+  // --- q111: deterministic epoch schedule -------------------------------
+
+  /** q111 — the read order a trainer consumes the q102 mixture in:
+    * every materialized copy gets a stride-interleave position
+    * (rank − ½) / n_source-copies, so each source's copies spread
+    * uniformly over the epoch and sources interleave proportionally to
+    * their weights (the standard temperature-sampling dataloader order,
+    * made deterministic). The output IS the schedule: rows sorted by
+    * position are the exact global read sequence.
+    *
+    * Shape: the mixture explode stays narrow; rank and per-source
+    * totals are source-partitioned windows (one exchange on the
+    * interleave key); the final global sort is a range partition — the
+    * only total order in the pipeline, and exactly the one the output
+    * contract requires. No driver-side state, no single-partition
+    * window. */
+  def epochSchedule(s: SparkSession, dir: String): DataFrame = {
+    val copies = mixtureCopies(s, dir).drop("n_copies")
+    val bySource = Window.partitionBy("source")
+    val rank = row_number()
+      .over(bySource.orderBy("doc_id", "copy")).cast("bigint")
+    copies
+      .withColumn("r", rank)
+      .withColumn("n_total", count(lit(1)).over(bySource))
+      .withColumn("pos",
+        (col("r").cast("double") - 0.5) / col("n_total").cast("double"))
+      .select(col("doc_id"), col("source"), col("copy"), col("r"),
+        col("pos"))
+      .orderBy("pos", "source", "doc_id", "copy")
   }
 
   // --- q103: incremental-batch dedup ------------------------------------

@@ -83,4 +83,23 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(wrote > 0, s"no rdd checkpoints written under $ckDir")
     } finally spark.conf.unset(CurationOps.CheckpointDirKey)
   }
+
+  test("q110 picks one real representative per cluster, the longest member") {
+    val dir2 = "/root/testdata/sf0.001"
+    val reps = CurationOps.clusterRepresentatives(spark, dir2).collect()
+    val clusters = CurationOps.dupClusters(spark, dir2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one rep per cluster; every rep is a real doc; sizes match q59
+    assert(reps.map(_.getLong(0)).distinct.length == reps.length)
+    assert(reps.forall(_.getLong(1) < graft.operators.DedupOps.CopyOffset))
+    assert(reps.forall(r => clusters(r.getLong(0)) == r.getLong(3)))
+    // clusters without a real member (copy-only) are excluded, no others
+    assert(reps.length <= clusters.size)
+    // the reported length is the document's actual length
+    val chars = spark.read.parquet(s"$dir2/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- reps.take(50))
+      assert(r.getLong(2) == chars(r.getLong(1)))
+  }
 }

@@ -155,6 +155,26 @@ class TrainPrepOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q111 schedule is a proportional stride-interleave of the q102 mixture") {
+    val sched = TrainPrepOps.epochSchedule(spark, dir).collect()
+    val mix = TrainPrepOps.mixtureEpochs(spark, dir).collect()
+    // the schedule contains exactly the mixture's copies
+    assert(sched.length == mix.length)
+    // positions lie in (0,1) and every source's copies spread uniformly:
+    // consecutive same-source positions differ by exactly 1/n_total
+    for ((src, rs) <- sched.groupBy(_.getString(1))) {
+      val ps = rs.sortBy(_.getLong(3)).map(_.getDouble(4))
+      assert(ps.forall(p => p > 0.0 && p < 1.0))
+      val stride = 1.0 / rs.length
+      ps.zip(ps.tail).foreach { case (a, b) =>
+        assert(math.abs((b - a) - stride) < 1e-12, s"$src stride broken")
+      }
+    }
+    // global order is by position (the schedule contract)
+    val pos = sched.map(_.getDouble(4))
+    assert(pos.zip(pos.tail).forall { case (a, b) => a <= b })
+  }
+
   test("q109 datasheet conserves corpus totals and keeps ratios consistent") {
     val rep = TrainPrepOps.corpusReport(spark, dir).collect()
     val docs = spark.read.parquet(s"$dir/documents.parquet")
