@@ -201,6 +201,16 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("epoch schedule is one source exchange plus the global range sort — no single-partition window") {
+    val p = plan(TrainPrepOps.epochSchedule(spark, dir))
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(p).length == 1,
+      s"schedule must shuffle once on the interleave key:\n${p.take(1500)}")
+    assert("Exchange rangepartitioning".r.findAllIn(p).length == 1,
+      s"global order must be a range sort:\n${p.take(1500)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"schedule must not collapse to one partition:\n${p.take(1500)}")
+  }
+
   test("mixture resampling pushes its copy-count filter and never shuffles") {
     val p = plan(TrainPrepOps.mixtureEpochs(spark, dir))
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
