@@ -129,6 +129,8 @@ object SparkEntry {
     "q109_corpus_report"     -> (TrainPrepOps.corpusReport _),
     "q110_cluster_reps"      -> (CurationOps.clusterRepresentatives _),
     "q111_epoch_schedule"    -> (TrainPrepOps.epochSchedule _),
+    "q112_random_projection" -> (SimilarityOps.randomProjection _),
+    "q113_ann_recall"        -> (SimilarityOps.annRecall _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -512,6 +514,8 @@ object SparkEntry {
     },
     "q59_dup_clusters" -> OracleGen.q59DupClusters,
     "q110_cluster_reps" -> OracleGen.q110ClusterRepresentatives,
+    "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
+    "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     // q60's oracle: exact counts + literal TRUE bounds — the gate fails
     // if Spark's HLL estimate leaves its 3σ envelope (sketch VALUES stay
     // rows-only in q42; engines' sketches legitimately differ).

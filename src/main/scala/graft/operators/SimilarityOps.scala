@@ -70,6 +70,19 @@ object VecSql {
     "greatest(" + (1 to dims).map { j =>
       s"abs(CAST(${el(c, j, spark)} AS DOUBLE) - (vmin + (${qCode(c, j, spark)} + 0.5) * sc))"
     }.mkString(", ") + ")"
+
+  /** Johnson–Lindenstrauss projection component p (1-based):
+    * Σ_j w(p,j)·x_j with LCG-derived weights as integer literals over
+    * 2³¹ (the [[lshSig]] construction, seed-offset by a prime so the
+    * projection matrix is distinct from the LSH planes), left-
+    * associated for one fixed IEEE op order on both engines. */
+  def projComp(embCol: String, p: Int, spark: Boolean,
+      dims: Int = Dims): String =
+    (1 to dims).map { j =>
+      val k = (1103515245L * (7919L + (p - 1) * dims + (j - 1)) + 12345L) %
+        2147483648L
+      s"($k.0/2147483648.0 - 0.5) * CAST(${el(embCol, j, spark)} AS DOUBLE)"
+    }.mkString(" + ")
 }
 
 /** Similarity-search operators over the embeddings table: brute-force
@@ -207,6 +220,131 @@ object SimilarityOps {
         s"CAST(${VecSql.quantSum("emb", spark = true)} AS BIGINT) AS qsum",
         s"${VecSql.quantMaxErr("emb", spark = true)} AS max_err")
       .orderBy("vec_id")
+
+  /** Reduced dimensionality for the q112 projection. 64→16 keeps the JL
+    * distortion visible but bounded at the corpus size under test. */
+  val ProjDims = 16
+
+  /** q112 — Johnson–Lindenstrauss random projection: every embedding
+    * maps to [[ProjDims]] components against a fixed LCG-seeded
+    * projection matrix — the standard cheap dimensionality reduction
+    * in front of ANN indexing and clustering (distance-preserving in
+    * expectation, 4× smaller vectors, no training pass).
+    *
+    * A pure narrow map: the matrix is compile-time literals (nothing
+    * broadcast, nothing learned), each output component is one
+    * codegen'd 64-term chain, and the scan streams once — at any corpus
+    * size this runs at parquet-read speed and the smaller vectors
+    * shrink every downstream shuffle 4×. */
+  def randomProjection(s: SparkSession, dir: String): DataFrame = {
+    val comps = (1 to ProjDims).map { p =>
+      f"round(${VecSql.projComp("emb", p, spark = true)}, 6) AS d$p%02d"
+    }
+    baseVectors(s, dir)
+      .selectExpr(("vec_id" +: comps): _*)
+      .orderBy("vec_id")
+  }
+
+  /** q112 oracle — the same generated chains in the DuckDB dialect. */
+  def randomProjectionOracle: String = {
+    val comps = (1 to ProjDims).map { p =>
+      f"round(${VecSql.projComp("emb", p, spark = false)}, 6) AS d$p%02d"
+    }.mkString(",\n  ")
+    s"""SELECT vec_id,
+       |  $comps
+       |FROM (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings) v
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** Cosine in the projected space over named component columns: a
+    * [[ProjDims]]-term chain, one fixed op order. `a`/`b` are column
+    * prefixes ("qd"/"d"). */
+  private def projDot(a: String, b: String): String =
+    (1 to ProjDims).map(p => f"$a$p%02d * $b$p%02d").mkString(" + ")
+
+  /** q113 — ANN recall audit: for each q34 query, how many of the exact
+    * cosine top-5 survive in the top-5 of the 16-dim projected space —
+    * recall@5 of the q112 reduction, the number that decides whether
+    * the cheap space is good enough to pre-filter retrieval. Evaluation
+    * harnesses ship this next to the index itself; a recall regression
+    * is how you catch a bad projection before production.
+    *
+    * Shape: both rankings broadcast their 8-query side and stream the
+    * corpus once each; the overlap is an (8×5)-row join. The audit
+    * costs two corpus scans regardless of scale. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val comps = (1 to ProjDims).map { p =>
+      f"${VecSql.projComp("emb", p, spark = true)} AS d$p%02d"
+    }
+    val pnorm = "sqrt(" + (1 to ProjDims).map(p => f"d$p%02d * d$p%02d")
+      .mkString(" + ") + ")"
+    val proj = baseVectors(s, dir)
+      .selectExpr(("vec_id" +: comps): _*)
+      .selectExpr("*", s"$pnorm AS pnorm")
+    val q = proj.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id") +:
+        (1 to ProjDims).map(p => col(f"d$p%02d").as(f"qd$p%02d")) :+
+        col("pnorm").as("qnorm"): _*)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("pcos").desc, col("cand_id"))
+    val projTop = broadcast(q).crossJoin(proj.withColumnRenamed("vec_id", "cand_id"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .selectExpr("q_id", "cand_id",
+        s"(${projDot("qd", "d")}) / (qnorm * pnorm) AS pcos")
+      .withColumn("prank", row_number().over(w))
+      .filter(col("prank") <= 5)
+      .select("q_id", "cand_id")
+    val exact = cosineTopK(s, dir).select("q_id", "cand_id")
+    val overlap = exact.join(projTop, Seq("q_id", "cand_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+    exact.select("q_id").distinct()
+      .join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("recall_at_5"))
+      .orderBy("q_id")
+  }
+
+  /** q113 oracle — both rankings as generated CTEs. */
+  def annRecallOracle: String = {
+    val comps = (1 to ProjDims).map { p =>
+      f"${VecSql.projComp("emb", p, spark = false)} AS d$p%02d"
+    }.mkString(",\n    ")
+    val pnorm = "sqrt(" + (1 to ProjDims).map(p => f"d$p%02d * d$p%02d")
+      .mkString(" + ") + ")"
+    val pdot = (1 to ProjDims).map(p => f"q.d$p%02d * c.d$p%02d")
+      .mkString(" + ")
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb,
+       |    sqrt(${VecSql.dot("emb", "emb", spark = false)}) AS norm FROM v),
+       |s AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |    (${VecSql.dot("q.emb", "c.emb", spark = false)}) / (q.norm * c.norm) AS cos
+       |  FROM n q, n c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+       |ex AS (SELECT q_id, cand_id FROM
+       |  (SELECT q_id, cand_id, row_number() OVER (
+       |     PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rnk FROM s)
+       |  WHERE rnk <= 5),
+       |p AS (SELECT vec_id,
+       |    $comps
+       |  FROM v),
+       |pn AS (SELECT *, $pnorm AS pnorm FROM p),
+       |ps AS (SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |    ($pdot) / (q.pnorm * c.pnorm) AS pcos
+       |  FROM pn q, pn c WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id),
+       |pt AS (SELECT q_id, cand_id FROM
+       |  (SELECT q_id, cand_id, row_number() OVER (
+       |     PARTITION BY q_id ORDER BY pcos DESC, cand_id) AS rnk FROM ps)
+       |  WHERE rnk <= 5),
+       |ov AS (SELECT e.q_id, count(*) AS n_overlap
+       |  FROM ex e JOIN pt ON pt.q_id = e.q_id AND pt.cand_id = e.cand_id
+       |  GROUP BY e.q_id)
+       |SELECT q.q_id, COALESCE(ov.n_overlap, 0) AS recall_at_5
+       |FROM (SELECT DISTINCT q_id FROM ex) q LEFT JOIN ov ON ov.q_id = q.q_id
+       |ORDER BY q.q_id""".stripMargin
+  }
 
   val AnnPlanes: Int = graft.functions.VectorFunctions.DefaultAnnPlanes // 256 buckets
 

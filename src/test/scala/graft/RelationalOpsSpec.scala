@@ -82,6 +82,71 @@ class RelationalOpsSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).sum == total) // bands partition the domain
   }
 
+  test("random projection matches an independent Scala recomputation") {
+    val out = SimilarityOps.randomProjection(spark, dir)
+      .filter(col("vec_id") < 5).collect()
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 5)
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    for (r <- out; p <- 1 to SimilarityOps.ProjDims) {
+      val x = embs(r.getLong(0))
+      val want = (1 to VecSql.Dims).map { j =>
+        val k = (1103515245L * (7919L + (p - 1) * VecSql.Dims + (j - 1)) + 12345L) % 2147483648L
+        (k.toDouble / 2147483648.0 - 0.5) * x(j - 1)
+      }.sum
+      val got = r.getDouble(p) // columns: vec_id, d01..d16
+      assert(math.abs(got - want) < 2e-6, s"vec ${r.getLong(0)} d$p: $got vs $want")
+    }
+  }
+
+  test("random projection contracts pairwise distances only by bounded distortion") {
+    // JL sanity: for a sample of pairs, projected distance is within a
+    // loose multiplicative band of the original (16 of 64 dims)
+    val orig = SimilarityOps.baseVectors(spark, dir)
+      .filter(col("vec_id") < 20).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val proj = SimilarityOps.randomProjection(spark, dir)
+      .filter(col("vec_id") < 20).collect()
+      .map(r => r.getLong(0) ->
+        (1 to SimilarityOps.ProjDims).map(r.getDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- orig.keys.toSeq.sorted; jj <- orig.keys.toSeq.sorted if i < jj
+    } yield d2(proj(i), proj(jj)) / d2(orig(i), orig(jj))
+    // E[ratio] = ProjDims/12 · ... under the ±½-uniform construction the
+    // scale factor is fixed; just require the spread stays within 100×
+    val sorted = ratios.sorted
+    assert(sorted.last / sorted.head < 100.0,
+      s"distortion spread too wide: ${sorted.head} .. ${sorted.last}")
+  }
+
+  test("ann recall audit counts the true overlap of exact and projected top-5") {
+    val recall = SimilarityOps.annRecall(spark, dir).collect()
+    assert(recall.length == 8)
+    assert(recall.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 5))
+    // recompute one query's overlap from the two rankings directly
+    val exact = SimilarityOps.cosineTopK(spark, dir)
+      .filter(col("q_id") === 4).select("cand_id")
+      .collect().map(_.getLong(0)).toSet
+    // projected ranking for q_id 4 via the public projection output
+    val proj = SimilarityOps.randomProjection(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (1 to SimilarityOps.ProjDims).map(r.getDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val q4 = proj(4L)
+    val top = proj.toSeq.filter(_._1 != 4L)
+      .map { case (id, v) => (id, cos(q4, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    val want = (exact & top).size.toLong
+    assert(recall.find(_.getLong(0) == 4L).get.getLong(1) == want)
+  }
+
   test("vector quantization: codes in range, reconstruction error within half-step") {
     val v = SimilarityOps.quantizeVectors(spark, dir)
     val withBound = SimilarityOps.baseVectors(spark, dir)
