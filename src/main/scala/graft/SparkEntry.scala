@@ -131,6 +131,7 @@ object SparkEntry {
     "q111_epoch_schedule"    -> (TrainPrepOps.epochSchedule _),
     "q112_random_projection" -> (SimilarityOps.randomProjection _),
     "q113_ann_recall"        -> (SimilarityOps.annRecall _),
+    "q114_global_enum"       -> (ScaleOps.globalEnumeration _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -516,6 +517,10 @@ object SparkEntry {
     "q110_cluster_reps" -> OracleGen.q110ClusterRepresentatives,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
+    "q114_global_enum" ->
+      """SELECT doc_id, source,
+        |  row_number() OVER (ORDER BY doc_id) - 1 AS global_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q60's oracle: exact counts + literal TRUE bounds — the gate fails
     // if Spark's HLL estimate leaves its 3σ envelope (sketch VALUES stay
     // rows-only in q42; engines' sketches legitimately differ).

@@ -17,6 +17,44 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object ScaleOps {
 
+  /** q114 — dense global enumeration: assign every document a
+    * contiguous 0-based id in doc_id order — the training-shard row id
+    * / example index a writer stamps on output. The naive form
+    * (`row_number() OVER (ORDER BY ...)`) collapses to a single
+    * partition; this is the scalable two-pass pattern instead:
+    * range-partition by the sort key, count rows per partition, turn
+    * the counts into per-partition starting offsets (a driver-side
+    * cumulative sum over #partitions scalars), and add a
+    * partition-local rank. Every row is touched exactly twice and the
+    * only full exchange is the range partition the output contract
+    * needs anyway — the distributed zipWithIndex, in pure DataFrame
+    * ops.
+    *
+    * RangePartitioner guarantees partition i's keys all precede
+    * partition i+1's, so offset(pid) + local rank is globally dense
+    * and ordered. */
+  def globalEnumeration(s: SparkSession, dir: String): DataFrame = {
+    val docs = EtlOps.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    // #partitions rows — the one driver-side scalar pass
+    val counts = docs.groupBy("pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).init).toMap
+    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("pid") === pid, off).otherwise(acc)
+    }
+    val localRank = row_number().over(
+      Window.partitionBy("pid").orderBy("doc_id")).cast("bigint")
+    docs
+      .withColumn("global_id", offCol + localRank - 1L)
+      .select(col("doc_id"), col("source"), col("global_id"))
+      .orderBy("doc_id")
+  }
+
   import EtlOps.t
 
   val SaltBuckets = 16

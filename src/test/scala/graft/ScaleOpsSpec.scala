@@ -7,6 +7,23 @@ import graft.operators.ScaleOps
 
 class ScaleOpsSpec extends AnyFunSuite {
 
+  test("global enumeration is dense, 0-based, and doc_id-ordered without a single-partition window") {
+    val spark = TestSession.spark
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.ScaleOps.globalEnumeration(spark, dir).collect()
+    val n = out.length
+    assert(out.map(_.getLong(2)).sorted.toSeq == (0L until n).toSeq)
+    // id order == doc_id order
+    assert(out.sortBy(_.getLong(0)).map(_.getLong(2)).toSeq ==
+      (0L until n).toSeq)
+    // the offsets plan never collapses the data to one partition: the
+    // enumeration itself uses only range + pid-local windows
+    val p = graft.operators.ScaleOps.globalEnumeration(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange SinglePartition"),
+      s"enumeration collapsed to one partition:\n${p.take(1200)}")
+  }
+
   lazy val spark: SparkSession = TestSession.spark
   val dir = "/root/testdata/sf0.001"
 
