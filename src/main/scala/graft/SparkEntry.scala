@@ -132,6 +132,7 @@ object SparkEntry {
     "q112_random_projection" -> (SimilarityOps.randomProjection _),
     "q113_ann_recall"        -> (SimilarityOps.annRecall _),
     "q114_global_enum"       -> (ScaleOps.globalEnumeration _),
+    "q115_pack_efficiency"   -> (TrainPrepOps.packEfficiency _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -521,6 +522,37 @@ object SparkEntry {
       """SELECT doc_id, source,
         |  row_number() OVER (ORDER BY doc_id) - 1 AS global_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q115_pack_efficiency" -> {
+      val b = TrainPrepOps.PackBudget
+      s"""WITH RECURSIVE ord AS (
+         |  SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |packed AS (
+         |  SELECT source, doc_id, n_chars, rn,
+         |    CAST(0 AS BIGINT) AS bin, n_chars AS fill
+         |  FROM ord WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.source, o.doc_id, o.n_chars, o.rn,
+         |    CASE WHEN p.fill + o.n_chars <= $b THEN p.bin ELSE p.bin + 1 END,
+         |    CASE WHEN p.fill + o.n_chars <= $b THEN p.fill + o.n_chars
+         |         ELSE o.n_chars END
+         |  FROM packed p JOIN ord o ON o.source = p.source AND o.rn = p.rn + 1),
+         |bins AS (SELECT source, bin, max(fill) AS bin_fill,
+         |    count(*) AS bin_docs
+         |  FROM packed GROUP BY source, bin),
+         |agg AS (SELECT source, count(*) AS n_bins,
+         |    CAST(sum(bin_docs) AS BIGINT) AS n_docs,
+         |    CAST(sum(bin_fill) AS BIGINT) AS packed_chars,
+         |    max(bin_fill) AS max_fill,
+         |    CAST(sum(CASE WHEN bin_fill > $b THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_overflow
+         |  FROM bins GROUP BY source)
+         |SELECT source, n_bins, n_docs, packed_chars, max_fill, n_overflow,
+         |  CAST(packed_chars AS DOUBLE) / CAST(n_bins * $b AS DOUBLE)
+         |    AS fill_ratio
+         |FROM agg ORDER BY source""".stripMargin
+    },
     // q60's oracle: exact counts + literal TRUE bounds — the gate fails
     // if Spark's HLL estimate leaves its 3σ envelope (sketch VALUES stay
     // rows-only in q42; engines' sketches legitimately differ).

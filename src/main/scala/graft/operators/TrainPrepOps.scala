@@ -118,6 +118,37 @@ object TrainPrepOps {
   def mixtureEpochs(s: SparkSession, dir: String): DataFrame =
     mixtureCopies(s, dir).orderBy("doc_id", "copy")
 
+  // --- q115: packing-efficiency audit -----------------------------------
+
+  /** q115 — packing efficiency: per source, how well q101's greedy
+    * packing fills its windows — bins used, documents packed, mean fill
+    * ratio against [[PackBudget]], and how many bins a single oversized
+    * document blew past the budget. This is the feedback loop the
+    * budget is tuned against: a low fill ratio means wasted compute per
+    * training step, overflow bins mean the upstream chunker (q55) needs
+    * a smaller cap.
+    *
+    * Shape: two map-side-combinable aggregates over the packing output
+    * ((source, bin) then source) — strictly cheaper than the packing
+    * pass itself. Ratios are single divisions of exactly-aggregated
+    * integers. */
+  def packEfficiency(s: SparkSession, dir: String): DataFrame =
+    sequencePack(s, dir)
+      .groupBy("source", "bin")
+      .agg(max(col("fill")).as("bin_fill"), count(lit(1)).as("bin_docs"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum("bin_docs").as("n_docs"),
+        sum("bin_fill").as("packed_chars"),
+        max("bin_fill").as("max_fill"),
+        sum(when(col("bin_fill") > PackBudget, 1L).otherwise(0L))
+          .as("n_overflow"))
+      .withColumn("fill_ratio",
+        col("packed_chars").cast("double") /
+          (col("n_bins") * PackBudget).cast("double"))
+      .orderBy("source")
+
   // --- q111: deterministic epoch schedule -------------------------------
 
   /** q111 — the read order a trainer consumes the q102 mixture in:

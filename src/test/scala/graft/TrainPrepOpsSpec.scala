@@ -155,6 +155,23 @@ class TrainPrepOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q115 packing audit conserves chars and bounds fill ratios") {
+    val eff = TrainPrepOps.packEfficiency(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(eff.length == docs.size)
+    for (r <- eff) {
+      val (n, chars) = docs(r.getString(0))
+      assert(r.getLong(2) == n)      // n_docs
+      assert(r.getLong(3) == chars)  // packed_chars conserves the corpus
+      val ratio = r.getDouble(6)
+      assert(ratio > 0.0 && (ratio <= 1.0 || r.getLong(5) > 0),
+        s"${r.getString(0)}: ratio $ratio with ${r.getLong(5)} overflows")
+    }
+  }
+
   test("q111 schedule is a proportional stride-interleave of the q102 mixture") {
     val sched = TrainPrepOps.epochSchedule(spark, dir).collect()
     val mix = TrainPrepOps.mixtureEpochs(spark, dir).collect()
