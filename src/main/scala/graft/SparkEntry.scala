@@ -133,6 +133,7 @@ object SparkEntry {
     "q113_ann_recall"        -> (SimilarityOps.annRecall _),
     "q114_global_enum"       -> (ScaleOps.globalEnumeration _),
     "q115_pack_efficiency"   -> (TrainPrepOps.packEfficiency _),
+    "q116_clean_val_split"   -> (CurationOps.cleanValSplit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -516,6 +517,7 @@ object SparkEntry {
     },
     "q59_dup_clusters" -> OracleGen.q59DupClusters,
     "q110_cluster_reps" -> OracleGen.q110ClusterRepresentatives,
+    "q116_clean_val_split" -> OracleGen.q116CleanValSplit,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

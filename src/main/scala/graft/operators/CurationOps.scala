@@ -293,6 +293,35 @@ object CurationOps {
       .orderBy("cluster_id")
   }
 
+  // --- q116: decontaminated validation split ----------------------------
+
+  /** q116 — near-dup-clean validation split: hash documents 90/10 into
+    * train/val (q61's bucketing), then PURGE from val every document
+    * whose near-dup cluster (q59's labels) also contains a train
+    * document — the leakage that silently inflates eval numbers when a
+    * val example is a near-copy of something trained on. Output is the
+    * surviving clean val set with its cluster id.
+    *
+    * Shape: the labels are the q59 computation; the purge is one
+    * distinct over train clusters (small — cluster count, not doc
+    * count) anti-joined against the val side. The expensive part is the
+    * clustering already paid for; decontamination itself is one
+    * semi-structure pass. */
+  def cleanValSplit(s: SparkSession, dir: String): DataFrame = {
+    val lab = dupLabels(s, dir)
+      .filter(col("doc_id") < DedupOps.CopyOffset).persist()
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100
+    val tagged = lab.withColumn("is_train", bucket < 90)
+    val trainClusters = tagged.filter(col("is_train"))
+      .select(col("lbl")).distinct()
+    tagged.filter(!col("is_train"))
+      .join(trainClusters, Seq("lbl"), "left_anti")
+      .select(col("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   // --- q108: k-anonymity audit ------------------------------------------
 
   /** Minimum distinct users a quasi-identifier combination must carry. */

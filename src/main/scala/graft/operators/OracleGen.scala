@@ -252,6 +252,28 @@ object OracleGen {
        |FROM rk k JOIN sz s ON s.cluster_id = k.cluster_id
        |WHERE k.rn = 1 ORDER BY k.cluster_id""".stripMargin
 
+  /** q116: the q59 closure + hash split + cluster-level purge of val
+    * documents sharing a cluster with any train document. */
+  val q116CleanValSplit: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (${q31MinhashLsh}) qq),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT doc_id FROM documents
+       |          UNION ALL SELECT doc_id + ${DedupOps.CopyOffset} FROM documents),
+       |r AS (SELECT doc_id AS node, doc_id AS lbl FROM nodes
+       |      UNION
+       |      SELECT e.b, r.lbl FROM r JOIN e ON e.a = r.node),
+       |lab AS (SELECT node, min(lbl) AS cluster_id FROM r GROUP BY node),
+       |b AS (SELECT node AS doc_id, cluster_id,
+       |    CAST('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15) AS BIGINT)
+       |      % 100 < 90 AS is_train
+       |  FROM lab WHERE node < ${DedupOps.CopyOffset})
+       |SELECT doc_id, cluster_id FROM b v
+       |WHERE NOT is_train AND NOT EXISTS (
+       |  SELECT 1 FROM b t WHERE t.is_train AND t.cluster_id = v.cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
   val q26LangId: String = {
     val scores = TextOps.LangStopwords.map { case (lang, words) =>
       s"len(regexp_extract_all(text, '\\b($words)\\b')) AS score_$lang"

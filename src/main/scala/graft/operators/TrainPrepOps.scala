@@ -58,15 +58,18 @@ object TrainPrepOps {
     * per-group collect, memory O(1) per task. At 100 TB the unit of
     * packing would be (source, date-partition) so no single group
     * serializes a whole source; the state machine is unchanged. */
-  def sequencePack(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The packing core over any (source, doc_id, n_chars) frame — the
+    * exchange + in-partition sort + streaming state machine, without
+    * the table read or output sort (property tests drive it with
+    * generated corpora). */
+  def packDocs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Encoders
     val budget = PackBudget
-    t(s, dir, "documents")
-      .select(col("source"), col("doc_id"), col("n_chars"))
-      .as[PackIn]
+    docs.select(col("source"), col("doc_id"), col("n_chars"))
+      .as(Encoders.product[PackIn])
       .repartition(col("source"))
       .sortWithinPartitions("source", "doc_id")
-      .mapPartitions { it =>
+      .mapPartitions({ it =>
         var src: String = null
         var bin = 0L
         var fill = 0L
@@ -76,10 +79,12 @@ object TrainPrepOps {
           else { bin += 1L; fill = r.n_chars }
           PackOut(r.doc_id, r.source, bin, fill)
         }
-      }
+      })(Encoders.product[PackOut])
       .toDF()
-      .orderBy("source", "doc_id")
   }
+
+  def sequencePack(s: SparkSession, dir: String): DataFrame =
+    packDocs(t(s, dir, "documents")).orderBy("source", "doc_id")
 
   // --- q102: mixture-weight epoch resampling ----------------------------
 

@@ -37,6 +37,36 @@ class TrainPrepOpsSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("packing state machine matches the reference loop on a generated adversarial corpus") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = for {
+      src <- Gen.oneOf("a", "b", "c", "dd", "")
+      n <- Gen.frequency(
+        8 -> Gen.chooseNum(1L, 900L),
+        1 -> Gen.chooseNum(1000L, 1060L), // straddles the budget
+        1 -> Gen.chooseNum(1100L, 5000L)) // oversize: own bin
+    } yield (src, n)
+    val rows = Gen.listOfN(400, rowGen)
+      .apply(Gen.Parameters.default, Seed(20260813L)).get
+      .zipWithIndex.map { case ((src, n), i) => (src, i.toLong, n) }
+    val df = spark.createDataFrame(rows)
+      .toDF("source", "doc_id", "n_chars")
+    val got = TrainPrepOps.packDocs(df).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (src, rs) =>
+      var bin = 0L; var fill = 0L
+      rs.sortBy(_._2).zipWithIndex.map { case ((_, id, n), i) =>
+        if (i == 0) { fill = n }
+        else if (fill + n <= TrainPrepOps.PackBudget) { fill += n }
+        else { bin += 1; fill = n }
+        (src, id, bin, fill)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want)
+  }
+
   test("q101 never overfills a window unless the document alone exceeds the budget") {
     val over = TrainPrepOps.sequencePack(spark, dir)
       .join(
