@@ -134,6 +134,7 @@ object SparkEntry {
     "q114_global_enum"       -> (ScaleOps.globalEnumeration _),
     "q115_pack_efficiency"   -> (TrainPrepOps.packEfficiency _),
     "q116_clean_val_split"   -> (CurationOps.cleanValSplit _),
+    "q117_heavy_hitters"     -> (ProfileOps.heavyHitters _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -518,6 +519,17 @@ object SparkEntry {
     "q59_dup_clusters" -> OracleGen.q59DupClusters,
     "q110_cluster_reps" -> OracleGen.q110ClusterRepresentatives,
     "q116_clean_val_split" -> OracleGen.q116CleanValSplit,
+    "q117_heavy_hitters" -> {
+      val c = ProfileOps.HeavyCap
+      s"""WITH k AS (SELECT CAST(floor(sqrt(event_id % 10000)) AS BIGINT) AS k
+         |  FROM events),
+         |e AS (SELECT k, count(*) AS cnt FROM k GROUP BY k),
+         |t AS (SELECT count(*) AS n_rows FROM k)
+         |SELECT (SELECT n_rows FROM t) AS n_rows,
+         |  LEAST($c, (SELECT count(*) FROM e)) AS n_tracked,
+         |  (SELECT count(*) FROM e, t WHERE cnt * $c > n_rows) AS n_heavy,
+         |  TRUE AS all_heavy_tracked, TRUE AS all_bounds_hold""".stripMargin
+    },
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("minhash_agg"),
       info(classOf[MinHashAgg], "minhash_agg"),
       MinHashAgg.builder(_)))
+    e.injectFunction((FunctionIdentifier("space_saving_agg"),
+      info(classOf[SpaceSavingAgg], "space_saving_agg"),
+      SpaceSavingAgg.builder(_)))
     e.injectFunction((FunctionIdentifier("bloom_might_contain"),
       info(classOf[BloomMightContain], "bloom_might_contain"),
       (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))

@@ -153,6 +153,7 @@ object VectorFunctions {
     add("lsh_sig", exprs => LshSignature(exprs.head, DefaultAnnPlanes))
     add("rolling_hash", exprs => RollingHash(exprs.head))
     add("minhash_agg", MinHashAgg.builder)
+    add("space_saving_agg", SpaceSavingAgg.builder)
     add("bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)))
   }
 }

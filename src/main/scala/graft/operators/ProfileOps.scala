@@ -124,6 +124,53 @@ object ProfileOps {
         (abs(col("ao") - col("exact_orders")) <=
           col("exact_orders") * 0.15).as("orders_within_3sigma"))
 
+  // --- q117: space-saving heavy hitters ---------------------------------
+
+  /** Sketch capacity for q117; the guarantee threshold is N/capacity. */
+  val HeavyCap = 64
+
+  /** q117 — heavy-hitter detection via the native Space-Saving
+    * aggregate ([[graft.functions.SpaceSavingAgg]]): O(capacity)
+    * counters per partition, associatively merged partials, no full
+    * (key → count) aggregation — the sketch that finds hot keys on a
+    * 100 TB scan where the exact group-by is itself the skew hazard.
+    * The probe key floor(√(event_id mod 10000)) has linearly skewed
+    * frequencies (key v occurs 2v+1 times per 10k rows), so real heavy
+    * hitters exist at every sf.
+    *
+    * Like q60, the gate pins the sketch's CONTRACT, not its internals
+    * (counter values depend on merge order): every key with true count
+    * > N/capacity must be tracked, and every tracked estimate must
+    * satisfy true ≤ est ≤ true + err. The oracle recomputes the exact
+    * scalars and expects the guarantee booleans to be literally TRUE. */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val keyed = EtlOps.events(s, dir)
+      .select(floor(sqrt(col("event_id") % 10000)).cast("long").as("k"))
+      .persist()
+    val sketch = keyed
+      .agg(expr(s"space_saving_agg(k, $HeavyCap)").as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e")(0).as("k"), col("e")(1).as("est"),
+        col("e")(2).as("err"))
+    val exact = keyed.groupBy("k").agg(count(lit(1)).as("cnt"))
+    val total = keyed.count()
+    val joined = sketch.join(exact, Seq("k"), "left").persist()
+    val boundsOk = joined
+      .agg(min(col("cnt").isNotNull &&
+        col("est") >= col("cnt") && col("est") - col("err") <= col("cnt"))
+        .as("ok"))
+    val heavy = exact.filter(col("cnt") * HeavyCap > total)
+    val heavyTracked = heavy.join(sketch, Seq("k"), "left_anti").count() == 0
+    val nHeavy = heavy.count()
+    boundsOk.select(
+      lit(total).as("n_rows"),
+      lit(joined.count()).as("n_tracked"),
+      lit(nHeavy).as("n_heavy"),
+      lit(heavyTracked).as("all_heavy_tracked"),
+      col("ok").as("all_bounds_hold"))
+  }
+
   // --- q87: equi-width histogram ----------------------------------------
 
   val HistBins = 10

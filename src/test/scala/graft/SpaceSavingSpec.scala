@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{SpaceSavingAgg, VectorFunctions}
+import graft.operators.ProfileOps
+
+/** Specs for the native Space-Saving heavy-hitters aggregate (q117):
+  * unit-level state semantics, the merge rule, and the end-to-end
+  * guarantees under different partitionings.
+  */
+class SpaceSavingSpec extends AnyFunSuite {
+
+  private val spark = TestSession.spark
+
+  test("state tracks exact counts while under capacity") {
+    val st = new SpaceSavingAgg.State(4)
+    Seq(1L, 1L, 2L, 3L, 1L, 2L).foreach(st.add)
+    val m = st.sortedEntries.map(e => e._1 -> (e._2, e._3)).toMap
+    assert(m == Map(1L -> (3L, 0L), 2L -> (2L, 0L), 3L -> (1L, 0L)))
+  }
+
+  test("eviction inherits the minimum count as the error bound") {
+    val st = new SpaceSavingAgg.State(2)
+    Seq(1L, 1L, 2L, 3L).foreach(st.add) // 3 evicts 2 (count 1)
+    val m = st.sortedEntries.map(e => e._1 -> (e._2, e._3)).toMap
+    assert(m(1L) == (2L, 0L))
+    assert(m(3L) == (2L, 1L)) // est 2 = evicted 1 + its own 1; err 1
+  }
+
+  test("merge preserves the overestimate contract on a crafted split") {
+    val a = new SpaceSavingAgg.State(2)
+    Seq(1L, 1L, 1L, 2L).foreach(a.add)
+    val b = new SpaceSavingAgg.State(2)
+    Seq(1L, 3L, 3L).foreach(b.add)
+    a.mergeIn(b)
+    val m = a.sortedEntries.map(e => e._1 -> (e._2, e._3)).toMap
+    val truth = Map(1L -> 4L, 2L -> 1L, 3L -> 2L)
+    for ((item, (est, err)) <- m) {
+      assert(est >= truth(item), s"$item underestimated")
+      assert(est - err <= truth(item), s"$item bound broken")
+    }
+  }
+
+  test("round-trip serialization preserves the counter table") {
+    val st = new SpaceSavingAgg.State(8)
+    Seq(5L, 5L, 7L, 9L, 5L).foreach(st.add)
+    val back = SpaceSavingAgg.State.fromBytes(st.toBytes, 8)
+    assert(back.sortedEntries.toSeq == st.sortedEntries.toSeq)
+  }
+
+  test("q117 guarantees hold under both 1-partition and many-partition aggregation") {
+    VectorFunctions.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    for (parts <- Seq(1, 7)) {
+      val keyed = graft.operators.EtlOps.events(spark, dir)
+        .select(floor(sqrt(col("event_id") % 10000)).cast("long").as("k"))
+        .repartition(parts)
+      val sketch = keyed
+        .agg(expr(s"space_saving_agg(k, ${ProfileOps.HeavyCap})").as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e")(0).as("k"), col("e")(1).as("est"), col("e")(2).as("err"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val exact = keyed.groupBy("k").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val n = exact.values.sum
+      val heavy = exact.filter { case (_, c) => c * ProfileOps.HeavyCap > n }
+      assert(heavy.keySet.subsetOf(sketch.keySet),
+        s"parts=$parts: heavy keys missing ${heavy.keySet -- sketch.keySet}")
+      for ((k, (est, err)) <- sketch; c <- exact.get(k)) {
+        assert(est >= c, s"parts=$parts key $k underestimated")
+        assert(est - err <= c, s"parts=$parts key $k bound broken")
+      }
+    }
+  }
+}
