@@ -211,6 +211,21 @@ class PlanPropsSpec extends AnyFunSuite {
       s"schedule must not collapse to one partition:\n${p.take(1500)}")
   }
 
+  test("space-saving sketch aggregates map-side (partial before the exchange)") {
+    graft.functions.VectorFunctions.register(spark)
+    val p = plan(spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_id % 100 AS k")
+      .selectExpr("space_saving_agg(k, 16) AS sk"))
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial phase below the exchange — the property that keeps the
+    // shuffle O(capacity) per partition instead of O(rows)
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val exch = p.indexOf("Exchange")
+    assert(firstAgg >= 0, s"sketch did not plan as ObjectHashAggregate:\n${p.take(1200)}")
+    assert(p.contains("partial_space_saving_agg") || p.indexOf("ObjectHashAggregate", firstAgg + 1) > exch,
+      s"no partial (map-side) sketch phase:\n${p.take(1500)}")
+  }
+
   test("mixture resampling pushes its copy-count filter and never shuffles") {
     val p = plan(TrainPrepOps.mixtureEpochs(spark, dir))
     assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
