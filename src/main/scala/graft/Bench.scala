@@ -12,10 +12,15 @@ import org.apache.spark.sql.SparkSession
   * moved 32s → 48s aggregate across two rounds), so raw seconds are not
   * comparable across runs. Each timed rep is therefore paired with a
   * fixed CPU-bound calibration op run IMMEDIATELY before it on the same
-  * thread pool; the calibrated series rescales every rep to a fixed
-  * nominal host speed ([[Bench.CalibRef]]) before taking the min. The
-  * JSON line carries BOTH series — `queries` stays raw (driver
-  * contract), `queries_calibrated` is the cross-round-comparable one. */
+  * thread pool; the calibrated series rescales by the RUN-WIDE median of
+  * all probes to a fixed nominal host speed ([[Bench.CalibRef]]). Pairing
+  * each rep with its own probe over-corrects — taking min over
+  * sec·(CalibRef/probe) selects for reps whose probe got lucky and was
+  * measured at ±2× between identical runs — so a single per-run scale
+  * factor is applied to every rep, and the JSON reports BOTH the min and
+  * the median of the rescaled reps. `queries` stays raw (driver
+  * contract); `queries_calibrated` (min) and `queries_calibrated_median`
+  * are the cross-round-comparable series. */
 object Bench {
 
   /** Nominal seconds for [[calibOnce]] on an unloaded host — the fixed
@@ -73,6 +78,11 @@ object Bench {
     // plan cost. Each rep pays the full cost — intra-query persists are
     // dropped between reps, so nothing is subsidized across runs.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    // the heaviest queries dominate cross-round comparisons, so they get
+    // extra reps: more samples tighten both the min and the median of the
+    // rescaled series where agreement matters most
+    val heavyReps = sys.env.getOrElse("SPARK_GRAFT_HEAVY_REPS", (reps + 2).toString).toInt
+    val heavy = Set("q86_knn_graph", "q70_pagerank", "q59_dup_clusters", "q97_digest_drilldown")
     // prime the calibration op's own codegen so the first paired probe
     // isn't inflated by Janino compile
     calibOnce(spark)
@@ -86,11 +96,11 @@ object Bench {
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
           spark.catalog.clearCache()
         }
-        // each rep = (probe, query) back to back: the probe samples host
-        // speed at the moment this rep runs, so a slow minute inflates
-        // probe and query together and divides out of the calibrated
-        // number
-        val samples = (1 to reps).map { _ =>
+        // each rep still runs a probe back to back with the query — the
+        // probes collectively sample host speed across the whole run, and
+        // their run-wide median becomes the single rescale factor below
+        val nReps = if (heavy(name)) heavyReps else reps
+        val samples = (1 to nReps).map { _ =>
           val calib = calibOnce(spark)
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
@@ -102,24 +112,31 @@ object Bench {
           spark.catalog.clearCache()
           (if (ok) sec else -1.0, calib)
         }
-        val good = samples.filter(_._1 >= 0)
-        val raw = if (good.nonEmpty) good.map(_._1).min else -1.0
-        val cal = if (good.nonEmpty)
-          good.map { case (sec, c) => sec * (CalibRef / c) }.min else -1.0
-        val calMed = if (good.nonEmpty) {
-          val cs = good.map(_._2).sorted; cs(cs.size / 2)
-        } else -1.0
-        (name, raw, cal, calMed)
+        (name, samples)
+    }
+    def median(xs: Seq[Double]): Double =
+      if (xs.isEmpty) -1.0 else { val s = xs.sorted; s(s.size / 2) }
+    // ONE scale factor for the whole run: the median of every probe taken
+    // during it. Per-rep pairing divides each rep by its own noisy probe
+    // (min then selects the luckiest pairing); a run-wide median is stable
+    // at ~n_queries·reps samples and rescales all reps identically.
+    val calibMed = median(results.flatMap(_._2.filter(_._1 >= 0).map(_._2)))
+    val scale = if (calibMed > 0) CalibRef / calibMed else 1.0
+    val rows = results.map { case (name, samples) =>
+      val secs = samples.map(_._1).filter(_ >= 0)
+      val raw = if (secs.nonEmpty) secs.min else -1.0
+      val cal = if (secs.nonEmpty) secs.min * scale else -1.0
+      val calMedOfReps = if (secs.nonEmpty) median(secs) * scale else -1.0
+      (name, raw, cal, calMedOfReps)
     }
     def obj(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = obj(results.map(r => (r._1, r._2)))
-    val qsCal = obj(results.map(r => (r._1, r._3)))
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val totalCal = results.map(_._3).filter(_ >= 0).sum
-    val calibs = results.map(_._4).filter(_ >= 0).sorted
-    val calibMed = if (calibs.nonEmpty) calibs(calibs.size / 2) else -1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_ref":$CalibRef,"calib_median":$calibMed,"reps":$reps,"value_calibrated":$totalCal,"queries_calibrated":$qsCal}""")
+    val qs = obj(rows.map(r => (r._1, r._2)))
+    val qsCal = obj(rows.map(r => (r._1, r._3)))
+    val qsCalMed = obj(rows.map(r => (r._1, r._4)))
+    val total = rows.map(_._2).filter(_ >= 0).sum
+    val totalCal = rows.map(_._3).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_ref":$CalibRef,"calib_median":$calibMed,"reps":$reps,"value_calibrated":$totalCal,"queries_calibrated":$qsCal,"queries_calibrated_median":$qsCalMed}""")
     spark.stop()
   }
 }

@@ -194,6 +194,14 @@ object SpaceSavingAgg {
     if (!exprs(1).foldable)
       throw new IllegalArgumentException(
         "space_saving_agg: capacity must be a literal")
-    SpaceSavingAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+    val cap = exprs(1).eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"space_saving_agg: capacity must be a positive integer, got $other")
+    }
+    if (cap <= 0)
+      throw new IllegalArgumentException(
+        s"space_saving_agg: capacity must be positive, got $cap")
+    SpaceSavingAgg(exprs(0), cap)
   }
 }

@@ -32,25 +32,37 @@ object ScaleOps {
     *
     * RangePartitioner guarantees partition i's keys all precede
     * partition i+1's, so offset(pid) + local rank is globally dense
-    * and ordered. */
+    * and ordered.
+    *
+    * Two scale details are load-bearing: the partition count is pinned
+    * explicitly (AQE cannot coalesce an explicit-count range exchange,
+    * so a recompute after cache eviction reproduces the identical
+    * pid → rows assignment the offsets were collected from), and the
+    * offsets reach the rows via a broadcast hash join on a
+    * #partitions-row frame — a when-chain with one branch per partition
+    * would exceed codegen method limits at the ~10⁵ range partitions a
+    * 100 TB input produces, while the join keeps the plan constant-size
+    * in partition count. */
   def globalEnumeration(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val docs = EtlOps.t(s, dir, "documents")
       .select(col("doc_id"), col("source"))
-      .repartitionByRange(col("doc_id"))
+      .repartitionByRange(nParts, col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .persist()
     // #partitions rows — the one driver-side scalar pass
     val counts = docs.groupBy("pid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.map(_._1)
-      .zip(counts.map(_._2).scanLeft(0L)(_ + _).init).toMap
-    val offCol = offsets.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("pid") === pid, off).otherwise(acc)
-    }
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
+    val offDf = broadcast(offsets.toSeq.toDF("pid", "pid_offset"))
     val localRank = row_number().over(
       Window.partitionBy("pid").orderBy("doc_id")).cast("bigint")
     docs
-      .withColumn("global_id", offCol + localRank - 1L)
+      .withColumn("local_rank", localRank)
+      .join(offDf, "pid")
+      .withColumn("global_id", col("pid_offset") + col("local_rank") - 1L)
       .select(col("doc_id"), col("source"), col("global_id"))
       .orderBy("doc_id")
   }

@@ -105,7 +105,10 @@ object TrainPrepOps {
   /** The mixture's materialized copies: (doc_id, source, copy, n_copies),
     * one row per training-pass appearance. Shared by q102 and q111. */
   private def mixtureCopies(s: SparkSession, dir: String): DataFrame = {
-    val w1000 = (lit(500) + (substring(col("source"), 4, 10).cast("int") % 4) * 750)
+    // unbounded suffix, matching the oracle's substr(source, 4) exactly —
+    // a bounded substring(source, 4, 10) would diverge from the oracle on
+    // source names longer than 13 chars
+    val w1000 = (lit(500) + (expr("substring(source, 4)").cast("int") % 4) * 750)
       .as("w1000")
     t(s, dir, "documents")
       .select(col("doc_id"), col("source"), w1000,

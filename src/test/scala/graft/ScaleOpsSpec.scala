@@ -22,6 +22,13 @@ class ScaleOpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange SinglePartition"),
       s"enumeration collapsed to one partition:\n${p.take(1200)}")
+    // offsets reach rows via a broadcast hash join, keeping the plan
+    // constant-size in partition count (a when-chain with one branch per
+    // partition would break codegen at 100 TB partition counts)
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast offset join:\n${p.take(1200)}")
+    assert(!p.contains("CASE WHEN (pid"),
+      s"per-partition when-chain is back:\n${p.take(1200)}")
   }
 
   lazy val spark: SparkSession = TestSession.spark

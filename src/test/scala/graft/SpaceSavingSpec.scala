@@ -74,4 +74,19 @@ class SpaceSavingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("builder rejects zero, negative, and NULL capacity at analysis time") {
+    val spark = TestSession.spark
+    import spark.implicits._
+    val df = Seq(1L, 2L).toDF("k")
+    for (bad <- Seq("0", "-3", "CAST(NULL AS INT)")) {
+      val e = intercept[Exception] {
+        df.selectExpr(s"space_saving_agg(k, $bad)").collect()
+      }
+      // surfaced as a clear message before any task runs, not an
+      // ArrayIndexOutOfBounds/NPE inside an executor
+      assert(e.getMessage.contains("capacity"),
+        s"capacity=$bad raised ${e.getClass.getName}: ${e.getMessage}")
+    }
+  }
 }
