@@ -157,36 +157,113 @@ object GraphOps {
   val KnnK = 6
   val KnnPlanes = 5
 
+  /** Candidates that survive the projected-space prefilter, per query
+    * point. 4·k keeps per-edge recall high (the spec gates it against
+    * brute force) while cutting the 64-dim exact-cosine work to a
+    * k-proportional sliver of each bucket. */
+  val KnnPrefilter = 4 * KnnK
+
   private def knnVectors(s: SparkSession, dir: String): DataFrame =
     SimilarityOps.withNorm(
       SimilarityOps.baseVectors(s, dir).filter(col("vec_id") < KnnCap))
 
-  /** kNN edge list, LSH-bucketed (the q35 candidate pattern): each
-    * vector's neighbors are its top-[[KnnK]] cosines AMONG VECTORS
-    * SHARING ITS RANDOM-HYPERPLANE BUCKET. Candidate volume is
-    * Σ|bucket|² ≈ n²/2^planes instead of n² — the scale knob is the
-    * plane count. `planes = 0` degenerates to one bucket ≡ exact
-    * all-pairs kNN, which the spec uses to pin equivalence against
-    * [[knnEdgesBrute]]. Bucket equality is symmetric, so the mutual
-    * filter downstream stays well-defined. */
-  def knnEdgesLsh(s: SparkSession, dir: String,
-      planes: Int = KnnPlanes): DataFrame = {
-    val base = knnVectors(s, dir)
-    val v = if (planes == 0) base.withColumn("bucket", lit(0L))
-      else base.selectExpr("vec_id", "emb", "norm",
-        s"${VecSql.lshSig("emb", planes, spark = true)} AS bucket")
-    val a = v.select(col("vec_id").as("qa"), col("emb").as("emb_a"),
-      col("norm").as("norm_a"), col("bucket"))
-    val b = v.select(col("vec_id").as("qb"), col("emb").as("emb_b"),
-      col("norm").as("norm_b"), col("bucket"))
+  /** Per-query-point top-`k` selection: `row_number() OVER
+    * (PARTITION BY qa ORDER BY key DESC, qb)` ≤ k, on rows that carry
+    * ONLY (qa, qb, key). The slim payload matters: the old q86 ran
+    * this window over rows still dragging both 64-dim embeddings
+    * through the exchange, which was 2.4 s of its 5.6 s at sf0.1 —
+    * here the vectors live behind the checkpoint and rejoin later.
+    * (A collect_list/slice/explode aggregate form was measured too:
+    * its Generate node sends the optimizer's InferFiltersFromGenerate
+    * rule into a 10 s stall on this plan, so the window form wins.) */
+  private def topKBy(df: DataFrame, key: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qa")).orderBy(col("cos").desc, col("qb"))
-    a.join(b, Seq("bucket")).filter(col("qa") =!= col("qb"))
+      .partitionBy(col("qa")).orderBy(col(key).desc, col("qb"))
+    df.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qa", "qb")
+  }
+
+  /** kNN edge list, LSH-bucketed (the q35 candidate pattern) with a
+    * projected-space prefilter: each vector's neighbors are its
+    * top-[[KnnK]] cosines among bucket-mates, but the exact 64-dim
+    * cosine is only evaluated for the top-[[KnnPrefilter]] bucket-mates
+    * under the 16-dim q112 JL projection. Candidate volume is
+    * Σ|bucket|² ≈ n²/2^planes instead of n² — the scale knob is the
+    * plane count — and the prefilter caps the expensive stage at
+    * [[KnnPrefilter]]·n pairs no matter how big buckets get, paying
+    * only the 4×-cheaper projected dot per bucket pair. `planes = 0`
+    * degenerates to one bucket ≡ all-pairs; with the prefilter also
+    * disabled (≥ corpus) that is exact kNN, which the spec uses to pin
+    * equivalence against [[knnEdgesBrute]]; a second spec gates the
+    * default configuration's recall against brute force. Bucket
+    * equality is symmetric, so the mutual filter downstream stays
+    * well-defined. */
+  def knnEdgesLsh(s: SparkSession, dir: String,
+      planes: Int = KnnPlanes,
+      prefilter: Int = KnnPrefilter): DataFrame = {
+    // The 16 projection components live in ONE array<double> column and
+    // every projected dot/norm below goes through the native
+    // [[graft.functions.DotProduct]] expression. Two reasons: (a) its
+    // left-associated IEEE order is exactly the oracle's generated
+    // d01*d01 + ... chain, so parity holds; (b) sixteen separate chain
+    // columns crossing the a/b self-join sent the optimizer's
+    // constraint machinery (PruneFilters) into a 15 s driver-side
+    // stall re-canonicalizing alias constraints per predicate — one
+    // opaque array column keeps the constraint set constant-size.
+    val projArr = "array(" + (1 to SimilarityOps.ProjDims).map { p =>
+      VecSql.projComp("emb", p, spark = true)
+    }.mkString(", ") + ") AS proj"
+    val base = knnVectors(s, dir)
+    val sig = if (planes == 0) "CAST(0 AS BIGINT)"
+      else VecSql.lshSig("emb", planes, spark = true)
+    // localCheckpoint, not persist: the signature + projection subtree
+    // is a ~1400-node expression tree, and a persisted frame still
+    // carries that full logical plan into every downstream self-join
+    // branch — Catalyst re-canonicalizes each copy per optimizer pass
+    // and DRIVER planning time, not execution, dominated the composed
+    // query (measured 20 s of q86's 24 s at sf0.1). Checkpointing cuts
+    // the lineage to a LogicalRDD, so every downstream plan is
+    // constant-size. The index build runs once, eagerly; executor loss
+    // re-running it is the documented localCheckpoint trade-off (same
+    // call CurationOps makes, with reliable checkpoint as the
+    // cluster-mode escape hatch). pnorm is derived in a second step so
+    // CollapseProject can't inline the 16 chains into the sqrt inside
+    // v0's own plan.
+    // wholestage codegen is disabled JUST for this eager materialize:
+    // Janino spends ~1 s compiling the 1400-term generated method on
+    // every construction (the source embeds fresh expr ids, so the
+    // compile cache never hits), while interpreted eval of 2000 rows
+    // is <0.1 s — codegen costs 2× what it saves here. The toggle is
+    // safe because localCheckpoint executes before the finally; the
+    // interpreted path has identical IEEE semantics.
+    val codegenWas = s.conf.get("spark.sql.codegen.wholeStage", "true")
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    val v0 = try {
+      base
+        .selectExpr("vec_id", "emb", "norm", s"$sig AS bucket", projArr)
+        .localCheckpoint()
+    } finally s.conf.set("spark.sql.codegen.wholeStage", codegenWas)
+    val v = v0.selectExpr("vec_id", "bucket", "proj",
+      "sqrt(dot_product(proj, proj)) AS pnorm")
+    val a = v.select(col("vec_id").as("qa"), col("bucket"),
+      col("proj").as("proj_a"), col("pnorm").as("pnorm_a"))
+    val b = v.select(col("vec_id").as("qb"), col("bucket"),
+      col("proj").as("proj_b"), col("pnorm").as("pnorm_b"))
+    val cand = a.join(b, Seq("bucket")).filter(col("qa") =!= col("qb"))
+      .selectExpr("qa", "qb",
+        "dot_product(proj_a, proj_b) / (pnorm_a * pnorm_b) AS pcos")
+    val pre = topKBy(cand, "pcos", prefilter)
+    // exact cosines only for prefilter survivors: two slim joins back
+    // to the checkpointed vector table on its key
+    val exact = pre
+      .join(v0.select(col("vec_id").as("qa"), col("emb").as("emb_a"),
+        col("norm").as("norm_a")), Seq("qa"))
+      .join(v0.select(col("vec_id").as("qb"), col("emb").as("emb_b"),
+        col("norm").as("norm_b")), Seq("qb"))
       .selectExpr("qa", "qb",
         "dot_product(emb_a, emb_b) / (norm_a * norm_b) AS cos")
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= KnnK)
-      .select("qa", "qb")
+    topKBy(exact, "cos", KnnK)
   }
 
   /** Exact all-pairs kNN edges — the spec-only equivalence oracle for
@@ -233,16 +310,22 @@ object GraphOps {
   /** The graph math downstream of ANY kNN edge list (LSH-bucketed or
     * brute): mutual filter → degree, triangles, clustering coefficient. */
   def mutualGraphStats(knn: DataFrame): DataFrame = {
-    // mut feeds the degree union twice and the triangle join three
-    // times — persist so the kNN candidate subtree runs once (cache
-    // engages during the caller's one action; Bench/Verify clearCache
-    // per query)
-    val mut = knn.as("x")
-      .join(knn.as("y"),
+    // the kNN edge list feeds BOTH sides of the mutuality self-join,
+    // and mut feeds the degree union twice plus the triangle join three
+    // times. localCheckpoint both (they are ~k·n and smaller slim
+    // tables): a merely-persisted frame keeps its full logical subtree,
+    // which (a) Catalyst re-optimizes per consumer branch and (b) Spark
+    // recomputes CONCURRENTLY from independent downstream stages that
+    // all start before any of them has populated the cache — measured
+    // as a 3× blowup of the composed q86. Checkpointing materializes
+    // each exactly once and truncates every consumer's plan.
+    val knnC = knn.localCheckpoint()
+    val mut = knnC.as("x")
+      .join(knnC.as("y"),
         col("x.qa") === col("y.qb") && col("x.qb") === col("y.qa"))
       .filter(col("x.qa") < col("x.qb"))
       .select(col("x.qa").as("s1"), col("x.qb").as("s2"))
-      .persist()
+      .localCheckpoint()
     val tri = mut.as("e1")
       .join(mut.as("e2"), col("e1.s2") === col("e2.s1"))
       .join(mut.as("e3"),
@@ -266,23 +349,42 @@ object GraphOps {
       .orderBy("node")
   }
 
-  /** The DuckDB oracle for q86: the same LSH-bucketed kNN → mutual →
-    * triangle pipeline — bucket signature and cosine chains are the
-    * dialect-shared generated expressions, so both engines build the
-    * identical graph. */
+  /** The DuckDB oracle for q86: the same LSH-bucketed, projection-
+    * prefiltered kNN → mutual → triangle pipeline — bucket signature,
+    * projection components, and cosine chains are the dialect-shared
+    * generated expressions, so both engines build the identical graph
+    * (the prefilter is part of the operator's definition and is
+    * replayed exactly; its recall vs exact kNN is gated separately in
+    * the spec). */
   def knnGraphOracle: String = {
     import VecSql.dot
+    val pd = SimilarityOps.ProjDims
+    val proj = (1 to pd).map { p =>
+      f"${VecSql.projComp("emb", p, spark = false)} AS d$p%02d"
+    }.mkString(",\n    ")
+    val pnorm = "sqrt(" + (1 to pd).map(p => f"d$p%02d * d$p%02d")
+      .mkString(" + ") + ")"
+    val pdot = (1 to pd).map(p => f"a.d$p%02d * b.d$p%02d").mkString(" + ")
     s"""WITH v0 AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings WHERE vec_id < $KnnCap),
-       |v AS (SELECT vec_id, emb,
+       |v1 AS (SELECT vec_id, emb,
        |    sqrt(${dot("emb", "emb", spark = false)}) AS norm,
-       |    ${VecSql.lshSig("emb", KnnPlanes, spark = false)} AS bucket
+       |    ${VecSql.lshSig("emb", KnnPlanes, spark = false)} AS bucket,
+       |    $proj
        |  FROM v0),
-       |s AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
-       |    (${dot("a.emb", "b.emb", spark = false)}) / (a.norm * b.norm) AS cos
+       |v AS (SELECT *, $pnorm AS pnorm FROM v1),
+       |c AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+       |    ($pdot) / (a.pnorm * b.pnorm) AS pcos
        |  FROM v a JOIN v b ON a.bucket = b.bucket
        |    AND a.vec_id <> b.vec_id),
+       |pr AS (SELECT qa, qb, row_number() OVER (
+       |    PARTITION BY qa ORDER BY pcos DESC, qb) AS prnk FROM c),
+       |s AS (SELECT pre.qa, pre.qb,
+       |    (${dot("a.emb", "b.emb", spark = false)}) / (a.norm * b.norm) AS cos
+       |  FROM (SELECT qa, qb FROM pr WHERE prnk <= $KnnPrefilter) pre
+       |  JOIN v a ON pre.qa = a.vec_id
+       |  JOIN v b ON pre.qb = b.vec_id),
        |r AS (SELECT qa, qb, row_number() OVER (
        |    PARTITION BY qa ORDER BY cos DESC, qb) AS rnk FROM s),
        |knn AS (SELECT qa, qb FROM r WHERE rnk <= $KnnK),

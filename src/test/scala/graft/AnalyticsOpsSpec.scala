@@ -101,16 +101,41 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(prs.zip(prs.tail).forall { case (a, b) => a >= b })
   }
 
-  test("LSH-bucketed kNN at planes=0 is exactly the brute-force kNN") {
-    // one bucket ≡ all-pairs: the banded candidate generator must
-    // reproduce the quadratic form bit-for-bit (the q32 simhash
-    // certification pattern — brute force lives only in this spec)
-    val lsh = GraphOps.knnEdgesLsh(spark, dir, planes = 0)
+  test("LSH-bucketed kNN at planes=0 + prefilter off is exactly the brute-force kNN") {
+    // one bucket ≡ all-pairs and a corpus-sized prefilter is a no-op:
+    // the banded candidate generator must reproduce the quadratic form
+    // bit-for-bit (the q32 simhash certification pattern — brute force
+    // lives only in this spec)
+    val lsh = GraphOps.knnEdgesLsh(spark, dir, planes = 0,
+        prefilter = GraphOps.KnnCap)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val brute = GraphOps.knnEdgesBrute(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == brute, "planes=0 LSH kNN diverged from brute force")
     assert(brute.nonEmpty)
+  }
+
+  test("projected prefilter keeps high edge recall against the bucket-confined build") {
+    // the prefilter is the lossy stage this round added: gate its edge
+    // recall against the same build with the prefilter disabled (the
+    // q113 recall-audit pattern applied to the graph build). Measured
+    // at sf0.01, where buckets (~60 mates) exceed the prefilter width
+    // (24) and the prefilter actually bites — at sf0.001 it's a no-op.
+    // (Bucket confinement itself is NOT gated against brute force:
+    // on this synthetic corpus cosines are near-uniform, so LSH bucket
+    // recall is data-floor-limited; planes=0 equivalence above is the
+    // machinery certificate.)
+    val dir01 = "/root/testdata/sf0.01"
+    val approx = GraphOps.knnEdgesLsh(spark, dir01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketOnly = GraphOps.knnEdgesLsh(spark, dir01,
+        prefilter = GraphOps.KnnCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketOnly.nonEmpty)
+    val vsBucket = approx.intersect(bucketOnly).size.toDouble / bucketOnly.size
+    assert(vsBucket >= 0.85,
+      f"prefilter lost ${1 - vsBucket}%.3f of bucket-confined edges " +
+        f"(|approx|=${approx.size}, |bucketOnly|=${bucketOnly.size})")
   }
 
   test("q86 surface carries no cartesian (graph invariants: TimeSeriesOpsSpec)") {
