@@ -55,11 +55,18 @@ object IngestionJob {
 
   final class JdbcSink(url: String, props: java.util.Properties,
       batchSize: Int = 10000, numPartitions: Int = 8) extends Sink {
+    /** Writer options actually applied — SQL Server URLs pick up the
+      * dialect set (driver, batching, isolation; JdbcPathSpec pins the
+      * exact map), other backends just the batch size. */
+    val writerOptions: Map[String, String] =
+      if (graft.sources.SqlServerDialect.isSqlServer(url))
+        graft.sources.SqlServerDialect.writerOptions(batchSize)
+      else Map("batchsize" -> batchSize.toString)
     override def write(df: DataFrame, config: TableConfig,
         environment: String): Unit =
       df.coalesce(numPartitions)
         .write.mode(SaveMode.Append)
-        .option("batchsize", batchSize.toString)
+        .options(writerOptions)
         .jdbc(url, s"raw.${config.targetName}", props)
   }
 

@@ -80,23 +80,38 @@ final class FileMarkerLedger(path: java.nio.file.Path) extends MarkerLedger {
 final class JdbcMarkerLedger(url: String, table: String,
     props: java.util.Properties) extends MarkerLedger {
 
-  def ensureTable(): Unit = withConn { c =>
-    val st = c.createStatement()
-    // portable create-if-absent: attempt and swallow "already exists"
-    // (Derby X0Y32, SQL Server 2714, ...); DDL mirrors
-    // CustomMarkerTable.py:74-80
-    // composite PK: the ledger is KEYED on the triple everywhere
-    // (exists/touch WHERE clauses, InMemoryMarkerLedger's map key) — the
-    // reference's single-column PK (CustomMarkerTable.py:75) breaks when
-    // one file feeds two target tables
-    try st.execute(
+  private val sqlServer = SqlServerDialect.isSqlServer(url)
+
+  /** The exact DDL this ledger executes — dialect-selected by URL and
+    * string-pinned in JdbcPathSpec (SQL Server itself is not reachable
+    * from tests; Derby exercises the portable branch). */
+  val ddlStatement: String =
+    if (sqlServer) SqlServerDialect.markerDdl(table)
+    else
       s"""CREATE TABLE $table (
          |  ParquetSource VARCHAR(512) NOT NULL,
          |  TargetTable   VARCHAR(128) NOT NULL,
          |  Environment   VARCHAR(128) NOT NULL,
          |  BackupDate    TIMESTAMP,
          |  InsertedDate  TIMESTAMP,
-         |  PRIMARY KEY (ParquetSource, Environment, TargetTable))""".stripMargin)
+         |  PRIMARY KEY (ParquetSource, Environment, TargetTable))""".stripMargin
+
+  /** The atomic MERGE upsert used on SQL Server; None → the portable
+    * update-then-insert pair below. */
+  val upsertStatement: Option[String] =
+    if (sqlServer) Some(SqlServerDialect.markerMerge(table)) else None
+
+  def ensureTable(): Unit = withConn { c =>
+    val st = c.createStatement()
+    // portable create-if-absent: attempt and swallow "already exists"
+    // (Derby X0Y32, SQL Server 2714, ...); DDL mirrors
+    // CustomMarkerTable.py:74-80. (The T-SQL branch guards with
+    // OBJECT_ID instead and never raises the duplicate error.)
+    // composite PK: the ledger is KEYED on the triple everywhere
+    // (exists/touch WHERE clauses, InMemoryMarkerLedger's map key) — the
+    // reference's single-column PK (CustomMarkerTable.py:75) breaks when
+    // one file feeds two target tables
+    try st.execute(ddlStatement)
     catch {
       // swallow ONLY "table already exists"; genuine DDL failures
       // (permissions, connectivity) must surface here, not later as
@@ -161,6 +176,24 @@ final class JdbcMarkerLedger(url: String, table: String,
     }
 
   override def touch(e: MarkerEntry): Unit = withConn { c =>
+    upsertStatement match {
+      case Some(merge) =>
+        // SQL Server: one atomic MERGE (race-free under HOLDLOCK)
+        val ps = c.prepareStatement(merge)
+        try {
+          ps.setString(1, e.parquetSource)
+          ps.setString(2, e.targetTable)
+          ps.setString(3, e.environment)
+          ps.setTimestamp(4,
+            java.sql.Timestamp.valueOf(e.backupDate.atStartOfDay()))
+          ps.setTimestamp(5, java.sql.Timestamp.valueOf(e.insertedDate))
+          ps.executeUpdate()
+        } finally ps.close()
+      case None => portableUpsert(c, e)
+    }
+  }
+
+  private def portableUpsert(c: java.sql.Connection, e: MarkerEntry): Unit = {
     // portable upsert: update-then-insert (the reference does
     // select-then-insert/update, CustomMarkerTable.py:26-44)
     val upd = c.prepareStatement(

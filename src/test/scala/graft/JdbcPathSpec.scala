@@ -97,4 +97,48 @@ class JdbcPathSpec extends AnyFunSuite {
     assert(cols.map(_.nullable) ==
       Seq(false, true, true, true, true, true))
   }
+
+  test("SQL Server dialect pinning: exact MERGE/DDL text and writer options by URL") {
+    // the one untested production boundary (no SQL Server reachable from
+    // this container): pin the exact statements a sqlserver URL selects,
+    // so any drift is a reviewed diff, not a silent production change
+    val ssUrl = "jdbc:sqlserver://dbhost:1433;databaseName=ingest"
+    val ss = new JdbcMarkerLedger(ssUrl, "table_updates", new Properties())
+    assert(ss.ddlStatement ==
+      """IF OBJECT_ID(N'table_updates', N'U') IS NULL
+        |CREATE TABLE table_updates (
+        |  ParquetSource NVARCHAR(512) NOT NULL,
+        |  TargetTable   NVARCHAR(128) NOT NULL,
+        |  Environment   NVARCHAR(128) NOT NULL,
+        |  BackupDate    DATETIME2,
+        |  InsertedDate  DATETIME2,
+        |  PRIMARY KEY (ParquetSource, Environment, TargetTable))""".stripMargin)
+    assert(ss.upsertStatement.contains(
+      """MERGE INTO table_updates WITH (HOLDLOCK) AS tgt
+        |USING (SELECT ? AS ParquetSource, ? AS TargetTable,
+        |              ? AS Environment, ? AS BackupDate, ? AS InsertedDate) AS src
+        |ON tgt.ParquetSource = src.ParquetSource
+        |  AND tgt.Environment = src.Environment
+        |  AND tgt.TargetTable = src.TargetTable
+        |WHEN MATCHED THEN UPDATE
+        |  SET BackupDate = src.BackupDate, InsertedDate = src.InsertedDate
+        |WHEN NOT MATCHED THEN
+        |  INSERT (ParquetSource, TargetTable, Environment, BackupDate, InsertedDate)
+        |  VALUES (src.ParquetSource, src.TargetTable, src.Environment,
+        |          src.BackupDate, src.InsertedDate);""".stripMargin))
+    val sink = new IngestionJob.JdbcSink(ssUrl, new Properties(), batchSize = 5000)
+    assert(sink.writerOptions == Map(
+      "driver" -> "com.microsoft.sqlserver.jdbc.SQLServerDriver",
+      "batchsize" -> "5000",
+      "isolationLevel" -> "READ_COMMITTED"))
+
+    // Derby (and any non-sqlserver backend) stays on the portable forms
+    // that the rest of this suite actually executes
+    val derby = new JdbcMarkerLedger(url, "table_updates", props)
+    assert(derby.upsertStatement.isEmpty)
+    assert(derby.ddlStatement.contains("TIMESTAMP") &&
+      !derby.ddlStatement.contains("DATETIME2"))
+    val derbySink = new IngestionJob.JdbcSink(url, props)
+    assert(derbySink.writerOptions == Map("batchsize" -> "10000"))
+  }
 }

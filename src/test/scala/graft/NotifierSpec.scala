@@ -102,6 +102,53 @@ class NotifierSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("freshness monitor end-to-end: q17's stale set drives the webhook POST") {
+    // the full EP3 wire: FreshnessCheck over the SAME data and rules as
+    // the oracle-checked q17 query → real local-HTTP POST → the posted
+    // table is exactly q17's rows. q17's timestamp cutoff
+    // (latest_ts < 2024-01-29 00:00:00) is equivalent to the monitor's
+    // date-granularity one (date(latest_ts) < 2024-01-29), and its
+    // standing user exemptions are StaticRules with an epoch floor.
+    val spark = TestSession.spark
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val latest = graft.operators.EtlOps.events(spark, dir)
+      .groupBy("user_id", "event_type").agg(max(col("ts")).as("latest_ts"))
+      .select(col("user_id").cast("string").as("environment"),
+        col("event_type").as("source_name"),
+        to_date(col("latest_ts")).as("latest_date"))
+    val eventTypes = latest.select("source_name").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val statics = for {
+      u <- Seq(3L, 7L, 11L, 13L); et <- eventTypes
+    } yield FreshnessCheck.StaticRule(u.toString, et, LocalDate.EPOCH)
+
+    val (server, url, q) = captureServer()
+    val stale = try {
+      val n = new WebhookNotifier(url, "cig-info-monitor", "graft-etl")
+      FreshnessCheck.checkAndNotify(spark, latest, statics, Nil,
+        LocalDate.parse("2024-01-29"), n)
+    } finally ()
+    val q17 = graft.SparkEntry.queries("q17_freshness_stale")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0).toString, r.getString(1),
+        r.getString(2).take(10))) // date part of latest_ts
+      .toSet
+    try {
+      assert(q17.nonEmpty)
+      assert(stale.toSet == q17,
+        s"monitor stale set diverged from q17: ${stale.toSet} vs $q17")
+      val c = q.poll(10, TimeUnit.SECONDS)
+      assert(c != null, "no webhook POST captured")
+      // posted JSON table == q17 rows, one line each, count in header
+      assert(c.body.contains(s"Tables not up to date (${q17.size}):"))
+      q17.foreach { case (env, src, d) =>
+        assert(c.body.contains(s"$env/$src latest=$d"),
+          s"missing line for $env/$src latest=$d")
+      }
+    } finally server.stop(0)
+  }
+
   test("checkAndNotify stays silent when everything is fresh") {
     val spark = TestSession.spark
     import spark.implicits._
