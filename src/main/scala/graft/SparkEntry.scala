@@ -135,6 +135,7 @@ object SparkEntry {
     "q115_pack_efficiency"   -> (TrainPrepOps.packEfficiency _),
     "q116_clean_val_split"   -> (CurationOps.cleanValSplit _),
     "q117_heavy_hitters"     -> (ProfileOps.heavyHitters _),
+    "q118_capped_lsh"        -> (DedupOps.minhashLshCapped _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -530,6 +531,7 @@ object SparkEntry {
          |  (SELECT count(*) FROM e, t WHERE cnt * $c > n_rows) AS n_heavy,
          |  TRUE AS all_heavy_tracked, TRUE AS all_bounds_hold""".stripMargin
     },
+    "q118_capped_lsh" -> OracleGen.q118CappedLsh,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -233,14 +233,17 @@ object CurationOps {
   /** The per-node cluster labels behind q59/q110: min-label propagation
     * over the MinHash near-dup edges to the fixpoint. */
   private def dupLabels(s: SparkSession, dir: String): DataFrame = {
-    // persist pairs BEFORE the symmetric union: both union branches
-    // reference it, and without the cache each would re-run the whole
-    // MinHash candidate pipeline
-    val pairs = minhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
-      .persist()
+    // cutLineage pairs BEFORE the symmetric union — not just persist:
+    // both union branches reference it AND every propagation round's
+    // join re-references edges, and a persisted frame still carries the
+    // whole MinHash candidate pipeline as its logical plan, which
+    // Catalyst re-canonicalizes per round per consumer (the same
+    // driver-planning tax q86 paid; the pairs table is ~|near-dup
+    // pairs| slim rows, so the cut is cheap)
+    val pairs = cutLineage(
+      minhashLsh(s, dir).select(col("doc_a"), col("doc_b")))
     val edges = pairs.unionAll(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist()
     val nodes = corpusNear(s, dir).select(col("doc_id"))
     // cutLineage (localCheckpoint / reliable checkpoint per config), NOT
     // persist: each round's plan references `labels` twice (join +

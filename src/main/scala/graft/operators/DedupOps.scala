@@ -198,10 +198,45 @@ object DedupOps {
     * shingle join (q30's verifier shape) never runs — only candidate
     * pairs explode back to their shingles for the intersection count, so
     * cost is O(candidates × shingles/doc), not O(collisions²). */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shared(shingles(corpusNear(s, dir)))
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashLshOf(corpusNear(s, dir), bucketCap = None)
+
+  /** Hot-bucket cap for [[minhashLshCapped]]: band buckets holding more
+    * than this many docs are dropped from candidate generation. The 10×
+    * self-union scaling run (BENCH_NOTES round 6) showed WHY: band
+    * buckets grow linearly with corpus duplication and candidate pairs
+    * quadratically — an over-full bucket is boilerplate/exact-dup mass
+    * that exact dedup (q29) owns, not a near-dup signal. With the cap,
+    * candidate volume is ≤ cap²/2 per bucket — linear in corpus size at
+    * fixed cap. Pairs whose every shared band is hot are lost; the spec
+    * measures that loss on a duplicated corpus instead of assuming it. */
+  val LshBucketCap = 16
+
+  /** q118 — production-guarded q31: identical MinHash banding, but
+    * candidate generation skips band buckets larger than
+    * [[LshBucketCap]]. The oracle replays the cap, so the gate checks
+    * the exact semantics, not a sample. */
+  def minhashLshCapped(s: SparkSession, dir: String): DataFrame =
+    minhashLshOf(corpusNear(s, dir), bucketCap = Some(LshBucketCap))
+
+  /** The shared LSH near-dup pipeline over an arbitrary (doc_id, text)
+    * corpus — q31 with `bucketCap = None`, q118 with the cap; the spec
+    * also drives it with synthetically duplicated corpora. */
+  private[graft] def minhashLshOf(corpus: DataFrame,
+      bucketCap: Option[Int]): DataFrame = {
+    val sh = shared(shingles(corpus))
     val sigs = shared(minhashSignatures(sh))
-    val bands = lshBands(sigs)
+    val bandsAll = lshBands(sigs)
+    val bands = bucketCap match {
+      case Some(cap) =>
+        // one count per (band_idx, band_hash) bucket, broadcast back as
+        // a window — buckets over the cap vanish before the pair join
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band_idx", "band_hash")
+        bandsAll.withColumn("bsz", count(lit(1)).over(w))
+          .filter(col("bsz") <= cap).drop("bsz")
+      case None => bandsAll
+    }
     val cands = bands.select(col("doc_id").as("doc_a"), col("band_idx"),
         col("band_hash"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"),

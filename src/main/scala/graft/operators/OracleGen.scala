@@ -60,7 +60,9 @@ object OracleGen {
   def fp60(x: String): String =
     s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
 
-  val q31MinhashLsh: String = {
+  /** q31 (no cap) / q118 (hot buckets over `bucketCap` dropped before
+    * the pair join — mirrors DedupOps.minhashLshOf). */
+  private def minhashLshSql(bucketCap: Option[Int]): String = {
     val p = DedupOps.MinhashPrime
     val x = s"${fp60("shingle")} % $p"
     val mins = (0 until DedupOps.NumPerms).map { i =>
@@ -73,20 +75,32 @@ object OracleGen {
           .mkString(", ")
         s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $cols)) AS band_hash FROM sigs"
       }.mkString("\n  UNION ALL ")
+    val capCtes = bucketCap.map { cap =>
+      s"""bsz AS (SELECT band_idx, band_hash, count(*) AS n
+         |  FROM bands0 GROUP BY 1, 2),
+         |bands AS (SELECT bands0.* FROM bands0
+         |  JOIN bsz USING (band_idx, band_hash) WHERE bsz.n <= $cap),
+         |""".stripMargin
+    }.getOrElse("")
+    val bandsSrc = if (bucketCap.isDefined) "bands0" else "bands"
     s"""WITH $CorpusNear,
        |$ShingleCtes,
        |sigs AS (SELECT doc_id,
        |    $mins
        |  FROM sh GROUP BY doc_id),
-       |bands AS (
+       |$bandsSrc AS (
        |  $bandSelects),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |${capCtes}cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        |   AND a.doc_id < b.doc_id),
        |${jaccardTail("0.5",
           "JOIN cand USING (doc_a, doc_b)")}""".stripMargin
   }
+
+  val q31MinhashLsh: String = minhashLshSql(None)
+
+  val q118CappedLsh: String = minhashLshSql(Some(DedupOps.LshBucketCap))
 
   val q32Simhash: String = {
     val votes = (0 until DedupOps.SimhashBits).map { b =>

@@ -43,6 +43,60 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"LSH recall $recall too low")
   }
 
+  test("q118 capped LSH: no-op cap ≡ q31; hot-bucket cap keeps candidates linear under duplication") {
+    import org.apache.spark.sql.functions._
+    // (a) refactor equivalence: a cap no bucket reaches is exactly q31
+    val corpus = DedupOps.corpusNear(spark, dir)
+    val uncapped = DedupOps.minhashLshOf(corpus, None).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hugeCap = DedupOps.minhashLshOf(corpus, Some(Int.MaxValue)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hugeCap == uncapped)
+    // (b) the capped output can only drop pairs, never invent them
+    val capped = DedupOps.minhashLshCapped(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    // (c) the scale story: flood the corpus with 300 boilerplate docs
+    // sharing one template text (the real 100 TB hazard — empty pages,
+    // footers, license headers: buckets of THOUSANDS of mutually-
+    // near-dup docs that exact dedup should collapse, not LSH pair
+    // emission). Uncapped, the flood alone contributes C(300,2) pairs
+    // per band; capped, its over-full buckets vanish and candidate
+    // volume stays at the clean corpus's level.
+    def candidates(c: org.apache.spark.sql.DataFrame, cap: Option[Int]): Long = {
+      val bandsAll = DedupOps.lshBands(
+        DedupOps.minhashSignatures(DedupOps.shingles(c)))
+      val bands = cap match {
+        case Some(k) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("band_idx", "band_hash")
+          bandsAll.withColumn("bsz", count(lit(1)).over(w))
+            .filter(col("bsz") <= k).drop("bsz")
+        case None => bandsAll
+      }
+      bands.groupBy("band_idx", "band_hash")
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) div 2"))).collect()(0).getLong(0)
+    }
+    val template = "copyright footer all rights reserved generated page " +
+      "do not reply automated message standard disclaimer applies here"
+    val flood = corpus.unionAll(
+      spark.range(300).select((col("id") + 50000000L).as("doc_id"),
+        lit(template).as("text")))
+    val base = candidates(corpus, None)
+    val floodUncapped = candidates(flood, None)
+    val floodCapped = candidates(flood, Some(DedupOps.LshBucketCap))
+    // 300 identical docs share all 4 bands: ~4 * C(300,2) extra pairs
+    assert(floodUncapped >= base + 150000L,
+      s"flood should blow up uncapped candidates: $base -> $floodUncapped")
+    assert(floodCapped <= base + 1000L,
+      s"cap failed to drop the flooded buckets: $floodCapped vs base $base")
+    // uniform N-fold duplication is NOT what the cap is for: there the
+    // extra pairs are TRUE near-dups (output-bound growth, see
+    // BENCH_NOTES round 6) and exact-dedup-first is the mitigation
+    assert(capped.nonEmpty)
+  }
+
   test("simhash finds most planted pairs without flooding") {
     val out = DedupOps.simhashDedup(spark, dir).collect()
     val planted = out.count(r =>
