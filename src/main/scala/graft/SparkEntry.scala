@@ -136,6 +136,7 @@ object SparkEntry {
     "q116_clean_val_split"   -> (CurationOps.cleanValSplit _),
     "q117_heavy_hitters"     -> (ProfileOps.heavyHitters _),
     "q118_capped_lsh"        -> (DedupOps.minhashLshCapped _),
+    "q119_contamination"     -> (DedupOps.contamination _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -532,6 +533,7 @@ object SparkEntry {
          |  TRUE AS all_heavy_tracked, TRUE AS all_bounds_hold""".stripMargin
     },
     "q118_capped_lsh" -> OracleGen.q118CappedLsh,
+    "q119_contamination" -> OracleGen.q119Contamination,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

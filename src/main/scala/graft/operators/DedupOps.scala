@@ -262,6 +262,65 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  // --- q119: eval-set contamination audit --------------------------------
+
+  /** n-gram width for the contamination audit. GPT-3/Llama-style
+    * decontamination scans for 13-gram train/eval overlap; 8 fits this
+    * corpus's ~100-word documents while keeping the same math. */
+  val ContamGramN = 8
+
+  /** Contamination flag threshold: a val doc whose 8-grams are ≥ half
+    * covered by the train set is contaminated. */
+  val ContamThreshold = 0.5
+
+  /** q119 — eval-set contamination audit (the standard decontamination
+    * report a training pipeline ships next to its split): deterministic
+    * train/val split, then for each val document the fraction of its
+    * distinct word-[[ContamGramN]]-grams that appear ANYWHERE in the
+    * train set. The fixture makes both outcomes real: val docs are
+    * originals with doc_id % 10 == 0, and the train side includes the
+    * near-copies of only HALF of them (doc_id % 20 == 0), so those
+    * audit as contaminated and the rest as clean.
+    *
+    * Distributed shape: one distinct-gram aggregate per side, one
+    * shuffle join on the gram key, one count-per-doc — all
+    * map-combinable; at 100 TB the train-gram set is the big side and
+    * the join is the standard pre-partitionable key join (with a bloom
+    * filter on train grams as the q66-style pre-prune when the val side
+    * is small). No similarity machinery involved: contamination is
+    * exact containment, not near-dup.
+    *
+    * Parity: grams are plain string concatenation (the q30 shingle
+    * machinery at n=8), counts are BIGINT, the ratio is one
+    * BIGINT/BIGINT double division, and the flag one comparison — all
+    * bit-stable on both engines. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val all = corpusNear(s, dir)
+    val valDocs = all.filter(col("doc_id") < CopyOffset &&
+      col("doc_id") % 10 === 0)
+    val train = all.filter(
+      (col("doc_id") < CopyOffset && col("doc_id") % 10 =!= 0) ||
+        (col("doc_id") >= CopyOffset &&
+          (col("doc_id") - CopyOffset) % 20 === 0))
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(wordGramArrayExpr(ContamGramN))))
+          .as("gram"))
+    val trainGrams = grams(train).select("gram").distinct()
+    val valGrams = shared(grams(valDocs))
+    val totals = valGrams.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = valGrams.join(trainGrams, Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contaminated",
+        col("n_hit") / col("n_grams") >= ContamThreshold)
+      .orderBy("doc_id")
+  }
+
   /** Streaming exact dedup: state-backed key dedup bounded by the
     * watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming
     * twin of q29's batch content dedup. Duplicates arriving in ANY

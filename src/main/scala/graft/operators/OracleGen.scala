@@ -102,6 +102,36 @@ object OracleGen {
 
   val q118CappedLsh: String = minhashLshSql(Some(DedupOps.LshBucketCap))
 
+  /** q119 (mirrors DedupOps.contamination). */
+  val q119Contamination: String = {
+    val n = DedupOps.ContamGramN
+    val off = DedupOps.CopyOffset
+    val cat = (0 until n)
+      .map(k => if (k == 0) "toks[i]" else s"toks[i+$k]")
+      .mkString(" || ' ' || ")
+    def gramsOf(src: String, cols: String): String =
+      s"""SELECT DISTINCT $cols gram FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${n - 2}),
+         |    i -> $cat)) AS gram
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM $src) t) u""".stripMargin
+    s"""WITH $CorpusNear,
+       |vd AS (SELECT doc_id, text FROM corpus
+       |  WHERE doc_id < $off AND doc_id % 10 = 0),
+       |tr AS (SELECT doc_id, text FROM corpus
+       |  WHERE (doc_id < $off AND doc_id % 10 <> 0)
+       |     OR (doc_id >= $off AND (doc_id - $off) % 20 = 0)),
+       |tg AS (${gramsOf("tr", "")}),
+       |vg AS (${gramsOf("vd", "doc_id,")}),
+       |tot AS (SELECT doc_id, count(*) AS n_grams FROM vg GROUP BY doc_id),
+       |hit AS (SELECT vg.doc_id, count(*) AS n_hit FROM vg
+       |  JOIN tg USING (gram) GROUP BY vg.doc_id)
+       |SELECT tot.doc_id, tot.n_grams, coalesce(hit.n_hit, 0) AS n_hit,
+       |  coalesce(hit.n_hit, 0) / tot.n_grams >= ${DedupOps.ContamThreshold}
+       |    AS contaminated
+       |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id
+       |ORDER BY tot.doc_id""".stripMargin
+  }
+
   val q32Simhash: String = {
     val votes = (0 until DedupOps.SimhashBits).map { b =>
       s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"

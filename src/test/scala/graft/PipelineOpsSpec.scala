@@ -97,6 +97,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(capped.nonEmpty)
   }
 
+  test("q119 contamination: planted train-side copies flag their val docs; clean docs stay clean") {
+    val out = DedupOps.contamination(spark, dir).collect()
+    assert(out.nonEmpty)
+    val contaminated = out.filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    val clean = out.filter(!_.getBoolean(3)).map(_.getLong(0)).toSet
+    // every val doc whose near-copy was planted into train (%20 == 0)
+    // must audit as contaminated — the copy carries all its 8-grams but
+    // the first-word ones
+    val planted = out.map(_.getLong(0)).filter(_ % 20 == 0).toSet
+    assert(planted.nonEmpty && planted.subsetOf(contaminated),
+      s"planted-copy docs escaped the audit: ${planted.diff(contaminated)}")
+    // docs WITHOUT a planted copy may still hit via genuinely repeated
+    // phrases (that's the point of the audit), but some must stay clean
+    assert(clean.nonEmpty, "audit flagged the whole val split")
+    assert(clean.forall(_ % 20 != 0))
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_hit must not exceed n_grams")
+    }
+  }
+
   test("simhash finds most planted pairs without flooding") {
     val out = DedupOps.simhashDedup(spark, dir).collect()
     val planted = out.count(r =>
