@@ -76,20 +76,22 @@ object GraphOps {
           .as("pr"))
 
   def pageRankRanks(s: SparkSession, dir: String): DataFrame = {
-    // e feeds both the degree aggregate and the degree-annotated edge
-    // table — persist so the scan+join+distinct runs once
-    val e = edges(s, dir).persist()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-    // Edges with degree attached are consumed once per iteration,
-    // ALWAYS joined on src — cache them already hash-partitioned on the
-    // join key. The cached InMemoryRelation advertises that
-    // partitioning, so every iteration's sort-merge/shuffled-hash join
-    // leaves the big table in place and moves only the rank table: the
-    // edge-side shuffle happens once at build, not once per iteration.
-    // (When ranks are small enough Spark broadcasts them and neither
-    // side moves; the pre-partitioning is what keeps the join
-    // edge-side-exchange-free once ranks outgrow broadcast at 100 TB.)
-    val ew = e.join(deg, "src").repartition(col("src")).persist()
+    // Degree-annotated edges in ONE exchange: the out-degree rides a
+    // whole-partition window over hashpartitioning(src) — the exact
+    // partitioning every iteration's join needs — and the cached
+    // InMemoryRelation advertises it, so each iteration's sort-merge/
+    // shuffled-hash join leaves the big table in place and moves only
+    // the rank table. The previous build (deg groupBy + join +
+    // explicit repartition) moved the FULL edge table through three
+    // exchanges for the identical result — the dominant cost at 100 TB,
+    // where the edge table is the large side. (When ranks are small
+    // enough Spark broadcasts them and neither side moves; the
+    // pre-partitioning is what keeps the join edge-side-exchange-free
+    // once ranks outgrow broadcast.)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val ew = edges(s, dir)
+      .withColumn("out_deg", count(lit(1)).over(w))
+      .persist()
     // Iterative-DataFrame discipline: persist AND materialize each rank
     // generation, then drop its parent. Without the cut, iteration i's
     // plan embeds the full lineage of iterations 1..i-1 — the optimizer
@@ -99,20 +101,21 @@ object GraphOps {
     // noise next to the edge join it saves. Same role checkpoint() plays
     // in long-running iterative jobs (checkpoint also cuts the RDD DAG
     // for fault-tolerance; at 3 iterations cache-truncation suffices).
-    var ranks = deg.select(col("src").as("node"),
-      lit(1.0).as("pr")).persist()
+    // initial ranks: one row per source node, derived from the cached
+    // ew (dropDuplicates over its own hash partitioning — no exchange)
+    var ranks = ew.select(col("src").as("node")).dropDuplicates("node")
+      .select(col("node"), lit(1.0).as("pr")).persist()
     for (_ <- 1 to Iterations) {
       val next = pageRankStep(ew, ranks).persist()
       next.count()
       ranks.unpersist()
       ranks = next
     }
-    // e/ew are dead once the final generation is materialized — free
-    // them so long-lived sessions (libraries, notebooks) don't pin the
-    // edge table in storage; the final ranks cache stays, scoped by the
+    // ew is dead once the final generation is materialized — free it so
+    // long-lived sessions (libraries, notebooks) don't pin the edge
+    // table in storage; the final ranks cache stays, scoped by the
     // caller (Bench/Verify clearCache per query)
     ew.unpersist()
-    e.unpersist()
     ranks
   }
 

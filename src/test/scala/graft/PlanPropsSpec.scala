@@ -142,14 +142,18 @@ class PlanPropsSpec extends AnyFunSuite {
     // walk counts only the iteration's own exchanges
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val e = GraphOps.edges(spark, dir)
-      val deg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
-      val ew = e.join(deg, "src").repartition(col("src")).persist()
+      // same recipe as pageRankRanks: out-degree via a whole-partition
+      // window, so the cached frame is hash-partitioned on src by the
+      // ONE exchange the window inserts
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+      val ew = GraphOps.edges(spark, dir)
+        .withColumn("out_deg", count(lit(1)).over(w)).persist()
       ew.count() // materialize the cache so the iteration plans against it
       // ranks is always a persisted generation in the real loop —
       // materialize it here too so the measured plan is the iteration,
       // not the rank table's own lineage
-      val ranks = deg.select(col("src").as("node"), lit(1.0).as("pr"))
+      val ranks = ew.select(col("src").as("node")).dropDuplicates("node")
+        .select(col("node"), lit(1.0).as("pr"))
         .persist()
       ranks.count()
       try {
