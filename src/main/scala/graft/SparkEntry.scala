@@ -137,6 +137,9 @@ object SparkEntry {
     "q117_heavy_hitters"     -> (ProfileOps.heavyHitters _),
     "q118_capped_lsh"        -> (DedupOps.minhashLshCapped _),
     "q119_contamination"     -> (DedupOps.contamination _),
+    "q120_paragraph_dedup"   -> (DedupOps.paragraphDedup _),
+    "q121_semantic_dedup"    -> (ClusterOps.semanticDedup _),
+    "q123_oov_rate"          -> (TextOps.oovRate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -534,6 +537,9 @@ object SparkEntry {
     },
     "q118_capped_lsh" -> OracleGen.q118CappedLsh,
     "q119_contamination" -> OracleGen.q119Contamination,
+    "q120_paragraph_dedup" -> DedupOps.paragraphDedupOracle,
+    "q121_semantic_dedup" -> ClusterOps.semanticDedupOracle,
+    "q123_oov_rate" -> TextOps.oovRateOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

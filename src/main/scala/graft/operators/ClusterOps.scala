@@ -242,4 +242,92 @@ object ClusterOps {
        |FROM a GROUP BY label, pred_label
        |ORDER BY label, pred_label""".stripMargin
   }
+
+  // --- q121: SemDeDup — semantic dedup within embedding clusters --------
+
+  /** Threshold as a source literal so both dialects parse the identical
+    * double. Planted scaled copies sit at cosine ≈ 1; random 64-dim
+    * pairs almost never exceed 0.5. */
+  val SemTheta = "0.99"
+
+  /** q121 — SemDeDup (Abbas et al. 2023): cluster the corpus, then mark
+    * as semantic duplicates the vectors whose cosine to an EARLIER
+    * same-cluster vector reaches [[SemTheta]]. Assignment is spherical —
+    * argmax cosine to the K fixed centroids, ties on cent_id — so a
+    * scaled near-copy provably lands in its original's cluster (L2
+    * assignment would not guarantee that). Per vector: cluster,
+    * dominator count, dup flag, best dominator similarity.
+    *
+    * Scale (100 TB): the centroid table is K rows and broadcast, making
+    * assignment a narrow streaming pass. The within-cluster pair join is
+    * SemDeDup's published cost model — K grows with the corpus so
+    * cluster populations stay bounded — and the q112 projected-space
+    * prefilter composes in front of the exact cosines exactly as in
+    * q86's kNN graph. Cosines evaluate through the native codegen'd
+    * `dot_product` expression (same IEEE order as the oracle's generated
+    * 64-term chains). */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val v = SimilarityOps.withNorm(SimilarityOps.corpusNear(s, dir))
+    val c0 = SimilarityOps.withNorm(
+        SimilarityOps.baseVectors(s, dir).filter(col("vec_id") < K))
+      .select(col("vec_id").as("cent_id"), col("emb").as("cemb"),
+        col("norm").as("cnorm"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cent_id"))
+    val assigned = v.crossJoin(broadcast(c0))
+      .selectExpr("vec_id", "emb", "norm", "cent_id",
+        "dot_product(emb, cemb) / (norm * cnorm) AS csim")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("cent_id", "vec_id", "emb", "norm")
+      .persist()
+    val b = assigned.select(col("cent_id"), col("vec_id").as("vec_b"),
+      col("emb").as("emb_b"), col("norm").as("norm_b"))
+    val doms = assigned.join(b, "cent_id")
+      .filter(col("vec_b") < col("vec_id"))
+      .selectExpr("cent_id", "vec_id",
+        "dot_product(emb, emb_b) / (norm * norm_b) AS sim")
+      .filter(expr(s"sim >= $SemTheta"))
+      .groupBy("cent_id", "vec_id")
+      .agg(count(lit(1)).as("n_dups"), max("sim").as("best_sim"))
+    assigned.join(doms, Seq("cent_id", "vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        (coalesce(col("n_dups"), lit(0L)) > 0L).as("is_dup"),
+        round(coalesce(col("best_sim"), lit(-1.0)), 6).as("best_sim"))
+      .orderBy("vec_id")
+  }
+
+  /** q121 oracle — identical spherical assignment and pair predicate,
+    * generated from the same constants and dot chains. */
+  def semanticDedupOracle: String = {
+    def d(a: String, b: String) = VecSql.dot(a, b, spark = false)
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings WHERE vec_id < ${SimilarityOps.CorpusCap}),
+       |corpus AS (
+       |  SELECT vec_id, emb FROM base
+       |  UNION ALL SELECT vec_id + ${SimilarityOps.CopyOffset} AS vec_id,
+       |    list_transform(emb, x -> x * 1.001) AS emb FROM base),
+       |v AS (SELECT vec_id, emb, sqrt(${d("emb", "emb")}) AS norm FROM corpus),
+       |c AS (SELECT vec_id AS cent_id, emb AS cemb,
+       |    sqrt(${d("emb", "emb")}) AS cnorm FROM base WHERE vec_id < $K),
+       |a AS (SELECT v.vec_id, v.emb, v.norm, c.cent_id,
+       |    (${d("v.emb", "c.cemb")}) / (v.norm * c.cnorm) AS csim FROM v, c),
+       |asg AS (SELECT vec_id, emb, norm, cent_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY csim DESC, cent_id) AS rn FROM a) WHERE rn = 1),
+       |p AS (SELECT x.cent_id, x.vec_id,
+       |    (${d("x.emb", "y.emb")}) / (x.norm * y.norm) AS sim
+       |  FROM asg x JOIN asg y
+       |    ON x.cent_id = y.cent_id AND y.vec_id < x.vec_id),
+       |dd AS (SELECT cent_id, vec_id, count(*) AS n_dups, max(sim) AS best_sim
+       |  FROM p WHERE sim >= $SemTheta GROUP BY cent_id, vec_id)
+       |SELECT asg.vec_id, asg.cent_id,
+       |  CAST(coalesce(dd.n_dups, 0) AS BIGINT) AS n_dups,
+       |  (coalesce(dd.n_dups, 0) > 0) AS is_dup,
+       |  round(coalesce(dd.best_sim, -1.0), 6) AS best_sim
+       |FROM asg LEFT JOIN dd USING (cent_id, vec_id)
+       |ORDER BY asg.vec_id""".stripMargin
+  }
 }

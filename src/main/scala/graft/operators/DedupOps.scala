@@ -508,4 +508,75 @@ object DedupOps {
        |FROM part p JOIN l$ConsolidateRounds l ON p.p_name = l.p_name
        |GROUP BY l.lbl ORDER BY canonical_name""".stripMargin
   }
+
+  // --- q120: paragraph-level exact dedup (CCNet-style) ------------------
+
+  val ParaTokens = 8
+  /** Occurrence-order key: doc_id · 2²⁰ + segment index. The index bound
+    * (1M segments/doc = 8M tokens/doc) holds by orders of magnitude for
+    * any real document. */
+  private val ParaIdxSpan = 1048576L
+
+  /** q120 — paragraph-level exact dedup: segment each document of the
+    * planted-duplicate corpus into non-overlapping [[ParaTokens]]-token
+    * windows (this corpus has no newline structure, so the segmenter is
+    * positional; on a real corpus it is the `\n` split CCNet uses), keep
+    * only the corpus-wide FIRST occurrence of each distinct segment
+    * (ordered by (doc_id, idx)), and report each document's surviving
+    * shape: segment counts and the md5 of the reassembled kept text.
+    *
+    * This is the sub-document granularity q29 (whole-doc exact dedup)
+    * cannot reach: boilerplate shared across otherwise-distinct pages is
+    * removed while the unique remainder survives.
+    *
+    * Scale (100 TB): one explode, one hash-aggregate keyed on segment
+    * text (map-side partial `min`), one shuffle join back on the same
+    * key — the aggregate's hash partitioning is reused, so the segment
+    * stream moves once — then a per-doc re-aggregate. No all-pairs
+    * stage; the working set shards by segment hash. */
+  def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val P = ParaTokens
+    val segs = corpusExact(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, size(toks) - 1, $P)")).as("st"),
+        col("toks"))
+      .select(col("doc_id"),
+        expr(s"CAST(st div $P AS BIGINT)").as("idx"),
+        expr(s"array_join(slice(toks, st + 1, $P), ' ')").as("seg"))
+    def occKey = col("doc_id") * lit(ParaIdxSpan) + col("idx")
+    val firsts = segs.groupBy("seg").agg(min(occKey).as("first_key"))
+    segs.join(firsts, "seg")
+      .withColumn("kept", occKey === col("first_key"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(" +
+            "CASE WHEN kept THEN struct(idx, seg) END)), x -> x.seg)")))
+          .as("kept_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** q120 oracle — identical construction from the same constants. */
+  def paragraphDedupOracle: String = {
+    val P = ParaTokens
+    s"""WITH c AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + $CopyOffset, text FROM documents),
+       |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM c),
+       |e AS (SELECT doc_id, toks, unnest(range(0, len(toks), $P)) AS st FROM t),
+       |g AS (SELECT doc_id, CAST(st // $P AS BIGINT) AS idx,
+       |    array_to_string(toks[st + 1:st + $P], ' ') AS seg FROM e),
+       |f AS (SELECT seg, min(doc_id * $ParaIdxSpan + idx) AS first_key
+       |  FROM g GROUP BY seg),
+       |j AS (SELECT g.doc_id, g.idx, g.seg,
+       |    (g.doc_id * $ParaIdxSpan + g.idx = f.first_key) AS kept
+       |  FROM g JOIN f USING (seg))
+       |SELECT doc_id, count(*) AS n_segs,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  md5(coalesce(string_agg(seg, ' ' ORDER BY idx)
+       |    FILTER (WHERE kept), '')) AS kept_md5
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 }

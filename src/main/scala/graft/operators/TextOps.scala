@@ -195,4 +195,53 @@ object TextOps {
         "rolling_hash(lower(text)) AS fp_lower")
       .orderBy("doc_id")
   }
+
+  /** 24 of the synthetic corpus's 31 token types — deep enough to be a
+    * real vocabulary, shallow enough that the OOV path is exercised
+    * (7 types fall outside it at every sf). */
+  val OovVocabK = 24
+
+  /** q123 — out-of-vocabulary audit: build the top-[[OovVocabK]] corpus
+    * vocabulary (count desc, then token — q65's deterministic rank at a
+    * deeper K) and report, per source, the token volume, OOV count and
+    * OOV rate. The tokenizer-coverage check run before committing a
+    * vocabulary to a training mixture: a source whose OOV rate is an
+    * outlier either needs vocab expansion or is noise.
+    *
+    * Scale (100 TB): the vocabulary is a distributed token count pruned
+    * to K rows BEFORE the single-partition rank (q65's shape); the audit
+    * pass probes that K-row table by broadcast, so the token stream is
+    * never shuffled — explode, probe, and per-source partial aggregate
+    * all fuse into the scan pipeline, and the final exchange moves one
+    * row per (source, partition). */
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(OovVocabK)
+      .select(col("token"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+      .orderBy("source")
+  }
+
+  /** q123 oracle — same vocabulary rank, same rate arithmetic. */
+  def oovRateOracle: String =
+    s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |v AS (SELECT token FROM (
+       |  SELECT token, count(*) AS n FROM tok GROUP BY token
+       |  ORDER BY n DESC, token LIMIT $OovVocabK)),
+       |j AS (SELECT tok.source, v.token AS vt
+       |  FROM tok LEFT JOIN v ON tok.token = v.token)
+       |SELECT source, count(*) AS n_tokens,
+       |  CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  round(CAST(CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
 }

@@ -300,4 +300,65 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(streamed.toSeq == batch.toSeq)
     } finally q.stop()
   }
+
+  test("q120 paragraph dedup: copies fully deduped, firsts survive intact") {
+    val out = DedupOps.paragraphDedup(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out.size == 1000) // 500 originals + 500 exact copies
+    val (orig, copies) = out.partition(_._1 < DedupOps.CopyOffset)
+    // every segment of an exact copy already occurred in its original
+    assert(copies.values.forall(_._2 == 0L))
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.emptyByteArray).map("%02x".format(_)).mkString
+    assert(copies.values.forall(_._3 == emptyMd5))
+    // global first-occurrence: total kept == distinct segment count
+    val distinctSegs = {
+      val P = DedupOps.ParaTokens
+      spark.read.parquet(s"$dir/documents.parquet")
+        .selectExpr("split(text, ' ') AS toks")
+        .selectExpr(s"explode(sequence(0, size(toks) - 1, $P)) AS st", "toks")
+        .selectExpr(s"array_join(slice(toks, st + 1, $P), ' ') AS seg")
+        .distinct().count()
+    }
+    assert(out.values.map(_._2).sum == distinctSegs)
+    // a doc keeping all segments reassembles to exactly its own text
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val intact = orig.filter { case (_, (n, k, _)) => n == k }
+    assert(intact.nonEmpty)
+    intact.foreach { case (id, (_, _, m)) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(texts(id).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(m == md, s"doc $id reassembly mismatch")
+    }
+  }
+
+  test("q121 SemDeDup: planted scaled copies are the duplicates, originals survive") {
+    val out = ClusterOps.semanticDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(3), r.getDouble(4))).toMap
+    val (copies, orig) = out.partition(_._1 >= SimilarityOps.CopyOffset)
+    // spherical assignment puts each scaled copy in its original's
+    // cluster, where the original (smaller vec_id) dominates it at cos≈1
+    assert(copies.nonEmpty && copies.values.forall(_._1))
+    assert(copies.values.forall(_._2 >= 0.999))
+    // random 64-dim originals are semantically distinct
+    val dupOrig = orig.count(_._2._1)
+    assert(dupOrig.toDouble / orig.size < 0.05,
+      s"$dupOrig of ${orig.size} originals flagged dup")
+  }
+
+  test("q123 OOV rate: rates bounded, token mass conserved, OOV path live") {
+    val out = TextOps.oovRate(spark, dir).collect()
+    val rates = out.map(_.getDouble(3))
+    assert(rates.forall(r => r >= 0.0 && r <= 1.0))
+    // token mass: per-source counts must sum to the corpus token count
+    val total = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("size(split(text, ' ')) AS n")
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(out.map(_.getLong(1)).sum == total)
+    // 31 token types vs K=24: some tokens must actually be OOV
+    assert(out.map(_.getLong(2)).sum > 0L)
+  }
 }
