@@ -139,6 +139,7 @@ object SparkEntry {
     "q119_contamination"     -> (DedupOps.contamination _),
     "q120_paragraph_dedup"   -> (DedupOps.paragraphDedup _),
     "q121_semantic_dedup"    -> (ClusterOps.semanticDedup _),
+    "q122_curation_funnel"   -> (CurationOps.curationFunnel _),
     "q123_oov_rate"          -> (TextOps.oovRate _),
   )
 
@@ -539,6 +540,7 @@ object SparkEntry {
     "q119_contamination" -> OracleGen.q119Contamination,
     "q120_paragraph_dedup" -> DedupOps.paragraphDedupOracle,
     "q121_semantic_dedup" -> ClusterOps.semanticDedupOracle,
+    "q122_curation_funnel" -> CurationOps.curationFunnelOracle,
     "q123_oov_rate" -> TextOps.oovRateOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,

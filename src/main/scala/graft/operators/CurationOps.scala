@@ -353,4 +353,135 @@ object CurationOps {
         countDistinct(col("user_id")).as("n_users"))
       .filter(col("n_users") < AnonK)
       .orderBy("event_type", "day", "k_prop")
+
+  // --- q122: curation funnel datasheet ----------------------------------
+
+  /** The latin-script slice of the corpus — the funnel's language gate. */
+  val FunnelLangs = Seq("en", "de", "es", "fr")
+
+  /** q122 — the curation funnel: one table showing how many documents
+    * survive each successive pipeline stage (language gate → Gopher
+    * quality stack → exact dedup → benchmark decontamination) with
+    * stage-over-stage and cumulative retention. This is the governance
+    * artifact every curated-dataset release ships — each stage reuses
+    * the EXACT predicate of its standalone query (q104's rule stack,
+    * q29's first-occurrence rule, q58's shared-gram test) so the funnel
+    * numbers reconcile against them by construction. Runs over the
+    * planted-duplicate corpus so the dedup stage provably prunes.
+    *
+    * Scale (100 TB): per-doc flags are narrow; the dedup stage is ONE
+    * window keyed on the content hash (the same exchange the standalone
+    * dedup pays); the contamination stage broadcasts the tiny benchmark
+    * gram set exactly as q58 does; and the stage table is built by
+    * `stack` on a single aggregate row — five output rows regardless of
+    * corpus size, no driver-side loop. */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import TextOps.{wsTokenCount, stopwordHits, LangStopwords}
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+    val corpus = d.unionAll(d.withColumn("doc_id",
+      col("doc_id") + DedupOps.CopyOffset))
+    val nWords = wsTokenCount(col("text"))
+    val nonspace = length(regexp_replace(col("text"), "\\s+", "")).cast("bigint")
+    val symbols =
+      length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")).cast("bigint")
+    val mwl = nonspace.cast("double") / nWords.cast("double")
+    val symRatio = symbols.cast("double") / length(col("text")).cast("double")
+    val quality = nWords >= 10 && nWords <= 100000 &&
+      mwl >= 3.0 && mwl <= 10.0 && symRatio < 0.1 &&
+      stopwordHits(col("text"), LangStopwords.head._2) >= 2
+    val wTxt = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+    val flagged = corpus
+      .withColumn("s2", col("lang").isin(FunnelLangs: _*))
+      .withColumn("s3", col("s2") && quality)
+      .withColumn("s4", col("s3") &&
+        col("doc_id") === min(when(col("s3"), col("doc_id"))).over(wTxt))
+    val grams = wordGrams(corpus.select(col("doc_id"), col("text")), ContamGram)
+    val bench = grams.filter(col("doc_id") % 97 === 0)
+      .select(col("gram")).distinct()
+    val contam = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("gram"))
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    flagged.join(contam, Seq("doc_id"), "left")
+      .withColumn("s5", col("s4") && col("doc_id") % 97 =!= 0 &&
+        col("contaminated").isNull)
+      .agg(
+        count(lit(1)).as("n1"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("s4"), 1L).otherwise(0L)).as("n4"),
+        sum(when(col("s5"), 1L).otherwise(0L)).as("n5"))
+      .selectExpr(
+        """stack(5,
+          |  1, 'total',          n1, n1, n1,
+          |  2, 'lang',           n2, n1, n1,
+          |  3, 'quality',        n3, n2, n1,
+          |  4, 'exact_dedup',    n4, n3, n1,
+          |  5, 'decontaminated', n5, n4, n1)
+          |AS (stage_id, stage, n_docs, n_prev, n_total)""".stripMargin)
+      .selectExpr(
+        "CAST(stage_id AS BIGINT) AS stage_id", "stage", "n_docs",
+        "round(CAST(n_docs AS DOUBLE) / CAST(n_prev AS DOUBLE), 6)" +
+          " AS retained_vs_prev",
+        "round(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE), 6)" +
+          " AS retained_vs_total")
+      .orderBy("stage_id")
+  }
+
+  /** q122 oracle — the same five stage predicates as one CTE chain,
+    * sharing q104's rule text, the window dedup, and q58's gram join. */
+  def curationFunnelOracle: String = {
+    val langs = FunnelLangs.map(l => s"'$l'").mkString(", ")
+    val n = ContamGram
+    val cat = (1 to n).map(k => s"toks[i+${k - 1}]").mkString(" || ' ' || ")
+    s"""WITH c AS (SELECT doc_id, lang, text FROM documents
+       |  UNION ALL SELECT doc_id + ${DedupOps.CopyOffset}, lang, text
+       |  FROM documents),
+       |m AS (SELECT doc_id, lang, text,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_words,
+       |    length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace,
+       |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS symbols,
+       |    length(text) AS n_chars,
+       |    len(regexp_extract_all(text,
+       |      '\\b(${TextOps.LangStopwords.head._2})\\b')) AS stops
+       |  FROM c),
+       |f AS (SELECT doc_id, text, (lang IN ($langs)) AS s2,
+       |    (lang IN ($langs)) AND n_words >= 10 AND n_words <= 100000
+       |      AND CAST(nonspace AS DOUBLE) / CAST(n_words AS DOUBLE) >= 3.0
+       |      AND CAST(nonspace AS DOUBLE) / CAST(n_words AS DOUBLE) <= 10.0
+       |      AND CAST(symbols AS DOUBLE) / CAST(n_chars AS DOUBLE) < 0.1
+       |      AND stops >= 2 AS s3
+       |  FROM m),
+       |f4 AS (SELECT *, s3 AND doc_id = min(CASE WHEN s3 THEN doc_id END)
+       |    OVER (PARTITION BY md5(text)) AS s4 FROM f),
+       |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${n - 2}),
+       |    i -> $cat)) AS gram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM c)),
+       |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+       |ct AS (SELECT DISTINCT g.doc_id FROM g JOIN b USING (gram)
+       |  WHERE g.doc_id % 97 <> 0),
+       |f5 AS (SELECT f4.*, s4 AND f4.doc_id % 97 <> 0
+       |    AND ct.doc_id IS NULL AS s5
+       |  FROM f4 LEFT JOIN ct ON f4.doc_id = ct.doc_id),
+       |a AS (SELECT count(*) AS n1,
+       |    sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS n2,
+       |    sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS n3,
+       |    sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS n4,
+       |    sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS n5 FROM f5),
+       |u AS (
+       |  SELECT 1 AS stage_id, 'total' AS stage, n1 AS n_docs,
+       |    n1 AS n_prev, n1 AS n_total FROM a
+       |  UNION ALL SELECT 2, 'lang', n2, n1, n1 FROM a
+       |  UNION ALL SELECT 3, 'quality', n3, n2, n1 FROM a
+       |  UNION ALL SELECT 4, 'exact_dedup', n4, n3, n1 FROM a
+       |  UNION ALL SELECT 5, 'decontaminated', n5, n4, n1 FROM a)
+       |SELECT CAST(stage_id AS BIGINT) AS stage_id, stage,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  round(CAST(n_docs AS DOUBLE) / CAST(n_prev AS DOUBLE), 6)
+       |    AS retained_vs_prev,
+       |  round(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+       |    AS retained_vs_total
+       |FROM u ORDER BY stage_id""".stripMargin
+  }
 }

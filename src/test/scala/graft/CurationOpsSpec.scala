@@ -126,4 +126,27 @@ class CurationOpsSpec extends AnyFunSuite {
     for (r <- reps.take(50))
       assert(r.getLong(2) == chars(r.getLong(1)))
   }
+
+  test("q122 funnel: monotone stages that reconcile with the standalone queries") {
+    val rows = CurationOps.curationFunnel(spark, dir).collect()
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("total", "lang", "quality", "exact_dedup", "decontaminated"))
+    val n = rows.map(_.getLong(2))
+    assert(n.zip(n.tail).forall { case (a, b) => b <= a })
+    assert(n.last > 0)
+    // stage 1 covers the planted corpus; stage 4 halves stage 3 exactly
+    // (every survivor's planted copy is pruned by first-occurrence)
+    assert(n(0) == 1000)
+    assert(n(3) * 2 == n(2))
+    // stage 2 reconciles with the language gate applied directly
+    val langN = 2 * spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("lang").isin(CurationOps.FunnelLangs: _*)).count()
+    assert(n(1) == langN)
+    // ratio columns are consistent with the counts
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      val expect = math.round(
+        cur.getLong(2).toDouble / prev.getLong(2).toDouble * 1e6) / 1e6
+      assert(math.abs(cur.getDouble(3) - expect) < 1e-9)
+    }
+  }
 }
