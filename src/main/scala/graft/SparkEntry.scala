@@ -141,6 +141,7 @@ object SparkEntry {
     "q121_semantic_dedup"    -> (ClusterOps.semanticDedup _),
     "q122_curation_funnel"   -> (CurationOps.curationFunnel _),
     "q123_oov_rate"          -> (TextOps.oovRate _),
+    "q124_bpe_merge"         -> (TextOps.bpeMergeStep _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -542,6 +543,7 @@ object SparkEntry {
     "q121_semantic_dedup" -> ClusterOps.semanticDedupOracle,
     "q122_curation_funnel" -> CurationOps.curationFunnelOracle,
     "q123_oov_rate" -> TextOps.oovRateOracle,
+    "q124_bpe_merge" -> TextOps.bpeMergeStepOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -230,6 +230,55 @@ object TextOps {
       .orderBy("source")
   }
 
+  val BpeTopMerges = 20
+
+  /** q124 — one BPE merge step, corpus-scale: count adjacent
+    * character-pair frequencies across all word occurrences (pair
+    * frequency = Σ word-frequency over words containing the pair at
+    * each position) and rank the top-[[BpeTopMerges]] merge candidates.
+    * This is the inner loop of BPE tokenizer training (Sennrich 2016);
+    * training a full vocab repeats it K times with the chosen merge
+    * applied — each iteration stays this same distributed shape.
+    *
+    * Scale (100 TB): the word-frequency aggregate collapses the corpus
+    * to its vocabulary FIRST (map-side partial count), so the pair
+    * explode runs over distinct words × their lengths, not over corpus
+    * tokens; the pair aggregate is map-combinable; and only the
+    * already-pruned top-K rows cross the single-partition ranking
+    * window (q65's discipline). */
+  def bpeMergeStep(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .filter(length(col("word")) >= 2)
+    val pairs = words
+      .select(col("n"),
+        explode(expr("sequence(1, length(word) - 1)")).as("i"), col("word"))
+      .select(expr("substring(word, i, 2)").as("pair"), col("n"))
+      .groupBy("pair").agg(sum(col("n")).as("freq"))
+    val top = pairs.orderBy(col("freq").desc, col("pair")).limit(BpeTopMerges)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("pair"))
+    top.withColumn("rank", row_number().over(w).cast("bigint"))
+      .select(col("rank"), col("pair"), col("freq"))
+      .orderBy("rank")
+  }
+
+  /** q124 oracle — same pair slicing (w[i:i+1] ≡ substring(w, i, 2)),
+    * same deterministic rank. */
+  def bpeMergeStepOracle: String =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |w AS (SELECT word, count(*) AS n FROM tok GROUP BY word
+       |  HAVING length(word) >= 2),
+       |p AS (SELECT unnest(list_transform(range(1, length(word)),
+       |    i -> word[i:i+1])) AS pair, n FROM w),
+       |f AS (SELECT pair, CAST(sum(n) AS BIGINT) AS freq FROM p
+       |  GROUP BY pair ORDER BY freq DESC, pair LIMIT $BpeTopMerges)
+       |SELECT CAST(row_number() OVER (ORDER BY freq DESC, pair) AS BIGINT)
+       |    AS "rank", pair, freq
+       |FROM f ORDER BY "rank"""".stripMargin
+
   /** q123 oracle — same vocabulary rank, same rate arithmetic. */
   def oovRateOracle: String =
     s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token

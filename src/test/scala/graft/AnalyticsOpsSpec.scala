@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AnalyticsOps, GraphOps, JoinOps, ScaleOps}
+import graft.operators.{AnalyticsOps, GraphOps, JoinOps, ScaleOps, TextOps}
 
 class AnalyticsOpsSpec extends AnyFunSuite {
 
@@ -283,5 +283,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
     val total = rows.map(_.getLong(1)).sum
     assert(total == spark.read.parquet(s"$dir/part.parquet").count())
+  }
+
+  test("q124 BPE merge step matches an independent driver-side pair count") {
+    val out = TextOps.bpeMergeStep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.length == TextOps.BpeTopMerges)
+    // independent reference: count pairs in plain Scala over the corpus
+    val freqs = scala.collection.mutable.Map.empty[String, Long]
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().foreach { r =>
+        r.getString(0).split(" ").filter(_.length >= 2).foreach { w =>
+          (0 until w.length - 1).foreach { i =>
+            val p = w.substring(i, i + 2)
+            freqs(p) = freqs.getOrElse(p, 0L) + 1L
+          }
+        }
+      }
+    val expect = freqs.toSeq.sortBy { case (p, n) => (-n, p) }
+      .take(TextOps.BpeTopMerges)
+    assert(out.map(t => (t._2, t._3)).toSeq == expect)
+    assert(out.map(_._1).toSeq == (1L to TextOps.BpeTopMerges.toLong))
   }
 }
