@@ -142,6 +142,8 @@ object SparkEntry {
     "q122_curation_funnel"   -> (CurationOps.curationFunnel _),
     "q123_oov_rate"          -> (TextOps.oovRate _),
     "q124_bpe_merge"         -> (TextOps.bpeMergeStep _),
+    "q125_cdc_fingerprint"   -> (DedupOps.cdcFingerprintDups _),
+    "q126_source_drift"      -> (ProfileOps.sourceDrift _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -544,6 +546,8 @@ object SparkEntry {
     "q122_curation_funnel" -> CurationOps.curationFunnelOracle,
     "q123_oov_rate" -> TextOps.oovRateOracle,
     "q124_bpe_merge" -> TextOps.bpeMergeStepOracle,
+    "q125_cdc_fingerprint" -> DedupOps.cdcFingerprintDupsOracle,
+    "q126_source_drift" -> ProfileOps.sourceDriftOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -529,11 +529,12 @@ object DedupOps {
     * cannot reach: boilerplate shared across otherwise-distinct pages is
     * removed while the unique remainder survives.
     *
-    * Scale (100 TB): one explode, one hash-aggregate keyed on segment
-    * text (map-side partial `min`), one shuffle join back on the same
-    * key — the aggregate's hash partitioning is reused, so the segment
-    * stream moves once — then a per-doc re-aggregate. No all-pairs
-    * stage; the working set shards by segment hash. */
+    * Scale (100 TB): one explode, then ONE shuffle keyed on segment
+    * text — first-occurrence is a `min` window over the segment
+    * partition, not an aggregate-plus-join-back (which would scan and
+    * explode the corpus twice and pay a second exchange) — then a
+    * per-doc re-aggregate. No all-pairs stage; the working set shards
+    * by segment hash. */
   def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
     val P = ParaTokens
     val segs = corpusExact(s, dir)
@@ -545,9 +546,9 @@ object DedupOps {
         expr(s"CAST(st div $P AS BIGINT)").as("idx"),
         expr(s"array_join(slice(toks, st + 1, $P), ' ')").as("seg"))
     def occKey = col("doc_id") * lit(ParaIdxSpan) + col("idx")
-    val firsts = segs.groupBy("seg").agg(min(occKey).as("first_key"))
-    segs.join(firsts, "seg")
-      .withColumn("kept", occKey === col("first_key"))
+    val wSeg = org.apache.spark.sql.expressions.Window.partitionBy("seg")
+    segs
+      .withColumn("kept", occKey === min(occKey).over(wSeg))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_segs"),
@@ -557,6 +558,77 @@ object DedupOps {
             "CASE WHEN kept THEN struct(idx, seg) END)), x -> x.seg)")))
           .as("kept_md5"))
       .orderBy("doc_id")
+  }
+
+  // --- q125: content-defined fingerprint dedup (0-mod-p sampling) -------
+
+  val CdcWindow = 40
+  val CdcModulus = 16L
+
+  /** q125 — shift-invariant duplicate-span detection: fingerprint every
+    * [[CdcWindow]]-char sliding window, SELECT the windows whose 60-bit
+    * hash ≡ 0 mod [[CdcModulus]] (content-defined sampling — the
+    * selection depends only on the bytes, so a copy shifted by any
+    * offset still selects the same spans, which q120's aligned windows
+    * cannot do), and report per document how many selected spans are
+    * shared with another document. Runs on the NEAR-copy corpus (first
+    * word dropped) precisely because alignment is broken there — this is
+    * the winnowing/CDC primitive behind partial-overlap dedup at corpus
+    * scale.
+    *
+    * Scale (100 TB): the explode emits one row per char position but
+    * immediately filters to ~1/[[CdcModulus]] of them (predicate on the
+    * hash, fused into the generate under codegen); everything after
+    * moves only selected fingerprints — one distinct + count keyed on
+    * the hash, one join back, one per-doc aggregate. The sampling rate
+    * is the knob trading recall floor (min detectable span ≈ window ×
+    * modulus) against volume. */
+  def cdcFingerprintDups(s: SparkSession, dir: String): DataFrame = {
+    val L = CdcWindow
+    // guard: Spark's sequence(1, n) DESCENDS for n < 1 (DuckDB's range
+    // is empty there) — docs shorter than the window carry no spans
+    val fp = corpusNear(s, dir)
+      .filter(length(col("text")) >= L)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, length(text) - $L + 1)")).as("i"),
+        col("text"))
+      .select(col("doc_id"),
+        TextOps.md5Fingerprint60(expr(s"substring(text, i, $L)")).as("h"))
+      .filter(pmod(col("h"), lit(CdcModulus)) === 0L)
+    val hashDocs = fp.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+    fp.join(hashDocs, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("nd") > 1L, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_ratio",
+        round(col("n_shared").cast("double") / col("n_fp").cast("double"), 6))
+      .orderBy("doc_id")
+  }
+
+  /** q125 oracle — same sampling rule via the portable md5→BIGINT. */
+  def cdcFingerprintDupsOracle: String = {
+    val L = CdcWindow
+    s"""WITH c AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + $CopyOffset,
+       |    substr(text, instr(text, ' ') + 1) FROM documents),
+       |p AS (SELECT doc_id,
+       |    unnest(range(1, length(text) - $L + 2)) AS i, text FROM c
+       |  WHERE length(text) >= $L),
+       |f AS (SELECT doc_id,
+       |    CAST('0x' || substr(md5(substr(text, CAST(i AS INT), $L)), 1, 15)
+       |      AS BIGINT) AS h
+       |  FROM p),
+       |s AS (SELECT doc_id, h FROM f WHERE h % $CdcModulus = 0),
+       |hd AS (SELECT h, count(*) AS nd FROM
+       |  (SELECT DISTINCT doc_id, h FROM s) GROUP BY h)
+       |SELECT s.doc_id, count(*) AS n_fp,
+       |  CAST(sum(CASE WHEN hd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_shared,
+       |  round(CAST(CAST(sum(CASE WHEN hd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS shared_ratio
+       |FROM s JOIN hd USING (h) GROUP BY s.doc_id
+       |ORDER BY s.doc_id""".stripMargin
   }
 
   /** q120 oracle — identical construction from the same constants. */

@@ -271,4 +271,67 @@ object ProfileOps {
         min(col("value")).as("lo"), max(col("value")).as("hi"))
       .orderBy("event_type", "bucket")
   }
+
+  // --- q126: per-source token-distribution drift ------------------------
+
+  /** q126 — mixture drift audit: for every source, the total-variation
+    * distance ½·Σ_token |p_source(token) − p_corpus(token)| between its
+    * token distribution and the corpus-wide one, over the FULL corpus
+    * vocabulary (tokens absent from a source contribute their corpus
+    * mass). The per-source complement of q123: OOV says "the vocabulary
+    * doesn't cover this source"; drift says "this source's distribution
+    * is unlike the mixture" — the check run before reweighting or
+    * dropping a source from a training mix.
+    *
+    * Scale (100 TB): two token aggregates (map-combinable), then a
+    * vocabulary-sized grid per source — |sources| is small and the
+    * corpus side is the aggregated VOCABULARY, not the token stream.
+    * Parity: each |p−q| term is one fixed-order double expression,
+    * pushed through floor(x·10⁹) BIGINT fixed-point before the sum, so
+    * the aggregate is order-independent and bit-identical across
+    * engines (the ClusterOps technique). */
+  def sourceDrift(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val corpus = tok.groupBy("token").agg(count(lit(1)).as("cc"))
+    val srcTotals = tok.groupBy("source").agg(count(lit(1)).as("ts"))
+    val srcCnt = tok.groupBy("source", "token").agg(count(lit(1)).as("cs"))
+    val grid = srcTotals.crossJoin(broadcast(corpus))
+      .join(srcCnt, Seq("source", "token"), "left")
+      .na.fill(0L, Seq("cs"))
+      .crossJoin(broadcast(
+        tok.agg(count(lit(1)).as("tc"))))
+    grid
+      .withColumn("term", expr(
+        "CAST(floor(abs(CAST(cs AS DOUBLE) / CAST(ts AS DOUBLE) " +
+          "- CAST(cc AS DOUBLE) / CAST(tc AS DOUBLE)) * 1000000000.0) AS BIGINT)"))
+      .groupBy("source")
+      .agg(max(col("ts")).as("n_tokens"), sum(col("term")).as("tvsum"))
+      .selectExpr("source", "n_tokens",
+        "round(CAST(tvsum AS DOUBLE) / 1000000000.0 / 2.0, 6) AS tv_distance")
+      .orderBy("source")
+  }
+
+  /** q126 oracle — same grid, same fixed-point term. */
+  def sourceDriftOracle: String =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |corpus AS (SELECT token, count(*) AS cc FROM tok GROUP BY token),
+      |tc AS (SELECT count(*) AS tc FROM tok),
+      |st AS (SELECT source, count(*) AS ts FROM tok GROUP BY source),
+      |sc AS (SELECT source, token, count(*) AS cs FROM tok
+      |  GROUP BY source, token),
+      |grid AS (SELECT st.source, st.ts, corpus.token, corpus.cc, tc.tc,
+      |    coalesce(sc.cs, 0) AS cs
+      |  FROM st CROSS JOIN corpus CROSS JOIN tc
+      |  LEFT JOIN sc ON sc.source = st.source AND sc.token = corpus.token),
+      |terms AS (SELECT source, ts,
+      |    CAST(floor(abs(CAST(cs AS DOUBLE) / CAST(ts AS DOUBLE)
+      |      - CAST(cc AS DOUBLE) / CAST(tc AS DOUBLE)) * 1000000000.0)
+      |      AS BIGINT) AS term
+      |  FROM grid)
+      |SELECT source, CAST(max(ts) AS BIGINT) AS n_tokens,
+      |  round(CAST(CAST(sum(term) AS BIGINT) AS DOUBLE)
+      |    / 1000000000.0 / 2.0, 6) AS tv_distance
+      |FROM terms GROUP BY source ORDER BY source""".stripMargin
 }

@@ -349,6 +349,48 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"$dupOrig of ${orig.size} originals flagged dup")
   }
 
+  test("q125 CDC fingerprints survive the shift that breaks aligned windows") {
+    val out = DedupOps.cdcFingerprintDups(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val copies = out.filter(_._1 >= DedupOps.CopyOffset)
+    assert(copies.nonEmpty)
+    // the near-copy is shifted by one word, yet EVERY selected span of
+    // every copy is still found in its original: selection is
+    // content-defined, so alignment is irrelevant
+    assert(copies.forall { case (_, (n, sh, r)) => n == sh && r == 1.0 })
+    // sampling rate sanity: ~1/16 of positions selected corpus-wide
+    val positions = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr(s"length(text) - ${DedupOps.CdcWindow} + 1 AS n")
+      .agg(sum("n")).collect()(0).getLong(0)
+    val selected = out.filter(_._1 < DedupOps.CopyOffset).map(_._2._1).sum
+    val rate = selected.toDouble / positions
+    assert(rate > 1.0 / 32 && rate < 1.0 / 8, s"sampling rate $rate")
+  }
+
+  test("q126 source drift matches an independent driver-side TV distance") {
+    val out = ProfileOps.sourceDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.forall { case (_, _, tv) => tv >= 0.0 && tv <= 1.0 })
+    // independent reference in plain Scala
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .flatMap(r => r.getString(1).split(" ").map(r.getString(0) -> _))
+    val tc = toks.length.toDouble
+    val cc = toks.groupBy(_._2).view.mapValues(_.length).toMap
+    out.foreach { case (src, nTok, tv) =>
+      val mine = toks.filter(_._1 == src).map(_._2)
+      assert(mine.length.toLong == nTok)
+      val cs = mine.groupBy(identity).view.mapValues(_.length).toMap
+      val expect = cc.keys.toSeq.sorted.map { t =>
+        math.floor(math.abs(
+          cs.getOrElse(t, 0).toDouble / mine.length -
+            cc(t).toDouble / tc) * 1e9).toLong
+      }.sum / 1e9 / 2.0
+      assert(math.abs(tv - math.round(expect * 1e6) / 1e6) < 1e-9,
+        s"$src: $tv vs $expect")
+    }
+  }
+
   test("q123 OOV rate: rates bounded, token mass conserved, OOV path live") {
     val out = TextOps.oovRate(spark, dir).collect()
     val rates = out.map(_.getDouble(3))
