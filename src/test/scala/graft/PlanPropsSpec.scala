@@ -236,4 +236,39 @@ class PlanPropsSpec extends AnyFunSuite {
       s"resampling must stay narrow:\n${p.take(1500)}")
     assert(p.contains("Generate explode"), s"sequence explode missing:\n${p.take(1500)}")
   }
+
+  test("paragraph dedup pays ONE segment-keyed exchange and no join") {
+    val p = plan(DedupOps.paragraphDedup(spark, dir))
+    // window over seg + per-doc aggregate: exactly two hash exchanges
+    // (plus the output range sort), and no join-back
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 2, s"expected 2 hash exchanges, got $hashEx:\n${p.take(1800)}")
+    assert(!p.contains("Join"), s"first-occurrence must not join back:\n${p.take(1800)}")
+  }
+
+  test("OOV audit broadcasts the vocabulary; the token stream never hash-shuffles") {
+    val p = plan(TextOps.oovRate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"vocab probe not broadcast:\n${p.take(1500)}")
+    // the only hash exchanges are the two aggregates (vocab build + final
+    // per-source); the probe side streams
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 2, s"token stream shuffles ($hashEx hash exchanges):\n${p.take(1800)}")
+  }
+
+  test("CDC fingerprint sampling filters BEFORE the dedup/count exchanges") {
+    val p = plan(DedupOps.cdcFingerprintDups(spark, dir))
+    // the 1/modulus hash filter must sit below the first exchange so
+    // only selected fingerprints ever move
+    val filt = p.indexOf("pmod")
+    val exch = p.indexOf("Exchange")
+    assert(filt >= 0 && exch >= 0 && filt > exch,
+      s"sampling filter not below the first exchange:\n${p.take(1800)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("source drift broadcasts vocabulary and corpus total to the grid") {
+    val p = plan(ProfileOps.sourceDrift(spark, dir))
+    val bc = "BroadcastExchange".r.findAllIn(p).length
+    assert(bc >= 2, s"vocabulary/total not broadcast ($bc):\n${p.take(1800)}")
+  }
 }
