@@ -144,6 +144,7 @@ object SparkEntry {
     "q124_bpe_merge"         -> (TextOps.bpeMergeStep _),
     "q125_cdc_fingerprint"   -> (DedupOps.cdcFingerprintDups _),
     "q126_source_drift"      -> (ProfileOps.sourceDrift _),
+    "q127_bpe_train"         -> (TextOps.bpeTrain _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -548,6 +549,7 @@ object SparkEntry {
     "q124_bpe_merge" -> TextOps.bpeMergeStepOracle,
     "q125_cdc_fingerprint" -> DedupOps.cdcFingerprintDupsOracle,
     "q126_source_drift" -> ProfileOps.sourceDriftOracle,
+    "q127_bpe_train" -> TextOps.bpeTrainOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -279,6 +279,104 @@ object TextOps {
        |    AS "rank", pair, freq
        |FROM f ORDER BY "rank"""".stripMargin
 
+  val BpeTrainSteps = 3
+
+  /** q127 — BPE tokenizer TRAINING, [[BpeTrainSteps]] full iterations:
+    * pick the most frequent adjacent symbol pair, merge it greedily
+    * left-to-right in every word (exact Sennrich 2016 apply semantics —
+    * a freshly merged symbol never re-merges as the left element within
+    * the same pass), recount, repeat. Extends q124 (one counting step)
+    * with the apply step, so the merges interact: step 2 can pick a
+    * pair containing step 1's new symbol.
+    *
+    * The greedy apply is a per-word FOLD over the symbol list — Spark's
+    * codegen'd `aggregate` higher-order function with a string
+    * accumulator (the oracle replays it with DuckDB's `list_reduce`,
+    * same init-is-first-element semantics).
+    *
+    * Scale (100 TB): the corpus collapses ONCE to its weighted
+    * vocabulary; every iteration after that is a vocabulary-sized pair
+    * aggregate + a broadcast of the single chosen pair + a narrow fold
+    * pass over distinct words — the corpus token stream is never
+    * rescanned. The driver-side K-step loop is inherent to BPE (step
+    * k+1's counts depend on step k's merge), exactly like PageRank's
+    * iterate-by-join discipline. */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    var words = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(expr("trim(regexp_replace(w, '(.)', '$1 '))").as("sym"),
+        col("n"))
+    val picks = scala.collection.mutable.Buffer[DataFrame]()
+    for (step <- 1 to BpeTrainSteps) {
+      val top = words
+        .select(col("n"), split(col("sym"), " ").as("sy"))
+        // single-symbol words carry no pairs (and Spark's sequence
+        // DESCENDS for size-1 arrays — the guard is load-bearing)
+        .filter(size(col("sy")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), " +
+            "i -> concat(element_at(sy, i), ' ', element_at(sy, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("freq"))
+        .orderBy(col("freq").desc, col("pair")).limit(1)
+      picks += top.select(lit(step.toLong).as("step"), col("pair"),
+        expr("replace(pair, ' ', '')").as("merged"), col("freq"))
+      // greedy left-to-right merge: fold the symbol list into a
+      // ','-joined string, merging when (last symbol, next) == the pair
+      words = words
+        .crossJoin(broadcast(top.select(
+          expr("element_at(split(pair, ' '), 1)").as("p1"),
+          expr("element_at(split(pair, ' '), 2)").as("p2"),
+          expr("replace(pair, ' ', '')").as("pm"))))
+        .withColumn("sy", split(col("sym"), " "))
+        .select(expr(
+          """replace(aggregate(slice(sy, 2, size(sy) - 1),
+            |  element_at(sy, 1),
+            |  (acc, x) -> CASE
+            |    WHEN element_at(split(acc, ','), -1) = p1 AND x = p2
+            |    THEN concat(substr(acc, 1,
+            |      length(acc) - length(element_at(split(acc, ','), -1))), pm)
+            |    ELSE concat(acc, ',', x) END), ',', ' ')""".stripMargin)
+          .as("sym"), col("n"))
+    }
+    picks.reduce(_ unionAll _).orderBy("step")
+  }
+
+  /** q127 oracle — the identical unrolled loop; `list_reduce` inits
+    * with the first element, matching the Spark slice+aggregate. The
+    * 'p1 p2' pair STRING sorts identically to the (p1, p2) tuple
+    * because ' ' precedes every symbol character. */
+  def bpeTrainOracle: String = {
+    val steps = (1 to BpeTrainSteps).map { i =>
+      s"""p$i AS (SELECT unnest(list_transform(range(1, len(sy)),
+         |      j -> sy[j] || ' ' || sy[j + 1])) AS pair, n FROM (
+         |    SELECT string_split(sym, ' ') AS sy, n FROM w${i - 1})),
+         |t$i AS (SELECT pair, replace(pair, ' ', '') AS merged,
+         |    CAST(sum(n) AS BIGINT) AS freq FROM p$i GROUP BY pair
+         |  ORDER BY freq DESC, pair LIMIT 1),
+         |w$i AS (SELECT replace(list_reduce(string_split(sym, ' '),
+         |    (acc, x) -> CASE
+         |      WHEN string_split(acc, ',')[-1] = string_split(t$i.pair, ' ')[1]
+         |        AND x = string_split(t$i.pair, ' ')[2]
+         |      THEN concat(substr(acc, 1,
+         |          length(acc) - length(string_split(acc, ',')[-1])),
+         |        t$i.merged)
+         |      ELSE acc || ',' || x END), ',', ' ') AS sym, n
+         |  FROM w${i - 1}, t$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeTrainSteps).map { i =>
+      s"SELECT CAST($i AS BIGINT) AS step, pair, merged, freq FROM t$i"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |w0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym,
+       |    count(*) AS n FROM tok GROUP BY w),
+       |$steps
+       |SELECT * FROM (
+       |  $out) ORDER BY step""".stripMargin
+  }
+
   /** q123 oracle — same vocabulary rank, same rate arithmetic. */
   def oovRateOracle: String =
     s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token

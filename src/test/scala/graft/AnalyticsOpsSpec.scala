@@ -305,4 +305,39 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out.map(t => (t._2, t._3)).toSeq == expect)
     assert(out.map(_._1).toSeq == (1L to TextOps.BpeTopMerges.toLong))
   }
+
+  test("q127 BPE training matches a plain-Scala Sennrich reference") {
+    val out = TextOps.bpeTrain(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // reference: greedy BPE over the word-frequency table
+    var vocab: Map[Vector[String], Long] =
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select("text").collect()
+        .flatMap(_.getString(0).split(" "))
+        .groupBy(identity).map { case (w, ws) =>
+          w.toVector.map(_.toString) -> ws.length.toLong
+        }
+    val merges = (1 to TextOps.BpeTrainSteps).map { step =>
+      val freqs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          freqs((p(0), p(1))) = freqs.getOrElse((p(0), p(1)), 0L) + n
+        }
+      }
+      val (pair, freq) = freqs.toSeq
+        .sortBy { case ((a, b), n) => (-n, a + " " + b) }.head
+      vocab = vocab.map { case (syms, n) =>
+        val merged = scala.collection.mutable.Buffer.empty[String]
+        syms.foreach { x =>
+          if (merged.nonEmpty && merged.last == pair._1 && x == pair._2)
+            merged(merged.length - 1) = pair._1 + pair._2
+          else merged += x
+        }
+        merged.toVector -> n
+      }
+      (step.toLong, pair._1 + " " + pair._2, pair._1 + pair._2, freq)
+    }
+    assert(out.toSeq == merges,
+      s"spark ${out.toSeq} vs reference $merges")
+  }
 }
