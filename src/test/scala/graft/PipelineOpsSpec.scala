@@ -358,13 +358,15 @@ class PipelineOpsSpec extends AnyFunSuite {
     // every copy is still found in its original: selection is
     // content-defined, so alignment is irrelevant
     assert(copies.forall { case (_, (n, sh, r)) => n == sh && r == 1.0 })
-    // sampling rate sanity: ~1/16 of positions selected corpus-wide
+    // sampling rate sanity: the anchor digram selects a few percent of
+    // positions corpus-wide — sparse enough to be cheap, dense enough
+    // that every doc keeps spans
     val positions = spark.read.parquet(s"$dir/documents.parquet")
       .selectExpr(s"length(text) - ${DedupOps.CdcWindow} + 1 AS n")
       .agg(sum("n")).collect()(0).getLong(0)
     val selected = out.filter(_._1 < DedupOps.CopyOffset).map(_._2._1).sum
     val rate = selected.toDouble / positions
-    assert(rate > 1.0 / 32 && rate < 1.0 / 8, s"sampling rate $rate")
+    assert(rate > 1.0 / 64 && rate < 1.0 / 8, s"sampling rate $rate")
   }
 
   test("q126 source drift matches an independent driver-side TV distance") {

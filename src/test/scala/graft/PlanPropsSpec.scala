@@ -257,12 +257,15 @@ class PlanPropsSpec extends AnyFunSuite {
 
   test("CDC fingerprint sampling filters BEFORE the dedup/count exchanges") {
     val p = plan(DedupOps.cdcFingerprintDups(spark, dir))
-    // the 1/modulus hash filter must sit below the first exchange so
-    // only selected fingerprints ever move
-    val filt = p.indexOf("pmod")
+    // the generate must explode the precomputed anchor-position array
+    // (one row per anchor), never a per-char-position sequence
+    assert(p.contains("aggregate("), s"anchor prefix-sum fold missing:\n${p.take(1800)}")
+    assert(!p.contains("sequence("),
+      s"per-position explode crept back:\n${p.take(1800)}")
+    val gen = p.indexOf("Generate explode")
     val exch = p.indexOf("Exchange")
-    assert(filt >= 0 && exch >= 0 && filt > exch,
-      s"sampling filter not below the first exchange:\n${p.take(1800)}")
+    assert(gen >= 0 && exch >= 0 && gen > exch,
+      s"anchor generate not below the first exchange:\n${p.take(1800)}")
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
   }
 
