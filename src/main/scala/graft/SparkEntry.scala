@@ -145,6 +145,7 @@ object SparkEntry {
     "q125_cdc_fingerprint"   -> (DedupOps.cdcFingerprintDups _),
     "q126_source_drift"      -> (ProfileOps.sourceDrift _),
     "q127_bpe_train"         -> (TextOps.bpeTrain _),
+    "q128_token_budget"      -> (TrainPrepOps.tokenBudgetSelect _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -550,6 +551,7 @@ object SparkEntry {
     "q125_cdc_fingerprint" -> DedupOps.cdcFingerprintDupsOracle,
     "q126_source_drift" -> ProfileOps.sourceDriftOracle,
     "q127_bpe_train" -> TextOps.bpeTrainOracle,
+    "q128_token_budget" -> TrainPrepOps.tokenBudgetSelectOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

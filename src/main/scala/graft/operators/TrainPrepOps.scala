@@ -320,4 +320,120 @@ object TrainPrepOps {
         col("n_quality_pass").cast("double") / col("n_docs").cast("double"))
       .orderBy("source")
   }
+
+  // --- q128: token-budget selection by quality threshold ----------------
+
+  /** Fraction of the corpus token mass the selection may keep, as a
+    * source literal so both dialects parse the identical double. */
+  val BudgetFrac = "0.4"
+
+  /** q128 — budget-constrained quality selection: keep the
+    * highest-quality documents whose total token count fits a
+    * [[BudgetFrac]]·corpus budget, WITHOUT a global sort. Two-phase
+    * threshold finding: (1) histogram token mass into 1000 quality
+    * buckets (distributed aggregate); (2) cumulative-sum the ~1000
+    * bucket rows from the top — buckets wholly under budget keep all
+    * their documents, the single straddling bucket is resolved by a
+    * doc_id-ordered running sum over ITS documents only. Reports the
+    * per-source keep counts — how a quality gate reshapes the mixture.
+    *
+    * Scale (100 TB): this is the classic distributed top-mass selection
+    * — no global sort, no single-partition pass over documents. The
+    * only unpartitioned window runs over ≤1000 bucket rows, and the
+    * straddling-bucket window touches one bucket's documents (~0.1% of
+    * the corpus for any non-degenerate score). Everything else is
+    * map-combinable aggregates and one broadcast of the 1000-row
+    * cumulative table. */
+  def tokenBudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val len = length(col("text")).cast("double")
+    val alpha =
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+    val toksD = wsTokenCount(col("text")).cast("double")
+    val stops = stopwordHits(col("text"), LangStopwords.head._2).cast("double")
+    val quality = (alpha / len) * 0.5 + (stops / toksD) * 0.3 +
+      when(len >= 100 && len <= 500, 0.2).otherwise(0.0)
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        wsTokenCount(col("text")).as("tokens"), quality.as("quality"))
+      .withColumn("bucket", expr("CAST(floor(quality * 1000.0) AS BIGINT)"))
+      .persist()
+    val buckets = docs.groupBy("bucket").agg(sum(col("tokens")).as("bt"))
+    val wDesc = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = buckets.withColumn("cum_before",
+      coalesce(sum(col("bt")).over(wDesc), lit(0L)))
+    val budget = docs.agg(sum(col("tokens")).as("total"))
+      .select(expr(
+        s"CAST(floor(CAST(total AS DOUBLE) * $BudgetFrac) AS BIGINT)").as("b"))
+    val dj = docs.join(broadcast(cum), "bucket").crossJoin(broadcast(budget))
+    val full = dj.filter(col("cum_before") + col("bt") <= col("b"))
+    val wRun = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val part = dj
+      .filter(col("cum_before") < col("b") &&
+        col("cum_before") + col("bt") > col("b"))
+      .withColumn("run", sum(col("tokens")).over(wRun))
+      .filter(col("cum_before") + col("run") <= col("b"))
+      .drop("run")
+    val kept = full.unionByName(part)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("tokens")).as("tokens_kept"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tokens_src"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("tokens_src"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+      .withColumn("kept_frac", round(
+        col("tokens_kept").cast("double") / col("tokens_src").cast("double"),
+        6))
+      .orderBy("source")
+  }
+
+  /** q128 oracle — identical two-phase selection (q27's quality text). */
+  def tokenBudgetSelectOracle: String = {
+    val stopRe = "\\b(" + LangStopwords.head._2 + ")\\b"
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS tokens,
+       |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+       |      / CAST(length(text) AS DOUBLE) * 0.5
+       |    + CAST(len(regexp_extract_all(text, '$stopRe')) AS DOUBLE)
+       |      / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) * 0.3
+       |    + (CASE WHEN length(text) >= 100 AND length(text) <= 500
+       |       THEN 0.2 ELSE 0.0 END) AS quality
+       |  FROM documents),
+       |db AS (SELECT *, CAST(floor(quality * 1000.0) AS BIGINT) AS bucket
+       |  FROM d),
+       |bk AS (SELECT bucket, CAST(sum(tokens) AS BIGINT) AS bt FROM db
+       |  GROUP BY bucket),
+       |cum AS (SELECT bucket, bt, CAST(coalesce(sum(bt) OVER (
+       |    ORDER BY bucket DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS cum_before FROM bk),
+       |bg AS (SELECT CAST(floor(CAST(CAST(sum(tokens) AS BIGINT) AS DOUBLE)
+       |    * $BudgetFrac) AS BIGINT) AS b FROM db),
+       |dj AS (SELECT db.*, cum.bt, cum.cum_before, bg.b
+       |  FROM db JOIN cum USING (bucket) CROSS JOIN bg),
+       |fll AS (SELECT * FROM dj WHERE cum_before + bt <= b),
+       |prt AS (SELECT * FROM (SELECT *, CAST(sum(tokens) OVER (
+       |      PARTITION BY bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS run
+       |    FROM dj WHERE cum_before < b AND cum_before + bt > b)
+       |  WHERE cum_before + run <= b),
+       |kept AS (SELECT source, count(*) AS n_kept,
+       |    CAST(sum(tokens) AS BIGINT) AS tokens_kept FROM (
+       |    SELECT source, tokens FROM fll
+       |    UNION ALL SELECT source, tokens FROM prt) GROUP BY source),
+       |tot AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(tokens) AS BIGINT) AS tokens_src FROM db GROUP BY source)
+       |SELECT tot.source, tot.n_docs, tot.tokens_src,
+       |  CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(kept.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+       |  round(CAST(coalesce(kept.tokens_kept, 0) AS DOUBLE)
+       |    / CAST(tot.tokens_src AS DOUBLE), 6) AS kept_frac
+       |FROM tot LEFT JOIN kept ON tot.source = kept.source
+       |ORDER BY tot.source""".stripMargin
+  }
 }

@@ -235,4 +235,55 @@ class TrainPrepOpsSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(7) - r.getLong(5).toDouble / r.getLong(1)) < 1e-9)
     }
   }
+
+  test("q128 token-budget selection matches a driver-side greedy reference") {
+    val out = TrainPrepOps.tokenBudgetSelect(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // replicate the selection in plain Scala (same IEEE op order)
+    val stopRe = ("\\b(" + graft.operators.TextOps.LangStopwords.head._2 +
+      ")\\b").r
+    case class D(id: Long, src: String, tokens: Long, bucket: Long)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text").collect().map { r =>
+        val text = r.getString(2)
+        val len = text.length.toDouble
+        val alpha = text.count(_.isLetter).toDouble
+        val toks = text.trim.split("\\s+").length.toDouble
+        val stops = stopRe.findAllIn(text).length.toDouble
+        val q = (alpha / len) * 0.5 + (stops / toks) * 0.3 +
+          (if (len >= 100 && len <= 500) 0.2 else 0.0)
+        D(r.getLong(0), r.getString(1), toks.toLong,
+          math.floor(q * 1000.0).toLong)
+      }
+    val budget =
+      math.floor(docs.map(_.tokens).sum.toDouble * 0.4).toLong
+    val byBucket = docs.groupBy(_.bucket).toSeq.sortBy(-_._1)
+    var cum = 0L
+    val keptDocs = scala.collection.mutable.Buffer.empty[D]
+    byBucket.foreach { case (_, ds) =>
+      val bt = ds.map(_.tokens).sum
+      if (cum + bt <= budget) { keptDocs ++= ds; cum += bt }
+      else if (cum < budget) {
+        // running sum over ALL bucket docs in id order; keep the prefix
+        // that fits (matches the query's window-sum-then-filter)
+        var run = 0L
+        ds.sortBy(_.id).foreach { d =>
+          run += d.tokens
+          if (cum + run <= budget) keptDocs += d
+        }
+        cum = budget // straddling bucket resolved; lower buckets all drop
+      }
+    }
+    docs.groupBy(_.src).foreach { case (src, ds) =>
+      val k = keptDocs.filter(_.src == src)
+      val (nDocs, tokSrc, nKept, tokKept) = out(src)
+      assert(nDocs == ds.length && tokSrc == ds.map(_.tokens).sum)
+      assert(nKept == k.length, s"$src kept ${k.length} vs $nKept")
+      assert(tokKept == k.map(_.tokens).sum)
+    }
+    // global budget adherence: under budget, and maximal for the greedy
+    val keptTotal = keptDocs.map(_.tokens).sum
+    assert(keptTotal <= budget)
+  }
 }
