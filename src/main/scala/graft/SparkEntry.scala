@@ -146,6 +146,10 @@ object SparkEntry {
     "q126_source_drift"      -> (ProfileOps.sourceDrift _),
     "q127_bpe_train"         -> (TextOps.bpeTrain _),
     "q128_token_budget"      -> (TrainPrepOps.tokenBudgetSelect _),
+    "q129_classifier_gate"   -> (MixtureOps.classifierGate _),
+    "q130_temperature_mix"   -> (MixtureOps.temperatureMix _),
+    "q131_dsir_weights"      -> (MixtureOps.dsirWeights _),
+    "q132_epoch_shuffle"     -> (MixtureOps.epochShuffleAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -552,6 +556,10 @@ object SparkEntry {
     "q126_source_drift" -> ProfileOps.sourceDriftOracle,
     "q127_bpe_train" -> TextOps.bpeTrainOracle,
     "q128_token_budget" -> TrainPrepOps.tokenBudgetSelectOracle,
+    "q129_classifier_gate" -> MixtureOps.classifierGateOracle,
+    "q130_temperature_mix" -> MixtureOps.temperatureMixOracle,
+    "q131_dsir_weights" -> MixtureOps.dsirWeightsOracle,
+    "q132_epoch_shuffle" -> MixtureOps.epochShuffleAuditOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -1,0 +1,350 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mixture-construction and data-ordering operators — the steps that
+  * decide WHICH documents a training run sees, HOW OFTEN, and IN WHAT
+  * ORDER: model-based quality gating (the fastText/CCNet classifier
+  * stage), temperature-scaled source balancing (the multilingual
+  * p_i^alpha resampling rule), DSIR-style importance weighting against a
+  * target domain (hashed n-gram log-likelihood ratios), and the
+  * deterministic two-level epoch shuffle a distributed loader uses, with
+  * a mixing audit over the result.
+  *
+  * These extend the reference's ingest surface (nightly parquet drops →
+  * cleaned SQL tables, `/root/reference/ParquetFileInsertion.py:30-66`)
+  * with the corpus-shaping steps a 100 TB pretraining pipeline runs
+  * after cleaning. Shared design rule: every "model" these operators
+  * consult (classifier weights, bucket log-ratios, shuffle permutation)
+  * is either a pure hash function — O(1) closure, nothing shipped — or a
+  * bounded-size table that broadcasts; the corpus itself is touched in
+  * one or two map-combinable passes and never globally sorted.
+  */
+object MixtureOps {
+
+  import EtlOps.t
+
+  /** 60-bit md5 fingerprint of a salted key — the engine-portable
+    * deterministic randomness source (DuckDB twin:
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`). */
+  private def p60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
+  // --- q129: hashed linear-classifier quality gate ----------------------
+
+  /** Feature-hashing bucket count for the classifier (the hashing trick:
+    * word → bucket, collisions accepted, vector size fixed). */
+  val ClfBuckets = 4096
+
+  /** The "trained" weight for one token, as a SQL expression over `tok`:
+    * bucket = h60("clf"‖token) mod [[ClfBuckets]], weight =
+    * h60("wgt"‖bucket) mod 2001 − 1000 ∈ [−1000, 1000]. A deterministic
+    * stand-in for a trained fastText/LR vector (no model artifact exists
+    * in the sandbox); swapping in real weights turns the inner hash into
+    * a [[ClfBuckets]]-row broadcast lookup keyed by the SAME bucket id —
+    * identical plan shape, one md5 fewer. */
+  private def clfWeightSql(tok: String): String =
+    s"CAST(conv(substring(md5(concat('wgt', CAST(" +
+      s"CAST(conv(substring(md5(concat('clf', $tok)), 1, 15), 16, 10) AS BIGINT)" +
+      s" % $ClfBuckets AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000"
+
+  /** q129 — model-based quality gate (the GPT-3/CCNet classifier stage):
+    * score every document with a hashed-bag-of-words linear classifier
+    * and keep documents with a non-negative logit. Reports how the gate
+    * reshapes each source: documents seen, documents kept, and the
+    * summed logit (integer — exact under any aggregation order).
+    *
+    * Scale (100 TB): scoring is a fold over the token array INSIDE one
+    * projection (`aggregate(split(text), 0, acc + w(tok))`) — no
+    * explode, no per-token rows, no per-document shuffle; the only
+    * exchange in the whole plan is the final per-source aggregate, which
+    * map-side combines to |sources| rows per task. The classifier
+    * evaluates inside whole-stage codegen; model size never appears in
+    * the plan because weights are a pure function of the bucket hash. */
+  def classifierGate(s: SparkSession, dir: String): DataFrame = {
+    val logit = expr(
+      s"aggregate(split(text, ' '), CAST(0 AS BIGINT), " +
+        s"(acc, w) -> acc + (${clfWeightSql("w")}))")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), logit.as("logit"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("logit") >= 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("logit")).as("logit_sum"))
+      .withColumn("kept_frac",
+        round(col("n_kept").cast("double") / col("n_docs").cast("double"), 6))
+      .orderBy("source")
+  }
+
+  def classifierGateOracle: String = {
+    val w =
+      s"CAST('0x' || substr(md5('wgt' || CAST(" +
+        s"CAST('0x' || substr(md5('clf' || w), 1, 15) AS BIGINT)" +
+        s" % $ClfBuckets AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000"
+    s"""WITH tok AS (SELECT doc_id, source,
+       |    unnest(string_split(text, ' ')) AS w FROM documents),
+       |sc AS (SELECT doc_id, source, CAST(sum($w) AS BIGINT) AS logit
+       |  FROM tok GROUP BY doc_id, source)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept,
+       |  CAST(sum(logit) AS BIGINT) AS logit_sum,
+       |  round(CAST(sum(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS kept_frac
+       |FROM sc GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // --- q130: temperature-scaled source balancing ------------------------
+
+  /** q130 — temperature-scaled source sampling (the multilingual
+    * p_i^α rule, α = 1/2): a source's share of the training mixture is
+    * proportional to sqrt(its document count), which flattens the head
+    * and boosts the tail relative to natural frequency. Weights are
+    * carried as floor(sqrt(n)·1e9) BIGINT fixed-point — IEEE-754
+    * guarantees sqrt is correctly rounded, so both engines derive the
+    * identical integer — and the per-source document target is exact
+    * integer arithmetic from there. Within a source, WHICH documents get
+    * the extra copy is decided by fingerprint rank, so every engine and
+    * every run materializes the same mixture. Output per source: natural
+    * count, fixed-point weight, target document count, the base
+    * copies-per-doc / extra-copy split, and the realized total (provably
+    * equal to the target — the hash gate checks the rank logic).
+    *
+    * Scale (100 TB): two tiny aggregates (|sources| rows), one broadcast
+    * of the |sources|-row plan, and one fingerprint-rank window HASH-
+    * partitioned by source. α other than 1/2 needs pow(), which is not
+    * correctly rounded — at scale, compute the |sources|-row weight
+    * table driver-side in exact arithmetic instead. N·w_fp here fits
+    * BIGINT to ~10⁸ docs per source; past that, carry the product as
+    * DECIMAL(38,0) (the shape is unchanged). */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+    val cnts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_fp",
+        floor(sqrt(col("n_docs").cast("double")) * 1e9).cast("bigint"))
+    val tot = cnts.agg(
+      sum(col("w_fp")).as("S"), sum(col("n_docs")).as("N"))
+    val plan = cnts.crossJoin(broadcast(tot))
+      .withColumn("target", expr("(N * w_fp) div S"))
+      .withColumn("base", expr("target div n_docs"))
+      .withColumn("extra", expr("target % n_docs"))
+      .select("source", "n_docs", "w_fp", "target", "base", "extra")
+    val rk = row_number().over(
+      Window.partitionBy("source").orderBy(col("fp"), col("doc_id")))
+    val realized = docs
+      .withColumn("fp", p60(concat(lit("temp"), col("doc_id").cast("string"))))
+      .join(broadcast(plan.select("source", "base", "extra")), "source")
+      .withColumn("rk", rk)
+      .select(col("source"),
+        (col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+          .as("n_copies"))
+      .groupBy("source").agg(sum(col("n_copies")).as("realized"))
+    plan.join(realized, "source").orderBy("source")
+  }
+
+  def temperatureMixOracle: String =
+    """WITH c AS (SELECT source, count(*) AS n_docs,
+      |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e9) AS BIGINT)
+      |      AS w_fp
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(sum(w_fp) AS BIGINT) AS S,
+      |    CAST(sum(n_docs) AS BIGINT) AS N FROM c),
+      |g AS (SELECT c.source, c.n_docs, c.w_fp, (N * w_fp) // S AS target
+      |  FROM c, t),
+      |g2 AS (SELECT *, target // n_docs AS base, target % n_docs AS extra
+      |  FROM g),
+      |d AS (SELECT doc_id, source,
+      |    CAST('0x' || substr(md5('temp' || CAST(doc_id AS VARCHAR)), 1, 15)
+      |      AS BIGINT) AS fp
+      |  FROM documents),
+      |r AS (SELECT d.source, base, extra,
+      |    row_number() OVER (PARTITION BY d.source ORDER BY fp, doc_id)
+      |      AS rk
+      |  FROM d JOIN g2 ON d.source = g2.source),
+      |p AS (SELECT source, CAST(sum(base +
+      |    CASE WHEN rk <= extra THEN 1 ELSE 0 END) AS BIGINT) AS realized
+      |  FROM r GROUP BY source)
+      |SELECT g2.source, n_docs, w_fp, target, base, extra, realized
+      |FROM g2 JOIN p ON g2.source = p.source ORDER BY g2.source""".stripMargin
+
+  // --- q131: DSIR importance weighting ----------------------------------
+
+  /** Hashed-feature space size for the importance weights. */
+  val DsirBuckets = 1024
+
+  /** The target domain the raw corpus is scored against. */
+  val DsirTarget = "src0"
+
+  /** The per-bucket log-likelihood-ratio, as one SQL string shared
+    * verbatim by both engines (same literal, same operator order — the
+    * only float step in the operator, frozen to ×1e6 fixed point the
+    * moment it is computed; 1-ulp libm divergence would need the true
+    * value within ~1e-9 of an integer to flip the floor). */
+  private val DsirLamSql: String =
+    s"CAST(floor((ln((coalesce(tc, 0) + 1.0) / (ttot + $DsirBuckets.0))" +
+      s" - ln((rc + 1.0) / (rtot + $DsirBuckets.0))) * 1000000.0) AS BIGINT)"
+
+  /** q131 — DSIR-style importance weighting (Xie et al. 2023, "Data
+    * Selection via Importance Resampling"): score every document by how
+    * much more likely its hashed unigrams are under a target domain
+    * ([[DsirTarget]]) than under the raw corpus. Per hash bucket b the
+    * weight is λ_b = ln p̂_target(b) − ln p̂_raw(b) (add-1 smoothed),
+    * frozen to ×1e6 fixed point; a document's score is the integer sum
+    * of λ over its token occurrences, so aggregation order cannot
+    * perturb it. Add-1 smoothing over a small target sample biases every
+    * λ negative (smoothing mass flattens p̂_target far more than p̂_raw),
+    * so the keep rule centers on the corpus: a document is kept when its
+    * MEAN token LLR beats the raw-corpus mean token LLR — written as the
+    * integer cross-multiplication score·rtok > wsum·ntok (wsum =
+    * Σ_b rc_b·λ_b), so no division and no floor-mode divergence between
+    * engines (Spark `div` truncates toward zero, DuckDB `//` floors).
+    * Reports the per-source keep rate and summed score — which sources
+    * the target domain pulls into the mixture.
+    *
+    * Scale (100 TB): the "model" is [[DsirBuckets]] rows — two
+    * map-combinable bucket-count aggregates build it, one broadcast
+    * hash join applies it to the token stream, and the per-doc /
+    * per-source rollups both map-side combine. No global sort, no
+    * all-pairs anything; the corpus is read twice (model pass, scoring
+    * pass) exactly as the published pipeline does. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("w"))
+      .withColumn("b", p60(concat(lit("dsir"), col("w"))) % DsirBuckets)
+      .select("doc_id", "source", "b")
+    val raw = tok.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tgt = tok.filter(col("source") === DsirTarget)
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val tots = tok.agg(
+      count(lit(1)).as("rtot"),
+      sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("ttot"))
+    val lam = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("b"), col("rc"), expr(DsirLamSql).as("lam_fp"))
+    val ctr = lam.agg(
+      sum(expr("rc * lam_fp")).as("wsum"), sum(col("rc")).as("rtok"))
+    val scored = tok.join(broadcast(lam.select("b", "lam_fp")), "b")
+      .groupBy("doc_id", "source")
+      .agg(sum(col("lam_fp")).as("score"), count(lit(1)).as("ntok"))
+      .crossJoin(broadcast(ctr))
+    scored.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("score") * col("rtok") > col("wsum") * col("ntok"), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(col("score")).as("score_sum"))
+      .withColumn("kept_frac",
+        round(col("n_kept").cast("double") / col("n_docs").cast("double"), 6))
+      .orderBy("source")
+  }
+
+  def dsirWeightsOracle: String =
+    s"""WITH tok AS (SELECT doc_id, source,
+       |    CAST('0x' || substr(md5('dsir' || w), 1, 15) AS BIGINT)
+       |      % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+       |        FROM documents)),
+       |raw AS (SELECT b, count(*) AS rc FROM tok GROUP BY b),
+       |tgt AS (SELECT b, count(*) AS tc FROM tok
+       |  WHERE source = '$DsirTarget' GROUP BY b),
+       |tots AS (SELECT CAST(count(*) AS BIGINT) AS rtot,
+       |    CAST(count(*) FILTER (WHERE source = '$DsirTarget') AS BIGINT)
+       |      AS ttot FROM tok),
+       |lam AS (SELECT raw.b, rc, $DsirLamSql AS lam_fp
+       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tots),
+       |ctr AS (SELECT CAST(sum(rc * lam_fp) AS BIGINT) AS wsum,
+       |    CAST(sum(rc) AS BIGINT) AS rtok FROM lam),
+       |ds AS (SELECT doc_id, source, CAST(sum(lam_fp) AS BIGINT) AS score,
+       |    count(*) AS ntok
+       |  FROM tok JOIN lam ON tok.b = lam.b GROUP BY doc_id, source)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN score * rtok > wsum * ntok THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept,
+       |  CAST(sum(score) AS BIGINT) AS score_sum,
+       |  round(CAST(sum(CASE WHEN score * rtok > wsum * ntok
+       |      THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS kept_frac
+       |FROM ds, ctr GROUP BY source ORDER BY source""".stripMargin
+
+  // --- q132: deterministic epoch shuffle + mixing audit -----------------
+
+  /** Number of loader shards the shuffled epoch is split into. */
+  val ShuffleShards = 8
+
+  /** q132 — deterministic two-level epoch shuffle with a mixing audit:
+    * the order a training run reads documents is (shard, position) where
+    * shard = h60("shuf"‖doc) mod [[ShuffleShards]] and position is the
+    * rank of a second independent fingerprint within the shard — the
+    * seeded, reproducible global shuffle every data loader needs,
+    * without ever sorting the corpus globally. The audit measures how
+    * well the shuffle mixes sources: per shard, the fraction of adjacent
+    * pairs that share a source, against the exact expectation for a
+    * uniform random order of that shard's composition
+    * (Σ c_s(c_s−1) / n(n−1)) — a hash-ordered shuffle should sit at
+    * expectation, and a loader bug that clusters a source shows up as
+    * observed ≫ expected.
+    *
+    * Scale (100 TB): shard assignment is a stateless projection; the
+    * position/adjacency windows are HASH-partitioned by shard and
+    * shards are hash-balanced, so each window task sees |corpus|/S rows
+    * — at real scale S is O(10⁴) loader files and the per-shard rank
+    * becomes q114's two-pass enumeration, same audit unchanged. Both
+    * aggregates map-side combine. */
+  def epochShuffleAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("shard",
+        p60(concat(lit("shuf"), col("doc_id").cast("string"))) % ShuffleShards)
+      .withColumn("ordk",
+        p60(concat(lit("ord"), col("doc_id").cast("string"))))
+    val w = Window.partitionBy("shard").orderBy(col("ordk"), col("doc_id"))
+    val adj = d.withColumn("prev_src", lag(col("source"), 1).over(w))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("prev_src") === col("source"), 1L).otherwise(0L))
+          .as("n_same"))
+    val exp = d.groupBy("shard", "source").agg(count(lit(1)).as("c"))
+      .groupBy("shard")
+      .agg(sum(expr("c * (c - 1)")).as("num"), sum(col("c")).as("n"))
+    adj.join(exp, "shard")
+      .select(col("shard"), col("n_docs"), col("n_same"),
+        when(col("n_docs") > 1,
+          round(col("n_same").cast("double") /
+            (col("n_docs") - 1).cast("double"), 6)).otherwise(0.0)
+          .as("same_rate"),
+        when(col("n_docs") > 1,
+          round(col("num").cast("double") /
+            expr("CAST(n * (n - 1) AS DOUBLE)"), 6)).otherwise(0.0)
+          .as("expected_rate"))
+      .orderBy("shard")
+  }
+
+  def epochShuffleAuditOracle: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CAST('0x' || substr(md5('shuf' || CAST(doc_id AS VARCHAR)), 1, 15)
+       |      AS BIGINT) % $ShuffleShards AS shard,
+       |    CAST('0x' || substr(md5('ord' || CAST(doc_id AS VARCHAR)), 1, 15)
+       |      AS BIGINT) AS ordk
+       |  FROM documents),
+       |sq AS (SELECT shard, source,
+       |    lag(source) OVER (PARTITION BY shard ORDER BY ordk, doc_id)
+       |      AS prev_src FROM d),
+       |a AS (SELECT shard, count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN prev_src = source THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_same FROM sq GROUP BY shard),
+       |e AS (SELECT shard, CAST(sum(c * (c - 1)) AS BIGINT) AS num,
+       |    CAST(sum(c) AS BIGINT) AS n FROM (
+       |    SELECT shard, source, count(*) AS c FROM d GROUP BY shard, source)
+       |  GROUP BY shard)
+       |SELECT a.shard, n_docs, n_same,
+       |  CASE WHEN n_docs > 1 THEN round(CAST(n_same AS DOUBLE)
+       |    / CAST(n_docs - 1 AS DOUBLE), 6) ELSE 0.0 END AS same_rate,
+       |  CASE WHEN n_docs > 1 THEN round(CAST(num AS DOUBLE)
+       |    / CAST(n * (n - 1) AS DOUBLE), 6) ELSE 0.0 END AS expected_rate
+       |FROM a JOIN e ON a.shard = e.shard ORDER BY a.shard""".stripMargin
+}

@@ -1,0 +1,145 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.MixtureOps
+
+/** Invariant specs for the mixture-construction operators (q129-q132).
+  * The DuckDB oracle gate checks exact row parity; these specs recompute
+  * each operator with an independent plain-Scala reference over the
+  * collected fixture (500 docs) so a Spark-side expression slip cannot
+  * hide behind an oracle written with the same mistake.
+  */
+class MixtureOpsSpec extends AnyFunSuite {
+
+  private val spark = TestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Same 60-bit md5 fingerprint the operators use, via MessageDigest —
+    * an implementation independent of both Spark and DuckDB. */
+  private def p60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  private lazy val docs: Array[(Long, String, String)] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  test("q129 classifier gate matches a MessageDigest reference scorer") {
+    def wgt(w: String): Long = {
+      val b = p60("clf" + w) % MixtureOps.ClfBuckets
+      p60("wgt" + b.toString) % 2001 - 1000
+    }
+    // split(text, ' ') in Spark keeps trailing empty strings → limit -1
+    val want = docs
+      .map { case (_, src, text) => (src, text.split(" ", -1).map(wgt).sum) }
+      .groupBy(_._1).toSeq
+      .map { case (src, xs) =>
+        (src, xs.length.toLong, xs.count(_._2 >= 0L).toLong, xs.map(_._2).sum)
+      }
+      .sortBy(_._1)
+    val got = MixtureOps.classifierGate(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+  }
+
+  test("q130 temperature mix: realized mass equals the integer target exactly") {
+    val rows = MixtureOps.temperatureMix(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var sumTarget = 0L
+    var n = 0L
+    rows.foreach { r =>
+      val (nDocs, wFp, target, base, extra, realized) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))
+      assert(wFp == math.floor(math.sqrt(nDocs.toDouble) * 1e9).toLong)
+      assert(extra >= 0 && extra < nDocs, s"extra out of range: $r")
+      assert(base * nDocs + extra == target, s"base/extra split broken: $r")
+      assert(realized == target, s"rank materialization != target: $r")
+      sumTarget += target; n += nDocs
+    }
+    // floor() in each per-source target only ever rounds down
+    assert(sumTarget <= n && sumTarget > n - rows.length)
+  }
+
+  test("q130 temperature flattens the mixture: share moves tail-ward, head-ward never") {
+    val rows = MixtureOps.temperatureMix(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(3))) // (n_docs, target)
+    val n = rows.map(_._1).sum.toDouble
+    val t = rows.map(_._2).sum.toDouble
+    // sqrt-weighting: any source above the mean natural share must lose
+    // share, any source below must gain (strictly, up to integer floor)
+    rows.foreach { case (nd, tg) =>
+      val natural = nd / n
+      val mixed = tg / t
+      if (natural > 1.05 / rows.length) assert(mixed <= natural + 1e-9)
+      if (natural < 0.95 / rows.length) assert(mixed >= natural - 2.0 / t)
+    }
+  }
+
+  test("q131 DSIR weights match a Math.log reference over hashed buckets") {
+    val B = MixtureOps.DsirBuckets
+    val toks = docs.flatMap { case (id, src, text) =>
+      text.split(" ", -1).map(w => (id, src, p60("dsir" + w) % B))
+    }
+    val rc = toks.groupBy(_._3).map { case (b, xs) => b -> xs.length.toLong }
+    val tgtToks = toks.filter(_._2 == MixtureOps.DsirTarget)
+    val tc = tgtToks.groupBy(_._3).map { case (b, xs) => b -> xs.length.toLong }
+    val (rtot, ttot) = (toks.length.toLong, tgtToks.length.toLong)
+    def lam(b: Long): Long =
+      math.floor((math.log((tc.getOrElse(b, 0L) + 1.0) / (ttot + B.toDouble))
+        - math.log((rc(b) + 1.0) / (rtot + B.toDouble))) * 1e6).toLong
+    // corpus-centered keep rule: mean token LLR above the raw-corpus mean,
+    // as the integer cross-multiplication the operator uses
+    val wsum = rc.map { case (b, c) => c * lam(b) }.sum
+    val rtok = rc.values.sum
+    val want = toks.groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((_, src), xs) =>
+        (src, xs.map(t => lam(t._3)).sum, xs.length.toLong)
+      }
+      .groupBy(_._1).toSeq
+      .map { case (src, xs) =>
+        (src, xs.length.toLong,
+          xs.count(x => x._2 * rtok > wsum * x._3).toLong,
+          xs.map(_._2).sum)
+      }
+      .sortBy(_._1)
+    val got = MixtureOps.dsirWeights(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    // the target domain must look target-like to its own weights
+    val tgtRow = got.find(_._1 == MixtureOps.DsirTarget).get
+    assert(tgtRow._3 * 2 > tgtRow._2,
+      s"under half the target source scores positive: $tgtRow")
+  }
+
+  test("q132 epoch shuffle matches an independent adjacency recount") {
+    val S = MixtureOps.ShuffleShards
+    val d = docs.map { case (id, src, _) =>
+      (p60("shuf" + id.toString) % S, p60("ord" + id.toString), id, src)
+    }
+    val want = d.groupBy(_._1).toSeq.map { case (shard, xs) =>
+      val ordered = xs.sortBy(t => (t._2, t._3)).map(_._4)
+      val same = ordered.zip(ordered.drop(1)).count { case (a, b) => a == b }
+      val comp = ordered.groupBy(identity).values.map(_.length.toLong)
+      val num = comp.map(c => c * (c - 1)).sum
+      (shard, ordered.length.toLong, same.toLong,
+        num.toDouble / (ordered.length.toLong * (ordered.length - 1L)))
+    }.sortBy(_._1)
+    val got = MixtureOps.epochShuffleAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+      .toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) == want.map(t => (t._1, t._2, t._3)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._5 - w._4) < 1e-6, s"expected_rate drifted: $g vs $w")
+      assert(g._4 >= 0.0 && g._4 <= 1.0 && g._5 >= 0.0 && g._5 <= 1.0)
+    }
+  }
+}

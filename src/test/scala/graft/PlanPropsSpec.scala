@@ -274,4 +274,30 @@ class PlanPropsSpec extends AnyFunSuite {
     val bc = "BroadcastExchange".r.findAllIn(p).length
     assert(bc >= 2, s"vocabulary/total not broadcast ($bc):\n${p.take(1800)}")
   }
+
+  test("classifier gate scores inside one projection: no explode, no join, one exchange") {
+    val p = plan(MixtureOps.classifierGate(spark, dir))
+    assert(!p.contains("Generate"), s"token explode crept in:\n${p.take(1800)}")
+    assert(!p.contains("Join"), s"model lookup joined:\n${p.take(1800)}")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly the per-source exchange, got $hashEx:\n${p.take(1800)}")
+  }
+
+  test("DSIR weight table broadcasts to the token stream; nothing sort-merges") {
+    val p = plan(MixtureOps.dsirWeights(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"lambda table not broadcast:\n${p.take(1800)}")
+    assert(!p.contains("SortMergeJoin"), s"bucket join sort-merged:\n${p.take(1800)}")
+  }
+
+  test("temperature mix joins only by broadcast") {
+    val p = plan(MixtureOps.temperatureMix(spark, dir))
+    assert(!p.contains("SortMergeJoin"), s"tiny plan table sort-merged:\n${p.take(1800)}")
+    assert(p.contains("BroadcastHashJoin"), s"per-source plan not broadcast:\n${p.take(1800)}")
+  }
+
+  test("epoch shuffle windows stay shard-partitioned: no single-partition exchange") {
+    val p = plan(MixtureOps.epochShuffleAudit(spark, dir))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a window or aggregate collapsed to one partition:\n${p.take(1800)}")
+  }
 }
