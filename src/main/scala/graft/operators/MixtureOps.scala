@@ -204,33 +204,39 @@ object MixtureOps {
     * Reports the per-source keep rate and summed score — which sources
     * the target domain pulls into the mixture.
     *
-    * Scale (100 TB): the "model" is [[DsirBuckets]] rows — two
-    * map-combinable bucket-count aggregates build it, one broadcast
-    * hash join applies it to the token stream, and the per-doc /
+    * Scale (100 TB): the "model" is [[DsirBuckets]] rows, built by ONE
+    * map-combinable aggregate over the token stream (raw and target
+    * counts as two sum-columns of the same groupBy — not separate
+    * passes); the totals reduce the 1024-row grid, not the corpus. One
+    * broadcast hash join applies the model, and the per-doc /
     * per-source rollups both map-side combine. No global sort, no
-    * all-pairs anything; the corpus is read twice (model pass, scoring
-    * pass) exactly as the published pipeline does. */
+    * all-pairs anything; the corpus is read exactly twice (model pass,
+    * scoring pass) as the published pipeline does — the plan audit pins
+    * two parquet scans. */
   def dsirWeights(s: SparkSession, dir: String): DataFrame = {
     val tok = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         explode(split(col("text"), " ")).as("w"))
       .withColumn("b", p60(concat(lit("dsir"), col("w"))) % DsirBuckets)
       .select("doc_id", "source", "b")
-    val raw = tok.groupBy("b").agg(count(lit(1)).as("rc"))
-    val tgt = tok.filter(col("source") === DsirTarget)
-      .groupBy("b").agg(count(lit(1)).as("tc"))
-    val tots = tok.agg(
-      count(lit(1)).as("rtot"),
-      sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("ttot"))
-    val lam = raw.join(tgt, Seq("b"), "left")
-      .crossJoin(broadcast(tots))
-      .select(col("b"), col("rc"), expr(DsirLamSql).as("lam_fp"))
-    val ctr = lam.agg(
-      sum(expr("rc * lam_fp")).as("wsum"), sum(col("rc")).as("rtok"))
-    val scored = tok.join(broadcast(lam.select("b", "lam_fp")), "b")
+    // totals and the centering constant are unbounded windows OVER THE
+    // 1024-ROW GRID, not separate aggregates: a DataFrame reused through
+    // .agg() re-executes its whole lineage (no CTE sharing), which would
+    // re-scan the corpus once per derived scalar
+    val wAll = Window.partitionBy()
+    val model = tok.groupBy("b")
+      .agg(
+        count(lit(1)).as("rc"),
+        sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("tc"))
+      .withColumn("rtot", sum(col("rc")).over(wAll))
+      .withColumn("ttot", sum(col("tc")).over(wAll))
+      .withColumn("lam_fp", expr(DsirLamSql))
+      .withColumn("wsum", sum(expr("rc * lam_fp")).over(wAll))
+      .select("b", "lam_fp", "wsum", "rtot")
+    val scored = tok.join(broadcast(model), "b")
       .groupBy("doc_id", "source")
-      .agg(sum(col("lam_fp")).as("score"), count(lit(1)).as("ntok"))
-      .crossJoin(broadcast(ctr))
+      .agg(sum(col("lam_fp")).as("score"), count(lit(1)).as("ntok"),
+        first(col("wsum")).as("wsum"), first(col("rtot")).as("rtok"))
     scored.groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -248,14 +254,13 @@ object MixtureOps {
        |      % $DsirBuckets AS b
        |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
        |        FROM documents)),
-       |raw AS (SELECT b, count(*) AS rc FROM tok GROUP BY b),
-       |tgt AS (SELECT b, count(*) AS tc FROM tok
-       |  WHERE source = '$DsirTarget' GROUP BY b),
-       |tots AS (SELECT CAST(count(*) AS BIGINT) AS rtot,
-       |    CAST(count(*) FILTER (WHERE source = '$DsirTarget') AS BIGINT)
-       |      AS ttot FROM tok),
-       |lam AS (SELECT raw.b, rc, $DsirLamSql AS lam_fp
-       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tots),
+       |grid AS (SELECT b, count(*) AS rc,
+       |    CAST(sum(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tc
+       |  FROM tok GROUP BY b),
+       |tots AS (SELECT CAST(sum(rc) AS BIGINT) AS rtot,
+       |    CAST(sum(tc) AS BIGINT) AS ttot FROM grid),
+       |lam AS (SELECT b, rc, $DsirLamSql AS lam_fp FROM grid, tots),
        |ctr AS (SELECT CAST(sum(rc * lam_fp) AS BIGINT) AS wsum,
        |    CAST(sum(rc) AS BIGINT) AS rtok FROM lam),
        |ds AS (SELECT doc_id, source, CAST(sum(lam_fp) AS BIGINT) AS score,

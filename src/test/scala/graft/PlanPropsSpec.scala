@@ -287,6 +287,10 @@ class PlanPropsSpec extends AnyFunSuite {
     val p = plan(MixtureOps.dsirWeights(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"lambda table not broadcast:\n${p.take(1800)}")
     assert(!p.contains("SortMergeJoin"), s"bucket join sort-merged:\n${p.take(1800)}")
+    // model pass + scoring pass and nothing else — raw/target counts
+    // must come out of ONE aggregate, not separate corpus reads
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"corpus read $scans times, want 2:\n${p.take(1800)}")
   }
 
   test("temperature mix joins only by broadcast") {
