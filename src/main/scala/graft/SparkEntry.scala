@@ -150,6 +150,7 @@ object SparkEntry {
     "q130_temperature_mix"   -> (MixtureOps.temperatureMix _),
     "q131_dsir_weights"      -> (MixtureOps.dsirWeights _),
     "q132_epoch_shuffle"     -> (MixtureOps.epochShuffleAudit _),
+    "q133_training_manifest" -> (MixtureOps.trainingManifest _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -560,6 +561,7 @@ object SparkEntry {
     "q130_temperature_mix" -> MixtureOps.temperatureMixOracle,
     "q131_dsir_weights" -> MixtureOps.dsirWeightsOracle,
     "q132_epoch_shuffle" -> MixtureOps.epochShuffleAuditOracle,
+    "q133_training_manifest" -> MixtureOps.trainingManifestOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

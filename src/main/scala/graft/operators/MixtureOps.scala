@@ -329,6 +329,124 @@ object MixtureOps {
       .orderBy("shard")
   }
 
+  // --- q133: end-to-end training manifest -------------------------------
+
+  /** q133 — the training manifest, end to end: the composition of the
+    * assembly stages into the artifact a trainer actually reads. One
+    * DAG: (1) classifier gate (q129's fold — logit ≥ 0), (2) exact
+    * content dedup keeping the lowest doc_id per md5(text) (q29's rule,
+    * q120's one-window no-join-back shape), (3) temperature-scaled
+    * per-source copy targets over the SURVIVORS (q130's sqrt fixed-point
+    * plan), (4) copy materialization by fingerprint rank, and (5) the
+    * deterministic two-level shuffle (q132) assigning every copy its
+    * (shard, position). Output: one row per training-pass appearance —
+    * `(doc_id, source, copy_n, shard, pos)` in read order. A user of the
+    * engine runs this ONE query to turn a raw corpus into a training
+    * manifest; the stage queries exist separately for auditing.
+    *
+    * Scale (100 TB): gate + content hash are a single narrow pass; dedup
+    * is one hash exchange on the content hash (window, no join-back);
+    * the mixture plan is |sources| rows broadcast back; the copy explode
+    * is bounded by the epoch budget; shard/position assignment
+    * hash-partitions by shard. Nothing global except the output-contract
+    * sort. The five stages fuse into four hash exchanges + broadcasts —
+    * materializing intermediate tables between stages (what a
+    * Luigi/pandas pipeline must do) is exactly what this composition
+    * avoids. */
+  def trainingManifest(s: SparkSession, dir: String): DataFrame = {
+    val logit = expr(
+      s"aggregate(split(text, ' '), CAST(0 AS BIGINT), " +
+        s"(acc, w) -> acc + (${clfWeightSql("w")}))")
+    val gated = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        logit.as("logit"))
+      .filter(col("logit") >= 0)
+    val keep = gated
+      .withColumn("mid", min(col("doc_id")).over(Window.partitionBy("h")))
+      .filter(col("doc_id") === col("mid"))
+      .select("doc_id", "source")
+    // totals as unbounded windows over the |sources|-row grid (q131's
+    // lesson: a reused DataFrame re-executes its lineage, so a separate
+    // .agg() would scan the corpus a third time)
+    val wAll = Window.partitionBy()
+    val plan = keep.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_fp",
+        floor(sqrt(col("n_docs").cast("double")) * 1e9).cast("bigint"))
+      .withColumn("S", sum(col("w_fp")).over(wAll))
+      .withColumn("N", sum(col("n_docs")).over(wAll))
+      .withColumn("target", expr("(N * w_fp) div S"))
+      .withColumn("tbase", expr("target div n_docs"))
+      .withColumn("extra", expr("target % n_docs"))
+      .select("source", "tbase", "extra")
+    val rk = row_number().over(
+      Window.partitionBy("source").orderBy(col("fp"), col("doc_id")))
+    val copies = keep
+      .withColumn("fp", p60(concat(lit("mtemp"), col("doc_id").cast("string"))))
+      .join(broadcast(plan), "source")
+      .withColumn("rk", rk)
+      .withColumn("n_copies",
+        col("tbase") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+      .filter(col("n_copies") >= 1) // sequence(1, 0) would DESCEND
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1L), col("n_copies"))).as("copy_n"))
+    val ck = concat(col("doc_id").cast("string"), lit("_"),
+      col("copy_n").cast("string"))
+    copies
+      .withColumn("shard", p60(concat(lit("mshuf"), ck)) % ShuffleShards)
+      .withColumn("ordk", p60(concat(lit("mord"), ck)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("ordk"), col("doc_id"),
+          col("copy_n"))).cast("bigint"))
+      .select("doc_id", "source", "copy_n", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
+  def trainingManifestOracle: String = {
+    val w =
+      s"CAST('0x' || substr(md5('wgt' || CAST(" +
+        s"CAST('0x' || substr(md5('clf' || w), 1, 15) AS BIGINT)" +
+        s" % $ClfBuckets AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000"
+    s"""WITH tok AS (SELECT doc_id, source, md5(text) AS h,
+       |    unnest(string_split(text, ' ')) AS w FROM documents),
+       |sc AS (SELECT doc_id, source, h, CAST(sum($w) AS BIGINT) AS logit
+       |  FROM tok GROUP BY doc_id, source, h),
+       |keep AS (SELECT doc_id, source FROM (
+       |    SELECT *, min(doc_id) OVER (PARTITION BY h) AS mid
+       |    FROM sc WHERE logit >= 0) WHERE doc_id = mid),
+       |c AS (SELECT source, count(*) AS n_docs,
+       |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e9) AS BIGINT)
+       |      AS w_fp
+       |  FROM keep GROUP BY source),
+       |t AS (SELECT CAST(sum(w_fp) AS BIGINT) AS S,
+       |    CAST(sum(n_docs) AS BIGINT) AS N FROM c),
+       |g AS (SELECT c.source, n_docs, (N * w_fp) // S AS target FROM c, t),
+       |g2 AS (SELECT source, target // n_docs AS tbase,
+       |    target % n_docs AS extra FROM g),
+       |d AS (SELECT doc_id, source,
+       |    CAST('0x' || substr(md5('mtemp' || CAST(doc_id AS VARCHAR)), 1, 15)
+       |      AS BIGINT) AS fp FROM keep),
+       |r AS (SELECT d.doc_id, d.source, tbase, extra,
+       |    row_number() OVER (PARTITION BY d.source ORDER BY fp, doc_id)
+       |      AS rk
+       |  FROM d JOIN g2 USING (source)),
+       |cp AS (SELECT doc_id, source,
+       |    tbase + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS n_copies
+       |  FROM r),
+       |ex AS (SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy_n
+       |  FROM cp WHERE n_copies >= 1),
+       |m AS (SELECT doc_id, source, copy_n,
+       |    CAST('0x' || substr(md5('mshuf' || CAST(doc_id AS VARCHAR) || '_'
+       |      || CAST(copy_n AS VARCHAR)), 1, 15) AS BIGINT)
+       |      % $ShuffleShards AS shard,
+       |    CAST('0x' || substr(md5('mord' || CAST(doc_id AS VARCHAR) || '_'
+       |      || CAST(copy_n AS VARCHAR)), 1, 15) AS BIGINT) AS ordk
+       |  FROM ex)
+       |SELECT doc_id, source, copy_n, shard,
+       |  row_number() OVER (PARTITION BY shard ORDER BY ordk, doc_id, copy_n)
+       |    AS pos
+       |FROM m ORDER BY shard, pos""".stripMargin
+  }
+
   def epochShuffleAuditOracle: String =
     s"""WITH d AS (SELECT doc_id, source,
        |    CAST('0x' || substr(md5('shuf' || CAST(doc_id AS VARCHAR)), 1, 15)

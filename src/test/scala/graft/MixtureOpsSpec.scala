@@ -119,6 +119,60 @@ class MixtureOpsSpec extends AnyFunSuite {
       s"under half the target source scores positive: $tgtRow")
   }
 
+  test("q133 training manifest matches a full plain-Scala pipeline rerun") {
+    def wgt(w: String): Long = {
+      val b = p60("clf" + w) % MixtureOps.ClfBuckets
+      p60("wgt" + b.toString) % 2001 - 1000
+    }
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // stage 1+2: gate then first-occurrence content dedup
+    val keep = docs
+      .filter { case (_, _, text) => text.split(" ", -1).map(wgt).sum >= 0L }
+      .groupBy { case (_, _, text) => md5hex(text) }
+      .values.map(_.minBy(_._1)).toSeq
+    // stage 3: temperature plan over survivors
+    val bySrc = keep.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val wFp = bySrc.view
+      .mapValues(n => math.floor(math.sqrt(n.toDouble) * 1e9).toLong).toMap
+    val (bigS, bigN) = (wFp.values.sum, bySrc.values.sum)
+    // stage 4: copies by fingerprint rank
+    val copies = keep.groupBy(_._2).toSeq.flatMap { case (src, xs) =>
+      val target = bigN * wFp(src) / bigS
+      val (base, extra) = (target / bySrc(src), target % bySrc(src))
+      xs.map(d => (d._1, src, p60("mtemp" + d._1.toString)))
+        .sortBy(t => (t._3, t._1)).zipWithIndex
+        .flatMap { case ((id, s0, _), i) =>
+          val n = base + (if (i + 1 <= extra) 1L else 0L)
+          (1L to n).map(c => (id, s0, c))
+        }
+    }
+    // stage 5: two-level shuffle
+    val want = copies
+      .map { case (id, src, c) =>
+        val ck = s"${id}_$c"
+        (p60("mshuf" + ck) % MixtureOps.ShuffleShards, p60("mord" + ck),
+          id, src, c)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (shard, xs) =>
+        xs.sortBy(t => (t._2, t._3, t._5)).zipWithIndex.map {
+          case ((_, _, id, src, c), i) => (id, src, c, shard, (i + 1).toLong)
+        }
+      }.sortBy(t => (t._4, t._5))
+    val got = MixtureOps.trainingManifest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSeq
+    assert(got == want)
+    // manifest invariants: positions dense per shard, no duplicate copies
+    got.groupBy(_._4).foreach { case (_, xs) =>
+      assert(xs.map(_._5).sorted == (1L to xs.size).toSeq)
+    }
+    assert(got.map(t => (t._1, t._3)).distinct.size == got.size)
+  }
+
   test("q132 epoch shuffle matches an independent adjacency recount") {
     val S = MixtureOps.ShuffleShards
     val d = docs.map { case (id, src, _) =>

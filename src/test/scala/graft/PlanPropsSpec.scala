@@ -299,6 +299,14 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"per-source plan not broadcast:\n${p.take(1800)}")
   }
 
+  test("training manifest: two corpus scans, broadcast-only joins") {
+    val p = plan(MixtureOps.trainingManifest(spark, dir))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"corpus read $scans times, want 2:\n${p.take(1800)}")
+    assert(!p.contains("SortMergeJoin"), s"mixture plan sort-merged:\n${p.take(1800)}")
+    assert(p.contains("BroadcastHashJoin"), s"plan not broadcast:\n${p.take(1800)}")
+  }
+
   test("epoch shuffle windows stay shard-partitioned: no single-partition exchange") {
     val p = plan(MixtureOps.epochShuffleAudit(spark, dir))
     assert(!p.contains("Exchange SinglePartition"),
