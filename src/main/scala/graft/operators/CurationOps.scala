@@ -253,15 +253,23 @@ object CurationOps {
     // with persist; flat 0.8s with a cut).
     var labels = cutLineage(
       nodes.select(col("doc_id"), col("doc_id").as("lbl")))
-    var changed = 1L
-    while (changed > 0) {
+    // convergence by label mass, not by diffing rounds: new_lbl =
+    // min(own, neighbors') ≤ old pointwise, so Σlbl strictly decreases
+    // every non-fixpoint round — comparing two driver-side scalars
+    // replaces a per-round join-and-count over the label table (the
+    // agg scans the just-checkpointed blocks, no shuffle join). At
+    // ~10¹⁰ × 10¹⁰-sized ids carry the sum as DECIMAL(38,0).
+    var prev = labels.agg(sum(col("lbl"))).head.getLong(0)
+    var done = false
+    while (!done) {
       val prop = cutLineage(
         labels.join(edges, col("doc_id") === col("doc_a"))
           .select(col("doc_b").as("doc_id"), col("lbl"))
           .unionAll(labels)
           .groupBy("doc_id").agg(min(col("lbl")).as("new_lbl")))
-      changed = prop.join(labels, "doc_id")
-        .filter(col("new_lbl") =!= col("lbl")).count()
+      val cur = prop.agg(sum(col("new_lbl"))).head.getLong(0)
+      done = cur == prev
+      prev = cur
       labels = prop.select(col("doc_id"), col("new_lbl").as("lbl"))
     }
     labels
