@@ -410,13 +410,24 @@ object ScaleOps {
       .withColumn("bucket", TextOps.md5Fingerprint60(
         concat_ws("|", col("l_orderkey"), col("l_linenumber")))
         % DigestBuckets)
+      // single-row-group parquet reads as ONE split, so without this the
+      // whole md5 map phase runs on one core; the round-robin exchange
+      // piggybacks on the cache materialization that touches every row
+      // anyway, and both downstream passes (digest + drill-down) then
+      // run at full width
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt)
       .persist()
-    def dg(qty: String) = base
-      .withColumn("rh", TextOps.md5Fingerprint60(
-        concat_ws("|", col("l_orderkey"), col("l_linenumber"), col(qty))))
-      .groupBy("bucket").agg(expr("bit_xor(rh)").as(s"dg_$qty"))
-    val bad = dg("qty_a").join(dg("qty_b"), "bucket")
-      .filter(col("dg_qty_a") =!= col("dg_qty_b"))
+    // both snapshots digest in ONE aggregate pass (two bit_xor columns
+    // of the same groupBy) — the two-digest formulation paid a second
+    // scan, a second bucket shuffle, and a digest-digest join for the
+    // same 4096-row comparison
+    def rh(qty: String) = TextOps.md5Fingerprint60(
+      concat_ws("|", col("l_orderkey"), col("l_linenumber"), col(qty)))
+    val bad = base
+      .withColumn("rh_a", rh("qty_a")).withColumn("rh_b", rh("qty_b"))
+      .groupBy("bucket")
+      .agg(expr("bit_xor(rh_a)").as("dga"), expr("bit_xor(rh_b)").as("dgb"))
+      .filter(col("dga") =!= col("dgb"))
       .select(col("bucket"))
     base.join(broadcast(bad), "bucket")
       .filter(col("qty_a") =!= col("qty_b"))
