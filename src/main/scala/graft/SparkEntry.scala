@@ -151,6 +151,7 @@ object SparkEntry {
     "q131_dsir_weights"      -> (MixtureOps.dsirWeights _),
     "q132_epoch_shuffle"     -> (MixtureOps.epochShuffleAudit _),
     "q133_training_manifest" -> (MixtureOps.trainingManifest _),
+    "q134_bpe_fertility"     -> (TextOps.bpeFertility _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -562,6 +563,7 @@ object SparkEntry {
     "q131_dsir_weights" -> MixtureOps.dsirWeightsOracle,
     "q132_epoch_shuffle" -> MixtureOps.epochShuffleAuditOracle,
     "q133_training_manifest" -> MixtureOps.trainingManifestOracle,
+    "q134_bpe_fertility" -> TextOps.bpeFertilityOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

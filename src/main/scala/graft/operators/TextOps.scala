@@ -301,11 +301,19 @@ object TextOps {
     * rescanned. The driver-side K-step loop is inherent to BPE (step
     * k+1's counts depend on step k's merge), exactly like PageRank's
     * iterate-by-join discipline. */
-  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrainedVocab(s, dir)._1
+
+  /** The [[BpeTrainSteps]]-iteration training loop, returning BOTH the
+    * per-step merge picks (q127's output) and the final vocabulary with
+    * each distinct word's merged symbol sequence (q134's input). */
+  private def bpeTrainedVocab(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     var words = t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(expr("trim(regexp_replace(w, '(.)', '$1 '))").as("sym"),
+      .select(col("w"),
+        expr("trim(regexp_replace(w, '(.)', '$1 '))").as("sym"),
         col("n"))
     val picks = scala.collection.mutable.Buffer[DataFrame]()
     for (step <- 1 to BpeTrainSteps) {
@@ -338,9 +346,86 @@ object TextOps {
             |    THEN concat(substr(acc, 1,
             |      length(acc) - length(element_at(split(acc, ','), -1))), pm)
             |    ELSE concat(acc, ',', x) END), ',', ' ')""".stripMargin)
-          .as("sym"), col("n"))
+          .as("sym"), col("n"), col("w"))
     }
-    picks.reduce(_ unionAll _).orderBy("step")
+    (picks.reduce(_ unionAll _).orderBy("step"), words)
+  }
+
+  /** q134 — tokenizer fertility audit: encode the whole corpus with the
+    * tokenizer q127 just trained and report, per source, words, BPE
+    * tokens, characters, tokens-per-word (fertility) and
+    * chars-per-token (compression) — the numbers that decide whether a
+    * tokenizer fits a corpus (a source with high fertility is expensive
+    * to train on; OOV-heavy scripts show up immediately). Closes the
+    * tokenizer loop: q124 one merge step → q127 training → q123 OOV →
+    * q134 corpus-wide apply.
+    *
+    * Scale (100 TB): the apply NEVER touches the corpus token stream —
+    * encoding happens on the distinct-word vocabulary (the training
+    * loop's final fold output), and the corpus pass is an explode +
+    * broadcast join on word + per-source aggregate, all
+    * map-combinable. Token counts per word ride the broadcast, so the
+    * fertility of a trillion-token corpus costs one corpus scan plus
+    * vocabulary-sized work. */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeTrainedVocab(s, dir)._2
+      .select(col("w"),
+        size(split(col("sym"), " ")).cast("bigint").as("n_tok"),
+        length(col("w")).cast("bigint").as("n_chr"))
+    t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(vocab), "w")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(col("n_chr")).as("n_chars"))
+      .withColumn("fertility",
+        round(col("n_tokens").cast("double") / col("n_words").cast("double"),
+          6))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_tokens").cast("double"),
+          6))
+      .orderBy("source")
+  }
+
+  /** q134 oracle — q127's training CTEs with the word carried through,
+    * then the corpus joined against the trained vocabulary. */
+  def bpeFertilityOracle: String = {
+    val steps = (1 to BpeTrainSteps).map { i =>
+      s"""p$i AS (SELECT unnest(list_transform(range(1, len(sy)),
+         |      j -> sy[j] || ' ' || sy[j + 1])) AS pair, n FROM (
+         |    SELECT string_split(sym, ' ') AS sy, n FROM w${i - 1})),
+         |t$i AS (SELECT pair, replace(pair, ' ', '') AS merged
+         |  FROM p$i GROUP BY pair
+         |  ORDER BY CAST(sum(n) AS BIGINT) DESC, pair LIMIT 1),
+         |w$i AS (SELECT w, replace(list_reduce(string_split(sym, ' '),
+         |    (acc, x) -> CASE
+         |      WHEN string_split(acc, ',')[-1] = string_split(t$i.pair, ' ')[1]
+         |        AND x = string_split(t$i.pair, ' ')[2]
+         |      THEN concat(substr(acc, 1,
+         |          length(acc) - length(string_split(acc, ',')[-1])),
+         |        t$i.merged)
+         |      ELSE acc || ',' || x END), ',', ' ') AS sym, n
+         |  FROM w${i - 1}, t$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |w0 AS (SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym,
+       |    count(*) AS n FROM tok GROUP BY w),
+       |$steps,
+       |v AS (SELECT w, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_tok,
+       |    CAST(length(w) AS BIGINT) AS n_chr FROM w$BpeTrainSteps),
+       |ct AS (SELECT source, unnest(string_split(text, ' ')) AS w
+       |  FROM documents)
+       |SELECT source, count(*) AS n_words,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(sum(n_chr) AS BIGINT) AS n_chars,
+       |  round(CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS fertility,
+       |  round(CAST(CAST(sum(n_chr) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(sum(n_tok) AS BIGINT) AS DOUBLE), 6)
+       |    AS chars_per_token
+       |FROM ct JOIN v USING (w) GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** q127 oracle — the identical unrolled loop; `list_reduce` inits

@@ -340,4 +340,48 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out.toSeq == merges,
       s"spark ${out.toSeq} vs reference $merges")
   }
+
+  test("q134 fertility matches a plain-Scala train-then-encode reference") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // split with limit -1: Spark's split keeps trailing empty tokens,
+    // and both engines treat the empty word as ONE symbol
+    def words(text: String) = text.split(" ", -1)
+    val wfreq = docs.flatMap(d => words(d._2))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    var vocab: Map[String, Vector[String]] = wfreq.keys.map { w =>
+      w -> (if (w.isEmpty) Vector("") else w.toVector.map(_.toString))
+    }.toMap
+    for (_ <- 1 to TextOps.BpeTrainSteps) {
+      val freqs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (w, syms) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          freqs((p(0), p(1))) = freqs.getOrElse((p(0), p(1)), 0L) + wfreq(w)
+        }
+      }
+      val pair = freqs.toSeq.sortBy { case ((a, b), n) => (-n, a + " " + b) }
+        .head._1
+      vocab = vocab.map { case (w, syms) =>
+        val merged = scala.collection.mutable.Buffer.empty[String]
+        syms.foreach { x =>
+          if (merged.nonEmpty && merged.last == pair._1 && x == pair._2)
+            merged(merged.length - 1) = pair._1 + pair._2
+          else merged += x
+        }
+        w -> merged.toVector
+      }
+    }
+    val want = docs.groupBy(_._1).toSeq.map { case (src, xs) =>
+      val ws = xs.flatMap(d => words(d._2))
+      (src, ws.length.toLong, ws.map(w => vocab(w).size.toLong).sum,
+        ws.map(_.length.toLong).sum)
+    }.sortBy(_._1)
+    val got = TextOps.bpeFertility(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.map(t => (t._1, t._2, t._3, t._4)).toSeq == want)
+    // fertility ≥ 1: a word never encodes to fewer than one token
+    got.foreach(t => assert(t._5 >= 1.0, s"fertility < 1: $t"))
+  }
 }
