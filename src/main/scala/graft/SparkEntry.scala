@@ -152,6 +152,7 @@ object SparkEntry {
     "q132_epoch_shuffle"     -> (MixtureOps.epochShuffleAudit _),
     "q133_training_manifest" -> (MixtureOps.trainingManifest _),
     "q134_bpe_fertility"     -> (TextOps.bpeFertility _),
+    "q135_cluster_sample"    -> (ClusterOps.clusterBalancedSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -564,6 +565,7 @@ object SparkEntry {
     "q132_epoch_shuffle" -> MixtureOps.epochShuffleAuditOracle,
     "q133_training_manifest" -> MixtureOps.trainingManifestOracle,
     "q134_bpe_fertility" -> TextOps.bpeFertilityOracle,
+    "q135_cluster_sample" -> ClusterOps.clusterBalancedSampleOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -116,6 +116,107 @@ object ClusterOps {
        |FROM a2 GROUP BY cent_id ORDER BY cent_id""".stripMargin
   }
 
+  // --- q135: cluster-balanced embedding sample --------------------------
+
+  /** q135 — cluster-balanced coreset sampling: flatten embedding-space
+    * density by sampling each k-means cell at a sqrt-scaled rate (the
+    * embedding twin of q130's temperature rule — dense regions
+    * down-weighted, sparse regions kept). Assignment uses the
+    * deterministic q79 init centroids; per-cell targets are exact
+    * integer arithmetic from floor(sqrt·1e9) weights; WHICH points
+    * survive is fingerprint rank, capped at cell size (sampling without
+    * replacement, so an upweighted sparse cell keeps everything it
+    * has). The audit columns compare each cell's mean centroid distance
+    * over ALL members vs over the SELECTED members — balanced sampling
+    * should preserve within-cell geometry, and a selection that skews
+    * toward the centroid (or the rim) shows up immediately.
+    *
+    * Scale (100 TB): K centroids broadcast to the streaming assignment
+    * (no vector shuffle); the plan is K rows with totals as windows
+    * over it (q131's one-lineage discipline); selection is one rank
+    * window hash-partitioned by cell. Distances aggregate as
+    * floor(d·10⁹) BIGINT — order-free, engine-exact. */
+  def clusterBalancedSample(s: SparkSession, dir: String): DataFrame = {
+    val v = SimilarityOps.baseVectors(s, dir).persist()
+    val c0 = v.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cemb"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cent_id"))
+    val a = v.crossJoin(broadcast(c0))
+      .withColumn("dist", expr(dsqExpr("emb", "cemb", spark = true)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cent_id", "dist")
+    val wAll = Window.partitionBy()
+    val plan = a.groupBy("cent_id").agg(count(lit(1)).as("n_points"))
+      .withColumn("w_fp",
+        floor(sqrt(col("n_points").cast("double")) * 1e9).cast("bigint"))
+      .withColumn("S", sum(col("w_fp")).over(wAll))
+      .withColumn("N", sum(col("n_points")).over(wAll))
+      .withColumn("target", expr("(N * w_fp) div S"))
+      .select("cent_id", "n_points", "w_fp", "target")
+    val rk = row_number().over(
+      Window.partitionBy("cent_id").orderBy(col("fp"), col("vec_id")))
+    val dfp = expr(s"CAST(floor(dist * $Fp) AS BIGINT)")
+    a.withColumn("fp",
+        TextOps.md5Fingerprint60(concat(lit("cbal"), col("vec_id").cast("string"))))
+      .join(broadcast(plan), "cent_id")
+      .withColumn("rk", rk)
+      .groupBy("cent_id")
+      .agg(
+        first(col("n_points")).as("n_points"),
+        first(col("w_fp")).as("w_fp"),
+        first(col("target")).as("target"),
+        sum(when(col("rk") <= col("target"), 1L).otherwise(0L)).as("realized"),
+        sum(dfp).as("dall_fp"),
+        sum(when(col("rk") <= col("target"), dfp).otherwise(0L)).as("dsel_fp"))
+      .select(col("cent_id"), col("n_points"), col("w_fp"), col("target"),
+        col("realized"),
+        round((col("dall_fp").cast("double") / lit(1e9)) /
+          col("n_points").cast("double"), 6).as("mean_dist"),
+        round((col("dsel_fp").cast("double") / lit(1e9)) /
+          col("realized").cast("double"), 6).as("mean_dist_sel"))
+      .orderBy("cent_id")
+  }
+
+  def clusterBalancedSampleOracle: String =
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cent_id, emb AS cemb FROM v WHERE vec_id < $K),
+       |d1 AS (SELECT v.vec_id, c0.cent_id,
+       |    ${dsqExpr("emb", "cemb", spark = false)} AS dist
+       |  FROM v CROSS JOIN c0),
+       |a1 AS (SELECT vec_id, cent_id, dist FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |     ORDER BY dist, cent_id) AS rn FROM d1) WHERE rn = 1),
+       |cnt AS (SELECT cent_id, count(*) AS n_points FROM a1 GROUP BY cent_id),
+       |pl AS (SELECT cent_id, n_points,
+       |    CAST(floor(sqrt(CAST(n_points AS DOUBLE)) * 1e9) AS BIGINT)
+       |      AS w_fp FROM cnt),
+       |tt AS (SELECT CAST(sum(w_fp) AS BIGINT) AS S,
+       |    CAST(sum(n_points) AS BIGINT) AS N FROM pl),
+       |pl2 AS (SELECT pl.cent_id, pl.n_points, pl.w_fp,
+       |    (N * w_fp) // S AS target FROM pl, tt),
+       |r AS (SELECT a1.vec_id, a1.cent_id, a1.dist,
+       |    pl2.n_points, pl2.w_fp, pl2.target,
+       |    row_number() OVER (PARTITION BY a1.cent_id ORDER BY
+       |      CAST('0x' || substr(md5('cbal' || CAST(vec_id AS VARCHAR)),
+       |        1, 15) AS BIGINT), vec_id) AS rk
+       |  FROM a1 JOIN pl2 USING (cent_id))
+       |SELECT cent_id, n_points, w_fp, target,
+       |  CAST(sum(CASE WHEN rk <= target THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS realized,
+       |  round((CAST(CAST(sum(CAST(floor(dist * $Fp) AS BIGINT)) AS BIGINT)
+       |      AS DOUBLE) / 1e9) / CAST(n_points AS DOUBLE), 6) AS mean_dist,
+       |  round((CAST(CAST(sum(CASE WHEN rk <= target
+       |      THEN CAST(floor(dist * $Fp) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |      AS DOUBLE) / 1e9)
+       |    / CAST(CAST(sum(CASE WHEN rk <= target THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS DOUBLE), 6) AS mean_dist_sel
+       |FROM r GROUP BY cent_id, n_points, w_fp, target
+       |ORDER BY cent_id""".stripMargin
+
   // --- q106/q107: label-centroid diagnostics ----------------------------
 
   /** Outliers reported per label. */

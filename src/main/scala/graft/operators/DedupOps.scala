@@ -243,18 +243,27 @@ object DedupOps {
         col("band_hash")), Seq("band_idx", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sa = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    // candidate verification joins each side's shingle SET as one array
+    // row and intersects in-row — the explode-to-shingles form shipped
+    // ~|shingles/doc| rows per candidate side through the join and paid
+    // a per-pair re-aggregate; this ships ONE slim array row per side
+    // and no aggregate. Same O(candidates × shingles/doc) compare work,
+    // but inside the row, intersected via hash set. (If documents grew
+    // to ~10⁵ shingles the array row stops being slim and the exploded
+    // join wins again — shingle docs here are ~10².)
+    val docSh = sh.groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("shs"))
     val inter = cands
-      .join(sa, Seq("doc_a"))
-      .join(sb, Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    val sizes = sigs.select(col("doc_id"), col("n_sh"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+      .join(docSh.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")),
         Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+      .join(docSh.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")),
         Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint")
+          .as("n_inter"),
+        size(col("sh_a")).cast("bigint").as("n_a"),
+        size(col("sh_b")).cast("bigint").as("n_b"))
+    inter
       .withColumn("jaccard",
         col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= 0.5)

@@ -54,4 +54,29 @@ class ClusterOpsSpec extends AnyFunSuite {
       .filter(col("assigned") =!= col("members")).count()
     assert(bad == 0L)
   }
+
+  test("q135 balanced sample: caps at cell size, flattens density, preserves geometry") {
+    val rows = ClusterOps.clusterBalancedSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val n = rows.map(_._2).sum
+    rows.foreach { case (_, nPoints, wFp, target, realized, mAll, mSel) =>
+      assert(wFp == math.floor(math.sqrt(nPoints.toDouble) * 1e9).toLong)
+      // without replacement: the rank pick keeps min(size, target) exactly
+      assert(realized == math.min(nPoints, target), s"realized != min: $rows")
+      assert(mAll >= 0.0 && mSel >= 0.0)
+    }
+    assert(rows.map(_._4).sum <= n)
+    // sqrt flattening: the keep RATE N/(S·sqrt(c)) is decreasing in cell
+    // size; the integer floor of the target jitters it by at most 1/c
+    val byRate = rows.sortBy(_._2)
+      .map(r => (r._5.toDouble / r._2.toDouble, r._2))
+    byRate.toSeq.sliding(2).foreach {
+      case Seq((a, _), (b, cb)) =>
+        assert(b <= a + 1.0 / cb,
+          s"keep rate not decreasing in cell size: ${byRate.toSeq}")
+      case _ =>
+    }
+  }
 }
