@@ -309,12 +309,18 @@ object TextOps {
     * each distinct word's merged symbol sequence (q134's input). */
   private def bpeTrainedVocab(
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    var words = t(s, dir, "documents")
-      .select(explode(split(col("text"), " ")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(col("w"),
-        expr("trim(regexp_replace(w, '(.)', '$1 '))").as("sym"),
-        col("n"))
+    // lineage cut after the corpus→vocabulary collapse: every step's
+    // pair-count top re-executes its input lineage (no CTE sharing), so
+    // without the cut each of the K steps re-scans the CORPUS to
+    // rebuild the vocabulary; with it they re-derive at most the
+    // vocabulary-sized fold chain
+    var words = CurationOps.cutLineage(
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .select(col("w"),
+          expr("trim(regexp_replace(w, '(.)', '$1 '))").as("sym"),
+          col("n")))
     val picks = scala.collection.mutable.Buffer[DataFrame]()
     for (step <- 1 to BpeTrainSteps) {
       val top = words
