@@ -153,6 +153,7 @@ object SparkEntry {
     "q133_training_manifest" -> (MixtureOps.trainingManifest _),
     "q134_bpe_fertility"     -> (TextOps.bpeFertility _),
     "q135_cluster_sample"    -> (ClusterOps.clusterBalancedSample _),
+    "q136_manifest_churn"    -> (MixtureOps.manifestChurn _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -566,6 +567,7 @@ object SparkEntry {
     "q133_training_manifest" -> MixtureOps.trainingManifestOracle,
     "q134_bpe_fertility" -> TextOps.bpeFertilityOracle,
     "q135_cluster_sample" -> ClusterOps.clusterBalancedSampleOracle,
+    "q136_manifest_churn" -> MixtureOps.manifestChurnOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

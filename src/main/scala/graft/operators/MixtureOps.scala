@@ -353,11 +353,17 @@ object MixtureOps {
     * materializing intermediate tables between stages (what a
     * Luigi/pandas pipeline must do) is exactly what this composition
     * avoids. */
-  def trainingManifest(s: SparkSession, dir: String): DataFrame = {
+  def trainingManifest(s: SparkSession, dir: String): DataFrame =
+    trainingManifestOf(t(s, dir, "documents"))
+
+  /** The manifest pipeline over an arbitrary (doc_id, source, text)
+    * corpus snapshot — q133 runs it on the full table, q136 on two
+    * snapshots to audit churn. */
+  private[graft] def trainingManifestOf(docs: DataFrame): DataFrame = {
     val logit = expr(
       s"aggregate(split(text, ' '), CAST(0 AS BIGINT), " +
         s"(acc, w) -> acc + (${clfWeightSql("w")}))")
-    val gated = t(s, dir, "documents")
+    val gated = docs
       .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
         logit.as("logit"))
       .filter(col("logit") >= 0)
@@ -401,50 +407,142 @@ object MixtureOps {
       .orderBy("shard", "pos")
   }
 
-  def trainingManifestOracle: String = {
+  /** The manifest pipeline as a suffixed CTE chain over a filtered
+    * snapshot — shared by the q133 oracle (one chain, no filter) and the
+    * q136 oracle (two chains joined). The last CTE, `mf<sfx>`, holds the
+    * finished manifest (doc_id, source, copy_n, shard, pos). */
+  private def manifestSqlCtes(sfx: String, pred: String): String = {
+    def n(x: String) = x + sfx
     val w =
       s"CAST('0x' || substr(md5('wgt' || CAST(" +
         s"CAST('0x' || substr(md5('clf' || w), 1, 15) AS BIGINT)" +
         s" % $ClfBuckets AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000"
-    s"""WITH tok AS (SELECT doc_id, source, md5(text) AS h,
-       |    unnest(string_split(text, ' ')) AS w FROM documents),
-       |sc AS (SELECT doc_id, source, h, CAST(sum($w) AS BIGINT) AS logit
-       |  FROM tok GROUP BY doc_id, source, h),
-       |keep AS (SELECT doc_id, source FROM (
+    s"""${n("tok")} AS (SELECT doc_id, source, md5(text) AS h,
+       |    unnest(string_split(text, ' ')) AS w FROM documents
+       |  WHERE $pred),
+       |${n("sc")} AS (SELECT doc_id, source, h,
+       |    CAST(sum($w) AS BIGINT) AS logit
+       |  FROM ${n("tok")} GROUP BY doc_id, source, h),
+       |${n("keep")} AS (SELECT doc_id, source FROM (
        |    SELECT *, min(doc_id) OVER (PARTITION BY h) AS mid
-       |    FROM sc WHERE logit >= 0) WHERE doc_id = mid),
-       |c AS (SELECT source, count(*) AS n_docs,
+       |    FROM ${n("sc")} WHERE logit >= 0) WHERE doc_id = mid),
+       |${n("c")} AS (SELECT source, count(*) AS n_docs,
        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e9) AS BIGINT)
        |      AS w_fp
-       |  FROM keep GROUP BY source),
-       |t AS (SELECT CAST(sum(w_fp) AS BIGINT) AS S,
-       |    CAST(sum(n_docs) AS BIGINT) AS N FROM c),
-       |g AS (SELECT c.source, n_docs, (N * w_fp) // S AS target FROM c, t),
-       |g2 AS (SELECT source, target // n_docs AS tbase,
-       |    target % n_docs AS extra FROM g),
-       |d AS (SELECT doc_id, source,
+       |  FROM ${n("keep")} GROUP BY source),
+       |${n("t")} AS (SELECT CAST(sum(w_fp) AS BIGINT) AS S,
+       |    CAST(sum(n_docs) AS BIGINT) AS N FROM ${n("c")}),
+       |${n("g")} AS (SELECT ${n("c")}.source, n_docs,
+       |    (N * w_fp) // S AS target FROM ${n("c")}, ${n("t")}),
+       |${n("g2")} AS (SELECT source, target // n_docs AS tbase,
+       |    target % n_docs AS extra FROM ${n("g")}),
+       |${n("d")} AS (SELECT doc_id, source,
        |    CAST('0x' || substr(md5('mtemp' || CAST(doc_id AS VARCHAR)), 1, 15)
-       |      AS BIGINT) AS fp FROM keep),
-       |r AS (SELECT d.doc_id, d.source, tbase, extra,
-       |    row_number() OVER (PARTITION BY d.source ORDER BY fp, doc_id)
-       |      AS rk
-       |  FROM d JOIN g2 USING (source)),
-       |cp AS (SELECT doc_id, source,
+       |      AS BIGINT) AS fp FROM ${n("keep")}),
+       |${n("r")} AS (SELECT ${n("d")}.doc_id, ${n("d")}.source, tbase, extra,
+       |    row_number() OVER (PARTITION BY ${n("d")}.source
+       |      ORDER BY fp, doc_id) AS rk
+       |  FROM ${n("d")} JOIN ${n("g2")} USING (source)),
+       |${n("cp")} AS (SELECT doc_id, source,
        |    tbase + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS n_copies
-       |  FROM r),
-       |ex AS (SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy_n
-       |  FROM cp WHERE n_copies >= 1),
-       |m AS (SELECT doc_id, source, copy_n,
+       |  FROM ${n("r")}),
+       |${n("ex")} AS (SELECT doc_id, source,
+       |    unnest(range(1, n_copies + 1)) AS copy_n
+       |  FROM ${n("cp")} WHERE n_copies >= 1),
+       |${n("m")} AS (SELECT doc_id, source, copy_n,
        |    CAST('0x' || substr(md5('mshuf' || CAST(doc_id AS VARCHAR) || '_'
        |      || CAST(copy_n AS VARCHAR)), 1, 15) AS BIGINT)
        |      % $ShuffleShards AS shard,
        |    CAST('0x' || substr(md5('mord' || CAST(doc_id AS VARCHAR) || '_'
        |      || CAST(copy_n AS VARCHAR)), 1, 15) AS BIGINT) AS ordk
-       |  FROM ex)
-       |SELECT doc_id, source, copy_n, shard,
-       |  row_number() OVER (PARTITION BY shard ORDER BY ordk, doc_id, copy_n)
-       |    AS pos
-       |FROM m ORDER BY shard, pos""".stripMargin
+       |  FROM ${n("ex")}),
+       |${n("mf")} AS (SELECT doc_id, source, copy_n, shard,
+       |    row_number() OVER (PARTITION BY shard ORDER BY ordk, doc_id,
+       |      copy_n) AS pos
+       |  FROM ${n("m")})""".stripMargin
+  }
+
+  // the chain is stripMargin'd already — concatenate, never re-strip
+  // (a second stripMargin would eat the leading '|' of any '||' that
+  // starts an interpolated line)
+  def trainingManifestOracle: String =
+    "WITH " + manifestSqlCtes("", "TRUE") +
+      "\nSELECT doc_id, source, copy_n, shard, pos FROM mf" +
+      "\nORDER BY shard, pos"
+
+  // --- q136: manifest churn under corpus growth -------------------------
+
+  /** Snapshot A drops every doc with doc_id ≡ 9 (mod 10) — "last 10% of
+    * the crawl hasn't arrived yet". */
+  val ChurnHoldoutMod = 10
+
+  /** q136 — manifest churn audit: rebuild the q133 manifest on a corpus
+    * snapshot missing 10% of documents and diff it against the full
+    * manifest, per shard — the operational question behind incremental
+    * training-set assembly ("what does a nightly corpus drop do to the
+    * epoch order?"). Because every assignment is content/id-hashed,
+    * shard membership of a surviving (doc, copy) NEVER changes — churn
+    * is confined to (a) entries appearing/disappearing as gate survivors
+    * and mixture targets move, and (b) position drift within a shard,
+    * which the audit quantifies as mean |Δpos|. A loader that re-reads
+    * only changed shards can bound its restart cost with exactly this
+    * report.
+    *
+    * Scale (100 TB): two manifest DAGs (each q133's shape) plus one
+    * full-outer join on (doc_id, copy_n) and a per-shard aggregate —
+    * the join keys are the manifest's own identity, so the diff
+    * co-partitions with the manifests. */
+  def manifestChurn(s: SparkSession, dir: String): DataFrame = {
+    val full = t(s, dir, "documents")
+    val a = trainingManifestOf(
+        full.filter(col("doc_id") % ChurnHoldoutMod =!= (ChurnHoldoutMod - 1)))
+      .select(col("doc_id"), col("copy_n"), col("shard").as("shard_a"),
+        col("pos").as("pos_a"))
+    val b = trainingManifestOf(full)
+      .select(col("doc_id"), col("copy_n"), col("shard").as("shard_b"),
+        col("pos").as("pos_b"))
+    val common = col("pos_a").isNotNull && col("pos_b").isNotNull
+    a.join(b, Seq("doc_id", "copy_n"), "full_outer")
+      .groupBy(coalesce(col("shard_b"), col("shard_a")).as("shard"))
+      .agg(
+        count(col("pos_a")).as("n_a"),
+        count(col("pos_b")).as("n_b"),
+        sum(when(common, 1L).otherwise(0L)).as("n_common"),
+        sum(when(col("pos_a").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("pos_b").isNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(common, abs(col("pos_b") - col("pos_a"))).otherwise(0L))
+          .as("shift_sum"))
+      .select(col("shard"), col("n_a"), col("n_b"), col("n_common"),
+        col("n_new"), col("n_dropped"),
+        round(col("shift_sum").cast("double") /
+          col("n_common").cast("double"), 6).as("mean_pos_shift"))
+      .orderBy("shard")
+  }
+
+  def manifestChurnOracle: String = {
+    val tail =
+      """j AS (SELECT coalesce(mf_b.shard, mf_a.shard) AS shard,
+        |    mf_a.pos AS pos_a, mf_b.pos AS pos_b
+        |  FROM mf_a FULL OUTER JOIN mf_b
+        |    ON mf_a.doc_id = mf_b.doc_id AND mf_a.copy_n = mf_b.copy_n)
+        |SELECT shard, count(pos_a) AS n_a, count(pos_b) AS n_b,
+        |  CAST(sum(CASE WHEN pos_a IS NOT NULL AND pos_b IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        |  CAST(sum(CASE WHEN pos_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  CAST(sum(CASE WHEN pos_b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  round(CAST(CAST(sum(CASE WHEN pos_a IS NOT NULL AND pos_b
+        |      IS NOT NULL THEN abs(pos_b - pos_a) ELSE 0 END) AS BIGINT)
+        |      AS DOUBLE)
+        |    / CAST(CAST(sum(CASE WHEN pos_a IS NOT NULL AND pos_b IS NOT
+        |      NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE), 6)
+        |    AS mean_pos_shift
+        |FROM j GROUP BY shard ORDER BY shard""".stripMargin
+    "WITH " +
+      manifestSqlCtes("_a",
+        s"doc_id % $ChurnHoldoutMod <> ${ChurnHoldoutMod - 1}") + ",\n" +
+      manifestSqlCtes("_b", "TRUE") + ",\n" + tail
   }
 
   def epochShuffleAuditOracle: String =

@@ -119,7 +119,10 @@ class MixtureOpsSpec extends AnyFunSuite {
       s"under half the target source scores positive: $tgtRow")
   }
 
-  test("q133 training manifest matches a full plain-Scala pipeline rerun") {
+  /** The full five-stage manifest pipeline, plain Scala — reference for
+    * q133 (full corpus) and both snapshots of q136. */
+  private def manifestRef(
+      docs: Seq[(Long, String, String)]): Seq[(Long, String, Long, Long, Long)] = {
     def wgt(w: String): Long = {
       val b = p60("clf" + w) % MixtureOps.ClfBuckets
       p60("wgt" + b.toString) % 2001 - 1000
@@ -150,7 +153,7 @@ class MixtureOpsSpec extends AnyFunSuite {
         }
     }
     // stage 5: two-level shuffle
-    val want = copies
+    copies
       .map { case (id, src, c) =>
         val ck = s"${id}_$c"
         (p60("mshuf" + ck) % MixtureOps.ShuffleShards, p60("mord" + ck),
@@ -161,6 +164,10 @@ class MixtureOpsSpec extends AnyFunSuite {
           case ((_, _, id, src, c), i) => (id, src, c, shard, (i + 1).toLong)
         }
       }.sortBy(t => (t._4, t._5))
+  }
+
+  test("q133 training manifest matches a full plain-Scala pipeline rerun") {
+    val want = manifestRef(docs.toSeq)
     val got = MixtureOps.trainingManifest(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
@@ -171,6 +178,40 @@ class MixtureOpsSpec extends AnyFunSuite {
       assert(xs.map(_._5).sorted == (1L to xs.size).toSeq)
     }
     assert(got.map(t => (t._1, t._3)).distinct.size == got.size)
+  }
+
+  test("q136 manifest churn matches a two-snapshot reference diff; shards never move") {
+    val m = MixtureOps.ChurnHoldoutMod
+    val refA = manifestRef(docs.toSeq.filterNot(_._1 % m == m - 1))
+    val refB = manifestRef(docs.toSeq)
+    val a = refA.map(t => (t._1, t._3) -> (t._4, t._5)).toMap
+    val b = refB.map(t => (t._1, t._3) -> (t._4, t._5)).toMap
+    // hashed assignment invariant: a surviving (doc, copy) keeps its shard
+    (a.keySet & b.keySet).foreach { k =>
+      assert(a(k)._1 == b(k)._1, s"shard moved for $k")
+    }
+    val want = (a.keySet | b.keySet).toSeq
+      .map { k =>
+        val shard = b.get(k).orElse(a.get(k)).get._1
+        (shard, a.get(k), b.get(k))
+      }
+      .groupBy(_._1).toSeq.map { case (shard, xs) =>
+        val common = xs.filter(x => x._2.isDefined && x._3.isDefined)
+        (shard, xs.count(_._2.isDefined).toLong,
+          xs.count(_._3.isDefined).toLong, common.size.toLong,
+          xs.count(_._2.isEmpty).toLong, xs.count(_._3.isEmpty).toLong,
+          common.map(x => math.abs(x._3.get._2 - x._2.get._2)).sum)
+      }.sortBy(_._1)
+    val got = MixtureOps.manifestChurn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toSeq
+    assert(got.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)) ==
+      want.map(t => (t._1, t._2, t._3, t._4, t._5, t._6)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._7 - w._7.toDouble / w._4.toDouble) < 1e-6,
+        s"mean shift drifted: $g vs $w")
+    }
   }
 
   test("q132 epoch shuffle matches an independent adjacency recount") {
