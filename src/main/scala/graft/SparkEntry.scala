@@ -154,6 +154,7 @@ object SparkEntry {
     "q134_bpe_fertility"     -> (TextOps.bpeFertility _),
     "q135_cluster_sample"    -> (ClusterOps.clusterBalancedSample _),
     "q136_manifest_churn"    -> (MixtureOps.manifestChurn _),
+    "q137_concat_chunk"      -> (TrainPrepOps.concatChunk _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -568,6 +569,7 @@ object SparkEntry {
     "q134_bpe_fertility" -> TextOps.bpeFertilityOracle,
     "q135_cluster_sample" -> ClusterOps.clusterBalancedSampleOracle,
     "q136_manifest_churn" -> MixtureOps.manifestChurnOracle,
+    "q137_concat_chunk" -> TrainPrepOps.concatChunkOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

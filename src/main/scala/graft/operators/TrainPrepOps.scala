@@ -86,6 +86,75 @@ object TrainPrepOps {
   def sequencePack(s: SparkSession, dir: String): DataFrame =
     packDocs(t(s, dir, "documents")).orderBy("source", "doc_id")
 
+  // --- q137: concat-and-chunk packing -----------------------------------
+
+  /** q137 — concat-and-chunk packing (the GPT-style pretraining layout):
+    * the corpus is ONE doc_id-ordered stream of characters cut into
+    * fixed [[PackBudget]]-char windows; documents split across window
+    * boundaries instead of starting fresh bins (q101's greedy form
+    * wastes tail space, this form wastes none — q115 measures the
+    * difference). Output: one row per (document × window it touches)
+    * with the piece's offset inside the window and its length — the
+    * exact slice list a sequence writer materializes.
+    *
+    * The global character offset is the q114 two-pass enumeration with
+    * SUM instead of COUNT: range-partition by doc_id, per-partition
+    * char totals → driver cumsum over #partitions scalars → broadcast
+    * offsets + partition-local running sum. No single-partition window
+    * ever materializes (the oracle states the same cumsum as one SQL
+    * window, which DuckDB runs fine at oracle scale). A document
+    * touching w windows explodes into w rows — bounded by
+    * n_chars/budget + 1, so output is ~|corpus|/budget extra rows
+    * total, not a blow-up. */
+  def concatChunk(s: SparkSession, dir: String): DataFrame = {
+    val b = PackBudget
+    val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .repartitionByRange(nParts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .persist()
+    val counts = d.groupBy("pid").agg(sum(col("n_chars")).as("chars"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
+    import s.implicits._
+    val offDf = broadcast(offsets.toSeq.toDF("pid", "pid_off"))
+    val wLocal = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("local_cum", sum(col("n_chars")).over(wLocal))
+      .join(offDf, "pid")
+      .withColumn("end_off", col("pid_off") + col("local_cum"))
+      .withColumn("st", col("end_off") - col("n_chars"))
+      .filter(col("n_chars") >= 1)
+      .select(col("doc_id"), col("st"), col("end_off"),
+        explode(sequence(expr(s"st div $b"), expr(s"(end_off - 1) div $b")))
+          .as("window_id"))
+      .select(col("doc_id"), col("window_id"),
+        (greatest(col("st"), col("window_id") * b) - col("window_id") * b)
+          .as("off_in_window"),
+        (least(col("end_off"), (col("window_id") + 1) * b) -
+          greatest(col("st"), col("window_id") * b)).as("piece_len"))
+      .orderBy("doc_id", "window_id")
+  }
+
+  def concatChunkOracle: String =
+    s"""WITH c AS (SELECT doc_id, n_chars, CAST(sum(n_chars) OVER (
+       |    ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+       |  FROM documents),
+       |s AS (SELECT doc_id, n_chars, end_off, end_off - n_chars AS st
+       |  FROM c WHERE n_chars >= 1),
+       |e AS (SELECT doc_id, st, end_off,
+       |    unnest(range(st // $PackBudget, (end_off - 1) // $PackBudget + 1))
+       |      AS window_id
+       |  FROM s)
+       |SELECT doc_id, window_id,
+       |  GREATEST(st, window_id * $PackBudget) - window_id * $PackBudget
+       |    AS off_in_window,
+       |  LEAST(end_off, (window_id + 1) * $PackBudget)
+       |    - GREATEST(st, window_id * $PackBudget) AS piece_len
+       |FROM e ORDER BY doc_id, window_id""".stripMargin
+
   // --- q102: mixture-weight epoch resampling ----------------------------
 
   /** q102 — data-mixture resampling: each source carries an epoch weight

@@ -307,6 +307,14 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"plan not broadcast:\n${p.take(1800)}")
   }
 
+  test("concat-and-chunk cumsum never collapses to a single partition") {
+    val p = plan(TrainPrepOps.concatChunk(spark, dir))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global cumsum collapsed to one partition:\n${p.take(1800)}")
+    assert(p.contains("rangepartitioning"),
+      s"two-pass enumeration lost its range exchange:\n${p.take(1800)}")
+  }
+
   test("epoch shuffle windows stay shard-partitioned: no single-partition exchange") {
     val p = plan(MixtureOps.epochShuffleAudit(spark, dir))
     assert(!p.contains("Exchange SinglePartition"),

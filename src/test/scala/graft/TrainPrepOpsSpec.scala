@@ -286,4 +286,40 @@ class TrainPrepOpsSpec extends AnyFunSuite {
     val keptTotal = keptDocs.map(_.tokens).sum
     assert(keptTotal <= budget)
   }
+
+  test("q137 concat-and-chunk matches a sequential cumsum and tiles every window") {
+    val b = TrainPrepOps.PackBudget
+    val got = TrainPrepOps.concatChunk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // reference: one sequential scan over doc_id order
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var off = 0L
+    val want = docs.flatMap { case (id, n) =>
+      val (st, end) = (off, off + n); off = end
+      (st / b to (end - 1) / b).map { w =>
+        (id, w, math.max(st, w * b) - w * b,
+          math.min(end, (w + 1) * b) - math.max(st, w * b))
+      }
+    }.toSeq
+    assert(got == want)
+    // every doc's pieces reassemble exactly; every window except the
+    // last is tiled to the full budget with contiguous pieces
+    docs.foreach { case (id, n) =>
+      assert(got.filter(_._1 == id).map(_._4).sum == n)
+    }
+    val lastW = got.map(_._2).max
+    got.groupBy(_._2).foreach { case (w, ps) =>
+      val sorted = ps.sortBy(_._3)
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Seq(x, y) => assert(x._3 + x._4 == y._3, s"gap in window $w")
+        case _ =>
+      }
+      if (w != lastW)
+        assert(ps.map(_._4).sum == b, s"window $w not full")
+    }
+  }
 }
