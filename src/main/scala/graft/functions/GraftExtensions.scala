@@ -39,5 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("bloom_might_contain"),
       info(classOf[BloomMightContain], "bloom_might_contain"),
       (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("md5_fp60"),
+      info(classOf[Md5Fp60], "md5_fp60"),
+      Md5Fp60.builder(_)))
   }
 }

@@ -155,5 +155,6 @@ object VectorFunctions {
     add("minhash_agg", MinHashAgg.builder)
     add("space_saving_agg", SpaceSavingAgg.builder)
     add("bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)))
+    add("md5_fp60", Md5Fp60.builder)
   }
 }

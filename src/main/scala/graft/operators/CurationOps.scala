@@ -322,8 +322,7 @@ object CurationOps {
     val lab = dupLabels(s, dir)
       .filter(col("doc_id") < DedupOps.CopyOffset).persist()
     val bucket =
-      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint") % 100
+      call_function("md5_fp60", col("doc_id").cast("string")) % 100
     val tagged = lab.withColumn("is_train", bucket < 90)
     val trainClusters = tagged.filter(col("is_train"))
       .select(col("lbl")).distinct()

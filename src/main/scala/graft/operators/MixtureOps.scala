@@ -29,8 +29,7 @@ object MixtureOps {
   /** 60-bit md5 fingerprint of a salted key — the engine-portable
     * deterministic randomness source (DuckDB twin:
     * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`). */
-  private def p60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+  private def p60(c: Column): Column = call_function("md5_fp60", c)
 
   // --- q129: hashed linear-classifier quality gate ----------------------
 
@@ -46,9 +45,9 @@ object MixtureOps {
     * a [[ClfBuckets]]-row broadcast lookup keyed by the SAME bucket id —
     * identical plan shape, one md5 fewer. */
   private def clfWeightSql(tok: String): String =
-    s"CAST(conv(substring(md5(concat('wgt', CAST(" +
-      s"CAST(conv(substring(md5(concat('clf', $tok)), 1, 15), 16, 10) AS BIGINT)" +
-      s" % $ClfBuckets AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2001 - 1000"
+    s"md5_fp60(concat('wgt', CAST(" +
+      s"md5_fp60(concat('clf', $tok))" +
+      s" % $ClfBuckets AS STRING))) % 2001 - 1000"
 
   /** q129 — model-based quality gate (the GPT-3/CCNet classifier stage):
     * score every document with a hashed-bag-of-words linear classifier

@@ -86,7 +86,9 @@ object TextOps {
     * parsed as a bigint. Same construction is expressible in DuckDB as
     * `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`. */
   def md5Fingerprint60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+    call_function("md5_fp60", c) // native Md5Fp60 — bit-identical to the
+    // composed conv(substring(md5(c), 1, 15), 16, 10) chain, minus the
+    // per-row hex round-trip
 
   /** q28 — document fingerprint over whitespace-normalized lowercase text. */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {

@@ -29,8 +29,8 @@ object TrainPrepOps {
     * shard assignment (same construction as [[TextOps.md5Fingerprint60]],
     * DuckDB twin `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`). */
   private def saltedFp(salt: String): Column =
-    conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 15), 16, 10)
-      .cast("bigint")
+    call_function("md5_fp60",
+      concat(lit(salt), col("doc_id").cast("string")))
 
   // --- q101: sequence packing -------------------------------------------
 
