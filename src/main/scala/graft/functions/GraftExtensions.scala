@@ -42,5 +42,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("md5_fp60"),
       info(classOf[Md5Fp60], "md5_fp60"),
       Md5Fp60.builder(_)))
+    // the portable conv(substring(md5(x),1,15),16,10) idiom executes as
+    // the native expression even when written longhand in SQL
+    e.injectOptimizerRule(_ => FingerprintRewrite)
   }
 }

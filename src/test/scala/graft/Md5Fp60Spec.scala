@@ -15,6 +15,15 @@ class Md5Fp60Spec extends AnyFunSuite {
     conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
 
   test("native fingerprint equals the composed chain over the corpus") {
+    // keep the comparison honest: without this, FingerprintRewrite turns
+    // the composed chain into md5_fp60 and the test compares it to itself
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "graft.functions.FingerprintRewrite")
+    try testBody()
+    finally spark.conf.unset("spark.sql.optimizer.excludedRules")
+  }
+
+  private def testBody(): Unit = {
     val d = spark.read.parquet(s"$dir/documents.parquet")
       .select(
         call_function("md5_fp60", col("text")).as("native_t"),
@@ -36,6 +45,22 @@ class Md5Fp60Spec extends AnyFunSuite {
     val n = Seq[Option[String]](None).toDF("s")
       .select(call_function("md5_fp60", col("s"))).collect()
     assert(n.head.isNullAt(0))
+  }
+
+  test("optimizer rewrites the longhand SQL chain to the native expression") {
+    val df = spark.sql(
+      """SELECT CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),
+        |  16, 10) AS BIGINT) AS fp
+        |FROM parquet.`/root/testdata/sf0.001/documents.parquet`""".stripMargin)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("md5_fp60"),
+      s"FingerprintRewrite did not fire:\n$optimized")
+    // and the rewrite is invisible in results
+    val direct = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(call_function("md5_fp60", col("doc_id").cast("string")).as("fp"))
+    assert(df.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(df).count() == 0)
   }
 
   test("MessageDigest reference agrees (third implementation)") {
