@@ -106,10 +106,15 @@ object TrainPrepOps {
     * touching w windows explodes into w rows — bounded by
     * n_chars/budget + 1, so output is ~|corpus|/budget extra rows
     * total, not a blow-up. */
-  def concatChunk(s: SparkSession, dir: String): DataFrame = {
+  def concatChunk(s: SparkSession, dir: String): DataFrame =
+    concatChunkOf(s, t(s, dir, "documents"))
+
+  /** The chunking core over any (doc_id, n_chars) frame — property
+    * tests drive it with generated corpora. */
+  def concatChunkOf(s: SparkSession, docs: DataFrame): DataFrame = {
     val b = PackBudget
     val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val d = t(s, dir, "documents")
+    val d = docs
       .select(col("doc_id"), col("n_chars"))
       .repartitionByRange(nParts, col("doc_id"))
       .withColumn("pid", spark_partition_id())

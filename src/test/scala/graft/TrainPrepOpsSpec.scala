@@ -287,6 +287,33 @@ class TrainPrepOpsSpec extends AnyFunSuite {
     assert(keptTotal <= budget)
   }
 
+  test("q137 chunking matches the sequential reference on a generated adversarial corpus") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val b = TrainPrepOps.PackBudget
+    val nGen = Gen.frequency(
+      6 -> Gen.chooseNum(1L, 900L),
+      1 -> Gen.const(b), // exactly one window
+      1 -> Gen.chooseNum(b + 1, 5 * b), // spans several windows
+      1 -> Gen.chooseNum(2L * b, 20L * b)) // spans many
+    val rows = Gen.listOfN(300, nGen)
+      .apply(Gen.Parameters.default, Seed(20260813L)).get
+      .zipWithIndex.map { case (n, i) => (i.toLong * 7L, n) } // gappy ids
+    val df = spark.createDataFrame(rows).toDF("doc_id", "n_chars")
+    val got = TrainPrepOps.concatChunkOf(spark, df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    var off = 0L
+    val want = rows.sortBy(_._1).flatMap { case (id, n) =>
+      val (st, end) = (off, off + n); off = end
+      (st / b to (end - 1) / b).map { w =>
+        (id, w, math.max(st, w * b) - w * b,
+          math.min(end, (w + 1) * b) - math.max(st, w * b))
+      }
+    }
+    assert(got == want)
+  }
+
   test("q137 concat-and-chunk matches a sequential cumsum and tiles every window") {
     val b = TrainPrepOps.PackBudget
     val got = TrainPrepOps.concatChunk(spark, dir).collect()
