@@ -155,6 +155,7 @@ object SparkEntry {
     "q135_cluster_sample"    -> (ClusterOps.clusterBalancedSample _),
     "q136_manifest_churn"    -> (MixtureOps.manifestChurn _),
     "q137_concat_chunk"      -> (TrainPrepOps.concatChunk _),
+    "q138_source_overlap"    -> (DedupOps.sourceOverlap _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -570,6 +571,7 @@ object SparkEntry {
     "q135_cluster_sample" -> ClusterOps.clusterBalancedSampleOracle,
     "q136_manifest_churn" -> MixtureOps.manifestChurnOracle,
     "q137_concat_chunk" -> TrainPrepOps.concatChunkOracle,
+    "q138_source_overlap" -> DedupOps.sourceOverlapOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

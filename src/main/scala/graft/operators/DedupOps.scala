@@ -74,6 +74,64 @@ object DedupOps {
       .select(col("doc_id"),
         explode(array_distinct(expr(wordGramArrayExpr(3)))).as("shingle"))
 
+  /** q138 — cross-source duplication matrix: for every source pair
+    * (a < b), how many distinct contents appear in BOTH — the
+    * provenance audit that tells a mixture designer which
+    * "independent" sources are actually mirrors (their weights would
+    * otherwise double-count the same text). Within-source duplication
+    * is q29's report; this is strictly the cross-source triangle.
+    *
+    * Shape (q30's group-then-combine, one level up): contents collapse
+    * to (hash → sorted distinct source list) — ONE aggregate whose key
+    * count is |distinct contents|, pre-filtered to multi-source hashes
+    * — then each list emits its ≤ |sources|²/2 in-task pairs and a
+    * count-per-pair aggregate over at most |sources|²/2 groups. No
+    * self-join of the corpus, ever; at 100 TB the only corpus-sized
+    * exchange is the md5 groupBy, which ships 16-byte keys, not
+    * documents. */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    // fixture: the raw corpus has no cross-source exact dups, so plant
+    // a mirror site — every 5th document republished under a mir_
+    // source (same construction in the oracle; the q29/q31 corpora
+    // plant copies the same way)
+    val d = t(s, dir, "documents").select(col("text"), col("source"))
+    val corpus = d.unionAll(
+      d.filter(TextOps.md5Fingerprint60(col("text")) % 5 === 0)
+        .select(col("text"), concat(lit("mir_"), col("source")).as("source")))
+    val lists = corpus
+      .select(md5(col("text")).as("h"), col("source"))
+      .distinct()
+      .groupBy("h")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+    // Spark lambda indexes are 0-BASED (DuckDB's are 1-based): element
+    // i pairs with 1-based positions i+2.. — strictly after itself
+    lists
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs) - i - 1), b ->
+          |    struct(a AS src_a, b AS src_b))))""".stripMargin))
+        .as("p"))
+      .groupBy("p.src_a", "p.src_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
+  def sourceOverlapOracle: String =
+    """WITH corpus AS (SELECT text, source FROM documents
+      |  UNION ALL SELECT text, 'mir_' || source FROM documents
+      |    WHERE CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 5 = 0),
+      |bs AS (SELECT DISTINCT md5(text) AS h, source FROM corpus),
+      |ls AS (SELECT h, list_sort(list(source)) AS srcs
+      |  FROM bs GROUP BY h HAVING len(list(source)) > 1),
+      |pr AS (SELECT unnest(flatten(list_transform(srcs, (a, i) ->
+      |      list_transform(srcs[i + 1:], b -> {'src_a': a, 'src_b': b}))))
+      |      AS p
+      |  FROM ls)
+      |SELECT p.src_a AS src_a, p.src_b AS src_b, count(*) AS n_shared
+      |FROM pr GROUP BY p.src_a, p.src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
   /** q29 — exact dedup: hash-group on content, survivor = min doc_id.
     * One aggregate; at scale this is the cheapest dedup (md5 map-side,
     * 16-byte keys shuffled, not documents). */

@@ -405,4 +405,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     // 31 token types vs K=24: some tokens must actually be OOV
     assert(out.map(_.getLong(2)).sum > 0L)
   }
+
+  test("q138 overlap matrix recovers exactly the planted mirror pairs") {
+    def p60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // reference: distinct mirrored contents per source
+    val want = docs.filter(d => p60(d._2) % 5 == 0)
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.size.toLong).toMap
+    val got = DedupOps.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // every pair is (mir_X, X) with the per-source mirrored count
+    got.foreach { case (a, b, n) =>
+      assert(a == s"mir_$b", s"unexpected pair: ($a, $b)")
+      assert(n == want(b), s"count off for $b: $n vs ${want(b)}")
+    }
+    assert(got.map(_._2).toSet == want.keySet)
+  }
 }
