@@ -156,6 +156,7 @@ object SparkEntry {
     "q136_manifest_churn"    -> (MixtureOps.manifestChurn _),
     "q137_concat_chunk"      -> (TrainPrepOps.concatChunk _),
     "q138_source_overlap"    -> (DedupOps.sourceOverlap _),
+    "q139_threshold_curve"   -> (TrainPrepOps.thresholdCurve _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -572,6 +573,7 @@ object SparkEntry {
     "q136_manifest_churn" -> MixtureOps.manifestChurnOracle,
     "q137_concat_chunk" -> TrainPrepOps.concatChunkOracle,
     "q138_source_overlap" -> DedupOps.sourceOverlapOracle,
+    "q139_threshold_curve" -> TrainPrepOps.thresholdCurveOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -399,6 +399,111 @@ object TrainPrepOps {
 
   /** Fraction of the corpus token mass the selection may keep, as a
     * source literal so both dialects parse the identical double. */
+  /** Threshold-curve steps: quality in [0, 1] swept in 1/20 steps. */
+  val CurveSteps = 20
+
+  /** q139 — quality-gate threshold curve: for every candidate threshold
+    * t ∈ {0, 1/20, …, 19/20}, what fraction of documents and tokens
+    * survives `quality ≥ t`, and what the survivors' mean quality is —
+    * the tradeoff table a data team reads before pinning a filter
+    * threshold (q128 answers "given a token budget, which docs"; this
+    * answers "given a threshold, what do I lose"). Quality is q27/q128's
+    * formula, mean quality rides ×1e9 fixed point.
+    *
+    * Scale (100 TB): ONE corpus pass buckets documents into
+    * [[CurveSteps]] quality bins (map-combinable aggregate, ≤ 20+1
+    * groups); the curve is a suffix-sum window over those rows alone.
+    * The naive form — one filtered aggregate per threshold — scans the
+    * corpus [[CurveSteps]] times; this never rescans. */
+  def thresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    val len = length(col("text")).cast("double")
+    val alpha =
+      length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double")
+    val toksD = wsTokenCount(col("text")).cast("double")
+    val stops = stopwordHits(col("text"), LangStopwords.head._2).cast("double")
+    val quality = (alpha / len) * 0.5 + (stops / toksD) * 0.3 +
+      when(len >= 100 && len <= 500, 0.2).otherwise(0.0)
+    val binned = t(s, dir, "documents")
+      .select(wsTokenCount(col("text")).as("tokens"), quality.as("q"))
+      // clamp into [0, CurveSteps-1] so q = 1.0 lands in the top bin
+      .withColumn("bin", least(
+        floor(col("q") * CurveSteps).cast("bigint"),
+        lit(CurveSteps - 1L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("toks"),
+        sum(expr("CAST(floor(q * 1000000000.0) AS BIGINT)")).as("q_fp"))
+    // the full threshold spine, so empty bins still produce curve rows
+    import s.implicits._
+    val spine = (0L until CurveSteps.toLong).toDF("bin")
+    val wSuffix = Window.orderBy(col("bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    spine.join(binned, Seq("bin"), "left")
+      .na.fill(0L, Seq("n_docs", "toks", "q_fp"))
+      .withColumn("docs_kept", sum(col("n_docs")).over(wSuffix))
+      .withColumn("toks_kept", sum(col("toks")).over(wSuffix))
+      .withColumn("q_kept", sum(col("q_fp")).over(wSuffix))
+      .withColumn("docs_all", sum(col("n_docs")).over(wAll))
+      .withColumn("toks_all", sum(col("toks")).over(wAll))
+      .select(
+        (col("bin").cast("double") / CurveSteps).as("threshold"),
+        col("docs_kept"), col("toks_kept"),
+        round(col("docs_kept").cast("double") /
+          col("docs_all").cast("double"), 6).as("doc_frac"),
+        round(col("toks_kept").cast("double") /
+          col("toks_all").cast("double"), 6).as("tok_frac"),
+        when(col("docs_kept") > 0,
+          round((col("q_kept").cast("double") / lit(1e9)) /
+            col("docs_kept").cast("double"), 6)).otherwise(0.0)
+          .as("mean_quality"))
+      .orderBy("threshold")
+  }
+
+  def thresholdCurveOracle: String = {
+    val stopRe = "\\b(" + LangStopwords.head._2 + ")\\b"
+    s"""WITH d AS (SELECT
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS tokens,
+       |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+       |      / CAST(length(text) AS DOUBLE) * 0.5
+       |    + CAST(len(regexp_extract_all(text, '$stopRe')) AS DOUBLE)
+       |      / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+       |      * 0.3
+       |    + (CASE WHEN length(text) >= 100 AND length(text) <= 500
+       |       THEN 0.2 ELSE 0.0 END) AS q
+       |  FROM documents),
+       |b AS (SELECT LEAST(CAST(floor(q * $CurveSteps) AS BIGINT),
+       |      ${CurveSteps - 1}) AS bin,
+       |    count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS toks,
+       |    CAST(sum(CAST(floor(q * 1000000000.0) AS BIGINT)) AS BIGINT)
+       |      AS q_fp
+       |  FROM d GROUP BY 1),
+       |sp AS (SELECT unnest(range(0, $CurveSteps)) AS bin),
+       |bf AS (SELECT sp.bin, coalesce(n_docs, 0) AS n_docs,
+       |    coalesce(toks, 0) AS toks, coalesce(q_fp, 0) AS q_fp
+       |  FROM sp LEFT JOIN b ON sp.bin = b.bin),
+       |c AS (SELECT bin,
+       |    CAST(sum(n_docs) OVER (ORDER BY bin DESC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS docs_kept,
+       |    CAST(sum(toks) OVER (ORDER BY bin DESC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS toks_kept,
+       |    CAST(sum(q_fp) OVER (ORDER BY bin DESC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS q_kept,
+       |    CAST(sum(n_docs) OVER () AS BIGINT) AS docs_all,
+       |    CAST(sum(toks) OVER () AS BIGINT) AS toks_all
+       |  FROM bf)
+       |SELECT CAST(bin AS DOUBLE) / $CurveSteps AS threshold,
+       |  docs_kept, toks_kept,
+       |  round(CAST(docs_kept AS DOUBLE) / CAST(docs_all AS DOUBLE), 6)
+       |    AS doc_frac,
+       |  round(CAST(toks_kept AS DOUBLE) / CAST(toks_all AS DOUBLE), 6)
+       |    AS tok_frac,
+       |  CASE WHEN docs_kept > 0 THEN
+       |    round((CAST(q_kept AS DOUBLE) / 1e9) / CAST(docs_kept AS DOUBLE),
+       |      6) ELSE 0.0 END AS mean_quality
+       |FROM c ORDER BY threshold""".stripMargin
+  }
+
   val BudgetFrac = "0.4"
 
   /** q128 — budget-constrained quality selection: keep the

@@ -287,6 +287,26 @@ class TrainPrepOpsSpec extends AnyFunSuite {
     assert(keptTotal <= budget)
   }
 
+  test("q139 threshold curve: monotone, complete spine, exact endpoints") {
+    val rows = TrainPrepOps.thresholdCurve(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == TrainPrepOps.CurveSteps)
+    // threshold 0 keeps everything
+    assert(rows.head._1 == 0.0 && rows.head._4 == 1.0 && rows.head._5 == 1.0)
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.head._2 == total)
+    // raising the threshold never keeps more, and never lowers the
+    // survivors' mean quality
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._2 <= a._2 && b._3 <= a._3, s"kept mass grew: $a -> $b")
+        assert(b._6 >= a._6 - 1e-9 || b._2 == 0L,
+          s"mean quality fell as threshold rose: $a -> $b")
+      case _ =>
+    }
+  }
+
   test("q137 chunking matches the sequential reference on a generated adversarial corpus") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
