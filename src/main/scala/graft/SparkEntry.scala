@@ -157,6 +157,7 @@ object SparkEntry {
     "q137_concat_chunk"      -> (TrainPrepOps.concatChunk _),
     "q138_source_overlap"    -> (DedupOps.sourceOverlap _),
     "q139_threshold_curve"   -> (TrainPrepOps.thresholdCurve _),
+    "q140_neyman_alloc"      -> (ProfileOps.neymanAllocation _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -574,6 +575,7 @@ object SparkEntry {
     "q137_concat_chunk" -> TrainPrepOps.concatChunkOracle,
     "q138_source_overlap" -> DedupOps.sourceOverlapOracle,
     "q139_threshold_curve" -> TrainPrepOps.thresholdCurveOracle,
+    "q140_neyman_alloc" -> ProfileOps.neymanAllocationOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

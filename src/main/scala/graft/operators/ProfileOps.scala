@@ -334,4 +334,67 @@ object ProfileOps {
       |  round(CAST(CAST(sum(term) AS BIGINT) AS DOUBLE)
       |    / 1000000000.0 / 2.0, 6) AS tv_distance
       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+
+  // --- q140: Neyman-allocation sampling design --------------------------
+
+  /** Total sample size the allocation distributes. */
+  val NeymanK = 100L
+
+  /** q140 — Neyman-optimal stratified sample design: allocate a
+    * [[NeymanK]]-document inspection sample across sources proportional
+    * to N_h·S_h (stratum size × stratum std-dev of document length) —
+    * the allocation that minimizes the variance of the estimated corpus
+    * mean, vs q64's equal-per-stratum take. A wildly heterogeneous
+    * source earns more of the sample than a uniform one of equal size.
+    *
+    * Parity: moments are EXACT integer sums (Σx, Σx² of n_chars);
+    * population variance is one double expression with a fixed op order
+    * over those integers; S_h = sqrt(var) is IEEE-correctly-rounded in
+    * both engines; the weight N_h·S_h freezes to ×1e6 fixed point and
+    * the allocation is integer arithmetic from there (floor allocation,
+    * capped at N_h — a stratum cannot contribute more docs than it
+    * has).
+    *
+    * Scale (100 TB): one map-combinable aggregate to |sources| rows;
+    * totals as a window over that grid (q131's one-lineage rule). At
+    * ~10¹² chars per source carry Σx² as DECIMAL(38,0). */
+  def neymanAllocation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = EtlOps.t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sx"),
+        sum(expr("n_chars * n_chars")).as("sxx"))
+      .withColumn("varp", expr(
+        "CAST(n_docs * sxx - sx * sx AS DOUBLE) / CAST(n_docs * n_docs AS DOUBLE)"))
+      .withColumn("w_fp", expr(
+        "CAST(floor(CAST(n_docs AS DOUBLE) * sqrt(varp) * 1000000.0) AS BIGINT)"))
+    val wAll = Window.partitionBy()
+    g.withColumn("wsum", sum(col("w_fp")).over(wAll))
+      .withColumn("alloc",
+        least(expr(s"($NeymanK * w_fp) div wsum"), col("n_docs")))
+      .select(col("source"), col("n_docs"),
+        round(expr("CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE)"), 6)
+          .as("mean_chars"),
+        round(sqrt(col("varp")), 6).as("sd_chars"),
+        col("w_fp"), col("alloc"))
+      .orderBy("source")
+  }
+
+  def neymanAllocationOracle: String =
+    s"""WITH g AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS sx,
+       |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+       |  FROM documents GROUP BY source),
+       |v AS (SELECT *, CAST(n_docs * sxx - sx * sx AS DOUBLE)
+       |      / CAST(n_docs * n_docs AS DOUBLE) AS varp FROM g),
+       |w AS (SELECT *, CAST(floor(CAST(n_docs AS DOUBLE) * sqrt(varp)
+       |      * 1000000.0) AS BIGINT) AS w_fp FROM v),
+       |t AS (SELECT *, CAST(sum(w_fp) OVER () AS BIGINT) AS wsum FROM w)
+       |SELECT source, n_docs,
+       |  round(CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+       |    AS mean_chars,
+       |  round(sqrt(varp), 6) AS sd_chars, w_fp,
+       |  LEAST(($NeymanK * w_fp) // wsum, n_docs) AS alloc
+       |FROM t ORDER BY source""".stripMargin
 }

@@ -384,4 +384,32 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     // fertility ≥ 1: a word never encodes to fewer than one token
     got.foreach(t => assert(t._5 >= 1.0, s"fertility < 1: $t"))
   }
+
+  test("q140 Neyman allocation matches an exact-moment reference") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = docs.groupBy(_._1).map { case (src, xs) =>
+      val n = xs.length.toLong
+      val sx = xs.map(_._2).sum
+      val sxx = xs.map(x => x._2 * x._2).sum
+      val varp = (n * sxx - sx * sx).toDouble / (n * n).toDouble
+      val wFp = math.floor(n.toDouble * math.sqrt(varp) * 1e6).toLong
+      src -> (n, wFp)
+    }
+    val wsum = want.values.map(_._2).sum
+    val rows = graft.operators.ProfileOps.neymanAllocation(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getLong(5)))
+    rows.foreach { case (src, n, wFp, alloc) =>
+      val (wn, wf) = want(src)
+      assert(n == wn && wFp == wf, s"moments off for $src")
+      assert(alloc ==
+        math.min(graft.operators.ProfileOps.NeymanK * wf / wsum, wn))
+    }
+    // the allocation spends most of the budget (floor loses < 1/stratum)
+    val spent = rows.map(_._4).sum
+    assert(spent <= graft.operators.ProfileOps.NeymanK &&
+      spent > graft.operators.ProfileOps.NeymanK - rows.length)
+  }
 }
