@@ -158,6 +158,8 @@ object SparkEntry {
     "q138_source_overlap"    -> (DedupOps.sourceOverlap _),
     "q139_threshold_curve"   -> (TrainPrepOps.thresholdCurve _),
     "q140_neyman_alloc"      -> (ProfileOps.neymanAllocation _),
+    "q141_jackknife"         -> (ProfileOps.jackknifeInfluence _),
+    "q142_zipf_slope"        -> (ProfileOps.zipfSlope _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -576,6 +578,8 @@ object SparkEntry {
     "q138_source_overlap" -> DedupOps.sourceOverlapOracle,
     "q139_threshold_curve" -> TrainPrepOps.thresholdCurveOracle,
     "q140_neyman_alloc" -> ProfileOps.neymanAllocationOracle,
+    "q141_jackknife" -> ProfileOps.jackknifeInfluenceOracle,
+    "q142_zipf_slope" -> ProfileOps.zipfSlopeOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

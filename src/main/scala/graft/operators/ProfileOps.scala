@@ -381,6 +381,127 @@ object ProfileOps {
       .orderBy("source")
   }
 
+  /** q141 — jackknife source influence: for each source, the corpus
+    * mean document length recomputed WITHOUT that source (leave-one-
+    * group-out) and the resulting influence n_h·(mean − loo_mean) — the
+    * robustness audit that says which single source, if it turned out
+    * to be garbage or was removed for licensing, would move corpus
+    * statistics the most. Everything derives from exact integer totals
+    * (Σx and N overall and per source), so the only float steps are two
+    * divisions and one subtraction with a fixed op order.
+    *
+    * Scale (100 TB): one map-combinable aggregate to |sources| rows;
+    * the totals the leave-one-out means need are windows over that grid
+    * (q131's one-lineage rule) — the corpus is scanned ONCE for all
+    * |sources| leave-one-out estimates, where naive re-aggregation
+    * would scan it |sources| times. */
+  def jackknifeInfluence(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    EtlOps.t(s, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sx"))
+      .withColumn("nt", sum(col("n_docs")).over(wAll))
+      .withColumn("st", sum(col("sx")).over(wAll))
+      .select(col("source"), col("n_docs"),
+        round(expr("CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE)"), 6)
+          .as("mean_chars"),
+        round(expr(
+          "CAST(st - sx AS DOUBLE) / CAST(nt - n_docs AS DOUBLE)"), 6)
+          .as("loo_mean"),
+        round(expr(
+          """CAST(n_docs AS DOUBLE) * (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+            | - CAST(st - sx AS DOUBLE) / CAST(nt - n_docs AS DOUBLE))"""
+            .stripMargin.replace("\n", "")), 6).as("influence"))
+      .orderBy("source")
+  }
+
+  def jackknifeInfluenceOracle: String =
+    """WITH g AS (SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS sx
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT *, CAST(sum(n_docs) OVER () AS BIGINT) AS nt,
+      |    CAST(sum(sx) OVER () AS BIGINT) AS st FROM g)
+      |SELECT source, n_docs,
+      |  round(CAST(sx AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+      |    AS mean_chars,
+      |  round(CAST(st - sx AS DOUBLE) / CAST(nt - n_docs AS DOUBLE), 6)
+      |    AS loo_mean,
+      |  round(CAST(n_docs AS DOUBLE) * (CAST(st AS DOUBLE)
+      |      / CAST(nt AS DOUBLE)
+      |    - CAST(st - sx AS DOUBLE) / CAST(nt - n_docs AS DOUBLE)), 6)
+      |    AS influence
+      |FROM t ORDER BY source""".stripMargin
+
+  // --- q142: Zipf slope of the vocabulary -------------------------------
+
+  /** Vocabulary head the slope is fit over. */
+  val ZipfTopK = 100
+
+  /** q142 — Zipf slope: OLS fit of ln(freq) against ln(rank) over the
+    * top-[[ZipfTopK]] vocabulary — THE one-number corpus-health
+    * statistic (natural text sits near −1; templated/boilerplate
+    * corpora flatten, deduped corpora steepen). ln values freeze to
+    * ×1e6 fixed point the moment they are computed (q131's technique),
+    * so the OLS moments are exact integer sums and the slope is one
+    * double division at the end.
+    *
+    * Scale (100 TB): the corpus collapses to its vocabulary in one
+    * map-combinable aggregate; only the top-K rows (pruned by
+    * orderBy+limit BEFORE any window) reach the single-partition rank
+    * window, and the fit runs over K rows. */
+  def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = EtlOps.t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(ZipfTopK)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("n").desc, col("w")))
+        .cast("bigint"))
+      .withColumn("lr", expr(
+        "CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+      .withColumn("lf", expr(
+        "CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+    ranked.agg(
+      count(lit(1)).as("k"),
+      sum(col("lr")).as("sr"), sum(col("lf")).as("sf"),
+      sum(expr("lr * lf")).as("srf"), sum(expr("lr * lr")).as("srr"))
+      .select(col("k"),
+        round(expr(
+          """CAST(k * srf - sr * sf AS DOUBLE)
+            | / CAST(k * srr - sr * sr AS DOUBLE)""".stripMargin
+            .replace("\n", "")), 6).as("zipf_slope"),
+        round(expr(
+          """(CAST(sf AS DOUBLE) - CAST(k * srf - sr * sf AS DOUBLE)
+            | / CAST(k * srr - sr * sr AS DOUBLE) * CAST(sr AS DOUBLE))
+            | / CAST(k AS DOUBLE) / 1000000.0""".stripMargin
+            .replace("\n", "")), 6).as("intercept_ln"))
+  }
+
+  def zipfSlopeOracle: String =
+    s"""WITH v AS (SELECT w, count(*) AS n FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w ORDER BY n DESC, w LIMIT $ZipfTopK),
+       |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS "rank"
+       |  FROM v),
+       |f AS (SELECT
+       |    CAST(floor(ln(CAST("rank" AS DOUBLE)) * 1000000.0) AS BIGINT)
+       |      AS lr,
+       |    CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS lf
+       |  FROM r),
+       |m AS (SELECT count(*) AS k, CAST(sum(lr) AS BIGINT) AS sr,
+       |    CAST(sum(lf) AS BIGINT) AS sf,
+       |    CAST(sum(lr * lf) AS BIGINT) AS srf,
+       |    CAST(sum(lr * lr) AS BIGINT) AS srr FROM f)
+       |SELECT k,
+       |  round(CAST(k * srf - sr * sf AS DOUBLE)
+       |    / CAST(k * srr - sr * sr AS DOUBLE), 6) AS zipf_slope,
+       |  round((CAST(sf AS DOUBLE) - CAST(k * srf - sr * sf AS DOUBLE)
+       |    / CAST(k * srr - sr * sr AS DOUBLE) * CAST(sr AS DOUBLE))
+       |    / CAST(k AS DOUBLE) / 1000000.0, 6) AS intercept_ln
+       |FROM m""".stripMargin
+
   def neymanAllocationOracle: String =
     s"""WITH g AS (SELECT source, count(*) AS n_docs,
        |    CAST(sum(n_chars) AS BIGINT) AS sx,

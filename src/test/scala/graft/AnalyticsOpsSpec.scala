@@ -412,4 +412,48 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(spent <= graft.operators.ProfileOps.NeymanK &&
       spent > graft.operators.ProfileOps.NeymanK - rows.length)
   }
+
+  test("q141 jackknife influence matches exact-total arithmetic") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val nt = docs.length.toLong
+    val st = docs.map(_._2).sum
+    val rows = graft.operators.ProfileOps.jackknifeInfluence(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    rows.foreach { case (src, n, loo, infl) =>
+      val sx = docs.filter(_._1 == src).map(_._2).sum
+      val wantLoo = (st - sx).toDouble / (nt - n).toDouble
+      assert(math.abs(loo - wantLoo) < 1e-6, s"loo off for $src")
+      val wantInfl = n.toDouble *
+        (st.toDouble / nt.toDouble - (st - sx).toDouble / (nt - n).toDouble)
+      assert(math.abs(infl - wantInfl) < 1e-6, s"influence off for $src")
+    }
+    assert(rows.length == docs.map(_._1).distinct.length)
+  }
+
+  test("q142 Zipf slope matches a Math.log reference fit and is negative") {
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    val top = toks.groupBy(identity).toSeq
+      .map { case (w, xs) => (w, xs.length.toLong) }
+      .sortBy { case (w, n) => (-n, w) }
+      .take(graft.operators.ProfileOps.ZipfTopK)
+    val pts = top.zipWithIndex.map { case ((_, n), i) =>
+      (math.floor(math.log((i + 1).toDouble) * 1e6).toLong,
+        math.floor(math.log(n.toDouble) * 1e6).toLong)
+    }
+    val k = pts.length.toLong
+    val (sr, sf) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val (srf, srr) =
+      (pts.map(p => p._1 * p._2).sum, pts.map(p => p._1 * p._1).sum)
+    val wantSlope = (k * srf - sr * sf).toDouble / (k * srr - sr * sr).toDouble
+    val row = graft.operators.ProfileOps.zipfSlope(spark, dir).collect().head
+    assert(row.getLong(0) == k)
+    assert(math.abs(row.getDouble(1) - wantSlope) < 1e-6)
+    assert(row.getDouble(1) < -0.1 && row.getDouble(1) > -3.0,
+      s"implausible Zipf slope ${row.getDouble(1)}")
+  }
 }
