@@ -160,6 +160,7 @@ object SparkEntry {
     "q140_neyman_alloc"      -> (ProfileOps.neymanAllocation _),
     "q141_jackknife"         -> (ProfileOps.jackknifeInfluence _),
     "q142_zipf_slope"        -> (ProfileOps.zipfSlope _),
+    "q143_heaps_law"         -> (ProfileOps.heapsLaw _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -580,6 +581,7 @@ object SparkEntry {
     "q140_neyman_alloc" -> ProfileOps.neymanAllocationOracle,
     "q141_jackknife" -> ProfileOps.jackknifeInfluenceOracle,
     "q142_zipf_slope" -> ProfileOps.zipfSlopeOracle,
+    "q143_heaps_law" -> ProfileOps.heapsLawOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

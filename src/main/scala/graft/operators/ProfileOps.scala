@@ -502,6 +502,70 @@ object ProfileOps {
        |    / CAST(k AS DOUBLE) / 1000000.0, 6) AS intercept_ln
        |FROM m""".stripMargin
 
+  /** q143 — Heaps'-law fit: vocabulary size V against token count T per
+    * source follows V ≈ k·T^β; the exponent β (slope of ln V on ln T
+    * across sources) is the corpus's lexical-diversity number —
+    * templated/duplicated text pushes β down, diverse text toward ~0.8.
+    * Per-source (T, V) pairs come from one distinct-aggregate; the fit
+    * reuses q142's discipline (ln frozen to ×1e6 fixed point, exact
+    * integer OLS moments, one double division). Output: the global fit
+    * plus each source's residual — which sources are lexically poorer
+    * than their size predicts.
+    *
+    * Scale (100 TB): (source, word) distinct-aggregate is the only
+    * corpus-sized exchange; everything downstream is |sources| rows. */
+  def heapsLaw(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = EtlOps.t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("t_tokens"), countDistinct(col("w")).as("v_words"))
+      .withColumn("lt", expr(
+        "CAST(floor(ln(CAST(t_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+      .withColumn("lv", expr(
+        "CAST(floor(ln(CAST(v_words AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+    val wAll = Window.partitionBy()
+    grid
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("st", sum(col("lt")).over(wAll))
+      .withColumn("sv", sum(col("lv")).over(wAll))
+      .withColumn("stv", sum(expr("lt * lv")).over(wAll))
+      .withColumn("stt", sum(expr("lt * lt")).over(wAll))
+      .withColumn("beta", expr(
+        "CAST(k * stv - st * sv AS DOUBLE) / CAST(k * stt - st * st AS DOUBLE)"))
+      .select(col("source"), col("t_tokens"), col("v_words"),
+        round(col("beta"), 6).as("beta"),
+        round(expr(
+          """(CAST(lv AS DOUBLE) - (CAST(sv AS DOUBLE) / CAST(k AS DOUBLE)
+            | + beta * (CAST(lt AS DOUBLE) - CAST(st AS DOUBLE)
+            |   / CAST(k AS DOUBLE)))) / 1000000.0""".stripMargin
+            .replace("\n", "")), 6).as("residual_ln"))
+      .orderBy("source")
+  }
+
+  def heapsLawOracle: String =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |g AS (SELECT source, count(*) AS t_tokens,
+      |    count(DISTINCT w) AS v_words FROM tok GROUP BY source),
+      |f AS (SELECT *,
+      |    CAST(floor(ln(CAST(t_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |      AS lt,
+      |    CAST(floor(ln(CAST(v_words AS DOUBLE)) * 1000000.0) AS BIGINT)
+      |      AS lv FROM g),
+      |m AS (SELECT *, CAST(count(*) OVER () AS BIGINT) AS k,
+      |    CAST(sum(lt) OVER () AS BIGINT) AS st,
+      |    CAST(sum(lv) OVER () AS BIGINT) AS sv,
+      |    CAST(sum(lt * lv) OVER () AS BIGINT) AS stv,
+      |    CAST(sum(lt * lt) OVER () AS BIGINT) AS stt FROM f),
+      |b AS (SELECT *, CAST(k * stv - st * sv AS DOUBLE)
+      |    / CAST(k * stt - st * st AS DOUBLE) AS beta FROM m)
+      |SELECT source, t_tokens, v_words, round(beta, 6) AS beta,
+      |  round((CAST(lv AS DOUBLE) - (CAST(sv AS DOUBLE) / CAST(k AS DOUBLE)
+      |    + beta * (CAST(lt AS DOUBLE) - CAST(st AS DOUBLE)
+      |      / CAST(k AS DOUBLE)))) / 1000000.0, 6) AS residual_ln
+      |FROM b ORDER BY source""".stripMargin
+
   def neymanAllocationOracle: String =
     s"""WITH g AS (SELECT source, count(*) AS n_docs,
        |    CAST(sum(n_chars) AS BIGINT) AS sx,

@@ -456,4 +456,34 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(row.getDouble(1) < -0.1 && row.getDouble(1) > -3.0,
       s"implausible Zipf slope ${row.getDouble(1)}")
   }
+
+  test("q143 Heaps fit matches a Math.log reference across sources") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val grid = docs.groupBy(_._1).toSeq.map { case (src, xs) =>
+      val ws = xs.flatMap(_._2.split(" ", -1))
+      (src, ws.length.toLong, ws.distinct.length.toLong)
+    }
+    val pts = grid.map { case (_, t, v) =>
+      (math.floor(math.log(t.toDouble) * 1e6).toLong,
+        math.floor(math.log(v.toDouble) * 1e6).toLong)
+    }
+    val k = pts.length.toLong
+    val (st, sv) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val (stv, stt) =
+      (pts.map(p => p._1 * p._2).sum, pts.map(p => p._1 * p._1).sum)
+    val wantBeta = (k * stv - st * sv).toDouble / (k * stt - st * st).toDouble
+    val rows = graft.operators.ProfileOps.heapsLaw(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    rows.foreach { case (src, t, v, beta, _) =>
+      val g = grid.find(_._1 == src).get
+      assert(t == g._2 && v == g._3, s"counts off for $src")
+      assert(math.abs(beta - wantBeta) < 1e-6)
+      assert(v <= t, "vocabulary cannot exceed tokens")
+    }
+    // residuals of an OLS fit sum to ~0
+    assert(math.abs(rows.map(_._5).sum) < 1e-3)
+  }
 }
