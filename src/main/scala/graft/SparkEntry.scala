@@ -161,6 +161,7 @@ object SparkEntry {
     "q141_jackknife"         -> (ProfileOps.jackknifeInfluence _),
     "q142_zipf_slope"        -> (ProfileOps.zipfSlope _),
     "q143_heaps_law"         -> (ProfileOps.heapsLaw _),
+    "q144_semantic_contam"   -> (ClusterOps.semanticContamination _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -582,6 +583,7 @@ object SparkEntry {
     "q141_jackknife" -> ProfileOps.jackknifeInfluenceOracle,
     "q142_zipf_slope" -> ProfileOps.zipfSlopeOracle,
     "q143_heaps_law" -> ProfileOps.heapsLawOracle,
+    "q144_semantic_contam" -> ClusterOps.semanticContaminationOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

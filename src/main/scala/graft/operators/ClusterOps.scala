@@ -399,6 +399,95 @@ object ClusterOps {
       .orderBy("vec_id")
   }
 
+  // --- q144: semantic eval-set contamination ----------------------------
+
+  /** q144 — semantic eval contamination (the embedding-space complement
+    * of q119's n-gram audit): a val example whose meaning — not its
+    * words — already exists in the train set inflates eval scores just
+    * as surely as a verbatim copy. Split: originals with vec_id ≡ 0
+    * (mod 10) are val; train is everything else plus scaled near-copies
+    * of HALF the val docs (vec_id ≡ 0 mod 20 — q119's construction in
+    * vector space), so the audit provably flags exactly those and
+    * clears the rest. A val doc is contaminated when its max cosine to
+    * a same-cluster train vector reaches [[SemTheta]]; spherical
+    * assignment guarantees a near-copy co-clusters with its original
+    * (q121's argument), so the within-cluster search cannot miss the
+    * planted leaks.
+    *
+    * Scale (100 TB): identical cost model to q121 — broadcast centroid
+    * assignment, within-cluster val×train join with cluster populations
+    * bounded by growing K, native `dot_product` cosines, and the q112
+    * projected-space prefilter composes in front when clusters are
+    * large. */
+  def semanticContamination(s: SparkSession, dir: String): DataFrame = {
+    val base = SimilarityOps.baseVectors(s, dir)
+      .filter(col("vec_id") < SimilarityOps.CorpusCap)
+    val copies = base.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + SimilarityOps.CopyOffset).as("vec_id"),
+        expr("transform(emb, x -> x * 1.001)").as("emb"))
+    val v = SimilarityOps.withNorm(base.unionAll(copies))
+      .withColumn("is_val",
+        col("vec_id") < SimilarityOps.CopyOffset && col("vec_id") % 10 === 0)
+    val c0 = SimilarityOps.withNorm(base.filter(col("vec_id") < K))
+      .select(col("vec_id").as("cent_id"), col("emb").as("cemb"),
+        col("norm").as("cnorm"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cent_id"))
+    val assigned = v.crossJoin(broadcast(c0))
+      .selectExpr("vec_id", "emb", "norm", "is_val", "cent_id",
+        "dot_product(emb, cemb) / (norm * cnorm) AS csim")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("cent_id", "vec_id", "emb", "norm", "is_val")
+      .persist()
+    val train = assigned.filter(!col("is_val"))
+      .select(col("cent_id"), col("emb").as("emb_t"), col("norm").as("norm_t"))
+    val best = assigned.filter(col("is_val")).join(train, "cent_id")
+      .selectExpr("cent_id", "vec_id",
+        "dot_product(emb, emb_t) / (norm * norm_t) AS sim")
+      .groupBy("cent_id", "vec_id").agg(max(col("sim")).as("max_sim"))
+    assigned.filter(col("is_val"))
+      .select("vec_id", "cent_id")
+      .join(best, Seq("cent_id", "vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        round(coalesce(col("max_sim"), lit(-1.0)), 6).as("max_train_sim"),
+        coalesce(expr(s"max_sim >= $SemTheta"), lit(false))
+          .as("contaminated"))
+      .orderBy("vec_id")
+  }
+
+  def semanticContaminationOracle: String = {
+    def d(a: String, b: String) = VecSql.dot(a, b, spark = false)
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings WHERE vec_id < ${SimilarityOps.CorpusCap}),
+       |corpus AS (
+       |  SELECT vec_id, emb FROM base
+       |  UNION ALL SELECT vec_id + ${SimilarityOps.CopyOffset} AS vec_id,
+       |    list_transform(emb, x -> x * 1.001) AS emb FROM base
+       |  WHERE vec_id % 20 = 0),
+       |v AS (SELECT vec_id, emb, sqrt(${d("emb", "emb")}) AS norm,
+       |    vec_id < ${SimilarityOps.CopyOffset} AND vec_id % 10 = 0
+       |      AS is_val FROM corpus),
+       |c AS (SELECT vec_id AS cent_id, emb AS cemb,
+       |    sqrt(${d("emb", "emb")}) AS cnorm FROM base WHERE vec_id < $K),
+       |a AS (SELECT v.vec_id, v.emb, v.norm, v.is_val, c.cent_id,
+       |    (${d("v.emb", "c.cemb")}) / (v.norm * c.cnorm) AS csim FROM v, c),
+       |asg AS (SELECT vec_id, emb, norm, is_val, cent_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY csim DESC, cent_id) AS rn FROM a) WHERE rn = 1),
+       |bst AS (SELECT x.cent_id, x.vec_id, max(
+       |    (${d("x.emb", "y.emb")}) / (x.norm * y.norm)) AS max_sim
+       |  FROM asg x JOIN asg y
+       |    ON x.cent_id = y.cent_id AND NOT y.is_val
+       |  WHERE x.is_val GROUP BY x.cent_id, x.vec_id)
+       |SELECT asg.vec_id, asg.cent_id,
+       |  round(coalesce(bst.max_sim, -1.0), 6) AS max_train_sim,
+       |  coalesce(bst.max_sim >= $SemTheta, FALSE) AS contaminated
+       |FROM asg LEFT JOIN bst USING (cent_id, vec_id)
+       |WHERE asg.is_val ORDER BY asg.vec_id""".stripMargin
+  }
+
   /** q121 oracle — identical spherical assignment and pair predicate,
     * generated from the same constants and dot chains. */
   def semanticDedupOracle: String = {

@@ -79,4 +79,18 @@ class ClusterOpsSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("q144 flags exactly the planted semantic leaks") {
+    val rows = graft.operators.ClusterOps.semanticContamination(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, sim, contaminated) =>
+      assert(id % 10 == 0, "only val docs appear")
+      // contaminated ⟺ a scaled near-copy of this doc went to train
+      assert(contaminated == (id % 20 == 0),
+        s"vec $id: contaminated=$contaminated sim=$sim")
+      if (contaminated) assert(sim > 0.999)
+    }
+  }
 }
