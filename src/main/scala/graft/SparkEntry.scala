@@ -162,6 +162,7 @@ object SparkEntry {
     "q142_zipf_slope"        -> (ProfileOps.zipfSlope _),
     "q143_heaps_law"         -> (ProfileOps.heapsLaw _),
     "q144_semantic_contam"   -> (ClusterOps.semanticContamination _),
+    "q145_unigram_entropy"   -> (ProfileOps.unigramEntropy _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -584,6 +585,7 @@ object SparkEntry {
     "q142_zipf_slope" -> ProfileOps.zipfSlopeOracle,
     "q143_heaps_law" -> ProfileOps.heapsLawOracle,
     "q144_semantic_contam" -> ClusterOps.semanticContaminationOracle,
+    "q145_unigram_entropy" -> ProfileOps.unigramEntropyOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

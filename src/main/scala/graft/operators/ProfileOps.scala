@@ -566,6 +566,54 @@ object ProfileOps {
       |      / CAST(k AS DOUBLE)))) / 1000000.0, 6) AS residual_ln
       |FROM b ORDER BY source""".stripMargin
 
+  /** q145 — unigram entropy per source: Shannon entropy of the token
+    * distribution, H = ln T − (Σ c·ln c)/T — the information-density
+    * twin of q142/q143 (boilerplate and templated text collapse H;
+    * diverse prose raises it toward ln V). Computed from exact integer
+    * counts; ln c freezes to ×1e6 fixed point per DISTINCT (source,
+    * word) — vocabulary-sized ln evaluations, weighted by exact counts
+    * into an integer sum, one double expression at the end. Also
+    * reports the normalized H/ln V (evenness ∈ (0, 1]).
+    *
+    * Scale (100 TB): one (source, word) count aggregate — the only
+    * corpus-sized exchange — then a |sources|-row reduction. */
+  def unigramEntropy(s: SparkSession, dir: String): DataFrame =
+    EtlOps.t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .withColumn("clc", expr(
+        "c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+      .groupBy("source")
+      .agg(sum(col("c")).as("t_tokens"), count(lit(1)).as("v_words"),
+        sum(col("clc")).as("sclc"))
+      .select(col("source"), col("t_tokens"), col("v_words"),
+        round(expr(
+          """ln(CAST(t_tokens AS DOUBLE)) - CAST(sclc AS DOUBLE) / 1000000.0
+            | / CAST(t_tokens AS DOUBLE)""".stripMargin.replace("\n", "")), 6)
+          .as("entropy"),
+        round(expr(
+          """(ln(CAST(t_tokens AS DOUBLE)) - CAST(sclc AS DOUBLE) / 1000000.0
+            | / CAST(t_tokens AS DOUBLE)) / ln(CAST(v_words AS DOUBLE))"""
+            .stripMargin.replace("\n", "")), 6).as("evenness"))
+      .orderBy("source")
+
+  def unigramEntropyOracle: String =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |g AS (SELECT source, w, count(*) AS c FROM tok GROUP BY source, w),
+      |f AS (SELECT source, c, c * CAST(floor(ln(CAST(c AS DOUBLE))
+      |    * 1000000.0) AS BIGINT) AS clc FROM g),
+      |m AS (SELECT source, CAST(sum(c) AS BIGINT) AS t_tokens,
+      |    count(*) AS v_words, CAST(sum(clc) AS BIGINT) AS sclc
+      |  FROM f GROUP BY source)
+      |SELECT source, t_tokens, v_words,
+      |  round(ln(CAST(t_tokens AS DOUBLE)) - CAST(sclc AS DOUBLE)
+      |    / 1000000.0 / CAST(t_tokens AS DOUBLE), 6) AS entropy,
+      |  round((ln(CAST(t_tokens AS DOUBLE)) - CAST(sclc AS DOUBLE)
+      |    / 1000000.0 / CAST(t_tokens AS DOUBLE))
+      |    / ln(CAST(v_words AS DOUBLE)), 6) AS evenness
+      |FROM m ORDER BY source""".stripMargin
+
   def neymanAllocationOracle: String =
     s"""WITH g AS (SELECT source, count(*) AS n_docs,
        |    CAST(sum(n_chars) AS BIGINT) AS sx,

@@ -486,4 +486,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     // residuals of an OLS fit sum to ~0
     assert(math.abs(rows.map(_._5).sum) < 1e-3)
   }
+
+  test("q145 entropy matches a Math.log reference; bounds hold") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val rows = graft.operators.ProfileOps.unigramEntropy(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    rows.foreach { case (src, t, v, h, even) =>
+      val cs = docs.filter(_._1 == src).flatMap(_._2.split(" ", -1))
+        .groupBy(identity).values.map(_.length.toLong)
+      assert(t == cs.sum && v == cs.size.toLong)
+      val sclc = cs.map(c =>
+        c * math.floor(math.log(c.toDouble) * 1e6).toLong).sum
+      val want = math.log(t.toDouble) - sclc.toDouble / 1e6 / t.toDouble
+      assert(math.abs(h - want) < 1e-6, s"entropy off for $src")
+      // 0 < H <= ln V (+ fixed-point slack), evenness in (0, 1]
+      assert(h > 0.0 && h <= math.log(v.toDouble) + 1e-5)
+      assert(even > 0.0 && even <= 1.0 + 1e-9)
+    }
+  }
 }
