@@ -163,6 +163,7 @@ object SparkEntry {
     "q143_heaps_law"         -> (ProfileOps.heapsLaw _),
     "q144_semantic_contam"   -> (ClusterOps.semanticContamination _),
     "q145_unigram_entropy"   -> (ProfileOps.unigramEntropy _),
+    "q146_containment"       -> (DedupOps.containmentDups _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -586,6 +587,7 @@ object SparkEntry {
     "q143_heaps_law" -> ProfileOps.heapsLawOracle,
     "q144_semantic_contam" -> ClusterOps.semanticContaminationOracle,
     "q145_unigram_entropy" -> ProfileOps.unigramEntropyOracle,
+    "q146_containment" -> DedupOps.containmentDupsOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

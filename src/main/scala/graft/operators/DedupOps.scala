@@ -132,6 +132,98 @@ object DedupOps {
       |FROM pr GROUP BY p.src_a, p.src_b
       |ORDER BY src_a, src_b""".stripMargin
 
+  /** Containment flag threshold and the blocking df cap for q146. */
+  val ContainmentTheta = "0.9"
+  val RareShingleDf = 8
+
+  /** q146 — containment near-dup detection: pairs where the SMALLER
+    * document's shingles are ≥ [[ContainmentTheta]] contained in the
+    * larger's — the asymmetric overlap measure that catches an excerpt
+    * swallowed by its source document, which symmetric Jaccard (q30/q31)
+    * structurally misses (a 25% excerpt has Jaccard ≈ 0.25 but
+    * containment 1.0). Fixture: every 7th document contributes a
+    * quarter-length prefix excerpt under an offset id, so the audit
+    * provably finds them. Both containment AND Jaccard are reported so
+    * the reader sees exactly which pairs the symmetric gate loses.
+    *
+    * Candidates come from RARE-shingle blocking (document-frequency ≤
+    * [[RareShingleDf]]), not MinHash banding: LSH banding's collision
+    * probability is a function of JACCARD, so it misses low-Jaccard
+    * containment pairs by construction, while any true containment pair
+    * shares every one of the contained doc's shingles — including its
+    * rare ones. Blocking on rare shingles bounds pair generation at
+    * df² per shingle (the q118 hot-bucket logic: frequent shingles are
+    * boilerplate, not identity), and verification reuses the in-row
+    * array-intersect form. */
+  def containmentDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val excerpts = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + CopyOffset).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 1, " +
+          "greatest(size(split(text, ' ')) div 4, 4)), ' ')").as("text"))
+    val sh = shared(shingles(d.unionAll(excerpts)))
+    val cands = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, RareShingleDf))
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1), b ->
+          |    struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select("p.doc_a", "p.doc_b").distinct()
+    val docSh = sh.groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("shs"))
+    cands
+      .join(docSh.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")),
+        Seq("doc_a"))
+      .join(docSh.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint")
+          .as("n_inter"),
+        size(col("sh_a")).cast("bigint").as("n_a"),
+        size(col("sh_b")).cast("bigint").as("n_b"))
+      .filter(expr("CAST(n_inter AS DOUBLE) / CAST(LEAST(n_a, n_b) AS DOUBLE)" +
+        s" >= $ContainmentTheta"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        round(expr(
+          "CAST(n_inter AS DOUBLE) / CAST(LEAST(n_a, n_b) AS DOUBLE)"), 6)
+          .as("containment"),
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6)
+          .as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def containmentDupsOracle: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + $CopyOffset AS doc_id,
+       |    array_to_string(string_split(text, ' ')[1:greatest(
+       |      len(string_split(text, ' ')) // 4, 4)], ' ') AS text
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |${OracleGen.ShingleCtes},
+       |blk AS (SELECT shingle, list_sort(list(doc_id)) AS ds FROM sh
+       |  GROUP BY shingle HAVING count(*) BETWEEN 2 AND $RareShingleDf),
+       |cand AS (SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b FROM (
+       |  SELECT unnest(flatten(list_transform(ds, (a, i) ->
+       |    list_transform(ds[i + 1:], b -> {'doc_a': a, 'doc_b': b}))))
+       |    AS p FROM blk)),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       |  round(CAST(n_inter AS DOUBLE)
+       |    / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE), 6) AS containment,
+       |  round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE)
+       |  / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) >= $ContainmentTheta
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** q29 — exact dedup: hash-group on content, survivor = min doc_id.
     * One aggregate; at scale this is the cheapest dedup (md5 map-side,
     * 16-byte keys shuffled, not documents). */

@@ -428,4 +428,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
     assert(got.map(_._2).toSet == want.keySet)
   }
+
+  test("q146 finds every planted excerpt at containment 1.0; Jaccard misses them") {
+    val rows = DedupOps.containmentDups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4), r.getDouble(5)))
+    val ids = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 7 == 0)
+    // every planted (original, excerpt) pair surfaces, fully contained
+    ids.foreach { id =>
+      val hit = rows.find(r => r._1 == id && r._2 == id + DedupOps.CopyOffset)
+      assert(hit.nonEmpty, s"excerpt pair for $id missed")
+      assert(hit.get._3 == 1.0, s"prefix shingles must be fully contained: $hit")
+    }
+    // the point of the operator: most planted pairs sit BELOW the q31
+    // Jaccard gate — a symmetric dedup would not see them
+    val planted = rows.filter(r => r._2 == r._1 + DedupOps.CopyOffset
+      && ids.contains(r._1))
+    assert(planted.count(_._4 < 0.5) * 2 > planted.length,
+      "excerpts unexpectedly Jaccard-visible")
+  }
 }
