@@ -43,10 +43,15 @@ case class Md5Fp60(child: Expression) extends UnaryExpression {
               |catch (java.security.NoSuchAlgorithmException e) {
               |  throw new RuntimeException(e);
               |}""".stripMargin)
+    // freshName: with a non-nullable child, nullSafeCodeGen inlines this
+    // block without braces, so a fixed local name would collide when two
+    // md5_fp60 calls land in the same codegen scope (Janino error →
+    // silent interpreted fallback)
+    val dig = ctx.freshName("md5fp60Dig")
     nullSafeCodeGen(ctx, ev, c =>
       s"""$md.reset();
-         |byte[] md5fp60Dig = $md.digest($c.getBytes());
-         |${ev.value} = graft.functions.Md5Fp60.fromDigest(md5fp60Dig);
+         |byte[] $dig = $md.digest($c.getBytes());
+         |${ev.value} = graft.functions.Md5Fp60.fromDigest($dig);
          |""".stripMargin)
   }
 

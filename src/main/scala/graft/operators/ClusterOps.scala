@@ -174,8 +174,13 @@ object ClusterOps {
         col("realized"),
         round((col("dall_fp").cast("double") / lit(1e9)) /
           col("n_points").cast("double"), 6).as("mean_dist"),
-        round((col("dsel_fp").cast("double") / lit(1e9)) /
-          col("realized").cast("double"), 6).as("mean_dist_sel"))
+        // a cell whose integer target floors to 0 (possible when
+        // N·w_fp < S for tiny cells) selects nothing — guard the mean
+        // rather than emit NaN (oracle carries the matching CASE)
+        when(col("realized") > 0,
+          round((col("dsel_fp").cast("double") / lit(1e9)) /
+            col("realized").cast("double"), 6)).otherwise(lit(0.0))
+          .as("mean_dist_sel"))
       .orderBy("cent_id")
   }
 
@@ -209,11 +214,12 @@ object ClusterOps {
        |    AS realized,
        |  round((CAST(CAST(sum(CAST(floor(dist * $Fp) AS BIGINT)) AS BIGINT)
        |      AS DOUBLE) / 1e9) / CAST(n_points AS DOUBLE), 6) AS mean_dist,
-       |  round((CAST(CAST(sum(CASE WHEN rk <= target
+       |  CASE WHEN sum(CASE WHEN rk <= target THEN 1 ELSE 0 END) > 0
+       |    THEN round((CAST(CAST(sum(CASE WHEN rk <= target
        |      THEN CAST(floor(dist * $Fp) AS BIGINT) ELSE 0 END) AS BIGINT)
        |      AS DOUBLE) / 1e9)
        |    / CAST(CAST(sum(CASE WHEN rk <= target THEN 1 ELSE 0 END)
-       |      AS BIGINT) AS DOUBLE), 6) AS mean_dist_sel
+       |      AS BIGINT) AS DOUBLE), 6) ELSE 0.0 END AS mean_dist_sel
        |FROM r GROUP BY cent_id, n_points, w_fp, target
        |ORDER BY cent_id""".stripMargin
 

@@ -240,13 +240,25 @@ object GraphOps {
     // is <0.1 s — codegen costs 2× what it saves here. The toggle is
     // safe because localCheckpoint executes before the finally; the
     // interpreted path has identical IEEE semantics.
-    val codegenWas = s.conf.get("spark.sql.codegen.wholeStage", "true")
-    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    // Restore-or-unset: reading the conf returns the DEFAULT for an
+    // unset key, so blindly re-setting the read value would leave a
+    // previously-unset key explicitly pinned. NOTE the flip is
+    // session-wide and not thread-safe — a query planned concurrently in
+    // this SparkSession during the eager checkpoint below would compile
+    // without whole-stage codegen; callers planning queries from other
+    // threads should use a cloned session (`spark.newSession()`).
+    val codegenKey = "spark.sql.codegen.wholeStage"
+    val codegenWasSet = s.conf.getAll.contains(codegenKey)
+    val codegenWas = s.conf.get(codegenKey, "true")
+    s.conf.set(codegenKey, "false")
     val v0 = try {
       base
         .selectExpr("vec_id", "emb", "norm", s"$sig AS bucket", projArr)
         .localCheckpoint()
-    } finally s.conf.set("spark.sql.codegen.wholeStage", codegenWas)
+    } finally {
+      if (codegenWasSet) s.conf.set(codegenKey, codegenWas)
+      else s.conf.unset(codegenKey)
+    }
     val v = v0.selectExpr("vec_id", "bucket", "proj",
       "sqrt(dot_product(proj, proj)) AS pnorm")
     val a = v.select(col("vec_id").as("qa"), col("bucket"),
