@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data-pipeline extension:
@@ -154,22 +155,23 @@ object DedupOps {
     * rare ones. Blocking on rare shingles bounds pair generation at
     * df² per shingle (the q118 hot-bucket logic: frequent shingles are
     * boilerplate, not identity), and verification reuses the in-row
-    * array-intersect form. */
+    * array-intersect form.
+    *
+    * PREFIX filter on top of the blocking (PPJoin / set-similarity-join
+    * prefix principle, Xiao et al. 2008): order each document's rare
+    * shingles by global (df, shingle) and flag its first
+    * n_sh div 10 + 1 as the prefix (= n − ⌈θ·n⌉ + 1 for θ = 0.9,
+    * integer-exact). A pair at containment ≥ θ with a the smaller side
+    * has |A\B| ≤ ⌊(1−θ)·n_a⌋ < |prefix(a)|, so at least one prefix
+    * shingle of a lands in B — generating pairs only where ≥ one side
+    * holds the shingle in its prefix keeps every true pair (and every
+    * pair the blocking-defined oracle emits) while skipping the
+    * verification volume on pairs that only share deep non-prefix
+    * shingles. On the planted sf0.1 corpus this cuts candidate pairs
+    * ~3×; output is provably identical. */
   def containmentDups(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val excerpts = d.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + CopyOffset).as("doc_id"),
-        expr("array_join(slice(split(text, ' '), 1, " +
-          "greatest(size(split(text, ' ')) div 4, 4)), ' ')").as("text"))
-    val sh = shared(shingles(d.unionAll(excerpts)))
-    val cands = sh.groupBy("shingle")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, RareShingleDf))
-      .select(explode(expr(
-        """flatten(transform(ds, (a, i) ->
-          |  transform(slice(ds, i + 2, size(ds) - i - 1), b ->
-          |    struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
-      .select("p.doc_a", "p.doc_b").distinct()
+    val sh = containmentCorpusShingles(s, dir)
+    val cands = containmentCandidatesOf(sh, prefixFilter = true)
     val docSh = sh.groupBy("doc_id")
       .agg(collect_list(col("shingle")).as("shs"))
     cands
@@ -191,6 +193,49 @@ object DedupOps {
         round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6)
           .as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** q146's corpus (documents + planted quarter-prefix excerpts) as a
+    * persisted (doc_id, shingle) frame — shared by candidate generation
+    * and verification. */
+  private[graft] def containmentCorpusShingles(
+      s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val excerpts = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + CopyOffset).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 1, " +
+          "greatest(size(split(text, ' ')) div 4, 4)), ' ')").as("text"))
+    shared(shingles(d.unionAll(excerpts)))
+  }
+
+  /** q146 candidate pairs from df-capped rare-shingle blocking; with
+    * `prefixFilter` the PPJoin prefix condition prunes pairs that only
+    * share deep non-prefix shingles (provably lossless — see
+    * [[containmentDups]] doc; the spec pins subset + output equality,
+    * the non-filtered form exists as the spec's verifier). */
+  private[graft] def containmentCandidatesOf(
+      sh: DataFrame, prefixFilter: Boolean): DataFrame = {
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, RareShingleDf))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // prefix length n_sh div 10 + 1 is exact integer arithmetic for
+    // θ = 0.9: n − ⌈9n/10⌉ = ⌊n/10⌋ (float ⌈0.9·n⌉ rounds wrong at
+    // e.g. n = 20 and would silently shorten the prefix)
+    val ranked = sh.join(dfreq, "shingle").join(sizes, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+      .withColumn("pfx",
+        if (prefixFilter) col("rk") <= expr("n_sh div 10 + 1") else lit(true))
+    ranked.groupBy("shingle")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pfx"))))
+        .as("ds"))
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds) - i - 1), b ->
+          |    struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |           a.pfx OR b.pfx AS anypfx))))""".stripMargin)).as("p"))
+      .filter(col("p.anypfx"))
+      .select("p.doc_a", "p.doc_b").distinct()
   }
 
   def containmentDupsOracle: String =
@@ -621,17 +666,24 @@ object DedupOps {
     * consolidation is the fact-table aggregate re-keyed by resolved
     * entity — one extra (broadcastable) join over the naive group-by. */
   def entityConsolidate(s: SparkSession, dir: String): DataFrame = {
-    val pairs = fuzzyNameMatch(s, dir).select(col("name_a"), col("name_b"))
+    // cutLineage on edges AND per propagation round — the same
+    // discipline as q59's dupLabels (CurationOps.scala): each round
+    // references `lbl` twice (join + union), so without truncating the
+    // LOGICAL lineage the plan doubles every round and Catalyst
+    // re-analysis grows with it even at a fixed small round count.
+    val pairs = CurationOps.cutLineage(
+      fuzzyNameMatch(s, dir).select(col("name_a"), col("name_b")))
     val edges = pairs.unionAll(
       pairs.select(col("name_b").as("name_a"), col("name_a").as("name_b")))
-      .persist()
     val names = EtlOps.t(s, dir, "part").select(col("p_name")).distinct()
-    var lbl = names.select(col("p_name"), col("p_name").as("lbl"))
+    var lbl = CurationOps.cutLineage(
+      names.select(col("p_name"), col("p_name").as("lbl")))
     for (_ <- 1 to ConsolidateRounds)
-      lbl = edges.join(lbl, edges("name_a") === lbl("p_name"))
-        .select(col("name_b").as("p_name"), col("lbl"))
-        .unionAll(lbl)
-        .groupBy("p_name").agg(min(col("lbl")).as("lbl"))
+      lbl = CurationOps.cutLineage(
+        edges.join(lbl, edges("name_a") === lbl("p_name"))
+          .select(col("name_b").as("p_name"), col("lbl"))
+          .unionAll(lbl)
+          .groupBy("p_name").agg(min(col("lbl")).as("lbl")))
     EtlOps.t(s, dir, "part")
       .join(broadcast(lbl), "p_name")
       .groupBy(col("lbl").as("canonical_name"))

@@ -448,4 +448,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(planted.count(_._4 < 0.5) * 2 > planted.length,
       "excerpts unexpectedly Jaccard-visible")
   }
+
+  test("q146 PPJoin prefix filter: lossless candidate pruning") {
+    val sh = DedupOps.containmentCorpusShingles(spark, dir)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = pairs(DedupOps.containmentCandidatesOf(sh, prefixFilter = false))
+    val pfx = pairs(DedupOps.containmentCandidatesOf(sh, prefixFilter = true))
+    // the filter only prunes — never invents — candidates, and it
+    // measurably prunes on this corpus
+    assert(pfx.subsetOf(all), "prefix filter invented candidates")
+    assert(pfx.size < all.size,
+      s"prefix filter pruned nothing (${all.size} candidates)")
+    // LOSSLESS: every pair the operator outputs survives the filter,
+    // so blocking-then-verify yields the identical result (the oracle
+    // states the unfiltered blocking)
+    val out = DedupOps.containmentDups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.subsetOf(pfx), "an output pair was pruned by the prefix filter")
+    info(s"candidates ${all.size} -> ${pfx.size} " +
+      f"(${100.0 * (all.size - pfx.size) / all.size}%.1f%% pruned)")
+  }
 }
