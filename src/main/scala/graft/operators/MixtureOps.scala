@@ -358,14 +358,29 @@ object MixtureOps {
   /** The manifest pipeline over an arbitrary (doc_id, source, text)
     * corpus snapshot — q133 runs it on the full table, q136 on two
     * snapshots to audit churn. */
-  private[graft] def trainingManifestOf(docs: DataFrame): DataFrame = {
+  private[graft] def trainingManifestOf(docs: DataFrame): DataFrame =
+    manifestFromGated(gatedOf(docs))
+
+  /** Stage 1 of the manifest: per-doc content hash + classifier-gate
+    * logit, filtered to survivors. This is the only corpus-text-scan
+    * stage, and it is per-doc (no cross-doc state), so a SNAPSHOT
+    * FILTER on doc_id commutes with it — q136 computes it once on the
+    * full corpus, materializes, and derives both snapshots from the
+    * result. */
+  private[graft] def gatedOf(docs: DataFrame): DataFrame = {
     val logit = expr(
       s"aggregate(split(text, ' '), CAST(0 AS BIGINT), " +
         s"(acc, w) -> acc + (${clfWeightSql("w")}))")
-    val gated = docs
+    docs
       .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
         logit.as("logit"))
       .filter(col("logit") >= 0)
+  }
+
+  /** Stages 2–5 of the manifest over a pre-gated (doc_id, source, h)
+    * frame: dedup window, temperature targets, copy explode, two-level
+    * shuffle. */
+  private[graft] def manifestFromGated(gated: DataFrame): DataFrame = {
     val keep = gated
       .withColumn("mid", min(col("doc_id")).over(Window.partitionBy("h")))
       .filter(col("doc_id") === col("mid"))
@@ -487,17 +502,21 @@ object MixtureOps {
     * only changed shards can bound its restart cost with exactly this
     * report.
     *
-    * Scale (100 TB): two manifest DAGs (each q133's shape) plus one
-    * full-outer join on (doc_id, copy_n) and a per-shard aggregate —
-    * the join keys are the manifest's own identity, so the diff
-    * co-partitions with the manifests. */
+    * Scale (100 TB): ONE corpus text scan — the gate stage is per-doc,
+    * so the snapshot filter commutes with it and both manifest DAGs
+    * grow from the same materialized gate output (the round-6 shape
+    * re-scanned the corpus per snapshot); then the two post-gate chains
+    * (windows over slim (doc_id, source, h) rows), one full-outer join
+    * on (doc_id, copy_n), and a per-shard aggregate — the join keys are
+    * the manifest's own identity, so the diff co-partitions with the
+    * manifests. */
   def manifestChurn(s: SparkSession, dir: String): DataFrame = {
-    val full = t(s, dir, "documents")
-    val a = trainingManifestOf(
-        full.filter(col("doc_id") % ChurnHoldoutMod =!= (ChurnHoldoutMod - 1)))
+    val gated = CurationOps.cutLineage(gatedOf(t(s, dir, "documents")))
+    val a = manifestFromGated(
+        gated.filter(col("doc_id") % ChurnHoldoutMod =!= (ChurnHoldoutMod - 1)))
       .select(col("doc_id"), col("copy_n"), col("shard").as("shard_a"),
         col("pos").as("pos_a"))
-    val b = trainingManifestOf(full)
+    val b = manifestFromGated(gated)
       .select(col("doc_id"), col("copy_n"), col("shard").as("shard_b"),
         col("pos").as("pos_b"))
     val common = col("pos_a").isNotNull && col("pos_b").isNotNull
