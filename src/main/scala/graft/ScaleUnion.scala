@@ -30,7 +30,14 @@ object ScaleUnion {
     "embeddings" -> Seq("vec_id"),
     "events" -> Seq("event_id", "user_id"),
     "orders" -> Seq("o_orderkey", "o_custkey"),
-    "lineitem" -> Seq("l_orderkey", "l_suppkey", "l_partkey")
+    "lineitem" -> Seq("l_orderkey", "l_suppkey", "l_partkey"),
+    // dimensions join the facts, so they replicate with the SAME
+    // shared-group offsets — copying them unchanged would leave copies
+    // 1..N-1 of the facts with dangling foreign keys, and dim-joining
+    // queries' join output would stay at 1× while scans grew N×
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey")
   )
 
   /** Join-key groups that must share one offset so cross-table joins
@@ -39,11 +46,17 @@ object ScaleUnion {
     ("orders", "o_orderkey") -> "orderkey",
     ("lineitem", "l_orderkey") -> "orderkey",
     ("orders", "o_custkey") -> "custkey",
+    ("customer", "c_custkey") -> "custkey",
     ("lineitem", "l_suppkey") -> "suppkey",
-    ("lineitem", "l_partkey") -> "partkey"
+    ("supplier", "s_suppkey") -> "suppkey",
+    ("lineitem", "l_partkey") -> "partkey",
+    ("part", "p_partkey") -> "partkey"
   )
 
-  val copyTables = Seq("region", "nation", "customer", "supplier", "part")
+  /** Genuinely fixed-cardinality dimensions: nation/region stay 1× (25 /
+    * 5 rows at every real scale factor), so their join fan-in growing N×
+    * is the realistic shape, not a modeling artifact. */
+  val copyTables = Seq("region", "nation")
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
