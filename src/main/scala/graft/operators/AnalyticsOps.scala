@@ -421,4 +421,92 @@ object AnalyticsOps {
         (col("n_trans") / col("n_from")).as("p_trans"))
       .orderBy("prev_type", "next_type")
   }
+
+  // --- q148: LM quality banding (CCNet-style) ----------------------------
+
+  /** Relative-to-corpus band edges: a doc whose pooled LM probability is
+    * >2% above the corpus-pooled value is 'head', >2% below is 'tail'. */
+  val LmBandLo = 0.98
+  val LmBandHi = 1.02
+
+  /** q148 — language-model quality banding: score every document by the
+    * q68 add-one-smoothed bigram model and split the corpus into
+    * head / middle / tail bands (CCNet's perplexity bucketing,
+    * Wenzek et al. 2020). Two determinism substitutions keep the oracle
+    * bit-exact: (a) the per-doc score is the POOLED probability estimate
+    * Σ(c12+1) / Σ(c1+V) — two exact integer sums and ONE double
+    * division — rather than a perplexity (whose per-token log/exp would
+    * hinge on libm parity), and it orders documents the same way for
+    * the banding's purpose; (b) the band edges are RELATIVE to the
+    * corpus-pooled score (ratio ∈ {<0.98, [0.98,1.02], >1.02}), so the
+    * banding is scale-adaptive without the global sort an
+    * ntile/percentile split would pay.
+    *
+    * Scale (100 TB): LM counts are vocabulary-sized aggregates; scoring
+    * joins the corpus bigram stream to them on the bigram/first-word
+    * keys (broadcast when the vocab fits, shuffle otherwise) and
+    * collapses back to one row per doc; the corpus-pooled scalar rides a
+    * broadcast. No global ordering anywhere. */
+  def perplexityBucket(s: SparkSession, dir: String): DataFrame = {
+    val docBigrams = t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(DedupOps.wordGramArrayExpr(2))).as("bigram"))
+      .withColumn("w1", split(col("bigram"), " ")(0))
+    val c12 = docBigrams.groupBy("bigram").agg(count(lit(1)).as("c12"))
+    val c1 = docBigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val perDoc = docBigrams
+      .join(c12, "bigram")
+      .join(c1, "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c12") + 1L).as("num"),
+        sum(col("c1") + col("v")).as("den"))
+    val pooled = perDoc.agg(sum(col("num")).as("gnum"),
+      sum(col("den")).as("gden"))
+    perDoc.crossJoin(broadcast(pooled))
+      .withColumn("score", col("num").cast("double") / col("den"))
+      .withColumn("rel",
+        col("score") / (col("gnum").cast("double") / col("gden")))
+      .withColumn("band",
+        when(col("rel") < LmBandLo, "tail")
+          .when(col("rel") > LmBandHi, "head")
+          .otherwise("middle"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("score"), 6).as("score"), round(col("rel"), 6).as("rel"),
+        col("band"))
+      .orderBy("doc_id")
+  }
+
+  def perplexityBucketOracle: String =
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t),
+       |g2 AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1
+       |  FROM g),
+       |c12 AS (SELECT bigram, count(*) AS c12 FROM g2 GROUP BY bigram),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM g2 GROUP BY w1),
+       |v AS (SELECT count(DISTINCT tok) AS v FROM
+       |  (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+       |d AS (SELECT g2.doc_id, count(*) AS n_bigrams,
+       |    sum(c12.c12 + 1) AS num, sum(c1.c1 + v.v) AS den
+       |  FROM g2 JOIN c12 USING (bigram) JOIN c1 USING (w1) CROSS JOIN v
+       |  GROUP BY g2.doc_id),
+       |p AS (SELECT sum(num) AS gnum, sum(den) AS gden FROM d),
+       |sc AS (SELECT d.doc_id, d.n_bigrams,
+       |    CAST(d.num AS DOUBLE) / d.den AS score,
+       |    (CAST(d.num AS DOUBLE) / d.den) /
+       |      (CAST(p.gnum AS DOUBLE) / p.gden) AS rel
+       |  FROM d CROSS JOIN p)
+       |SELECT doc_id, n_bigrams, round(score, 6) AS score,
+       |  round(rel, 6) AS rel,
+       |  CASE WHEN rel < $LmBandLo THEN 'tail'
+       |       WHEN rel > $LmBandHi THEN 'head'
+       |       ELSE 'middle' END AS band
+       |FROM sc ORDER BY doc_id""".stripMargin
 }

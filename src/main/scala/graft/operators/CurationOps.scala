@@ -361,6 +361,45 @@ object CurationOps {
       .filter(col("n_users") < AnonK)
       .orderBy("event_type", "day", "k_prop")
 
+  // --- q151: l-diversity audit ------------------------------------------
+
+  /** Minimum distinct sensitive values an equivalence class must carry. */
+  val DiversityL = 3
+
+  /** q151 — l-diversity audit (Machanavajjhala et al. 2007), the
+    * companion check to q108: k-anonymity only bounds CLASS SIZE, so a
+    * class where every member shares one sensitive value still leaks it
+    * (the homogeneity attack). Here the quasi-identifier is
+    * (event_type, day), the sensitive attribute is the `k` JSON prop,
+    * and the audit reports every equivalence class carrying fewer than
+    * [[DiversityL]] distinct sensitive values — alongside its size, to
+    * show classes that PASS k-anonymity yet fail diversity.
+    *
+    * Shape: identical to q108 — one two-phase distinct aggregate over
+    * the quasi-id key, then a filter that keeps only risky cells; the
+    * report shrinks as data grows. */
+  def lDiversity(s: SparkSession, dir: String): DataFrame =
+    EtlOps.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k_prop"),
+        col("user_id"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("k_prop")).as("l_sensitive"))
+      .filter(col("l_sensitive") < DiversityL)
+      .orderBy("event_type", "day")
+
+  def lDiversityOracle: String =
+    s"""SELECT event_type, CAST(ts AS DATE) AS day,
+       |  count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+       |  count(DISTINCT CAST(json_extract_string(props, '$$.k') AS BIGINT))
+       |    AS l_sensitive
+       |FROM events GROUP BY event_type, day
+       |HAVING count(DISTINCT CAST(json_extract_string(props, '$$.k')
+       |    AS BIGINT)) < $DiversityL
+       |ORDER BY event_type, day""".stripMargin
+
   // --- q122: curation funnel datasheet ----------------------------------
 
   /** The latin-script slice of the corpus — the funnel's language gate. */

@@ -136,4 +136,82 @@ object MlPrepOps {
       .select(col("term"), col("df"), col("tf_total"), col("postings_head"))
       .orderBy("term")
   }
+
+  // --- q147: BM25 retrieval ---------------------------------------------
+
+  /** Query terms taken from the top of the df ranking (deterministic
+    * stand-ins for a user query workload) and results per query. */
+  val Bm25Queries = 8
+  val Bm25TopK = 5
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** q147 — BM25 ranked retrieval (Robertson–Spärck Jones): top-[[Bm25TopK]]
+    * documents per query term under the k1/b length-normalized tf
+    * saturation. The idf uses the plain odds ratio (N − df + ½)/(df + ½)
+    * rather than its log: the ranking it induces is identical (log is
+    * monotone) and the score stays one exact IEEE division — the same
+    * libm-independence argument as q69's plain N/df.
+    *
+    * Scale (100 TB): the classic searcher shape — the corpus collapses
+    * once into (doc, term, tf) postings plus a per-doc length table; the
+    * query set is tiny and BROADCAST to the postings, so scoring touches
+    * only the df-bounded posting lists of the queried terms, and the
+    * top-k window partitions by query term (≤ [[Bm25Queries]]
+    * partitions of df-bounded size, never a corpus sort). Doc-length
+    * normalization rides a broadcast scalar (N, avgdl), not a join. */
+  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val toks = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist() // feeds the df ranking AND the scoring join
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val queries = dfr.orderBy(col("df").desc, col("term")).limit(Bm25Queries)
+    val dl = docs.select(col("doc_id"),
+      size(col("toks")).cast("bigint").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_tot"))
+    val scored = tf
+      .join(broadcast(queries), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("dl_tot").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      .withColumn("score",
+        col("idf") * (col("tf") * (Bm25K1 + 1.0)) /
+          (col("tf") + Bm25K1 *
+            (1.0 - Bm25B + Bm25B * col("dl") / col("avgdl"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("term"), col("rank"), col("doc_id"), col("tf"),
+        col("df"), round(col("score"), 6).as("score"))
+      .orderBy("term", "rank")
+  }
+
+  def bm25TopKOracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |toks AS (SELECT doc_id, unnest(toks) AS term FROM d),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |  GROUP BY doc_id, term),
+       |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |q AS (SELECT term, df FROM dfr ORDER BY df DESC, term
+       |  LIMIT $Bm25Queries),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS dl_tot FROM dl),
+       |sc AS (SELECT tf.term, tf.doc_id, tf.tf, q.df,
+       |    ((st.n_docs - q.df + 0.5) / (q.df + 0.5)) *
+       |      (tf.tf * ($Bm25K1 + 1.0)) /
+       |      (tf.tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl.dl /
+       |        (CAST(st.dl_tot AS DOUBLE) / st.n_docs))) AS score
+       |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY term
+       |    ORDER BY score DESC, doc_id) AS rnk FROM sc)
+       |SELECT term, CAST(rnk AS BIGINT) AS "rank", doc_id, tf, df,
+       |  round(score, 6) AS score
+       |FROM r WHERE rnk <= $Bm25TopK ORDER BY term, rnk""".stripMargin
 }

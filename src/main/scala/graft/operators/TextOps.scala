@@ -470,6 +470,106 @@ object TextOps {
        |  $out) ORDER BY step""".stripMargin
   }
 
+  // --- q149: instruction-template skeleton dedup -------------------------
+
+  /** Variants planted per selected base doc (fixture; oracle mirrors). */
+  val TemplateVariants = 3
+  val TemplateIdOffset = 1000000L
+
+  /** q149 — template-skeleton near-dup: instruction-tuning corpora are
+    * dominated by documents stamped out of one prompt template with only
+    * the slot values changed ("task 4217: ..."); value-level dedup (q29)
+    * misses them because every stamped copy differs in the digits. The
+    * skeleton maps each document to its template-invariance class —
+    * lowercase, digit runs masked to '#' — and groups on the class
+    * fingerprint, so all stampings of one template collapse to one
+    * cluster regardless of slot values.
+    *
+    * Fixture: the synthetic corpus has no digits, so [[TemplateVariants]]
+    * stamped variants are planted per (doc_id % 3 == 0) base doc, each
+    * with a distinct numeric slot; the oracle plants identically.
+    *
+    * Scale (100 TB): identical shape to q29 exact dedup — one projection
+    * (the masking regex is per-row, codegen'd) and ONE hash groupBy on a
+    * 16-byte fingerprint; no joins, no windows. The skeleton alphabet
+    * only shrinks the key space, so it shuffles strictly less than
+    * exact dedup on the same corpus. */
+  def templateSkeleton(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"),
+      col("source"))
+    val variants = (1 to TemplateVariants).map { k =>
+      d.filter(col("doc_id") % 3 === 0).select(
+        (col("doc_id") * 10 + k + TemplateIdOffset).as("doc_id"),
+        concat(lit("task "), (col("doc_id") * 100 + k).cast("string"),
+          lit(": "), col("text")).as("text"),
+        col("source"))
+    }
+    val corpus = variants.foldLeft(d)(_ unionAll _)
+    corpus
+      .select(col("doc_id"), col("source"),
+        md5(regexp_replace(lower(col("text")), "[0-9]+", "#"))
+          .as("template_fp"))
+      .groupBy("template_fp")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_docs") > 1)
+      .orderBy("rep_doc")
+  }
+
+  def templateSkeletonOracle: String =
+    s"""WITH d AS (SELECT doc_id, text, source FROM documents),
+       |v AS (SELECT doc_id * 10 + k + $TemplateIdOffset AS doc_id,
+       |    'task ' || CAST(doc_id * 100 + k AS VARCHAR) || ': ' || text
+       |      AS text, source
+       |  FROM d, (SELECT unnest([${(1 to TemplateVariants).mkString(", ")}])
+       |    AS k)
+       |  WHERE doc_id % 3 = 0),
+       |c AS (SELECT * FROM d UNION ALL SELECT * FROM v),
+       |sk AS (SELECT doc_id, source,
+       |    md5(regexp_replace(lower(text), '[0-9]+', '#', 'g'))
+       |      AS template_fp
+       |  FROM c)
+       |SELECT template_fp, count(*) AS n_docs, min(doc_id) AS rep_doc,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+       |FROM sk GROUP BY template_fp HAVING count(*) > 1
+       |ORDER BY rep_doc""".stripMargin
+
+  // --- q154: language-ID confusion audit ---------------------------------
+
+  /** q154 — confusion matrix of the q26 language-ID heuristic against the
+    * corpus gold labels, with per-gold-language fractions: the quality
+    * audit run before trusting a classifier gate to route documents (the
+    * langid analogue of q107's centroid-label confusion). Reuses q26's
+    * EXACT scoring expressions so the matrix reconciles against the
+    * standalone query by construction.
+    *
+    * Scale (100 TB): scoring is per-row codegen'd regex work; the matrix
+    * aggregate has ≤ |langs|² groups and the fraction window runs over
+    * that tiny frame, not the corpus. */
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gold = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val m = langId(s, dir).select(col("doc_id"), col("lang_guess"))
+      .join(gold, "doc_id")
+      .groupBy("lang", "lang_guess")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang"))
+    m.withColumn("frac",
+        round(col("n").cast("double") / sum(col("n")).over(w), 6))
+      .select("lang", "lang_guess", "n", "frac")
+      .orderBy("lang", "lang_guess")
+  }
+
+  def langIdConfusionOracle(q26Sql: String): String =
+    s"""WITH guess AS ($q26Sql),
+       |m AS (SELECT d.lang, g.lang_guess, count(*) AS n
+       |  FROM guess g JOIN documents d USING (doc_id)
+       |  GROUP BY d.lang, g.lang_guess)
+       |SELECT lang, lang_guess, n,
+       |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang), 6)
+       |    AS frac
+       |FROM m ORDER BY lang, lang_guess""".stripMargin
+
   /** q123 oracle — same vocabulary rank, same rate arithmetic. */
   def oovRateOracle: String =
     s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
