@@ -17,7 +17,8 @@ object PlanAudit {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events table is TIMESTAMP(NANOS)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false") // naive-us ts reads as LTZ (UTC session)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // AQE off for the audit: the adaptive wrapper hides codegen spans
       // in the pre-execution plan string; logical structure is the same

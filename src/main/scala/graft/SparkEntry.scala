@@ -164,6 +164,11 @@ object SparkEntry {
     "q144_semantic_contam"   -> (ClusterOps.semanticContamination _),
     "q145_unigram_entropy"   -> (ProfileOps.unigramEntropy _),
     "q146_containment"       -> (DedupOps.containmentDups _),
+    "q147_bm25_topk"         -> (MlPrepOps.bm25TopK _),
+    "q148_lm_band"           -> (AnalyticsOps.perplexityBucket _),
+    "q149_template_skeleton" -> (TextOps.templateSkeleton _),
+    "q150_l_diversity"       -> (CurationOps.lDiversity _),
+    "q151_langid_confusion"  -> (TextOps.langIdConfusion _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -588,6 +593,11 @@ object SparkEntry {
     "q144_semantic_contam" -> ClusterOps.semanticContaminationOracle,
     "q145_unigram_entropy" -> ProfileOps.unigramEntropyOracle,
     "q146_containment" -> DedupOps.containmentDupsOracle,
+    "q147_bm25_topk" -> MlPrepOps.bm25TopKOracle,
+    "q148_lm_band" -> AnalyticsOps.perplexityBucketOracle,
+    "q149_template_skeleton" -> TextOps.templateSkeletonOracle,
+    "q150_l_diversity" -> CurationOps.lDiversityOracle,
+    "q151_langid_confusion" -> TextOps.langIdConfusionOracle(OracleGen.q26LangId),
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

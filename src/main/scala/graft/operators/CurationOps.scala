@@ -361,19 +361,20 @@ object CurationOps {
       .filter(col("n_users") < AnonK)
       .orderBy("event_type", "day", "k_prop")
 
-  // --- q151: l-diversity audit ------------------------------------------
+  // --- q150: l-diversity audit ------------------------------------------
 
   /** Minimum distinct sensitive values an equivalence class must carry. */
   val DiversityL = 3
 
-  /** q151 — l-diversity audit (Machanavajjhala et al. 2007), the
+  /** q150 — l-diversity audit (Machanavajjhala et al. 2007), the
     * companion check to q108: k-anonymity only bounds CLASS SIZE, so a
     * class where every member shares one sensitive value still leaks it
     * (the homogeneity attack). Here the quasi-identifier is
-    * (event_type, day), the sensitive attribute is the `k` JSON prop,
-    * and the audit reports every equivalence class carrying fewer than
-    * [[DiversityL]] distinct sensitive values — alongside its size, to
-    * show classes that PASS k-anonymity yet fail diversity.
+    * (day, k_prop) — the same released attributes q108 audits — and the
+    * sensitive attribute is the event type: the audit reports every
+    * equivalence class carrying fewer than [[DiversityL]] distinct
+    * event types, alongside its size and user count, to show classes
+    * that PASS k-anonymity yet still leak what their members did.
     *
     * Shape: identical to q108 — one two-phase distinct aggregate over
     * the quasi-id key, then a filter that keeps only risky cells; the
@@ -383,22 +384,21 @@ object CurationOps {
       .select(col("event_type"), to_date(col("ts")).as("day"),
         get_json_object(col("props"), "$.k").cast("bigint").as("k_prop"),
         col("user_id"))
-      .groupBy("event_type", "day")
+      .groupBy("day", "k_prop")
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("user_id")).as("n_users"),
-        countDistinct(col("k_prop")).as("l_sensitive"))
+        countDistinct(col("event_type")).as("l_sensitive"))
       .filter(col("l_sensitive") < DiversityL)
-      .orderBy("event_type", "day")
+      .orderBy("day", "k_prop")
 
   def lDiversityOracle: String =
-    s"""SELECT event_type, CAST(ts AS DATE) AS day,
+    s"""SELECT CAST(ts AS DATE) AS day,
+       |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k_prop,
        |  count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
-       |  count(DISTINCT CAST(json_extract_string(props, '$$.k') AS BIGINT))
-       |    AS l_sensitive
-       |FROM events GROUP BY event_type, day
-       |HAVING count(DISTINCT CAST(json_extract_string(props, '$$.k')
-       |    AS BIGINT)) < $DiversityL
-       |ORDER BY event_type, day""".stripMargin
+       |  count(DISTINCT event_type) AS l_sensitive
+       |FROM events GROUP BY day, k_prop
+       |HAVING count(DISTINCT event_type) < $DiversityL
+       |ORDER BY day, k_prop""".stripMargin
 
   // --- q122: curation funnel datasheet ----------------------------------
 

@@ -180,8 +180,8 @@ object MlPrepOps {
         (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
       .withColumn("score",
         col("idf") * (col("tf") * (Bm25K1 + 1.0)) /
-          (col("tf") + Bm25K1 *
-            (1.0 - Bm25B + Bm25B * col("dl") / col("avgdl"))))
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("term"))
       .orderBy(col("score").desc, col("doc_id"))

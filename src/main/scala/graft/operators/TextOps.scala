@@ -534,9 +534,9 @@ object TextOps {
        |FROM sk GROUP BY template_fp HAVING count(*) > 1
        |ORDER BY rep_doc""".stripMargin
 
-  // --- q154: language-ID confusion audit ---------------------------------
+  // --- q151: language-ID confusion audit ---------------------------------
 
-  /** q154 — confusion matrix of the q26 language-ID heuristic against the
+  /** q151 — confusion matrix of the q26 language-ID heuristic against the
     * corpus gold labels, with per-gold-language fractions: the quality
     * audit run before trusting a classifier gate to route documents (the
     * langid analogue of q107's centroid-label confusion). Reuses q26's

@@ -508,4 +508,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(even > 0.0 && even <= 1.0 + 1e-9)
     }
   }
+
+  test("q148 lm banding: covers every doc, bands match edges, pool centers at 1") {
+    val rows = AnalyticsOps.perplexityBucket(spark, dir).collect()
+    val nDocs = graft.operators.EtlOps.t(spark, dir, "documents").count()
+    assert(rows.length == nDocs, "every document must be banded")
+    rows.foreach { r =>
+      val (rel, band) = (r.getDouble(3), r.getString(4))
+      val want =
+        if (rel < AnalyticsOps.LmBandLo) "tail"
+        else if (rel > AnalyticsOps.LmBandHi) "head"
+        else "middle"
+      assert(band == want, s"doc ${r.getLong(0)}: rel=$rel band=$band")
+    }
+    // rel is score/pooled, so the corpus must straddle 1: some docs below
+    // the pool, some above (a constant-rel corpus would mean the pooled
+    // ratio failed to discriminate at all)
+    val rels = rows.map(_.getDouble(3))
+    assert(rels.min < 1.0 && rels.max > 1.0,
+      s"rel should straddle 1, got [${rels.min}, ${rels.max}]")
+    assert(rows.map(_.getString(4)).distinct.length > 1,
+      "banding should split the corpus, not collapse to one band")
+  }
 }

@@ -469,4 +469,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     info(s"candidates ${all.size} -> ${pfx.size} " +
       f"(${100.0 * (all.size - pfx.size) / all.size}%.1f%% pruned)")
   }
+
+  test("q149 skeleton dedup: every planted template collapses; exact dedup misses all") {
+    val rows = TextOps.templateSkeleton(spark, dir).collect()
+    val nBase = EtlOps.t(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === 0).count()
+    // each base doc stamps TemplateVariants variants whose skeletons agree
+    // (differ only in the masked digit slots) — one cluster per base doc
+    assert(rows.length == nBase,
+      s"expected $nBase template clusters, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(1) == TextOps.TemplateVariants,
+        s"cluster ${r.getString(0)} has ${r.getLong(1)} docs")
+      assert(r.getLong(2) > TextOps.TemplateIdOffset,
+        "representative must be a planted variant, not a base doc")
+    }
+    // value-level exact dedup CANNOT see these: every stamped text embeds
+    // a distinct numeric slot, so raw-text fingerprints are all unique
+    val planted = (1 to TextOps.TemplateVariants).map { k =>
+      EtlOps.t(spark, dir, "documents").filter(col("doc_id") % 3 === 0)
+        .select(concat(lit("task "),
+          (col("doc_id") * 100 + k).cast("string"), lit(": "),
+          col("text")).as("text"))
+    }.reduce(_ unionAll _)
+    assert(planted.groupBy(md5(col("text"))).count()
+      .filter(col("count") > 1).count() == 0,
+      "planted variants must be invisible to exact raw-text dedup")
+  }
 }

@@ -402,4 +402,37 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q147 bm25: dense ranks per query, scores descend, formula reconciles") {
+    val rows = MlPrepOps.bm25TopK(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byTerm = rows.groupBy(_.getString(0))
+    assert(byTerm.size <= MlPrepOps.Bm25Queries)
+    byTerm.foreach { case (term, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted
+      assert(ranks.toSeq == (1L to rs.length).toSeq,
+        s"ranks not dense for $term")
+      val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(5))
+      assert(scores.length <= MlPrepOps.Bm25TopK)
+      scores.sliding(2).foreach { case Array(a, b) => assert(a >= b)
+                                  case _ => () }
+    }
+    // recompute one row's score from raw corpus stats
+    val docs = EtlOps.t(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val nDocs = docs.count()
+    val avgdl = docs.selectExpr("CAST(sum(size(toks)) AS DOUBLE)")
+      .first().getDouble(0) / nDocs
+    val r = rows.head
+    val (term, docId, tf, df) =
+      (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4))
+    val dl = docs.filter(col("doc_id") === docId)
+      .selectExpr("size(toks)").first().getInt(0).toLong
+    val idf = (nDocs - df + 0.5) / (df + 0.5)
+    val want = idf * (tf * (MlPrepOps.Bm25K1 + 1.0)) /
+      (tf + MlPrepOps.Bm25K1 *
+        (1.0 - MlPrepOps.Bm25B + MlPrepOps.Bm25B * dl / avgdl))
+    assert(math.abs(r.getDouble(5) - want) < 1e-5,
+      s"score mismatch for ($term, $docId): got ${r.getDouble(5)}, want $want")
+  }
 }
