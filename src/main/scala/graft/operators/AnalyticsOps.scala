@@ -453,6 +453,7 @@ object AnalyticsOps {
       .select(col("doc_id"),
         explode(expr(DedupOps.wordGramArrayExpr(2))).as("bigram"))
       .withColumn("w1", split(col("bigram"), " ")(0))
+      .persist() // feeds c12, c1, AND the per-doc scoring join
     val c12 = docBigrams.groupBy("bigram").agg(count(lit(1)).as("c12"))
     val c1 = docBigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = t(s, dir, "documents")
