@@ -169,6 +169,9 @@ object SparkEntry {
     "q149_template_skeleton" -> (TextOps.templateSkeleton _),
     "q150_l_diversity"       -> (CurationOps.lDiversity _),
     "q151_langid_confusion"  -> (TextOps.langIdConfusion _),
+    "q152_t_closeness"       -> (CurationOps.tCloseness _),
+    "q153_passage_chunks"    -> (TrainPrepOps.passageChunks _),
+    "q154_lsh_calibration"   -> (DedupOps.lshCalibration _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -598,6 +601,9 @@ object SparkEntry {
     "q149_template_skeleton" -> TextOps.templateSkeletonOracle,
     "q150_l_diversity" -> CurationOps.lDiversityOracle,
     "q151_langid_confusion" -> TextOps.langIdConfusionOracle(OracleGen.q26LangId),
+    "q152_t_closeness" -> CurationOps.tClosenessOracle,
+    "q153_passage_chunks" -> TrainPrepOps.passageChunksOracle,
+    "q154_lsh_calibration" -> OracleGen.q154LshCalibration,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

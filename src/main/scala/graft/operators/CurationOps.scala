@@ -400,6 +400,90 @@ object CurationOps {
        |HAVING count(DISTINCT event_type) < $DiversityL
        |ORDER BY day, k_prop""".stripMargin
 
+  // --- q152: t-closeness audit ------------------------------------------
+
+  /** Maximum allowed total-variation distance between a class's
+    * sensitive-value distribution and the corpus-wide one. */
+  val ClosenessT = 0.2
+
+  /** q152 — t-closeness audit (Li et al. 2007), completing the privacy
+    * triad over the q108/q150 equivalence classes: k-anonymity bounds
+    * class SIZE, l-diversity bounds distinct sensitive VALUES, but a
+    * class can satisfy both while its sensitive-value DISTRIBUTION is
+    * far from the corpus's (a class that is 95% 'error' events in a 20%
+    * 'error' corpus still tells an observer a lot). For the categorical
+    * sensitive attribute the t-closeness distance with the uniform
+    * ground metric is total-variation: ½·Σ|p_class(e) − p_corpus(e)|.
+    *
+    * Float determinism: the TVD numerator is computed in EXACT integer
+    * arithmetic — Σ|n_e·G − g_e·N| over DECIMAL(38,0) products (sum
+    * order can't perturb integers) — and becomes a double in ONE final
+    * division by 2·N·G, so Spark and the oracle agree bitwise. DECIMAL
+    * because at 100 TB both factors approach 2⁶³ and a BIGINT product
+    * would overflow.
+    *
+    * Scale (100 TB): one corpus-wide |E|-row aggregate (broadcast), one
+    * (class × event_type) count aggregate, and a dense completion of
+    * missing (class, e) cells by cross-joining the broadcast event-type
+    * frame — the completion is |classes|·|E| rows, NOT |events|. The
+    * report keeps only classes beyond [[ClosenessT]]. */
+  def tCloseness(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.events(s, dir)
+      .select(to_date(col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k_prop"),
+        col("event_type"))
+    val global = ev.groupBy("event_type").agg(count(lit(1)).as("g_e"))
+      .withColumn("g_tot", sum(col("g_e")).over())
+    val cls = ev.groupBy("day", "k_prop", "event_type")
+      .agg(count(lit(1)).as("n_e"))
+    val classes = cls.groupBy("day", "k_prop").agg(sum(col("n_e")).as("n_rows"))
+    val dense = classes.crossJoin(broadcast(global))
+      .join(cls, Seq("day", "k_prop", "event_type"), "left")
+      .na.fill(0L, Seq("n_e"))
+    dense
+      .withColumn("num_term",
+        abs(col("n_e").cast("decimal(38,0)") * col("g_tot") -
+          col("g_e").cast("decimal(38,0)") * col("n_rows")))
+      .groupBy("day", "k_prop")
+      .agg(max(col("n_rows")).as("n_rows"),
+        sum(col("num_term")).as("num"),
+        max(col("g_tot")).as("g_tot"))
+      .withColumn("tvd",
+        col("num").cast("double") /
+          (lit(2.0) * col("n_rows") * col("g_tot")))
+      .filter(col("tvd") > ClosenessT)
+      .select(col("day"), col("k_prop"), col("n_rows"),
+        round(col("tvd"), 6).as("tvd"))
+      .orderBy("day", "k_prop")
+  }
+
+  def tClosenessOracle: String =
+    s"""WITH ev AS (SELECT CAST(ts AS DATE) AS day,
+       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k_prop,
+       |    event_type FROM events),
+       |g AS (SELECT event_type, count(*) AS g_e,
+       |    CAST(sum(count(*)) OVER () AS BIGINT) AS g_tot
+       |  FROM ev GROUP BY event_type),
+       |cls AS (SELECT day, k_prop, event_type, count(*) AS n_e
+       |  FROM ev GROUP BY day, k_prop, event_type),
+       |classes AS (SELECT day, k_prop, CAST(sum(n_e) AS BIGINT) AS n_rows
+       |  FROM cls GROUP BY day, k_prop),
+       |dense AS (SELECT c.day, c.k_prop, c.n_rows, g.event_type, g.g_e,
+       |    g.g_tot, COALESCE(cls.n_e, 0) AS n_e
+       |  FROM classes c CROSS JOIN g
+       |  LEFT JOIN cls ON cls.day = c.day AND cls.k_prop = c.k_prop
+       |    AND cls.event_type = g.event_type),
+       |agg AS (SELECT day, k_prop, max(n_rows) AS n_rows,
+       |    sum(abs(CAST(n_e AS DECIMAL(38,0)) * g_tot -
+       |      CAST(g_e AS DECIMAL(38,0)) * n_rows)) AS num,
+       |    max(g_tot) AS g_tot
+       |  FROM dense GROUP BY day, k_prop)
+       |SELECT day, k_prop, n_rows,
+       |  round(CAST(num AS DOUBLE) / (2.0 * n_rows * g_tot), 6) AS tvd
+       |FROM agg WHERE CAST(num AS DOUBLE) / (2.0 * n_rows * g_tot)
+       |  > $ClosenessT
+       |ORDER BY day, k_prop""".stripMargin
+
   // --- q122: curation funnel datasheet ----------------------------------
 
   /** The latin-script slice of the corpus — the funnel's language gate. */

@@ -414,6 +414,83 @@ object DedupOps {
   def minhashLshCapped(s: SparkSession, dir: String): DataFrame =
     minhashLshOf(corpusNear(s, dir), bucketCap = Some(LshBucketCap))
 
+  // --- q154: LSH estimator calibration ----------------------------------
+
+  /** q154 — MinHash estimator calibration audit: for every LSH candidate
+    * pair, compare the SKETCH similarity estimate (fraction of agreeing
+    * signature components, n_agree/[[NumPerms]]) against the EXACT
+    * shingle Jaccard, bucketed by exact similarity decile. The report —
+    * per-bucket pair count, mean exact Jaccard, mean estimate, mean
+    * absolute error — is the evidence for choosing [[NumPerms]]: E[est]
+    * = J per pair (Broder), so a per-bucket gap between avg_est and
+    * avg_jaccard exposes CANDIDATE-CONDITIONING bias (pairs enter only
+    * by sharing a band, which selects for upward-fluctuating sketches
+    * at low similarity — visible here, invisible to q31's output), and
+    * avg_abs_err tracks the √(J(1−J)/k) sketch noise.
+    *
+    * Float determinism: per-pair jaccard and est are single divisions;
+    * bucket means sum exact DECIMAL(18,12) images of the per-pair
+    * doubles (order-free), then ONE double division each.
+    *
+    * Scale (100 TB): candidate-proportional like q31 itself — signatures
+    * and shingle arrays join per CANDIDATE, never all-pairs; the
+    * per-bucket aggregate is 10 rows. Zero-overlap candidates (possible
+    * only via genuine minhash collisions) are excluded on both sides. */
+  def lshCalibration(s: SparkSession, dir: String): DataFrame = {
+    val sh = shared(shingles(corpusNear(s, dir)))
+    val sigs = shared(minhashSignatures(sh))
+    val bands = lshBands(sigs)
+    val cands = bands.select(col("doc_id").as("doc_a"), col("band_idx"),
+        col("band_hash"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"),
+        col("band_hash")), Seq("band_idx", "band_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    def sigSide(side: String) = sigs.select(
+      (col("doc_id").as(s"doc_$side") +:
+        (0 until NumPerms).map(i => col(s"h$i").as(s"${side}_h$i"))): _*)
+    val agreeExpr = (0 until NumPerms).map(i =>
+      when(col(s"a_h$i") === col(s"b_h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val docSh = sh.groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("shs"))
+    val pairs = cands
+      .join(sigSide("a"), Seq("doc_a"))
+      .join(sigSide("b"), Seq("doc_b"))
+      .withColumn("n_agree", agreeExpr)
+      .select(col("doc_a"), col("doc_b"), col("n_agree"))
+      .join(docSh.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")),
+        Seq("doc_a"))
+      .join(docSh.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint")
+          .as("n_inter"),
+        size(col("sh_a")).cast("bigint").as("n_a"),
+        size(col("sh_b")).cast("bigint").as("n_b"))
+      .filter(col("n_inter") > 0)
+      .withColumn("jaccard",
+        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+    pairs
+      .withColumn("sim_bucket",
+        least(floor(col("jaccard") * 10).cast("bigint"), lit(9L)))
+      .withColumn("abs_err",
+        abs(col("n_agree") / lit(NumPerms.toDouble) - col("jaccard")))
+      .groupBy("sim_bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("jaccard").cast("decimal(18,12)")).as("sj"),
+        sum(col("n_agree")).as("sa"),
+        sum(col("abs_err").cast("decimal(18,12)")).as("se"))
+      .select(col("sim_bucket"), col("n_pairs"),
+        round(col("sj").cast("double") / col("n_pairs"), 6)
+          .as("avg_jaccard"),
+        round(col("sa").cast("double") /
+          (lit(NumPerms.toDouble) * col("n_pairs")), 6).as("avg_est"),
+        round(col("se").cast("double") / col("n_pairs"), 6)
+          .as("avg_abs_err"))
+      .orderBy("sim_bucket")
+  }
+
   /** The shared LSH near-dup pipeline over an arbitrary (doc_id, text)
     * corpus — q31 with `bucketCap = None`, q118 with the cap; the spec
     * also drives it with synthetically duplicated corpora. */

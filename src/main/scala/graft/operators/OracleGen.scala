@@ -60,9 +60,10 @@ object OracleGen {
   def fp60(x: String): String =
     s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
 
-  /** q31 (no cap) / q118 (hot buckets over `bucketCap` dropped before
-    * the pair join — mirrors DedupOps.minhashLshOf). */
-  private def minhashLshSql(bucketCap: Option[Int]): String = {
+  /** Shared LSH CTE chain — corpus → shingles → sigs → bands → cand —
+    * used by q31/q118 (with the jaccard tail) and q154 (with the
+    * calibration tail). Mirrors DedupOps.minhashLshOf. */
+  private def lshCandCtes(bucketCap: Option[Int]): String = {
     val p = DedupOps.MinhashPrime
     val x = s"${fp60("shingle")} % $p"
     val mins = (0 until DedupOps.NumPerms).map { i =>
@@ -83,7 +84,7 @@ object OracleGen {
          |""".stripMargin
     }.getOrElse("")
     val bandsSrc = if (bucketCap.isDefined) "bands0" else "bands"
-    s"""WITH $CorpusNear,
+    s"""$CorpusNear,
        |$ShingleCtes,
        |sigs AS (SELECT doc_id,
        |    $mins
@@ -93,14 +94,53 @@ object OracleGen {
        |${capCtes}cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       |   AND a.doc_id < b.doc_id),
+       |   AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** q31 (no cap) / q118 (hot buckets over `bucketCap` dropped before
+    * the pair join — mirrors DedupOps.minhashLshOf). */
+  private def minhashLshSql(bucketCap: Option[Int]): String =
+    s"""WITH ${lshCandCtes(bucketCap)},
        |${jaccardTail("0.5",
           "JOIN cand USING (doc_a, doc_b)")}""".stripMargin
-  }
 
   val q31MinhashLsh: String = minhashLshSql(None)
 
   val q118CappedLsh: String = minhashLshSql(Some(DedupOps.LshBucketCap))
+
+  /** q154 (mirrors DedupOps.lshCalibration). */
+  val q154LshCalibration: String = {
+    val agreeTerms = (0 until DedupOps.NumPerms)
+      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val np = s"${DedupOps.NumPerms}.0"
+    s"""WITH ${lshCandCtes(None)},
+       |ag AS (SELECT c.doc_a, c.doc_b, ($agreeTerms) AS n_agree
+       |  FROM cand c JOIN sigs a ON a.doc_id = c.doc_a
+       |  JOIN sigs b ON b.doc_id = c.doc_b),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT ag.doc_a, ag.doc_b, ag.n_agree,
+       |    inter.n_inter / (sa.n_sh + sb.n_sh - inter.n_inter) AS jaccard
+       |  FROM ag JOIN inter USING (doc_a, doc_b)
+       |  JOIN sizes sa ON sa.doc_id = ag.doc_a
+       |  JOIN sizes sb ON sb.doc_id = ag.doc_b),
+       |bkt AS (SELECT
+       |    least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS sim_bucket,
+       |    n_agree, jaccard, abs(n_agree / $np - jaccard) AS abs_err
+       |  FROM pairs)
+       |SELECT sim_bucket, count(*) AS n_pairs,
+       |  round(CAST(sum(CAST(jaccard AS DECIMAL(18,12))) AS DOUBLE)
+       |    / count(*), 6) AS avg_jaccard,
+       |  round(CAST(sum(n_agree) AS DOUBLE) / ($np * count(*)), 6)
+       |    AS avg_est,
+       |  round(CAST(sum(CAST(abs_err AS DECIMAL(18,12))) AS DOUBLE)
+       |    / count(*), 6) AS avg_abs_err
+       |FROM bkt GROUP BY sim_bucket ORDER BY sim_bucket""".stripMargin
+  }
 
   /** q119 (mirrors DedupOps.contamination). */
   val q119Contamination: String = {

@@ -523,6 +523,80 @@ object TrainPrepOps {
     * the corpus for any non-degenerate score). Everything else is
     * map-combinable aggregates and one broadcast of the 1000-row
     * cumulative table. */
+  // --- q153: sliding-window passage chunking ----------------------------
+
+  /** Tokens per chunk and step between chunk starts (overlap =
+    * ChunkSize − ChunkStride = 16 tokens of retrieval context). */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  /** q153 — sliding-window passage chunking, the RAG-prep transform: a
+    * retrieval index wants fixed-size overlapping passages, not whole
+    * documents, so each document explodes into chunks starting every
+    * [[ChunkStride]] tokens (the final chunk may be short; a document
+    * shorter than one chunk yields exactly one). Each chunk carries its
+    * token span and an md5 fingerprint of its joined text, and
+    * `n_dup_of` counts how many OTHER chunks in the corpus share the
+    * fingerprint — passage-granular redundancy that document-level
+    * dedup (q29) can't see: two distinct documents quoting the same
+    * passage collide here chunk-for-chunk.
+    *
+    * Scale (100 TB): chunking is a per-row generator (sequence +
+    * transform + slice inside codegen, no join, no shuffle); output is
+    * ~n_tokens/stride rows per doc — data-proportional by contract,
+    * exactly what the downstream embedder consumes. The only exchange
+    * is the fingerprint-count aggregate for `n_dup_of`, which shuffles
+    * a 16-byte key per chunk — the same cost class as exact dedup. */
+  def passageChunks(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("bigint"))
+    // chunk starts: 0, stride, 2·stride … < n_toks (always at least one)
+    val chunks = d.select(col("doc_id"), col("n_toks"),
+      posexplode(expr(
+        s"""transform(
+           |  sequence(0, greatest(0, cast(ceil((n_toks - $ChunkSize) /
+           |    cast($ChunkStride as double)) as bigint))),
+           |  i -> array_join(slice(toks, int(i) * $ChunkStride + 1,
+           |    $ChunkSize), ' '))""".stripMargin))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("start_tok",
+        col("chunk_idx").cast("bigint") * ChunkStride)
+      .withColumn("chunk_toks",
+        least(lit(ChunkSize).cast("bigint"),
+          col("n_toks") - col("start_tok")))
+      .withColumn("chunk_fp", md5(col("chunk_text")))
+    val dups = chunks.groupBy("chunk_fp").agg(count(lit(1)).as("n_fp"))
+    chunks.join(dups, "chunk_fp")
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        col("start_tok"), col("chunk_toks"), col("chunk_fp"),
+        (col("n_fp") - 1L).as("n_dup_of"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  def passageChunksOracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |starts AS (SELECT doc_id, n_toks,
+       |    unnest(range(0, CAST(greatest(0, ceil((n_toks - $ChunkSize) /
+       |      CAST($ChunkStride AS DOUBLE))) AS BIGINT) + 1)) AS chunk_idx
+       |  FROM d),
+       |ch AS (SELECT s.doc_id, s.chunk_idx,
+       |    s.chunk_idx * $ChunkStride AS start_tok,
+       |    least($ChunkSize, s.n_toks - s.chunk_idx * $ChunkStride)
+       |      AS chunk_toks,
+       |    md5(array_to_string(list_slice(d.toks,
+       |      CAST(s.chunk_idx * $ChunkStride + 1 AS BIGINT),
+       |      CAST(s.chunk_idx * $ChunkStride + $ChunkSize AS BIGINT)), ' '))
+       |      AS chunk_fp
+       |  FROM starts s JOIN d USING (doc_id)),
+       |f AS (SELECT chunk_fp, count(*) AS n_fp FROM ch GROUP BY chunk_fp)
+       |SELECT ch.doc_id, ch.chunk_idx, ch.start_tok, ch.chunk_toks,
+       |  ch.chunk_fp, f.n_fp - 1 AS n_dup_of
+       |FROM ch JOIN f USING (chunk_fp)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   def tokenBudgetSelect(s: SparkSession, dir: String): DataFrame = {
     val len = length(col("text")).cast("double")
     val alpha =

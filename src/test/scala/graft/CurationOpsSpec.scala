@@ -178,6 +178,39 @@ class CurationOpsSpec extends AnyFunSuite {
         "audit adds nothing over q108 on this fixture")
   }
 
+  test("q152 t-closeness: reported TVDs recompute exactly from raw counts") {
+    val rows = CurationOps.tCloseness(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val raw = EtlOps.events(spark, dir)
+      .select(to_date(col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k_prop"),
+        col("event_type")).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getString(2)))
+    val gTot = raw.length.toLong
+    val gCounts = raw.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(3) > CurationOps.ClosenessT &&
+        r.getDouble(3) <= 1.0 + 1e-9)
+    }
+    // recompute a handful of reported classes with BigInt arithmetic
+    rows.take(5).foreach { r =>
+      val cls = raw.filter(x =>
+        x._1 == r.getDate(0).toString && x._2 == r.getLong(1))
+      assert(cls.length == r.getLong(2))
+      val nCls = cls.length.toLong
+      val cCounts = cls.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val num = gCounts.keys.map { e =>
+        (BigInt(cCounts.getOrElse(e, 0L)) * gTot -
+          BigInt(gCounts(e)) * nCls).abs
+      }.sum
+      val want = math.round(
+        num.toDouble / (2.0 * nCls * gTot) * 1e6) / 1e6
+      assert(math.abs(r.getDouble(3) - want) < 1e-9,
+        s"class (${r.getDate(0)}, ${r.getLong(1)}): " +
+          s"got ${r.getDouble(3)}, want $want")
+    }
+  }
+
   test("q151 langid confusion: counts reconcile with q26, fracs sum to 1") {
     val rows = TextOps.langIdConfusion(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -496,4 +496,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       .filter(col("count") > 1).count() == 0,
       "planted variants must be invisible to exact raw-text dedup")
   }
+
+  test("q154 lsh calibration: tight at high sim, conditioning bias at low sim") {
+    val rows = DedupOps.lshCalibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (bkt, n, aj, ae, aerr) =>
+      assert(bkt >= 0 && bkt <= 9 && n > 0)
+      assert(aj >= 0.0 && aj <= 1.0 && ae >= 0.0 && ae <= 1.0)
+      // mean |err| dominates |mean err| (Jensen), modulo rounding
+      assert(aerr >= math.abs(ae - aj) - 1e-6, s"bucket $bkt")
+    }
+    // the planted near-dups land in the top bucket, where the sketch
+    // must be CALIBRATED: mean estimate within sketch noise of truth
+    val top = rows.filter(_._1 == 9)
+    assert(top.nonEmpty, "no high-similarity bucket — fixture broken")
+    top.foreach { case (_, _, aj, ae, _) =>
+      assert(math.abs(ae - aj) < 0.05, s"top-bucket bias: est=$ae true=$aj")
+    }
+    // every q31-verified pair with jaccard >= 0.9 is a candidate pair
+    // with n_inter > 0, so the top bucket can't have fewer pairs
+    val q31High = DedupOps.minhashLsh(spark, dir)
+      .filter(col("jaccard") >= 0.9).count()
+    assert(top.map(_._2).sum >= q31High,
+      "top calibration bucket lost q31-verified high-sim pairs")
+  }
 }

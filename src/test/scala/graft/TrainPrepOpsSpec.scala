@@ -369,4 +369,38 @@ class TrainPrepOpsSpec extends AnyFunSuite {
         assert(ps.map(_._4).sum == b, s"window $w not full")
     }
   }
+
+  test("q153 chunking: strided tiling covers every doc; dup counts self-consistent") {
+    val rows = TrainPrepOps.passageChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+    val nToks = graft.operators.EtlOps.t(spark, dir, "documents")
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._1).distinct.length == nToks.size,
+      "every document must yield at least one chunk")
+    rows.groupBy(_._1).foreach { case (docId, ch) =>
+      val sorted = ch.sortBy(_._2)
+      val n = nToks(docId)
+      // dense indices, strided starts, full-size interior chunks, and the
+      // last chunk ends exactly at the document's final token
+      sorted.zipWithIndex.foreach { case ((_, idx, start, toks, _, _), i) =>
+        assert(idx == i && start == i.toLong * TrainPrepOps.ChunkStride)
+        if (i < sorted.length - 1)
+          assert(toks == TrainPrepOps.ChunkSize, s"interior chunk short: $docId/$i")
+      }
+      val (_, _, lastStart, lastToks, _, _) = sorted.last
+      assert(lastStart + lastToks == n, s"doc $docId tail uncovered")
+      assert(lastStart < n, s"doc $docId has an empty chunk")
+      // every start before the last leaves >ChunkSize-stride overlap next
+      assert(sorted.length ==
+        1 + math.max(0, math.ceil(
+          (n - TrainPrepOps.ChunkSize).toDouble / TrainPrepOps.ChunkStride))
+            .toLong, s"doc $docId chunk count")
+    }
+    // n_dup_of reconciles with the output's own fingerprint multiplicity
+    rows.groupBy(_._5).foreach { case (_, same) =>
+      same.foreach { c => assert(c._6 == same.length - 1) }
+    }
+  }
 }
