@@ -172,6 +172,7 @@ object SparkEntry {
     "q152_t_closeness"       -> (CurationOps.tCloseness _),
     "q153_passage_chunks"    -> (TrainPrepOps.passageChunks _),
     "q154_lsh_calibration"   -> (DedupOps.lshCalibration _),
+    "q155_snapshot_ks_drift" -> (ProfileOps.snapshotKsDrift _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -604,6 +605,7 @@ object SparkEntry {
     "q152_t_closeness" -> CurationOps.tClosenessOracle,
     "q153_passage_chunks" -> TrainPrepOps.passageChunksOracle,
     "q154_lsh_calibration" -> OracleGen.q154LshCalibration,
+    "q155_snapshot_ks_drift" -> ProfileOps.snapshotKsDriftOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

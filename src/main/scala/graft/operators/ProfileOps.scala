@@ -335,6 +335,111 @@ object ProfileOps {
       |    / 1000000000.0 / 2.0, 6) AS tv_distance
       |FROM terms GROUP BY source ORDER BY source""".stripMargin
 
+  // --- q155: snapshot KS drift audit ------------------------------------
+
+  /** Two-sample KS critical coefficient at α = 0.05: the verdict flags
+    * ks > c(α)·√((nA+nB)/(nA·nB)), so the threshold ADAPTS to sample
+    * size — a fixed cutoff either fires on every small source (noise
+    * floor above it) or misses real drift on huge ones (floor far
+    * below it). */
+  val KsCritCoeff = 1.358
+
+  /** q155 — two-sample Kolmogorov–Smirnov drift audit between ingest
+    * snapshots, per source: the monitor a pipeline runs on every new
+    * crawl drop to answer "did this source's DOCUMENTS change shape
+    * since last time?" before the mixture weights (q129–q133) are
+    * trusted. The compared statistic is the per-document whitespace
+    * token count (q25's definition); the two snapshots are the halves
+    * of a deterministic salted-fingerprint split (doc_id PARITY would
+    * alias against this corpus's source = doc_id mod |sources|
+    * assignment — every source would land entirely in one half) — the
+    * same-distribution NULL case, so the expected KS here is the
+    * sampling noise floor (~√((nA+nB)/(nA·nB))), and the spec asserts
+    * the no-drift verdict. Against a REAL pair of snapshots the split
+    * column is the ingest date. Complements q126: that flags a source unlike the corpus
+    * MIXTURE (token mass), this flags a source unlike its OWN PAST
+    * (document shape).
+    *
+    * Parity: KS needs a supremum over the pooled CDF gap — a global
+    * sort in principle. Here it is one window cumsum over the
+    * per-(source, tok-count) GRID (|distinct counts| rows, not |docs|),
+    * and the gap stays in EXACT integers: at each distinct value
+    * sup|F_A−F_B| ∝ |cumA·nB − cumB·nA| (common denominator nA·nB), so
+    * the max is over bigints and the ONLY division is the final
+    * normalize. At 100 TB the products need DECIMAL(38,0) (nA,nB can
+    * pass 2³¹·²); here bigint headroom is ample.
+    *
+    * Scale (100 TB): one map-combinable (source, toks) count aggregate,
+    * then window work over the value grid per source — the heavy
+    * stream never sorts. */
+  def snapshotKsDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val d = t(s, dir, "documents").select(col("source"),
+      TextOps.wsTokenCount(col("text")).as("toks"),
+      (TextOps.md5Fingerprint60(
+        concat(lit("ks:"), col("doc_id").cast("string"))) % 2 === 0)
+        .as("in_a"))
+    val grid = d.groupBy("source", "toks")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("a_cnt"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("b_cnt"))
+    val w = Window.partitionBy("source").orderBy("toks")
+    val wAll = Window.partitionBy("source")
+    grid
+      .withColumn("cum_a", sum(col("a_cnt")).over(w))
+      .withColumn("cum_b", sum(col("b_cnt")).over(w))
+      .withColumn("n_a", sum(col("a_cnt")).over(wAll))
+      .withColumn("n_b", sum(col("b_cnt")).over(wAll))
+      .withColumn("gap",
+        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+      .groupBy("source")
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(col("gap")).as("max_gap"))
+      .withColumn("ks",
+        col("max_gap").cast("double") / (col("n_a") * col("n_b")))
+      .withColumn("ks_crit",
+        lit(KsCritCoeff) *
+          sqrt((col("n_a") + col("n_b")) / (col("n_a") * col("n_b"))))
+      .select(col("source"), col("n_a"), col("n_b"),
+        round(col("ks"), 6).as("ks"),
+        round(col("ks_crit"), 6).as("ks_crit"),
+        (col("ks") > col("ks_crit")).as("drifted"))
+      .orderBy("source")
+  }
+
+  /** q155 oracle — same grid, same integer gap, same single division. */
+  def snapshotKsDriftOracle: String =
+    s"""WITH d AS (SELECT source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS toks,
+       |    CAST('0x' || substr(md5('ks:' || CAST(doc_id AS VARCHAR)), 1, 15)
+       |      AS BIGINT) % 2 = 0 AS in_a
+       |  FROM documents),
+       |grid AS (SELECT source, toks,
+       |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+       |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b_cnt
+       |  FROM d GROUP BY source, toks),
+       |c AS (SELECT source, toks,
+       |    CAST(sum(a_cnt) OVER (PARTITION BY source ORDER BY toks
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_a,
+       |    CAST(sum(b_cnt) OVER (PARTITION BY source ORDER BY toks
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_b,
+       |    CAST(sum(a_cnt) OVER (PARTITION BY source) AS BIGINT) AS n_a,
+       |    CAST(sum(b_cnt) OVER (PARTITION BY source) AS BIGINT) AS n_b
+       |  FROM grid),
+       |g AS (SELECT source, max(n_a) AS n_a, max(n_b) AS n_b,
+       |    max(abs(cum_a * n_b - cum_b * n_a)) AS max_gap
+       |  FROM c GROUP BY source)
+       |SELECT source, n_a, n_b,
+       |  round(CAST(max_gap AS DOUBLE) / (n_a * n_b), 6) AS ks,
+       |  round($KsCritCoeff * sqrt((n_a + n_b) / (n_a * n_b)), 6)
+       |    AS ks_crit,
+       |  CAST(max_gap AS DOUBLE) / (n_a * n_b) >
+       |    $KsCritCoeff * sqrt((n_a + n_b) / (n_a * n_b)) AS drifted
+       |FROM g ORDER BY source""".stripMargin
+
   // --- q140: Neyman-allocation sampling design --------------------------
 
   /** Total sample size the allocation distributes. */

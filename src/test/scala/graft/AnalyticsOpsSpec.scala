@@ -530,4 +530,39 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getString(4)).distinct.length > 1,
       "banding should split the corpus, not collapse to one band")
   }
+
+  test("q155 ks drift: null split stays under the critical value; ks recomputes") {
+    val rows = graft.operators.ProfileOps.snapshotKsDrift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ks, crit, drifted) =
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+      assert(ks >= 0.0 && ks <= 1.0 && crit > 0.0)
+      // verdict consistent with the published (rounded) numbers
+      if (drifted) assert(ks >= crit - 1e-6) else assert(ks <= crit + 1e-6)
+    }
+    // fingerprint halves are same-distribution, so at α=0.05 only ~5% of
+    // sources may flag; allow generous binomial slack
+    val flagged = rows.count(_.getBoolean(5))
+    assert(flagged <= math.max(2, rows.length / 4),
+      s"$flagged/${rows.length} sources flagged on a null split")
+    // recompute one source's KS with a driver-side reference
+    val r0 = rows.head
+    val docs = graft.operators.EtlOps.t(spark, dir, "documents")
+      .filter(col("source") === r0.getString(0))
+      .select(graft.operators.TextOps.wsTokenCount(col("text")).as("toks"),
+        (graft.operators.TextOps.md5Fingerprint60(
+          concat(lit("ks:"), col("doc_id").cast("string"))) % 2 === 0)
+          .as("in_a"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val a = docs.filter(_._2).map(_._1).sorted
+    val b = docs.filterNot(_._2).map(_._1).sorted
+    assert(a.length == r0.getLong(1) && b.length == r0.getLong(2))
+    val ksRef = (a ++ b).distinct.map { x =>
+      math.abs(a.count(_ <= x).toDouble / a.length -
+        b.count(_ <= x).toDouble / b.length)
+    }.max
+    assert(math.abs(r0.getDouble(3) - ksRef) < 1e-5,
+      s"ks mismatch for ${r0.getString(0)}: ${r0.getDouble(3)} vs $ksRef")
+  }
 }
