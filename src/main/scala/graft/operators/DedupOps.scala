@@ -432,14 +432,27 @@ object DedupOps {
     * bucket means sum exact DECIMAL(18,12) images of the per-pair
     * doubles (order-free), then ONE double division each.
     *
-    * Scale (100 TB): candidate-proportional like q31 itself — signatures
-    * and shingle arrays join per CANDIDATE, never all-pairs; the
-    * per-bucket aggregate is 10 rows. Zero-overlap candidates (possible
-    * only via genuine minhash collisions) are excluded on both sides. */
+    * Scale (100 TB): candidate-proportional over the PRODUCTION
+    * candidate set — q118's hot-bucket-capped generation, not q31's
+    * uncapped one. The cap is load-bearing here, not cosmetic: on a
+    * duplicated corpus identical texts share identical signatures, so
+    * uncapped band buckets grow linearly with duplication and candidate
+    * PAIRS quadratically (measured: the uncapped form ran minutes at
+    * the synthetic 100× while every capped query stayed seconds).
+    * Auditing the capped set is also what production wants — the
+    * estimator is only ever acted on through capped candidates.
+    * Signatures and shingle arrays join per candidate, never all-pairs;
+    * the per-bucket aggregate is 10 rows. Zero-overlap candidates
+    * (possible only via genuine minhash collisions) are excluded on
+    * both sides. */
   def lshCalibration(s: SparkSession, dir: String): DataFrame = {
     val sh = shared(shingles(corpusNear(s, dir)))
     val sigs = shared(minhashSignatures(sh))
-    val bands = lshBands(sigs)
+    val bandsAll = lshBands(sigs)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_idx", "band_hash")
+    val bands = bandsAll.withColumn("bsz", count(lit(1)).over(w))
+      .filter(col("bsz") <= LshBucketCap).drop("bsz")
     val cands = bands.select(col("doc_id").as("doc_a"), col("band_idx"),
         col("band_hash"))
       .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"),

@@ -108,13 +108,13 @@ object OracleGen {
 
   val q118CappedLsh: String = minhashLshSql(Some(DedupOps.LshBucketCap))
 
-  /** q154 (mirrors DedupOps.lshCalibration). */
+  /** q154 (mirrors DedupOps.lshCalibration — CAPPED candidate set). */
   val q154LshCalibration: String = {
     val agreeTerms = (0 until DedupOps.NumPerms)
       .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
       .mkString(" + ")
     val np = s"${DedupOps.NumPerms}.0"
-    s"""WITH ${lshCandCtes(None)},
+    s"""WITH ${lshCandCtes(Some(DedupOps.LshBucketCap))},
        |ag AS (SELECT c.doc_a, c.doc_b, ($agreeTerms) AS n_agree
        |  FROM cand c JOIN sigs a ON a.doc_id = c.doc_a
        |  JOIN sigs b ON b.doc_id = c.doc_b),
