@@ -320,4 +320,44 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(!p.contains("Exchange SinglePartition"),
       s"a window or aggregate collapsed to one partition:\n${p.take(1800)}")
   }
+
+  test("bm25 broadcasts the query set and corpus stats; top-k limits before the shuffle") {
+    // AQE's pre-execution string hides final join modes — pin the
+    // static plan the way PlanAudit does
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try plan(MlPrepOps.bm25TopK(spark, dir))
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2 &&
+      p.contains("BroadcastNestedLoopJoin"),
+      s"query set / stats not broadcast:\n${p.take(1800)}")
+    // Spark's WindowGroupLimit must prune to top-k map-side (Partial)
+    // before the per-term exchange — the property that keeps the window
+    // df-bounded instead of corpus-bounded
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"top-k not limited before the shuffle:\n${p.take(1800)}")
+  }
+
+  test("passage chunking pays one fingerprint exchange and no sort of the doc stream") {
+    val p = plan(TrainPrepOps.passageChunks(spark, dir))
+    // chunk generation is a generator projection; the only hash exchange
+    // is the chunk_fp dup-count aggregate (plus the output sort's range)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"chunking gained an exchange:\n${p.take(1800)}")
+    assert(p.contains("Generate"), "chunk generator left the plan")
+  }
+
+  test("ks drift cumsums stay source-partitioned: no single-partition window") {
+    val p = plan(ProfileOps.snapshotKsDrift(spark, dir))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a KS window collapsed to one partition:\n${p.take(1800)}")
+  }
+
+  test("lsh calibration candidates come from the CAPPED band stream") {
+    // the bucket-size window (count over band_idx, band_hash) must sit
+    // upstream of the candidate self-join — it is the quadratic-growth
+    // guard the 100x run proved load-bearing
+    val p = plan(DedupOps.lshCalibration(spark, dir))
+    assert(p.contains("windowspecdefinition(band_idx"),
+      s"bucket-cap window missing from calibration plan:\n${p.take(1800)}")
+  }
 }
