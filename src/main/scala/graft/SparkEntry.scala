@@ -173,6 +173,7 @@ object SparkEntry {
     "q153_passage_chunks"    -> (TrainPrepOps.passageChunks _),
     "q154_lsh_calibration"   -> (DedupOps.lshCalibration _),
     "q155_snapshot_ks_drift" -> (ProfileOps.snapshotKsDrift _),
+    "q156_dedup_method_venn" -> (DedupOps.dedupMethodVenn _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -606,6 +607,7 @@ object SparkEntry {
     "q153_passage_chunks" -> TrainPrepOps.passageChunksOracle,
     "q154_lsh_calibration" -> OracleGen.q154LshCalibration,
     "q155_snapshot_ks_drift" -> ProfileOps.snapshotKsDriftOracle,
+    "q156_dedup_method_venn" -> OracleGen.q156DedupMethodVenn,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

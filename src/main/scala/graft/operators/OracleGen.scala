@@ -142,6 +142,81 @@ object OracleGen {
        |FROM bkt GROUP BY sim_bucket ORDER BY sim_bucket""".stripMargin
   }
 
+  /** q156 (mirrors DedupOps.dedupMethodVenn): the three detector pair
+    * streams over the SAME corpus — each with its production hot-bucket
+    * guard replayed — collapsed to the membership Venn. Containment
+    * states the blocking-defined rule (prefix filter is the lossless
+    * Spark-side optimization, as in q146). */
+  lazy val q156DedupMethodVenn: String = { // lazy: uses vals declared below
+    val bandW = DedupOps.SimhashBits / DedupOps.SimhashBands
+    val simCapped =
+      s"""WITH $CorpusNear,
+         |  tokens AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |    FROM corpus),
+         |  th AS (SELECT doc_id, ${fp60("tok")} AS th FROM tokens),
+         |  votes AS (SELECT doc_id,
+         |    ${(0 until DedupOps.SimhashBits).map { b =>
+               s"sum(CASE WHEN (th >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b"
+             }.mkString(",\n    ")}
+         |  FROM th GROUP BY doc_id),
+         |  sigs AS (SELECT doc_id,
+         |    ${(0 until DedupOps.SimhashBits).map { b =>
+               s"(CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+             }.mkString(" + ")} AS simhash FROM votes),
+         |  sbands AS (SELECT doc_id, simhash, band_idx,
+         |      (simhash >> (band_idx * $bandW)) & ${(1L << bandW) - 1}
+         |        AS band_val
+         |    FROM sigs CROSS JOIN (SELECT unnest(range(0,
+         |      ${DedupOps.SimhashBands})) AS band_idx)),
+         |  sbsz AS (SELECT band_idx, band_val, count(*) AS n FROM sbands
+         |    GROUP BY 1, 2),
+         |  sb AS (SELECT sbands.* FROM sbands
+         |    JOIN sbsz USING (band_idx, band_val)
+         |    WHERE sbsz.n <= ${DedupOps.LshBucketCap})
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sb a JOIN sb b ON a.band_idx = b.band_idx
+         |    AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash))
+         |    <= ${DedupOps.SimhashMaxHamming}""".stripMargin
+    s"""WITH mh AS (SELECT doc_a, doc_b FROM ($q118CappedLsh) x),
+       |sim AS (SELECT doc_a, doc_b FROM ($simCapped) y),
+       |cont AS (SELECT doc_a, doc_b FROM (
+       |  WITH $CorpusNear,
+       |  $ShingleCtes,
+       |  blk AS (SELECT shingle, list_sort(list(doc_id)) AS ds FROM sh
+       |    GROUP BY shingle
+       |    HAVING count(*) BETWEEN 2 AND ${DedupOps.RareShingleDf}),
+       |  cand AS (SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b FROM (
+       |    SELECT unnest(flatten(list_transform(ds, (a, i) ->
+       |      list_transform(ds[i + 1:], b -> {'doc_a': a, 'doc_b': b}))))
+       |      AS p FROM blk)),
+       |  sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |  inter AS (
+       |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |    FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |      AND a.doc_id < b.doc_id
+       |    JOIN cand ON cand.doc_a = a.doc_id AND cand.doc_b = b.doc_id
+       |    GROUP BY 1, 2)
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b
+       |  WHERE CAST(n_inter AS DOUBLE)
+       |    / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE)
+       |    >= ${DedupOps.ContainmentTheta}) z),
+       |t AS (SELECT doc_a, doc_b, 'm' AS src FROM mh
+       |  UNION ALL SELECT doc_a, doc_b, 's' FROM sim
+       |  UNION ALL SELECT doc_a, doc_b, 'c' FROM cont),
+       |f AS (SELECT doc_a, doc_b,
+       |    max(CASE WHEN src = 'm' THEN 1 ELSE 0 END) = 1 AS in_minhash,
+       |    max(CASE WHEN src = 's' THEN 1 ELSE 0 END) = 1 AS in_simhash,
+       |    max(CASE WHEN src = 'c' THEN 1 ELSE 0 END) = 1
+       |      AS in_containment
+       |  FROM t GROUP BY doc_a, doc_b)
+       |SELECT in_minhash, in_simhash, in_containment,
+       |  count(*) AS n_pairs
+       |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
   /** q119 (mirrors DedupOps.contamination). */
   val q119Contamination: String = {
     val n = DedupOps.ContamGramN

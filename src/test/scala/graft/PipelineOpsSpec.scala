@@ -522,4 +522,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(top.map(_._2).sum >= q31High,
       "top calibration bucket lost q31-verified high-sim pairs")
   }
+
+  test("q156 venn: marginals reconcile with the three standalone detectors") {
+    val cells = DedupOps.dedupMethodVenn(spark, dir).collect()
+      .map(r => ((r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)),
+        r.getLong(3))).toMap
+    assert(cells.nonEmpty && !cells.contains((false, false, false)))
+    def marginal(pick: ((Boolean, Boolean, Boolean)) => Boolean) =
+      cells.collect { case (k, n) if pick(k) => n }.sum
+    assert(marginal(_._1) == DedupOps.minhashLshCapped(spark, dir).count(),
+      "minhash marginal drifted from the capped q118 stream")
+    assert(marginal(_._2) ==
+      DedupOps.simhashPairsOf(spark, dir, Some(DedupOps.LshBucketCap)).count(),
+      "simhash marginal drifted from the capped band stream")
+    // the corpusNear plants (doc minus its first word) are near-identical,
+    // so the all-three cell must dominate every disagreement cell
+    val allThree = cells.getOrElse((true, true, true), 0L)
+    assert(allThree > 0 && cells.forall { case (k, n) =>
+      k == ((true, true, true)) || n <= allThree },
+      s"agreement cell not dominant: $cells")
+  }
 }
