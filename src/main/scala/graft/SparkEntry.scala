@@ -174,6 +174,7 @@ object SparkEntry {
     "q154_lsh_calibration"   -> (DedupOps.lshCalibration _),
     "q155_snapshot_ks_drift" -> (ProfileOps.snapshotKsDrift _),
     "q156_dedup_method_venn" -> (DedupOps.dedupMethodVenn _),
+    "q157_dp_release"        -> (CurationOps.dpRelease _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -608,6 +609,7 @@ object SparkEntry {
     "q154_lsh_calibration" -> OracleGen.q154LshCalibration,
     "q155_snapshot_ks_drift" -> ProfileOps.snapshotKsDriftOracle,
     "q156_dedup_method_venn" -> OracleGen.q156DedupMethodVenn,
+    "q157_dp_release" -> CurationOps.dpReleaseOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -484,6 +484,81 @@ object CurationOps {
        |  > $ClosenessT
        |ORDER BY day, k_prop""".stripMargin
 
+  // --- q157: differential-privacy histogram release ---------------------
+
+  /** The two release budgets; sequential composition spends their sum. */
+  val DpEpsA = 0.5
+  val DpEpsB = 2.0
+
+  /** q157 — Laplace-mechanism histogram release (Dwork et al. 2006) over
+    * the (event_type, day) count table, the mechanism a pipeline uses to
+    * publish usage statistics about a training corpus without exposing
+    * individual rows: each released count is the true count plus
+    * Laplace(Δ/ε) noise (sensitivity Δ = 1 for a counting query). Two
+    * releases at ε = [[DpEpsA]] and [[DpEpsB]] are published together
+    * with the sequential-composition ledger (`cum_eps` = their sum) —
+    * the tight release is ~4× noisier, which the output shows cell by
+    * cell.
+    *
+    * Determinism: the Laplace draw is inverse-CDF over a deterministic
+    * per-(release, cell) uniform — the salted 60-bit md5 fingerprint
+    * scaled by 2⁻⁶⁰ (the repo's standard portable-randomness
+    * construction) — so both engines draw the SAME noise; the ln value
+    * freezes to ×10⁶ fixed point (q142's discipline) before the single
+    * final division. A real deployment swaps the salt for a secret
+    * per-release seed; the mechanism is otherwise exactly this.
+    *
+    * Scale (100 TB): one count aggregate over the release key; noise is
+    * a per-row codegen'd expression on the |cells|-sized result — the
+    * privacy layer adds zero exchanges. */
+  def dpRelease(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val cells = EtlOps.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n_true"))
+    def release(tag: String, eps: Double) = cells
+      .withColumn("release", lit(tag))
+      .withColumn("eps", lit(eps))
+      .withColumn("u", expr(
+        s"CAST(md5_fp60(concat('$tag:', event_type, ':', " +
+          "CAST(day AS STRING))) AS DOUBLE) / 1152921504606846976.0"))
+      .withColumn("noise", expr(
+        s"CAST(floor((-(1.0 / $eps)) * sign(u - 0.5) * " +
+          "ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-12)) * 1000000.0) " +
+          // explicit double divisor: Spark would otherwise type the
+          // 1e6 literal DECIMAL and make the whole column decimal,
+          // while DuckDB's `/` is always float division
+          "AS BIGINT) / CAST(1000000.0 AS DOUBLE)"))
+      .withColumn("n_released",
+        round(col("n_true") + col("noise"), 6))
+    release("dpA", DpEpsA).unionAll(release("dpB", DpEpsB))
+      .select(col("release"), col("eps"), col("event_type"), col("day"),
+        col("n_true"), round(col("noise"), 6).as("noise"),
+        col("n_released"), lit(DpEpsA + DpEpsB).as("cum_eps"))
+      .orderBy("release", "event_type", "day")
+  }
+
+  def dpReleaseOracle: String = {
+    def rel(tag: String, eps: Double) =
+      s"""SELECT '$tag' AS release, CAST($eps AS DOUBLE) AS eps,
+         |  event_type, day, n_true,
+         |  CAST(floor((-(1.0 / $eps)) * sign(u - 0.5) *
+         |    ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-12)) * 1000000.0)
+         |    AS BIGINT) / 1000000.0 AS noise
+         |FROM (SELECT event_type, day, n_true,
+         |  CAST(CAST('0x' || substr(md5('$tag:' || event_type || ':' ||
+         |    CAST(day AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+         |    / 1152921504606846976.0 AS u FROM cells)""".stripMargin
+    s"""WITH cells AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |    count(*) AS n_true FROM events GROUP BY event_type, day),
+       |r AS (${rel("dpA", DpEpsA)}
+       |UNION ALL ${rel("dpB", DpEpsB)})
+       |SELECT release, eps, event_type, day, n_true,
+       |  round(noise, 6) AS noise, round(n_true + noise, 6) AS n_released,
+       |  CAST(${DpEpsA + DpEpsB} AS DOUBLE) AS cum_eps
+       |FROM r ORDER BY release, event_type, day""".stripMargin
+  }
+
   // --- q122: curation funnel datasheet ----------------------------------
 
   /** The latin-script slice of the corpus — the funnel's language gate. */

@@ -211,6 +211,37 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q157 dp release: noise is Laplace-calibrated and recomputes from the salt") {
+    val rows = CurationOps.dpRelease(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the release is exactly true + noise, and the ledger is the sum
+      assert(math.abs(r.getDouble(6) -
+        math.round((r.getLong(4) + r.getDouble(5)) * 1e6) / 1e6) < 1e-9)
+      assert(r.getDouble(7) == CurationOps.DpEpsA + CurationOps.DpEpsB)
+    }
+    // mean |noise| tracks the Laplace MAE 1/eps per release
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val eps = rs.head.getDouble(1)
+      val mae = rs.map(r => math.abs(r.getDouble(5))).sum / rs.length
+      assert(mae > 0.45 / eps && mae < 2.2 / eps,
+        s"eps=$eps mean|noise|=$mae not Laplace-calibrated")
+    }
+    // recompute a few draws from the salted fingerprint directly
+    rows.take(3).foreach { r =>
+      val cell = s"${r.getString(0)}:${r.getString(2)}:${r.getDate(3)}"
+      val u = spark.sql(
+        s"SELECT CAST(md5_fp60('$cell') AS DOUBLE) / 1152921504606846976.0")
+        .first().getDouble(0)
+      val x = u - 0.5
+      val raw = -(1.0 / r.getDouble(1)) * math.signum(x) *
+        math.log(math.max(1.0 - 2.0 * math.abs(x), 1e-12))
+      val want = math.floor(raw * 1e6) / 1e6
+      assert(math.abs(r.getDouble(5) - want) < 1e-9,
+        s"noise mismatch for $cell: ${r.getDouble(5)} vs $want")
+    }
+  }
+
   test("q151 langid confusion: counts reconcile with q26, fracs sum to 1") {
     val rows = TextOps.langIdConfusion(spark, dir).collect()
     assert(rows.nonEmpty)
