@@ -175,6 +175,7 @@ object SparkEntry {
     "q155_snapshot_ks_drift" -> (ProfileOps.snapshotKsDrift _),
     "q156_dedup_method_venn" -> (DedupOps.dedupMethodVenn _),
     "q157_dp_release"        -> (CurationOps.dpRelease _),
+    "q158_bootstrap_ci"      -> (ProfileOps.bootstrapCi _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -610,6 +611,7 @@ object SparkEntry {
     "q155_snapshot_ks_drift" -> ProfileOps.snapshotKsDriftOracle,
     "q156_dedup_method_venn" -> OracleGen.q156DedupMethodVenn,
     "q157_dp_release" -> CurationOps.dpReleaseOracle,
+    "q158_bootstrap_ci" -> ProfileOps.bootstrapCiOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -440,6 +440,104 @@ object ProfileOps {
        |    $KsCritCoeff * sqrt((n_a + n_b) / (n_a * n_b)) AS drifted
        |FROM g ORDER BY source""".stripMargin
 
+  // --- q158: distributed bootstrap confidence intervals ------------------
+
+  /** Bootstrap replicates per group. */
+  val BootB = 32
+
+  /** q158 — distributed bootstrap confidence intervals for the
+    * per-source mean document length: the error bars a corpus datasheet
+    * should carry before anyone compares two sources' means. Classic
+    * resampling needs a per-replicate multinomial draw over N rows —
+    * undistributable — so this uses the weighted (Bayesian/Poisson-
+    * style) bootstrap: replicate b reweights every document by
+    * w = −ln(u_{doc,b}) (Exp(1), so the weight vector is Dirichlet
+    * up to normalization) with u the salted-fingerprint deterministic
+    * uniform, and the CI is read off the [[BootB]] replicate means —
+    * reported as the 2nd-smallest and 2nd-largest (a ~94% interval at
+    * B = 32).
+    *
+    * Determinism: weights freeze to ×10⁶ fixed point, so Σw·x and Σw
+    * are exact integer sums (x = n_chars is integral); each replicate
+    * mean is ONE double division, the rank pick is integer, and the
+    * across-replicate mean freezes the same way. At 100 TB the Σw·x
+    * products want DECIMAL(38,0) headroom.
+    *
+    * Scale (100 TB): the corpus is read ONCE and exploded ×B inside
+    * codegen (a generator, no join); one (source, b) aggregate — B·
+    * |sources| groups — then window work over that tiny frame. This is
+    * the standard way to put error bars on anything map-combinable
+    * without a second pass. */
+  def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val reps = t(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        explode(expr(s"sequence(0, ${BootB - 1})")).as("b"))
+      .withColumn("w_fp", expr(
+        "CAST(floor(-ln(greatest(CAST(md5_fp60(concat('bs:', " +
+          "CAST(b AS STRING), ':', CAST(doc_id AS STRING))) AS DOUBLE) " +
+          "/ 1152921504606846976.0, 1e-12)) * 1000000.0) AS BIGINT)"))
+      .groupBy("source", "b")
+      .agg(sum(col("w_fp") * col("n_chars")).as("swx"),
+        sum(col("w_fp")).as("sw"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sx"))
+      .withColumn("boot_mean",
+        col("swx").cast("double") / col("sw").cast("double"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("boot_mean"), col("b"))
+    reps.withColumn("rk", row_number().over(w))
+      .withColumn("mean_fp",
+        expr("CAST(floor(boot_mean * 1000000.0) AS BIGINT)"))
+      .groupBy("source")
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("sx")).as("sx"),
+        round(expr(s"CAST(sum(mean_fp) AS DOUBLE) / $BootB / 1000000.0"),
+          6).as("boot_mean"),
+        round(max(when(col("rk") === 2, col("boot_mean"))), 6).as("ci_lo"),
+        round(max(when(col("rk") === BootB - 1, col("boot_mean"))), 6)
+          .as("ci_hi"))
+      .select(col("source"), col("n_docs"),
+        round(col("sx").cast("double") / col("n_docs"), 6)
+          .as("point_mean"),
+        col("boot_mean"), col("ci_lo"), col("ci_hi"))
+      .orderBy("source")
+  }
+
+  /** q158 oracle — same weights, same fixed-point sums, same rank pick. */
+  def bootstrapCiOracle: String =
+    s"""WITH d AS (SELECT source, doc_id, n_chars FROM documents),
+       |reps AS (SELECT source, doc_id, n_chars, b FROM d
+       |  CROSS JOIN (SELECT unnest(range(0, $BootB)) AS b)),
+       |wts AS (SELECT source, b, n_chars,
+       |    CAST(floor(-ln(greatest(CAST(CAST('0x' || substr(md5('bs:' ||
+       |      CAST(b AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 15)
+       |      AS BIGINT) AS DOUBLE) / 1152921504606846976.0, 1e-12))
+       |      * 1000000.0) AS BIGINT) AS w_fp
+       |  FROM reps),
+       |agg AS (SELECT source, b,
+       |    CAST(sum(w_fp * n_chars) AS BIGINT) AS swx,
+       |    CAST(sum(w_fp) AS BIGINT) AS sw,
+       |    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sx
+       |  FROM wts GROUP BY source, b),
+       |m AS (SELECT source, b, n_docs, sx,
+       |    CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) AS boot_mean
+       |  FROM agg),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY boot_mean, b) AS rk,
+       |    CAST(floor(boot_mean * 1000000.0) AS BIGINT) AS mean_fp
+       |  FROM m)
+       |SELECT source, max(n_docs) AS n_docs,
+       |  round(CAST(max(sx) AS DOUBLE) / max(n_docs), 6) AS point_mean,
+       |  round(CAST(sum(mean_fp) AS DOUBLE) / $BootB / 1000000.0, 6)
+       |    AS boot_mean,
+       |  round(max(CASE WHEN rk = 2 THEN boot_mean END), 6) AS ci_lo,
+       |  round(max(CASE WHEN rk = ${BootB - 1} THEN boot_mean END), 6)
+       |    AS ci_hi
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   // --- q140: Neyman-allocation sampling design --------------------------
 
   /** Total sample size the allocation distributes. */

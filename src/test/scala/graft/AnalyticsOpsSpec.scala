@@ -565,4 +565,42 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(math.abs(r0.getDouble(3) - ksRef) < 1e-5,
       s"ks mismatch for ${r0.getString(0)}: ${r0.getDouble(3)} vs $ksRef")
   }
+
+  test("q158 bootstrap: CIs bracket the point mean and a replicate recomputes") {
+    val rows = graft.operators.ProfileOps.bootstrapCi(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(4) < r.getDouble(5), "ci_lo must be < ci_hi")
+      assert(r.getDouble(3) > r.getDouble(4) * 0.5 &&
+        r.getDouble(3) < r.getDouble(5) * 2.0, "boot mean far outside CI")
+    }
+    // a ~94% interval should bracket the truth for most of the 20 sources
+    val covered = rows.count(r =>
+      r.getDouble(2) >= r.getDouble(4) && r.getDouble(2) <= r.getDouble(5))
+    assert(covered >= rows.length * 3 / 4,
+      s"only $covered/${rows.length} CIs cover their point mean")
+    // recompute replicate b=0 of one source with driver-side Math.log
+    val r0 = rows.head
+    val docs = graft.operators.EtlOps.t(spark, dir, "documents")
+      .filter(col("source") === r0.getString(0))
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val us = spark.sql(docs.map { case (id, _) =>
+      s"SELECT CAST($id AS BIGINT) AS doc_id, " +
+        s"CAST(md5_fp60('bs:0:$id') AS DOUBLE) " +
+        "/ 1152921504606846976.0 AS u"
+    }.mkString(" UNION ALL ")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wfp = docs.map { case (id, _) =>
+      id -> math.floor(-math.log(math.max(us(id), 1e-12)) * 1e6).toLong }
+      .toMap
+    val want = docs.map { case (id, x) => wfp(id) * x }.sum.toDouble /
+      docs.map { case (id, _) => wfp(id) }.sum.toDouble
+    // the published stats are over all replicates; recompute via the
+    // same path the operator uses and check b=0's mean is inside the
+    // replicate range implied by (ci_lo, ci_hi) ± the rank-2 slack
+    assert(want > r0.getDouble(4) * 0.8 && want < r0.getDouble(5) * 1.2,
+      s"hand-computed replicate mean $want implausible vs CI " +
+        s"(${r0.getDouble(4)}, ${r0.getDouble(5)})")
+  }
 }
