@@ -277,10 +277,24 @@ object Bench {
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     def obj3(kv: Seq[(String, Double)]): String =
       kv.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val top20 = rows.filter(_._4 >= 0).sortBy(-_._4).take(20)
+    // Round-9 fix: the top-20 is selected and sorted by raw MIN, not
+    // median. The min is the noise-robust estimator of sustained plan
+    // cost (class doc); on a loaded driver host a median-sorted top-20
+    // promoted six 1-scan ETL queries into the permanent cross-round
+    // record (BENCH_r08 q04/q21-q24/q107 — all re-measured at <2s steady
+    // state). A query whose median is >2× its own min inside one run was
+    // load-spiked, not regressed — those are named in `load_spiked` so a
+    // cross-round diff starts from the flag, not from triage.
+    val top20 = rows.filter(_._2 >= 0).sortBy(-_._2).take(20)
+    val top20MinObj = obj3(top20.map(r => (r._1, r._2)))
     val top20Obj = obj3(top20.map(r => (r._1, r._4)))
     val top20RawObj = obj3(top20.map(r => (r._1, r._5)))
-    println(s"""{"metric":"summary","unit":"sec","sf":"$sfDir","n_queries":${rows.size},"total_raw_min":${r3(total)},"total_raw_median":${r3(totalRawMed)},"total_calibrated_min":${r3(totalCal)},"total_calibrated_median":${r3(totalCalMed)},"calib_median":${r3(calibMed)},"shuffle_calib_median":${r3(shufMed)},"plan_calib_median":${r3(planMed)},"calib_scale":${r3(scale)},"alu_skew":${r3(aluSkew)},"shuffle_skew":${r3(shufSkew)},"plan_skew":${r3(planSkew)},"calib_flags":$calibFlags,"top20_calibrated_median":$top20Obj,"top20_raw_median":$top20RawObj}""")
+    val loadSpiked = rows
+      .filter(r => r._2 > 0 && r._5 / r._2 > 2.0)
+      .sortBy(r => -(r._5 / r._2))
+      .map(r => "\"" + r._1 + "\":" + r3(r._5 / r._2))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"summary","unit":"sec","sf":"$sfDir","n_queries":${rows.size},"total_raw_min":${r3(total)},"total_raw_median":${r3(totalRawMed)},"total_calibrated_min":${r3(totalCal)},"total_calibrated_median":${r3(totalCalMed)},"calib_median":${r3(calibMed)},"shuffle_calib_median":${r3(shufMed)},"plan_calib_median":${r3(planMed)},"calib_scale":${r3(scale)},"alu_skew":${r3(aluSkew)},"shuffle_skew":${r3(shufSkew)},"plan_skew":${r3(planSkew)},"calib_flags":$calibFlags,"top20_raw_min":$top20MinObj,"top20_calibrated_median":$top20Obj,"top20_raw_median":$top20RawObj,"load_spiked":$loadSpiked}""")
     spark.stop()
   }
 }

@@ -382,7 +382,13 @@ object CurationOps {
   def lDiversity(s: SparkSession, dir: String): DataFrame =
     EtlOps.events(s, dir)
       .select(col("event_type"), to_date(col("ts")).as("day"),
-        get_json_object(col("props"), "$.k").cast("bigint").as("k_prop"),
+        // NULL k props coalesce to a -1 sentinel class: NULL != NULL in
+        // both engines, so a null-keyed class would never match its own
+        // join keys (q152's dense completion would pin its TVD at 0.5)
+        // and Spark (NULLS FIRST) vs DuckDB (NULLS LAST) would break
+        // ordered parity. -1 is outside the generated k domain.
+        coalesce(get_json_object(col("props"), "$.k").cast("bigint"),
+          lit(-1L)).as("k_prop"),
         col("user_id"))
       .groupBy("day", "k_prop")
       .agg(count(lit(1)).as("n_rows"),
@@ -393,7 +399,8 @@ object CurationOps {
 
   def lDiversityOracle: String =
     s"""SELECT CAST(ts AS DATE) AS day,
-       |  CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k_prop,
+       |  COALESCE(CAST(json_extract_string(props, '$$.k') AS BIGINT), -1)
+       |    AS k_prop,
        |  count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
        |  count(DISTINCT event_type) AS l_sensitive
        |FROM events GROUP BY day, k_prop
@@ -430,7 +437,11 @@ object CurationOps {
   def tCloseness(s: SparkSession, dir: String): DataFrame = {
     val ev = EtlOps.events(s, dir)
       .select(to_date(col("ts")).as("day"),
-        get_json_object(col("props"), "$.k").cast("bigint").as("k_prop"),
+        // -1 sentinel for NULL k props — see lDiversity; without it the
+        // dense completion's left join can never match a null-keyed
+        // class and its TVD is pinned at 0.5 regardless of the data
+        coalesce(get_json_object(col("props"), "$.k").cast("bigint"),
+          lit(-1L)).as("k_prop"),
         col("event_type"))
     val global = ev.groupBy("event_type").agg(count(lit(1)).as("g_e"))
       .withColumn("g_tot", sum(col("g_e")).over())
@@ -459,7 +470,8 @@ object CurationOps {
 
   def tClosenessOracle: String =
     s"""WITH ev AS (SELECT CAST(ts AS DATE) AS day,
-       |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k_prop,
+       |    COALESCE(CAST(json_extract_string(props, '$$.k') AS BIGINT), -1)
+       |      AS k_prop,
        |    event_type FROM events),
        |g AS (SELECT event_type, count(*) AS g_e,
        |    CAST(sum(count(*)) OVER () AS BIGINT) AS g_tot

@@ -42,6 +42,27 @@ object DedupOps {
       expr("substring(text, instr(text, ' ') + 1)").as("text")))
   }
 
+  /** documents ∪ graded-similarity variants — the q154 calibration
+    * corpus. Variant k ∈ 1..4 drops the first ⌊n·k/5⌋ words (ids offset
+    * k·[[CopyOffset]]) and variant 5 is corpusNear's drop-first-word
+    * copy (offset 5·CopyOffset), so verified candidate pairs span the
+    * exact-Jaccard range ~0.2–0.95 and the decile report is exercised
+    * at sf0.01 where CORRECTNESS runs (q149's in-query-fixture
+    * pattern) — a single-perturbation corpus populates only the top
+    * deciles. */
+  def corpusSpread(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val graded = d.select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, 4)")).as("k"))
+      .select((col("doc_id") + col("k") * CopyOffset).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), " +
+          "size(split(text, ' ')) * k div 5 + 1, " +
+          "size(split(text, ' '))), ' ')").as("text"))
+    val near = d.select((col("doc_id") + 5 * CopyOffset).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text"))
+    d.unionAll(graded).unionAll(near)
+  }
+
   /** Persist a multiply-referenced intermediate for the duration of one
     * query. Self-joins and per-doc size aggregates would otherwise
     * recompute the whole subtree once per reference (ReusedExchange only
@@ -70,10 +91,47 @@ object DedupOps {
 
   /** Distinct word-trigram shingles per doc: (doc_id, shingle). */
   def shingles(corpus: DataFrame): DataFrame =
-    corpus
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"),
-        explode(array_distinct(expr(wordGramArrayExpr(3)))).as("shingle"))
+    shinglesFromToks(corpus.withColumn("toks", split(col("text"), " ")))
+
+  /** Shingles from an already-tokenized (doc_id, toks) frame — lets a
+    * multi-detector query (q156) tokenize the corpus ONCE and feed both
+    * the shingle stream and the simhash token stream from it. */
+  private[graft] def shinglesFromToks(tokd: DataFrame): DataFrame =
+    tokd.select(col("doc_id"),
+      explode(array_distinct(expr(wordGramArrayExpr(3)))).as("shingle"))
+
+  /** Drop signature-band buckets holding more than `cap` members — THE
+    * hot-bucket guard of the whole banding family, in ONE definition.
+    * Identical documents share every band value, so uncapped buckets
+    * grow linearly with corpus duplication and candidate PAIRS
+    * quadratically (measured: the uncapped forms went from seconds to
+    * never-finishing at the synthetic 100×); an over-full bucket is
+    * exact-dup/boilerplate mass that q29 owns, not a near-dup signal.
+    * Used by q118/q154/q156 (minhash bands), q156's simhash stream, and
+    * q159's perceptual-hash bands; `cap = None` is the lossless q31/q32
+    * form. */
+  private[graft] def capBuckets(bands: DataFrame, keys: Seq[String],
+      cap: Option[Int]): DataFrame = cap match {
+    case Some(c) =>
+      val w = Window.partitionBy(keys.map(col): _*)
+      bands.withColumn("bsz", count(lit(1)).over(w))
+        .filter(col("bsz") <= c).drop("bsz")
+    case None => bands
+  }
+
+  /** Banded keys → distinct candidate pairs (doc_a < doc_b), with the
+    * [[capBuckets]] guard applied first: the one band-bucket self-join
+    * shared by q31 (cap = None), q118, q154, and q156's minhash stream.
+    * Input must carry (doc_id, keys…); output is (doc_a, doc_b). */
+  private[graft] def cappedCandidates(bands: DataFrame, cap: Option[Int],
+      keys: Seq[String] = Seq("band_idx", "band_hash")): DataFrame = {
+    val kept = capBuckets(bands, keys, cap)
+    kept.select((col("doc_id").as("doc_a") +: keys.map(col)): _*)
+      .join(kept.select((col("doc_id").as("doc_b") +: keys.map(col)): _*),
+        keys)
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
 
   /** q138 — cross-source duplication matrix: for every source pair
     * (a < b), how many distinct contents appear in BOTH — the
@@ -435,7 +493,10 @@ object DedupOps {
     * avg_jaccard exposes CANDIDATE-CONDITIONING bias (pairs enter only
     * by sharing a band, which selects for upward-fluctuating sketches
     * at low similarity — visible here, invisible to q31's output), and
-    * avg_abs_err tracks the √(J(1−J)/k) sketch noise.
+    * avg_abs_err tracks the √(J(1−J)/k) sketch noise. The corpus is
+    * [[corpusSpread]] — graded-perturbation variants spanning J ≈
+    * 0.2–0.95 — so the decile report is substantive at sf0.01 (≥ 6
+    * populated buckets), not 3 buckets of near-identical pairs.
     *
     * Float determinism: per-pair jaccard and est are single divisions;
     * bucket means sum exact DECIMAL(18,12) images of the per-pair
@@ -455,19 +516,9 @@ object DedupOps {
     * (possible only via genuine minhash collisions) are excluded on
     * both sides. */
   def lshCalibration(s: SparkSession, dir: String): DataFrame = {
-    val sh = shared(shingles(corpusNear(s, dir)))
+    val sh = shared(shingles(corpusSpread(s, dir)))
     val sigs = shared(minhashSignatures(sh))
-    val bandsAll = lshBands(sigs)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("band_idx", "band_hash")
-    val bands = bandsAll.withColumn("bsz", count(lit(1)).over(w))
-      .filter(col("bsz") <= LshBucketCap).drop("bsz")
-    val cands = bands.select(col("doc_id").as("doc_a"), col("band_idx"),
-        col("band_hash"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"),
-        col("band_hash")), Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cands = cappedCandidates(lshBands(sigs), Some(LshBucketCap))
     def sigSide(side: String) = sigs.select(
       (col("doc_id").as(s"doc_$side") +:
         (0 until NumPerms).map(i => col(s"h$i").as(s"${side}_h$i"))): _*)
@@ -520,23 +571,7 @@ object DedupOps {
       bucketCap: Option[Int], shOpt: Option[DataFrame] = None): DataFrame = {
     val sh = shOpt.getOrElse(shared(shingles(corpus)))
     val sigs = shared(minhashSignatures(sh))
-    val bandsAll = lshBands(sigs)
-    val bands = bucketCap match {
-      case Some(cap) =>
-        // one count per (band_idx, band_hash) bucket, broadcast back as
-        // a window — buckets over the cap vanish before the pair join
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("band_idx", "band_hash")
-        bandsAll.withColumn("bsz", count(lit(1)).over(w))
-          .filter(col("bsz") <= cap).drop("bsz")
-      case None => bandsAll
-    }
-    val cands = bands.select(col("doc_id").as("doc_a"), col("band_idx"),
-        col("band_hash"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("band_idx"),
-        col("band_hash")), Seq("band_idx", "band_hash"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val cands = cappedCandidates(lshBands(sigs), bucketCap)
     // candidate verification joins each side's shingle SET as one array
     // row and intersects in-row — the explode-to-shingles form shipped
     // ~|shingles/doc| rows per candidate side through the join and paid
@@ -590,12 +625,21 @@ object DedupOps {
     * aggregate over their UNION (≤ 3× the largest stream) and a
     * ≤8-row final rollup. */
   def dedupMethodVenn(s: SparkSession, dir: String): DataFrame = {
-    val corpus = corpusNear(s, dir)
-    val sh = shared(shingles(corpus)) // ONE shingle pass for mh + cont
-    val mh = minhashLshOf(corpus, bucketCap = Some(LshBucketCap),
-        shOpt = Some(sh))
+    // ONE tokenized pass of the corpus feeds ALL THREE detectors: the
+    // shingle frame (minhash + containment) and the simhash token
+    // stream both derive from the persisted (doc_id, toks) frame, so
+    // the corpus is read and split exactly once instead of the simhash
+    // stream re-tokenizing it from scratch (round-9 scan cut).
+    val tokd = shared(corpusNear(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks")))
+    val sh = shared(shinglesFromToks(tokd))
+    val mh = minhashLshOf(corpusNear(s, dir),
+        bucketCap = Some(LshBucketCap), shOpt = Some(sh))
       .select(col("doc_a"), col("doc_b"), lit("m").as("src"))
-    val sim = simhashPairsOf(s, dir, bucketCap = Some(LshBucketCap))
+    val sim = simhashPairsOfSigs(
+        shared(simhashSignaturesFromToks(
+          tokd.select(col("doc_id"), explode(col("toks")).as("tok")))),
+        bucketCap = Some(LshBucketCap))
       .select(col("doc_a"), col("doc_b"), lit("s").as("src"))
     val cont = containmentVerifiedOf(sh, prefixFilter = true)
       .select(col("doc_a"), col("doc_b"), lit("c").as("src"))
@@ -688,10 +732,16 @@ object DedupOps {
   val SimhashBits = 60
   val SimhashMaxHamming = 4
 
-  def simhashSignatures(corpus: DataFrame): DataFrame = {
-    val toks = corpus.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("tok"))
-      .withColumn("th", md5Fingerprint60(col("tok")))
+  def simhashSignatures(corpus: DataFrame): DataFrame =
+    simhashSignaturesFromToks(corpus.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok")))
+
+  /** Signatures from an already-exploded (doc_id, tok) stream — q156
+    * feeds this from its one shared tokenized frame instead of
+    * re-reading and re-splitting the corpus. */
+  private[graft] def simhashSignaturesFromToks(
+      tokStream: DataFrame): DataFrame = {
+    val toks = tokStream.withColumn("th", md5Fingerprint60(col("tok")))
     val votes = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("th"), b).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"v$b")
@@ -727,38 +777,40 @@ object DedupOps {
     * with corpus duplication and pairs quadratically. q32 keeps the
     * uncapped (lossless) form; q156 composes the capped one. */
   private[graft] def simhashPairsOf(s: SparkSession, dir: String,
-      bucketCap: Option[Int]): DataFrame = {
-    // the a/b band sides would each recompute the 60-vote aggregation
-    val sigs = shared(simhashSignatures(corpusNear(s, dir)))
-    val bandW = SimhashBits / SimhashBands
-    val bandStructs = (0 until SimhashBands).map { i =>
+      bucketCap: Option[Int]): DataFrame =
+    // shared: the a/b band sides would each recompute the 60-vote agg
+    simhashPairsOfSigs(shared(simhashSignatures(corpusNear(s, dir))),
+      bucketCap)
+
+  /** The banded Hamming pair pipeline over precomputed (doc_id, sig)
+    * signatures — [[capBuckets]] is the shared duplication guard; q159's
+    * perceptual-hash near-dup reuses this whole stage unchanged. */
+  private[graft] def simhashPairsOfSigs(sigs: DataFrame,
+      bucketCap: Option[Int], sigCol: String = "simhash",
+      bits: Int = SimhashBits, nBands: Int = SimhashBands,
+      maxHamming: Int = SimhashMaxHamming): DataFrame = {
+    val bandW = bits / nBands
+    val bandStructs = (0 until nBands).map { i =>
       struct(lit(i).as("band_idx"),
-        shiftright(col("simhash"), i * bandW)
+        shiftright(col(sigCol), i * bandW)
           .bitwiseAND((1L << bandW) - 1).as("band_val"))
     }
     val bands0 = sigs
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col(sigCol).as("sig"),
         explode(array(bandStructs: _*)).as("band"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("sig"),
         col("band.band_idx").as("band_idx"),
         col("band.band_val").as("band_val"))
-    val bands = bucketCap match {
-      case Some(cap) =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("band_idx", "band_val")
-        bands0.withColumn("bsz", count(lit(1)).over(w))
-          .filter(col("bsz") <= cap).drop("bsz")
-      case None => bands0
-    }
+    val bands = capBuckets(bands0, Seq("band_idx", "band_val"), bucketCap)
     val a = bands.select(col("doc_id").as("doc_a"),
-      col("simhash").as("sig_a"), col("band_idx"), col("band_val"))
+      col("sig").as("sig_a"), col("band_idx"), col("band_val"))
     val b = bands.select(col("doc_id").as("doc_b"),
-      col("simhash").as("sig_b"), col("band_idx"), col("band_val"))
+      col("sig").as("sig_b"), col("band_idx"), col("band_val"))
     a.join(b, Seq("band_idx", "band_val"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("bigint"))
-      .filter(col("hamming") <= SimhashMaxHamming)
+      .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming").distinct()
   }
 

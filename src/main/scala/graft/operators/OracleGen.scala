@@ -21,6 +21,18 @@ object OracleGen {
       |  UNION ALL SELECT doc_id + 1000000 AS doc_id,
       |    substring(text, instr(text, ' ') + 1) AS text FROM documents)""".stripMargin
 
+  /** Mirror of DedupOps.corpusSpread — graded variants k=1..4 dropping
+    * the first ⌊n·k/5⌋ words, plus the drop-first-word copy at offset 5. */
+  val CorpusSpread: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000 * k AS doc_id,
+      |    array_to_string(string_split(text, ' ')[
+      |      len(string_split(text, ' ')) * k // 5 + 1:], ' ') AS text
+      |  FROM documents CROSS JOIN (SELECT unnest(range(1, 5)) AS k)
+      |  UNION ALL SELECT doc_id + 5000000 AS doc_id,
+      |    substring(text, instr(text, ' ') + 1) AS text FROM documents)""".stripMargin
+
   /** Word-trigram shingle CTE over `corpus` (mirrors DedupOps.shingles). */
   val ShingleCtes: String =
     """tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
@@ -63,7 +75,8 @@ object OracleGen {
   /** Shared LSH CTE chain — corpus → shingles → sigs → bands → cand —
     * used by q31/q118 (with the jaccard tail) and q154 (with the
     * calibration tail). Mirrors DedupOps.minhashLshOf. */
-  private def lshCandCtes(bucketCap: Option[Int]): String = {
+  private def lshCandCtes(bucketCap: Option[Int],
+      corpusCte: String = CorpusNear): String = {
     val p = DedupOps.MinhashPrime
     val x = s"${fp60("shingle")} % $p"
     val mins = (0 until DedupOps.NumPerms).map { i =>
@@ -84,7 +97,7 @@ object OracleGen {
          |""".stripMargin
     }.getOrElse("")
     val bandsSrc = if (bucketCap.isDefined) "bands0" else "bands"
-    s"""$CorpusNear,
+    s"""$corpusCte,
        |$ShingleCtes,
        |sigs AS (SELECT doc_id,
        |    $mins
@@ -108,13 +121,14 @@ object OracleGen {
 
   val q118CappedLsh: String = minhashLshSql(Some(DedupOps.LshBucketCap))
 
-  /** q154 (mirrors DedupOps.lshCalibration — CAPPED candidate set). */
+  /** q154 (mirrors DedupOps.lshCalibration — CAPPED candidate set over
+    * the graded-similarity [[CorpusSpread]] corpus). */
   val q154LshCalibration: String = {
     val agreeTerms = (0 until DedupOps.NumPerms)
       .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
       .mkString(" + ")
     val np = s"${DedupOps.NumPerms}.0"
-    s"""WITH ${lshCandCtes(Some(DedupOps.LshBucketCap))},
+    s"""WITH ${lshCandCtes(Some(DedupOps.LshBucketCap), CorpusSpread)},
        |ag AS (SELECT c.doc_a, c.doc_b, ($agreeTerms) AS n_agree
        |  FROM cand c JOIN sigs a ON a.doc_id = c.doc_a
        |  JOIN sigs b ON b.doc_id = c.doc_b),

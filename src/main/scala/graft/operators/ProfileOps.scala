@@ -365,9 +365,9 @@ object ProfileOps {
     * per-(source, tok-count) GRID (|distinct counts| rows, not |docs|),
     * and the gap stays in EXACT integers: at each distinct value
     * sup|F_A−F_B| ∝ |cumA·nB − cumB·nA| (common denominator nA·nB), so
-    * the max is over bigints and the ONLY division is the final
-    * normalize. At 100 TB the products need DECIMAL(38,0) (nA,nB can
-    * pass 2³¹·²); here bigint headroom is ample.
+    * the max is over exact DECIMAL(38,0) products (nA/nB can pass 2³¹·²
+    * at the 100 TB target, where BIGINT products would wrap silently)
+    * and the ONLY division is the final normalize.
     *
     * Scale (100 TB): one map-combinable (source, toks) count aggregate,
     * then window work over the value grid per source — the heavy
@@ -390,16 +390,24 @@ object ProfileOps {
       .withColumn("cum_b", sum(col("b_cnt")).over(w))
       .withColumn("n_a", sum(col("a_cnt")).over(wAll))
       .withColumn("n_b", sum(col("b_cnt")).over(wAll))
+      // DECIMAL(38,0) products: cum·n approaches 2^63² at the 100 TB
+      // target once n_a/n_b pass ~2^31.5 — BIGINT would wrap silently
+      // and corrupt the KS statistic (same discipline as q152/q158)
       .withColumn("gap",
-        abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+        abs(col("cum_a").cast("decimal(19,0)") *
+            col("n_b").cast("decimal(19,0)") -
+          col("cum_b").cast("decimal(19,0)") *
+            col("n_a").cast("decimal(19,0)")))
       .groupBy("source")
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         max(col("gap")).as("max_gap"))
       .withColumn("ks",
-        col("max_gap").cast("double") / (col("n_a") * col("n_b")))
+        col("max_gap").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
       .withColumn("ks_crit",
         lit(KsCritCoeff) *
-          sqrt((col("n_a") + col("n_b")) / (col("n_a") * col("n_b"))))
+          sqrt((col("n_a").cast("double") + col("n_b").cast("double")) /
+            (col("n_a").cast("double") * col("n_b").cast("double"))))
       .select(col("source"), col("n_a"), col("n_b"),
         round(col("ks"), 6).as("ks"),
         round(col("ks_crit"), 6).as("ks_crit"),
@@ -430,14 +438,20 @@ object ProfileOps {
        |    CAST(sum(b_cnt) OVER (PARTITION BY source) AS BIGINT) AS n_b
        |  FROM grid),
        |g AS (SELECT source, max(n_a) AS n_a, max(n_b) AS n_b,
-       |    max(abs(cum_a * n_b - cum_b * n_a)) AS max_gap
+       |    max(abs(CAST(cum_a AS DECIMAL(19,0)) * CAST(n_b AS DECIMAL(19,0))
+       |      - CAST(cum_b AS DECIMAL(19,0)) * CAST(n_a AS DECIMAL(19,0))))
+       |      AS max_gap
        |  FROM c GROUP BY source)
        |SELECT source, n_a, n_b,
-       |  round(CAST(max_gap AS DOUBLE) / (n_a * n_b), 6) AS ks,
-       |  round($KsCritCoeff * sqrt((n_a + n_b) / (n_a * n_b)), 6)
-       |    AS ks_crit,
-       |  CAST(max_gap AS DOUBLE) / (n_a * n_b) >
-       |    $KsCritCoeff * sqrt((n_a + n_b) / (n_a * n_b)) AS drifted
+       |  round(CAST(max_gap AS DOUBLE)
+       |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks,
+       |  round($KsCritCoeff * sqrt((CAST(n_a AS DOUBLE)
+       |    + CAST(n_b AS DOUBLE))
+       |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6) AS ks_crit,
+       |  CAST(max_gap AS DOUBLE)
+       |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) >
+       |    $KsCritCoeff * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+       |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS drifted
        |FROM g ORDER BY source""".stripMargin
 
   // --- q158: distributed bootstrap confidence intervals ------------------
@@ -458,10 +472,11 @@ object ProfileOps {
     * B = 32).
     *
     * Determinism: weights freeze to ×10⁶ fixed point, so Σw·x and Σw
-    * are exact integer sums (x = n_chars is integral); each replicate
+    * are exact integer sums (x = n_chars is integral) carried in
+    * DECIMAL(38,0) — w_fp reaches ~2.8e7, so at 100 TB the per-group
+    * Σw·x passes 2^63 and BIGINT would wrap silently; each replicate
     * mean is ONE double division, the rank pick is integer, and the
-    * across-replicate mean freezes the same way. At 100 TB the Σw·x
-    * products want DECIMAL(38,0) headroom.
+    * across-replicate mean freezes the same way.
     *
     * Scale (100 TB): the corpus is read ONCE and exploded ×B inside
     * codegen (a generator, no join); one (source, b) aggregate — B·
@@ -480,8 +495,13 @@ object ProfileOps {
           "CAST(b AS STRING), ':', CAST(doc_id AS STRING))) AS DOUBLE) " +
           "/ 1152921504606846976.0, 1e-12)) * 1000000.0) AS BIGINT)"))
       .groupBy("source", "b")
-      .agg(sum(col("w_fp") * col("n_chars")).as("swx"),
-        sum(col("w_fp")).as("sw"),
+      // DECIMAL(38,0) sums (q152's num_term discipline): w_fp reaches
+      // ~2.8e7, so at the 100 TB target per-group Σ w_fp·n_chars passes
+      // 2^63 and non-ANSI BIGINT would wrap silently — wrong CIs with no
+      // error. decimal(19,0)×decimal(19,0) → decimal(38,0) exactly.
+      .agg(sum(col("w_fp").cast("decimal(19,0)") *
+          col("n_chars").cast("decimal(19,0)")).as("swx"),
+        sum(col("w_fp").cast("decimal(38,0)")).as("sw"),
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sx"))
       .withColumn("boot_mean",
@@ -518,8 +538,9 @@ object ProfileOps {
        |      * 1000000.0) AS BIGINT) AS w_fp
        |  FROM reps),
        |agg AS (SELECT source, b,
-       |    CAST(sum(w_fp * n_chars) AS BIGINT) AS swx,
-       |    CAST(sum(w_fp) AS BIGINT) AS sw,
+       |    sum(CAST(w_fp AS DECIMAL(19,0)) * CAST(n_chars AS DECIMAL(19,0)))
+       |      AS swx,
+       |    sum(CAST(w_fp AS DECIMAL(38,0))) AS sw,
        |    count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sx
        |  FROM wts GROUP BY source, b),
        |m AS (SELECT source, b, n_docs, sx,

@@ -9,7 +9,7 @@ import graft.operators.{AnalyticsOps, GraphOps, JoinOps, ScaleOps, TextOps}
 class AnalyticsOpsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = TestSession.spark
-  val dir = "/root/testdata/sf0.001"
+  val dir = TestSession.sfDir("0.001")
 
   test("bloom probe: zero false negatives, bounded false positives") {
     graft.functions.VectorFunctions.register(spark)
@@ -125,7 +125,7 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     // on this synthetic corpus cosines are near-uniform, so LSH bucket
     // recall is data-floor-limited; planes=0 equivalence above is the
     // machinery certificate.)
-    val dir01 = "/root/testdata/sf0.01"
+    val dir01 = TestSession.sfDir("0.01")
     val approx = GraphOps.knnEdgesLsh(spark, dir01)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val bucketOnly = GraphOps.knnEdgesLsh(spark, dir01,

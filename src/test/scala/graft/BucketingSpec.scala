@@ -17,7 +17,7 @@ class BucketingSpec extends AnyFunSuite {
     spark.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
     spark.sql("USE graft_buckets")
     try {
-      val dir = "/root/testdata/sf0.001"
+      val dir = TestSession.sfDir("0.001")
       val li = spark.read.parquet(s"$dir/lineitem.parquet")
       val ord = spark.read.parquet(s"$dir/orders.parquet")
       li.write.mode("overwrite").bucketBy(8, "l_orderkey")

@@ -11,7 +11,7 @@ import graft.operators.ClusterOps
 class ClusterOpsSpec extends AnyFunSuite {
 
   private val spark = TestSession.spark
-  private val dir = "/root/testdata/sf0.001"
+  private val dir = TestSession.sfDir("0.001")
 
   test("q106 reports exactly OutlierK ranked outliers per label, farthest first") {
     val rows = ClusterOps.semanticOutliers(spark, dir).collect()

@@ -12,7 +12,7 @@ class CompactionSpec extends AnyFunSuite {
   test("compaction collapses a many-small-file directory, preserving rows and content") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact")
       .resolve("t").toString
-    val src = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val src = spark.read.parquet(s"${TestSession.sfDir("0.001")}/lineitem.parquet")
     src.repartition(40).write.parquet(dir)
     val before = spark.read.parquet(dir)
     val wantRows = before.count()
@@ -36,7 +36,7 @@ class CompactionSpec extends AnyFunSuite {
   test("compaction rejects partitioned (subdirectory) layouts instead of flattening them") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact-part")
       .resolve("t").toString
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    spark.read.parquet(s"${TestSession.sfDir("0.001")}/lineitem.parquet")
       .write.partitionBy("l_returnflag").parquet(dir)
     val e = intercept[IllegalArgumentException] {
       Compaction.compact(spark, dir)
@@ -50,7 +50,7 @@ class CompactionSpec extends AnyFunSuite {
     import org.apache.hadoop.fs.Path
     val dir = java.nio.file.Files.createTempDirectory("graft-compact-rec")
       .resolve("t").toString
-    val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    val src = spark.read.parquet(s"${TestSession.sfDir("0.001")}/region.parquet")
     src.write.parquet(dir)
     val wantRows = src.count()
     val fs = new Path(dir)

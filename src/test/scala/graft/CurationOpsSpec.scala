@@ -12,7 +12,7 @@ import graft.operators._
 class CurationOpsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = TestSession.spark
-  val dir = "/root/testdata/sf0.001"
+  val dir = TestSession.sfDir("0.001")
 
   test("PII scrub: every injected identifier is counted and redacted") {
     val out = CurationOps.piiScrub(spark, dir).collect()
@@ -85,7 +85,7 @@ class CurationOpsSpec extends AnyFunSuite {
   }
 
   test("q116 clean val split has zero cluster overlap with the train side") {
-    val dir2 = "/root/testdata/sf0.001"
+    val dir2 = TestSession.sfDir("0.001")
     val cleanVal = CurationOps.cleanValSplit(spark, dir2).collect()
     assert(cleanVal.nonEmpty)
     // recompute the train cluster set independently via q110's labels route:
@@ -109,7 +109,7 @@ class CurationOpsSpec extends AnyFunSuite {
   }
 
   test("q110 picks one real representative per cluster, the longest member") {
-    val dir2 = "/root/testdata/sf0.001"
+    val dir2 = TestSession.sfDir("0.001")
     val reps = CurationOps.clusterRepresentatives(spark, dir2).collect()
     val clusters = CurationOps.dupClusters(spark, dir2).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -171,7 +171,7 @@ class CurationOpsSpec extends AnyFunSuite {
     // the audit's reason to exist: at least one class passes k-anonymity
     // (enough distinct users) yet still fails diversity. sf0.001's classes
     // are all tiny, so demonstrate the gap at sf0.01.
-    val atScale = CurationOps.lDiversity(spark, "/root/testdata/sf0.01")
+    val atScale = CurationOps.lDiversity(spark, TestSession.sfDir("0.01"))
       .filter(col("n_users") >= CurationOps.AnonK).count()
     assert(atScale > 0,
       "no class passes k-anonymity while failing l-diversity — " +

@@ -15,7 +15,7 @@ class GoldenApprovalSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = TestSession.spark
   val goldenDir: Path = Paths.get("src/test/resources/golden")
-  val dir = "/root/testdata/sf0.001"
+  val dir = TestSession.sfDir("0.001")
 
   /** Column-wise serialization exactly as the reference does: astype(str)
     * then '\n'.join per column (nulls rendered as the reference's pandas

@@ -32,7 +32,7 @@ class IngestStreamingSpec extends AnyFunSuite {
       ColumnMeta("CIGProcessed")))
 
   private def drop(root: String, rel: String): Unit =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(50)
+    spark.read.parquet(s"${TestSession.sfDir("0.001")}/lineitem.parquet").limit(50)
       .write.mode("overwrite").parquet(s"$root/$rel")
 
   /** Rows as comparable strings (all columns are strings post-pipeline). */

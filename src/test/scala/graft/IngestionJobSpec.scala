@@ -18,7 +18,7 @@ class IngestionJobSpec extends AnyFunSuite {
 
   private def buildTree(root: String): Unit = {
     val li = spark.read
-      .parquet("/root/testdata/sf0.001/lineitem.parquet").limit(50)
+      .parquet(s"${TestSession.sfDir("0.001")}/lineitem.parquet").limit(50)
     def drop(rel: String): Unit =
       li.write.mode("overwrite").parquet(s"$root/$rel")
     drop("environment=NL/Lineitem/2019/07/03")
@@ -84,7 +84,7 @@ class IngestionJobSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft-mailbox").toString
     val out = Files.createTempDirectory("graft-mailbox-out").toString
     val li = spark.read
-      .parquet("/root/testdata/sf0.001/lineitem.parquet").limit(30)
+      .parquet(s"${TestSession.sfDir("0.001")}/lineitem.parquet").limit(30)
     li.write.mode("overwrite")
       .parquet(s"$root/NL_Hosting_Mailbox/Lineitem/2019/07/03")
     li.write.mode("overwrite")
@@ -106,7 +106,7 @@ class IngestionJobSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft-csv").toString
     val out = Files.createTempDirectory("graft-csv-out").toString
     val li = spark.read
-      .parquet("/root/testdata/sf0.001/lineitem.parquet").limit(40)
+      .parquet(s"${TestSession.sfDir("0.001")}/lineitem.parquet").limit(40)
       .selectExpr("l_orderkey", "l_linenumber", "l_returnflag")
     li.coalesce(1).write.mode("overwrite").option("header", "true")
       .csv(s"$root/environment=NL/Lineitem/2019/07/03")
@@ -132,7 +132,7 @@ class IngestionJobSpec extends AnyFunSuite {
   test("ORC source format ingests through the same pipeline") {
     val root = Files.createTempDirectory("graft-orc").toString
     val out = Files.createTempDirectory("graft-orc-out").toString
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(20)
+    spark.read.parquet(s"${TestSession.sfDir("0.001")}/lineitem.parquet").limit(20)
       .selectExpr("l_orderkey", "l_linenumber", "l_returnflag")
       .write.mode("overwrite").orc(s"$root/environment=NL/Lineitem/2019/07/03")
     val cfg = IngestionConfig(
@@ -215,7 +215,7 @@ class IngestionJobSpec extends AnyFunSuite {
   test("streaming ingestion: the same cleanup pipeline runs under readStream") {
     val root = Files.createTempDirectory("graft-stream-ingest").toString
     val li = spark.read
-      .parquet("/root/testdata/sf0.001/lineitem.parquet").limit(40)
+      .parquet(s"${TestSession.sfDir("0.001")}/lineitem.parquet").limit(40)
     li.write.mode("overwrite").parquet(s"$root/drop1")
     val schema = spark.read.parquet(s"$root/drop1").schema
     val stream = spark.readStream.schema(schema).parquet(s"$root/drop1")

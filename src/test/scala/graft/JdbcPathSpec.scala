@@ -22,7 +22,7 @@ class JdbcPathSpec extends AnyFunSuite {
 
   test("ingestion end-to-end into a real JDBC target with JDBC marker ledger") {
     val root = Files.createTempDirectory("graft-jdbc").toString
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(30)
+    spark.read.parquet(s"${TestSession.sfDir("0.001")}/lineitem.parquet").limit(30)
       .write.mode("overwrite")
       .parquet(s"$root/environment=NL/Lineitem/2019/07/03")
 

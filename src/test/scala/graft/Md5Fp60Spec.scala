@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class Md5Fp60Spec extends AnyFunSuite {
 
   private val spark = TestSession.spark
-  private val dir = "/root/testdata/sf0.001"
+  private val dir = TestSession.sfDir("0.001")
 
   private def composed(c: org.apache.spark.sql.Column) =
     conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
@@ -49,15 +49,15 @@ class Md5Fp60Spec extends AnyFunSuite {
 
   test("optimizer rewrites the longhand SQL chain to the native expression") {
     val df = spark.sql(
-      """SELECT CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),
-        |  16, 10) AS BIGINT) AS fp
-        |FROM parquet.`/root/testdata/sf0.001/documents.parquet`""".stripMargin)
+      s"""SELECT CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15),
+         |  16, 10) AS BIGINT) AS fp
+         |FROM parquet.`${TestSession.sfDir("0.001")}/documents.parquet`""".stripMargin)
     val optimized = df.queryExecution.optimizedPlan.toString
     assert(optimized.contains("md5_fp60"),
       s"FingerprintRewrite did not fire:\n$optimized")
     // and the rewrite is invisible in results
     val direct = spark.read
-      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .parquet(s"${TestSession.sfDir("0.001")}/documents.parquet")
       .select(call_function("md5_fp60", col("doc_id").cast("string")).as("fp"))
     assert(df.exceptAll(direct).count() == 0 &&
       direct.exceptAll(df).count() == 0)

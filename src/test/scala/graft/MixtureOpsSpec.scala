@@ -13,7 +13,7 @@ import graft.operators.MixtureOps
 class MixtureOpsSpec extends AnyFunSuite {
 
   private val spark = TestSession.spark
-  private val dir = "/root/testdata/sf0.001"
+  private val dir = TestSession.sfDir("0.001")
 
   /** Same 60-bit md5 fingerprint the operators use, via MessageDigest —
     * an implementation independent of both Spark and DuckDB. */

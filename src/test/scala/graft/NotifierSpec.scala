@@ -110,7 +110,7 @@ class NotifierSpec extends AnyFunSuite {
     // date-granularity one (date(latest_ts) < 2024-01-29), and its
     // standing user exemptions are StaticRules with an epoch floor.
     val spark = TestSession.spark
-    val dir = "/root/testdata/sf0.001"
+    val dir = TestSession.sfDir("0.001")
     import org.apache.spark.sql.functions._
     val latest = graft.operators.EtlOps.events(spark, dir)
       .groupBy("user_id", "event_type").agg(max(col("ts")).as("latest_ts"))

@@ -16,7 +16,7 @@ import graft.transforms.CigTransforms
 class PlanPropsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = TestSession.spark
-  val dir = "/root/testdata/sf0.001"
+  val dir = TestSession.sfDir("0.001")
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString

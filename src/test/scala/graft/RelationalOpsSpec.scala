@@ -12,7 +12,7 @@ import graft.operators._
 class RelationalOpsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = TestSession.spark
-  val dir = "/root/testdata/sf0.001"
+  val dir = TestSession.sfDir("0.001")
 
   test("set ops partition the customer keys exactly") {
     val out = RelationalOps.setOps(spark, dir)

@@ -9,7 +9,7 @@ class ScaleOpsSpec extends AnyFunSuite {
 
   test("global enumeration is dense, 0-based, and doc_id-ordered without a single-partition window") {
     val spark = TestSession.spark
-    val dir = "/root/testdata/sf0.001"
+    val dir = TestSession.sfDir("0.001")
     val out = graft.operators.ScaleOps.globalEnumeration(spark, dir).collect()
     val n = out.length
     assert(out.map(_.getLong(2)).sorted.toSeq == (0L until n).toSeq)
@@ -32,7 +32,7 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   lazy val spark: SparkSession = TestSession.spark
-  val dir = "/root/testdata/sf0.001"
+  val dir = TestSession.sfDir("0.001")
 
   test("salted two-phase aggregation equals the naive aggregate") {
     import org.apache.spark.sql.functions._

@@ -52,7 +52,7 @@ class SpaceSavingSpec extends AnyFunSuite {
 
   test("q117 guarantees hold under both 1-partition and many-partition aggregation") {
     VectorFunctions.register(spark)
-    val dir = "/root/testdata/sf0.001"
+    val dir = TestSession.sfDir("0.001")
     for (parts <- Seq(1, 7)) {
       val keyed = graft.operators.EtlOps.events(spark, dir)
         .select(floor(sqrt(col("event_id") % 10000)).cast("long").as("k"))

@@ -4,6 +4,15 @@ import org.apache.spark.sql.SparkSession
 
 /** One local session shared across suites. */
 object TestSession {
+
+  /** Fixture root, overridable like the harness mains' SPARK_GRAFT_SF_DIR
+    * — suites derive every scale-factor path from here instead of
+    * hardcoding a machine layout. */
+  val fixtureRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
+
+  /** `/…/sfX` fixture dir for a scale factor ("0.001", "0.01", …). */
+  def sfDir(sf: String): String = s"$fixtureRoot/sf$sf"
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

@@ -12,7 +12,7 @@ import graft.operators.{EtlOps, GraphOps, MlPrepOps, ProfileOps, TimeSeriesOps}
 class TimeSeriesOpsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = TestSession.spark
-  val dir = "/root/testdata/sf0.001"
+  val dir = TestSession.sfDir("0.001")
 
   test("cohort retention: offset-0 retention is exactly 1 and cohorts partition users") {
     val r = TimeSeriesOps.cohortRetention(spark, dir).collect()

@@ -12,7 +12,7 @@ import graft.operators.TrainPrepOps
 class TrainPrepOpsSpec extends AnyFunSuite {
 
   private val spark = TestSession.spark
-  private val dir = "/root/testdata/sf0.001"
+  private val dir = TestSession.sfDir("0.001")
 
   test("q101 sequence packing matches a sequential reference loop") {
     val got = TrainPrepOps.sequencePack(spark, dir)
