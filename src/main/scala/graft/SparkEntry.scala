@@ -176,6 +176,7 @@ object SparkEntry {
     "q156_dedup_method_venn" -> (DedupOps.dedupMethodVenn _),
     "q157_dp_release"        -> (CurationOps.dpRelease _),
     "q158_bootstrap_ci"      -> (ProfileOps.bootstrapCi _),
+    "q159_image_phash"       -> (MultimodalOps.imagePhashNearDup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -612,6 +613,7 @@ object SparkEntry {
     "q156_dedup_method_venn" -> OracleGen.q156DedupMethodVenn,
     "q157_dp_release" -> CurationOps.dpReleaseOracle,
     "q158_bootstrap_ci" -> ProfileOps.bootstrapCiOracle,
+    "q159_image_phash" -> OracleGen.q159ImagePhashNearDup,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -116,6 +116,95 @@ object MultimodalOps {
     sampleFrames(s, dir).toDF()
       .orderBy("doc_id", "frame_idx")
 
+  // --- q159: perceptual-hash image near-dup ------------------------------
+
+  /** Perceptual-hash geometry: the synthetic image is a 1-D strip of
+    * [[PhashCells]] cells × [[PhashCellPx]] pixels (the 8×8-downscale
+    * idea flattened to one dimension so the arithmetic is exactly
+    * mirrorable in SQL); 61 cells give 60 dHash gradient bits — the
+    * same width as [[DedupOps.SimhashBits]], so the banded-Hamming
+    * candidate machinery is reused UNCHANGED. */
+  val PhashCells = 61
+  val PhashCellPx = 4
+  val PhashImgLen: Int = PhashCells * PhashCellPx // 244 bytes
+  val PhashMaxHamming = 4
+
+  /** Deterministic synthetic image corpus with planted near-identical
+    * copies: every document yields a [[PhashImgLen]]-byte blob whose
+    * pixel i is a chaotic-but-exact integer pattern of the SOURCE
+    * doc_id (kept in the printable range 32..126 so the blob↔string
+    * round-trip is byte-exact in both engines), and every 4th document
+    * additionally yields a copy (id offset by [[DedupOps.CopyOffset]])
+    * with ONE cell flattened to the background value — a local edit
+    * like a logo stamp or crop artifact, which changes at most 2 of the
+    * 60 gradient bits. Unrelated images differ in ~30 bits. The blob is
+    * REAL binary: downstream stages must recover pixels from the bytes,
+    * not from the generator's arithmetic. */
+  def imageCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"))
+    val base = d
+      .select(col("doc_id"), col("doc_id").as("src_id"),
+        lit(false).as("pert"))
+      .unionAll(d.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + DedupOps.CopyOffset).as("doc_id"),
+          col("doc_id").as("src_id"), lit(true).as("pert")))
+    base
+      .withColumn("img_str", expr(
+        s"array_join(transform(sequence(0, ${PhashImgLen - 1}), i -> " +
+          s"chr(32 + CASE WHEN pert AND i div $PhashCellPx = " +
+          s"src_id % $PhashCells THEN 0 ELSE " +
+          "((src_id % 95 + 1) * (i * i + i + 41) + " +
+          s"((src_id div 95) % 97 + 1) * (3 * i + 7)) % 95 END)), '')"))
+      .select(col("doc_id"), encode(col("img_str"), "UTF-8").as("img"))
+  }
+
+  /** 60-bit dHash-style perceptual fingerprint computed FROM THE BLOB
+    * (doc_id, img binary) → (doc_id, phash): decode bytes to pixel
+    * values, sum [[PhashCellPx]]-pixel cells (the downscale), then one
+    * gradient bit per adjacent cell pair — bit b = 1 iff
+    * cell[b+1] > cell[b]. A local image edit perturbs only the bits
+    * whose cells it touches, which is exactly the property that makes
+    * dHash a NEAR-dup key where a cryptographic hash (q29) sees two
+    * unrelated blobs. All integer arithmetic; one codegen'd projection,
+    * no shuffle. */
+  def perceptualHash(imgs: DataFrame): DataFrame = {
+    // ONE aggregate expression with the cell sums inlined in the
+    // lambda. The layered form (px array column → cells array column →
+    // phash) reads better but is a Catalyst trap: projection collapse
+    // substitutes each array-building expression into EVERY lambda
+    // reference downstream, and the nested higher-order functions blow
+    // the optimizer up to minutes for a 625-row input (measured). The
+    // inline form is one small lambda tree evaluated 60 times per row —
+    // optimizer-linear, codegen-friendly.
+    def cellSum(c: String): String = (0 until PhashCellPx).map { j =>
+      s"ascii(substring(CAST(img AS STRING), ($c) * $PhashCellPx + ${j + 1}, 1))"
+    }.mkString(" + ")
+    imgs.select(col("doc_id"), expr(
+      s"aggregate(sequence(0, ${PhashCells - 2}), CAST(0 AS BIGINT), " +
+        s"(acc, b) -> acc + IF((${cellSum("b + 1")}) > (${cellSum("b")}), " +
+        "shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))").as("phash"))
+  }
+
+  /** q159 — perceptual-hash image near-dup: fingerprint every image
+    * blob, then find pairs within Hamming ≤ [[PhashMaxHamming]] via
+    * [[DedupOps.simhashPairsOfSigs]] — the SAME pigeonhole banding +
+    * hot-bucket cap that guards q32/q156, reused verbatim (5 bands of
+    * 12 bits: ≤ 4 differing bits leave at least one band untouched, so
+    * the banding is lossless while cost stays O(Σ bucket²) not O(N²)).
+    *
+    * Scale (100 TB): the fingerprint is a per-row projection over the
+    * image scan (binary column never shuffles — 8 bytes per image
+    * leave the map side); candidates are band-bucket joins with the
+    * shared duplication cap. This is the multimodal twin of the text
+    * dedup family: same banding, same guard, a domain-specific sketch. */
+  def imagePhashNearDup(s: SparkSession, dir: String): DataFrame =
+    DedupOps.simhashPairsOfSigs(
+      perceptualHash(imageCorpus(s, dir)),
+      bucketCap = Some(DedupOps.LshBucketCap), sigCol = "phash",
+      bits = DedupOps.SimhashBits, nBands = DedupOps.SimhashBands,
+      maxHamming = PhashMaxHamming)
+      .orderBy("doc_a", "doc_b")
+
   /** q36 — the SQL-expressible slice of the multimodal pipeline: blob
     * length, content hash, header bytes, deterministic fake dimensions.
     * Mirrors [[FakeDecoder]] so the DuckDB oracle can check the plumbing

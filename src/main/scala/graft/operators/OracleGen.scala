@@ -231,6 +231,52 @@ object OracleGen {
        |FROM f GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
+  /** q159 (mirrors MultimodalOps.imageCorpus → perceptualHash → banded
+    * Hamming pairs). The oracle recomputes the pixel arithmetic
+    * directly — the Spark side must recover the same pixels by decoding
+    * the binary blob, so a decode bug (offset, truncation, charset)
+    * shows up as a hash mismatch — then replays cells → gradient bits →
+    * capped bands → verified Hamming exactly. */
+  lazy val q159ImagePhashNearDup: String = {
+    val n = MultimodalOps.PhashImgLen
+    val cells = MultimodalOps.PhashCells
+    val cpx = MultimodalOps.PhashCellPx
+    val off = DedupOps.CopyOffset
+    val bandW = DedupOps.SimhashBits / DedupOps.SimhashBands
+    val cellSum = (1 to cpx).map(j => s"px[c * $cpx + $j]").mkString(" + ")
+    s"""WITH base AS (SELECT doc_id, doc_id AS src_id, FALSE AS pert
+       |    FROM documents
+       |  UNION ALL SELECT doc_id + $off, doc_id, TRUE FROM documents
+       |    WHERE doc_id % 4 = 0),
+       |pxl AS (SELECT doc_id, list_transform(range(0, $n), i ->
+       |    32 + CASE WHEN pert AND i // $cpx = src_id % $cells THEN 0
+       |      ELSE ((src_id % 95 + 1) * (i * i + i + 41)
+       |        + ((src_id // 95) % 97 + 1) * (3 * i + 7)) % 95 END) AS px
+       |  FROM base),
+       |cl AS (SELECT doc_id, list_transform(range(0, $cells), c ->
+       |    $cellSum) AS cells FROM pxl),
+       |ph AS (SELECT doc_id, CAST(list_sum(list_transform(
+       |    range(0, ${cells - 1}), b ->
+       |    CASE WHEN cells[b + 2] > cells[b + 1]
+       |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS phash
+       |  FROM cl),
+       |bands AS (SELECT doc_id, phash, band_idx,
+       |    (phash >> (band_idx * $bandW)) & ${(1L << bandW) - 1} AS band_val
+       |  FROM ph CROSS JOIN (SELECT unnest(range(0,
+       |    ${DedupOps.SimhashBands})) AS band_idx)),
+       |bsz AS (SELECT band_idx, band_val, count(*) AS n FROM bands
+       |  GROUP BY 1, 2),
+       |sb AS (SELECT bands.* FROM bands JOIN bsz USING (band_idx, band_val)
+       |  WHERE bsz.n <= ${DedupOps.LshBucketCap})
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |FROM sb a JOIN sb b ON a.band_idx = b.band_idx
+       |  AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash))
+       |  <= ${MultimodalOps.PhashMaxHamming}
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** q119 (mirrors DedupOps.contamination). */
   val q119Contamination: String = {
     val n = DedupOps.ContamGramN

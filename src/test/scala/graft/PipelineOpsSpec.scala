@@ -207,6 +207,41 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q159 image phash: planted edits found at hamming<=2, banding lossless, invisible to exact dedup") {
+    val out = MultimodalOps.imagePhashNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = EtlOps.t(spark, dir, "documents").select("doc_id")
+      .collect().map(_.getLong(0))
+    // every planted single-cell edit is recovered, within 2 bits (the
+    // edit touches one cell -> at most its two adjacent gradient bits)
+    val planted = docs.filter(_ % 4 == 0)
+      .map(d => (d, d + DedupOps.CopyOffset)).toSet
+    val found = out.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(found),
+      s"missed ${(planted -- found).size} planted near-identical images")
+    out.filter(p => planted((p._1, p._2))).foreach { case (a, b, h) =>
+      assert(h <= 2, s"planted pair ($a,$b) hamming $h — edit leaked cells")
+    }
+    // the banded+capped pipeline is LOSSLESS on this corpus: identical
+    // to the all-pairs Hamming scan over the same fingerprints
+    val sigs = MultimodalOps.perceptualHash(
+      MultimodalOps.imageCorpus(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb)
+      if h <= MultimodalOps.PhashMaxHamming
+    } yield (a, b, h.toLong)).toSet
+    assert(out.toSet == brute, "banding dropped or invented a pair")
+    // and the pairs are invisible to cryptographic dedup: every blob is
+    // byte-distinct, so q29-style exact hashing finds zero of them
+    val dupBlobs = MultimodalOps.imageCorpus(spark, dir)
+      .groupBy(md5(col("img"))).count()
+      .filter(col("count") > 1).count()
+    assert(dupBlobs == 0,
+      "planted edits must be invisible to exact blob dedup")
+  }
+
   test("streaming watermark: late data beyond the watermark is dropped in append mode") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-late").toString

@@ -352,6 +352,21 @@ class PlanPropsSpec extends AnyFunSuite {
       s"a KS window collapsed to one partition:\n${p.take(1800)}")
   }
 
+  test("image phash: blobs stay map-side; candidates pass the cap window") {
+    val p = plan(MultimodalOps.imagePhashNearDup(spark, dir))
+    // the duplication guard (bucket-size window over band keys) must sit
+    // upstream of the candidate self-join, as in the text LSH family
+    assert(p.contains("windowspecdefinition(band_idx"),
+      s"bucket-cap window missing from phash plan:\n${p.take(1800)}")
+    // the binary image column must be consumed by the fingerprint
+    // projection before any exchange: only 8-byte signatures shuffle,
+    // so no Exchange node's header may mention the blob column
+    assert(p.contains("Exchange"))
+    p.linesIterator.filter(_.contains("Exchange")).foreach { l =>
+      assert(!l.contains("img"), s"an exchange ships the image blob: $l")
+    }
+  }
+
   test("lsh calibration candidates come from the CAPPED band stream") {
     // the bucket-size window (count over band_idx, band_hash) must sit
     // upstream of the candidate self-join — it is the quadratic-growth
