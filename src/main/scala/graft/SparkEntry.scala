@@ -177,6 +177,7 @@ object SparkEntry {
     "q157_dp_release"        -> (CurationOps.dpRelease _),
     "q158_bootstrap_ci"      -> (ProfileOps.bootstrapCi _),
     "q159_image_phash"       -> (MultimodalOps.imagePhashNearDup _),
+    "q160_image_gate"        -> (MultimodalOps.imageQualityGate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -614,6 +615,7 @@ object SparkEntry {
     "q157_dp_release" -> CurationOps.dpReleaseOracle,
     "q158_bootstrap_ci" -> ProfileOps.bootstrapCiOracle,
     "q159_image_phash" -> OracleGen.q159ImagePhashNearDup,
+    "q160_image_gate" -> OracleGen.q160ImageQualityGate,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -154,7 +154,12 @@ object MultimodalOps {
           s"chr(32 + CASE WHEN pert AND i div $PhashCellPx = " +
           s"src_id % $PhashCells THEN 0 ELSE " +
           "((src_id % 95 + 1) * (i * i + i + 41) + " +
-          s"((src_id div 95) % 97 + 1) * (3 * i + 7)) % 95 END)), '')"))
+          "((src_id div 95) % 97 + 1) * (3 * i + 7) + " +
+          // third mixing term: without it the pattern repeats every
+          // 95*97 = 9215 ids, and a 10x scale-up manufactures ~80k
+          // identical-image pairs that are generator artifacts, not
+          // operator behavior; period is now 95*97*89 ~ 820k ids
+          s"((src_id div 9215) % 89 + 1) * (5 * i + 11)) % 95 END)), '')"))
       .select(col("doc_id"), encode(col("img_str"), "UTF-8").as("img"))
   }
 
@@ -204,6 +209,85 @@ object MultimodalOps {
       bits = DedupOps.SimhashBits, nBands = DedupOps.SimhashBands,
       maxHamming = PhashMaxHamming)
       .orderBy("doc_a", "doc_b")
+
+  // --- q160: image-stat quality gate --------------------------------------
+
+  /** Gate thresholds, in the fixed-point units of [[imageQualityGate]]:
+    * contrast is pixel variance ×10⁶, entropy is nats ×10⁹. A flat
+    * image scores 0/0; a two-tone stripe pattern has high contrast but
+    * only ln 2 ≈ 0.69 nats; a natural-statistics image clears both. */
+  val GateContrastMinFp = 100L * 1000000L      // variance >= 100
+  val GateEntropyMinFp = 1500000000L           // >= 1.5 nats
+  val GateHistBins = 16
+
+  /** Image corpus for the quality gate with three planted classes:
+    * doc_id % 10 == 0 → FLAT (one constant pixel value — a failed
+    * render / blank thumbnail), doc_id % 10 == 5 → two-tone STRIPES
+    * (high contrast, minimal entropy — a banner/test-card shape), all
+    * others → the q159 chaotic pattern (natural-ish statistics). Same
+    * contract as [[imageCorpus]]: the blob is real binary and
+    * downstream must recover pixels from the bytes. */
+  def imageGateCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("img_str", expr(
+        s"array_join(transform(sequence(0, ${PhashImgLen - 1}), i -> " +
+          "chr(CASE WHEN doc_id % 10 = 0 THEN 32 + doc_id % 95 " +
+          "WHEN doc_id % 10 = 5 THEN IF(i % 2 = 0, 40, 100) " +
+          "ELSE 32 + ((doc_id % 95 + 1) * (i * i + i + 41) + " +
+          "((doc_id div 95) % 97 + 1) * (3 * i + 7) + " +
+          "((doc_id div 9215) % 89 + 1) * (5 * i + 11)) % 95 END)), '')"))
+      .select(col("doc_id"), encode(col("img_str"), "UTF-8").as("img"))
+
+  /** q160 — image-stat quality gate, the multimodal sibling of the
+    * Gopher text gate (q104): per-image brightness, contrast and
+    * 16-bin histogram entropy computed FROM THE BLOB, then a keep/drop
+    * verdict per statistic. Everything crossing engines is exact
+    * integer fixed point — brightness/contrast are pure integer
+    * arithmetic over pixel sums, and entropy freezes each bin's
+    * −p·ln p term to ×10⁹ before the (order-free) integer sum, the
+    * q142/q157 discipline — so Spark and DuckDB agree bitwise.
+    *
+    * Scale (100 TB): one codegen'd projection per image — no shuffle
+    * at all except the final presentation sort; the gate composes with
+    * any downstream join/agg as a pushed filter. The inline-lambda
+    * form avoids the q159 projection-collapse trap. */
+  def imageQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val n = PhashImgLen
+    // HOF-evaluation discipline (the q159 lesson, one step further):
+    // interpreted lambdas re-evaluate an array SUBEXPRESSION on every
+    // reference in an enclosing lambda iteration, so each statistic
+    // iterates over the pixel array as the aggregate's COLLECTION —
+    // evaluated once per row — and the histogram is built in ONE pass
+    // with a 16-slot array state instead of one filter pass per bin.
+    val pxArr =
+      s"transform(sequence(0, ${n - 1}), " +
+        "i -> ascii(substring(CAST(img AS STRING), i + 1, 1)))"
+    val sumPx = s"aggregate($pxArr, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    val ssqPx =
+      s"aggregate($pxArr, CAST(0 AS BIGINT), " +
+        "(acc, x) -> acc + CAST(x AS BIGINT) * x)"
+    val hist =
+      s"aggregate($pxArr, array_repeat(CAST(0 AS BIGINT), $GateHistBins), " +
+        "(acc, x) -> transform(acc, (c, j) -> IF(x div 8 = j, c + 1, c)))"
+    val entropyFp =
+      s"aggregate($hist, CAST(0 AS BIGINT), (acc, c) -> acc + " +
+        s"IF(c > 0, CAST(floor((-(CAST(c AS DOUBLE) / $n.0)) * " +
+        s"ln(CAST(c AS DOUBLE) / $n.0) * 1000000000.0) AS BIGINT), " +
+        "CAST(0 AS BIGINT)))"
+    imageGateCorpus(s, dir)
+      .select(col("doc_id"),
+        expr(sumPx).as("sum_px"), expr(ssqPx).as("ssq_px"),
+        expr(entropyFp).as("entropy_fp"))
+      .select(col("doc_id"),
+        expr("(sum_px * 1000000) div " + n).as("brightness_fp"),
+        expr(s"(($n * ssq_px - sum_px * sum_px) * 1000000) div " +
+          s"(${n.toLong * n})").as("contrast_fp"),
+        col("entropy_fp"))
+      .withColumn("pass_contrast", col("contrast_fp") >= GateContrastMinFp)
+      .withColumn("pass_entropy", col("entropy_fp") >= GateEntropyMinFp)
+      .withColumn("kept", col("pass_contrast") && col("pass_entropy"))
+      .orderBy("doc_id")
+  }
 
   /** q36 — the SQL-expressible slice of the multimodal pipeline: blob
     * length, content hash, header bytes, deterministic fake dimensions.

@@ -251,7 +251,8 @@ object OracleGen {
        |pxl AS (SELECT doc_id, list_transform(range(0, $n), i ->
        |    32 + CASE WHEN pert AND i // $cpx = src_id % $cells THEN 0
        |      ELSE ((src_id % 95 + 1) * (i * i + i + 41)
-       |        + ((src_id // 95) % 97 + 1) * (3 * i + 7)) % 95 END) AS px
+       |        + ((src_id // 95) % 97 + 1) * (3 * i + 7)
+       |        + ((src_id // 9215) % 89 + 1) * (5 * i + 11)) % 95 END) AS px
        |  FROM base),
        |cl AS (SELECT doc_id, list_transform(range(0, $cells), c ->
        |    $cellSum) AS cells FROM pxl),
@@ -275,6 +276,48 @@ object OracleGen {
        |WHERE bit_count(xor(a.phash, b.phash))
        |  <= ${MultimodalOps.PhashMaxHamming}
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** q160 (mirrors MultimodalOps.imageGateCorpus → imageQualityGate):
+    * pixel arithmetic restated directly, brightness/contrast in pure
+    * integer fixed point, entropy via per-bin ×10⁹-frozen terms summed
+    * as integers (order-free). */
+  lazy val q160ImageQualityGate: String = {
+    val n = MultimodalOps.PhashImgLen
+    val bins = MultimodalOps.GateHistBins
+    s"""WITH pxl AS (SELECT doc_id, list_transform(range(0, $n), i ->
+       |    CASE WHEN doc_id % 10 = 0 THEN 32 + doc_id % 95
+       |      WHEN doc_id % 10 = 5 THEN
+       |        CASE WHEN i % 2 = 0 THEN 40 ELSE 100 END
+       |      ELSE 32 + ((doc_id % 95 + 1) * (i * i + i + 41)
+       |        + ((doc_id // 95) % 97 + 1) * (3 * i + 7)
+       |        + ((doc_id // 9215) % 89 + 1) * (5 * i + 11)) % 95 END) AS px
+       |  FROM documents),
+       |st AS (SELECT doc_id,
+       |    CAST(list_sum(px) AS BIGINT) AS sum_px,
+       |    CAST(list_sum(list_transform(px, x -> x * x)) AS BIGINT)
+       |      AS ssq_px,
+       |    list_transform(range(0, $bins), b ->
+       |      len(list_filter(px, x -> x // 8 = b))) AS hist
+       |  FROM pxl),
+       |e AS (SELECT doc_id, sum_px, ssq_px,
+       |    CAST(list_sum(list_transform(hist, c -> CASE WHEN c > 0 THEN
+       |      CAST(floor((-(CAST(c AS DOUBLE) / $n.0)) *
+       |        ln(CAST(c AS DOUBLE) / $n.0) * 1000000000.0) AS BIGINT)
+       |      ELSE 0 END)) AS BIGINT) AS entropy_fp
+       |  FROM st)
+       |SELECT doc_id,
+       |  (sum_px * 1000000) // $n AS brightness_fp,
+       |  (($n * ssq_px - sum_px * sum_px) * 1000000) // ${n.toLong * n}
+       |    AS contrast_fp,
+       |  entropy_fp,
+       |  (($n * ssq_px - sum_px * sum_px) * 1000000) // ${n.toLong * n}
+       |    >= ${MultimodalOps.GateContrastMinFp} AS pass_contrast,
+       |  entropy_fp >= ${MultimodalOps.GateEntropyMinFp} AS pass_entropy,
+       |  (($n * ssq_px - sum_px * sum_px) * 1000000) // ${n.toLong * n}
+       |    >= ${MultimodalOps.GateContrastMinFp}
+       |    AND entropy_fp >= ${MultimodalOps.GateEntropyMinFp} AS kept
+       |FROM e ORDER BY doc_id""".stripMargin
   }
 
   /** q119 (mirrors DedupOps.contamination). */

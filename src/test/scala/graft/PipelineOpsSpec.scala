@@ -242,6 +242,30 @@ class PipelineOpsSpec extends AnyFunSuite {
       "planted edits must be invisible to exact blob dedup")
   }
 
+  test("q160 image gate: flat fails both, stripes fail entropy only, natural images pass") {
+    val rows = MultimodalOps.imageQualityGate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))
+    assert(rows.length == 500)
+    rows.foreach { case (d, bright, contrast, entropy, pc, pe, kept) =>
+      assert(kept == (pc && pe))
+      if (d % 10 == 0) {
+        // flat image: zero contrast, zero entropy, dropped on both
+        assert(contrast == 0L && entropy == 0L && !pc && !pe)
+        assert(bright == (32 + d % 95) * 1000000L)
+      } else if (d % 10 == 5) {
+        // two-tone stripes: high contrast but exactly ln 2 nats —
+        // 2 x floor(0.5 * ln 2 * 1e9) = 693147180 in fixed point
+        assert(pc && !pe && !kept)
+        assert(entropy == 693147180L, s"stripe entropy $entropy")
+        assert(bright == 70L * 1000000L)
+      } else {
+        // chaotic pattern: natural-ish statistics clear both gates
+        assert(pc && pe && kept, s"doc $d dropped: c=$contrast e=$entropy")
+      }
+    }
+  }
+
   test("streaming watermark: late data beyond the watermark is dropped in append mode") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-late").toString

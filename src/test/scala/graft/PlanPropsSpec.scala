@@ -367,6 +367,13 @@ class PlanPropsSpec extends AnyFunSuite {
     }
   }
 
+  test("image gate is one map-side projection: only the presentation sort exchanges") {
+    val p = plan(MultimodalOps.imageQualityGate(spark, dir))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1 && p.contains("rangepartitioning"),
+      s"gate gained a shuffle ($exchanges exchanges):\n${p.take(1500)}")
+  }
+
   test("lsh calibration candidates come from the CAPPED band stream") {
     // the bucket-size window (count over band_idx, band_hash) must sit
     // upstream of the candidate self-join — it is the quadratic-growth
