@@ -178,6 +178,7 @@ object SparkEntry {
     "q158_bootstrap_ci"      -> (ProfileOps.bootstrapCi _),
     "q159_image_phash"       -> (MultimodalOps.imagePhashNearDup _),
     "q160_image_gate"        -> (MultimodalOps.imageQualityGate _),
+    "q161_incremental_lsh"   -> (DedupOps.incrementalLsh _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -616,6 +617,7 @@ object SparkEntry {
     "q158_bootstrap_ci" -> ProfileOps.bootstrapCiOracle,
     "q159_image_phash" -> OracleGen.q159ImagePhashNearDup,
     "q160_image_gate" -> OracleGen.q160ImageQualityGate,
+    "q161_incremental_lsh" -> OracleGen.q161IncrementalLsh,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

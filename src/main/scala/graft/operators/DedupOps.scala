@@ -600,6 +600,58 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  // --- q161: incremental near-dup vs a standing LSH index ----------------
+
+  /** q161 — the INCREMENTAL form of q118, the maintenance operation a
+    * dedup service actually runs at 100 TB: a standing signature/band
+    * index over the accepted corpus (here the original documents) and
+    * an arriving batch (the near-copies, ids ≥ [[CopyOffset]]) checked
+    * against it. Candidates are batch-bands ⋈ index-bands only — never
+    * batch×batch (intra-batch dups are the NEXT run's index problem)
+    * and never the index against itself (already clean) — under the
+    * same [[capBuckets]] guard over combined bucket sizes that q118
+    * applies, so incremental and full-rebuild agree exactly: the spec
+    * pins q161 ≡ q118's output restricted to cross pairs. Verification
+    * is the per-candidate exact Jaccard ≥ 0.5.
+    *
+    * Scale (100 TB): the band index is the persisted artifact —
+    * bucketed/partitioned by (band_idx, band_hash) — so an arriving
+    * batch shuffles only ITSELF to the index's layout; per-bucket
+    * counts are index metadata updated additively. Cost is
+    * O(batch × bands) + candidates, independent of corpus size, which
+    * is the whole point of maintaining the index. */
+  def incrementalLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shared(shingles(corpusNear(s, dir)))
+    val sigs = shared(minhashSignatures(sh))
+    val kept = shared(capBuckets(lshBands(sigs),
+      Seq("band_idx", "band_hash"), Some(LshBucketCap)))
+    val cands = kept.filter(col("doc_id") >= CopyOffset)
+      .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
+      .join(kept.filter(col("doc_id") < CopyOffset)
+        .select(col("doc_id").as("doc_b"), col("band_idx"),
+          col("band_hash")),
+        Seq("band_idx", "band_hash"))
+      .select("doc_a", "doc_b").distinct()
+    val docSh = sh.groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("shs"))
+    cands
+      .join(docSh.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")),
+        Seq("doc_a"))
+      .join(docSh.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint")
+          .as("n_inter"),
+        size(col("sh_a")).cast("bigint").as("n_a"),
+        size(col("sh_b")).cast("bigint").as("n_b"))
+      .withColumn("jaccard",
+        col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("new_doc"), col("doc_b").as("matched_doc"),
+        col("jaccard"))
+      .orderBy("new_doc", "matched_doc")
+  }
+
   // --- q156: dedup-method agreement Venn ---------------------------------
 
   /** q156 — near-dup METHOD agreement audit: every pair flagged by any

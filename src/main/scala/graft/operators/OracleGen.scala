@@ -76,7 +76,8 @@ object OracleGen {
     * used by q31/q118 (with the jaccard tail) and q154 (with the
     * calibration tail). Mirrors DedupOps.minhashLshOf. */
   private def lshCandCtes(bucketCap: Option[Int],
-      corpusCte: String = CorpusNear): String = {
+      corpusCte: String = CorpusNear,
+      candWhere: String = "a.doc_id < b.doc_id"): String = {
     val p = DedupOps.MinhashPrime
     val x = s"${fp60("shingle")} % $p"
     val mins = (0 until DedupOps.NumPerms).map { i =>
@@ -107,7 +108,7 @@ object OracleGen {
        |${capCtes}cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-       |   AND a.doc_id < b.doc_id)""".stripMargin
+       |   AND $candWhere)""".stripMargin
   }
 
   /** q31 (no cap) / q118 (hot buckets over `bucketCap` dropped before
@@ -154,6 +155,27 @@ object OracleGen {
        |  round(CAST(sum(CAST(abs_err AS DECIMAL(18,12))) AS DOUBLE)
        |    / count(*), 6) AS avg_abs_err
        |FROM bkt GROUP BY sim_bucket ORDER BY sim_bucket""".stripMargin
+  }
+
+  /** q161 (mirrors DedupOps.incrementalLsh): batch-vs-index candidates
+    * under the combined-bucket cap, verified at Jaccard ≥ 0.5. */
+  lazy val q161IncrementalLsh: String = {
+    val off = DedupOps.CopyOffset
+    s"""WITH ${lshCandCtes(Some(DedupOps.LshBucketCap),
+          candWhere = s"a.doc_id >= $off AND b.doc_id < $off")},
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |    AND a.doc_id >= $off AND b.doc_id < $off
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT doc_a, doc_b,
+       |    n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+       |  FROM inter JOIN cand USING (doc_a, doc_b)
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b)
+       |SELECT doc_a AS new_doc, doc_b AS matched_doc, jaccard FROM jac
+       |WHERE jaccard >= 0.5 ORDER BY new_doc, matched_doc""".stripMargin
   }
 
   /** q156 (mirrors DedupOps.dedupMethodVenn): the three detector pair

@@ -592,6 +592,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q161 incremental lsh: identical to a full q118 rebuild restricted to cross pairs") {
+    val inc = DedupOps.incrementalLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = DedupOps.minhashLshCapped(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // q118 orients doc_a < doc_b, so its cross pairs are (index, batch);
+    // reorient to q161's (new_doc, matched_doc)
+    val cross = full.filter(p => p._1 < DedupOps.CopyOffset &&
+        p._2 >= DedupOps.CopyOffset)
+      .map(p => (p._2, p._1, p._3)).toSet
+    assert(inc == cross,
+      "incremental maintenance diverged from the full rebuild")
+    assert(inc.nonEmpty)
+    // no intra-batch or intra-index pair may leak into the output
+    inc.foreach { case (n, m, _) =>
+      assert(n >= DedupOps.CopyOffset && m < DedupOps.CopyOffset)
+    }
+  }
+
   test("q156 venn: marginals reconcile with the three standalone detectors") {
     val cells = DedupOps.dedupMethodVenn(spark, dir).collect()
       .map(r => ((r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)),

@@ -374,6 +374,12 @@ class PlanPropsSpec extends AnyFunSuite {
       s"gate gained a shuffle ($exchanges exchanges):\n${p.take(1500)}")
   }
 
+  test("incremental lsh: cap window guards the batch-vs-index candidate join") {
+    val p = plan(DedupOps.incrementalLsh(spark, dir))
+    assert(p.contains("windowspecdefinition(band_idx"),
+      s"bucket-cap window missing from incremental plan:\n${p.take(1800)}")
+  }
+
   test("lsh calibration candidates come from the CAPPED band stream") {
     // the bucket-size window (count over band_idx, band_hash) must sit
     // upstream of the candidate self-join — it is the quadratic-growth
