@@ -179,6 +179,8 @@ object SparkEntry {
     "q159_image_phash"       -> (MultimodalOps.imagePhashNearDup _),
     "q160_image_gate"        -> (MultimodalOps.imageQualityGate _),
     "q161_incremental_lsh"   -> (DedupOps.incrementalLsh _),
+    "q162_span_coverage"     -> (TextOps.spanCoverage _),
+    "q163_user_dp"           -> (CurationOps.userLevelDp _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -618,6 +620,8 @@ object SparkEntry {
     "q159_image_phash" -> OracleGen.q159ImagePhashNearDup,
     "q160_image_gate" -> OracleGen.q160ImageQualityGate,
     "q161_incremental_lsh" -> OracleGen.q161IncrementalLsh,
+    "q162_span_coverage" -> TextOps.spanCoverageOracle,
+    "q163_user_dp" -> CurationOps.userLevelDpOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -571,6 +571,81 @@ object CurationOps {
        |FROM r ORDER BY release, event_type, day""".stripMargin
   }
 
+  // --- q163: user-level DP release with contribution bounding ------------
+
+  /** Per-user per-cell contribution bound and release budget. */
+  val UserDpClip = 2L
+  val UserDpEps = 1.0
+
+  /** q163 — USER-level differentially-private histogram release
+    * (contribution bounding, Amin et al. 2019): q157's Laplace release
+    * protects single EVENTS, but one user can contribute many events
+    * to a cell, so the event-level guarantee says nothing about users
+    * — the unit a training-data pipeline actually owes privacy to.
+    * Here each user's contribution to a (event_type, day) cell is
+    * clipped at [[UserDpClip]] first, which caps the release's
+    * user-level sensitivity at that bound, and the Laplace scale is
+    * sensitivity/ε. The output shows the price of the guarantee cell
+    * by cell: `clip_loss` (true − clipped — bias paid to bound the
+    * sensitivity) next to `noise` (variance paid for ε), the
+    * bias/variance trade every user-level release tunes.
+    *
+    * Determinism: the q157 machinery — inverse-CDF Laplace over the
+    * salted 60-bit fingerprint uniform, ln frozen to ×10⁶ fixed point
+    * before the single division.
+    *
+    * Scale (100 TB): one (cell, user) aggregate (map-combinable; the
+    * only corpus-sized exchange keys on cell+user), one cell rollup,
+    * per-row codegen noise — the user-level guarantee adds exactly one
+    * aggregate level over q157. */
+  def userLevelDp(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val perUser = EtlOps.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        col("user_id"))
+      .groupBy("event_type", "day", "user_id")
+      .agg(count(lit(1)).as("n_u"))
+    perUser.groupBy("event_type", "day")
+      .agg(sum(col("n_u")).as("n_true"),
+        sum(least(col("n_u"), lit(UserDpClip))).as("n_clipped"))
+      .withColumn("u", expr(
+        "CAST(md5_fp60(concat('udp:', event_type, ':', " +
+          "CAST(day AS STRING))) AS DOUBLE) / 1152921504606846976.0"))
+      .withColumn("noise", expr(
+        s"CAST(floor((-($UserDpClip.0 / $UserDpEps)) * sign(u - 0.5) * " +
+          "ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-12)) * 1000000.0) " +
+          "AS BIGINT) / CAST(1000000.0 AS DOUBLE)"))
+      .select(col("event_type"), col("day"), col("n_true"),
+        col("n_clipped"),
+        (col("n_true") - col("n_clipped")).as("clip_loss"),
+        round(col("noise"), 6).as("noise"),
+        round(col("n_clipped") + col("noise"), 6).as("n_released"),
+        lit(UserDpEps).as("eps"),
+        lit(UserDpClip).as("sensitivity"))
+      .orderBy("event_type", "day")
+  }
+
+  def userLevelDpOracle: String =
+    s"""WITH pu AS (SELECT event_type, CAST(ts AS DATE) AS day, user_id,
+       |    count(*) AS n_u
+       |  FROM events GROUP BY 1, 2, 3),
+       |cells AS (SELECT event_type, day,
+       |    CAST(sum(n_u) AS BIGINT) AS n_true,
+       |    CAST(sum(least(n_u, $UserDpClip)) AS BIGINT) AS n_clipped
+       |  FROM pu GROUP BY 1, 2),
+       |r AS (SELECT *, CAST(CAST('0x' || substr(md5('udp:' || event_type
+       |    || ':' || CAST(day AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+       |    / 1152921504606846976.0 AS u FROM cells),
+       |n AS (SELECT *, CAST(floor((-($UserDpClip.0 / $UserDpEps)) *
+       |    sign(u - 0.5) * ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-12))
+       |    * 1000000.0) AS BIGINT) / 1000000.0 AS noise FROM r)
+       |SELECT event_type, day, n_true, n_clipped,
+       |  n_true - n_clipped AS clip_loss, round(noise, 6) AS noise,
+       |  round(n_clipped + noise, 6) AS n_released,
+       |  CAST($UserDpEps AS DOUBLE) AS eps,
+       |  CAST($UserDpClip AS BIGINT) AS sensitivity
+       |FROM n ORDER BY event_type, day""".stripMargin
+
   // --- q122: curation funnel datasheet ----------------------------------
 
   /** The latin-script slice of the corpus — the funnel's language gate. */

@@ -584,4 +584,103 @@ object TextOps {
        |  round(CAST(CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
        |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS oov_rate
        |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  // --- q162: cross-doc repeated-span coverage ----------------------------
+
+  /** Span width (tokens) and flag threshold for the coverage audit. */
+  val SpanGramN = 8
+  val SpanFlagThreshold = "0.1"
+
+  /** Planted boilerplate: a fixed 12-token footer appended to every 3rd
+    * document, the canonical shape of cross-document span duplication
+    * (nav bars, license banners, newsletter footers). */
+  val SpanBoiler: String = "please subscribe to our newsletter for " +
+    "weekly updates and exclusive member content"
+
+  /** q162 — cross-doc repeated-SPAN coverage (the Lee et al. 2022
+    * "Deduplicating Training Data" audit, at span rather than document
+    * granularity): for each document, the fraction of its tokens
+    * covered by at least one [[SpanGramN]]-gram that also occurs in
+    * ANOTHER document. Document-level detectors (q29/q31/q120) miss
+    * this entirely — a corpus can be 0% duplicate documents and still
+    * 30% duplicated spans (boilerplate, quotes, templates), which is
+    * what LMs memorize. Complements q57 (intra-doc repetition) and
+    * q119 (containment against a specific eval set).
+    *
+    * Shape: positional grams → distinct-doc frequency per gram (df ≥ 2
+    * = shared) → each doc's shared gram START positions → covered
+    * token count as an interval merge done with one window lead (the
+    * q98 coalesce idea): Σ min(N, next_start − start) + N for the
+    * last. All integer arithmetic; the only doubles are the final
+    * coverage division (identical op in both engines).
+    *
+    * Scale (100 TB): gram df is one map-combinable aggregate keyed by
+    * gram (16-byte fingerprints at scale); the join back ships only
+    * df ≥ 2 grams (a broadcast-able minority in a healthy corpus);
+    * the interval merge is a per-doc window over shared starts, never
+    * the token stream. */
+  def spanCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(col("text"), lit(" " + SpanBoiler)))
+        .otherwise(col("text")).as("text"))
+    val toks = d.withColumn("toks", split(col("text"), " "))
+    val sizes = toks.select(col("doc_id"),
+      size(col("toks")).cast("bigint").as("n_toks"))
+    val pg = toks.select(col("doc_id"),
+        posexplode(expr(DedupOps.wordGramArrayExpr(SpanGramN))))
+      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("p"),
+        col("col").as("gram"))
+    val sharedGrams = pg.select("gram", "doc_id").distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("gram")
+    val starts = pg.join(sharedGrams, Seq("gram"))
+      .select("doc_id", "p").distinct()
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val covered = starts
+      .withColumn("nxt", lead(col("p"), 1).over(w))
+      .withColumn("contrib", when(col("nxt").isNull, lit(SpanGramN.toLong))
+        .otherwise(least(lit(SpanGramN.toLong), col("nxt") - col("p"))))
+      .groupBy("doc_id").agg(sum(col("contrib")).as("n_covered"))
+    sizes.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("coverage", round(col("n_covered") / col("n_toks"), 6))
+      .withColumn("flagged",
+        col("n_covered") / col("n_toks") >= SpanFlagThreshold)
+      .orderBy("doc_id")
+  }
+
+  def spanCoverageOracle: String = {
+    val n = SpanGramN
+    val cat = (0 until n)
+      .map(k => if (k == 0) "toks[i]" else s"toks[i+$k]")
+      .mkString(" || ' ' || ")
+    s"""WITH d AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN text || ' $SpanBoiler'
+       |      ELSE text END AS text
+       |  FROM documents),
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+       |sizes AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks
+       |  FROM tok),
+       |pg AS (SELECT doc_id, CAST(u.s['p'] AS BIGINT) AS p,
+       |    u.s['g'] AS gram
+       |  FROM (SELECT doc_id, unnest(list_transform(
+       |    range(1, len(toks) - ${n - 2}),
+       |    i -> {'p': i, 'g': $cat})) AS s FROM tok) u),
+       |sg AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM pg) x
+       |  GROUP BY gram HAVING count(*) >= 2),
+       |ss AS (SELECT DISTINCT doc_id, p FROM pg JOIN sg USING (gram)),
+       |c AS (SELECT doc_id, p,
+       |    lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS nxt FROM ss),
+       |cv AS (SELECT doc_id, CAST(sum(CASE WHEN nxt IS NULL THEN $n
+       |    ELSE least($n, nxt - p) END) AS BIGINT) AS n_covered
+       |  FROM c GROUP BY doc_id)
+       |SELECT s.doc_id, s.n_toks,
+       |  COALESCE(cv.n_covered, 0) AS n_covered,
+       |  round(COALESCE(cv.n_covered, 0) / s.n_toks, 6) AS coverage,
+       |  COALESCE(cv.n_covered, 0) / s.n_toks >= $SpanFlagThreshold
+       |    AS flagged
+       |FROM sizes s LEFT JOIN cv USING (doc_id) ORDER BY s.doc_id""".stripMargin
+  }
 }

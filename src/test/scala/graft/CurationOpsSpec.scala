@@ -242,6 +242,35 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q163 user dp: clipping bites, sensitivity caps any one user, noise calibrated") {
+    val rows = CurationOps.userLevelDp(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3)) // clip_loss
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(math.abs(r.getDouble(6) -
+        math.round((r.getLong(3) + r.getDouble(5)) * 1e6) / 1e6) < 1e-9)
+      assert(r.getLong(8) == CurationOps.UserDpClip)
+    }
+    // the bound must actually bite on this fixture, or the audit is
+    // indistinguishable from q157
+    assert(rows.map(_.getLong(4)).sum > 0, "contribution bound never bit")
+    // recompute one cell's clipped count from the raw events
+    val r0 = rows.maxBy(_.getLong(4))
+    val perUser = EtlOps.events(spark, dir)
+      .filter(col("event_type") === r0.getString(0) &&
+        to_date(col("ts")) === r0.getDate(1))
+      .groupBy("user_id").count().collect().map(_.getLong(1))
+    assert(perUser.sum == r0.getLong(2))
+    assert(perUser.map(math.min(_, CurationOps.UserDpClip)).sum ==
+      r0.getLong(3))
+    // mean |noise| tracks the Laplace MAE sensitivity/eps
+    val b = CurationOps.UserDpClip / CurationOps.UserDpEps
+    val mae = rows.map(r => math.abs(r.getDouble(5))).sum / rows.length
+    assert(mae > 0.45 * b && mae < 2.2 * b,
+      s"mean|noise|=$mae not calibrated to b=$b")
+  }
+
   test("q151 langid confusion: counts reconcile with q26, fracs sum to 1") {
     val rows = TextOps.langIdConfusion(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -611,6 +611,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q162 span coverage: boilerplate spans counted exactly, invisible to doc-level dedup") {
+    val rows = TextOps.spanCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.length == 500)
+    val (planted, clean) = rows.partition(_._1 % 3 == 0)
+    // the 12-token footer contributes exactly 12 covered tokens via its
+    // 5 interior 8-gram starts (4x1 + 8 in the interval merge), so every
+    // planted doc is covered at least that much
+    planted.foreach { case (d, n, cov, _, _) =>
+      assert(cov >= 12L, s"doc $d: covered $cov < footer length")
+    }
+    // span coverage separates the classes that doc-level dedup can't:
+    // every planted text is globally unique as a document
+    assert(planted.map(r => r._3.toDouble / r._2).sum / planted.length >
+      clean.map(r => r._3.toDouble / r._2).sum / clean.length,
+      "planted boilerplate not visible in coverage")
+    assert(rows.exists(_._5) && rows.exists(!_._5),
+      "flag threshold must separate the corpus")
+    // flag recomputes from the row's own integers
+    rows.foreach { case (_, n, cov, _, fl) =>
+      assert(fl == (cov.toDouble / n >= 0.1))
+    }
+  }
+
   test("q156 venn: marginals reconcile with the three standalone detectors") {
     val cells = DedupOps.dedupMethodVenn(spark, dir).collect()
       .map(r => ((r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)),
