@@ -181,6 +181,8 @@ object SparkEntry {
     "q161_incremental_lsh"   -> (DedupOps.incrementalLsh _),
     "q162_span_coverage"     -> (TextOps.spanCoverage _),
     "q163_user_dp"           -> (CurationOps.userLevelDp _),
+    "q164_source_sketch"     -> (DedupOps.sourceOverlapSketch _),
+    "q165_audio_gate"        -> (MultimodalOps.audioQualityGate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -622,6 +624,8 @@ object SparkEntry {
     "q161_incremental_lsh" -> OracleGen.q161IncrementalLsh,
     "q162_span_coverage" -> TextOps.spanCoverageOracle,
     "q163_user_dp" -> CurationOps.userLevelDpOracle,
+    "q164_source_sketch" -> DedupOps.sourceOverlapSketchOracle,
+    "q165_audio_gate" -> MultimodalOps.audioQualityGateOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -191,6 +191,109 @@ object DedupOps {
       |FROM pr GROUP BY p.src_a, p.src_b
       |ORDER BY src_a, src_b""".stripMargin
 
+  /** q164 — SOURCE-level overlap from mergeable MinHash union sketches,
+    * audited against q138's exact triangle: each source collapses to
+    * one [[NumPerms]]-slot signature (per perm, the min over its
+    * distinct contents' permuted fingerprints — the union sketch), and
+    * every source pair gets its sketch-estimated content Jaccard
+    * (agreeing slots / perms) next to the exact one (shared contents /
+    * union, from the q138 machinery). The production story is the
+    * sketch: 16 longs per source, mergeable across days/shards (min is
+    * associative), so the cross-source overlap monitor runs WITHOUT
+    * the corpus-sized distinct aggregate the exact triangle needs —
+    * this report is the calibration evidence for trusting it.
+    *
+    * Scale (100 TB): the sketch side is one map-combinable min
+    * aggregate over (source, content-fp) — at |sources| × 16 longs of
+    * state; the exact side (q138's hash-keyed triangle) is recomputed
+    * here only as the audit's ground truth. Pairs are |sources|²/2 —
+    * driver-scale. Mirror-source fixture planted as in q138. */
+  def sourceOverlapSketch(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("text"), col("source"))
+    val corpus = shared(d.unionAll(
+      d.filter(TextOps.md5Fingerprint60(col("text")) % 5 === 0)
+        .select(col("text"), concat(lit("mir_"), col("source")).as("source"))))
+    // distinct (source, content) first: a source's sketch is over its
+    // content SET, not its row multiset
+    val withX = corpus
+      .select(col("source"), col("text")).distinct()
+      .select(col("source"),
+        (TextOps.md5Fingerprint60(col("text")) % MinhashPrime).as("mh_x"))
+    val aggs = (0 until NumPerms).map { i =>
+      min((col("mh_x") * permA(i) + permB(i)) % MinhashPrime).as(s"h$i")
+    } :+ count(lit(1)).as("n_docs")
+    val sigs = shared(withX.groupBy("source").agg(aggs.head, aggs.tail: _*))
+    def side(p: String) = sigs.select(
+      (col("source").as(s"src_$p") +: (col("n_docs").as(s"n_$p") +:
+        (0 until NumPerms).map(i => col(s"h$i").as(s"${p}_h$i")))): _*)
+    val agree = (0 until NumPerms).map(i =>
+      when(col(s"a_h$i") === col(s"b_h$i"), 1L).otherwise(0L)).reduce(_ + _)
+    val pairs = side("a").join(side("b"), col("src_a") < col("src_b"))
+      .withColumn("n_agree", agree)
+    // exact shared-content counts — q138's group-then-combine triangle
+    val shared2 = corpus
+      .select(md5(col("text")).as("h"), col("source")).distinct()
+      .groupBy("h").agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs) - i - 1), b ->
+          |    struct(a AS src_a, b AS src_b))))""".stripMargin)).as("p"))
+      .groupBy("p.src_a", "p.src_b")
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(shared2, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"), col("n_agree"))
+      .withColumn("exact_j", round(
+        col("n_shared") / (col("n_a") + col("n_b") - col("n_shared")), 6))
+      .withColumn("est_j",
+        round(col("n_agree") / lit(NumPerms.toDouble), 6))
+      .select("src_a", "src_b", "n_a", "n_b", "n_shared", "exact_j",
+        "est_j")
+      .orderBy("src_a", "src_b")
+  }
+
+  def sourceOverlapSketchOracle: String = {
+    val p = MinhashPrime
+    val x = s"${OracleGen.fp60("text")} % $p"
+    val mins = (0 until NumPerms).map { i =>
+      s"min((($x) * ${permA(i)} + ${permB(i)}) % $p) AS h$i"
+    }.mkString(",\n    ")
+    val agree = (0 until NumPerms)
+      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH corpus AS (SELECT text, source FROM documents
+       |  UNION ALL SELECT text, 'mir_' || source FROM documents
+       |    WHERE ${OracleGen.fp60("text")} % 5 = 0),
+       |dx AS (SELECT DISTINCT source, text FROM corpus),
+       |sigs AS (SELECT source,
+       |    $mins,
+       |    count(*) AS n_docs
+       |  FROM dx GROUP BY source),
+       |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+       |    a.n_docs AS n_a, b.n_docs AS n_b,
+       |    CAST($agree AS BIGINT) AS n_agree
+       |  FROM sigs a JOIN sigs b ON a.source < b.source),
+       |bs AS (SELECT DISTINCT md5(text) AS h, source FROM corpus),
+       |ls AS (SELECT h, list_sort(list(source)) AS srcs
+       |  FROM bs GROUP BY h HAVING len(list(source)) > 1),
+       |sh2 AS (SELECT p.src_a AS src_a, p.src_b AS src_b,
+       |    count(*) AS n_shared
+       |  FROM (SELECT unnest(flatten(list_transform(srcs, (a, i) ->
+       |      list_transform(srcs[i + 1:], b -> {'src_a': a, 'src_b': b}))))
+       |      AS p FROM ls) u
+       |  GROUP BY 1, 2)
+       |SELECT pr.src_a, pr.src_b, pr.n_a, pr.n_b,
+       |  COALESCE(sh2.n_shared, 0) AS n_shared,
+       |  round(COALESCE(sh2.n_shared, 0)
+       |    / (pr.n_a + pr.n_b - COALESCE(sh2.n_shared, 0)), 6) AS exact_j,
+       |  round(pr.n_agree / ${NumPerms.toDouble}, 6) AS est_j
+       |FROM pr LEFT JOIN sh2 ON sh2.src_a = pr.src_a
+       |  AND sh2.src_b = pr.src_b
+       |ORDER BY pr.src_a, pr.src_b""".stripMargin
+  }
+
   /** Containment flag threshold and the blocking df cap for q146. */
   val ContainmentTheta = "0.9"
   val RareShingleDf = 8

@@ -289,6 +289,108 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  // --- q165: audio QA gate ------------------------------------------------
+
+  /** Audio-gate geometry and thresholds: [[AudioLen]] int8-style
+    * samples per track (byte-exact in the printable band 32..126,
+    * midpoint [[AudioMid]]); a sample is SILENT within ±1 of the
+    * midpoint and CLIPPED at either rail. Ratios and energy are ×10⁶
+    * fixed point. */
+  val AudioLen = 400
+  val AudioMid = 79
+  val AudioSilenceMaxFp = 500000L    // < 50% silent samples
+  val AudioClipMaxFp = 100000L       // < 10% clipped samples
+  val AudioEnergyMinFp = 50L * 1000000L // mean square >= 50
+
+  /** Waveform corpus with three planted classes: doc_id % 7 == 0 →
+    * near-SILENT track (a dead mic / failed decode), doc_id % 7 == 3 →
+    * third of the samples pinned at the positive rail (hard CLIPPING),
+    * all others → the chaotic pattern (a healthy signal). Blob is real
+    * binary; the gate must recover samples from bytes. */
+  def audioCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("wav_str", expr(
+        s"array_join(transform(sequence(0, ${AudioLen - 1}), i -> " +
+          s"chr(CASE WHEN doc_id % 7 = 0 THEN $AudioMid + IF(i % 3 = 0, 1, 0) " +
+          "WHEN doc_id % 7 = 3 AND i % 3 = 0 THEN 126 " +
+          "ELSE 32 + ((doc_id % 95 + 1) * (i * i + i + 41) + " +
+          "((doc_id div 95) % 97 + 1) * (3 * i + 7) + " +
+          "((doc_id div 9215) % 89 + 1) * (5 * i + 11)) % 95 END)), '')"))
+      .select(col("doc_id"), encode(col("wav_str"), "UTF-8").as("wav"))
+
+  /** q165 — audio QA gate, completing the modality set (q159/q160 are
+    * the image side, q44 the frame sampler): per-track energy about the
+    * midpoint, silence ratio, and clip ratio computed FROM THE BLOB,
+    * each with its own verdict — the standard triage that keeps dead
+    * mics and limiter-slammed audio out of a training mix. Pure
+    * integer fixed point throughout (no ln here — ratios and sums of
+    * squares only), so cross-engine parity is exact by construction.
+    *
+    * Scale (100 TB): one codegen'd projection per track (the sample
+    * array is the aggregate's collection — evaluated once per row, the
+    * q160 HOF discipline); only the presentation sort exchanges. */
+  def audioQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val n = AudioLen
+    val sArr =
+      s"transform(sequence(0, ${n - 1}), " +
+        "i -> ascii(substring(CAST(wav AS STRING), i + 1, 1)))"
+    val energy =
+      s"aggregate($sArr, CAST(0 AS BIGINT), (acc, x) -> " +
+        s"acc + CAST(x - $AudioMid AS BIGINT) * (x - $AudioMid))"
+    val silent =
+      s"aggregate($sArr, CAST(0 AS BIGINT), (acc, x) -> " +
+        s"acc + IF(abs(x - $AudioMid) <= 1, 1, 0))"
+    val clipped =
+      s"aggregate($sArr, CAST(0 AS BIGINT), (acc, x) -> " +
+        "acc + IF(x = 32 OR x = 126, 1, 0))"
+    audioCorpus(s, dir)
+      .select(col("doc_id"),
+        expr(s"(($energy) * 1000000) div $n").as("energy_fp"),
+        expr(s"(($silent) * 1000000) div $n").as("silence_ratio_fp"),
+        expr(s"(($clipped) * 1000000) div $n").as("clip_ratio_fp"))
+      .withColumn("pass_energy", col("energy_fp") >= AudioEnergyMinFp)
+      .withColumn("pass_silence",
+        col("silence_ratio_fp") < AudioSilenceMaxFp)
+      .withColumn("pass_clip", col("clip_ratio_fp") < AudioClipMaxFp)
+      .withColumn("kept",
+        col("pass_energy") && col("pass_silence") && col("pass_clip"))
+      .orderBy("doc_id")
+  }
+
+  def audioQualityGateOracle: String = {
+    val n = AudioLen
+    s"""WITH w AS (SELECT doc_id, list_transform(range(0, $n), i ->
+       |    CASE WHEN doc_id % 7 = 0 THEN
+       |      $AudioMid + CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END
+       |    WHEN doc_id % 7 = 3 AND i % 3 = 0 THEN 126
+       |    ELSE 32 + ((doc_id % 95 + 1) * (i * i + i + 41)
+       |      + ((doc_id // 95) % 97 + 1) * (3 * i + 7)
+       |      + ((doc_id // 9215) % 89 + 1) * (5 * i + 11)) % 95 END)
+       |    AS sm
+       |  FROM documents),
+       |st AS (SELECT doc_id,
+       |    CAST(list_sum(list_transform(sm, x ->
+       |      (x - $AudioMid) * (x - $AudioMid))) AS BIGINT) AS energy,
+       |    CAST(list_sum(list_transform(sm, x ->
+       |      CASE WHEN abs(x - $AudioMid) <= 1 THEN 1 ELSE 0 END))
+       |      AS BIGINT) AS silent,
+       |    CAST(list_sum(list_transform(sm, x ->
+       |      CASE WHEN x = 32 OR x = 126 THEN 1 ELSE 0 END)) AS BIGINT)
+       |      AS clipped
+       |  FROM w)
+       |SELECT doc_id,
+       |  (energy * 1000000) // $n AS energy_fp,
+       |  (silent * 1000000) // $n AS silence_ratio_fp,
+       |  (clipped * 1000000) // $n AS clip_ratio_fp,
+       |  (energy * 1000000) // $n >= $AudioEnergyMinFp AS pass_energy,
+       |  (silent * 1000000) // $n < $AudioSilenceMaxFp AS pass_silence,
+       |  (clipped * 1000000) // $n < $AudioClipMaxFp AS pass_clip,
+       |  (energy * 1000000) // $n >= $AudioEnergyMinFp
+       |    AND (silent * 1000000) // $n < $AudioSilenceMaxFp
+       |    AND (clipped * 1000000) // $n < $AudioClipMaxFp AS kept
+       |FROM st ORDER BY doc_id""".stripMargin
+  }
+
   /** q36 — the SQL-expressible slice of the multimodal pipeline: blob
     * length, content hash, header bytes, deterministic fake dimensions.
     * Mirrors [[FakeDecoder]] so the DuckDB oracle can check the plumbing

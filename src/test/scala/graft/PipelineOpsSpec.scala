@@ -266,6 +266,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q165 audio gate: silent tracks fail energy+silence, clipped fail clip, healthy pass") {
+    val rows = MultimodalOps.audioQualityGate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))
+    assert(rows.length == 500)
+    rows.foreach { case (d, energy, silence, clip, pe, ps, pc, kept) =>
+      assert(kept == (pe && ps && pc))
+      if (d % 7 == 0) {
+        // dead mic: every sample within the silence band, no energy
+        assert(silence == 1000000L && !ps && !pe, s"doc $d")
+      } else if (d % 7 == 3) {
+        // a third of the samples pinned at the rail: clip gate trips,
+        // but the track still carries signal energy
+        assert(clip >= 300000L && !pc && pe, s"doc $d clip=$clip")
+      } else {
+        assert(kept, s"healthy doc $d dropped: e=$energy s=$silence c=$clip")
+      }
+    }
+  }
+
   test("streaming watermark: late data beyond the watermark is dropped in append mode") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-late").toString
@@ -634,6 +654,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.foreach { case (_, n, cov, _, fl) =>
       assert(fl == (cov.toDouble / n >= 0.1))
     }
+  }
+
+  test("q164 source sketch: mirror overlap estimated, zero pairs stay near zero, sketch is min-mergeable") {
+    val rows = DedupOps.sourceOverlapSketch(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    val (mirror, rest) = rows.partition { case (a, b, _, _, _, _, _) =>
+      b == s"mir_$a" || a == s"mir_$b"
+    }
+    assert(mirror.nonEmpty, "no mirror pairs — fixture broken")
+    // every mirror pair shares exactly its planted fifth
+    mirror.foreach { case (a, b, _, _, sh, ej, _) =>
+      assert(sh > 0 && ej > 0, s"mirror pair ($a,$b) shows no overlap")
+    }
+    // the sketch estimate is calibrated in aggregate: mean est over the
+    // mirror pairs tracks their true ~0.2 Jaccard within sketch noise
+    val meanMirror = mirror.map(_._7).sum / mirror.length
+    val meanExact = mirror.map(_._6).sum / mirror.length
+    assert(math.abs(meanMirror - meanExact) < 0.12,
+      s"sketch bias: est=$meanMirror exact=$meanExact")
+    // pairs with zero true overlap stay near zero under the sketch
+    val zeros = rest.filter(_._5 == 0L)
+    assert(zeros.nonEmpty)
+    assert(zeros.map(_._7).sum / zeros.length < 0.05,
+      "sketch invents overlap on disjoint sources")
+    // the PRODUCTION property: the union sketch merges by element-wise
+    // min, so per-shard sketches compose without touching the corpus
+    import org.apache.spark.sql.functions.{col => c, min => fmin}
+    val d = EtlOps.t(spark, dir, "documents")
+      .select(c("source"), c("text")).distinct()
+      .withColumn("x", TextOps.md5Fingerprint60(c("text")) %
+        DedupOps.MinhashPrime)
+    val src0 = d.select("source").first().getString(0)
+    def sig(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val aggs = (0 until DedupOps.NumPerms).map(i =>
+        fmin((c("x") * DedupOps.permA(i) + DedupOps.permB(i)) %
+          DedupOps.MinhashPrime))
+      val r = df.agg(aggs.head, aggs.tail: _*).first()
+      (0 until DedupOps.NumPerms).map(r.getLong)
+    }
+    val full = sig(d.filter(c("source") === src0))
+    val hA = sig(d.filter(c("source") === src0 && c("x") % 2 === 0))
+    val hB = sig(d.filter(c("source") === src0 && c("x") % 2 =!= 0))
+    assert(full == hA.zip(hB).map(p => math.min(p._1, p._2)),
+      "union sketch is not min-mergeable")
   }
 
   test("q156 venn: marginals reconcile with the three standalone detectors") {
