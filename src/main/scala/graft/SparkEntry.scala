@@ -183,6 +183,7 @@ object SparkEntry {
     "q163_user_dp"           -> (CurationOps.userLevelDp _),
     "q164_source_sketch"     -> (DedupOps.sourceOverlapSketch _),
     "q165_audio_gate"        -> (MultimodalOps.audioQualityGate _),
+    "q166_contam_provenance" -> (DedupOps.contaminationProvenance _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -626,6 +627,7 @@ object SparkEntry {
     "q163_user_dp" -> CurationOps.userLevelDpOracle,
     "q164_source_sketch" -> DedupOps.sourceOverlapSketchOracle,
     "q165_audio_gate" -> MultimodalOps.audioQualityGateOracle,
+    "q166_contam_provenance" -> DedupOps.contaminationProvenanceOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

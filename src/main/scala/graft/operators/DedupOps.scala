@@ -869,6 +869,96 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** q166 — contamination PROVENANCE: q119 flags which val documents
+    * are covered by train-set n-grams; this attributes the leak — for
+    * every val document with any overlap, which train SOURCE holds the
+    * most of its distinct [[ContamGramN]]-grams, with the hit count
+    * and fraction. The actionable output of a decontamination
+    * incident: q119 says "the benchmark leaked", q166 says "it leaked
+    * through source X", which is what gets a source quarantined or a
+    * scraper fixed. Fixture: the q119 corpus with sources carried
+    * through — planted near-copies inherit their base document's
+    * source, so each contaminated val doc's top source is provably its
+    * own.
+    *
+    * Shape: distinct (gram, source) on the train side — the gram
+    * stream collapses BEFORE the join, so the join ships each gram
+    * once per holding source, not once per occurrence — then one
+    * (val_doc, source) count and a row_number top-1 per val doc.
+    * At 100 TB: gram keys become 16-byte fingerprints, the (gram,
+    * source) distinct is the only corpus-sized aggregate, and the
+    * final window partitions by val doc. */
+  def contaminationProvenance(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val all = d.unionAll(d.select(
+      (col("doc_id") + CopyOffset).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text"),
+      col("source")))
+    val valDocs = all.filter(col("doc_id") < CopyOffset &&
+      col("doc_id") % 10 === 0)
+    val train = all.filter(
+      (col("doc_id") < CopyOffset && col("doc_id") % 10 =!= 0) ||
+        (col("doc_id") >= CopyOffset &&
+          (col("doc_id") - CopyOffset) % 20 === 0))
+    def grams(df: DataFrame, keep: Column*): DataFrame = df
+      .withColumn("toks", split(col("text"), " "))
+      .select(keep :+
+        explode(array_distinct(expr(wordGramArrayExpr(ContamGramN))))
+          .as("gram"): _*)
+    val trainGrams = grams(train, col("source")).distinct()
+    val valGrams = shared(grams(valDocs, col("doc_id")))
+    val totals = valGrams.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("n_hit").desc, col("source"))
+    valGrams.join(trainGrams, Seq("gram"))
+      .groupBy("doc_id", "source").agg(count(lit(1)).as("n_hit"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+      .join(totals, Seq("doc_id"))
+      .select(col("doc_id").as("val_doc"), col("source").as("top_source"),
+        col("n_grams"), col("n_hit"),
+        round(col("n_hit") / col("n_grams"), 6).as("hit_frac"))
+      .orderBy("val_doc")
+  }
+
+  def contaminationProvenanceOracle: String = {
+    val n = ContamGramN
+    val off = CopyOffset
+    val cat = (0 until n)
+      .map(k => if (k == 0) "toks[i]" else s"toks[i+$k]")
+      .mkString(" || ' ' || ")
+    def gramsOf(src: String, cols: String): String =
+      s"""SELECT DISTINCT $cols gram FROM (
+         |  SELECT doc_id, source, unnest(list_transform(
+         |    range(1, len(toks) - ${n - 2}), i -> $cat)) AS gram
+         |  FROM (SELECT doc_id, source, string_split(text, ' ') AS toks
+         |    FROM $src) t) u""".stripMargin
+    s"""WITH corpus AS (SELECT doc_id, text, source FROM documents
+       |  UNION ALL SELECT doc_id + $off,
+       |    substring(text, instr(text, ' ') + 1), source FROM documents),
+       |vd AS (SELECT doc_id, text, source FROM corpus
+       |  WHERE doc_id < $off AND doc_id % 10 = 0),
+       |tr AS (SELECT doc_id, text, source FROM corpus
+       |  WHERE (doc_id < $off AND doc_id % 10 <> 0)
+       |     OR (doc_id >= $off AND (doc_id - $off) % 20 = 0)),
+       |tg AS (${gramsOf("tr", "source,")}),
+       |vg AS (${gramsOf("vd", "doc_id,")}),
+       |tot AS (SELECT doc_id, count(*) AS n_grams FROM vg GROUP BY doc_id),
+       |hit AS (SELECT vg.doc_id, tg.source, count(*) AS n_hit
+       |  FROM vg JOIN tg USING (gram) GROUP BY 1, 2),
+       |rk AS (SELECT doc_id, source, n_hit, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY n_hit DESC, source) AS rk
+       |  FROM hit)
+       |SELECT rk.doc_id AS val_doc, rk.source AS top_source,
+       |  tot.n_grams, rk.n_hit,
+       |  round(rk.n_hit / tot.n_grams, 6) AS hit_frac
+       |FROM rk JOIN tot ON tot.doc_id = rk.doc_id
+       |WHERE rk.rk = 1 ORDER BY val_doc""".stripMargin
+  }
+
   /** Streaming exact dedup: state-backed key dedup bounded by the
     * watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming
     * twin of q29's batch content dedup. Duplicates arriving in ANY

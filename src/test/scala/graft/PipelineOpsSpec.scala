@@ -656,6 +656,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q166 contamination provenance: top-1 attribution matches independent recompute") {
+    val rows = DedupOps.contaminationProvenance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val byDoc = rows.map(r => r._1 -> r).toMap
+    // ground truth recomputed independently in plain Scala over the
+    // collected texts (sf0.001 is small): the operator's top-1 must be
+    // the true per-source argmax with the (n_hit desc, source) tie-break
+    val docs = EtlOps.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def gramsOf(text: String): Set[String] =
+      text.split(" ").sliding(DedupOps.ContamGramN)
+        .filter(_.length == DedupOps.ContamGramN).map(_.mkString(" ")).toSet
+    val train: Seq[(String, Set[String])] =
+      docs.filter(_._1 % 10 != 0).map(d => (d._3, gramsOf(d._2))) ++
+        docs.filter(_._1 % 20 == 0)
+          .map(d => (d._3, gramsOf(d._2.split(" ").drop(1).mkString(" "))))
+    val bySource = train.groupBy(_._1).view
+      .mapValues(_.flatMap(_._2).toSet).toMap
+    docs.filter(_._1 % 10 == 0).foreach { case (d, text, _) =>
+      val vg = gramsOf(text)
+      val hits = bySource.view.mapValues(s => (vg & s).size)
+        .filter(_._2 > 0).toSeq
+      if (hits.isEmpty) assert(!byDoc.contains(d), s"doc $d phantom row")
+      else {
+        val (wantSrc, wantHit) = hits.minBy { case (s, h) => (-h, s) }
+        val r = byDoc.getOrElse(d, fail(s"val doc $d not attributed"))
+        assert(r._2 == wantSrc && r._4 == wantHit,
+          s"doc $d: got (${r._2},${r._4}), want ($wantSrc,$wantHit)")
+        assert(r._3 == vg.size)
+      }
+    }
+    // every planted leak is attributed at dominant coverage
+    docs.filter(_._1 % 20 == 0).foreach { case (d, _, _) =>
+      assert(byDoc.contains(d) && byDoc(d)._5 >= 0.5,
+        s"planted val doc $d not attributed at >=0.5 coverage")
+    }
+    // and every q119-contaminated doc has an attribution row
+    val contaminated = DedupOps.contamination(spark, dir).collect()
+      .filter(_.getBoolean(3)).map(_.getLong(0)).toSet
+    assert(contaminated.subsetOf(byDoc.keySet),
+      "a contaminated doc has no provenance attribution")
+  }
+
   test("q164 source sketch: mirror overlap estimated, zero pairs stay near zero, sketch is min-mergeable") {
     val rows = DedupOps.sourceOverlapSketch(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
