@@ -184,6 +184,8 @@ object SparkEntry {
     "q164_source_sketch"     -> (DedupOps.sourceOverlapSketch _),
     "q165_audio_gate"        -> (MultimodalOps.audioQualityGate _),
     "q166_contam_provenance" -> (DedupOps.contaminationProvenance _),
+    "q167_waterfill"         -> (MixtureOps.waterfillAlloc _),
+    "q168_psi_drift"         -> (ProfileOps.psiDrift _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -628,6 +630,8 @@ object SparkEntry {
     "q164_source_sketch" -> DedupOps.sourceOverlapSketchOracle,
     "q165_audio_gate" -> MultimodalOps.audioQualityGateOracle,
     "q166_contam_provenance" -> DedupOps.contaminationProvenanceOracle,
+    "q167_waterfill" -> MixtureOps.waterfillAllocOracle,
+    "q168_psi_drift" -> ProfileOps.psiDriftOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -586,4 +586,90 @@ object MixtureOps {
        |  CASE WHEN n_docs > 1 THEN round(CAST(num AS DOUBLE)
        |    / CAST(n * (n - 1) AS DOUBLE), 6) ELSE 0.0 END AS expected_rate
        |FROM a JOIN e ON a.shard = e.shard ORDER BY a.shard""".stripMargin
+
+  // --- q167: feasible uniform mixture via exact water-filling ------------
+
+  /** Budget as a fraction of total corpus chars: numerator/denominator
+    * of 9/10 = 90%. */
+  val WaterfillBudgetNum = 9L
+  val WaterfillBudgetDen = 10L
+
+  /** q167 — FEASIBLE mixture allocation by exact water-filling: a
+    * recipe that says "mix the sources uniformly up to budget B"
+    * (the equal-mix ask) is usually infeasible — small sources run out
+    * — and the standard answer caps them at availability and spreads
+    * the freed budget over the rest, i.e. finds the water level λ with
+    * Σ min(avail_i, λ) = B. Iterating cap-and-redistribute converges
+    * slowly and needs driver loops; the CLOSED FORM is one window pass
+    * over sources sorted by availability: source j is capped iff
+    * prefix_j + avail_j·(K−j) ≤ B (even granting every later source
+    * avail_j still fits), the capped set is provably a prefix of that
+    * order, and λ = (B − prefix_{j*}) div (K − j*) with the remainder
+    * spread one char each to the first uncapped sources. Pure integer
+    * arithmetic end to end; Σ alloc = B EXACTLY (spec-pinned).
+    *
+    * Scale (100 TB): the per-source availability aggregate is the only
+    * corpus-sized work (map-combinable); the water-filling itself runs
+    * on the |sources|-row frame — the global-ordered windows are over
+    * ~tens of rows, not data. */
+  def waterfillAlloc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val av = t(s, dir, "documents").groupBy("source")
+      .agg(sum(col("n_chars")).as("avail"))
+    val wOrd = Window.orderBy(col("avail"), col("source"))
+    val wAll = Window.partitionBy()
+    av
+      .withColumn("j", row_number().over(wOrd).cast("bigint"))
+      .withColumn("prefix", sum(col("avail")).over(wOrd))
+      .withColumn("k", count(lit(1)).over(wAll))
+      .withColumn("b",
+        expr(s"(sum(avail) OVER () * $WaterfillBudgetNum) " +
+          s"div $WaterfillBudgetDen"))
+      .withColumn("is_capped",
+        col("prefix") + col("avail") * (col("k") - col("j")) <= col("b"))
+      .withColumn("jstar",
+        max(when(col("is_capped"), col("j")).otherwise(0L)).over(wAll))
+      .withColumn("pstar",
+        max(when(col("is_capped"), col("prefix")).otherwise(0L)).over(wAll))
+      .withColumn("lam",
+        expr("(b - pstar) div (k - jstar)"))
+      .withColumn("rem", expr("(b - pstar) % (k - jstar)"))
+      .withColumn("alloc", when(col("is_capped"), col("avail"))
+        .otherwise(col("lam") +
+          when(col("j") - col("jstar") <= col("rem"), 1L).otherwise(0L)))
+      .select(col("source"), col("avail"), col("b").as("budget"),
+        col("alloc"), col("is_capped").as("capped"),
+        round(col("alloc") / col("avail"), 6).as("fill_frac"))
+      .orderBy("source")
+  }
+
+  def waterfillAllocOracle: String =
+    s"""WITH av AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS avail
+       |  FROM documents GROUP BY source),
+       |w AS (SELECT source, avail,
+       |    CAST(row_number() OVER (ORDER BY avail, source) AS BIGINT) AS j,
+       |    CAST(sum(avail) OVER (ORDER BY avail, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS prefix,
+       |    CAST(count(*) OVER () AS BIGINT) AS k,
+       |    (CAST(sum(avail) OVER () AS BIGINT) * $WaterfillBudgetNum)
+       |      // $WaterfillBudgetDen AS b
+       |  FROM av),
+       |f AS (SELECT *,
+       |    prefix + avail * (k - j) <= b AS is_capped FROM w),
+       |g AS (SELECT *,
+       |    max(CASE WHEN is_capped THEN j ELSE 0 END) OVER () AS jstar,
+       |    max(CASE WHEN is_capped THEN prefix ELSE 0 END) OVER () AS pstar
+       |  FROM f),
+       |h AS (SELECT *, (b - pstar) // (k - jstar) AS lam,
+       |    (b - pstar) % (k - jstar) AS rem FROM g)
+       |SELECT source, avail, b AS budget,
+       |  CASE WHEN is_capped THEN avail
+       |    ELSE lam + CASE WHEN j - jstar <= rem THEN 1 ELSE 0 END END
+       |    AS alloc,
+       |  is_capped AS capped,
+       |  round(CASE WHEN is_capped THEN avail
+       |    ELSE lam + CASE WHEN j - jstar <= rem THEN 1 ELSE 0 END END
+       |    / avail, 6) AS fill_frac
+       |FROM h ORDER BY source""".stripMargin
 }

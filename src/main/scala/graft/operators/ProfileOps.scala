@@ -854,4 +854,116 @@ object ProfileOps {
        |  round(sqrt(varp), 6) AS sd_chars, w_fp,
        |  LEAST(($NeymanK * w_fp) // wsum, n_docs) AS alloc
        |FROM t ORDER BY source""".stripMargin
+
+  // --- q168: PSI drift monitor --------------------------------------------
+
+  /** PSI geometry: fixed-width value bins (width 10, capped at
+    * [[PsiBins]]), Laplace add-one smoothing, and the industry drift
+    * thresholds (0.1 = investigate, 0.25 = act) in the ×10⁹ fixed
+    * point the statistic is carried in. */
+  val PsiBins = 10
+  val PsiBinWidth = 10.0
+  val PsiWarnFp = 100000000L   // PSI 0.1
+  val PsiActFp = 250000000L    // PSI 0.25
+
+  /** q168 — Population Stability Index drift monitor, the industry
+    * companion to q155's KS: per event_type, split events into an A/B
+    * snapshot pair and compare their value-BIN distributions with
+    * PSI = Σ_bins (p_A − p_B)·ln(p_A/p_B) (add-one smoothed so empty
+    * bins are defined). KS answers "are the distributions different?"
+    * with a calibrated test; PSI answers "by how much, and where" —
+    * its per-bin terms localize the drift and its 0.1/0.25 thresholds
+    * are the monitoring convention. The unit is events (thousands per
+    * type), not documents — PSI at n≈25 is sampling noise, which the
+    * first cut of this operator demonstrated by flagging everything.
+    * Fixture plants a REAL drift: the 'error' type splits by value
+    * (A = low half) instead of by fingerprint, so exactly one type
+    * must cross the action threshold and the rest idle at the noise
+    * floor (spec-pinned). Small-sample caveat: the 0.1/0.25 thresholds
+    * assume ≳1000 rows per side — the smoothed null-split PSI floats
+    * around bins·2/n, so `warn` is meaningful only once n clears that
+    * floor (the spec documents the sf0.001 behavior).
+    *
+    * Float discipline: each bin's term freezes to ×10⁹ BIGINT before
+    * the (order-free) integer sum — the q160/q142 pattern — with the
+    * dense [[PsiBins]]-bin completion done by an explode of the full
+    * grid (q152's discipline: missing bins still carry a smoothed
+    * term when n_A ≠ n_B).
+    *
+    * Scale (100 TB): one (source, bin, side) count aggregate
+    * (map-combinable), a |sources|·bins dense frame, and per-row
+    * codegen terms. */
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val d = EtlOps.events(s, dir)
+      .select(col("event_type").as("source"), col("value"),
+        when(col("event_type") === "error", col("value") < 34.0)
+          .otherwise(TextOps.md5Fingerprint60(
+            concat(lit("psi:"), col("event_id").cast("string"))) % 2 === 0)
+          .as("in_a"))
+      .withColumn("bin",
+        expr(s"least(CAST(floor(value / $PsiBinWidth) AS BIGINT), " +
+          s"${PsiBins - 1})"))
+    val cnt = d.groupBy("source", "bin")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("a_cnt"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("b_cnt"))
+    val tot = cnt.groupBy("source")
+      .agg(sum(col("a_cnt")).as("n_a"), sum(col("b_cnt")).as("n_b"))
+    val dense = tot
+      .select(col("source"), col("n_a"), col("n_b"),
+        explode(expr(
+          s"sequence(CAST(0 AS BIGINT), CAST(${PsiBins - 1} AS BIGINT))"))
+          .as("bin"))
+      .join(cnt, Seq("source", "bin"), "left")
+      .na.fill(0L, Seq("a_cnt", "b_cnt"))
+    val termFp = expr(
+      s"CAST(floor((CAST(a_cnt + 1 AS DOUBLE) / (n_a + $PsiBins) - " +
+        s"CAST(b_cnt + 1 AS DOUBLE) / (n_b + $PsiBins)) * " +
+        s"ln((CAST(a_cnt + 1 AS DOUBLE) / (n_a + $PsiBins)) / " +
+        s"(CAST(b_cnt + 1 AS DOUBLE) / (n_b + $PsiBins))) * " +
+        "1000000000.0) AS BIGINT)")
+    dense
+      .withColumn("term_fp", termFp)
+      .groupBy("source")
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("term_fp")).as("psi_fp"))
+      .select(col("source").as("event_type"), col("n_a"), col("n_b"),
+        round(col("psi_fp").cast("double") / 1e9, 6).as("psi"),
+        (col("psi_fp") >= PsiWarnFp).as("warn"),
+        (col("psi_fp") >= PsiActFp).as("act"))
+      .orderBy("event_type")
+  }
+
+  def psiDriftOracle: String =
+    s"""WITH d AS (SELECT event_type AS source, value,
+       |    CASE WHEN event_type = 'error' THEN value < 34.0
+       |      ELSE CAST('0x' || substr(md5('psi:' ||
+       |        CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 2 = 0 END
+       |      AS in_a,
+       |    least(CAST(floor(value / $PsiBinWidth) AS BIGINT),
+       |      ${PsiBins - 1}) AS bin
+       |  FROM events),
+       |cnt AS (SELECT source, bin,
+       |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+       |    CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b_cnt
+       |  FROM d GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(sum(a_cnt) AS BIGINT) AS n_a,
+       |    CAST(sum(b_cnt) AS BIGINT) AS n_b FROM cnt GROUP BY 1),
+       |dense AS (SELECT tot.source, tot.n_a, tot.n_b,
+       |    CAST(g.bin AS BIGINT) AS bin,
+       |    COALESCE(cnt.a_cnt, 0) AS a_cnt, COALESCE(cnt.b_cnt, 0) AS b_cnt
+       |  FROM tot CROSS JOIN (SELECT unnest(range(0, $PsiBins)) AS bin) g
+       |  LEFT JOIN cnt ON cnt.source = tot.source AND cnt.bin = g.bin),
+       |terms AS (SELECT source, n_a, n_b,
+       |    CAST(floor((CAST(a_cnt + 1 AS DOUBLE) / (n_a + $PsiBins) -
+       |      CAST(b_cnt + 1 AS DOUBLE) / (n_b + $PsiBins)) *
+       |      ln((CAST(a_cnt + 1 AS DOUBLE) / (n_a + $PsiBins)) /
+       |      (CAST(b_cnt + 1 AS DOUBLE) / (n_b + $PsiBins))) *
+       |      1000000000.0) AS BIGINT) AS term_fp
+       |  FROM dense)
+       |SELECT source AS event_type, max(n_a) AS n_a, max(n_b) AS n_b,
+       |  round(CAST(sum(term_fp) AS DOUBLE) / 1e9, 6) AS psi,
+       |  CAST(sum(term_fp) AS BIGINT) >= $PsiWarnFp AS warn,
+       |  CAST(sum(term_fp) AS BIGINT) >= $PsiActFp AS act
+       |FROM terms GROUP BY source ORDER BY event_type""".stripMargin
 }

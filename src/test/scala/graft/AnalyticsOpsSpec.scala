@@ -566,6 +566,42 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       s"ks mismatch for ${r0.getString(0)}: ${r0.getDouble(3)} vs $ksRef")
   }
 
+  test("q168 psi: only the planted drift flags; psi recomputes from raw bin counts") {
+    val rows = graft.operators.ProfileOps.psiDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    // exactly the planted type crosses the ACTION threshold; the
+    // fingerprint-split types stay below it. (At sf0.001's ~100 events
+    // per side the PSI noise floor is ~0.1, so `warn` can trip on a
+    // null split — the documented small-sample caveat; at sf0.01 the
+    // floor is ~0.02 and only 'error' fires either flag.)
+    val acted = rows.filter(_._6).map(_._1).toSeq
+    assert(acted == Seq("error"), s"acted: $acted")
+    rows.filterNot(_._1 == "error").foreach { r =>
+      assert(r._4 < 0.25, s"${r._1} above action threshold: ${r._4}")
+    }
+    // recompute one type's PSI from raw bin counts with the same
+    // smoothing and fixed-point freeze
+    val r0 = rows.find(_._1 == "error").get
+    val ev = graft.operators.EtlOps.events(spark, dir)
+      .filter(col("event_type") === "error")
+      .select(col("value")).collect().map(_.getDouble(0))
+    val (av, bv) = ev.partition(_ < 34.0)
+    assert(av.length == r0._2 && bv.length == r0._3)
+    def binCounts(xs: Array[Double]): Map[Long, Long] =
+      xs.groupBy(x => math.min(math.floor(x / 10.0).toLong, 9L))
+        .view.mapValues(_.length.toLong).toMap
+    val (ca, cb) = (binCounts(av), binCounts(bv))
+    val psiFp = (0L to 9L).map { b =>
+      val pa = (ca.getOrElse(b, 0L) + 1).toDouble / (av.length + 10)
+      val pb = (cb.getOrElse(b, 0L) + 1).toDouble / (bv.length + 10)
+      math.floor((pa - pb) * math.log(pa / pb) * 1e9).toLong
+    }.sum
+    assert(math.abs(r0._4 - math.rint(psiFp / 1e9 * 1e6) / 1e6) < 1e-9,
+      s"psi mismatch: ${r0._4} vs ${psiFp / 1e9}")
+  }
+
   test("q158 bootstrap: CIs bracket the point mean and a replicate recomputes") {
     val rows = graft.operators.ProfileOps.bootstrapCi(spark, dir).collect()
     assert(rows.nonEmpty)

@@ -237,4 +237,38 @@ class MixtureOpsSpec extends AnyFunSuite {
       assert(g._4 >= 0.0 && g._4 <= 1.0 && g._5 >= 0.0 && g._5 <= 1.0)
     }
   }
+
+  test("q167 waterfill: exact budget, flat water level, capped prefix, matches brute force") {
+    val rows = MixtureOps.waterfillAlloc(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val b = rows.head._3
+    assert(rows.forall(_._3 == b))
+    // the operator's whole point: the allocation hits the budget EXACTLY
+    assert(rows.map(_._4).sum == b, s"sum(alloc) != budget $b")
+    val (capped, un) = rows.partition(_._5)
+    assert(capped.nonEmpty, "no source capped — budget fraction too low " +
+      "to exercise the operator on this fixture")
+    assert(un.nonEmpty)
+    capped.foreach { r => assert(r._4 == r._2 && r._6 == 1.0) }
+    un.foreach { r => assert(r._4 < r._2) }
+    // flat water level: uncapped allocations differ by at most 1 char
+    assert(un.map(_._4).max - un.map(_._4).min <= 1, "water level not flat")
+    // threshold property: every capped availability is below the level
+    assert(capped.map(_._2).max <= un.map(_._4).min)
+    // brute-force the water level independently: the largest lam with
+    // sum(min(avail, lam)) <= b must reproduce the same allocation mass
+    val avails = rows.map(_._2)
+    def mass(lam: Long): Long = avails.map(math.min(_, lam)).sum
+    var (lo, hi) = (0L, avails.max)
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (mass(mid) <= b) lo = mid else hi = mid - 1
+    }
+    assert(un.map(_._4).min == lo,
+      s"water level ${un.map(_._4).min} != brute-force $lo")
+    assert(b - mass(lo) == un.count(_._4 == lo + 1),
+      "remainder chars misallocated")
+  }
 }
