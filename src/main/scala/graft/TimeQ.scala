@@ -24,10 +24,21 @@ object TimeQ {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
+    // TIMEQ_NOOP=1: time FULL evaluation via the noop sink instead of
+    // count(). count() matches Bench (the cross-round estimator) but
+    // Spark prunes unused projections under it, so a projection-only
+    // query's compute cost is invisible — the noop write evaluates
+    // every output column (measured: q160's all-HOF form was 0.6 s by
+    // count and 59 s by noop at the synthetic 100×).
+    val noop = sys.env.get("TIMEQ_NOOP").contains("1")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[timeq] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      val df = fn(spark, sfDir)
+      val n = if (noop) {
+        df.write.format("noop").mode("overwrite").save(); -1L
+      } else df.count()
+      val tag = if (noop) "noop" else s"$n rows"
+      println(f"[timeq] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($tag)")
       // match Bench semantics: intra-query persists don't carry across reps
       spark.catalog.clearCache()
     }

@@ -42,6 +42,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("md5_fp60"),
       info(classOf[Md5Fp60], "md5_fp60"),
       Md5Fp60.builder(_)))
+    e.injectFunction((FunctionIdentifier("blob_pixel_stats"),
+      info(classOf[BlobPixelStats], "blob_pixel_stats"),
+      (exprs: Seq[Expression]) => BlobPixelStats(exprs.head)))
+    e.injectFunction((FunctionIdentifier("blob_wave_stats"),
+      info(classOf[BlobWaveStats], "blob_wave_stats"),
+      (exprs: Seq[Expression]) => BlobWaveStats(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("blob_phash"),
+      info(classOf[BlobPhash], "blob_phash"),
+      (exprs: Seq[Expression]) => BlobPhash(exprs(0), exprs(1))))
     // the portable conv(substring(md5(x),1,15),16,10) idiom executes as
     // the native expression even when written longhand in SQL
     e.injectOptimizerRule(_ => FingerprintRewrite)

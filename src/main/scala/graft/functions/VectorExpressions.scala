@@ -156,5 +156,8 @@ object VectorFunctions {
     add("space_saving_agg", SpaceSavingAgg.builder)
     add("bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)))
     add("md5_fp60", Md5Fp60.builder)
+    add("blob_pixel_stats", exprs => BlobPixelStats(exprs.head))
+    add("blob_wave_stats", exprs => BlobWaveStats(exprs(0), exprs(1)))
+    add("blob_phash", exprs => BlobPhash(exprs(0), exprs(1)))
   }
 }

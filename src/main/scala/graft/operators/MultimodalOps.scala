@@ -173,14 +173,24 @@ object MultimodalOps {
     * unrelated blobs. All integer arithmetic; one codegen'd projection,
     * no shuffle. */
   def perceptualHash(imgs: DataFrame): DataFrame = {
-    // ONE aggregate expression with the cell sums inlined in the
-    // lambda. The layered form (px array column → cells array column →
-    // phash) reads better but is a Catalyst trap: projection collapse
-    // substitutes each array-building expression into EVERY lambda
-    // reference downstream, and the nested higher-order functions blow
-    // the optimizer up to minutes for a 625-row input (measured). The
-    // inline form is one small lambda tree evaluated 60 times per row —
-    // optimizer-linear, codegen-friendly.
+    // native expression (graft.functions.BlobPhash): one JVM loop over
+    // the raw bytes. The HOF form below is kept as the spec-side
+    // equivalence reference; it evaluates interpreted at ~1 µs per
+    // element-op, which is invisible under count() (projection pruning)
+    // but dominates real evaluation at scale.
+    graft.functions.VectorFunctions.register(imgs.sparkSession)
+    imgs.select(col("doc_id"),
+      expr(s"blob_phash(img, $PhashCellPx)").as("phash"))
+  }
+
+  /** The higher-order-function form of [[perceptualHash]] — the
+    * spec-only reference the native expression is proved against.
+    * History: a first layered form (px array column → cells column →
+    * phash) hit interpreted-HOF re-evaluation of every array
+    * subexpression per lambda reference (minutes for 625 rows); this
+    * inline form fixed that, and the native loop then replaced the
+    * remaining ~µs-per-element interpretation cost. */
+  private[graft] def perceptualHashReference(imgs: DataFrame): DataFrame = {
     def cellSum(c: String): String = (0 until PhashCellPx).map { j =>
       s"ascii(substring(CAST(img AS STRING), ($c) * $PhashCellPx + ${j + 1}, 1))"
     }.mkString(" + ")
@@ -253,30 +263,21 @@ object MultimodalOps {
     * form avoids the q159 projection-collapse trap. */
   def imageQualityGate(s: SparkSession, dir: String): DataFrame = {
     val n = PhashImgLen
-    // HOF-evaluation discipline (the q159 lesson, one step further):
-    // interpreted lambdas re-evaluate an array SUBEXPRESSION on every
-    // reference in an enclosing lambda iteration, so each statistic
-    // iterates over the pixel array as the aggregate's COLLECTION —
-    // evaluated once per row — and the histogram is built in ONE pass
-    // with a 16-slot array state instead of one filter pass per bin.
-    val pxArr =
-      s"transform(sequence(0, ${n - 1}), " +
-        "i -> ascii(substring(CAST(img AS STRING), i + 1, 1)))"
-    val sumPx = s"aggregate($pxArr, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-    val ssqPx =
-      s"aggregate($pxArr, CAST(0 AS BIGINT), " +
-        "(acc, x) -> acc + CAST(x AS BIGINT) * x)"
-    val hist =
-      s"aggregate($pxArr, array_repeat(CAST(0 AS BIGINT), $GateHistBins), " +
-        "(acc, x) -> transform(acc, (c, j) -> IF(x div 8 = j, c + 1, c)))"
+    // byte loop in the native blob_pixel_stats expression; only the
+    // 16-element entropy fold stays a lambda (16 evals/row). The
+    // original all-HOF form evaluated interpreted at ~1 µs/element-op —
+    // 54–60 s for 500k images at the synthetic 100×, invisible under
+    // count() because Spark prunes unused projections (BENCH_NOTES).
+    graft.functions.VectorFunctions.register(s)
     val entropyFp =
-      s"aggregate($hist, CAST(0 AS BIGINT), (acc, c) -> acc + " +
+      s"aggregate(st.hist, CAST(0 AS BIGINT), (acc, c) -> acc + " +
         s"IF(c > 0, CAST(floor((-(CAST(c AS DOUBLE) / $n.0)) * " +
         s"ln(CAST(c AS DOUBLE) / $n.0) * 1000000000.0) AS BIGINT), " +
         "CAST(0 AS BIGINT)))"
     imageGateCorpus(s, dir)
+      .select(col("doc_id"), expr("blob_pixel_stats(img)").as("st"))
       .select(col("doc_id"),
-        expr(sumPx).as("sum_px"), expr(ssqPx).as("ssq_px"),
+        col("st.sum_px").as("sum_px"), col("st.ssq_px").as("ssq_px"),
         expr(entropyFp).as("entropy_fp"))
       .select(col("doc_id"),
         expr("(sum_px * 1000000) div " + n).as("brightness_fp"),
@@ -331,23 +332,17 @@ object MultimodalOps {
     * q160 HOF discipline); only the presentation sort exchanges. */
   def audioQualityGate(s: SparkSession, dir: String): DataFrame = {
     val n = AudioLen
-    val sArr =
-      s"transform(sequence(0, ${n - 1}), " +
-        "i -> ascii(substring(CAST(wav AS STRING), i + 1, 1)))"
-    val energy =
-      s"aggregate($sArr, CAST(0 AS BIGINT), (acc, x) -> " +
-        s"acc + CAST(x - $AudioMid AS BIGINT) * (x - $AudioMid))"
-    val silent =
-      s"aggregate($sArr, CAST(0 AS BIGINT), (acc, x) -> " +
-        s"acc + IF(abs(x - $AudioMid) <= 1, 1, 0))"
-    val clipped =
-      s"aggregate($sArr, CAST(0 AS BIGINT), (acc, x) -> " +
-        "acc + IF(x = 32 OR x = 126, 1, 0))"
+    // native blob_wave_stats: one byte loop per track (the all-HOF form
+    // was 79–87 s for 500k tracks at 100×, hidden by count() pruning —
+    // see blob_pixel_stats / BENCH_NOTES)
+    graft.functions.VectorFunctions.register(s)
     audioCorpus(s, dir)
       .select(col("doc_id"),
-        expr(s"(($energy) * 1000000) div $n").as("energy_fp"),
-        expr(s"(($silent) * 1000000) div $n").as("silence_ratio_fp"),
-        expr(s"(($clipped) * 1000000) div $n").as("clip_ratio_fp"))
+        expr(s"blob_wave_stats(wav, $AudioMid)").as("st"))
+      .select(col("doc_id"),
+        expr(s"(st.energy * 1000000) div $n").as("energy_fp"),
+        expr(s"(st.silent * 1000000) div $n").as("silence_ratio_fp"),
+        expr(s"(st.clipped * 1000000) div $n").as("clip_ratio_fp"))
       .withColumn("pass_energy", col("energy_fp") >= AudioEnergyMinFp)
       .withColumn("pass_silence",
         col("silence_ratio_fp") < AudioSilenceMaxFp)

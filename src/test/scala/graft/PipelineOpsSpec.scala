@@ -242,6 +242,53 @@ class PipelineOpsSpec extends AnyFunSuite {
       "planted edits must be invisible to exact blob dedup")
   }
 
+  test("native blob expressions match the HOF reference and a plain-Scala recompute") {
+    graft.functions.VectorFunctions.register(spark)
+    // phash: native byte loop vs the spec-reference lambda form
+    val imgs = MultimodalOps.imageCorpus(spark, dir)
+    val native = MultimodalOps.perceptualHash(imgs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = MultimodalOps.perceptualHashReference(imgs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == ref, "blob_phash != HOF reference")
+    // pixel stats: native vs plain Scala over the collected blobs
+    val blobs = MultimodalOps.imageGateCorpus(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val st = MultimodalOps.imageGateCorpus(spark, dir)
+      .selectExpr("doc_id", "blob_pixel_stats(img) AS st")
+      .selectExpr("doc_id", "st.sum_px AS s", "st.ssq_px AS q",
+        "st.hist AS h")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3))).toMap
+    blobs.foreach { case (d, bs) =>
+      val vs = bs.map(_ & 0xff)
+      val hist = new Array[Long](16)
+      vs.foreach(v => hist(math.min(v >>> 3, 15)) += 1)
+      val (s0, q0, h0) = st(d)
+      assert(s0 == vs.map(_.toLong).sum && q0 == vs.map(v => v.toLong * v).sum
+        && h0 == hist.toSeq, s"pixel stats mismatch for doc $d")
+    }
+    // wave stats: native vs plain Scala
+    val wav = MultimodalOps.audioCorpus(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val ws = MultimodalOps.audioCorpus(spark, dir)
+      .selectExpr("doc_id",
+        s"blob_wave_stats(wav, ${MultimodalOps.AudioMid}) AS st")
+      .selectExpr("doc_id", "st.energy", "st.silent", "st.clipped")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    wav.foreach { case (d, bs) =>
+      val vs = bs.map(_ & 0xff)
+      val mid = MultimodalOps.AudioMid
+      val want = (vs.map(v => (v - mid).toLong * (v - mid)).sum,
+        vs.count(v => math.abs(v - mid) <= 1).toLong,
+        vs.count(v => v == 32 || v == 126).toLong)
+      assert(ws(d) == want, s"wave stats mismatch for doc $d")
+    }
+  }
+
   test("q160 image gate: flat fails both, stripes fail entropy only, natural images pass") {
     val rows = MultimodalOps.imageQualityGate(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
