@@ -186,6 +186,7 @@ object SparkEntry {
     "q166_contam_provenance" -> (DedupOps.contaminationProvenance _),
     "q167_waterfill"         -> (MixtureOps.waterfillAlloc _),
     "q168_psi_drift"         -> (ProfileOps.psiDrift _),
+    "q169_image_clusters"    -> (MultimodalOps.imagePhashClusters _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -632,6 +633,8 @@ object SparkEntry {
     "q166_contam_provenance" -> DedupOps.contaminationProvenanceOracle,
     "q167_waterfill" -> MixtureOps.waterfillAllocOracle,
     "q168_psi_drift" -> ProfileOps.psiDriftOracle,
+    "q169_image_clusters" ->
+      MultimodalOps.imagePhashClustersOracle(OracleGen.q159ImagePhashNearDup),
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

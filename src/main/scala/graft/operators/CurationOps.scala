@@ -232,7 +232,17 @@ object CurationOps {
 
   /** The per-node cluster labels behind q59/q110: min-label propagation
     * over the MinHash near-dup edges to the fixpoint. */
-  private def dupLabels(s: SparkSession, dir: String): DataFrame = {
+  private def dupLabels(s: SparkSession, dir: String): DataFrame =
+    propagateLabels(
+      minhashLsh(s, dir).select(col("doc_a"), col("doc_b")),
+      corpusNear(s, dir).select(col("doc_id")))
+
+  /** Min-label propagation to the fixpoint over an arbitrary
+    * (doc_a, doc_b) pair table and node set — the ONE connected-
+    * components engine behind q59/q110/q116 and q169's image clusters.
+    * Returns (doc_id, lbl). */
+  private[graft] def propagateLabels(pairsIn: DataFrame,
+      nodes: DataFrame): DataFrame = {
     // cutLineage pairs BEFORE the symmetric union — not just persist:
     // both union branches reference it AND every propagation round's
     // join re-references edges, and a persisted frame still carries the
@@ -240,11 +250,9 @@ object CurationOps {
     // Catalyst re-canonicalizes per round per consumer (the same
     // driver-planning tax q86 paid; the pairs table is ~|near-dup
     // pairs| slim rows, so the cut is cheap)
-    val pairs = cutLineage(
-      minhashLsh(s, dir).select(col("doc_a"), col("doc_b")))
+    val pairs = cutLineage(pairsIn)
     val edges = pairs.unionAll(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    val nodes = corpusNear(s, dir).select(col("doc_id"))
     // cutLineage (localCheckpoint / reliable checkpoint per config), NOT
     // persist: each round's plan references `labels` twice (join +
     // union), so without truncating the LOGICAL lineage the plan doubles

@@ -220,6 +220,44 @@ object MultimodalOps {
       maxHamming = PhashMaxHamming)
       .orderBy("doc_a", "doc_b")
 
+  /** q169 — image dedup CLUSTERS: q159's near-dup pairs closed into
+    * connected components (the shared min-label propagation engine
+    * behind q59/q110) with per-cluster membership and copy counts —
+    * the survivor list an image dedup pass feeds downstream, closing
+    * the multimodal detect → cluster → decide chain the text side has
+    * had since round 6. Singleton clusters (images with no near-dup)
+    * appear with n_members = 1, so the output is the complete
+    * partition of the image corpus.
+    *
+    * Scale: pairs are the q159 output (candidate-bounded); propagation
+    * joins key on the slim pair table; the corpus-sized frame only
+    * carries (doc_id, lbl). Same cost class as q59. */
+  def imagePhashClusters(s: SparkSession, dir: String): DataFrame =
+    CurationOps.propagateLabels(
+      imagePhashNearDup(s, dir).select(col("doc_a"), col("doc_b")),
+      imageCorpus(s, dir).select(col("doc_id")))
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("doc_id") >= DedupOps.CopyOffset, 1L).otherwise(0L))
+          .as("n_copies"))
+      .orderBy("cluster_id")
+
+  def imagePhashClustersOracle(q159Sql: String): String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ($q159Sql) qq),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT doc_id FROM documents
+       |          UNION ALL SELECT doc_id + ${DedupOps.CopyOffset}
+       |          FROM documents WHERE doc_id % 4 = 0),
+       |r AS (SELECT doc_id AS node, doc_id AS lbl FROM nodes
+       |      UNION
+       |      SELECT e.b, r.lbl FROM r JOIN e ON e.a = r.node),
+       |lab AS (SELECT node, min(lbl) AS cluster_id FROM r GROUP BY node)
+       |SELECT cluster_id, count(*) AS n_members,
+       |  CAST(sum(CASE WHEN node >= ${DedupOps.CopyOffset} THEN 1 ELSE 0
+       |    END) AS BIGINT) AS n_copies
+       |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   // --- q160: image-stat quality gate --------------------------------------
 
   /** Gate thresholds, in the fixed-point units of [[imageQualityGate]]:

@@ -289,6 +289,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q169 image clusters: complete partition; every planted copy joins its source") {
+    val rows = MultimodalOps.imagePhashClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = EtlOps.t(spark, dir, "documents").count()
+    val nCopies = EtlOps.t(spark, dir, "documents")
+      .filter(col("doc_id") % 4 === 0).count()
+    // the clustering is a complete partition of the image corpus
+    assert(rows.map(_._2).sum == nDocs + nCopies)
+    assert(rows.map(_._3).sum == nCopies)
+    rows.foreach { case (cid, m, c) =>
+      assert(cid < DedupOps.CopyOffset,
+        "a cluster label must be its minimum (original) member")
+      assert(m >= 1 + c, s"cluster $cid: copies without an original")
+    }
+    // membership: every planted copy lands in its source's component
+    val lbl = CurationOps.propagateLabels(
+      MultimodalOps.imagePhashNearDup(spark, dir)
+        .select(col("doc_a"), col("doc_b")),
+      MultimodalOps.imageCorpus(spark, dir).select(col("doc_id")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    EtlOps.t(spark, dir, "documents").select("doc_id").collect()
+      .map(_.getLong(0)).filter(_ % 4 == 0).foreach { d =>
+        assert(lbl(d) == lbl(d + DedupOps.CopyOffset),
+          s"copy of $d not clustered with its source")
+      }
+  }
+
   test("q160 image gate: flat fails both, stripes fail entropy only, natural images pass") {
     val rows = MultimodalOps.imageQualityGate(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
