@@ -187,6 +187,7 @@ object SparkEntry {
     "q167_waterfill"         -> (MixtureOps.waterfillAlloc _),
     "q168_psi_drift"         -> (ProfileOps.psiDrift _),
     "q169_image_clusters"    -> (MultimodalOps.imagePhashClusters _),
+    "q170_multimodal_mix"    -> (MultimodalOps.multimodalMixTable _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -635,6 +636,8 @@ object SparkEntry {
     "q168_psi_drift" -> ProfileOps.psiDriftOracle,
     "q169_image_clusters" ->
       MultimodalOps.imagePhashClustersOracle(OracleGen.q159ImagePhashNearDup),
+    "q170_multimodal_mix" -> MultimodalOps.multimodalMixTableOracle(
+      OracleGen.q160ImageQualityGate, MultimodalOps.audioQualityGateOracle),
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

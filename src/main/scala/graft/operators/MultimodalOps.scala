@@ -424,6 +424,69 @@ object MultimodalOps {
        |FROM st ORDER BY doc_id""".stripMargin
   }
 
+  // --- q170: modality-complete mix table ----------------------------------
+
+  /** Text-side acceptance band for the mix table (whitespace tokens). */
+  val MixTextMinToks = 20L
+  val MixTextMaxToks = 200L
+
+  /** q170 — the modality-complete MIX TABLE: per source, how many
+    * documents survive the text gate (token band), the image gate
+    * (q160) and the audio gate (q165) — and crucially how many survive
+    * ALL THREE, which is the number that actually matters when
+    * assembling text+image+audio training pairs (a pair is only as
+    * usable as its worst modality). This is the summary a multimodal
+    * mixture designer reads before setting source weights; per-modality
+    * keep rates alone overestimate the usable corpus whenever gate
+    * failures are uncorrelated.
+    *
+    * Scale (100 TB): each gate is its own map-side projection keyed by
+    * doc_id; the joins co-partition on the id (bucketed layout at
+    * scale) and the rollup is |sources| rows. Nothing new shuffles —
+    * the table composes the three gates' existing plans. */
+  def multimodalMixTable(s: SparkSession, dir: String): DataFrame = {
+    val txt = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      TextOps.wsTokenCount(col("text"))
+        .between(MixTextMinToks, MixTextMaxToks).as("text_ok"))
+    val img = imageQualityGate(s, dir)
+      .select(col("doc_id"), col("kept").as("img_ok"))
+    val aud = audioQualityGate(s, dir)
+      .select(col("doc_id"), col("kept").as("audio_ok"))
+    txt.join(img, Seq("doc_id")).join(aud, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("text_ok"), 1L).otherwise(0L)).as("n_text_ok"),
+        sum(when(col("img_ok"), 1L).otherwise(0L)).as("n_img_ok"),
+        sum(when(col("audio_ok"), 1L).otherwise(0L)).as("n_audio_ok"),
+        sum(when(col("text_ok") && col("img_ok") && col("audio_ok"), 1L)
+          .otherwise(0L)).as("n_all_ok"))
+      .withColumn("all_frac",
+        round(col("n_all_ok") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
+  def multimodalMixTableOracle(q160Sql: String, q165Sql: String): String =
+    s"""WITH txt AS (SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      BETWEEN $MixTextMinToks AND $MixTextMaxToks AS text_ok
+       |  FROM documents),
+       |img AS (SELECT doc_id, kept AS img_ok FROM ($q160Sql) i),
+       |aud AS (SELECT doc_id, kept AS audio_ok FROM ($q165Sql) a),
+       |j AS (SELECT txt.source, txt.text_ok, img.img_ok, aud.audio_ok
+       |  FROM txt JOIN img USING (doc_id) JOIN aud USING (doc_id))
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN text_ok THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_text_ok,
+       |  CAST(sum(CASE WHEN img_ok THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_img_ok,
+       |  CAST(sum(CASE WHEN audio_ok THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_audio_ok,
+       |  CAST(sum(CASE WHEN text_ok AND img_ok AND audio_ok THEN 1
+       |    ELSE 0 END) AS BIGINT) AS n_all_ok,
+       |  round(CAST(sum(CASE WHEN text_ok AND img_ok AND audio_ok THEN 1
+       |    ELSE 0 END) AS BIGINT) / count(*), 6) AS all_frac
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   /** q36 — the SQL-expressible slice of the multimodal pipeline: blob
     * length, content hash, header bytes, deterministic fake dimensions.
     * Mirrors [[FakeDecoder]] so the DuckDB oracle can check the plumbing

@@ -360,6 +360,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q170 mix table: counts recompose from the three gates; worst modality rules") {
+    val rows = MultimodalOps.multimodalMixTable(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.map(_._2).sum == 500)
+    rows.foreach { r =>
+      assert(r._6 <= math.min(r._3, math.min(r._4, r._5)))
+      assert(r._7 == math.rint(r._6.toDouble / r._2 * 1e6) / 1e6)
+    }
+    // recompose the all-modality count from the component operators
+    val img = MultimodalOps.imageQualityGate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    val aud = MultimodalOps.audioQualityGate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(7)).toMap
+    val docs = EtlOps.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        TextOps.wsTokenCount(col("text")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = docs.groupBy(_._2).view.mapValues(_.count(d =>
+      d._3 >= MultimodalOps.MixTextMinToks &&
+        d._3 <= MultimodalOps.MixTextMaxToks &&
+        img(d._1) && aud(d._1)).toLong).toMap
+    rows.foreach { r => assert(r._6 == want(r._1), s"source ${r._1}") }
+    // the table's reason to exist: somewhere uncorrelated gate failures
+    // push the usable-pair count strictly below every per-modality count
+    assert(rows.exists(r => r._6 < math.min(r._3, math.min(r._4, r._5))),
+      "all_ok never below min(modality) — gates perfectly correlated?")
+  }
+
   test("streaming watermark: late data beyond the watermark is dropped in append mode") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-late").toString
