@@ -188,6 +188,9 @@ object SparkEntry {
     "q168_psi_drift"         -> (ProfileOps.psiDrift _),
     "q169_image_clusters"    -> (MultimodalOps.imagePhashClusters _),
     "q170_multimodal_mix"    -> (MultimodalOps.multimodalMixTable _),
+    "q171_sft_assembly"      -> (TrainPrepOps.sftAssembly _),
+    "q172_hard_negatives"    -> (MlPrepOps.hardNegatives _),
+    "q173_length_buckets"    -> (TrainPrepOps.lengthBuckets _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -638,6 +641,9 @@ object SparkEntry {
       MultimodalOps.imagePhashClustersOracle(OracleGen.q159ImagePhashNearDup),
     "q170_multimodal_mix" -> MultimodalOps.multimodalMixTableOracle(
       OracleGen.q160ImageQualityGate, MultimodalOps.audioQualityGateOracle),
+    "q171_sft_assembly" -> TrainPrepOps.sftAssemblyOracle,
+    "q172_hard_negatives" -> MlPrepOps.hardNegativesOracle,
+    "q173_length_buckets" -> TrainPrepOps.lengthBucketsOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

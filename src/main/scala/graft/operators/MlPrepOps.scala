@@ -214,4 +214,153 @@ object MlPrepOps {
        |SELECT term, CAST(rnk AS BIGINT) AS "rank", doc_id, tf, df,
        |  round(score, 6) AS score
        |FROM r WHERE rnk <= $Bm25TopK ORDER BY term, rnk""".stripMargin
+
+  // --- q172: hard-negative mining for retrieval training ----------------
+
+  /** Every [[HnEvery]]-th document becomes a training query (its first
+    * [[HnQueryToks]] tokens — the DPR-style "title/lead as query"
+    * construction); [[HnNegK]] negatives are mined per query. Each
+    * queried term's posting list is truncated to its top [[HnPostCap]]
+    * postings by (tf DESC, doc_id) — impact ordering. */
+  val HnEvery = 40
+  val HnQueryToks = 6
+  val HnNegK = 5
+  val HnPostCap = 200
+
+  /** q172 — BM25 hard-negative mining (the Karpukhin et al. 2020 DPR
+    * recipe): for each sampled training query, score the corpus by
+    * summed per-term BM25 (q147's exact formula), take the top
+    * [[HnNegK]] non-gold documents as hard negatives, and report each
+    * negative's margin against the gold document. Negative margins are
+    * the point — they mark queries whose gold is OUTRANKED by a
+    * lexical near-match, exactly the pairs a retrieval trainer needs.
+    * The gold document is scored from its EXACT postings; negatives are
+    * mined from an impact-ordered truncated index (Anh & Moffat 2006):
+    * each queried term keeps only its top-[[HnPostCap]] postings by tf.
+    * The cap is ACTIVE on the fixture (df ≈ 400 > 200 at sf0.01), so
+    * the oracle exercises the truncation arithmetic, not just the happy
+    * path.
+    *
+    * Parity: each per-term BM25 score is one fixed-order IEEE
+    * expression frozen to ppm fixed point (`floor(score·10⁶)` BIGINT)
+    * BEFORE the per-document sum, so the multi-term aggregate is an
+    * order-free integer sum — bit-identical across engines (the q126
+    * fixed-point discipline). Scores and margins stay BIGINT ppm.
+    *
+    * Scale (100 TB): the uncapped form is QUADRATIC on duplicated data
+    * — candidates = queries × Σ df, and both factors grow with the
+    * corpus (measured 30×/decade at the synthetic 10×; the q154 lesson
+    * again). The posting cap is the load-bearing guard: the candidate
+    * stream is ≤ |distinct query terms| × [[HnPostCap]] before query
+    * fan-out, so mining stays linear in the query count no matter how
+    * duplicated the corpus is. The cap window runs over tf ⋈ queried-
+    * terms (one corpus-shaped stream, map-side WindowGroupLimit), the
+    * query set broadcasts, and the top-k window partitions by query.
+    * The orthogonal production lever — stop-term pruning (drop query
+    * terms with df > 0.1·N) — is deliberately NOT applied here: this
+    * synthetic vocabulary puts every token at df ≈ 0.8·N, so it would
+    * zero the output; a real corpus would layer it on top. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val toks = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"),
+      size(col("toks")).cast("bigint").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_tot"))
+    val qterms = docs.filter(col("doc_id") % HnEvery === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(col("toks"), 1, HnQueryToks)).as("term"))
+      .distinct()
+    val qt = dfr.join(broadcast(qterms), "term")
+    val qtermset = qt.select("term", "df").distinct()
+    // impact-ordered posting truncation: top postings per queried term
+    val wCap = Window.partitionBy("term")
+      .orderBy(col("tf").desc, col("doc_id"))
+    val capped = tf.join(broadcast(qtermset), "term")
+      .withColumn("pr", row_number().over(wCap))
+      .filter(col("pr") <= HnPostCap).drop("pr")
+    def bm25ppm(in: DataFrame): DataFrame = in
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("dl_tot").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      .withColumn("tscore",
+        col("idf") * (col("tf") * (Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .withColumn("tppm", floor(col("tscore") * 1e6).cast("bigint"))
+    val negs = bm25ppm(capped)
+      .join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("tppm")).as("score_ppm"))
+    val gold = bm25ppm(tf.join(broadcast(qt), "term")
+        .filter(col("doc_id") === col("query_id")))
+      .groupBy("query_id").agg(sum(col("tppm")).as("gold_ppm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+    negs
+      .withColumn("neg_rank", row_number().over(w).cast("bigint"))
+      .filter(col("neg_rank") <= HnNegK)
+      .join(gold, "query_id")
+      .select(col("query_id"), col("neg_rank"),
+        col("doc_id").as("neg_doc_id"), col("score_ppm"),
+        (col("gold_ppm") - col("score_ppm")).as("margin_ppm"))
+      .orderBy("query_id", "neg_rank")
+  }
+
+  def hardNegativesOracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |toks AS (SELECT doc_id, unnest(toks) AS term FROM d),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |  GROUP BY doc_id, term),
+       |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |qt0 AS (SELECT DISTINCT doc_id AS query_id, unnest(list_slice(
+       |    toks, 1, $HnQueryToks)) AS term
+       |  FROM d WHERE doc_id % $HnEvery = 0),
+       |qts AS (SELECT DISTINCT term, df FROM qt0 JOIN dfr USING (term)),
+       |cap AS (SELECT doc_id, term, tf, df FROM (
+       |    SELECT tf.doc_id, tf.term, tf.tf, qts.df,
+       |      row_number() OVER (PARTITION BY tf.term
+       |        ORDER BY tf.tf DESC, tf.doc_id) AS pr
+       |    FROM tf JOIN qts USING (term)) x WHERE pr <= $HnPostCap),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS dl_tot FROM dl),
+       |negc AS (SELECT qt0.query_id, cap.doc_id,
+       |    CAST(floor((((st.n_docs - cap.df + 0.5) / (cap.df + 0.5)) *
+       |      (cap.tf * ($Bm25K1 + 1.0)) /
+       |      (cap.tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl.dl /
+       |        (CAST(st.dl_tot AS DOUBLE) / st.n_docs)))) * 1e6)
+       |      AS BIGINT) AS tppm
+       |  FROM cap JOIN qt0 USING (term)
+       |    JOIN dl ON cap.doc_id = dl.doc_id CROSS JOIN st
+       |  WHERE cap.doc_id <> qt0.query_id),
+       |negs AS (SELECT query_id, doc_id,
+       |    CAST(sum(tppm) AS BIGINT) AS score_ppm
+       |  FROM negc GROUP BY query_id, doc_id),
+       |goldc AS (SELECT qt0.query_id,
+       |    CAST(floor((((st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5)) *
+       |      (tf.tf * ($Bm25K1 + 1.0)) /
+       |      (tf.tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl.dl /
+       |        (CAST(st.dl_tot AS DOUBLE) / st.n_docs)))) * 1e6)
+       |      AS BIGINT) AS tppm
+       |  FROM tf JOIN qt0 USING (term) JOIN dfr USING (term)
+       |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+       |  WHERE tf.doc_id = qt0.query_id),
+       |gold AS (SELECT query_id, CAST(sum(tppm) AS BIGINT) AS gold_ppm
+       |  FROM goldc GROUP BY query_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_ppm DESC, doc_id) AS rnk
+       |  FROM negs)
+       |SELECT r.query_id, CAST(r.rnk AS BIGINT) AS neg_rank,
+       |  r.doc_id AS neg_doc_id, r.score_ppm,
+       |  gold.gold_ppm - r.score_ppm AS margin_ppm
+       |FROM r JOIN gold USING (query_id)
+       |WHERE r.rnk <= $HnNegK
+       |ORDER BY r.query_id, r.rnk""".stripMargin
 }

@@ -689,4 +689,157 @@ object TrainPrepOps {
        |FROM tot LEFT JOIN kept ON tot.source = kept.source
        |ORDER BY tot.source""".stripMargin
   }
+
+  // --- q171: SFT conversation assembly + context-window truncation ------
+
+  /** Context-window budget in characters (chars stand in for tokens, the
+    * q101 convention — the algorithm is identical for any additive cost).
+    * Threads over budget drop their OLDEST turns; the newest turn is
+    * always kept even if it alone exceeds the budget (a trainer never
+    * emits an empty conversation). */
+  val SftBudget = 40L
+
+  /** q171 — chat-training assembly: group the event stream into
+    * conversation threads (one per user per day — the thread key a chat
+    * product logs; idle-gap sessionization is q39's job), price each
+    * turn at `len(event_type) + len(props)` characters, and truncate
+    * each thread FROM THE FRONT to fit [[SftBudget]] — the standard
+    * "keep the most recent turns that fit the context window" rule of
+    * SFT data prep. Emits the per-thread assembly audit (turns kept /
+    * dropped, cost kept / total, truncation flag) a pipeline reviews
+    * before writing training conversations.
+    *
+    * Shape: one reverse cumulative-sum window per thread (ORDER BY ts
+    * DESC) marks the kept suffix; `rev_rn = 1` pins the newest turn
+    * unconditionally. All integer arithmetic — exact parity.
+    *
+    * Scale (100 TB): one hash exchange on (user_id, day); the window
+    * and the final per-thread aggregate both ride that partitioning
+    * (HashPartitioning(user_id, day) satisfies the aggregate's
+    * clustered distribution), so the whole operator is a single
+    * shuffle of the event stream, no global ordering anywhere. */
+  def sftAssembly(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        to_date(col("ts")).as("day"), col("ts"),
+        (length(col("event_type")) + length(col("props")))
+          .cast("bigint").as("cost"))
+    val wRev = Window.partitionBy("user_id", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val marked = ev
+      .withColumn("rev_cum", sum(col("cost")).over(
+        wRev.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rev_rn", row_number().over(wRev))
+      .withColumn("kept", col("rev_cum") <= SftBudget || col("rev_rn") === 1)
+    marked.groupBy("user_id", "day")
+      .agg(count(lit(1)).as("n_turns"),
+        sum(col("cost")).as("total_cost"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_turns"),
+        sum(when(col("kept"), col("cost")).otherwise(0L)).as("kept_cost"))
+      .withColumn("dropped_turns", col("n_turns") - col("kept_turns"))
+      .withColumn("truncated", col("dropped_turns") > 0)
+      .select(col("user_id"), col("day").cast("string").as("day"),
+        col("n_turns"), col("total_cost"), col("kept_turns"),
+        col("kept_cost"), col("dropped_turns"), col("truncated"))
+      .orderBy("user_id", "day")
+  }
+
+  def sftAssemblyOracle: String =
+    s"""WITH e AS (SELECT user_id, event_id, CAST(ts AS DATE) AS day, ts,
+       |    CAST(len(event_type) + len(props) AS BIGINT) AS cost
+       |  FROM events),
+       |m AS (SELECT *,
+       |    CAST(sum(cost) OVER (PARTITION BY user_id, day
+       |      ORDER BY ts DESC, event_id DESC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rev_cum,
+       |    row_number() OVER (PARTITION BY user_id, day
+       |      ORDER BY ts DESC, event_id DESC) AS rev_rn
+       |  FROM e),
+       |k AS (SELECT *, (rev_cum <= $SftBudget OR rev_rn = 1) AS kept FROM m)
+       |SELECT user_id, CAST(day AS VARCHAR) AS day,
+       |  count(*) AS n_turns,
+       |  CAST(sum(cost) AS BIGINT) AS total_cost,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS kept_turns,
+       |  CAST(sum(CASE WHEN kept THEN cost ELSE 0 END) AS BIGINT)
+       |    AS kept_cost,
+       |  CAST(count(*) - sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS dropped_turns,
+       |  (count(*) - sum(CASE WHEN kept THEN 1 ELSE 0 END)) > 0 AS truncated
+       |FROM k GROUP BY user_id, day ORDER BY user_id, day""".stripMargin
+
+  // --- q173: padding-waste length bucketing -----------------------------
+
+  /** Length buckets per language for inference/training batching. */
+  val PadBuckets = 8
+
+  /** q173 — padding-efficiency length bucketing: within each language,
+    * split documents into [[PadBuckets]] equi-depth token-length buckets
+    * and report the padding waste of batching each bucket to its max
+    * length, next to the single-bucket baseline (pad everything to the
+    * language max). The standard pre-batching audit: dynamic batching
+    * by length bucket typically cuts padded-token waste several-fold,
+    * and this measures exactly how much on the actual corpus.
+    * Complements q115 (efficiency of a FIXED packing) and q101 (the
+    * packer itself) — this op sizes the bucket layout before packing.
+    *
+    * Parity: waste = 1 − real/padded is one fixed-order double
+    * expression on two BIGINTs — exact IEEE division and subtraction,
+    * identical in both engines.
+    *
+    * Scale (100 TB): the q92 equi-depth discipline — rank windows
+    * partition by LANGUAGE (never a global sort), then one
+    * map-combinable aggregate per (lang, bucket). |langs| × buckets
+    * output rows. A language whose doc count outgrows one partition's
+    * window would move the rank to an approx-quantile bucket map
+    * (documented, same output contract). */
+  def lengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), wsTokenCount(col("text")).as("toks"))
+    val w = Window.partitionBy("lang").orderBy(col("toks"), col("doc_id"))
+    val wAll = Window.partitionBy("lang")
+    val b = docs
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("bucket", expr(s"(rn - 1) * $PadBuckets div n"))
+    val perB = b.groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), max(col("toks")).as("max_toks"),
+        sum(col("toks")).as("real_toks"))
+      .withColumn("padded_toks", col("max_toks") * col("n_docs"))
+      .withColumn("waste_frac",
+        round(lit(1.0) - col("real_toks") / col("padded_toks"), 6))
+    val base = b.groupBy("lang")
+      .agg(max(col("toks")).as("mx"), count(lit(1)).as("cnt"),
+        sum(col("toks")).as("real1"))
+      .select(col("lang"), round(lit(1.0) -
+        col("real1") / (col("mx") * col("cnt")), 6).as("single_bucket_waste"))
+    perB.join(base, "lang")
+      .select(col("lang"), col("bucket"), col("n_docs"), col("max_toks"),
+        col("real_toks"), col("padded_toks"), col("waste_frac"),
+        col("single_bucket_waste"))
+      .orderBy("lang", "bucket")
+  }
+
+  def lengthBucketsOracle: String =
+    s"""WITH d AS (SELECT lang, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+       |  FROM documents),
+       |b AS (SELECT *,
+       |    (row_number() OVER (PARTITION BY lang ORDER BY toks, doc_id) - 1)
+       |      * $PadBuckets // (count(*) OVER (PARTITION BY lang)) AS bucket
+       |  FROM d),
+       |perb AS (SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       |    count(*) AS n_docs, max(toks) AS max_toks,
+       |    CAST(sum(toks) AS BIGINT) AS real_toks
+       |  FROM b GROUP BY lang, bucket),
+       |base AS (SELECT lang, round(1.0 - CAST(sum(toks) AS BIGINT) /
+       |      CAST(max(toks) * count(*) AS DOUBLE), 6)
+       |      AS single_bucket_waste
+       |  FROM b GROUP BY lang)
+       |SELECT p.lang, p.bucket, p.n_docs, p.max_toks, p.real_toks,
+       |  p.max_toks * p.n_docs AS padded_toks,
+       |  round(1.0 - p.real_toks / CAST(p.max_toks * p.n_docs AS DOUBLE), 6)
+       |    AS waste_frac,
+       |  base.single_bucket_waste
+       |FROM perb p JOIN base USING (lang)
+       |ORDER BY p.lang, p.bucket""".stripMargin
 }

@@ -346,6 +346,40 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(p.contains("Generate"), "chunk generator left the plan")
   }
 
+  test("sft assembly is one thread-key exchange; window and aggregate share it") {
+    val p = plan(TrainPrepOps.sftAssembly(spark, dir))
+    // the reverse-cumsum window hashes on (user_id, day); the per-thread
+    // aggregate's clustered distribution is satisfied by the same
+    // partitioning, so the event stream shuffles exactly once
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"sft assembly gained an exchange:\n${p.take(1800)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a window collapsed to one partition:\n${p.take(1800)}")
+  }
+
+  test("hard negatives broadcast the query set and stats; no corpus-keyed window") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try plan(MlPrepOps.hardNegatives(spark, dir))
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2 &&
+      p.contains("BroadcastNestedLoopJoin"),
+      s"query set / stats not broadcast:\n${p.take(1800)}")
+    // the top-k window partitions by query_id over candidate aggregates
+    // and must prune map-side, never sort the corpus
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k not limited before the shuffle:\n${p.take(1800)}")
+    // the only SinglePartition exchange is the (n_docs, avgdl) scalar
+    // probe — one row per input partition, same as q147
+    assert(p.contains("Exchange hashpartitioning(query_id"),
+      s"top-k window not query-partitioned:\n${p.take(1800)}")
+  }
+
+  test("length buckets stay language-partitioned: no single-partition window") {
+    val p = plan(TrainPrepOps.lengthBuckets(spark, dir))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a rank window collapsed to one partition:\n${p.take(1800)}")
+  }
+
   test("ks drift cumsums stay source-partitioned: no single-partition window") {
     val p = plan(ProfileOps.snapshotKsDrift(spark, dir))
     assert(!p.contains("Exchange SinglePartition"),

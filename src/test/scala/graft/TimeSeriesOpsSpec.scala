@@ -435,4 +435,34 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(5) - want) < 1e-5,
       s"score mismatch for ($term, $docId): got ${r.getDouble(5)}, want $want")
   }
+
+  test("q172 hard negatives: gold excluded, ranks dense, margins ascend with rank") {
+    val rows = MlPrepOps.hardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val nQueries = EtlOps.t(spark, dir, "documents")
+      .filter(col("doc_id") % MlPrepOps.HnEvery === 0).count()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == nQueries, "every sampled query must emit negatives")
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rs.length).toSeq,
+        s"ranks not dense for query $q")
+      assert(rs.length <= MlPrepOps.HnNegK)
+      sorted.foreach { r => assert(r._3 != q, "gold leaked into negatives") }
+      // score_ppm descends and margin = gold - score ascends with rank
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 >= b._4, s"scores not descending for $q")
+          assert(a._5 <= b._5, s"margins not ascending for $q")
+        case _ => ()
+      }
+      // one gold_ppm per query: margin + score is constant
+      assert(sorted.map(r => r._4 + r._5).distinct.length == 1)
+    }
+    // hard negatives exist by construction: a query's own first tokens
+    // score other documents too (shared vocabulary)
+    assert(rows.length >= byQ.size, "no negatives mined")
+  }
 }

@@ -403,4 +403,61 @@ class TrainPrepOpsSpec extends AnyFunSuite {
       same.foreach { c => assert(c._6 == same.length - 1) }
     }
   }
+
+  test("q171 sft assembly matches a per-thread reference truncation loop") {
+    val got = TrainPrepOps.sftAssembly(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getBoolean(7))).toMap
+
+    val ev = graft.operators.EtlOps.events(spark, dir)
+      .selectExpr("user_id", "CAST(to_date(ts) AS STRING) AS day",
+        "CAST(ts AS STRING) AS ts", "event_id",
+        "CAST(length(event_type) + length(props) AS BIGINT) AS cost")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val want = ev.groupBy(t => (t._1, t._2)).map { case (key, turns) =>
+      // newest-first walk: keep while the running total fits the budget;
+      // the newest turn is unconditional
+      val desc = turns.sortBy(t => (t._3, t._4)).reverse
+      var cum = 0L
+      val kept = desc.zipWithIndex.takeWhile { case (t, i) =>
+        cum += t._5; cum <= TrainPrepOps.SftBudget || i == 0
+      }.map(_._1)
+      val total = turns.map(_._5).sum
+      key -> (turns.length.toLong, total, kept.length.toLong,
+        kept.map(_._5).sum, (turns.length - kept.length).toLong,
+        turns.length != kept.length)
+    }
+    assert(got.size == want.size)
+    want.foreach { case (k, v) => assert(got(k) == v, s"thread $k") }
+    assert(got.values.count(_._6) > 0, "no thread truncates — budget too high")
+  }
+
+  test("q173 length buckets: depths balance, bounds ascend, bucketing beats one bucket") {
+    val rows = TrainPrepOps.lengthBuckets(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, bs) =>
+      val sorted = bs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0 until sorted.length).map(_.toLong),
+        s"$lang buckets not dense")
+      // equi-depth: bucket sizes within one of each other
+      val sizes = sorted.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang depths unbalanced: ${sizes.toSeq}")
+      // max lengths ascend with bucket index
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(identity).toSeq)
+      sorted.foreach { b =>
+        assert(b._6 == b._4 * b._3, "padded != max*count")
+        assert(b._7 >= 0.0 && b._7 < 1.0)
+      }
+      // bucketed padding never exceeds the single-bucket baseline
+      val paddedBuckets = sorted.map(_._6).sum
+      val paddedSingle = sorted.map(_._4).max * sorted.map(_._3).sum
+      assert(paddedBuckets <= paddedSingle,
+        s"$lang bucketing worse than one bucket")
+    }
+  }
 }
