@@ -191,6 +191,10 @@ object SparkEntry {
     "q171_sft_assembly"      -> (TrainPrepOps.sftAssembly _),
     "q172_hard_negatives"    -> (MlPrepOps.hardNegatives _),
     "q173_length_buckets"    -> (TrainPrepOps.lengthBuckets _),
+    "q174_pref_pairs"        -> (TrainPrepOps.prefPairs _),
+    "q175_countmin_audit"    -> (ProfileOps.countMinAudit _),
+    "q176_embedding_drift"   -> (ClusterOps.embeddingDrift _),
+    "q177_stream_dedup"      -> (StreamingOps.streamDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -644,6 +648,10 @@ object SparkEntry {
     "q171_sft_assembly" -> TrainPrepOps.sftAssemblyOracle,
     "q172_hard_negatives" -> MlPrepOps.hardNegativesOracle,
     "q173_length_buckets" -> TrainPrepOps.lengthBucketsOracle,
+    "q174_pref_pairs" -> TrainPrepOps.prefPairsOracle,
+    "q175_countmin_audit" -> ProfileOps.countMinAuditOracle,
+    "q176_embedding_drift" -> ClusterOps.embeddingDriftOracle,
+    "q177_stream_dedup" -> StreamingOps.streamDedupOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

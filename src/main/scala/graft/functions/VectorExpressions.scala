@@ -154,6 +154,7 @@ object VectorFunctions {
     add("rolling_hash", exprs => RollingHash(exprs.head))
     add("minhash_agg", MinHashAgg.builder)
     add("space_saving_agg", SpaceSavingAgg.builder)
+    add("count_min_agg", CountMinAgg.builder)
     add("bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)))
     add("md5_fp60", Md5Fp60.builder)
     add("blob_pixel_stats", exprs => BlobPixelStats(exprs.head))

@@ -526,4 +526,94 @@ object ClusterOps {
        |FROM asg LEFT JOIN dd USING (cent_id, vec_id)
        |ORDER BY asg.vec_id""".stripMargin
   }
+
+  // --- q176: embedding-space drift between slices -----------------------
+
+  /** q176 — embedding centroid drift: for every label slice, the cosine
+    * between its centroid and the pooled-corpus centroid, plus the norm
+    * ratio — the embedding-space twin of the token drift monitors
+    * (q126 TVD, q155 KS, q168 PSI). A slice whose centroid swings away
+    * from the pool (cos drop) or collapses toward zero (norm shrink)
+    * signals an encoder change or a content shift that token-level
+    * monitors can miss entirely.
+    *
+    * Parity: per-dim centroid sums go through floor(x·10⁹) BIGINT
+    * fixed point (order-free) accumulated in DECIMAL(38,0) — the
+    * headroom discipline: at the 100 TB target a per-slice sum is
+    * rows·10⁹-scale and would wrap BIGINT silently (the q152/q158
+    * lesson). Centroid elements, the 64-term dot chains (native
+    * [[graft.functions.DotProduct]] ≡ the oracle's generated chain),
+    * sqrt (IEEE-exact), and the final divisions are all fixed-order
+    * double ops — bit-identical across engines.
+    *
+    * Scale (100 TB): ONE map-combinable wide aggregate over the
+    * vector table (64 fixed-point partials per slice), a |slices|-row
+    * reduce for the pool, and per-slice scalar math. Nothing shuffles
+    * but the 64-long partials — the cheapest possible drift probe on
+    * an embedding corpus. */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val v = EtlOps.t(s, dir, "embeddings")
+      .selectExpr("label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+    val sums = (1 to VecSql.Dims).map { j =>
+      sum(expr(s"CAST(floor(element_at(emb, $j) * $Fp) AS BIGINT)")
+        .cast("decimal(38,0)")).as(s"s$j")
+    }
+    // feeds BOTH the per-label centroids and the pooled reduce — persist
+    // the |labels|×(64+1) partials so the corpus scans once
+    val byLab = v.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sums: _*)
+      .persist()
+    val labCent = byLab.select(col("label"), col("n_vecs"),
+      array((1 to VecSql.Dims).map { j =>
+        (col(s"s$j").cast("double") / lit(1e9)) / col("n_vecs")
+      }: _*).as("cent"))
+    val glob = byLab
+      .agg(sum(col("n_vecs")).as("gn"),
+        (1 to VecSql.Dims).map(j => sum(col(s"s$j")).as(s"g$j")): _*)
+      .select(array((1 to VecSql.Dims).map { j =>
+        (col(s"g$j").cast("double") / lit(1e9)) / col("gn")
+      }: _*).as("gcent"))
+    labCent.crossJoin(broadcast(glob))
+      .selectExpr("label", "n_vecs",
+        "round(dot_product(cent, gcent) / " +
+          "(sqrt(dot_product(cent, cent)) * sqrt(dot_product(gcent, gcent)))" +
+          ", 6) AS cos_to_global",
+        "round(sqrt(dot_product(cent, cent)) / " +
+          "sqrt(dot_product(gcent, gcent)), 6) AS norm_ratio")
+      .orderBy("label")
+  }
+
+  def embeddingDriftOracle: String = {
+    val d = VecSql.Dims
+    val sumCols = (1 to d).map { j =>
+      s"CAST(sum(CAST(floor(emb[$j] * $Fp) AS BIGINT)) AS DECIMAL(38,0)) AS s$j"
+    }.mkString(",\n    ")
+    val gSumCols = (1 to d).map(j =>
+      s"CAST(sum(s$j) AS DECIMAL(38,0)) AS g$j").mkString(",\n    ")
+    val centList = (1 to d).map(j =>
+      s"(CAST(s$j AS DOUBLE) / 1e9) / n_vecs").mkString(", ")
+    val gcentList = (1 to d).map(j =>
+      s"(CAST(g$j AS DOUBLE) / 1e9) / gn").mkString(", ")
+    def dot(a: String, b: String) = VecSql.dot(a, b, spark = false)
+    s"""WITH v AS (SELECT label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |b AS (SELECT label, count(*) AS n_vecs,
+       |    $sumCols
+       |  FROM v GROUP BY label),
+       |lc AS (SELECT label, n_vecs, [$centList] AS cent FROM b),
+       |g AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS gn,
+       |    $gSumCols
+       |  FROM b),
+       |gc AS (SELECT [$gcentList] AS gcent FROM g)
+       |SELECT label, n_vecs,
+       |  round((${dot("cent", "gcent")}) /
+       |    (sqrt(${dot("cent", "cent")}) * sqrt(${dot("gcent", "gcent")})),
+       |    6) AS cos_to_global,
+       |  round(sqrt(${dot("cent", "cent")}) /
+       |    sqrt(${dot("gcent", "gcent")}), 6) AS norm_ratio
+       |FROM lc CROSS JOIN gc ORDER BY label""".stripMargin
+  }
 }

@@ -560,4 +560,75 @@ object StreamingOps {
         col("p_ts").cast("string").as("purchase_ts"),
         col("c_ts").cast("string").as("click_ts"))
   }
+
+  // --- q177: at-least-once delivery dedup -------------------------------
+
+  /** Planted redeliveries: every 3rd event arrives again 30 minutes
+    * late, every 7th a second time 45 minutes late — the at-least-once
+    * delivery duplicates an event bus actually produces. */
+  def redeliver(e: DataFrame): DataFrame =
+    e.unionAll(e.filter(col("event_id") % 3 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 30 MINUTES")))
+      .unionAll(e.filter(col("event_id") % 7 === 0)
+        .withColumn("ts", col("ts") + expr("INTERVAL 45 MINUTES")))
+
+  /** First-delivery winners per event_id (earliest ts) plus the
+    * delivery count — one hash exchange on event_id; both window
+    * functions ride it. The batch twin of streaming
+    * `withWatermark + dropDuplicatesWithinWatermark("event_id")`:
+    * replays land within 45 min ≪ the 2 h watermark, so the streaming
+    * path keeps exactly the first arrival per id (the spec proves
+    * batch ≡ streaming on identical input). */
+  def firstDeliveries(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byId = Window.partitionBy("event_id")
+    corpus
+      .withColumn("rn", row_number().over(byId.orderBy("ts")))
+      .withColumn("n_deliv", count(lit(1)).over(byId))
+      .filter(col("rn") === 1)
+  }
+
+  /** q177 — exactly-once ingestion audit under at-least-once delivery:
+    * dedup the redelivered stream by event_id keeping the first
+    * arrival, then report per (event_type, day) how many deliveries
+    * collapsed to how many unique events. The batch evaluation of the
+    * watermark-dedup every streaming ingest runs ahead of its sink
+    * (the reference's marker idempotency, `PollForNewFiles.py`, at
+    * event rather than file granularity).
+    *
+    * Scale (100 TB): one hash exchange on event_id (both windows and
+    * the dedup share it), then a (type, day)-sized aggregate. In
+    * streaming form the state store holds only ids inside the
+    * watermark horizon — O(rate × delay), not O(stream). */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = EtlOps.events(s, dir)
+      .select(col("event_id"), col("ts"), col("event_type"))
+    firstDeliveries(redeliver(e))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("n_deliv")).as("n_deliveries"))
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        col("n_events"), col("n_deliveries"),
+        (col("n_deliveries") - col("n_events")).as("n_dropped"))
+      .orderBy("event_type", "day")
+  }
+
+  def streamDedupOracle: String =
+    s"""WITH e AS (SELECT event_id, ts, event_type FROM events),
+       |c AS (SELECT * FROM e
+       |  UNION ALL SELECT event_id, ts + INTERVAL 30 MINUTE, event_type
+       |    FROM e WHERE event_id % 3 = 0
+       |  UNION ALL SELECT event_id, ts + INTERVAL 45 MINUTE, event_type
+       |    FROM e WHERE event_id % 7 = 0),
+       |m AS (SELECT *,
+       |    row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn,
+       |    count(*) OVER (PARTITION BY event_id) AS n_deliv
+       |  FROM c)
+       |SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       |  count(*) AS n_events,
+       |  CAST(sum(n_deliv) AS BIGINT) AS n_deliveries,
+       |  CAST(sum(n_deliv) - count(*) AS BIGINT) AS n_dropped
+       |FROM m WHERE rn = 1
+       |GROUP BY event_type, CAST(ts AS DATE)
+       |ORDER BY event_type, day""".stripMargin
 }

@@ -171,6 +171,80 @@ object ProfileOps {
       col("ok").as("all_bounds_hold"))
   }
 
+  // --- q175: Count-Min frequency audit ----------------------------------
+
+  /** CMS geometry: depth hash rows × width counters. Width 64 against
+    * 100 distinct probe keys FORCES collisions at every sf, so the
+    * audit exercises real overestimates, not the happy path. */
+  val CmsDepth = 4
+  val CmsWidth = 64
+
+  /** q175 — Count-Min sketch frequency audit over the native
+    * [[graft.functions.CountMinAgg]]: build the depth×width counter
+    * matrix in one aggregate over the skewed q117 probe key, then
+    * compare every key's CMS point estimate (min of its depth
+    * counters) against its exact count. Complements q117: Space-Saving
+    * answers "which keys are heavy", CMS answers "how often is ANY
+    * given key" in O(depth·width) memory — the pair is the standard
+    * streaming frequency toolkit.
+    *
+    * Unlike q60/q117 (contract-gated because sketch internals depend
+    * on merge order), CMS counters are plain per-cell sums —
+    * merge-order INDEPENDENT — so the DuckDB oracle rebuilds the same
+    * matrix in SQL from the same md5-derived hashes and the estimates
+    * match EXACTLY, cell for cell. `within_bound` additionally pins
+    * the analytic guarantee est ≤ true + 3N/width (ε = e/width).
+    *
+    * Scale (100 TB): the sketch is one map-combinable aggregate with
+    * O(1) state per partition — the frequency profile that never
+    * shuffles the key stream; the exact side exists only to audit it
+    * (and is itself a 100-group aggregate here). */
+  def countMinAudit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val keyed = EtlOps.events(s, dir)
+      .select(floor(sqrt(col("event_id") % 10000)).cast("long").as("k"))
+    def idx = array((0 until CmsDepth).map(j =>
+      call_function("md5_fp60",
+        concat(lit(s"$j:"), col("k").cast("string"))) % CmsWidth): _*)
+    val sk = keyed.withColumn("hs", idx)
+      .agg(expr(s"count_min_agg(hs, $CmsDepth, $CmsWidth)").as("cm"))
+    val exact = keyed.groupBy("k").agg(count(lit(1)).as("exact_n"))
+    val tot = keyed.agg(count(lit(1)).as("n_total"))
+    exact.crossJoin(broadcast(sk)).crossJoin(broadcast(tot))
+      .withColumn("hs", idx)
+      .withColumn("est", least((0 until CmsDepth).map(j =>
+        expr(s"cm[CAST($j * $CmsWidth + hs[$j] AS INT)]")): _*))
+      .select(col("k"), col("exact_n"), col("est"),
+        (col("est") - col("exact_n")).as("overestimate"),
+        ((col("est") - col("exact_n")) * CmsWidth <= lit(3) * col("n_total"))
+          .as("within_bound"))
+      .orderBy("k")
+  }
+
+  def countMinAuditOracle: String = {
+    val hash = (j: String, k: String) =>
+      s"CAST('0x' || substr(md5(CAST($j AS VARCHAR) || ':' || " +
+        s"CAST($k AS VARCHAR)), 1, 15) AS BIGINT) % $CmsWidth"
+    s"""WITH k AS (SELECT CAST(floor(sqrt(event_id % 10000)) AS BIGINT)
+       |    AS k FROM events),
+       |j AS (SELECT unnest(range(0, $CmsDepth)) AS j),
+       |h AS (SELECT k.k, j.j, ${hash("j.j", "k.k")} AS hh FROM k, j),
+       |counters AS (SELECT j, hh, count(*) AS c FROM h GROUP BY j, hh),
+       |exact AS (SELECT k, count(*) AS exact_n FROM k GROUP BY k),
+       |keys AS (SELECT DISTINCT k FROM k),
+       |kh AS (SELECT keys.k, j.j, ${hash("j.j", "keys.k")} AS hh
+       |  FROM keys, j),
+       |est AS (SELECT kh.k, CAST(min(c.c) AS BIGINT) AS est
+       |  FROM kh JOIN counters c ON kh.j = c.j AND kh.hh = c.hh
+       |  GROUP BY kh.k),
+       |tot AS (SELECT count(*) AS n FROM k)
+       |SELECT e.k, e.exact_n, est.est,
+       |  est.est - e.exact_n AS overestimate,
+       |  (est.est - e.exact_n) * $CmsWidth <= 3 * tot.n AS within_bound
+       |FROM exact e JOIN est USING (k) CROSS JOIN tot
+       |ORDER BY e.k""".stripMargin
+  }
+
   // --- q87: equi-width histogram ----------------------------------------
 
   val HistBins = 10

@@ -767,6 +767,69 @@ object TrainPrepOps {
        |  (count(*) - sum(CASE WHEN kept THEN 1 ELSE 0 END)) > 0 AS truncated
        |FROM k GROUP BY user_id, day ORDER BY user_id, day""".stripMargin
 
+  // --- q174: preference-pair construction (RLHF/DPO prep) ---------------
+
+  /** q174 — preference-pair mining: within each (user_id, event_type)
+    * response group, pair the highest-valued event (chosen) with the
+    * lowest (rejected) and keep pairs with a strictly positive margin —
+    * the construction step between raw feedback logs and a DPO/RLHF
+    * trainer's (prompt, chosen, rejected) triples. Ties break on
+    * event_id so the pair is deterministic; groups whose best equals
+    * their worst (margin 0) are dropped as uninformative.
+    *
+    * Parity: chosen/rejected are row_number()=1 under exact double
+    * ordering; the margin is one IEEE subtraction — bit-identical.
+    *
+    * Scale (100 TB): one hash exchange on the group key; both rank
+    * windows and the candidate count ride the same partitioning
+    * (the q171 single-shuffle argument). Output is |groups|-sized. */
+  def prefPairs(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"))
+    val wUp = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("value").desc, col("event_id"))
+    val wDn = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("value").asc, col("event_id"))
+    ev
+      .withColumn("rn_top", row_number().over(wUp))
+      .withColumn("rn_bot", row_number().over(wDn))
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_candidates"),
+        max(when(col("rn_top") === 1, col("event_id")))
+          .as("chosen_event_id"),
+        max(when(col("rn_top") === 1, col("value"))).as("chosen_value"),
+        max(when(col("rn_bot") === 1, col("event_id")))
+          .as("rejected_event_id"),
+        max(when(col("rn_bot") === 1, col("value"))).as("rejected_value"))
+      .filter(col("chosen_value") > col("rejected_value"))
+      .select(col("user_id"), col("event_type"), col("chosen_event_id"),
+        col("rejected_event_id"),
+        round(col("chosen_value") - col("rejected_value"), 6).as("margin"),
+        col("n_candidates"))
+      .orderBy("user_id", "event_type")
+  }
+
+  def prefPairsOracle: String =
+    s"""WITH e AS (SELECT user_id, event_type, event_id, value
+       |  FROM events),
+       |r AS (SELECT *,
+       |    row_number() OVER (PARTITION BY user_id, event_type
+       |      ORDER BY value DESC, event_id) AS rn_top,
+       |    row_number() OVER (PARTITION BY user_id, event_type
+       |      ORDER BY value ASC, event_id) AS rn_bot
+       |  FROM e),
+       |g AS (SELECT user_id, event_type, count(*) AS n_candidates,
+       |    max(CASE WHEN rn_top = 1 THEN event_id END) AS chosen_event_id,
+       |    max(CASE WHEN rn_top = 1 THEN value END) AS chosen_value,
+       |    max(CASE WHEN rn_bot = 1 THEN event_id END) AS rejected_event_id,
+       |    max(CASE WHEN rn_bot = 1 THEN value END) AS rejected_value
+       |  FROM r GROUP BY user_id, event_type)
+       |SELECT user_id, event_type, chosen_event_id, rejected_event_id,
+       |  round(chosen_value - rejected_value, 6) AS margin, n_candidates
+       |FROM g WHERE chosen_value > rejected_value
+       |ORDER BY user_id, event_type""".stripMargin
+
   // --- q173: padding-waste length bucketing -----------------------------
 
   /** Length buckets per language for inference/training batching. */

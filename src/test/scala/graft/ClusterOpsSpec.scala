@@ -93,4 +93,47 @@ class ClusterOpsSpec extends AnyFunSuite {
       if (contaminated) assert(sim > 0.999)
     }
   }
+
+  test("q176 embedding drift matches a driver-side fixed-point reference") {
+    val got = graft.operators.ClusterOps.embeddingDrift(spark, dir).collect()
+      .map(r => r.get(0).toString -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("CAST(label AS STRING) AS label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+    val dims = raw.head._2.length
+    def fxSums(rows: Array[(String, Array[Double])]): Array[Long] = {
+      val s = new Array[Long](dims)
+      rows.foreach { case (_, e) =>
+        var j = 0
+        while (j < dims) { s(j) += math.floor(e(j) * 1e9).toLong; j += 1 }
+      }
+      s
+    }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var j = 0
+      while (j < dims) { acc += a(j) * b(j); j += 1 } // left-assoc chain
+      acc
+    }
+    val byLab = raw.groupBy(_._1)
+    val gSums = fxSums(raw)
+    val gn = raw.length
+    val gcent = gSums.map(s => (s.toDouble / 1e9) / gn)
+    byLab.foreach { case (lab, rows) =>
+      val cent = fxSums(rows).map(s => (s.toDouble / 1e9) / rows.length)
+      val cos = dot(cent, gcent) / (math.sqrt(dot(cent, cent)) *
+        math.sqrt(dot(gcent, gcent)))
+      val ratio = math.sqrt(dot(cent, cent)) / math.sqrt(dot(gcent, gcent))
+      val (n, gc, gr) = got(lab)
+      assert(n == rows.length)
+      assert(math.abs(gc - cos) < 1e-6, s"label $lab cos: $gc vs $cos")
+      assert(math.abs(gr - ratio) < 1e-6, s"label $lab ratio: $gr vs $ratio")
+    }
+    // drift exists on the fixture: not every slice sits on the pool mean
+    assert(got.values.exists(v => v._2 < 0.999999),
+      "all slices identical to the pool — probe is vacuous")
+  }
 }

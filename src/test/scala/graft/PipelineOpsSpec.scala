@@ -464,6 +464,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q177: watermark dedup on the redelivered stream matches the batch winners") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q177").toString
+    val e = EtlOps.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("event_type")).limit(300)
+    val corpus = StreamingOps.redeliver(e).persist()
+    // batch truth: earliest delivery per event_id
+    val batch = StreamingOps.firstDeliveries(corpus)
+      .select("event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toMap
+    assert(batch.size == e.count(), "dedup must keep every unique event")
+    assert(corpus.count() > batch.size, "fixture plants no redeliveries")
+    // streaming: originals in micro-batch 1, replays in micro-batch 2 —
+    // the arrival order an at-least-once bus produces
+    corpus.join(e.select("event_id", "ts"), Seq("event_id", "ts"))
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val sdf = spark.readStream.schema(corpus.schema).parquet(s"$tmp/in")
+      .withWatermark("ts", "2 hours")
+    val q = DedupOps.streamingDedup(sdf, Seq("event_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("q177_out").start()
+    try {
+      q.processAllAvailable()
+      corpus.join(e.select("event_id", "ts"), Seq("event_id", "ts"),
+          "left_anti")
+        .write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable()
+      val streamed = spark.table("q177_out").select("event_id", "ts")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+      assert(streamed.length == batch.size,
+        "streaming kept a different number of events than batch")
+      streamed.foreach { case (id, ts) =>
+        assert(batch(id) == ts, s"event $id: streaming kept a replay")
+      }
+    } finally { q.stop(); corpus.unpersist() }
+  }
+
   test("streaming window agg: readStream path matches batch result") {
     val batch = StreamingOps.streamingWindow(spark, dir).collect()
     val events = EtlOps.events(spark, dir)

@@ -380,6 +380,48 @@ class PlanPropsSpec extends AnyFunSuite {
       s"a rank window collapsed to one partition:\n${p.take(1800)}")
   }
 
+  test("preference pairs: both rank windows and the aggregate share one exchange") {
+    val p = plan(TrainPrepOps.prefPairs(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"pref pairs gained an exchange:\n${p.take(1800)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a window collapsed to one partition:\n${p.take(1800)}")
+  }
+
+  test("count-min sketch aggregates map-side: partial+final object aggregate") {
+    val p = plan(ProfileOps.countMinAudit(spark, dir))
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // Partial stage per input partition — the O(depth*width) partials
+    // are what shuffle, never the key stream
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"CMS aggregate lost its partial stage:\n${p.take(1800)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"sketch/total scalars not broadcast:\n${p.take(1800)}")
+  }
+
+  test("embedding drift: one wide aggregate, centroid math on broadcast scalars") {
+    // an earlier spec may have left byLab persisted — a cached subtree
+    // restates the plan under InMemoryTableScan and breaks the counts
+    spark.catalog.clearCache()
+    val p = plan(ClusterOps.embeddingDrift(spark, dir))
+    // the only data-sized exchange is the per-label fixed-point partial
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"embedding drift gained an exchange:\n${p.take(1800)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"pooled centroid not broadcast:\n${p.take(1800)}")
+  }
+
+  test("stream dedup: windows and dedup share the event_id exchange") {
+    val p = plan(StreamingOps.streamDedup(spark, dir))
+    // event_id windows + (type, day) aggregate = exactly two hash
+    // exchanges; the union of redeliveries must not add scans-worth of
+    // exchanges
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"stream dedup gained an exchange:\n${p.take(1800)}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a window collapsed to one partition:\n${p.take(1800)}")
+  }
+
   test("ks drift cumsums stay source-partitioned: no single-partition window") {
     val p = plan(ProfileOps.snapshotKsDrift(spark, dir))
     assert(!p.contains("Exchange SinglePartition"),

@@ -89,4 +89,46 @@ class SpaceSavingSpec extends AnyFunSuite {
         s"capacity=$bad raised ${e.getClass.getName}: ${e.getMessage}")
     }
   }
+
+  // --- Count-Min (q175) --------------------------------------------------
+
+  test("count-min counters conserve mass and the state is partition-invariant") {
+    VectorFunctions.register(spark)
+    val d = ProfileOps.CmsDepth
+    val w = ProfileOps.CmsWidth
+    val keyed = graft.operators.EtlOps
+      .events(spark, TestSession.sfDir("0.001"))
+      .select(floor(sqrt(col("event_id") % 10000)).cast("long").as("k"))
+      .withColumn("hs", array((0 until d).map(j =>
+        call_function("md5_fp60",
+          concat(lit(s"$j:"), col("k").cast("string"))) % w): _*))
+    def sketch(parts: Int): Array[Long] = keyed.repartition(parts)
+      .agg(expr(s"count_min_agg(hs, $d, $w)")).first()
+      .getSeq[Long](0).toArray
+    val n = keyed.count()
+    val s1 = sketch(1)
+    // every hash row sums to N — counters are pure per-cell sums
+    (0 until d).foreach { j =>
+      assert(s1.slice(j * w, (j + 1) * w).sum == n, s"row $j lost mass")
+    }
+    // merge-order independence: 1 partition ≡ 13 partitions, cell for cell
+    assert(sketch(13).toSeq == s1.toSeq,
+      "CMS state depends on partitioning — merge is broken")
+  }
+
+  test("q175 audit: est >= exact always, collisions visible, bound holds") {
+    val rows = ProfileOps
+      .countMinAudit(spark, TestSession.sfDir("0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._3 >= r._2, s"CMS underestimated key ${r._1}")
+      assert(r._4 == r._3 - r._2)
+      assert(r._5, s"key ${r._1} violated the e/w bound")
+    }
+    // width 64 vs ~100 keys: pigeonhole guarantees some overestimates —
+    // the audit must exercise real collisions, not the happy path
+    assert(rows.exists(_._4 > 0), "no collisions — audit is vacuous")
+  }
 }

@@ -435,6 +435,31 @@ class TrainPrepOpsSpec extends AnyFunSuite {
     assert(got.values.count(_._6) > 0, "no thread truncates — budget too high")
   }
 
+  test("q174 preference pairs match a per-group argmax/argmin reference") {
+    val got = TrainPrepOps.prefPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5))).toMap
+
+    val ev = graft.operators.EtlOps.events(spark, dir)
+      .select("user_id", "event_type", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val want = ev.groupBy(t => (t._1, t._2)).flatMap { case (k, rows) =>
+      val chosen = rows.minBy(t => (-t._4, t._3))
+      val rejected = rows.minBy(t => (t._4, t._3))
+      if (chosen._4 > rejected._4)
+        Some(k -> (chosen._3, rejected._3, chosen._4 - rejected._4,
+          rows.length.toLong))
+      else None
+    }.toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (k, (c, rj, m, n)) =>
+      val g = got(k)
+      assert(g._1 == c && g._2 == rj && g._4 == n, s"pair mismatch for $k")
+      assert(math.abs(g._3 - m) < 1e-9, s"margin mismatch for $k")
+      assert(g._3 > 0.0, "non-positive margin survived the filter")
+    }
+  }
+
   test("q173 length buckets: depths balance, bounds ascend, bucketing beats one bucket") {
     val rows = TrainPrepOps.lengthBuckets(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
