@@ -195,6 +195,9 @@ object SparkEntry {
     "q175_countmin_audit"    -> (ProfileOps.countMinAudit _),
     "q176_embedding_drift"   -> (ClusterOps.embeddingDrift _),
     "q177_stream_dedup"      -> (StreamingOps.streamDedup _),
+    "q178_dedup_weights"     -> (CurationOps.dedupWeights _),
+    "q179_incremental_stats" -> (ScaleOps.incrementalStats _),
+    "q180_norm_audit"        -> (TextOps.normAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -652,6 +655,10 @@ object SparkEntry {
     "q175_countmin_audit" -> ProfileOps.countMinAuditOracle,
     "q176_embedding_drift" -> ClusterOps.embeddingDriftOracle,
     "q177_stream_dedup" -> StreamingOps.streamDedupOracle,
+    "q178_dedup_weights" ->
+      CurationOps.dedupWeightsOracle(OracleGen.q110ClusterRepresentatives),
+    "q179_incremental_stats" -> ScaleOps.incrementalStatsOracle,
+    "q180_norm_audit" -> TextOps.normAuditOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -784,4 +784,54 @@ object CurationOps {
        |    AS retained_vs_total
        |FROM u ORDER BY stage_id""".stripMargin
   }
+
+  // --- q178: soft-dedup sampling weights ---------------------------------
+
+  /** q178 — soft-dedup sampling weights: instead of dropping duplicate
+    * clusters to one copy (q110), keep one representative per cluster
+    * weighted by √cluster_size — duplicated content contributes
+    * sublinearly rather than zero, the soft-dedup compromise used when
+    * duplication correlates with quality (the "copies as votes"
+    * argument). Emits each representative with its weight and its
+    * within-source sampling probability — the sampler input a mixture
+    * builder consumes directly (q75's weighted sampler composes on
+    * top).
+    *
+    * Parity: weights go through floor(√n·10⁹) BIGINT (√ is
+    * IEEE-exactly-rounded, the q135 precedent); per-source totals are
+    * order-free integer sums; the probability is one double division.
+    *
+    * Scale (100 TB): everything downstream of the q59/q110 label
+    * propagation (the paid-for part) is |clusters|-sized: a window
+    * rank, one source-keyed weight total, one broadcast-back join. */
+  def dedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val reps = clusterRepresentatives(s, dir)
+    val src = t(s, dir, "documents").select(
+      col("doc_id").as("rep_doc"), col("source"))
+    val weighted = reps.join(src, "rep_doc")
+      .withColumn("weight_fp",
+        floor(sqrt(col("n_members").cast("double")) * 1e9).cast("bigint"))
+    val totals = weighted.groupBy("source")
+      .agg(sum(col("weight_fp")).as("tw"))
+    weighted.join(broadcast(totals), "source")
+      .select(col("cluster_id"), col("rep_doc"), col("source"),
+        col("n_members"), col("weight_fp"),
+        round(col("weight_fp").cast("double") / col("tw").cast("double"), 6)
+          .as("prob"))
+      .orderBy("cluster_id")
+  }
+
+  /** q178 oracle: the q110 closure + √-weight + per-source normalize. */
+  def dedupWeightsOracle(q110Sql: String): String =
+    s"""WITH reps AS ($q110Sql),
+       |w AS (SELECT r.cluster_id, r.rep_doc, d.source, r.n_members,
+       |    CAST(floor(sqrt(CAST(r.n_members AS DOUBLE)) * 1e9) AS BIGINT)
+       |      AS weight_fp
+       |  FROM reps r JOIN documents d ON d.doc_id = r.rep_doc),
+       |t AS (SELECT source, CAST(sum(weight_fp) AS BIGINT) AS tw
+       |  FROM w GROUP BY source)
+       |SELECT w.cluster_id, w.rep_doc, w.source, w.n_members, w.weight_fp,
+       |  round(CAST(w.weight_fp AS DOUBLE) / CAST(t.tw AS DOUBLE), 6)
+       |    AS prob
+       |FROM w JOIN t USING (source) ORDER BY w.cluster_id""".stripMargin
 }

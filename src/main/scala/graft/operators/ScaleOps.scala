@@ -459,4 +459,84 @@ object ScaleOps {
        |WHERE b.qty_a <> b.qty_b
        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   }
+
+  // --- q179: incremental stats maintenance (snapshot algebra) -----------
+
+  /** q179 — incremental corpus-stats maintenance: yesterday's corpus
+    * (doc_id ≢ 0 mod 5) already has per-source stat PARTIALS (count,
+    * sums, min/max); today's delta (doc_id ≡ 0 mod 5) is scanned alone
+    * and its partials MERGED — no full rescan. The op emits the merged
+    * T+1 stats next to a from-scratch recompute with a per-source
+    * consistency boolean, proving the partials algebra (count/sum add,
+    * min/max combine) is exact. This is the reference's
+    * marker-incremental model (`PollForNewFiles.py` — only new files
+    * move) lifted from ingestion to statistics: the nightly 100 TB
+    * profile costs one DELTA scan, not a corpus scan.
+    *
+    * Parity: all-integer partials; the only double is the final mean
+    * division (identical op both engines).
+    *
+    * Scale (100 TB): the full recompute exists here ONLY as the audit;
+    * production keeps the |sources|-row partial table and pays
+    * O(delta) per night. Both paths are map-combinable aggregates. */
+  def incrementalStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = EtlOps.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        TextOps.wsTokenCount(col("text")).as("toks"))
+    // one scan builds the per-(source, snapshot) partial table — the
+    // thing a production pipeline PERSISTS; the merge re-shuffles only
+    // the 2·|sources| partial rows, never the corpus
+    val p = docs.withColumn("is_delta", col("doc_id") % 5 === 0)
+      .groupBy("source", "is_delta")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("c"),
+        sum(col("toks")).as("tk"), min(col("n_chars")).as("mn"),
+        max(col("n_chars")).as("mx"))
+    val merged = p.groupBy("source")
+      .agg(sum(col("n")).as("n_docs"), sum(col("c")).as("total_chars"),
+        sum(col("tk")).as("total_tokens"), min(col("mn")).as("min_chars"),
+        max(col("mx")).as("max_chars"))
+    // the audit's full recompute is an INDEPENDENT scan on purpose —
+    // deriving it from the same partials would prove nothing
+    val full = docs.groupBy("source")
+      .agg(count(lit(1)).as("f_n"), sum(col("n_chars")).as("f_c"),
+        sum(col("toks")).as("f_tk"), min(col("n_chars")).as("f_mn"),
+        max(col("n_chars")).as("f_mx"))
+    merged.join(full, "source")
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("total_tokens"), col("min_chars"), col("max_chars"),
+        round(col("total_chars").cast("double") /
+          col("n_docs").cast("double"), 6).as("mean_chars"),
+        (col("n_docs") === col("f_n") && col("total_chars") === col("f_c") &&
+          col("total_tokens") === col("f_tk") &&
+          col("min_chars") === col("f_mn") && col("max_chars") === col("f_mx"))
+          .as("incremental_consistent"))
+      .orderBy("source")
+  }
+
+  def incrementalStatsOracle: String =
+    s"""WITH d AS (SELECT doc_id, source, n_chars,
+       |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS toks
+       |  FROM documents),
+       |p AS (SELECT source, doc_id % 5 = 0 AS is_delta, count(*) AS n,
+       |    CAST(sum(n_chars) AS BIGINT) AS c, CAST(sum(toks) AS BIGINT)
+       |      AS tk, min(n_chars) AS mn, max(n_chars) AS mx
+       |  FROM d GROUP BY source, doc_id % 5 = 0),
+       |m AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+       |    CAST(sum(c) AS BIGINT) AS total_chars,
+       |    CAST(sum(tk) AS BIGINT) AS total_tokens,
+       |    min(mn) AS min_chars, max(mx) AS max_chars
+       |  FROM p GROUP BY source),
+       |f AS (SELECT source, count(*) AS f_n,
+       |    CAST(sum(n_chars) AS BIGINT) AS f_c,
+       |    CAST(sum(toks) AS BIGINT) AS f_tk,
+       |    min(n_chars) AS f_mn, max(n_chars) AS f_mx
+       |  FROM d GROUP BY source)
+       |SELECT m.source, m.n_docs, m.total_chars, m.total_tokens,
+       |  m.min_chars, m.max_chars,
+       |  round(CAST(m.total_chars AS DOUBLE) / CAST(m.n_docs AS DOUBLE), 6)
+       |    AS mean_chars,
+       |  (m.n_docs = f.f_n AND m.total_chars = f.f_c AND
+       |   m.total_tokens = f.f_tk AND m.min_chars = f.f_mn AND
+       |   m.max_chars = f.f_mx) AS incremental_consistent
+       |FROM m JOIN f USING (source) ORDER BY m.source""".stripMargin
 }

@@ -683,4 +683,78 @@ object TextOps {
        |    AS flagged
        |FROM sizes s LEFT JOIN cv USING (doc_id) ORDER BY s.doc_id""".stripMargin
   }
+
+  // --- q180: text normalization audit ------------------------------------
+
+  /** Offset for the planted dirty copies (distinct from DedupOps'
+    * [[DedupOps.CopyOffset]] so the fixtures never collide). */
+  val NormCopyOffset = 2000000L
+
+  /** q180 — canonical text normalization (trim, collapse whitespace
+    * runs, casefold) with the two audits every pipeline wants before
+    * putting normalization ahead of dedup: (1) IDEMPOTENCE —
+    * norm(norm(x)) = norm(x) for every document, the property that
+    * makes re-runs safe; (2) COLLAPSE GAIN — how many raw-distinct
+    * fingerprints merge once normalized. The fixture plants a dirty
+    * copy of every even document (padded, uppercased, double-spaced);
+    * normalization must fold each one back onto its original, which is
+    * exactly why dedup pipelines normalize first (CCNet/RefinedWeb
+    * preprocessing order).
+    *
+    * Parity: pure string ops; the whitespace collapse is written with
+    * each engine's own regexp_replace (Spark replaces all matches by
+    * default, DuckDB needs the 'g' flag — same function, same result).
+    *
+    * Scale (100 TB): normalization is a codegen'd projection; both
+    * audits are fingerprint-keyed distinct aggregates (16-byte keys at
+    * scale), the same cost class as exact dedup. */
+  def normAudit(s: SparkSession, dir: String): DataFrame = {
+    def norm(c: org.apache.spark.sql.Column) =
+      lower(trim(regexp_replace(c, " +", " ")))
+    val base = t(s, dir, "documents").select(
+      col("doc_id"), col("source"), col("text"))
+    val dirty = base.filter(col("doc_id") % 2 === 0).select(
+      (col("doc_id") + NormCopyOffset).as("doc_id"), col("source"),
+      concat(lit("  "), upper(regexp_replace(col("text"), " ", "  ")),
+        lit("  ")).as("text"))
+    base.unionByName(dirty)
+      .withColumn("norm", norm(col("text")))
+      .withColumn("norm2", norm(col("norm")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("norm") =!= col("text"), 1L).otherwise(0L))
+          .as("n_changed"),
+        max(when(col("norm2") =!= col("norm"), 1L).otherwise(0L))
+          .as("viol"),
+        countDistinct(md5(col("text"))).as("distinct_raw_fp"),
+        countDistinct(md5(col("norm"))).as("distinct_norm_fp"))
+      .select(col("source"), col("n_docs"), col("n_changed"),
+        (col("viol") === 0L).as("idempotent"),
+        col("distinct_raw_fp"), col("distinct_norm_fp"),
+        (col("distinct_raw_fp") - col("distinct_norm_fp"))
+          .as("collapse_gain"))
+      .orderBy("source")
+  }
+
+  def normAuditOracle: String =
+    s"""WITH base AS (SELECT doc_id, source, text FROM documents),
+       |dirty AS (SELECT doc_id + $NormCopyOffset AS doc_id, source,
+       |    '  ' || upper(replace(text, ' ', '  ')) || '  ' AS text
+       |  FROM base WHERE doc_id % 2 = 0),
+       |c AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
+       |n AS (SELECT source, text,
+       |    lower(trim(regexp_replace(text, ' +', ' ', 'g'))) AS norm
+       |  FROM c),
+       |n2 AS (SELECT *,
+       |    lower(trim(regexp_replace(norm, ' +', ' ', 'g'))) AS normn
+       |  FROM n)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN norm <> text THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_changed,
+       |  max(CASE WHEN normn <> norm THEN 1 ELSE 0 END) = 0 AS idempotent,
+       |  count(DISTINCT md5(text)) AS distinct_raw_fp,
+       |  count(DISTINCT md5(norm)) AS distinct_norm_fp,
+       |  count(DISTINCT md5(text)) - count(DISTINCT md5(norm))
+       |    AS collapse_gain
+       |FROM n2 GROUP BY source ORDER BY source""".stripMargin
 }

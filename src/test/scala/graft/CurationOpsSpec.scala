@@ -293,4 +293,31 @@ class CurationOpsSpec extends AnyFunSuite {
         col("lang_guess") === r0.getString(1)).count()
     assert(r0.getLong(2) == want)
   }
+
+  test("q178 dedup weights: sqrt-of-size weights over exactly the q110 reps, probs normalize") {
+    val rows = CurationOps.dedupWeights(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val reps = CurationOps.clusterRepresentatives(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(rows.length == reps.size, "weights must cover every rep")
+    rows.foreach { case (cid, rep, _, n, wfp, prob) =>
+      assert(reps(cid) == ((rep, n)), s"cluster $cid rep/size drifted")
+      assert(wfp == math.floor(math.sqrt(n.toDouble) * 1e9).toLong)
+      assert(prob > 0.0 && prob <= 1.0)
+    }
+    // within every source the probabilities sum to 1 (up to round(6))
+    rows.groupBy(_._3).foreach { case (src, rs) =>
+      val tot = rs.map(_._6).sum
+      assert(math.abs(tot - 1.0) < 1e-4, s"$src probs sum to $tot")
+    }
+    // soft dedup is not hard dedup: multi-member clusters carry MORE
+    // weight than singletons but less than their size
+    val multi = rows.filter(_._4 > 1)
+    assert(multi.nonEmpty, "fixture has no dup clusters — audit vacuous")
+    multi.foreach { case (_, _, _, n, wfp, _) =>
+      assert(wfp > 1000000000L && wfp < n * 1000000000L)
+    }
+  }
 }

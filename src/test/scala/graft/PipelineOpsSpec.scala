@@ -500,6 +500,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally { q.stop(); corpus.unpersist() }
   }
 
+  test("q180 norm audit: idempotent, and every planted dirty copy folds onto its original") {
+    val rows = TextOps.normAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.nonEmpty)
+    val base = EtlOps.t(spark, dir, "documents")
+      .selectExpr("source", "doc_id", "md5(text) AS fp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val bySrc = base.groupBy(_._1)
+    rows.foreach { case (src, (n, changed, idem, rawFp, normFp, gain)) =>
+      val docs = bySrc(src)
+      val dirty = docs.count(_._2 % 2 == 0)
+      assert(idem, s"$src: normalization not idempotent")
+      assert(n == docs.length + dirty)
+      // originals are already canonical; only the dirty copies change
+      assert(changed == dirty, s"$src: changed=$changed dirty=$dirty")
+      // normalization folds each dirty copy onto its original: the
+      // normalized fingerprint space equals the originals' raw space
+      assert(normFp == docs.map(_._3).distinct.length.toLong,
+        s"$src: dirty copies did not fold back")
+      assert(gain == rawFp - normFp)
+      // a source only gains if it actually received dirty copies
+      assert((gain > 0) == (dirty > 0), s"$src: gain=$gain dirty=$dirty")
+    }
+    assert(rows.values.exists(_._6 > 0), "no source gained — audit vacuous")
+  }
+
   test("streaming window agg: readStream path matches batch result") {
     val batch = StreamingOps.streamingWindow(spark, dir).collect()
     val events = EtlOps.events(spark, dir)

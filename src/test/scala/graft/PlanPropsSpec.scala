@@ -411,6 +411,30 @@ class PlanPropsSpec extends AnyFunSuite {
       s"pooled centroid not broadcast:\n${p.take(1800)}")
   }
 
+  test("dedup weights: per-source totals broadcast back to the rep table") {
+    spark.catalog.clearCache()
+    val p = plan(CurationOps.dedupWeights(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight totals not broadcast:\n${p.take(1800)}")
+  }
+
+  test("incremental stats: the corpus shuffles only as partials") {
+    val p = plan(ScaleOps.incrementalStats(spark, dir))
+    // (source, is_delta) partials + the 2·|sources|-row merge + the
+    // independent full recompute = 3 hash exchanges, only two of which
+    // carry corpus-derived partials
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3,
+      s"incremental stats gained an exchange:\n${p.take(1800)}")
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("norm audit: normalization is a projection; no single-partition aggregate") {
+    val p = plan(TextOps.normAudit(spark, dir))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"audit collapsed to one partition:\n${p.take(1800)}")
+    assert(!p.contains("SortMergeJoin"), "audit must not join at all")
+  }
+
   test("stream dedup: windows and dedup share the event_id exchange") {
     val p = plan(StreamingOps.streamDedup(spark, dir))
     // event_id windows + (type, day) aggregate = exactly two hash

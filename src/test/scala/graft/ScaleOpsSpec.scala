@@ -165,4 +165,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(windowed.size > spark.read.parquet(s"$dir/events.parquet")
       .select("user_id").distinct().count())
   }
+
+  test("q179 incremental stats: merged partials equal the full recompute everywhere") {
+    val rows = graft.operators.ScaleOps.incrementalStats(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getBoolean(7)))
+    assert(rows.nonEmpty)
+    // the operator's own audit must hold — partials algebra is exact
+    rows.foreach(r => assert(r._8, s"source ${r._1} partials diverged"))
+    // cross-check one source against a driver-side recompute
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1)
+    rows.foreach { case (src, n, chars, _, mn, mx, mean, _) =>
+      val want = bySrc(src).map(_._2)
+      assert(n == want.length && chars == want.sum)
+      assert(mn == want.min && mx == want.max)
+      assert(math.abs(mean - chars.toDouble / n) < 1e-9)
+    }
+  }
 }
