@@ -198,6 +198,8 @@ object SparkEntry {
     "q178_dedup_weights"     -> (CurationOps.dedupWeights _),
     "q179_incremental_stats" -> (ScaleOps.incrementalStats _),
     "q180_norm_audit"        -> (TextOps.normAudit _),
+    "q181_bloom_ingest"      -> (DedupOps.bloomIngestDedup _),
+    "q182_bottomk_sample"    -> (CurationOps.bottomKSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -659,6 +661,8 @@ object SparkEntry {
       CurationOps.dedupWeightsOracle(OracleGen.q110ClusterRepresentatives),
     "q179_incremental_stats" -> ScaleOps.incrementalStatsOracle,
     "q180_norm_audit" -> TextOps.normAuditOracle,
+    "q181_bloom_ingest" -> DedupOps.bloomIngestDedupOracle,
+    "q182_bottomk_sample" -> CurationOps.bottomKSampleOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

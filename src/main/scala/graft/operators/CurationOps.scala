@@ -834,4 +834,37 @@ object CurationOps {
        |  round(CAST(w.weight_fp AS DOUBLE) / CAST(t.tw AS DOUBLE), 6)
        |    AS prob
        |FROM w JOIN t USING (source) ORDER BY w.cluster_id""".stripMargin
+
+  // --- q182: deterministic bottom-k reservoir sample ----------------------
+
+  /** Sample size for the bottom-k reservoir. */
+  val ReservoirK = 100
+
+  /** q182 — distributed uniform sample as a deterministic bottom-k:
+    * assign every document a salted-fingerprint priority and keep the
+    * [[ReservoirK]] smallest. Bottom-k by a hash priority IS the
+    * mergeable reservoir (Efraimidis–Spirakis with uniform weights):
+    * each partition keeps its local k, partials merge by keeping the
+    * global k smallest — associative, re-runnable, and (unlike
+    * `rand()`-based reservoirs) reproducible across engines, which is
+    * what makes the eval-subset selection auditable.
+    *
+    * Scale (100 TB): plans as TakeOrderedAndProject — per-partition
+    * top-k heaps, one k-row merge, NO global sort exchange. The
+    * footgun this replaces (`ORDER BY rand() LIMIT k`) range-shuffles
+    * the corpus. */
+  def bottomKSample(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .withColumn("priority", call_function("md5_fp60",
+        concat(lit("smp:"), col("doc_id").cast("string"))))
+      .orderBy("priority")
+      .limit(ReservoirK)
+  }
+
+  def bottomKSampleOracle: String =
+    s"""SELECT doc_id, source,
+       |  CAST('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15)
+       |    AS BIGINT) AS priority
+       |FROM documents ORDER BY priority LIMIT $ReservoirK""".stripMargin
 }

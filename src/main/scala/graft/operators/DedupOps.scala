@@ -1340,4 +1340,102 @@ object DedupOps {
        |    FILTER (WHERE kept), '')) AS kept_md5
        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  // --- q181: bloom-gated incremental ingest dedup ------------------------
+
+  val BloomDedupFpp = 0.01
+
+  /** q181 — two-tier incremental ingest dedup: the arriving batch
+    * (doc_id ≡ 0 mod 5 over the planted-copy corpus) probes a BLOOM
+    * filter of the historical fingerprint set first; only candidates
+    * pay the exact confirm join. This is q103's exact anti-join wearing
+    * its 100 TB armor: at scale the historical fingerprint set is
+    * far too large to join every batch row against, and the bloom
+    * probe — O(1) per row against a broadcast bitset — prunes the
+    * confirm join to candidates only (the q66 runtime-filter contract
+    * applied to ingest dedup).
+    *
+    * Output counts (n_batch / n_dups / n_new) are EXACT and
+    * oracle-mirrored; the bloom's behavior is pinned by two contract
+    * booleans the oracle expects literally TRUE (the q42/q117 sketch
+    * convention, since DuckDB cannot rebuild Spark's bitset): NO false
+    * negatives (a bloom guarantee — every exact dup must be a
+    * candidate), and observed false-positive rate within 3× the
+    * configured [[BloomDedupFpp]] (bloom inserts are bitwise-OR,
+    * order-independent, so the bit pattern is deterministic for a
+    * given corpus regardless of partitioning). */
+  def bloomIngestDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    // copies of EVEN documents only, split on mod 7: the batch then
+    // mixes true dups (docs whose twin landed in history) with
+    // genuinely new docs (odd originals) — mod 5 would put every
+    // doc's copy in its own split (CopyOffset ≡ 0 mod 5) and plant
+    // zero dups
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val c = d.unionAll(d.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + CopyOffset).as("doc_id"), col("text")))
+      .withColumn("fp", call_function("md5_fp60", col("text")))
+      .withColumn("orig_id", col("doc_id") % CopyOffset)
+    val src = t(s, dir, "documents")
+      .select(col("doc_id").as("orig_id"), col("source"))
+    val hist = c.filter(col("doc_id") % 7 =!= 0).persist()
+    val batch = c.filter(col("doc_id") % 7 === 0)
+    val nKeys = math.max(hist.select("fp").distinct().count(), 1L)
+    val bloom = hist.stat.bloomFilter("fp", nKeys, BloomDedupFpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    val histFps = hist.select("fp").distinct()
+    val probed = batch
+      .withColumn("cand", call_function("bloom_might_contain",
+        lit(bos.toByteArray), col("fp")))
+    val confirmed = probed.filter(col("cand"))
+      .join(histFps, Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(true).as("is_dup"))
+    val marked = probed
+      .join(confirmed.select("doc_id", "is_dup"), Seq("doc_id"), "left")
+      .persist()
+    // the fpp contract is CORPUS-level: per-source batches are small
+    // enough that a 3× bound on a Poisson(0.5) count flakes
+    val contract = marked.agg(
+      max(when(col("is_dup") && !col("cand"), 1L).otherwise(0L)).as("fn"),
+      sum(when(col("cand") && col("is_dup").isNull, 1L).otherwise(0L))
+        .as("fp_cnt"),
+      sum(when(col("is_dup").isNull, 1L).otherwise(0L)).as("clean_cnt"))
+    marked.join(src, "orig_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_batch"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dups"))
+      .crossJoin(broadcast(contract))
+      .select(col("source"), col("n_batch"), col("n_dups"),
+        (col("n_batch") - col("n_dups")).as("n_new"),
+        (col("fn") === 0L).as("bloom_no_false_negatives"),
+        // fpp contract in exact integers for fpp = 1/100: observed
+        // false positives ≤ 3·fpp·clean-batch-size
+        (col("fp_cnt") * 100 <= col("clean_cnt") * 3)
+          .as("bloom_fp_within_3x"))
+      .orderBy("source")
+  }
+
+  /** q181 oracle: exact counts from the same planted corpus; the bloom
+    * contract booleans are stated literally TRUE (q42/q117 style). */
+  def bloomIngestDedupOracle: String =
+    s"""WITH c AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + $CopyOffset, text FROM documents
+       |    WHERE doc_id % 2 = 0),
+       |f AS (SELECT doc_id, doc_id % $CopyOffset AS orig_id, md5(text)
+       |    AS fp FROM c),
+       |hist AS (SELECT DISTINCT fp FROM f WHERE doc_id % 7 <> 0),
+       |batch AS (SELECT doc_id, orig_id, fp FROM f WHERE doc_id % 7 = 0),
+       |j AS (SELECT b.doc_id, b.orig_id,
+       |    (hist.fp IS NOT NULL) AS is_dup
+       |  FROM batch b LEFT JOIN hist ON b.fp = hist.fp)
+       |SELECT d.source, count(*) AS n_batch,
+       |  CAST(sum(CASE WHEN j.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dups,
+       |  CAST(count(*) - sum(CASE WHEN j.is_dup THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_new,
+       |  TRUE AS bloom_no_false_negatives,
+       |  TRUE AS bloom_fp_within_3x
+       |FROM j JOIN documents d ON d.doc_id = j.orig_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 }

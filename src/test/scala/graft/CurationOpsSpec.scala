@@ -320,4 +320,23 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(wfp > 1000000000L && wfp < n * 1000000000L)
     }
   }
+
+  test("q182 bottom-k sample equals the driver-computed global bottom-k") {
+    val got = CurationOps.bottomKSample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length == CurationOps.ReservoirK)
+    // priorities ascend and are collision-free
+    got.map(_._3).sliding(2).foreach {
+      case Array(a, b) => assert(a < b)
+      case _ => ()
+    }
+    val all = EtlOps.t(spark, dir, "documents")
+      .selectExpr("doc_id", "source",
+        "md5_fp60(concat('smp:', CAST(doc_id AS STRING))) AS p")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = all.sortBy(_._3).take(CurationOps.ReservoirK)
+    assert(got.toSeq == want.toSeq, "sample is not the global bottom-k")
+    // uniformity smoke: a 20%-of-corpus sample must touch many sources
+    assert(got.map(_._2).distinct.length > 10)
+  }
 }

@@ -435,6 +435,24 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "audit must not join at all")
   }
 
+  test("bloom ingest dedup: the probe gates the confirm join") {
+    val p = plan(DedupOps.bloomIngestDedup(spark, dir))
+    // the bloom probe must sit UNDER the exact-confirm semi join: only
+    // candidates pay the join (the q66 runtime-filter contract)
+    assert(p.contains("bloom_might_contain"),
+      s"bloom probe left the plan:\n${p.take(1800)}")
+    assert(p.contains("LeftSemi"),
+      s"exact confirm join missing:\n${p.take(1800)}")
+  }
+
+  test("bottom-k sample plans as TakeOrdered — no global sort exchange") {
+    val p = plan(CurationOps.bottomKSample(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-k lost its heap plan:\n${p.take(1800)}")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"bottom-k range-shuffles the corpus:\n${p.take(1800)}")
+  }
+
   test("stream dedup: windows and dedup share the event_id exchange") {
     val p = plan(StreamingOps.streamDedup(spark, dir))
     // event_id windows + (type, day) aggregate = exactly two hash

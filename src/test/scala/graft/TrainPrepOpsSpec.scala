@@ -404,6 +404,37 @@ class TrainPrepOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q181 bloom ingest dedup matches an exact reference split; contracts hold") {
+    val rows = graft.operators.DedupOps
+      .bloomIngestDedup(spark, TestSession.sfDir("0.001")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5))).toMap
+    assert(rows.nonEmpty)
+    val off = graft.operators.DedupOps.CopyOffset
+    val docs = spark.read
+      .parquet(s"${TestSession.sfDir("0.001")}/documents.parquet")
+      .selectExpr("doc_id", "source", "md5(text) AS fp").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // rebuild the planted corpus and split in the driver
+    val corpus = docs.map(d => (d._1, d._1, d._2, d._3)) ++
+      docs.filter(_._1 % 2 == 0).map(d => (d._1 + off, d._1, d._2, d._3))
+    val hist = corpus.filter(_._1 % 7 != 0).map(_._4).toSet
+    val batch = corpus.filter(_._1 % 7 == 0)
+    val want = batch.groupBy(_._3).map { case (src, bs) =>
+      val dups = bs.count(b => hist.contains(b._4))
+      src -> (bs.length.toLong, dups.toLong, (bs.length - dups).toLong)
+    }
+    assert(rows.keySet == want.keySet)
+    want.foreach { case (src, (n, d, nw)) =>
+      val g = rows(src)
+      assert((g._1, g._2, g._3) == ((n, d, nw)), s"source $src counts")
+      assert(g._4 && g._5, s"source $src bloom contract violated")
+    }
+    // the planted structure must exercise both classes
+    assert(rows.values.map(_._2).sum > 0, "no dups planted")
+    assert(rows.values.map(_._3).sum > 0, "no new docs planted")
+  }
+
   test("q171 sft assembly matches a per-thread reference truncation loop") {
     val got = TrainPrepOps.sftAssembly(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1)) ->
