@@ -200,6 +200,8 @@ object SparkEntry {
     "q180_norm_audit"        -> (TextOps.normAudit _),
     "q181_bloom_ingest"      -> (DedupOps.bloomIngestDedup _),
     "q182_bottomk_sample"    -> (CurationOps.bottomKSample _),
+    "q183_maxsim_retrieval"  -> (SimilarityOps.maxSimRetrieval _),
+    "q184_freshness_streaks" -> (TimeSeriesOps.freshnessStreaks _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -663,6 +665,8 @@ object SparkEntry {
     "q180_norm_audit" -> TextOps.normAuditOracle,
     "q181_bloom_ingest" -> DedupOps.bloomIngestDedupOracle,
     "q182_bottomk_sample" -> CurationOps.bottomKSampleOracle,
+    "q183_maxsim_retrieval" -> SimilarityOps.maxSimRetrievalOracle,
+    "q184_freshness_streaks" -> TimeSeriesOps.freshnessStreaksOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

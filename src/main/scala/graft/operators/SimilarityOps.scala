@@ -370,4 +370,80 @@ object SimilarityOps {
       .selectExpr("q_id", "cand_id", "CAST(rank AS BIGINT) AS rank", "round(cos, 6) AS cos_sim")
       .orderBy("q_id", "rank")
   }
+
+  // --- q183: MaxSim late-interaction retrieval ---------------------------
+
+  /** Query side: the vector sets of these labels. */
+  val MaxSimQueryLabels = Seq(0, 1)
+
+  /** q183 — ColBERT-style MaxSim late interaction (Khattab & Zaharia
+    * 2020): a query is a SET of vectors, a document is a SET of
+    * vectors, and the relevance score is Σ over query vectors of the
+    * MAX cosine against the document's vectors. Here each label's
+    * vector set plays one multi-vector document and two labels play
+    * queries — the retrieval granularity between single-vector ANN
+    * (q34/q35) and exact all-pairs (q33).
+    *
+    * Parity: each pairwise cosine is the fixed 64-term chain; MAX is
+    * an exact comparison; the per-query-vector maxima are frozen to
+    * floor(cos·10⁹) BIGINT before the order-free score sum.
+    *
+    * Scale (100 TB): the fixture runs the exact form (queries are a
+    * tiny broadcast set; the pair stream is |Q|·|corpus|, one scan
+    * shape). The production path swaps the exact pair stream for
+    * q35/q43's LSH/IVF candidates per query vector — the max/sum
+    * algebra downstream is UNCHANGED, which is the point of pinning
+    * it here against an exact oracle. */
+  def maxSimRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val v = EtlOps.t(s, dir, "embeddings")
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+      .selectExpr("vec_id", "label", "emb",
+        "sqrt(dot_product(emb, emb)) AS norm")
+    val q = v.filter(col("label").isin(MaxSimQueryLabels: _*))
+      .select(col("label").as("q_label"), col("vec_id").as("q_vec"),
+        col("emb").as("emb_q"), col("norm").as("norm_q"))
+    val pairs = broadcast(q).crossJoin(
+        v.select(col("label").as("d_label"), col("emb").as("emb_d"),
+          col("norm").as("norm_d")))
+      .selectExpr("q_label", "q_vec", "d_label",
+        "dot_product(emb_q, emb_d) / (norm_q * norm_d) AS cos")
+    val perVec = pairs.groupBy("q_label", "q_vec", "d_label")
+      .agg(max(col("cos")).as("best"))
+      .withColumn("best_fp", floor(col("best") * 1e9).cast("bigint"))
+    val w = Window.partitionBy("q_label")
+      .orderBy(col("score_fp").desc, col("d_label"))
+    perVec.groupBy("q_label", "d_label")
+      .agg(count(lit(1)).as("n_qvecs"), sum(col("best_fp")).as("score_fp"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .select(col("q_label"), col("rank"), col("d_label"), col("n_qvecs"),
+        col("score_fp"))
+      .orderBy("q_label", "rank")
+  }
+
+  def maxSimRetrievalOracle: String = {
+    val labels = MaxSimQueryLabels.mkString(", ")
+    s"""WITH v AS (SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, label, emb,
+       |    sqrt(${VecSql.dot("emb", "emb", spark = false)}) AS norm FROM v),
+       |q AS (SELECT label AS q_label, vec_id AS q_vec, emb AS emb_q,
+       |    norm AS norm_q FROM n WHERE label IN ($labels)),
+       |p AS (SELECT q.q_label, q.q_vec, d.label AS d_label,
+       |    (${VecSql.dot("q.emb_q", "d.emb", spark = false)}) /
+       |      (q.norm_q * d.norm) AS cos
+       |  FROM q CROSS JOIN n d),
+       |pv AS (SELECT q_label, q_vec, d_label,
+       |    CAST(floor(max(cos) * 1e9) AS BIGINT) AS best_fp
+       |  FROM p GROUP BY q_label, q_vec, d_label),
+       |sc AS (SELECT q_label, d_label, count(*) AS n_qvecs,
+       |    CAST(sum(best_fp) AS BIGINT) AS score_fp
+       |  FROM pv GROUP BY q_label, d_label),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY q_label
+       |    ORDER BY score_fp DESC, d_label) AS rnk FROM sc)
+       |SELECT q_label, CAST(rnk AS BIGINT) AS "rank", d_label, n_qvecs,
+       |  score_fp
+       |FROM r ORDER BY q_label, rnk""".stripMargin
+  }
 }

@@ -215,4 +215,99 @@ object TimeSeriesOps {
         sum(expr("(i_end - i_start) div 1000000")).as("covered_s"))
       .orderBy("user_id")
   }
+
+  // --- q184: freshness gap streaks ----------------------------------------
+
+  /** q184 — per-feed delivery-gap streaks: the reference's freshness
+    * monitor (`check_bucket_latest_folders.py:52-62`) answers "what is
+    * the LATEST date per feed"; this answers the operator's follow-up —
+    * how often does each feed go dark, for how long, and is it dark
+    * RIGHT NOW. Day-level presence per event_type over the corpus date
+    * range, missing-day islands via the gaps-and-islands rank trick
+    * (day − dense_rank is constant within a streak, the q98 idea on a
+    * calendar), worst/current gap per feed. A deterministic in-query
+    * outage mask (drop days where `(day-of-month + len(type)) % 11 < 2`)
+    * plants the gaps the synthetic stream doesn't have.
+    *
+    * Parity: all date/integer arithmetic.
+    *
+    * Scale (100 TB): presence collapses the stream to ≤ |feeds|×|days|
+    * rows in one map-combinable aggregate; everything after runs on
+    * the calendar-sized grid. */
+  def freshnessStreaks(s: SparkSession, dir: String): DataFrame = {
+    val e = EtlOps.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .filter((dayofmonth(col("day")) + length(col("event_type"))) % 11
+        >= 2) // planted 2-day outages per 11-day cycle
+    val present = e.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+    val range = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = present.select("event_type").distinct()
+      .crossJoin(broadcast(range))
+      .select(col("event_type"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val missing = grid.join(present, Seq("event_type", "day"), "left_anti")
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val streaks = missing
+      .withColumn("grp",
+        datediff(col("day"), lit("1970-01-01").cast("date")) -
+          row_number().over(w))
+      .groupBy("event_type", "grp")
+      .agg(count(lit(1)).as("len"), max(col("day")).as("gap_end"))
+    val total = grid.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), max(col("day")).as("last_day"))
+    val perFeed = streaks.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum(col("len")).as("n_missing"),
+        max(col("len")).as("longest_gap"))
+    val openGap = streaks
+      .join(total.select("event_type", "last_day"), "event_type")
+      .filter(col("gap_end") === col("last_day"))
+      .groupBy("event_type").agg(max(col("len")).as("current_gap"))
+    total
+      .join(perFeed, Seq("event_type"), "left")
+      .join(openGap, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_days"),
+        coalesce(col("n_gaps"), lit(0L)).as("n_gaps"),
+        coalesce(col("n_missing"), lit(0L)).as("n_missing"),
+        coalesce(col("longest_gap"), lit(0L)).as("longest_gap"),
+        coalesce(col("current_gap"), lit(0L)).as("current_gap"))
+      .orderBy("event_type")
+  }
+
+  def freshnessStreaksOracle: String =
+    s"""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events
+       |  WHERE (dayofmonth(CAST(ts AS DATE)) + len(event_type)) % 11
+       |    >= 2),
+       |present AS (SELECT event_type, day, count(*) AS n FROM e
+       |  GROUP BY event_type, day),
+       |rng AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+       |grid AS (SELECT t.event_type, CAST(g.day AS DATE) AS day
+       |  FROM (SELECT DISTINCT event_type FROM present) t, rng,
+       |    LATERAL (SELECT unnest(generate_series(rng.d0, rng.d1,
+       |      INTERVAL 1 DAY)) AS day) g),
+       |miss AS (SELECT g.event_type, g.day FROM grid g
+       |  LEFT JOIN present p ON p.event_type = g.event_type
+       |    AND p.day = g.day WHERE p.day IS NULL),
+       |st AS (SELECT event_type, grp, count(*) AS len,
+       |    max(day) AS gap_end
+       |  FROM (SELECT *, CAST(day - DATE '1970-01-01' AS BIGINT) -
+       |      row_number() OVER (PARTITION BY event_type ORDER BY day)
+       |      AS grp FROM miss) x
+       |  GROUP BY event_type, grp),
+       |tot AS (SELECT event_type, count(*) AS n_days, max(day)
+       |    AS last_day FROM grid GROUP BY event_type),
+       |agg AS (SELECT event_type, count(*) AS n_gaps,
+       |    CAST(sum(len) AS BIGINT) AS n_missing, max(len) AS longest_gap
+       |  FROM st GROUP BY event_type),
+       |cur AS (SELECT st.event_type, max(st.len) AS current_gap
+       |  FROM st JOIN tot ON tot.event_type = st.event_type
+       |    AND st.gap_end = tot.last_day GROUP BY st.event_type)
+       |SELECT t.event_type, t.n_days,
+       |  COALESCE(a.n_gaps, 0) AS n_gaps,
+       |  COALESCE(a.n_missing, 0) AS n_missing,
+       |  COALESCE(a.longest_gap, 0) AS longest_gap,
+       |  COALESCE(cur.current_gap, 0) AS current_gap
+       |FROM tot t LEFT JOIN agg a USING (event_type)
+       |  LEFT JOIN cur USING (event_type)
+       |ORDER BY t.event_type""".stripMargin
 }

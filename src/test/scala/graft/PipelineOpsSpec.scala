@@ -464,6 +464,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q183 maxsim matches a driver-side late-interaction reference") {
+    val got = SimilarityOps.maxSimRetrieval(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var j = 0
+      while (j < a.length) { acc += a(j) * b(j); j += 1 }
+      acc
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val byLabel = vecs.groupBy(_._2)
+    SimilarityOps.MaxSimQueryLabels.foreach { ql =>
+      val qvecs = byLabel(ql)
+      val want = byLabel.map { case (dl, dvecs) =>
+        dl -> qvecs.map { qv =>
+          math.floor(dvecs.map(dv => cos(qv._3, dv._3)).max * 1e9).toLong
+        }.sum
+      }
+      val rows = got.filter(_._1 == ql)
+      assert(rows.length == byLabel.size, s"query $ql missing doc labels")
+      rows.foreach { case (_, rank, dl, nq, score) =>
+        assert(nq == qvecs.length)
+        assert(score == want(dl), s"q$ql d$dl score")
+      }
+      // ranks follow score desc; the query's own label must rank first
+      // (its vectors match themselves at cos = 1)
+      assert(rows.find(_._2 == 1L).get._3 == ql,
+        s"query $ql does not retrieve itself first")
+    }
+  }
+
   test("q177: watermark dedup on the redelivered stream matches the batch winners") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-q177").toString
     val e = EtlOps.events(spark, dir)

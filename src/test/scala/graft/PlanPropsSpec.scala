@@ -453,6 +453,24 @@ class PlanPropsSpec extends AnyFunSuite {
       s"bottom-k range-shuffles the corpus:\n${p.take(1800)}")
   }
 
+  test("maxsim: query vector set broadcasts; no sort-merge join anywhere") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try plan(SimilarityOps.maxSimRetrieval(spark, dir))
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query set not broadcast:\n${p.take(1800)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"pair stream sort-merged:\n${p.take(1800)}")
+  }
+
+  test("freshness streaks: calendar spine is generated, bounds broadcast") {
+    val p = plan(TimeSeriesOps.freshnessStreaks(spark, dir))
+    assert(p.contains("Generate"),
+      s"calendar spine not generated:\n${p.take(1800)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"date bounds not broadcast:\n${p.take(1800)}")
+  }
+
   test("stream dedup: windows and dedup share the event_id exchange") {
     val p = plan(StreamingOps.streamDedup(spark, dir))
     // event_id windows + (type, day) aggregate = exactly two hash

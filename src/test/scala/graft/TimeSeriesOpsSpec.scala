@@ -436,6 +436,40 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       s"score mismatch for ($term, $docId): got ${r.getDouble(5)}, want $want")
   }
 
+  test("q184 freshness streaks match a driver-side calendar walk") {
+    val got = TimeSeriesOps.freshnessStreaks(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got.nonEmpty)
+    val days = EtlOps.events(spark, dir)
+      .selectExpr("event_type", "to_date(ts) AS day")
+      .filter("(dayofmonth(day) + length(event_type)) % 11 >= 2")
+      .selectExpr("event_type", "CAST(day AS STRING) AS day")
+      .collect().map(r => (r.getString(0), java.time.LocalDate.parse(r.getString(1))))
+    val d0 = days.map(_._2).min(Ordering[java.time.LocalDate])
+    val d1 = days.map(_._2).max(Ordering[java.time.LocalDate])
+    val nDays = java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1
+    days.groupBy(_._1).foreach { case (t, obs) =>
+      val present = obs.map(_._2).toSet
+      val cal = Iterator.iterate(d0)(_.plusDays(1)).take(nDays.toInt).toSeq
+      val gaps = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var run = 0
+      cal.foreach { d =>
+        if (!present(d)) run += 1
+        else if (run > 0) { gaps += run; run = 0 }
+      }
+      val currentGap = run // still open at the end of the range
+      if (run > 0) gaps += run
+      val (gn, gm, gl, gc) =
+        (gaps.length.toLong, gaps.sum.toLong,
+          if (gaps.isEmpty) 0L else gaps.max.toLong, currentGap.toLong)
+      assert(got(t) == ((nDays, gn, gm, gl, gc)), s"feed $t")
+    }
+    // the planted mask must produce real outages, including a live one
+    assert(got.values.map(_._4).max >= 2, "no multi-day gap planted")
+    assert(got.values.exists(_._5 > 0), "no feed dark at range end")
+  }
+
   test("q172 hard negatives: gold excluded, ranks dense, margins ascend with rank") {
     val rows = MlPrepOps.hardNegatives(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
