@@ -180,6 +180,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }.map {
       case (name, fn) =>
+        // progress marker: when a run stalls, the LAST marker names the
+        // query that is stuck (the JSON contract is unaffected — the
+        // driver greps the single [info] metric line)
+        System.err.println(s"[bench] start $name")
         if (doWarm) {
           try fn(spark, sfDir).count() catch { case _: Throwable => () }
           spark.catalog.clearCache()

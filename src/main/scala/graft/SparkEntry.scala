@@ -202,6 +202,11 @@ object SparkEntry {
     "q182_bottomk_sample"    -> (CurationOps.bottomKSample _),
     "q183_maxsim_retrieval"  -> (SimilarityOps.maxSimRetrieval _),
     "q184_freshness_streaks" -> (TimeSeriesOps.freshnessStreaks _),
+    "q185_prefix_savings"    -> (TrainPrepOps.prefixSavings _),
+    "q186_fk_orphans"        -> (ProfileOps.fkOrphans _),
+    "q187_contract_audit"    -> (ProfileOps.contractAudit _),
+    "q188_bt_ratings"        -> (TrainPrepOps.btRatings _),
+    "q189_mrl_audit"         -> (SimilarityOps.mrlAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -667,6 +672,11 @@ object SparkEntry {
     "q182_bottomk_sample" -> CurationOps.bottomKSampleOracle,
     "q183_maxsim_retrieval" -> SimilarityOps.maxSimRetrievalOracle,
     "q184_freshness_streaks" -> TimeSeriesOps.freshnessStreaksOracle,
+    "q185_prefix_savings" -> TrainPrepOps.prefixSavingsOracle,
+    "q186_fk_orphans" -> ProfileOps.fkOrphansOracle,
+    "q187_contract_audit" -> ProfileOps.contractAuditOracle,
+    "q188_bt_ratings" -> TrainPrepOps.btRatingsOracle,
+    "q189_mrl_audit" -> SimilarityOps.mrlAuditOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

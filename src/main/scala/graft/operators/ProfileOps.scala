@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Profiling / multi-level aggregation operators — the data-quality side
@@ -243,6 +243,221 @@ object ProfileOps {
        |  (est.est - e.exact_n) * $CmsWidth <= 3 * tot.n AS within_bound
        |FROM exact e JOIN est USING (k) CROSS JOIN tot
        |ORDER BY e.k""".stripMargin
+  }
+
+  // --- q186: referential-integrity (FK orphan) audit ---------------------
+
+  /** q186 — FK orphan audit over the star schema: for each child→parent
+    * edge, how many child rows reference a parent that is not there.
+    * The data-quality gate a warehouse runs before trusting any join —
+    * a silent orphan population turns inner joins into row loss and
+    * left joins into null fan-in. A deterministic in-query outage mask
+    * (drop parents with key ≡ 0 mod 50) plants orphans the TPC-H-ish
+    * fixture doesn't have, so the audit exercises real violations.
+    *
+    * Shape: each edge is one left anti join of the child's DISTINCT
+    * key set (collapsed map-side first — the anti join ships distinct
+    * keys, not child rows) against the parent key set, plus one exact
+    * child count. All integers.
+    *
+    * Scale (100 TB): the child side collapses to its distinct FK set
+    * before any join; parent key sets broadcast when small (dims) and
+    * shuffle on the key otherwise (orders) — never the fact rows. */
+  def fkOrphans(s: SparkSession, dir: String): DataFrame = {
+    def audit(label: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame = {
+      val keys = child.select(col(key).as("k"))
+      val par = parent.select(col(pkey).as("k"))
+        .filter(col("k") % 50 =!= 0) // planted missing parents
+      val perKey = keys.groupBy("k").agg(count(lit(1)).as("n"))
+      val orphans = perKey.join(par, Seq("k"), "left_anti")
+      val tot = perKey.agg(sum(col("n")).as("n_child"),
+        count(lit(1)).as("n_keys"))
+      val orph = orphans.agg(
+        coalesce(sum(col("n")), lit(0L)).as("n_orphan_rows"),
+        count(lit(1)).as("n_orphan_keys"))
+      tot.crossJoin(orph)
+        .select(lit(label).as("fk"), col("n_child"), col("n_keys"),
+          col("n_orphan_rows"), col("n_orphan_keys"),
+          round(col("n_orphan_rows").cast("double") /
+            col("n_child").cast("double"), 6).as("orphan_rate"))
+    }
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    audit("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+      .unionAll(audit("lineitem.l_partkey->part", li, "l_partkey",
+        t(s, dir, "part"), "p_partkey"))
+      .unionAll(audit("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        t(s, dir, "supplier"), "s_suppkey"))
+      .unionAll(audit("orders.o_custkey->customer", o, "o_custkey",
+        t(s, dir, "customer"), "c_custkey"))
+      .orderBy("fk")
+  }
+
+  def fkOrphansOracle: String = {
+    def one(label: String, child: String, key: String, parent: String,
+        pkey: String) =
+      s"""SELECT '$label' AS fk,
+         |  CAST(sum(n) AS BIGINT) AS n_child,
+         |  count(*) AS n_keys,
+         |  CAST(sum(CASE WHEN orphan THEN n ELSE 0 END) AS BIGINT)
+         |    AS n_orphan_rows,
+         |  CAST(sum(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_orphan_keys,
+         |  round(CAST(sum(CASE WHEN orphan THEN n ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(n) AS DOUBLE), 6) AS orphan_rate
+         |FROM (SELECT c.$key AS k, count(*) AS n,
+         |    max(p.$pkey) IS NULL AS orphan
+         |  FROM $child c LEFT JOIN
+         |    (SELECT $pkey FROM $parent WHERE $pkey % 50 <> 0) p
+         |    ON c.$key = p.$pkey
+         |  GROUP BY c.$key)""".stripMargin
+    Seq(
+      one("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      one("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      one("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      one("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
+  }
+
+  // --- q187: declarative data-contract audit -----------------------------
+
+  /** q187 — data-contract audit: a declared contract set (not-null,
+    * range, enum membership, key uniqueness, JSON-shape) evaluated
+    * against the star schema in one conditional-aggregate pass per
+    * table. The publish gate a data platform runs before a snapshot is
+    * released to consumers — contracts the fixture genuinely violates
+    * (l_quantity ≤ 45, l_discount ≤ 0.08, (l_orderkey, l_linenumber)
+    * uniqueness) surface as non-zero violation counts alongside the
+    * passing ones, so the audit is exercised on both outcomes.
+    *
+    * Shape: all contracts for a table compile into ONE aggregate row
+    * (sums of violation indicators + a count-distinct for the key
+    * contract), unpivoted by a `stack` generator — the table is
+    * scanned once no matter how many contracts it carries, and the
+    * aggregate collapses map-side. Generalizes the reference's
+    * single-purpose existence/freshness gates
+    * (check_bucket_latest_folders.py) to contracts-as-data.
+    *
+    * Parity: all integers except the final rate (one division).
+    *
+    * Scale (100 TB): per table one scan + one 1-row aggregate; the
+    * count-distinct key contract is the only exchange (distinct
+    * partials collapse map-side first). Adding a contract adds a
+    * column to the partial, not a pass. */
+  def contractAudit(s: SparkSession, dir: String): DataFrame = {
+    def audit(tbl: DataFrame, rowRules: Seq[(String, Column)],
+        unique: Seq[(String, Seq[String])]): DataFrame = {
+      val aggs =
+        rowRules.zipWithIndex.map { case ((_, bad), k) =>
+          sum(when(bad, 1L).otherwise(0L)).as(s"v_$k") } ++
+        unique.zipWithIndex.map { case ((_, ks), k) =>
+          (count(lit(1)) - countDistinct(ks.head, ks.tail: _*))
+            .as(s"v_${rowRules.size + k}") }
+      val one = tbl.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val pairs = (rowRules.map(_._1) ++ unique.map(_._1)).zipWithIndex
+        .map { case (id, k) => s"'$id', v_$k" }.mkString(", ")
+      val n = rowRules.size + unique.size
+      one.select(col("n_rows"),
+        expr(s"stack($n, $pairs) AS (contract, n_violations)"))
+    }
+    val li = audit(t(s, dir, "lineitem"), Seq(
+      "CT01|lineitem|l_quantity|range[1,45]" ->
+        !col("l_quantity").between(1d, 45d),
+      "CT02|lineitem|l_discount|range[0,0.08]" ->
+        !col("l_discount").between(0d, 0.08),
+      "CT03|lineitem|l_tax|range[0,0.08]" ->
+        !col("l_tax").between(0d, 0.08),
+      "CT04|lineitem|l_returnflag|enum{A,N,R}" ->
+        !col("l_returnflag").isin("A", "N", "R"),
+      "CT05|lineitem|l_orderkey|not_null" -> col("l_orderkey").isNull),
+      Seq("CT06|lineitem|l_orderkey,l_linenumber|unique" ->
+        Seq("l_orderkey", "l_linenumber")))
+    val o = audit(t(s, dir, "orders"), Seq(
+      "CT07|orders|o_totalprice|range(0,500000]" ->
+        !(col("o_totalprice") > 0d && col("o_totalprice") <= 500000d),
+      "CT08|orders|o_orderstatus|enum{P,O,F}" ->
+        !col("o_orderstatus").isin("P", "O", "F"),
+      "CT09|orders|o_orderdate|not_null" -> col("o_orderdate").isNull),
+      Seq("CT10|orders|o_orderkey|unique" -> Seq("o_orderkey")))
+    val ev = audit(EtlOps.events(s, dir), Seq(
+      "CT11|events|value|range[0,500]" -> !col("value").between(0d, 500d),
+      "CT12|events|props|json_has_k" ->
+        get_json_object(col("props"), "$.k").isNull),
+      Seq("CT13|events|event_id|unique" -> Seq("event_id")))
+    li.unionAll(o).unionAll(ev)
+      .select(split(col("contract"), "\\|").getItem(0).as("contract_id"),
+        split(col("contract"), "\\|").getItem(1).as("tbl"),
+        split(col("contract"), "\\|").getItem(2).as("col_name"),
+        split(col("contract"), "\\|").getItem(3).as("rule"),
+        col("n_rows"), col("n_violations"),
+        round(col("n_violations").cast("double") /
+          col("n_rows").cast("double"), 6).as("violation_rate"),
+        (col("n_violations") === 0L).as("ok"))
+      .orderBy("contract_id")
+  }
+
+  def contractAuditOracle: String = {
+    def block(tbl: String, nRows: String,
+        rules: Seq[(String, String)]): String = {
+      val cols = rules.map { case (id, v) =>
+        s"$v AS \"v_$id\"" }.mkString(",\n    ")
+      val sel = rules.map { case (id, _) =>
+        s"""SELECT '$id' AS contract, n_rows, "v_$id" AS n_violations
+           |FROM agg_$tbl""".stripMargin }
+      s"""agg_$tbl AS (SELECT count(*) AS n_rows,
+         |    $cols
+         |  FROM $nRows),
+         |un_$tbl AS (${sel.mkString("\nUNION ALL\n")})""".stripMargin
+    }
+    val li = block("lineitem", "lineitem", Seq(
+      "CT01|lineitem|l_quantity|range[1,45]" ->
+        "CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 45) THEN 1 ELSE 0 END) AS BIGINT)",
+      "CT02|lineitem|l_discount|range[0,0.08]" ->
+        "CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0 AND 0.08) THEN 1 ELSE 0 END) AS BIGINT)",
+      "CT03|lineitem|l_tax|range[0,0.08]" ->
+        "CAST(sum(CASE WHEN NOT (l_tax BETWEEN 0 AND 0.08) THEN 1 ELSE 0 END) AS BIGINT)",
+      "CT04|lineitem|l_returnflag|enum{A,N,R}" ->
+        "CAST(sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT)",
+      "CT05|lineitem|l_orderkey|not_null" ->
+        "CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)",
+      "CT06|lineitem|l_orderkey,l_linenumber|unique" ->
+        "count(*) - count(DISTINCT (l_orderkey, l_linenumber))"))
+    val o = block("orders", "orders", Seq(
+      "CT07|orders|o_totalprice|range(0,500000]" ->
+        "CAST(sum(CASE WHEN NOT (o_totalprice > 0 AND o_totalprice <= 500000) THEN 1 ELSE 0 END) AS BIGINT)",
+      "CT08|orders|o_orderstatus|enum{P,O,F}" ->
+        "CAST(sum(CASE WHEN o_orderstatus NOT IN ('P','O','F') THEN 1 ELSE 0 END) AS BIGINT)",
+      "CT09|orders|o_orderdate|not_null" ->
+        "CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)",
+      "CT10|orders|o_orderkey|unique" ->
+        "count(*) - count(DISTINCT o_orderkey)"))
+    val ev = block("events", "events", Seq(
+      "CT11|events|value|range[0,500]" ->
+        "CAST(sum(CASE WHEN NOT (value BETWEEN 0 AND 500) THEN 1 ELSE 0 END) AS BIGINT)",
+      "CT12|events|props|json_has_k" ->
+        "CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT)",
+      "CT13|events|event_id|unique" ->
+        "count(*) - count(DISTINCT event_id)"))
+    s"""WITH $li,
+       |$o,
+       |$ev,
+       |allc AS (SELECT * FROM un_lineitem
+       |  UNION ALL SELECT * FROM un_orders
+       |  UNION ALL SELECT * FROM un_events)
+       |SELECT string_split(contract, '|')[1] AS contract_id,
+       |  string_split(contract, '|')[2] AS tbl,
+       |  string_split(contract, '|')[3] AS col_name,
+       |  string_split(contract, '|')[4] AS rule,
+       |  n_rows, n_violations,
+       |  round(CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+       |    AS violation_rate,
+       |  n_violations = 0 AS ok
+       |FROM allc ORDER BY contract_id""".stripMargin
   }
 
   // --- q87: equi-width histogram ----------------------------------------

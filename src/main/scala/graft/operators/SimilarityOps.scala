@@ -446,4 +446,135 @@ object SimilarityOps {
        |  score_fp
        |FROM r ORDER BY q_label, rnk""".stripMargin
   }
+
+  // --- q189: matryoshka (MRL) truncation audit ---------------------------
+
+  /** Prefix widths audited (full width last — its row is the identity
+    * check: overlap 1.0, gap 0). */
+  val MrlDims = Seq(8, 16, 32, 64)
+  val MrlQueries = 20L
+  val MrlK = 10
+
+  /** q189 — matryoshka truncation audit (Kusupati et al. 2022, MRL):
+    * for each prefix width d, rank the corpus by cosine over only the
+    * first d embedding dims and measure (a) top-k neighbor overlap
+    * against the full-width ranking and (b) mean cosine distortion on
+    * the full-width top-k pairs. THE go/no-go measurement for serving
+    * truncated embeddings: it prices each cheaper width in recall lost.
+    *
+    * Parity: prefix dots ride the native [[graft.functions.DotProduct]]
+    * ascending loop via `dot_product(slice(emb, 1, d), emb)` — the
+    * identical IEEE chain the oracle generates term-by-term; ranks
+    * compare exact doubles with vec_id tie-break; overlap counts are
+    * integers; the gap freezes each |Δcos| to ×1e9 fixed point before
+    * the order-free integer sum.
+    *
+    * Scale (100 TB): queries broadcast (the q34 shape); the corpus is
+    * scanned ONCE — all four widths' cosines come out of one codegen'd
+    * projection and fan out through a stack generator, so auditing more
+    * widths adds columns, not scans; the only exchange is the
+    * (dims, query)-keyed top-k window. Swap the exact pair stream for
+    * q35/q43 candidates at production scale — the audit algebra is
+    * unchanged. */
+  def mrlAudit(s: SparkSession, dir: String): DataFrame = {
+    val v = baseVectors(s, dir)
+    def withNorms(df: DataFrame, pfx: String): DataFrame =
+      df.select(col("vec_id") +: col("emb") +: MrlDims.map(d =>
+        expr(s"sqrt(dot_product(slice(emb, 1, $d), emb))")
+          .as(s"${pfx}n$d")): _*)
+    val c = withNorms(v, "c")
+      .select(col("vec_id").as("cid") +: col("emb").as("emb_c") +:
+        MrlDims.map(d => col(s"cn$d")): _*)
+    val q = withNorms(v.filter(col("vec_id") < MrlQueries), "q")
+      .select(col("vec_id").as("qid") +: col("emb").as("emb_q") +:
+        MrlDims.map(d => col(s"qn$d")): _*)
+    val pairs = broadcast(q).crossJoin(c)
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid") +: col("cid") +: MrlDims.map(d =>
+        expr(s"dot_product(slice(emb_q, 1, $d), emb_c) / (qn$d * cn$d)")
+          .as(s"cos$d")): _*)
+    val stacked = pairs.select(col("qid"), col("cid"),
+      expr(s"stack(${MrlDims.size}, " +
+        MrlDims.map(d => s"$d, cos$d").mkString(", ") +
+        ") AS (dims, cos)"))
+    val w = Window.partitionBy(col("dims"), col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    val ranked = stacked.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MrlK).persist()
+    val full = ranked.filter(col("dims") === MrlDims.last)
+      .select(col("qid"), col("cid"), col("cos").as("cos_full"))
+    // n_queries comes from the RANKED frame: a query whose truncated
+    // top-k shares nothing with full-width must still count in the
+    // denominator (left join + coalesce picks up the zero-overlap case)
+    val base = ranked.groupBy("dims")
+      .agg(countDistinct(col("qid")).as("n_queries"))
+    val ov = base.join(
+      ranked.join(full.select("qid", "cid"), Seq("qid", "cid"))
+        .groupBy("dims").agg(count(lit(1)).as("n_ov")),
+      Seq("dims"), "left")
+      .select(col("dims"), col("n_queries"),
+        coalesce(col("n_ov"), lit(0L)).as("n_overlap"))
+    val dist = full.join(stacked, Seq("qid", "cid"))
+      .groupBy("dims")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(floor(abs(col("cos") - col("cos_full")) * lit(1e9))
+          .cast("long")).as("gap_fp"))
+    ov.join(dist, "dims")
+      .select(col("dims").cast("bigint").as("dims"), col("n_queries"),
+        lit(MrlK.toLong).as("k"), col("n_overlap"),
+        round(col("n_overlap").cast("double") /
+          (col("n_queries") * MrlK).cast("double"), 6).as("overlap_at_k"),
+        round((col("gap_fp").cast("double") / lit(1e9)) /
+          col("n_pairs").cast("double"), 6).as("mean_abs_cos_gap"))
+      .orderBy("dims")
+  }
+
+  def mrlAuditOracle: String = {
+    def norms(al: String) = MrlDims.map(d =>
+      s"sqrt(${VecSql.dot("emb", "emb", spark = false, dims = d)}) AS n$d")
+      .mkString(",\n    ")
+    val cosCols = MrlDims.map(d =>
+      s"(${VecSql.dot("q.emb", "c.emb", spark = false, dims = d)})" +
+        s" / (q.n$d * c.n$d) AS cos$d").mkString(",\n    ")
+    val stackSel = MrlDims.map(d =>
+      s"SELECT qid, cid, $d AS dims, cos$d AS cos FROM pairs")
+      .mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS MATERIALIZED (SELECT vec_id, emb,
+       |    ${norms("n")}
+       |  FROM v),
+       |pairs AS MATERIALIZED (SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    $cosCols
+       |  FROM (SELECT * FROM n WHERE vec_id < $MrlQueries) q
+       |    JOIN n c ON q.vec_id <> c.vec_id),
+       |stacked AS MATERIALIZED ($stackSel),
+       |ranked AS MATERIALIZED (SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY dims, qid
+       |      ORDER BY cos DESC, cid) AS rn FROM stacked)
+       |  WHERE rn <= $MrlK),
+       |full_k AS MATERIALIZED (SELECT qid, cid, cos AS cos_full
+       |  FROM ranked WHERE dims = ${MrlDims.last}),
+       |base AS (SELECT dims, count(DISTINCT qid) AS n_queries
+       |  FROM ranked GROUP BY dims),
+       |ov AS (SELECT b.dims, b.n_queries,
+       |    CAST(coalesce(o.n_ov, 0) AS BIGINT) AS n_overlap
+       |  FROM base b LEFT JOIN
+       |    (SELECT r.dims, count(*) AS n_ov
+       |     FROM ranked r JOIN full_k f USING (qid, cid)
+       |     GROUP BY r.dims) o ON b.dims = o.dims),
+       |dist AS (SELECT s.dims, count(*) AS n_pairs,
+       |    CAST(sum(CAST(floor(abs(s.cos - f.cos_full) * 1000000000.0)
+       |      AS BIGINT)) AS BIGINT) AS gap_fp
+       |  FROM full_k f JOIN stacked s USING (qid, cid) GROUP BY s.dims)
+       |SELECT CAST(ov.dims AS BIGINT) AS dims, ov.n_queries,
+       |  CAST($MrlK AS BIGINT) AS k, ov.n_overlap,
+       |  round(CAST(ov.n_overlap AS DOUBLE)
+       |    / CAST(ov.n_queries * $MrlK AS DOUBLE), 6) AS overlap_at_k,
+       |  round(CAST(d.gap_fp AS DOUBLE) / 1000000000.0
+       |    / CAST(d.n_pairs AS DOUBLE), 6) AS mean_abs_cos_gap
+       |FROM ov JOIN dist d ON ov.dims = d.dims
+       |ORDER BY dims""".stripMargin
+  }
 }

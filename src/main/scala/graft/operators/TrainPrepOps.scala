@@ -830,6 +830,83 @@ object TrainPrepOps {
        |FROM g WHERE chosen_value > rejected_value
        |ORDER BY user_id, event_type""".stripMargin
 
+  // --- q185: shared-prefix cache savings ---------------------------------
+
+  /** Prefix width (tokens) for the sharing audit; the planted header is
+    * prepended to every 3rd document (the q162 boilerplate pattern —
+    * system prompts, templates and nav headers are exactly this). */
+  val PrefixToks = 8
+  val PrefixHeader: String =
+    "system instructions respond helpfully and cite sources when asked"
+
+  /** q185 — shared-prefix savings audit: group documents by their
+    * first-[[PrefixToks]]-token fingerprint and price what a
+    * prefix-reusing consumer (KV-cache inference, packed training with
+    * prefix dedup) saves: every group of n sharers re-uses one prefix
+    * computation, saving (n−1)·[[PrefixToks]] tokens. The measurement
+    * that decides whether prefix caching is worth deploying on a
+    * corpus — template-heavy sources show double-digit savings,
+    * organic text shows ~0.
+    *
+    * Parity: all integers except the final savings fraction (one
+    * division).
+    *
+    * Scale (100 TB): one 16-byte-fingerprint groupBy (exact-dedup cost
+    * class) + a per-source rollup. */
+  def prefixSavings(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(PrefixHeader + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val pre = docs.select(col("doc_id"), col("source"),
+      wsTokenCount(col("text")).as("n_toks"),
+      md5(concat_ws(" ",
+        slice(split(col("text"), " "), 1, PrefixToks))).as("prefix_fp"))
+    val groups = pre.groupBy("source", "prefix_fp")
+      .agg(count(lit(1)).as("n"))
+    groups.groupBy("source")
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_prefix_groups"),
+        sum(when(col("n") > 1, col("n")).otherwise(0L))
+          .as("n_shared_docs"),
+        (sum(when(col("n") > 1, col("n") - 1).otherwise(0L)) *
+          PrefixToks).as("saved_toks"))
+      .join(pre.groupBy("source").agg(sum(col("n_toks")).as("total_toks")),
+        "source")
+      .select(col("source"), col("n_docs"), col("n_prefix_groups"),
+        col("n_shared_docs"), col("saved_toks"), col("total_toks"),
+        round(col("saved_toks").cast("double") /
+          col("total_toks").cast("double"), 6).as("saved_frac"))
+      .orderBy("source")
+  }
+
+  def prefixSavingsOracle: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CASE WHEN doc_id % 3 = 0 THEN '$PrefixHeader ' || text
+       |      ELSE text END AS text
+       |  FROM documents),
+       |p AS (SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |    md5(array_to_string(list_slice(string_split(text, ' '), 1,
+       |      $PrefixToks), ' ')) AS prefix_fp
+       |  FROM d),
+       |g AS (SELECT source, prefix_fp, count(*) AS n FROM p
+       |  GROUP BY source, prefix_fp),
+       |r AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+       |    count(*) AS n_prefix_groups,
+       |    CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+       |      AS n_shared_docs,
+       |    CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) * $PrefixToks
+       |      AS BIGINT) AS saved_toks
+       |  FROM g GROUP BY source),
+       |t AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS total_toks
+       |  FROM p GROUP BY source)
+       |SELECT r.source, r.n_docs, r.n_prefix_groups, r.n_shared_docs,
+       |  r.saved_toks, t.total_toks,
+       |  round(CAST(r.saved_toks AS DOUBLE) / CAST(t.total_toks AS DOUBLE),
+       |    6) AS saved_frac
+       |FROM r JOIN t USING (source) ORDER BY r.source""".stripMargin
+
   // --- q173: padding-waste length bucketing -----------------------------
 
   /** Length buckets per language for inference/training batching. */
@@ -905,4 +982,168 @@ object TrainPrepOps {
        |  base.single_bucket_waste
        |FROM perb p JOIN base USING (lang)
        |ORDER BY p.lang, p.bucket""".stripMargin
+
+  // --- q188: Bradley-Terry ratings from implicit preferences -------------
+
+  /** MM iterations for the Bradley-Terry fit (Hunter 2004, "MM
+    * algorithms for generalized Bradley-Terry models"). */
+  val BtIters = 5
+
+  /** q188 — Bradley-Terry skill ratings from implicit pairwise
+    * preferences: each user's per-type mean engagement induces, for
+    * every pair of event types the user touched, a win for the type
+    * with the higher mean; [[BtIters]] MM iterations fit the BT model
+    * r_i ← W_i / Σ_{j≠i} n_ij / (r_i + r_j) over the aggregated win
+    * matrix. The arena-style rating step between preference logs and a
+    * reward model / model-ranking leaderboard (same estimator behind
+    * chatbot-arena ELO tables).
+    *
+    * Parity: means are never materialized — i beats j iff
+    * sv_i·c_j > sv_j·c_i in exact DECIMAL(38,0) cross-multiplication
+    * (values frozen to ×100 integers). Each MM iteration freezes its
+    * terms to ×1e12 fixed point (exact integer sums), its raw ratings
+    * to ×1e9, and re-normalizes to Σr = |players| on the frozen grid,
+    * so both engines walk the identical rational sequence.
+    *
+    * Scale (100 TB): the only corpus-sized work is the (user, type)
+    * aggregate and the user-keyed self-join (|types|²-bounded per
+    * user); everything after the win-matrix groupBy is |types|²-sized,
+    * and each MM iteration is a broadcast join over that tiny frame —
+    * the k-means/pagerank shape: big data collapses once, iteration
+    * happens on metadata. */
+  /** The distributed half of q188: (winner, loser) → comparison count.
+    * One (user, type) aggregate, one user-keyed self-join (|types|²
+    * rows per user), one |players|²-bounded groupBy — this is ALL the
+    * corpus-sized work, exposed so the plan spec can pin its shape. */
+  private[graft] def btWinMatrix(s: SparkSession, dir: String): DataFrame = {
+    val ut = EtlOps.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("sv"),
+        count(lit(1)).as("c"))
+    val a = ut.select(col("user_id"), col("event_type").as("ti"),
+      col("sv").as("si"), col("c").as("ci"))
+    val b = ut.select(col("user_id"), col("event_type").as("tj"),
+      col("sv").as("sj"), col("c").as("cj"))
+    val x = col("si").cast("decimal(38,0)") * col("cj").cast("decimal(38,0)")
+    val y = col("sj").cast("decimal(38,0)") * col("ci").cast("decimal(38,0)")
+    a.join(b, Seq("user_id")).filter(col("ti") < col("tj"))
+      .withColumn("x", x).withColumn("y", y)
+      .filter(col("x") =!= col("y"))
+      .select(when(col("x") > col("y"), col("ti")).otherwise(col("tj"))
+          .as("w"),
+        when(col("x") > col("y"), col("tj")).otherwise(col("ti")).as("l"))
+      .groupBy("w", "l").agg(count(lit(1)).as("n"))
+  }
+
+  def btRatings(s: SparkSession, dir: String): DataFrame = {
+    // The corpus collapses in btWinMatrix: wl is the |players|²-bounded
+    // win matrix (players = event types; models/policies in a real
+    // arena — hundreds, not data-sized). Collecting it is the same
+    // driver boundary as q79's centroid frame or the #partitions
+    // scalars: the MM fit is O(iters·|players|²) metadata arithmetic,
+    // and running it as 5 rounds of distributed 5-row joins measured
+    // 32 s of pure scheduling overhead (and an un-cut logical plan
+    // doubles per iteration — r appears on both join sides — which
+    // took plan stringification past the driver heap before that).
+    val wl = btWinMatrix(s, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nij = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    wl.foreach { case (w, l, n) =>
+      nij((w, l)) += n; nij((l, w)) += n }
+    val players = wl.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    val winsOf = wl.groupBy(_._1).map { case (p, xs) =>
+      p -> xs.map(_._3).sum }.withDefaultValue(0L)
+    // MM iterations on the frozen grid — the identical IEEE/fixed-point
+    // sequence the DuckDB oracle unrolls (terms ×1e12 exact-summed,
+    // raw ratings ×1e9, renormalized to Σr = |players|)
+    var rat = players.map(_ -> 1.0).toMap
+    for (_ <- 1 to BtIters) {
+      val fr = players.map { i =>
+        val d = players.filter(j => j != i && nij((i, j)) > 0)
+          .map(j => BigDecimal(math.floor(
+            nij((i, j)).toDouble * 1e12 / (rat(i) + rat(j)))))
+          .sum
+        i -> math.floor(
+          winsOf(i).toDouble * 1e12 / d.toDouble * 1e9).toLong
+      }.toMap
+      val ssum = fr.values.sum
+      val np = players.size
+      rat = players.map { i =>
+        i -> math.floor(
+          fr(i).toDouble * np.toDouble * 1e9 / ssum.toDouble) / 1e9
+      }.toMap
+    }
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = players.map { i =>
+      val games = players.filter(_ != i).map(j => nij((i, j))).sum
+      (i, games, winsOf(i), round6(winsOf(i).toDouble / games.toDouble),
+        round6(rat(i)))
+    }
+    s.createDataFrame(out).toDF(
+      "event_type", "games", "wins", "win_rate", "rating")
+      .orderBy(col("rating").desc, col("event_type"))
+  }
+
+  def btRatingsOracle: String = {
+    val iters = (1 to BtIters).map { k =>
+      val prev = s"r${k - 1}"
+      s"""term$k AS MATERIALIZED (SELECT p.i,
+         |    CAST(floor(CAST(p.nij AS DOUBLE) * 1000000000000.0
+         |      / (ri.r + rj.r)) AS DECIMAL(38,0)) AS tm
+         |  FROM pairs p JOIN $prev ri ON p.i = ri.i
+         |    JOIN $prev rj ON p.j = rj.i),
+         |denom$k AS MATERIALIZED (SELECT i, sum(tm) AS d
+         |  FROM term$k GROUP BY i),
+         |raw$k AS MATERIALIZED (SELECT w.i,
+         |    CAST(floor(CAST(w.wi AS DOUBLE) * 1000000000000.0
+         |      / CAST(d.d AS DOUBLE) * 1000000000.0) AS BIGINT) AS fr
+         |  FROM wins w JOIN denom$k d USING (i)),
+         |norm$k AS MATERIALIZED (SELECT CAST(sum(fr) AS BIGINT) AS ssum,
+         |    count(*) AS np FROM raw$k),
+         |r$k AS MATERIALIZED (SELECT i,
+         |    CAST(floor(CAST(fr AS DOUBLE) * CAST(np AS DOUBLE)
+         |      * 1000000000.0 / CAST(ssum AS DOUBLE)) AS DOUBLE)
+         |      / 1000000000.0 AS r
+         |  FROM raw$k CROSS JOIN norm$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ut AS (SELECT user_id, event_type,
+       |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv,
+       |    count(*) AS c
+       |  FROM events GROUP BY user_id, event_type),
+       |comps AS (SELECT
+       |    CASE WHEN CAST(a.sv AS DECIMAL(38,0)) * CAST(b.c AS DECIMAL(38,0))
+       |        > CAST(b.sv AS DECIMAL(38,0)) * CAST(a.c AS DECIMAL(38,0))
+       |      THEN a.event_type ELSE b.event_type END AS w,
+       |    CASE WHEN CAST(a.sv AS DECIMAL(38,0)) * CAST(b.c AS DECIMAL(38,0))
+       |        > CAST(b.sv AS DECIMAL(38,0)) * CAST(a.c AS DECIMAL(38,0))
+       |      THEN b.event_type ELSE a.event_type END AS l
+       |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+       |    AND a.event_type < b.event_type
+       |  WHERE CAST(a.sv AS DECIMAL(38,0)) * CAST(b.c AS DECIMAL(38,0))
+       |    <> CAST(b.sv AS DECIMAL(38,0)) * CAST(a.c AS DECIMAL(38,0))),
+       |wl AS MATERIALIZED (SELECT w, l, count(*) AS n
+       |  FROM comps GROUP BY w, l),
+       |pairs AS MATERIALIZED (SELECT i, j, CAST(sum(n) AS BIGINT) AS nij
+       |  FROM (
+       |    SELECT w AS i, l AS j, n FROM wl
+       |    UNION ALL SELECT l AS i, w AS j, n FROM wl)
+       |  GROUP BY i, j),
+       |players AS (SELECT DISTINCT i FROM pairs),
+       |wins AS MATERIALIZED (SELECT pl.i,
+       |    CAST(coalesce(s.wi, 0) AS BIGINT) AS wi
+       |  FROM players pl LEFT JOIN
+       |    (SELECT w AS i, sum(n) AS wi FROM wl GROUP BY w) s USING (i)),
+       |r0 AS (SELECT i, 1.0::DOUBLE AS r FROM players),
+       |$iters,
+       |games AS (SELECT i, CAST(sum(nij) AS BIGINT) AS games
+       |  FROM pairs GROUP BY i)
+       |SELECT r.i AS event_type, g.games, w.wi AS wins,
+       |  round(CAST(w.wi AS DOUBLE) / CAST(g.games AS DOUBLE), 6)
+       |    AS win_rate,
+       |  round(r.r, 6) AS rating
+       |FROM r$BtIters r JOIN wins w USING (i) JOIN games g USING (i)
+       |ORDER BY rating DESC, event_type""".stripMargin
+  }
 }

@@ -639,4 +639,32 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       s"hand-computed replicate mean $want implausible vs CI " +
         s"(${r0.getDouble(4)}, ${r0.getDouble(5)})")
   }
+
+  test("q187 contract audit: counts reconcile, both outcomes exercised") {
+    import graft.operators.{EtlOps, ProfileOps}
+    val got = ProfileOps.contractAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(4),
+        r.getLong(5), r.getDouble(6), r.getBoolean(7))).toMap
+    assert(got.keySet == (1 to 13).map(i => f"CT$i%02d").toSet)
+    val li = EtlOps.t(spark, dir, "lineitem")
+    val ev = EtlOps.events(spark, dir)
+    // recompute representative contracts independently
+    assert(got("CT01")._3 ==
+      li.filter(!col("l_quantity").between(1, 45)).count())
+    assert(got("CT02")._3 ==
+      li.filter(col("l_discount") > 0.08).count())
+    assert(got("CT06")._3 ==
+      li.count() - li.select("l_orderkey", "l_linenumber")
+        .distinct().count())
+    assert(got("CT13")._3 ==
+      ev.count() - ev.select("event_id").distinct().count())
+    // fixture genuinely violates the tight contracts and passes the rest
+    assert(got("CT01")._3 > 0 && got("CT02")._3 > 0,
+      "planted-tight range contracts found no violations")
+    assert(got("CT04")._3 == 0 && got("CT08")._3 == 0 && got("CT12")._3 == 0)
+    got.values.foreach { case (_, n, v, rate, ok) =>
+      assert(ok == (v == 0L))
+      assert(math.abs(rate - v.toDouble / n) <= 5e-7)
+    }
+  }
 }

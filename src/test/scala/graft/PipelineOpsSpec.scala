@@ -464,6 +464,47 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q189 mrl audit matches a driver-side prefix-cosine reference") {
+    val got = SimilarityOps.mrlAudit(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet == SimilarityOps.MrlDims.map(_.toLong).toSet)
+    // full-width row is the identity: every neighbor overlaps, zero gap
+    val (fq, fk, fov, fovr, fgap) = got(SimilarityOps.MrlDims.last.toLong)
+    assert(fov == fq * fk && fovr == 1.0 && fgap == 0.0)
+    // driver-side reference with the same ascending IEEE loop
+    val vs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { s += a(i) * b(i); i += 1 }; s
+    }
+    def topk(qid: Long, d: Int): Seq[(Long, Double)] = {
+      val qv = vs(qid); val qn = math.sqrt(dot(qv, qv, d))
+      vs.toSeq.filter(_._1 != qid).map { case (cid, cv) =>
+        (cid, dot(qv, cv, d) / (qn * math.sqrt(dot(cv, cv, d)))) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(SimilarityOps.MrlK)
+    }
+    val qids = vs.keys.filter(_ < SimilarityOps.MrlQueries).toSeq
+    SimilarityOps.MrlDims.foreach { d =>
+      val fullSets = qids.map(q => q -> topk(q, SimilarityOps.MrlDims.last)
+        .map(_._1).toSet).toMap
+      val tk = qids.map(q => q -> topk(q, d))
+      val ov = tk.map { case (q, xs) =>
+        xs.count(x => fullSets(q).contains(x._1)) }.sum
+      val (nq, k, gov, govr, _) = got(d.toLong)
+      assert(nq == qids.size && k == SimilarityOps.MrlK)
+      assert(gov == ov, s"overlap mismatch at d=$d: got $gov want $ov")
+      assert(math.abs(govr - ov.toDouble / (qids.size * SimilarityOps.MrlK))
+        <= 5e-7)
+    }
+    // truncation must actually cost something at the narrowest width
+    assert(got(SimilarityOps.MrlDims.head.toLong)._4 < 1.0,
+      "d=8 ranking identical to full — audit exercises nothing")
+  }
+
   test("q183 maxsim matches a driver-side late-interaction reference") {
     val got = SimilarityOps.maxSimRetrieval(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),

@@ -453,6 +453,54 @@ class PlanPropsSpec extends AnyFunSuite {
       s"bottom-k range-shuffles the corpus:\n${p.take(1800)}")
   }
 
+  test("prefix savings: one fingerprint aggregate chain, no extra corpus shuffles") {
+    val p = plan(TrainPrepOps.prefixSavings(spark, dir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3,
+      s"prefix savings gained an exchange:\n${p.take(1800)}")
+    assert(!p.contains("Exchange SinglePartition"))
+  }
+
+  test("contract audit: one scan per audited table, however many contracts") {
+    val p = plan(ProfileOps.contractAudit(spark, dir))
+    assert("Scan parquet".r.findAllIn(p).length == 3,
+      s"contracts re-scan a table:\n${p.take(1800)}")
+  }
+
+  test("mrl audit: query side broadcasts; all widths ride one pair stream") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try plan(SimilarityOps.mrlAudit(spark, dir))
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"query side not broadcast:\n${p.take(1800)}")
+    // one generator fans the pair stream into the 4 widths, and the
+    // ranked frame is CACHED — every downstream consumer (base/ov/dist)
+    // must read the InMemoryRelation, not re-derive the pair stream
+    assert(p.contains("InMemoryTableScan"),
+      s"ranked pair stream not cached/reused:\n${p.take(1800)}")
+  }
+
+  test("bt win matrix: per-user pair join is keyed (no cartesian), corpus collapses first") {
+    val p = plan(TrainPrepOps.btWinMatrix(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise comparison went cartesian:\n${p.take(1800)}")
+    // the self-join consumes the (user, type) AGGREGATE, not raw events:
+    // aggregate partials appear on both join inputs
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"events reach the join unaggregated:\n${p.take(1800)}")
+  }
+
+  test("fk orphans: every edge anti-joins DISTINCT child keys against its parent") {
+    val p = plan(ProfileOps.fkOrphans(spark, dir))
+    assert("LeftAnti".r.findAllIn(p).length == 4,
+      s"an edge lost its anti join:\n${p.take(1800)}")
+    // child keys must collapse before the join: a HashAggregate feeds
+    // each anti join, so the join ships distinct keys, not fact rows
+    assert("HashAggregate".r.findAllIn(p).length >= 8,
+      s"child keys not pre-collapsed:\n${p.take(1800)}")
+  }
+
   test("maxsim: query vector set broadcasts; no sort-merge join anywhere") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val p = try plan(SimilarityOps.maxSimRetrieval(spark, dir))

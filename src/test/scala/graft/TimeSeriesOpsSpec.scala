@@ -436,6 +436,31 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       s"score mismatch for ($term, $docId): got ${r.getDouble(5)}, want $want")
   }
 
+  test("q186 fk orphans: exactly the masked parents' children, all edges audited") {
+    val rows = graft.operators.ProfileOps.fkOrphans(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    assert(rows.size == 4, "all four star-schema edges must be audited")
+    def check(edge: String, child: String, key: String): Unit = {
+      val c = spark.read.parquet(s"$dir/$child.parquet")
+      val (n, k, orows, okeys, rate) = rows(edge)
+      assert(n == c.count())
+      assert(k == c.select(key).distinct().count())
+      // parents with key ≡ 0 mod 50 were masked; every child key exists
+      // in the unmasked parent table, so orphans are exactly those keys
+      val want = c.filter(col(key) % 50 === 0)
+      assert(orows == want.count(), s"$edge orphan rows")
+      assert(okeys == want.select(key).distinct().count(), s"$edge keys")
+      assert(okeys > 0, s"$edge: no orphans planted")
+      // operator rounds to 6 decimals; allow the half-ulp of that rounding
+      assert(math.abs(rate - orows.toDouble / n) <= 5e-7)
+    }
+    check("lineitem.l_orderkey->orders", "lineitem", "l_orderkey")
+    check("lineitem.l_partkey->part", "lineitem", "l_partkey")
+    check("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey")
+    check("orders.o_custkey->customer", "orders", "o_custkey")
+  }
+
   test("q184 freshness streaks match a driver-side calendar walk") {
     val got = TimeSeriesOps.freshnessStreaks(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

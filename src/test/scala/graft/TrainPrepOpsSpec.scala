@@ -466,6 +466,88 @@ class TrainPrepOpsSpec extends AnyFunSuite {
     assert(got.values.count(_._6) > 0, "no thread truncates — budget too high")
   }
 
+  test("q185 prefix savings match a driver-side prefix-group reference") {
+    val got = TrainPrepOps.prefixSavings(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "source", "text").collect()
+      .map { r =>
+        val raw = r.getString(2)
+        val text = if (r.getLong(0) % 3 == 0)
+          TrainPrepOps.PrefixHeader + " " + raw else raw
+        (r.getString(1), text)
+      }
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val groups = ds.groupBy(_._2.split(" ").take(TrainPrepOps.PrefixToks)
+        .mkString(" ")).map(_._2.length)
+      val shared = groups.filter(_ > 1)
+      val saved = shared.map(_ - 1).sum.toLong * TrainPrepOps.PrefixToks
+      val total = ds.map(_._2.split(" ").length.toLong).sum
+      val g = got(src)
+      assert(g._1 == ds.length && g._2 == groups.size)
+      assert(g._3 == shared.sum.toLong && g._4 == saved && g._5 == total)
+      // operator rounds to 6 decimals; allow the half-ulp of that rounding
+      assert(math.abs(g._6 - saved.toDouble / total) <= 5e-7)
+    }
+    // the planted header must actually create sharing
+    assert(got.values.exists(_._4 > 0), "no prefix sharing planted")
+  }
+
+  test("q188 BT ratings match an independent driver-side MM reference") {
+    val got = TrainPrepOps.btRatings(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    // independent comparison extraction from raw events
+    val ev = graft.operators.EtlOps.events(spark, dir)
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.round(r.getDouble(2) * 100)))
+    val ut = ev.groupBy(t => (t._1, t._2)).map { case ((u, t), xs) =>
+      (u, t, xs.map(_._3).sum, xs.size.toLong) }.toSeq
+    val wl = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    ut.groupBy(_._1).values.foreach { ts =>
+      for (aa <- ts; bb <- ts if aa._2 < bb._2) {
+        val x = BigInt(aa._3) * bb._4
+        val y = BigInt(bb._3) * aa._4
+        if (x > y) wl((aa._2, bb._2)) += 1
+        else if (y > x) wl((bb._2, aa._2)) += 1
+      }
+    }
+    val players = wl.keys.flatMap(k => Seq(k._1, k._2)).toSeq.distinct.sorted
+    def n(i: String, j: String) = wl((i, j)) + wl((j, i))
+    val winsOf = players.map(i =>
+      i -> players.filter(_ != i).map(j => wl((i, j))).sum).toMap
+    var rat = players.map(_ -> 1.0).toMap
+    for (_ <- 1 to TrainPrepOps.BtIters) {
+      val fr = players.map { i =>
+        val d = players.filter(j => j != i && n(i, j) > 0)
+          .map(j => BigDecimal(math.floor(
+            n(i, j).toDouble * 1e12 / (rat(i) + rat(j))))).sum
+        i -> math.floor(
+          winsOf(i).toDouble * 1e12 / d.toDouble * 1e9).toLong
+      }.toMap
+      val ssum = fr.values.sum
+      rat = players.map(i => i -> math.floor(
+        fr(i).toDouble * players.size.toDouble * 1e9 / ssum.toDouble)
+        / 1e9).toMap
+    }
+    assert(got.keySet == players.toSet)
+    players.foreach { i =>
+      val (games, wins, wr, rating) = got(i)
+      assert(games == players.filter(_ != i).map(j => n(i, j)).sum)
+      assert(wins == winsOf(i))
+      assert(math.abs(wr - wins.toDouble / games) <= 5e-7)
+      assert(math.abs(rating - rat(i)) <= 5e-7, s"rating mismatch for $i")
+    }
+    // normalization: ratings sum to |players| on the frozen grid
+    val sumR = got.values.map(_._4).sum
+    assert(math.abs(sumR - players.size) < 1e-3, s"sum(r) = $sumR")
+    // the fit must separate players (not all ratings equal)
+    assert(got.values.map(_._4).toSet.size > 1, "degenerate flat ratings")
+  }
+
   test("q174 preference pairs match a per-group argmax/argmin reference") {
     val got = TrainPrepOps.prefPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1)) ->
