@@ -207,6 +207,7 @@ object SparkEntry {
     "q187_contract_audit"    -> (ProfileOps.contractAudit _),
     "q188_bt_ratings"        -> (TrainPrepOps.btRatings _),
     "q189_mrl_audit"         -> (SimilarityOps.mrlAudit _),
+    "q190_ir_metrics"        -> (MlPrepOps.irMetrics _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -677,6 +678,7 @@ object SparkEntry {
     "q187_contract_audit" -> ProfileOps.contractAuditOracle,
     "q188_bt_ratings" -> TrainPrepOps.btRatingsOracle,
     "q189_mrl_audit" -> SimilarityOps.mrlAuditOracle,
+    "q190_ir_metrics" -> MlPrepOps.irMetricsOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -160,7 +160,18 @@ object MlPrepOps {
     * top-k window partitions by query term (≤ [[Bm25Queries]]
     * partitions of df-bounded size, never a corpus sort). Doc-length
     * normalization rides a broadcast scalar (N, avgdl), not a join. */
-  def bm25TopK(s: SparkSession, dir: String): DataFrame = {
+  def bm25TopK(s: SparkSession, dir: String): DataFrame =
+    bm25Ranked(s, dir)
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("term"), col("rank"), col("doc_id"), col("tf"),
+        col("df"), round(col("score"), 6).as("score"))
+      .orderBy("term", "rank")
+
+  /** The shared BM25 ranked run (pre-limit): q147 takes its top
+    * [[Bm25TopK]]; q190's metrics audit reads the same run at depth
+    * [[IrK]]. One definition — the scoring formula and its plan shape
+    * cannot drift between the searcher and its evaluator. */
+  private[graft] def bm25Ranked(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val toks = docs.select(col("doc_id"), explode(col("toks")).as("term"))
@@ -186,14 +197,12 @@ object MlPrepOps {
       .partitionBy(col("term"))
       .orderBy(col("score").desc, col("doc_id"))
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= Bm25TopK)
-      .select(col("term"), col("rank"), col("doc_id"), col("tf"),
-        col("df"), round(col("score"), 6).as("score"))
-      .orderBy("term", "rank")
   }
 
-  def bm25TopKOracle: String =
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+  /** Shared WITH-body for the BM25 ranked run — the SQL twin of
+    * [[bm25Ranked]], consumed by both q147's and q190's oracles. */
+  private def bm25RankedCtes: String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS toks
        |  FROM documents),
        |toks AS (SELECT doc_id, unnest(toks) AS term FROM d),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
@@ -210,10 +219,121 @@ object MlPrepOps {
        |        (CAST(st.dl_tot AS DOUBLE) / st.n_docs))) AS score
        |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
        |r AS (SELECT *, row_number() OVER (PARTITION BY term
-       |    ORDER BY score DESC, doc_id) AS rnk FROM sc)
+       |    ORDER BY score DESC, doc_id) AS rnk FROM sc)""".stripMargin
+
+  def bm25TopKOracle: String =
+    s"""WITH $bm25RankedCtes
        |SELECT term, CAST(rnk AS BIGINT) AS "rank", doc_id, tf, df,
        |  round(score, 6) AS score
        |FROM r WHERE rnk <= $Bm25TopK ORDER BY term, rnk""".stripMargin
+
+  // --- q190: retrieval-quality metrics (MRR / nDCG@k / recall@k) ---------
+
+  /** Ranking depth and relevance-prefix width for the metrics audit. */
+  val IrK = 10
+  val IrPrefix = 20
+
+  /** DCG position discounts, frozen to ×1e9 fixed point at BUILD time
+    * (floor(1e9·ln 2 / ln(i+1))): ten integer literals injected into
+    * both engines, so nDCG needs no runtime libm call at all. */
+  private[graft] val IrDiscFp: Seq[Long] = (1 to IrK).map(i =>
+    math.floor(1e9 * math.log(2.0) / math.log(i + 1.0)).toLong)
+  private[graft] val IrDiscPrefixFp: Seq[Long] =
+    IrDiscFp.scanLeft(0L)(_ + _).tail
+
+  /** q190 — retrieval-quality metrics over the q147 BM25 run at depth
+    * [[IrK]]: MRR, nDCG@k and recall@k per query term, against
+    * ranker-independent relevance judgments (a document is relevant to
+    * a term iff the term occurs in its first [[IrPrefix]] tokens — the
+    * "lead/title match" qrel construction, deliberately NOT the BM25
+    * whole-document tf-idf signal). The eval harness between an index
+    * change and a retrieval-quality dashboard.
+    *
+    * Parity: hits / first-relevant-rank / DCG are exact integers (the
+    * DCG discounts are build-time fixed-point literals, indexed by
+    * rank); MRR, nDCG and recall are one double division each.
+    *
+    * Scale (100 TB): the run is df-bounded (q147's argument); qrels
+    * derive from one prefix-slice projection of the corpus semi-joined
+    * to the ≤[[Bm25Queries]] query terms (broadcast), so judgments cost
+    * one scan and carry only queried-term rows; metrics aggregate
+    * |queries|·[[IrK]] rows. */
+  def irMetrics(s: SparkSession, dir: String): DataFrame = {
+    val run = bm25Ranked(s, dir).filter(col("rank") <= IrK)
+      .select(col("term"), col("rank"), col("doc_id")).persist()
+    val qterms = run.select("term").distinct()
+    val qrels = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(slice(split(col("text"), " "), 1, IrPrefix)).as("term"))
+      .join(broadcast(qterms), "term")
+      .distinct().persist()
+    val nrel = qrels.groupBy("term").agg(count(lit(1)).as("n_rel"))
+    val discArr = array(IrDiscFp.map(lit): _*)
+    val flags = run.join(qrels.withColumn("rel", lit(1L)),
+        Seq("term", "doc_id"), "left")
+      .select(col("term"), col("rank"),
+        coalesce(col("rel"), lit(0L)).as("rel"))
+    val agg = flags.groupBy("term").agg(
+      sum(col("rel")).as("hits"),
+      coalesce(min(when(col("rel") === 1L, col("rank"))), lit(0L))
+        .as("first_rel_rank"),
+      sum(when(col("rel") === 1L,
+        element_at(discArr, col("rank").cast("int"))).otherwise(0L))
+        .as("dcg_fp"))
+    val idcgArr = array(IrDiscPrefixFp.map(lit): _*)
+    agg.join(nrel, Seq("term"), "left")
+      .select(col("term"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("hits"), col("first_rel_rank"),
+        round(when(col("first_rel_rank") === 0L, 0.0)
+          .otherwise(lit(1.0) / col("first_rel_rank")), 6).as("mrr"),
+        round(when(coalesce(col("n_rel"), lit(0L)) === 0L, 0.0)
+          .otherwise(col("dcg_fp").cast("double") /
+            element_at(idcgArr,
+              least(col("n_rel"), lit(IrK.toLong)).cast("int"))
+              .cast("double")), 6).as("ndcg"),
+        round(when(coalesce(col("n_rel"), lit(0L)) === 0L, 0.0)
+          .otherwise(col("hits").cast("double") /
+            col("n_rel").cast("double")), 6).as("recall_at_k"))
+      .orderBy("term")
+  }
+
+  def irMetricsOracle: String = {
+    val discList = IrDiscFp.mkString("[", ", ", "]")
+    val prefList = IrDiscPrefixFp.mkString("[", ", ", "]")
+    s"""WITH $bm25RankedCtes,
+       |run AS MATERIALIZED (SELECT term, rnk, doc_id FROM r
+       |  WHERE rnk <= $IrK),
+       |qterms AS (SELECT DISTINCT term FROM run),
+       |qrels AS MATERIALIZED (SELECT DISTINCT p.term, p.doc_id FROM
+       |    (SELECT doc_id, unnest(list_slice(toks, 1, $IrPrefix)) AS term
+       |     FROM d) p
+       |  JOIN qterms USING (term)),
+       |nrel AS (SELECT term, count(*) AS n_rel FROM qrels GROUP BY term),
+       |flags AS (SELECT run.term, run.rnk,
+       |    CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+       |  FROM run LEFT JOIN qrels q
+       |    ON run.term = q.term AND run.doc_id = q.doc_id),
+       |agg AS (SELECT term, CAST(sum(rel) AS BIGINT) AS hits,
+       |    CAST(coalesce(min(CASE WHEN rel = 1 THEN rnk END), 0) AS BIGINT)
+       |      AS first_rel_rank,
+       |    CAST(sum(CASE WHEN rel = 1 THEN $discList[rnk] ELSE 0 END)
+       |      AS BIGINT) AS dcg_fp
+       |  FROM flags GROUP BY term)
+       |SELECT a.term, CAST(coalesce(n.n_rel, 0) AS BIGINT) AS n_rel,
+       |  a.hits, a.first_rel_rank,
+       |  round(CASE WHEN a.first_rel_rank = 0 THEN 0.0
+       |    ELSE 1.0 / a.first_rel_rank END, 6) AS mrr,
+       |  round(CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 0.0
+       |    ELSE CAST(a.dcg_fp AS DOUBLE) /
+       |      CAST($prefList[least(n.n_rel, $IrK)] AS DOUBLE) END, 6)
+       |    AS ndcg,
+       |  round(CASE WHEN coalesce(n.n_rel, 0) = 0 THEN 0.0
+       |    ELSE CAST(a.hits AS DOUBLE) / CAST(n.n_rel AS DOUBLE) END, 6)
+       |    AS recall_at_k
+       |FROM agg a LEFT JOIN nrel n USING (term)
+       |ORDER BY a.term""".stripMargin
+  }
 
   // --- q172: hard-negative mining for retrieval training ----------------
 

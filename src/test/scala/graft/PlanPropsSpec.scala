@@ -480,6 +480,14 @@ class PlanPropsSpec extends AnyFunSuite {
       s"ranked pair stream not cached/reused:\n${p.take(1800)}")
   }
 
+  test("ir metrics: qrels ride a broadcast of the query terms; run is cached") {
+    val p = plan(MlPrepOps.irMetrics(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"qrels judge the whole vocabulary, not the query terms:\n${p.take(1800)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"bm25 run re-derived per consumer:\n${p.take(1800)}")
+  }
+
   test("bt win matrix: per-user pair join is keyed (no cartesian), corpus collapses first") {
     val p = plan(TrainPrepOps.btWinMatrix(spark, dir))
     assert(!p.contains("CartesianProduct") &&

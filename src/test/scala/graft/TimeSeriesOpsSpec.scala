@@ -403,6 +403,44 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q190 ir metrics match a driver-side MRR/nDCG/recall reference") {
+    import graft.operators.MlPrepOps
+    val got = MlPrepOps.irMetrics(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val run = MlPrepOps.bm25Ranked(spark, dir)
+      .filter(col("rank") <= MlPrepOps.IrK)
+      .select("term", "rank", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val prefixes = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").take(MlPrepOps.IrPrefix).toSet).toMap
+    assert(got.keySet == run.map(_._1).toSet)
+    run.groupBy(_._1).foreach { case (term, rows) =>
+      val rel = rows.sortBy(_._2)
+        .map(t => (t._2, prefixes(t._3).contains(term)))
+      val nRel = prefixes.values.count(_.contains(term)).toLong
+      val hits = rel.count(_._2).toLong
+      val first = rel.find(_._2).map(_._1).getOrElse(0L)
+      val dcg = rel.filter(_._2)
+        .map(t => MlPrepOps.IrDiscFp(t._1.toInt - 1)).sum
+      val idcg = MlPrepOps.IrDiscPrefixFp(
+        math.min(nRel, MlPrepOps.IrK.toLong).toInt - 1)
+      val (gn, gh, gf, gm, gd, gr) = got(term)
+      assert(gn == nRel && gh == hits && gf == first, s"counts for $term")
+      assert(math.abs(gm - (if (first == 0) 0.0 else 1.0 / first)) <= 6e-7)
+      assert(math.abs(gd - dcg.toDouble / idcg) <= 6e-7, s"ndcg $term")
+      assert(math.abs(gr - hits.toDouble / nRel) <= 6e-7)
+      assert(gd >= 0.0 && gd <= 1.0 && gm >= 0.0 && gm <= 1.0)
+    }
+    // judgments must disagree with the ranker somewhere, or the audit
+    // exercises nothing
+    assert(got.values.exists(v => v._2 < math.min(MlPrepOps.IrK.toLong, v._1)),
+      "every top-k doc relevant — qrels degenerate")
+    assert(got.values.exists(_._2 > 0), "no relevant docs retrieved at all")
+  }
+
   test("q147 bm25: dense ranks per query, scores descend, formula reconciles") {
     val rows = MlPrepOps.bm25TopK(spark, dir).collect()
     assert(rows.nonEmpty)
@@ -453,7 +491,7 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       assert(okeys == want.select(key).distinct().count(), s"$edge keys")
       assert(okeys > 0, s"$edge: no orphans planted")
       // operator rounds to 6 decimals; allow the half-ulp of that rounding
-      assert(math.abs(rate - orows.toDouble / n) <= 5e-7)
+      assert(math.abs(rate - orows.toDouble / n) <= 6e-7)
     }
     check("lineitem.l_orderkey->orders", "lineitem", "l_orderkey")
     check("lineitem.l_partkey->part", "lineitem", "l_partkey")
