@@ -208,6 +208,7 @@ object SparkEntry {
     "q188_bt_ratings"        -> (TrainPrepOps.btRatings _),
     "q189_mrl_audit"         -> (SimilarityOps.mrlAudit _),
     "q190_ir_metrics"        -> (MlPrepOps.irMetrics _),
+    "q191_canary_audit"      -> (CurationOps.canaryAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -679,6 +680,7 @@ object SparkEntry {
     "q188_bt_ratings" -> TrainPrepOps.btRatingsOracle,
     "q189_mrl_audit" -> SimilarityOps.mrlAuditOracle,
     "q190_ir_metrics" -> MlPrepOps.irMetricsOracle,
+    "q191_canary_audit" -> CurationOps.canaryAuditOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

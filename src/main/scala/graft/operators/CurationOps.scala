@@ -867,4 +867,120 @@ object CurationOps {
        |  CAST('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15)
        |    AS BIGINT) AS priority
        |FROM documents ORDER BY priority LIMIT $ReservoirK""".stripMargin
+
+  // --- q191: canary exposure audit (memorization-risk curve) -------------
+
+  /** Duplication levels and canaries per level for the planted-canary
+    * curve (Carlini et al., "Quantifying Memorization" — extraction
+    * risk grows with duplication count, so dedup pipelines must verify
+    * how often any secret survived at each multiplicity). */
+  val CanLevels = Seq(1, 2, 4, 8, 16)
+  val CanPerLevel = 3
+  val CanToks = 6
+
+  /** The canary catalog: (level, idx) → globally-unique token sequence
+    * plus its planting targets (doc_ids [off, off+level) — dense ids,
+    * below every ScaleUnion copy offset) and one DECOY target carrying
+    * only the first half of the token sequence. */
+  private[graft] case class Canary(level: Int, idx: Int, toks: Seq[String],
+      targets: Seq[Long], decoy: Long)
+  private[graft] def canaries: Seq[Canary] =
+    for {
+      (d, li) <- CanLevels.zipWithIndex
+      i <- 0 until CanPerLevel
+    } yield {
+      val off = li * 90 + i * 30
+      Canary(d, i, (0 until CanToks).map(j => s"cnry${d}x${i}w$j"),
+        (0 until d).map(r => (off + r).toLong), (off + 25).toLong)
+    }
+
+  /** q191 — canary exposure audit: a catalog of marker token sequences
+    * is planted into the corpus at controlled duplication levels (plus
+    * half-prefix decoys), then recovered by the production two-stage
+    * probe — candidate docs from a single-token inverted-index hit,
+    * full-sequence verification ONLY on candidates. Reports, per
+    * duplication level, planted vs candidate vs verified counts: the
+    * memorization-risk curve (how many copies of a secret survive at
+    * each multiplicity) and an exactness check on the probe (decoys
+    * must be candidates yet never verify).
+    *
+    * Parity: all integers.
+    *
+    * Scale (100 TB): the corpus pays one token-explode probe against
+    * the broadcast first-token set (inverted-index shape, q88); the
+    * expensive full-sequence check touches only candidate docs —
+    * catalog-bounded, not corpus-bounded. */
+  def canaryAudit(s: SparkSession, dir: String): DataFrame = {
+    val cats = canaries
+    val plantRows = cats.flatMap(c =>
+      c.targets.map(t => (t, c.toks.mkString(" "))) :+
+        (c.decoy, c.toks.take(CanToks / 2).mkString(" ")))
+    val plants = s.createDataFrame(plantRows).toDF("doc_id", "plant")
+    val docs = t(s, dir, "documents").join(broadcast(plants), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        when(col("plant").isNotNull,
+          concat(col("text"), lit(" "), col("plant")))
+          .otherwise(col("text")).as("text"))
+    val catalog = s.createDataFrame(cats.map(c =>
+      (c.level.toLong, c.idx.toLong, c.toks.head, c.toks.mkString(" "))))
+      .toDF("dup_level", "idx", "w0", "canary")
+    // stage 1: inverted-index probe on the first token only
+    val cands = docs
+      .select(col("doc_id"), col("text"),
+        explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(catalog), col("tok") === col("w0"))
+      .select("dup_level", "idx", "doc_id", "text", "canary").distinct()
+    // stage 2: full-sequence verification on candidates only
+    val ver = cands.withColumn("hit",
+      instr(concat(lit(" "), col("text"), lit(" ")),
+        concat(lit(" "), col("canary"), lit(" "))) > 0)
+    ver.groupBy("dup_level")
+      .agg(countDistinct(col("idx")).as("n_canaries"),
+        count(lit(1)).as("candidate_docs"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("verified_docs"))
+      .select(col("dup_level"), col("n_canaries"),
+        (col("dup_level") * CanPerLevel).as("planted_docs"),
+        col("candidate_docs"), col("verified_docs"),
+        (col("candidate_docs") - col("verified_docs"))
+          .as("decoys_rejected"),
+        (col("verified_docs") === col("dup_level") * CanPerLevel)
+          .as("recovery_ok"))
+      .orderBy("dup_level")
+  }
+
+  def canaryAuditOracle: String = {
+    val plantVals = canaries.flatMap(c =>
+      c.targets.map(t => s"($t, '${c.toks.mkString(" ")}')") :+
+        s"(${c.decoy}, '${c.toks.take(CanToks / 2).mkString(" ")}')")
+      .mkString(", ")
+    val catVals = canaries.map(c =>
+      s"(${c.level}, ${c.idx}, '${c.toks.head}', '${c.toks.mkString(" ")}')")
+      .mkString(", ")
+    s"""WITH plants(doc_id, plant) AS (VALUES $plantVals),
+       |cat(dup_level, idx, w0, canary) AS (VALUES $catVals),
+       |d AS (SELECT doc_id,
+       |    CASE WHEN p.plant IS NOT NULL THEN text || ' ' || p.plant
+       |      ELSE text END AS text
+       |  FROM documents LEFT JOIN plants p USING (doc_id)),
+       |cands AS (SELECT DISTINCT c.dup_level, c.idx, t.doc_id, t.text,
+       |    c.canary
+       |  FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS tok
+       |    FROM d) t
+       |  JOIN cat c ON t.tok = c.w0),
+       |ver AS (SELECT dup_level, idx,
+       |    position(' ' || canary || ' ' IN ' ' || text || ' ') > 0 AS hit
+       |  FROM cands)
+       |SELECT CAST(dup_level AS BIGINT) AS dup_level,
+       |  count(DISTINCT idx) AS n_canaries,
+       |  CAST(dup_level * $CanPerLevel AS BIGINT) AS planted_docs,
+       |  count(*) AS candidate_docs,
+       |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS verified_docs,
+       |  CAST(count(*) - sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS decoys_rejected,
+       |  sum(CASE WHEN hit THEN 1 ELSE 0 END) = dup_level * $CanPerLevel
+       |    AS recovery_ok
+       |FROM ver GROUP BY dup_level ORDER BY dup_level""".stripMargin
+  }
 }

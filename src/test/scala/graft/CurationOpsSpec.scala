@@ -339,4 +339,28 @@ class CurationOpsSpec extends AnyFunSuite {
     // uniformity smoke: a 20%-of-corpus sample must touch many sources
     assert(got.map(_._2).distinct.length > 10)
   }
+
+  test("q191 canary audit: exact recovery at every level, decoys candidate-but-rejected") {
+    val got = CurationOps.canaryAudit(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    assert(got.keySet == CurationOps.CanLevels.map(_.toLong).toSet)
+    CurationOps.CanLevels.foreach { d =>
+      val (nc, planted, cand, ver, rej, ok) = got(d.toLong)
+      assert(nc == CurationOps.CanPerLevel)
+      assert(planted == d * CurationOps.CanPerLevel)
+      assert(ver == planted, s"level $d: verified $ver != planted $planted")
+      // every decoy shares the first token, so it MUST be a candidate,
+      // and carries only half the sequence, so it MUST fail verification;
+      // the corpus has no organic 'cnry' tokens
+      assert(cand == planted + CurationOps.CanPerLevel,
+        s"level $d: candidates $cand")
+      assert(rej == CurationOps.CanPerLevel && ok)
+    }
+    // planting targets never collide across canaries (distinctness is
+    // what makes planted == verified a real check)
+    val allTargets = CurationOps.canaries
+      .flatMap(c => c.targets :+ c.decoy)
+    assert(allTargets.distinct.size == allTargets.size)
+  }
 }

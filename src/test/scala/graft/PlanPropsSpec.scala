@@ -480,6 +480,14 @@ class PlanPropsSpec extends AnyFunSuite {
       s"ranked pair stream not cached/reused:\n${p.take(1800)}")
   }
 
+  test("canary audit: one corpus scan, catalog+plants broadcast") {
+    val p = plan(CurationOps.canaryAudit(spark, dir))
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"canary probe re-scans the corpus:\n${p.take(1800)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"catalog/plants not broadcast:\n${p.take(1800)}")
+  }
+
   test("ir metrics: qrels ride a broadcast of the query terms; run is cached") {
     val p = plan(MlPrepOps.irMetrics(spark, dir))
     assert(p.contains("BroadcastHashJoin"),
