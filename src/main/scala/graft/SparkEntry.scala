@@ -209,6 +209,7 @@ object SparkEntry {
     "q189_mrl_audit"         -> (SimilarityOps.mrlAudit _),
     "q190_ir_metrics"        -> (MlPrepOps.irMetrics _),
     "q191_canary_audit"      -> (CurationOps.canaryAudit _),
+    "q192_rrf_fusion"        -> (MlPrepOps.rrfFusion _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -681,6 +682,7 @@ object SparkEntry {
     "q189_mrl_audit" -> SimilarityOps.mrlAuditOracle,
     "q190_ir_metrics" -> MlPrepOps.irMetricsOracle,
     "q191_canary_audit" -> CurationOps.canaryAuditOracle,
+    "q192_rrf_fusion" -> MlPrepOps.rrfFusionOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Feature-engineering operators for ML training data: the hashing
@@ -333,6 +333,104 @@ object MlPrepOps {
        |    AS recall_at_k
        |FROM agg a LEFT JOIN nrel n USING (term)
        |ORDER BY a.term""".stripMargin
+  }
+
+  // --- q192: reciprocal-rank-fusion hybrid retrieval ---------------------
+
+  /** RRF constant (Cormack et al. 2009) and fused output depth. */
+  val RrfC = 60
+  val RrfTopK = 5
+
+  /** RRF contributions ×1e9, frozen at build time: floor(1e9/(C+i)) for
+    * ranks 1..[[IrK]] — integer literals in both engines, so the fused
+    * score is an exact integer sum. */
+  private[graft] val RrfFp: Seq[Long] = (1 to IrK).map(i =>
+    math.floor(1e9 / (RrfC + i)).toLong)
+
+  /** q192 — hybrid retrieval by reciprocal-rank fusion: the q147 BM25
+    * run fused with a lead-match ranker (tf of the term within the
+    * first [[IrPrefix]] tokens — the "title field" of a fielded
+    * searcher), RRF(d) = Σ_rankers 1/(C + rank_r(d)) over the two
+    * top-[[IrK]] lists. The standard blend of lexical + second-signal
+    * rankings in modern search stacks, here in exact ×1e9 fixed point.
+    *
+    * Parity: all integers (the RRF table is build-time literals; a
+    * missing ranker contributes 0); ties break on doc_id.
+    *
+    * Scale (100 TB): both runs are df-bounded per query term; the
+    * fusion is a (term, doc)-keyed full outer join of two
+    * |queries|·[[IrK]]-row lists — metadata-sized regardless of corpus
+    * size. The lead ranker pays one prefix-slice scan semi-joined to
+    * the broadcast query terms (the q190 qrels shape, with counts). */
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val runA = bm25Ranked(s, dir).filter(col("rank") <= IrK)
+      .select(col("term"), col("rank").as("rank_bm25"), col("doc_id"))
+      .persist()
+    val qterms = runA.select("term").distinct()
+    val leadTf = t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(slice(split(col("text"), " "), 1, IrPrefix)).as("term"))
+      .join(broadcast(qterms), "term")
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf_lead"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+      .orderBy(col("tf_lead").desc, col("doc_id"))
+    val runB = leadTf.withColumn("rank_lead",
+        row_number().over(wB).cast("bigint"))
+      .filter(col("rank_lead") <= IrK)
+      .select("term", "rank_lead", "doc_id")
+    val rrfArr = array(RrfFp.map(lit): _*)
+    def contrib(rank: Column): Column =
+      when(rank.isNull, 0L)
+        .otherwise(element_at(rrfArr, rank.cast("int")))
+    val fused = runA.join(runB, Seq("term", "doc_id"), "full_outer")
+      .select(col("term"), col("doc_id"),
+        coalesce(col("rank_bm25"), lit(0L)).as("rank_bm25"),
+        coalesce(col("rank_lead"), lit(0L)).as("rank_lead"),
+        (contrib(col("rank_bm25")) + contrib(col("rank_lead")))
+          .as("rrf_fp"))
+    val wF = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term"))
+      .orderBy(col("rrf_fp").desc, col("doc_id"))
+    fused.withColumn("fused_rank", row_number().over(wF).cast("bigint"))
+      .filter(col("fused_rank") <= RrfTopK)
+      .select("term", "fused_rank", "doc_id", "rank_bm25", "rank_lead",
+        "rrf_fp")
+      .orderBy("term", "fused_rank")
+  }
+
+  def rrfFusionOracle: String = {
+    val rrfList = RrfFp.mkString("[", ", ", "]")
+    s"""WITH $bm25RankedCtes,
+       |run_a AS MATERIALIZED (SELECT term, rnk AS rank_bm25, doc_id
+       |  FROM r WHERE rnk <= $IrK),
+       |qterms AS (SELECT DISTINCT term FROM run_a),
+       |lead_tf AS (SELECT p.term, p.doc_id, count(*) AS tf_lead FROM
+       |    (SELECT doc_id, unnest(list_slice(toks, 1, $IrPrefix)) AS term
+       |     FROM d) p
+       |  JOIN qterms USING (term)
+       |  GROUP BY p.term, p.doc_id),
+       |run_b AS MATERIALIZED (SELECT term, rank_lead, doc_id FROM (
+       |    SELECT term, doc_id, row_number() OVER (PARTITION BY term
+       |      ORDER BY tf_lead DESC, doc_id) AS rank_lead
+       |    FROM lead_tf)
+       |  WHERE rank_lead <= $IrK),
+       |fused AS (SELECT coalesce(a.term, b.term) AS term,
+       |    coalesce(a.doc_id, b.doc_id) AS doc_id,
+       |    CAST(coalesce(a.rank_bm25, 0) AS BIGINT) AS rank_bm25,
+       |    CAST(coalesce(b.rank_lead, 0) AS BIGINT) AS rank_lead,
+       |    CAST(CASE WHEN a.rank_bm25 IS NULL THEN 0
+       |        ELSE $rrfList[a.rank_bm25] END +
+       |      CASE WHEN b.rank_lead IS NULL THEN 0
+       |        ELSE $rrfList[b.rank_lead] END AS BIGINT) AS rrf_fp
+       |  FROM run_a a FULL OUTER JOIN run_b b
+       |    ON a.term = b.term AND a.doc_id = b.doc_id)
+       |SELECT term, CAST(fused_rank AS BIGINT) AS fused_rank, doc_id,
+       |  rank_bm25, rank_lead, rrf_fp
+       |FROM (SELECT *, row_number() OVER (PARTITION BY term
+       |    ORDER BY rrf_fp DESC, doc_id) AS fused_rank FROM fused)
+       |WHERE fused_rank <= $RrfTopK
+       |ORDER BY term, fused_rank""".stripMargin
   }
 
   // --- q172: hard-negative mining for retrieval training ----------------

@@ -480,6 +480,14 @@ class PlanPropsSpec extends AnyFunSuite {
       s"ranked pair stream not cached/reused:\n${p.take(1800)}")
   }
 
+  test("rrf fusion: lead ranker gated by broadcast query terms; bm25 run cached") {
+    val p = plan(MlPrepOps.rrfFusion(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"lead ranker scores the whole vocabulary:\n${p.take(1800)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"bm25 run re-derived per consumer:\n${p.take(1800)}")
+  }
+
   test("canary audit: one corpus scan, catalog+plants broadcast") {
     val p = plan(CurationOps.canaryAudit(spark, dir))
     assert("Scan parquet".r.findAllIn(p).length == 1,

@@ -441,6 +441,34 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0), "no relevant docs retrieved at all")
   }
 
+  test("q192 rrf fusion reconciles with its two input rankings") {
+    import graft.operators.MlPrepOps
+    val got = MlPrepOps.rrfFusion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    // per-term: exactly RrfTopK rows, dense fused ranks, scores descend
+    got.groupBy(_._1).foreach { case (term, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to MlPrepOps.RrfTopK).toSeq)
+      assert(sorted.map(_._6).toSeq == sorted.map(_._6).sortBy(-_).toSeq,
+        s"$term: rrf scores not descending")
+    }
+    // every row's score equals the literal-table sum of its two ranks
+    got.foreach { case (term, _, doc, ra, rb, fp) =>
+      val want = (if (ra == 0) 0L else MlPrepOps.RrfFp(ra.toInt - 1)) +
+        (if (rb == 0) 0L else MlPrepOps.RrfFp(rb.toInt - 1))
+      assert(fp == want, s"($term, $doc): rrf $fp != $want")
+      assert(ra > 0 || rb > 0, "fused doc in neither ranking")
+    }
+    // fusion must be exercised from both sides: some fused doc missing
+    // from bm25's list, and some missing from the lead list
+    assert(got.exists(_._4 == 0L), "lead-only docs never fused")
+    assert(got.exists(_._5 == 0L), "bm25-only docs never fused")
+    assert(got.exists(r => r._4 > 0L && r._5 > 0L),
+      "no doc ranked by both — fusion degenerate")
+  }
+
   test("q147 bm25: dense ranks per query, scores descend, formula reconciles") {
     val rows = MlPrepOps.bm25TopK(spark, dir).collect()
     assert(rows.nonEmpty)
