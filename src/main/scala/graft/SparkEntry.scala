@@ -210,6 +210,7 @@ object SparkEntry {
     "q190_ir_metrics"        -> (MlPrepOps.irMetrics _),
     "q191_canary_audit"      -> (CurationOps.canaryAudit _),
     "q192_rrf_fusion"        -> (MlPrepOps.rrfFusion _),
+    "q193_ivf_balance"       -> (SimilarityOps.ivfBalance _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -683,6 +684,7 @@ object SparkEntry {
     "q190_ir_metrics" -> MlPrepOps.irMetricsOracle,
     "q191_canary_audit" -> CurationOps.canaryAuditOracle,
     "q192_rrf_fusion" -> MlPrepOps.rrfFusionOracle,
+    "q193_ivf_balance" -> SimilarityOps.ivfBalanceOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

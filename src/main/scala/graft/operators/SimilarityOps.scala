@@ -167,23 +167,28 @@ object SimilarityOps {
     * 1/K of the data. */
   val IvfCentroids = 16
 
-  def ivfAnn(s: SparkSession, dir: String): DataFrame = {
+  /** The IVF coarse assignment (vec → nearest fixed centroid, cent_id
+    * tie-break) — shared by q43's searcher and q193's balance audit so
+    * the index being audited is BY CONSTRUCTION the index being
+    * searched. */
+  private[graft] def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
     val v = withNorm(baseVectors(s, dir))
     val cents = v.filter(col("vec_id") < IvfCentroids)
       .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
         col("norm").as("cent_norm"))
-    def assign(side: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cent_cos").desc, col("cent_id"))
-      side.crossJoin(broadcast(cents))
-        .selectExpr("vec_id", "emb", "norm", "cent_id",
-          "dot_product(emb, cent_emb) / (norm * cent_norm) AS cent_cos")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("emb"), col("norm"),
-          col("cent_id").as("bucket"))
-    }
-    val assigned = assign(v)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    v.crossJoin(broadcast(cents))
+      .selectExpr("vec_id", "emb", "norm", "cent_id",
+        "dot_product(emb, cent_emb) / (norm * cent_norm) AS cent_cos")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("emb"), col("norm"),
+        col("cent_id").as("bucket"))
+  }
+
+  def ivfAnn(s: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssigned(s, dir)
     val q = assigned.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("emb").as("emb_q"),
         col("norm").as("norm_q"), col("bucket"))
@@ -446,6 +451,79 @@ object SimilarityOps {
        |  score_fp
        |FROM r ORDER BY q_label, rnk""".stripMargin
   }
+
+  // --- q193: IVF inverted-list balance audit -----------------------------
+
+  /** q193 — IVF index balance audit over q43's coarse assignment: per
+    * inverted list its size, corpus share, size-over-mean and an
+    * oversized flag (> 2× mean — the rebalance/re-train trigger), plus
+    * the expected nprobe=1 probe cost Σ sz²/N (the candidates a query
+    * drawn from the indexed distribution pays — THE number that says
+    * whether a skewed list silently turned ANN back into brute force).
+    * Shares [[ivfAssigned]] with q43, so it audits exactly the index
+    * q43 searches.
+    *
+    * Parity: list sizes are integers; share / size-over-mean /
+    * probe-cost are one division each over integer products (the
+    * oversized flag is an exact integer comparison, no double
+    * threshold).
+    *
+    * Scale (100 TB): the corpus pays the one broadcast-centroid
+    * assignment pass it already pays to build the index; the audit
+    * itself aggregates to |centroids| rows and a 1-row total. */
+  def ivfBalance(s: SparkSession, dir: String): DataFrame = {
+    val lists = ivfAssigned(s, dir)
+      .groupBy(col("bucket").as("cent_id"))
+      .agg(count(lit(1)).as("list_size"))
+    val tot = lists.agg(sum(col("list_size")).as("n_vecs"),
+      sum(col("list_size") * col("list_size")).as("ss"),
+      count(lit(1)).as("n_lists"))
+    lists.crossJoin(broadcast(tot))
+      .select(col("cent_id"), col("list_size"),
+        round(col("list_size").cast("double") /
+          col("n_vecs").cast("double"), 6).as("share"),
+        round((col("list_size") * col("n_lists")).cast("double") /
+          col("n_vecs").cast("double"), 6).as("size_over_mean"),
+        (col("list_size") * col("n_lists") > col("n_vecs") * 2L)
+          .as("oversized"),
+        round(col("ss").cast("double") /
+          col("n_vecs").cast("double"), 6).as("probe_cost_nprobe1"))
+      .orderBy("cent_id")
+  }
+
+  def ivfBalanceOracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb,
+       |    sqrt(${VecSql.dot("emb", "emb", spark = false)}) AS norm FROM v),
+       |cents AS (SELECT vec_id AS cent_id, emb AS cent_emb,
+       |    norm AS cent_norm
+       |  FROM n WHERE vec_id < $IvfCentroids),
+       |asg AS (SELECT vec_id, cent_id,
+       |    (${VecSql.dot("emb", "cent_emb", spark = false)})
+       |      / (norm * cent_norm) AS cent_cos
+       |  FROM n, cents),
+       |a AS (SELECT vec_id, cent_id AS bucket FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cent_cos DESC, cent_id) AS rn FROM asg)
+       |  WHERE rn = 1),
+       |lists AS (SELECT bucket AS cent_id, count(*) AS list_size
+       |  FROM a GROUP BY bucket),
+       |tot AS (SELECT CAST(sum(list_size) AS BIGINT) AS n_vecs,
+       |    CAST(sum(list_size * list_size) AS BIGINT) AS ss,
+       |    count(*) AS n_lists
+       |  FROM lists)
+       |SELECT l.cent_id, l.list_size,
+       |  round(CAST(l.list_size AS DOUBLE) / CAST(t.n_vecs AS DOUBLE), 6)
+       |    AS share,
+       |  round(CAST(l.list_size * t.n_lists AS DOUBLE)
+       |    / CAST(t.n_vecs AS DOUBLE), 6) AS size_over_mean,
+       |  l.list_size * t.n_lists > t.n_vecs * 2 AS oversized,
+       |  round(CAST(t.ss AS DOUBLE) / CAST(t.n_vecs AS DOUBLE), 6)
+       |    AS probe_cost_nprobe1
+       |FROM lists l CROSS JOIN tot t
+       |ORDER BY l.cent_id""".stripMargin
 
   // --- q189: matryoshka (MRL) truncation audit ---------------------------
 

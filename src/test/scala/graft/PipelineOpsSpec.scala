@@ -464,6 +464,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q193 ivf balance: sizes conserve the corpus, stats reconcile") {
+    val got = SimilarityOps.ivfBalance(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4), r.getDouble(5)))
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(got.map(_._2._1).sum == n, "list sizes must partition the corpus")
+    assert(got.map(_._1).toSeq.distinct.size == got.size)
+    assert(got.size <= SimilarityOps.IvfCentroids)
+    val nLists = got.size.toLong
+    val ss = got.map(t => t._2._1 * t._2._1).sum
+    got.foreach { case (cid, (sz, share, som, over, probe)) =>
+      assert(math.abs(share - sz.toDouble / n) <= 5e-7)
+      assert(math.abs(som - (sz * nLists).toDouble / n) <= 5e-7)
+      assert(over == (sz * nLists > 2 * n), s"oversized flag for $cid")
+      assert(math.abs(probe - ss.toDouble / n) <= 5e-7)
+    }
+    // the audit must agree with the index q43 actually searches
+    val sizes = SimilarityOps.ivfAssigned(spark, dir)
+      .groupBy("bucket").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (cid, (sz, _, _, _, _)) =>
+      assert(sizes(cid) == sz) }
+    // fixed-sample centroids on clustered embeddings skew — the audit
+    // must find real imbalance to report
+    assert(got.map(_._2._1).max > got.map(_._2._1).min,
+      "perfectly balanced lists — audit exercises nothing")
+  }
+
   test("q189 mrl audit matches a driver-side prefix-cosine reference") {
     val got = SimilarityOps.mrlAudit(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

@@ -480,6 +480,15 @@ class PlanPropsSpec extends AnyFunSuite {
       s"ranked pair stream not cached/reused:\n${p.take(1800)}")
   }
 
+  test("ivf balance: centroids broadcast into the one assignment pass") {
+    val p = plan(SimilarityOps.ivfBalance(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"centroid assignment not broadcast:\n${p.take(1800)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"audit joined corpus-sized sides:\n${p.take(1800)}")
+  }
+
   test("rrf fusion: lead ranker gated by broadcast query terms; bm25 run cached") {
     val p = plan(MlPrepOps.rrfFusion(spark, dir))
     assert(p.contains("BroadcastHashJoin"),
