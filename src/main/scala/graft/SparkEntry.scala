@@ -211,6 +211,7 @@ object SparkEntry {
     "q191_canary_audit"      -> (CurationOps.canaryAudit _),
     "q192_rrf_fusion"        -> (MlPrepOps.rrfFusion _),
     "q193_ivf_balance"       -> (SimilarityOps.ivfBalance _),
+    "q194_gate_kappa"        -> (CurationOps.gateKappa _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -685,6 +686,7 @@ object SparkEntry {
     "q191_canary_audit" -> CurationOps.canaryAuditOracle,
     "q192_rrf_fusion" -> MlPrepOps.rrfFusionOracle,
     "q193_ivf_balance" -> SimilarityOps.ivfBalanceOracle,
+    "q194_gate_kappa" -> CurationOps.gateKappaOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -868,6 +868,138 @@ object CurationOps {
        |    AS BIGINT) AS priority
        |FROM documents ORDER BY priority LIMIT $ReservoirK""".stripMargin
 
+  // --- q194: quality-gate agreement (Cohen's kappa) ----------------------
+
+  /** Quality-score cut for the q27 gate inside the agreement audit
+    * (≈ the corpus median, so the gate actually splits). */
+  val GateQualityMin = 0.6
+
+  /** q194 — inter-gate agreement audit: the corpus's three production
+    * quality filters — q27's blended score (≥ [[GateQualityMin]]),
+    * q104's Gopher rule stack, q129's hashed-classifier logit (≥ 0) —
+    * compared pairwise by Cohen's κ over their 2×2 agreement tables.
+    * The meta-measurement a curation team runs before trusting any one
+    * gate: high raw agreement with κ ≈ 0 means the gates agree only by
+    * base rate, and an ensemble adds nothing. Each gate expression is
+    * THE production definition (shared `qualityOf` / `gopherPassOf` /
+    * `logitOf` — the audited gates cannot drift from the audit).
+    *
+    * Parity: all 2×2 cells are exact integers from one conditional
+    * aggregate; p_o, p_e, κ are divisions over those integers in one
+    * fixed op order.
+    *
+    * Scale (100 TB): all three gates evaluate in ONE codegen'd
+    * projection over one corpus scan; the aggregate collapses map-side
+    * to a single 13-column row, unpivoted to 3 pair rows. */
+  def gateKappa(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(
+      (TextOps.qualityOf(col("text")) >= GateQualityMin).as("a"),
+      TrainPrepOps.gopherPassOf(col("text")).as("b"),
+      (MixtureOps.logitOf >= 0L).as("c"))
+    def cells(pfx: String, x: String, y: String) = Seq(
+      sum(when(col(x) && col(y), 1L).otherwise(0L)).as(s"${pfx}_11"),
+      sum(when(col(x) && !col(y), 1L).otherwise(0L)).as(s"${pfx}_10"),
+      sum(when(!col(x) && col(y), 1L).otherwise(0L)).as(s"${pfx}_01"),
+      sum(when(!col(x) && !col(y), 1L).otherwise(0L)).as(s"${pfx}_00"))
+    val aggs = cells("ab", "a", "b") ++ cells("ac", "a", "c") ++
+      cells("bc", "b", "c")
+    val one = d.agg(count(lit(1)).as("n"), aggs: _*)
+    val stacked = one.select(col("n"), expr(
+      "stack(3, " +
+        "'quality~gopher', ab_11, ab_10, ab_01, ab_00, " +
+        "'quality~classifier', ac_11, ac_10, ac_01, ac_00, " +
+        "'gopher~classifier', bc_11, bc_10, bc_01, bc_00) " +
+        "AS (pair, n11, n10, n01, n00)"))
+    val n = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / n
+    val pX = (col("n11") + col("n10")).cast("double") / n
+    val pY = (col("n11") + col("n01")).cast("double") / n
+    val pe = pX * pY + (lit(1.0) - pX) * (lit(1.0) - pY)
+    stacked.select(col("pair"), col("n"), col("n11"), col("n10"),
+      col("n01"), col("n00"),
+      round(po, 6).as("p_observed"),
+      round(pe, 6).as("p_expected"),
+      round(when(pe === 1.0, 1.0).otherwise((po - pe) / (lit(1.0) - pe)), 6)
+        .as("kappa"))
+      .orderBy("pair")
+  }
+
+  def gateKappaOracle: String = {
+    val wSql =
+      s"CAST('0x' || substr(md5('wgt' || CAST(" +
+        s"CAST('0x' || substr(md5('clf' || w), 1, 15) AS BIGINT)" +
+        s" % ${MixtureOps.ClfBuckets} AS VARCHAR)), 1, 15) AS BIGINT)" +
+        s" % 2001 - 1000"
+    val quality =
+      s"""CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) * 0.5
+         |  + CAST(len(regexp_extract_all(text, '\\b(the|and|of|to|in|is|you|that)\\b')) AS DOUBLE)
+         |    / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) * 0.3
+         |  + (CASE WHEN length(text) >= 100 AND length(text) <= 500
+         |     THEN 0.2 ELSE 0.0 END)""".stripMargin
+    val gopher =
+      s"""len(string_split_regex(trim(text), '\\s+')) >= 10
+         |  AND len(string_split_regex(trim(text), '\\s+')) <= 100000
+         |  AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |    / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) >= 3.0
+         |  AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |    / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) <= 10.0
+         |  AND CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) < 0.1
+         |  AND len(regexp_extract_all(text, '\\b(the|and|of|to|in|is|you|that)\\b')) >= 2""".stripMargin
+    def cellSql(x: String, y: String, a: String) = Seq(
+      s"CAST(sum(CASE WHEN $x AND $y THEN 1 ELSE 0 END) AS BIGINT) AS ${a}_11",
+      s"CAST(sum(CASE WHEN $x AND NOT $y THEN 1 ELSE 0 END) AS BIGINT) AS ${a}_10",
+      s"CAST(sum(CASE WHEN NOT $x AND $y THEN 1 ELSE 0 END) AS BIGINT) AS ${a}_01",
+      s"CAST(sum(CASE WHEN NOT $x AND NOT $y THEN 1 ELSE 0 END) AS BIGINT) AS ${a}_00")
+      .mkString(",\n    ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |lg AS (SELECT doc_id, CAST(sum($wSql) AS BIGINT) AS logit
+       |  FROM tok GROUP BY doc_id),
+       |g AS (SELECT
+       |    ($quality) >= $GateQualityMin AS a,
+       |    ($gopher) AS b,
+       |    lg.logit >= 0 AS c
+       |  FROM documents JOIN lg USING (doc_id)),
+       |one AS (SELECT count(*) AS n,
+       |    ${cellSql("a", "b", "ab")},
+       |    ${cellSql("a", "c", "ac")},
+       |    ${cellSql("b", "c", "bc")}
+       |  FROM g),
+       |st AS (
+       |  SELECT 'quality~gopher' AS pair, n, ab_11 AS n11, ab_10 AS n10,
+       |    ab_01 AS n01, ab_00 AS n00 FROM one
+       |  UNION ALL SELECT 'quality~classifier', n, ac_11, ac_10, ac_01,
+       |    ac_00 FROM one
+       |  UNION ALL SELECT 'gopher~classifier', n, bc_11, bc_10, bc_01,
+       |    bc_00 FROM one)
+       |SELECT pair, n, n11, n10, n01, n00,
+       |  round(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6)
+       |    AS p_observed,
+       |  round(CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)
+       |      * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+       |    + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * (1.0 - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+       |    AS p_expected,
+       |  round(CASE WHEN CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)
+       |      * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+       |    + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * (1.0 - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) = 1.0
+       |    THEN 1.0
+       |    ELSE (CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+       |      - (CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)
+       |        * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+       |        + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+       |          * (1.0 - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))))
+       |      / (1.0 - (CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)
+       |        * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+       |        + (1.0 - CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+       |          * (1.0 - CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))))
+       |    END, 6) AS kappa
+       |FROM st ORDER BY pair""".stripMargin
+  }
+
   // --- q191: canary exposure audit (memorization-risk curve) -------------
 
   /** Duplication levels and canaries per level for the planted-canary

@@ -62,10 +62,15 @@ object MixtureOps {
     * map-side combines to |sources| rows per task. The classifier
     * evaluates inside whole-stage codegen; model size never appears in
     * the plan because weights are a pure function of the bucket hash. */
+  /** The q129 classifier logit as a reusable per-row expression over
+    * the `text` column (one definition for the gate and q194's
+    * agreement audit). */
+  private[graft] def logitOf: Column = expr(
+    s"aggregate(split(text, ' '), CAST(0 AS BIGINT), " +
+      s"(acc, w) -> acc + (${clfWeightSql("w")}))")
+
   def classifierGate(s: SparkSession, dir: String): DataFrame = {
-    val logit = expr(
-      s"aggregate(split(text, ' '), CAST(0 AS BIGINT), " +
-        s"(acc, w) -> acc + (${clfWeightSql("w")}))")
+    val logit = logitOf
     t(s, dir, "documents")
       .select(col("doc_id"), col("source"), logit.as("logit"))
       .groupBy("source")

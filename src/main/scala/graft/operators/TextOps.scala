@@ -62,6 +62,18 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The q27 blended quality score as a reusable per-row expression —
+    * one definition for the scorer and every consumer that gates on it
+    * (q194's agreement audit). */
+  private[graft] def qualityOf(text: Column): Column = {
+    val len = length(text).cast("double")
+    val alpha = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double")
+    val toks = wsTokenCount(text).cast("double")
+    val stops = stopwordHits(text, LangStopwords.head._2).cast("double")
+    (alpha / len) * 0.5 + (stops / toks) * 0.3 +
+      when(len >= 100 && len <= 500, 0.2).otherwise(0.0)
+  }
+
   /** q27 — quality score: alpha ratio, stopword ratio, length band.
     * Pure per-row double arithmetic (identical op order in the oracle →
     * bit-reproducible). */
@@ -77,8 +89,7 @@ object TextOps {
       (alpha / len).as("alpha_ratio"),
       (stops / toks).as("stop_ratio"),
       (len / toks).as("avg_token_span"),
-      ((alpha / len) * 0.5 + (stops / toks) * 0.3 +
-        when(len >= 100 && len <= 500, 0.2).otherwise(0.0)).as("quality"))
+      qualityOf(col("text")).as("quality"))
       .orderBy("doc_id")
   }
 

@@ -308,6 +308,21 @@ object TrainPrepOps {
     * narrow map that fuses into the scan under whole-stage codegen; at
     * any scale this runs at parquet-read speed and the filter can push
     * into the consumer. */
+  /** The q104 pass/fail conjunction as a reusable per-row expression
+    * (one definition for the filter stack and q194's agreement audit). */
+  private[graft] def gopherPassOf(text: Column): Column = {
+    val nWords = wsTokenCount(text)
+    val nonspace = length(regexp_replace(text, "\\s+", "")).cast("bigint")
+    val symbols = length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+      .cast("bigint")
+    val meanWordLen = nonspace.cast("double") / nWords.cast("double")
+    val symbolRatio = symbols.cast("double") / length(text).cast("double")
+    val stops = stopwordHits(text, LangStopwords.head._2)
+    (nWords >= 10 && nWords <= 100000) &&
+      (meanWordLen >= 3.0 && meanWordLen <= 10.0) &&
+      (symbolRatio < 0.1) && (stops >= 2)
+  }
+
   def gopherRules(s: SparkSession, dir: String): DataFrame = {
     val nWords = wsTokenCount(col("text"))
     val nonspace = length(regexp_replace(col("text"), "\\s+", "")).cast("bigint")

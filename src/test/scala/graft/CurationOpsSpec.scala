@@ -340,6 +340,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.length > 10)
   }
 
+  test("q194 gate kappa: cells reconcile with the three production gates") {
+    import graft.operators.{MixtureOps, TextOps, TrainPrepOps}
+    val got = CurationOps.gateKappa(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8))).toMap
+    assert(got.keySet == Set("quality~gopher", "quality~classifier",
+      "gopher~classifier"))
+    // independent per-doc gate evaluation through the SAME shared exprs
+    val flags = EtlOps.t(spark, dir, "documents").select(
+      (TextOps.qualityOf(col("text")) >= CurationOps.GateQualityMin).as("a"),
+      TrainPrepOps.gopherPassOf(col("text")).as("b"),
+      (MixtureOps.logitOf >= 0L).as("c")).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)))
+    def check(pair: String, x: ((Boolean, Boolean, Boolean)) => Boolean,
+        y: ((Boolean, Boolean, Boolean)) => Boolean): Unit = {
+      val (n, n11, n10, n01, n00, po, pe, k) = got(pair)
+      assert(n == flags.length)
+      assert(n11 == flags.count(t => x(t) && y(t)))
+      assert(n10 == flags.count(t => x(t) && !y(t)))
+      assert(n01 == flags.count(t => !x(t) && y(t)))
+      assert(n00 == flags.count(t => !x(t) && !y(t)))
+      val wantPo = (n11 + n00).toDouble / n
+      val px = (n11 + n10).toDouble / n; val py = (n11 + n01).toDouble / n
+      val wantPe = px * py + (1.0 - px) * (1.0 - py)
+      assert(math.abs(po - wantPo) <= 5e-7)
+      assert(math.abs(pe - wantPe) <= 5e-7)
+      assert(math.abs(k - (wantPo - wantPe) / (1.0 - wantPe)) <= 5e-6)
+      assert(k >= -1.0 && k <= 1.0)
+      // both agreement and disagreement must occur, or κ is vacuous
+      assert(n11 > 0 && n10 + n01 > 0, s"$pair degenerate table")
+    }
+    check("quality~gopher", _._1, _._2)
+    check("quality~classifier", _._1, _._3)
+    check("gopher~classifier", _._2, _._3)
+  }
+
   test("q191 canary audit: exact recovery at every level, decoys candidate-but-rejected") {
     val got = CurationOps.canaryAudit(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

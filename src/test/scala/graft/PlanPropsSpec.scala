@@ -480,6 +480,14 @@ class PlanPropsSpec extends AnyFunSuite {
       s"ranked pair stream not cached/reused:\n${p.take(1800)}")
   }
 
+  test("gate kappa: all three gates evaluate in one corpus scan") {
+    val p = plan(CurationOps.gateKappa(spark, dir))
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"gates re-scan the corpus:\n${p.take(1800)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"agreement audit shuffles row data:\n${p.take(1800)}")
+  }
+
   test("ivf balance: centroids broadcast into the one assignment pass") {
     val p = plan(SimilarityOps.ivfBalance(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") ||
