@@ -212,6 +212,7 @@ object SparkEntry {
     "q192_rrf_fusion"        -> (MlPrepOps.rrfFusion _),
     "q193_ivf_balance"       -> (SimilarityOps.ivfBalance _),
     "q194_gate_kappa"        -> (CurationOps.gateKappa _),
+    "q195_calibration"       -> (MixtureOps.calibrationAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -687,6 +688,7 @@ object SparkEntry {
     "q192_rrf_fusion" -> MlPrepOps.rrfFusionOracle,
     "q193_ivf_balance" -> SimilarityOps.ivfBalanceOracle,
     "q194_gate_kappa" -> CurationOps.gateKappaOracle,
+    "q195_calibration" -> MixtureOps.calibrationAuditOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -101,6 +101,118 @@ object MixtureOps {
        |FROM sc GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // --- q195: classifier calibration audit (reliability diagram + ECE) ----
+
+  /** Reliability-diagram bin count. */
+  val CalBins = 10
+
+  /** q195 — calibration audit of the q129 quality classifier against
+    * the q104 rule stack as reference labels: documents bin by their
+    * min–max-normalized logit ([[CalBins]] equal-width bins — the q87
+    * two-pass shape, no global sort), and each bin reports mean
+    * confidence vs observed pass rate plus the expected calibration
+    * error Σ n_b·|acc_b − conf_b|/N. The reliability diagram a curation
+    * team reads before trusting classifier scores as probabilities —
+    * κ (q194) says the gates agree, THIS says whether the score's
+    * magnitude means anything.
+    *
+    * Parity: logits are exact integers, so bin ids, per-bin logit sums
+    * and pass counts are exact; conf/acc are divisions over integers in
+    * one fixed order; each bin's ECE term freezes to ×1e9 fixed point
+    * before the 10-row sum.
+    *
+    * Scale (100 TB): two corpus passes (global min/max broadcast, then
+    * bin + aggregate) — both collapse map-side; everything after is
+    * [[CalBins]] rows. */
+  def calibrationAudit(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(
+      logitOf.as("logit"),
+      graft.operators.TrainPrepOps.gopherPassOf(col("text")).as("pass"))
+      .persist()
+    val st = base.agg(min(col("logit")).as("lmin"),
+      max(col("logit")).as("lmax"), count(lit(1)).as("n_all"))
+    val binned = base.crossJoin(broadcast(st))
+      .withColumn("bin",
+        least(lit(CalBins - 1L), floor(
+          (col("logit") - col("lmin")).cast("double") * CalBins /
+            (col("lmax") - col("lmin")).cast("double")).cast("long")))
+    val perBin = binned.groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("logit")).as("logit_sum"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        first(col("lmin")).as("lmin"), first(col("lmax")).as("lmax"),
+        first(col("n_all")).as("n_all"))
+    val conf = (col("logit_sum") - col("n_docs") * col("lmin"))
+      .cast("double") /
+      (col("lmax") - col("lmin")).cast("double") /
+      col("n_docs").cast("double")
+    val acc = col("n_pass").cast("double") / col("n_docs").cast("double")
+    val w = Window.partitionBy()
+    perBin
+      .withColumn("gap_fp",
+        floor(abs(acc - conf) * lit(1e9)).cast("long") * col("n_docs"))
+      .withColumn("ece",
+        round(sum(col("gap_fp")).over(w).cast("double") / lit(1e9) /
+          col("n_all").cast("double"), 6))
+      .select(col("bin"), col("n_docs"), col("n_pass"),
+        round(conf, 6).as("mean_conf"), round(acc, 6).as("pass_rate"),
+        round(abs(acc - conf), 6).as("gap"), col("ece"))
+      .orderBy("bin")
+  }
+
+  def calibrationAuditOracle: String = {
+    val wSql =
+      s"CAST('0x' || substr(md5('wgt' || CAST(" +
+        s"CAST('0x' || substr(md5('clf' || w), 1, 15) AS BIGINT)" +
+        s" % $ClfBuckets AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000"
+    val gopher =
+      s"""len(string_split_regex(trim(text), '\\s+')) >= 10
+         |  AND len(string_split_regex(trim(text), '\\s+')) <= 100000
+         |  AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |    / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) >= 3.0
+         |  AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |    / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) <= 10.0
+         |  AND CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) < 0.1
+         |  AND len(regexp_extract_all(text, '\\b(the|and|of|to|in|is|you|that)\\b')) >= 2""".stripMargin
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |lg AS (SELECT doc_id, CAST(sum($wSql) AS BIGINT) AS logit
+       |  FROM tok GROUP BY doc_id),
+       |base AS (SELECT lg.logit, ($gopher) AS pass
+       |  FROM documents JOIN lg USING (doc_id)),
+       |st AS (SELECT min(logit) AS lmin, max(logit) AS lmax,
+       |    count(*) AS n_all FROM base),
+       |binned AS (SELECT logit, pass,
+       |    least(${CalBins - 1},
+       |      CAST(floor(CAST(logit - lmin AS DOUBLE) * $CalBins
+       |        / CAST(lmax - lmin AS DOUBLE)) AS BIGINT)) AS bin,
+       |    lmin, lmax, n_all
+       |  FROM base CROSS JOIN st),
+       |per_bin AS (SELECT bin, count(*) AS n_docs,
+       |    CAST(sum(logit) AS BIGINT) AS logit_sum,
+       |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |    any_value(lmin) AS lmin, any_value(lmax) AS lmax,
+       |    any_value(n_all) AS n_all
+       |  FROM binned GROUP BY bin),
+       |g AS (SELECT *,
+       |    CAST(logit_sum - n_docs * lmin AS DOUBLE)
+       |      / CAST(lmax - lmin AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |      AS conf,
+       |    CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) AS acc
+       |  FROM per_bin),
+       |g2 AS (SELECT *,
+       |    CAST(floor(abs(acc - conf) * 1000000000.0) AS BIGINT) * n_docs
+       |      AS gap_fp
+       |  FROM g)
+       |SELECT bin, n_docs, n_pass,
+       |  round(conf, 6) AS mean_conf,
+       |  round(acc, 6) AS pass_rate,
+       |  round(abs(acc - conf), 6) AS gap,
+       |  round(CAST(sum(gap_fp) OVER () AS DOUBLE) / 1000000000.0
+       |    / CAST(n_all AS DOUBLE), 6) AS ece
+       |FROM g2 ORDER BY bin""".stripMargin
+  }
+
   // --- q130: temperature-scaled source balancing ------------------------
 
   /** q130 — temperature-scaled source sampling (the multilingual

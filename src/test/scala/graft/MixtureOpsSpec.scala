@@ -271,4 +271,45 @@ class MixtureOpsSpec extends AnyFunSuite {
     assert(b - mass(lo) == un.count(_._4 == lo + 1),
       "remainder chars misallocated")
   }
+
+  test("q195 calibration audit matches a driver-side reliability reference") {
+    import org.apache.spark.sql.functions._
+    val got = MixtureOps.calibrationAudit(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val docs = graft.operators.EtlOps.t(spark, dir, "documents").select(
+      MixtureOps.logitOf.as("logit"),
+      graft.operators.TrainPrepOps.gopherPassOf(col("text")).as("pass"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val (lmin, lmax) = (docs.map(_._1).min, docs.map(_._1).max)
+    val binned = docs.map { case (lg, p) =>
+      (math.min(MixtureOps.CalBins - 1L, math.floor(
+        (lg - lmin).toDouble * MixtureOps.CalBins / (lmax - lmin)).toLong),
+        lg, p)
+    }
+    assert(got.values.map(_._1).sum == docs.length,
+      "bins must partition the corpus")
+    var eceFp = 0L
+    val ref = binned.groupBy(_._1).map { case (b, xs) =>
+      val n = xs.size.toLong
+      val conf = (xs.map(_._2).sum - n * lmin).toDouble / (lmax - lmin) / n
+      val acc = xs.count(_._3).toDouble / n
+      eceFp += math.floor(math.abs(acc - conf) * 1e9).toLong * n
+      b -> (n, xs.count(_._3).toLong, conf, acc)
+    }
+    assert(got.keySet == ref.keySet)
+    ref.foreach { case (b, (n, np, conf, acc)) =>
+      val (gn, gnp, gconf, gacc, ggap, _) = got(b)
+      assert(gn == n && gnp == np)
+      assert(math.abs(gconf - conf) <= 6e-7, s"bin $b conf")
+      assert(math.abs(gacc - acc) <= 6e-7)
+      assert(math.abs(ggap - math.abs(acc - conf)) <= 6e-7)
+    }
+    val wantEce = eceFp.toDouble / 1e9 / docs.length
+    got.values.foreach(v => assert(math.abs(v._6 - wantEce) <= 6e-7))
+    // the diagram must be informative: several populated bins, and the
+    // classifier is NOT perfectly calibrated against the rule stack
+    assert(got.size >= 5, s"only ${got.size} bins populated")
+    assert(wantEce > 0.01, "ECE ~ 0 — calibration audit exercises nothing")
+  }
 }

@@ -480,6 +480,16 @@ class PlanPropsSpec extends AnyFunSuite {
       s"ranked pair stream not cached/reused:\n${p.take(1800)}")
   }
 
+  test("calibration audit: min/max broadcast back; no corpus shuffle") {
+    val p = plan(MixtureOps.calibrationAudit(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"logit stats not broadcast:\n${p.take(1800)}")
+    assert(!p.contains("Exchange hashpartitioning") ||
+      "Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"row data shuffles beyond the bin aggregate:\n${p.take(1800)}")
+  }
+
   test("gate kappa: all three gates evaluate in one corpus scan") {
     val p = plan(CurationOps.gateKappa(spark, dir))
     assert("Scan parquet".r.findAllIn(p).length == 1,
