@@ -213,6 +213,7 @@ object SparkEntry {
     "q193_ivf_balance"       -> (SimilarityOps.ivfBalance _),
     "q194_gate_kappa"        -> (CurationOps.gateKappa _),
     "q195_calibration"       -> (MixtureOps.calibrationAudit _),
+    "q196_threshold_curve"   -> (DedupOps.thresholdCurve _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -689,6 +690,7 @@ object SparkEntry {
     "q193_ivf_balance" -> SimilarityOps.ivfBalanceOracle,
     "q194_gate_kappa" -> CurationOps.gateKappaOracle,
     "q195_calibration" -> MixtureOps.calibrationAuditOracle,
+    "q196_threshold_curve" -> OracleGen.q196ThresholdCurve,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -671,6 +671,13 @@ object DedupOps {
     * corpus — q31 with `bucketCap = None`, q118 with the cap; the spec
     * also drives it with synthetically duplicated corpora. */
   private[graft] def minhashLshOf(corpus: DataFrame,
+      bucketCap: Option[Int], shOpt: Option[DataFrame] = None): DataFrame =
+    minhashVerified(corpus, bucketCap, shOpt)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  private[graft] def minhashVerified(corpus: DataFrame,
       bucketCap: Option[Int], shOpt: Option[DataFrame] = None): DataFrame = {
     val sh = shOpt.getOrElse(shared(shingles(corpus)))
     val sigs = shared(minhashSignatures(sh))
@@ -698,9 +705,51 @@ object DedupOps {
     inter
       .withColumn("jaccard",
         col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= 0.5)
+  }
+
+
+  // --- q196: dedup threshold sensitivity curve ---------------------------
+
+  /** Thresholds swept by the sensitivity curve. */
+  val DedupThresholds = Seq(0.5, 0.6, 0.7, 0.8, 0.9)
+
+  /** q196 — dedup threshold sensitivity: the q118 production candidate
+    * stream (capped LSH, exact Jaccard verified, UNthresholded via
+    * [[minhashVerified]]) swept across [[DedupThresholds]], reporting
+    * per threshold the surviving pair count, the documents a greedy
+    * keep-smallest-id pass would drop (distinct doc_b — the pairwise
+    * upper bound; transitive closure is q59's job) and the corpus drop
+    * fraction. THE evidence for choosing the dedup threshold: one run
+    * prices every candidate τ instead of re-running dedup per setting.
+    *
+    * Parity: pair/doc counts are integers; jaccard and the τ literals
+    * are identical doubles in both engines, so the ≥ comparisons agree
+    * bit-for-bit; drop_frac is one division.
+    *
+    * Scale (100 TB): the expensive part (candidates + verification) is
+    * paid ONCE — exactly q118's cost; the sweep multiplies only the
+    * verified pair stream (candidate-bounded) by |thresholds|. */
+  def thresholdCurve(s: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusNear(s, dir)
+    val pairs = minhashVerified(corpus, Some(LshBucketCap))
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    val nC = corpus.agg(count(lit(1)).as("n_corpus"))
+    val thr = s.createDataFrame(DedupThresholds.map(Tuple1(_)))
+      .toDF("threshold")
+    val agg = pairs.crossJoin(broadcast(thr))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_b")).as("n_docs_dropped"))
+    broadcast(thr).join(agg, Seq("threshold"), "left")
+      .crossJoin(broadcast(nC))
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"),
+        col("n_corpus"),
+        round(coalesce(col("n_docs_dropped"), lit(0L)).cast("double") /
+          col("n_corpus").cast("double"), 6).as("drop_frac"))
+      .orderBy("threshold")
   }
 
   // --- q161: incremental near-dup vs a standing LSH index ----------------

@@ -122,6 +122,40 @@ object OracleGen {
 
   val q118CappedLsh: String = minhashLshSql(Some(DedupOps.LshBucketCap))
 
+  /** q196 (mirrors DedupOps.thresholdCurve): q118's capped verified
+    * candidate stream, UNthresholded, swept across the τ grid. */
+  val q196ThresholdCurve: String = {
+    val thrList = DedupOps.DedupThresholds.mkString("[", ", ", "]")
+    s"""WITH ${lshCandCtes(Some(DedupOps.LshBucketCap))},
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (
+       |  SELECT doc_a, doc_b,
+       |    n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b),
+       |cj AS MATERIALIZED (SELECT j.* FROM jac j
+       |  JOIN cand USING (doc_a, doc_b)),
+       |thr AS (SELECT unnest(CAST($thrList AS DOUBLE[])) AS threshold),
+       |agg AS (SELECT t.threshold, count(*) AS n_pairs,
+       |    count(DISTINCT cj.doc_b) AS n_docs_dropped
+       |  FROM thr t JOIN cj ON cj.jaccard >= t.threshold
+       |  GROUP BY t.threshold),
+       |nc AS (SELECT count(*) AS n_corpus FROM corpus)
+       |SELECT t.threshold,
+       |  CAST(coalesce(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+       |  CAST(coalesce(a.n_docs_dropped, 0) AS BIGINT) AS n_docs_dropped,
+       |  nc.n_corpus,
+       |  round(CAST(coalesce(a.n_docs_dropped, 0) AS DOUBLE)
+       |    / CAST(nc.n_corpus AS DOUBLE), 6) AS drop_frac
+       |FROM thr t LEFT JOIN agg a USING (threshold) CROSS JOIN nc
+       |ORDER BY threshold""".stripMargin
+  }
+
   /** q154 (mirrors DedupOps.lshCalibration — CAPPED candidate set over
     * the graded-similarity [[CorpusSpread]] corpus). */
   val q154LshCalibration: String = {

@@ -43,6 +43,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"LSH recall $recall too low")
   }
 
+  test("q196 threshold curve reconciles with per-threshold q118 reruns") {
+    import graft.operators.DedupOps
+    val got = DedupOps.thresholdCurve(spark, dir).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(got.keySet == DedupOps.DedupThresholds.toSet)
+    // the unthresholded verified stream, collected once
+    val pairs = DedupOps.minhashVerified(
+        DedupOps.corpusNear(spark, dir), Some(DedupOps.LshBucketCap))
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nCorpus = DedupOps.corpusNear(spark, dir).count()
+    DedupOps.DedupThresholds.foreach { t =>
+      val surv = pairs.filter(_._3 >= t)
+      val (np, nd, nc, frac) = got(t)
+      assert(np == surv.length, s"tau=$t pairs")
+      assert(nd == surv.map(_._2).distinct.length, s"tau=$t drops")
+      assert(nc == nCorpus)
+      assert(math.abs(frac - nd.toDouble / nCorpus) <= 5e-7)
+    }
+    // the curve at 0.5 must agree with the production q118 output
+    assert(got(0.5)._1 ==
+      DedupOps.minhashLshCapped(spark, dir).count())
+    // the sweep must be a real curve: strictly fewer survivors at the
+    // top threshold than the bottom
+    assert(got(0.9)._1 < got(0.5)._1, "flat curve — sweep exercises nothing")
+  }
+
   test("q118 capped LSH: no-op cap ≡ q31; hot-bucket cap keeps candidates linear under duplication") {
     import org.apache.spark.sql.functions._
     // (a) refactor equivalence: a cap no bucket reaches is exactly q31

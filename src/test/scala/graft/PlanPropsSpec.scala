@@ -480,6 +480,17 @@ class PlanPropsSpec extends AnyFunSuite {
       s"ranked pair stream not cached/reused:\n${p.take(1800)}")
   }
 
+  test("threshold curve: candidates come from the CAPPED band stream; sweep is broadcast") {
+    val p = plan(DedupOps.thresholdCurve(spark, dir))
+    // the hot-bucket cap's bucket-size window must be in the plan —
+    // the sweep may not bypass the production guard
+    assert(p.contains("band_hash"),
+      s"curve lost the banded candidate machinery:\n${p.take(1800)}")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"threshold grid not broadcast:\n${p.take(1800)}")
+  }
+
   test("calibration audit: min/max broadcast back; no corpus shuffle") {
     val p = plan(MixtureOps.calibrationAudit(spark, dir))
     assert(p.contains("BroadcastNestedLoopJoin") ||
