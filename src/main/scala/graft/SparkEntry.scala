@@ -214,6 +214,7 @@ object SparkEntry {
     "q194_gate_kappa"        -> (CurationOps.gateKappa _),
     "q195_calibration"       -> (MixtureOps.calibrationAudit _),
     "q196_threshold_curve"   -> (DedupOps.thresholdCurve _),
+    "q197_watermark_audit"   -> (TimeSeriesOps.watermarkAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -691,6 +692,7 @@ object SparkEntry {
     "q194_gate_kappa" -> CurationOps.gateKappaOracle,
     "q195_calibration" -> MixtureOps.calibrationAuditOracle,
     "q196_threshold_curve" -> OracleGen.q196ThresholdCurve,
+    "q197_watermark_audit" -> TimeSeriesOps.watermarkAuditOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

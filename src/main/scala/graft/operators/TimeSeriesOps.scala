@@ -310,4 +310,103 @@ object TimeSeriesOps {
        |FROM tot t LEFT JOIN agg a USING (event_type)
        |  LEFT JOIN cur USING (event_type)
        |ORDER BY t.event_type""".stripMargin
+
+  // --- q197: watermark-delay sensitivity audit ---------------------------
+
+  /** Candidate `withWatermark` delays (seconds) swept by the audit. */
+  val WmDelaysSec = Seq(0L, 300L, 1800L, 7200L, 21600L)
+
+  /** Bucket width (arrival positions) for the two-phase prefix max. */
+  val WmBucket = 512L
+
+  /** q197 — watermark-delay sensitivity: per candidate watermark delay,
+    * how many events a `withWatermark(D)` pipeline would DROP, measured
+    * from each event's lateness against the running max event time in
+    * arrival order — exactly Spark's watermark semantics (event dropped
+    * iff ts < max-event-time-seen − D). The fixture stream arrives
+    * in order, so a deterministic in-query arrival permutation (the
+    * q191 planting pattern) delays every 7th/13th/17th event by
+    * 2/10/40 positions (~9 min / 43 min / 2.9 h at the stream's
+    * cadence), giving the curve real mass at every delay tier. The
+    * measurement that turns "pick 10 minutes?" into an evidence-based
+    * completeness-vs-latency trade.
+    *
+    * Parity: timestamps are exact micros integers; the prefix max, the
+    * lateness and every drop count are integer arithmetic; drop_frac is
+    * the one division.
+    *
+    * Scale (100 TB): the running max is two-phase — a per-bucket
+    * window (parallel across [[WmBucket]]-wide arrival ranges) plus a
+    * bucket-level prefix over |stream|/[[WmBucket]] rows (the q105
+    * tiny-frame window); the delay sweep multiplies only the slim
+    * (lateness) column stream by |delays|. */
+  def watermarkAudit(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.events(s, dir).select(col("event_id"),
+      unix_micros(col("ts")).as("ts_us"))
+      .withColumn("arr", col("event_id") +
+        when(col("event_id") % 17 === 0, 40L)
+          .when(col("event_id") % 13 === 0, 10L)
+          .when(col("event_id") % 7 === 0, 2L).otherwise(0L))
+      .withColumn("bucket", floor(col("arr") / WmBucket).cast("long"))
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bmax = ev.groupBy("bucket").agg(max(col("ts_us")).as("bts"))
+    val wPrev = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prev = bmax.withColumn("prev_max", max(col("bts")).over(wPrev))
+      .select(col("bucket"), col("prev_max"))
+    val late = ev.join(broadcast(prev), Seq("bucket"))
+      .withColumn("prefix_max",
+        greatest(coalesce(max(col("ts_us")).over(wIn), col("ts_us")),
+          coalesce(col("prev_max"), col("ts_us"))))
+      .select(col("event_id"),
+        greatest(lit(0L), col("prefix_max") - col("ts_us"))
+          .as("lateness_us"))
+    val delays = s.createDataFrame(WmDelaysSec.map(Tuple1(_)))
+      .toDF("delay_s")
+    late.crossJoin(broadcast(delays))
+      .groupBy("delay_s")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("lateness_us") > col("delay_s") * 1000000L, 1L)
+          .otherwise(0L)).as("n_dropped"))
+      .select(col("delay_s"), col("n_events"), col("n_dropped"),
+        round(col("n_dropped").cast("double") /
+          col("n_events").cast("double"), 6).as("drop_frac"))
+      .orderBy("delay_s")
+  }
+
+  def watermarkAuditOracle: String = {
+    val delayList = WmDelaysSec.mkString("[", ", ", "]")
+    s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us,
+       |    event_id + CASE WHEN event_id % 17 = 0 THEN 40
+       |      WHEN event_id % 13 = 0 THEN 10
+       |      WHEN event_id % 7 = 0 THEN 2 ELSE 0 END AS arr
+       |  FROM events),
+       |eb AS (SELECT *, CAST(floor(CAST(arr AS DOUBLE) / $WmBucket)
+       |    AS BIGINT) AS bucket FROM ev),
+       |bmax AS (SELECT bucket, max(ts_us) AS bts FROM eb GROUP BY bucket),
+       |prev AS (SELECT bucket, max(bts) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |  FROM bmax),
+       |late AS (SELECT eb.event_id,
+       |    greatest(CAST(0 AS BIGINT),
+       |      greatest(
+       |        coalesce(max(eb.ts_us) OVER (PARTITION BY eb.bucket
+       |          ORDER BY eb.arr, eb.event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |          eb.ts_us),
+       |        coalesce(prev.prev_max, eb.ts_us)) - eb.ts_us)
+       |      AS lateness_us
+       |  FROM eb JOIN prev USING (bucket)),
+       |delays AS (SELECT unnest(CAST($delayList AS BIGINT[])) AS delay_s)
+       |SELECT d.delay_s, count(*) AS n_events,
+       |  CAST(sum(CASE WHEN l.lateness_us > d.delay_s * 1000000
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  round(CAST(sum(CASE WHEN l.lateness_us > d.delay_s * 1000000
+       |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS drop_frac
+       |FROM late l CROSS JOIN delays d
+       |GROUP BY d.delay_s ORDER BY d.delay_s""".stripMargin
+  }
 }

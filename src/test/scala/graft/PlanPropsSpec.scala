@@ -480,6 +480,12 @@ class PlanPropsSpec extends AnyFunSuite {
       s"ranked pair stream not cached/reused:\n${p.take(1800)}")
   }
 
+  test("watermark audit: running max is two-phase — stream window partitions by bucket") {
+    val p = plan(TimeSeriesOps.watermarkAudit(spark, dir))
+    assert(p.contains("hashpartitioning(bucket"),
+      s"event-stream window not bucket-parallel:\n${p.take(1800)}")
+  }
+
   test("threshold curve: candidates come from the CAPPED band stream; sweep is broadcast") {
     val p = plan(DedupOps.thresholdCurve(spark, dir))
     // the hot-bucket cap's bucket-size window must be in the plan —

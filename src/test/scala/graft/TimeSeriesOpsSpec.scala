@@ -441,6 +441,43 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     assert(got.values.exists(_._2 > 0), "no relevant docs retrieved at all")
   }
 
+  test("q197 watermark audit matches a sequential running-max reference") {
+    val got = TimeSeriesOps.watermarkAudit(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got.keySet == TimeSeriesOps.WmDelaysSec.toSet)
+    // sequential reference: same permutation, one running max
+    val ev = EtlOps.events(spark, dir)
+      .selectExpr("event_id", "unix_micros(ts) AS ts_us").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val bump = if (id % 17 == 0) 40L else if (id % 13 == 0) 10L
+          else if (id % 7 == 0) 2L else 0L
+        (id + bump, id, r.getLong(1))
+      }.sortBy(t => (t._1, t._2))
+    var runMax = Long.MinValue
+    val lateness = ev.map { case (_, _, ts) =>
+      val l = if (runMax == Long.MinValue) 0L else math.max(0L, runMax - ts)
+      runMax = math.max(runMax, ts)
+      l
+    }
+    TimeSeriesOps.WmDelaysSec.foreach { d =>
+      val dropped = lateness.count(_ > d * 1000000L).toLong
+      val (n, nd, frac) = got(d)
+      assert(n == ev.length)
+      assert(nd == dropped, s"delay $d: got $nd want $dropped")
+      assert(math.abs(frac - dropped.toDouble / n) <= 5e-7)
+    }
+    // the curve must be a real completeness-vs-latency trade
+    val drops = TimeSeriesOps.WmDelaysSec.map(got(_)._2)
+    assert(drops.zip(drops.tail).forall { case (a, b) => a >= b },
+      "drop counts must be non-increasing in delay")
+    assert(drops.head > 0, "no late events planted — audit vacuous")
+    // the sweep must trade completeness for latency somewhere (the
+    // absolute tail depends on the stream cadence, which scales with sf)
+    assert(drops.last < drops.head, "flat curve — sweep exercises nothing")
+  }
+
   test("q192 rrf fusion reconciles with its two input rankings") {
     import graft.operators.MlPrepOps
     val got = MlPrepOps.rrfFusion(spark, dir).collect()
