@@ -215,6 +215,7 @@ object SparkEntry {
     "q195_calibration"       -> (MixtureOps.calibrationAudit _),
     "q196_threshold_curve"   -> (DedupOps.thresholdCurve _),
     "q197_watermark_audit"   -> (TimeSeriesOps.watermarkAudit _),
+    "q198_pq_audit"          -> (SimilarityOps.pqAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -693,6 +694,7 @@ object SparkEntry {
     "q195_calibration" -> MixtureOps.calibrationAuditOracle,
     "q196_threshold_curve" -> OracleGen.q196ThresholdCurve,
     "q197_watermark_audit" -> TimeSeriesOps.watermarkAuditOracle,
+    "q198_pq_audit" -> SimilarityOps.pqAuditOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

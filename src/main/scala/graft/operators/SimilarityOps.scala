@@ -525,6 +525,113 @@ object SimilarityOps {
        |FROM lists l CROSS JOIN tot t
        |ORDER BY l.cent_id""".stripMargin
 
+  // --- q198: product-quantization distortion audit ------------------------
+
+  /** PQ geometry: [[PqM]] subspaces of [[PqSubDim]] dims, [[PqK]]
+    * codewords per subspace (codebook = the deterministic vec_id < K
+    * sample, the q43/q79 stand-in for a trained codebook). */
+  val PqM = 8
+  val PqSubDim: Int = VecSql.Dims / PqM
+  val PqK = 16
+
+  /** q198 — product-quantization audit (Jégou et al. 2011): every
+    * vector splits into [[PqM]] subvectors, each assigned its nearest
+    * codeword by exact squared L2 (codeword-id tie-break); per
+    * subspace the audit reports codebook USAGE (codes used, hottest
+    * code's share — dead codewords and collapsed assignments are how
+    * PQ indexes silently lose recall) and DISTORTION (mean/max squared
+    * error). The measurement behind "is 32× compression safe for this
+    * corpus" — q54's scalar-quantization twin at the subspace level.
+    *
+    * Parity: squared-L2 chains are generated left-associated in both
+    * engines; assignments compare exact doubles; per-subspace error
+    * means freeze each error to ×1e9 fixed point before the integer
+    * sum; counts/shares are integers + one division.
+    *
+    * Scale (100 TB): the codebook is [[PqM]]·[[PqK]] rows broadcast;
+    * each vector meets exactly [[PqK]] candidates per subspace
+    * (corpus × M·K bounded, the q43 assignment shape); everything
+    * after the argmin window is |M·K|-sized. */
+  def pqAudit(s: SparkSession, dir: String): DataFrame = {
+    val v = baseVectors(s, dir)
+    def sub(c: String, m: Int) =
+      s"slice($c, ${m * PqSubDim + 1}, $PqSubDim)"
+    val subs = (0 until PqM).map(m =>
+      struct(lit(m).as("m"), expr(sub("emb", m)).as("sv")))
+    val vecSub = v.select(col("vec_id"), explode(array(subs: _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+    val cb = v.filter(col("vec_id") < PqK)
+      .select(col("vec_id").as("code"),
+        explode(array(subs: _*)).as("s"))
+      .select(col("code"), col("s.m").as("m"), col("s.sv").as("cv"))
+    val sq = (1 to PqSubDim).map(j =>
+      s"(element_at(sv, $j) - element_at(cv, $j)) * " +
+        s"(element_at(sv, $j) - element_at(cv, $j))").mkString(" + ")
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("sqerr"), col("code"))
+    val assigned = vecSub.join(broadcast(cb), Seq("m"))
+      .withColumn("sqerr", expr(sq))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val perCode = assigned.groupBy("m", "code")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("sqerr") * lit(1e9)).cast("long")).as("err_fp"),
+        max(col("sqerr")).as("mx"))
+    perCode.groupBy("m")
+      .agg(sum(col("n")).as("n_vecs"),
+        count(lit(1)).as("n_codes_used"),
+        max(col("n")).as("hot_n"),
+        sum(col("err_fp")).as("err_fp"),
+        max(col("mx")).as("max_sqerr"))
+      .select(col("m").cast("bigint").as("subspace"), col("n_vecs"),
+        col("n_codes_used"),
+        round(col("hot_n").cast("double") /
+          col("n_vecs").cast("double"), 6).as("top_code_share"),
+        round(col("err_fp").cast("double") / lit(1e9) /
+          col("n_vecs").cast("double"), 6).as("mean_sqerr"),
+        round(col("max_sqerr"), 6).as("max_sqerr"))
+      .orderBy("subspace")
+  }
+
+  def pqAuditOracle: String = {
+    def sub(c: String, m: Int) =
+      s"list_slice($c, ${m * PqSubDim + 1}, ${(m + 1) * PqSubDim})"
+    val subSel = (0 until PqM).map(m =>
+      s"SELECT vec_id, $m AS m, ${sub("emb", m)} AS sv FROM v")
+      .mkString("\nUNION ALL ")
+    val cbSel = (0 until PqM).map(m =>
+      s"SELECT vec_id AS code, $m AS m, ${sub("emb", m)} AS cv " +
+        s"FROM v WHERE vec_id < $PqK")
+      .mkString("\nUNION ALL ")
+    val sq = (1 to PqSubDim).map(j =>
+      s"(sv[$j] - cv[$j]) * (sv[$j] - cv[$j])").mkString(" + ")
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |vs AS MATERIALIZED ($subSel),
+       |cb AS MATERIALIZED ($cbSel),
+       |cand AS (SELECT vs.vec_id, vs.m, cb.code, ($sq) AS sqerr
+       |  FROM vs JOIN cb USING (m)),
+       |assigned AS (SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY sqerr, code) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |per_code AS (SELECT m, code, count(*) AS n,
+       |    CAST(sum(CAST(floor(sqerr * 1000000000.0) AS BIGINT))
+       |      AS BIGINT) AS err_fp,
+       |    max(sqerr) AS mx
+       |  FROM assigned GROUP BY m, code)
+       |SELECT CAST(m AS BIGINT) AS subspace,
+       |  CAST(sum(n) AS BIGINT) AS n_vecs,
+       |  count(*) AS n_codes_used,
+       |  round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+       |    AS top_code_share,
+       |  round(CAST(sum(err_fp) AS DOUBLE) / 1000000000.0
+       |    / CAST(sum(n) AS DOUBLE), 6) AS mean_sqerr,
+       |  round(max(mx), 6) AS max_sqerr
+       |FROM per_code GROUP BY m ORDER BY subspace""".stripMargin
+  }
+
   // --- q189: matryoshka (MRL) truncation audit ---------------------------
 
   /** Prefix widths audited (full width last — its row is the identity

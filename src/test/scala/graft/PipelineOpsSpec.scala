@@ -492,6 +492,43 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q198 pq audit matches a driver-side subspace-argmin reference") {
+    val got = SimilarityOps.pqAudit(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.keySet == (0 until SimilarityOps.PqM).map(_.toLong).toSet)
+    val vs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val d = SimilarityOps.PqSubDim
+    def sq(a: Array[Double], b: Array[Double], off: Int): Double = {
+      var s = 0.0; var j = 0
+      while (j < d) {
+        val t = a(off + j) - b(off + j); s += t * t; j += 1
+      }; s
+    }
+    (0 until SimilarityOps.PqM).foreach { m =>
+      val off = m * d
+      val assigns = vs.toSeq.map { case (_, e) =>
+        (0L until SimilarityOps.PqK.toLong).map(c =>
+          (sq(e, vs(c), off), c)).min
+      }
+      val byCode = assigns.groupBy(_._2)
+      val (nv, used, share, meanErr, maxErr) = got(m.toLong)
+      assert(nv == vs.size)
+      assert(used == byCode.size.toLong, s"subspace $m codes used")
+      assert(math.abs(share -
+        byCode.values.map(_.size).max.toDouble / vs.size) <= 5e-7)
+      val wantMean = assigns
+        .map(t => math.floor(t._1 * 1e9).toLong).sum.toDouble / 1e9 / vs.size
+      assert(math.abs(meanErr - wantMean) <= 6e-7, s"subspace $m mean err")
+      assert(math.abs(maxErr - assigns.map(_._1).max) <= 6e-7)
+      // distortion must be nonzero for non-codebook vectors, and the
+      // codebook cannot be fully dead
+      assert(meanErr > 0.0 && used >= 2)
+    }
+  }
+
   test("q193 ivf balance: sizes conserve the corpus, stats reconcile") {
     val got = SimilarityOps.ivfBalance(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),

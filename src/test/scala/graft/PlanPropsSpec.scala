@@ -480,6 +480,14 @@ class PlanPropsSpec extends AnyFunSuite {
       s"ranked pair stream not cached/reused:\n${p.take(1800)}")
   }
 
+  test("pq audit: codebook broadcasts; candidate stream is M*K-bounded per vector") {
+    val p = plan(SimilarityOps.pqAudit(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"codebook not broadcast:\n${p.take(1800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"assignment joined corpus-sized sides:\n${p.take(1800)}")
+  }
+
   test("watermark audit: running max is two-phase — stream window partitions by bucket") {
     val p = plan(TimeSeriesOps.watermarkAudit(spark, dir))
     assert(p.contains("hashpartitioning(bucket"),
