@@ -216,6 +216,8 @@ object SparkEntry {
     "q196_threshold_curve"   -> (DedupOps.thresholdCurve _),
     "q197_watermark_audit"   -> (TimeSeriesOps.watermarkAudit _),
     "q198_pq_audit"          -> (SimilarityOps.pqAudit _),
+    "q199_deletion_impact"   -> (ProfileOps.deletionImpact _),
+    "q200_ab_test"           -> (AnalyticsOps.abTest _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -695,6 +697,8 @@ object SparkEntry {
     "q196_threshold_curve" -> OracleGen.q196ThresholdCurve,
     "q197_watermark_audit" -> TimeSeriesOps.watermarkAuditOracle,
     "q198_pq_audit" -> SimilarityOps.pqAuditOracle,
+    "q199_deletion_impact" -> ProfileOps.deletionImpactOracle,
+    "q200_ab_test" -> AnalyticsOps.abTestOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

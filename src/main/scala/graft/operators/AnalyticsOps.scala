@@ -510,4 +510,110 @@ object AnalyticsOps {
        |       WHEN rel > $LmBandHi THEN 'head'
        |       ELSE 'middle' END AS band
        |FROM sc ORDER BY doc_id""".stripMargin
+
+  // --- q200: A/B experiment analysis (two-proportion z-test) -------------
+
+  /** Two-sided 95% critical value for the z-test. */
+  val AbZCrit = 1.959964
+
+  /** Conversion definition: an event of the metric type with value
+    * above this (the "high-value action"; reach alone is saturated —
+    * every user touches every type in the fixture, p = 1, se = 0). */
+  val AbConvValue = 100.0
+
+  /** q200 — A/B experiment readout: users split into variants by a
+    * deterministic id hash (user_id mod 2 — the assignment a real
+    * experiment platform computes from a salted hash), and for every
+    * event type as a conversion metric the audit reports per-variant
+    * reach, conversion rates, the pooled two-proportion z statistic
+    * and the 95% verdict. The analysis step every event pipeline
+    * terminates in; complements q158's bootstrap (nonparametric CI)
+    * with the classical closed-form test.
+    *
+    * Parity: user and conversion counts are exact integers
+    * (distinct-collapsed before any arithmetic); rates, the pooled
+    * proportion, sqrt and z are doubles computed in one fixed op
+    * order in both engines.
+    *
+    * Scale (100 TB): the event stream collapses to DISTINCT
+    * (event_type, user) pairs in one map-combinable aggregate; variant
+    * totals are a 2-row broadcast; everything after is
+    * |event_types|-sized. */
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.events(s, dir)
+    val users = ev.select(col("user_id")).distinct()
+      .select((col("user_id") % 2).as("variant"))
+      .groupBy().agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"))
+    // planted treatment effect (in-query fixture, the q191 pattern):
+    // variant B's purchase values are doubled, so exactly one metric
+    // carries a real effect and the other four are A/A negative controls
+    val eff = when(col("event_type") === "purchase",
+      col("value") * (lit(1.0) + lit(1.0) *
+        (col("user_id") % 2).cast("double")))
+      .otherwise(col("value"))
+    val conv = ev.filter(eff > AbConvValue)
+      .select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"), (col("user_id") % 2).as("variant"))
+      .groupBy("event_type").agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("conv_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val p = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double")))
+    // degenerate metrics (all or none converted) have se = 0: report
+    // z = 0 / not significant instead of an undefined statistic
+    val degenerate = (col("conv_a") + col("conv_b") === 0L) ||
+      (col("conv_a") + col("conv_b") === col("n_a") + col("n_b"))
+    val z = when(degenerate, 0.0).otherwise((pb - pa) / se)
+    conv.crossJoin(broadcast(users))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        col("conv_a"), col("conv_b"),
+        round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+        round(z, 6).as("z_score"),
+        (abs(z) > AbZCrit).as("significant"))
+      .orderBy("event_type")
+  }
+
+  def abTestOracle: String =
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |tot AS (SELECT
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_b
+       |  FROM u),
+       |cu AS (SELECT DISTINCT event_type, user_id FROM events
+       |  WHERE (CASE WHEN event_type = 'purchase'
+       |      THEN value * (1.0 + 1.0 * CAST(user_id % 2 AS DOUBLE))
+       |      ELSE value END) > $AbConvValue),
+       |conv AS (SELECT event_type,
+       |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS conv_a,
+       |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS conv_b
+       |  FROM cu GROUP BY event_type),
+       |g AS (SELECT c.*, t.n_a, t.n_b,
+       |    CAST(c.conv_a AS DOUBLE) / CAST(t.n_a AS DOUBLE) AS pa,
+       |    CAST(c.conv_b AS DOUBLE) / CAST(t.n_b AS DOUBLE) AS pb,
+       |    CAST(c.conv_a + c.conv_b AS DOUBLE)
+       |      / CAST(t.n_a + t.n_b AS DOUBLE) AS p
+       |  FROM conv c CROSS JOIN tot t),
+       |g2 AS (SELECT *,
+       |    CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+       |      THEN 0.0
+       |      ELSE (pb - pa) / sqrt(p * (1.0 - p)
+       |        * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+       |      END AS z
+       |  FROM g)
+       |SELECT event_type, n_a, n_b, conv_a, conv_b,
+       |  round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+       |  round(z, 6) AS z_score,
+       |  abs(z) > $AbZCrit AS significant
+       |FROM g2 ORDER BY event_type""".stripMargin
 }

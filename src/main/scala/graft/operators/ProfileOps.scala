@@ -324,6 +324,78 @@ object ProfileOps {
       .mkString("", "\nUNION ALL\n", "\nORDER BY fk")
   }
 
+  // --- q199: deletion-impact (right-to-be-forgotten) audit ---------------
+
+  /** Deterministic deletion cohort: every customer / user whose id is
+    * ≡ 0 mod [[DelMod]] has requested erasure. */
+  val DelMod = 97
+
+  /** q199 — deletion-impact audit: before executing a
+    * right-to-be-forgotten batch, price its blast radius — for each
+    * table, how many rows the erasure touches, following the FK
+    * cascade (customer → orders → lineitem; user → events). The
+    * compliance dry-run a warehouse executes to size the rewrite and
+    * to prove, post-deletion, that the same query returns zeros.
+    *
+    * Shape: the deletion cohort is a key-set semi-join at every hop —
+    * orders carries o_custkey directly; lineitem inherits through the
+    * DISTINCT affected order-key set (the q186 collapse-before-join
+    * rule); events matches on user_id. All integers + one rate
+    * division.
+    *
+    * Scale (100 TB): each fact table pays one scan + a semi join
+    * against a key set that is 1/[[DelMod]] of its dimension —
+    * broadcast-sized at every realistic scale; fact rows never
+    * shuffle. */
+  def deletionImpact(s: SparkSession, dir: String): DataFrame = {
+    def row(label: String, tbl: DataFrame, affected: DataFrame): DataFrame = {
+      val tot = tbl.agg(count(lit(1)).as("n_rows"))
+      val aff = affected.agg(count(lit(1)).as("n_affected"))
+      tot.crossJoin(aff)
+        .select(lit(label).as("tbl"), col("n_rows"), col("n_affected"),
+          round(col("n_affected").cast("double") /
+            col("n_rows").cast("double"), 6).as("affected_frac"))
+    }
+    val cust = t(s, dir, "customer")
+    val delCust = cust.filter(col("c_custkey") % DelMod === 0)
+      .select(col("c_custkey"))
+    val orders = t(s, dir, "orders")
+    val delOrders = orders.join(broadcast(delCust),
+      orders("o_custkey") === delCust("c_custkey"), "left_semi")
+    val delOrderKeys = delOrders.select(col("o_orderkey")).distinct()
+    val li = t(s, dir, "lineitem")
+    val delLi = li.join(broadcast(delOrderKeys),
+      li("l_orderkey") === delOrderKeys("o_orderkey"), "left_semi")
+    val ev = EtlOps.events(s, dir)
+    val delEv = ev.filter(col("user_id") % DelMod === 0)
+    row("customer", cust, delCust)
+      .unionAll(row("orders", orders, delOrders))
+      .unionAll(row("lineitem", li, delLi))
+      .unionAll(row("events", ev, delEv))
+      .orderBy("tbl")
+  }
+
+  def deletionImpactOracle: String =
+    s"""WITH delc AS (SELECT c_custkey FROM customer
+       |  WHERE c_custkey % $DelMod = 0),
+       |delo AS (SELECT o_orderkey FROM orders
+       |  WHERE o_custkey IN (SELECT c_custkey FROM delc)),
+       |rows_t AS (
+       |  SELECT 'customer' AS tbl, (SELECT count(*) FROM customer) AS n_rows,
+       |    (SELECT count(*) FROM delc) AS n_affected
+       |  UNION ALL SELECT 'orders', (SELECT count(*) FROM orders),
+       |    (SELECT count(*) FROM delo)
+       |  UNION ALL SELECT 'lineitem', (SELECT count(*) FROM lineitem),
+       |    (SELECT count(*) FROM lineitem
+       |     WHERE l_orderkey IN (SELECT o_orderkey FROM delo))
+       |  UNION ALL SELECT 'events', (SELECT count(*) FROM events),
+       |    (SELECT count(*) FROM events WHERE user_id % $DelMod = 0))
+       |SELECT tbl, CAST(n_rows AS BIGINT) AS n_rows,
+       |  CAST(n_affected AS BIGINT) AS n_affected,
+       |  round(CAST(n_affected AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+       |    AS affected_frac
+       |FROM rows_t ORDER BY tbl""".stripMargin
+
   // --- q187: declarative data-contract audit -----------------------------
 
   /** q187 — data-contract audit: a declared contract set (not-null,

@@ -640,6 +640,77 @@ class AnalyticsOpsSpec extends AnyFunSuite {
         s"(${r0.getDouble(4)}, ${r0.getDouble(5)})")
   }
 
+  test("q199 deletion impact: cascade counts reconcile table by table") {
+    import graft.operators.{EtlOps, ProfileOps}
+    val got = ProfileOps.deletionImpact(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got.keySet == Set("customer", "orders", "lineitem", "events"))
+    val delCust = EtlOps.t(spark, dir, "customer")
+      .filter(col("c_custkey") % ProfileOps.DelMod === 0)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val orders = EtlOps.t(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val delOrd = orders.filter(o => delCust.contains(o._2)).map(_._1).toSet
+    val liKeys = EtlOps.t(spark, dir, "lineitem")
+      .select("l_orderkey").collect().map(_.getLong(0))
+    val ev = EtlOps.events(spark, dir).select("user_id").collect()
+      .map(_.getLong(0))
+    def check(tbl: String, total: Long, affected: Long): Unit = {
+      val (n, a, f) = got(tbl)
+      assert(n == total && a == affected, s"$tbl: ($n, $a)")
+      assert(math.abs(f - affected.toDouble / total) <= 5e-7)
+      assert(a > 0 && a < n, s"$tbl: cohort empty or total — audit vacuous")
+    }
+    check("customer", EtlOps.t(spark, dir, "customer").count(),
+      delCust.size.toLong)
+    check("orders", orders.length.toLong, delOrd.size.toLong)
+    check("lineitem", liKeys.length.toLong,
+      liKeys.count(delOrd.contains).toLong)
+    check("events", ev.length.toLong,
+      ev.count(_ % ProfileOps.DelMod == 0).toLong)
+  }
+
+  test("q200 ab test: counts, z statistic and verdicts reconcile") {
+    import graft.operators.{AnalyticsOps, EtlOps}
+    val got = AnalyticsOps.abTest(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(7), r.getBoolean(8))).toMap
+    val ev = EtlOps.events(spark, dir)
+      .select("event_type", "user_id", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val users = ev.map(_._2).distinct
+    val (na, nb) = (users.count(_ % 2 == 0).toLong,
+      users.count(_ % 2 == 1).toLong)
+    got.foreach { case (tpe, (gna, gnb, ca, cb, z, sig)) =>
+      assert(gna == na && gnb == nb)
+      val conv = ev.filter(e => e._1 == tpe && {
+        val eff = if (tpe == "purchase")
+          e._3 * (1.0 + 1.0 * (e._2 % 2)) else e._3
+        eff > AnalyticsOps.AbConvValue
+      }).map(_._2).distinct
+      assert(ca == conv.count(_ % 2 == 0).toLong, s"$tpe conv_a")
+      assert(cb == conv.count(_ % 2 == 1).toLong, s"$tpe conv_b")
+      val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+      val p = (ca + cb).toDouble / (na + nb)
+      // mirror the operator's degenerate guard (all or none converted)
+      val wantZ = if (ca + cb == 0 || ca + cb == na + nb) 0.0
+        else (pb - pa) /
+          math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+      assert(math.abs(z - wantZ) <= 6e-7, s"$tpe z")
+      assert(sig == (math.abs(wantZ) > AnalyticsOps.AbZCrit))
+    }
+    // the planted lift must dominate (significance itself needs sf0.01
+    // sample sizes — the oracle row pins `significant = true` there):
+    // purchase carries the largest positive z of all metrics
+    val pz = got("purchase")._5
+    assert(pz > 0 && got.filter(_._1 != "purchase").values
+      .forall(v => v._5 <= pz), "planted purchase lift not dominant")
+    assert(got("purchase")._4 > got("purchase")._3,
+      "variant B must out-convert A on the lifted metric")
+  }
+
   test("q187 contract audit: counts reconcile, both outcomes exercised") {
     import graft.operators.{EtlOps, ProfileOps}
     val got = ProfileOps.contractAudit(spark, dir).collect()

@@ -480,6 +480,22 @@ class PlanPropsSpec extends AnyFunSuite {
       s"ranked pair stream not cached/reused:\n${p.take(1800)}")
   }
 
+  test("deletion impact: cascade is semi-joins against broadcast key sets") {
+    val p = plan(ProfileOps.deletionImpact(spark, dir))
+    assert("LeftSemi".r.findAllIn(p).length >= 2,
+      s"cascade lost a semi join:\n${p.take(1800)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"fact rows shuffled for the key-set probe:\n${p.take(1800)}")
+  }
+
+  test("ab test: event stream collapses to distinct pairs before any arithmetic") {
+    val p = plan(AnalyticsOps.abTest(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"variant totals joined wrong:\n${p.take(1800)}")
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"distinct collapse missing:\n${p.take(1800)}")
+  }
+
   test("pq audit: codebook broadcasts; candidate stream is M*K-bounded per vector") {
     val p = plan(SimilarityOps.pqAudit(spark, dir))
     assert(p.contains("BroadcastHashJoin"),
