@@ -218,6 +218,7 @@ object SparkEntry {
     "q198_pq_audit"          -> (SimilarityOps.pqAudit _),
     "q199_deletion_impact"   -> (ProfileOps.deletionImpact _),
     "q200_ab_test"           -> (AnalyticsOps.abTest _),
+    "q201_pareto_frontier"   -> (CurationOps.paretoFrontier _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -699,6 +700,7 @@ object SparkEntry {
     "q198_pq_audit" -> SimilarityOps.pqAuditOracle,
     "q199_deletion_impact" -> ProfileOps.deletionImpactOracle,
     "q200_ab_test" -> AnalyticsOps.abTestOracle,
+    "q201_pareto_frontier" -> CurationOps.paretoFrontierOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

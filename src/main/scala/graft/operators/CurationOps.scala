@@ -868,6 +868,100 @@ object CurationOps {
        |    AS BIGINT) AS priority
        |FROM documents ORDER BY priority LIMIT $ReservoirK""".stripMargin
 
+  // --- q201: Pareto-frontier (2-D skyline) document selection -------------
+
+  /** Bucket width (length units) for the skyline's two-phase prefix
+    * max — the q197 pattern. */
+  val SkyBucket = 64L
+
+  /** q201 — Pareto-optimal document frontier: the 2-D skyline that
+    * maximizes quality and minimizes length — a document survives iff
+    * no other document is at least as good on both axes and strictly
+    * better on one. The data-selection shape behind "best quality at
+    * every length budget" curation: the frontier IS the menu of
+    * optimal quality/cost trades, and everything off it is dominated
+    * spend. Quality is the shared q27 [[TextOps.qualityOf]] expression
+    * (frozen to ×1e6 fixed point so dominance compares exact
+    * integers).
+    *
+    * Algorithm (sort-free at scale): bucket by length; per-bucket and
+    * prefix running maxima of quality over shorter docs give each doc
+    * the best quality at ≤ its length (the q197 two-phase prefix
+    * shape); a doc is on the frontier iff nothing strictly shorter
+    * beats-or-ties its quality and nothing of equal length beats it
+    * (exact dominance tie-handling — equal (len, q) twins all survive,
+    * dominated only by a STRICT improvement).
+    *
+    * Parity: all comparisons are on exact integers (length, q_fp).
+    *
+    * Scale (100 TB): one corpus scan + per-bucket windows parallel
+    * across length ranges + one tiny bucket-prefix frame — never a
+    * global sort, never a self-join. */
+  def paretoFrontier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      col("n_chars"),
+      floor(TextOps.qualityOf(col("text")) * lit(1e6)).cast("long")
+        .as("q_fp"))
+      .withColumn("bucket", floor(col("n_chars") / SkyBucket).cast("long"))
+    // best quality among docs STRICTLY shorter: per-bucket running max
+    // over length order + the prefix max of all earlier buckets
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_chars"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val bmax = d.groupBy("bucket").agg(max(col("q_fp")).as("bq"))
+    val wPrev = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prev = bmax.withColumn("prev_q", max(col("bq")).over(wPrev))
+      .select(col("bucket"), col("prev_q"))
+    // best quality among docs of EQUAL length (to apply the strict rule)
+    val wEq = Window.partitionBy(col("n_chars"))
+    val scored = d.join(broadcast(prev), Seq("bucket"))
+      .withColumn("shorter_best",
+        greatest(coalesce(max(col("q_fp")).over(wIn), lit(-1L)),
+          coalesce(col("prev_q"), lit(-1L))))
+      .withColumn("equal_best", max(col("q_fp")).over(wEq))
+    scored
+      .filter(col("q_fp") > col("shorter_best") &&
+        col("q_fp") === col("equal_best"))
+      .select(col("doc_id"), col("n_chars"),
+        round(col("q_fp").cast("double") / lit(1e6), 6).as("quality"))
+      .orderBy("n_chars", "doc_id")
+  }
+
+  def paretoFrontierOracle: String = {
+    val qSql =
+      s"""CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |    / CAST(length(text) AS DOUBLE) * 0.5
+         |  + CAST(len(regexp_extract_all(text, '\\b(the|and|of|to|in|is|you|that)\\b')) AS DOUBLE)
+         |    / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) * 0.3
+         |  + (CASE WHEN length(text) >= 100 AND length(text) <= 500
+         |     THEN 0.2 ELSE 0.0 END)""".stripMargin
+    s"""WITH d AS (SELECT doc_id, n_chars,
+       |    CAST(floor(($qSql) * 1000000.0) AS BIGINT) AS q_fp,
+       |    CAST(floor(CAST(n_chars AS DOUBLE) / $SkyBucket) AS BIGINT)
+       |      AS bucket
+       |  FROM documents),
+       |bmax AS (SELECT bucket, max(q_fp) AS bq FROM d GROUP BY bucket),
+       |prev AS (SELECT bucket, max(bq) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_q
+       |  FROM bmax),
+       |scored AS (SELECT d.doc_id, d.n_chars, d.q_fp,
+       |    greatest(
+       |      coalesce(max(d.q_fp) OVER (PARTITION BY d.bucket
+       |        ORDER BY d.n_chars
+       |        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |        -1),
+       |      coalesce(prev.prev_q, -1)) AS shorter_best,
+       |    max(d.q_fp) OVER (PARTITION BY d.n_chars) AS equal_best
+       |  FROM d JOIN prev USING (bucket))
+       |SELECT doc_id, n_chars,
+       |  round(CAST(q_fp AS DOUBLE) / 1000000.0, 6) AS quality
+       |FROM scored
+       |WHERE q_fp > shorter_best AND q_fp = equal_best
+       |ORDER BY n_chars, doc_id""".stripMargin
+  }
+
   // --- q194: quality-gate agreement (Cohen's kappa) ----------------------
 
   /** Quality-score cut for the q27 gate inside the agreement audit

@@ -340,6 +340,33 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got.map(_._2).distinct.length > 10)
   }
 
+  test("q201 pareto frontier equals the brute-force dominance skyline") {
+    import graft.operators.TextOps
+    val got = CurationOps.paretoFrontier(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val docs = EtlOps.t(spark, dir, "documents").select(col("doc_id"),
+      col("n_chars"),
+      floor(TextOps.qualityOf(col("text")) * lit(1e6)).cast("long")
+        .as("q_fp")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute force: x survives iff no y dominates it
+    val want = docs.filter { x =>
+      !docs.exists(y => y._2 <= x._2 && y._3 >= x._3 &&
+        (y._2 < x._2 || y._3 > x._3))
+    }.sortBy(t => (t._2, t._1))
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      want.map(t => (t._1, t._2)).toSeq,
+      s"skyline mismatch: got ${got.length}, want ${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g._3 - w._3.toDouble / 1e6) <= 5e-7) }
+    // the frontier must be a real trade surface: along increasing
+    // length, quality strictly increases, and it excludes most docs
+    val qs = got.sortBy(_._2).map(_._3)
+    assert(qs.zip(qs.tail).forall { case (a, b) => a < b },
+      "frontier not strictly increasing in quality over length")
+    assert(got.length > 1 && got.length < docs.length / 2)
+  }
+
   test("q194 gate kappa: cells reconcile with the three production gates") {
     import graft.operators.{MixtureOps, TextOps, TrainPrepOps}
     val got = CurationOps.gateKappa(spark, dir).collect()

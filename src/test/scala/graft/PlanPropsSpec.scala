@@ -531,6 +531,14 @@ class PlanPropsSpec extends AnyFunSuite {
       s"row data shuffles beyond the bin aggregate:\n${p.take(1800)}")
   }
 
+  test("pareto frontier: no self-join, length windows bucket-parallel") {
+    val p = plan(CurationOps.paretoFrontier(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"skyline degenerated to a pairwise join:\n${p.take(1800)}")
+    assert(p.contains("hashpartitioning(bucket"),
+      s"length window not bucket-parallel:\n${p.take(1800)}")
+  }
+
   test("gate kappa: all three gates evaluate in one corpus scan") {
     val p = plan(CurationOps.gateKappa(spark, dir))
     assert("Scan parquet".r.findAllIn(p).length == 1,
