@@ -292,6 +292,11 @@ object Bench {
     // state). A query whose median is >2× its own min inside one run was
     // load-spiked, not regressed — those are named in `load_spiked` so a
     // cross-round diff starts from the flag, not from triage.
+    // Round-10 fix: the companion median series keep their values but
+    // their MEMBERSHIP is the raw-MIN-selected set since round 9, so the
+    // keys are versioned (`top20_by_min_*`) — a tool diffing round-8's
+    // median-selected `top20_*_median` against these would silently
+    // compare differently-selected sets.
     val top20 = rows.filter(_._2 >= 0).sortBy(-_._2).take(20)
     val top20MinObj = obj3(top20.map(r => (r._1, r._2)))
     val top20Obj = obj3(top20.map(r => (r._1, r._4)))
@@ -301,7 +306,7 @@ object Bench {
       .sortBy(r => -(r._5 / r._2))
       .map(r => "\"" + r._1 + "\":" + r3(r._5 / r._2))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"summary","unit":"sec","sf":"$sfDir","n_queries":${rows.size},"total_raw_min":${r3(total)},"total_raw_median":${r3(totalRawMed)},"total_calibrated_min":${r3(totalCal)},"total_calibrated_median":${r3(totalCalMed)},"calib_median":${r3(calibMed)},"shuffle_calib_median":${r3(shufMed)},"plan_calib_median":${r3(planMed)},"calib_scale":${r3(scale)},"alu_skew":${r3(aluSkew)},"shuffle_skew":${r3(shufSkew)},"plan_skew":${r3(planSkew)},"calib_flags":$calibFlags,"top20_raw_min":$top20MinObj,"top20_calibrated_median":$top20Obj,"top20_raw_median":$top20RawObj,"load_spiked":$loadSpiked}""")
+    println(s"""{"metric":"summary","unit":"sec","sf":"$sfDir","n_queries":${rows.size},"total_raw_min":${r3(total)},"total_raw_median":${r3(totalRawMed)},"total_calibrated_min":${r3(totalCal)},"total_calibrated_median":${r3(totalCalMed)},"calib_median":${r3(calibMed)},"shuffle_calib_median":${r3(shufMed)},"plan_calib_median":${r3(planMed)},"calib_scale":${r3(scale)},"alu_skew":${r3(aluSkew)},"shuffle_skew":${r3(shufSkew)},"plan_skew":${r3(planSkew)},"calib_flags":$calibFlags,"top20_raw_min":$top20MinObj,"top20_by_min_calibrated_median":$top20Obj,"top20_by_min_raw_median":$top20RawObj,"load_spiked":$loadSpiked}""")
     spark.stop()
   }
 }

@@ -1409,7 +1409,9 @@ object DedupOps {
     * booleans the oracle expects literally TRUE (the q42/q117 sketch
     * convention, since DuckDB cannot rebuild Spark's bitset): NO false
     * negatives (a bloom guarantee — every exact dup must be a
-    * candidate), and observed false-positive rate within 3× the
+    * candidate; ground truth comes from an exact join of the FULL
+    * batch, NOT gated on the bloom verdict, so the check can fail),
+    * and observed false-positive rate within 3× the
     * configured [[BloomDedupFpp]] (bloom inserts are bitwise-OR,
     * order-independent, so the bit pattern is deterministic for a
     * given corpus regardless of partitioning). */
@@ -1437,19 +1439,31 @@ object DedupOps {
     val probed = batch
       .withColumn("cand", call_function("bloom_might_contain",
         lit(bos.toByteArray), col("fp")))
+    // PRODUCTION path: only bloom candidates pay the confirm join —
+    // n_dups/n_new in the output come from here
     val confirmed = probed.filter(col("cand"))
       .join(histFps, Seq("fp"), "left_semi")
       .select(col("doc_id"), lit(true).as("is_dup"))
+    // AUDIT path: ground truth from the FULL batch, independent of the
+    // bloom gate. Deriving is_dup from the gated confirm join made the
+    // no-false-negatives check tautological (is_dup implied cand, so
+    // is_dup && !cand was unsatisfiable and fn was 0 by construction);
+    // an exact join not conditioned on `cand` is what lets a bloom
+    // false negative actually flip the flag. Audit-only cost — a real
+    // pipeline ships just the production path above.
+    val exact = batch.join(histFps, Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(true).as("is_dup_x"))
     val marked = probed
       .join(confirmed.select("doc_id", "is_dup"), Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
       .persist()
     // the fpp contract is CORPUS-level: per-source batches are small
     // enough that a 3× bound on a Poisson(0.5) count flakes
     val contract = marked.agg(
-      max(when(col("is_dup") && !col("cand"), 1L).otherwise(0L)).as("fn"),
-      sum(when(col("cand") && col("is_dup").isNull, 1L).otherwise(0L))
+      max(when(col("is_dup_x") && !col("cand"), 1L).otherwise(0L)).as("fn"),
+      sum(when(col("cand") && col("is_dup_x").isNull, 1L).otherwise(0L))
         .as("fp_cnt"),
-      sum(when(col("is_dup").isNull, 1L).otherwise(0L)).as("clean_cnt"))
+      sum(when(col("is_dup_x").isNull, 1L).otherwise(0L)).as("clean_cnt"))
     marked.join(src, "orig_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_batch"),

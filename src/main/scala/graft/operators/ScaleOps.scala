@@ -515,7 +515,8 @@ object ScaleOps {
 
   def incrementalStatsOracle: String =
     s"""WITH d AS (SELECT doc_id, source, n_chars,
-       |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS toks
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS toks
        |  FROM documents),
        |p AS (SELECT source, doc_id % 5 = 0 AS is_delta, count(*) AS n,
        |    CAST(sum(n_chars) AS BIGINT) AS c, CAST(sum(toks) AS BIGINT)
