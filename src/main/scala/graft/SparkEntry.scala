@@ -219,6 +219,11 @@ object SparkEntry {
     "q199_deletion_impact"   -> (ProfileOps.deletionImpact _),
     "q200_ab_test"           -> (AnalyticsOps.abTest _),
     "q201_pareto_frontier"   -> (CurationOps.paretoFrontier _),
+    "q202_context_dedup"     -> (MlPrepOps.contextDedup _),
+    "q203_annotator_quality" -> (CurationOps.annotatorQuality _),
+    "q204_fim_transform"     -> (TrainPrepOps.fimTransform _),
+    "q205_survivor_policy"   -> (CurationOps.survivorPolicy _),
+    "q206_temperature_curve" -> (MixtureOps.temperatureCurve _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -701,6 +706,11 @@ object SparkEntry {
     "q199_deletion_impact" -> ProfileOps.deletionImpactOracle,
     "q200_ab_test" -> AnalyticsOps.abTestOracle,
     "q201_pareto_frontier" -> CurationOps.paretoFrontierOracle,
+    "q202_context_dedup" -> MlPrepOps.contextDedupOracle,
+    "q203_annotator_quality" -> CurationOps.annotatorQualityOracle,
+    "q204_fim_transform" -> TrainPrepOps.fimTransformOracle,
+    "q205_survivor_policy" -> CurationOps.survivorPolicyOracle,
+    "q206_temperature_curve" -> MixtureOps.temperatureCurveOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

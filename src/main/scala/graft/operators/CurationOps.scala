@@ -1209,4 +1209,251 @@ object CurationOps {
        |    AS recovery_ok
        |FROM ver GROUP BY dup_level ORDER BY dup_level""".stripMargin
   }
+
+  // --- q203: annotator-quality audit (crowd labeling QA) -----------------
+
+  /** Annotator pool size; annotator `a` mislabels with probability
+    * a/10 under the deterministic noise hash, so the pool spans
+    * perfect (a=0) to 60%-noise (a=6) raters. */
+  val AnnotatorCount = 7
+
+  /** q203 — annotator-quality audit: the QA step between collecting
+    * crowd labels and trusting them. A pool of [[AnnotatorCount]]
+    * annotators labels every document's language; each annotator's
+    * labels are the truth corrupted by a deterministic per-(doc,
+    * annotator) noise hash at rate a/10 (the in-query-fixture pattern —
+    * q149/q191 — so the oracle can rebuild the exact same label
+    * matrix). Consensus is the per-item MAJORITY vote (ties break to
+    * the lowest label index); the audit reports, per annotator,
+    * agreement with consensus and accuracy against truth, and flags
+    * raters whose consensus agreement drops below 50% — the
+    * Dawid–Skene-style quality signal without the EM iteration (one
+    * majority round is the standard production first pass).
+    *
+    * Parity: everything is integer arithmetic on label indices; the
+    * two rates are one double division each.
+    *
+    * Scale (100 TB): the label matrix is |docs|·A rows built by a
+    * constant-width explode (no shuffle); consensus is one hash
+    * exchange on doc_id; the per-annotator rollup reduces to A rows.
+    * Real crowd data arrives AS this (item, annotator, label) shape —
+    * the synthetic corruption step is fixture-only. */
+  def annotatorQuality(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val langd = docs.select("lang").distinct()
+      .withColumn("true_idx",
+        (row_number().over(Window.orderBy("lang")) - 1).cast("bigint"))
+    val nl = langd.agg(count(lit(1)).as("L"))
+    val ann = docs.join(broadcast(langd), "lang")
+      .crossJoin(broadcast(nl))
+      .select(col("doc_id"), col("true_idx"), col("L"),
+        explode(expr(s"sequence(0, ${AnnotatorCount - 1})")).as("a"))
+      .withColumn("lab",
+        when((col("doc_id") * 31 + col("a") * 7) % 10 < col("a"),
+          (col("true_idx") + 1 + (col("doc_id") + col("a")) % (col("L") - 1))
+            % col("L"))
+          .otherwise(col("true_idx")))
+    val wv = Window.partitionBy("doc_id")
+      .orderBy(col("votes").desc, col("lab").asc)
+    val cons = ann.groupBy("doc_id", "lab")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lab").as("cons_idx"))
+    val joined = ann.join(cons, "doc_id").persist()
+    // consensus quality is a corpus-level scalar: every annotator row
+    // carries it (the q181 contract-broadcast convention)
+    val consAcc = joined.filter(col("a") === 0).agg(
+      sum(when(col("cons_idx") === col("true_idx"), 1L).otherwise(0L))
+        .as("n_cons_correct"),
+      count(lit(1)).as("n_docs"))
+    joined.groupBy("a")
+      .agg(count(lit(1)).as("n_items"),
+        sum(when(col("lab") === col("cons_idx"), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(when(col("lab") === col("true_idx"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .crossJoin(broadcast(consAcc))
+      .select(col("a").cast("bigint").as("annotator"), col("n_items"),
+        col("n_agree"),
+        round(col("n_agree").cast("double") /
+          col("n_items").cast("double"), 6).as("agree_rate"),
+        col("n_correct"),
+        round(col("n_correct").cast("double") /
+          col("n_items").cast("double"), 6).as("accuracy"),
+        (col("n_agree") * 2 < col("n_items")).as("flagged"),
+        round(col("n_cons_correct").cast("double") /
+          col("n_docs").cast("double"), 6).as("consensus_accuracy"))
+      .orderBy("annotator")
+  }
+
+  def annotatorQualityOracle: String =
+    s"""WITH langd AS (SELECT lang,
+       |    CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT)
+       |      AS true_idx
+       |  FROM (SELECT DISTINCT lang FROM documents)),
+       |nl AS (SELECT CAST(count(*) AS BIGINT) AS L FROM langd),
+       |ann AS (SELECT d.doc_id, ld.true_idx, nl.L, a.a,
+       |    CASE WHEN (d.doc_id * 31 + a.a * 7) % 10 < a.a
+       |      THEN (ld.true_idx + 1 + (d.doc_id + a.a) % (nl.L - 1)) % nl.L
+       |      ELSE ld.true_idx END AS lab
+       |  FROM documents d
+       |  JOIN langd ld USING (lang) CROSS JOIN nl
+       |  CROSS JOIN (SELECT CAST(unnest(range(0, ${AnnotatorCount})) AS
+       |    BIGINT) AS a) a),
+       |votes AS (SELECT doc_id, lab, count(*) AS votes FROM ann
+       |  GROUP BY doc_id, lab),
+       |cons AS (SELECT doc_id, lab AS cons_idx FROM (
+       |  SELECT doc_id, lab, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY votes DESC, lab ASC) AS rn FROM votes)
+       |  WHERE rn = 1),
+       |j AS (SELECT ann.*, cons.cons_idx FROM ann JOIN cons
+       |  USING (doc_id)),
+       |ca AS (SELECT
+       |    CAST(sum(CASE WHEN cons_idx = true_idx THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_cons_correct,
+       |    CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM j WHERE a = 0)
+       |SELECT a AS annotator, CAST(count(*) AS BIGINT) AS n_items,
+       |  CAST(sum(CASE WHEN lab = cons_idx THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_agree,
+       |  round(CAST(sum(CASE WHEN lab = cons_idx THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS agree_rate,
+       |  CAST(sum(CASE WHEN lab = true_idx THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_correct,
+       |  round(CAST(sum(CASE WHEN lab = true_idx THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS accuracy,
+       |  sum(CASE WHEN lab = cons_idx THEN 1 ELSE 0 END) * 2 < count(*)
+       |    AS flagged,
+       |  round(CAST(ca.n_cons_correct AS DOUBLE) /
+       |    CAST(ca.n_docs AS DOUBLE), 6) AS consensus_accuracy
+       |FROM j CROSS JOIN ca
+       |GROUP BY a, ca.n_cons_correct, ca.n_docs ORDER BY annotator""".stripMargin
+
+  // --- q205: dedup survivor-policy comparison -----------------------------
+
+  /** q205 — dedup survivor-policy comparison: once near-dup clusters
+    * exist, WHICH member survives is a policy choice with corpus-level
+    * consequences, and this op prices the three standard policies
+    * against each other on the graded-variant corpus
+    * ([[DedupOps.corpusSpread]] — every cluster holds the original plus
+    * five shortened variants, so the policies genuinely diverge):
+    * keep-first-seen (minimum arrival fingerprint — what a streaming
+    * ingest keeps by default), keep-longest (max token count), and
+    * keep-best-quality (max of a deterministic per-member quality
+    * score). Per source: surviving token mass and mean quality under
+    * each policy plus pairwise policy-disagreement counts — the table
+    * that turns "pick a survivor policy" from folklore into a measured
+    * trade (keep-first loses X% tokens; keep-longest sacrifices Y
+    * quality points).
+    *
+    * Cluster key is the planted orig_id: this op audits the POLICY
+    * layer, not detection (q31/q118 own detection; q110 picks
+    * centroid representatives for SEMANTIC clusters — this is the
+    * lexical-dedup survivor rule).
+    *
+    * Parity: arrival order is the md5_fp60 hash (q130/q132's exact
+    * integer convention); token counts and quality scores are
+    * integers; means divide once at the end.
+    *
+    * Scale (100 TB): ONE hash exchange on the cluster key drives all
+    * three policies (three rank windows share the partitioning), then
+    * a |clusters|-row rollup; no policy pays its own corpus scan. */
+  def survivorPolicy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val members = DedupOps.corpusSpread(s, dir)
+      .withColumn("orig_id", col("doc_id") % DedupOps.CopyOffset)
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("bigint"))
+      .withColumn("quality", (col("doc_id") * 7 + 3) % 13)
+      .withColumn("arr", TextOps.md5Fingerprint60(
+        concat(lit("surv"), col("doc_id").cast("string"))))
+    val byC = Window.partitionBy("orig_id")
+    val picked = members
+      .withColumn("rn_f",
+        row_number().over(byC.orderBy(col("arr"), col("doc_id"))))
+      .withColumn("rn_l",
+        row_number().over(byC.orderBy(col("n_toks").desc, col("doc_id"))))
+      .withColumn("rn_q",
+        row_number().over(byC.orderBy(col("quality").desc, col("doc_id"))))
+      .groupBy("orig_id")
+      .agg(
+        max(when(col("rn_f") === 1, col("doc_id"))).as("f_doc"),
+        max(when(col("rn_f") === 1, col("n_toks"))).as("f_toks"),
+        max(when(col("rn_f") === 1, col("quality"))).as("f_q"),
+        max(when(col("rn_l") === 1, col("doc_id"))).as("l_doc"),
+        max(when(col("rn_l") === 1, col("n_toks"))).as("l_toks"),
+        max(when(col("rn_l") === 1, col("quality"))).as("l_q"),
+        max(when(col("rn_q") === 1, col("doc_id"))).as("q_doc"),
+        max(when(col("rn_q") === 1, col("n_toks"))).as("q_toks"),
+        max(when(col("rn_q") === 1, col("quality"))).as("q_q"))
+    val src = t(s, dir, "documents")
+      .select(col("doc_id").as("orig_id"), col("source"))
+    picked.join(src, "orig_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("f_toks")).as("first_toks"),
+        sum(col("l_toks")).as("longest_toks"),
+        sum(col("q_toks")).as("quality_toks"),
+        round(sum(col("f_q")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("first_mean_q"),
+        round(sum(col("l_q")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("longest_mean_q"),
+        round(sum(col("q_q")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("quality_mean_q"),
+        sum(when(col("f_doc") =!= col("l_doc"), 1L).otherwise(0L))
+          .as("n_first_vs_longest"),
+        sum(when(col("f_doc") =!= col("q_doc"), 1L).otherwise(0L))
+          .as("n_first_vs_quality"),
+        sum(when(col("l_doc") =!= col("q_doc"), 1L).otherwise(0L))
+          .as("n_longest_vs_quality"))
+      .orderBy("source")
+  }
+
+  def survivorPolicyOracle: String =
+    s"""WITH ${OracleGen.CorpusSpread},
+       |mem AS (SELECT doc_id, doc_id % ${DedupOps.CopyOffset} AS orig_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+       |    (doc_id * 7 + 3) % 13 AS quality,
+       |    CAST('0x' || substr(md5('surv' || CAST(doc_id AS VARCHAR)),
+       |      1, 15) AS BIGINT) AS arr
+       |  FROM corpus),
+       |rk AS (SELECT *,
+       |    row_number() OVER (PARTITION BY orig_id
+       |      ORDER BY arr, doc_id) AS rn_f,
+       |    row_number() OVER (PARTITION BY orig_id
+       |      ORDER BY n_toks DESC, doc_id) AS rn_l,
+       |    row_number() OVER (PARTITION BY orig_id
+       |      ORDER BY quality DESC, doc_id) AS rn_q
+       |  FROM mem),
+       |pk AS (SELECT orig_id,
+       |    max(CASE WHEN rn_f = 1 THEN doc_id END) AS f_doc,
+       |    max(CASE WHEN rn_f = 1 THEN n_toks END) AS f_toks,
+       |    max(CASE WHEN rn_f = 1 THEN quality END) AS f_q,
+       |    max(CASE WHEN rn_l = 1 THEN doc_id END) AS l_doc,
+       |    max(CASE WHEN rn_l = 1 THEN n_toks END) AS l_toks,
+       |    max(CASE WHEN rn_l = 1 THEN quality END) AS l_q,
+       |    max(CASE WHEN rn_q = 1 THEN doc_id END) AS q_doc,
+       |    max(CASE WHEN rn_q = 1 THEN n_toks END) AS q_toks,
+       |    max(CASE WHEN rn_q = 1 THEN quality END) AS q_q
+       |  FROM rk GROUP BY orig_id)
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(f_toks) AS BIGINT) AS first_toks,
+       |  CAST(sum(l_toks) AS BIGINT) AS longest_toks,
+       |  CAST(sum(q_toks) AS BIGINT) AS quality_toks,
+       |  round(CAST(sum(f_q) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS first_mean_q,
+       |  round(CAST(sum(l_q) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS longest_mean_q,
+       |  round(CAST(sum(q_q) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS quality_mean_q,
+       |  CAST(sum(CASE WHEN f_doc <> l_doc THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_first_vs_longest,
+       |  CAST(sum(CASE WHEN f_doc <> q_doc THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_first_vs_quality,
+       |  CAST(sum(CASE WHEN l_doc <> q_doc THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_longest_vs_quality
+       |FROM pk JOIN documents d ON pk.orig_id = d.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
 }

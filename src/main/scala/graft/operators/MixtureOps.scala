@@ -789,4 +789,91 @@ object MixtureOps {
        |    ELSE lam + CASE WHEN j - jstar <= rem THEN 1 ELSE 0 END END
        |    / avail, 6) AS fill_frac
        |FROM h ORDER BY source""".stripMargin
+
+  // --- q206: temperature sensitivity curve --------------------------------
+
+  /** Token budget priced across the temperature grid. */
+  val TempCurveBudget = 1000000L
+
+  /** q206 — temperature sensitivity curve: ONE run prices the whole
+    * temperature grid τ ∈ {0.5, 1, 2, 4} for the p_s^(1/τ) source
+    * re-balancing rule (q130 fixes a single τ; choosing τ is the actual
+    * design decision, and this is the table that decides it — the q196
+    * "one run prices every threshold" pattern applied to mixture
+    * design). Per (τ, source): normalized sampling weight, the token
+    * allocation out of a fixed [[TempCurveBudget]], and the effective
+    * epoch count alloc/tokens — the number a data lead reads to spot
+    * "τ=4 would repeat src5 eleven times" before launching a run.
+    *
+    * Parity: the τ grid is restricted to powers of two so p^(1/τ) needs
+    * NO libm pow — τ=0.5 is p·p (exact IEEE multiply), τ=1 is p, τ=2 is
+    * sqrt(p), τ=4 is sqrt(sqrt(p)); IEEE 754 requires sqrt to be
+    * correctly rounded, so both engines produce bit-identical doubles
+    * (the same argument that keeps exp/ln out of q142/q190). Each term
+    * is then frozen to ×1e12 fixed point and normalized by an
+    * order-free INTEGER sum; weights/epochs are one double division
+    * each, allocations are exact integer (budget·fp) div denom.
+    *
+    * Scale (100 TB): the corpus collapses once to |sources| token
+    * counts (map-combinable sum); the grid explode and normalization
+    * act on |grid|·|sources| metadata rows. Adding τ values costs
+    * nothing — the corpus is NOT re-scanned per τ. */
+  def temperatureCurve(s: SparkSession, dir: String): DataFrame = {
+    import TextOps.wsTokenCount
+    // normalizers are WINDOW sums over the |sources|- and
+    // |grid|·|sources|-row metadata frames: the whole query is one
+    // linear plan off a single corpus scan (a self-join against a
+    // derived totals frame would recompute the scan per consumer)
+    val cnts = t(s, dir, "documents")
+      .groupBy("source")
+      .agg(sum(wsTokenCount(col("text"))).as("tk"))
+      .withColumn("tk_tot",
+        sum(col("tk")).over(Window.partitionBy(lit(1))))
+    val terms = cnts
+      .withColumn("p", col("tk").cast("double") / col("tk_tot").cast("double"))
+      .select(col("source"), col("tk"),
+        explode(array(
+          struct(lit("0.5").as("tau"), (col("p") * col("p")).as("f")),
+          struct(lit("1").as("tau"), col("p").as("f")),
+          struct(lit("2").as("tau"), sqrt(col("p")).as("f")),
+          struct(lit("4").as("tau"), sqrt(sqrt(col("p"))).as("f"))))
+          .as("g"))
+      .select(col("source"), col("tk"), col("g.tau").as("tau"),
+        floor(col("g.f") * 1e12).cast("bigint").as("w_fp"))
+    terms
+      .withColumn("den", sum(col("w_fp")).over(Window.partitionBy("tau")))
+      .select(col("tau"), col("source"), col("tk"),
+        round(col("w_fp").cast("double") / col("den").cast("double"), 6)
+          .as("weight"),
+        expr(s"($TempCurveBudget * w_fp) div den").as("alloc_tokens"))
+      .withColumn("epochs", round(
+        col("alloc_tokens").cast("double") / col("tk").cast("double"), 6))
+      .orderBy("tau", "source")
+  }
+
+  def temperatureCurveOracle: String =
+    s"""WITH c AS (SELECT source,
+       |    CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+       |      AS tk
+       |  FROM documents GROUP BY source),
+       |t AS (SELECT CAST(sum(tk) AS BIGINT) AS tk_tot FROM c),
+       |pr AS (SELECT source, tk,
+       |    CAST(tk AS DOUBLE) / CAST(tk_tot AS DOUBLE) AS p FROM c, t),
+       |g AS (
+       |  SELECT source, tk, '0.5' AS tau,
+       |    CAST(floor(p * p * 1e12) AS BIGINT) AS w_fp FROM pr
+       |  UNION ALL SELECT source, tk, '1',
+       |    CAST(floor(p * 1e12) AS BIGINT) FROM pr
+       |  UNION ALL SELECT source, tk, '2',
+       |    CAST(floor(sqrt(p) * 1e12) AS BIGINT) FROM pr
+       |  UNION ALL SELECT source, tk, '4',
+       |    CAST(floor(sqrt(sqrt(p)) * 1e12) AS BIGINT) FROM pr),
+       |d AS (SELECT tau, CAST(sum(w_fp) AS BIGINT) AS den
+       |  FROM g GROUP BY tau)
+       |SELECT g.tau, g.source, g.tk,
+       |  round(CAST(w_fp AS DOUBLE) / CAST(den AS DOUBLE), 6) AS weight,
+       |  ($TempCurveBudget * w_fp) // den AS alloc_tokens,
+       |  round(CAST(($TempCurveBudget * w_fp) // den AS DOUBLE) /
+       |    CAST(g.tk AS DOUBLE), 6) AS epochs
+       |FROM g JOIN d USING (tau) ORDER BY g.tau, g.source""".stripMargin
 }

@@ -581,4 +581,120 @@ object MlPrepOps {
        |FROM r JOIN gold USING (query_id)
        |WHERE r.rnk <= $HnNegK
        |ORDER BY r.query_id, r.rnk""".stripMargin
+
+  // --- q202: retrieval-context dedup --------------------------------------
+
+  /** Context depth audited per query (deeper than q147's display top-k:
+    * context assembly works from the full retrieval window). */
+  val CtxDepth = 10
+
+  /** q202 — retrieval-context dedup: RAG context assembly wastes its
+    * token budget when the retriever returns near-identical passages,
+    * so before packing the prompt each query's top-[[CtxDepth]]
+    * candidates are pruned by rank dominance — candidate j is dropped
+    * iff some HIGHER-ranked candidate i in the same context already
+    * covers ≥ half of j's word-trigram shingles (containment, the q146
+    * signal, scoped to one retrieval window). Per query: candidates
+    * kept and the context tokens saved — the measured case for adding
+    * a diversity stage to a RAG stack. Rank dominance (drop against
+    * any higher-ranked candidate) is deliberately used instead of
+    * greedy MMR (drop against kept-only): it is order-deterministic,
+    * set-expressible — hence oracle-checkable — and strictly more
+    * aggressive, so its savings LOWER-bound what a greedy pass
+    * delivers.
+    *
+    * Parity: the containment test is an integer cross-multiplication
+    * (2·|Si∩Sj| ≥ |Sj|); the one double division is the saved
+    * fraction. Shingle-free docs (< 3 tokens) are never dominated —
+    * containment against an empty set is undefined, and the inner
+    * size-join encodes that identically in both engines.
+    *
+    * Scale (100 TB): the corpus is touched ONLY through the q147
+    * postings run (df-bounded) and one semi-join that pulls the
+    * ≤ |queries|·[[CtxDepth]] candidate docs; shingles, sizes and the
+    * pair intersections all live on that candidate set, so the pair
+    * join is |queries|·depth² metadata, never corpus². */
+  def contextDedup(s: SparkSession, dir: String): DataFrame = {
+    val cands = bm25Ranked(s, dir)
+      .filter(col("rank") <= CtxDepth)
+      .select(col("term"), col("rank"), col("doc_id"))
+      .persist() // feeds pairs, the id set, and the final rollup
+    val docs = t(s, dir, "documents")
+      .join(cands.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .persist() // candidate-set-sized: shingles + token counts
+    val sh = DedupOps.shinglesFromToks(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val pairs = cands.as("a").join(cands.as("b"),
+        col("a.term") === col("b.term") && col("a.rank") < col("b.rank"))
+      .select(col("a.term").as("term"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"))
+    val dom = pairs
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh")), "doc_b")
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .filter(coalesce(col("n_inter"), lit(0L)) * 2 >= col("n_sh"))
+      .select(col("term"), col("doc_b").as("doc_id"))
+      .distinct()
+    val tk = docs.select(col("doc_id"),
+      size(col("toks")).cast("bigint").as("n_toks"))
+    cands
+      .join(dom.withColumn("dominated", lit(true)),
+        Seq("term", "doc_id"), "left")
+      .join(tk, "doc_id")
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("dominated").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("n_toks")).as("toks_before"),
+        sum(when(col("dominated").isNull, col("n_toks")).otherwise(0L))
+          .as("toks_after"))
+      .withColumn("saved_frac", round(
+        (col("toks_before") - col("toks_after")).cast("double") /
+          col("toks_before").cast("double"), 6))
+      .orderBy("term")
+  }
+
+  def contextDedupOracle: String =
+    s"""WITH $bm25RankedCtes,
+       |cand AS (SELECT term, rnk, doc_id FROM r WHERE rnk <= $CtxDepth),
+       |cd AS (SELECT DISTINCT doc_id FROM cand),
+       |dtok AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents JOIN cd USING (doc_id)),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |    AS shingle
+       |  FROM dtok) u),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |    count(*) AS n_inter
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle
+       |    AND x.doc_id <> y.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT a.term, a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM cand a JOIN cand b ON a.term = b.term AND a.rnk < b.rnk),
+       |dom AS (SELECT DISTINCT p.term, p.doc_b AS doc_id
+       |  FROM pairs p
+       |  JOIN sz ON sz.doc_id = p.doc_b
+       |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+       |  WHERE coalesce(i.n_inter, 0) * 2 >= sz.n_sh),
+       |tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks
+       |  FROM dtok),
+       |k AS (SELECT c.term, c.doc_id, (d.doc_id IS NULL) AS kept,
+       |    tk.n_toks
+       |  FROM cand c
+       |  LEFT JOIN dom d ON d.term = c.term AND d.doc_id = c.doc_id
+       |  JOIN tk ON tk.doc_id = c.doc_id)
+       |SELECT term, count(*) AS n_candidates,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(n_toks) AS BIGINT) AS toks_before,
+       |  CAST(sum(CASE WHEN kept THEN n_toks ELSE 0 END) AS BIGINT)
+       |    AS toks_after,
+       |  round(CAST(sum(n_toks) - sum(CASE WHEN kept THEN n_toks ELSE 0
+       |    END) AS DOUBLE) / CAST(sum(n_toks) AS DOUBLE), 6) AS saved_frac
+       |FROM k GROUP BY term ORDER BY term""".stripMargin
 }

@@ -1161,4 +1161,108 @@ object TrainPrepOps {
        |FROM r$BtIters r JOIN wins w USING (i) JOIN games g USING (i)
        |ORDER BY rating DESC, event_type""".stripMargin
   }
+
+  // --- q204: fill-in-the-middle transform audit --------------------------
+
+  /** q204 — FIM (fill-in-the-middle) transformation audit: every
+    * document is split at deterministic thirds into prefix / middle /
+    * suffix and re-emitted in PSM order
+    * (`<PRE> prefix <SUF> suffix <MID> middle`) — the data transform
+    * behind infilling-capable code models (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle").
+    * The audit the pipeline needs before shipping the rewritten corpus:
+    * per source, (a) token conservation — reassembling
+    * prefix∥middle∥suffix must reproduce the original token stream
+    * md5-exactly for EVERY document (an off-by-one in the split is
+    * silent corpus corruption otherwise), (b) the token overhead is
+    * exactly the 3 sentinels per doc, and (c) a content fingerprint
+    * over the PSM strings themselves, ordered by doc_id, so the oracle
+    * pins the emitted bytes, not just the counts.
+    *
+    * Parity: split points are integer `div` on the token count; all
+    * counts integer; the only double is the mean middle fraction,
+    * whose per-doc terms are frozen to ×1e9 fixed point (integer
+    * division) before an order-free integer sum — the q142/q168
+    * discipline.
+    *
+    * Scale (100 TB): pure per-row projection work (split + two slices +
+    * two md5s) with ONE hash exchange for the per-source rollup; the
+    * per-source PSM fingerprint is the only collect_list and is bounded
+    * by the doc-md5 width, not document text. At a real 100 TB run the
+    * rewritten corpus would stream to the sink from the same
+    * projection; the audit rides the write. */
+  def fimTransform(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("bigint"))
+      .withColumn("p", expr("n div 3"))
+      .withColumn("m", expr("(2 * n) div 3"))
+      .withColumn("pre_s", expr("array_join(slice(toks, 1, int(p)), ' ')"))
+      .withColumn("mid_s",
+        expr("array_join(slice(toks, int(p) + 1, int(m - p)), ' ')"))
+      .withColumn("suf_s",
+        expr("array_join(slice(toks, int(m) + 1, int(n - m)), ' ')"))
+      // reassemble at the ARRAY level: string-level concat_ws would
+      // inject a phantom separator next to an empty segment (docs under
+      // 3 tokens) and flag a correct split as unconserved
+      .withColumn("conserved",
+        md5(expr("array_join(concat(slice(toks, 1, int(p)), " +
+          "slice(toks, int(p) + 1, int(m - p)), " +
+          "slice(toks, int(m) + 1, int(n - m))), ' ')")) ===
+          md5(expr("array_join(toks, ' ')")))
+      .withColumn("psm_md5", md5(concat_ws(" ", lit("<PRE>"), col("pre_s"),
+        lit("<SUF>"), col("suf_s"), lit("<MID>"), col("mid_s"))))
+      // per-doc middle fraction frozen to fixed point BEFORE the sum
+      .withColumn("mid_fp", expr("(1000000000 * (m - p)) div n"))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("toks_total"),
+        (sum(col("n")) + lit(3L) * count(lit(1))).as("fim_toks_total"),
+        sum(when(col("conserved"), 1L).otherwise(0L)).as("n_conserved"),
+        round(sum(col("mid_fp")).cast("double") /
+          (count(lit(1)).cast("double") * 1e9), 6).as("mean_middle_frac"),
+        md5(concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(doc_id, psm_md5))), " +
+            "x -> x.psm_md5)"))).as("psm_fp"))
+      .withColumn("all_conserved", col("n_conserved") === col("n_docs"))
+      .orderBy("source")
+  }
+
+  def fimTransformOracle: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |sp AS (SELECT doc_id, source, toks,
+      |    CAST(len(toks) AS BIGINT) AS n,
+      |    CAST(len(toks) AS BIGINT) // 3 AS p,
+      |    (2 * CAST(len(toks) AS BIGINT)) // 3 AS m
+      |  FROM d),
+      |seg AS (SELECT doc_id, source, n, p, m, toks,
+      |    array_to_string(toks[1:CAST(p AS INT)], ' ') AS pre_s,
+      |    array_to_string(toks[CAST(p AS INT) + 1:CAST(m AS INT)], ' ')
+      |      AS mid_s,
+      |    array_to_string(toks[CAST(m AS INT) + 1:CAST(n AS INT)], ' ')
+      |      AS suf_s,
+      |    array_to_string(toks, ' ') AS orig_s
+      |  FROM sp),
+      |per AS (SELECT doc_id, source, n, p, m,
+      |    md5(array_to_string(
+      |      toks[1:CAST(p AS INT)] ||
+      |      toks[CAST(p AS INT) + 1:CAST(m AS INT)] ||
+      |      toks[CAST(m AS INT) + 1:CAST(n AS INT)], ' ')) = md5(orig_s)
+      |      AS conserved,
+      |    md5(concat_ws(' ', '<PRE>', pre_s, '<SUF>', suf_s, '<MID>',
+      |      mid_s)) AS psm_md5,
+      |    (1000000000 * (m - p)) // n AS mid_fp
+      |  FROM seg)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS toks_total,
+      |  CAST(sum(n) + 3 * count(*) AS BIGINT) AS fim_toks_total,
+      |  CAST(sum(CASE WHEN conserved THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_conserved,
+      |  round(CAST(sum(mid_fp) AS DOUBLE) /
+      |    (CAST(count(*) AS DOUBLE) * 1e9), 6) AS mean_middle_frac,
+      |  md5(string_agg(psm_md5, ' ' ORDER BY doc_id)) AS psm_fp,
+      |  sum(CASE WHEN conserved THEN 1 ELSE 0 END) = count(*)
+      |    AS all_conserved
+      |FROM per GROUP BY source ORDER BY source""".stripMargin
 }

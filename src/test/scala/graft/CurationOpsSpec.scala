@@ -427,4 +427,49 @@ class CurationOpsSpec extends AnyFunSuite {
       .flatMap(c => c.targets :+ c.decoy)
     assert(allTargets.distinct.size == allTargets.size)
   }
+
+  test("q203 annotator quality: accuracy is exactly 1 - a/10, consensus near-perfect") {
+    val rows = CurationOps.annotatorQuality(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6), r.getDouble(7)))
+      .toMap
+    assert(rows.size == CurationOps.AnnotatorCount)
+    // sf0.001 doc_ids are dense 0..499, so doc_id mod 10 is exactly
+    // uniform and annotator a mislabels EXACTLY a/10 of items; the
+    // corrupted label is constructed to never equal the truth
+    rows.foreach { case (a, (n, _, _, nCorrect, _, _, _)) =>
+      assert(nCorrect == n * (10 - a) / 10,
+        s"annotator $a: $nCorrect correct of $n, want exact ${n * (10 - a) / 10}")
+    }
+    // perfect annotator: never flagged, agrees with consensus wherever
+    // consensus is right
+    val (n0, agree0, _, correct0, _, flagged0, consAcc) = rows(0L)
+    assert(correct0 == n0 && !flagged0)
+    assert(consAcc >= 0.95, s"consensus accuracy $consAcc")
+    assert(agree0 >= (consAcc * n0).toLong)
+    // noisiest annotator agrees with consensus well below the flag line
+    assert(rows(6L)._6, "a=6 (60% noise) must be flagged")
+  }
+
+  test("q205 survivor policy: each policy maximizes its own objective; policies diverge") {
+    val rows = CurationOps.survivorPolicy(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var fl, fq, lq = 0L
+    var clusters = 0L
+    rows.foreach { r =>
+      val (first, longest, quality) =
+        (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(longest >= first && longest >= quality,
+        s"keep-longest must dominate on tokens: $r")
+      val (fmq, lmq, qmq) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+      assert(qmq >= fmq - 1e-9 && qmq >= lmq - 1e-9,
+        s"keep-quality must dominate on mean quality: $r")
+      clusters += r.getLong(1)
+      fl += r.getLong(8); fq += r.getLong(9); lq += r.getLong(10)
+    }
+    assert(clusters == 500, "every sf0.001 document forms one cluster")
+    // the graded-variant fixture makes the three policies genuinely
+    // diverge somewhere (otherwise the comparison prices nothing)
+    assert(fl > 0 && fq > 0 && lq > 0, s"policies never disagree: $fl $fq $lq")
+  }
 }

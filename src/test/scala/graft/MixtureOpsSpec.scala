@@ -312,4 +312,34 @@ class MixtureOpsSpec extends AnyFunSuite {
     assert(got.size >= 5, s"only ${got.size} bins populated")
     assert(wantEce > 0.01, "ECE ~ 0 — calibration audit exercises nothing")
   }
+
+  test("q206 temperature curve: weights normalize, budget conserves, higher tau flattens") {
+    val rows = MixtureOps.temperatureCurve(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    val byTau = rows.groupBy(_._1)
+    assert(byTau.keySet == Set("0.5", "1", "2", "4"))
+    val budget = MixtureOps.TempCurveBudget
+    byTau.foreach { case (tau, rs) =>
+      val wsum = rs.map(_._4).sum
+      assert(math.abs(wsum - 1.0) < 1e-4, s"tau=$tau weights sum $wsum")
+      val alloc = rs.map(_._5).sum
+      // floor-division residue: at most one token per source
+      assert(alloc <= budget && alloc > budget - rs.length,
+        s"tau=$tau allocates $alloc of $budget")
+    }
+    // tau=1 is proportional sampling: weight tracks the token share
+    val tk1 = byTau("1")
+    val tot = tk1.map(_._3).sum.toDouble
+    tk1.foreach(r => assert(math.abs(r._4 - r._3 / tot) < 1e-5,
+      s"tau=1 weight not proportional: $r"))
+    // flattening: the dominant source's weight is non-increasing in tau
+    val maxW = Seq("0.5", "1", "2", "4").map(t => byTau(t).map(_._4).max)
+    assert(maxW == maxW.sorted.reverse,
+      s"max weight not monotone over the tau grid: $maxW")
+    // epochs price the repetition risk: alloc/tk reconciles
+    rows.foreach { r =>
+      assert(math.abs(r._6 - r._5.toDouble / r._3) < 1e-6, s"epochs: $r")
+    }
+  }
 }

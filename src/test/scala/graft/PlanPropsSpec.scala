@@ -672,4 +672,37 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(p.contains("windowspecdefinition(band_idx"),
       s"bucket-cap window missing from calibration plan:\n${p.take(1800)}")
   }
+
+  test("q202 context dedup: candidate-bounded — corpus pull is a semi join, no cartesian") {
+    val p = plan(MlPrepOps.contextDedup(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"context dedup went cartesian:\n${p.take(1800)}")
+    // the corpus reaches the shingle stage only through the candidate
+    // id semi join — the property that keeps the pair join
+    // |queries|·depth² instead of corpus²
+    assert(p.contains("LeftSemi"),
+      s"candidate semi join missing:\n${p.take(1800)}")
+  }
+
+  test("q204 FIM audit: one corpus scan, one exchange (the source rollup)") {
+    val p = plan(TrainPrepOps.fimTransform(spark, dir))
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"FIM audit re-scans the corpus:\n${p.take(1800)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"FIM audit gained an exchange:\n${p.take(1800)}")
+  }
+
+  test("q205 survivor policy: all three policy windows share ONE cluster-key exchange") {
+    val p = plan(CurationOps.survivorPolicy(spark, dir))
+    assert("hashpartitioning\\(orig_id".r.findAllIn(p).length == 1,
+      s"policy windows re-shuffle the cluster key:\n${p.take(1800)}")
+  }
+
+  test("q206 temperature curve: corpus scanned once, grid work is metadata-sized") {
+    val p = plan(MixtureOps.temperatureCurve(spark, dir))
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"temperature curve re-scans the corpus per tau:\n${p.take(1800)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"temperature curve gained exchanges:\n${p.take(1800)}")
+  }
 }

@@ -627,4 +627,47 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     // score other documents too (shared vocabulary)
     assert(rows.length >= byQ.size, "no negatives mined")
   }
+
+  test("q202 context dedup: dominance recomputes exactly from collected shingles") {
+    val dir = TestSession.sfDir("0.001")
+    val out = MlPrepOps.contextDedup(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out.nonEmpty)
+    out.values.foreach { case (nc, nk, before, after, saved) =>
+      assert(nk >= 1 && nk <= nc, "rank-1 is never dominated")
+      assert(after <= before && after > 0)
+      assert(math.abs(saved - (before - after).toDouble / before) < 1e-6)
+    }
+    // independent driver-side recompute over the collected candidate set
+    val cands = MlPrepOps.bm25Ranked(spark, dir)
+      .filter(col("rank") <= MlPrepOps.CtxDepth)
+      .select("term", "rank", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ids = cands.map(_._3).toSet
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+      .filter(kv => ids.contains(kv._1))
+    def shingleSet(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sh = texts.map { case (id, t) => id -> shingleSet(t) }
+    val wantKept = cands.groupBy(_._1).map { case (term, cs) =>
+      val byRank = cs.sortBy(_._2)
+      val kept = byRank.count { case (_, rank, d) =>
+        val sd = sh(d)
+        !(sd.nonEmpty && byRank.exists { case (_, r2, d2) =>
+          r2 < rank && 2 * (sh(d2) & sd).size >= sd.size
+        })
+      }
+      term -> kept.toLong
+    }
+    assert(out.keySet == wantKept.keySet)
+    wantKept.foreach { case (term, k) =>
+      assert(out(term)._2 == k, s"$term: kept ${out(term)._2}, want $k")
+    }
+  }
 }

@@ -598,4 +598,34 @@ class TrainPrepOpsSpec extends AnyFunSuite {
         s"$lang bucketing worse than one bucket")
     }
   }
+
+  test("q204 FIM transform: conservation holds everywhere, overhead is exactly 3 sentinels") {
+    val rows = graft.operators.TrainPrepOps
+      .fimTransform(spark, TestSession.sfDir("0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, toks, fimToks, nCons) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nCons == nDocs, s"split corrupted ${nDocs - nCons} docs: $r")
+      assert(r.getBoolean(7), s"all_conserved false: $r")
+      assert(fimToks == toks + 3 * nDocs, s"sentinel overhead wrong: $r")
+      val frac = r.getDouble(5)
+      // thirds split: middle fraction is ⌊2n/3⌋-⌊n/3⌋ per doc ≈ 1/3
+      assert(frac > 0.30 && frac < 0.37, s"middle fraction $frac")
+      assert(r.getString(6).length == 32, "psm fingerprint not an md5")
+    }
+    // driver-side recompute of the split on a sample of documents:
+    // the same thirds arithmetic must reproduce the original stream
+    val docs = spark.read
+      .parquet(s"${TestSession.sfDir("0.001")}/documents.parquet")
+      .selectExpr("text").limit(50).collect().map(_.getString(0))
+    docs.foreach { text =>
+      val toks = text.split(" ", -1)
+      val n = toks.length
+      val (p, m) = (n / 3, 2 * n / 3)
+      val re = (toks.slice(0, p) ++ toks.slice(p, m) ++
+        toks.slice(m, n)).mkString(" ")
+      assert(re == toks.mkString(" "), "thirds split loses tokens")
+    }
+  }
 }
