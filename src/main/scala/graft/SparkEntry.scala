@@ -224,6 +224,11 @@ object SparkEntry {
     "q204_fim_transform"     -> (TrainPrepOps.fimTransform _),
     "q205_survivor_policy"   -> (CurationOps.survivorPolicy _),
     "q206_temperature_curve" -> (MixtureOps.temperatureCurve _),
+    "q207_vocab_migration"   -> (TextOps.vocabMigration _),
+    "q208_topk_native"       -> (RelationalOps.topkNative _),
+    "q209_quantile_norm"     -> (TextOps.quantileNorm _),
+    "q210_gate_ablation"     -> (CurationOps.gateAblation _),
+    "q211_distinctive_terms" -> (TextOps.distinctiveTerms _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -711,6 +716,11 @@ object SparkEntry {
     "q204_fim_transform" -> TrainPrepOps.fimTransformOracle,
     "q205_survivor_policy" -> CurationOps.survivorPolicyOracle,
     "q206_temperature_curve" -> MixtureOps.temperatureCurveOracle,
+    "q207_vocab_migration" -> TextOps.vocabMigrationOracle,
+    "q208_topk_native" -> RelationalOps.topkNativeOracle,
+    "q209_quantile_norm" -> TextOps.quantileNormOracle,
+    "q210_gate_ablation" -> CurationOps.gateAblationOracle,
+    "q211_distinctive_terms" -> TextOps.distinctiveTermsOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

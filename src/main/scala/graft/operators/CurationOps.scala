@@ -1018,29 +1018,41 @@ object CurationOps {
       .orderBy("pair")
   }
 
+  /** SQL twins of the three production gates — ONE definition feeds
+    * every oracle that replays the stack (q194's agreement audit,
+    * q210's ablation), so the audited SQL cannot drift per consumer.
+    * [[ClfLogitWSql]] is the per-token classifier contribution (summed
+    * per doc over the `tok` CTE); the other two are per-row predicates
+    * over `text`. */
+  private[graft] val ClfLogitWSql: String =
+    s"CAST('0x' || substr(md5('wgt' || CAST(" +
+      s"CAST('0x' || substr(md5('clf' || w), 1, 15) AS BIGINT)" +
+      s" % ${MixtureOps.ClfBuckets} AS VARCHAR)), 1, 15) AS BIGINT)" +
+      s" % 2001 - 1000"
+
+  private[graft] val QualitySql: String =
+    s"""CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+       |    / CAST(length(text) AS DOUBLE) * 0.5
+       |  + CAST(len(regexp_extract_all(text, '\\b(the|and|of|to|in|is|you|that)\\b')) AS DOUBLE)
+       |    / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) * 0.3
+       |  + (CASE WHEN length(text) >= 100 AND length(text) <= 500
+       |     THEN 0.2 ELSE 0.0 END)""".stripMargin
+
+  private[graft] val GopherSql: String =
+    s"""len(string_split_regex(trim(text), '\\s+')) >= 10
+       |  AND len(string_split_regex(trim(text), '\\s+')) <= 100000
+       |  AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |    / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) >= 3.0
+       |  AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |    / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) <= 10.0
+       |  AND CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |    / CAST(length(text) AS DOUBLE) < 0.1
+       |  AND len(regexp_extract_all(text, '\\b(the|and|of|to|in|is|you|that)\\b')) >= 2""".stripMargin
+
   def gateKappaOracle: String = {
-    val wSql =
-      s"CAST('0x' || substr(md5('wgt' || CAST(" +
-        s"CAST('0x' || substr(md5('clf' || w), 1, 15) AS BIGINT)" +
-        s" % ${MixtureOps.ClfBuckets} AS VARCHAR)), 1, 15) AS BIGINT)" +
-        s" % 2001 - 1000"
-    val quality =
-      s"""CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
-         |    / CAST(length(text) AS DOUBLE) * 0.5
-         |  + CAST(len(regexp_extract_all(text, '\\b(the|and|of|to|in|is|you|that)\\b')) AS DOUBLE)
-         |    / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) * 0.3
-         |  + (CASE WHEN length(text) >= 100 AND length(text) <= 500
-         |     THEN 0.2 ELSE 0.0 END)""".stripMargin
-    val gopher =
-      s"""len(string_split_regex(trim(text), '\\s+')) >= 10
-         |  AND len(string_split_regex(trim(text), '\\s+')) <= 100000
-         |  AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-         |    / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) >= 3.0
-         |  AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-         |    / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) <= 10.0
-         |  AND CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-         |    / CAST(length(text) AS DOUBLE) < 0.1
-         |  AND len(regexp_extract_all(text, '\\b(the|and|of|to|in|is|you|that)\\b')) >= 2""".stripMargin
+    val wSql = ClfLogitWSql
+    val quality = QualitySql
+    val gopher = GopherSql
     def cellSql(x: String, y: String, a: String) = Seq(
       s"CAST(sum(CASE WHEN $x AND $y THEN 1 ELSE 0 END) AS BIGINT) AS ${a}_11",
       s"CAST(sum(CASE WHEN $x AND NOT $y THEN 1 ELSE 0 END) AS BIGINT) AS ${a}_10",
@@ -1456,4 +1468,137 @@ object CurationOps {
        |    AS n_longest_vs_quality
        |FROM pk JOIN documents d ON pk.orig_id = d.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  // --- q210: gate leave-one-out ablation ----------------------------------
+
+  /** q210 — quality-gate ablation: q194 measures whether the three
+    * production gates AGREE; this prices whether each is NECESSARY.
+    * One corpus scan evaluates all three gate booleans (the factored
+    * `qualityOf`/`gopherPassOf`/`logitOf` — audit ≡ production) plus
+    * the document's token count, collapses to the 2³-cell contingency
+    * table, and every ablation number is derived from those 8 rows:
+    * per gate, the documents/tokens it kills outright (solo), the
+    * documents/tokens ONLY it kills (unique — its marginal value: drop
+    * the gate and exactly this mass re-enters the corpus), and a
+    * `stack` row with the full-stack kill and the killed-by-all-three
+    * core. A gate whose unique kill is ~0 is redundant review burden;
+    * one whose unique kill is huge deserves its own calibration pass
+    * (q195) — this table is how curation stacks get pruned.
+    *
+    * Parity: pure integer counting off bit-reproducible gate booleans.
+    *
+    * Scale (100 TB): the ablation grid costs ONE corpus scan
+    * regardless of how many leave-one-out variants are priced — the
+    * 8-cell collapse is the whole trick (vs running the stack K+1
+    * times, the naive ablation). Map-combinable aggregate, then
+    * constant-size arithmetic. */
+  def gateAblation(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(
+      (TextOps.qualityOf(col("text")) >= GateQualityMin).as("a"),
+      TrainPrepOps.gopherPassOf(col("text")).as("b"),
+      (MixtureOps.logitOf >= 0L).as("c"),
+      TextOps.wsTokenCount(col("text")).cast("bigint").as("toks"))
+    val cells = d.groupBy("a", "b", "c")
+      .agg(count(lit(1)).as("nd"), sum(col("toks")).as("tk"))
+    def kill(g: String, docs: Boolean) = {
+      val m = if (docs) col("nd") else col("tk")
+      sum(when(!col(g), m).otherwise(0L))
+    }
+    def unique(g: String, o1: String, o2: String, docs: Boolean) = {
+      val m = if (docs) col("nd") else col("tk")
+      sum(when(!col(g) && col(o1) && col(o2), m).otherwise(0L))
+    }
+    val one = cells.agg(
+      sum(col("nd")).as("n_docs"), sum(col("tk")).as("n_toks"),
+      kill("a", docs = true).as("a_solo_d"),
+      kill("a", docs = false).as("a_solo_t"),
+      unique("a", "b", "c", docs = true).as("a_uniq_d"),
+      unique("a", "b", "c", docs = false).as("a_uniq_t"),
+      kill("b", docs = true).as("b_solo_d"),
+      kill("b", docs = false).as("b_solo_t"),
+      unique("b", "a", "c", docs = true).as("b_uniq_d"),
+      unique("b", "a", "c", docs = false).as("b_uniq_t"),
+      kill("c", docs = true).as("c_solo_d"),
+      kill("c", docs = false).as("c_solo_t"),
+      unique("c", "a", "b", docs = true).as("c_uniq_d"),
+      unique("c", "a", "b", docs = false).as("c_uniq_t"),
+      sum(when(!(col("a") && col("b") && col("c")), col("nd"))
+        .otherwise(0L)).as("s_solo_d"),
+      sum(when(!(col("a") && col("b") && col("c")), col("tk"))
+        .otherwise(0L)).as("s_solo_t"),
+      sum(when(!col("a") && !col("b") && !col("c"), col("nd"))
+        .otherwise(0L)).as("s_uniq_d"),
+      sum(when(!col("a") && !col("b") && !col("c"), col("tk"))
+        .otherwise(0L)).as("s_uniq_t"))
+    one.select(col("n_docs"), col("n_toks"), expr(
+      "stack(4, " +
+        "'classifier', c_solo_d, c_solo_t, c_uniq_d, c_uniq_t, " +
+        "'gopher', b_solo_d, b_solo_t, b_uniq_d, b_uniq_t, " +
+        "'quality', a_solo_d, a_solo_t, a_uniq_d, a_uniq_t, " +
+        "'stack', s_solo_d, s_solo_t, s_uniq_d, s_uniq_t) " +
+        "AS (gate, killed_docs, killed_toks, unique_docs, unique_toks)"))
+      .select(col("gate"), col("n_docs"), col("n_toks"),
+        col("killed_docs"), col("killed_toks"),
+        col("unique_docs"), col("unique_toks"),
+        round(col("unique_toks").cast("double") /
+          col("n_toks").cast("double"), 6).as("unique_toks_frac"))
+      .orderBy("gate")
+  }
+
+  def gateAblationOracle: String = {
+    def kill(g: String, m: String) =
+      s"CAST(sum(CASE WHEN NOT $g THEN $m ELSE 0 END) AS BIGINT)"
+    def unique(g: String, o1: String, o2: String, m: String) =
+      s"CAST(sum(CASE WHEN NOT $g AND $o1 AND $o2 THEN $m ELSE 0 END) AS BIGINT)"
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |lg AS (SELECT doc_id, CAST(sum($ClfLogitWSql) AS BIGINT) AS logit
+       |  FROM tok GROUP BY doc_id),
+       |g AS (SELECT
+       |    ($QualitySql) >= $GateQualityMin AS a,
+       |    ($GopherSql) AS b,
+       |    lg.logit >= 0 AS c,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS toks
+       |  FROM documents JOIN lg USING (doc_id)),
+       |cells AS (SELECT a, b, c, count(*) AS nd,
+       |    CAST(sum(toks) AS BIGINT) AS tk
+       |  FROM g GROUP BY a, b, c),
+       |one AS (SELECT
+       |    CAST(sum(nd) AS BIGINT) AS n_docs,
+       |    CAST(sum(tk) AS BIGINT) AS n_toks,
+       |    ${kill("a", "nd")} AS a_solo_d, ${kill("a", "tk")} AS a_solo_t,
+       |    ${unique("a", "b", "c", "nd")} AS a_uniq_d,
+       |    ${unique("a", "b", "c", "tk")} AS a_uniq_t,
+       |    ${kill("b", "nd")} AS b_solo_d, ${kill("b", "tk")} AS b_solo_t,
+       |    ${unique("b", "a", "c", "nd")} AS b_uniq_d,
+       |    ${unique("b", "a", "c", "tk")} AS b_uniq_t,
+       |    ${kill("c", "nd")} AS c_solo_d, ${kill("c", "tk")} AS c_solo_t,
+       |    ${unique("c", "a", "b", "nd")} AS c_uniq_d,
+       |    ${unique("c", "a", "b", "tk")} AS c_uniq_t,
+       |    CAST(sum(CASE WHEN NOT (a AND b AND c) THEN nd ELSE 0 END)
+       |      AS BIGINT) AS s_solo_d,
+       |    CAST(sum(CASE WHEN NOT (a AND b AND c) THEN tk ELSE 0 END)
+       |      AS BIGINT) AS s_solo_t,
+       |    CAST(sum(CASE WHEN NOT a AND NOT b AND NOT c THEN nd ELSE 0
+       |      END) AS BIGINT) AS s_uniq_d,
+       |    CAST(sum(CASE WHEN NOT a AND NOT b AND NOT c THEN tk ELSE 0
+       |      END) AS BIGINT) AS s_uniq_t
+       |  FROM cells),
+       |st AS (
+       |  SELECT 'classifier' AS gate, n_docs, n_toks, c_solo_d AS
+       |    killed_docs, c_solo_t AS killed_toks, c_uniq_d AS unique_docs,
+       |    c_uniq_t AS unique_toks FROM one
+       |  UNION ALL SELECT 'gopher', n_docs, n_toks, b_solo_d, b_solo_t,
+       |    b_uniq_d, b_uniq_t FROM one
+       |  UNION ALL SELECT 'quality', n_docs, n_toks, a_solo_d, a_solo_t,
+       |    a_uniq_d, a_uniq_t FROM one
+       |  UNION ALL SELECT 'stack', n_docs, n_toks, s_solo_d, s_solo_t,
+       |    s_uniq_d, s_uniq_t FROM one)
+       |SELECT gate, n_docs, n_toks, killed_docs, killed_toks,
+       |  unique_docs, unique_toks,
+       |  round(CAST(unique_toks AS DOUBLE) / CAST(n_toks AS DOUBLE), 6)
+       |    AS unique_toks_frac
+       |FROM st ORDER BY gate""".stripMargin
+  }
 }

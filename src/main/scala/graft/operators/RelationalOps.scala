@@ -125,4 +125,62 @@ object RelationalOps {
         coalesce(col("source"), lit("<all>")).as("source"),
         col("n_docs"), col("total_chars"), col("lvl"))
       .orderBy("lang", "source")
+
+  // --- q208: native top-k aggregate ---------------------------------------
+
+  /** Ranking depth for the per-user event top-k. */
+  val TopKDepth = 3
+
+  /** q208 — exact per-group top-k via the native
+    * [[graft.functions.TopKAgg]] aggregate: each user's
+    * [[TopKDepth]] highest-valued events, SELECTED by a k-bounded
+    * aggregation buffer instead of SORTED by the
+    * `row_number() OVER (...)` window idiom. The aggregate's partials
+    * are k rows per group per partition, map-side combine, and merge
+    * associatively in the shuffle — no per-partition sort, no group
+    * co-location requirement beyond the final agg exchange. The window
+    * twin ([[topkEventsWindow]], A/B-only) is the plan it replaces.
+    *
+    * Parity: values are frozen to ×1e6 fixed point (floor of one IEEE
+    * multiply — exact in both engines); ties break (score DESC,
+    * event_id ASC), the same total order as the window idiom, so the
+    * oracle is the plain window form.
+    *
+    * Scale (100 TB): the classic "top 3 per customer over a trillion
+    * events" — the window form shuffles or at best WindowGroupLimit-
+    * trims and then SORTS every surviving row per partition; the
+    * aggregate ships exactly k·|groups| longs and compares against a
+    * k-sized buffer. Selection beats sorting when k ≪ group size. */
+  def topkNative(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    EtlOps.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        floor(col("value") * 1e6).cast("bigint").as("score_fp"))
+      .groupBy("user_id")
+      .agg(expr(s"topk_agg(score_fp, event_id, $TopKDepth)").as("tk"))
+      .select(col("user_id"), posexplode(col("tk")))
+      .select(col("user_id"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("col")(1).as("event_id"), col("col")(0).as("score_fp"))
+      .orderBy("user_id", "rank")
+  }
+
+  /** The window-idiom twin of [[topkNative]] — A/B measurement and
+    * spec-equality only (same output, the plan under audit is q208's). */
+  private[graft] def topkEventsWindow(s: SparkSession, dir: String): DataFrame =
+    EtlOps.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        floor(col("value") * 1e6).cast("bigint").as("score_fp"))
+      .withColumn("rank", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("score_fp").desc, col("event_id"))).cast("bigint"))
+      .filter(col("rank") <= TopKDepth)
+      .select(col("user_id"), col("rank"), col("event_id"), col("score_fp"))
+      .orderBy("user_id", "rank")
+
+  def topkNativeOracle: String =
+    s"""WITH e AS (SELECT user_id, event_id,
+       |    CAST(floor(value * 1e6) AS BIGINT) AS score_fp FROM events),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY score_fp DESC, event_id) AS rnk FROM e)
+       |SELECT user_id, CAST(rnk AS BIGINT) AS "rank", event_id, score_fp
+       |FROM r WHERE rnk <= $TopKDepth ORDER BY user_id, rnk""".stripMargin
 }

@@ -321,14 +321,19 @@ object TextOps {
     * per-step merge picks (q127's output) and the final vocabulary with
     * each distinct word's merged symbol sequence (q134's input). */
   private def bpeTrainedVocab(
-      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+      s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bpeTrainedVocabOn(t(s, dir, "documents"))
+
+  /** Training against an arbitrary (text) corpus frame — q207 trains
+    * the outgoing and incoming tokenizers on different snapshots. */
+  private def bpeTrainedVocabOn(docs: DataFrame): (DataFrame, DataFrame) = {
     // lineage cut after the corpus→vocabulary collapse: every step's
     // pair-count top re-executes its input lineage (no CTE sharing), so
     // without the cut each of the K steps re-scans the CORPUS to
     // rebuild the vocabulary; with it they re-derive at most the
     // vocabulary-sized fold chain
     var words = CurationOps.cutLineage(
-      t(s, dir, "documents")
+      docs
         .select(explode(split(col("text"), " ")).as("w"))
         .groupBy("w").agg(count(lit(1)).as("n"))
         .select(col("w"),
@@ -407,26 +412,35 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** The word-carrying BPE training chain as WITH-body CTEs, names
+    * prefixed so two independently-trained tokenizers can coexist in
+    * one oracle (q134 uses the bare chain; q207 instantiates an "a"
+    * and a "b" chain over different snapshots). The caller defines
+    * `${pfx}w0` (word, sym, n). */
+  private def bpeChainCtes(pfx: String): String =
+    (1 to BpeTrainSteps).map { i =>
+      s"""${pfx}p$i AS (SELECT unnest(list_transform(range(1, len(sy)),
+         |      j -> sy[j] || ' ' || sy[j + 1])) AS pair, n FROM (
+         |    SELECT string_split(sym, ' ') AS sy, n FROM ${pfx}w${i - 1})),
+         |${pfx}t$i AS (SELECT pair, replace(pair, ' ', '') AS merged
+         |  FROM ${pfx}p$i GROUP BY pair
+         |  ORDER BY CAST(sum(n) AS BIGINT) DESC, pair LIMIT 1),
+         |${pfx}w$i AS (SELECT w, replace(list_reduce(string_split(sym, ' '),
+         |    (acc, x) -> CASE
+         |      WHEN string_split(acc, ',')[-1] =
+         |          string_split(${pfx}t$i.pair, ' ')[1]
+         |        AND x = string_split(${pfx}t$i.pair, ' ')[2]
+         |      THEN concat(substr(acc, 1,
+         |          length(acc) - length(string_split(acc, ',')[-1])),
+         |        ${pfx}t$i.merged)
+         |      ELSE acc || ',' || x END), ',', ' ') AS sym, n
+         |  FROM ${pfx}w${i - 1}, ${pfx}t$i)""".stripMargin
+    }.mkString(",\n")
+
   /** q134 oracle — q127's training CTEs with the word carried through,
     * then the corpus joined against the trained vocabulary. */
   def bpeFertilityOracle: String = {
-    val steps = (1 to BpeTrainSteps).map { i =>
-      s"""p$i AS (SELECT unnest(list_transform(range(1, len(sy)),
-         |      j -> sy[j] || ' ' || sy[j + 1])) AS pair, n FROM (
-         |    SELECT string_split(sym, ' ') AS sy, n FROM w${i - 1})),
-         |t$i AS (SELECT pair, replace(pair, ' ', '') AS merged
-         |  FROM p$i GROUP BY pair
-         |  ORDER BY CAST(sum(n) AS BIGINT) DESC, pair LIMIT 1),
-         |w$i AS (SELECT w, replace(list_reduce(string_split(sym, ' '),
-         |    (acc, x) -> CASE
-         |      WHEN string_split(acc, ',')[-1] = string_split(t$i.pair, ' ')[1]
-         |        AND x = string_split(t$i.pair, ' ')[2]
-         |      THEN concat(substr(acc, 1,
-         |          length(acc) - length(string_split(acc, ',')[-1])),
-         |        t$i.merged)
-         |      ELSE acc || ',' || x END), ',', ' ') AS sym, n
-         |  FROM w${i - 1}, t$i)""".stripMargin
-    }.mkString(",\n")
+    val steps = bpeChainCtes("")
     s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
        |  FROM documents),
        |w0 AS (SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym,
@@ -768,4 +782,245 @@ object TextOps {
        |  count(DISTINCT md5(text)) - count(DISTINCT md5(norm))
        |    AS collapse_gain
        |FROM n2 GROUP BY source ORDER BY source""".stripMargin
+
+  // --- q207: tokenizer migration cost audit -------------------------------
+
+  /** q207 — tokenizer migration cost audit: the outgoing tokenizer was
+    * trained on YESTERDAY's snapshot (doc_id ≡ 0 mod 2 — the q179
+    * snapshot-split convention), the incoming one on the full corpus;
+    * both re-encode the whole corpus and the audit prices the swap per
+    * source — token totals, fertility under each vocab, the token-count
+    * delta (the training-budget impact of shipping the new tokenizer)
+    * and the old tokenizer's out-of-vocabulary word mass (words the old
+    * merge table has never seen fall back to character-level, the
+    * standard BPE byte/char fallback — that fallback cost is exactly
+    * what corpus drift does to a stale tokenizer in production).
+    *
+    * Drift is PLANTED (the q149 in-query-fixture pattern): every odd
+    * document gains one `driftNN` suffix token unseen anywhere in the
+    * even half, because the synthetic corpus draws from a closed word
+    * pool and the even half otherwise covers the full vocabulary —
+    * without the plant, oov_words_old is identically 0 and the
+    * fallback branch is dead code to the oracle.
+    *
+    * Parity: token counts are integers (the char fallback is
+    * `length(w)`); fertilities and the delta fraction are one double
+    * division each.
+    *
+    * Scale (100 TB): both trainings run on the distinct-word
+    * VOCABULARY (q127's corpus-collapses-once argument); the corpus
+    * re-encode is one explode + two broadcast vocabulary joins + a
+    * per-source aggregate — the corpus token stream is scanned once,
+    * exactly like q134, regardless of how many tokenizer candidates
+    * are being priced. */
+  def vocabMigration(s: SparkSession, dir: String): DataFrame = {
+    val all = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      when(col("doc_id") % 2 === 1,
+        concat(col("text"), lit(" drift"), (col("doc_id") % 50).cast("string")))
+        .otherwise(col("text")).as("text"))
+    val vocabOld = bpeTrainedVocabOn(all.filter(col("doc_id") % 2 === 0))._2
+      .select(col("w"),
+        size(split(col("sym"), " ")).cast("bigint").as("tok_old"))
+    val vocabNew = bpeTrainedVocabOn(all)._2
+      .select(col("w"),
+        size(split(col("sym"), " ")).cast("bigint").as("tok_new"))
+    all.select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(vocabOld), Seq("w"), "left")
+      .join(broadcast(vocabNew), Seq("w"), "left")
+      .select(col("source"),
+        col("tok_old").isNull.as("fb"),
+        coalesce(col("tok_old"), length(col("w")).cast("bigint")).as("ta"),
+        coalesce(col("tok_new"), length(col("w")).cast("bigint")).as("tb"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("ta")).as("tokens_old"),
+        sum(col("tb")).as("tokens_new"),
+        sum(when(col("fb"), 1L).otherwise(0L)).as("oov_words_old"))
+      .select(col("source"), col("n_words"), col("tokens_old"),
+        col("tokens_new"), col("oov_words_old"),
+        round(col("tokens_old").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility_old"),
+        round(col("tokens_new").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility_new"),
+        round((col("tokens_new") - col("tokens_old")).cast("double") /
+          col("tokens_old").cast("double"), 6).as("token_delta_frac"))
+      .orderBy("source")
+  }
+
+  def vocabMigrationOracle: String =
+    s"""WITH dd AS (SELECT doc_id, source,
+       |    CASE WHEN doc_id % 2 = 1
+       |      THEN text || ' drift' || CAST(doc_id % 50 AS VARCHAR)
+       |      ELSE text END AS text
+       |  FROM documents),
+       |atok AS (SELECT unnest(string_split(text, ' ')) AS w
+       |  FROM dd WHERE doc_id % 2 = 0),
+       |aw0 AS (SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym,
+       |    count(*) AS n FROM atok GROUP BY w),
+       |${bpeChainCtes("a")},
+       |btok AS (SELECT unnest(string_split(text, ' ')) AS w
+       |  FROM dd),
+       |bw0 AS (SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym,
+       |    count(*) AS n FROM btok GROUP BY w),
+       |${bpeChainCtes("b")},
+       |va AS (SELECT w, CAST(len(string_split(sym, ' ')) AS BIGINT)
+       |    AS tok_old FROM aw$BpeTrainSteps),
+       |vb AS (SELECT w, CAST(len(string_split(sym, ' ')) AS BIGINT)
+       |    AS tok_new FROM bw$BpeTrainSteps),
+       |ct AS (SELECT source, unnest(string_split(text, ' ')) AS w
+       |  FROM dd),
+       |j AS (SELECT source, va.tok_old IS NULL AS fb,
+       |    coalesce(va.tok_old, CAST(length(ct.w) AS BIGINT)) AS ta,
+       |    coalesce(vb.tok_new, CAST(length(ct.w) AS BIGINT)) AS tb
+       |  FROM ct LEFT JOIN va ON ct.w = va.w LEFT JOIN vb ON ct.w = vb.w)
+       |SELECT source, count(*) AS n_words,
+       |  CAST(sum(ta) AS BIGINT) AS tokens_old,
+       |  CAST(sum(tb) AS BIGINT) AS tokens_new,
+       |  CAST(sum(CASE WHEN fb THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS oov_words_old,
+       |  round(CAST(CAST(sum(ta) AS BIGINT) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS fertility_old,
+       |  round(CAST(CAST(sum(tb) AS BIGINT) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS fertility_new,
+       |  round(CAST(CAST(sum(tb) AS BIGINT) - CAST(sum(ta) AS BIGINT)
+       |    AS DOUBLE) / CAST(CAST(sum(ta) AS BIGINT) AS DOUBLE), 6)
+       |    AS token_delta_frac
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  // --- q209: per-language quality-score quantile normalization ------------
+
+  /** q209 — per-language quantile normalization of the q27 quality
+    * score: a single global threshold over a blended lexical score is
+    * silently language-biased (stopword lists, alpha ratios and length
+    * bands hit languages differently), so production curation
+    * normalizes the score WITHIN language by rank — each document's
+    * normalized score is its percent_rank inside its language — and
+    * gates on that. The audit reports the per-(language, decile) cell:
+    * document count (uniform by construction — the property that makes
+    * the normalized gate fair across languages) and the RAW score range
+    * mapped into the cell, which shows directly how different a raw
+    * cutoff each language would have needed.
+    *
+    * Parity: percent_rank is (rank−1)/(n−1) in both engines and the
+    * underlying score is the bit-reproducible q27 expression; deciles
+    * floor the product once.
+    *
+    * Scale (100 TB): one hash exchange on lang + a per-language sort —
+    * the canonical partition-parallel window (languages are the
+    * coarsest natural key, so AQE skew handling or a (lang, salt)
+    * pre-rank is the production guard for the english-heavy case;
+    * documented, not needed at test sf). */
+  def quantileNorm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        qualityOf(col("text")).as("q"))
+    docs
+      .withColumn("pr", percent_rank().over(
+        Window.partitionBy("lang").orderBy("q")))
+      .withColumn("decile",
+        least(floor(col("pr") * 10), lit(9L)).cast("bigint"))
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("q")), 6).as("q_min"),
+        round(max(col("q")), 6).as("q_max"))
+      .orderBy("lang", "decile")
+  }
+
+  def quantileNormOracle: String = {
+    val quality = CurationOps.QualitySql // q27's SQL twin, one definition
+    s"""WITH d AS (SELECT doc_id, lang, ($quality) AS q FROM documents),
+       |r AS (SELECT lang, q, percent_rank() OVER (PARTITION BY lang
+       |    ORDER BY q) AS pr FROM d)
+       |SELECT lang,
+       |  least(CAST(floor(pr * 10) AS BIGINT), 9) AS decile,
+       |  count(*) AS n_docs,
+       |  round(min(q), 6) AS q_min,
+       |  round(max(q), 6) AS q_max
+       |FROM r GROUP BY lang, least(CAST(floor(pr * 10) AS BIGINT), 9)
+       |ORDER BY lang, decile""".stripMargin
+  }
+
+  // --- q211: distinctive terms (smoothed odds ratio per source) -----------
+
+  /** Top distinctive terms kept per source, and the minimum in-source
+    * frequency for a term to be considered (hapax suppression). */
+  val DistinctiveTopK = 5
+  val DistinctiveMinCount = 3L
+
+  /** q211 — distinctive-term analysis: for each source, the
+    * [[DistinctiveTopK]] terms with the highest add-one-smoothed odds
+    * ratio against the REST of the corpus (the Monroe et al.
+    * "Fightin' Words" log-odds signal, kept in odds space — log is
+    * monotone, so the ranking is identical and no libm enters). The
+    * standard first look at "what makes this source different":
+    * template markers, boilerplate tokens and domain vocabulary
+    * surface immediately, and a source whose top terms are navigation
+    * chrome is a curation bug found.
+    *
+    * Parity: both cross products (c_s+1)·(T_r−c_r+1) and
+    * (T_s−c_s+1)·(c_r+1) are exact integers well inside the 2^53
+    * double envelope at test scale (documented: a 100 TB run freezes
+    * at ppm precision after a decimal widen); the odds ratio is their
+    * ONE double division, frozen to ×1e6 fixed point for output and
+    * ranked as that integer with term tiebreak.
+    *
+    * Scale (100 TB): term frequencies collapse the corpus once
+    * ((source, term) grouped counts); totals per term and per source
+    * are vocabulary- and |sources|-sized rollups of that frame; the
+    * top-k window partitions by source over the vocabulary — never a
+    * corpus sort. */
+  def distinctiveTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+      .persist() // feeds term totals, source totals AND the ranked frame
+    val termTot = tf.groupBy("term").agg(sum(col("c")).as("ct"))
+    val srcTot = tf.groupBy("source").agg(sum(col("c")).as("ts"))
+    val allTot = srcTot.agg(sum(col("ts")).as("tt"))
+    val scored = tf
+      .join(termTot, "term")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(allTot))
+      .filter(col("c") >= DistinctiveMinCount)
+      .withColumn("c_rest", col("ct") - col("c"))
+      .withColumn("t_rest", col("tt") - col("ts"))
+      .withColumn("odds_ppm", floor(
+        ((col("c") + 1) * (col("t_rest") - col("c_rest") + 1)).cast("double") /
+          ((col("ts") - col("c") + 1) * (col("c_rest") + 1)).cast("double") *
+          1e6).cast("bigint"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("source")
+        .orderBy(col("odds_ppm").desc, col("term"))).cast("bigint"))
+      .filter(col("rank") <= DistinctiveTopK)
+      .select(col("source"), col("rank"), col("term"), col("c"),
+        col("c_rest"), col("odds_ppm"))
+      .orderBy("source", "rank")
+  }
+
+  def distinctiveTermsOracle: String =
+    s"""WITH tf AS (SELECT source, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |c AS (SELECT source, term, count(*) AS c FROM tf
+       |  GROUP BY source, term),
+       |ct AS (SELECT term, CAST(sum(c) AS BIGINT) AS ct FROM c
+       |  GROUP BY term),
+       |ts AS (SELECT source, CAST(sum(c) AS BIGINT) AS ts FROM c
+       |  GROUP BY source),
+       |tt AS (SELECT CAST(sum(ts) AS BIGINT) AS tt FROM ts),
+       |sc AS (SELECT c.source, c.term, c.c, ct.ct - c.c AS c_rest,
+       |    CAST(floor(
+       |      CAST((c.c + 1) * (tt.tt - ts.ts - (ct.ct - c.c) + 1)
+       |        AS DOUBLE) /
+       |      CAST((ts.ts - c.c + 1) * (ct.ct - c.c + 1) AS DOUBLE)
+       |      * 1e6) AS BIGINT) AS odds_ppm
+       |  FROM c JOIN ct USING (term) JOIN ts USING (source) CROSS JOIN tt
+       |  WHERE c.c >= $DistinctiveMinCount),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY odds_ppm DESC, term) AS rnk FROM sc)
+       |SELECT source, CAST(rnk AS BIGINT) AS "rank", term, c, c_rest,
+       |  odds_ppm
+       |FROM r WHERE rnk <= $DistinctiveTopK
+       |ORDER BY source, rnk""".stripMargin
 }

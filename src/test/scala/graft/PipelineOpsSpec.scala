@@ -1113,4 +1113,92 @@ class PipelineOpsSpec extends AnyFunSuite {
       k == ((true, true, true)) || n <= allThree },
       s"agreement cell not dominant: $cells")
   }
+
+  test("q207 vocab migration: planted drift is the exact OOV set; fallback never undercounts") {
+    val rows = TextOps.vocabMigration(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var oov = 0L
+    rows.foreach { r =>
+      val (n, ta, tb) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ta >= n && tb >= n, "every word is at least one token")
+      assert(math.abs(r.getDouble(5) - ta.toDouble / n) < 1e-6)
+      assert(math.abs(r.getDouble(7) - (tb - ta).toDouble / ta) < 1e-6)
+      oov += r.getLong(4)
+    }
+    // exactly one planted drift token per odd document, unseen by the
+    // even-trained vocabulary
+    val nOdd = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 2 === 1).count()
+    assert(oov == nOdd, s"oov $oov, want one per odd doc ($nOdd)")
+  }
+
+  test("q209 quantile norm: per-language deciles are populated and balanced") {
+    val rows = TextOps.quantileNorm(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val langTotals = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.map(_._3).sum == langTotals(lang),
+        s"$lang decile counts don't cover the language")
+      assert(rs.length >= 8, s"$lang has only ${rs.length} deciles")
+      // uniform by construction: percent_rank spreads each language
+      // evenly, modulo ties and the n/10 remainder
+      val (mn, mx) = (rs.map(_._3).min, rs.map(_._3).max)
+      assert(mx <= mn + math.max(3, mn), s"$lang decile skew: min $mn max $mx")
+      // raw ranges are ordered: decile d's min never undercuts d-1's max
+      val byD = rs.sortBy(_._2)
+      byD.sliding(2).foreach {
+        case Array(lo, hi) => assert(hi._4 >= lo._4 - 1e-9,
+          s"$lang deciles out of order: $lo vs $hi")
+        case _ =>
+      }
+    }
+  }
+
+  test("q210 gate ablation: cells reconcile against directly recomputed gate counts") {
+    val rows = CurationOps.gateAblation(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(rows.keySet == Set("classifier", "gopher", "quality", "stack"))
+    val (nDocs, nToks) = (rows("stack")._1, rows("stack")._2)
+    rows.values.foreach { v =>
+      assert(v._1 == nDocs && v._2 == nToks)
+      assert(v._5 <= v._3 && v._6 <= v._4, "unique kill exceeds solo kill")
+    }
+    // stack kill bounds: at least the biggest gate, at most the sum
+    val gates = Seq("classifier", "gopher", "quality").map(rows)
+    val stackKill = rows("stack")._3
+    assert(stackKill >= gates.map(_._3).max && stackKill <= gates.map(_._3).sum)
+    // independent recompute of one gate's solo kill from production exprs
+    val failQuality = EtlOps.t(spark, dir, "documents")
+      .filter(!(TextOps.qualityOf(col("text")) >= CurationOps.GateQualityMin))
+      .count()
+    assert(rows("quality")._3 == failQuality,
+      s"quality solo kill ${rows("quality")._3} != direct $failQuality")
+    // and the killed-by-all core is bounded by every gate's solo kill
+    assert(gates.forall(_._3 >= rows("stack")._5))
+  }
+
+  test("q211 distinctive terms: ranked, thresholded, and genuinely source-leaning") {
+    val rows = TextOps.distinctiveTerms(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"$src ranks not contiguous")
+      assert(sorted.length <= TextOps.DistinctiveTopK)
+      // odds descend with rank; every kept term clears the support bar
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._6 >= b._6
+        case _ => true
+      }, s"$src odds not descending")
+      assert(rs.forall(_._4 >= TextOps.DistinctiveMinCount))
+      // the #1 term leans INTO its source (odds ratio > 1)
+      assert(sorted.head._6 > 1000000L, s"$src top term not distinctive")
+    }
+  }
 }

@@ -698,6 +698,38 @@ class PlanPropsSpec extends AnyFunSuite {
       s"policy windows re-shuffle the cluster key:\n${p.take(1800)}")
   }
 
+  test("q208 native top-k: ObjectHashAggregate selection, no Window, no Sort-per-group") {
+    val p = plan(RelationalOps.topkNative(spark, dir))
+    assert(p.contains("topk_agg"), s"native aggregate missing:\n${p.take(1800)}")
+    assert(p.contains("ObjectHashAggregate"),
+      s"topk_agg not planned as an object hash aggregate:\n${p.take(1800)}")
+    assert(!p.contains("Window"),
+      s"q208 regressed to the window idiom:\n${p.take(1800)}")
+  }
+
+  test("q209 quantile norm: the rank window partitions by language") {
+    val p = plan(TextOps.quantileNorm(spark, dir))
+    assert(p.contains("windowspecdefinition(lang"),
+      s"per-language window lost its partitioning:\n${p.take(1800)}")
+  }
+
+  test("q210 gate ablation: the whole K+1 ablation grid costs ONE corpus scan") {
+    val p = plan(CurationOps.gateAblation(spark, dir))
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"ablation re-scans the corpus:\n${p.take(1800)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"ablation gained exchanges:\n${p.take(1800)}")
+  }
+
+  test("q211 distinctive terms: tf frame shared, top-k window partitions by source") {
+    val p = plan(TextOps.distinctiveTerms(spark, dir))
+    assert(p.contains("InMemoryTableScan"),
+      s"tf frame recomputed per consumer:\n${p.take(1800)}")
+    assert(p.contains("windowspecdefinition(source"),
+      s"top-k window lost its source partitioning:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q206 temperature curve: corpus scanned once, grid work is metadata-sized") {
     val p = plan(MixtureOps.temperatureCurve(spark, dir))
     assert("Scan parquet".r.findAllIn(p).length == 1,

@@ -199,4 +199,41 @@ class RelationalOpsSpec extends AnyFunSuite {
       assert(last.getLong(2) + last.getLong(3) == n)
     }
   }
+
+  test("q208 native top-k agg: output is row-identical to the window idiom") {
+    val native = RelationalOps.topkNative(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val window = RelationalOps.topkEventsWindow(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(native.nonEmpty)
+    assert(native.toSeq == window.toSeq,
+      s"native top-k diverged from the window form " +
+        s"(${native.length} vs ${window.length} rows)")
+    // groups with fewer than k events emit all of them, ranked
+    native.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
+      // scores descend with rank; event_id breaks ties ascending
+      val byRank = rs.sortBy(_._2)
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3))
+        case _ =>
+      }
+    }
+  }
+
+  test("q208 topk_agg: merge across partition counts is stable") {
+    // the aggregate's partials must merge to the same result however
+    // the input is partitioned — repartition and compare
+    graft.functions.VectorFunctions.register(spark)
+    val base = EtlOps.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        floor(col("value") * 1e6).cast("bigint").as("s"))
+    def run(parts: Int) = base.repartition(parts)
+      .groupBy("user_id")
+      .agg(expr(s"topk_agg(s, event_id, 3)").as("tk"))
+      .selectExpr("user_id", "cast(tk as string) AS t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(run(1) == run(7), "topk_agg result depends on partitioning")
+  }
 }
