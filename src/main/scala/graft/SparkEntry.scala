@@ -229,6 +229,11 @@ object SparkEntry {
     "q209_quantile_norm"     -> (TextOps.quantileNorm _),
     "q210_gate_ablation"     -> (CurationOps.gateAblation _),
     "q211_distinctive_terms" -> (TextOps.distinctiveTerms _),
+    "q212_index_staleness"   -> (SimilarityOps.indexStaleness _),
+    "q213_ess_clip_curve"    -> (CurationOps.essClipCurve _),
+    "q214_rare_term_graph"   -> (GraphOps.rareTermGraph _),
+    "q215_temporal_leakage"  -> (TimeSeriesOps.temporalLeakage _),
+    "q216_shard_conformance" -> (TrainPrepOps.shardConformance _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -721,6 +726,12 @@ object SparkEntry {
     "q209_quantile_norm" -> TextOps.quantileNormOracle,
     "q210_gate_ablation" -> CurationOps.gateAblationOracle,
     "q211_distinctive_terms" -> TextOps.distinctiveTermsOracle,
+    "q212_index_staleness" -> SimilarityOps.indexStalenessOracle,
+    "q213_ess_clip_curve" ->
+      CurationOps.essClipCurveOracle(OracleGen.q110ClusterRepresentatives),
+    "q214_rare_term_graph" -> GraphOps.rareTermGraphOracle,
+    "q215_temporal_leakage" -> TimeSeriesOps.temporalLeakageOracle,
+    "q216_shard_conformance" -> TrainPrepOps.shardConformanceOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -1469,6 +1469,81 @@ object CurationOps {
        |FROM pk JOIN documents d ON pk.orig_id = d.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // --- q213: effective-sample-size clip curve ------------------------------
+
+  /** Duplication-credit caps priced by the ESS curve (members-space:
+    * cap 1 = pure dedup / uniform weights; 64 ≈ uncapped here). */
+  val EssClipGrid: Seq[Long] = Seq(1L, 4L, 16L, 64L)
+
+  /** q213 — effective-sample-size clip curve over the q178 soft-dedup
+    * weights: √-size sampling weights keep duplicated content
+    * influential, but a few huge clusters can dominate the draw, so
+    * production clips the duplication credit at a cap c — and choosing
+    * c is a measured trade this table prices in ONE pass (the q196/q206
+    * "one run prices every threshold" shape). Per (cap, source): the
+    * Kish effective sample size (Σw)²/Σw² of the clipped weights
+    * w = √min(n_members, c) and its fraction of the cluster count —
+    * ESS/n = 1 means uniform sampling (cap 1 collapses to it), low ESS
+    * means a handful of mega-clusters own the mixture.
+    *
+    * Parity: weights freeze to ×1e6 fixed point per cluster (floor of a
+    * correctly-rounded sqrt — exact both engines); Σw and Σw² are
+    * order-free integer sums; ESS is two multiplies and one divide on
+    * the cast sums (identical op order both engines).
+    *
+    * Scale (100 TB): rides the q59/q110 clustering output — the curve
+    * itself is |grid|·|clusters| metadata rows collapsing to
+    * |grid|·|sources|; no corpus access at all beyond the clustering
+    * this audits. */
+  def essClipCurve(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "documents").select(
+      col("doc_id").as("rep_doc"), col("source"))
+    val base = clusterRepresentatives(s, dir)
+      .join(src, "rep_doc")
+      .select(col("cluster_id"), col("source"), col("n_members"))
+    base
+      .select(col("source"), col("n_members"),
+        explode(lit(EssClipGrid.toArray)).as("cap"))
+      .withColumn("w_fp", floor(
+        sqrt(least(col("n_members"), col("cap")).cast("double")) * 1e6)
+        .cast("bigint"))
+      .groupBy("cap", "source")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("w_fp")).as("s1"),
+        sum(col("w_fp") * col("w_fp")).as("s2"))
+      .select(col("cap"), col("source"), col("n_clusters"), col("s1"),
+        col("s2"),
+        round(col("s1").cast("double") * col("s1").cast("double") /
+          col("s2").cast("double"), 6).as("ess"),
+        round(col("s1").cast("double") * col("s1").cast("double") /
+          (col("s2").cast("double") * col("n_clusters").cast("double")), 6)
+          .as("ess_frac"))
+      .orderBy("cap", "source")
+  }
+
+  /** q213 oracle: the q110 closure + clip grid + Kish ESS. */
+  def essClipCurveOracle(q110Sql: String): String =
+    s"""WITH reps AS ($q110Sql),
+       |base AS (SELECT r.cluster_id, d.source, r.n_members
+       |  FROM reps r JOIN documents d ON d.doc_id = r.rep_doc),
+       |g AS (SELECT source, n_members, CAST(unnest([${
+        EssClipGrid.mkString(", ")}]) AS BIGINT) AS cap FROM base),
+       |w AS (SELECT cap, source,
+       |    CAST(floor(sqrt(CAST(least(n_members, cap) AS DOUBLE)) * 1e6)
+       |      AS BIGINT) AS w_fp
+       |  FROM g),
+       |a AS (SELECT cap, source, count(*) AS n_clusters,
+       |    CAST(sum(w_fp) AS BIGINT) AS s1,
+       |    CAST(sum(w_fp * w_fp) AS BIGINT) AS s2
+       |  FROM w GROUP BY cap, source)
+       |SELECT cap, source, n_clusters, s1, s2,
+       |  round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+       |    / CAST(s2 AS DOUBLE), 6) AS ess,
+       |  round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+       |    / (CAST(s2 AS DOUBLE) * CAST(n_clusters AS DOUBLE)), 6)
+       |    AS ess_frac
+       |FROM a ORDER BY cap, source""".stripMargin
+
   // --- q210: gate leave-one-out ablation ----------------------------------
 
   /** q210 — quality-gate ablation: q194 measures whether the three

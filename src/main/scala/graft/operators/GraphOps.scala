@@ -421,4 +421,91 @@ object GraphOps {
        |    ELSE 0.0 END AS coef
        |FROM dg LEFT JOIN tn USING (node) ORDER BY node""".stripMargin
   }
+
+  // --- q214: rare-term co-occurrence graph ---------------------------------
+
+  /** A term is "rare" when its document frequency is in [2, cap];
+    * edges need at least this many shared rare terms. */
+  val RareDfCap = 4L
+  val MinSharedRare = 2L
+
+  /** q214 — rare-term co-occurrence linking: documents sharing ≥
+    * [[MinSharedRare]] terms of document frequency ≤ [[RareDfCap]] are
+    * edges; connected components are document families invisible to
+    * lexical dedup — citation rings, mirrored articles with rewritten
+    * prose, template families keyed by the same odd identifiers. The
+    * classic entity-linking-by-rare-token trick (and the reason
+    * "rare" is load-bearing at 100 TB: the df cap bounds the per-term
+    * join fanout at cap², so the pair join is Σ_rare df² ≤ cap·|rare
+    * occurrences| — never corpus²; common terms, which would explode
+    * it, are by definition not linking evidence).
+    *
+    * The fixture corpus draws from a CLOSED ~31-word pool (min df 25),
+    * so rare terms are PLANTED (q149/q191 pattern): every doc with
+    * doc_id ≡ 0,1,2 (mod 97) gains two `rt<k>a rt<k>b` tokens shared
+    * by exactly its 3-doc group — df 3, pairwise shared 2, expected
+    * components of exactly 3 docs. Components close via the ONE
+    * propagateLabels engine (q59/q110/q116/q169).
+    *
+    * Parity: integer counting; the oracle replays the closure as a
+    * recursive CTE (the q59 convention). */
+  def rareTermGraph(s: SparkSession, dir: String): DataFrame = {
+    val docs = EtlOps.t(s, dir, "documents").select(col("doc_id"),
+      col("source"),
+      when(col("doc_id") % 97 < 3,
+        concat(col("text"), lit(" rt"), expr("doc_id div 97").cast("string"),
+          lit("a rt"), expr("doc_id div 97").cast("string"), lit("b")))
+        .otherwise(col("text")).as("text"))
+      .persist()
+    val dt = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("term"))
+    val dfc = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= RareDfCap)
+      .select("term")
+    val rare = dt.join(dfc, "term")
+    val pairs = rare.as("a").join(rare.as("b"),
+        col("a.term") === col("b.term") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= MinSharedRare)
+      .select("doc_a", "doc_b")
+    val lab = CurationOps.propagateLabels(pairs,
+      docs.select(col("doc_id")))
+    lab.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("lbl").as("component_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("component_id")
+  }
+
+  def rareTermGraphOracle: String =
+    s"""WITH RECURSIVE dd AS (SELECT doc_id, source,
+       |    CASE WHEN doc_id % 97 < 3
+       |      THEN text || ' rt' || CAST(doc_id // 97 AS VARCHAR) || 'a rt'
+       |        || CAST(doc_id // 97 AS VARCHAR) || 'b'
+       |      ELSE text END AS text
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM dd),
+       |dt AS (SELECT DISTINCT doc_id, term FROM tok),
+       |dfc AS (SELECT term FROM (SELECT term, count(*) AS df FROM dt
+       |  GROUP BY term) WHERE df >= 2 AND df <= $RareDfCap),
+       |rare AS (SELECT doc_id, term FROM dt JOIN dfc USING (term)),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b
+       |    ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= $MinSharedRare),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |      UNION ALL SELECT doc_b, doc_a FROM p),
+       |r AS (SELECT doc_id AS node, doc_id AS lbl FROM dd
+       |      UNION
+       |      SELECT e.b, r.lbl FROM r JOIN e ON e.a = r.node),
+       |lab AS (SELECT node, min(lbl) AS component_id FROM r GROUP BY node)
+       |SELECT l.component_id, count(*) AS n_docs,
+       |  CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+       |FROM lab l JOIN dd d ON d.doc_id = l.node
+       |GROUP BY l.component_id HAVING count(*) >= 2
+       |ORDER BY l.component_id""".stripMargin
 }

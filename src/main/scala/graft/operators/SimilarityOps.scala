@@ -762,4 +762,146 @@ object SimilarityOps {
        |FROM ov JOIN dist d ON ov.dims = d.dims
        |ORDER BY dims""".stripMargin
   }
+
+  // --- q212: index-staleness recall audit ---------------------------------
+
+  /** Ranking depth for the staleness recall comparison. */
+  val StaleTopK = 5
+
+  /** q212 — ANN index staleness audit: an IVF index whose coarse
+    * centroids were trained on an OLD snapshot (even vec_ids only)
+    * serves queries drawn from the NEW data (odd vec_ids); the audit
+    * measures nprobe=1 recall@[[StaleTopK]] against exact brute force
+    * for that stale index NEXT TO a freshly-trained index over the same
+    * corpus — the number that decides WHEN to pay an index rebuild as
+    * embeddings drift (the q161 incremental-dedup question asked of the
+    * similarity index). Also reports rows probed, since a stale
+    * quantizer can silently skew list sizes (q193's balance concern).
+    *
+    * Parity: every cosine goes through the native dot_product with the
+    * oracle's generated op order; hits are exact integers; recall is
+    * one double division. Ties break on cand_id everywhere.
+    *
+    * Scale (100 TB): assignment is one broadcast(centroids) map over
+    * the corpus per index (the audit's 2× is the audit's price, not the
+    * search path's); the exact ground truth is |queries|-bounded
+    * (broadcast query set, never corpus²); recall aggregates
+    * |queries|·k rows. */
+  def indexStaleness(s: SparkSession, dir: String): DataFrame = {
+    val v = withNorm(baseVectors(s, dir)).persist()
+    val queries = v.filter(col("vec_id") % 2 === 1 && col("vec_id") < 16)
+      .select(col("vec_id").as("q_id"), col("emb").as("emb_q"),
+        col("norm").as("norm_q"))
+    val wq = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val exact = broadcast(queries)
+      .crossJoin(v.select(col("vec_id").as("cand_id"),
+        col("emb").as("emb_c"), col("norm").as("norm_c")))
+      .filter(col("q_id") =!= col("cand_id"))
+      .selectExpr("q_id", "cand_id",
+        "dot_product(emb_q, emb_c) / (norm_q * norm_c) AS cos")
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= StaleTopK)
+      .select("q_id", "cand_id")
+      .persist()
+    val nq = queries.agg(count(lit(1)).as("n_queries"))
+    def recallOf(cents: DataFrame, tag: String): DataFrame = {
+      val c = broadcast(cents.select(col("vec_id").as("cent_id"),
+        col("emb").as("cent_emb"), col("norm").as("cent_norm")))
+      val wa = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cent_cos").desc, col("cent_id"))
+      val assigned = v.crossJoin(c)
+        .selectExpr("vec_id", "emb", "norm", "cent_id",
+          "dot_product(emb, cent_emb) / (norm * cent_norm) AS cent_cos")
+        .withColumn("rn", row_number().over(wa))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("emb"), col("norm"),
+          col("cent_id").as("bucket"))
+        .persist()
+      val qb = assigned.join(queries,
+          assigned("vec_id") === queries("q_id"))
+        .select(col("q_id"), col("emb_q"), col("norm_q"), col("bucket"))
+      val top = broadcast(qb)
+        .join(assigned.select(col("vec_id").as("cand_id"),
+          col("emb").as("emb_c"), col("norm").as("norm_c"),
+          col("bucket")), Seq("bucket"))
+        .filter(col("q_id") =!= col("cand_id"))
+        .selectExpr("q_id", "cand_id",
+          "dot_product(emb_q, emb_c) / (norm_q * norm_c) AS cos")
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= StaleTopK)
+        .select("q_id", "cand_id")
+      val hits = exact.join(top, Seq("q_id", "cand_id"))
+        .agg(count(lit(1)).as("hits_total"))
+      val probed = qb.select("bucket")
+        .join(assigned.groupBy("bucket").agg(count(lit(1)).as("bs")),
+          "bucket")
+        .agg(sum(col("bs")).as("probed_rows"))
+      hits.crossJoin(probed).crossJoin(nq)
+        .select(lit(tag).as("index_age"), col("n_queries"),
+          col("hits_total"),
+          round(col("hits_total").cast("double") /
+            (col("n_queries") * StaleTopK).cast("double"), 6).as("recall"),
+          col("probed_rows"))
+    }
+    val fresh = recallOf(v.filter(col("vec_id") < IvfCentroids), "fresh")
+    val stale = recallOf(v.filter(col("vec_id") % 2 === 0 &&
+      col("vec_id") < 2 * IvfCentroids), "stale")
+    fresh.unionAll(stale).orderBy("index_age")
+  }
+
+  def indexStalenessOracle: String = {
+    def indexCtes(t: String, centPred: String): String =
+      s"""cents$t AS (SELECT vec_id AS cent_id, emb, norm FROM n
+         |  WHERE $centPred),
+         |asg$t AS (SELECT vec_id, emb, norm, cent_id AS bucket FROM (
+         |  SELECT x.vec_id, x.emb, x.norm, c.cent_id,
+         |    row_number() OVER (PARTITION BY x.vec_id ORDER BY
+         |      (${VecSql.dot("x.emb", "c.emb", spark = false)})
+         |        / (x.norm * c.norm) DESC, c.cent_id) AS rn
+         |  FROM n x, cents$t c) WHERE rn = 1),
+         |qb$t AS (SELECT q.q_id, q.emb, q.norm, a.bucket
+         |  FROM q JOIN asg$t a ON a.vec_id = q.q_id),
+         |top$t AS (SELECT q_id, cand_id FROM (
+         |  SELECT qb.q_id, a.vec_id AS cand_id,
+         |    row_number() OVER (PARTITION BY qb.q_id ORDER BY
+         |      (${VecSql.dot("qb.emb", "a.emb", spark = false)})
+         |        / (qb.norm * a.norm) DESC, a.vec_id) AS rn
+         |  FROM qb$t qb JOIN asg$t a USING (bucket)
+         |  WHERE a.vec_id <> qb.q_id) WHERE rn <= $StaleTopK),
+         |hits$t AS (SELECT count(*) AS hits_total
+         |  FROM ex JOIN top$t USING (q_id, cand_id)),
+         |probed$t AS (SELECT CAST(sum(bs) AS BIGINT) AS probed_rows
+         |  FROM qb$t JOIN (SELECT bucket, count(*) AS bs FROM asg$t
+         |    GROUP BY bucket) z USING (bucket))""".stripMargin
+    def rowSql(t: String, tag: String): String =
+      s"""SELECT '$tag' AS index_age,
+         |  (SELECT count(*) FROM q) AS n_queries,
+         |  CAST(hits_total AS BIGINT) AS hits_total,
+         |  round(CAST(hits_total AS DOUBLE) /
+         |    CAST((SELECT count(*) FROM q) * $StaleTopK AS DOUBLE), 6)
+         |    AS recall,
+         |  probed_rows
+         |FROM hits$t, probed$t""".stripMargin
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb,
+       |    sqrt(${VecSql.dot("emb", "emb", spark = false)}) AS norm FROM v),
+       |q AS (SELECT vec_id AS q_id, emb, norm FROM n
+       |  WHERE vec_id % 2 = 1 AND vec_id < 16),
+       |ex AS (SELECT q_id, cand_id FROM (
+       |  SELECT q.q_id, c.vec_id AS cand_id,
+       |    row_number() OVER (PARTITION BY q.q_id ORDER BY
+       |      (${VecSql.dot("q.emb", "c.emb", spark = false)})
+       |        / (q.norm * c.norm) DESC, c.vec_id) AS rn
+       |  FROM q, n c WHERE c.vec_id <> q.q_id) WHERE rn <= $StaleTopK),
+       |${indexCtes("f", s"vec_id < $IvfCentroids")},
+       |${indexCtes("s",
+        s"vec_id % 2 = 0 AND vec_id < ${2 * IvfCentroids}")}
+       |${rowSql("f", "fresh")}
+       |UNION ALL
+       |${rowSql("s", "stale")}
+       |ORDER BY index_age""".stripMargin
+  }
 }

@@ -409,4 +409,89 @@ object TimeSeriesOps {
        |FROM late l CROSS JOIN delays d
        |GROUP BY d.delay_s ORDER BY d.delay_s""".stripMargin
   }
+
+  // --- q215: temporal train/test leakage audit -----------------------------
+
+  /** q215 — temporal-leakage audit for event-trained models: a model
+    * predicting user behavior must not train on events that happened
+    * AFTER its test window ("time travel" leakage — the most common
+    * silent eval inflation in production ML). The audit prices two
+    * split policies on the same events: the naive RANDOM split
+    * (event_id ≡ 0 mod 5 → test) and the per-user TEMPORAL split (last
+    * 20% of each user's events by time → test), reporting, per policy,
+    * how many users have at least one train event strictly after their
+    * first test event. The temporal split is leak-free BY CONSTRUCTION
+    * (its violation count is the audit's self-check); the random
+    * split's leak rate is the number that justifies the re-split.
+    *
+    * Parity: timestamp comparisons only (never emitted); counts are
+    * integers, the rate is one double division. Ties: a train event AT
+    * the same timestamp as the test minimum is not a leak (strict >),
+    * and the temporal rank orders by (ts, event_id) — deterministic in
+    * both engines.
+    *
+    * Scale (100 TB): both policies ride ONE hash exchange on user_id
+    * (the window and the per-user aggregate share it); output is
+    * 2 rows. Users with an empty side are excluded from the rate (no
+    * train/test boundary to violate). */
+  def temporalLeakage(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+    def audit(flagged: DataFrame, tag: String): DataFrame =
+      flagged
+        .groupBy("user_id")
+        .agg(sum(when(!col("is_test"), 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("is_test"), 1L).otherwise(0L)).as("n_test"),
+          max(when(!col("is_test"), col("ts"))).as("max_train_ts"),
+          min(when(col("is_test"), col("ts"))).as("min_test_ts"))
+        .filter(col("n_train") > 0 && col("n_test") > 0)
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("max_train_ts") > col("min_test_ts"), 1L)
+            .otherwise(0L)).as("n_leaky"),
+          sum(col("n_test")).as("n_test_events"))
+        .select(lit(tag).as("split"), col("n_users"), col("n_leaky"),
+          round(col("n_leaky").cast("double") /
+            col("n_users").cast("double"), 6).as("leak_rate"),
+          col("n_test_events"))
+    val random = audit(
+      ev.withColumn("is_test", col("event_id") % 5 === 0), "random")
+    val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wn = Window.partitionBy("user_id")
+    val temporal = audit(
+      ev.withColumn("rn", row_number().over(wu))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("is_test", col("rn") > expr("(4 * n) div 5")),
+      "temporal")
+    random.unionAll(temporal).orderBy("split")
+  }
+
+  def temporalLeakageOracle: String =
+    """WITH e AS (SELECT user_id, event_id, ts FROM events),
+      |rnd AS (SELECT user_id, ts, event_id % 5 = 0 AS is_test FROM e),
+      |tmp AS (SELECT user_id, ts,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      > (4 * count(*) OVER (PARTITION BY user_id)) // 5 AS is_test
+      |  FROM e),
+      |u AS (
+      |  SELECT 'random' AS split, user_id,
+      |    sum(CASE WHEN NOT is_test THEN 1 ELSE 0 END) AS n_train,
+      |    sum(CASE WHEN is_test THEN 1 ELSE 0 END) AS n_test,
+      |    max(CASE WHEN NOT is_test THEN ts END) AS max_train_ts,
+      |    min(CASE WHEN is_test THEN ts END) AS min_test_ts
+      |  FROM rnd GROUP BY user_id
+      |  UNION ALL
+      |  SELECT 'temporal', user_id,
+      |    sum(CASE WHEN NOT is_test THEN 1 ELSE 0 END),
+      |    sum(CASE WHEN is_test THEN 1 ELSE 0 END),
+      |    max(CASE WHEN NOT is_test THEN ts END),
+      |    min(CASE WHEN is_test THEN ts END)
+      |  FROM tmp GROUP BY user_id)
+      |SELECT split, CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(CASE WHEN max_train_ts > min_test_ts THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_leaky,
+      |  round(CAST(sum(CASE WHEN max_train_ts > min_test_ts THEN 1 ELSE 0
+      |    END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS leak_rate,
+      |  CAST(sum(n_test) AS BIGINT) AS n_test_events
+      |FROM u WHERE n_train > 0 AND n_test > 0
+      |GROUP BY split ORDER BY split""".stripMargin
 }

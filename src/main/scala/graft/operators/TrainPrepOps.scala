@@ -1265,4 +1265,102 @@ object TrainPrepOps {
       |  sum(CASE WHEN conserved THEN 1 ELSE 0 END) = count(*)
       |    AS all_conserved
       |FROM per GROUP BY source ORDER BY source""".stripMargin
+
+  // --- q216: shard mixture-conformance audit -------------------------------
+
+  /** Output shards audited, and the χ² slack factor: a shard conforms
+    * when its χ² statistic is within [[ShardChi2Slack]]× its degrees
+    * of freedom (E[χ²] = df under uniform hashing). */
+  val ConformShards = 16
+  val ShardChi2Slack = 3L
+
+  /** q216 — shard mixture-conformance audit: a training-data writer
+    * hash-shards the corpus ([[ConformShards]] shards on the document
+    * fingerprint, q105's layout), and every shard is SUPPOSED to be an
+    * unbiased sample of the global source mixture — a loader that reads
+    * shards sequentially otherwise trains on a drifting mixture. Per
+    * shard: the χ² statistic of its observed source composition against
+    * the global proportions, and a conformance flag at
+    * [[ShardChi2Slack]]·df. A failing shard means the shard key leaks
+    * content (e.g. sharded by file → by crawl domain → by language) —
+    * THE audit to run before declaring a shard plan loader-safe.
+    *
+    * Parity: the dense (shard × source) grid completes missing cells
+    * with 0 (q152's dense-completion rule); expected counts and each
+    * cell's χ² term are IEEE doubles with identical op order, each term
+    * frozen to ×1e6 fixed point before the order-free integer sum (the
+    * q142/q168 discipline); the flag compares integers.
+    *
+    * Scale (100 TB): one corpus scan → |shards|·|sources| cells;
+    * everything downstream is grid arithmetic. The audit is O(scan)
+    * regardless of shard count. */
+  def shardConformance(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val d = t(s, dir, "documents").select(col("source"),
+      (call_function("md5_fp60",
+        concat(lit("shard:"), col("doc_id").cast("string")))
+        % ConformShards).as("shard"))
+    // ONE corpus scan: every total is an exact rollup of the observed
+    // |shards|·|sources| cell frame, so the totals cost cell arithmetic,
+    // not rescans
+    val obs = d.groupBy("shard", "source").agg(count(lit(1)).as("obs"))
+      .persist()
+    val srcTot = obs.groupBy("source").agg(sum(col("obs")).as("st"))
+    val shardTot = obs.groupBy("shard").agg(sum(col("obs")).as("ht"))
+    val tot = obs.agg(sum(col("obs")).as("n"))
+    val nSrc = srcTot.agg(count(lit(1)).as("k"))
+    // dense grid: every (shard, source) cell exists, obs defaults to 0
+    val grid = shardTot.crossJoin(broadcast(srcTot))
+      .join(obs, Seq("shard", "source"), "left")
+      .withColumn("o", coalesce(col("obs"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("exp",
+        (col("ht") * col("st")).cast("double") / col("n").cast("double"))
+      .withColumn("term_fp", floor(
+        (col("o").cast("double") - col("exp")) *
+          (col("o").cast("double") - col("exp")) / col("exp") * 1e6)
+        .cast("bigint"))
+    grid.groupBy("shard")
+      .agg(max(col("ht")).as("n_docs"), sum(col("term_fp")).as("chi2_fp"))
+      .crossJoin(broadcast(nSrc))
+      .select(col("shard"), col("n_docs"),
+        round(col("chi2_fp").cast("double") / 1e6, 6).as("chi2"),
+        (col("k") - 1).as("df"),
+        (col("chi2_fp") <= lit(ShardChi2Slack) * (col("k") - 1) * 1000000L)
+          .as("conforming"))
+      .orderBy("shard")
+  }
+
+  def shardConformanceOracle: String =
+    s"""WITH d AS (SELECT source,
+       |    CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+       |      1, 15) AS BIGINT) % $ConformShards AS shard
+       |  FROM documents),
+       |obs AS (SELECT shard, source, count(*) AS obs FROM d
+       |  GROUP BY shard, source),
+       |st AS (SELECT source, CAST(count(*) AS BIGINT) AS st FROM d
+       |  GROUP BY source),
+       |ht AS (SELECT shard, CAST(count(*) AS BIGINT) AS ht FROM d
+       |  GROUP BY shard),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+       |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM st),
+       |grid AS (SELECT ht.shard, st.source, ht.ht, st.st,
+       |    coalesce(obs.obs, 0) AS o
+       |  FROM ht CROSS JOIN st
+       |  LEFT JOIN obs ON obs.shard = ht.shard AND obs.source = st.source),
+       |cell AS (SELECT shard, ht,
+       |    CAST(floor((CAST(o AS DOUBLE) -
+       |        CAST(ht * st AS DOUBLE) / CAST(t.n AS DOUBLE)) *
+       |      (CAST(o AS DOUBLE) -
+       |        CAST(ht * st AS DOUBLE) / CAST(t.n AS DOUBLE)) /
+       |      (CAST(ht * st AS DOUBLE) / CAST(t.n AS DOUBLE)) * 1e6)
+       |      AS BIGINT) AS term_fp
+       |  FROM grid, t)
+       |SELECT shard, max(ht) AS n_docs,
+       |  round(CAST(CAST(sum(term_fp) AS BIGINT) AS DOUBLE) / 1e6, 6)
+       |    AS chi2,
+       |  (SELECT k - 1 FROM k) AS df,
+       |  CAST(sum(term_fp) AS BIGINT) <=
+       |    $ShardChi2Slack * (SELECT k - 1 FROM k) * 1000000 AS conforming
+       |FROM cell GROUP BY shard ORDER BY shard""".stripMargin
 }

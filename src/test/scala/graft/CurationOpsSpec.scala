@@ -472,4 +472,29 @@ class CurationOpsSpec extends AnyFunSuite {
     // diverge somewhere (otherwise the comparison prices nothing)
     assert(fl > 0 && fq > 0 && lq > 0, s"policies never disagree: $fl $fq $lq")
   }
+
+  test("q213 ESS clip curve: cap 1 is uniform, ESS monotone in cap, Kish bounds hold") {
+    val rows = CurationOps.essClipCurve(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case ((cap, src), (n, s1, s2, ess, essFrac)) =>
+      // Kish: 1 ≤ ESS ≤ n, and the two reported forms reconcile
+      assert(ess >= 1.0 - 1e-6 && ess <= n + 1e-6, s"$cap/$src ESS $ess")
+      assert(math.abs(essFrac - ess / n) < 1e-5)
+      assert(s2 > 0 && s1 > 0)
+      // cap 1 clips every weight to √1: exactly uniform, ESS = n
+      if (cap == 1L) assert(math.abs(essFrac - 1.0) < 1e-9,
+        s"cap=1 not uniform for $src")
+    }
+    // loosening the cap can only concentrate weight: ESS_frac is
+    // non-increasing in cap per source
+    val bySrc = rows.groupBy(_._1._2)
+    bySrc.foreach { case (src, m) =>
+      val curve = m.toSeq.sortBy(_._1._1).map(_._2._5)
+      assert(curve == curve.sorted.reverse,
+        s"$src ESS not monotone in cap: $curve")
+    }
+  }
 }

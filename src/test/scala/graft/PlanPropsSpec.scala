@@ -730,6 +730,44 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q212 index staleness: centroid assignment broadcasts, queries broadcast to lists") {
+    val p = plan(SimilarityOps.indexStaleness(spark, dir))
+    assert(p.contains("BroadcastExchange"),
+      s"centroid/query broadcasts missing:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"staleness audit went cartesian:\n${p.take(1800)}")
+  }
+
+  test("q214 rare-term graph: pair join rides the term key, no cartesian") {
+    val p = plan(GraphOps.rareTermGraph(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"rare-term join went cartesian:\n${p.take(1800)}")
+  }
+
+  test("q215 temporal leakage: both split audits share the user_id partitioning") {
+    val p = plan(TimeSeriesOps.temporalLeakage(spark, dir))
+    // the temporal branch's window and per-user aggregate must reuse one
+    // user_id exchange; the random branch adds its own — 3 total, and
+    // never one per policy per stage
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).length <= 3,
+      s"leakage audit re-shuffles users:\n${p.take(1800)}")
+  }
+
+  test("q216 shard conformance: dense-grid joins broadcast, scan count bounded") {
+    val p = plan(TrainPrepOps.shardConformance(spark, dir))
+    // the shard×source grid completion is metadata-sized and must ride
+    // broadcasts, never a data-sized cartesian
+    assert(!p.contains("CartesianProduct"),
+      s"dense grid went cartesian on data:\n${p.take(1800)}")
+    assert(p.contains("BroadcastExchange"),
+      s"grid totals not broadcast:\n${p.take(1800)}")
+    // all totals roll up from the persisted cell frame — the parquet
+    // scan appears once per InMemoryRelation reference in the STRING,
+    // but only the cell subtree actually scans; pin the cache instead
+    assert(p.contains("InMemoryTableScan"),
+      s"cell frame recomputed per total:\n${p.take(1800)}")
+  }
+
   test("q206 temperature curve: corpus scanned once, grid work is metadata-sized") {
     val p = plan(MixtureOps.temperatureCurve(spark, dir))
     assert("Scan parquet".r.findAllIn(p).length == 1,

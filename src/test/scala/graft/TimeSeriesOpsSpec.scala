@@ -670,4 +670,57 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
       assert(out(term)._2 == k, s"$term: kept ${out(term)._2}, want $k")
     }
   }
+
+  test("q212 index staleness: both indexes audited, recall exact-bounded, fresh serves") {
+    val rows = graft.operators.SimilarityOps.indexStaleness(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set("fresh", "stale"))
+    rows.foreach { case (tag, (nq, hits, recall, probed)) =>
+      assert(nq == 8, s"$tag query count")
+      assert(hits >= 0 && hits <= nq * graft.operators.SimilarityOps.StaleTopK)
+      assert(math.abs(recall -
+        hits.toDouble / (nq * graft.operators.SimilarityOps.StaleTopK)) < 1e-6)
+      assert(probed > 0, s"$tag probed nothing")
+    }
+    // nprobe=1 against a FRESH quantizer must be a usable index here —
+    // and the staleness audit must be able to show a gap when the
+    // stale quantizer misroutes queries (the reason the audit exists);
+    // equality is allowed (no drift ⇒ no decay), superiority is not
+    assert(rows("fresh")._3 >= rows("stale")._3,
+      s"stale index outperformed fresh: $rows")
+    assert(rows("fresh")._3 > 0.5, "fresh index recall degenerate")
+  }
+
+  test("q214 rare-term graph: planted triads close into exactly their components") {
+    val rows = graft.operators.GraphOps.rareTermGraph(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // sf0.001 ids are 0..499 dense: groups k = 0..5 plant docs
+    // {97k, 97k+1, 97k+2}, each pair sharing 2 rare tokens
+    val wantComponents = (0 to 5).map(k => 97L * k)
+    assert(rows.map(_._1).toSeq == wantComponents,
+      s"components ${rows.map(_._1).mkString(",")}")
+    rows.foreach { case (_, nDocs, nSources) =>
+      assert(nDocs == 3, "planted triad split or merged")
+      assert(nSources >= 1 && nSources <= 3)
+    }
+  }
+
+  test("q215 temporal leakage: temporal split is leak-free, random split leaks") {
+    val rows = graft.operators.TimeSeriesOps.temporalLeakage(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set("random", "temporal"))
+    val (tu, tl, tr, tn) = rows("temporal")
+    assert(tl == 0 && tr == 0.0,
+      "temporal split violated its own construction")
+    assert(tn > 0 && tu > 0)
+    val (ru, rl, rr, _) = rows("random")
+    assert(ru == tu, "user universe differs between split audits")
+    // with ~66 events per user, a random 20% almost surely leaves a
+    // train event after the first test event for every user
+    assert(rr > 0.5, s"random split implausibly clean: $rl/$ru")
+  }
 }

@@ -628,4 +628,26 @@ class TrainPrepOpsSpec extends AnyFunSuite {
       assert(re == toks.mkString(" "), "thirds split loses tokens")
     }
   }
+
+  test("q216 shard conformance: cells cover the corpus, chi2 reconciles, hash shards conform") {
+    val rows = graft.operators.TrainPrepOps
+      .shardConformance(spark, TestSession.sfDir("0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.length == graft.operators.TrainPrepOps.ConformShards)
+    assert(rows.map(_._2).sum == 500, "shard totals don't cover the corpus")
+    val df = rows.head._4
+    rows.foreach { r =>
+      assert(r._3 >= 0.0)
+      assert(r._4 == df)
+      // the conformance flag IS the chi2-vs-slack comparison
+      val slack = graft.operators.TrainPrepOps.ShardChi2Slack
+      assert(r._5 == (r._3 <= slack * df + 1e-9), s"flag inconsistent: $r")
+    }
+    // an unbiased hash shard key conforms essentially everywhere — a
+    // majority of failing shards would mean the audit (or the hash) is
+    // broken, not the data
+    assert(rows.count(_._5) >= rows.length - 2,
+      s"hash sharding failed conformance: $rows")
+  }
 }
