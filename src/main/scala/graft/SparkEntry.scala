@@ -234,6 +234,10 @@ object SparkEntry {
     "q214_rare_term_graph"   -> (GraphOps.rareTermGraph _),
     "q215_temporal_leakage"  -> (TimeSeriesOps.temporalLeakage _),
     "q216_shard_conformance" -> (TrainPrepOps.shardConformance _),
+    "q217_domain_filter"     -> (CurationOps.domainFilter _),
+    "q218_chain_audit"       -> (DedupOps.chainAudit _),
+    "q219_quota_sample"      -> (CurationOps.quotaSample _),
+    "q220_reshard_audit"     -> (ScaleOps.reshardAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -732,6 +736,10 @@ object SparkEntry {
     "q214_rare_term_graph" -> GraphOps.rareTermGraphOracle,
     "q215_temporal_leakage" -> TimeSeriesOps.temporalLeakageOracle,
     "q216_shard_conformance" -> TrainPrepOps.shardConformanceOracle,
+    "q217_domain_filter" -> CurationOps.domainFilterOracle,
+    "q218_chain_audit" -> DedupOps.chainAuditOracle,
+    "q219_quota_sample" -> CurationOps.quotaSampleOracle,
+    "q220_reshard_audit" -> ScaleOps.reshardAuditOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -1469,6 +1469,157 @@ object CurationOps {
        |FROM pk JOIN documents d ON pk.orig_id = d.doc_id
        |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // --- q217: domain blocklist filter ---------------------------------------
+
+  /** Blocked eTLD+1 domains (the spam/SEO blocklist a web-corpus
+    * pipeline broadcasts). */
+  val DomainBlocklist: Seq[String] =
+    Seq("site0.com", "site7.com", "site13.com", "site29.com")
+
+  /** q217 — URL/domain curation: web corpora are filtered at the
+    * DOMAIN level before any content heuristic runs (C4/RefinedWeb
+    * style blocklists) — extract the host from each document's source
+    * URL, reduce it to its registrable domain (eTLD+1), and gate
+    * against a broadcast blocklist; report per source the doc/token
+    * mass removed and the distinct-domain footprint. The fixture has
+    * no URL column, so a deterministic one is PLANTED per doc
+    * (sub{0..2}.site{0..36}.com — the q149 pattern); the extraction
+    * regexes and the gate are the production path.
+    *
+    * Parity: regex extraction is identical RE2-compatible syntax in
+    * both engines; counting is integer; the removed fraction divides
+    * once.
+    *
+    * Scale (100 TB): pure per-row regex + a broadcast semi-join on the
+    * blocklist + one source rollup — the exact shape of a production
+    * domain gate (the blocklist is always broadcast-sized; domain
+    * REPUTATION joins that outgrow broadcast shuffle on the eTLD+1
+    * key, documented here as the growth path). */
+  def domainFilter(s: SparkSession, dir: String): DataFrame = {
+    import TextOps.wsTokenCount
+    val blockSet = DomainBlocklist
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      wsTokenCount(col("text")).cast("bigint").as("toks"),
+      concat(lit("https://sub"), (col("doc_id") % 3).cast("string"),
+        lit(".site"), (col("doc_id") % 37).cast("string"),
+        lit(".com/doc/"), col("doc_id").cast("string")).as("url"))
+    docs
+      .withColumn("host", regexp_extract(col("url"), "https?://([^/]+)/", 1))
+      .withColumn("etld1",
+        regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1))
+      .withColumn("blocked", col("etld1").isin(blockSet: _*))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_toks"),
+        countDistinct(col("etld1")).as("n_domains"),
+        sum(when(col("blocked"), 1L).otherwise(0L)).as("blocked_docs"),
+        sum(when(col("blocked"), col("toks")).otherwise(0L))
+          .as("blocked_toks"))
+      .withColumn("blocked_frac", round(
+        col("blocked_docs").cast("double") / col("n_docs").cast("double"), 6))
+      .orderBy("source")
+  }
+
+  def domainFilterOracle: String = {
+    val blist = DomainBlocklist.map(d => s"'$d'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS toks,
+       |    'https://sub' || CAST(doc_id % 3 AS VARCHAR) || '.site' ||
+       |      CAST(doc_id % 37 AS VARCHAR) || '.com/doc/' ||
+       |      CAST(doc_id AS VARCHAR) AS url
+       |  FROM documents),
+       |h AS (SELECT source, toks,
+       |    regexp_extract(regexp_extract(url, 'https?://([^/]+)/', 1),
+       |      '([^.]+\\.[^.]+)$$', 1) AS etld1
+       |  FROM d),
+       |g AS (SELECT source, toks, etld1,
+       |    etld1 IN ($blist) AS blocked FROM h)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(toks) AS BIGINT) AS n_toks,
+       |  CAST(count(DISTINCT etld1) AS BIGINT) AS n_domains,
+       |  CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS blocked_docs,
+       |  CAST(sum(CASE WHEN blocked THEN toks ELSE 0 END) AS BIGINT)
+       |    AS blocked_toks,
+       |  round(CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS blocked_frac
+       |FROM g GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // --- q219: quota-balanced eval-set sampler --------------------------------
+
+  /** Per-(lang, quality-band) quota for the balanced eval set. */
+  val QuotaPerCell = 20L
+
+  /** q219 — quota-balanced eval-set construction: an eval set wants
+    * FIXED per-cell coverage (every language × quality band equally
+    * probed), not the corpus's proportions (q64's stratified sampler
+    * preserves those). Cells are (lang, quality quintile band); each
+    * cell contributes its [[QuotaPerCell]] lowest-hash documents (the
+    * q182 deterministic bottom-k priority, so the draw is reproducible
+    * and mergeable), and under-populated cells report their SHORTFALL
+    * — the number that tells an eval owner which strata the corpus
+    * cannot support. A selection fingerprint (md5 over the ordered
+    * picked ids) pins the exact membership.
+    *
+    * Parity: the quality band floors the bit-reproducible q27 score;
+    * priorities are md5_fp60 integers; the fingerprint hashes the
+    * id list ordered by (priority, doc_id).
+    *
+    * Scale (100 TB): one hash exchange on the cell key; the per-cell
+    * bottom-k is a rank window over cells (quota-bounded output). */
+  def quotaSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      least(floor(TextOps.qualityOf(col("text")) * 5), lit(4L))
+        .cast("bigint").as("band"),
+      call_function("md5_fp60",
+        concat(lit("eval:"), col("doc_id").cast("string"))).as("prio"))
+    val w = Window.partitionBy("lang", "band")
+      .orderBy(col("prio"), col("doc_id"))
+    d.withColumn("rn", row_number().over(w))
+      .withColumn("picked", col("rn") <= QuotaPerCell)
+      .groupBy("lang", "band")
+      .agg(count(lit(1)).as("n_available"),
+        sum(when(col("picked"), 1L).otherwise(0L)).as("n_selected"),
+        md5(concat_ws(",", expr(
+          "transform(array_sort(collect_list(CASE WHEN picked THEN " +
+            "struct(rn, doc_id) END)), x -> CAST(x.doc_id AS STRING))")))
+          .as("selection_fp"))
+      .select(col("lang"), col("band"), col("n_available"),
+        col("n_selected"),
+        greatest(lit(QuotaPerCell) - col("n_selected"), lit(0L))
+          .as("shortfall"),
+        round(col("n_selected").cast("double") / QuotaPerCell, 6)
+          .as("fill_frac"),
+        col("selection_fp"))
+      .orderBy("lang", "band")
+  }
+
+  def quotaSampleOracle: String =
+    s"""WITH d AS (SELECT doc_id, lang,
+       |    least(CAST(floor(($QualitySql) * 5) AS BIGINT), 4) AS band,
+       |    CAST('0x' || substr(md5('eval:' || CAST(doc_id AS VARCHAR)),
+       |      1, 15) AS BIGINT) AS prio
+       |  FROM documents),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY lang, band
+       |    ORDER BY prio, doc_id) AS rn FROM d),
+       |p AS (SELECT lang, band, doc_id, rn, rn <= $QuotaPerCell AS picked
+       |  FROM r)
+       |SELECT lang, band, count(*) AS n_available,
+       |  CAST(sum(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_selected,
+       |  greatest($QuotaPerCell - CAST(sum(CASE WHEN picked THEN 1 ELSE 0
+       |    END) AS BIGINT), 0) AS shortfall,
+       |  round(CAST(sum(CASE WHEN picked THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / $QuotaPerCell, 6) AS fill_frac,
+       |  md5(coalesce(string_agg(CASE WHEN picked THEN
+       |    CAST(doc_id AS VARCHAR) END, ',' ORDER BY rn), ''))
+       |    AS selection_fp
+       |FROM p GROUP BY lang, band ORDER BY lang, band""".stripMargin
+
   // --- q213: effective-sample-size clip curve ------------------------------
 
   /** Duplication-credit caps priced by the ESS curve (members-space:

@@ -111,6 +111,12 @@ object OracleGen {
        |   AND $candWhere)""".stripMargin
   }
 
+  /** The capped-LSH candidate chain over [[CorpusSpread]] — shared by
+    * q154's calibration and q218's chain audit so both replay the same
+    * production candidate stream. */
+  private[graft] lazy val lshCandSpreadCtes: String =
+    lshCandCtes(Some(DedupOps.LshBucketCap), CorpusSpread)
+
   /** q31 (no cap) / q118 (hot buckets over `bucketCap` dropped before
     * the pair join — mirrors DedupOps.minhashLshOf). */
   private def minhashLshSql(bucketCap: Option[Int]): String =

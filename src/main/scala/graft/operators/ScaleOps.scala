@@ -540,4 +540,108 @@ object ScaleOps {
        |   m.total_tokens = f.f_tk AND m.min_chars = f.f_mn AND
        |   m.max_chars = f.f_mx) AS incremental_consistent
        |FROM m JOIN f USING (source) ORDER BY m.source""".stripMargin
+
+  // --- q220: reshard-cost audit (mod vs consistent hashing) ---------------
+
+  /** Shard counts before/after the resize, and ring vnodes per shard. */
+  val ReshardFrom = 16
+  val ReshardTo = 20
+  val RingVnodes = 4
+
+  /** q220 — reshard-cost audit: growing a [[ReshardFrom]]-shard layout
+    * to [[ReshardTo]] shards moves data, and HOW MUCH depends entirely
+    * on the shard function. This prices both standard choices on the
+    * same key (q216's document fingerprint): `fp mod N` (which
+    * reassigns almost every document — ~1 − 1/lcm share survives) vs a
+    * consistent-hash ring with [[RingVnodes]] vnodes per shard (which
+    * moves only the keyspace claimed by the new shards, ~(To−From)/To).
+    * At 100 TB the difference is petabytes of rewrite I/O — the audit a
+    * storage lead runs before committing to a shard key scheme.
+    *
+    * Parity: vnode positions and document fingerprints are md5_fp60
+    * integers; ring ownership is the arg-min of an ENCODED integer key
+    * (wrap flag ≪ 61 | vnode) — pure integer arithmetic both engines.
+    *
+    * Scale (100 TB): the ring audit joins each doc against the
+    * broadcast vnode table (≤ To·[[RingVnodes]] rows) — an audit-scale
+    * ×|vnodes| row blowup; the production assigner evaluates the same
+    * ownership as a binary search over a sorted vnode array literal
+    * inside one codegen'd expression (no join at all). Documented here
+    * because the AUDIT favors the declarative form the oracle can
+    * replay. */
+  def reshardAudit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val docs = t(s, dir, "documents").select(
+      call_function("md5_fp60",
+        concat(lit("shard:"), col("doc_id").cast("string"))).as("fp"))
+      .persist()
+    def ringOwner(n: Int, tag: String): DataFrame = {
+      val vnodes = s.range(n.toLong * RingVnodes)
+        .selectExpr(s"CAST(id div $RingVnodes AS BIGINT) AS shard",
+          s"id % $RingVnodes AS j")
+        .selectExpr("shard",
+          // vnode position must NOT depend on the ring size: shards
+          // 0..From-1 keep their points when the ring grows, which is
+          // the whole consistent-hashing contract (salting with N would
+          // rebuild the ring and move ~everything, like mod)
+          s"md5_fp60(concat('ring:', CAST(shard AS STRING), ':', " +
+            "CAST(j AS STRING))) AS v")
+      docs.crossJoin(broadcast(vnodes))
+        // prefer the smallest vnode at-or-above fp; wrap to the global
+        // smallest — one integer key encodes that order (fp < 2^60)
+        .withColumn("key",
+          when(col("v") >= col("fp"), col("v"))
+            .otherwise(col("v") + lit(2305843009213693952L)))
+        .groupBy("fp")
+        .agg(min_by(col("shard"), col("key")).as(s"owner"))
+        .withColumnRenamed("owner", tag)
+    }
+    val modMoved = docs
+      .withColumn("moved",
+        col("fp") % ReshardFrom =!= col("fp") % ReshardTo)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("moved"), 1L).otherwise(0L)).as("n_moved"))
+      .select(lit("mod").as("strategy"), col("n_docs"), col("n_moved"))
+    val ringMoved = ringOwner(ReshardFrom, "own_a")
+      .join(ringOwner(ReshardTo, "own_b"), "fp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("own_a") =!= col("own_b"), 1L).otherwise(0L))
+          .as("n_moved"))
+      .select(lit("ring").as("strategy"), col("n_docs"), col("n_moved"))
+    modMoved.unionAll(ringMoved)
+      .withColumn("moved_frac", round(
+        col("n_moved").cast("double") / col("n_docs").cast("double"), 6))
+      .orderBy("strategy")
+  }
+
+  def reshardAuditOracle: String = {
+    val wrap = 2305843009213693952L
+    def ringCtes(n: Int, pfx: String): String =
+      s"""vn$pfx AS (SELECT CAST(i // $RingVnodes AS BIGINT) AS shard,
+         |    CAST('0x' || substr(md5('ring:' ||
+         |      CAST(i // $RingVnodes AS VARCHAR) || ':' ||
+         |      CAST(i % $RingVnodes AS VARCHAR)), 1, 15) AS BIGINT) AS v
+         |  FROM (SELECT unnest(range(0, ${n.toLong * RingVnodes})) AS i)),
+         |own$pfx AS (SELECT fp, arg_min(shard,
+         |    CASE WHEN v >= fp THEN v ELSE v + $wrap END) AS own$pfx
+         |  FROM d CROSS JOIN vn$pfx GROUP BY fp)""".stripMargin
+    s"""WITH d AS (SELECT
+       |    CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+       |      1, 15) AS BIGINT) AS fp
+       |  FROM documents),
+       |${ringCtes(ReshardFrom, "a")},
+       |${ringCtes(ReshardTo, "b")},
+       |m AS (SELECT 'mod' AS strategy, count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN fp % $ReshardFrom <> fp % $ReshardTo
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+       |  FROM d),
+       |r AS (SELECT 'ring', count(*),
+       |    CAST(sum(CASE WHEN owna <> ownb THEN 1 ELSE 0 END) AS BIGINT)
+       |  FROM owna JOIN ownb USING (fp)),
+       |u AS (SELECT * FROM m UNION ALL SELECT * FROM r)
+       |SELECT strategy, n_docs, n_moved,
+       |  round(CAST(n_moved AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+       |    AS moved_frac
+       |FROM u ORDER BY strategy""".stripMargin
+  }
 }

@@ -497,4 +497,44 @@ class CurationOpsSpec extends AnyFunSuite {
         s"$src ESS not monotone in cap: $curve")
     }
   }
+
+  test("q217 domain filter: blocked mass equals the direct residue recompute") {
+    val rows = CurationOps.domainFilter(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // planted domain is doc_id % 37; the blocklist names residues
+    // {0, 7, 13, 29} — recompute the expected blocked count directly
+    val blockedResidues = Set(0L, 7L, 13L, 29L)
+    val want = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getString(1), r.getLong(0) % 37))
+      .groupBy(_._1)
+      .view.mapValues(ds =>
+        (ds.length.toLong, ds.count(d => blockedResidues(d._2)).toLong))
+      .toMap
+    rows.foreach { r =>
+      val (src, n, blocked) = (r.getString(0), r.getLong(1), r.getLong(4))
+      assert((n, blocked) == want(src), s"$src: got ($n, $blocked)")
+      assert(r.getLong(3) <= 37, "more eTLD+1 domains than planted")
+      assert(math.abs(r.getDouble(6) - blocked.toDouble / n) < 1e-6)
+    }
+  }
+
+  test("q219 quota sample: quotas respected, shortfall exact, draw reproducible") {
+    val a = CurationOps.quotaSample(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(6))))
+    val b = CurationOps.quotaSample(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(6))))
+    assert(a.toMap == b.toMap, "deterministic draw differs across runs")
+    val q = CurationOps.QuotaPerCell
+    a.foreach { case ((lang, band), (avail, sel, short, fp)) =>
+      assert(sel == math.min(avail, q), s"$lang/$band selected $sel")
+      assert(short == math.max(0L, q - sel))
+      assert(fp.length == 32)
+    }
+    // the quota design exists because proportional sampling can't fill
+    // sparse cells: the fixture must actually exhibit a shortfall
+    assert(a.exists(_._2._3 > 0), "no cell is short — quota audit vacuous")
+  }
 }

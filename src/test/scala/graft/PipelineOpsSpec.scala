@@ -1181,6 +1181,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(gates.forall(_._3 >= rows("stack")._5))
   }
 
+  test("q218 chain audit: clusters chain below tau; bands and ratios reconcile") {
+    val rows = DedupOps.chainAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    var chainedTotal = 0L
+    rows.foreach { case (band, nc, np, chained, mean, mn, frac) =>
+      assert(band >= 2 && band <= 6)
+      assert(np >= nc, "fewer rep-member pairs than clusters")
+      assert(chained <= np)
+      assert(mn >= 0.0 && mn <= mean + 1e-9 && mean <= 1.0)
+      assert(math.abs(frac - chained.toDouble / np) < 1e-6)
+      chainedTotal += chained
+    }
+    // the graded-variant corpus is chaining bait by construction: the
+    // far variants join through the near ones — if nothing lands below
+    // tau, the audit (or the clustering) is broken
+    assert(chainedTotal > 0, "no chained members found")
+    assert(rows.exists(_._6 < DedupOps.ChainTau),
+      "min rep-similarity never drops below tau")
+  }
+
+  test("q220 reshard audit: ring beats mod, both fractions in their regimes") {
+    val rows = ScaleOps.reshardAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(rows.keySet == Set("mod", "ring"))
+    val (nm, movedM, fracM) = rows("mod")
+    val (nr, movedR, fracR) = rows("ring")
+    assert(nm == nr && nm == 500)
+    assert(math.abs(fracM - movedM.toDouble / nm) < 1e-6)
+    // mod resharding loses nearly all placement (survivors are the
+    // ~1/lcm(16,20) residue class agreement); the ring moves roughly
+    // the keyspace the 4 new shards claim
+    assert(fracM > 0.7, s"mod moved only $fracM")
+    assert(fracR < fracM, "consistent hashing failed to beat mod")
+    assert(fracR > 0.05 && fracR < 0.5, s"ring fraction implausible: $fracR")
+  }
+
   test("q211 distinctive terms: ranked, thresholded, and genuinely source-leaning") {
     val rows = TextOps.distinctiveTerms(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2),

@@ -730,6 +730,30 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q217 domain filter: one scan, regex gate rides the row, blocklist is a literal") {
+    val p = plan(CurationOps.domainFilter(spark, dir))
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"domain filter re-scans:\n${p.take(1800)}")
+    assert(!p.contains("Exchange rangepartitioning") ||
+      "Exchange rangepartitioning".r.findAllIn(p).length <= 1,
+      s"unexpected range exchanges:\n${p.take(1800)}")
+  }
+
+  test("q219 quota sample: the bottom-k window partitions by the cell key") {
+    val p = plan(CurationOps.quotaSample(spark, dir))
+    assert(p.contains("windowspecdefinition(lang"),
+      s"quota window lost its cell partitioning:\n${p.take(1800)}")
+  }
+
+  test("q220 reshard audit: vnode tables broadcast to the fingerprint frame") {
+    val p = plan(ScaleOps.reshardAudit(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"vnode join not broadcast:\n${p.take(1800)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"fingerprint frame recomputed per strategy:\n${p.take(1800)}")
+  }
+
   test("q212 index staleness: centroid assignment broadcasts, queries broadcast to lists") {
     val p = plan(SimilarityOps.indexStaleness(spark, dir))
     assert(p.contains("BroadcastExchange"),
