@@ -238,6 +238,9 @@ object SparkEntry {
     "q218_chain_audit"       -> (DedupOps.chainAudit _),
     "q219_quota_sample"      -> (CurationOps.quotaSample _),
     "q220_reshard_audit"     -> (ScaleOps.reshardAudit _),
+    "q221_context_pack"      -> (MlPrepOps.contextPack _),
+    "q222_vector_gate"       -> (SimilarityOps.vectorGate _),
+    "q223_incr_postings"     -> (MlPrepOps.incrementalPostings _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -740,6 +743,9 @@ object SparkEntry {
     "q218_chain_audit" -> DedupOps.chainAuditOracle,
     "q219_quota_sample" -> CurationOps.quotaSampleOracle,
     "q220_reshard_audit" -> ScaleOps.reshardAuditOracle,
+    "q221_context_pack" -> MlPrepOps.contextPackOracle,
+    "q222_vector_gate" -> SimilarityOps.vectorGateOracle,
+    "q223_incr_postings" -> MlPrepOps.incrementalPostingsOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

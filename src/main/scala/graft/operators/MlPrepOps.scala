@@ -614,7 +614,10 @@ object MlPrepOps {
     * ≤ |queries|·[[CtxDepth]] candidate docs; shingles, sizes and the
     * pair intersections all live on that candidate set, so the pair
     * join is |queries|·depth² metadata, never corpus². */
-  def contextDedup(s: SparkSession, dir: String): DataFrame = {
+  /** The per-candidate keep/drop frame behind q202 — factored so
+    * q221's budget packer consumes the SAME dominance decisions the
+    * dedup audit reports: (term, rank, doc_id, n_toks, kept). */
+  private[graft] def contextKept(s: SparkSession, dir: String): DataFrame = {
     val cands = bm25Ranked(s, dir)
       .filter(col("rank") <= CtxDepth)
       .select(col("term"), col("rank"), col("doc_id"))
@@ -646,20 +649,27 @@ object MlPrepOps {
       .join(dom.withColumn("dominated", lit(true)),
         Seq("term", "doc_id"), "left")
       .join(tk, "doc_id")
+      .select(col("term"), col("rank"), col("doc_id"), col("n_toks"),
+        col("dominated").isNull.as("kept"))
+  }
+
+  def contextDedup(s: SparkSession, dir: String): DataFrame =
+    contextKept(s, dir)
       .groupBy("term")
       .agg(count(lit(1)).as("n_candidates"),
-        sum(when(col("dominated").isNull, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         sum(col("n_toks")).as("toks_before"),
-        sum(when(col("dominated").isNull, col("n_toks")).otherwise(0L))
+        sum(when(col("kept"), col("n_toks")).otherwise(0L))
           .as("toks_after"))
       .withColumn("saved_frac", round(
         (col("toks_before") - col("toks_after")).cast("double") /
           col("toks_before").cast("double"), 6))
       .orderBy("term")
-  }
 
-  def contextDedupOracle: String =
-    s"""WITH $bm25RankedCtes,
+  /** SQL twin of [[contextKept]] — the WITH-body shared by q202's and
+    * q221's oracles (ends at CTE `k`: term, rnk, doc_id, kept, n_toks). */
+  private def contextKeptCtes: String =
+    s"""$bm25RankedCtes,
        |cand AS (SELECT term, rnk, doc_id FROM r WHERE rnk <= $CtxDepth),
        |cd AS (SELECT DISTINCT doc_id FROM cand),
        |dtok AS (SELECT doc_id, string_split(text, ' ') AS toks
@@ -684,11 +694,14 @@ object MlPrepOps {
        |  WHERE coalesce(i.n_inter, 0) * 2 >= sz.n_sh),
        |tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks
        |  FROM dtok),
-       |k AS (SELECT c.term, c.doc_id, (d.doc_id IS NULL) AS kept,
+       |k AS (SELECT c.term, c.rnk, c.doc_id, (d.doc_id IS NULL) AS kept,
        |    tk.n_toks
        |  FROM cand c
        |  LEFT JOIN dom d ON d.term = c.term AND d.doc_id = c.doc_id
-       |  JOIN tk ON tk.doc_id = c.doc_id)
+       |  JOIN tk ON tk.doc_id = c.doc_id)""".stripMargin
+
+  def contextDedupOracle: String =
+    s"""WITH $contextKeptCtes
        |SELECT term, count(*) AS n_candidates,
        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        |  CAST(sum(n_toks) AS BIGINT) AS toks_before,
@@ -697,4 +710,127 @@ object MlPrepOps {
        |  round(CAST(sum(n_toks) - sum(CASE WHEN kept THEN n_toks ELSE 0
        |    END) AS DOUBLE) / CAST(sum(n_toks) AS DOUBLE), 6) AS saved_frac
        |FROM k GROUP BY term ORDER BY term""".stripMargin
+
+  // --- q221: budgeted context assembly -------------------------------------
+
+  /** Context token budget per query. */
+  val CtxTokenBudget = 256L
+
+  /** q221 — budgeted RAG context assembly: the final step of the
+    * retrieval chain (q147 rank → q202 dedup → THIS) packs each query's
+    * surviving passages, in rank order, into a fixed
+    * [[CtxTokenBudget]]-token context window — a candidate enters iff
+    * its tokens still fit cumulatively (greedy prefix, the rule every
+    * production RAG stack ships). Per query: candidates packed, tokens
+    * used, budget utilization, and the first rank that no longer fit —
+    * the observability a context-window regression hunt needs ("why did
+    * doc X fall out of the prompt?").
+    *
+    * Consumes the FACTORED q202 keep/drop frame, so the packer prices
+    * exactly the dedup decisions the audit reports — the two cannot
+    * drift.
+    *
+    * Parity: the greedy prefix is a running-sum window (cumulative
+    * token integers), identical in both engines; ties impossible (rank
+    * is unique per query).
+    *
+    * Scale (100 TB): the packing window partitions by query over
+    * ≤ depth kept rows each — metadata on top of q202's
+    * candidate-bounded plan. */
+  def contextPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    contextKept(s, dir)
+      .filter(col("kept"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("selected", col("cum") <= CtxTokenBudget)
+      .groupBy("term")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("n_packed"),
+        sum(when(col("selected"), col("n_toks")).otherwise(0L))
+          .as("tokens_used"),
+        coalesce(min(when(!col("selected"), col("rank"))), lit(-1L))
+          .as("first_dropped_rank"))
+      .withColumn("budget_frac", round(
+        col("tokens_used").cast("double") / CtxTokenBudget, 6))
+      .orderBy("term")
+  }
+
+  def contextPackOracle: String =
+    s"""WITH $contextKeptCtes,
+       |kk AS (SELECT term, rnk, n_toks,
+       |    sum(n_toks) OVER (PARTITION BY term ORDER BY rnk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM k WHERE kept),
+       |sel AS (SELECT term, rnk, n_toks, cum <= $CtxTokenBudget
+       |    AS selected FROM kk)
+       |SELECT term, count(*) AS n_kept,
+       |  CAST(sum(CASE WHEN selected THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_packed,
+       |  CAST(sum(CASE WHEN selected THEN n_toks ELSE 0 END) AS BIGINT)
+       |    AS tokens_used,
+       |  coalesce(min(CASE WHEN NOT selected THEN CAST(rnk AS BIGINT)
+       |    END), -1) AS first_dropped_rank,
+       |  round(CAST(sum(CASE WHEN selected THEN n_toks ELSE 0 END)
+       |    AS DOUBLE) / $CtxTokenBudget, 6) AS budget_frac
+       |FROM sel GROUP BY term ORDER BY term""".stripMargin
+
+  // --- q223: incremental postings maintenance ------------------------------
+
+  /** q223 — incremental search-index maintenance: the nightly postings
+    * refresh must NOT rebuild the index from the whole corpus — df and
+    * tf are additive over disjoint document sets, so yesterday's
+    * per-term partials (doc_id ≢ 0 mod 5, the q179 snapshot
+    * convention) merge with a DELTA-only scan and the result is
+    * byte-identical to a full rebuild. The audit emits the merged
+    * per-term statistics next to an independent full recompute with a
+    * consistency boolean — q179's snapshot-algebra proof applied to
+    * the retrieval index (q88/q147's postings), the piece that makes
+    * BM25 over a 100 TB corpus maintainable at delta cost.
+    *
+    * Parity: pure integer df/tf sums.
+    *
+    * Scale (100 TB): production persists the per-term partial table
+    * and pays O(delta) per night; the full recompute exists here only
+    * as the audit. Both paths are map-combinable aggregates on the
+    * term key; output is vocabulary-bounded. */
+  def incrementalPostings(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), (col("doc_id") % 5 === 0).as("is_delta"),
+        explode(split(col("text"), " ")).as("term"))
+    val perDoc = toks.groupBy("doc_id", "is_delta", "term")
+      .agg(count(lit(1)).as("tf"))
+      .persist() // feeds the partial table AND the full-rebuild audit
+    val partials = perDoc.groupBy("term", "is_delta")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
+    val merged = partials.groupBy("term")
+      .agg(sum(col("df")).as("df"), sum(col("tf_total")).as("tf_total"))
+    val full = perDoc.groupBy("term")
+      .agg(count(lit(1)).as("f_df"), sum(col("tf")).as("f_tf"))
+    merged.join(full, "term")
+      .select(col("term"), col("df"), col("tf_total"),
+        (col("df") === col("f_df") && col("tf_total") === col("f_tf"))
+          .as("incremental_consistent"))
+      .orderBy("term")
+  }
+
+  def incrementalPostingsOracle: String =
+    """WITH toks AS (SELECT doc_id, doc_id % 5 = 0 AS is_delta,
+      |    unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |pd AS (SELECT doc_id, is_delta, term, count(*) AS tf
+      |  FROM toks GROUP BY doc_id, is_delta, term),
+      |p AS (SELECT term, is_delta, count(*) AS df,
+      |    CAST(sum(tf) AS BIGINT) AS tf_total
+      |  FROM pd GROUP BY term, is_delta),
+      |m AS (SELECT term, CAST(sum(df) AS BIGINT) AS df,
+      |    CAST(sum(tf_total) AS BIGINT) AS tf_total
+      |  FROM p GROUP BY term),
+      |f AS (SELECT term, count(*) AS f_df, CAST(sum(tf) AS BIGINT) AS f_tf
+      |  FROM pd GROUP BY term)
+      |SELECT m.term, m.df, m.tf_total,
+      |  (m.df = f.f_df AND m.tf_total = f.f_tf) AS incremental_consistent
+      |FROM m JOIN f USING (term) ORDER BY m.term""".stripMargin
 }

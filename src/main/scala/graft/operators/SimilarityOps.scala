@@ -904,4 +904,102 @@ object SimilarityOps {
        |${rowSql("s", "stale")}
        |ORDER BY index_age""".stripMargin
   }
+
+  // --- q222: embedding-vector QA gate --------------------------------------
+
+  /** Norm below this (and above zero) marks a degenerate low-norm
+    * vector; exactly zero is its own failure class. */
+  val LowNormTau = 0.5
+
+  /** q222 — vector QA gate: the embedding-modality twin of the image
+    * (q160) / audio (q165) / text (q27) quality gates, closing the
+    * per-modality QA family. An embedding store rots in three
+    * characteristic ways — all-zero vectors (failed encoder calls),
+    * near-zero norms (truncated/overflowed writes), and exact
+    * duplicate vectors (re-encoded content or a stuck producer) — and
+    * each silently corrupts ANN search (zero vectors cosine-match
+    * everything at 0/0, dups skew kNN neighborhoods). Per label:
+    * counts of each failure class plus norm statistics. Degenerates
+    * are PLANTED (zero / ×0.001 / verbatim copies of every 50th
+    * vector — the fixture store is clean unit-norm, q149 pattern).
+    *
+    * Parity: norms go through the native dot_product (identical IEEE
+    * chain to the oracle's generated 64-term sum); duplicate detection
+    * groups on the DOUBLE ARRAY itself — no float→string round-trip,
+    * whose formatting differs between engines; the mean norm freezes
+    * per-vector to ×1e9 fixed point before the integer sum.
+    *
+    * Scale (100 TB): one narrow projection pass + a groupBy on the
+    * vector value for dup detection (production would first collapse
+    * to a 64-bit hash of the canonical binary encoding and only
+    * group survivors; the direct array groupBy here is the
+    * oracle-replayable form) + a |labels|-row rollup. */
+  def vectorGate(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val off = 1000000L
+    val e = t(s, dir, "embeddings").selectExpr("vec_id", "label",
+      "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+    val planted = e.filter(col("vec_id") % 50 === 0)
+      .selectExpr(s"vec_id + $off AS vec_id", "label",
+        "transform(emb, x -> CAST(0.0 AS DOUBLE)) AS emb")
+      .unionAll(e.filter(col("vec_id") % 50 === 1)
+        .selectExpr(s"vec_id + ${2 * off} AS vec_id", "label",
+          "transform(emb, x -> x * 0.001) AS emb"))
+      .unionAll(e.filter(col("vec_id") % 50 === 2)
+        .selectExpr(s"vec_id + ${3 * off} AS vec_id", "label", "emb"))
+    val c = e.unionAll(planted).persist()
+    val dupCnt = c.groupBy("emb").agg(count(lit(1)).as("cnt"))
+    c.selectExpr("vec_id", "label", "emb",
+        "sqrt(dot_product(emb, emb)) AS norm")
+      .join(dupCnt, "emb")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("norm") > 0.0 && col("norm") < LowNormTau, 1L)
+          .otherwise(0L)).as("n_low_norm"),
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_vectors"),
+        sum(floor(col("norm") * 1e9).cast("bigint")).as("norm_fp_sum"),
+        round(min(col("norm")), 6).as("min_norm"),
+        round(max(col("norm")), 6).as("max_norm"))
+      .select(col("label"), col("n_vecs"), col("n_zero"),
+        col("n_low_norm"), col("n_dup_vectors"),
+        round(col("norm_fp_sum").cast("double") /
+          (col("n_vecs").cast("double") * 1e9), 6).as("mean_norm"),
+        col("min_norm"), col("max_norm"))
+      .orderBy("label")
+  }
+
+  def vectorGateOracle: String = {
+    val off = 1000000L
+    s"""WITH e0 AS (SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |c AS (SELECT * FROM e0
+       |  UNION ALL SELECT vec_id + $off, label,
+       |    list_transform(emb, x -> CAST(0.0 AS DOUBLE))
+       |  FROM e0 WHERE vec_id % 50 = 0
+       |  UNION ALL SELECT vec_id + ${2 * off}, label,
+       |    list_transform(emb, x -> x * 0.001)
+       |  FROM e0 WHERE vec_id % 50 = 1
+       |  UNION ALL SELECT vec_id + ${3 * off}, label, emb
+       |  FROM e0 WHERE vec_id % 50 = 2),
+       |g AS (SELECT emb, count(*) AS cnt FROM c GROUP BY emb),
+       |n AS (SELECT c.label,
+       |    sqrt(${VecSql.dot("c.emb", "c.emb", spark = false)}) AS norm,
+       |    g.cnt
+       |  FROM c JOIN g ON c.emb = g.emb)
+       |SELECT label, count(*) AS n_vecs,
+       |  CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_zero,
+       |  CAST(sum(CASE WHEN norm > 0.0 AND norm < $LowNormTau THEN 1
+       |    ELSE 0 END) AS BIGINT) AS n_low_norm,
+       |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_vectors,
+       |  round(CAST(CAST(sum(CAST(floor(norm * 1e9) AS BIGINT))
+       |    AS BIGINT) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1e9), 6)
+       |    AS mean_norm,
+       |  round(min(norm), 6) AS min_norm,
+       |  round(max(norm), 6) AS max_norm
+       |FROM n GROUP BY label ORDER BY label""".stripMargin
+  }
 }

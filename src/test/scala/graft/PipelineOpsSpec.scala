@@ -1220,6 +1220,49 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(fracR > 0.05 && fracR < 0.5, s"ring fraction implausible: $fracR")
   }
 
+  test("q222 vector gate: planted degenerates are counted exactly per label") {
+    val rows = SimilarityOps.vectorGate(spark, dir).collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .toMap
+    assert(rows.nonEmpty)
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    val byLabel = base.groupBy(_._2)
+    byLabel.foreach { case (label, vs) =>
+      val (n, zero, low, dup, meanN, minN, maxN) = rows(label)
+      val zeros = vs.count(_._1 % 50 == 0).toLong
+      val lows = vs.count(_._1 % 50 == 1).toLong
+      val dups = vs.count(_._1 % 50 == 2).toLong
+      assert(n == vs.length + zeros + lows + dups, s"label $label n")
+      assert(zero == zeros, s"label $label zeros: $zero vs $zeros")
+      assert(low == lows, s"label $label low-norm: $low vs $lows")
+      // an exact copy makes BOTH members of the pair duplicates — and
+      // every planted ZERO vector is identical to every other zero
+      // vector across labels, so zeros are duplicates too (10 globally
+      // at this sf — a genuine all-zeros-collide signal, not a bug)
+      assert(dup == 2 * dups + zeros,
+        s"label $label dups: $dup vs ${2 * dups + zeros}")
+      if (zeros > 0) assert(minN == 0.0)
+      assert(maxN <= 1.001 && meanN <= maxN + 1e-9)
+    }
+  }
+
+  test("q223 incremental postings: partial merge is byte-identical to the rebuild") {
+    val rows = MlPrepOps.incrementalPostings(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.length >= 31, "vocabulary unexpectedly small")
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    rows.foreach { case (term, df, tf, ok) =>
+      assert(ok, s"$term: merged partials diverge from the full rebuild")
+      assert(df >= 1 && df <= nDocs)
+      assert(tf >= df, s"$term: tf below df")
+    }
+  }
+
   test("q211 distinctive terms: ranked, thresholded, and genuinely source-leaning") {
     val rows = TextOps.distinctiveTerms(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2),

@@ -754,6 +754,27 @@ class PlanPropsSpec extends AnyFunSuite {
       s"fingerprint frame recomputed per strategy:\n${p.take(1800)}")
   }
 
+  test("q221 context pack: the packing window rides the per-query partition") {
+    val p = plan(MlPrepOps.contextPack(spark, dir))
+    assert(p.contains("windowspecdefinition(term"),
+      s"packing window lost its query partitioning:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q222 vector gate: norms via native dot_product; corpus frame shared") {
+    val p = plan(SimilarityOps.vectorGate(spark, dir))
+    assert(p.contains("dot_product"),
+      s"norm left the native expression:\n${p.take(1800)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"planted corpus recomputed per consumer:\n${p.take(1800)}")
+  }
+
+  test("q223 incremental postings: per-doc partials shared by merge and audit") {
+    val p = plan(MlPrepOps.incrementalPostings(spark, dir))
+    assert(p.contains("InMemoryTableScan"),
+      s"per-doc tf frame recomputed:\n${p.take(1800)}")
+  }
+
   test("q212 index staleness: centroid assignment broadcasts, queries broadcast to lists") {
     val p = plan(SimilarityOps.indexStaleness(spark, dir))
     assert(p.contains("BroadcastExchange"),

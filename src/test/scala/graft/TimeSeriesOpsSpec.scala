@@ -723,4 +723,31 @@ class TimeSeriesOpsSpec extends AnyFunSuite {
     // train event after the first test event for every user
     assert(rr > 0.5, s"random split implausibly clean: $rl/$ru")
   }
+
+  test("q221 context pack: greedy prefix replays exactly from the kept frame") {
+    val out = MlPrepOps.contextPack(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out.nonEmpty)
+    val kept = MlPrepOps.contextKept(spark, dir)
+      .filter(col("kept")).select("term", "rank", "n_toks").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val budget = MlPrepOps.CtxTokenBudget
+    kept.groupBy(_._1).foreach { case (term, rs) =>
+      var cum = 0L; var packed = 0L; var used = 0L
+      var firstDropped = -1L
+      rs.sortBy(_._2).foreach { case (_, rank, toks) =>
+        cum += toks
+        if (cum <= budget) { packed += 1; used += toks }
+        else if (firstDropped < 0) firstDropped = rank
+      }
+      val (nk, np, tu2, fd, frac) = out(term)
+      assert(nk == rs.length && np == packed && tu2 == used &&
+        fd == firstDropped, s"$term: got ${out(term)}")
+      assert(math.abs(frac - used.toDouble / budget) < 1e-6)
+      assert(used <= budget)
+    }
+    // the budget must actually bind somewhere, or the packer is a no-op
+    assert(out.values.exists(_._4 > 0), "budget never binds")
+  }
 }
