@@ -241,6 +241,9 @@ object SparkEntry {
     "q221_context_pack"      -> (MlPrepOps.contextPack _),
     "q222_vector_gate"       -> (SimilarityOps.vectorGate _),
     "q223_incr_postings"     -> (MlPrepOps.incrementalPostings _),
+    "q224_hll_audit"         -> (ProfileOps.hllAudit _),
+    "q225_crossmodal_audit"  -> (MultimodalOps.crossModalAudit _),
+    "q226_join_card_audit"   -> (ProfileOps.joinCardAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -746,6 +749,9 @@ object SparkEntry {
     "q221_context_pack" -> MlPrepOps.contextPackOracle,
     "q222_vector_gate" -> SimilarityOps.vectorGateOracle,
     "q223_incr_postings" -> MlPrepOps.incrementalPostingsOracle,
+    "q224_hll_audit" -> ProfileOps.hllAuditOracle,
+    "q225_crossmodal_audit" -> MultimodalOps.crossModalAuditOracle,
+    "q226_join_card_audit" -> ProfileOps.joinCardAuditOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

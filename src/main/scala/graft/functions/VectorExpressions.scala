@@ -156,6 +156,7 @@ object VectorFunctions {
     add("space_saving_agg", SpaceSavingAgg.builder)
     add("count_min_agg", CountMinAgg.builder)
     add("topk_agg", TopKAgg.builder)
+    add("hll_agg", HllAgg.builder)
     add("bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)))
     add("md5_fp60", Md5Fp60.builder)
     add("blob_pixel_stats", exprs => BlobPixelStats(exprs.head))

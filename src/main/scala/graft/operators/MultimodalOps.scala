@@ -505,6 +505,127 @@ object MultimodalOps {
           .cast("bigint").as("fake_width"),
         (length(col("blob")) % 64 + 16).cast("bigint").as("fake_height"))
       .orderBy("doc_id")
+
+  // --- q225: cross-modal consistency audit --------------------------------
+
+  /** img_src shift for the planted re-imaged copies — far above any
+    * sf0.1 doc_id so a planted "different image" never collides with a
+    * base image (at extreme synthetic scale a collision would only
+    * reclassify one planted group; semantics are unchanged). */
+  val ReimageShift = 500000L
+
+  /** The q159 pixel pattern WITHOUT the perturbation branch: the exact
+    * chaotic integer arithmetic, emitted as the image string so both
+    * engines can md5 the identical bytes. */
+  private def imgStrSql(src: String): String =
+    s"array_join(transform(sequence(0, ${PhashImgLen - 1}), i -> " +
+      s"chr(32 + (($src % 95 + 1) * (i * i + i + 41) + " +
+      s"(($src div 95) % 97 + 1) * (3 * i + 7) + " +
+      s"(($src div 9215) % 89 + 1) * (5 * i + 11)) % 95)), '')"
+
+  /** q225 — cross-modal consistency audit over an (image, caption)
+    * paired corpus: exact unimodal dedup misses the two pathologies a
+    * multimodal dataset actually develops — the SAME image re-captioned
+    * (alt-text churn, caption augmentation leaking as "new" samples)
+    * and the SAME caption re-imaged (re-encoded/re-crawled media). Each
+    * doc pairs its text with a deterministic synthetic image; planted
+    * copies create all three conflict classes (doc_id % 7 = 0 →
+    * re-captioned, = 1 → re-imaged, = 2 → full duplicate), and natural
+    * exact-text twins in the fixture surface as re-imaged families.
+    * Per (class, source of the group's min-doc representative): group /
+    * doc / excess-doc counts — the table a curation pass prices
+    * "drop, keep one per image, or keep one per caption" decisions on.
+    *
+    * Parity: both keys are md5 over byte-identical strings (the image
+    * string is printable ASCII by construction; q159's blob↔string
+    * round-trip argument).
+    *
+    * Scale (100 TB): keys are per-row projections; the three groupBys
+    * shuffle 16-byte keys, not media; the representative→source join
+    * ships only conflict groups (plant-bounded + natural-dup-bounded),
+    * joined back on the unique doc_id. Same cost class as exact dedup
+    * (q29) run twice. */
+  def crossModalAudit(s: SparkSession, dir: String): DataFrame = {
+    val off = DedupOps.CopyOffset
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"),
+      col("source"))
+    val corpus = d
+      .selectExpr("doc_id", "doc_id AS img_src", "text", "source")
+      .unionAll(d.filter(col("doc_id") % 7 === 0)
+        .selectExpr(s"doc_id + $off AS doc_id", "doc_id AS img_src",
+          "text || ' [recaptioned]' AS text", "source"))
+      .unionAll(d.filter(col("doc_id") % 7 === 1)
+        .selectExpr(s"doc_id + ${2 * off} AS doc_id",
+          s"doc_id + $ReimageShift AS img_src", "text", "source"))
+      .unionAll(d.filter(col("doc_id") % 7 === 2)
+        .selectExpr(s"doc_id + ${3 * off} AS doc_id", "doc_id AS img_src",
+          "text", "source"))
+    val keyed = corpus.select(col("doc_id"), col("source"),
+      md5(expr(imgStrSql("img_src"))).as("ikey"),
+      md5(col("text")).as("tkey")).persist()
+    val ig = keyed.groupBy("ikey")
+      .agg(count(lit(1)).as("cnt"), countDistinct("tkey").as("nd"),
+        min("doc_id").as("rep"))
+      .filter(col("cnt") > 1 && col("nd") > 1)
+      .select(lit("same_image_diff_text").as("class"), col("rep"),
+        col("cnt"))
+    val tg = keyed.groupBy("tkey")
+      .agg(count(lit(1)).as("cnt"), countDistinct("ikey").as("nd"),
+        min("doc_id").as("rep"))
+      .filter(col("cnt") > 1 && col("nd") > 1)
+      .select(lit("same_text_diff_image").as("class"), col("rep"),
+        col("cnt"))
+    val pg = keyed.groupBy("ikey", "tkey")
+      .agg(count(lit(1)).as("cnt"), min("doc_id").as("rep"))
+      .filter(col("cnt") > 1)
+      .select(lit("full_dup").as("class"), col("rep"), col("cnt"))
+    ig.unionAll(tg).unionAll(pg)
+      .join(keyed.select(col("doc_id").as("rep"), col("source")), "rep")
+      .groupBy("class", "source")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("cnt")).as("n_docs"),
+        (sum(col("cnt")) - count(lit(1))).as("n_excess"))
+      .orderBy("class", "source")
+  }
+
+  def crossModalAuditOracle: String = {
+    val off = DedupOps.CopyOffset
+    val n = PhashImgLen
+    val img = (src: String) =>
+      s"md5(list_aggregate(list_transform(range(0, $n), i -> " +
+        s"chr(CAST(32 + (($src % 95 + 1) * (i * i + i + 41) + " +
+        s"(($src // 95) % 97 + 1) * (3 * i + 7) + " +
+        s"(($src // 9215) % 89 + 1) * (5 * i + 11)) % 95 AS INTEGER))), " +
+        "'string_agg', ''))"
+    s"""WITH d AS (SELECT doc_id, text, source FROM documents),
+       |c AS (SELECT doc_id, doc_id AS img_src, text, source FROM d
+       |  UNION ALL SELECT doc_id + $off, doc_id,
+       |    text || ' [recaptioned]', source FROM d WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + ${2 * off}, doc_id + $ReimageShift,
+       |    text, source FROM d WHERE doc_id % 7 = 1
+       |  UNION ALL SELECT doc_id + ${3 * off}, doc_id, text, source
+       |  FROM d WHERE doc_id % 7 = 2),
+       |k AS (SELECT doc_id, source, ${img("img_src")} AS ikey,
+       |    md5(text) AS tkey FROM c),
+       |cls AS (
+       |  SELECT 'same_image_diff_text' AS class, rep, cnt FROM (
+       |    SELECT count(*) AS cnt, count(DISTINCT tkey) AS nd,
+       |      min(doc_id) AS rep FROM k GROUP BY ikey)
+       |    WHERE cnt > 1 AND nd > 1
+       |  UNION ALL SELECT 'same_text_diff_image', rep, cnt FROM (
+       |    SELECT count(*) AS cnt, count(DISTINCT ikey) AS nd,
+       |      min(doc_id) AS rep FROM k GROUP BY tkey)
+       |    WHERE cnt > 1 AND nd > 1
+       |  UNION ALL SELECT 'full_dup', rep, cnt FROM (
+       |    SELECT count(*) AS cnt, min(doc_id) AS rep FROM k
+       |    GROUP BY ikey, tkey) WHERE cnt > 1)
+       |SELECT cls.class, k.source, count(*) AS n_groups,
+       |  CAST(sum(cls.cnt) AS BIGINT) AS n_docs,
+       |  CAST(sum(cls.cnt) - count(*) AS BIGINT) AS n_excess
+       |FROM cls JOIN k ON k.doc_id = cls.rep
+       |GROUP BY cls.class, k.source
+       |ORDER BY class, source""".stripMargin
+  }
 }
 
 /** Streaming-shaped aggregation: the same `window()` plan works in batch

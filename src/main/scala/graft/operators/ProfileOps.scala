@@ -1327,4 +1327,332 @@ object ProfileOps {
        |  CAST(sum(term_fp) AS BIGINT) >= $PsiWarnFp AS warn,
        |  CAST(sum(term_fp) AS BIGINT) >= $PsiActFp AS act
        |FROM terms GROUP BY source ORDER BY event_type""".stripMargin
+
+  // --- q224: HyperLogLog distinct-count audit -----------------------------
+
+  /** HLL geometry: m = 2^8 registers. Standard error 1.04/√m ≈ 6.5%. */
+  val HllM = 256
+
+  /** Linear-counting threshold: raw estimate ≤ 2.5·m switches to the
+    * small-range correction (Flajolet et al. 2007 §4). */
+  val HllLinearThresh: Double = 2.5 * HllM
+
+  /** α_m · 1e9 frozen at build time — the SAME integer literal lands in
+    * the Spark expression and the oracle SQL, so no runtime libm. */
+  val HllAlphaFp: Long =
+    math.floor(0.7213 / (1.0 + 1.079 / HllM) * 1e9).toLong
+
+  /** ln(m/V)·1e9 for V = 1..m, frozen at build time (the q190
+    * DCG-discount pattern): the linear-counting estimate m·ln(m/V)
+    * becomes an integer table lookup — zero runtime log on either
+    * engine. */
+  lazy val HllLnTable: IndexedSeq[Long] = (1 to HllM).map(v =>
+    math.floor(math.log(HllM.toDouble / v) * 1e9).toLong)
+
+  /** Rank of the hash suffix: trailing-zero count of w = h >> 8, plus 1,
+    * clamped to the 53 bits a 60-bit hash leaves (w = 0 ⇒ the isolate
+    * trick gives bit_count(-1) = 64 ⇒ clamp). `w & -w` isolates the
+    * lowest set bit; minus 1 masks the trailing zeros — pure bit
+    * arithmetic, identical on both engines. */
+  private def hllRankSql(h: String): String = {
+    val w = s"($h >> 8)"
+    s"least(bit_count((($w & -$w) - 1)) + 1, 53)"
+  }
+
+  /** Σ_j 2^(60-M_j) as DECIMAL(38,0): each term is an exact long
+    * (M ≤ 53 ⇒ shift ∈ [7, 60]); the sum can exceed int64 when many
+    * registers are empty (256·2^60 = 2^68), hence decimal. */
+  private def hllSpSparkSql(regs: String): String =
+    s"aggregate($regs, CAST(0 AS DECIMAL(38,0)), (acc, r) -> " +
+      "acc + CAST(shiftleft(CAST(1 AS BIGINT), CAST(60 - r AS INT)) " +
+      "AS DECIMAL(38,0)))"
+
+  /** Raw harmonic-mean estimate α_m·m²·2^60 / S′ — both engines cast
+    * the SAME exact integer S′ to double and run the SAME left-assoc
+    * chain, so the doubles agree bitwise. */
+  private def hllRawSql(sp: String): String =
+    s"CAST($HllAlphaFp AS DOUBLE) / 1e9 * " +
+      s"${HllM.toDouble * HllM} * 1152921504606846976.0 / CAST($sp AS DOUBLE)"
+
+  /** Linear-counting estimate m·ln(m/V) via the frozen table. `spark`
+    * selects element-access syntax. */
+  private def hllLinearSql(vz: String, spark: Boolean): String = {
+    val lits = HllLnTable.mkString(", ")
+    val el =
+      if (spark) s"element_at(array($lits), CAST($vz AS INT))"
+      else s"([$lits])[CAST($vz AS INT)]"
+    s"CAST($HllM AS DOUBLE) * CAST($el AS DOUBLE) / 1e9"
+  }
+
+  /** The corrected estimate: linear counting in the small range (raw ≤
+    * 2.5m and some register still empty), raw harmonic mean otherwise. */
+  private def hllEstSql(sp: String, vz: String, spark: Boolean): String =
+    s"CASE WHEN (${hllRawSql(sp)}) <= $HllLinearThresh AND $vz > 0 " +
+      s"THEN (${hllLinearSql(vz, spark)}) ELSE (${hllRawSql(sp)}) END"
+
+  /** q224 — HyperLogLog distinct-count audit over the native
+    * [[graft.functions.HllAgg]]: three cardinality scopes over events
+    * (distinct event_ids globally — large, exercises the raw harmonic
+    * path; distinct users per event_type — mid; distinct event types —
+    * tiny, exercises linear counting), each estimated from a 256-register
+    * sketch and audited against the exact `count(DISTINCT)`.
+    *
+    * Completes the streaming frequency toolkit: Space-Saving (q117)
+    * answers "which keys are heavy", CMS (q175) "how often is a given
+    * key", HLL answers "how many distinct keys" in O(m) memory. Like
+    * CMS — and unlike Space-Saving — the register state is a plain
+    * per-bucket MAX, merge-order independent, so the DuckDB oracle
+    * rebuilds the identical registers with GROUP BY bucket → max(rank)
+    * and every derived double matches bitwise (S′ is an exact DECIMAL
+    * integer; α and the ln table are build-time integer literals).
+    *
+    * Scale (100 TB): the sketch side shuffles O(m) longs per group —
+    * the distinct-count profile that never ships the key stream; the
+    * exact side (a full key shuffle) exists only to audit it. */
+  def hllAudit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val ev = EtlOps.events(s, dir)
+    val keyed = ev.select(lit("event_ids").as("scope"),
+        lit("all").as("grp"), col("event_id").cast("string").as("k"))
+      .unionAll(ev.select(lit("users_by_type").as("scope"),
+        col("event_type").as("grp"), col("user_id").cast("string").as("k")))
+      .unionAll(ev.select(lit("types").as("scope"), lit("all").as("grp"),
+        col("event_type").as("k")))
+    val hashed = keyed
+      .withColumn("h", call_function("md5_fp60", col("k")))
+      .withColumn("bkt", col("h") % HllM)
+      .withColumn("rnk", expr(hllRankSql("h")).cast("long"))
+    val regs = hashed.groupBy("scope", "grp")
+      .agg(expr(s"hll_agg(array(bkt, rnk), $HllM)").as("regs"))
+    val exact = keyed.groupBy("scope", "grp")
+      .agg(countDistinct(col("k")).as("exact_n"))
+    regs.join(exact, Seq("scope", "grp"))
+      .withColumn("vz",
+        expr("CAST(size(filter(regs, r -> r = 0)) AS BIGINT)"))
+      .withColumn("sp", expr(hllSpSparkSql("regs")))
+      .withColumn("est",
+        expr(hllEstSql("sp", "vz", spark = true)))
+      .select(col("scope"), col("grp"), col("exact_n"), col("vz"),
+        expr(s"(${hllRawSql("sp")}) <= $HllLinearThresh AND vz > 0")
+          .as("used_linear"),
+        round(col("est"), 4).as("est_n"),
+        expr("round((est - CAST(exact_n AS DOUBLE)) / " +
+          "CAST(exact_n AS DOUBLE) * 100.0, 4)").as("rel_err_pct"),
+        expr("abs((est - CAST(exact_n AS DOUBLE)) / " +
+          "CAST(exact_n AS DOUBLE)) <= 0.2").as("within_bound"))
+      .orderBy("scope", "grp")
+  }
+
+  // --- q226: join-cardinality estimation audit ----------------------------
+
+  /** The estimator's prediction from the integer components — ONE
+    * generated string evaluated over identical exact integers on both
+    * engines (end-biased histogram / containment-of-value-sets model:
+    * exact HH×HH products, HH-to-average-tail cross terms, uniform
+    * tail×tail under containment — Ioannidis & Poosala; the System R
+    * assumption set). */
+  private def joinPredSql: String =
+    "CAST(j_both AS DOUBLE) + " +
+      "CASE WHEN d_tb > 0 THEN CAST(sa_only AS DOUBLE) * " +
+      "CAST(n_tb AS DOUBLE) / CAST(d_tb AS DOUBLE) ELSE 0.0 END + " +
+      "CASE WHEN d_ta > 0 THEN CAST(sb_only AS DOUBLE) * " +
+      "CAST(n_ta AS DOUBLE) / CAST(d_ta AS DOUBLE) ELSE 0.0 END + " +
+      "CASE WHEN greatest(d_ta, d_tb) > 0 THEN CAST(n_ta AS DOUBLE) * " +
+      "CAST(n_tb AS DOUBLE) / CAST(greatest(d_ta, d_tb) AS DOUBLE) " +
+      "ELSE 0.0 END"
+
+  private def joinQErrSql(pred: String): String =
+    s"greatest(($pred) / CAST(actual AS DOUBLE), " +
+      s"CAST(actual AS DOUBLE) / ($pred))"
+
+  /** q226 — join-cardinality estimation audit: the optimizer-statistics
+    * question ("how big will this join be?") answered from per-side
+    * end-biased histograms — exact heavy hitters (freq ≥ 4× mean) plus
+    * a uniform tail under the containment assumption — and audited
+    * against the exact join size, with the q-error every
+    * cardinality-estimation paper grades on. Five edges: the natural
+    * FK joins (containment holds and the parent is key-unique ⇒
+    * q-error 1.0 exactly — the estimator is provably exact there), a
+    * PLANTED hot key on the lineitem side (exercises the HH machinery),
+    * a filtered-parent edge (containment deliberately violated ⇒ the
+    * estimator's characteristic error becomes visible), and a
+    * many-to-many self-edge on events.user_id (the uniform-tail model
+    * ignores within-tail variance ⇒ Σf² > n²/d, a structural
+    * underestimate).
+    *
+    * Parity: every component is an exact integer (freq sums, distinct
+    * counts, HH products); the prediction is ONE shared double
+    * expression over those integers; actual join size is Σ f_A(k)·f_B(k)
+    * over the freq frames — no row-level join materialized.
+    *
+    * Scale (100 TB): each side collapses map-side to (key, freq) — the
+    * only corpus-sized shuffle; totals broadcast; HH frames are
+    * τ-bounded tiny; even the "actual" audit side joins freq frames,
+    * never fact rows. This is how an optimizer gathers stats without
+    * paying the join it is trying to price. */
+  def joinCardAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ord = t(s, dir, "orders")
+    def edge(label: String, aKeys: DataFrame, bKeys: DataFrame)
+        : DataFrame = {
+      val fa = aKeys.groupBy("k").agg(count(lit(1)).as("fa"))
+      val fb = bKeys.groupBy("k").agg(count(lit(1)).as("fb"))
+      val ta = fa.agg(sum("fa").as("n_a"), count(lit(1)).as("d_a"))
+      val tb = fb.agg(sum("fb").as("n_b"), count(lit(1)).as("d_b"))
+      val hha = fa.crossJoin(broadcast(ta))
+        .filter(col("fa") >= greatest(lit(2L), expr("4 * n_a DIV d_a")))
+        .select("k", "fa")
+      val hhb = fb.crossJoin(broadcast(tb))
+        .filter(col("fb") >= greatest(lit(2L), expr("4 * n_b DIV d_b")))
+        .select("k", "fb")
+      val cmp = hha.join(hhb, Seq("k"), "full_outer").agg(
+        coalesce(sum(when(col("fa").isNotNull && col("fb").isNotNull,
+          col("fa") * col("fb"))), lit(0L)).as("j_both"),
+        coalesce(sum(when(col("fb").isNull, col("fa"))), lit(0L))
+          .as("sa_only"),
+        coalesce(sum(when(col("fa").isNull, col("fb"))), lit(0L))
+          .as("sb_only"),
+        coalesce(sum(when(col("fa").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_hh_a"),
+        coalesce(sum(when(col("fb").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("n_hh_b"),
+        coalesce(sum(when(col("fa").isNotNull, col("fa"))), lit(0L))
+          .as("s_hh_a"),
+        coalesce(sum(when(col("fb").isNotNull, col("fb"))), lit(0L))
+          .as("s_hh_b"))
+      val actual = fa.join(fb, "k")
+        .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("actual"))
+      ta.crossJoin(tb).crossJoin(cmp).crossJoin(actual)
+        .withColumn("n_ta", col("n_a") - col("s_hh_a"))
+        .withColumn("d_ta", col("d_a") - col("n_hh_a"))
+        .withColumn("n_tb", col("n_b") - col("s_hh_b"))
+        .withColumn("d_tb", col("d_b") - col("n_hh_b"))
+        .selectExpr(s"'$label' AS edge", "n_a", "d_a", "n_hh_a",
+          "n_b", "d_b", "n_hh_b", "actual",
+          s"round(${joinPredSql}, 2) AS predicted",
+          s"round(${joinQErrSql(joinPredSql)}, 4) AS q_error")
+    }
+    val liOrderKeys = li.select(col("l_orderkey").as("k"))
+    val hot = li.filter(col("l_orderkey") % 61 === 0)
+      .select(lit(1L).as("k"))
+    edge("lineitem_orders_hotkey",
+      liOrderKeys.unionAll(hot).unionAll(hot),
+      ord.select(col("o_orderkey").as("k")))
+      .unionAll(edge("lineitem_part",
+        li.select(col("l_partkey").as("k")),
+        t(s, dir, "part").select(col("p_partkey").as("k"))))
+      .unionAll(edge("orders_customer",
+        ord.select(col("o_custkey").as("k")),
+        t(s, dir, "customer").select(col("c_custkey").as("k"))))
+      .unionAll(edge("orders_customer_filtered",
+        ord.select(col("o_custkey").as("k")),
+        t(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey").as("k"))))
+      .unionAll(edge("events_self_user",
+        EtlOps.events(s, dir).select(col("user_id").as("k")),
+        EtlOps.events(s, dir).select(col("user_id").as("k"))))
+      .orderBy("edge")
+  }
+
+  def joinCardAuditOracle: String = {
+    val edges = Seq(
+      ("lineitem_orders_hotkey",
+        "SELECT l_orderkey AS k FROM lineitem " +
+          "UNION ALL SELECT 1 FROM lineitem WHERE l_orderkey % 61 = 0 " +
+          "UNION ALL SELECT 1 FROM lineitem WHERE l_orderkey % 61 = 0",
+        "SELECT o_orderkey AS k FROM orders"),
+      ("lineitem_part", "SELECT l_partkey AS k FROM lineitem",
+        "SELECT p_partkey AS k FROM part"),
+      ("orders_customer", "SELECT o_custkey AS k FROM orders",
+        "SELECT c_custkey AS k FROM customer"),
+      ("orders_customer_filtered", "SELECT o_custkey AS k FROM orders",
+        "SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0"),
+      ("events_self_user", "SELECT user_id AS k FROM events",
+        "SELECT user_id AS k FROM events"))
+    val blocks = edges.zipWithIndex.map { case ((label, aSql, bSql), i) =>
+      s"""e${i}fa AS (SELECT k, count(*) AS fa FROM ($aSql) GROUP BY k),
+         |e${i}fb AS (SELECT k, count(*) AS fb FROM ($bSql) GROUP BY k),
+         |e${i}ta AS (SELECT CAST(sum(fa) AS BIGINT) AS n_a,
+         |  count(*) AS d_a FROM e${i}fa),
+         |e${i}tb AS (SELECT CAST(sum(fb) AS BIGINT) AS n_b,
+         |  count(*) AS d_b FROM e${i}fb),
+         |e${i}hha AS (SELECT k, fa FROM e${i}fa, e${i}ta
+         |  WHERE fa >= greatest(2, (4 * n_a) // d_a)),
+         |e${i}hhb AS (SELECT k, fb FROM e${i}fb, e${i}tb
+         |  WHERE fb >= greatest(2, (4 * n_b) // d_b)),
+         |e${i}cmp AS (SELECT
+         |    COALESCE(CAST(sum(CASE WHEN fa IS NOT NULL AND fb IS NOT
+         |      NULL THEN fa * fb END) AS BIGINT), 0) AS j_both,
+         |    COALESCE(CAST(sum(CASE WHEN fb IS NULL THEN fa END)
+         |      AS BIGINT), 0) AS sa_only,
+         |    COALESCE(CAST(sum(CASE WHEN fa IS NULL THEN fb END)
+         |      AS BIGINT), 0) AS sb_only,
+         |    COALESCE(CAST(sum(CASE WHEN fa IS NOT NULL THEN 1 ELSE 0
+         |      END) AS BIGINT), 0) AS n_hh_a,
+         |    COALESCE(CAST(sum(CASE WHEN fb IS NOT NULL THEN 1 ELSE 0
+         |      END) AS BIGINT), 0) AS n_hh_b,
+         |    COALESCE(CAST(sum(CASE WHEN fa IS NOT NULL THEN fa END)
+         |      AS BIGINT), 0) AS s_hh_a,
+         |    COALESCE(CAST(sum(CASE WHEN fb IS NOT NULL THEN fb END)
+         |      AS BIGINT), 0) AS s_hh_b
+         |  FROM (SELECT COALESCE(a.k, b.k) AS k, a.fa, b.fb
+         |    FROM e${i}hha a FULL OUTER JOIN e${i}hhb b ON a.k = b.k)),
+         |e${i}act AS (SELECT COALESCE(CAST(sum(a.fa * b.fb) AS BIGINT),
+         |  0) AS actual FROM e${i}fa a JOIN e${i}fb b ON a.k = b.k),
+         |e${i}row AS (SELECT '$label' AS edge, n_a, d_a, n_hh_a,
+         |    n_b, d_b, n_hh_b, actual,
+         |    round(${joinPredSql}, 2) AS predicted,
+         |    round(${joinQErrSql(joinPredSql)}, 4) AS q_error
+         |  FROM (SELECT n_a, d_a, n_b, d_b, j_both, sa_only, sb_only,
+         |      n_hh_a, n_hh_b, actual,
+         |      n_a - s_hh_a AS n_ta, d_a - n_hh_a AS d_ta,
+         |      n_b - s_hh_b AS n_tb, d_b - n_hh_b AS d_tb
+         |    FROM e${i}ta, e${i}tb, e${i}cmp, e${i}act))"""
+        .stripMargin
+    }
+    s"""WITH ${blocks.mkString(",\n")}
+       |${edges.indices.map(i => s"SELECT * FROM e${i}row")
+        .mkString("\nUNION ALL ")}
+       |ORDER BY edge""".stripMargin
+  }
+
+  def hllAuditOracle: String = {
+    val hash = "CAST('0x' || substr(md5(k), 1, 15) AS BIGINT)"
+    s"""WITH k AS (
+       |  SELECT 'event_ids' AS scope, 'all' AS grp,
+       |    CAST(event_id AS VARCHAR) AS k FROM events
+       |  UNION ALL SELECT 'users_by_type', event_type,
+       |    CAST(user_id AS VARCHAR) FROM events
+       |  UNION ALL SELECT 'types', 'all', event_type FROM events),
+       |br AS (SELECT scope, grp, h % $HllM AS bkt,
+       |    CAST(${hllRankSql("h")} AS BIGINT) AS rnk
+       |  FROM (SELECT scope, grp, $hash AS h FROM k)),
+       |regs AS (SELECT scope, grp, bkt, max(rnk) AS r FROM br
+       |  GROUP BY 1, 2, 3),
+       |grps AS (SELECT DISTINCT scope, grp FROM br),
+       |dense AS (SELECT g.scope, g.grp, COALESCE(regs.r, 0) AS r
+       |  FROM grps g
+       |  CROSS JOIN (SELECT unnest(range(0, $HllM)) AS b) t
+       |  LEFT JOIN regs ON regs.scope = g.scope AND regs.grp = g.grp
+       |    AND regs.bkt = t.b),
+       |st AS (SELECT scope, grp,
+       |    sum(CAST((CAST(1 AS BIGINT) << CAST(60 - r AS INT))
+       |      AS DECIMAL(38,0))) AS sp,
+       |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS vz
+       |  FROM dense GROUP BY 1, 2),
+       |ex AS (SELECT scope, grp, count(DISTINCT k) AS exact_n FROM k
+       |  GROUP BY 1, 2),
+       |j AS (SELECT st.scope, st.grp, ex.exact_n, st.vz,
+       |    ${hllEstSql("st.sp", "st.vz", spark = false)} AS est,
+       |    (${hllRawSql("st.sp")}) <= $HllLinearThresh AND st.vz > 0
+       |      AS used_linear
+       |  FROM st JOIN ex ON st.scope = ex.scope AND st.grp = ex.grp)
+       |SELECT scope, grp, exact_n, vz, used_linear,
+       |  round(est, 4) AS est_n,
+       |  round((est - CAST(exact_n AS DOUBLE)) /
+       |    CAST(exact_n AS DOUBLE) * 100.0, 4) AS rel_err_pct,
+       |  abs((est - CAST(exact_n AS DOUBLE)) /
+       |    CAST(exact_n AS DOUBLE)) <= 0.2 AS within_bound
+       |FROM j ORDER BY scope, grp""".stripMargin
+  }
 }

@@ -1283,4 +1283,88 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(sorted.head._6 > 1000000L, s"$src top term not distinctive")
     }
   }
+
+  test("q225 cross-modal audit: classes match a host-side brute force, plants separate cleanly") {
+    val out = MultimodalOps.crossModalAudit(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // host-side rebuild of the corpus from its definition: doc ->
+    // (image-source id, text); plants at %7 = 0/1/2
+    val off = DedupOps.CopyOffset
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val corpus =
+      docs.map { case (id, t, s) => (id, id, t, s) } ++
+        docs.filter(_._1 % 7 == 0).map { case (id, t, s) =>
+          (id + off, id, t + " [recaptioned]", s) } ++
+        docs.filter(_._1 % 7 == 1).map { case (id, t, s) =>
+          (id + 2 * off, id + MultimodalOps.ReimageShift, t, s) } ++
+        docs.filter(_._1 % 7 == 2).map { case (id, t, s) =>
+          (id + 3 * off, id, t, s) }
+    val srcOf = corpus.map(c => c._1 -> c._4).toMap
+    def classify(groups: Map[_, Array[(Long, Long, String, String)]],
+        pred: Array[(Long, Long, String, String)] => Boolean) =
+      groups.values.filter(g => g.length > 1 && pred(g))
+        .map(g => (srcOf(g.map(_._1).min), g.length.toLong)).toSeq
+    val expA = classify(corpus.groupBy(_._2),
+      g => g.map(_._3).distinct.length > 1)
+    val expB = classify(corpus.groupBy(_._3),
+      g => g.map(_._2).distinct.length > 1)
+    val expF = classify(corpus.groupBy(c => (c._2, c._3)), _ => true)
+    def agg(cls: String, exp: Seq[(String, Long)]) =
+      exp.groupBy(_._1).foreach { case (src, gs) =>
+        val want = (gs.length.toLong, gs.map(_._2).sum,
+          gs.map(_._2).sum - gs.length)
+        assert(out.get((cls, src)).contains(want),
+          s"($cls,$src): got ${out.get((cls, src))}, want $want")
+      }
+    agg("same_image_diff_text", expA)
+    agg("same_text_diff_image", expB)
+    agg("full_dup", expF)
+    val expTotal = Seq(expA, expB, expF).map(e =>
+      e.groupBy(_._1).size).sum
+    assert(out.size == expTotal, "extra (class, source) rows emitted")
+    // every class is actually exercised by the plants
+    Seq("same_image_diff_text", "same_text_diff_image", "full_dup")
+      .foreach(c => assert(out.keys.exists(_._1 == c), s"$c unpopulated"))
+    // semantic separation: a planted full dup never leaks into the
+    // conflict classes (its image group has one text, and vice versa)
+    assert(expF.nonEmpty)
+  }
+
+  test("q226 join-card audit: exact on clean FK edges, HH plant found, assumptions priced") {
+    val rows = ProfileOps.joinCardAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(7),
+        r.getDouble(8), r.getDouble(9))).toMap
+    assert(rows.size == 5)
+    rows.values.foreach { case (_, actual, pred, qe) =>
+      assert(actual > 0 && pred > 0 && qe >= 1.0)
+    }
+    // clean FK edges: containment + key-unique parent => provably exact
+    assert(rows("lineitem_part")._4 == 1.0)
+    assert(rows("orders_customer")._4 == 1.0)
+    // the planted hot key is picked up as a heavy hitter
+    assert(rows("lineitem_orders_hotkey")._1 == 1L,
+      "planted hot key missed by the HH extractor")
+    // violated containment shows as estimator error
+    assert(rows("orders_customer_filtered")._4 > 1.0)
+    // many-many tail: Cauchy-Schwarz makes the uniform model a lower
+    // bound, so actual >= predicted (when no HH is extracted)
+    val self = rows("events_self_user")
+    assert(self._2 >= math.floor(self._3).toLong,
+      s"self-join actual ${self._2} below uniform-model ${self._3}")
+    // audit's exact side equals a genuine row-level join
+    val li = EtlOps.t(spark, dir, "lineitem")
+    val ord = EtlOps.t(spark, dir, "orders")
+    val rowJoin = li.select(col("l_orderkey").as("k"))
+      .unionAll(li.filter(col("l_orderkey") % 61 === 0)
+        .select(lit(1L).as("k")))
+      .unionAll(li.filter(col("l_orderkey") % 61 === 0)
+        .select(lit(1L).as("k")))
+      .join(ord.select(col("o_orderkey").as("k")), "k").count()
+    assert(rows("lineitem_orders_hotkey")._2 == rowJoin,
+      "freq-frame actual diverges from the row-level join")
+  }
 }

@@ -820,4 +820,36 @@ class PlanPropsSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
       s"temperature curve gained exchanges:\n${p.take(1800)}")
   }
+
+  test("q224 hll audit: sketch aggregate is two-phase (map-side partials), no cartesian") {
+    val p = plan(ProfileOps.hllAudit(spark, dir))
+    // TypedImperativeAggregate plans as ObjectHashAggregate; partial +
+    // final means register vectors combine map-side and only O(m)
+    // state crosses the (scope, grp) exchange
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"hll_agg lost its partial phase:\n${p.take(1800)}")
+    assert(p.contains("hll_agg"),
+      s"sketch not aggregated natively:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"audit join went cartesian:\n${p.take(1800)}")
+  }
+
+  test("q225 cross-modal audit: keyed corpus persisted once, group keys are hashes") {
+    val p = plan(MultimodalOps.crossModalAudit(spark, dir))
+    assert(p.contains("InMemoryTableScan"),
+      s"keyed corpus recomputed per detector:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"cross-modal audit went cartesian:\n${p.take(1800)}")
+  }
+
+  test("q226 join-card audit: stats collapse before any join, no row-level fact join") {
+    val p = plan(ProfileOps.joinCardAudit(spark, dir))
+    // the only joins are freq-frame (key, count) joins and 1-row
+    // broadcast combines — never a cartesian on data-sized relations
+    assert(!p.contains("CartesianProduct"),
+      s"join-card audit went cartesian:\n${p.take(1800)}")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"1-row totals not broadcast:\n${p.take(1800)}")
+  }
 }

@@ -131,4 +131,73 @@ class SpaceSavingSpec extends AnyFunSuite {
     // the audit must exercise real collisions, not the happy path
     assert(rows.exists(_._4 > 0), "no collisions — audit is vacuous")
   }
+
+  // --- HyperLogLog (q224) ------------------------------------------------
+
+  /** (bucket, rank) pairs for a key column, the same construction
+    * ProfileOps.hllAudit uses. */
+  private def hllPairs(keys: org.apache.spark.sql.DataFrame) = {
+    VectorFunctions.register(spark)
+    keys.withColumn("h", call_function("md5_fp60", col("k")))
+      .withColumn("bkt", col("h") % ProfileOps.HllM)
+      .withColumn("rnk", expr(
+        "least(bit_count((((h >> 8) & -(h >> 8)) - 1)) + 1, 53)")
+        .cast("long"))
+  }
+
+  test("hll registers are partition-invariant and equal the groupBy-max rebuild") {
+    val m = ProfileOps.HllM
+    val keyed = hllPairs(graft.operators.EtlOps
+      .events(spark, TestSession.sfDir("0.001"))
+      .select(col("user_id").cast("string").as("k")))
+    def sketch(parts: Int): Seq[Long] = keyed.repartition(parts)
+      .agg(expr(s"hll_agg(array(bkt, rnk), $m)")).first()
+      .getSeq[Long](0)
+    val s1 = sketch(1)
+    // merge-order independence: register state is a per-bucket max
+    assert(sketch(13) == s1, "HLL state depends on partitioning")
+    // oracle-side rebuild: GROUP BY bucket -> max(rank), dense over m
+    val rebuilt = keyed.groupBy("bkt").agg(max("rnk").as("r"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    (0 until m).foreach { b =>
+      assert(s1(b) == rebuilt.getOrElse(b, 0L), s"register $b diverges")
+    }
+  }
+
+  test("hll estimate lands within the analytic error bound on a known set") {
+    import spark.implicits._
+    val m = ProfileOps.HllM
+    val n = 5000
+    val keyed = hllPairs(
+      (1 to n).map(i => s"key-$i").toDF("k").repartition(7))
+    val regs = keyed.agg(expr(s"hll_agg(array(bkt, rnk), $m)")).first()
+      .getSeq[Long](0)
+    // raw harmonic estimate recomputed host-side from the registers
+    val sp = regs.map(r => BigInt(1) << (60 - r.toInt)).sum
+    val est = ProfileOps.HllAlphaFp / 1e9 * m * m *
+      math.pow(2, 60) / sp.toDouble
+    val relErr = math.abs(est - n) / n
+    // 3 sigma = 3 * 1.04 / sqrt(256) ~ 19.5%
+    assert(relErr <= 0.195, s"est $est vs $n: rel err $relErr")
+  }
+
+  test("q224 audit exercises BOTH estimator branches and stays in bound") {
+    val rows = ProfileOps.hllAudit(spark, TestSession.sfDir("0.001"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getDouble(5), r.getBoolean(7)))
+    assert(rows.nonEmpty)
+    // the tiny scopes must take linear counting, the event-id scope at
+    // any sf >= 0.001 must have SOME registers populated
+    assert(rows.filter(_._1 == "types").forall(_._4),
+      "types scope should use linear counting")
+    rows.foreach { r =>
+      assert(r._3 >= 0 && r._3 <= ProfileOps.HllM)
+      assert(r._6, s"scope ${r._1}: estimate ${r._5} vs exact ${r._2} " +
+        "left the 20% bound")
+    }
+    // linear branch: near-exact at tiny cardinality
+    val types = rows.find(_._1 == "types").get
+    assert(math.abs(types._5 - types._2) / types._2 <= 0.05)
+  }
 }
