@@ -244,6 +244,11 @@ object SparkEntry {
     "q224_hll_audit"         -> (ProfileOps.hllAudit _),
     "q225_crossmodal_audit"  -> (MultimodalOps.crossModalAudit _),
     "q226_join_card_audit"   -> (ProfileOps.joinCardAudit _),
+    "q227_benford_audit"     -> (ProfileOps.benfordAudit _),
+    "q228_cdc_chunk_dedup"   -> (DedupOps.cdcChunkDedup _),
+    "q229_incremental_cc"    -> (GraphOps.incrementalCc _),
+    "q230_url_canon_dedup"   -> (CurationOps.urlCanonDedup _),
+    "q231_join_order_audit"  -> (ProfileOps.joinOrderAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -752,6 +757,11 @@ object SparkEntry {
     "q224_hll_audit" -> ProfileOps.hllAuditOracle,
     "q225_crossmodal_audit" -> MultimodalOps.crossModalAuditOracle,
     "q226_join_card_audit" -> ProfileOps.joinCardAuditOracle,
+    "q227_benford_audit" -> ProfileOps.benfordAuditOracle,
+    "q228_cdc_chunk_dedup" -> DedupOps.cdcChunkDedupOracle,
+    "q229_incremental_cc" -> GraphOps.incrementalCcOracle,
+    "q230_url_canon_dedup" -> CurationOps.urlCanonDedupOracle,
+    "q231_join_order_audit" -> ProfileOps.joinOrderAuditOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

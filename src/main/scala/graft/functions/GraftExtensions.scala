@@ -60,6 +60,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("blob_phash"),
       info(classOf[BlobPhash], "blob_phash"),
       (exprs: Seq[Expression]) => BlobPhash(exprs(0), exprs(1))))
+    e.injectFunction((FunctionIdentifier("cdc_bounds"),
+      info(classOf[CdcBoundsExpr], "cdc_bounds"),
+      CdcBoundsExpr.builder(_)))
     // the portable conv(substring(md5(x),1,15),16,10) idiom executes as
     // the native expression even when written longhand in SQL
     e.injectOptimizerRule(_ => FingerprintRewrite)

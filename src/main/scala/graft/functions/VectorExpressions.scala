@@ -162,5 +162,6 @@ object VectorFunctions {
     add("blob_pixel_stats", exprs => BlobPixelStats(exprs.head))
     add("blob_wave_stats", exprs => BlobWaveStats(exprs(0), exprs(1)))
     add("blob_phash", exprs => BlobPhash(exprs(0), exprs(1)))
+    add("cdc_bounds", CdcBoundsExpr.builder)
   }
 }

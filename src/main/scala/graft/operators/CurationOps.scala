@@ -1827,4 +1827,141 @@ object CurationOps {
        |    AS unique_toks_frac
        |FROM st ORDER BY gate""".stripMargin
   }
+
+  // --- q230: URL canonicalization dedup ------------------------------------
+
+  /** q230 — URL canonicalization dedup: web corpora dedup at the URL
+    * level BEFORE fetching or hashing content (C4 drops by exact URL;
+    * CommonCrawl/RefinedWeb normalize first), and the normalizer is a
+    * fixed rewrite chain: lowercase scheme+host, strip the default
+    * port, strip the fragment, drop tracking parameters (utm_*,
+    * gclid, fbclid), SORT the surviving query params, strip the
+    * trailing slash. Each document plants one clean URL plus the
+    * seven raw variants a crawler actually sees (q217's in-query URL
+    * fixture, widened): per variant class the audit reports how many
+    * raw URLs exist, how many distinct canonical forms survive, and
+    * what fraction collapsed onto the document's clean canonical —
+    * the crawl-frontier dedup rate the normalizer buys. `reorder`
+    * plants BOTH param orders (collapse onto each other, not onto the
+    * query-less clean form) and `distinct` is the negative control.
+    *
+    * Parity: every step is a single-match regex (Spark's replace-all
+    * vs DuckDB's replace-first agree when the pattern can match at
+    * most once), prefix tests are substr equality (LIKE/starts_with
+    * spellings differ), and param sorting is binary-collation string
+    * sort on both engines.
+    *
+    * Scale (100 TB): canonicalization is pure per-row string rewrite
+    * (codegen'd, no UDF); the audit joins on doc_id (equi-join on the
+    * fixture key) and rolls up to |classes| rows — the production
+    * path is just `groupBy(canon).agg(first(url))`, one exchange on
+    * the canonical key. */
+  def urlCanonDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = "concat('https://sub', CAST(doc_id % 3 AS STRING), " +
+      "'.site', CAST(doc_id % 37 AS STRING), '.com/doc/', " +
+      "CAST(doc_id AS STRING))"
+    val baseUp = "concat('HTTPS://SUB', CAST(doc_id % 3 AS STRING), " +
+      "'.SITE', CAST(doc_id % 37 AS STRING), '.COM:443/doc/', " +
+      "CAST(doc_id AS STRING))"
+    val variants = t(s, dir, "documents").selectExpr("doc_id",
+      s"""explode(array(
+         |  struct('clean' AS cls, $base AS url),
+         |  struct('case_port' AS cls, $baseUp AS url),
+         |  struct('tracking' AS cls, concat($base,
+         |    '?utm_source=feed&gclid=g', CAST(doc_id AS STRING)) AS url),
+         |  struct('fragment' AS cls, concat($base, '#sec') AS url),
+         |  struct('slash' AS cls, concat($base, '/') AS url),
+         |  struct('reorder' AS cls, concat($base, '?b=2&a=1') AS url),
+         |  struct('reorder' AS cls, concat($base, '?a=1&b=2') AS url),
+         |  struct('distinct' AS cls, concat('https://alt',
+         |    CAST(doc_id AS STRING), '.org/page') AS url))) AS v"""
+        .stripMargin)
+      .selectExpr("doc_id", "v.cls AS cls", "v.url AS url")
+    val canon = variants
+      .withColumn("nofrag", regexp_replace(col("url"), "#.*", ""))
+      .withColumn("sh", regexp_extract(col("nofrag"),
+        "^[a-zA-Z]+://[^/?]+", 0))
+      .withColumn("rest",
+        expr("substr(nofrag, length(sh) + 1)"))
+      .withColumn("sh2", regexp_replace(lower(col("sh")),
+        ":(443|80)$", ""))
+      .withColumn("path", regexp_extract(col("rest"), "^[^?]*", 0))
+      .withColumn("query", expr(
+        "CASE WHEN length(rest) > length(path) " +
+          "THEN substr(rest, length(path) + 2) ELSE '' END"))
+      .withColumn("path2", regexp_replace(col("path"), "/$", ""))
+      .withColumn("q2", expr(
+        "array_join(array_sort(filter(split(query, '&'), p -> " +
+          "NOT (substr(p, 1, 4) = 'utm_' OR substr(p, 1, 6) = 'gclid=' " +
+          "OR substr(p, 1, 7) = 'fbclid=' OR p = ''))), '&')"))
+      .withColumn("canon", expr(
+        "concat(sh2, path2, CASE WHEN q2 = '' THEN '' " +
+          "ELSE concat('?', q2) END)"))
+      .select("doc_id", "cls", "url", "canon").persist()
+    val clean = canon.filter(col("cls") === "clean")
+      .select(col("doc_id"), col("canon").as("clean_canon"))
+    canon.join(clean, "doc_id")
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("canon")).as("n_canonical"),
+        sum(when(col("canon") === col("clean_canon"), 1L).otherwise(0L))
+          .as("n_match_clean"))
+      .withColumn("match_rate", round(
+        col("n_match_clean").cast("double") /
+          col("n_urls").cast("double"), 6))
+      .orderBy("cls")
+  }
+
+  def urlCanonDedupOracle: String = {
+    val base = "'https://sub' || CAST(doc_id % 3 AS VARCHAR) || " +
+      "'.site' || CAST(doc_id % 37 AS VARCHAR) || '.com/doc/' || " +
+      "CAST(doc_id AS VARCHAR)"
+    val baseUp = "'HTTPS://SUB' || CAST(doc_id % 3 AS VARCHAR) || " +
+      "'.SITE' || CAST(doc_id % 37 AS VARCHAR) || '.COM:443/doc/' || " +
+      "CAST(doc_id AS VARCHAR)"
+    s"""WITH v AS (
+       |  SELECT doc_id, 'clean' AS cls, $base AS url FROM documents
+       |  UNION ALL SELECT doc_id, 'case_port', $baseUp FROM documents
+       |  UNION ALL SELECT doc_id, 'tracking', $base ||
+       |    '?utm_source=feed&gclid=g' || CAST(doc_id AS VARCHAR)
+       |  FROM documents
+       |  UNION ALL SELECT doc_id, 'fragment', $base || '#sec'
+       |  FROM documents
+       |  UNION ALL SELECT doc_id, 'slash', $base || '/' FROM documents
+       |  UNION ALL SELECT doc_id, 'reorder', $base || '?b=2&a=1'
+       |  FROM documents
+       |  UNION ALL SELECT doc_id, 'reorder', $base || '?a=1&b=2'
+       |  FROM documents
+       |  UNION ALL SELECT doc_id, 'distinct', 'https://alt' ||
+       |    CAST(doc_id AS VARCHAR) || '.org/page' FROM documents),
+       |c1 AS (SELECT doc_id, cls, url,
+       |    regexp_replace(url, '#.*', '') AS nofrag FROM v),
+       |c2 AS (SELECT *, regexp_extract(nofrag,
+       |    '^[a-zA-Z]+://[^/?]+', 0) AS sh FROM c1),
+       |c3 AS (SELECT *, substr(nofrag, length(sh) + 1) AS rest,
+       |    regexp_replace(lower(sh), ':(443|80)$$', '') AS sh2 FROM c2),
+       |c4 AS (SELECT *, regexp_extract(rest, '^[^?]*', 0) AS path
+       |  FROM c3),
+       |c5 AS (SELECT *, CASE WHEN length(rest) > length(path)
+       |      THEN substr(rest, length(path) + 2) ELSE '' END AS query,
+       |    regexp_replace(path, '/$$', '') AS path2 FROM c4),
+       |c6 AS (SELECT *, coalesce(array_to_string(list_sort(
+       |    [p for p in string_split(query, '&') if NOT (
+       |      substr(p, 1, 4) = 'utm_' OR substr(p, 1, 6) = 'gclid=' OR
+       |      substr(p, 1, 7) = 'fbclid=' OR p = '')]), '&'), '') AS q2
+       |  FROM c5),
+       |c7 AS (SELECT doc_id, cls, url, sh2 || path2 ||
+       |    (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) AS canon
+       |  FROM c6),
+       |cl AS (SELECT doc_id, canon AS clean_canon FROM c7
+       |  WHERE cls = 'clean')
+       |SELECT cls, count(*) AS n_urls,
+       |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+       |  CAST(sum(CASE WHEN canon = clean_canon THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_match_clean,
+       |  round(CAST(sum(CASE WHEN canon = clean_canon THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS match_rate
+       |FROM c7 JOIN cl USING (doc_id)
+       |GROUP BY cls ORDER BY cls""".stripMargin
+  }
 }

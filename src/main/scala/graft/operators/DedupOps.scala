@@ -1601,4 +1601,155 @@ object DedupOps {
        |  round(CAST(sum(CASE WHEN jac < $ChainTau THEN 1 ELSE 0 END)
        |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS chained_frac
        |FROM b GROUP BY size_band ORDER BY size_band""".stripMargin
+
+  // --- q228: content-defined chunking dedup audit -------------------------
+
+  /** CDC geometry: window 8, multiplier 33, boundary divisor 32 →
+    * expected ~32-char chunks; fixed-size strawman uses the same target
+    * length so the two methods are budget-matched. */
+  val CdcW = 8
+  val CdcA = 33L
+  val CdcD = 32L
+  val CdcFixedLen = 32
+
+  /** The window hash Σ_k a^k·c(i−k) as DuckDB SQL at comprehension
+    * variable `i` — the literal power table is the SAME one the native
+    * [[graft.functions.CdcBounds]] loop maintains incrementally. */
+  private def cdcHSql(iVar: String): String =
+    graft.functions.CdcBounds.powers(CdcA, CdcW).zipWithIndex.map {
+      case (p, k) =>
+        s"CAST($p AS BIGINT) * " +
+          s"unicode(substr(text, CAST(($iVar - $k) AS INT), 1))"
+    }.mkString(" + ")
+
+  /** q228 — content-defined chunking (CDC) dedup audit: the storage-
+    * layer dedup scheme (Manber fingerprints / LBFS): chunk boundaries
+    * are set where a sliding window hash ≡ 0 (mod [[CdcD]]), so they
+    * follow CONTENT, not offsets — after the planted copies' first-word
+    * deletion shifts every character left, CDC chunks re-align at the
+    * first content boundary while same-budget fixed-size chunks all
+    * change. Per (method, source): chunk counts, distinct-chunk bytes,
+    * the dedup ratio a chunk store would achieve, and `copy_share` —
+    * the fraction of copy-document chunk instances already present in
+    * the original corpus, THE shift-resistance number (CDC ≫ fixed).
+    * This is how a multimodal lake prices blob/text storage dedup, and
+    * the method-choice evidence.
+    *
+    * Parity: boundaries are exact integer window hashes (native
+    * incremental loop in Spark ≡ per-position literal power sum in
+    * DuckDB — no modulus, sums ≪ 2^63); chunks are substrings between
+    * boundaries hashed with md5; every metric is integer until the two
+    * final round-6 ratios.
+    *
+    * Scale (100 TB): boundary detection is one native per-char pass;
+    * chunk emission is ~n/32 rows per doc collapsing map-side to
+    * (method, source, chunk-hash) cells; nothing downstream sees rows
+    * proportional to corpus size — the chunk-hash aggregate IS the
+    * chunk-store index build. */
+  def cdcChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val corpus = d.unionAll(d.select(
+      (col("doc_id") + CopyOffset).as("doc_id"), col("source"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    val chunks = corpus
+      .withColumn("n", length(col("text")))
+      .withColumn("b", expr(s"cdc_bounds(text, $CdcW, $CdcA, $CdcD)"))
+      .withColumn("ends_cdc", expr(
+        "CASE WHEN size(b) > 0 AND element_at(b, -1) = n THEN b " +
+          "ELSE concat(b, array(CAST(n AS INT))) END"))
+      .withColumn("ends_fix", expr(
+        s"transform(sequence(1, (n + ${CdcFixedLen - 1}) DIV " +
+          s"$CdcFixedLen), i -> CAST(least(i * $CdcFixedLen, n) " +
+          "AS INT))"))
+      // explode(map(...)) instead of stack(): map() unifies the two
+      // array types' nullability itself, where stack demands identical
+      // types and a pacifying CAST gets stripped by SimplifyCasts
+      .selectExpr("doc_id", "source", "text",
+        "explode(map('cdc', ends_cdc, 'fixed', ends_fix)) " +
+          "AS (method, ends)")
+      .selectExpr("doc_id", "source", "text", "method", "ends",
+        "posexplode(ends) AS (j, en)")
+      .selectExpr("doc_id", "source", "method", "text",
+        "CASE WHEN j = 0 THEN 1 ELSE element_at(ends, j) + 1 END AS st",
+        "en")
+      .selectExpr("doc_id", "source", "method",
+        "en - st + 1 AS ln", "md5(substr(text, st, en - st + 1)) AS h")
+    val cells = chunks.groupBy("method", "source", "h")
+      .agg(min(col("ln")).cast("bigint").as("clen"),
+        sum(when(col("doc_id") < CopyOffset, 1L).otherwise(0L))
+          .as("cnt_orig"),
+        sum(when(col("doc_id") >= CopyOffset, 1L).otherwise(0L))
+          .as("cnt_copy"))
+    cells.groupBy("method", "source")
+      .agg(sum(col("cnt_orig") + col("cnt_copy")).as("n_chunks"),
+        count(lit(1)).as("n_unique"),
+        sum(col("clen")).as("unique_chars"),
+        sum((col("cnt_orig") + col("cnt_copy")) * col("clen"))
+          .as("total_chars"),
+        sum(when(col("cnt_orig") > 0, col("cnt_copy")).otherwise(0L))
+          .as("copy_hits"),
+        sum(col("cnt_copy")).as("copy_chunks"))
+      .select(col("method"), col("source"), col("n_chunks"),
+        col("n_unique"), col("unique_chars"), col("total_chars"),
+        round(col("unique_chars").cast("double") /
+          col("total_chars").cast("double"), 6).as("dedup_ratio"),
+        round(col("copy_hits").cast("double") /
+          col("copy_chunks").cast("double"), 6).as("copy_share"))
+      .orderBy("method", "source")
+  }
+
+  def cdcChunkDedupOracle: String =
+    s"""WITH d AS (SELECT doc_id, source, text FROM documents
+       |  UNION ALL SELECT doc_id + $CopyOffset, source,
+       |    substr(text, instr(text, ' ') + 1) FROM documents),
+       |e AS (SELECT doc_id, source, text, length(text) AS n,
+       |    [CAST(i AS INT) for i in range($CdcW, length(text) + 1)
+       |      if (${cdcHSql("i")}) % $CdcD = 0] AS b
+       |  FROM d),
+       |e2 AS (SELECT doc_id, source, text, n,
+       |    CASE WHEN len(b) > 0 AND b[-1] = n THEN b
+       |      ELSE list_append(b, CAST(n AS INT)) END AS ends_cdc,
+       |    [CAST(least(i * $CdcFixedLen, n) AS INT)
+       |      for i in range(1, (n + ${CdcFixedLen - 1})
+       |        // $CdcFixedLen + 1)] AS ends_fix
+       |  FROM e),
+       |m AS (SELECT doc_id, source, text, 'cdc' AS method,
+       |    ends_cdc AS ends FROM e2
+       |  UNION ALL SELECT doc_id, source, text, 'fixed', ends_fix
+       |  FROM e2),
+       |cj AS (SELECT doc_id, source, text, method, ends,
+       |    unnest(range(1, len(ends) + 1)) AS j FROM m),
+       |ch AS (SELECT doc_id, source, method,
+       |    ends[CAST(j AS INT)] - (CASE WHEN j = 1 THEN 1
+       |      ELSE ends[CAST(j - 1 AS INT)] + 1 END) + 1 AS ln,
+       |    md5(substr(text, CAST(CASE WHEN j = 1 THEN 1
+       |        ELSE ends[CAST(j - 1 AS INT)] + 1 END AS INT),
+       |      CAST(ends[CAST(j AS INT)] - (CASE WHEN j = 1 THEN 1
+       |        ELSE ends[CAST(j - 1 AS INT)] + 1 END) + 1 AS INT)))
+       |      AS h
+       |  FROM cj),
+       |cells AS (SELECT method, source, h,
+       |    CAST(min(ln) AS BIGINT) AS clen,
+       |    CAST(sum(CASE WHEN doc_id < $CopyOffset THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cnt_orig,
+       |    CAST(sum(CASE WHEN doc_id >= $CopyOffset THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cnt_copy
+       |  FROM ch GROUP BY method, source, h)
+       |SELECT method, source,
+       |  CAST(sum(cnt_orig + cnt_copy) AS BIGINT) AS n_chunks,
+       |  count(*) AS n_unique,
+       |  CAST(sum(clen) AS BIGINT) AS unique_chars,
+       |  CAST(sum((cnt_orig + cnt_copy) * clen) AS BIGINT)
+       |    AS total_chars,
+       |  round(CAST(CAST(sum(clen) AS BIGINT) AS DOUBLE) /
+       |    CAST(CAST(sum((cnt_orig + cnt_copy) * clen) AS BIGINT)
+       |      AS DOUBLE), 6) AS dedup_ratio,
+       |  round(CAST(CAST(sum(CASE WHEN cnt_orig > 0 THEN cnt_copy
+       |      ELSE 0 END) AS BIGINT) AS DOUBLE) /
+       |    CAST(CAST(sum(cnt_copy) AS BIGINT) AS DOUBLE), 6)
+       |    AS copy_share
+       |FROM cells GROUP BY method, source
+       |ORDER BY method, source""".stripMargin
 }

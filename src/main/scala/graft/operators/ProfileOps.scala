@@ -1655,4 +1655,360 @@ object ProfileOps {
        |    CAST(exact_n AS DOUBLE)) <= 0.2 AS within_bound
        |FROM j ORDER BY scope, grp""".stripMargin
   }
+
+  // --- q227: Benford first-digit conformance audit ------------------------
+
+  /** χ²(df=8, α=0.05) critical value, ×1e6 fixed point — the conformance
+    * gate compares integers. */
+  val BenfordCritFp: Long = 15507310L
+
+  /** Benford probability P(d) = log10(1 + 1/d) as build-time double
+    * literals — the SAME literal lands in both engines' expected-count
+    * expression (no runtime libm). */
+  private lazy val benfordP: IndexedSeq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** Inverse-CDF thresholds for the PLANTED conforming sample: a 60-bit
+    * uniform hash h yields first digit d = 1 + |{k : h ≥ T_k}| with
+    * T_k = ⌊log10(k)·2^60⌋ — pure integer comparisons, and the digit is
+    * exactly Benford-distributed because h/2^60 is uniform. */
+  private lazy val benfordThresh: IndexedSeq[Long] =
+    (2 to 9).map(d => math.floor(math.log10(d.toDouble) *
+      1152921504606846976.0).toLong)
+
+  /** First significant digit of a numeric column with x ≥ 1 — via the
+    * integer string of ⌊x⌋ (floor on doubles is exact on both engines;
+    * BIGINT→string never involves float formatting). */
+  private def benfordDigitSql(x: String): String =
+    s"CAST(substr(CAST(CAST(floor($x) AS BIGINT) AS STRING), 1, 1) " +
+      "AS BIGINT)"
+
+  private def benfordPlantDigitSql(h: String): String =
+    "1 + " + benfordThresh.map(t =>
+      s"(CASE WHEN $h >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+
+  /** n·P(digit) as ONE shared CASE over the frozen literals. */
+  private def benfordExpSql: String =
+    "CAST(n AS DOUBLE) * (CASE digit " +
+      benfordP.zipWithIndex.map { case (p, i) =>
+        s"WHEN ${i + 1} THEN $p" }.mkString(" ") + " ELSE 0.0 END)"
+
+  /** q227 — Benford first-digit conformance audit: the classic
+    * data-quality / fraud screen (Nigrini) — does a numeric column's
+    * first-significant-digit distribution follow P(d) = log10(1+1/d)?
+    * Four real columns are audited (extended price, order total, retail
+    * price, event value) plus a PLANTED conforming sample drawn by
+    * integer inverse-CDF from the document hash, so both verdict
+    * branches are exercised: the plant conforms; part.p_retailprice is
+    * the degenerate counter-case (every value in [900, 1000) ⇒ all mass
+    * on digit 9, a maximal χ² — exactly what the audit exists to flag,
+    * e.g. a column that silently became a constant-range default).
+    * Output is the dense (scope × digit 1..9) grid with observed and
+    * expected counts, per-cell χ² contribution, and the per-scope χ²
+    * against the df=8 critical value.
+    *
+    * Parity: digits come from integer strings (floor is exact; no
+    * double formatting); P(d) and the plant thresholds are build-time
+    * literals; each χ² term is one shared double expression frozen to
+    * ×1e6 fixed point before the order-free integer sum (q216's
+    * discipline); the verdict compares integers.
+    *
+    * Scale (100 TB): one narrow scan per audited column collapsing
+    * map-side to ≤ 9 cells each — the audit's shuffle is 9 rows per
+    * scope regardless of input size; everything downstream is dense-grid
+    * arithmetic on |scopes|·9 rows. */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val keyed =
+      t(s, dir, "lineitem").selectExpr("'lineitem_extprice' AS scope",
+          s"${benfordDigitSql("l_extendedprice")} AS digit")
+        .unionAll(t(s, dir, "orders").selectExpr(
+          "'orders_totalprice' AS scope",
+          s"${benfordDigitSql("o_totalprice")} AS digit"))
+        .unionAll(t(s, dir, "part").selectExpr(
+          "'part_retailprice' AS scope",
+          s"${benfordDigitSql("p_retailprice")} AS digit"))
+        .unionAll(EtlOps.events(s, dir).filter(col("value") >= 1)
+          .selectExpr("'events_value' AS scope",
+            s"${benfordDigitSql("value")} AS digit"))
+        .unionAll(EtlOps.events(s, dir)
+          .withColumn("h", call_function("md5_fp60",
+            concat(lit("benford:"), col("event_id").cast("string"))))
+          .selectExpr("'benford_plant' AS scope",
+            s"CAST(${benfordPlantDigitSql("h")} AS BIGINT) AS digit"))
+    // the corpus collapses HERE to <= 45 cells; persist so the grid /
+    // totals / chi2 consumers reuse the cells instead of re-expanding
+    // the 5-scan union per reference
+    val obs = keyed.groupBy("scope", "digit")
+      .agg(count(lit(1)).as("obs")).persist()
+    val tot = obs.groupBy("scope").agg(sum(col("obs")).as("n"))
+    val digits = s.range(1, 10).selectExpr("id AS digit")
+    val grid = tot.crossJoin(broadcast(digits))
+      .join(obs, Seq("scope", "digit"), "left")
+      .withColumn("o", coalesce(col("obs"), lit(0L)))
+      .withColumn("exp_d", expr(benfordExpSql))
+      .withColumn("term_fp", floor(
+        (col("o").cast("double") - col("exp_d")) *
+          (col("o").cast("double") - col("exp_d")) / col("exp_d") * 1e6)
+        .cast("bigint"))
+    val chi = grid.groupBy("scope")
+      .agg(sum(col("term_fp")).as("chi2_fp"))
+    grid.join(chi, "scope")
+      .select(col("scope"), col("digit"), col("n"), col("o").as("obs"),
+        (floor(col("exp_d") * 1e4).cast("bigint").cast("double") / 1e4)
+          .as("exp_n"),
+        round(col("term_fp").cast("double") / 1e6, 6).as("term"),
+        round(col("chi2_fp").cast("double") / 1e6, 6).as("chi2"),
+        (col("chi2_fp") <= BenfordCritFp).as("conforms"))
+      .orderBy("scope", "digit")
+  }
+
+  def benfordAuditOracle: String =
+    s"""WITH k AS (
+       |  SELECT 'lineitem_extprice' AS scope,
+       |    ${benfordDigitSql("l_extendedprice")} AS digit FROM lineitem
+       |  UNION ALL SELECT 'orders_totalprice',
+       |    ${benfordDigitSql("o_totalprice")} FROM orders
+       |  UNION ALL SELECT 'part_retailprice',
+       |    ${benfordDigitSql("p_retailprice")} FROM part
+       |  UNION ALL SELECT 'events_value',
+       |    ${benfordDigitSql("value")} FROM events WHERE value >= 1
+       |  UNION ALL SELECT 'benford_plant',
+       |    CAST(${benfordPlantDigitSql("h")} AS BIGINT)
+       |  FROM (SELECT CAST('0x' || substr(md5('benford:' ||
+       |    CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |    FROM events)),
+       |obs AS (SELECT scope, digit, count(*) AS obs FROM k
+       |  GROUP BY scope, digit),
+       |tot AS (SELECT scope, CAST(sum(obs) AS BIGINT) AS n FROM obs
+       |  GROUP BY scope),
+       |dig AS (SELECT unnest(range(1, 10)) AS digit),
+       |grid AS (SELECT t.scope, d.digit, t.n, coalesce(o.obs, 0) AS o
+       |  FROM tot t CROSS JOIN dig d
+       |  LEFT JOIN obs o ON o.scope = t.scope AND o.digit = d.digit),
+       |cell AS (SELECT scope, digit, n, o, $benfordExpSql AS exp_d
+       |  FROM grid),
+       |fp AS (SELECT scope, digit, n, o, exp_d,
+       |    CAST(floor((CAST(o AS DOUBLE) - exp_d) *
+       |      (CAST(o AS DOUBLE) - exp_d) / exp_d * 1e6) AS BIGINT)
+       |      AS term_fp
+       |  FROM cell),
+       |chi AS (SELECT scope, CAST(sum(term_fp) AS BIGINT) AS chi2_fp
+       |  FROM fp GROUP BY scope)
+       |SELECT fp.scope, fp.digit, fp.n, fp.o AS obs,
+       |  CAST(CAST(floor(exp_d * 1e4) AS BIGINT) AS DOUBLE) / 1e4
+       |    AS exp_n,
+       |  round(CAST(term_fp AS DOUBLE) / 1e6, 6) AS term,
+       |  round(CAST(chi2_fp AS DOUBLE) / 1e6, 6) AS chi2,
+       |  chi2_fp <= $BenfordCritFp AS conforms
+       |FROM fp JOIN chi ON chi.scope = fp.scope
+       |ORDER BY fp.scope, fp.digit""".stripMargin
+
+  // --- q231: join-order costing audit -------------------------------------
+
+  /** Uniform-containment join estimate n_a·n_b / max(d_a, d_b) — ONE
+    * generated double expression shared by both engines (System R /
+    * Selinger). Arguments are already-cast double sub-expressions. */
+  private def selJoin(nA: String, dA: String, nB: String, dB: String)
+      : String = s"(($nA) * ($nB) / greatest($dA, $dB))"
+
+  private def selD(c: String): String = s"CAST($c AS DOUBLE)"
+
+  /** The cascaded Selinger estimates per left-deep order: each step
+    * reuses the previous estimate as the left input, with the left
+    * side's distinct count preserved from the base table but capped at
+    * the intermediate size (the textbook bookkeeping). Returns
+    * (est1, est2, est3) expression strings over the stat column names
+    * n_l, d_ok_l, d_pk_l, n_o, d_ck_o, n_c3, n_p. */
+  private def selOrder(ord: String): (String, String, String) = {
+    val (nl, dok, dpk) = (selD("n_l"), selD("d_ok_l"), selD("d_pk_l"))
+    val (no, dck) = (selD("n_o"), selD("d_ck_o"))
+    val (nc, np) = (selD("n_c3"), selD("n_p"))
+    ord match {
+      case "1_lo_c_p" =>
+        val e1 = selJoin(nl, dok, no, no)
+        val e2 = selJoin(e1, dck, nc, nc)
+        val e3 = selJoin(e2, s"least($dpk, $e2)", np, np)
+        (e1, e2, e3)
+      case "2_lo_p_c" =>
+        val e1 = selJoin(nl, dok, no, no)
+        val e2 = selJoin(e1, s"least($dpk, $e1)", np, np)
+        val e3 = selJoin(e2, s"least($dck, $e2)", nc, nc)
+        (e1, e2, e3)
+      case "3_lp_o_c" =>
+        val e1 = selJoin(nl, dpk, np, np)
+        val e2 = selJoin(e1, s"least($dok, $e1)", no, no)
+        val e3 = selJoin(e2, s"least($dck, $e2)", nc, nc)
+        (e1, e2, e3)
+      case "4_oc_l_p" =>
+        val e1 = selJoin(no, dck, nc, nc)
+        val e2 = selJoin(e1, s"least($no, $e1)", nl, dok)
+        val e3 = selJoin(e2, s"least($dpk, $e2)", np, np)
+        (e1, e2, e3)
+    }
+  }
+
+  private val SelOrders =
+    Seq("1_lo_c_p", "2_lo_p_c", "3_lp_o_c", "4_oc_l_p")
+
+  /** Per-order output expressions (SQL, shared verbatim): estimates
+    * frozen at 2 decimals, cost at 2, q-error at 4; acts are the three
+    * exact intermediate sizes for that order. */
+  private def selRowSql(ord: String): String = {
+    val (e1, e2, e3) = selOrder(ord)
+    val acts = ord match {
+      case "1_lo_c_p" => Seq("act_lo", "act_loc", "act_final")
+      case "2_lo_p_c" => Seq("act_lo", "act_lop", "act_final")
+      case "3_lp_o_c" => Seq("act_lp", "act_lop", "act_final")
+      case "4_oc_l_p" => Seq("act_oc", "act_loc", "act_final")
+    }
+    val costFp = s"CAST(floor((($e1) + ($e2) + ($e3)) * 100) AS BIGINT)"
+    val actCost = s"(${acts(0)} + ${acts(1)} + ${acts(2)})"
+    val costD = s"(CAST($costFp AS DOUBLE) / 100)"
+    val qe = s"greatest($costD / CAST($actCost AS DOUBLE), " +
+      s"CAST($actCost AS DOUBLE) / $costD)"
+    s"'$ord' AS ord, " +
+      s"CAST(CAST(floor(($e1) * 100) AS BIGINT) AS DOUBLE) / 100 " +
+      "AS est1, " +
+      s"CAST(CAST(floor(($e2) * 100) AS BIGINT) AS DOUBLE) / 100 " +
+      "AS est2, " +
+      s"CAST(CAST(floor(($e3) * 100) AS BIGINT) AS DOUBLE) / 100 " +
+      "AS est3, " +
+      s"${acts(0)} AS act1, ${acts(1)} AS act2, ${acts(2)} AS act3, " +
+      s"$costFp AS est_cost_fp, CAST($actCost AS BIGINT) AS act_cost, " +
+      s"CAST(CAST(floor(($qe) * 10000) AS BIGINT) AS DOUBLE) / 10000 " +
+      "AS q_error"
+  }
+
+  /** q231 — join-order costing audit: what cardinality estimation is
+    * FOR — rank the left-deep join orders of the 4-table star query
+    * lineitem ⋈ orders ⋈ customer(filtered to ⅓) ⋈ part by the
+    * Selinger C_out cost (sum of cascaded uniform-containment
+    * estimates over base-table stats) and audit each order's predicted
+    * cost against its EXACT intermediate sizes — computed from
+    * frequency-frame algebra, never by materializing a join. The
+    * decision bit `model_agrees` (does the model's argmin equal the
+    * true argmin?) is the planner's pass/fail; per-order q-errors show
+    * WHERE the uniform model over/under-prices (the filtered-customer
+    * edge violates containment exactly as q226 isolates). Starting
+    * from the selective orders ⋈ filtered-customer edge wins by ~2×
+    * in true C_out — the classic push-the-selective-join-first
+    * lesson, here derived from statistics alone.
+    *
+    * Parity: all stats and actual sizes are exact integers; every
+    * estimate is ONE generated double expression evaluated over those
+    * integers on both engines; costs/q-errors freeze via floor fixed
+    * point; argmins compare the frozen integers.
+    *
+    * Scale (100 TB): each stat is a map-side-combined (key, freq)
+    * collapse or a freq-frame equi-join — the audit prices joins
+    * without paying them; the 4-order costing itself is arithmetic on
+    * one broadcast stats row, exactly how a planner consumes its
+    * statistics catalog. */
+  def joinOrderAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val ord = t(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+    val cf = t(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("ck"))
+    val pt = t(s, dir, "part").select(col("p_partkey").as("pk"))
+    val statL = li.agg(count(lit(1)).as("n_l"),
+      countDistinct(col("ok")).as("d_ok_l"),
+      countDistinct(col("pk")).as("d_pk_l"))
+    val statO = ord.agg(count(lit(1)).as("n_o"),
+      countDistinct(col("ck")).as("d_ck_o"))
+    val statC = cf.agg(count(lit(1)).as("n_c3"))
+    val statP = pt.agg(count(lit(1)).as("n_p"))
+    val fOk = li.groupBy("ok").agg(count(lit(1)).as("f_ok"))
+    // exact intermediates from freq algebra (no row-level join output):
+    val actLo = fOk.join(ord.select("ok"), "ok")
+      .agg(coalesce(sum("f_ok"), lit(0L)).as("act_lo"))
+    val actLp = li.groupBy("pk").agg(count(lit(1)).as("f_pk"))
+      .join(pt, "pk")
+      .agg(coalesce(sum("f_pk"), lit(0L)).as("act_lp"))
+    val ordC = ord.join(cf, "ck").select("ok")
+    val actOc = ordC.agg(count(lit(1)).as("act_oc"))
+    val actLoc = fOk.join(ordC, "ok")
+      .agg(coalesce(sum("f_ok"), lit(0L)).as("act_loc"))
+    // L⋈O⋈P rows: per lineitem row, multiplicities f_O(ok)·f_P(pk)
+    // (both key-unique FK parents ⇒ semi-join counts)
+    val actLop = li.join(ord.select("ok"), "ok").join(pt, "pk")
+      .agg(count(lit(1)).as("act_lop"))
+    val actFinal = li.join(ordC, "ok").join(pt, "pk")
+      .agg(count(lit(1)).as("act_final"))
+    val statsRow = statL.crossJoin(statO).crossJoin(statC)
+      .crossJoin(statP).crossJoin(actLo).crossJoin(actLp)
+      .crossJoin(actOc).crossJoin(actLoc).crossJoin(actLop)
+      .crossJoin(actFinal).persist()
+    // one comma-joined projection list per order, wrapped in a struct
+    // so selectExpr takes it as a single expression
+    val unioned = SelOrders.map(o =>
+      statsRow.selectExpr(s"struct(${selRowSql(o)}) AS r"))
+      .reduce(_ unionAll _)
+      .selectExpr("r.*")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    unioned
+      .withColumn("picked_by_model",
+        col("est_cost_fp") === min(col("est_cost_fp")).over(w))
+      .withColumn("truly_best",
+        col("act_cost") === min(col("act_cost")).over(w))
+      .withColumn("model_agrees",
+        max(when(col("picked_by_model") && col("truly_best"), 1)
+          .otherwise(0)).over(w) === 1)
+      .select(col("ord"), col("est1"), col("est2"), col("est3"),
+        col("act1"), col("act2"), col("act3"),
+        (col("est_cost_fp").cast("double") / 100).as("est_cost"),
+        col("act_cost"), col("q_error"), col("picked_by_model"),
+        col("truly_best"), col("model_agrees"))
+      .orderBy("ord")
+  }
+
+  def joinOrderAuditOracle: String = {
+    val rowSelects = SelOrders.map(o =>
+      s"SELECT ${selRowSql(o)} FROM stats").mkString("\nUNION ALL ")
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+       |  FROM lineitem),
+       |o AS (SELECT o_orderkey AS ok, o_custkey AS ck FROM orders),
+       |cf AS (SELECT c_custkey AS ck FROM customer
+       |  WHERE c_custkey % 3 = 0),
+       |pt AS (SELECT p_partkey AS pk FROM part),
+       |sl AS (SELECT CAST(count(*) AS BIGINT) AS n_l,
+       |    CAST(count(DISTINCT ok) AS BIGINT) AS d_ok_l,
+       |    CAST(count(DISTINCT pk) AS BIGINT) AS d_pk_l FROM li),
+       |so AS (SELECT CAST(count(*) AS BIGINT) AS n_o,
+       |    CAST(count(DISTINCT ck) AS BIGINT) AS d_ck_o FROM o),
+       |sc AS (SELECT CAST(count(*) AS BIGINT) AS n_c3 FROM cf),
+       |sp AS (SELECT CAST(count(*) AS BIGINT) AS n_p FROM pt),
+       |fok AS (SELECT ok, CAST(count(*) AS BIGINT) AS f_ok FROM li
+       |  GROUP BY ok),
+       |alo AS (SELECT COALESCE(CAST(sum(f_ok) AS BIGINT), 0) AS act_lo
+       |  FROM fok JOIN o USING (ok)),
+       |alp AS (SELECT COALESCE(CAST(sum(f_pk) AS BIGINT), 0) AS act_lp
+       |  FROM (SELECT pk, CAST(count(*) AS BIGINT) AS f_pk FROM li
+       |    GROUP BY pk) f JOIN pt USING (pk)),
+       |oc AS (SELECT o.ok FROM o JOIN cf USING (ck)),
+       |aoc AS (SELECT CAST(count(*) AS BIGINT) AS act_oc FROM oc),
+       |aloc AS (SELECT COALESCE(CAST(sum(f_ok) AS BIGINT), 0)
+       |    AS act_loc FROM fok JOIN oc USING (ok)),
+       |alop AS (SELECT CAST(count(*) AS BIGINT) AS act_lop FROM li
+       |  JOIN (SELECT ok FROM o) oo USING (ok) JOIN pt USING (pk)),
+       |afin AS (SELECT CAST(count(*) AS BIGINT) AS act_final FROM li
+       |  JOIN oc USING (ok) JOIN pt USING (pk)),
+       |stats AS (SELECT * FROM sl, so, sc, sp, alo, alp, aoc, aloc,
+       |  alop, afin),
+       |rows_ AS ($rowSelects),
+       |mm AS (SELECT min(est_cost_fp) AS me, min(act_cost) AS ma
+       |  FROM rows_)
+       |SELECT ord, est1, est2, est3, act1, act2, act3,
+       |  CAST(est_cost_fp AS DOUBLE) / 100 AS est_cost, act_cost,
+       |  q_error,
+       |  est_cost_fp = me AS picked_by_model,
+       |  act_cost = ma AS truly_best,
+       |  (SELECT max(CASE WHEN r2.est_cost_fp = m2.me
+       |      AND r2.act_cost = m2.ma THEN 1 ELSE 0 END)
+       |    FROM rows_ r2, mm m2) = 1 AS model_agrees
+       |FROM rows_, mm ORDER BY ord""".stripMargin
+  }
 }

@@ -1367,4 +1367,178 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows("lineitem_orders_hotkey")._2 == rowJoin,
       "freq-frame actual diverges from the row-level join")
   }
+
+  test("q227 benford: plant conforms, degenerate column fails, grid is dense and mass-conserving") {
+    val rows = ProfileOps.benfordAudit(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(6),
+          r.getBoolean(7))))
+    assert(rows.length == 45, "dense 5x9 grid expected")
+    val byScope = rows.groupBy(_._1._1)
+    // digit mass conservation: per scope, sum(obs) == n and the
+    // expected counts integrate to n (within fixed-point floor slack)
+    byScope.foreach { case (sc, cells) =>
+      val n = cells.head._2._1
+      assert(cells.map(_._2._2).sum == n, s"$sc obs mass != n")
+      val expSum = cells.map(_._2._3).sum
+      assert(math.abs(expSum - n) < 0.01, s"$sc exp mass $expSum != $n")
+      // chi2 is identical on every row of the scope
+      assert(cells.map(_._2._4).distinct.length == 1)
+    }
+    // the inverse-CDF plant is Benford-distributed => conforms
+    assert(byScope("benford_plant").head._2._5,
+      "planted Benford sample failed the test it defines")
+    // the [900, 1000) price column is all digit 9 — maximal failure
+    val retail = byScope("part_retailprice")
+      .map(c => c._1._2 -> c._2._2).toMap
+    assert((1L to 8L).forall(d => retail(d) == 0L))
+    assert(retail(9L) == byScope("part_retailprice").head._2._1)
+    assert(!byScope("part_retailprice").head._2._5)
+    // dominance, not sharp small-n verdicts (sf0.001 has ~1e3 events —
+    // the sharp per-column failures are pinned by the sf0.01 oracle
+    // row): the degenerate column's chi2 towers over the plant's
+    assert(byScope("part_retailprice").head._2._4 >
+      10 * byScope("benford_plant").head._2._4)
+    assert(!byScope("lineitem_extprice").head._2._5)
+  }
+
+  test("q228 cdc_bounds native expr == HOF reference; rolling == direct window sum") {
+    graft.functions.VectorFunctions.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    val got = docs.selectExpr("doc_id",
+      s"cdc_bounds(text, ${DedupOps.CdcW}, ${DedupOps.CdcA}, " +
+        s"${DedupOps.CdcD}) AS b").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // HOF reference: per-position direct window sum over the same
+    // literal power table (what the DuckDB oracle evaluates)
+    val pows = graft.functions.CdcBounds
+      .powers(DedupOps.CdcA, DedupOps.CdcW)
+    val hSql = pows.zipWithIndex.map { case (p, k) =>
+      s"${p}L * ascii(substr(text, i - $k, 1))" }.mkString(" + ")
+    val ref = docs.selectExpr("doc_id",
+      s"filter(sequence(${DedupOps.CdcW}, length(text)), " +
+        s"i -> ($hSql) % ${DedupOps.CdcD} = 0) AS b").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).map(_.toInt)).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (id, b) =>
+      assert(b == ref(id), s"doc $id: native $b != reference ${ref(id)}")
+    }
+    // degenerate inputs: shorter than the window => no boundaries
+    val edge = spark.sql(
+      s"SELECT cdc_bounds('abc', ${DedupOps.CdcW}, ${DedupOps.CdcA}, " +
+        s"${DedupOps.CdcD}) AS b").collect()
+    assert(edge.head.getSeq[Int](0).isEmpty)
+  }
+
+  test("q228 cdc dedup: chunks conserve chars, cdc survives the prefix shift, fixed does not") {
+    val rows = DedupOps.cdcChunkDedup(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7))).toMap
+    val methods = rows.keys.map(_._1).toSet
+    assert(methods == Set("cdc", "fixed"))
+    // char conservation: both methods chunk the SAME corpus, so
+    // per-source total_chars agree across methods
+    rows.keys.filter(_._1 == "cdc").foreach { case (_, src) =>
+      assert(rows(("cdc", src))._4 == rows(("fixed", src))._4,
+        s"$src: methods chunked different corpora")
+      // unique mass never exceeds total; chunk counts are sane
+      val (nc, nu, uc, tc, ratio, _) = rows(("cdc", src))
+      assert(nu <= nc && uc <= tc && ratio <= 1.0)
+    }
+    // THE point: after the copies' first-word deletion, CDC re-aligns
+    // (most copy chunk instances already exist) while same-budget
+    // fixed-size chunking shifts every boundary
+    val cdcShare = rows.collect { case ((m, _), v) if m == "cdc" => v._6 }
+    val fixShare = rows.collect { case ((m, _), v) if m == "fixed" => v._6 }
+    assert(cdcShare.min > 0.5,
+      s"cdc lost shift resistance: min copy_share ${cdcShare.min}")
+    assert(fixShare.max < 0.2,
+      s"fixed-size chunking should not survive the shift: ${fixShare.max}")
+    // and the chunk store actually dedups under CDC
+    val cdcRatio = rows.collect { case ((m, _), v) if m == "cdc" => v._5 }
+    val fixRatio = rows.collect { case ((m, _), v) if m == "fixed" => v._5 }
+    assert(cdcRatio.max < 0.9 && fixRatio.min > 0.9)
+  }
+
+  test("q229 incremental cc: composition == full rebuild, outcome classes consistent") {
+    val rows = GraphOps.incrementalCc(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toMap
+    // THE audit: the condensation-composed labels equal the full
+    // rebuild on every node
+    assert(rows.values.forall(_._5), "incremental CC diverged from full rebuild")
+    // node mass conservation across outcome classes
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.values.map(_._2).sum == nDocs)
+    // class invariants: merged fuses >= 2 standing clusters each;
+    // grown/unchanged map 1:1 onto base clusters; unchanged has no
+    // arrivals; every class that exists is self-consistent
+    rows.get("merged").foreach { case (nc, _, nw, parts, _) =>
+      assert(parts >= 2 * nc && nw > 0) }
+    rows.get("grown").foreach { case (nc, _, nw, parts, _) =>
+      assert(parts == nc && nw > 0) }
+    rows.get("unchanged").foreach { case (nc, _, nw, parts, _) =>
+      assert(parts == nc && nw == 0) }
+    rows.get("new_cluster").foreach { case (_, nn, nw, parts, _) =>
+      assert(parts == 0 && nw == nn) }
+    // the interesting classes are genuinely exercised by the fixture
+    assert(rows.contains("merged") && rows.contains("unchanged"))
+  }
+
+  test("q230 url canonicalization: variant classes collapse exactly as the normalizer promises") {
+    val rows = CurationOps.urlCanonDedup(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toMap
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    // every single-URL class plants one URL per doc; reorder plants two
+    assert(rows("reorder")._1 == 2 * nDocs)
+    rows.filterKeys(_ != "reorder").values
+      .foreach { case (n, _, _, _) => assert(n == nDocs) }
+    // normalizable variants collapse 100% onto the clean canonical
+    Seq("clean", "case_port", "tracking", "fragment", "slash")
+      .foreach { c => assert(rows(c)._4 == 1.0, s"$c did not collapse") }
+    // param reordering collapses onto ITSELF (2 raw -> 1 canonical per
+    // doc) but not onto the query-less clean form
+    assert(rows("reorder")._2 == nDocs && rows("reorder")._3 == 0L)
+    // negative control: distinct URLs stay distinct
+    assert(rows("distinct")._2 == nDocs && rows("distinct")._4 == 0.0)
+    // canonicalization is idempotent: the clean class maps 1:1
+    assert(rows("clean")._2 == nDocs)
+  }
+
+  test("q231 join-order costing: selective-first wins, model picks it, acts match row joins") {
+    val rows = ProfileOps.joinOrderAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getDouble(7), r.getLong(8), r.getDouble(9),
+        r.getBoolean(10), r.getBoolean(11), r.getBoolean(12))).toMap
+    assert(rows.size == 4)
+    // the final join size is order-invariant
+    assert(rows.values.map(_._3).toSet.size == 1,
+      "orders disagree on the final join size")
+    // decision quality: the model's argmin is the true argmin, and it
+    // is the selective-first order
+    assert(rows.values.forall(_._9), "model_agrees must hold")
+    assert(rows("4_oc_l_p")._7 && rows("4_oc_l_p")._8,
+      "selective-first order not chosen/best")
+    assert(rows.count(_._2._7) == 1 && rows.count(_._2._8) == 1)
+    // true C_out separation: selective-first strictly cheapest
+    val best = rows("4_oc_l_p")._5
+    rows.filterKeys(_ != "4_oc_l_p").values
+      .foreach { v => assert(v._5 > best) }
+    // audit honesty: the freq-algebra actuals equal genuine row joins
+    val li = EtlOps.t(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val ordc = EtlOps.t(spark, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      .join(EtlOps.t(spark, dir, "customer")
+        .filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("ck")), "ck")
+    val actLoc = li.join(ordc.select("ok"), "ok").count()
+    assert(rows("1_lo_c_p")._2 == actLoc,
+      "freq-algebra intermediate diverges from the row-level join")
+    // q-errors stay near 1 on this clean-FK star (uniform model holds)
+    assert(rows.values.forall(_._6 < 1.1))
+  }
 }

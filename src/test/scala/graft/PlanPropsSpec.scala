@@ -852,4 +852,76 @@ class PlanPropsSpec extends AnyFunSuite {
       p.contains("BroadcastExchange"),
       s"1-row totals not broadcast:\n${p.take(1800)}")
   }
+
+  test("q227 benford: per-column scans collapse map-side to digit cells, digit grid broadcast") {
+    val p = plan(ProfileOps.benfordAudit(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"benford audit went cartesian:\n${p.take(1800)}")
+    assert(p.contains("BroadcastExchange"),
+      s"9-row digit grid not broadcast:\n${p.take(1800)}")
+    // the (scope, digit) aggregate is two-phase: partial_count before
+    // the exchange means each scan ships <= 9 cells, not rows
+    assert(p.contains("partial_count") || "HashAggregate".r
+      .findAllIn(p).length >= 2,
+      s"digit cells not map-side combined:\n${p.take(1800)}")
+    // the corpus collapses once into the persisted <=45-cell frame;
+    // every consumer reads the cache (scan counts under an
+    // InMemoryRelation plan-string lie, so pin the cache reuse itself)
+    assert(p.contains("InMemoryTableScan"),
+      s"digit cells recomputed per consumer:\n${p.take(1800)}")
+  }
+
+  test("q228 cdc dedup: native boundary expr in one generate pass, two-phase cell aggregate") {
+    val p = plan(DedupOps.cdcChunkDedup(spark, dir))
+    assert(p.contains("cdc_bounds"),
+      s"boundary detection not native:\n${p.take(1800)}")
+    // chunk emission is generator work (explode of map + posexplode),
+    // never a join; the only exchanges are the (method, source[, h])
+    // aggregates
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"cdc dedup grew a join:\n${p.take(1800)}")
+    assert("Generate".r.findAllIn(p).length >= 2,
+      s"chunk emission not generator-based:\n${p.take(1800)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"extra shuffles in cdc dedup:\n${p.take(1800)}")
+  }
+
+  test("q229 incremental cc: propagation rounds run on checkpointed label tables, no cartesian") {
+    val p = plan(GraphOps.incrementalCc(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"incremental CC went cartesian:\n${p.take(1800)}")
+    // each propagation fixpoint ends in a localCheckpoint: the final
+    // plan joins slim ExistingRDD label tables, not re-derived
+    // window/corpus subtrees
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"labels not lineage-cut:\n${p.take(1800)}")
+  }
+
+  test("q230 url canon: pure per-row rewrite, one persisted canonical frame, doc_id equi-join") {
+    val p = plan(CurationOps.urlCanonDedup(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"url canon grew a non-equi join:\n${p.take(1800)}")
+    // no UDF anywhere: the whole normalizer chain is built-in string
+    // expressions (regexp_replace/extract, filter/array_sort lambdas)
+    assert(!p.toLowerCase.contains("batchevalpython") &&
+      !p.contains("ScalaUDF"),
+      s"normalizer fell off codegen surface:\n${p.take(1800)}")
+    // the canonical frame is computed once and reused by the clean-side
+    // join input
+    assert(p.contains("InMemoryTableScan"),
+      s"canonical frame recomputed per consumer:\n${p.take(1800)}")
+  }
+
+  test("q231 join-order costing: one persisted stats row feeds all orders, no fact-row output join") {
+    val p = plan(ProfileOps.joinOrderAudit(spark, dir))
+    // the 4 order rows all project from the SAME cached 1-row stats
+    // frame — the statistics catalog read, not 4 recomputations
+    assert(p.contains("InMemoryTableScan"),
+      s"stats row recomputed per order:\n${p.take(1800)}")
+    // costing arithmetic happens on the 1-row frame: the final window
+    // ranks 4 rows, no exchange proportional to data
+    assert(!p.contains("CartesianProduct"),
+      s"order costing went cartesian on data:\n${p.take(1800)}")
+  }
 }
