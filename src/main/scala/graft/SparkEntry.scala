@@ -249,6 +249,11 @@ object SparkEntry {
     "q229_incremental_cc"    -> (GraphOps.incrementalCc _),
     "q230_url_canon_dedup"   -> (CurationOps.urlCanonDedup _),
     "q231_join_order_audit"  -> (ProfileOps.joinOrderAudit _),
+    "q232_krippendorff"      -> (CurationOps.krippendorffAlpha _),
+    "q233_lsh_s_curve"       -> (DedupOps.lshSCurve _),
+    "q234_iw_eval"           -> (TrainPrepOps.iwEval _),
+    "q235_event_paths"       -> (AnalyticsOps.eventPaths _),
+    "q236_runtime_filter"    -> (ScaleOps.runtimeFilterJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -762,6 +767,11 @@ object SparkEntry {
     "q229_incremental_cc" -> GraphOps.incrementalCcOracle,
     "q230_url_canon_dedup" -> CurationOps.urlCanonDedupOracle,
     "q231_join_order_audit" -> ProfileOps.joinOrderAuditOracle,
+    "q232_krippendorff" -> CurationOps.krippendorffAlphaOracle,
+    "q233_lsh_s_curve" -> DedupOps.lshSCurveOracle,
+    "q234_iw_eval" -> TrainPrepOps.iwEvalOracle,
+    "q235_event_paths" -> AnalyticsOps.eventPathsOracle,
+    "q236_runtime_filter" -> ScaleOps.runtimeFilterJoinOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

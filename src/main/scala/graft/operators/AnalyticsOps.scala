@@ -616,4 +616,147 @@ object AnalyticsOps {
        |  round(z, 6) AS z_score,
        |  abs(z) > $AbZCrit AS significant
        |FROM g2 ORDER BY event_type""".stripMargin
+
+  // --- q235: sequential event-path mining ---------------------------------
+
+  /** Every PlantMod-th user gets a deterministic appended tail of
+    * THREE consecutive signup→click→purchase funnels; paths with lift
+    * ≥ LiftFlag (×1e6 fp) are flagged. A repeated planted sequence
+    * necessarily elevates its rotations too (…p→s→c…), so the flagged
+    * set is the primary path (max lift ≈ 3.5) plus its two rotations
+    * (≈ 2.5) — exactly what repetition looks like in real funnels,
+    * while the independence noise floor stays ≈ 1.4. */
+  val PathPlantMod = 2L
+  val PathLiftFlagFp = 2000000L
+
+  private val PathPlantTypes: Seq[String] =
+    Seq.fill(3)(Seq("signup", "click", "purchase")).flatten
+
+  /** observed support / independence expectation, in overflow-free
+    * ratio-of-ratios form — ONE string shared by both engines. */
+  private val PathLiftSql: String =
+    "((CAST(n_occ AS DOUBLE) / CAST(n_win AS DOUBLE)) * " +
+      "(CAST(n_ev AS DOUBLE) / CAST(ca AS DOUBLE)) * " +
+      "(CAST(n_ev AS DOUBLE) / CAST(cb AS DOUBLE)) * " +
+      "(CAST(n_ev AS DOUBLE) / CAST(cc AS DOUBLE)))"
+
+  /** q235 — sequential event-path mining: which 3-step event sequences
+    * are OVER-represented vs the independence baseline — the
+    * product-analytics question behind funnel design (q67 checks ONE
+    * ordered hypothesis; this mines all |types|³ of them). Per user,
+    * events order by (ts, event_id); every consecutive triple is a
+    * path occurrence; each path reports its occurrence count, user
+    * reach, support, and LIFT = observed support / p(a)·p(b)·p(c)
+    * under the unigram independence model — an exact integer-ratio
+    * statistic here. The fixture plants one signup→click→purchase
+    * tail on every [[PathPlantMod]]-th user, so exactly the planted
+    * path (and no other) crosses the ×2 lift flag on this otherwise
+    * type-independent synthetic stream — both verdict branches real.
+    *
+    * Parity: ordering is (ts, event_id) on both engines (timestamps
+    * are never output); counts are integers; lift is one shared
+    * integer-product division frozen at ×1e6; support divides once.
+    *
+    * Scale (100 TB): ONE exchange on user_id (the q67 partitioning),
+    * windows inside the partition, then a map-side-combined path
+    * rollup whose output is ≤|types|³ rows — path mining costs a
+    * sessionization pass regardless of corpus size. */
+  def eventPaths(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+    val planted = ev
+      .filter(col("user_id") % PathPlantMod === 0)
+      .select(col("user_id")).distinct()
+      .selectExpr("user_id",
+        "posexplode(array(" +
+          PathPlantTypes.map(t => s"'$t'").mkString(", ") +
+          ")) AS (i, et)")
+      .selectExpr("user_id",
+        "timestamp'2031-01-01 00:00:00' + make_dt_interval(0, 0, i, 0)" +
+          " AS ts",
+        "1000000000 + user_id * 10 + i AS event_id",
+        "et AS event_type")
+    val stream = ev.unionByName(planted)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"),
+      col("event_id"))
+    val paths = stream
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("user_id"),
+        concat_ws(">", col("event_type"), col("t1"), col("t2"))
+          .as("path"),
+        col("event_type").as("a"), col("t1").as("b"), col("t2").as("c"))
+      .persist()
+    val tot = stream.groupBy("event_type")
+      .agg(count(lit(1)).as("c_t"))
+    val n = stream.agg(count(lit(1)).as("n_ev"))
+    val wtot = paths.agg(count(lit(1)).as("n_win"))
+    paths.groupBy("path", "a", "b", "c")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("user_id")).as("n_users"))
+      .join(tot.select(col("event_type").as("a"), col("c_t").as("ca")),
+        "a")
+      .join(tot.select(col("event_type").as("b"), col("c_t").as("cb")),
+        "b")
+      .join(tot.select(col("event_type").as("c"), col("c_t").as("cc")),
+        "c")
+      .crossJoin(broadcast(n)).crossJoin(broadcast(wtot))
+      // ratio-of-ratios form: integer products would overflow int64 at
+      // the synthetic 10× (n_ev³ ≈ 1e15 × n_occ); each factor is one
+      // exact division, shared op order both engines
+      .withColumn("lift_fp", floor(expr(PathLiftSql) * 1e6)
+        .cast("bigint"))
+      .select(col("path"), col("n_occ"), col("n_users"),
+        round(col("n_occ").cast("double") /
+          col("n_win").cast("double"), 6).as("support"),
+        round(col("lift_fp").cast("double") / 1e6, 6).as("lift"),
+        (col("lift_fp") >= PathLiftFlagFp).as("over_represented"))
+      .orderBy("path")
+  }
+
+  def eventPathsOracle: String =
+    s"""WITH pl AS (SELECT DISTINCT user_id FROM events
+       |  WHERE user_id % $PathPlantMod = 0),
+       |plant AS (SELECT user_id,
+       |    TIMESTAMP '2031-01-01 00:00:00' + to_minutes(CAST(i AS
+       |      BIGINT)) AS ts,
+       |    1000000000 + user_id * 10 + i AS event_id,
+       |    ([${PathPlantTypes.map(t => s"'$t'").mkString(", ")}])
+       |      [CAST(i + 1 AS INT)] AS event_type
+       |  FROM pl CROSS JOIN (SELECT
+       |    unnest(range(0, ${PathPlantTypes.size})) AS i)),
+       |st AS (SELECT user_id, ts, event_id, event_type FROM events
+       |  UNION ALL SELECT user_id, ts, event_id, event_type FROM plant),
+       |seq AS (SELECT user_id, event_type AS a,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS b,
+       |    lead(event_type, 2) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS c
+       |  FROM st),
+       |p AS (SELECT user_id, a || '>' || b || '>' || c AS path, a, b, c
+       |  FROM seq WHERE c IS NOT NULL),
+       |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c_t
+       |  FROM st GROUP BY event_type),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_ev FROM st),
+       |wt AS (SELECT CAST(count(*) AS BIGINT) AS n_win FROM p),
+       |g AS (SELECT path, a, b, c, CAST(count(*) AS BIGINT) AS n_occ,
+       |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       |  FROM p GROUP BY path, a, b, c),
+       |lf AS (SELECT path, n_occ, n_users, n_win,
+       |    CAST(floor($PathLiftSql * 1e6) AS BIGINT) AS lift_fp
+       |  FROM (SELECT g.path, g.n_occ, g.n_users, wt.n_win, n.n_ev,
+       |      ta.c_t AS ca, tb.c_t AS cb, tc.c_t AS cc
+       |    FROM g
+       |    JOIN tot ta ON ta.event_type = g.a
+       |    JOIN tot tb ON tb.event_type = g.b
+       |    JOIN tot tc ON tc.event_type = g.c
+       |    CROSS JOIN n CROSS JOIN wt))
+       |SELECT path, n_occ, n_users,
+       |  round(CAST(n_occ AS DOUBLE) / CAST(n_win AS DOUBLE), 6)
+       |    AS support,
+       |  round(CAST(lift_fp AS DOUBLE) / 1e6, 6) AS lift,
+       |  lift_fp >= $PathLiftFlagFp AS over_represented
+       |FROM lf ORDER BY path""".stripMargin
 }

@@ -1828,6 +1828,137 @@ object CurationOps {
        |FROM st ORDER BY gate""".stripMargin
   }
 
+  // --- q232: Krippendorff's alpha (with missingness + leave-one-out) ------
+
+  /** q232 — Krippendorff's α: the reliability coefficient crowd-label
+    * QA actually reports when the rating matrix has MISSING cells —
+    * Cohen's κ (q194) needs complete pairs and two raters; α handles
+    * any rater count and missingness by counting pairable values per
+    * unit. The fixture is q203's deterministic noisy label matrix with
+    * a planted 20% missingness mask. Besides the pool-wide α, every
+    * rater gets a leave-one-out α: if dropping rater a RAISES α, rater
+    * a is degrading reliability — the actionable per-rater verdict
+    * (the noisiest raters a=5,6 show positive deltas).
+    *
+    * Parity: nominal-metric α is an exact RATIONAL here — the per-unit
+    * disagreement (m_u² − Σ_c n_uc²)/(m_u − 1) is scaled by
+    * 60/(m_u−1) (lcm of the possible m_u−1 ∈ 1..6), making every sum
+    * a plain integer; α = 1 − DoNum·(n−1) / (60·(n² − Σ n_c²)) is one
+    * shared double division at the end. No fixed-point needed.
+    *
+    * Scale (100 TB): the (scenario × unit × value) count frame is one
+    * map-side-combined aggregate over the |items|·|raters| matrix ×
+    * (R+1) scenarios — a constant-width explode, no extra corpus
+    * scans; everything after is |values|-sized grid arithmetic. */
+  def krippendorffAlpha(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+    val langd = docs.select("lang").distinct()
+      .withColumn("true_idx",
+        (row_number().over(Window.orderBy("lang")) - 1).cast("bigint"))
+    val nl = langd.agg(count(lit(1)).as("L"))
+    val ann = docs.join(broadcast(langd), "lang")
+      .crossJoin(broadcast(nl))
+      .select(col("doc_id"), col("true_idx"), col("L"),
+        explode(expr(s"sequence(0, ${AnnotatorCount - 1})")).as("a"))
+      // q203's noise + the planted missingness mask
+      .filter((col("doc_id") * 13 + col("a") * 17) % 5 =!= 0)
+      .withColumn("lab",
+        when((col("doc_id") * 31 + col("a") * 7) % 10 < col("a"),
+          (col("true_idx") + 1 +
+            (col("doc_id") + col("a")) % (col("L") - 1)) % col("L"))
+          .otherwise(col("true_idx")))
+      .select("doc_id", "a", "lab")
+    // scenario -1 = full pool; 0..R-1 = leave that rater out
+    val scen = ann.select(col("doc_id"), col("a"), col("lab"),
+        explode(expr(s"sequence(-1, ${AnnotatorCount - 1})")).as("ex"))
+      .filter(col("a") =!= col("ex"))
+    // the matrix collapses HERE; both the unit and the value marginals
+    // re-read these cells
+    val counts = scen.groupBy("ex", "doc_id", "lab")
+      .agg(count(lit(1)).as("n_uc")).persist()
+    val units = counts.groupBy("ex", "doc_id")
+      .agg(sum(col("n_uc")).as("m_u"),
+        sum(col("n_uc") * col("n_uc")).as("ssq"))
+      .filter(col("m_u") >= 2)
+      .withColumn("term60",
+        (lit(60L) / (col("m_u") - 1)).cast("bigint") *
+          (col("m_u") * col("m_u") - col("ssq")))
+      .persist()
+    val nc = counts.join(units.select("ex", "doc_id"), Seq("ex", "doc_id"))
+      .groupBy("ex", "lab").agg(sum(col("n_uc")).as("n_c"))
+    val perEx = units.groupBy("ex")
+      .agg(count(lit(1)).as("n_units"), sum(col("m_u")).as("n_vals"),
+        sum(col("term60")).as("do_num60"))
+      .join(nc.groupBy("ex").agg(sum(col("n_c") * col("n_c"))
+        .as("sum_nc2")), "ex")
+      .withColumn("alpha", round(lit(1.0) -
+        (col("do_num60") * (col("n_vals") - 1)).cast("double") /
+          (lit(60.0) * (col("n_vals") * col("n_vals") -
+            col("sum_nc2")).cast("double")), 6))
+    val base = perEx.filter(col("ex") === -1)
+      .select(col("alpha").as("alpha_all"))
+    perEx.crossJoin(broadcast(base))
+      .select(
+        when(col("ex") === -1, "all")
+          .otherwise(concat(lit("excl_"), col("ex").cast("string")))
+          .as("scenario"),
+        col("n_units"), col("n_vals"), col("alpha"),
+        round(col("alpha") - col("alpha_all"), 6).as("alpha_delta"),
+        (col("alpha") > col("alpha_all")).as("drop_improves"))
+      .orderBy("scenario")
+  }
+
+  def krippendorffAlphaOracle: String =
+    s"""WITH langd AS (SELECT lang,
+       |    CAST(row_number() OVER (ORDER BY lang) - 1 AS BIGINT)
+       |      AS true_idx
+       |  FROM (SELECT DISTINCT lang FROM documents)),
+       |nl AS (SELECT CAST(count(*) AS BIGINT) AS L FROM langd),
+       |ann AS (SELECT d.doc_id, a.a,
+       |    CASE WHEN (d.doc_id * 31 + a.a * 7) % 10 < a.a
+       |      THEN (ld.true_idx + 1 + (d.doc_id + a.a) % (nl.L - 1)) % nl.L
+       |      ELSE ld.true_idx END AS lab
+       |  FROM documents d
+       |  JOIN langd ld USING (lang) CROSS JOIN nl
+       |  CROSS JOIN (SELECT CAST(unnest(range(0, ${AnnotatorCount}))
+       |    AS BIGINT) AS a) a
+       |  WHERE (d.doc_id * 13 + a.a * 17) % 5 <> 0),
+       |scen AS (SELECT ann.doc_id, ann.a, ann.lab, e.ex FROM ann
+       |  CROSS JOIN (SELECT CAST(unnest(range(-1, ${AnnotatorCount}))
+       |    AS BIGINT) AS ex) e
+       |  WHERE ann.a <> e.ex),
+       |counts AS (SELECT ex, doc_id, lab,
+       |    CAST(count(*) AS BIGINT) AS n_uc
+       |  FROM scen GROUP BY ex, doc_id, lab),
+       |units AS (SELECT ex, doc_id, m_u, ssq,
+       |    (60 // (m_u - 1)) * (m_u * m_u - ssq) AS term60
+       |  FROM (SELECT ex, doc_id, CAST(sum(n_uc) AS BIGINT) AS m_u,
+       |      CAST(sum(n_uc * n_uc) AS BIGINT) AS ssq
+       |    FROM counts GROUP BY ex, doc_id)
+       |  WHERE m_u >= 2),
+       |nc AS (SELECT c.ex, c.lab, CAST(sum(c.n_uc) AS BIGINT) AS n_c
+       |  FROM counts c JOIN units u ON u.ex = c.ex
+       |    AND u.doc_id = c.doc_id
+       |  GROUP BY c.ex, c.lab),
+       |per AS (SELECT u.ex, u.n_units, u.n_vals, u.do_num60, k.sum_nc2,
+       |    round(1.0 - CAST(u.do_num60 * (u.n_vals - 1) AS DOUBLE) /
+       |      (60.0 * CAST(u.n_vals * u.n_vals - k.sum_nc2 AS DOUBLE)),
+       |      6) AS alpha
+       |  FROM (SELECT ex, count(*) AS n_units,
+       |      CAST(sum(m_u) AS BIGINT) AS n_vals,
+       |      CAST(sum(term60) AS BIGINT) AS do_num60
+       |    FROM units GROUP BY ex) u
+       |  JOIN (SELECT ex, CAST(sum(n_c * n_c) AS BIGINT) AS sum_nc2
+       |    FROM nc GROUP BY ex) k ON k.ex = u.ex),
+       |base AS (SELECT alpha AS alpha_all FROM per WHERE ex = -1)
+       |SELECT CASE WHEN ex = -1 THEN 'all'
+       |    ELSE 'excl_' || CAST(ex AS VARCHAR) END AS scenario,
+       |  n_units, n_vals, alpha,
+       |  round(alpha - alpha_all, 6) AS alpha_delta,
+       |  alpha > alpha_all AS drop_improves
+       |FROM per, base ORDER BY scenario""".stripMargin
+
   // --- q230: URL canonicalization dedup ------------------------------------
 
   /** q230 — URL canonicalization dedup: web corpora dedup at the URL

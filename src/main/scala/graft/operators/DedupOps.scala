@@ -1752,4 +1752,168 @@ object DedupOps {
        |    AS copy_share
        |FROM cells GROUP BY method, source
        |ORDER BY method, source""".stripMargin
+
+  // --- q233: LSH S-curve parameter planner --------------------------------
+
+  /** Rows-per-band grid sliced from the ONE 16-perm signature family
+    * (b = NumPerms / r): r=1 is the permissive recall-everything end,
+    * r=8 the strict precision end. */
+  val SCurveRows: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** Integer power by textual squaring — the analytic S-curve stays
+    * libm-free and the SAME expression string evaluates on both
+    * engines (exact IEEE multiply chains). k must be a power of 2
+    * times at most one odd step. */
+  private def powSql(e: String, k: Int): String = k match {
+    case 1 => e
+    case n if n % 2 == 0 =>
+      val h = powSql(e, n / 2); s"($h * $h)"
+    case n => s"(${powSql(e, n - 1)} * $e)"
+  }
+
+  private val SCurveJd = "(CAST(n_int AS DOUBLE) / CAST(n_un AS DOUBLE))"
+
+  /** Analytic capture probability 1 − (1 − s^r)^b at the pair's exact
+    * Jaccard. */
+  private def sCurveAnaSql(r: Int): String =
+    s"(1.0 - ${powSql(s"(1.0 - ${powSql(SCurveJd, r)})", NumPerms / r)})"
+
+  /** Empirical capture: the two signatures share at least one full
+    * band — plain slot equality over the aliased h-columns. */
+  private def sCurveCapSql(r: Int): String =
+    (0 until NumPerms / r).map { b =>
+      (0 until r).map(j => s"a_h${b * r + j} = b_h${b * r + j}")
+        .mkString("(", " AND ", ")")
+    }.mkString("(", " OR ", ")")
+
+  /** The threshold similarity τ* where the analytic curve crosses ½ —
+    * the number a planner actually reads off; computed at BUILD time
+    * and embedded as the same literal in both engines. */
+  private def sCurveTau(r: Int): Double =
+    math.pow(1.0 - math.pow(0.5, r.toDouble / NumPerms), 1.0 / r)
+
+  /** q233 — LSH S-curve parameter planner: choosing (bands b, rows r)
+    * is THE MinHash design decision, normally made from the analytic
+    * capture curve P(s) = 1 − (1 − s^r)^b — and this operator checks
+    * that formula against reality on the graded-variant corpus
+    * ([[corpusSpread]]: every planted pair has an EXACT Jaccard known
+    * from shingle algebra, spanning ~0.2–0.95). Per (r, similarity
+    * decile): the mean analytic capture vs the fraction of pairs whose
+    * 16-slot signatures actually share a full band under that slicing
+    * — all four geometries sliced from ONE signature pass. τ* (the
+    * curve's ½-crossing) is emitted per config so the planner's
+    * lookup table is the output itself.
+    *
+    * Parity: exact Jaccards are integer shingle counts; the analytic
+    * curve is a shared power-by-squaring double chain frozen to ×1e9
+    * per pair before the order-free integer mean; the empirical side
+    * is pure integer equality counting; τ* is a build-time literal.
+    *
+    * Scale (100 TB): planted-pair evaluation is LINEAR — signatures
+    * join pairwise on the base doc key (no banding join, no candidate
+    * blowup), so the planner costs one signature pass + one equi-join
+    * regardless of corpus duplication structure. The production
+    * banding run this plans for is priced separately (q31/q118). */
+  def lshSCurve(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val corpus = corpusSpread(s, dir)
+    val sh = shingles(corpus).persist()
+    val shk = sh.withColumn("base", col("doc_id") % CopyOffset)
+      .withColumn("k", (col("doc_id") / CopyOffset).cast("long"))
+    val szO = shk.filter(col("k") === 0)
+      .groupBy("base").agg(count(lit(1)).as("n_a"))
+    val szV = shk.filter(col("k") > 0)
+      .groupBy("base", "k").agg(count(lit(1)).as("n_b"))
+    val intr = shk.filter(col("k") > 0).select("base", "k", "shingle")
+      .join(shk.filter(col("k") === 0).select("base", "shingle"),
+        Seq("base", "shingle"))
+      .groupBy("base", "k").agg(count(lit(1)).as("n_int0"))
+    val sigs = minhashSignaturesNative(sh).persist()
+    val sigA = sigs.select(col("doc_id").as("base") +:
+      (0 until NumPerms).map(i => col(s"h$i").as(s"a_h$i")): _*)
+    val sigB = sigs.select(
+      (col("doc_id") % CopyOffset).as("base") +:
+        (col("doc_id") / CopyOffset).cast("long").as("k") +:
+        (0 until NumPerms).map(i => col(s"h$i").as(s"b_h$i")): _*)
+      .filter(col("k") > 0)
+    val pairs = szV.join(szO, "base")
+      .join(intr, Seq("base", "k"), "left")
+      .withColumn("n_int", coalesce(col("n_int0"), lit(0L)))
+      .withColumn("n_un", col("n_a") + col("n_b") - col("n_int"))
+      .join(sigA, "base").join(sigB, Seq("base", "k"))
+      .persist()
+    val perConfig = SCurveRows.map { r =>
+      pairs.selectExpr(
+        s"$r AS r", s"${NumPerms / r} AS b",
+        s"CAST(${sCurveTau(r)} AS DOUBLE) AS tau_star",
+        s"least(CAST(floor($SCurveJd * 10) AS BIGINT), 9) AS decile",
+        s"CASE WHEN ${sCurveCapSql(r)} THEN 1 ELSE 0 END AS cap",
+        s"CAST(floor(${sCurveAnaSql(r)} * 1e9) AS BIGINT) AS ana_fp")
+    }.reduce(_ unionAll _)
+    perConfig.groupBy("r", "b", "tau_star", "decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("cap")).as("n_captured"),
+        sum(col("ana_fp")).as("ana_sum"))
+      .select(col("r").cast("bigint").as("r"),
+        col("b").cast("bigint").as("b"), col("tau_star"), col("decile"),
+        col("n_pairs"), col("n_captured"),
+        round(col("n_captured").cast("double") /
+          col("n_pairs").cast("double"), 6).as("empirical"),
+        round(col("ana_sum").cast("double") /
+          (col("n_pairs").cast("double") * 1e9), 6).as("analytic"))
+      .orderBy("r", "decile")
+  }
+
+  def lshSCurveOracle: String = {
+    val p = MinhashPrime
+    val x = s"(CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)) % $p"
+    val mins = (0 until NumPerms).map(i =>
+      s"min((($x) * ${permA(i)} + ${permB(i)}) % $p) AS h$i")
+      .mkString(",\n    ")
+    val aCols = (0 until NumPerms).map(i => s"sa.h$i AS a_h$i")
+      .mkString(", ")
+    val bCols = (0 until NumPerms).map(i => s"sb.h$i AS b_h$i")
+      .mkString(", ")
+    val cfgSelects = SCurveRows.map { r =>
+      s"""SELECT $r AS r, ${NumPerms / r} AS b,
+         |    CAST(${sCurveTau(r)} AS DOUBLE) AS tau_star,
+         |    least(CAST(floor($SCurveJd * 10) AS BIGINT), 9) AS decile,
+         |    CASE WHEN ${sCurveCapSql(r)} THEN 1 ELSE 0 END AS cap,
+         |    CAST(floor(${sCurveAnaSql(r)} * 1e9) AS BIGINT) AS ana_fp
+         |  FROM sp""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${OracleGen.CorpusSpread},
+       |${OracleGen.ShingleCtes},
+       |shk AS (SELECT doc_id % $CopyOffset AS base,
+       |    doc_id // $CopyOffset AS k, shingle FROM sh),
+       |szo AS (SELECT base, CAST(count(*) AS BIGINT) AS n_a FROM shk
+       |  WHERE k = 0 GROUP BY base),
+       |szv AS (SELECT base, k, CAST(count(*) AS BIGINT) AS n_b FROM shk
+       |  WHERE k > 0 GROUP BY base, k),
+       |intr AS (SELECT v.base, v.k, CAST(count(*) AS BIGINT) AS n_int0
+       |  FROM shk v JOIN shk o ON o.base = v.base
+       |    AND o.shingle = v.shingle AND o.k = 0
+       |  WHERE v.k > 0 GROUP BY v.base, v.k),
+       |sigs AS (SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY doc_id),
+       |pr AS (SELECT szv.base, szv.k, n_a, n_b,
+       |    coalesce(n_int0, 0) AS n_int,
+       |    n_a + n_b - coalesce(n_int0, 0) AS n_un
+       |  FROM szv JOIN szo USING (base)
+       |  LEFT JOIN intr ON intr.base = szv.base AND intr.k = szv.k),
+       |sp AS (SELECT pr.*, $aCols, $bCols
+       |  FROM pr JOIN sigs sa ON sa.doc_id = pr.base
+       |  JOIN sigs sb ON sb.doc_id = pr.base + $CopyOffset * pr.k),
+       |cfg AS ($cfgSelects)
+       |SELECT CAST(r AS BIGINT) AS r, CAST(b AS BIGINT) AS b, tau_star,
+       |  decile, count(*) AS n_pairs,
+       |  CAST(sum(cap) AS BIGINT) AS n_captured,
+       |  round(CAST(sum(cap) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS empirical,
+       |  round(CAST(CAST(sum(ana_fp) AS BIGINT) AS DOUBLE) /
+       |    (CAST(count(*) AS DOUBLE) * 1e9), 6) AS analytic
+       |FROM cfg GROUP BY r, b, tau_star, decile
+       |ORDER BY r, decile""".stripMargin
+  }
 }

@@ -644,4 +644,59 @@ object ScaleOps {
        |    AS moved_frac
        |FROM u ORDER BY strategy""".stripMargin
   }
+
+  // --- q236: runtime bloom-filter join pruning ----------------------------
+
+  /** Selectivity of the creation side: 1-in-50 customers' orders. */
+  val RfCustMod = 50
+
+  /** q236 — runtime bloom-filter join pruning: Spark's
+    * InjectRuntimeFilter optimization, the 100 TB shuffle-reduction
+    * lever this repo otherwise only simulates — when a join's build
+    * side is selective, the optimizer builds a Bloom filter on the
+    * build-side keys at RUNTIME and pushes `might_contain` into the
+    * probe side's scan, so ~98% of lineitem rows here die BEFORE the
+    * shuffle instead of after it. The query is a plain star join
+    * (orders of 1-in-[[RfCustMod]] customers ⋈ lineitem → returnflag
+    * rollup); the optimization is invisible in the RESULT (oracle is
+    * the plain SQL) and visible in the PLAN (spec pins
+    * `might_contain` + the pre-shuffle Filter) and in the bench A/B.
+    *
+    * The operator runs on a `newSession()` clone: runtime-filter
+    * thresholds (application-side scan floor lowered from its 10 GB
+    * default; broadcast disabled so the join actually shuffles — at
+    * 100 TB the fact side shuffles regardless) must not leak into the
+    * shared session used by every other query in the Verify run.
+    *
+    * Parity: counts are integers; the quantity sum goes through
+    * DECIMAL(18,4) (order-free) and casts back. */
+  def runtimeFilterJoin(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+      "applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val sel = EtlOps.t(s2, dir, "orders")
+      .filter(col("o_custkey") % RfCustMod === 0)
+      .select(col("o_orderkey"))
+    EtlOps.t(s2, dir, "lineitem")
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  def runtimeFilterJoinOracle: String =
+    s"""SELECT l_returnflag, count(*) AS n_items,
+       |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+       |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty
+       |FROM lineitem JOIN (SELECT o_orderkey FROM orders
+       |  WHERE o_custkey % $RfCustMod = 0) o
+       |  ON l_orderkey = o_orderkey
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 }

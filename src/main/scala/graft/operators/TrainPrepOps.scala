@@ -1363,4 +1363,153 @@ object TrainPrepOps {
        |  CAST(sum(term_fp) AS BIGINT) <=
        |    $ShardChi2Slack * (SELECT k - 1 FROM k) * 1000000 AS conforming
        |FROM cell GROUP BY shard ORDER BY shard""".stripMargin
+
+  // --- q234: importance-weighted (post-stratified) evaluation --------------
+
+  /** Length-band cell width (chars) and the PLANTED biased val-split
+    * inclusion rates per 100: short docs are 4.5× over-sampled — the
+    * covariate shift the reweighting must undo. */
+  val IwBandChars = 100L
+  val IwShortRate = 18L
+  val IwLongRate = 4L
+
+  /** q234 — importance-weighted evaluation under covariate shift: when
+    * the eval split's composition drifts from the corpus (here a
+    * PLANTED bias — short documents over-sampled 18% vs 4%), raw eval
+    * means are biased; post-stratification reweights each length-band
+    * cell by its corpus share (w = N_cell/n_cell, the
+    * Horvitz–Thompson / poststratified estimator) and recovers the
+    * corpus-level truth. Two metrics ride the same cells: the
+    * length-CORRELATED token count (raw badly biased → correction
+    * wins decisively) and the quality-gate pass rate (mildly
+    * correlated). Reported per metric: corpus truth, raw val mean,
+    * reweighted mean, both absolute gaps, the Kish ESS of the weights
+    * (the variance price of the correction), covered corpus mass, and
+    * the verdict bit `correction_wins`.
+    *
+    * Parity: every sum is an integer; per-cell poststratification and
+    * ESS terms freeze to ×1e9/×1e6 fixed point before order-free
+    * integer sums (q142 discipline); final means are single shared
+    * double divisions.
+    *
+    * Scale (100 TB): ONE corpus scan collapses map-side to
+    * |bands| cells carrying both metrics' sums; everything after is
+    * cell arithmetic. This is the shape of production eval-set
+    * reweighting: the corpus marginals come from the stats catalog,
+    * not a rescan. */
+  def iwEval(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"),
+        (col("n_chars") / IwBandChars).cast("bigint").as("band"))
+      .withColumn("toks",
+        TextOps.wsTokenCount(col("text")).cast("bigint"))
+      .withColumn("qpass",
+        when(TextOps.qualityOf(col("text")) >= 0.5, 1L).otherwise(0L))
+      .withColumn("is_val",
+        call_function("md5_fp60",
+          concat(lit("val:"), col("doc_id").cast("string"))) % 100 <
+          when(col("band") <= 2, IwShortRate).otherwise(IwLongRate))
+    val cells = d.groupBy("band").agg(
+      count(lit(1)).as("n_corpus"),
+      sum(col("toks")).as("ct"), sum(col("qpass")).as("cq"),
+      sum(when(col("is_val"), 1L).otherwise(0L)).as("n_val"),
+      sum(when(col("is_val"), col("toks")).otherwise(0L)).as("vt"),
+      sum(when(col("is_val"), col("qpass")).otherwise(0L)).as("vq"))
+      .persist()
+    val metricRows = cells.selectExpr("'ws_tokens' AS metric", "band",
+        "n_corpus", "ct AS s_corpus", "n_val", "vt AS s_val")
+      .unionAll(cells.selectExpr("'quality_pass'", "band", "n_corpus",
+        "cq", "n_val", "vq"))
+    metricRows.groupBy("metric").agg(
+      sum(col("n_corpus")).as("n"), sum(col("s_corpus")).as("s"),
+      sum(col("n_val")).as("nv"), sum(col("s_val")).as("sv"),
+      sum(when(col("n_val") > 0, col("n_corpus")).otherwise(0L))
+        .as("ncov"),
+      sum(when(col("n_val") > 0, floor(
+        (col("n_corpus") * col("s_val")).cast("double") /
+          col("n_val").cast("double") * 1e9).cast("bigint"))
+        .otherwise(0L)).as("wsum"),
+      sum(when(col("n_val") > 0, floor(
+        (col("n_corpus") * col("n_corpus")).cast("double") /
+          col("n_val").cast("double") * 1e6).cast("bigint"))
+        .otherwise(0L)).as("esssum"))
+      .selectExpr("metric", "n", "nv",
+        "round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS corpus_mean",
+        "round(CAST(sv AS DOUBLE) / CAST(nv AS DOUBLE), 6) AS raw_mean",
+        "round(CAST(wsum AS DOUBLE) / (1e9 * CAST(ncov AS DOUBLE)), 6)" +
+          " AS weighted_mean",
+        "round(abs(CAST(sv AS DOUBLE) / CAST(nv AS DOUBLE) - " +
+          "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS raw_gap",
+        "round(abs(CAST(wsum AS DOUBLE) / (1e9 * CAST(ncov AS DOUBLE))" +
+          " - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS " +
+          "weighted_gap",
+        "round(CAST(ncov AS DOUBLE) / CAST(n AS DOUBLE), 6) " +
+          "AS coverage",
+        "round(CAST(ncov AS DOUBLE) * CAST(ncov AS DOUBLE) / " +
+          "(CAST(esssum AS DOUBLE) / 1e6), 6) AS ess",
+        "abs(CAST(wsum AS DOUBLE) / (1e9 * CAST(ncov AS DOUBLE)) - " +
+          "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) < " +
+          "abs(CAST(sv AS DOUBLE) / CAST(nv AS DOUBLE) - " +
+          "CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS correction_wins")
+      .orderBy("metric")
+  }
+
+  def iwEvalOracle: String = {
+    val quality = CurationOps.QualitySql
+    s"""WITH d AS (SELECT doc_id,
+       |    n_chars // $IwBandChars AS band,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS toks,
+       |    CASE WHEN ($quality) >= 0.5 THEN 1 ELSE 0 END AS qpass,
+       |    CAST('0x' || substr(md5('val:' || CAST(doc_id AS VARCHAR)),
+       |      1, 15) AS BIGINT) % 100 <
+       |      CASE WHEN n_chars // $IwBandChars <= 2 THEN $IwShortRate
+       |        ELSE $IwLongRate END AS is_val
+       |  FROM documents),
+       |cells AS (SELECT band, CAST(count(*) AS BIGINT) AS n_corpus,
+       |    CAST(sum(toks) AS BIGINT) AS ct,
+       |    CAST(sum(qpass) AS BIGINT) AS cq,
+       |    CAST(sum(CASE WHEN is_val THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_val,
+       |    CAST(sum(CASE WHEN is_val THEN toks ELSE 0 END) AS BIGINT)
+       |      AS vt,
+       |    CAST(sum(CASE WHEN is_val THEN qpass ELSE 0 END) AS BIGINT)
+       |      AS vq
+       |  FROM d GROUP BY band),
+       |mr AS (SELECT 'ws_tokens' AS metric, band, n_corpus,
+       |    ct AS s_corpus, n_val, vt AS s_val FROM cells
+       |  UNION ALL SELECT 'quality_pass', band, n_corpus, cq, n_val, vq
+       |  FROM cells),
+       |agg AS (SELECT metric,
+       |    CAST(sum(n_corpus) AS BIGINT) AS n,
+       |    CAST(sum(s_corpus) AS BIGINT) AS s,
+       |    CAST(sum(n_val) AS BIGINT) AS nv,
+       |    CAST(sum(s_val) AS BIGINT) AS sv,
+       |    CAST(sum(CASE WHEN n_val > 0 THEN n_corpus ELSE 0 END)
+       |      AS BIGINT) AS ncov,
+       |    CAST(sum(CASE WHEN n_val > 0 THEN CAST(floor(
+       |      CAST(n_corpus * s_val AS DOUBLE) / CAST(n_val AS DOUBLE)
+       |      * 1e9) AS BIGINT) ELSE 0 END) AS BIGINT) AS wsum,
+       |    CAST(sum(CASE WHEN n_val > 0 THEN CAST(floor(
+       |      CAST(n_corpus * n_corpus AS DOUBLE) / CAST(n_val AS DOUBLE)
+       |      * 1e6) AS BIGINT) ELSE 0 END) AS BIGINT) AS esssum
+       |  FROM mr GROUP BY metric)
+       |SELECT metric, n, nv,
+       |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS corpus_mean,
+       |  round(CAST(sv AS DOUBLE) / CAST(nv AS DOUBLE), 6) AS raw_mean,
+       |  round(CAST(wsum AS DOUBLE) / (1e9 * CAST(ncov AS DOUBLE)), 6)
+       |    AS weighted_mean,
+       |  round(abs(CAST(sv AS DOUBLE) / CAST(nv AS DOUBLE) -
+       |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS raw_gap,
+       |  round(abs(CAST(wsum AS DOUBLE) / (1e9 * CAST(ncov AS DOUBLE))
+       |    - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS weighted_gap,
+       |  round(CAST(ncov AS DOUBLE) / CAST(n AS DOUBLE), 6) AS coverage,
+       |  round(CAST(ncov AS DOUBLE) * CAST(ncov AS DOUBLE) /
+       |    (CAST(esssum AS DOUBLE) / 1e6), 6) AS ess,
+       |  abs(CAST(wsum AS DOUBLE) / (1e9 * CAST(ncov AS DOUBLE)) -
+       |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) <
+       |    abs(CAST(sv AS DOUBLE) / CAST(nv AS DOUBLE) -
+       |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS correction_wins
+       |FROM agg ORDER BY metric""".stripMargin
+  }
 }

@@ -1541,4 +1541,171 @@ class PipelineOpsSpec extends AnyFunSuite {
     // q-errors stay near 1 on this clean-FK star (uniform model holds)
     assert(rows.values.forall(_._6 < 1.1))
   }
+
+  test("q232 krippendorff: alpha matches a from-definition recompute; LOO deltas track rater noise") {
+    val rows = CurationOps.krippendorffAlpha(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(rows.size == 8)
+    assert(rows("all")._4 == 0.0 && !rows("all")._5)
+    // independent from-definition recompute (pairwise coincidences in
+    // plain doubles) of the full-pool alpha — validates the lcm-60
+    // integer algebra end to end
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val langIdx = docs.map(_._2).distinct.sorted.zipWithIndex.toMap
+    val l = langIdx.size
+    val matrix = for {
+      (id, lang) <- docs
+      a <- 0 until CurationOps.AnnotatorCount
+      if (id * 13 + a * 17) % 5 != 0
+    } yield {
+      val t = langIdx(lang).toLong
+      val lab = if ((id * 31 + a * 7) % 10 < a)
+        (t + 1 + (id + a) % (l - 1)) % l else t
+      (id, lab)
+    }
+    val byUnit = matrix.groupBy(_._1).values.map(_.map(_._2))
+      .filter(_.size >= 2).toSeq
+    val n = byUnit.map(_.size).sum.toDouble
+    val doSum = byUnit.map { labs =>
+      val m = labs.size.toDouble
+      val ssq = labs.groupBy(identity).values
+        .map(g => g.size.toDouble * g.size).sum
+      (m * m - ssq) / (m - 1)
+    }.sum
+    val ncs = byUnit.flatten.groupBy(identity).values
+      .map(g => g.size.toDouble).toSeq
+    val de = (n * n - ncs.map(c => c * c).sum) / (n * (n - 1))
+    val alphaRef = 1.0 - (doSum / n) / de
+    assert(math.abs(rows("all")._3 - alphaRef) < 1e-6,
+      s"alpha ${rows("all")._3} != definition $alphaRef")
+    // leave-one-out verdicts track the planted noise rates a/10:
+    // dropping a noisier rater helps more, strictly monotone
+    val deltas = (0 until CurationOps.AnnotatorCount)
+      .map(a => rows(s"excl_$a")._4)
+    assert(deltas.sliding(2).forall(p => p(0) < p(1)),
+      s"LOO deltas not monotone in noise: $deltas")
+    // dropping the perfect rater hurts; dropping the worst helps
+    assert(!rows("excl_0")._5 && rows("excl_6")._5)
+  }
+
+  test("q233 lsh s-curve: analytic curve monotone in both axes, empirical tracks it") {
+    val rows = DedupOps.lshSCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(4), r.getDouble(6),
+          r.getDouble(7))).toMap
+    val rs = rows.keys.map(_._1).toSet
+    assert(rs == Set(1L, 2L, 4L, 8L))
+    // the decile partition of the planted pairs is config-independent
+    val parts = rs.toSeq.map(r => rows.filterKeys(_._1 == r)
+      .map { case ((_, d), v) => d -> v._3 }.toMap)
+    assert(parts.forall(_ == parts.head), "configs saw different pairs")
+    // tau* strictly increases with r (stricter geometry)
+    val taus = Seq(1L, 2L, 4L, 8L).map(r =>
+      rows.filterKeys(_._1 == r).values.head._2)
+    assert(taus.sliding(2).forall(p => p(0) < p(1)))
+    // per config, analytic capture is monotone nondecreasing in decile
+    rs.foreach { r =>
+      val byDec = rows.filterKeys(_._1 == r).toSeq
+        .sortBy(_._1._2).map(_._2._5)
+      assert(byDec.sliding(2).forall(p => p(0) <= p(1) + 1e-9),
+        s"r=$r analytic curve not monotone")
+    }
+    // per decile, analytic capture is nonincreasing in r
+    rows.keys.map(_._2).toSet.foreach { d: Long =>
+      val byR = Seq(1L, 2L, 4L, 8L).map(r => rows((r, d))._5)
+      assert(byR.sliding(2).forall(p => p(0) >= p(1) - 1e-9),
+        s"decile $d not monotone in r")
+    }
+    // the formula predicts reality: on well-populated deciles the
+    // empirical capture sits close to the analytic mean
+    rows.filter(_._2._3 >= 100).foreach { case ((r, d), v) =>
+      assert(math.abs(v._4 - v._5) < 0.15,
+        s"r=$r decile $d: empirical ${v._4} far from analytic ${v._5}")
+    }
+    // the permissive end captures (almost) everything at the top
+    assert(rows((1L, 9L))._4 > 0.99)
+  }
+
+  test("q234 iw eval: reweighting recovers the corpus truth the biased split loses") {
+    val rows = TrainPrepOps.iwEval(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8), r.getDouble(9),
+        r.getBoolean(10))).toMap
+    assert(rows.size == 2)
+    // the planted short-doc over-sampling biases the raw token mean
+    // far below truth; post-stratification recovers it
+    val t = rows("ws_tokens")
+    assert(t._4 < t._3, "raw val mean should under-shoot (short bias)")
+    // >10x at sf0.01 (the oracle row); the sf0.001 corpus has a milder
+    // length spread, so the spec pins 3x dominance
+    assert(t._6 > 3 * t._7,
+      s"correction too weak: raw gap ${t._6} vs weighted ${t._7}")
+    assert(rows.values.forall(_._10), "correction_wins must hold")
+    // corpus truth matches an independent direct recompute
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(TextOps.wsTokenCount(col("text")).cast("long").as("t"))
+      .agg(avg("t")).head.getDouble(0)
+    assert(math.abs(t._3 - toks) < 1e-4)
+    // ESS prices the weights: positive, below the val count
+    rows.values.foreach { v =>
+      assert(v._9 > 0 && v._9 < v._2, s"ESS ${v._9} out of range") }
+    // covered corpus mass is (nearly) complete on this fixture
+    assert(rows.values.forall(_._8 > 0.8))
+  }
+
+  test("q235 event paths: planted funnel + rotations flagged, window mass conserved") {
+    val rows = AnalyticsOps.eventPaths(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    // the planted funnel and its two rotations (what repetition looks
+    // like) are flagged; the funnel itself carries the max lift
+    val planted = Seq("signup>click>purchase", "purchase>signup>click",
+      "click>purchase>signup")
+    planted.foreach(p => assert(rows(p)._5, s"$p not flagged"))
+    val maxLift = rows.values.map(_._4).max
+    assert(rows("signup>click>purchase")._4 == maxLift)
+    // the independence noise floor stays well below the plant: at
+    // least 90% of paths are unflagged
+    assert(rows.count(!_._2._5) >= (rows.size * 9) / 10)
+    // window mass conservation: sum of path occurrences equals the
+    // stream-derived window count (events per user minus 2)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val nEv = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    val nPlanted = ev.filter(col("user_id") % AnalyticsOps.PathPlantMod
+      === 0).select("user_id").distinct().count()
+    val expWindows = nEv + 9 * nPlanted - 2 * nUsers
+    assert(rows.values.map(_._1).sum == expWindows,
+      s"windows ${rows.values.map(_._1).sum} != expected $expWindows")
+    // support sums to 1 over the path space
+    assert(math.abs(rows.values.map(_._3).sum - 1.0) < 1e-3)
+  }
+
+  test("q236 runtime filter: optimization changes the plan, never the answer") {
+    val opt = ScaleOps.runtimeFilterJoin(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    // reference: the same query planned plainly on the shared session
+    // (broadcast join, no runtime filter — asserted in PlanPropsSpec)
+    val ref = EtlOps.t(spark, dir, "lineitem")
+      .join(EtlOps.t(spark, dir, "orders")
+        .filter(col("o_custkey") % ScaleOps.RfCustMod === 0)
+        .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), countDistinct("l_orderkey").as("o"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double")
+          .as("q"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(opt == ref, "runtime-filtered plan changed the result")
+    // the filter is genuinely selective: the join keeps only a small
+    // fraction of lineitem
+    val total = spark.read.parquet(s"$dir/lineitem.parquet").count()
+    assert(opt.values.map(_._1).sum < total / 10)
+  }
 }

@@ -924,4 +924,77 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"order costing went cartesian on data:\n${p.take(1800)}")
   }
+
+  test("q232 krippendorff: one cell-collapse feeds both marginals, scenario fan-out is a generator") {
+    val p = plan(CurationOps.krippendorffAlpha(spark, dir))
+    // the (scenario, unit, value) cells persist once; unit terms and
+    // value marginals both read the cache
+    assert(p.contains("InMemoryTableScan"),
+      s"coincidence cells recomputed per marginal:\n${p.take(1800)}")
+    // rater × scenario fan-out is explode (constant width), not a join
+    assert(p.contains("Generate"),
+      s"scenario fan-out not a generator:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"alpha computation went cartesian:\n${p.take(1800)}")
+  }
+
+  test("q233 lsh s-curve: one shared shingle+signature pass, linear pair join, no banding blowup") {
+    val p = plan(DedupOps.lshSCurve(spark, dir))
+    // shingles and signatures persist once; all four configs slice the
+    // SAME cached pair frame
+    assert(p.contains("InMemoryTableScan"),
+      s"signature pass recomputed per config:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"planner went cartesian:\n${p.take(1800)}")
+    // planted-pair evaluation is a key equi-join, not a band
+    // self-join: no band_hash anywhere in this plan
+    assert(!p.contains("band_hash"),
+      s"planner paid the banding join it is supposed to plan:\n${p.take(1800)}")
+  }
+
+  test("q234 iw eval: one corpus scan collapses to band cells, both metrics ride the cache") {
+    val p = plan(TrainPrepOps.iwEval(spark, dir))
+    // the only corpus-sized work is the single scan into the persisted
+    // |bands| cell frame; the two metric rows re-read the cache
+    assert(p.contains("InMemoryTableScan"),
+      s"band cells recomputed per metric:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"iw eval grew a join:\n${p.take(1800)}")
+  }
+
+  test("q235 event paths: one user exchange for the window, path frame persisted, tiny joins") {
+    val p = plan(AnalyticsOps.eventPaths(spark, dir))
+    // sequence logic is a window over the user partition
+    assert(p.contains("Window"),
+      s"path derivation lost the window:\n${p.take(1800)}")
+    // the path frame persists once; marginals and the rollup reuse it
+    assert(p.contains("InMemoryTableScan"),
+      s"path frame recomputed per marginal:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"path mining went cartesian:\n${p.take(1800)}")
+  }
+
+  test("q236 runtime filter: bloom might_contain pushed into the probe side before the shuffle") {
+    val df = ScaleOps.runtimeFilterJoin(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // InjectRuntimeFilter fired: the probe-side scan is gated by the
+    // build-side bloom filter BEFORE the join exchange
+    assert(p.contains("might_contain"),
+      s"runtime bloom filter did not fire:\n${p.take(2500)}")
+    // the join itself is a shuffle join (broadcast disabled — the
+    // 100 TB shape), so the filter has a shuffle to protect
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"join not a shuffle join:\n${p.take(2500)}")
+    // and the shared session is untouched: a plain join planned on the
+    // ORIGINAL session still broadcasts and carries no runtime filter
+    val plain = EtlOps.t(spark, dir, "lineitem")
+      .join(EtlOps.t(spark, dir, "orders")
+        .filter(col("o_custkey") % ScaleOps.RfCustMod === 0)
+        .select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag").agg(count(lit(1)))
+    val pp = plain.queryExecution.executedPlan.toString
+    assert(!pp.contains("might_contain"),
+      "conf leak: runtime filter active on the shared session")
+  }
 }
