@@ -254,6 +254,10 @@ object SparkEntry {
     "q234_iw_eval"           -> (TrainPrepOps.iwEval _),
     "q235_event_paths"       -> (AnalyticsOps.eventPaths _),
     "q236_runtime_filter"    -> (ScaleOps.runtimeFilterJoin _),
+    "q237_encoding_advisor"  -> (ScaleOps.encodingAdvisor _),
+    "q238_hll_set_algebra"   -> (ProfileOps.hllSetAlgebra _),
+    "q239_retraction_aggs"   -> (AnalyticsOps.retractionAggs _),
+    "q240_blocking_audit"    -> (DedupOps.blockingAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -772,6 +776,10 @@ object SparkEntry {
     "q234_iw_eval" -> TrainPrepOps.iwEvalOracle,
     "q235_event_paths" -> AnalyticsOps.eventPathsOracle,
     "q236_runtime_filter" -> ScaleOps.runtimeFilterJoinOracle,
+    "q237_encoding_advisor" -> ScaleOps.encodingAdvisorOracle,
+    "q238_hll_set_algebra" -> ProfileOps.hllSetAlgebraOracle,
+    "q239_retraction_aggs" -> AnalyticsOps.retractionAggsOracle,
+    "q240_blocking_audit" -> DedupOps.blockingAuditOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

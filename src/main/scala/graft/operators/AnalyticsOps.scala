@@ -617,6 +617,153 @@ object AnalyticsOps {
        |  abs(z) > $AbZCrit AS significant
        |FROM g2 ORDER BY event_type""".stripMargin
 
+  // --- q239: incremental aggregates with retractions ----------------------
+
+  /** q239 — incremental aggregate maintenance with RETRACTIONS: the
+    * append-only partial merge (q72's contract) cannot absorb deletes
+    * or updates, but any aggregate expressible as a GROUP-SUM of
+    * per-row terms can — apply the change batch as ±1-weighted rows
+    * (delete = weight −1 with the OLD values, update = one delete +
+    * one insert) and ADD: state' = state + Σ w·term. This is the
+    * retraction stream Flink/Materialize-style incremental view
+    * maintenance runs on, and the GDPR-erasure path (q199 measures the
+    * blast radius; this maintains the aggregates through it). The
+    * fixture deletes one decile, inserts another, and rewrites a third
+    * (drop-first-word update); maintained count/Σtok/Σtok² per source
+    * are audited cell-by-cell against a full recompute of the final
+    * corpus, and the derived variance (the reason Σx² is carried)
+    * rides along in fixed point.
+    *
+    * Min/max are deliberately absent: they are NOT sum-decomposable —
+    * a delete of the current extremum forces a rescan. Carrying
+    * (count, sum, sum-of-squares) is exactly the retractable-state
+    * design choice this operator documents.
+    *
+    * Parity: everything is exact integer arithmetic until the one
+    * variance division (frozen ×1e6).
+    *
+    * Scale (100 TB): the standing state is |sources| rows; the change
+    * batch collapses map-side to |sources| signed partials — the
+    * corpus is never rescanned (the full recompute here is the AUDIT,
+    * like q229). */
+  def retractionAggs(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TextOps.wsTokenCount
+    // in production T0 / batch / final are distinct inputs; here all
+    // three derive from one fixture table — persist it so the six
+    // derivation branches share one scan
+    val d = EtlOps.t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        (col("doc_id") % 10).as("dec")).persist()
+    def toks(c: org.apache.spark.sql.Column) =
+      wsTokenCount(c).cast("bigint")
+    // T0 = everything but decile 9; batch: delete dec 3, insert dec 9,
+    // update dec 6 (retract old text, insert drop-first-word text)
+    val t0 = d.filter(col("dec") =!= 9)
+      .select(col("source"), toks(col("text")).as("t"),
+        lit(1L).as("w"))
+    val newText = expr("substring(text, instr(text, ' ') + 1)")
+    val batch =
+      d.filter(col("dec") === 3).select(col("source"),
+          toks(col("text")).as("t"), lit(-1L).as("w"))
+        .unionAll(d.filter(col("dec") === 9).select(col("source"),
+          toks(col("text")).as("t"), lit(1L).as("w")))
+        .unionAll(d.filter(col("dec") === 6).select(col("source"),
+          toks(col("text")).as("t"), lit(-1L).as("w")))
+        .unionAll(d.filter(col("dec") === 6).select(col("source"),
+          toks(newText).as("t"), lit(1L).as("w")))
+    def state(rows: DataFrame, pfx: String) = rows.groupBy("source")
+      .agg(sum(col("w")).as(s"${pfx}_n"),
+        sum(col("w") * col("t")).as(s"${pfx}_sum"),
+        sum(col("w") * col("t") * col("t")).as(s"${pfx}_ssq"))
+    val s0 = state(t0, "t0")
+    val ds = state(batch, "d")
+    // the final corpus, recomputed from scratch — the audit side
+    val fin = d.filter(col("dec") =!= 3)
+      .select(col("source"),
+        when(col("dec") === 6, toks(newText))
+          .otherwise(toks(col("text"))).as("t"), lit(1L).as("w"))
+    val sf = state(fin, "f")
+    // full-outer everywhere: a source can be born in the batch (all
+    // docs inserted), die in it (all docs deleted — absent from the
+    // final recompute), or both sides; missing states are zero
+    s0.join(ds, Seq("source"), "full_outer")
+      .join(sf, Seq("source"), "full_outer")
+      .selectExpr("source",
+        "coalesce(t0_n, 0) AS t0_n", "coalesce(d_n, 0) AS delta_n",
+        "coalesce(t0_n, 0) + coalesce(d_n, 0) AS n_final",
+        "coalesce(f_n, 0) AS n_full",
+        "coalesce(t0_sum, 0) + coalesce(d_sum, 0) AS sum_final",
+        "coalesce(f_sum, 0) AS sum_full",
+        "coalesce(t0_ssq, 0) + coalesce(d_ssq, 0) AS ssq_final",
+        "coalesce(f_ssq, 0) AS ssq_full")
+      .selectExpr("source", "t0_n", "delta_n", "n_final", "n_full",
+        "sum_final", "sum_full", "ssq_final", "ssq_full",
+        // population variance from the maintained state, ×1e6 floor;
+        // undefined (0) for an emptied group
+        "CASE WHEN n_final = 0 THEN 0 ELSE " +
+          "CAST(floor((CAST(ssq_final AS DOUBLE) / " +
+          "CAST(n_final AS DOUBLE) - " +
+          "(CAST(sum_final AS DOUBLE) / CAST(n_final AS DOUBLE)) * " +
+          "(CAST(sum_final AS DOUBLE) / CAST(n_final AS DOUBLE))) " +
+          "* 1e6) AS BIGINT) END AS var_fp",
+        "n_final = n_full AND sum_final = sum_full AND " +
+          "ssq_final = ssq_full AS state_consistent")
+      .orderBy("source")
+  }
+
+  def retractionAggsOracle: String =
+    s"""WITH d AS (SELECT doc_id, source, text, doc_id % 10 AS dec,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS t,
+       |    CAST(len(string_split_regex(trim(
+       |      substr(text, instr(text, ' ') + 1)), '\\s+')) AS BIGINT)
+       |      AS t_new
+       |  FROM documents),
+       |t0 AS (SELECT source, t, 1 AS w FROM d WHERE dec <> 9),
+       |batch AS (SELECT source, t, -1 AS w FROM d WHERE dec = 3
+       |  UNION ALL SELECT source, t, 1 FROM d WHERE dec = 9
+       |  UNION ALL SELECT source, t, -1 FROM d WHERE dec = 6
+       |  UNION ALL SELECT source, t_new, 1 FROM d WHERE dec = 6),
+       |fin AS (SELECT source,
+       |    CASE WHEN dec = 6 THEN t_new ELSE t END AS t, 1 AS w
+       |  FROM d WHERE dec <> 3),
+       |s0 AS (SELECT source, CAST(sum(w) AS BIGINT) AS t0_n,
+       |    CAST(sum(w * t) AS BIGINT) AS t0_sum,
+       |    CAST(sum(w * t * t) AS BIGINT) AS t0_ssq
+       |  FROM t0 GROUP BY source),
+       |ds AS (SELECT source, CAST(sum(w) AS BIGINT) AS d_n,
+       |    CAST(sum(w * t) AS BIGINT) AS d_sum,
+       |    CAST(sum(w * t * t) AS BIGINT) AS d_ssq
+       |  FROM batch GROUP BY source),
+       |sf AS (SELECT source, CAST(sum(w) AS BIGINT) AS f_n,
+       |    CAST(sum(w * t) AS BIGINT) AS f_sum,
+       |    CAST(sum(w * t * t) AS BIGINT) AS f_ssq
+       |  FROM fin GROUP BY source),
+       |j AS (SELECT coalesce(s0.source, ds.source, sf.source)
+       |    AS source,
+       |    coalesce(t0_n, 0) AS t0_n, coalesce(d_n, 0) AS delta_n,
+       |    coalesce(t0_n, 0) + coalesce(d_n, 0) AS n_final,
+       |    coalesce(f_n, 0) AS n_full,
+       |    coalesce(t0_sum, 0) + coalesce(d_sum, 0) AS sum_final,
+       |    coalesce(f_sum, 0) AS sum_full,
+       |    coalesce(t0_ssq, 0) + coalesce(d_ssq, 0) AS ssq_final,
+       |    coalesce(f_ssq, 0) AS ssq_full
+       |  FROM s0
+       |  FULL OUTER JOIN ds ON ds.source = s0.source
+       |  FULL OUTER JOIN sf ON sf.source =
+       |    coalesce(s0.source, ds.source))
+       |SELECT source, t0_n, delta_n, n_final, n_full,
+       |  sum_final, sum_full, ssq_final, ssq_full,
+       |  CASE WHEN n_final = 0 THEN 0 ELSE
+       |    CAST(floor((CAST(ssq_final AS DOUBLE) /
+       |      CAST(n_final AS DOUBLE) -
+       |      (CAST(sum_final AS DOUBLE) / CAST(n_final AS DOUBLE)) *
+       |      (CAST(sum_final AS DOUBLE) / CAST(n_final AS DOUBLE)))
+       |      * 1e6) AS BIGINT) END AS var_fp,
+       |  n_final = n_full AND sum_final = sum_full AND
+       |    ssq_final = ssq_full AS state_consistent
+       |FROM j ORDER BY source""".stripMargin
+
   // --- q235: sequential event-path mining ---------------------------------
 
   /** Every PlantMod-th user gets a deterministic appended tail of

@@ -1753,6 +1753,173 @@ object DedupOps {
        |FROM cells GROUP BY method, source
        |ORDER BY method, source""".stripMargin
 
+  // --- q240: blocking-key quality audit (entity resolution) ---------------
+
+  /** q240 — blocking-key quality audit: before any pairwise matcher
+    * runs, entity resolution picks a BLOCKING key, and the two numbers
+    * that decide it are pairs completeness PC (fraction of true
+    * matches whose members share a block) and reduction ratio RR
+    * (fraction of the N²/2 comparisons avoided). Four schemes over the
+    * planted-copy corpus: `prefix4` (first 4 chars — WORTHLESS here
+    * because the copies drop the first word, the classic bad-key
+    * lesson), `suffix4` (endings survive the edit → high PC, but the
+    * closed vocabulary makes blocks huge → poor RR), `length_band`
+    * (cheap, mediocre both ways), and `minhash_band` (multi-block LSH
+    * — high PC at high RR, the production answer). The F-measure of
+    * (PC, RR) ranks them.
+    *
+    * Both metrics are computed WITHOUT materializing candidates:
+    * comparisons = Σ_blocks n·(n−1)/2 (for multi-block LSH that is
+    * per-bucket comparison SLOTS — exactly what the matcher would
+    * execute); completeness checks each truth pair directly (equal
+    * key, or ≥1 equal signature band — the q233 trick), one linear
+    * join.
+    *
+    * Parity: counts are integers; PC/RR/F divide once each.
+    *
+    * Scale (100 TB): per scheme one map-combined key collapse + one
+    * linear truth-pair join; no candidate blowup anywhere — this audit
+    * is how you pick the key BEFORE paying the candidate join. */
+  def blockingAudit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val corpus = corpusNear(s, dir).persist()
+    val n = corpus.count()
+    val totalPairs = n * (n - 1) / 2
+    val sigs = minhashSignaturesNative(shingles(corpus)).persist()
+    val singleKeys: Seq[(String, String)] = Seq(
+      ("length_band", "CAST(length(text) DIV 20 AS STRING)"),
+      ("prefix4", "substr(text, 1, 4)"),
+      ("suffix4", "substr(text, greatest(length(text) - 3, 1), 4)"))
+    val keyFrames = singleKeys.map { case (scheme, keySql) =>
+      corpus.selectExpr(s"'$scheme' AS scheme", "doc_id",
+        s"$keySql AS k")
+    } :+ lshBands(sigs).selectExpr("'minhash_band' AS scheme",
+      "doc_id",
+      "concat(CAST(band_idx AS STRING), '|', band_hash) AS k")
+    val blocks = keyFrames.reduce(_ unionAll _)
+      .groupBy("scheme", "k").agg(count(lit(1)).as("nb"))
+    val stats = blocks.groupBy("scheme").agg(
+      count(lit(1)).as("n_blocks"), max(col("nb")).as("max_block"),
+      sum(col("nb") * (col("nb") - 1) / 2).cast("bigint")
+        .as("cand_pairs"))
+    // completeness: each planted pair checked directly
+    val truthSingle = singleKeys.map { case (scheme, keySql) =>
+      val keyed = corpus.selectExpr("doc_id", s"$keySql AS k")
+      keyed.filter(col("doc_id") < CopyOffset)
+        .join(keyed.filter(col("doc_id") >= CopyOffset)
+          .select((col("doc_id") - CopyOffset).as("doc_id"),
+            col("k").as("k2")), "doc_id")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(when(col("k") === col("k2"), 1L).otherwise(0L))
+            .as("n_found"))
+        .withColumn("scheme", lit(scheme))
+    }
+    val aCols = (0 until NumPerms).map(i => col(s"h$i").as(s"a_h$i"))
+    val bCols = (0 until NumPerms).map(i => col(s"h$i").as(s"b_h$i"))
+    val truthMinhash = sigs.filter(col("doc_id") < CopyOffset)
+      .select(col("doc_id") +: aCols: _*)
+      .join(sigs.filter(col("doc_id") >= CopyOffset)
+        .select((col("doc_id") - CopyOffset).as("doc_id") +: bCols: _*),
+        "doc_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(expr(s"CASE WHEN ${sCurveCapSql(BandSize)} THEN 1 " +
+          "ELSE 0 END")).as("n_found"))
+      .withColumn("scheme", lit("minhash_band"))
+    val truth = (truthSingle :+ truthMinhash).reduce(_ unionAll _)
+    stats.join(truth, "scheme")
+      .selectExpr("scheme", "n_blocks", "max_block", "cand_pairs",
+        "n_truth", "n_found",
+        "round(CAST(n_found AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)" +
+          " AS pc",
+        s"round(1.0 - CAST(cand_pairs AS DOUBLE) / $totalPairs.0, 6)" +
+          " AS rr",
+        "round(2.0 * (CAST(n_found AS DOUBLE) / " +
+          "CAST(n_truth AS DOUBLE)) * (1.0 - CAST(cand_pairs AS " +
+          s"DOUBLE) / $totalPairs.0) / ((CAST(n_found AS DOUBLE) / " +
+          "CAST(n_truth AS DOUBLE)) + (1.0 - CAST(cand_pairs AS " +
+          s"DOUBLE) / $totalPairs.0)), 6) AS f_measure")
+      .orderBy("scheme")
+  }
+
+  def blockingAuditOracle: String = {
+    val p = MinhashPrime
+    val x = s"(CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)) % $p"
+    val mins = (0 until NumPerms).map(i =>
+      s"min((($x) * ${permA(i)} + ${permB(i)}) % $p) AS h$i")
+      .mkString(",\n    ")
+    val bandSelects = (0 until NumPerms / BandSize).map { b =>
+      val cols = (0 until BandSize)
+        .map(r => s"CAST(h${b * BandSize + r} AS VARCHAR)")
+        .mkString(", ")
+      s"SELECT doc_id, CAST($b AS VARCHAR) || '|' || " +
+        s"md5(concat_ws(',', $cols)) AS k FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    val aCols = (0 until NumPerms).map(i => s"sa.h$i AS a_h$i")
+      .mkString(", ")
+    val bCols = (0 until NumPerms).map(i => s"sb.h$i AS b_h$i")
+      .mkString(", ")
+    val singleKeys = Seq(
+      ("length_band", "CAST(length(text) // 20 AS VARCHAR)"),
+      ("prefix4", "substr(text, 1, 4)"),
+      ("suffix4", "substr(text, greatest(length(text) - 3, 1), 4)"))
+    val keySelects = (singleKeys.map { case (scheme, k) =>
+      s"SELECT '$scheme' AS scheme, doc_id, $k AS k FROM corpus"
+    } :+ "SELECT 'minhash_band', doc_id, k FROM bands")
+      .mkString("\n  UNION ALL ")
+    val truthSelects = (singleKeys.map { case (scheme, k) =>
+      s"""SELECT '$scheme' AS scheme, count(*) AS n_truth,
+         |  CAST(sum(CASE WHEN a.k = b.k THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_found
+         |  FROM (SELECT doc_id, $k AS k FROM corpus
+         |    WHERE doc_id < $CopyOffset) a
+         |  JOIN (SELECT doc_id - $CopyOffset AS doc_id, $k AS k
+         |    FROM corpus WHERE doc_id >= $CopyOffset) b
+         |  USING (doc_id)""".stripMargin
+    } :+
+      s"""SELECT 'minhash_band', count(*) AS n_truth,
+         |  CAST(sum(CASE WHEN ${sCurveCapSql(BandSize)} THEN 1
+         |    ELSE 0 END) AS BIGINT) AS n_found
+         |  FROM (SELECT sa.doc_id, $aCols FROM sigs sa
+         |    WHERE sa.doc_id < $CopyOffset) ta
+         |  JOIN (SELECT sb.doc_id - $CopyOffset AS doc_id, $bCols
+         |    FROM sigs sb WHERE sb.doc_id >= $CopyOffset) tb
+         |  USING (doc_id)""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH ${OracleGen.CorpusNear},
+       |${OracleGen.ShingleCtes},
+       |sigs AS (SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM corpus),
+       |tp AS (SELECT n * (n - 1) / 2 AS total_pairs FROM nn),
+       |keys AS (
+       |  $keySelects),
+       |blocks AS (SELECT scheme, k, CAST(count(*) AS BIGINT) AS nb
+       |  FROM keys GROUP BY scheme, k),
+       |stats AS (SELECT scheme, count(*) AS n_blocks,
+       |    max(nb) AS max_block,
+       |    CAST(sum(nb * (nb - 1) / 2) AS BIGINT) AS cand_pairs
+       |  FROM blocks GROUP BY scheme),
+       |truth AS ($truthSelects)
+       |SELECT st.scheme, st.n_blocks, st.max_block, st.cand_pairs,
+       |  t.n_truth, t.n_found,
+       |  round(CAST(t.n_found AS DOUBLE) / CAST(t.n_truth AS DOUBLE),
+       |    6) AS pc,
+       |  round(1.0 - CAST(st.cand_pairs AS DOUBLE) /
+       |    CAST(tp.total_pairs AS DOUBLE), 6) AS rr,
+       |  round(2.0 * (CAST(t.n_found AS DOUBLE) /
+       |    CAST(t.n_truth AS DOUBLE)) * (1.0 -
+       |    CAST(st.cand_pairs AS DOUBLE) /
+       |    CAST(tp.total_pairs AS DOUBLE)) /
+       |    ((CAST(t.n_found AS DOUBLE) / CAST(t.n_truth AS DOUBLE)) +
+       |    (1.0 - CAST(st.cand_pairs AS DOUBLE) /
+       |    CAST(tp.total_pairs AS DOUBLE))), 6) AS f_measure
+       |FROM stats st JOIN truth t ON t.scheme = st.scheme
+       |CROSS JOIN tp ORDER BY st.scheme""".stripMargin
+  }
+
   // --- q233: LSH S-curve parameter planner --------------------------------
 
   /** Rows-per-band grid sliced from the ONE 16-perm signature family

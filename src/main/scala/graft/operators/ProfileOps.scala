@@ -1804,6 +1804,176 @@ object ProfileOps {
        |FROM fp JOIN chi ON chi.scope = fp.scope
        |ORDER BY fp.scope, fp.digit""".stripMargin
 
+  // --- q238: HLL set algebra (union merge + inclusion-exclusion) ----------
+
+  /** The audited set predicates over events (shared SQL, both
+    * engines): two value bands with a planted overlap window, and two
+    * DISJOINT type sets — the inclusion-exclusion caveat case. */
+  val HllSetDefs: Seq[(String, String)] = Seq(
+    ("lo_band", "value < 100"),
+    ("hi_band", "value >= 50"),
+    ("clicks", "event_type = 'click'"),
+    ("views", "event_type = 'view'"))
+
+  val HllSetPairs: Seq[(String, String, String)] = Seq(
+    ("lo_hi", "lo_band", "hi_band"),
+    ("lo_clicks", "lo_band", "clicks"),
+    ("clicks_views", "clicks", "views"))
+
+  /** q238 — HLL set algebra: the property that makes HLL an
+    * infrastructure primitive is MERGEABILITY — union registers are
+    * the elementwise MAX of the operands' registers, so per-segment
+    * sketches combine without revisiting data — and the standard
+    * intersection recipe |A∩B| ≈ est(A)+est(B)−est(A∪B)
+    * (inclusion-exclusion) inherits ABSOLUTE error from three
+    * estimates, so it degrades as the true intersection shrinks
+    * relative to the union. This audit prices both: three pairs (big
+    * overlap, partial overlap, and DISJOINT type sets where the
+    * estimate is pure noise — possibly negative), each with exact
+    * truths, sketch estimates, the union 3σ bound, and the
+    * `inter_reliable` gate (exact∩ ≥ union/10) a production system
+    * uses to decide when to trust the sketch vs fall back to an exact
+    * join.
+    *
+    * Parity: the Spark side merges registers with zip_with/greatest
+    * (the production merge); the oracle rebuilds the union sketch
+    * from the unioned key stream — mathematically the same registers
+    * (max over a union = max of maxes), so every derived double
+    * matches bitwise through the q224 frozen-constant estimator.
+    *
+    * Scale (100 TB): per set, O(m)=256 longs cross the exchange; the
+    * union costs a 256-element map per pair — no data contact. The
+    * exact sides exist only to audit. */
+  def hllSetAlgebra(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val ev = EtlOps.events(s, dir).persist()
+    val keyed = HllSetDefs.map { case (name, pred) =>
+      ev.filter(expr(pred)).select(lit(name).as("set_name"),
+        col("event_id").cast("string").as("k"))
+    }.reduce(_ unionAll _)
+    val hashed = keyed
+      .withColumn("h", call_function("md5_fp60", col("k")))
+      .withColumn("bkt", col("h") % HllM)
+      .withColumn("rnk", expr(hllRankSql("h")).cast("long"))
+    val sets = hashed.groupBy("set_name")
+      .agg(expr(s"hll_agg(array(bkt, rnk), $HllM)").as("regs"),
+        countDistinct(col("k")).as("exact_n")).persist()
+    val pairs = s.createDataFrame(
+      HllSetPairs.map(p => (p._1, p._2, p._3)))
+      .toDF("pair", "sa", "sb")
+    val exacts = HllSetPairs.map { case (pair, a, b) =>
+      val (pa, pb) = (HllSetDefs.toMap.apply(a),
+        HllSetDefs.toMap.apply(b))
+      ev.agg(
+        countDistinct(when(expr(s"($pa) AND ($pb)"), col("event_id")))
+          .as("exact_inter"),
+        countDistinct(when(expr(s"($pa) OR ($pb)"), col("event_id")))
+          .as("exact_union"))
+        .withColumn("pair", lit(pair))
+    }.reduce(_ unionAll _)
+    def estOf(regs: String, pfx: String) =
+      Seq(s"CAST(size(filter($regs, r -> r = 0)) AS BIGINT) " +
+        s"AS ${pfx}_vz",
+        s"${hllSpSparkSql(regs)} AS ${pfx}_sp")
+    val joined = pairs
+      .join(sets.select(col("set_name").as("sa"),
+        col("regs").as("ra"), col("exact_n").as("exact_a")), "sa")
+      .join(sets.select(col("set_name").as("sb"),
+        col("regs").as("rb"), col("exact_n").as("exact_b")), "sb")
+      .join(exacts, "pair")
+      .withColumn("ru",
+        expr("zip_with(ra, rb, (x, y) -> greatest(x, y))"))
+    joined.selectExpr(Seq("pair", "exact_a", "exact_b", "exact_union",
+        "exact_inter") ++ estOf("ra", "a") ++ estOf("rb", "b") ++
+        estOf("ru", "u"): _*)
+      .selectExpr("pair", "exact_a", "exact_b", "exact_union",
+        "exact_inter",
+        s"${hllEstSql("a_sp", "a_vz", spark = true)} AS est_a",
+        s"${hllEstSql("b_sp", "b_vz", spark = true)} AS est_b",
+        s"${hllEstSql("u_sp", "u_vz", spark = true)} AS est_u")
+      .selectExpr("pair", "exact_a", "exact_b", "exact_union",
+        "exact_inter",
+        "round(est_a, 4) AS est_a", "round(est_b, 4) AS est_b",
+        "round(est_u, 4) AS est_union",
+        "round(est_a + est_b - est_u, 4) AS est_inter",
+        "round((est_u - CAST(exact_union AS DOUBLE)) / " +
+          "CAST(exact_union AS DOUBLE) * 100.0, 4) AS union_err_pct",
+        "abs((est_u - CAST(exact_union AS DOUBLE)) / " +
+          "CAST(exact_union AS DOUBLE)) <= 0.195 AS union_within_3sig",
+        "exact_inter * 10 >= exact_union AS inter_reliable")
+      .orderBy("pair")
+  }
+
+  def hllSetAlgebraOracle: String = {
+    val hash = "CAST('0x' || substr(md5(k), 1, 15) AS BIGINT)"
+    val setSelects = HllSetDefs.map { case (name, pred) =>
+      s"SELECT '$name' AS set_name, CAST(event_id AS VARCHAR) AS k " +
+        s"FROM events WHERE $pred"
+    }.mkString("\n  UNION ALL ")
+    // the union sketch rebuilds from the union KEY stream — equal to
+    // the register-max merge by the max-of-max property
+    val pairSelects = HllSetPairs.map { case (pair, a, b) =>
+      val (pa, pb) = (HllSetDefs.toMap.apply(a),
+        HllSetDefs.toMap.apply(b))
+      s"""SELECT '$pair' AS pair, '$a' AS sa, '$b' AS sb,
+         |  (SELECT count(DISTINCT event_id) FROM events
+         |    WHERE ($pa) AND ($pb)) AS exact_inter,
+         |  (SELECT count(DISTINCT event_id) FROM events
+         |    WHERE ($pa) OR ($pb)) AS exact_union""".stripMargin
+    }.mkString("\nUNION ALL ")
+    val uSelects = HllSetPairs.map { case (pair, a, b) =>
+      s"SELECT '$pair' AS set_name, k FROM keyed " +
+        s"WHERE set_name = '$a' OR set_name = '$b'"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH keyed AS (
+       |  $setSelects),
+       |allk AS (SELECT set_name, k FROM keyed
+       |  UNION ALL $uSelects),
+       |br AS (SELECT set_name, h % $HllM AS bkt,
+       |    CAST(${hllRankSql("h")} AS BIGINT) AS rnk
+       |  FROM (SELECT set_name, $hash AS h FROM allk)),
+       |regs AS (SELECT set_name, bkt, max(rnk) AS r FROM br
+       |  GROUP BY 1, 2),
+       |grps AS (SELECT DISTINCT set_name FROM br),
+       |dense AS (SELECT g.set_name, COALESCE(regs.r, 0) AS r
+       |  FROM grps g
+       |  CROSS JOIN (SELECT unnest(range(0, $HllM)) AS b) t
+       |  LEFT JOIN regs ON regs.set_name = g.set_name
+       |    AND regs.bkt = t.b),
+       |st AS (SELECT set_name,
+       |    sum(CAST((CAST(1 AS BIGINT) << CAST(60 - r AS INT))
+       |      AS DECIMAL(38,0))) AS sp,
+       |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS vz
+       |  FROM dense GROUP BY 1),
+       |ex AS (SELECT set_name, count(DISTINCT k) AS exact_n
+       |  FROM keyed GROUP BY 1),
+       |est AS (SELECT set_name,
+       |    ${hllEstSql("st.sp", "st.vz", spark = false)} AS est
+       |  FROM st),
+       |pr AS ($pairSelects)
+       |SELECT pr.pair, ea.exact_n AS exact_a, eb.exact_n AS exact_b,
+       |  CAST(pr.exact_union AS BIGINT) AS exact_union,
+       |  CAST(pr.exact_inter AS BIGINT) AS exact_inter,
+       |  round(sa.est, 4) AS est_a, round(sb.est, 4) AS est_b,
+       |  round(su.est, 4) AS est_union,
+       |  round(sa.est + sb.est - su.est, 4) AS est_inter,
+       |  round((su.est - CAST(pr.exact_union AS DOUBLE)) /
+       |    CAST(pr.exact_union AS DOUBLE) * 100.0, 4)
+       |    AS union_err_pct,
+       |  abs((su.est - CAST(pr.exact_union AS DOUBLE)) /
+       |    CAST(pr.exact_union AS DOUBLE)) <= 0.195
+       |    AS union_within_3sig,
+       |  pr.exact_inter * 10 >= pr.exact_union AS inter_reliable
+       |FROM pr
+       |JOIN ex ea ON ea.set_name = pr.sa
+       |JOIN ex eb ON eb.set_name = pr.sb
+       |JOIN est sa ON sa.set_name = pr.sa
+       |JOIN est sb ON sb.set_name = pr.sb
+       |JOIN est su ON su.set_name = pr.pair
+       |ORDER BY pr.pair""".stripMargin
+  }
+
   // --- q231: join-order costing audit -------------------------------------
 
   /** Uniform-containment join estimate n_a·n_b / max(d_a, d_b) — ONE

@@ -699,4 +699,165 @@ object ScaleOps {
        |  WHERE o_custkey % $RfCustMod = 0) o
        |  ON l_orderkey = o_orderkey
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // --- q237: storage-encoding / sort-key layout advisor -------------------
+
+  /** 1-in-EncSampleMod deterministic hash sample the advisor prices
+    * encodings on (the single-ordered-pass stage runs on the sample,
+    * never the corpus — how ANALYZE-COMPRESSION-style advisors work). */
+  val EncSampleMod = 10L
+
+  /** Audited columns: (name, byte width per value; 0 = string, width
+    * from measured character mass). */
+  val EncColumns: Seq[(String, Int)] = Seq(
+    ("l_orderkey", 8), ("l_partkey", 8), ("l_suppkey", 8),
+    ("l_quantity", 8), ("l_returnflag", 0), ("l_linestatus", 0))
+
+  /** Candidate sort keys (each made TOTAL with the (orderkey,
+    * linenumber) tiebreak so run counts are deterministic). `hash`
+    * models an unclustered layout. */
+  val EncSortKeys: Seq[(String, Seq[String])] = Seq(
+    ("hash", Seq("skhash")),
+    ("by_orderkey", Seq("l_orderkey")),
+    ("by_partkey", Seq("l_partkey")),
+    ("by_flag_status", Seq("l_returnflag", "l_linestatus")))
+
+  /** q237 — storage-encoding / sort-key layout advisor: which sort key
+    * should the 100 TB table be written with, and which encoding per
+    * column? Layout is THE storage-cost lever (Parquet RLE/dict sizes
+    * depend on run structure, which depends on sort order). For each
+    * candidate order the advisor counts exact value RUNS per column on
+    * a deterministic hash sample, then prices three encodings with an
+    * exact-integer cost model — plain = value bytes; RLE =
+    * runs·(avg_width + 4-byte run length); dict = dictionary bytes +
+    * n·code bytes (1/2/4 by cardinality) — picks the cheapest per
+    * column, and totals per sort key with a best-layout flag.
+    * Complements q74's Z-order audit (data SKIPPING) with the storage
+    * side of the same decision.
+    *
+    * Parity: the whole model is exact integer arithmetic (integer
+    * division for the width rationals); run counting is a lag window
+    * over the SAME total order on both engines.
+    *
+    * Scale (100 TB): the corpus-sized work is the sample filter (one
+    * narrow scan, hash predicate pushed to the row level); the ordered
+    * single-partition pass runs on the 1-in-[[EncSampleMod]] sample
+    * only — the standard advisor shape (sampling is the point, not a
+    * shortcut; exact global run counts would cost the very sort being
+    * priced). */
+  def encodingAdvisor(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val li = t(s, dir, "lineitem")
+      .withColumn("skhash", call_function("md5_fp60",
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string"))))
+      .filter(col("skhash") % EncSampleMod === 0)
+      .select((EncColumns.map(c => col(c._1)) ++
+        Seq(col("l_linenumber"), col("skhash"))): _*)
+      .persist()
+    val perKey = EncSortKeys.map { case (label, keys) =>
+      // the synthetic lineitem duplicates (orderkey, linenumber), so a
+      // total order needs every audited column in the tiebreak — then
+      // residual ties are between rows identical on all audited
+      // columns and run counts are tie-order-invariant
+      val order = (keys ++ Seq("l_orderkey", "l_linenumber") ++
+        EncColumns.map(_._1)).distinct.map(col)
+      val w = Window.orderBy(order: _*)
+      val withLag = li.select((li.columns.map(col) ++
+        EncColumns.map { case (c, _) =>
+          lag(col(c), 1).over(w).as(s"prev_$c") }): _*)
+      val aggs = EncColumns.flatMap { case (c, width) =>
+        val wTot =
+          if (width > 0) count(lit(1)) * width
+          else sum(length(col(c)).cast("bigint"))
+        Seq(
+          countDistinct(col(c)).as(s"d_$c"),
+          sum(when(col(s"prev_$c").isNull ||
+            col(s"prev_$c") =!= col(c), 1L).otherwise(0L))
+            .as(s"runs_$c"),
+          wTot.cast("bigint").as(s"w_$c"))
+      } :+ count(lit(1)).as("n")
+      withLag.agg(aggs.head, aggs.tail: _*)
+        .withColumn("sort_key", lit(label))
+    }.reduce(_ unionAll _).persist()
+    val colRows = EncColumns.map { case (c, _) =>
+      perKey.selectExpr("sort_key", s"'$c' AS col_name", "n",
+        s"d_$c AS n_distinct", s"runs_$c AS n_runs",
+        s"w_$c AS plain_b",
+        s"(runs_$c * (w_$c + 4 * n)) DIV n AS rle_b",
+        s"(d_$c * w_$c) DIV n + n * (CASE WHEN d_$c <= 256 THEN 1 " +
+          s"WHEN d_$c <= 65536 THEN 2 ELSE 4 END) AS dict_b")
+    }.reduce(_ unionAll _)
+      .withColumn("best_b", least(col("plain_b"), col("rle_b"),
+        col("dict_b")))
+      .withColumn("encoding",
+        when(col("best_b") === col("rle_b"), "rle")
+          .when(col("best_b") === col("dict_b"), "dict")
+          .otherwise("plain"))
+    val totals = colRows.groupBy("sort_key")
+      .agg(sum(col("best_b")).as("layout_bytes"))
+    val minTot = totals.agg(min(col("layout_bytes")).as("mn"))
+    colRows.join(totals, "sort_key").crossJoin(broadcast(minTot))
+      .select(col("sort_key"), col("col_name"), col("n"),
+        col("n_distinct"), col("n_runs"), col("plain_b"), col("rle_b"),
+        col("dict_b"), col("encoding"), col("layout_bytes"),
+        (col("layout_bytes") === col("mn")).as("best_layout"))
+      .orderBy("sort_key", "col_name")
+  }
+
+  def encodingAdvisorOracle: String = {
+    val sampleFp = "CAST('0x' || substr(md5(CAST(l_orderkey AS " +
+      "VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 15) " +
+      "AS BIGINT)"
+    val keyCtes = EncSortKeys.map { case (label, keys) =>
+      val order = (keys ++ Seq("l_orderkey", "l_linenumber") ++
+        EncColumns.map(_._1)).distinct.mkString(", ")
+      val lags = EncColumns.map { case (c, _) =>
+        s"lag($c) OVER (ORDER BY $order) AS prev_$c" }.mkString(",\n    ")
+      val aggs = EncColumns.map { case (c, width) =>
+        val wTot =
+          if (width > 0) s"CAST(count(*) * $width AS BIGINT)"
+          else s"CAST(sum(length($c)) AS BIGINT)"
+        s"""CAST(count(DISTINCT $c) AS BIGINT) AS d_$c,
+           |    CAST(sum(CASE WHEN prev_$c IS NULL OR prev_$c <> $c
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS runs_$c,
+           |    $wTot AS w_$c""".stripMargin
+      }.mkString(",\n    ")
+      s"""k_$label AS (SELECT '$label' AS sort_key, $aggs,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT smp.*,
+         |    $lags
+         |  FROM smp))""".stripMargin
+    }.mkString(",\n")
+    val colSelects = EncSortKeys.map { case (label, _) =>
+      EncColumns.map { case (c, _) =>
+        s"""SELECT sort_key, '$c' AS col_name, n, d_$c AS n_distinct,
+           |  runs_$c AS n_runs, w_$c AS plain_b,
+           |  (runs_$c * (w_$c + 4 * n)) // n AS rle_b,
+           |  (d_$c * w_$c) // n + n * (CASE WHEN d_$c <= 256 THEN 1
+           |    WHEN d_$c <= 65536 THEN 2 ELSE 4 END) AS dict_b
+           |FROM k_$label""".stripMargin
+      }.mkString("\nUNION ALL ")
+    }.mkString("\nUNION ALL ")
+    s"""WITH smp AS (SELECT l_orderkey, l_partkey, l_suppkey,
+       |    l_quantity, l_returnflag, l_linestatus, l_linenumber,
+       |    $sampleFp AS skhash
+       |  FROM lineitem WHERE $sampleFp % $EncSampleMod = 0),
+       |$keyCtes,
+       |cr AS (SELECT *,
+       |    least(plain_b, rle_b, dict_b) AS best_b,
+       |    CASE WHEN least(plain_b, rle_b, dict_b) = rle_b THEN 'rle'
+       |      WHEN least(plain_b, rle_b, dict_b) = dict_b THEN 'dict'
+       |      ELSE 'plain' END AS encoding
+       |  FROM ($colSelects)),
+       |tt AS (SELECT sort_key, CAST(sum(best_b) AS BIGINT)
+       |    AS layout_bytes FROM cr GROUP BY sort_key),
+       |mt AS (SELECT min(layout_bytes) AS mn FROM tt)
+       |SELECT cr.sort_key, cr.col_name, cr.n, cr.n_distinct,
+       |  cr.n_runs, cr.plain_b, cr.rle_b, cr.dict_b, cr.encoding,
+       |  tt.layout_bytes, tt.layout_bytes = mt.mn AS best_layout
+       |FROM cr JOIN tt USING (sort_key) CROSS JOIN mt
+       |ORDER BY cr.sort_key, cr.col_name""".stripMargin
+  }
 }

@@ -1708,4 +1708,143 @@ class PipelineOpsSpec extends AnyFunSuite {
     val total = spark.read.parquet(s"$dir/lineitem.parquet").count()
     assert(opt.values.map(_._1).sum < total / 10)
   }
+
+  test("q237 encoding advisor: run counts and cost model are internally consistent") {
+    val rows = ScaleOps.encodingAdvisor(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getString(8), r.getLong(9), r.getBoolean(10)))
+      .toMap
+    assert(rows.size == ScaleOps.EncSortKeys.size *
+      ScaleOps.EncColumns.size)
+    // the sample is sort-key independent
+    assert(rows.values.map(_._1).toSet.size == 1)
+    // cost model honesty: recompute rle/dict from (n, d, runs, plain)
+    rows.foreach { case ((sk, c), (n, d, runs, plain, rle, dict,
+        enc, _, _)) =>
+      assert(rle == runs * (plain + 4 * n) / n, s"$sk/$c rle model")
+      val codeB = if (d <= 256) 1L else if (d <= 65536) 2L else 4L
+      assert(dict == d * plain / n + n * codeB, s"$sk/$c dict model")
+      val best = Seq(plain, rle, dict).min
+      val expEnc = if (best == rle) "rle"
+        else if (best == dict) "dict" else "plain"
+      assert(enc == expEnc, s"$sk/$c encoding pick")
+      // runs bounded by both extremes
+      assert(runs >= d.min(n) / n.max(1) && runs <= n && runs >= 1)
+    }
+    // sorting BY a column collapses its runs to its distinct count —
+    // and no other layout does better on that column
+    val flagRuns = rows(("by_flag_status", "l_returnflag"))
+    assert(flagRuns._3 == flagRuns._2,
+      "leading sort column must have runs == distincts")
+    ScaleOps.EncSortKeys.map(_._1).foreach { sk =>
+      assert(rows((sk, "l_returnflag"))._3 >= flagRuns._3)
+    }
+    // with ~3 runs the flag column is RLE under its own sort
+    assert(flagRuns._7 == "rle")
+    // exactly the min-total layout(s) carry the best flag
+    val totals = rows.toSeq.groupBy(_._1._1)
+      .map { case (sk, g) => sk -> g.head._2._8 }
+    val minT = totals.values.min
+    rows.foreach { case ((sk, _), v) =>
+      assert(v._9 == (totals(sk) == minT)) }
+  }
+
+  test("q238 hll set algebra: register-max merge == union rebuild; disjoint intersection is noise") {
+    graft.functions.VectorFunctions.register(spark)
+    val rows = ProfileOps.hllSetAlgebra(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(7), r.getDouble(8),
+        r.getBoolean(10), r.getBoolean(11))).toMap
+    assert(rows.size == 3)
+    // union estimates inside the 3-sigma bound on every pair
+    assert(rows.values.forall(_._7))
+    // sanity: exact set algebra holds (|A|+|B| = |A∪B|+|A∩B|)
+    rows.values.foreach { v =>
+      assert(v._1 + v._2 == v._3 + v._4) }
+    // THE caveat: the disjoint pair's exact intersection is zero but
+    // inclusion-exclusion reports nonzero noise — and the reliability
+    // gate catches exactly that pair
+    val dj = rows("clicks_views")
+    assert(dj._4 == 0L && dj._6 != 0.0 && !dj._8)
+    assert(rows("lo_hi")._8 && rows("lo_clicks")._8)
+    // merge-property honesty: the zip_with register merge equals a
+    // sketch REBUILT from the unioned key stream (max-of-max == max
+    // over union), register by register
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    def regsOf(pred: String): Array[Long] = {
+      val r = ev.filter(expr(pred))
+        .select(col("event_id").cast("string").as("k"))
+        .withColumn("h", call_function("md5_fp60", col("k")))
+        .selectExpr(s"h % ${ProfileOps.HllM} AS bkt",
+          "least(bit_count((((h >> 8) & -(h >> 8)) - 1)) + 1, 53) " +
+            "AS rnk")
+        .groupBy("bkt").agg(max("rnk").as("r")).collect()
+        .map(x => x.getLong(0).toInt -> x.getInt(1).toLong).toMap
+      (0 until ProfileOps.HllM).map(b => r.getOrElse(b, 0L)).toArray
+    }
+    val a = regsOf("value < 100")
+    val b = regsOf("value >= 50")
+    val u = regsOf("(value < 100) OR (value >= 50)")
+    assert(a.zip(b).map(p => p._1 max p._2).sameElements(u),
+      "register-max merge diverged from the union rebuild")
+  }
+
+  test("q239 retraction aggs: maintained state == recompute through deletes, inserts, updates") {
+    val rows = AnalyticsOps.retractionAggs(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(9), r.getBoolean(10))).toMap
+    // THE contract: every group's maintained (n, sum, ssq) equals the
+    // full recompute — through the emptied and the born groups too
+    assert(rows.values.forall(_._8), "maintained state diverged")
+    // the fixture really exercises group birth and death
+    assert(rows.values.exists(v => v._1 > 0 && v._3 == 0),
+      "no group emptied by retraction")
+    assert(rows.values.exists(v => v._1 == 0 && v._3 > 0),
+      "no group born from the batch")
+    // retraction mass: net delta = inserts - deletes (updates net 0)
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val nIns = d.filter(col("doc_id") % 10 === 9).count()
+    val nDel = d.filter(col("doc_id") % 10 === 3).count()
+    assert(rows.values.map(_._2).sum == nIns - nDel)
+    // final corpus row mass matches the maintained totals
+    assert(rows.values.map(_._3).sum == d.count() - nDel)
+    // variance nonnegative wherever defined
+    assert(rows.values.forall(_._7 >= 0))
+  }
+
+  test("q240 blocking audit: key choice ranked as the literature predicts, metrics honest") {
+    val rows = DedupOps.blockingAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8))).toMap
+    assert(rows.size == 4)
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    // one planted truth pair per document, every scheme sees them all
+    assert(rows.values.forall(_._4 == nDocs))
+    // prefix blocking dies on the prefix edit; suffix survives it
+    assert(rows("prefix4")._6 < 0.1, "prefix4 should miss the copies")
+    assert(rows("suffix4")._6 == 1.0)
+    // LSH is the production answer: near-complete AND near-total
+    // reduction, top F-measure
+    assert(rows("minhash_band")._6 > 0.95 &&
+      rows("minhash_band")._7 > 0.99)
+    assert(rows("minhash_band")._8 == rows.values.map(_._8).max)
+    // comparison-count honesty on a single-key scheme: recompute
+    // sum nb*(nb-1)/2 from raw block sizes
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val full = corpus.unionAll(corpus.select(
+      (col("doc_id") + DedupOps.CopyOffset).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    val blocks = full.selectExpr("substr(text, 1, 4) AS k")
+      .groupBy("k").count().collect().map(_.getLong(1))
+    assert(rows("prefix4")._3 == blocks.map(b => b * (b - 1) / 2).sum)
+    // rr consistent with the candidate count
+    val n = 2 * nDocs
+    val total = n * (n - 1) / 2
+    rows.values.foreach { v =>
+      assert(math.abs(v._7 - (1.0 - v._3.toDouble / total)) < 1e-5) }
+  }
 }

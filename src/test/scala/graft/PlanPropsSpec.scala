@@ -997,4 +997,60 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(!pp.contains("might_contain"),
       "conf leak: runtime filter active on the shared session")
   }
+
+  test("q237 encoding advisor: corpus scanned once into the cached sample; ordered passes run on it") {
+    val p = plan(ScaleOps.encodingAdvisor(spark, dir))
+    // every sort-key branch reads the persisted 1-in-10 sample, never
+    // the corpus again
+    assert("InMemoryTableScan".r.findAllIn(p).length >=
+      ScaleOps.EncSortKeys.size,
+      s"sample recomputed per sort key:\n${p.take(1800)}")
+    // the single-partition ordered pass is the documented sample stage
+    assert(p.contains("Window"),
+      s"run counting lost its window:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"advisor went cartesian:\n${p.take(1800)}")
+  }
+
+  test("q238 hll set algebra: native sketch aggregate, union is a 256-element zip, sets cached") {
+    val p = plan(ProfileOps.hllSetAlgebra(spark, dir))
+    assert(p.contains("hll_agg") &&
+      "ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"sketches not built by the native two-phase aggregate:\n${p.take(1800)}")
+    assert(p.contains("zip_with"),
+      s"union merge not the register zip:\n${p.take(1800)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"set sketches recomputed per pair:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"set algebra went cartesian:\n${p.take(1800)}")
+  }
+
+  test("q239 retraction aggs: signed partials collapse map-side, one shared fixture scan") {
+    val p = plan(AnalyticsOps.retractionAggs(spark, dir))
+    // T0 / batch / final all read the persisted fixture frame
+    assert(p.contains("InMemoryTableScan"),
+      s"fixture rescanned per derivation branch:\n${p.take(1800)}")
+    // ±1-weighted sums are ordinary two-phase hash aggregates — the
+    // retraction stream costs what an append stream costs
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"signed partials not map-side combined:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"retraction maintenance went cartesian:\n${p.take(1800)}")
+  }
+
+  test("q240 blocking audit: no candidate self-join — block algebra and linear truth checks only") {
+    val p = plan(DedupOps.blockingAudit(spark, dir))
+    // corpus and signatures persist once across the four schemes
+    assert(p.contains("InMemoryTableScan"),
+      s"corpus/sigs recomputed per scheme:\n${p.take(1800)}")
+    // the whole point: comparisons come from sum nb*(nb-1)/2, and
+    // completeness from doc_id-keyed truth joins — the bands table is
+    // NEVER self-joined on band_hash
+    assert(!p.contains("band_hash#") ||
+      !"band_hash#\\d+\\], \\[band_hash#\\d+\\]".r.findFirstIn(p)
+        .isDefined,
+      s"blocking audit paid the candidate join:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"blocking audit went cartesian:\n${p.take(1800)}")
+  }
 }
