@@ -258,6 +258,8 @@ object SparkEntry {
     "q238_hll_set_algebra"   -> (ProfileOps.hllSetAlgebra _),
     "q239_retraction_aggs"   -> (AnalyticsOps.retractionAggs _),
     "q240_blocking_audit"    -> (DedupOps.blockingAudit _),
+    "q241_fd_discovery"      -> (ProfileOps.fdDiscovery _),
+    "q242_hist_selectivity"  -> (ProfileOps.histSelectivity _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -780,6 +782,8 @@ object SparkEntry {
     "q238_hll_set_algebra" -> ProfileOps.hllSetAlgebraOracle,
     "q239_retraction_aggs" -> AnalyticsOps.retractionAggsOracle,
     "q240_blocking_audit" -> DedupOps.blockingAuditOracle,
+    "q241_fd_discovery" -> ProfileOps.fdDiscoveryOracle,
+    "q242_hist_selectivity" -> ProfileOps.histSelectivityOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

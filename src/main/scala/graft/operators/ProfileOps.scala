@@ -1804,6 +1804,246 @@ object ProfileOps {
        |FROM fp JOIN chi ON chi.scope = fp.scope
        |ORDER BY fp.scope, fp.digit""".stripMargin
 
+  // --- q241: functional-dependency / key discovery audit ------------------
+
+  /** Candidate dependencies: (name, table, lhs columns, rhs column);
+    * rhs = "<row>" audits KEYNESS of the lhs (any group with >1 row
+    * violates). Mix chosen so both verdicts and the approximate band
+    * are real on this data. */
+  val FdCandidates: Seq[(String, String, Seq[String], String)] = Seq(
+    ("li_line_key", "lineitem", Seq("l_orderkey", "l_linenumber"),
+      "<row>"),
+    ("li_line_suppkey", "lineitem", Seq("l_orderkey", "l_linenumber"),
+      "l_suppkey"),
+    ("li_part_supp", "lineitem", Seq("l_partkey"), "l_suppkey"),
+    ("li_order_shipdate", "lineitem", Seq("l_orderkey"), "l_shipdate"),
+    ("ord_key", "orders", Seq("o_orderkey"), "<row>"),
+    ("ord_key_cust", "orders", Seq("o_orderkey"), "o_custkey"),
+    ("ord_cust_priority", "orders", Seq("o_custkey"),
+      "o_orderpriority"),
+    ("cust_key_nation", "customer", Seq("c_custkey"), "c_nationkey"),
+    ("part_brand_type", "part", Seq("p_brand"), "p_type"),
+    ("nation_key_region", "nation", Seq("n_nationkey"), "n_regionkey"))
+
+  /** q241 — functional-dependency / key discovery: the data-profiling
+    * question schema inference, join planning, and contract authoring
+    * all start from — does lhs determine rhs, and is lhs a KEY? Each
+    * candidate is one map-side-combined group collapse counting
+    * per-group distinct rhs (or row count for keyness); a dependency
+    * HOLDS when no group carries >1, and the violation RATE separates
+    * approximate FDs (Papenbrock/TANE's ε) from noise. This audit is
+    * how the repo discovered that (l_orderkey, l_linenumber) is NOT a
+    * key of the synthetic lineitem (dup line rows with differing
+    * suppkeys — the fact that broke q237's first tiebreak), pinned
+    * here as a first-class result next to the holding FK-side
+    * dependencies.
+    *
+    * Parity: all counts are integers; the rate divides once.
+    *
+    * Scale (100 TB): per candidate one narrow scan collapsing
+    * map-side to |lhs-groups| cells and then to ONE row — profiling
+    * cost is scan-bound, output is |candidates| rows. */
+  def fdDiscovery(s: SparkSession, dir: String): DataFrame = {
+    val rows = FdCandidates.map { case (name, table, lhs, rhs) =>
+      val base = t(s, dir, table)
+      val metric =
+        if (rhs == "<row>") count(lit(1))
+        else countDistinct(col(rhs))
+      base.groupBy(lhs.map(col): _*)
+        .agg(metric.as("m"), count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("cnt")).as("n_rows"),
+          sum(when(col("m") > 1, 1L).otherwise(0L))
+            .as("violating_groups"),
+          max(col("m")).as("max_per_group"))
+        .selectExpr(s"'$name' AS fd",
+          s"'${lhs.mkString("+")}' AS lhs", s"'$rhs' AS rhs",
+          "n_rows", "n_groups", "violating_groups", "max_per_group")
+    }
+    rows.reduce(_ unionAll _)
+      .selectExpr("fd", "lhs", "rhs", "n_rows", "n_groups",
+        "violating_groups", "max_per_group",
+        "round(CAST(violating_groups AS DOUBLE) / " +
+          "CAST(n_groups AS DOUBLE), 6) AS violation_rate",
+        "violating_groups = 0 AS holds",
+        "violating_groups * 100 <= n_groups AS approx_holds")
+      .orderBy("fd")
+  }
+
+  def fdDiscoveryOracle: String = {
+    val selects = FdCandidates.map { case (name, table, lhs, rhs) =>
+      val metric =
+        if (rhs == "<row>") "count(*)" else s"count(DISTINCT $rhs)"
+      s"""SELECT '$name' AS fd, '${lhs.mkString("+")}' AS lhs,
+         |  '$rhs' AS rhs,
+         |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |  count(*) AS n_groups,
+         |  CAST(sum(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS violating_groups,
+         |  CAST(max(m) AS BIGINT) AS max_per_group
+         |FROM (SELECT $metric AS m, count(*) AS cnt FROM $table
+         |  GROUP BY ${lhs.mkString(", ")})""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH g AS ($selects)
+       |SELECT fd, lhs, rhs, n_rows, n_groups, violating_groups,
+       |  max_per_group,
+       |  round(CAST(violating_groups AS DOUBLE) /
+       |    CAST(n_groups AS DOUBLE), 6) AS violation_rate,
+       |  violating_groups = 0 AS holds,
+       |  violating_groups * 100 <= n_groups AS approx_holds
+       |FROM g ORDER BY fd""".stripMargin
+  }
+
+  // --- q242: range-selectivity histogram audit ----------------------------
+
+  /** Equi-depth bucket count, the 1-in-k histogram build sample, and
+    * the probe constants (build-time literals spanning the
+    * o_totalprice range). */
+  val HistBuckets = 20
+  val HistSampleMod = 10L
+  val HistProbes: Seq[Double] = Seq(
+    3.3e7, 2.6e9, 6.3e10, 1.6e11, 2.45e11)
+
+  /** q242 — range-selectivity histogram audit: the third leg of the
+    * optimizer-statistics family (q226 prices join edges, q231 join
+    * orders; this prices RANGE predicates). An equi-depth histogram is
+    * built from a deterministic 1-in-[[HistSampleMod]] sample (the
+    * production stats-build shape — percent_rank bucketing on the
+    * sample, never a corpus sort), and each probe `val ≤ c` is
+    * estimated as full-buckets-below plus linear interpolation in the
+    * straddling bucket, scaled by the sampling factor — audited
+    * against the exact count, next to the single-bucket uniform model
+    * whose q-error shows what the histogram buys (~equal at the range
+    * ends, decisively better in the skewed middle).
+    *
+    * Parity: bucket assignment is percent_rank → floor (the
+    * engine-parity-safe decile-grid idiom); per-bucket interpolation
+    * terms freeze to ×1e6 before the order-free sum; q-errors compare
+    * frozen integers.
+    *
+    * Scale (100 TB): corpus work = the sample filter + ONE exact
+    * count pass for the audit side (5 probes in one scan); the
+    * histogram and every estimate are |buckets|-sized arithmetic. */
+  def histSelectivity(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val ord = t(s, dir, "orders")
+    // v = price² — a deterministic monotone transform giving the
+    // SKEWED density a histogram exists for (the raw column is
+    // near-uniform, where the single-bucket model is already right)
+    val smp = ord
+      .filter(call_function("md5_fp60",
+        concat(lit("hist:"), col("o_orderkey").cast("string")))
+        % HistSampleMod === 0)
+      .selectExpr("o_totalprice * o_totalprice AS v")
+    val bucketed = smp.withColumn("pr",
+        percent_rank().over(Window.orderBy("v")))
+      .withColumn("b",
+        least(floor(col("pr") * HistBuckets), lit(HistBuckets - 1))
+          .cast("bigint"))
+    val hist = bucketed.groupBy("b")
+      .agg(count(lit(1)).as("cnt"), min(col("v")).as("lo"),
+        max(col("v")).as("hi")).persist()
+    val nSmp = hist.agg(sum(col("cnt")).as("n_s"),
+      min(col("lo")).as("gmin"), max(col("hi")).as("gmax"))
+    val probeGrid = s.createDataFrame(HistProbes.map(Tuple1(_)))
+      .toDF("c")
+    // per (probe, bucket) interpolation term, frozen ×1e6
+    val est = probeGrid.crossJoin(hist)
+      .withColumn("term_fp", floor(expr(
+        "CASE WHEN hi <= c THEN CAST(cnt AS DOUBLE) " +
+          "WHEN lo > c THEN 0.0 " +
+          "WHEN hi > lo THEN CAST(cnt AS DOUBLE) * (c - lo) / " +
+          "(hi - lo) ELSE CAST(cnt AS DOUBLE) END * 1e6"))
+        .cast("bigint"))
+      .groupBy("c").agg(sum(col("term_fp")).as("est_fp"))
+    val actualAggs = HistProbes.zipWithIndex.map { case (c, i) =>
+      sum(when(expr("o_totalprice * o_totalprice") <= c, 1L)
+        .otherwise(0L)).as(s"a_$i") }
+    val actual = ord.agg(actualAggs.head, actualAggs.tail: _*)
+    val actualRows = HistProbes.zipWithIndex.map { case (c, i) =>
+      actual.selectExpr(s"CAST($c AS DOUBLE) AS c",
+        s"a_$i AS actual") }.reduce(_ unionAll _)
+    est.join(actualRows, "c").crossJoin(broadcast(nSmp))
+      .selectExpr("c", "actual",
+        s"CAST(est_fp AS DOUBLE) / 1e6 * $HistSampleMod AS est_h",
+        s"CAST(n_s AS DOUBLE) * $HistSampleMod * " +
+          "(CASE WHEN c >= gmax THEN 1.0 WHEN c <= gmin THEN 0.0 " +
+          "ELSE (c - gmin) / (gmax - gmin) END) AS est_n")
+      .selectExpr("c", "actual",
+        "round(est_h, 2) AS est_hist", "round(est_n, 2) AS est_naive",
+        "round(greatest((est_h + 1.0) / (CAST(actual AS DOUBLE) + " +
+          "1.0), (CAST(actual AS DOUBLE) + 1.0) / (est_h + 1.0)), 4)" +
+          " AS qerr_hist",
+        "round(greatest((est_n + 1.0) / (CAST(actual AS DOUBLE) + " +
+          "1.0), (CAST(actual AS DOUBLE) + 1.0) / (est_n + 1.0)), 4)" +
+          " AS qerr_naive",
+        "greatest((est_h + 1.0) / (CAST(actual AS DOUBLE) + 1.0), " +
+          "(CAST(actual AS DOUBLE) + 1.0) / (est_h + 1.0)) <= " +
+          "greatest((est_n + 1.0) / (CAST(actual AS DOUBLE) + 1.0), " +
+          "(CAST(actual AS DOUBLE) + 1.0) / (est_n + 1.0)) " +
+          "AS hist_wins")
+      .orderBy("c")
+  }
+
+  def histSelectivityOracle: String = {
+    val sampleFp = "CAST('0x' || substr(md5('hist:' || " +
+      "CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT)"
+    val probeVals = HistProbes.map(c =>
+      s"SELECT CAST($c AS DOUBLE) AS c0").mkString(" UNION ALL ")
+    val actuals = HistProbes.zipWithIndex.map { case (c, i) =>
+      s"CAST(sum(CASE WHEN o_totalprice * o_totalprice <= $c " +
+        s"THEN 1 ELSE 0 END) AS BIGINT) AS a_$i" }.mkString(", ")
+    val actualRows = HistProbes.zipWithIndex.map { case (c, i) =>
+      s"SELECT CAST($c AS DOUBLE) AS c, a_$i AS actual FROM act"
+    }.mkString(" UNION ALL ")
+    s"""WITH smp AS (SELECT o_totalprice * o_totalprice AS v
+       |  FROM orders
+       |  WHERE $sampleFp % $HistSampleMod = 0),
+       |bk AS (SELECT v, least(CAST(floor(pr * $HistBuckets) AS
+       |      BIGINT), ${HistBuckets - 1}) AS b
+       |  FROM (SELECT v, percent_rank() OVER (ORDER BY v) AS pr
+       |    FROM smp)),
+       |hist AS (SELECT b, CAST(count(*) AS BIGINT) AS cnt,
+       |    min(v) AS lo, max(v) AS hi FROM bk GROUP BY b),
+       |ns AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_s,
+       |    min(lo) AS gmin, max(hi) AS gmax FROM hist),
+       |pc AS ($probeVals),
+       |est AS (SELECT c, CAST(sum(term_fp) AS BIGINT) AS est_fp
+       |  FROM (SELECT pc.c0 AS c, CAST(floor(
+       |      CASE WHEN hi <= pc.c0 THEN CAST(cnt AS DOUBLE)
+       |        WHEN lo > pc.c0 THEN 0.0
+       |        WHEN hi > lo THEN CAST(cnt AS DOUBLE) *
+       |          (pc.c0 - lo) / (hi - lo)
+       |        ELSE CAST(cnt AS DOUBLE) END * 1e6) AS BIGINT)
+       |      AS term_fp
+       |    FROM pc CROSS JOIN hist) GROUP BY c),
+       |act AS (SELECT $actuals FROM orders),
+       |ar AS ($actualRows),
+       |j AS (SELECT est.c, ar.actual,
+       |    CAST(est_fp AS DOUBLE) / 1e6 * $HistSampleMod AS est_h,
+       |    CAST(ns.n_s AS DOUBLE) * $HistSampleMod *
+       |      (CASE WHEN est.c >= ns.gmax THEN 1.0
+       |        WHEN est.c <= ns.gmin THEN 0.0
+       |        ELSE (est.c - ns.gmin) / (ns.gmax - ns.gmin) END)
+       |      AS est_n
+       |  FROM est JOIN ar ON ar.c = est.c CROSS JOIN ns)
+       |SELECT c, actual,
+       |  round(est_h, 2) AS est_hist, round(est_n, 2) AS est_naive,
+       |  round(greatest((est_h + 1.0) / (CAST(actual AS DOUBLE) +
+       |    1.0), (CAST(actual AS DOUBLE) + 1.0) / (est_h + 1.0)), 4)
+       |    AS qerr_hist,
+       |  round(greatest((est_n + 1.0) / (CAST(actual AS DOUBLE) +
+       |    1.0), (CAST(actual AS DOUBLE) + 1.0) / (est_n + 1.0)), 4)
+       |    AS qerr_naive,
+       |  greatest((est_h + 1.0) / (CAST(actual AS DOUBLE) + 1.0),
+       |    (CAST(actual AS DOUBLE) + 1.0) / (est_h + 1.0)) <=
+       |    greatest((est_n + 1.0) / (CAST(actual AS DOUBLE) + 1.0),
+       |    (CAST(actual AS DOUBLE) + 1.0) / (est_n + 1.0))
+       |    AS hist_wins
+       |FROM j ORDER BY c""".stripMargin
+  }
+
   // --- q238: HLL set algebra (union merge + inclusion-exclusion) ----------
 
   /** The audited set predicates over events (shared SQL, both

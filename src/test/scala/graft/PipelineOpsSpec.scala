@@ -1847,4 +1847,61 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.values.foreach { v =>
       assert(math.abs(v._7 - (1.0 - v._3.toDouble / total)) < 1e-5) }
   }
+
+  test("q241 fd discovery: keys hold, the broken line-number key is caught, rates honest") {
+    val rows = ProfileOps.fdDiscovery(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getDouble(7), r.getBoolean(8),
+        r.getBoolean(9))).toMap
+    assert(rows.size == ProfileOps.FdCandidates.size)
+    // genuine keys and FK-side dependencies hold
+    Seq("ord_key", "ord_key_cust", "cust_key_nation",
+      "nation_key_region").foreach { f =>
+      assert(rows(f)._6, s"$f should hold") }
+    // the q237 discovery as a first-class result: (orderkey,
+    // linenumber) is NOT a key of the synthetic lineitem, and the dup
+    // lines genuinely disagree on suppkey
+    assert(!rows("li_line_key")._6 && !rows("li_line_suppkey")._6)
+    // basic sanity on every row
+    rows.values.foreach { v =>
+      assert(v._2 <= v._1 && v._3 <= v._2 && v._4 >= 1)
+      assert(v._5 >= 0.0 && v._5 <= 1.0)
+      assert(v._6 == (v._3 == 0L))
+    }
+    // independent recompute of one violated FD
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val viol = li.groupBy("l_partkey")
+      .agg(countDistinct("l_suppkey").as("d"))
+      .filter(col("d") > 1).count()
+    assert(rows("li_part_supp")._3 == viol)
+  }
+
+  test("q242 hist selectivity: equi-depth histogram beats the uniform model on skewed data") {
+    val rows = ProfileOps.histSelectivity(spark, dir).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getBoolean(6))).toMap
+    assert(rows.size == ProfileOps.HistProbes.size)
+    // the histogram wins at EVERY probe on the skewed column
+    assert(rows.values.forall(_._6), "uniform model beat the histogram")
+    rows.values.foreach { v => assert(v._4 <= v._5 + 1e-9) }
+    // the headline gap at the 10%-quantile probe: the uniform model is
+    // off ~10x, the histogram is tight (the MIN probe sits below the
+    // small sample's reach at sf0.001 — both models degenerate there,
+    // which is why it is not the gap witness)
+    val mid = rows(ProfileOps.HistProbes.sorted.apply(1))
+    assert(mid._5 > 3 * mid._4,
+      s"no skew gap: hist ${mid._4} vs naive ${mid._5}")
+    assert(mid._4 < 1.2)
+    // away from the sparse tail the histogram estimate stays tight
+    rows.filterKeys(_ > ProfileOps.HistProbes.min).values
+      .foreach(v => assert(v._4 < 1.2, s"loose hist q-error ${v._4}"))
+    // actual counts are honest and monotone in the probe
+    val act = ProfileOps.HistProbes.sorted.map(c => rows(c)._1)
+    assert(act.sliding(2).forall(p => p(0) <= p(1)))
+    val c0 = ProfileOps.HistProbes.head
+    val direct = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(expr(s"o_totalprice * o_totalprice <= $c0")).count()
+    assert(rows(c0)._1 == direct)
+  }
 }

@@ -1053,4 +1053,27 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"blocking audit went cartesian:\n${p.take(1800)}")
   }
+
+  test("q241 fd discovery: every candidate is a two-phase collapse to one row, no joins") {
+    val p = plan(ProfileOps.fdDiscovery(spark, dir))
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"fd discovery grew a join:\n${p.take(1800)}")
+    assert("HashAggregate".r.findAllIn(p).length >=
+      ProfileOps.FdCandidates.size,
+      s"group collapses not aggregate-shaped:\n${p.take(1800)}")
+  }
+
+  test("q242 hist selectivity: histogram persists once; probes are bucket arithmetic") {
+    val p = plan(ProfileOps.histSelectivity(spark, dir))
+    assert(p.contains("InMemoryTableScan"),
+      s"histogram rebuilt per consumer:\n${p.take(1800)}")
+    assert(p.contains("Window"),
+      s"equi-depth bucketing lost its rank window:\n${p.take(1800)}")
+    // the probe × bucket grid is the only cross join and it is
+    // |probes|·|buckets| sized
+    assert(!p.contains("SortMergeJoin"),
+      s"probe evaluation shuffled:\n${p.take(1800)}")
+  }
 }
