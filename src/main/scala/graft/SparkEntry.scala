@@ -260,6 +260,16 @@ object SparkEntry {
     "q240_blocking_audit"    -> (DedupOps.blockingAudit _),
     "q241_fd_discovery"      -> (ProfileOps.fdDiscovery _),
     "q242_hist_selectivity"  -> (ProfileOps.histSelectivity _),
+    "q243_sorted_neighborhood" -> (DedupOps.sortedNeighborhood _),
+    "q244_interval_overlap"  -> (JoinOps.intervalOverlap _),
+    "q245_mw_drift"          -> (ProfileOps.mwDrift _),
+    "q246_theil_sen"         -> (TimeSeriesOps.theilSen _),
+    "q247_shapley"           -> (AnalyticsOps.shapleyAttribution _),
+    "q248_fs_linkage"        -> (DedupOps.fsLinkage _),
+    "q249_conformal_gate"    -> (CurationOps.conformalGate _),
+    "q250_rr_debias"         -> (CurationOps.rrDebias _),
+    "q251_did_readout"       -> (AnalyticsOps.didReadout _),
+    "q252_bh_fdr"            -> (ProfileOps.bhFdrGate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -784,6 +794,16 @@ object SparkEntry {
     "q240_blocking_audit" -> DedupOps.blockingAuditOracle,
     "q241_fd_discovery" -> ProfileOps.fdDiscoveryOracle,
     "q242_hist_selectivity" -> ProfileOps.histSelectivityOracle,
+    "q243_sorted_neighborhood" -> DedupOps.sortedNeighborhoodOracle,
+    "q244_interval_overlap" -> JoinOps.intervalOverlapOracle,
+    "q245_mw_drift" -> ProfileOps.mwDriftOracle,
+    "q246_theil_sen" -> TimeSeriesOps.theilSenOracle,
+    "q247_shapley" -> AnalyticsOps.shapleyAttributionOracle,
+    "q248_fs_linkage" -> DedupOps.fsLinkageOracle,
+    "q249_conformal_gate" -> CurationOps.conformalGateOracle,
+    "q250_rr_debias" -> CurationOps.rrDebiasOracle,
+    "q251_did_readout" -> AnalyticsOps.didReadoutOracle,
+    "q252_bh_fdr" -> ProfileOps.bhFdrGateOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -906,4 +906,260 @@ object AnalyticsOps {
        |  round(CAST(lift_fp AS DOUBLE) / 1e6, 6) AS lift,
        |  lift_fp >= $PathLiftFlagFp AS over_represented
        |FROM lf ORDER BY path""".stripMargin
+
+  // --- q247: Shapley-value channel attribution ---------------------------
+
+  /** q247 — exact Shapley-value conversion attribution over touchpoint
+    * channel SETS: the game-theoretic alternative to last-touch (q63) and
+    * path mining (q235). The coalition value v(S) counts conversions
+    * whose pre-purchase touch set is contained in S; channel i's Shapley
+    * value is Σ_{S∌i} |S|!(n−1−|S|)!/n! · (v(S∪{i}) − v(S)) — order-free
+    * by construction, so (unlike Markov removal effects) it needs no
+    * iterative solve and every weight is a RATIONAL with denominator n!.
+    *
+    * Exactness: touch sets become bitmasks; v is an integer count per
+    * coalition; φ is accumulated ×n! as a bigint and divided once at the
+    * end. Users who convert with NO prior touch sit at mask 0 — a subset
+    * of every coalition, so they cancel in every marginal (the organic
+    * baseline attributes to nobody, as it should).
+    *
+    * Scale (100 TB): the event stream collapses map-side to per-user
+    * first-purchase + distinct pre-purchase touches (one user_id
+    * exchange); everything after runs on ≤2ⁿ coalition cells (n =
+    * |channels|, here 4 → 16 cells) — the combinatorial stage is
+    * vocabulary-sized, never data-sized. */
+  def shapleyAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val firstPur = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("ts")).as("pts"))
+    val touches = ev.join(firstPur, "user_id")
+      .filter(col("event_type") =!= "purchase" && col("ts") < col("pts"))
+      .select(col("user_id"), col("event_type")).distinct()
+    val chans = touches.select(col("event_type").as("ch")).distinct()
+      .withColumn("bit",
+        (row_number().over(Window.orderBy("ch")) - 1).cast("int"))
+    val masks = touches
+      .join(chans, touches("event_type") === chans("ch"))
+      .groupBy("user_id")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), bit)")).as("mask"))
+    val userMasks = firstPur.select("user_id")
+      .join(masks, Seq("user_id"), "left")
+      .select(coalesce(col("mask"), lit(0L)).as("mask"))
+    val obs = userMasks.groupBy("mask").agg(count(lit(1)).as("conv"))
+    val nDf = chans.agg(count(lit(1)).cast("int").as("n"))
+    val coal = nDf.select(col("n"),
+      explode(expr("sequence(0, shiftleft(1, n) - 1)")).as("smask"))
+    val v = coal.join(obs,
+        obs("mask").bitwiseAND(coal("smask")) === obs("mask"), "left")
+      .groupBy("smask", "n")
+      .agg(coalesce(sum(col("conv")), lit(0L)).as("v"))
+    val fact = "CASE %s WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 " +
+      "WHEN 3 THEN 6 WHEN 4 THEN 24 WHEN 5 THEN 120 END"
+    val marg = chans.join(v.select(col("smask"), col("n"),
+        col("v").as("v0")),
+        expr("(smask & shiftleft(1, bit)) = 0"))
+      .join(v.select(col("smask").as("smask1"), col("v").as("v1")),
+        expr("smask1 = (smask | shiftleft(1, bit))"))
+      .withColumn("scnt", expr("bit_count(smask)"))
+      .withColumn("w", expr(
+        s"CAST(${fact.format("scnt")} AS BIGINT) * " +
+          s"${fact.format("(n - 1 - scnt)")}"))
+    val touched = obs.crossJoin(broadcast(chans))
+      .filter(expr("(mask & shiftleft(1, bit)) <> 0"))
+      .groupBy("ch").agg(sum(col("conv")).as("touched_conv"))
+    marg.groupBy("ch", "n")
+      .agg(sum(col("w") * (col("v1") - col("v0"))).as("phi_scaled"))
+      .join(touched, Seq("ch"), "left")
+      .selectExpr("ch AS channel",
+        "coalesce(touched_conv, 0) AS touched_conv", "phi_scaled",
+        s"round(CAST(phi_scaled AS DOUBLE) / ${fact.format("n")}, 4) " +
+          "AS phi")
+      .orderBy("channel")
+  }
+
+  def shapleyAttributionOracle: String = {
+    val fact = "CASE %s WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 " +
+      "WHEN 3 THEN 6 WHEN 4 THEN 24 WHEN 5 THEN 120 END"
+    s"""WITH fp AS (SELECT user_id, min(ts) AS pts FROM events
+       |  WHERE event_type = 'purchase' GROUP BY user_id),
+       |tch AS (SELECT DISTINCT e.user_id, e.event_type
+       |  FROM events e JOIN fp ON fp.user_id = e.user_id
+       |  WHERE e.event_type <> 'purchase' AND e.ts < fp.pts),
+       |chans AS (SELECT ch, CAST(row_number() OVER (ORDER BY ch) - 1
+       |    AS INT) AS bit
+       |  FROM (SELECT DISTINCT event_type AS ch FROM tch)),
+       |mk AS (SELECT user_id, CAST(sum(1 << bit) AS BIGINT) AS mask
+       |  FROM tch JOIN chans ON chans.ch = tch.event_type
+       |  GROUP BY user_id),
+       |um AS (SELECT coalesce(mk.mask, 0) AS mask FROM fp
+       |  LEFT JOIN mk ON mk.user_id = fp.user_id),
+       |obs AS (SELECT mask, CAST(count(*) AS BIGINT) AS conv FROM um
+       |  GROUP BY mask),
+       |nn AS (SELECT CAST(count(*) AS INT) AS n FROM chans),
+       |coal AS (SELECT n, CAST(unnest(range(0, 1 << n)) AS BIGINT)
+       |    AS smask FROM nn),
+       |v AS (SELECT smask, n,
+       |    CAST(coalesce(sum(conv), 0) AS BIGINT) AS v
+       |  FROM coal LEFT JOIN obs ON (obs.mask & coal.smask) = obs.mask
+       |  GROUP BY smask, n),
+       |marg AS (SELECT chans.ch, v0.n, v0.smask,
+       |    CAST(bit_count(v0.smask) AS INT) AS scnt,
+       |    v1.v - v0.v AS dv
+       |  FROM chans JOIN v v0 ON (v0.smask & (1 << chans.bit)) = 0
+       |  JOIN v v1 ON v1.smask = (v0.smask | (1 << chans.bit))),
+       |phi AS (SELECT ch, n,
+       |    CAST(sum(CAST(${fact.format("scnt")} AS BIGINT) *
+       |      ${fact.format("(n - 1 - scnt)")} * dv) AS BIGINT)
+       |      AS phi_scaled
+       |  FROM marg GROUP BY ch, n),
+       |tc AS (SELECT ch, CAST(sum(conv) AS BIGINT) AS touched_conv
+       |  FROM obs, chans WHERE (mask & (1 << bit)) <> 0 GROUP BY ch)
+       |SELECT ch AS channel, coalesce(touched_conv, 0) AS touched_conv,
+       |  phi_scaled,
+       |  round(CAST(phi_scaled AS DOUBLE) / ${fact.format("n")}, 4)
+       |    AS phi
+       |FROM phi LEFT JOIN tc USING (ch) ORDER BY channel""".stripMargin
+  }
+
+  // --- q251: difference-in-differences experiment readout ----------------
+
+  /** Treatment boundary (day-of-month), placebo boundary, planted lift. */
+  val DidPostDay = 15
+  val DidPlaceboDay = 8
+  val DidPlantLift = 30.0
+
+  /** q251 — difference-in-differences: the quasi-experimental
+    * counterpart of q200's randomized A/B readout, for rollouts where
+    * assignment is NOT randomized over time: treated users (odd
+    * user_id) after the launch day vs their own pre-period, differenced
+    * against the control group's trend. A placebo regression (fake
+    * boundary at day [[DidPlaceboDay]], pre-period only) guards the
+    * parallel-trends assumption: a "detector" that fires on the placebo
+    * is reading seasonality, not the treatment.
+    *
+    * Fixture: a [[DidPlantLift]] lift is planted on treated-post rows
+    * in-query; the stationary stream satisfies parallel trends by
+    * construction, so DiD must recover ≈ the plant and placebo ≈ 0.
+    *
+    * Exactness: per-row values freeze to ×1e6 bigints BEFORE the
+    * order-free cell sums (the q142 ln-freeze discipline); the four
+    * cell means and their differences are one fixed double expression.
+    *
+    * Scale (100 TB): ONE map-combined collapse to (type, treat, post,
+    * placebo-post) cells; everything after is |types|-sized arithmetic.
+    * No shuffle beyond the cell aggregation. */
+  def didReadout(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.t(s, dir, "events").selectExpr("event_type AS et",
+      "CAST(user_id % 2 = 1 AS INT) AS treat",
+      s"CAST(extract(day FROM ts) > $DidPostDay AS INT) AS post",
+      s"CASE WHEN extract(day FROM ts) <= $DidPostDay THEN " +
+        s"CAST(extract(day FROM ts) > $DidPlaceboDay AS INT) " +
+        "ELSE NULL END AS ppost",
+      s"CAST(floor((value + CASE WHEN user_id % 2 = 1 AND " +
+        s"extract(day FROM ts) > $DidPostDay THEN $DidPlantLift " +
+        "ELSE 0.0 END) * 1e6) AS BIGINT) AS v_fp")
+    val cells = ev.groupBy("et").agg(
+      sum(when(col("treat") === 1 && col("post") === 1, col("v_fp")))
+        .as("s_tp"),
+      count(when(col("treat") === 1 && col("post") === 1, 1)).as("n_tp"),
+      sum(when(col("treat") === 1 && col("post") === 0, col("v_fp")))
+        .as("s_t0"),
+      count(when(col("treat") === 1 && col("post") === 0, 1)).as("n_t0"),
+      sum(when(col("treat") === 0 && col("post") === 1, col("v_fp")))
+        .as("s_cp"),
+      count(when(col("treat") === 0 && col("post") === 1, 1)).as("n_cp"),
+      sum(when(col("treat") === 0 && col("post") === 0, col("v_fp")))
+        .as("s_c0"),
+      count(when(col("treat") === 0 && col("post") === 0, 1)).as("n_c0"),
+      sum(when(col("treat") === 1 && col("ppost") === 1, col("v_fp")))
+        .as("p_tp"),
+      count(when(col("treat") === 1 && col("ppost") === 1, 1))
+        .as("m_tp"),
+      sum(when(col("treat") === 1 && col("ppost") === 0, col("v_fp")))
+        .as("p_t0"),
+      count(when(col("treat") === 1 && col("ppost") === 0, 1))
+        .as("m_t0"),
+      sum(when(col("treat") === 0 && col("ppost") === 1, col("v_fp")))
+        .as("p_cp"),
+      count(when(col("treat") === 0 && col("ppost") === 1, 1))
+        .as("m_cp"),
+      sum(when(col("treat") === 0 && col("ppost") === 0, col("v_fp")))
+        .as("p_c0"),
+      count(when(col("treat") === 0 && col("ppost") === 0, 1))
+        .as("m_c0"))
+    val did = "(CAST(s_tp AS DOUBLE) / n_tp - CAST(s_t0 AS DOUBLE) " +
+      "/ n_t0 - (CAST(s_cp AS DOUBLE) / n_cp - CAST(s_c0 AS DOUBLE) " +
+      "/ n_c0)) / 1e6"
+    val placebo = "(CAST(p_tp AS DOUBLE) / m_tp - CAST(p_t0 AS DOUBLE)" +
+      " / m_t0 - (CAST(p_cp AS DOUBLE) / m_cp - CAST(p_c0 AS DOUBLE) " +
+      "/ m_c0)) / 1e6"
+    cells.selectExpr("et AS event_type",
+        "n_tp + n_t0 AS n_treated", "n_cp + n_c0 AS n_control",
+        s"round($did, 4) AS did",
+        s"round($placebo, 4) AS placebo_did",
+        s"$did > ${DidPlantLift / 2} AND abs($placebo) < " +
+          s"${DidPlantLift / 2} AS effect_detected")
+      .orderBy("event_type")
+  }
+
+  def didReadoutOracle: String = {
+    val did = "(CAST(s_tp AS DOUBLE) / n_tp - CAST(s_t0 AS DOUBLE) " +
+      "/ n_t0 - (CAST(s_cp AS DOUBLE) / n_cp - CAST(s_c0 AS DOUBLE) " +
+      "/ n_c0)) / 1e6"
+    val placebo = "(CAST(p_tp AS DOUBLE) / m_tp - CAST(p_t0 AS DOUBLE)" +
+      " / m_t0 - (CAST(p_cp AS DOUBLE) / m_cp - CAST(p_c0 AS DOUBLE) " +
+      "/ m_c0)) / 1e6"
+    s"""WITH e AS (SELECT event_type AS et,
+       |    CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treat,
+       |    CASE WHEN extract(day FROM ts) > $DidPostDay THEN 1 ELSE 0
+       |      END AS post,
+       |    CASE WHEN extract(day FROM ts) <= $DidPostDay THEN
+       |      CASE WHEN extract(day FROM ts) > $DidPlaceboDay THEN 1
+       |        ELSE 0 END ELSE NULL END AS ppost,
+       |    CAST(floor((value + CASE WHEN user_id % 2 = 1 AND
+       |      extract(day FROM ts) > $DidPostDay THEN $DidPlantLift
+       |      ELSE 0.0 END) * 1e6) AS BIGINT) AS v_fp
+       |  FROM events),
+       |c AS (SELECT et,
+       |    CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN v_fp END)
+       |      AS BIGINT) AS s_tp,
+       |    CAST(count(CASE WHEN treat = 1 AND post = 1 THEN 1 END)
+       |      AS BIGINT) AS n_tp,
+       |    CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN v_fp END)
+       |      AS BIGINT) AS s_t0,
+       |    CAST(count(CASE WHEN treat = 1 AND post = 0 THEN 1 END)
+       |      AS BIGINT) AS n_t0,
+       |    CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN v_fp END)
+       |      AS BIGINT) AS s_cp,
+       |    CAST(count(CASE WHEN treat = 0 AND post = 1 THEN 1 END)
+       |      AS BIGINT) AS n_cp,
+       |    CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN v_fp END)
+       |      AS BIGINT) AS s_c0,
+       |    CAST(count(CASE WHEN treat = 0 AND post = 0 THEN 1 END)
+       |      AS BIGINT) AS n_c0,
+       |    CAST(sum(CASE WHEN treat = 1 AND ppost = 1 THEN v_fp END)
+       |      AS BIGINT) AS p_tp,
+       |    CAST(count(CASE WHEN treat = 1 AND ppost = 1 THEN 1 END)
+       |      AS BIGINT) AS m_tp,
+       |    CAST(sum(CASE WHEN treat = 1 AND ppost = 0 THEN v_fp END)
+       |      AS BIGINT) AS p_t0,
+       |    CAST(count(CASE WHEN treat = 1 AND ppost = 0 THEN 1 END)
+       |      AS BIGINT) AS m_t0,
+       |    CAST(sum(CASE WHEN treat = 0 AND ppost = 1 THEN v_fp END)
+       |      AS BIGINT) AS p_cp,
+       |    CAST(count(CASE WHEN treat = 0 AND ppost = 1 THEN 1 END)
+       |      AS BIGINT) AS m_cp,
+       |    CAST(sum(CASE WHEN treat = 0 AND ppost = 0 THEN v_fp END)
+       |      AS BIGINT) AS p_c0,
+       |    CAST(count(CASE WHEN treat = 0 AND ppost = 0 THEN 1 END)
+       |      AS BIGINT) AS m_c0
+       |  FROM e GROUP BY et)
+       |SELECT et AS event_type, n_tp + n_t0 AS n_treated,
+       |  n_cp + n_c0 AS n_control,
+       |  round($did, 4) AS did, round($placebo, 4) AS placebo_did,
+       |  $did > ${DidPlantLift / 2} AND abs($placebo) <
+       |    ${DidPlantLift / 2} AS effect_detected
+       |FROM c ORDER BY event_type""".stripMargin
+  }
 }

@@ -2095,4 +2095,194 @@ object CurationOps {
        |FROM c7 JOIN cl USING (doc_id)
        |GROUP BY cls ORDER BY cls""".stripMargin
   }
+
+  // --- q249: split-conformal quality-gate coverage audit -----------------
+
+  /** Miscoverage target α (×1000 to stay integer-exact). */
+  val ConfAlphaPm = 100L
+  val ConfIdOffset = 7000000L
+  /** Planted degraded docs per base (repetition-collapsed text). */
+  val ConfPlantMod = 10L
+
+  /** q249 — split-conformal prediction applied to the quality gate: the
+    * calibration half of the corpus sets the score threshold at the
+    * ⌊α(n+1)⌋-th smallest calibration score, which guarantees ≥ 1−α
+    * coverage on EXCHANGEABLE test data with no distributional
+    * assumption at all. The audit then measures per-source test
+    * coverage: a source far under 1−α is exactly a source whose data
+    * has drifted from calibration — the conformal version of the drift
+    * monitors (q155/q245), but with a finite-sample guarantee attached.
+    *
+    * Score = distinct-token ratio (repetition-sensitive, q57's family).
+    * Planted: a 'src_degraded' test-only source (text collapsed to one
+    * repeated token → score near 0) that must fall out of coverage.
+    *
+    * Exactness: the threshold is an ORDER-STATISTIC (row_number pick),
+    * not an interpolated quantile; coverage counts are integers; the
+    * only doubles are per-row ratios and final divisions.
+    *
+    * Scale (100 TB): one corpus pass for scores; the calibration sort
+    * runs on the calibration SAMPLE (hash-gated — the q237 discipline:
+    * cap the sample mod as volume grows); coverage is a map-side
+    * (source) collapse against one broadcast threshold scalar. */
+  def conformalGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val d = t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("source"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks"))).as("score"))
+    val plant = t(s, dir, "documents")
+      .filter(col("doc_id") % ConfPlantMod === 0)
+      .withColumn("toks", split(col("text"), " "))
+      .select((col("doc_id") + ConfIdOffset).as("doc_id"),
+        lit("src_degraded").as("source"),
+        (lit(1.0) / size(col("toks"))).as("score"))
+    val base = d.withColumn("cal",
+      call_function("md5_fp60", concat(lit("conf:"),
+        col("doc_id").cast("string"))) % 2 === 0)
+    val cal = base.filter(col("cal"))
+    val test = base.filter(!col("cal"))
+      .select("doc_id", "source", "score")
+      .unionAll(plant)
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val thr = cal.select(col("score"), col("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score"), col("doc_id"))))
+      .crossJoin(broadcast(nCal))
+      .filter(col("rn") ===
+        expr(s"CAST((($ConfAlphaPm) * (n_cal + 1)) div 1000 AS INT)"))
+      .select(col("score").as("tau"), col("n_cal"))
+    test.crossJoin(broadcast(thr))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("score") >= col("tau"), 1L).otherwise(0L))
+          .as("n_covered"),
+        min(col("n_cal")).as("n_cal"))
+      .selectExpr("source", "n_test", "n_covered", "n_cal",
+        "round(CAST(n_covered AS DOUBLE) / n_test, 4) AS coverage",
+        "CAST(n_covered AS DOUBLE) / n_test < 0.8 AS under_covered")
+      .orderBy("source")
+  }
+
+  def conformalGateOracle: String = {
+    val fp = "CAST(CAST('0x' || substr(md5('conf:' || " +
+      "CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS BIGINT)"
+    s"""WITH d AS (SELECT doc_id, source,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS score,
+       |    $fp % 2 = 0 AS cal
+       |  FROM documents),
+       |plant AS (SELECT doc_id + $ConfIdOffset AS doc_id,
+       |    'src_degraded' AS source,
+       |    1.0 / len(string_split(text, ' ')) AS score
+       |  FROM documents WHERE doc_id % $ConfPlantMod = 0),
+       |calset AS (SELECT score, doc_id,
+       |    row_number() OVER (ORDER BY score, doc_id) AS rn
+       |  FROM d WHERE cal),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM calset),
+       |thr AS (SELECT score AS tau, n_cal FROM calset, nc
+       |  WHERE rn = ($ConfAlphaPm * (n_cal + 1)) // 1000),
+       |test AS (SELECT doc_id, source, score FROM d WHERE NOT cal
+       |  UNION ALL SELECT * FROM plant)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_test,
+       |  CAST(sum(CASE WHEN score >= tau THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_covered,
+       |  min(n_cal) AS n_cal,
+       |  round(CAST(sum(CASE WHEN score >= tau THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 4) AS coverage,
+       |  CAST(sum(CASE WHEN score >= tau THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) < 0.8 AS under_covered
+       |FROM test, thr GROUP BY source, tau
+       |ORDER BY source""".stripMargin
+  }
+
+  // --- q250: randomized-response frequency debiasing ---------------------
+
+  /** Keep-true probability p ×1000 and the mechanism's value space. */
+  val RrKeepPm = 700L
+
+  /** q250 — local-DP randomized response with exact debiasing: each
+    * event reports its true type with probability p, otherwise a
+    * uniformly random type — the LOCAL counterpart of the central-DP
+    * releases (q157 adds noise to aggregates; RR perturbs every ROW
+    * before any aggregation, so no raw value ever leaves the client).
+    * The per-type estimator n̂ᵥ = (k·1000·cᵥ − (1000−p·1000)·N) /
+    * (k·p·1000) inverts the mechanism EXACTLY in integer arithmetic:
+    * the numerator is a bigint, and Σn̂ = N holds as an identity.
+    *
+    * Both mechanism draws are deterministic md5 coins (the fixture's
+    * stand-in for client randomness), so the oracle replays the exact
+    * perturbed stream.
+    *
+    * Scale (100 TB): the mechanism is a per-row codegen projection;
+    * the audit is one map-combined (type) collapse — privacy adds zero
+    * exchanges, the defining advantage of local DP at scale. */
+  def rrDebias(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val ev = t(s, dir, "events")
+    val types = ev.select(col("event_type").as("v")).distinct()
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("v")) - 1)
+    val k = types.agg(count(lit(1)).as("k"))
+    val coins = ev.select(col("event_type"),
+        (call_function("md5_fp60", concat(lit("rr:"),
+          col("event_id").cast("string"))) % 1000).as("coin"),
+        call_function("md5_fp60", concat(lit("rrv:"),
+          col("event_id").cast("string"))).as("draw"))
+      .crossJoin(broadcast(k))
+      .withColumn("ridx", col("draw") % col("k"))
+    val reported = coins.join(broadcast(types), col("ridx") === col("idx"))
+      .select(when(col("coin") < RrKeepPm, col("event_type"))
+        .otherwise(col("v")).as("rep"), col("k"))
+    val repCnt = reported.groupBy("rep", "k")
+      .agg(count(lit(1)).as("c_rep"))
+    val trueCnt = ev.groupBy(col("event_type").as("rep"))
+      .agg(count(lit(1)).as("c_true"))
+    val n = ev.agg(count(lit(1)).as("n"))
+    repCnt.join(trueCnt, Seq("rep"), "full_outer")
+      .crossJoin(broadcast(n))
+      .selectExpr("rep AS event_type",
+        "coalesce(c_true, 0) AS true_cnt",
+        "coalesce(c_rep, 0) AS reported_cnt",
+        s"round(CAST(k * 1000 * coalesce(c_rep, 0) - " +
+          s"(1000 - $RrKeepPm) * n AS DOUBLE) / (k * $RrKeepPm), 2) " +
+          "AS est",
+        s"round(abs(CAST(k * 1000 * coalesce(c_rep, 0) - " +
+          s"(1000 - $RrKeepPm) * n AS DOUBLE) / (k * $RrKeepPm) - " +
+          "coalesce(c_true, 0)), 2) AS abs_err")
+      .orderBy("event_type")
+  }
+
+  def rrDebiasOracle: String = {
+    val fp1 = "CAST(CAST('0x' || substr(md5('rr:' || " +
+      "CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS BIGINT)"
+    val fp2 = "CAST(CAST('0x' || substr(md5('rrv:' || " +
+      "CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS BIGINT)"
+    s"""WITH types AS (SELECT v, CAST(row_number() OVER (ORDER BY v) - 1
+       |    AS BIGINT) AS idx
+       |  FROM (SELECT DISTINCT event_type AS v FROM events)),
+       |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM types),
+       |rep AS (SELECT CASE WHEN $fp1 % 1000 < $RrKeepPm
+       |      THEN e.event_type ELSE t.v END AS rep
+       |  FROM events e, kk
+       |  JOIN types t ON t.idx = $fp2 % kk.k),
+       |rc AS (SELECT rep, CAST(count(*) AS BIGINT) AS c_rep FROM rep
+       |  GROUP BY rep),
+       |tc AS (SELECT event_type AS rep, CAST(count(*) AS BIGINT)
+       |    AS c_true FROM events GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events)
+       |SELECT coalesce(rc.rep, tc.rep) AS event_type,
+       |  coalesce(c_true, 0) AS true_cnt,
+       |  coalesce(c_rep, 0) AS reported_cnt,
+       |  round(CAST(k * 1000 * coalesce(c_rep, 0) -
+       |    (1000 - $RrKeepPm) * n AS DOUBLE) / (k * $RrKeepPm), 2)
+       |    AS est,
+       |  round(abs(CAST(k * 1000 * coalesce(c_rep, 0) -
+       |    (1000 - $RrKeepPm) * n AS DOUBLE) / (k * $RrKeepPm) -
+       |    coalesce(c_true, 0)), 2) AS abs_err
+       |FROM rc FULL OUTER JOIN tc ON tc.rep = rc.rep, kk, nn
+       |ORDER BY event_type""".stripMargin
+  }
 }

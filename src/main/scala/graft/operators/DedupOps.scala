@@ -2083,4 +2083,230 @@ object DedupOps {
        |FROM cfg GROUP BY r, b, tau_star, decile
        |ORDER BY r, decile""".stripMargin
   }
+
+  // --- q243: sorted-neighborhood (SNM) dedup ----------------------------
+
+  val SnmIdOffset = 2000000L
+  /** Window width w: each doc is compared with the next w-1 in sort order. */
+  val SnmWindow = 3
+  /** Verify threshold τ = SnmTauNum / SnmTauDen (exact integer compare). */
+  val SnmTauNum = 7
+  val SnmTauDen = 10
+
+  /** q243 — sorted-neighborhood near-dup (Hernández–Stolfo SNM): the
+    * sort-based alternative to hash blocking (q240) and LSH banding
+    * (q31): sort the corpus by a prefix key, slide a width-[[SnmWindow]]
+    * window, and exact-verify only window-adjacent pairs. Near-dups that
+    * share a prefix land adjacent after the sort, so candidate count is
+    * O(n·w) — no band self-join at all.
+    *
+    * Blocked variant (the production shape): the first token is the
+    * block key and the sort + window run PER BLOCK, so the global sort
+    * becomes |blocks| independent partition-local sorts. At 100 TB the
+    * block key must lengthen with the corpus (more prefix tokens) to
+    * keep per-block runs bounded — same knob as LSH's hot-bucket cap.
+    * The sort key is the 5-token prefix: on this closed ~31-word vocab
+    * a 3-token key already collides across unrelated docs, pushing a
+    * true dup out of the window — the classic SNM completeness failure
+    * that production cures with longer keys or a second pass on an
+    * independent key.
+    *
+    * Fixture: the corpus has no shared-prefix near-dups, so one
+    * suffix-perturbed variant (appended OOV token) is planted per
+    * (doc_id % 40 == 0) base; the oracle plants identically.
+    * Verification is exact Jaccard over 3-gram SHINGLE sets in integer
+    * cross-multiplication — unigram sets saturate on the corpus's
+    * closed ~31-word vocabulary (two long unrelated docs share most of
+    * the pool), while the 31³ shingle space stays discriminative.
+    *
+    * Scale (100 TB): one projection pass, one shuffle on the block key,
+    * per-block window (parallel across blocks), and the exact verify
+    * touches only the w-1 window neighbors per doc — candidates are
+    * linear in the corpus by construction, vs the collision-distribution
+    * dependence of hash blocking. */
+  def sortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = d.filter(col("doc_id") % 40 === 0).select(
+      (col("doc_id") + SnmIdOffset).as("doc_id"),
+      concat(col("text"), lit(" zq17")).as("text"))
+    val keyed = d.unionAll(planted)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("toks").getItem(0).as("blk"),
+        array_join(slice(col("toks"), 1, 5), " ").as("skey"),
+        array_distinct(expr("transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))"))
+          .as("tset"))
+    val w = Window.partitionBy("blk").orderBy(col("skey"), col("doc_id"))
+    val neighborCols = (1 until SnmWindow).map(k =>
+      lead(struct(col("doc_id"), col("tset")), k).over(w).as(s"n$k"))
+    val withLeads = keyed.select(
+      Seq(col("doc_id").as("a_id"), col("tset").as("ta")) ++
+        neighborCols: _*)
+    withLeads
+      .withColumn("nb", explode(array(
+        (1 until SnmWindow).map(k => col(s"n$k")): _*)))
+      .filter(col("nb").isNotNull)
+      .select(col("a_id"), col("ta"), col("nb.doc_id").as("b_id"),
+        col("nb.tset").as("tb"))
+      .withColumn("inter_sz",
+        size(array_intersect(col("ta"), col("tb"))).cast("bigint"))
+      .withColumn("union_sz",
+        (size(col("ta")) + size(col("tb"))).cast("bigint")
+          - col("inter_sz"))
+      .filter(col("inter_sz") * SnmTauDen >= col("union_sz") * SnmTauNum)
+      .selectExpr("a_id", "b_id", "inter_sz", "union_sz",
+        "round(CAST(inter_sz AS DOUBLE) / union_sz, 4) AS jacc")
+      .orderBy("a_id", "b_id")
+  }
+
+  def sortedNeighborhoodOracle: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |c AS (SELECT doc_id, text FROM d
+       |  UNION ALL
+       |  SELECT doc_id + $SnmIdOffset, text || ' zq17' FROM d
+       |  WHERE doc_id % 40 = 0),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM c),
+       |k AS (SELECT doc_id, toks[1] AS blk,
+       |    array_to_string(list_slice(toks, 1, 5), ' ') AS skey,
+       |    list_distinct(list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+       |      AS tset FROM tk),
+       |n AS (SELECT doc_id AS a_id, tset AS ta,
+       |    lead(doc_id, 1) OVER w AS b1, lead(tset, 1) OVER w AS t1,
+       |    lead(doc_id, 2) OVER w AS b2, lead(tset, 2) OVER w AS t2
+       |  FROM k WINDOW w AS (PARTITION BY blk ORDER BY skey, doc_id)),
+       |p AS (SELECT a_id, ta, b1 AS b_id, t1 AS tb FROM n
+       |    WHERE b1 IS NOT NULL
+       |  UNION ALL
+       |  SELECT a_id, ta, b2, t2 FROM n WHERE b2 IS NOT NULL),
+       |j AS (SELECT a_id, b_id,
+       |    CAST(len(list_intersect(ta, tb)) AS BIGINT) AS inter_sz,
+       |    CAST(len(ta) + len(tb) AS BIGINT)
+       |      - CAST(len(list_intersect(ta, tb)) AS BIGINT) AS union_sz
+       |  FROM p)
+       |SELECT a_id, b_id, inter_sz, union_sz,
+       |  round(CAST(inter_sz AS DOUBLE) / union_sz, 4) AS jacc
+       |FROM j WHERE inter_sz * $SnmTauDen >= union_sz * $SnmTauNum
+       |ORDER BY a_id, b_id""".stripMargin
+
+  // --- q248: Fellegi–Sunter probabilistic record linkage ----------------
+
+  val FsIdOffset = 5000000L
+  /** Name-agreement edit-distance gate for the γ_name comparator. */
+  val FsNameMaxEdit = 2
+
+  /** q248 — Fellegi–Sunter probabilistic linkage over the customer
+    * table: where q93 links by a hard edit-distance cut, FS scores each
+    * blocked candidate pair by the LIKELIHOOD RATIO of its agreement
+    * pattern γ = (name≈, segment=, balance≈): weight = Π P(γᵢ|match) /
+    * P(γᵢ|non-match). m/u probabilities are estimated from the planted
+    * truth (one perturbed copy per c_custkey % 20 == 0 customer: last
+    * name char rewritten; balance nudged +0.5 but pushed OUT of the
+    * γ_bal gate for every third dup; segment rewritten for every fifth
+    * — so the match class genuinely spreads over patterns and the m
+    * probabilities are non-degenerate, as an EM fit would find them.
+    * Production estimates the same table from labeled pairs or EM).
+    *
+    * Exactness: m/u are integer counts with add-one (Laplace)
+    * smoothing — mandatory, not cosmetic: a comparator no non-match
+    * pair agrees on has u=0 and an unsmoothed odds division by zero;
+    * the pattern weight multiplies THREE fixed-order double ratios
+    * (bit-identical both engines) and every other column is an exact
+    * count. No logs anywhere — ranking by the odds PRODUCT is ranking
+    * by sum of log-weights, so the log-free form is order-equivalent
+    * and stays libm-free.
+    *
+    * Scale (100 TB): candidates come from nation blocking (the q240
+    * family — swap in any key); comparison vectors are per-pair codegen;
+    * m/u estimation and the 2³-row pattern table are metadata-sized.
+    * The pair join is the only data-sized stage and is block-bounded. */
+  def fsLinkage(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey").as("k"),
+      col("c_name").as("nm"), col("c_nationkey").as("nat"),
+      col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+    val plant = c.filter(col("k") % 20 === 0).select(
+      (col("k") + FsIdOffset).as("k"),
+      concat(expr("substr(nm, 1, length(nm) - 1)"), lit("x")).as("nm"),
+      col("nat"),
+      (col("bal") + expr("CASE WHEN k % 60 = 0 THEN 5.0 ELSE 0.5 END"))
+        .as("bal"),
+      expr("CASE WHEN k % 100 = 0 THEN 'SHIFTED' ELSE seg END")
+        .as("seg"))
+    val full = c.unionAll(plant)
+    val a = full.select(col("nat"), col("k").as("ak"),
+      col("nm").as("anm"), col("bal").as("abal"), col("seg").as("aseg"))
+    val b = full.select(col("nat"), col("k").as("bk"),
+      col("nm").as("bnm"), col("bal").as("bbal"), col("seg").as("bseg"))
+    val pairs = a.join(b, Seq("nat")).filter(col("ak") < col("bk"))
+      .select(
+        (levenshtein(col("anm"), col("bnm")) <= FsNameMaxEdit)
+          .cast("int").as("g_name"),
+        (col("aseg") === col("bseg")).cast("int").as("g_seg"),
+        (abs(col("abal") - col("bbal")) <= 1.0).cast("int").as("g_bal"),
+        (col("bk") - col("ak") === FsIdOffset).cast("int").as("is_match"))
+    val counts = pairs.groupBy("g_name", "g_seg", "g_bal").agg(
+      sum(col("is_match")).as("n_match"),
+      sum(lit(1L) - col("is_match")).as("n_unmatch")).persist()
+    val mu = counts.agg(
+      sum(col("g_name") * col("n_match")).as("m1"),
+      sum(col("g_seg") * col("n_match")).as("m2"),
+      sum(col("g_bal") * col("n_match")).as("m3"),
+      sum(col("g_name") * col("n_unmatch")).as("u1"),
+      sum(col("g_seg") * col("n_unmatch")).as("u2"),
+      sum(col("g_bal") * col("n_unmatch")).as("u3"),
+      sum(col("n_match")).as("mm"), sum(col("n_unmatch")).as("uu"))
+    counts.crossJoin(broadcast(mu))
+      .selectExpr("g_name", "g_seg", "g_bal", "n_match", "n_unmatch",
+        s"round($fsOddsExpr, 6) AS odds",
+        s"$fsOddsExpr > 1.0 AS match_zone")
+      .orderBy("g_name", "g_seg", "g_bal")
+  }
+
+  /** Laplace-smoothed FS odds over the m/u scalars — ONE expression
+    * string, stated identically in Spark SQL and the DuckDB oracle. */
+  private[operators] val fsOddsExpr: String =
+    Seq(("g_name", "m1", "u1"), ("g_seg", "m2", "u2"),
+      ("g_bal", "m3", "u3")).map { case (g, m, u) =>
+      s"(CASE WHEN $g = 1 THEN CAST($m + 1 AS DOUBLE) / (mm + 2) " +
+        s"ELSE CAST(mm - $m + 1 AS DOUBLE) / (mm + 2) END / " +
+        s"(CASE WHEN $g = 1 THEN CAST($u + 1 AS DOUBLE) / (uu + 2) " +
+        s"ELSE CAST(uu - $u + 1 AS DOUBLE) / (uu + 2) END))"
+    }.mkString(" * ")
+
+  def fsLinkageOracle: String = {
+    val ratio = fsOddsExpr
+    s"""WITH c AS (SELECT c_custkey AS k, c_name AS nm,
+       |    c_nationkey AS nat, c_acctbal AS bal, c_mktsegment AS seg
+       |  FROM customer),
+       |pl AS (SELECT k + $FsIdOffset AS k,
+       |    substr(nm, 1, length(nm) - 1) || 'x' AS nm, nat,
+       |    bal + CASE WHEN k % 60 = 0 THEN 5.0 ELSE 0.5 END AS bal,
+       |    CASE WHEN k % 100 = 0 THEN 'SHIFTED' ELSE seg END AS seg
+       |  FROM c WHERE k % 20 = 0),
+       |f AS (SELECT * FROM c UNION ALL SELECT * FROM pl),
+       |p AS (SELECT
+       |    CASE WHEN levenshtein(a.nm, b.nm) <= $FsNameMaxEdit THEN 1
+       |      ELSE 0 END AS g_name,
+       |    CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS g_seg,
+       |    CASE WHEN abs(a.bal - b.bal) <= 1.0 THEN 1 ELSE 0 END
+       |      AS g_bal,
+       |    CASE WHEN b.k - a.k = $FsIdOffset THEN 1 ELSE 0 END
+       |      AS is_match
+       |  FROM f a JOIN f b ON a.nat = b.nat AND a.k < b.k),
+       |cnt AS (SELECT g_name, g_seg, g_bal,
+       |    CAST(sum(is_match) AS BIGINT) AS n_match,
+       |    CAST(sum(1 - is_match) AS BIGINT) AS n_unmatch
+       |  FROM p GROUP BY 1, 2, 3),
+       |mu AS (SELECT CAST(sum(g_name * n_match) AS BIGINT) AS m1,
+       |    CAST(sum(g_seg * n_match) AS BIGINT) AS m2,
+       |    CAST(sum(g_bal * n_match) AS BIGINT) AS m3,
+       |    CAST(sum(g_name * n_unmatch) AS BIGINT) AS u1,
+       |    CAST(sum(g_seg * n_unmatch) AS BIGINT) AS u2,
+       |    CAST(sum(g_bal * n_unmatch) AS BIGINT) AS u3,
+       |    CAST(sum(n_match) AS BIGINT) AS mm,
+       |    CAST(sum(n_unmatch) AS BIGINT) AS uu FROM cnt)
+       |SELECT g_name, g_seg, g_bal, n_match, n_unmatch,
+       |  round($ratio, 6) AS odds, $ratio > 1.0 AS match_zone
+       |FROM cnt, mu ORDER BY g_name, g_seg, g_bal""".stripMargin
+  }
 }

@@ -184,4 +184,70 @@ object JoinOps {
         col("state").as("state_at_purchase"), col("version"))
       .orderBy("event_id")
   }
+
+  // --- q244: fact-to-fact interval overlap join via tiling --------------
+
+  /** Tile width in days; each interval lands on ≤ ceil(maxLen/T)+1 tiles. */
+  val OverlapTileDays = 32
+
+  /** q244 — interval self-overlap join by temporal tiling: the
+    * fact-to-fact inequality join (`a.start < b.end AND b.start < a.end`)
+    * Spark would otherwise execute as a cartesian/BNL product. Each order
+    * is given a deterministic interval [sd, ed) (length = okey % 28 + 1
+    * days); both sides explode to the [[OverlapTileDays]]-day tiles the
+    * interval covers, the join becomes an EQUI-join on
+    * (o_orderpriority, tile), and each overlapping pair is counted
+    * exactly once at the tile containing max(sd_a, sd_b) — that day lies
+    * inside both intervals, so both sides are guaranteed to have emitted
+    * the tile, and no distinct-dedup exchange is ever paid.
+    *
+    * The oracle runs the same join as a DIRECT inequality join (DuckDB
+    * IEJoin) — matching hashes prove the tiling decomposition exact.
+    *
+    * Scale (100 TB): tile fan-out is ≤ 2 rows per interval (maxLen ≤
+    * tile width); the equi-join shuffles on (priority, tile) whose
+    * key count grows with the calendar, not the data; pair output is
+    * inherently quadratic in per-tile density — production aggregates
+    * (as here: per-priority counts) rather than materializing pairs,
+    * and skewed tiles fall under AQE skew-split. */
+  def intervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val iv = EtlOps.t(s, dir, "orders").selectExpr(
+      "o_orderkey AS k", "o_orderpriority AS prio",
+      "CAST(datediff(o_orderdate, DATE '1995-01-01') AS BIGINT) AS sd",
+      "CAST(datediff(o_orderdate, DATE '1995-01-01') " +
+        "+ o_orderkey % 28 + 1 AS BIGINT) AS ed")
+    val tiled = iv.withColumn("tile", explode(expr(
+      s"sequence(CAST(floor(sd / $OverlapTileDays) AS BIGINT), " +
+        s"CAST(floor((ed - 1) / $OverlapTileDays) AS BIGINT))")))
+    val a = tiled.select(col("prio"), col("tile"), col("k").as("ak"),
+      col("sd").as("asd"), col("ed").as("aed"))
+    val b = tiled.select(col("prio"), col("tile"), col("k").as("bk"),
+      col("sd").as("bsd"), col("ed").as("bed"))
+    a.join(b, Seq("prio", "tile"))
+      .filter(col("ak") < col("bk") && col("asd") < col("bed") &&
+        col("bsd") < col("aed") &&
+        floor(greatest(col("asd"), col("bsd")) / OverlapTileDays)
+          === col("tile"))
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(least(col("aed"), col("bed"))
+          - greatest(col("asd"), col("bsd"))).as("overlap_days"))
+      .selectExpr("prio", "n_pairs",
+        "CAST(overlap_days AS BIGINT) AS overlap_days")
+      .orderBy("prio")
+  }
+
+  def intervalOverlapOracle: String =
+    s"""WITH iv AS (SELECT o_orderkey AS k, o_orderpriority AS prio,
+       |    CAST(date_diff('day', DATE '1995-01-01', o_orderdate)
+       |      AS BIGINT) AS sd,
+       |    CAST(date_diff('day', DATE '1995-01-01', o_orderdate)
+       |      + o_orderkey % 28 + 1 AS BIGINT) AS ed
+       |  FROM orders)
+       |SELECT a.prio AS prio, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(sum(least(a.ed, b.ed) - greatest(a.sd, b.sd)) AS BIGINT)
+       |    AS overlap_days
+       |FROM iv a JOIN iv b ON a.prio = b.prio AND a.k < b.k
+       |  AND a.sd < b.ed AND b.sd < a.ed
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

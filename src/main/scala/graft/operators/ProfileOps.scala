@@ -2421,4 +2421,207 @@ object ProfileOps {
        |    FROM rows_ r2, mm m2) = 1 AS model_agrees
        |FROM rows_, mm ORDER BY ord""".stripMargin
   }
+
+  // --- q245: Mann–Whitney rank-sum drift test ----------------------------
+
+  /** Day-of-month boundary splitting each stream into the two samples. */
+  val MwSplitDay = 15
+  /** Planted location shift added to the second half of the decoy type. */
+  val MwPlantShift = 25.0
+
+  /** q245 — Mann–Whitney U (Wilcoxon rank-sum) drift test per event
+    * type, first half of the month vs second: the NONPARAMETRIC
+    * companion to q155's KS statistic — sensitive to location shift
+    * where KS measures sup-distance, and (unlike a t-test) immune to
+    * the heavy tails synthetic metric streams carry. Tie-corrected:
+    * ranks are midranks, the variance subtracts Σ(t³−t)/(n(n−1)).
+    *
+    * Exactness: the test runs on the (type, value) CELL grid (the q155
+    * discipline) — 2·midrank = 2·cum_before + t + 1 is an INTEGER, so
+    * 2·R₁ and 2·U₁ and the tie sum are exact bigints; only the final
+    * z-score divides/sqrts doubles, one identical expression tree on
+    * both engines.
+    *
+    * Fixture: the real streams are stationary (|z| small — that is the
+    * audit's answer); one planted drift stream ('click_drift', second
+    * half shifted by +[[MwPlantShift]]) pins the detector's fire side.
+    *
+    * Scale (100 TB): ONE map-combined collapse to (type, value, half)
+    * cells; the rank window runs per type over |cells|, never |rows|;
+    * everything after is |types| arithmetic. */
+  /** Shared stats frame for q245/q252: per type (n1, n2, 2·R₁,
+    * Σ(t³−t)) — exact bigints from the (type, value) cell grid. */
+  private[operators] def mwStatsFrame(s: SparkSession,
+      dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+    val base = ev.selectExpr("event_type AS et", "value",
+      s"CASE WHEN extract(day FROM ts) <= $MwSplitDay THEN 1 ELSE 0 END" +
+        " AS h1")
+    val plant = ev.filter(col("event_type") === "click").selectExpr(
+      "'click_drift' AS et",
+      s"value + CASE WHEN extract(day FROM ts) <= $MwSplitDay THEN 0.0 " +
+        s"ELSE $MwPlantShift END AS value",
+      s"CASE WHEN extract(day FROM ts) <= $MwSplitDay THEN 1 ELSE 0 END" +
+        " AS h1")
+    val cells = base.unionAll(plant).groupBy("et", "value")
+      .agg(sum(col("h1")).as("n1c"),
+        sum(lit(1L) - col("h1")).as("n2c"))
+      .withColumn("t", col("n1c") + col("n2c"))
+    val w = Window.partitionBy("et").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells.withColumn("cumb",
+      coalesce(sum(col("t")).over(w), lit(0L)))
+    ranked.groupBy("et").agg(
+      sum(col("n1c")).as("n1"), sum(col("n2c")).as("n2"),
+      sum(col("n1c") * (lit(2L) * col("cumb") + col("t") + lit(1L)))
+        .as("r1x2"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie_sum"))
+  }
+
+  /** The unrounded tie-corrected z expression over [[mwStatsFrame]]'s
+    * columns — ONE fixed tree, stated identically in the oracle. */
+  private[operators] val MwZExpr: String =
+    "(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) " +
+      "- CAST(n1 * n2 AS DOUBLE)) / (2.0 * sqrt(" +
+      "(CAST(n1 AS DOUBLE) * n2 / 12.0) * " +
+      "(CAST(n1 + n2 + 1 AS DOUBLE) - CAST(tie_sum AS DOUBLE) / " +
+      "(CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))))"
+
+  def mwDrift(s: SparkSession, dir: String): DataFrame = {
+    mwStatsFrame(s, dir)
+      .selectExpr("et AS event_type", "n1", "n2",
+        "r1x2 - n1 * (n1 + 1) AS u1x2", "tie_sum",
+        s"round($MwZExpr, 4) AS z",
+        s"abs($MwZExpr) > 2.576 AS drifted")
+      .orderBy("event_type")
+  }
+
+  def mwDriftOracle: String = {
+    val zExpr = "(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) " +
+      "- CAST(n1 * n2 AS DOUBLE)) / (2.0 * sqrt(" +
+      "(CAST(n1 AS DOUBLE) * n2 / 12.0) * " +
+      "(CAST(n1 + n2 + 1 AS DOUBLE) - CAST(tie_sum AS DOUBLE) / " +
+      "(CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))))"
+    s"""WITH src AS (
+       |  SELECT event_type AS et, value,
+       |    CASE WHEN extract(day FROM ts) <= $MwSplitDay THEN 1 ELSE 0
+       |      END AS h1
+       |  FROM events
+       |  UNION ALL
+       |  SELECT 'click_drift' AS et,
+       |    value + CASE WHEN extract(day FROM ts) <= $MwSplitDay
+       |      THEN 0.0 ELSE $MwPlantShift END AS value,
+       |    CASE WHEN extract(day FROM ts) <= $MwSplitDay THEN 1 ELSE 0
+       |      END AS h1
+       |  FROM events WHERE event_type = 'click'),
+       |cells AS (SELECT et, value,
+       |    CAST(sum(h1) AS BIGINT) AS n1c,
+       |    CAST(sum(1 - h1) AS BIGINT) AS n2c,
+       |    CAST(count(*) AS BIGINT) AS t
+       |  FROM src GROUP BY et, value),
+       |rk AS (SELECT *, coalesce(sum(t) OVER (PARTITION BY et
+       |    ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |    1 PRECEDING), 0) AS cumb FROM cells),
+       |st AS (SELECT et, CAST(sum(n1c) AS BIGINT) AS n1,
+       |    CAST(sum(n2c) AS BIGINT) AS n2,
+       |    CAST(sum(n1c * (2 * cumb + t + 1)) AS BIGINT) AS r1x2,
+       |    CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+       |  FROM rk GROUP BY et)
+       |SELECT et AS event_type, n1, n2,
+       |  r1x2 - n1 * (n1 + 1) AS u1x2, tie_sum,
+       |  round($zExpr, 4) AS z,
+       |  abs($zExpr) > 2.576 AS drifted
+       |FROM st ORDER BY event_type""".stripMargin
+  }
+
+  // --- q252: Benjamini–Hochberg FDR gate over the drift monitors ---------
+
+  /** Two-sided z critical values for αk/m, α=0.05, m=6 monitors —
+    * Φ⁻¹(1 − 0.05k/12) computed at BUILD time and injected as literals
+    * (the q190 discount-table discipline: zero runtime libm beyond the
+    * shared sqrt, bit-identical in both engines). Rebuild if the
+    * monitor count changes. */
+  val BhZCrit: Seq[Double] = Seq(
+    2.638257273476751, 2.3939797998185104, 2.2414027276049464,
+    2.128045234184984, 2.0368341317013874, 1.9599639845400536)
+
+  /** q252 — Benjamini–Hochberg FDR control over the q245 drift
+    * monitors: a fleet running one drift test per stream fires
+    * spuriously at rate α EACH — at 10⁴ monitored sources that is a
+    * pager storm. BH sorts the |z| scores descending, compares the
+    * k-th against the αk/m critical value, and rejects exactly ranks
+    * 1..k* where k* is the LAST passing rank — controlling the
+    * expected false-discovery fraction at α across the whole fleet.
+    *
+    * Exactness: reuses [[mwStatsFrame]]'s exact integers and the ONE
+    * [[MwZExpr]] double tree; critical values are build-time literals;
+    * the BH step-up is integer rank algebra.
+    *
+    * Scale (100 TB): the monitor frame is |streams|-sized (metadata) —
+    * the single-partition rank window costs nothing; all corpus work
+    * is q245's one cell collapse. */
+  def bhFdrGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the e0 suffix makes both engines PARSE the literals as doubles —
+    // a plain decimal literal goes through DECIMAL and the two engines
+    // round the cast differently in the last ulp
+    val crit = BhZCrit.map(v => s"${v}e0").mkString(", ")
+    val z = mwStatsFrame(s, dir)
+      .selectExpr("et", s"$MwZExpr AS z")
+      .withColumn("k", row_number().over(
+        Window.orderBy(abs(col("z")).desc, col("et"))))
+      .withColumn("zcrit",
+        expr(s"CAST(element_at(array($crit), k) AS DOUBLE)"))
+      .withColumn("passing", abs(col("z")) >= col("zcrit"))
+    z.withColumn("kstar", max(when(col("passing"), col("k"))
+        .otherwise(0)).over(Window.partitionBy()))
+      .selectExpr("et AS event_type", "CAST(k AS BIGINT) AS k",
+        "round(z, 4) AS z", "zcrit", "passing",
+        "k <= kstar AS rejected")
+      .orderBy("k")
+  }
+
+  def bhFdrGateOracle: String = {
+    val crit = BhZCrit.map(v => s"${v}e0").mkString(", ")
+    s"""WITH src AS (
+       |  SELECT event_type AS et, value,
+       |    CASE WHEN extract(day FROM ts) <= $MwSplitDay THEN 1 ELSE 0
+       |      END AS h1
+       |  FROM events
+       |  UNION ALL
+       |  SELECT 'click_drift' AS et,
+       |    value + CASE WHEN extract(day FROM ts) <= $MwSplitDay
+       |      THEN 0.0 ELSE $MwPlantShift END AS value,
+       |    CASE WHEN extract(day FROM ts) <= $MwSplitDay THEN 1 ELSE 0
+       |      END AS h1
+       |  FROM events WHERE event_type = 'click'),
+       |cells AS (SELECT et, value,
+       |    CAST(sum(h1) AS BIGINT) AS n1c,
+       |    CAST(sum(1 - h1) AS BIGINT) AS n2c,
+       |    CAST(count(*) AS BIGINT) AS t
+       |  FROM src GROUP BY et, value),
+       |rk AS (SELECT *, coalesce(sum(t) OVER (PARTITION BY et
+       |    ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |    1 PRECEDING), 0) AS cumb FROM cells),
+       |st AS (SELECT et, CAST(sum(n1c) AS BIGINT) AS n1,
+       |    CAST(sum(n2c) AS BIGINT) AS n2,
+       |    CAST(sum(n1c * (2 * cumb + t + 1)) AS BIGINT) AS r1x2,
+       |    CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+       |  FROM rk GROUP BY et),
+       |zz AS (SELECT et, $MwZExpr AS z
+       |  FROM st),
+       |kk AS (SELECT et, z,
+       |    CAST(row_number() OVER (ORDER BY abs(z) DESC, et) AS BIGINT)
+       |      AS k FROM zz),
+       |cc AS (SELECT *, CAST(list_extract([$crit], k) AS DOUBLE)
+       |      AS zcrit,
+       |    abs(z) >= CAST(list_extract([$crit], k) AS DOUBLE)
+       |      AS passing FROM kk),
+       |ks AS (SELECT max(CASE WHEN passing THEN k ELSE 0 END) AS kstar
+       |  FROM cc)
+       |SELECT et AS event_type, k, round(z, 4) AS z, zcrit, passing,
+       |  k <= kstar AS rejected
+       |FROM cc, ks ORDER BY k""".stripMargin
+  }
 }

@@ -494,4 +494,110 @@ object TimeSeriesOps {
       |  CAST(sum(n_test) AS BIGINT) AS n_test_events
       |FROM u WHERE n_train > 0 AND n_test > 0
       |GROUP BY split ORDER BY split""".stripMargin
+
+  // --- q246: Theil–Sen robust trend vs OLS -------------------------------
+
+  /** Planted ramp: cnt = PlantBase + PlantSlope·d, two outlier spikes. */
+  val TsPlantBase = 10L
+  val TsPlantSlope = 3L
+  val TsPlantSpike = 200L
+  val TsPlantSpikeDays = Seq(7L, 21L)
+
+  /** q246 — Theil–Sen robust trend per event type over daily volumes,
+    * next to the OLS slope it is robust version of: the Theil–Sen
+    * estimator is the MEDIAN of all pairwise slopes
+    * (cnt_j − cnt_i)/(d_j − d_i), with a ~29% breakdown point — a
+    * couple of outage/backfill spike days that drag OLS leave it
+    * untouched. The planted ramp (slope [[TsPlantSlope]], two
+    * [[TsPlantSpike]]-high spike days) pins exactly that: its TS slope
+    * stays 3, its OLS slope is pulled off by the spikes.
+    *
+    * Exactness: day indices and counts are integers, so every pairwise
+    * slope is ONE double division (exactly rounded, identical both
+    * engines); the median picks elements by row_number with a total
+    * (slope, d_i, d_j) order; OLS is exact bigint sums into one final
+    * division.
+    *
+    * Scale (100 TB): the corpus collapses map-side to (type, day)
+    * cells — the pairwise frame is |days|²-bounded per type (calendar-
+    * bounded, NOT data-bounded: 30 days → 435 pairs regardless of sf),
+    * so the quadratic stage runs on metadata-sized cells forever. */
+  def theilSen(s: SparkSession, dir: String): DataFrame = {
+    val daily = EtlOps.t(s, dir, "events")
+      .selectExpr("event_type AS et",
+        "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS d")
+      .groupBy("et", "d").agg(count(lit(1)).as("cnt"))
+    val spikes = TsPlantSpikeDays.mkString(", ")
+    val plant = s.range(30).selectExpr("'planted_ramp' AS et",
+      "CAST(id AS BIGINT) AS d",
+      s"CASE WHEN id IN ($spikes) THEN $TsPlantSpike " +
+        s"ELSE $TsPlantBase + $TsPlantSlope * id END AS cnt")
+    val cells = daily.unionAll(plant).persist()
+    val a = cells.select(col("et"), col("d").as("d1"),
+      col("cnt").as("c1"))
+    val b = cells.select(col("et"), col("d").as("d2"),
+      col("cnt").as("c2"))
+    val pairs = a.join(b, Seq("et")).filter(col("d1") < col("d2"))
+      .withColumn("slope",
+        (col("c2") - col("c1")).cast("double") / (col("d2") - col("d1")))
+    val w = Window.partitionBy("et").orderBy("slope", "d1", "d2")
+    val ranked = pairs.withColumn("rn", row_number().over(w))
+    val np = pairs.groupBy("et").agg(count(lit(1)).as("n_pairs"))
+    val med = ranked.join(np, "et")
+      .filter(expr("rn = (n_pairs + 1) div 2 OR " +
+        "rn = (n_pairs + 2) div 2"))
+      .groupBy("et").agg((sum(col("slope")) / count(lit(1)))
+        .as("ts_slope"), min(col("n_pairs")).as("n_pairs"))
+    val ols = cells.groupBy("et").agg(
+        count(lit(1)).as("n_days"), sum(col("d")).as("sx"),
+        sum(col("cnt")).as("sy"), sum(col("d") * col("d")).as("sxx"),
+        sum(col("d") * col("cnt")).as("sxy"))
+      .selectExpr("et", "n_days",
+        "CAST(n_days * sxy - sx * sy AS DOUBLE) / " +
+          "CAST(n_days * sxx - sx * sx AS DOUBLE) AS ols_slope")
+    med.join(ols, "et")
+      .selectExpr("et AS event_type", "n_days", "n_pairs",
+        "round(ts_slope, 6) AS ts_slope",
+        "round(ols_slope, 6) AS ols_slope",
+        "round(abs(ts_slope - ols_slope), 6) AS robust_gap")
+      .orderBy("event_type")
+  }
+
+  def theilSenOracle: String = {
+    val spikes = TsPlantSpikeDays.mkString(", ")
+    s"""WITH daily AS (SELECT event_type AS et,
+       |    CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT) AS d,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |plant AS (SELECT 'planted_ramp' AS et, CAST(r AS BIGINT) AS d,
+       |    CAST(CASE WHEN r IN ($spikes) THEN $TsPlantSpike
+       |      ELSE $TsPlantBase + $TsPlantSlope * r END AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(range(0, 30)) AS r)),
+       |cells AS (SELECT * FROM daily UNION ALL SELECT * FROM plant),
+       |pairs AS (SELECT a.et, a.d AS d1, b.d AS d2,
+       |    CAST(b.cnt - a.cnt AS DOUBLE) / (b.d - a.d) AS slope
+       |  FROM cells a JOIN cells b ON a.et = b.et AND a.d < b.d),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY et
+       |    ORDER BY slope, d1, d2) AS rn FROM pairs),
+       |np AS (SELECT et, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM pairs GROUP BY et),
+       |med AS (SELECT rk.et,
+       |    sum(slope) / count(*) AS ts_slope, min(n_pairs) AS n_pairs
+       |  FROM rk JOIN np ON np.et = rk.et
+       |  WHERE rn = (n_pairs + 1) // 2 OR rn = (n_pairs + 2) // 2
+       |  GROUP BY rk.et),
+       |ols AS (SELECT et, CAST(count(*) AS BIGINT) AS n_days,
+       |    CAST(sum(d) AS BIGINT) AS sx, CAST(sum(cnt) AS BIGINT) AS sy,
+       |    CAST(sum(d * d) AS BIGINT) AS sxx,
+       |    CAST(sum(d * cnt) AS BIGINT) AS sxy
+       |  FROM cells GROUP BY et)
+       |SELECT med.et AS event_type, n_days, n_pairs,
+       |  round(ts_slope, 6) AS ts_slope,
+       |  round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+       |    CAST(n_days * sxx - sx * sx AS DOUBLE), 6) AS ols_slope,
+       |  round(abs(ts_slope - CAST(n_days * sxy - sx * sy AS DOUBLE) /
+       |    CAST(n_days * sxx - sx * sx AS DOUBLE)), 6) AS robust_gap
+       |FROM med JOIN ols ON ols.et = med.et
+       |ORDER BY event_type""".stripMargin
+  }
 }

@@ -1904,4 +1904,235 @@ class PipelineOpsSpec extends AnyFunSuite {
       .filter(expr(s"o_totalprice * o_totalprice <= $c0")).count()
     assert(rows(c0)._1 == direct)
   }
+
+  test("q243 sorted neighborhood: every planted suffix-variant pair is window-adjacent and verified") {
+    val out = DedupOps.sortedNeighborhood(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val planted = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+      .filter(_ % 40 == 0)
+      .map(id => (id, id + DedupOps.SnmIdOffset)).toSet
+    // SNM discovers clusters as window-adjacent CHAINS (equal-key runs
+    // longer than the window connect transitively — the corpus has
+    // natural suffix-perturbed near-dups sharing a planted base's
+    // prefix), so assert union-find connectivity, not direct pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    out.foreach(p => parent(find(p._1)) = find(p._2))
+    planted.foreach { case (a, b) =>
+      assert(find(a) == find(b), s"planted pair ($a,$b) not connected") }
+    // verification is a real Jaccard: inter ≤ union, τ respected, and
+    // the reported jacc matches the integer sizes
+    out.foreach { p =>
+      assert(p._3 <= p._4 && p._3 * DedupOps.SnmTauDen >=
+        p._4 * DedupOps.SnmTauNum)
+      assert(math.abs(p._5 - p._3.toDouble / p._4) < 1e-4)
+    }
+    // directly window-adjacent planted pairs score suffix-perturbation-
+    // shaped high similarity
+    out.filter(p => planted((p._1, p._2)))
+      .foreach(p => assert(p._5 >= 0.9, s"planted pair scored ${p._5}"))
+  }
+
+  test("q244 interval overlap: tiled equi-join count equals the direct inequality join") {
+    val rows = JoinOps.intervalOverlap(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows.size == 5 && rows.values.forall(v => v._1 > 0))
+    // brute-force inequality join (spec-only; the operator under test
+    // must produce identical counts through the tiling decomposition)
+    val iv = spark.read.parquet(s"$dir/orders.parquet").selectExpr(
+      "o_orderkey AS k", "o_orderpriority AS prio",
+      "CAST(datediff(o_orderdate, DATE '1995-01-01') AS BIGINT) AS sd",
+      "CAST(datediff(o_orderdate, DATE '1995-01-01') " +
+        "+ o_orderkey % 28 + 1 AS BIGINT) AS ed")
+    val a = iv.selectExpr("prio", "k AS ak", "sd AS asd", "ed AS aed")
+    val b = iv.selectExpr("prio AS bprio", "k AS bk", "sd AS bsd",
+      "ed AS bed")
+    val direct = a.join(b, expr("prio = bprio AND ak < bk AND " +
+        "asd < bed AND bsd < aed"))
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("least(aed, bed) - greatest(asd, bsd)")).as("od"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(rows == direct, s"tiling diverged: $rows vs $direct")
+    // every overlap contributes ≥1 day
+    rows.values.foreach(v => assert(v._2 >= v._1))
+  }
+
+  test("q245 mann-whitney: planted location shift dominates; stationary streams stay small") {
+    val rows = ProfileOps.mwDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+      .toMap
+    assert(rows.contains("click_drift") && rows.size == 6)
+    // U bounds: 0 ≤ U1 ≤ n1·n2 (we carry 2U1)
+    rows.values.foreach { v =>
+      assert(v._3 >= 0 && v._3 <= 2 * v._1 * v._2)
+      assert(v._4 >= 0)
+      assert(v._6 == (math.abs(v._5) > 2.576))
+    }
+    // the planted shift ADDS to the second half → half-1 ranks sink →
+    // z strictly negative and strictly the largest magnitude
+    val zd = rows("click_drift")._5
+    assert(zd < 0, s"planted drift sign wrong: $zd")
+    rows.filterKeys(_ != "click_drift").values.foreach(v =>
+      assert(math.abs(v._5) < math.abs(zd),
+        s"stationary stream out-drifted the plant: ${v._5} vs $zd"))
+    // plant halves share the base stream's split sizes
+    assert(rows("click_drift")._1 == rows("click")._1 &&
+      rows("click_drift")._2 == rows("click")._2)
+  }
+
+  test("q246 theil-sen: median slope shrugs off the planted spikes that drag OLS") {
+    val rows = TimeSeriesOps.theilSen(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val ramp = rows("planted_ramp")
+    // the ramp's true slope is exactly TsPlantSlope; two 200-high spike
+    // days pull OLS off it but leave the pairwise median untouched
+    assert(ramp._3 == TimeSeriesOps.TsPlantSlope.toDouble,
+      s"TS slope not robust: ${ramp._3}")
+    assert(math.abs(ramp._4 - TimeSeriesOps.TsPlantSlope) > 0.05,
+      s"OLS unexpectedly robust: ${ramp._4}")
+    assert(ramp._1 == 30 && ramp._2 == 30L * 29 / 2)
+    // every group: n_pairs is exactly n_days choose 2, gap consistent
+    rows.values.foreach { v =>
+      assert(v._2 == v._1 * (v._1 - 1) / 2)
+      assert(math.abs(v._5 - math.abs(v._3 - v._4)) < 2e-6)
+    }
+  }
+
+  test("q247 shapley: efficiency axiom holds and the monotone game yields nonnegative values") {
+    val rows = AnalyticsOps.shapleyAttribution(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // independent reconstruction of the game's boundary values
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("pts"))
+    val touched = ev.join(fp, "user_id")
+      .filter(col("event_type") =!= "purchase" && col("ts") < col("pts"))
+    val nChannels = touched.select("event_type").distinct().count().toInt
+    assert(rows.length == nChannels)
+    val vFull = fp.count() // every converted user's mask ⊆ full set
+    val vEmpty = fp.count() -
+      touched.select("user_id").distinct().count() // organic conversions
+    val factN = (1 to nChannels).product
+    // efficiency: Σφ = v(N) − v(∅), exactly, in the ×n! integers
+    assert(rows.map(_._3).sum == factN * (vFull - vEmpty),
+      s"efficiency violated: ${rows.map(_._3).sum}")
+    // monotone game ⇒ every Shapley value nonnegative
+    rows.foreach(r => assert(r._3 >= 0 && r._4 >= 0))
+    // scaled/double consistency
+    rows.foreach(r =>
+      assert(math.abs(r._4 - r._3.toDouble / factN) < 1e-3))
+  }
+
+  test("q248 fellegi-sunter: planted matches spread over patterns; odds order the match zone") {
+    val rows = DedupOps.fsLinkage(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+      .toMap
+    // all matches are planted pairs: total n_match = planted count
+    val nPlanted = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_custkey") % 20 === 0).count()
+    assert(rows.values.map(_._1).sum == nPlanted)
+    // candidate total = sum over nation blocks of nb·(nb−1)/2
+    val blocks = spark.read.parquet(s"$dir/customer.parquet")
+      .groupBy("c_nationkey").count().collect().map(_.getLong(1))
+      .map(nb => { val m = nb + (nb + 19) / 20; m * (m - 1) / 2 })
+    // (each block gains its planted copies: ceil(nb/20) via ids 0,20,…)
+    assert(rows.values.map(v => v._1 + v._2).sum <= blocks.sum)
+    // full agreement sits deep in the match zone; full disagreement
+    // deep in the non-match zone
+    assert(rows((1, 1, 1))._4 && rows((1, 1, 1))._3 > 100.0)
+    // Laplace smoothing floors the all-disagree odds at ~(1/(mm+2))³ /
+    // u-ratios — deep in the non-match zone, not literally zero
+    assert(!rows((0, 0, 0))._4 && rows((0, 0, 0))._3 < 0.5)
+    // the plant's noise makes the m-model non-degenerate: matches in
+    // more than one pattern
+    assert(rows.values.count(_._1 > 0) >= 3)
+    // match_zone ⇔ odds > 1 (flag computed from the same expression)
+    rows.values.foreach(v => assert(v._4 == (v._3 > 1.0) ||
+      math.abs(v._3 - 1.0) < 1e-9))
+  }
+
+  test("q249 conformal gate: degraded source falls out of coverage; base sources hold the guarantee") {
+    val rows = CurationOps.conformalGate(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5))).toMap
+    val deg = rows("src_degraded")
+    val nPlant = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % CurationOps.ConfPlantMod === 0).count()
+    assert(deg._1 == nPlant)
+    assert(deg._5 && deg._4 < 0.5,
+      s"degraded source still covered: ${deg._4}")
+    // pooled base coverage near the 1−α guarantee
+    val base = rows.filterKeys(_ != "src_degraded").values
+    val pooled = base.map(_._2).sum.toDouble / base.map(_._1).sum
+    assert(pooled >= 0.7 && pooled <= 1.0, s"pooled base coverage $pooled")
+    assert(pooled > deg._4)
+    // per-row consistency
+    rows.values.foreach { v =>
+      assert(v._2 <= v._1)
+      assert(math.abs(v._4 - v._2.toDouble / v._1) < 1e-4)
+      assert(v._5 == (v._2.toDouble / v._1 < 0.8))
+    }
+  }
+
+  test("q250 randomized response: the debiased estimates sum to N exactly and track truth") {
+    val rows = CurationOps.rrDebias(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val n = spark.read.parquet(s"$dir/events.parquet").count()
+    // unbiasedness identity: Σ n̂ = N holds exactly pre-rounding; the
+    // output rounds to 2 dp, so allow k·5e-3 of rounding slack
+    assert(math.abs(rows.map(_._4).sum - n) < 0.05,
+      s"estimates sum ${rows.map(_._4).sum} != $n")
+    assert(rows.map(_._3).sum == n && rows.map(_._2).sum == n)
+    // each estimate lands within 4σ of truth (σ ≈ 0.61·√N for p=0.7,
+    // k=5; the hash coins are fixed so this is deterministic)
+    val bound = 4 * 0.61 * math.sqrt(n.toDouble)
+    rows.foreach(r => assert(r._5 <= bound,
+      s"${r._1} err ${r._5} > $bound"))
+  }
+
+  test("q251 diff-in-diff: planted lift recovered, placebo clean, flags consistent") {
+    val rows = AnalyticsOps.didReadout(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+    val n = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(rows.map(r => r._2 + r._3).sum == n)
+    val lift = AnalyticsOps.DidPlantLift
+    rows.foreach { r =>
+      assert(r._6 == (r._4 > lift / 2 && math.abs(r._5) < lift / 2)) }
+    // the lift is 6σ-scale at sf0.01 and ~2σ at sf0.001 — direction
+    // must hold for the majority of streams at any sf
+    assert(rows.count(_._4 > 0) >= 3, s"lift direction lost: $rows")
+    assert(rows.count(_._6) >= 2, "planted effect mostly undetected")
+  }
+
+  test("q252 bh-fdr: planted drift is rank 1 and rejected; rejections form a rank prefix") {
+    val rows = ProfileOps.bhFdrGate(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4), r.getBoolean(5)))
+      .sortBy(_._2)
+    assert(rows.map(_._1).toSet.contains("click_drift"))
+    assert(rows.head._1 == "click_drift" && rows.head._6,
+      s"plant not rank-1-rejected: ${rows.head}")
+    // critical values strictly decrease with rank (the BH ladder)
+    rows.sliding(2).foreach(p => assert(p(0)._4 > p(1)._4))
+    // step-up property: rejected ranks are exactly 1..k*
+    val kstar = rows.filter(_._5).map(_._2).maxOption.getOrElse(0L)
+    rows.foreach(r => assert(r._6 == (r._2 <= kstar)))
+    // z agrees with the q245 monitor it reuses
+    val zs = ProfileOps.mwDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    rows.foreach(r => assert(math.abs(zs(r._1) - r._3) < 1e-9))
+  }
 }

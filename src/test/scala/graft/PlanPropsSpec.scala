@@ -1076,4 +1076,94 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"probe evaluation shuffled:\n${p.take(1800)}")
   }
+
+  test("q243 sorted neighborhood: window-adjacency only — no pair join, no cartesian") {
+    val p = plan(DedupOps.sortedNeighborhood(spark, dir))
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct"),
+      s"SNM grew a candidate join:\n${p.take(1800)}")
+    assert(p.contains("Window"), s"SNM lost its window:\n${p.take(1800)}")
+  }
+
+  test("q244 interval overlap: the inequality join became a tile equi-join") {
+    val p = plan(JoinOps.intervalOverlap(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap join fell back to a product:\n${p.take(1800)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"no equi-join in the tiled plan:\n${p.take(1800)}")
+  }
+
+  test("q245 mann-whitney: cell collapse then per-type window — no joins at all") {
+    val p = plan(ProfileOps.mwDrift(spark, dir))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"rank test grew a join:\n${p.take(1800)}")
+    assert(p.contains("Window") && p.contains("HashAggregate"),
+      s"rank test lost its cell/window shape:\n${p.take(1800)}")
+  }
+
+  test("q246 theil-sen: the quadratic pair stage reads the persisted daily cells") {
+    val p = plan(TimeSeriesOps.theilSen(spark, dir))
+    assert(p.contains("InMemoryTableScan"),
+      s"daily cells recomputed per consumer:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"pair stage went cartesian:\n${p.take(1800)}")
+  }
+
+  test("q247 shapley: corpus collapses before the coalition algebra; no data-sized product") {
+    val p = plan(AnalyticsOps.shapleyAttribution(spark, dir))
+    // the only non-equi joins are on ≤2^n coalition cells — the event
+    // stream itself must reach them only through aggregates
+    assert(p.contains("HashAggregate"),
+      s"no map-side collapse:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"coalition algebra went cartesian on data:\n${p.take(1800)}")
+  }
+
+  test("q248 fellegi-sunter: pairs are block-bounded equi-joins; pattern counts persist once") {
+    val p = plan(DedupOps.fsLinkage(spark, dir))
+    // the only BNL is the broadcast m/u SCALAR against the ≤8 pattern
+    // rows; the data-sized pair stage must be the nation equi-join
+    assert(!p.contains("CartesianProduct"),
+      s"linkage pair stage went cartesian:\n${p.take(1800)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"no equi-join pair stage:\n${p.take(1800)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"pattern counts recomputed for the m/u scalars:\n${p.take(1800)}")
+  }
+
+  test("q249 conformal gate: one calibration window, threshold broadcast, no corpus self-join") {
+    val p = plan(CurationOps.conformalGate(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"conformal gate shuffled a join:\n${p.take(1800)}")
+    assert(p.contains("Window"),
+      s"order-statistic threshold lost its window:\n${p.take(1800)}")
+  }
+
+  test("q250 randomized response: mechanism is per-row projection; joins broadcast-only on cells") {
+    val p = plan(CurationOps.rrDebias(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"RR went cartesian:\n${p.take(1800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"type-index join not broadcast:\n${p.take(1800)}")
+  }
+
+  test("q251 diff-in-diff: one cell collapse, no joins anywhere") {
+    val p = plan(AnalyticsOps.didReadout(spark, dir))
+    assert(!p.contains("Join") && !p.contains("Exchange hashpartitioning(user_id"),
+      s"DiD grew a join:\n${p.take(1800)}")
+    assert(p.contains("HashAggregate"),
+      s"DiD lost its aggregate shape:\n${p.take(1800)}")
+  }
+
+  test("q252 bh-fdr: monitor-frame algebra only — the corpus is touched once via the cell collapse") {
+    val p = plan(ProfileOps.bhFdrGate(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"BH gate grew a join:\n${p.take(1800)}")
+    assert(p.contains("Window"),
+      s"BH gate lost its rank window:\n${p.take(1800)}")
+  }
 }
