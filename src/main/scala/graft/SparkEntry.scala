@@ -270,6 +270,11 @@ object SparkEntry {
     "q250_rr_debias"         -> (CurationOps.rrDebias _),
     "q251_did_readout"       -> (AnalyticsOps.didReadout _),
     "q252_bh_fdr"            -> (ProfileOps.bhFdrGate _),
+    "q253_cusum"             -> (TimeSeriesOps.cusumChangepoint _),
+    "q254_seasonal"          -> (TimeSeriesOps.seasonalDecompose _),
+    "q255_concentration"     -> (ProfileOps.concentration _),
+    "q256_rbo_churn"         -> (AnalyticsOps.rboChurn _),
+    "q257_kendall_tau"       -> (AnalyticsOps.kendallTau _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -804,6 +809,11 @@ object SparkEntry {
     "q250_rr_debias" -> CurationOps.rrDebiasOracle,
     "q251_did_readout" -> AnalyticsOps.didReadoutOracle,
     "q252_bh_fdr" -> ProfileOps.bhFdrGateOracle,
+    "q253_cusum" -> TimeSeriesOps.cusumChangepointOracle,
+    "q254_seasonal" -> TimeSeriesOps.seasonalDecomposeOracle,
+    "q255_concentration" -> ProfileOps.concentrationOracle,
+    "q256_rbo_churn" -> AnalyticsOps.rboChurnOracle,
+    "q257_kendall_tau" -> AnalyticsOps.kendallTauOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

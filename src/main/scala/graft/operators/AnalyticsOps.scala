@@ -1162,4 +1162,182 @@ object AnalyticsOps {
        |    ${DidPlantLift / 2} AS effect_detected
        |FROM c ORDER BY event_type""".stripMargin
   }
+
+  // --- q256: rank-biased overlap (RBO) top-k churn ------------------------
+
+  /** Top-k depth; p is FIXED at 1/2 so every RBO weight is dyadic. */
+  val RboK = 10
+  /** lcm(1..10) · 2¹⁰ — the exact common denominator of all RBO terms. */
+  val RboDen = 2520L * 1024L
+
+  /** q256 — rank-biased overlap between consecutive days' top-k user
+    * leaderboards: set-level churn metrics (q136's manifest churn)
+    * ignore ORDER — RBO (Webber et al.) weights agreement at rank d by
+    * p^d, so a top-1 swap moves it far more than a swap at rank 10.
+    * With p fixed at 1/2 every weight is a dyadic rational, so the
+    * whole metric accumulates as ONE exact integer: rbo·2520·1024 =
+    * Σ_d o_d · (2520/d) · 2^(10−d) — zero libm, zero float sums (the
+    * τ-grid powers-of-two discipline).
+    *
+    * Exactness: integer throughout; the readable rbo column is one
+    * final division. Ranks tie-break by user_id on both engines.
+    *
+    * Fixture: three planted power users (the whole stream re-labeled
+    * round-robin) anchor the top of every day's board — RBO must read
+    * a stable prefix over a churning tail, where plain top-k overlap
+    * reads mostly churn.
+    *
+    * Scale (100 TB): one (day, user) collapse; the rank window is
+    * per-day; everything downstream operates on 2·k rows per day pair
+    * — calendar-sized, not data-sized. */
+  def rboChurn(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.t(s, dir, "events")
+      .selectExpr("CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS d",
+        "user_id", "event_type")
+    val plant = ev.selectExpr("d",
+      "CAST(9000001 + user_id % 3 AS BIGINT) AS user_id")
+    val daily = ev.select("d", "user_id").unionAll(plant)
+      .groupBy("d", "user_id").agg(count(lit(1)).as("cnt"))
+    val ranked = daily.withColumn("r", row_number().over(
+        Window.partitionBy("d")
+          .orderBy(col("cnt").desc, col("user_id"))))
+      .filter(col("r") <= RboK).persist()
+    val a = ranked.select(col("d"), col("user_id"), col("r").as("ra"))
+    val b = ranked.select((col("d") - 1).as("d"), col("user_id"),
+      col("r").as("rb"))
+    val matched = a.join(b, Seq("d", "user_id"))
+      .select((col("d") + 1).as("day"), col("ra"), col("rb"))
+    val dgrid = ranked.select(col("d").as("day")).distinct()
+      .filter(col("day") >= 1)
+    val depth = dgrid.select(col("day"),
+      explode(expr(s"sequence(1, $RboK)")).as("dep"))
+    val terms = depth.join(matched, Seq("day"), "left")
+      .groupBy("day", "dep")
+      .agg(sum(when(col("ra") <= col("dep") && col("rb") <= col("dep"),
+        1L).otherwise(0L)).as("o"))
+      .withColumn("term", col("o") * (lit(2520L) / col("dep"))
+        .cast("bigint") * expr(s"shiftleft(CAST(1 AS BIGINT), " +
+          s"$RboK - dep)"))
+    terms.groupBy("day").agg(
+        sum(col("term")).as("rbo_fp"),
+        max(when(col("dep") === RboK, col("o"))).as("overlap_k"))
+      .selectExpr("day", "overlap_k",
+        s"round(CAST(rbo_fp AS DOUBLE) / $RboDen, 6) AS rbo")
+      .orderBy("day")
+  }
+
+  def rboChurnOracle: String =
+    s"""WITH ev AS (SELECT
+       |    CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT) AS d,
+       |    user_id FROM events
+       |  UNION ALL
+       |  SELECT CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT),
+       |    CAST(9000001 + user_id % 3 AS BIGINT)
+       |  FROM events),
+       |daily AS (SELECT d, user_id, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM ev GROUP BY 1, 2),
+       |rk AS (SELECT d, user_id, CAST(row_number() OVER (
+       |    PARTITION BY d ORDER BY cnt DESC, user_id) AS BIGINT) AS r
+       |  FROM daily QUALIFY r <= $RboK),
+       |m AS (SELECT b.d AS day, a.r AS ra, b.r AS rb
+       |  FROM rk a JOIN rk b ON b.user_id = a.user_id
+       |    AND b.d = a.d + 1),
+       |dg AS (SELECT DISTINCT d AS day FROM rk WHERE d >= 1),
+       |dep AS (SELECT day, CAST(unnest(range(1, ${RboK + 1}))
+       |    AS BIGINT) AS dep FROM dg),
+       |t AS (SELECT dep.day, dep.dep,
+       |    CAST(sum(CASE WHEN ra <= dep.dep AND rb <= dep.dep THEN 1
+       |      ELSE 0 END) AS BIGINT) AS o
+       |  FROM dep LEFT JOIN m ON m.day = dep.day
+       |  GROUP BY dep.day, dep.dep),
+       |s AS (SELECT day,
+       |    CAST(sum(o * (2520 // dep) * (1 << ($RboK - dep)))
+       |      AS BIGINT) AS rbo_fp,
+       |    CAST(max(CASE WHEN dep = $RboK THEN o END) AS BIGINT)
+       |      AS overlap_k
+       |  FROM t GROUP BY day)
+       |SELECT day, overlap_k,
+       |  round(CAST(rbo_fp AS DOUBLE) / $RboDen, 6) AS rbo
+       |FROM s ORDER BY day""".stripMargin
+
+  // --- q257: Kendall τ-b rank correlation ---------------------------------
+
+  /** Per-source pair-stage sample gate (1-in-mod of docs for sources
+    * beyond the quadratic budget; identity at test scale). */
+  val TauSampleMod = 1L
+
+  /** q257 — Kendall τ-b between two per-document quality signals
+    * (distinct-token ratio vs length), per source: the RANK-correlation
+    * companion to q90's per-group OLS — gate-redundancy analysis asks
+    * "do these two signals ORDER documents the same way", which is a
+    * τ question, not a Pearson one, and τ-b handles the tie mass a
+    * closed vocabulary creates. C, D and tie counts are exact integers
+    * from the pair join; τ-b = (C−D)/√((n₀−T_x)(n₀−T_y)) is one final
+    * double expression.
+    *
+    * Scale (100 TB): pairs are per-source quadratic — the production
+    * form gates the pair stage on a hash sample ([[TauSampleMod]], the
+    * q237/q242 sampling discipline) so the quadratic budget is fixed
+    * per source regardless of corpus size. */
+  def kendallTau(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val d = EtlOps.t(s, dir, "documents")
+      .filter(call_function("md5_fp60",
+        concat(lit("tau:"), col("doc_id").cast("string")))
+        % TauSampleMod === 0)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("source"), col("doc_id"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks"))).as("x"),
+        col("n_chars").as("y"))
+    val a = d.select(col("source"), col("doc_id").as("ai"),
+      col("x").as("xa"), col("y").as("ya"))
+    val b = d.select(col("source"), col("doc_id").as("bi"),
+      col("x").as("xb"), col("y").as("yb"))
+    a.join(b, Seq("source")).filter(col("ai") < col("bi"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n0"),
+        sum(when((col("xa") > col("xb") && col("ya") > col("yb")) ||
+          (col("xa") < col("xb") && col("ya") < col("yb")), 1L)
+          .otherwise(0L)).as("c"),
+        sum(when((col("xa") > col("xb") && col("ya") < col("yb")) ||
+          (col("xa") < col("xb") && col("ya") > col("yb")), 1L)
+          .otherwise(0L)).as("d"),
+        sum(when(col("xa") === col("xb"), 1L).otherwise(0L)).as("tx"),
+        sum(when(col("ya") === col("yb"), 1L).otherwise(0L)).as("ty"))
+      .selectExpr("source", "n0", "c", "d", "tx", "ty",
+        "CASE WHEN n0 > tx AND n0 > ty THEN " +
+          "round(CAST(c - d AS DOUBLE) / sqrt(CAST(n0 - tx AS DOUBLE) " +
+          "* CAST(n0 - ty AS DOUBLE)), 6) ELSE NULL END AS tau_b")
+      .orderBy("source")
+  }
+
+  def kendallTauOracle: String = {
+    val fp = "CAST(CAST('0x' || substr(md5('tau:' || " +
+      "CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS BIGINT)"
+    s"""WITH d AS (SELECT source, doc_id,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS x,
+       |    n_chars AS y
+       |  FROM documents WHERE $fp % $TauSampleMod = 0),
+       |p AS (SELECT a.source,
+       |    a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+       |  FROM d a JOIN d b ON a.source = b.source
+       |    AND a.doc_id < b.doc_id),
+       |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n0,
+       |    CAST(sum(CASE WHEN (xa > xb AND ya > yb) OR
+       |      (xa < xb AND ya < yb) THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN (xa > xb AND ya < yb) OR
+       |      (xa < xb AND ya > yb) THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(sum(CASE WHEN xa = xb THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS tx,
+       |    CAST(sum(CASE WHEN ya = yb THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ty
+       |  FROM p GROUP BY source)
+       |SELECT source, n0, c, d, tx, ty,
+       |  CASE WHEN n0 > tx AND n0 > ty THEN
+       |    round(CAST(c - d AS DOUBLE) / sqrt(CAST(n0 - tx AS DOUBLE) *
+       |      CAST(n0 - ty AS DOUBLE)), 6) ELSE NULL END AS tau_b
+       |FROM ag ORDER BY source""".stripMargin
+  }
 }

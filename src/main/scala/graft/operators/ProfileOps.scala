@@ -2624,4 +2624,81 @@ object ProfileOps {
        |  k <= kstar AS rejected
        |FROM cc, ks ORDER BY k""".stripMargin
   }
+
+  // --- q255: token-concentration metrics (HHI / Gini / top share) --------
+
+  /** q255 — corpus concentration audit per source: Herfindahl–Hirschman
+    * index, Gini coefficient, and top-token share over each source's
+    * token-frequency distribution. The inequality-measure companion to
+    * q142's Zipf slope: Zipf fits the SHAPE of the frequency law, these
+    * summarize how concentrated the probability mass actually is — the
+    * first screen for template-stamped or single-boilerplate sources
+    * before the heavier dedup detectors run.
+    *
+    * Fixture: a planted 'src_skew' source (every src0 doc collapsed to
+    * one fixed token repeated) that must peg HHI→1 and top share→1 —
+    * and Gini→0, the classic degenerate case (ONE type is perfect
+    * equality among types) that makes reading HHI and Gini together,
+    * not either alone, the point of the audit.
+    *
+    * Exactness: HHI = Σc²/C² and top share are single divisions of
+    * exact bigints; Gini = (2·Σᵢ i·c₍ᵢ₎ − (n+1)·C) / (n·C) from an
+    * integer rank window over the ≤|vocab| frequency cells.
+    *
+    * Scale (100 TB): the corpus collapses map-side to (source, token)
+    * cells — vocabulary-sized, NOT data-sized (the closed-vocab memory:
+    * this frame does not grow under corpus replication); all three
+    * metrics are window/aggregate algebra on those cells. */
+  def concentration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+    val plant = d.filter(col("source") === "src0")
+      .withColumn("toks", split(col("text"), " "))
+      .selectExpr("'src_skew' AS source",
+        "array_join(array_repeat('skewtok', size(toks)), ' ') AS text")
+    val cells = d.select(col("source"), col("text"))
+      .unionAll(plant)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val ranked = cells.withColumn("i", row_number().over(
+      Window.partitionBy("source").orderBy(col("c"), col("tok"))))
+    ranked.groupBy("source").agg(
+        count(lit(1)).as("n_types"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("sumsq"),
+        sum(col("i") * col("c")).as("s1"), max(col("c")).as("cmax"))
+      .selectExpr("source", "n_types", "total",
+        "round(CAST(sumsq AS DOUBLE) / (CAST(total AS DOUBLE) * total)" +
+          ", 6) AS hhi",
+        "round(CAST(2 * s1 - (n_types + 1) * total AS DOUBLE) / " +
+          "(CAST(n_types AS DOUBLE) * total), 6) AS gini",
+        "round(CAST(cmax AS DOUBLE) / total, 6) AS top_share")
+      .orderBy("source")
+  }
+
+  def concentrationOracle: String =
+    s"""WITH plant AS (SELECT 'src_skew' AS source,
+       |    trim(repeat('skewtok ',
+       |      len(string_split(text, ' ')))) AS text
+       |  FROM documents WHERE source = 'src0'),
+       |c AS (SELECT source, text FROM documents
+       |  UNION ALL SELECT source, text FROM plant),
+       |cells AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+       |  FROM c),
+       |fc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM cells GROUP BY source, tok),
+       |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY c, tok) AS BIGINT) AS i FROM fc),
+       |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+       |    CAST(sum(c) AS BIGINT) AS total,
+       |    CAST(sum(c * c) AS BIGINT) AS sumsq,
+       |    CAST(sum(i * c) AS BIGINT) AS s1,
+       |    CAST(max(c) AS BIGINT) AS cmax
+       |  FROM rk GROUP BY source)
+       |SELECT source, n_types, total,
+       |  round(CAST(sumsq AS DOUBLE) / (CAST(total AS DOUBLE) * total),
+       |    6) AS hhi,
+       |  round(CAST(2 * s1 - (n_types + 1) * total AS DOUBLE) /
+       |    (CAST(n_types AS DOUBLE) * total), 6) AS gini,
+       |  round(CAST(cmax AS DOUBLE) / total, 6) AS top_share
+       |FROM ag ORDER BY source""".stripMargin
 }

@@ -600,4 +600,178 @@ object TimeSeriesOps {
        |FROM med JOIN ols ON ols.et = med.et
        |ORDER BY event_type""".stripMargin
   }
+
+  // --- q253: CUSUM change-point detection --------------------------------
+
+  /** Baseline window (days) and the ×sum0 threshold multiplier. */
+  val CusumBaselineDays = 10
+  /** Detection threshold h = 2·μ₀, i.e. h×100 = 20·sum0. */
+  val CusumThreshX = 20L
+  /** Planted step: the decoy stream doubles its volume after this day. */
+  val CusumStepDay = 20
+
+  /** q253 — CUSUM change-point detection over daily volumes: the
+    * SEQUENTIAL drift detector next to the distributional tests
+    * (q155/q245 compare two fixed windows; CUSUM accumulates evidence
+    * day by day and reports WHEN the shift happened). The classical
+    * recursion S_t = max(0, S_{t−1} + x_t − μ₀ − k) looks inherently
+    * serial, but the prefix-min identity S_t = cum_t − min(0,
+    * min_{j≤t} cum_j) turns it into two window passes (running sum +
+    * running min) — fully parallel per stream.
+    *
+    * Exactness: everything runs ×100 in integers — y×100 = 100·x_t −
+    * 11·sum0 encodes x_t − μ₀ − k with μ₀ = sum0/10 and slack
+    * k = μ₀/10; the threshold is [[CusumThreshX]]·sum0. No doubles
+    * anywhere except the readable s_max column.
+    *
+    * Fixture: a planted 'click_step' stream doubles its daily volume
+    * after day [[CusumStepDay]] (union of one extra copy) — CUSUM must
+    * fire within a few days of the step; stationary streams must not.
+    *
+    * Scale (100 TB): one map-combined collapse to (type, day) cells;
+    * both window passes run per type over ≤|calendar| cells. */
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.t(s, dir, "events")
+    val base = ev.selectExpr("event_type AS et",
+      "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS d")
+    val plantAll = ev.filter(col("event_type") === "click")
+      .selectExpr("'click_step' AS et",
+        "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS d")
+    val plantExtra = plantAll.filter(col("d") >= CusumStepDay)
+    val daily = base.unionAll(plantAll).unionAll(plantExtra)
+      .groupBy("et", "d").agg(count(lit(1)).as("x"))
+    val sum0 = daily.filter(col("d") < CusumBaselineDays)
+      .groupBy("et").agg(sum(col("x")).as("sum0"))
+    val wCum = Window.partitionBy("et").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = daily.join(sum0, "et")
+      .withColumn("y100", lit(100L) * col("x") - lit(11L) * col("sum0"))
+      .withColumn("cum", sum(col("y100")).over(wCum))
+      .withColumn("s100", col("cum") -
+        least(lit(0L), min(col("cum")).over(wCum)))
+    cum.groupBy("et").agg(
+        max(col("s100")).as("s_max100"),
+        min(when(col("s100") > lit(CusumThreshX) * col("sum0"),
+          col("d")))
+          .as("detect_day"),
+        min(col("sum0")).as("sum0"))
+      .selectExpr("et AS event_type", "s_max100",
+        "round(CAST(s_max100 AS DOUBLE) / 100.0, 2) AS s_max",
+        "coalesce(detect_day, -1) AS detect_day",
+        s"s_max100 > $CusumThreshX * sum0 AS detected")
+      .orderBy("event_type")
+  }
+
+  def cusumChangepointOracle: String =
+    s"""WITH base AS (SELECT event_type AS et,
+       |    CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT) AS d
+       |  FROM events
+       |  UNION ALL
+       |  SELECT 'click_step' AS et,
+       |    CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT) AS d
+       |  FROM events WHERE event_type = 'click'
+       |  UNION ALL
+       |  SELECT 'click_step' AS et,
+       |    CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT) AS d
+       |  FROM events WHERE event_type = 'click'
+       |    AND CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+       |      >= $CusumStepDay),
+       |daily AS (SELECT et, d, CAST(count(*) AS BIGINT) AS x
+       |  FROM base GROUP BY et, d),
+       |s0 AS (SELECT et, CAST(sum(x) AS BIGINT) AS sum0 FROM daily
+       |  WHERE d < $CusumBaselineDays GROUP BY et),
+       |c AS (SELECT daily.et, d, sum0,
+       |    CAST(sum(100 * x - 11 * sum0) OVER (PARTITION BY daily.et
+       |      ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+       |      ROW) AS BIGINT) AS cum
+       |  FROM daily JOIN s0 ON s0.et = daily.et),
+       |sv AS (SELECT et, d, sum0, cum - least(0, min(cum) OVER (
+       |    PARTITION BY et ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+       |    AND CURRENT ROW)) AS s100
+       |  FROM c)
+       |SELECT et AS event_type,
+       |  CAST(max(s100) AS BIGINT) AS s_max100,
+       |  round(CAST(max(s100) AS DOUBLE) / 100.0, 2) AS s_max,
+       |  coalesce(min(CASE WHEN s100 > $CusumThreshX * sum0 THEN d
+       |    END), -1) AS detect_day,
+       |  max(s100) > $CusumThreshX * min(sum0) AS detected
+       |FROM sv GROUP BY et ORDER BY event_type""".stripMargin
+
+  // --- q254: calendar seasonality decomposition ---------------------------
+
+  /** Planted weekly cycle: base level, amplitude, cycling day-of-week. */
+  val SeasBase = 50L
+  val SeasAmp = 30L
+  val SeasDow = 5L
+
+  /** q254 — additive seasonal decomposition of daily volumes: volume =
+    * trend (7-day centered moving average) + day-of-week effect (mean
+    * of the detrended series per weekday) + residual. The drift
+    * monitors (q155/q245/q253) all assume an exchangeable or stationary
+    * stream — a weekly cycle breaks that assumption and this operator
+    * is the decomposition that removes it before they run.
+    *
+    * Exactness: trend is an exact small-rational (7-day sum / count,
+    * edges use the available window); the detrended series freezes to
+    * ×1e6 bigints before the per-weekday mean (order-free sum); the
+    * residual is one fixed double expression.
+    *
+    * Fixture: a planted 'weekly_cycle' stream (+[[SeasAmp]] every
+    * dow [[SeasDow]]) whose recovered weekday effect must isolate the
+    * planted amplitude.
+    *
+    * Scale (100 TB): one (type, day) cell collapse; windows and dow
+    * means run on |calendar| cells per stream. */
+  def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = EtlOps.t(s, dir, "events")
+      .selectExpr("event_type AS et",
+        "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS d")
+      .groupBy("et", "d").agg(count(lit(1)).as("x"))
+    val plant = s.range(30).selectExpr("'weekly_cycle' AS et",
+      "CAST(id AS BIGINT) AS d",
+      s"$SeasBase + CASE WHEN id % 7 = $SeasDow THEN $SeasAmp ELSE 0 " +
+        "END AS x")
+    val w = Window.partitionBy("et").orderBy("d").rowsBetween(-3, 3)
+    val tr = daily.unionAll(plant)
+      .withColumn("trend",
+        sum(col("x")).over(w).cast("double") / count(lit(1)).over(w))
+      .withColumn("det_fp",
+        floor((col("x") - col("trend")) * 1e6).cast("bigint"))
+    val dow = tr.withColumn("dow", col("d") % 7)
+      .groupBy("et", "dow")
+      .agg((sum(col("det_fp")).cast("double") / 1e6 / count(lit(1)))
+        .as("dow_eff"))
+    tr.withColumn("dow", col("d") % 7)
+      .join(dow, Seq("et", "dow"))
+      .selectExpr("et AS event_type", "d", "x",
+        "round(trend, 4) AS trend", "round(dow_eff, 4) AS dow_eff",
+        "round(x - trend - dow_eff, 4) AS resid")
+      .orderBy("event_type", "d")
+  }
+
+  def seasonalDecomposeOracle: String =
+    s"""WITH daily AS (SELECT event_type AS et,
+       |    CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT) AS d,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT 'weekly_cycle' AS et, CAST(r AS BIGINT) AS d,
+       |    CAST($SeasBase + CASE WHEN r % 7 = $SeasDow THEN $SeasAmp
+       |      ELSE 0 END AS BIGINT) AS x
+       |  FROM (SELECT unnest(range(0, 30)) AS r)),
+       |tr AS (SELECT et, d, x,
+       |    CAST(sum(x) OVER w AS DOUBLE) / count(*) OVER w AS trend
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY et ORDER BY d ROWS BETWEEN
+       |    3 PRECEDING AND 3 FOLLOWING)),
+       |dt AS (SELECT *, CAST(floor((x - trend) * 1e6) AS BIGINT)
+       |    AS det_fp, d % 7 AS dow FROM tr),
+       |dw AS (SELECT et, dow,
+       |    CAST(sum(det_fp) AS DOUBLE) / 1e6 / count(*) AS dow_eff
+       |  FROM dt GROUP BY et, dow)
+       |SELECT dt.et AS event_type, d, x,
+       |  round(trend, 4) AS trend, round(dow_eff, 4) AS dow_eff,
+       |  round(x - trend - dow_eff, 4) AS resid
+       |FROM dt JOIN dw ON dw.et = dt.et AND dw.dow = dt.dow
+       |ORDER BY event_type, d""".stripMargin
 }

@@ -1938,12 +1938,13 @@ class PipelineOpsSpec extends AnyFunSuite {
       .foreach(p => assert(p._5 >= 0.9, s"planted pair scored ${p._5}"))
   }
 
-  test("q244 interval overlap: tiled equi-join count equals the direct inequality join") {
+  test("q244 interval overlap: the linear sweep equals the brute-force inequality join") {
     val rows = JoinOps.intervalOverlap(spark, dir).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
     assert(rows.size == 5 && rows.values.forall(v => v._1 > 0))
     // brute-force inequality join (spec-only; the operator under test
-    // must produce identical counts through the tiling decomposition)
+    // must produce identical numbers through the sweep decomposition)
     val iv = spark.read.parquet(s"$dir/orders.parquet").selectExpr(
       "o_orderkey AS k", "o_orderpriority AS prio",
       "CAST(datediff(o_orderdate, DATE '1995-01-01') AS BIGINT) AS sd",
@@ -1959,9 +1960,14 @@ class PipelineOpsSpec extends AnyFunSuite {
         sum(expr("least(aed, bed) - greatest(asd, bsd)")).as("od"))
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2))).toMap
-    assert(rows == direct, s"tiling diverged: $rows vs $direct")
-    // every overlap contributes ≥1 day
-    rows.values.foreach(v => assert(v._2 >= v._1))
+    rows.foreach { case (prio, v) =>
+      assert((v._1, v._2) == direct(prio),
+        s"sweep diverged on $prio: $v vs ${direct(prio)}") }
+    // every overlap contributes ≥1 day; concurrency bounds pairs
+    rows.values.foreach { v =>
+      assert(v._2 >= v._1)
+      assert(v._3 >= 1 && v._1 <= v._3 * spark.read
+        .parquet(s"$dir/orders.parquet").count()) }
   }
 
   test("q245 mann-whitney: planted location shift dominates; stationary streams stay small") {
@@ -2134,5 +2140,98 @@ class PipelineOpsSpec extends AnyFunSuite {
     val zs = ProfileOps.mwDrift(spark, dir).collect()
       .map(r => r.getString(0) -> r.getDouble(5)).toMap
     rows.foreach(r => assert(math.abs(zs(r._1) - r._3) < 1e-9))
+  }
+
+  test("q253 cusum: the planted volume step fires within days; stationary streams never do") {
+    val rows = TimeSeriesOps.cusumChangepoint(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getBoolean(4))).toMap
+    val step = rows("click_step")
+    assert(step._4, "planted step undetected")
+    assert(step._3 >= TimeSeriesOps.CusumStepDay &&
+      step._3 <= TimeSeriesOps.CusumStepDay + 5,
+      s"detection lag too long: day ${step._3}")
+    rows.filterKeys(_ != "click_step").values.foreach { v =>
+      assert(!v._4 && v._3 == -1, s"stationary stream fired: $v") }
+    // the step's evidence dwarfs every stationary maximum
+    rows.filterKeys(_ != "click_step").values
+      .foreach(v => assert(v._1 < step._1))
+    rows.values.foreach(v => assert(v._1 >= 0))
+  }
+
+  test("q254 seasonal decomposition: the planted weekly cycle is isolated into its dow effect") {
+    val rows = TimeSeriesOps.seasonalDecompose(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val cyc = rows.filter(_._1 == "weekly_cycle")
+    assert(cyc.length == 30)
+    // the spike weekday's recovered effect ≈ amp·6/7 (mean-centered);
+    // all other weekdays compensate negative
+    val spikeDays = cyc.filter(_._2 % 7 == TimeSeriesOps.SeasDow)
+    val restDays = cyc.filter(_._2 % 7 != TimeSeriesOps.SeasDow)
+    assert(spikeDays.forall(_._5 > TimeSeriesOps.SeasAmp * 0.6),
+      s"spike effect lost: ${spikeDays.map(_._5).toSeq}")
+    assert(restDays.forall(_._5 < 0.0))
+    // decomposition residuals stay small relative to the amplitude
+    val meanAbsResid = cyc.map(r => math.abs(r._6)).sum / cyc.length
+    assert(meanAbsResid < TimeSeriesOps.SeasAmp / 2.0,
+      s"residual mass too high: $meanAbsResid")
+    // additivity: x = trend + dow + resid up to rounding
+    rows.foreach(r =>
+      assert(math.abs(r._3 - (r._4 + r._5 + r._6)) < 2e-4))
+  }
+
+  test("q255 concentration: planted skew pegs HHI and top share; Gini reads the degenerate case as 0") {
+    val rows = ProfileOps.concentration(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val skew = rows("src_skew")
+    assert(skew._1 == 1 && skew._3 == 1.0 && skew._4 == 0.0 &&
+      skew._5 == 1.0, s"skew source not pegged: $skew")
+    rows.values.foreach { v =>
+      assert(v._3 > 0 && v._3 <= 1.0 + 1e-9)
+      assert(v._4 >= 0 && v._4 < 1.0)
+      assert(v._3 <= v._5 + 1e-9) // HHI ≤ top share, always
+      assert(v._3 >= 1.0 / v._1 - 1e-9) // equality lower bound
+    }
+    // the planted source is strictly the most concentrated
+    rows.filterKeys(_ != "src_skew").values
+      .foreach(v => assert(v._3 < skew._3))
+  }
+
+  test("q256 rbo churn: stable planted prefix dominates a churning tail") {
+    val rows = AnalyticsOps.rboChurn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 29)
+    rows.foreach { r =>
+      assert(r._3 >= 0.0 && r._3 < 1.0)
+      assert((r._3 > 0.0) == (r._2 > 0 ||
+        r._3 > 0.0)) // rbo>0 needs some prefix overlap
+      assert(r._2 <= AnalyticsOps.RboK)
+    }
+    // the three planted power users hold the board prefix on most days
+    assert(rows.count(_._2 >= 3) >= 15,
+      s"planted prefix unstable: ${rows.map(_._2).toSeq}")
+    assert(rows.count(_._3 > 0.15) >= 15)
+  }
+
+  test("q257 kendall tau-b: redundancy of length vs distinct-ratio is read as strong negative rank correlation") {
+    val rows = AnalyticsOps.kendallTau(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) Double.NaN else r.getDouble(6)))
+    rows.foreach { r =>
+      // n0 = n(n−1)/2 for that source's doc count
+      val n = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("source") === r._1).count()
+      assert(r._2 == n * (n - 1) / 2)
+      assert(r._3 + r._4 <= r._2)
+      if (!r._7.isNaN) assert(r._7 >= -1.0 - 1e-9 && r._7 <= 1.0 + 1e-9)
+    }
+    // longer docs repeat the closed vocab more → the two signals
+    // anticorrelate on every source with defined τ
+    val defined = rows.filter(r => !r._7.isNaN && r._2 >= 10)
+    assert(defined.nonEmpty)
+    defined.foreach(r => assert(r._7 < 0, s"${r._1} tau ${r._7}"))
   }
 }

@@ -1086,14 +1086,15 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"SNM lost its window:\n${p.take(1800)}")
   }
 
-  test("q244 interval overlap: the inequality join became a tile equi-join") {
+  test("q244 interval overlap: sweep-line — no pair join of the interval frame at all") {
     val p = plan(JoinOps.intervalOverlap(spark, dir))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
-      s"overlap join fell back to a product:\n${p.take(1800)}")
-    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
-      || p.contains("BroadcastHashJoin"),
-      s"no equi-join in the tiled plan:\n${p.take(1800)}")
+      s"overlap stats fell back to a product:\n${p.take(1800)}")
+    assert(p.contains("Window"),
+      s"sweep lost its running-sum window:\n${p.take(1800)}")
+    assert(p.contains("Generate"),
+      s"day grid lost its generator:\n${p.take(1800)}")
   }
 
   test("q245 mann-whitney: cell collapse then per-type window — no joins at all") {
@@ -1165,5 +1166,47 @@ class PlanPropsSpec extends AnyFunSuite {
       s"BH gate grew a join:\n${p.take(1800)}")
     assert(p.contains("Window"),
       s"BH gate lost its rank window:\n${p.take(1800)}")
+  }
+
+  test("q253 cusum: two window passes on calendar cells — no joins of the event stream") {
+    val p = plan(TimeSeriesOps.cusumChangepoint(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"cusum went cartesian:\n${p.take(1800)}")
+    assert(p.contains("Window") && p.contains("HashAggregate"),
+      s"cusum lost its sweep shape:\n${p.take(1800)}")
+  }
+
+  test("q254 seasonal: moving-average and dow joins stay on |calendar| cells") {
+    val p = plan(TimeSeriesOps.seasonalDecompose(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"seasonal went cartesian:\n${p.take(1800)}")
+    assert(p.contains("Window"),
+      s"trend lost its centered window:\n${p.take(1800)}")
+  }
+
+  test("q255 concentration: one corpus explode into vocab cells; window runs per source") {
+    val p = plan(ProfileOps.concentration(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct")
+      && !p.contains("BroadcastHashJoin"),
+      s"concentration grew a join:\n${p.take(1800)}")
+    assert(p.contains("Generate") && p.contains("Window"),
+      s"concentration lost its explode/rank shape:\n${p.take(1800)}")
+  }
+
+  test("q256 rbo churn: leaderboards persist once; everything joins on k-row day frames") {
+    val p = plan(AnalyticsOps.rboChurn(spark, dir))
+    assert(p.contains("InMemoryTableScan"),
+      s"ranked boards recomputed per side:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"rbo went cartesian:\n${p.take(1800)}")
+  }
+
+  test("q257 kendall tau: the pair stage is a source-keyed equi-join, never a product") {
+    val p = plan(AnalyticsOps.kendallTau(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"tau pair stage went product:\n${p.take(1800)}")
+    assert(p.contains("HashAggregate"),
+      s"tau lost its aggregate:\n${p.take(1800)}")
   }
 }
