@@ -275,6 +275,11 @@ object SparkEntry {
     "q255_concentration"     -> (ProfileOps.concentration _),
     "q256_rbo_churn"         -> (AnalyticsOps.rboChurn _),
     "q257_kendall_tau"       -> (AnalyticsOps.kendallTau _),
+    "q258_mcnemar"           -> (CurationOps.mcnemarGates _),
+    "q259_mad_outliers"      -> (AnalyticsOps.madOutliers _),
+    "q260_cuped"             -> (AnalyticsOps.cupedReadout _),
+    "q261_auc_lift"          -> (MlPrepOps.aucDecileLift _),
+    "q262_burstiness"        -> (TimeSeriesOps.burstiness _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -814,6 +819,11 @@ object SparkEntry {
     "q255_concentration" -> ProfileOps.concentrationOracle,
     "q256_rbo_churn" -> AnalyticsOps.rboChurnOracle,
     "q257_kendall_tau" -> AnalyticsOps.kendallTauOracle,
+    "q258_mcnemar" -> CurationOps.mcnemarGatesOracle,
+    "q259_mad_outliers" -> AnalyticsOps.madOutliersOracle,
+    "q260_cuped" -> AnalyticsOps.cupedReadoutOracle,
+    "q261_auc_lift" -> MlPrepOps.aucDecileLiftOracle,
+    "q262_burstiness" -> TimeSeriesOps.burstinessOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

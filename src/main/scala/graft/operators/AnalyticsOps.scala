@@ -1262,9 +1262,13 @@ object AnalyticsOps {
 
   // --- q257: Kendall τ-b rank correlation ---------------------------------
 
-  /** Per-source pair-stage sample gate (1-in-mod of docs for sources
-    * beyond the quadratic budget; identity at test scale). */
-  val TauSampleMod = 1L
+  /** Per-source pair-stage sample gate: 1-in-mod of docs enter the
+    * quadratic stage. Identity (1) at test scale so the oracle covers
+    * every pair; at volume the knob caps the per-source pair budget —
+    * settable via GRAFT_TAU_MOD for the scale measurements (pairs
+    * shrink ×mod², τ estimates move only within sampling error). */
+  val TauSampleMod: Long =
+    sys.env.getOrElse("GRAFT_TAU_MOD", "1").toLong
 
   /** q257 — Kendall τ-b between two per-document quality signals
     * (distinct-token ratio vs length), per source: the RANK-correlation
@@ -1339,5 +1343,259 @@ object AnalyticsOps {
        |    round(CAST(c - d AS DOUBLE) / sqrt(CAST(n0 - tx AS DOUBLE) *
        |      CAST(n0 - ty AS DOUBLE)), 6) ELSE NULL END AS tau_b
        |FROM ag ORDER BY source""".stripMargin
+  }
+
+  // --- q259: median/MAD robust outliers vs the z-score they unmask -------
+
+  /** Planted contamination: one extreme + five moderate outliers. */
+  val MadPlantExtreme = 100000.0
+  val MadPlantModerate = 450.0
+
+  /** q259 — robust outlier detection by modified z-score
+    * (0.6745·(x−median)/MAD > 3.5, Iglewicz–Hoaglin) next to q73's
+    * mean/σ z-score, on a stream planted to exhibit MASKING: one
+    * extreme outlier inflates σ so far that five moderate outliers sit
+    * under 3σ and the classical detector reports ONE anomaly where
+    * there are six. Median and MAD have 50% breakdown — the moderate
+    * group stays flagged.
+    *
+    * Exactness: values quantize to ×100 bigints (the fixture is 2-dp);
+    * median/MAD are lower-weighted-median selections on the (type,
+    * value) cell grid (2·cum ≥ n); BOTH flag conditions are evaluated
+    * per CELL in integer/fixed double algebra — no per-row state.
+    *
+    * Scale (100 TB): one map-combined cell collapse; two window passes
+    * per type over |cells|; flags are cell-weighted sums. The
+    * classical moments come from the same cells for free. */
+  def madOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = t0events(s, dir).selectExpr("event_type AS et", "value")
+    val plantBase = t0events(s, dir)
+      .filter(col("event_type") === "view")
+      .selectExpr("'view_spiked' AS et", "value")
+    val plantOut = s.range(6).selectExpr("'view_spiked' AS et",
+      s"CASE WHEN id = 0 THEN $MadPlantExtreme " +
+        s"ELSE $MadPlantModerate END AS value")
+    val cells = ev.unionAll(plantBase).unionAll(plantOut)
+      .selectExpr("et", "CAST(round(value * 100, 0) AS BIGINT) AS v")
+      .groupBy("et", "v").agg(count(lit(1)).as("cnt"))
+    val wAll = Window.partitionBy("et")
+    val wCum = Window.partitionBy("et").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val c2 = cells
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("sx", sum(expr("v * cnt")).over(wAll))
+      .withColumn("sxx", sum(expr("v * v * cnt")).over(wAll))
+    val med = c2.groupBy("et", "n", "sx", "sxx")
+      .agg(min(when(expr("2 * cum >= n"), col("v"))).as("med"))
+    val dev = cells.join(broadcast(med.select("et", "med")), "et")
+      .selectExpr("et", "abs(v - med) AS dv", "cnt")
+      .groupBy("et", "dv").agg(sum(col("cnt")).as("dcnt"))
+    val mad = dev
+      .withColumn("dcum", sum(col("dcnt")).over(
+        Window.partitionBy("et").orderBy("dv")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("dn", sum(col("dcnt")).over(Window.partitionBy("et")))
+      .groupBy("et")
+      .agg(min(when(expr("2 * dcum >= dn"), col("dv"))).as("mad"))
+    cells.join(broadcast(med), "et").join(broadcast(mad), "et")
+      .groupBy("et").agg(
+        min(col("n")).as("n"), min(col("med")).as("med100"),
+        min(col("mad")).as("mad100"),
+        sum(when(expr(
+          "CAST(n * v - sx AS DOUBLE) * CAST(n * v - sx AS DOUBLE) > " +
+            "9.0 * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+            "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"), col("cnt"))
+          .otherwise(0L)).as("n_flag_z"),
+        sum(when(expr("6745 * abs(v - med) > 35000 * mad"), col("cnt"))
+          .otherwise(0L)).as("n_flag_mad"))
+      .selectExpr("et AS event_type", "n",
+        "CAST(med100 AS DOUBLE) / 100.0 AS median",
+        "CAST(mad100 AS DOUBLE) / 100.0 AS mad",
+        "n_flag_z", "n_flag_mad",
+        "n_flag_mad > n_flag_z AS masked_by_z")
+      .orderBy("event_type")
+  }
+
+  /** events reader shared by the q259 plant (avoids a third scan). */
+  private def t0events(s: SparkSession, dir: String): DataFrame =
+    EtlOps.t(s, dir, "events")
+
+  def madOutliersOracle: String =
+    s"""WITH src AS (SELECT event_type AS et, value FROM events
+       |  UNION ALL
+       |  SELECT 'view_spiked' AS et, value FROM events
+       |  WHERE event_type = 'view'
+       |  UNION ALL
+       |  SELECT 'view_spiked' AS et,
+       |    CASE WHEN r = 0 THEN $MadPlantExtreme
+       |      ELSE $MadPlantModerate END AS value
+       |  FROM (SELECT unnest(range(0, 6)) AS r)),
+       |cells AS (SELECT et, CAST(round(value * 100, 0) AS BIGINT) AS v,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM src GROUP BY et, v),
+       |c2 AS (SELECT *,
+       |    CAST(sum(cnt) OVER (PARTITION BY et ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY et) AS BIGINT) AS n,
+       |    CAST(sum(v * cnt) OVER (PARTITION BY et) AS BIGINT) AS sx,
+       |    CAST(sum(v * v * cnt) OVER (PARTITION BY et) AS BIGINT)
+       |      AS sxx
+       |  FROM cells),
+       |med AS (SELECT et, n, sx, sxx,
+       |    min(CASE WHEN 2 * cum >= n THEN v END) AS med
+       |  FROM c2 GROUP BY et, n, sx, sxx),
+       |dev AS (SELECT cells.et, abs(v - med) AS dv,
+       |    CAST(sum(cnt) AS BIGINT) AS dcnt
+       |  FROM cells JOIN med ON med.et = cells.et
+       |  GROUP BY cells.et, abs(v - med)),
+       |d2 AS (SELECT *,
+       |    CAST(sum(dcnt) OVER (PARTITION BY et ORDER BY dv
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS dcum,
+       |    CAST(sum(dcnt) OVER (PARTITION BY et) AS BIGINT) AS dn
+       |  FROM dev),
+       |mad AS (SELECT et, min(CASE WHEN 2 * dcum >= dn THEN dv END)
+       |    AS mad FROM d2 GROUP BY et),
+       |fl AS (SELECT cells.et, n, med.med AS med100, mad.mad AS mad100,
+       |    CAST(sum(CASE WHEN CAST(n * v - sx AS DOUBLE) *
+       |      CAST(n * v - sx AS DOUBLE) > 9.0 *
+       |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+       |       CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |      THEN cnt ELSE 0 END) AS BIGINT) AS n_flag_z,
+       |    CAST(sum(CASE WHEN 6745 * abs(v - med.med) >
+       |      35000 * mad.mad THEN cnt ELSE 0 END) AS BIGINT)
+       |      AS n_flag_mad
+       |  FROM cells JOIN med ON med.et = cells.et
+       |  JOIN mad ON mad.et = cells.et
+       |  GROUP BY cells.et, n, med.med, mad.mad)
+       |SELECT et AS event_type, n,
+       |  CAST(med100 AS DOUBLE) / 100.0 AS median,
+       |  CAST(mad100 AS DOUBLE) / 100.0 AS mad,
+       |  n_flag_z, n_flag_mad,
+       |  n_flag_mad > n_flag_z AS masked_by_z
+       |FROM fl ORDER BY event_type""".stripMargin
+
+  // --- q260: CUPED variance-reduced experiment readout --------------------
+
+  /** Planted per-user heterogeneity slope and treatment lift. */
+  val CupedUserAmp = 10.0
+  val CupedLift = 20.0
+
+  /** q260 — CUPED (controlled-experiment using pre-experiment data):
+    * the variance-reduction standard of experimentation platforms,
+    * completing the readout family (q200 randomized A/B, q251
+    * quasi-experimental DiD). Each user's pre-period mean X is the
+    * covariate; Y_adj = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) removes
+    * the between-user variance X explains, shrinking the readout CI by
+    * 1−ρ² at zero experiment cost.
+    *
+    * Fixture: planted per-user heterogeneity ((user_id % 7) ·
+    * [[CupedUserAmp]] added in BOTH periods — the persistent trait
+    * CUPED exists to remove) and a [[CupedLift]] treated-post lift the
+    * adjusted readout must still recover.
+    *
+    * Exactness: per-user period means freeze to ×1000 bigints; θ, ρ²,
+    * and both arm means are closed-form rationals over integer sums
+    * (mean(Y_adj|arm) = mean(Y|arm) − θ(mean(X|arm) − X̄) — no per-user
+    * adjusted column materializes at all).
+    *
+    * Scale (100 TB): ONE user_id exchange to per-(type, user, period)
+    * sums; everything after is |users| cells collapsing to |types|
+    * rows. */
+  def cupedReadout(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.t(s, dir, "events").selectExpr("event_type AS et",
+      "user_id",
+      s"CAST(extract(day FROM ts) > 15 AS INT) AS post",
+      "CAST(floor((value + (user_id % 7) * " +
+        s"$CupedUserAmp + CASE WHEN user_id % 2 = 1 AND " +
+        s"extract(day FROM ts) > 15 THEN $CupedLift ELSE 0.0 END) " +
+        "* 1000) AS BIGINT) AS v1000")
+    val perUser = ev.groupBy("et", "user_id", "post")
+      .agg(sum(col("v1000")).as("sv"), count(lit(1)).as("c"))
+    val xy = perUser.groupBy("et", "user_id").agg(
+        min(when(col("post") === 0, expr(
+          "CAST(floor(CAST(sv AS DOUBLE) / c) AS BIGINT)"))).as("x"),
+        min(when(col("post") === 1, expr(
+          "CAST(floor(CAST(sv AS DOUBLE) / c) AS BIGINT)"))).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .withColumn("treat", (col("user_id") % 2).cast("int"))
+    val stats = xy.groupBy("et").agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(expr("x * x")).as("sxx"),
+      sum(expr("y * y")).as("syy"), sum(expr("x * y")).as("sxy"),
+      sum(when(col("treat") === 1, col("y"))).as("syt"),
+      sum(when(col("treat") === 1, col("x"))).as("sxt"),
+      sum(col("treat")).as("nt"),
+      sum(when(col("treat") === 0, col("y"))).as("syc"),
+      sum(when(col("treat") === 0, col("x"))).as("sxc"))
+    val theta = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) " +
+      "/ (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    val naive = "(CAST(syt AS DOUBLE) / nt - CAST(syc AS DOUBLE) / " +
+      "(n - nt)) / 1000.0"
+    val cuped = s"($naive) - ($theta) * (CAST(sxt AS DOUBLE) / nt - " +
+      "CAST(sxc AS DOUBLE) / (n - nt)) / 1000.0"
+    val rho2 = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * " +
+      "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+      "((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
+      "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+    stats.selectExpr("et AS event_type", "n AS n_users",
+        s"round($naive, 4) AS diff_naive",
+        s"round($cuped, 4) AS diff_cuped",
+        s"round($theta, 4) AS theta",
+        s"round($rho2, 4) AS rho2",
+        s"$rho2 > 0.3 AS covariate_useful")
+      .orderBy("event_type")
+  }
+
+  def cupedReadoutOracle: String = {
+    val theta = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) " +
+      "/ (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    val naive = "(CAST(syt AS DOUBLE) / nt - CAST(syc AS DOUBLE) / " +
+      "(n - nt)) / 1000.0"
+    val cuped = s"($naive) - ($theta) * (CAST(sxt AS DOUBLE) / nt - " +
+      "CAST(sxc AS DOUBLE) / (n - nt)) / 1000.0"
+    val rho2 = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) * " +
+      "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / " +
+      "((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) * " +
+      "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+    s"""WITH e AS (SELECT event_type AS et, user_id,
+       |    CASE WHEN extract(day FROM ts) > 15 THEN 1 ELSE 0 END
+       |      AS post,
+       |    CAST(floor((value + (user_id % 7) * $CupedUserAmp +
+       |      CASE WHEN user_id % 2 = 1 AND extract(day FROM ts) > 15
+       |      THEN $CupedLift ELSE 0.0 END) * 1000) AS BIGINT) AS v1000
+       |  FROM events),
+       |pu AS (SELECT et, user_id, post,
+       |    CAST(sum(v1000) AS BIGINT) AS sv,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM e GROUP BY et, user_id, post),
+       |xy AS (SELECT et, user_id,
+       |    min(CASE WHEN post = 0 THEN CAST(floor(CAST(sv AS DOUBLE)
+       |      / c) AS BIGINT) END) AS x,
+       |    min(CASE WHEN post = 1 THEN CAST(floor(CAST(sv AS DOUBLE)
+       |      / c) AS BIGINT) END) AS y,
+       |    CAST(user_id % 2 AS INT) AS treat
+       |  FROM pu GROUP BY et, user_id
+       |  HAVING x IS NOT NULL AND y IS NOT NULL),
+       |st AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(CASE WHEN treat = 1 THEN y END) AS BIGINT) AS syt,
+       |    CAST(sum(CASE WHEN treat = 1 THEN x END) AS BIGINT) AS sxt,
+       |    CAST(sum(treat) AS BIGINT) AS nt,
+       |    CAST(sum(CASE WHEN treat = 0 THEN y END) AS BIGINT) AS syc,
+       |    CAST(sum(CASE WHEN treat = 0 THEN x END) AS BIGINT) AS sxc
+       |  FROM xy GROUP BY et)
+       |SELECT et AS event_type, n AS n_users,
+       |  round($naive, 4) AS diff_naive,
+       |  round($cuped, 4) AS diff_cuped,
+       |  round($theta, 4) AS theta,
+       |  round($rho2, 4) AS rho2,
+       |  $rho2 > 0.3 AS covariate_useful
+       |FROM st ORDER BY event_type""".stripMargin
   }
 }

@@ -2285,4 +2285,95 @@ object CurationOps {
        |FROM rc FULL OUTER JOIN tc ON tc.rep = rc.rep, kk, nn
        |ORDER BY event_type""".stripMargin
   }
+
+  // --- q258: McNemar asymmetry test over the production gates ------------
+
+  /** χ²₁ critical value at α=0.05 (build-time literal). */
+  val McNemarCrit = 3.8415
+
+  /** q258 — McNemar's test over the same three production gate pairs as
+    * q194's κ, answering the question κ cannot: is the DISAGREEMENT
+    * symmetric? κ ≈ 0.4 with n10 ≈ n01 means the gates differ randomly;
+    * the same κ with n10 ≫ n01 means one gate is systematically
+    * stricter — an ensemble should weight, not vote. Only the
+    * discordant cells enter: χ²_cc = (|n10−n01|−1)²/(n10+n01) with
+    * continuity correction, against the χ²₁ literal [[McNemarCrit]].
+    *
+    * The gate expressions are THE production definitions (shared
+    * `qualityOf` / `gopherPassOf` / `logitOf`), so the audit cannot
+    * drift from the gates it audits — the q194 discipline.
+    *
+    * Scale (100 TB): identical to q194 — one codegen'd projection, one
+    * map-combined 13-column row, a 3-row unpivot. The test adds zero
+    * corpus cost on top of the κ audit. */
+  def mcnemarGates(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(
+      (TextOps.qualityOf(col("text")) >= GateQualityMin).as("a"),
+      TrainPrepOps.gopherPassOf(col("text")).as("b"),
+      (MixtureOps.logitOf >= 0L).as("c"))
+    def cells(pfx: String, x: String, y: String) = Seq(
+      sum(when(col(x) && !col(y), 1L).otherwise(0L)).as(s"${pfx}_10"),
+      sum(when(!col(x) && col(y), 1L).otherwise(0L)).as(s"${pfx}_01"))
+    val aggs = cells("ab", "a", "b") ++ cells("ac", "a", "c") ++
+      cells("bc", "b", "c")
+    val one = d.agg(count(lit(1)).as("n"), aggs: _*)
+    val stacked = one.select(col("n"), expr(
+      "stack(3, " +
+        "'quality~gopher', ab_10, ab_01, " +
+        "'quality~classifier', ac_10, ac_01, " +
+        "'gopher~classifier', bc_10, bc_01) " +
+        "AS (pair, n10, n01)"))
+    stacked.selectExpr("pair", "n", "n10", "n01",
+        "CASE WHEN n10 + n01 > 0 THEN round(" +
+          "CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)" +
+          " / (n10 + n01), 6) ELSE 0.0 END AS chi2_cc",
+        "CASE WHEN n10 > n01 THEN 'second_stricter' " +
+          "WHEN n01 > n10 THEN 'first_stricter' " +
+          "ELSE 'balanced' END AS direction",
+        "CASE WHEN n10 + n01 > 0 THEN " +
+          "CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)" +
+          s" / (n10 + n01) > $McNemarCrit ELSE false END AS asymmetric")
+      .orderBy("pair")
+  }
+
+  def mcnemarGatesOracle: String = {
+    val wSql = ClfLogitWSql
+    def cellSql(x: String, y: String, a: String) = Seq(
+      s"CAST(sum(CASE WHEN $x AND NOT $y THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS ${a}_10",
+      s"CAST(sum(CASE WHEN NOT $x AND $y THEN 1 ELSE 0 END) AS BIGINT)" +
+        s" AS ${a}_01").mkString(",\n    ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |lg AS (SELECT doc_id, CAST(sum($wSql) AS BIGINT) AS logit
+       |  FROM tok GROUP BY doc_id),
+       |g AS (SELECT
+       |    ($QualitySql) >= $GateQualityMin AS a,
+       |    ($GopherSql) AS b,
+       |    lg.logit >= 0 AS c
+       |  FROM documents JOIN lg USING (doc_id)),
+       |one AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    ${cellSql("a", "b", "ab")},
+       |    ${cellSql("a", "c", "ac")},
+       |    ${cellSql("b", "c", "bc")}
+       |  FROM g),
+       |st AS (
+       |  SELECT 'quality~gopher' AS pair, n, ab_10 AS n10,
+       |    ab_01 AS n01 FROM one
+       |  UNION ALL SELECT 'quality~classifier', n, ac_10, ac_01
+       |    FROM one
+       |  UNION ALL SELECT 'gopher~classifier', n, bc_10, bc_01
+       |    FROM one)
+       |SELECT pair, n, n10, n01,
+       |  CASE WHEN n10 + n01 > 0 THEN round(
+       |    CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)
+       |    / (n10 + n01), 6) ELSE 0.0 END AS chi2_cc,
+       |  CASE WHEN n10 > n01 THEN 'second_stricter'
+       |    WHEN n01 > n10 THEN 'first_stricter'
+       |    ELSE 'balanced' END AS direction,
+       |  CASE WHEN n10 + n01 > 0 THEN
+       |    CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)
+       |    / (n10 + n01) > $McNemarCrit ELSE false END AS asymmetric
+       |FROM st ORDER BY pair""".stripMargin
+  }
 }

@@ -833,4 +833,125 @@ object MlPrepOps {
       |SELECT m.term, m.df, m.tf_total,
       |  (m.df = f.f_df AND m.tf_total = f.f_tf) AS incremental_consistent
       |FROM m JOIN f USING (term) ORDER BY m.term""".stripMargin
+
+  // --- q261: classifier-eval AUC + decile lift ----------------------------
+
+  val AucIdOffset = 8000000L
+
+  /** q261 — ranking-quality evaluation of a filter score: ROC-AUC (via
+    * the tie-corrected rank-sum identity AUC = U/(n₁·n₀) — the exact
+    * Mann–Whitney machinery of q245 reused as an ML metric) plus the
+    * decile lift / cumulative-gains table a curation team actually
+    * reads ("the worst decile by score holds X× its share of true
+    * junk"). Completes the eval family: q195 calibrates probabilities,
+    * q190 scores retrieval, this scores the RANKING of a gate.
+    *
+    * Fixture: two planted degradation tiers — heavy (text collapsed to
+    * one repeated token; trivially separable) and mild (text doubled →
+    * distinct-token ratio halved; overlaps the base lower tail) — so
+    * the curve is neither perfect nor random by construction.
+    *
+    * Exactness: AUC from midrank integer sums over (score) cells;
+    * deciles by the percent_rank→floor grid (engine-parity-safe);
+    * lifts and recalls are single divisions of exact integers.
+    *
+    * Scale (100 TB): the score collapses map-side to value cells for
+    * AUC; the decile window runs over the EVAL SET (by construction
+    * eval-set-sized, not corpus-sized — sample upstream if not). */
+  def aucDecileLift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+    val heavy = d.filter(col("doc_id") % 6 === 0)
+      .withColumn("toks", split(col("text"), " "))
+      .selectExpr(s"doc_id + $AucIdOffset AS doc_id",
+        "array_join(array_repeat(toks[0], size(toks)), ' ') AS text",
+        "1 AS label")
+    val mild = d.filter(col("doc_id") % 6 === 3)
+      .selectExpr(s"doc_id + ${2 * AucIdOffset} AS doc_id",
+        "concat(text, ' ', text) AS text", "1 AS label")
+    val all = d.selectExpr("doc_id", "text", "0 AS label")
+      .unionAll(heavy).unionAll(mild)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("label"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks"))).as("score"))
+      .persist()
+    // AUC on the (score) cell grid: positives rank LOW, so
+    // AUC = 1 − U₁/(n₁·n₀) with midrank ties
+    val cells = all.groupBy("score").agg(
+        sum(col("label")).cast("long").as("n1c"),
+        sum(lit(1) - col("label")).cast("long").as("n0c"))
+      .withColumn("t", col("n1c") + col("n0c"))
+    val wv = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val auc = cells
+      .withColumn("cumb", coalesce(sum(col("t")).over(wv), lit(0L)))
+      .agg(sum(col("n1c")).as("n1"), sum(col("n0c")).as("n0"),
+        sum(col("n1c") * (lit(2L) * col("cumb") + col("t") + lit(1L)))
+          .as("r1x2"))
+      .selectExpr("n1", "n0",
+        "1.0 - CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / " +
+          "(2.0 * CAST(n1 AS DOUBLE) * n0) AS auc")
+    val dec = all.withColumn("pr", percent_rank().over(
+        Window.orderBy(col("score"), col("doc_id"))))
+      .withColumn("decile",
+        least(floor(col("pr") * 10), lit(9)).cast("bigint"))
+      .groupBy("decile").agg(count(lit(1)).as("n"),
+        sum(col("label")).cast("long").as("pos"))
+    val wCum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dec.withColumn("cum_pos", sum(col("pos")).over(wCum))
+      .crossJoin(broadcast(auc))
+      .selectExpr("decile", "n", "pos",
+        "round(CAST(pos AS DOUBLE) / n * (CAST(n1 + n0 AS DOUBLE) / " +
+          "n1), 4) AS lift",
+        "round(CAST(cum_pos AS DOUBLE) / n1, 4) AS cum_recall",
+        "round(auc, 6) AS auc")
+      .orderBy("decile")
+  }
+
+  def aucDecileLiftOracle: String =
+    s"""WITH d AS (SELECT doc_id, text, 0 AS label FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $AucIdOffset,
+       |    trim(repeat(string_split(text, ' ')[1] || ' ',
+       |      len(string_split(text, ' ')))), 1
+       |  FROM documents WHERE doc_id % 6 = 0
+       |  UNION ALL
+       |  SELECT doc_id + ${2 * AucIdOffset}, text || ' ' || text, 1
+       |  FROM documents WHERE doc_id % 6 = 3),
+       |sc AS (SELECT doc_id, label,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS score
+       |  FROM d),
+       |cells AS (SELECT score, CAST(sum(label) AS BIGINT) AS n1c,
+       |    CAST(sum(1 - label) AS BIGINT) AS n0c,
+       |    CAST(count(*) AS BIGINT) AS t
+       |  FROM sc GROUP BY score),
+       |rk AS (SELECT *, coalesce(sum(t) OVER (ORDER BY score
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS cumb FROM cells),
+       |au AS (SELECT CAST(sum(n1c) AS BIGINT) AS n1,
+       |    CAST(sum(n0c) AS BIGINT) AS n0,
+       |    CAST(sum(n1c * (2 * cumb + t + 1)) AS BIGINT) AS r1x2
+       |  FROM rk),
+       |a2 AS (SELECT n1, n0, 1.0 - CAST(r1x2 - n1 * (n1 + 1)
+       |    AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * n0) AS auc
+       |  FROM au),
+       |dc AS (SELECT least(CAST(floor(pr * 10) AS BIGINT), 9)
+       |      AS decile, label
+       |  FROM (SELECT label, percent_rank() OVER (ORDER BY score,
+       |    doc_id) AS pr FROM sc)),
+       |dg AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(label) AS BIGINT) AS pos
+       |  FROM dc GROUP BY decile),
+       |cp AS (SELECT *, CAST(sum(pos) OVER (ORDER BY decile
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS cum_pos FROM dg)
+       |SELECT decile, n, pos,
+       |  round(CAST(pos AS DOUBLE) / n * (CAST(n1 + n0 AS DOUBLE)
+       |    / n1), 4) AS lift,
+       |  round(CAST(cum_pos AS DOUBLE) / n1, 4) AS cum_recall,
+       |  round(auc, 6) AS auc
+       |FROM cp, a2 ORDER BY decile""".stripMargin
 }

@@ -774,4 +774,119 @@ object TimeSeriesOps {
        |  round(x - trend - dow_eff, 4) AS resid
        |FROM dt JOIN dw ON dw.et = dt.et AND dw.dow = dt.dow
        |ORDER BY event_type, d""".stripMargin
+
+  // --- q262: burstiness audit (Fano factor + lag-1 autocorrelation) ------
+
+  /** Dispersion threshold: Fano > this flags a bursty stream. */
+  val FanoFlag = 3.0
+
+  /** q262 — burstiness audit over daily volumes: the Fano factor
+    * (variance/mean of daily counts — exactly 1 for a Poisson arrival
+    * process, ≫1 for batch/bursty ingestion) and the lag-1
+    * autocorrelation of the daily series, which separates the two
+    * over-dispersion shapes: clustered bursts push r1 positive, a
+    * periodic batch load (the planted stream) pushes it negative —
+    * spike days neighbor normal days. Batch-loaded sources
+    * masquerading as streams are the classic trap for every
+    * rate-based monitor upstream (freshness, q253's CUSUM k).
+    *
+    * Fixture: a planted 'bursty' stream (every dow-0 day's events
+    * tripled) that must flag on Fano with the periodic (negative) r1
+    * signature.
+    *
+    * Exactness: counts are integers, so nΣx²−(Σx)² and the lag-1
+    * deviation products (n·x_t − S)(n·x_{t+1} − S) are exact bigints;
+    * each output is one division.
+    *
+    * Scale (100 TB): one (type, day) collapse; the lag join is a
+    * per-type window lead over |calendar| cells. */
+  def burstiness(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.t(s, dir, "events")
+    val base = ev.selectExpr("event_type AS et",
+      "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS d")
+    val plant1 = ev.selectExpr("'bursty' AS et",
+      "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS d")
+    val plantX = plant1.filter(col("d") % 7 === 0)
+    val daily = base.unionAll(plant1).unionAll(plantX)
+      .unionAll(plantX)
+      .groupBy("et", "d").agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("et").orderBy("d")
+    val led = daily.withColumn("xn", lead(col("x"), 1).over(w))
+    led.groupBy("et").agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(expr("x * x")).as("sxx"),
+        sum(when(col("xn").isNotNull, 1L).otherwise(0L)).as("m"),
+        sum(when(col("xn").isNotNull, expr("x * xn")).otherwise(0L))
+          .as("sxy"),
+        sum(when(col("xn").isNotNull, col("x")).otherwise(0L))
+          .as("sxa"),
+        sum(when(col("xn").isNotNull, col("xn")).otherwise(0L))
+          .as("sxb"),
+        sum(when(col("xn").isNotNull, expr("x * x")).otherwise(0L))
+          .as("sa2"),
+        sum(when(col("xn").isNotNull, expr("xn * xn")).otherwise(0L))
+          .as("sb2"))
+      .selectExpr("et AS event_type", "n",
+        "round(CAST(sx AS DOUBLE) / n, 4) AS mean_daily",
+        "round((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / " +
+          "(CAST(n AS DOUBLE) * sx), 4) AS fano",
+        "round((CAST(m AS DOUBLE) * sxy - CAST(sxa AS DOUBLE) * sxb) " +
+          "/ sqrt((CAST(m AS DOUBLE) * CAST(sa2 AS DOUBLE) - " +
+          "CAST(sxa AS DOUBLE) * sxa) * (CAST(m AS DOUBLE) * " +
+          "CAST(sb2 AS DOUBLE) - CAST(sxb AS DOUBLE) * sxb)), 4) " +
+          "AS r1",
+        s"(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / " +
+          s"(CAST(n AS DOUBLE) * sx) > $FanoFlag AS bursty")
+      .orderBy("event_type")
+  }
+
+  def burstinessOracle: String =
+    s"""WITH base AS (SELECT event_type AS et,
+       |    CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT) AS d
+       |  FROM events
+       |  UNION ALL
+       |  SELECT 'bursty', CAST(date_diff('day', DATE '2024-01-01', ts)
+       |    AS BIGINT) FROM events
+       |  UNION ALL
+       |  SELECT 'bursty', CAST(date_diff('day', DATE '2024-01-01', ts)
+       |    AS BIGINT) FROM events
+       |  WHERE CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+       |    % 7 = 0
+       |  UNION ALL
+       |  SELECT 'bursty', CAST(date_diff('day', DATE '2024-01-01', ts)
+       |    AS BIGINT) FROM events
+       |  WHERE CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+       |    % 7 = 0),
+       |daily AS (SELECT et, d, CAST(count(*) AS BIGINT) AS x
+       |  FROM base GROUP BY et, d),
+       |led AS (SELECT *, lead(x, 1) OVER (PARTITION BY et ORDER BY d)
+       |    AS xn FROM daily),
+       |ag AS (SELECT et, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(CASE WHEN xn IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS m,
+       |    CAST(sum(CASE WHEN xn IS NOT NULL THEN x * xn ELSE 0 END)
+       |      AS BIGINT) AS sxy,
+       |    CAST(sum(CASE WHEN xn IS NOT NULL THEN x ELSE 0 END)
+       |      AS BIGINT) AS sxa,
+       |    CAST(sum(CASE WHEN xn IS NOT NULL THEN xn ELSE 0 END)
+       |      AS BIGINT) AS sxb,
+       |    CAST(sum(CASE WHEN xn IS NOT NULL THEN x * x ELSE 0 END)
+       |      AS BIGINT) AS sa2,
+       |    CAST(sum(CASE WHEN xn IS NOT NULL THEN xn * xn ELSE 0 END)
+       |      AS BIGINT) AS sb2
+       |  FROM led GROUP BY et)
+       |SELECT et AS event_type, n,
+       |  round(CAST(sx AS DOUBLE) / n, 4) AS mean_daily,
+       |  round((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) /
+       |    (CAST(n AS DOUBLE) * sx), 4) AS fano,
+       |  round((CAST(m AS DOUBLE) * sxy - CAST(sxa AS DOUBLE) * sxb)
+       |    / sqrt((CAST(m AS DOUBLE) * CAST(sa2 AS DOUBLE) -
+       |    CAST(sxa AS DOUBLE) * sxa) * (CAST(m AS DOUBLE) *
+       |    CAST(sb2 AS DOUBLE) - CAST(sxb AS DOUBLE) * sxb)), 4)
+       |    AS r1,
+       |  (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) /
+       |    (CAST(n AS DOUBLE) * sx) > $FanoFlag AS bursty
+       |FROM ag ORDER BY event_type""".stripMargin
 }

@@ -2057,9 +2057,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     // full agreement sits deep in the match zone; full disagreement
     // deep in the non-match zone
     assert(rows((1, 1, 1))._4 && rows((1, 1, 1))._3 > 100.0)
-    // Laplace smoothing floors the all-disagree odds at ~(1/(mm+2))³ /
-    // u-ratios — deep in the non-match zone, not literally zero
-    assert(!rows((0, 0, 0))._4 && rows((0, 0, 0))._3 < 0.5)
+    // hierarchical blocking makes same-block names near-agree, so the
+    // all-disagree pattern may not occur at all; the worst OBSERVED
+    // pattern must still sit in the non-match zone
+    val worst = rows.values.map(_._3).min
+    assert(worst < 0.5 && rows.values.exists(v => !v._4),
+      s"no non-match zone observed: $rows")
     // the plant's noise makes the m-model non-degenerate: matches in
     // more than one pattern
     assert(rows.values.count(_._1 > 0) >= 3)
@@ -2233,5 +2236,119 @@ class PipelineOpsSpec extends AnyFunSuite {
     val defined = rows.filter(r => !r._7.isNaN && r._2 >= 10)
     assert(defined.nonEmpty)
     defined.foreach(r => assert(r._7 < 0, s"${r._1} tau ${r._7}"))
+  }
+
+  test("q258 mcnemar: discordant cells agree with q194's tables; flags recompute from the cells") {
+    val rows = CurationOps.mcnemarGates(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getString(5), r.getBoolean(6)))
+      .toMap
+    assert(rows.size == 3)
+    // cross-operator consistency: same gates, same discordant cells
+    val kappa = CurationOps.gateKappa(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    rows.foreach { case (pair, v) =>
+      assert((v._2, v._3) == kappa(pair),
+        s"$pair cells diverge from q194: $v vs ${kappa(pair)}") }
+    rows.values.foreach { v =>
+      val (b, c) = (v._2, v._3)
+      val chi = if (b + c > 0)
+        math.pow(math.abs(b - c) - 1.0, 2) / (b + c) else 0.0
+      assert(math.abs(v._4 - chi) < 1e-4)
+      assert(v._6 == (b + c > 0 && chi > CurationOps.McNemarCrit))
+      assert(v._5 == (if (b > c) "second_stricter"
+        else if (c > b) "first_stricter" else "balanced"))
+    }
+  }
+
+  test("q259 mad outliers: the extreme plant masks the z-score but not the modified z") {
+    val rows = AnalyticsOps.madOutliers(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+      .toMap
+    val spiked = rows("view_spiked")
+    val view = rows("view")
+    val nView = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_type") === "view").count()
+    assert(spiked._1 == nView + 6)
+    // masking: the inflated σ collapses the z detector to (nearly)
+    // just the extreme point — strictly fewer flags than the clean
+    // stream — while MAD keeps at least the clean stream's flags plus
+    // the six plants
+    assert(spiked._4 < view._4,
+      s"no masking: spiked z-flags ${spiked._4} vs view ${view._4}")
+    assert(spiked._4 >= 1)
+    assert(spiked._5 >= view._5 + 6 - 1, // −1: plant values may collide
+      s"MAD lost the plants: ${spiked._5} vs ${view._5}")
+    assert(spiked._6, "masking not reported")
+    // median/MAD robustness: six rows in thousands barely move them
+    assert(math.abs(spiked._2 - view._2) <= 1.0)
+    assert(math.abs(spiked._3 - view._3) <= 1.0)
+  }
+
+  test("q260 cuped: planted user heterogeneity is absorbed; the lift survives adjustment") {
+    val rows = AnalyticsOps.cupedReadout(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getBoolean(6))).toMap
+    rows.values.foreach { v =>
+      assert(v._1 > 0)
+      // the persistent user trait makes X genuinely predictive
+      assert(v._4 > 0.2, s"theta lost the trait: ${v._4}")
+      assert(v._5 > 0.05 && v._5 < 1.0, s"rho2 out of range: ${v._5}")
+      assert(v._6 == (v._5 > 0.3))
+    }
+    // per-type diffs are noisy at sf0.001 (few dual-period users);
+    // the POOLED readout must recover the planted lift's direction
+    // and magnitude band — the sharp values are pinned by the sf0.01
+    // oracle row
+    val totN = rows.values.map(_._1).sum.toDouble
+    val pooledNaive = rows.values.map(v => v._2 * v._1).sum / totN
+    val pooledCuped = rows.values.map(v => v._3 * v._1).sum / totN
+    assert(pooledNaive > 0 &&
+      math.abs(pooledNaive - AnalyticsOps.CupedLift) < 30,
+      s"pooled naive lost the lift: $pooledNaive")
+    assert(pooledCuped > 0 &&
+      math.abs(pooledCuped - AnalyticsOps.CupedLift) < 30,
+      s"pooled cuped lost the lift: $pooledCuped")
+  }
+
+  test("q261 auc/lift: planted junk concentrates in the worst decile; AUC reads the separation") {
+    val rows = MlPrepOps.aucDecileLift(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .sortBy(_._1)
+    assert(rows.length == 10)
+    val auc = rows.head._6
+    assert(rows.forall(_._6 == auc))
+    assert(auc > 0.8 && auc < 1.0, s"AUC out of expected band: $auc")
+    // junk concentrates at the low-score end
+    assert(rows.head._4 > 1.5, s"no lift in worst decile: ${rows.head}")
+    assert(rows.head._4 > rows.last._4)
+    // cumulative recall is monotone and ends at 1
+    assert(rows.map(_._5).sliding(2).forall(p => p(0) <= p(1) + 1e-9))
+    assert(math.abs(rows.last._5 - 1.0) < 1e-9)
+    // positives total = planted count
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val n1 = nDocs.filter(col("doc_id") % 6 === 0).count() +
+      nDocs.filter(col("doc_id") % 6 === 3).count()
+    assert(rows.map(_._3).sum == n1)
+  }
+
+  test("q262 burstiness: the periodic batch plant flags on Fano with a negative lag signature") {
+    val rows = TimeSeriesOps.burstiness(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    val b = rows("bursty")
+    assert(b._5 && b._3 > TimeSeriesOps.FanoFlag,
+      s"plant not flagged: $b")
+    assert(b._4 < 0, s"periodic plant should anticorrelate: ${b._4}")
+    // stationary streams sit near the Poisson line and stay unflagged
+    rows.filterKeys(_ != "bursty").values.foreach { v =>
+      assert(!v._5, s"stationary stream flagged: $v")
+      assert(v._3 > 0.3 && v._3 < TimeSeriesOps.FanoFlag)
+    }
+    rows.values.foreach(v => assert(v._5 == (v._3 > TimeSeriesOps
+      .FanoFlag) || math.abs(v._3 - TimeSeriesOps.FanoFlag) < 1e-4))
   }
 }

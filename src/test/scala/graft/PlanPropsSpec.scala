@@ -1209,4 +1209,46 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"),
       s"tau lost its aggregate:\n${p.take(1800)}")
   }
+
+  test("q258 mcnemar: one projection + one collapse — no joins beyond the gate definitions") {
+    val p = plan(CurationOps.mcnemarGates(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"mcnemar grew a join:\n${p.take(1800)}")
+    assert(p.contains("HashAggregate"),
+      s"mcnemar lost its single-row collapse:\n${p.take(1800)}")
+  }
+
+  test("q259 mad outliers: cell grid + broadcast med/mad scalars — no shuffled joins") {
+    val p = plan(AnalyticsOps.madOutliers(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"mad grew a shuffled join:\n${p.take(1800)}")
+    assert(p.contains("Window") && p.contains("BroadcastHashJoin"),
+      s"mad lost its cell/broadcast shape:\n${p.take(1800)}")
+  }
+
+  test("q260 cuped: per-user collapse then closed-form algebra — no joins at all") {
+    val p = plan(AnalyticsOps.cupedReadout(spark, dir))
+    assert(!p.contains("Join"),
+      s"cuped grew a join:\n${p.take(1800)}")
+    assert(p.contains("HashAggregate"),
+      s"cuped lost its collapse:\n${p.take(1800)}")
+  }
+
+  test("q261 auc/lift: scored corpus persists once; rank windows only") {
+    val p = plan(MlPrepOps.aucDecileLift(spark, dir))
+    assert(p.contains("InMemoryTableScan"),
+      s"scores recomputed per consumer:\n${p.take(1800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"auc grew a shuffled join:\n${p.take(1800)}")
+    assert(p.contains("Window"),
+      s"auc lost its rank window:\n${p.take(1800)}")
+  }
+
+  test("q262 burstiness: one cell collapse and one lead window — no joins") {
+    val p = plan(TimeSeriesOps.burstiness(spark, dir))
+    assert(!p.contains("Join"),
+      s"burstiness grew a join:\n${p.take(1800)}")
+    assert(p.contains("Window") && p.contains("HashAggregate"),
+      s"burstiness lost its sweep shape:\n${p.take(1800)}")
+  }
 }
