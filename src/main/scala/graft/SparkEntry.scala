@@ -280,6 +280,11 @@ object SparkEntry {
     "q260_cuped"             -> (AnalyticsOps.cupedReadout _),
     "q261_auc_lift"          -> (MlPrepOps.aucDecileLift _),
     "q262_burstiness"        -> (TimeSeriesOps.burstiness _),
+    "q263_power_mde"         -> (AnalyticsOps.powerMde _),
+    "q264_qte"               -> (AnalyticsOps.qte _),
+    "q265_its_readout"       -> (TimeSeriesOps.itsReadout _),
+    "q266_bandit_replay"     -> (MixtureOps.banditReplay _),
+    "q267_bloom_planner"     -> (ScaleOps.bloomPlanner _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -824,6 +829,11 @@ object SparkEntry {
     "q260_cuped" -> AnalyticsOps.cupedReadoutOracle,
     "q261_auc_lift" -> MlPrepOps.aucDecileLiftOracle,
     "q262_burstiness" -> TimeSeriesOps.burstinessOracle,
+    "q263_power_mde" -> AnalyticsOps.powerMdeOracle,
+    "q264_qte" -> AnalyticsOps.qteOracle,
+    "q265_its_readout" -> TimeSeriesOps.itsReadoutOracle,
+    "q266_bandit_replay" -> MixtureOps.banditReplayOracle,
+    "q267_bloom_planner" -> ScaleOps.bloomPlannerOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -1598,4 +1598,155 @@ object AnalyticsOps {
        |  $rho2 > 0.3 AS covariate_useful
        |FROM st ORDER BY event_type""".stripMargin
   }
+
+  // --- q263: power analysis / minimum detectable effect -------------------
+
+  /** z literals (Φ⁻¹(0.975), Φ⁻¹(0.8)) — build-time, e0-suffixed so
+    * both engines parse them as doubles; the effect the fleet plans
+    * experiments around. */
+  val PowerZa = "1.9599639845400536e0"
+  val PowerZb = "0.8416212335729144e0"
+  val PowerTargetLift = 20.0
+
+  /** q263 — experiment power analysis per metric stream: the minimum
+    * detectable effect at α=0.05 / power 0.8 given each stream's
+    * empirical variance and arm sizes — MDE = (z_{α/2}+z_β)·
+    * √(σ²(1/n₁+1/n₀)). The planning half of the experimentation family
+    * (q200/q251/q260 read out results; this says whether a proposed
+    * readout can work at all). The flag asks the concrete question:
+    * is this stream powered to detect a [[PowerTargetLift]] lift?
+    *
+    * Exactness: σ² comes from ×100-frozen integer moments; the MDE is
+    * one double expression with build-time z literals — no libm beyond
+    * the correctly-rounded sqrt.
+    *
+    * Scale (100 TB): one map-combined collapse to per-(type, arm)
+    * moments; output is |types| rows. */
+  def powerMde(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.t(s, dir, "events").selectExpr("event_type AS et",
+      "CAST(user_id % 2 AS INT) AS arm",
+      "CAST(round(value * 100, 0) AS BIGINT) AS v")
+    val zsum = s"($PowerZa + $PowerZb)"
+    ev.groupBy("et").agg(
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        count(lit(1)).as("n"), sum(col("v")).as("sx"),
+        sum(expr("v * v")).as("sxx"))
+      .selectExpr("et AS event_type", "n1 AS n_treat", "n0 AS n_control",
+        "round(sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * " +
+          "sx) / (CAST(n AS DOUBLE) * n)) / 100.0, 4) AS sigma",
+        s"round($zsum * sqrt((CAST(n AS DOUBLE) * sxx - " +
+          "CAST(sx AS DOUBLE) * sx) / (CAST(n AS DOUBLE) * n)) / " +
+          "100.0 * sqrt(1.0 / n1 + 1.0 / n0), 4) AS mde_abs",
+        s"round($zsum * sqrt((CAST(n AS DOUBLE) * sxx - " +
+          "CAST(sx AS DOUBLE) * sx) / (CAST(n AS DOUBLE) * n)) / " +
+          "100.0 * sqrt(1.0 / n1 + 1.0 / n0) / " +
+          "(CAST(sx AS DOUBLE) / n / 100.0), 4) AS mde_rel",
+        s"$zsum * sqrt((CAST(n AS DOUBLE) * sxx - " +
+          "CAST(sx AS DOUBLE) * sx) / (CAST(n AS DOUBLE) * n)) / " +
+          s"100.0 * sqrt(1.0 / n1 + 1.0 / n0) <= $PowerTargetLift " +
+          "AS powered_for_target")
+      .orderBy("event_type")
+  }
+
+  def powerMdeOracle: String = {
+    val zsum = s"($PowerZa + $PowerZb)"
+    val sig = "sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * " +
+      "sx) / (CAST(n AS DOUBLE) * n)) / 100.0"
+    s"""WITH e AS (SELECT event_type AS et,
+       |    CAST(user_id % 2 AS INT) AS arm,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS v FROM events),
+       |ag AS (SELECT et,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n1,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n0,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(v) AS BIGINT) AS sx,
+       |    CAST(sum(v * v) AS BIGINT) AS sxx
+       |  FROM e GROUP BY et)
+       |SELECT et AS event_type, n1 AS n_treat, n0 AS n_control,
+       |  round($sig, 4) AS sigma,
+       |  round($zsum * $sig * sqrt(1.0 / n1 + 1.0 / n0), 4) AS mde_abs,
+       |  round($zsum * $sig * sqrt(1.0 / n1 + 1.0 / n0) /
+       |    (CAST(sx AS DOUBLE) / n / 100.0), 4) AS mde_rel,
+       |  $zsum * $sig * sqrt(1.0 / n1 + 1.0 / n0) <= $PowerTargetLift
+       |    AS powered_for_target
+       |FROM ag ORDER BY event_type""".stripMargin
+  }
+
+  // --- q264: quantile treatment effects ------------------------------------
+
+  /** Planted multiplicative treatment effect on the treated arm. */
+  val QteFactor = 1.2
+
+  /** q264 — quantile treatment effects: the mean readouts (q200, q251,
+    * q260) are blind to WHERE in the distribution an effect lands; QTE
+    * compares every decile of the treated arm against the control arm.
+    * The planted effect is MULTIPLICATIVE (×[[QteFactor]]), so the
+    * absolute QTE must GROW with the quantile — the signature a mean
+    * readout flattens into one number.
+    *
+    * Exactness: deciles are lower order statistics on the (arm, value)
+    * cell grid (first value whose 10·cum ≥ k·n — pure integers);
+    * effects are single divisions.
+    *
+    * Scale (100 TB): one map-combined (type, arm, value) collapse; the
+    * quantile windows run per (type, arm) over value cells. */
+  def qte(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = EtlOps.t(s, dir, "events").selectExpr("event_type AS et",
+      "CAST(user_id % 2 AS INT) AS arm",
+      s"CAST(round(value * CASE WHEN user_id % 2 = 1 THEN " +
+        s"$QteFactor * 100 ELSE 100 END, 0) AS BIGINT) AS v")
+    val cells = ev.groupBy("et", "arm", "v")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("et", "arm").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val c2 = cells.withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n",
+        sum(col("cnt")).over(Window.partitionBy("et", "arm")))
+    val grid = c2.select(col("et"), col("arm"), col("v"), col("cum"),
+      col("n"), explode(expr("sequence(1, 9)")).as("k"))
+    val qs = grid.filter(expr("10 * cum >= k * n"))
+      .groupBy("et", "arm", "k").agg(min(col("v")).as("q"))
+    val t = qs.filter(col("arm") === 1)
+      .select(col("et"), col("k"), col("q").as("qt"))
+    val c = qs.filter(col("arm") === 0)
+      .select(col("et"), col("k"), col("q").as("qc"))
+    t.join(c, Seq("et", "k"))
+      .selectExpr("et AS event_type", "CAST(k AS BIGINT) AS decile",
+        "CAST(qt AS DOUBLE) / 100.0 AS q_treat",
+        "CAST(qc AS DOUBLE) / 100.0 AS q_control",
+        "round(CAST(qt - qc AS DOUBLE) / 100.0, 4) AS qte_abs",
+        "round(CAST(qt AS DOUBLE) / qc, 4) AS qte_ratio")
+      .orderBy("event_type", "decile")
+  }
+
+  def qteOracle: String =
+    s"""WITH e AS (SELECT event_type AS et,
+       |    CAST(user_id % 2 AS INT) AS arm,
+       |    CAST(round(value * CASE WHEN user_id % 2 = 1 THEN
+       |      $QteFactor * 100 ELSE 100 END, 0) AS BIGINT) AS v
+       |  FROM events),
+       |cells AS (SELECT et, arm, v, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM e GROUP BY et, arm, v),
+       |c2 AS (SELECT *,
+       |    CAST(sum(cnt) OVER (PARTITION BY et, arm ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY et, arm) AS BIGINT) AS n
+       |  FROM cells),
+       |g AS (SELECT et, arm, v, cum, n,
+       |    CAST(unnest(range(1, 10)) AS BIGINT) AS k FROM c2),
+       |qs AS (SELECT et, arm, k, CAST(min(v) AS BIGINT) AS q
+       |  FROM g WHERE 10 * cum >= k * n GROUP BY et, arm, k)
+       |SELECT t.et AS event_type, t.k AS decile,
+       |  CAST(t.q AS DOUBLE) / 100.0 AS q_treat,
+       |  CAST(c.q AS DOUBLE) / 100.0 AS q_control,
+       |  round(CAST(t.q - c.q AS DOUBLE) / 100.0, 4) AS qte_abs,
+       |  round(CAST(t.q AS DOUBLE) / c.q, 4) AS qte_ratio
+       |FROM qs t JOIN qs c ON c.et = t.et AND c.k = t.k
+       |  AND t.arm = 1 AND c.arm = 0
+       |ORDER BY event_type, decile""".stripMargin
 }

@@ -876,4 +876,76 @@ object MixtureOps {
        |  round(CAST(($TempCurveBudget * w_fp) // den AS DOUBLE) /
        |    CAST(g.tk AS DOUBLE), 6) AS epochs
        |FROM g JOIN d USING (tau) ORDER BY g.tau, g.source""".stripMargin
+
+  // --- q266: offline bandit replay (off-policy evaluation) ---------------
+
+  /** q266 — offline replay evaluation of a greedy arm-selection policy
+    * (Li et al.'s replay method): treat the event types as arms and
+    * the logged stream as a uniform logging policy; each day the
+    * candidate policy picks the arm with the best CUMULATIVE mean
+    * reward through yesterday, and is scored on exactly the logged
+    * events whose arm matches the choice. This is the evaluation loop
+    * a data-mixture bandit (the adaptive version of q130/q206's static
+    * temperature mixing) runs before any policy ships.
+    *
+    * Exactness: cumulative means are rationals over integer sums
+    * (values frozen ×100); the per-day argmax orders one exact double
+    * division with an alphabetical tie-break; replay estimates are
+    * single divisions.
+    *
+    * Scale (100 TB): one (arm, day) cell collapse; cumulative sums and
+    * the per-day argmax are windows over |arms|·|calendar| cells; the
+    * replay join is cell-keyed. */
+  def banditReplay(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = EtlOps.t(s, dir, "events").selectExpr(
+        "event_type AS arm",
+        "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS d",
+        "CAST(round(value * 100, 0) AS BIGINT) AS v")
+      .groupBy("arm", "d")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("c")).persist()
+    val wCum = Window.partitionBy("arm").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = cells
+      .withColumn("cumv", sum(col("sv")).over(wCum))
+      .withColumn("cumc", sum(col("c")).over(wCum))
+    // the policy for day d+1 reads the cumulative board through d
+    val board = cum.select((col("d") + 1).as("d"), col("arm"),
+      (col("cumv").cast("double") / col("cumc")).as("m"))
+    val chosen = board.withColumn("rn", row_number().over(
+        Window.partitionBy("d").orderBy(col("m").desc, col("arm"))))
+      .filter(col("rn") === 1).select(col("d"), col("arm"),
+        col("m").as("board_mean"))
+    chosen.join(cells, Seq("arm", "d"))
+      .selectExpr("d AS day", "arm AS chosen_arm", "c AS n_matched",
+        "round(CAST(sv AS DOUBLE) / c / 100.0, 4) AS replay_reward",
+        "round(board_mean / 100.0, 4) AS board_mean")
+      .orderBy("day")
+  }
+
+  def banditReplayOracle: String =
+    s"""WITH cells AS (SELECT event_type AS arm,
+       |    CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+       |      AS d,
+       |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+       |      AS sv,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |cum AS (SELECT *,
+       |    CAST(sum(sv) OVER w AS BIGINT) AS cumv,
+       |    CAST(sum(c) OVER w AS BIGINT) AS cumc
+       |  FROM cells
+       |  WINDOW w AS (PARTITION BY arm ORDER BY d ROWS BETWEEN
+       |    UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |board AS (SELECT d + 1 AS d, arm,
+       |    CAST(cumv AS DOUBLE) / cumc AS m FROM cum),
+       |ch AS (SELECT d, arm, m AS board_mean,
+       |    row_number() OVER (PARTITION BY d ORDER BY m DESC, arm)
+       |      AS rn
+       |  FROM board QUALIFY rn = 1)
+       |SELECT ch.d AS day, ch.arm AS chosen_arm, c AS n_matched,
+       |  round(CAST(sv AS DOUBLE) / c / 100.0, 4) AS replay_reward,
+       |  round(board_mean / 100.0, 4) AS board_mean
+       |FROM ch JOIN cells ON cells.arm = ch.arm AND cells.d = ch.d
+       |ORDER BY day""".stripMargin
 }

@@ -860,4 +860,106 @@ object ScaleOps {
        |FROM cr JOIN tt USING (sort_key) CROSS JOIN mt
        |ORDER BY cr.sort_key, cr.col_name""".stripMargin
   }
+
+  // --- q267: bloom-filter sizing planner ----------------------------------
+
+  /** (bits/key, optimal k, analytic fpp = (1−e^{−k·n/m})^k) — the fpp
+    * values are BUILD-TIME literals (the q190/q252 discipline: no
+    * runtime exp), e0-suffixed for double parsing in both engines. */
+  val BloomConfigs: Seq[(Int, Int, String)] = Seq(
+    (4, 3, "0.14689159766038104e0"),
+    (8, 6, "0.021577141463219263e0"),
+    (12, 8, "0.003142350345702593e0"),
+    (16, 11, "0.0004587107308146284e0"))
+
+  /** q267 — bloom-filter sizing planner: before the runtime-filter
+    * joins (q66/q236) and the streaming dedup bloom (q181) ship a
+    * filter, this audit prices the bits-per-key / hash-count frontier:
+    * for each config it SIMULATES the filter (k md5 positions per key
+    * into an m-bit space, built from the real key column) and measures
+    * the empirical false-positive rate on disjoint probe keys against
+    * the analytic (1−e^{−kn/m})^k literal. The audited knob is the one
+    * q181 hardcodes.
+    *
+    * Exactness: inserted bit positions and probe memberships are exact
+    * integer sets (distinct + join); fpp is one division; the analytic
+    * side is a build-time literal.
+    *
+    * Scale (100 TB): inserts/probes are k rows per key (linear, k ≤
+    * 11); the membership join is an equi-join on (config, position) —
+    * the simulation costs what building the real filter costs. */
+  def bloomPlanner(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val keys = EtlOps.t(s, dir, "orders")
+      .select(col("o_orderkey").as("key")).persist()
+    val cfg = BloomConfigs.map { case (b, k, _) => (b, k) }
+    val cfgDf = s.createDataFrame(cfg).toDF("bpk", "k")
+    val n = keys.count() // metadata scalar: sizes the bit space
+    val withCfg = keys.crossJoin(broadcast(cfgDf))
+      .withColumn("j", explode(expr("sequence(0, k - 1)")))
+    val inserted = withCfg.select(col("bpk"),
+        (call_function("md5_fp60", concat(lit("bf"), col("j"),
+          lit(":"), col("key").cast("string")))
+          % (lit(n) * col("bpk"))).as("pos"))
+      .distinct()
+    val probes = keys.select((col("key") + 100000000L).as("key"))
+      .crossJoin(broadcast(cfgDf))
+      .withColumn("j", explode(expr("sequence(0, k - 1)")))
+      .select(col("bpk"), col("k"), col("key"),
+        (call_function("md5_fp60", concat(lit("bf"), col("j"),
+          lit(":"), col("key").cast("string")))
+          % (lit(n) * col("bpk"))).as("pos"))
+    val hits = probes.join(inserted, Seq("bpk", "pos"), "left_semi")
+      .groupBy("bpk", "k", "key").agg(count(lit(1)).as("nhit"))
+      .filter(col("nhit") === col("k"))
+      .groupBy("bpk").agg(count(lit(1)).as("fp"))
+    val ana = s.createDataFrame(BloomConfigs.map { case (b, k, f) =>
+      (b, k, f.dropRight(2).toDouble) }).toDF("bpk", "k", "analytic")
+    ana.join(hits, Seq("bpk"), "left")
+      .selectExpr("bpk AS bits_per_key", "k", s"CAST($n AS BIGINT) " +
+          "AS n_keys",
+        "coalesce(fp, 0) AS false_positives",
+        s"round(CAST(coalesce(fp, 0) AS DOUBLE) / $n, 6) AS " +
+          "empirical_fpp",
+        "round(analytic, 6) AS analytic_fpp",
+        s"CAST(coalesce(fp, 0) AS DOUBLE) / $n < 2.0 * analytic " +
+          "AS within_model")
+      .orderBy("bits_per_key")
+  }
+
+  def bloomPlannerOracle: String = {
+    val fp = (tag: String) => "CAST(CAST('0x' || substr(md5('bf' || " +
+      s"CAST(j AS VARCHAR) || ':' || CAST($tag AS VARCHAR)), 1, 15) " +
+      "AS BIGINT) AS BIGINT)"
+    val cfgRows = BloomConfigs.map { case (b, k, f) =>
+      s"SELECT $b AS bpk, $k AS k, $f AS analytic" }
+      .mkString(" UNION ALL ")
+    s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+       |cfg AS ($cfgRows),
+       |ins AS (SELECT DISTINCT bpk,
+       |    ${fp("o_orderkey")} % (n * bpk) AS pos
+       |  FROM orders, cfg, nn,
+       |    (SELECT unnest(range(0, 11)) AS j)
+       |  WHERE j < k),
+       |pr AS (SELECT bpk, k, o_orderkey + 100000000 AS key,
+       |    ${fp("o_orderkey + 100000000")} % (n * bpk) AS pos
+       |  FROM orders, cfg, nn,
+       |    (SELECT unnest(range(0, 11)) AS j)
+       |  WHERE j < k),
+       |hit AS (SELECT pr.bpk, pr.k, pr.key,
+       |    CAST(count(*) AS BIGINT) AS nhit
+       |  FROM pr JOIN ins ON ins.bpk = pr.bpk AND ins.pos = pr.pos
+       |  GROUP BY pr.bpk, pr.k, pr.key),
+       |fpc AS (SELECT bpk, CAST(count(*) AS BIGINT) AS fp FROM hit
+       |  WHERE nhit = k GROUP BY bpk)
+       |SELECT cfg.bpk AS bits_per_key, cfg.k, nn.n AS n_keys,
+       |  coalesce(fp, 0) AS false_positives,
+       |  round(CAST(coalesce(fp, 0) AS DOUBLE) / nn.n, 6)
+       |    AS empirical_fpp,
+       |  round(analytic, 6) AS analytic_fpp,
+       |  CAST(coalesce(fp, 0) AS DOUBLE) / nn.n < 2.0 * analytic
+       |    AS within_model
+       |FROM cfg LEFT JOIN fpc ON fpc.bpk = cfg.bpk, nn
+       |ORDER BY bits_per_key""".stripMargin
+  }
 }

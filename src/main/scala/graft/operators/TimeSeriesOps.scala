@@ -889,4 +889,98 @@ object TimeSeriesOps {
        |  (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) /
        |    (CAST(n AS DOUBLE) * sx) > $FanoFlag AS bursty
        |FROM ag ORDER BY event_type""".stripMargin
+
+  // --- q265: interrupted time-series readout ------------------------------
+
+  /** Level-change flag: |Δlevel at τ| > this fraction of the pre mean. */
+  val ItsLevelFrac = 0.25
+
+  /** q265 — interrupted time-series (segmented regression) readout at
+    * the known intervention day τ = [[CusumStepDay]]: q253's
+    * CUSUM detects THAT and WHEN a stream shifted; ITS quantifies HOW
+    * MUCH — separate OLS fits on the pre and post segments give the
+    * LEVEL change at τ (ŷ_post(τ) − ŷ_pre(τ)) and the SLOPE change,
+    * the two numbers an incident review wants. Uses the same planted
+    * 'click_step' stream (volume doubles at day [[CusumStepDay]]),
+    * whose level change must recover ≈ the pre-period daily mean.
+    *
+    * Exactness: both OLS fits are exact bigint sums into fixed double
+    * expressions (the q246 discipline); τ is a literal.
+    *
+    * Scale (100 TB): one (type, day) collapse; both fits are
+    * |calendar|-cell aggregates. */
+  def itsReadout(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.t(s, dir, "events")
+    val base = ev.selectExpr("event_type AS et",
+      "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS d")
+    val plantAll = ev.filter(col("event_type") === "click")
+      .selectExpr("'click_step' AS et",
+        "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS d")
+    val plantExtra = plantAll.filter(col("d") >= CusumStepDay)
+    val daily = base.unionAll(plantAll).unionAll(plantExtra)
+      .groupBy("et", "d").agg(count(lit(1)).as("x"))
+      .withColumn("seg",
+        when(col("d") < CusumStepDay, lit(0)).otherwise(lit(1)))
+    val fits = daily.groupBy("et", "seg").agg(
+      count(lit(1)).as("n"), sum(col("d")).as("sd"),
+      sum(col("x")).as("sx"), sum(expr("d * d")).as("sdd"),
+      sum(expr("d * x")).as("sdx"))
+    val slope = "(CAST(n AS DOUBLE) * sdx - CAST(sd AS DOUBLE) * sx)" +
+      " / (CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd)"
+    val icept = s"(CAST(sx AS DOUBLE) / n - ($slope) * " +
+      "(CAST(sd AS DOUBLE) / n))"
+    val seg = fits.selectExpr("et", "seg",
+      s"$slope AS b", s"$icept AS a", "CAST(sx AS DOUBLE) / n AS mu")
+    val pre = seg.filter(col("seg") === 0)
+      .select(col("et"), col("b").as("b0"), col("a").as("a0"),
+        col("mu").as("mu0"))
+    val post = seg.filter(col("seg") === 1)
+      .select(col("et"), col("b").as("b1"), col("a").as("a1"))
+    pre.join(post, "et")
+      .selectExpr("et AS event_type",
+        "round(b0, 4) AS pre_slope", "round(b1, 4) AS post_slope",
+        s"round((a1 + b1 * $CusumStepDay) - (a0 + b0 * " +
+          s"$CusumStepDay), 4) AS level_change",
+        "round(b1 - b0, 4) AS slope_change",
+        s"abs((a1 + b1 * $CusumStepDay) - (a0 + b0 * " +
+          s"$CusumStepDay)) > $ItsLevelFrac * mu0 AS level_shifted")
+      .orderBy("event_type")
+  }
+
+  def itsReadoutOracle: String = {
+    val slope = "(CAST(n AS DOUBLE) * sdx - CAST(sd AS DOUBLE) * sx)" +
+      " / (CAST(n AS DOUBLE) * sdd - CAST(sd AS DOUBLE) * sd)"
+    val icept = s"(CAST(sx AS DOUBLE) / n - ($slope) * " +
+      "(CAST(sd AS DOUBLE) / n))"
+    s"""WITH base AS (SELECT event_type AS et,
+       |    CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT) AS d
+       |  FROM events
+       |  UNION ALL
+       |  SELECT 'click_step', CAST(date_diff('day', DATE '2024-01-01',
+       |    ts) AS BIGINT) FROM events WHERE event_type = 'click'
+       |  UNION ALL
+       |  SELECT 'click_step', CAST(date_diff('day', DATE '2024-01-01',
+       |    ts) AS BIGINT) FROM events WHERE event_type = 'click'
+       |    AND CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+       |      >= $CusumStepDay),
+       |daily AS (SELECT et, d, CAST(count(*) AS BIGINT) AS x,
+       |    CASE WHEN d < $CusumStepDay THEN 0 ELSE 1 END AS seg
+       |  FROM base GROUP BY et, d),
+       |fits AS (SELECT et, seg, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(d) AS BIGINT) AS sd, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(d * d) AS BIGINT) AS sdd,
+       |    CAST(sum(d * x) AS BIGINT) AS sdx
+       |  FROM daily GROUP BY et, seg),
+       |sg AS (SELECT et, seg, $slope AS b, $icept AS a,
+       |    CAST(sx AS DOUBLE) / n AS mu FROM fits)
+       |SELECT p.et AS event_type,
+       |  round(p.b, 4) AS pre_slope, round(q.b, 4) AS post_slope,
+       |  round((q.a + q.b * $CusumStepDay) - (p.a + p.b *
+       |    $CusumStepDay), 4) AS level_change,
+       |  round(q.b - p.b, 4) AS slope_change,
+       |  abs((q.a + q.b * $CusumStepDay) - (p.a + p.b *
+       |    $CusumStepDay)) > $ItsLevelFrac * p.mu AS level_shifted
+       |FROM sg p JOIN sg q ON q.et = p.et AND p.seg = 0 AND q.seg = 1
+       |ORDER BY event_type""".stripMargin
+  }
 }

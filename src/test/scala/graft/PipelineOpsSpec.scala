@@ -2351,4 +2351,113 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.values.foreach(v => assert(v._5 == (v._3 > TimeSeriesOps
       .FanoFlag) || math.abs(v._3 - TimeSeriesOps.FanoFlag) < 1e-4))
   }
+
+  test("q263 power/mde: the MDE formula is internally consistent and scales with 1/sqrt(n)") {
+    val rows = AnalyticsOps.powerMde(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getBoolean(6)))
+    val n = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(rows.map(r => r._2 + r._3).sum == n)
+    val zsum = 1.9599639845400536 + 0.8416212335729144
+    rows.foreach { r =>
+      assert(r._4 > 20 && r._4 < 80, s"sigma off: ${r._4}")
+      val mde = zsum * r._4 *
+        math.sqrt(1.0 / r._2 + 1.0 / r._3)
+      assert(math.abs(r._5 - mde) < 0.01, s"mde inconsistent: $r")
+      assert(r._7 == (mde <= AnalyticsOps.PowerTargetLift) ||
+        math.abs(mde - AnalyticsOps.PowerTargetLift) < 0.02)
+      assert(r._6 > 0)
+    }
+  }
+
+  test("q264 qte: the multiplicative plant shows as growing absolute effects at a stable ratio") {
+    val rows = AnalyticsOps.qte(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    val types = rows.map(_._1).distinct
+    types.foreach { t =>
+      val qs = rows.filter(_._1 == t).sortBy(_._2)
+      assert(qs.length == 9)
+      // absolute QTE grows from the low to the high deciles
+      assert(qs.last._5 > qs.head._5,
+        s"$t: absolute QTE not growing: ${qs.map(_._5).toSeq}")
+      // ratio hovers around the planted factor in the mid/upper body
+      // (individual deciles are noisy at sf0.001 — ~100 events/arm —
+      // so bound each loosely and pin the median; the sharp values
+      // sit in the sf0.01 oracle row)
+      val mid = qs.filter(_._2 >= 4)
+      mid.foreach(q => assert(q._6 > 0.7 && q._6 < 2.5,
+        s"$t decile ${q._2} ratio ${q._6}"))
+      // quantiles are monotone within each arm
+      assert(qs.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+      assert(qs.map(_._4).sliding(2).forall(p => p(0) <= p(1)))
+    }
+    // pooled across types, the mid/upper-body ratio centers near the
+    // planted factor (per-type medians swing with the ~8-users-per-arm
+    // mix at sf0.001; the sharp values sit in the sf0.01 oracle)
+    val pooled = rows.filter(_._2 >= 4).map(_._6).sorted
+    val pooledMed = pooled(pooled.length / 2)
+    assert(pooledMed > 0.95 && pooledMed < 1.8,
+      s"pooled median ratio $pooledMed")
+  }
+
+  test("q265 its: the planted step's level change recovers the doubled volume; slopes stay flat") {
+    val rows = TimeSeriesOps.itsReadout(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    val step = rows("click_step")
+    val preMean = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_type") === "click").count().toDouble / 30
+    assert(step._5, "planted step not level-shifted")
+    assert(step._3 > 0.3 * preMean && step._3 < 2.0 * preMean,
+      s"level change ${step._3} vs pre mean $preMean")
+    // the plant is a pure level shift — strictly the largest in the
+    // fleet
+    rows.filterKeys(_ != "click_step").values.foreach(v =>
+      assert(math.abs(v._3) < step._3,
+        s"stationary stream out-shifted the plant: $v"))
+  }
+
+  test("q266 bandit replay: the greedy choice is exactly yesterday's best cumulative arm") {
+    val rows = MixtureOps.banditReplay(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 29)
+    rows.foreach { r =>
+      assert(r._3 > 0 && r._4 > 0 && r._5 > 0)
+      assert(Set("click", "error", "purchase", "signup", "view")(r._2))
+    }
+    // independent recompute of day 1's choice: best cumulative mean
+    // through day 0, alphabetical tie-break
+    val day0 = spark.read.parquet(s"$dir/events.parquet")
+      .filter(expr("CAST(datediff(ts, DATE '2024-01-01') AS BIGINT)") === 0)
+      .groupBy("event_type")
+      .agg((sum(expr("CAST(round(value * 100, 0) AS BIGINT)"))
+        .cast("double") / count(lit(1))).as("m"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val best = day0.sortBy(r => (-r._2, r._1)).head._1
+    assert(rows.find(_._1 == 1).get._2 == best,
+      s"day-1 policy diverged: ${rows.find(_._1 == 1)} vs $best")
+  }
+
+  test("q267 bloom planner: empirical fpp tracks the analytic curve and falls with bits/key") {
+    val rows = ScaleOps.bloomPlanner(spark, dir).collect()
+      .map(r => (r.getInt(0).toLong, r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+      .sortBy(_._1)
+    assert(rows.length == 4)
+    val nKeys = spark.read.parquet(s"$dir/orders.parquet").count()
+    rows.foreach(r => assert(r._3 == nKeys))
+    // false positives fall monotonically with bits/key
+    assert(rows.map(_._4).sliding(2).forall(p => p(0) >= p(1)),
+      s"fp not monotone: ${rows.map(_._4).toSeq}")
+    // the dense configs have enough expected FPs to bind tightly
+    rows.filter(_._1 <= 12).foreach { r =>
+      assert(r._7, s"config ${r._1} outside model: $r") }
+    // ratio sanity on the densest config (≥2k expected FPs at sf0.01,
+    // ≥200 at sf0.001)
+    val dense = rows.head
+    assert(dense._5 > 0.5 * dense._6 && dense._5 < 2.0 * dense._6)
+  }
 }

@@ -1251,4 +1251,50 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(p.contains("Window") && p.contains("HashAggregate"),
       s"burstiness lost its sweep shape:\n${p.take(1800)}")
   }
+
+  test("q263 power/mde: one moment collapse, no joins, no windows") {
+    val p = plan(AnalyticsOps.powerMde(spark, dir))
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"power analysis grew structure:\n${p.take(1800)}")
+    assert(p.contains("HashAggregate"),
+      s"power analysis lost its collapse:\n${p.take(1800)}")
+  }
+
+  test("q264 qte: quantiles come from cell windows; arms meet in a cell-sized equi-join") {
+    val p = plan(AnalyticsOps.qte(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"qte went product:\n${p.take(1800)}")
+    assert(p.contains("Window") && p.contains("Generate"),
+      s"qte lost its quantile-grid shape:\n${p.take(1800)}")
+  }
+
+  test("q265 its: two segment fits from one cell collapse; the pre/post join is |types|-sized") {
+    val p = plan(TimeSeriesOps.itsReadout(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"its went cartesian:\n${p.take(1800)}")
+    assert(p.contains("HashAggregate"),
+      s"its lost its fits:\n${p.take(1800)}")
+  }
+
+  test("q266 bandit replay: cells persist once; policy and replay join on cell keys") {
+    val p = plan(MixtureOps.banditReplay(spark, dir))
+    assert(p.contains("InMemoryTableScan"),
+      s"cells recomputed per consumer:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"replay went cartesian:\n${p.take(1800)}")
+    assert(p.contains("Window"),
+      s"replay lost its cumulative/argmax windows:\n${p.take(1800)}")
+  }
+
+  test("q267 bloom planner: simulation is generate + distinct + semi-join, never a product") {
+    val p = plan(ScaleOps.bloomPlanner(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"bloom sim went cartesian:\n${p.take(1800)}")
+    assert(p.contains("Generate"),
+      s"bloom sim lost its k-position generator:\n${p.take(1800)}")
+    assert(p.contains("LeftSemi") || p.contains("left_semi") ||
+      p.contains("Semi"),
+      s"membership probe is not a semi-join:\n${p.take(1800)}")
+  }
 }
