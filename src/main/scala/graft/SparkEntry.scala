@@ -285,6 +285,11 @@ object SparkEntry {
     "q265_its_readout"       -> (TimeSeriesOps.itsReadout _),
     "q266_bandit_replay"     -> (MixtureOps.banditReplay _),
     "q267_bloom_planner"     -> (ScaleOps.bloomPlanner _),
+    "q268_brier"             -> (MixtureOps.brierDecomposition _),
+    "q269_psm_matching"      -> (AnalyticsOps.psmMatching _),
+    "q270_energy_drift"      -> (ProfileOps.energyDrift _),
+    "q271_tail_dependence"   -> (ProfileOps.tailDependence _),
+    "q272_fs_em"             -> (DedupOps.fsEm _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -834,6 +839,11 @@ object SparkEntry {
     "q265_its_readout" -> TimeSeriesOps.itsReadoutOracle,
     "q266_bandit_replay" -> MixtureOps.banditReplayOracle,
     "q267_bloom_planner" -> ScaleOps.bloomPlannerOracle,
+    "q268_brier" -> MixtureOps.brierDecompositionOracle,
+    "q269_psm_matching" -> AnalyticsOps.psmMatchingOracle,
+    "q270_energy_drift" -> ProfileOps.energyDriftOracle,
+    "q271_tail_dependence" -> ProfileOps.tailDependenceOracle,
+    "q272_fs_em" -> DedupOps.fsEmOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -1675,6 +1675,166 @@ object AnalyticsOps {
        |FROM ag ORDER BY event_type""".stripMargin
   }
 
+  // --- q269: covariate matching for a confounded rollout -------------------
+
+  val PsmLift = 20.0
+  /** Matching caliper in frozen ×1000 covariate units (±50.0). */
+  val PsmCaliper = 50000L
+
+  /** q269 — nearest-neighbor covariate matching (the workhorse of
+    * propensity-score designs) for a CONFOUNDED rollout: units
+    * self-select into treatment with probability DECREASING in the
+    * same per-user trait that drives the outcome (80% at trait tier 0
+    * down to 20% at tier 6 — every tier keeps both arms, the common-
+    * support condition matching needs), so the naive treated−control
+    * difference reads the planted [[PsmLift]] MINUS the trait
+    * imbalance. Each treated unit matches its nearest control on the
+    * pre-period covariate X (with replacement, caliper
+    * [[PsmCaliper]]); the matched ATT must move toward the lift the
+    * naive readout buries. It will NOT fully recover it: X is a NOISY
+    * proxy of the trait (per-user means over a handful of events), and
+    * matching on a noisy covariate under-corrects — the textbook
+    * attenuation every observational readout carries. The audit's
+    * deliverable is the direction and size of the correction, not an
+    * unbiased oracle. q260's CUPED needs randomization; this is the
+    * observational fallback.
+    *
+    * Distributed matching shape: no pair join — controls and treated
+    * sort together on X per stream, and each treated row reads its
+    * nearest preceding/following control via two running-window
+    * passes (the q243 sorted-adjacency idea applied to matching).
+    *
+    * Exactness: X and Y freeze to ×1000 bigints; nearest-of-two and
+    * the caliper are integer compares; ATT/naive are single divisions.
+    *
+    * Scale (100 TB): one user_id exchange to per-user (X, Y); one sort
+    * per stream partition; zero joins of unit-sized frames. */
+  def psmMatching(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val treatSql = "CAST(md5_fp60(concat('psm:', " +
+      "CAST(user_id AS STRING))) % 100 < 80 - 10 * (user_id % 7) " +
+      "AS INT)"
+    val ev = EtlOps.t(s, dir, "events").selectExpr("event_type AS et",
+      "user_id",
+      s"$treatSql AS treat",
+      s"CAST(extract(day FROM ts) > 15 AS INT) AS post",
+      "CAST(floor((value + (user_id % 7) * 10.0 + " +
+        s"CASE WHEN $treatSql = 1 AND " +
+        s"extract(day FROM ts) > 15 THEN $PsmLift ELSE 0.0 END) " +
+        "* 1000) AS BIGINT) AS v1000")
+    val perUser = ev.groupBy("et", "user_id", "treat", "post")
+      .agg(sum(col("v1000")).as("sv"), count(lit(1)).as("c"))
+    val xy = perUser.groupBy("et", "user_id", "treat").agg(
+        min(when(col("post") === 0, expr(
+          "CAST(floor(CAST(sv AS DOUBLE) / c) AS BIGINT)"))).as("x"),
+        min(when(col("post") === 1, expr(
+          "CAST(floor(CAST(sv AS DOUBLE) / c) AS BIGINT)"))).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull).persist()
+    val ord = Window.partitionBy("et").orderBy(col("x"), col("user_id"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = ord.rowsBetween(1, Window.unboundedFollowing)
+    val cx = when(col("treat") === 0, col("x"))
+    val cy = when(col("treat") === 0, col("y"))
+    val m = xy
+      .withColumn("px", last(cx, ignoreNulls = true).over(wPrev))
+      .withColumn("py", last(cy, ignoreNulls = true).over(wPrev))
+      .withColumn("nx", first(cx, ignoreNulls = true).over(wNext))
+      .withColumn("ny", first(cy, ignoreNulls = true).over(wNext))
+    val matched = m.filter(col("treat") === 1)
+      .withColumn("usePrev", col("nx").isNull ||
+        (col("px").isNotNull && col("x") - col("px") <= col("nx") - col("x")))
+      .withColumn("mx", when(col("usePrev"), col("px"))
+        .otherwise(col("nx")))
+      .withColumn("my", when(col("usePrev"), col("py"))
+        .otherwise(col("ny")))
+      .filter(col("mx").isNotNull &&
+        abs(col("x") - col("mx")) <= PsmCaliper)
+    val att = matched.groupBy("et").agg(
+      count(lit(1)).as("n_matched"),
+      sum(col("y") - col("my")).as("att_sum"))
+    val naive = xy.groupBy("et").agg(
+      sum(col("treat").cast("long")).as("nt"),
+      count(lit(1)).as("nu"),
+      sum(when(col("treat") === 1, col("y"))).as("syt"),
+      sum(when(col("treat") === 0, col("y"))).as("syc"))
+    naive.join(att, "et")
+      .selectExpr("et AS event_type", "nt AS n_treated", "n_matched",
+        "round((CAST(syt AS DOUBLE) / nt - CAST(syc AS DOUBLE) / " +
+          "(nu - nt)) / 1000.0, 4) AS naive_diff",
+        "round(CAST(att_sum AS DOUBLE) / n_matched / 1000.0, 4) " +
+          "AS att_matched",
+        "round(CAST(att_sum AS DOUBLE) / n_matched / 1000.0 - " +
+          "(CAST(syt AS DOUBLE) / nt - CAST(syc AS DOUBLE) / " +
+          "(nu - nt)) / 1000.0, 4) AS bias_removed")
+      .orderBy("event_type")
+  }
+
+  def psmMatchingOracle: String =
+    s"""WITH e AS (SELECT event_type AS et, user_id,
+       |    CASE WHEN CAST('0x' || substr(md5('psm:' ||
+       |      CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 <
+       |      80 - 10 * (user_id % 7) THEN 1 ELSE 0 END AS treat,
+       |    CASE WHEN extract(day FROM ts) > 15 THEN 1 ELSE 0 END
+       |      AS post,
+       |    CAST(floor((value + (user_id % 7) * 10.0 +
+       |      CASE WHEN CAST('0x' || substr(md5('psm:' ||
+       |      CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 <
+       |      80 - 10 * (user_id % 7) AND
+       |      extract(day FROM ts) > 15 THEN $PsmLift ELSE 0.0 END)
+       |      * 1000) AS BIGINT) AS v1000
+       |  FROM events),
+       |pu AS (SELECT et, user_id, treat, post,
+       |    CAST(sum(v1000) AS BIGINT) AS sv,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM e GROUP BY et, user_id, treat, post),
+       |xy AS (SELECT et, user_id, treat,
+       |    min(CASE WHEN post = 0 THEN CAST(floor(CAST(sv AS DOUBLE)
+       |      / c) AS BIGINT) END) AS x,
+       |    min(CASE WHEN post = 1 THEN CAST(floor(CAST(sv AS DOUBLE)
+       |      / c) AS BIGINT) END) AS y
+       |  FROM pu GROUP BY et, user_id, treat
+       |  HAVING x IS NOT NULL AND y IS NOT NULL),
+       |m AS (SELECT *,
+       |    last_value(CASE WHEN treat = 0 THEN x END IGNORE NULLS)
+       |      OVER wp AS px,
+       |    last_value(CASE WHEN treat = 0 THEN y END IGNORE NULLS)
+       |      OVER wp AS py,
+       |    first_value(CASE WHEN treat = 0 THEN x END IGNORE NULLS)
+       |      OVER wn AS nx,
+       |    first_value(CASE WHEN treat = 0 THEN y END IGNORE NULLS)
+       |      OVER wn AS ny
+       |  FROM xy
+       |  WINDOW wp AS (PARTITION BY et ORDER BY x, user_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    wn AS (PARTITION BY et ORDER BY x, user_id
+       |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+       |mt AS (SELECT et, x, y,
+       |    CASE WHEN nx IS NULL OR (px IS NOT NULL AND x - px <=
+       |      nx - x) THEN px ELSE nx END AS mx,
+       |    CASE WHEN nx IS NULL OR (px IS NOT NULL AND x - px <=
+       |      nx - x) THEN py ELSE ny END AS my
+       |  FROM m WHERE treat = 1),
+       |att AS (SELECT et, CAST(count(*) AS BIGINT) AS n_matched,
+       |    CAST(sum(y - my) AS BIGINT) AS att_sum
+       |  FROM mt WHERE mx IS NOT NULL AND abs(x - mx) <= $PsmCaliper
+       |  GROUP BY et),
+       |nv AS (SELECT et, CAST(sum(treat) AS BIGINT) AS nt,
+       |    CAST(count(*) AS BIGINT) AS nu,
+       |    CAST(sum(CASE WHEN treat = 1 THEN y END) AS BIGINT) AS syt,
+       |    CAST(sum(CASE WHEN treat = 0 THEN y END) AS BIGINT) AS syc
+       |  FROM xy GROUP BY et)
+       |SELECT nv.et AS event_type, nt AS n_treated, n_matched,
+       |  round((CAST(syt AS DOUBLE) / nt - CAST(syc AS DOUBLE) /
+       |    (nu - nt)) / 1000.0, 4) AS naive_diff,
+       |  round(CAST(att_sum AS DOUBLE) / n_matched / 1000.0, 4)
+       |    AS att_matched,
+       |  round(CAST(att_sum AS DOUBLE) / n_matched / 1000.0 -
+       |    (CAST(syt AS DOUBLE) / nt - CAST(syc AS DOUBLE) /
+       |    (nu - nt)) / 1000.0, 4) AS bias_removed
+       |FROM nv JOIN att ON att.et = nv.et
+       |ORDER BY event_type""".stripMargin
+
   // --- q264: quantile treatment effects ------------------------------------
 
   /** Planted multiplicative treatment effect on the treated arm. */

@@ -2224,7 +2224,10 @@ object DedupOps {
     * (banded DP, early exit) since only the ≤[[FsNameMaxEdit]]
     * question is asked. m/u estimation and the 2³-row pattern table
     * are metadata-sized. */
-  def fsLinkage(s: SparkSession, dir: String): DataFrame = {
+  /** Shared q248/q272 stage: blocked candidate pairs collapsed to the
+    * 2³ agreement-pattern table with (supervised) match labels. */
+  private[operators] def fsPatternCounts(s: SparkSession,
+      dir: String): DataFrame = {
     val c = t(s, dir, "customer").select(col("c_custkey").as("k"),
       col("c_name").as("nm"), col("c_nationkey").as("nat"),
       col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
@@ -2253,9 +2256,13 @@ object DedupOps {
         (col("aseg") === col("bseg")).cast("int").as("g_seg"),
         (abs(col("abal") - col("bbal")) <= 1.0).cast("int").as("g_bal"),
         (col("bk") - col("ak") === FsIdOffset).cast("int").as("is_match"))
-    val counts = pairs.groupBy("g_name", "g_seg", "g_bal").agg(
+    pairs.groupBy("g_name", "g_seg", "g_bal").agg(
       sum(col("is_match")).as("n_match"),
       sum(lit(1L) - col("is_match")).as("n_unmatch")).persist()
+  }
+
+  def fsLinkage(s: SparkSession, dir: String): DataFrame = {
+    val counts = fsPatternCounts(s, dir)
     val mu = counts.agg(
       sum(col("g_name") * col("n_match")).as("m1"),
       sum(col("g_seg") * col("n_match")).as("m2"),
@@ -2282,9 +2289,10 @@ object DedupOps {
         s"ELSE CAST(uu - $u + 1 AS DOUBLE) / (uu + 2) END))"
     }.mkString(" * ")
 
-  def fsLinkageOracle: String = {
-    val ratio = fsOddsExpr
-    s"""WITH c AS (SELECT c_custkey AS k, c_name AS nm,
+  /** Shared oracle CTE prefix (through the labeled pattern table
+    * `cnt`) for q248/q272. */
+  private[operators] val FsOracleCtePrefix: String =
+    s"""c AS (SELECT c_custkey AS k, c_name AS nm,
        |    c_nationkey AS nat, c_acctbal AS bal, c_mktsegment AS seg
        |  FROM customer),
        |pl AS (SELECT k + $FsIdOffset AS k,
@@ -2307,7 +2315,11 @@ object DedupOps {
        |cnt AS (SELECT g_name, g_seg, g_bal,
        |    CAST(sum(is_match) AS BIGINT) AS n_match,
        |    CAST(sum(1 - is_match) AS BIGINT) AS n_unmatch
-       |  FROM p GROUP BY 1, 2, 3),
+       |  FROM p GROUP BY 1, 2, 3)""".stripMargin
+
+  def fsLinkageOracle: String = {
+    val ratio = fsOddsExpr
+    s"""WITH $FsOracleCtePrefix,
        |mu AS (SELECT CAST(sum(g_name * n_match) AS BIGINT) AS m1,
        |    CAST(sum(g_seg * n_match) AS BIGINT) AS m2,
        |    CAST(sum(g_bal * n_match) AS BIGINT) AS m3,
@@ -2319,5 +2331,197 @@ object DedupOps {
        |SELECT g_name, g_seg, g_bal, n_match, n_unmatch,
        |  round($ratio, 6) AS odds, $ratio > 1.0 AS match_zone
        |FROM cnt, mu ORDER BY g_name, g_seg, g_bal""".stripMargin
+  }
+
+  // --- q272: unsupervised m/u estimation by EM ---------------------------
+
+  /** EM iterations (fixed so the oracle states the identical unrolled
+    * computation). */
+  val FsEmIters = 10
+
+  /** q272 — the unsupervised half of Fellegi–Sunter: q248 estimates
+    * the m/u model from PLANTED truth, but production rarely has
+    * labels — the classical answer (Winkler) is EM over the agreement-
+    * pattern table, treating match/non-match as a latent 2-class
+    * mixture. [[FsEmIters]] iterations run on the 2³-row pattern
+    * frame; the audit then puts the EM estimates NEXT to the
+    * label-derived truth — the judge of whether unsupervised linkage
+    * can be trusted on this data.
+    *
+    * Exactness: the EM state (prevalence + 6 probabilities) is frozen
+    * to ×1e12 integers BETWEEN iterations, and every within-iteration
+    * sum is an integer (responsibilities freeze to ×1e6 per pattern
+    * before summing), so the 10-iteration chain is bit-reproducible on
+    * both engines — the oracle unrolls the identical computation as 10
+    * MATERIALIZED CTE pairs. The pattern frame is metadata-sized, so
+    * the Spark side iterates DRIVER-side on the collected 8 rows (the
+    * q79/q188 boundary: corpus-sized work stays distributed, the
+    * |patterns|-sized fit does not).
+    *
+    * Scale (100 TB): all corpus cost is q248's blocked pair collapse
+    * (shared `fsPatternCounts`); EM itself is O(iters · 2³). */
+  def fsEm(s: SparkSession, dir: String): DataFrame = {
+    val pats = fsPatternCounts(s, dir).collect().map(r =>
+      (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getLong(3) + r.getLong(4), r.getLong(3), r.getLong(4)))
+      .sortBy(p => (p._1, p._2, p._3))
+    var pFp = 10000000000L // 0.01
+    val mFp = Array(900000000000L, 900000000000L, 900000000000L)
+    val uFp = Array(100000000000L, 100000000000L, 100000000000L)
+    for (_ <- 1 to FsEmIters) {
+      val p = pFp.toDouble / 1e12
+      val m = mFp.map(_.toDouble / 1e12)
+      val u = uFp.map(_.toDouble / 1e12)
+      val rfp = pats.map { case (g1, g2, g3, n, _, _) =>
+        val gs = Array(g1, g2, g3)
+        val lm = (0 to 2).map(i =>
+          if (gs(i) == 1) m(i) else 1.0 - m(i)).product
+        val lu = (0 to 2).map(i =>
+          if (gs(i) == 1) u(i) else 1.0 - u(i)).product
+        val plm = p * lm
+        val plu = (1.0 - p) * lu
+        math.floor(plm / (plm + plu) * n * 1e6).toLong
+      }
+      val sr = rfp.sum
+      val n6 = pats.map(_._4 * 1000000L).sum
+      val su = n6 - sr
+      val srg = (0 to 2).map(i => pats.zip(rfp).map { case (pt, r) =>
+        r * (if (i == 0) pt._1 else if (i == 1) pt._2 else pt._3) }
+        .sum)
+      val sug = (0 to 2).map(i => pats.zip(rfp).map { case (pt, r) =>
+        (pt._4 * 1000000L - r) *
+          (if (i == 0) pt._1 else if (i == 1) pt._2 else pt._3) }.sum)
+      pFp = math.floor(sr.toDouble / n6.toDouble * 1e12).toLong
+      (0 to 2).foreach { i =>
+        mFp(i) = math.floor(srg(i).toDouble / sr.toDouble * 1e12)
+          .toLong
+        uFp(i) = math.floor(sug(i).toDouble / su.toDouble * 1e12)
+          .toLong
+      }
+    }
+    val mm = pats.map(_._5).sum
+    val uu = pats.map(_._6).sum
+    val mx = (0 to 2).map(i => pats.map(pt => pt._5 *
+      (if (i == 0) pt._1 else if (i == 1) pt._2 else pt._3)).sum)
+    val ux = (0 to 2).map(i => pats.map(pt => pt._6 *
+      (if (i == 0) pt._1 else if (i == 1) pt._2 else pt._3)).sum)
+    val names = Seq("name", "segment", "balance")
+    val rows = (0 to 2).map { i =>
+      val mEm = mFp(i).toDouble / 1e12
+      val uEm = uFp(i).toDouble / 1e12
+      val mSup = mx(i).toDouble / mm.toDouble
+      val uSup = ux(i).toDouble / uu.toDouble
+      (names(i), mEm, mSup, math.abs(mEm - mSup),
+        uEm, uSup, math.abs(uEm - uSup))
+    }
+    // rounding goes through Spark's round so it matches the oracle's
+    // round semantics exactly (not scala.BigDecimal's)
+    s.createDataFrame(rows).toDF("comparator", "m_em", "m_sup",
+        "m_abs_err", "u_em", "u_sup", "u_abs_err")
+      .selectExpr("comparator", "round(m_em, 6) AS m_em",
+        "round(m_sup, 6) AS m_sup", "round(m_abs_err, 6) AS m_abs_err",
+        "round(u_em, 6) AS u_em", "round(u_sup, 6) AS u_sup",
+        "round(u_abs_err, 6) AS u_abs_err")
+      .orderBy("comparator")
+  }
+
+  def fsEmOracle: String = {
+    val pDbl = "CAST(p_fp AS DOUBLE) / 1e12"
+    def prob(fp: String) = s"CAST($fp AS DOUBLE) / 1e12"
+    def lExpr(pfx: String) = Seq(("g_name", s"${pfx}1_fp"),
+      ("g_seg", s"${pfx}2_fp"), ("g_bal", s"${pfx}3_fp"))
+      .map { case (g, f) =>
+        s"(CASE WHEN $g = 1 THEN ${prob(f)} ELSE 1.0 - ${prob(f)} END)"
+      }.mkString(" * ")
+    val iters = (1 to FsEmIters).map { k =>
+      val prev = s"s${k - 1}"
+      s"""r$k AS MATERIALIZED (SELECT g_name, g_seg, g_bal, n_pat,
+         |  CAST(floor((($pDbl) * ${lExpr("m")}) /
+         |    ((($pDbl) * ${lExpr("m")}) +
+         |     ((1.0 - $pDbl) * ${lExpr("u")}))
+         |    * n_pat * 1e6) AS BIGINT) AS rfp
+         |  FROM pat, $prev),
+         |s$k AS MATERIALIZED (SELECT
+         |    CAST(floor(CAST(sr AS DOUBLE) / CAST(n6 AS DOUBLE)
+         |      * 1e12) AS BIGINT) AS p_fp,
+         |    CAST(floor(CAST(srg1 AS DOUBLE) / CAST(sr AS DOUBLE)
+         |      * 1e12) AS BIGINT) AS m1_fp,
+         |    CAST(floor(CAST(srg2 AS DOUBLE) / CAST(sr AS DOUBLE)
+         |      * 1e12) AS BIGINT) AS m2_fp,
+         |    CAST(floor(CAST(srg3 AS DOUBLE) / CAST(sr AS DOUBLE)
+         |      * 1e12) AS BIGINT) AS m3_fp,
+         |    CAST(floor(CAST(sug1 AS DOUBLE) / CAST(n6 - sr AS DOUBLE)
+         |      * 1e12) AS BIGINT) AS u1_fp,
+         |    CAST(floor(CAST(sug2 AS DOUBLE) / CAST(n6 - sr AS DOUBLE)
+         |      * 1e12) AS BIGINT) AS u2_fp,
+         |    CAST(floor(CAST(sug3 AS DOUBLE) / CAST(n6 - sr AS DOUBLE)
+         |      * 1e12) AS BIGINT) AS u3_fp
+         |  FROM (SELECT CAST(sum(rfp) AS BIGINT) AS sr,
+         |      CAST(sum(rfp * g_name) AS BIGINT) AS srg1,
+         |      CAST(sum(rfp * g_seg) AS BIGINT) AS srg2,
+         |      CAST(sum(rfp * g_bal) AS BIGINT) AS srg3,
+         |      CAST(sum(n_pat * 1000000) AS BIGINT) AS n6,
+         |      CAST(sum((n_pat * 1000000 - rfp) * g_name) AS BIGINT)
+         |        AS sug1,
+         |      CAST(sum((n_pat * 1000000 - rfp) * g_seg) AS BIGINT)
+         |        AS sug2,
+         |      CAST(sum((n_pat * 1000000 - rfp) * g_bal) AS BIGINT)
+         |        AS sug3
+         |    FROM r$k))""".stripMargin
+    }.mkString(",\n")
+    val fin = s"s$FsEmIters"
+    s"""WITH $FsOracleCtePrefix,
+       |pat AS (SELECT g_name, g_seg, g_bal,
+       |    n_match + n_unmatch AS n_pat FROM cnt),
+       |sup AS (SELECT CAST(sum(g_name * n_match) AS BIGINT) AS mx1,
+       |    CAST(sum(g_seg * n_match) AS BIGINT) AS mx2,
+       |    CAST(sum(g_bal * n_match) AS BIGINT) AS mx3,
+       |    CAST(sum(g_name * n_unmatch) AS BIGINT) AS ux1,
+       |    CAST(sum(g_seg * n_unmatch) AS BIGINT) AS ux2,
+       |    CAST(sum(g_bal * n_unmatch) AS BIGINT) AS ux3,
+       |    CAST(sum(n_match) AS BIGINT) AS mm,
+       |    CAST(sum(n_unmatch) AS BIGINT) AS uu FROM cnt),
+       |s0 AS (SELECT CAST(10000000000 AS BIGINT) AS p_fp,
+       |    CAST(900000000000 AS BIGINT) AS m1_fp,
+       |    CAST(900000000000 AS BIGINT) AS m2_fp,
+       |    CAST(900000000000 AS BIGINT) AS m3_fp,
+       |    CAST(100000000000 AS BIGINT) AS u1_fp,
+       |    CAST(100000000000 AS BIGINT) AS u2_fp,
+       |    CAST(100000000000 AS BIGINT) AS u3_fp),
+       |$iters
+       |SELECT * FROM (
+       |  SELECT 'name' AS comparator,
+       |    round(CAST(m1_fp AS DOUBLE) / 1e12, 6) AS m_em,
+       |    round(CAST(mx1 AS DOUBLE) / mm, 6) AS m_sup,
+       |    round(abs(CAST(m1_fp AS DOUBLE) / 1e12 -
+       |      CAST(mx1 AS DOUBLE) / mm), 6) AS m_abs_err,
+       |    round(CAST(u1_fp AS DOUBLE) / 1e12, 6) AS u_em,
+       |    round(CAST(ux1 AS DOUBLE) / uu, 6) AS u_sup,
+       |    round(abs(CAST(u1_fp AS DOUBLE) / 1e12 -
+       |      CAST(ux1 AS DOUBLE) / uu), 6) AS u_abs_err
+       |  FROM $fin, sup
+       |  UNION ALL
+       |  SELECT 'segment',
+       |    round(CAST(m2_fp AS DOUBLE) / 1e12, 6),
+       |    round(CAST(mx2 AS DOUBLE) / mm, 6),
+       |    round(abs(CAST(m2_fp AS DOUBLE) / 1e12 -
+       |      CAST(mx2 AS DOUBLE) / mm), 6),
+       |    round(CAST(u2_fp AS DOUBLE) / 1e12, 6),
+       |    round(CAST(ux2 AS DOUBLE) / uu, 6),
+       |    round(abs(CAST(u2_fp AS DOUBLE) / 1e12 -
+       |      CAST(ux2 AS DOUBLE) / uu), 6)
+       |  FROM $fin, sup
+       |  UNION ALL
+       |  SELECT 'balance',
+       |    round(CAST(m3_fp AS DOUBLE) / 1e12, 6),
+       |    round(CAST(mx3 AS DOUBLE) / mm, 6),
+       |    round(abs(CAST(m3_fp AS DOUBLE) / 1e12 -
+       |      CAST(mx3 AS DOUBLE) / mm), 6),
+       |    round(CAST(u3_fp AS DOUBLE) / 1e12, 6),
+       |    round(CAST(ux3 AS DOUBLE) / uu, 6),
+       |    round(abs(CAST(u3_fp AS DOUBLE) / 1e12 -
+       |      CAST(ux3 AS DOUBLE) / uu), 6)
+       |  FROM $fin, sup)
+       |ORDER BY comparator""".stripMargin
   }
 }

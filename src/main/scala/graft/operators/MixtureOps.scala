@@ -124,18 +124,26 @@ object MixtureOps {
     * Scale (100 TB): two corpus passes (global min/max broadcast, then
     * bin + aggregate) — both collapse map-side; everything after is
     * [[CalBins]] rows. */
-  def calibrationAudit(s: SparkSession, dir: String): DataFrame = {
+  /** Shared scored+binned frame for q195/q268: per doc the exact
+    * integer logit, the gopher reference label, the global (lmin,
+    * lmax, n_all) scalars and the equal-width bin id. */
+  private[operators] def calBinned(s: SparkSession,
+      dir: String): DataFrame = {
     val base = t(s, dir, "documents").select(
       logitOf.as("logit"),
       graft.operators.TrainPrepOps.gopherPassOf(col("text")).as("pass"))
       .persist()
     val st = base.agg(min(col("logit")).as("lmin"),
       max(col("logit")).as("lmax"), count(lit(1)).as("n_all"))
-    val binned = base.crossJoin(broadcast(st))
+    base.crossJoin(broadcast(st))
       .withColumn("bin",
         least(lit(CalBins - 1L), floor(
           (col("logit") - col("lmin")).cast("double") * CalBins /
             (col("lmax") - col("lmin")).cast("double")).cast("long")))
+  }
+
+  def calibrationAudit(s: SparkSession, dir: String): DataFrame = {
+    val binned = calBinned(s, dir)
     val perBin = binned.groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("logit")).as("logit_sum"),
         sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
@@ -211,6 +219,130 @@ object MixtureOps {
        |  round(CAST(sum(gap_fp) OVER () AS DOUBLE) / 1000000000.0
        |    / CAST(n_all AS DOUBLE), 6) AS ece
        |FROM g2 ORDER BY bin""".stripMargin
+  }
+
+  // --- q268: Brier score with Murphy decomposition ------------------------
+
+  /** q268 — Brier score of the q129 classifier's normalized score as a
+    * probability, with the Murphy decomposition over q195's bins:
+    * Brier = RELIABILITY − RESOLUTION + UNCERTAINTY + a binning
+    * residual (within-bin forecast variance MINUS twice the within-bin
+    * forecast–outcome covariance — sign-indefinite, reported honestly
+    * as `binning_resid`). q195's
+    * ECE answers "is the score calibrated"; Murphy separates the two
+    * ways a score earns its Brier — being WRONG about levels
+    * (reliability) vs not SORTING outcomes at all (no resolution) —
+    * and the skill score 1 − BS/UNC says whether the classifier beats
+    * always-predicting-the-base-rate.
+    *
+    * Exactness: with R = lmax−lmin and L′ = logit−lmin (integers), the
+    * raw Brier numerator Σ(L′ − o·R)² is an exact bigint; the bin
+    * terms freeze to ×1e9 before their 10-row sums (the q195
+    * discipline); uncertainty is a rational.
+    *
+    * Scale (100 TB): reuses q195's two corpus passes; everything else
+    * is [[CalBins]]-row algebra. */
+  def brierDecomposition(s: SparkSession, dir: String): DataFrame = {
+    val binned = calBinned(s, dir)
+      .withColumn("lp", col("logit") - col("lmin"))
+      .withColumn("r", col("lmax") - col("lmin"))
+      .withColumn("o", when(col("pass"), 1L).otherwise(0L))
+    val perBin = binned.groupBy("bin").agg(
+      count(lit(1)).as("n_k"), sum(col("lp")).as("s_k"),
+      sum(col("o")).as("o_k"),
+      sum((col("lp") - col("o") * col("r")) *
+        (col("lp") - col("o") * col("r"))).as("sq_k"),
+      min(col("r")).as("r"), min(col("n_all")).as("n_all"))
+    val glob = perBin.agg(
+      sum(col("n_k")).as("n"), sum(col("o_k")).as("o_tot"),
+      sum(col("sq_k")).as("sq"), min(col("r")).as("r"))
+    val terms = perBin.crossJoin(broadcast(glob.select(
+        col("n"), col("o_tot"))))
+      .withColumn("pbar", col("s_k").cast("double") /
+        (col("n_k") * col("r")).cast("double"))
+      .withColumn("obar", col("o_k").cast("double") /
+        col("n_k").cast("double"))
+      .withColumn("obar_g", col("o_tot").cast("double") /
+        col("n").cast("double"))
+      .withColumn("rel_fp", floor((col("pbar") - col("obar")) *
+        (col("pbar") - col("obar")) * 1e9).cast("bigint") * col("n_k"))
+      .withColumn("res_fp", floor((col("obar") - col("obar_g")) *
+        (col("obar") - col("obar_g")) * 1e9).cast("bigint") *
+        col("n_k"))
+      .agg(sum(col("rel_fp")).as("rel_fp"),
+        sum(col("res_fp")).as("res_fp"))
+    glob.crossJoin(broadcast(terms))
+      .selectExpr("n",
+        "round(CAST(sq AS DOUBLE) / (CAST(r AS DOUBLE) * r * n), 6) " +
+          "AS brier",
+        "round(CAST(rel_fp AS DOUBLE) / 1e9 / n, 6) AS reliability",
+        "round(CAST(res_fp AS DOUBLE) / 1e9 / n, 6) AS resolution",
+        "round(CAST(o_tot AS DOUBLE) / n * (1.0 - CAST(o_tot " +
+          "AS DOUBLE) / n), 6) AS uncertainty",
+        "round(CAST(sq AS DOUBLE) / (CAST(r AS DOUBLE) * r * n) - " +
+          "(CAST(rel_fp AS DOUBLE) / 1e9 / n - CAST(res_fp AS DOUBLE)" +
+          " / 1e9 / n + CAST(o_tot AS DOUBLE) / n * (1.0 - " +
+          "CAST(o_tot AS DOUBLE) / n)), 6) AS binning_resid",
+        "round(1.0 - CAST(sq AS DOUBLE) / (CAST(r AS DOUBLE) * r * n)" +
+          " / (CAST(o_tot AS DOUBLE) / n * (1.0 - CAST(o_tot " +
+          "AS DOUBLE) / n)), 6) AS skill")
+  }
+
+  def brierDecompositionOracle: String = {
+    val wSql =
+      s"CAST('0x' || substr(md5('wgt' || CAST(" +
+        s"CAST('0x' || substr(md5('clf' || w), 1, 15) AS BIGINT)" +
+        s" % $ClfBuckets AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000"
+    val gopher = graft.operators.CurationOps.GopherSql
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |lg AS (SELECT doc_id, CAST(sum($wSql) AS BIGINT) AS logit
+       |  FROM tok GROUP BY doc_id),
+       |base AS (SELECT lg.logit, ($gopher) AS pass
+       |  FROM documents JOIN lg USING (doc_id)),
+       |st AS (SELECT min(logit) AS lmin, max(logit) AS lmax,
+       |    count(*) AS n_all FROM base),
+       |binned AS (SELECT logit - lmin AS lp, lmax - lmin AS r,
+       |    CASE WHEN pass THEN 1 ELSE 0 END AS o,
+       |    least(${CalBins - 1},
+       |      CAST(floor(CAST(logit - lmin AS DOUBLE) * $CalBins
+       |        / CAST(lmax - lmin AS DOUBLE)) AS BIGINT)) AS bin
+       |  FROM base CROSS JOIN st),
+       |per_bin AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_k,
+       |    CAST(sum(lp) AS BIGINT) AS s_k,
+       |    CAST(sum(o) AS BIGINT) AS o_k,
+       |    CAST(sum((lp - o * r) * (lp - o * r)) AS BIGINT) AS sq_k,
+       |    CAST(min(r) AS BIGINT) AS r
+       |  FROM binned GROUP BY bin),
+       |gl AS (SELECT CAST(sum(n_k) AS BIGINT) AS n,
+       |    CAST(sum(o_k) AS BIGINT) AS o_tot,
+       |    CAST(sum(sq_k) AS BIGINT) AS sq,
+       |    CAST(min(r) AS BIGINT) AS r FROM per_bin),
+       |tm AS (SELECT
+       |    CAST(sum(CAST(floor((CAST(s_k AS DOUBLE) / (n_k * per_bin.r) -
+       |      CAST(o_k AS DOUBLE) / n_k) * (CAST(s_k AS DOUBLE) /
+       |      (n_k * per_bin.r) - CAST(o_k AS DOUBLE) / n_k) * 1e9) AS BIGINT)
+       |      * n_k) AS BIGINT) AS rel_fp,
+       |    CAST(sum(CAST(floor((CAST(o_k AS DOUBLE) / n_k -
+       |      CAST(o_tot AS DOUBLE) / n) * (CAST(o_k AS DOUBLE) / n_k -
+       |      CAST(o_tot AS DOUBLE) / n) * 1e9) AS BIGINT) * n_k)
+       |      AS BIGINT) AS res_fp
+       |  FROM per_bin, gl)
+       |SELECT n,
+       |  round(CAST(sq AS DOUBLE) / (CAST(r AS DOUBLE) * r * n), 6)
+       |    AS brier,
+       |  round(CAST(rel_fp AS DOUBLE) / 1e9 / n, 6) AS reliability,
+       |  round(CAST(res_fp AS DOUBLE) / 1e9 / n, 6) AS resolution,
+       |  round(CAST(o_tot AS DOUBLE) / n * (1.0 - CAST(o_tot
+       |    AS DOUBLE) / n), 6) AS uncertainty,
+       |  round(CAST(sq AS DOUBLE) / (CAST(r AS DOUBLE) * r * n) -
+       |    (CAST(rel_fp AS DOUBLE) / 1e9 / n - CAST(res_fp AS DOUBLE)
+       |    / 1e9 / n + CAST(o_tot AS DOUBLE) / n * (1.0 -
+       |    CAST(o_tot AS DOUBLE) / n)), 6) AS binning_resid,
+       |  round(1.0 - CAST(sq AS DOUBLE) / (CAST(r AS DOUBLE) * r * n)
+       |    / (CAST(o_tot AS DOUBLE) / n * (1.0 - CAST(o_tot
+       |    AS DOUBLE) / n)), 6) AS skill
+       |FROM gl, tm""".stripMargin
   }
 
   // --- q130: temperature-scaled source balancing ------------------------

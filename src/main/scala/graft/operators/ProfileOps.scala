@@ -2701,4 +2701,246 @@ object ProfileOps {
        |    (CAST(n_types AS DOUBLE) * total), 6) AS gini,
        |  round(CAST(cmax AS DOUBLE) / total, 6) AS top_share
        |FROM ag ORDER BY source""".stripMargin
+
+  // --- q270: energy-distance two-sample drift test ------------------------
+
+  /** Drift flag threshold on the scaled statistic nm/(n+m)·D², in
+    * value units (set ~40× above the stationary fleet's observed
+    * ceiling and ~50× below the planted shift's statistic). */
+  val EnergyFlag = 100.0
+
+  /** q270 — energy-distance two-sample test per stream (Székely–Rizzo):
+    * D² = 2E|X−Y| − E|X−X′| − E|Y−Y′|, zero iff the distributions are
+    * EQUAL — where q245's Mann–Whitney reads location and q155's KS
+    * reads sup-distance, energy distance is consistent against EVERY
+    * alternative (variance, shape, tails). On 1-D data every pairwise
+    * term collapses to ONE sorted prefix pass: Σᵢⱼ|xᵢ−yⱼ| =
+    * Σ_cells a_k(v_k·B_<k − Bv_<k) + b_k(v_k·A_<k − Av_<k) over the
+    * merged value-cell grid — exact bigints, no pair join, no kernel,
+    * no libm.
+    *
+    * Fixture: the q245 plant ('click_drift', +25 on the second half)
+    * must dominate the scaled statistic; stationary streams sit near 0.
+    *
+    * Scale (100 TB): ONE (type, value, half) cell collapse; the prefix
+    * pass is a window over value cells per type; output is |types|
+    * rows. */
+  def energyDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+    val base = ev.selectExpr("event_type AS et",
+      "CAST(round(value * 100, 0) AS BIGINT) AS v",
+      s"CASE WHEN extract(day FROM ts) <= $MwSplitDay THEN 1 ELSE 0 " +
+        "END AS h1")
+    val plant = ev.filter(col("event_type") === "click").selectExpr(
+      "'click_drift' AS et",
+      s"CAST(round((value + CASE WHEN extract(day FROM ts) <= " +
+        s"$MwSplitDay THEN 0.0 ELSE $MwPlantShift END) * 100, 0) " +
+        "AS BIGINT) AS v",
+      s"CASE WHEN extract(day FROM ts) <= $MwSplitDay THEN 1 ELSE 0 " +
+        "END AS h1")
+    val cells = base.unionAll(plant).groupBy("et", "v")
+      .agg(sum(col("h1")).as("a"), sum(lit(1L) - col("h1")).as("b"))
+    val w = Window.partitionBy("et").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = cells
+      .withColumn("ca", coalesce(sum(col("a")).over(w), lit(0L)))
+      .withColumn("cb", coalesce(sum(col("b")).over(w), lit(0L)))
+      .withColumn("cav",
+        coalesce(sum(expr("a * v")).over(w), lit(0L)))
+      .withColumn("cbv",
+        coalesce(sum(expr("b * v")).over(w), lit(0L)))
+    pre.groupBy("et").agg(
+        sum(col("a")).as("n"), sum(col("b")).as("m"),
+        sum(expr("a * (v * cb - cbv) + b * (v * ca - cav)")).as("sxy"),
+        sum(expr("a * (v * ca - cav)")).as("sxx"),
+        sum(expr("b * (v * cb - cbv)")).as("syy"))
+      .selectExpr("et AS event_type", "n AS n1", "m AS n2",
+        "round(CAST(sxy AS DOUBLE) / (CAST(n AS DOUBLE) * m) / 100.0" +
+          ", 4) AS e_cross",
+        "round(2.0 * CAST(sxx AS DOUBLE) / (CAST(n AS DOUBLE) * n) " +
+          "/ 100.0, 4) AS e_within_1",
+        "round(2.0 * CAST(syy AS DOUBLE) / (CAST(m AS DOUBLE) * m) " +
+          "/ 100.0, 4) AS e_within_2",
+        "round((2.0 * CAST(sxy AS DOUBLE) / (CAST(n AS DOUBLE) * m) " +
+          "- 2.0 * CAST(sxx AS DOUBLE) / (CAST(n AS DOUBLE) * n) - " +
+          "2.0 * CAST(syy AS DOUBLE) / (CAST(m AS DOUBLE) * m)) " +
+          "/ 100.0, 4) AS energy",
+        "round(CAST(n AS DOUBLE) * m / (n + m) * " +
+          "(2.0 * CAST(sxy AS DOUBLE) / (CAST(n AS DOUBLE) * m) " +
+          "- 2.0 * CAST(sxx AS DOUBLE) / (CAST(n AS DOUBLE) * n) - " +
+          "2.0 * CAST(syy AS DOUBLE) / (CAST(m AS DOUBLE) * m)) " +
+          "/ 100.0, 4) AS stat",
+        "CAST(n AS DOUBLE) * m / (n + m) * " +
+          "(2.0 * CAST(sxy AS DOUBLE) / (CAST(n AS DOUBLE) * m) " +
+          "- 2.0 * CAST(sxx AS DOUBLE) / (CAST(n AS DOUBLE) * n) - " +
+          "2.0 * CAST(syy AS DOUBLE) / (CAST(m AS DOUBLE) * m)) " +
+          s"/ 100.0 > $EnergyFlag AS drifted")
+      .orderBy("event_type")
+  }
+
+  def energyDriftOracle: String = {
+    val d2 = "(2.0 * CAST(sxy AS DOUBLE) / (CAST(n AS DOUBLE) * m) " +
+      "- 2.0 * CAST(sxx AS DOUBLE) / (CAST(n AS DOUBLE) * n) - " +
+      "2.0 * CAST(syy AS DOUBLE) / (CAST(m AS DOUBLE) * m)) / 100.0"
+    s"""WITH src AS (SELECT event_type AS et,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS v,
+       |    CASE WHEN extract(day FROM ts) <= $MwSplitDay THEN 1
+       |      ELSE 0 END AS h1
+       |  FROM events
+       |  UNION ALL
+       |  SELECT 'click_drift',
+       |    CAST(round((value + CASE WHEN extract(day FROM ts) <=
+       |      $MwSplitDay THEN 0.0 ELSE $MwPlantShift END) * 100, 0)
+       |      AS BIGINT),
+       |    CASE WHEN extract(day FROM ts) <= $MwSplitDay THEN 1
+       |      ELSE 0 END
+       |  FROM events WHERE event_type = 'click'),
+       |cells AS (SELECT et, v, CAST(sum(h1) AS BIGINT) AS a,
+       |    CAST(sum(1 - h1) AS BIGINT) AS b
+       |  FROM src GROUP BY et, v),
+       |pre AS (SELECT *,
+       |    coalesce(CAST(sum(a) OVER w AS BIGINT), 0) AS ca,
+       |    coalesce(CAST(sum(b) OVER w AS BIGINT), 0) AS cb,
+       |    coalesce(CAST(sum(a * v) OVER w AS BIGINT), 0) AS cav,
+       |    coalesce(CAST(sum(b * v) OVER w AS BIGINT), 0) AS cbv
+       |  FROM cells
+       |  WINDOW w AS (PARTITION BY et ORDER BY v ROWS BETWEEN
+       |    UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |ag AS (SELECT et, CAST(sum(a) AS BIGINT) AS n,
+       |    CAST(sum(b) AS BIGINT) AS m,
+       |    CAST(sum(a * (v * cb - cbv) + b * (v * ca - cav))
+       |      AS BIGINT) AS sxy,
+       |    CAST(sum(a * (v * ca - cav)) AS BIGINT) AS sxx,
+       |    CAST(sum(b * (v * cb - cbv)) AS BIGINT) AS syy
+       |  FROM pre GROUP BY et)
+       |SELECT et AS event_type, n AS n1, m AS n2,
+       |  round(CAST(sxy AS DOUBLE) / (CAST(n AS DOUBLE) * m) / 100.0,
+       |    4) AS e_cross,
+       |  round(2.0 * CAST(sxx AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+       |    / 100.0, 4) AS e_within_1,
+       |  round(2.0 * CAST(syy AS DOUBLE) / (CAST(m AS DOUBLE) * m)
+       |    / 100.0, 4) AS e_within_2,
+       |  round($d2, 4) AS energy,
+       |  round(CAST(n AS DOUBLE) * m / (n + m) * $d2, 4) AS stat,
+       |  CAST(n AS DOUBLE) * m / (n + m) * $d2 > $EnergyFlag
+       |    AS drifted
+       |FROM ag ORDER BY event_type""".stripMargin
+  }
+
+  // --- q271: joint-extremes (tail dependence) audit -----------------------
+
+  /** Audited upper-quantile levels (percent). */
+  val TailLevels: Seq[Int] = Seq(80, 90, 95)
+  /** Planted whales: every 10th user's values scale ×3 in BOTH metrics. */
+  val TailWhaleFactor = 3L
+
+  /** q271 — upper-tail dependence between two per-user metrics
+    * (browse spend X = click+view, transact spend Y = purchase+
+    * signup+error): λ_U(q) = P(Y > Q_Y(q) | X > Q_X(q)).
+    * Correlation (q90/q257) reads the BODY of the joint distribution;
+    * capacity planning and fraud care about whether the extremes
+    * co-occur — metrics can be body-independent and tail-coupled. The
+    * planted whale cohort (every 10th user ×[[TailWhaleFactor]] on
+    * both metrics) makes the upper tails co-move: λ_U must sit far
+    * above the independence baseline 1−q at every level.
+    *
+    * Exactness: thresholds are lower order statistics on frozen ×100
+    * cells; exceed/joint counts are integers; λ and lift are single
+    * divisions.
+    *
+    * Scale (100 TB): one user_id exchange to per-user sums; threshold
+    * selection on value cells; the joint count is one broadcast-
+    * threshold pass. */
+  def tailDependence(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pu = t(s, dir, "events")
+      .selectExpr("user_id", "event_type",
+        s"CAST(round(value * CASE WHEN user_id % 10 = 0 THEN " +
+          s"$TailWhaleFactor * 100 ELSE 100 END, 0) AS BIGINT) AS v")
+      .groupBy("user_id").agg(
+        sum(when(col("event_type").isin("click", "view"), col("v"))
+          .otherwise(0L)).as("x"),
+        sum(when(!col("event_type").isin("click", "view"), col("v"))
+          .otherwise(0L)).as("y")).persist()
+    val lv = TailLevels.map(q => s"SELECT $q AS q").mkString(
+      " UNION ALL ")
+    val levels = s.sql(lv)
+    def thr(metric: String) = {
+      val cells = pu.groupBy(metric).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.orderBy(metric)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+      cells.crossJoin(broadcast(levels))
+        .filter(expr(s"100 * cum >= q * n"))
+        .groupBy("q").agg(min(col(metric)).as(s"${metric}_thr"),
+          min(col("n")).as("n"))
+    }
+    val thrs = thr("x").join(thr("y").drop("n"), "q")
+    pu.crossJoin(broadcast(thrs))
+      .groupBy("q", "x_thr", "y_thr", "n").agg(
+        sum(when(col("x") > col("x_thr"), 1L).otherwise(0L))
+          .as("n_exceed_x"),
+        sum(when(col("x") > col("x_thr") && col("y") > col("y_thr"),
+          1L).otherwise(0L)).as("n_joint"))
+      .selectExpr("q AS level_pct",
+        "CAST(x_thr AS DOUBLE) / 100.0 AS x_thr",
+        "CAST(y_thr AS DOUBLE) / 100.0 AS y_thr",
+        "n_exceed_x", "n_joint",
+        "CASE WHEN n_exceed_x > 0 THEN round(CAST(n_joint AS DOUBLE)" +
+          " / n_exceed_x, 4) END AS lambda_u",
+        "CASE WHEN n_exceed_x > 0 THEN round(CAST(n_joint AS DOUBLE)" +
+          " / n_exceed_x / ((100.0 - q) / 100.0), 4) END " +
+          "AS lift_vs_indep")
+      .orderBy("level_pct")
+  }
+
+  def tailDependenceOracle: String = {
+    val lv = TailLevels.map(q => s"SELECT $q AS q").mkString(
+      " UNION ALL ")
+    def thr(m: String) =
+      s"""(SELECT q, CAST(min($m) AS BIGINT) AS ${m}_thr,
+         |    CAST(min(n) AS BIGINT) AS n
+         |  FROM (SELECT $m,
+         |      CAST(sum(cnt) OVER (ORDER BY $m ROWS BETWEEN UNBOUNDED
+         |        PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |      CAST(sum(cnt) OVER () AS BIGINT) AS n
+         |    FROM (SELECT $m, CAST(count(*) AS BIGINT) AS cnt FROM pu
+         |      GROUP BY $m)) c, lv
+         |  WHERE 100 * cum >= q * n GROUP BY q)""".stripMargin
+    s"""WITH pu AS (SELECT user_id,
+       |    CAST(sum(CASE WHEN event_type IN ('click', 'view') THEN
+       |      CAST(round(value * CASE WHEN user_id % 10 = 0 THEN
+       |      $TailWhaleFactor * 100 ELSE 100 END, 0) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN event_type NOT IN ('click', 'view') THEN
+       |      CAST(round(value * CASE WHEN user_id % 10 = 0 THEN
+       |      $TailWhaleFactor * 100 ELSE 100 END, 0) AS BIGINT)
+       |      ELSE 0 END) AS BIGINT) AS y
+       |  FROM events GROUP BY user_id),
+       |lv AS ($lv),
+       |tx AS ${thr("x")},
+       |ty AS ${thr("y")},
+       |th AS (SELECT tx.q, x_thr, y_thr, tx.n FROM tx
+       |  JOIN ty ON ty.q = tx.q)
+       |SELECT th.q AS level_pct,
+       |  CAST(x_thr AS DOUBLE) / 100.0 AS x_thr,
+       |  CAST(y_thr AS DOUBLE) / 100.0 AS y_thr,
+       |  CAST(sum(CASE WHEN x > x_thr THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exceed_x,
+       |  CAST(sum(CASE WHEN x > x_thr AND y > y_thr THEN 1 ELSE 0
+       |    END) AS BIGINT) AS n_joint,
+       |  CASE WHEN sum(CASE WHEN x > x_thr THEN 1 ELSE 0 END) > 0
+       |    THEN round(CAST(sum(CASE WHEN x > x_thr AND y > y_thr
+       |    THEN 1 ELSE 0 END) AS DOUBLE) / sum(CASE WHEN x > x_thr
+       |    THEN 1 ELSE 0 END), 4) END AS lambda_u,
+       |  CASE WHEN sum(CASE WHEN x > x_thr THEN 1 ELSE 0 END) > 0
+       |    THEN round(CAST(sum(CASE WHEN x > x_thr AND y > y_thr
+       |    THEN 1 ELSE 0 END) AS DOUBLE) / sum(CASE WHEN x > x_thr
+       |    THEN 1 ELSE 0 END) / ((100.0 - th.q) / 100.0), 4) END
+       |    AS lift_vs_indep
+       |FROM pu, th GROUP BY th.q, x_thr, y_thr
+       |ORDER BY level_pct""".stripMargin
+  }
 }

@@ -2460,4 +2460,109 @@ class PipelineOpsSpec extends AnyFunSuite {
     val dense = rows.head
     assert(dense._5 > 0.5 * dense._6 && dense._5 < 2.0 * dense._6)
   }
+
+  test("q268 brier/murphy: the decomposition identity closes and reads the score's lack of skill") {
+    val r = MixtureOps.brierDecomposition(spark, dir).collect().head
+    val (n, brier, rel, res, unc, wbv, skill) = (r.getLong(0),
+      r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+      r.getDouble(5), r.getDouble(6))
+    assert(n == spark.read.parquet(s"$dir/documents.parquet").count())
+    // Murphy identity: BS = REL − RES + UNC + binning residual (the
+    // residual is sign-indefinite: within-bin forecast variance minus
+    // twice the within-bin forecast–outcome covariance)
+    assert(math.abs(brier - (rel - res + unc + wbv)) < 1e-5)
+    assert(math.abs(wbv) < 0.05 * math.max(brier, 0.01),
+      s"binning residual out of band: $wbv")
+    assert(rel >= 0 && res >= 0)
+    assert(unc > 0 && unc <= 0.25 + 1e-9) // p(1−p) bound
+    assert(res <= unc + 1e-9) // resolution can't exceed uncertainty
+    assert(math.abs(skill - (1.0 - brier / unc)) < 1e-4)
+  }
+
+  test("q269 matching: the confounded naive readout moves toward the lift after matching") {
+    val rows = AnalyticsOps.psmMatching(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._3 <= r._2) // matched ⊆ treated
+      assert(r._3 > 0)
+      assert(math.abs(r._6 - (r._5 - r._4)) < 1e-3)
+    }
+    // the trait-confounded naive estimate under-reads the lift; the
+    // matched ATT must correct UPWARD on most streams and the pooled
+    // ATT must land strictly closer to the planted lift (full
+    // recovery is not expected — X is a noisy covariate and matching
+    // attenuates; individual streams can wobble at sf0.001)
+    assert(rows.count(_._6 > 0) * 2 > rows.length,
+      s"bias removal lost on most streams: $rows")
+    val naive = rows.map(_._4).sum / rows.length
+    val att = rows.map(_._5).sum / rows.length
+    assert(math.abs(att - AnalyticsOps.PsmLift) <
+      math.abs(naive - AnalyticsOps.PsmLift),
+      s"matching did not help: naive $naive att $att")
+  }
+
+  test("q270 energy distance: consistent-against-everything drift — plant dominates by orders of magnitude") {
+    val rows = ProfileOps.energyDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6), r.getDouble(7), r.getBoolean(8))).toMap
+    val plant = rows("click_drift")
+    assert(plant._8, "plant not flagged")
+    rows.filterKeys(_ != "click_drift").values.foreach { v =>
+      assert(!v._8, s"stationary stream flagged: $v")
+      assert(v._7 < plant._7 / 10)
+    }
+    rows.values.foreach { v =>
+      // D² ≥ 0 (it is a squared metric) and the triangle parts are
+      // consistent: 2·e_cross ≥ e_within_1 + e_within_2
+      assert(v._6 >= -1e-9)
+      assert(2 * v._3 >= v._4 + v._5 - 1e-9)
+    }
+  }
+
+  test("q271 tail dependence: whale cohort couples the tails far above independence") {
+    val rows = ProfileOps.tailDependence(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1.0 else r.getDouble(5),
+        if (r.isNullAt(6)) -1.0 else r.getDouble(6)))
+    assert(rows.length == ProfileOps.TailLevels.length)
+    val live = rows.filter(_._4 > 0)
+    assert(live.length >= 2, s"tails empty: $rows")
+    live.foreach { r =>
+      assert(r._5 <= r._4) // joint ⊆ x-exceed
+      assert(r._6 >= 0 && r._6 <= 1)
+      // the planted whales make co-extremes far likelier than the
+      // independence baseline at every populated level
+      assert(r._7 > 1.5, s"level ${r._1}: lift ${r._7}")
+      assert(math.abs(r._6 - r._5.toDouble / r._4) < 1e-4)
+    }
+    // thresholds rise with the level
+    assert(rows.sortBy(_._1).map(_._2).sliding(2)
+      .forall(p => p(0) <= p(1)))
+  }
+
+  test("q272 fs-em: unsupervised m/u lands near the labeled truth where the comparator informs") {
+    val rows = DedupOps.fsEm(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6))).toMap
+    assert(rows.size == 3)
+    rows.values.foreach { v =>
+      assert(v._1 >= 0 && v._1 <= 1 && v._4 >= 0 && v._4 <= 1)
+      assert(math.abs(v._3 - math.abs(v._1 - v._2)) < 2e-6)
+      assert(math.abs(v._6 - math.abs(v._4 - v._5)) < 2e-6)
+    }
+    // u probabilities are strongly identified (the non-match class
+    // dominates the mixture): EM must land within 0.05 of truth
+    rows.values.foreach(v =>
+      assert(v._6 < 0.05, s"u estimate off: $v"))
+    // m probabilities are weakly identified on a degenerate comparator
+    // (every blocked pair name-agrees) — bound loosely and require the
+    // EM to preserve the match-side ORDERING of the informative ones
+    rows.values.foreach(v => assert(v._3 < 0.35, s"m estimate off: $v"))
+    assert(rows("name")._1 > rows("balance")._1)
+  }
 }

@@ -1297,4 +1297,48 @@ class PlanPropsSpec extends AnyFunSuite {
       p.contains("Semi"),
       s"membership probe is not a semi-join:\n${p.take(1800)}")
   }
+
+  test("q268 brier: reuses the calibration collapse — bin-row algebra only") {
+    val p = plan(MixtureOps.brierDecomposition(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"brier grew a shuffled join:\n${p.take(1800)}")
+    assert(p.contains("HashAggregate"),
+      s"brier lost its collapse:\n${p.take(1800)}")
+  }
+
+  test("q269 matching: sorted-adjacency windows, no pair join of units") {
+    val p = plan(AnalyticsOps.psmMatching(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"matching went product:\n${p.take(1800)}")
+    assert(p.contains("Window"),
+      s"matching lost its nearest-neighbor windows:\n${p.take(1800)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"unit frame recomputed per consumer:\n${p.take(1800)}")
+  }
+
+  test("q270 energy distance: one cell collapse + one prefix window — no pair join ever") {
+    val p = plan(ProfileOps.energyDrift(spark, dir))
+    assert(!p.contains("Join"),
+      s"energy distance grew a join:\n${p.take(1800)}")
+    assert(p.contains("Window") && p.contains("HashAggregate"),
+      s"energy distance lost its prefix-pass shape:\n${p.take(1800)}")
+  }
+
+  test("q271 tail dependence: per-user collapse persists once; thresholds broadcast") {
+    val p = plan(ProfileOps.tailDependence(spark, dir))
+    assert(p.contains("InMemoryTableScan"),
+      s"per-user frame recomputed:\n${p.take(1800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"tail audit shuffled a join:\n${p.take(1800)}")
+  }
+
+  test("q272 fs-em: corpus cost is exactly the shared pattern collapse") {
+    val p = plan(DedupOps.fsEm(spark, dir))
+    // the returned frame is the driver-built 3-row result — it must
+    // contain NO scans at all (the corpus work happened in
+    // fsPatternCounts before the collect)
+    assert(!p.contains("Scan parquet"),
+      s"EM result re-derives from the corpus:\n${p.take(1800)}")
+  }
 }
