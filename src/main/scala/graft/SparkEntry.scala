@@ -290,6 +290,11 @@ object SparkEntry {
     "q270_energy_drift"      -> (ProfileOps.energyDrift _),
     "q271_tail_dependence"   -> (ProfileOps.tailDependence _),
     "q272_fs_em"             -> (DedupOps.fsEm _),
+    "q273_two_changepoints"  -> (TimeSeriesOps.twoChangepoints _),
+    "q274_kaplan_meier"      -> (TimeSeriesOps.kaplanMeier _),
+    "q275_log_rank"          -> (TimeSeriesOps.logRank _),
+    "q276_cmh_test"          -> (CurationOps.cmhTest _),
+    "q277_miss_ratio_curve"  -> (ScaleOps.missRatioCurve _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -844,6 +849,11 @@ object SparkEntry {
     "q270_energy_drift" -> ProfileOps.energyDriftOracle,
     "q271_tail_dependence" -> ProfileOps.tailDependenceOracle,
     "q272_fs_em" -> DedupOps.fsEmOracle,
+    "q273_two_changepoints" -> TimeSeriesOps.twoChangepointsOracle,
+    "q274_kaplan_meier" -> TimeSeriesOps.kaplanMeierOracle,
+    "q275_log_rank" -> TimeSeriesOps.logRankOracle,
+    "q276_cmh_test" -> CurationOps.cmhTestOracle,
+    "q277_miss_ratio_curve" -> ScaleOps.missRatioCurveOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -1731,16 +1731,23 @@ object AnalyticsOps {
         min(when(col("post") === 1, expr(
           "CAST(floor(CAST(sv AS DOUBLE) / c) AS BIGINT)"))).as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull).persist()
-    val ord = Window.partitionBy("et").orderBy(col("x"), col("user_id"))
-    val wPrev = ord.rowsBetween(Window.unboundedPreceding, -1)
-    val wNext = ord.rowsBetween(1, Window.unboundedFollowing)
+    val wPrev = Window.partitionBy("et")
+      .orderBy(col("x"), col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // "next control" = "previous control in REVERSED order": Spark's
+    // growing (UNBOUNDED PRECEDING) frames are incremental O(n), while
+    // a (1, UNBOUNDED FOLLOWING) frame rescans per row — O(n²) per
+    // partition, measured 26 s vs ~1 s at 10× on 15k units/stream
+    val wNextRev = Window.partitionBy("et")
+      .orderBy(col("x").desc, col("user_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     val cx = when(col("treat") === 0, col("x"))
     val cy = when(col("treat") === 0, col("y"))
     val m = xy
       .withColumn("px", last(cx, ignoreNulls = true).over(wPrev))
       .withColumn("py", last(cy, ignoreNulls = true).over(wPrev))
-      .withColumn("nx", first(cx, ignoreNulls = true).over(wNext))
-      .withColumn("ny", first(cy, ignoreNulls = true).over(wNext))
+      .withColumn("nx", last(cx, ignoreNulls = true).over(wNextRev))
+      .withColumn("ny", last(cy, ignoreNulls = true).over(wNextRev))
     val matched = m.filter(col("treat") === 1)
       .withColumn("usePrev", col("nx").isNull ||
         (col("px").isNotNull && col("x") - col("px") <= col("nx") - col("x")))

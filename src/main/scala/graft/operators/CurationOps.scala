@@ -2376,4 +2376,113 @@ object CurationOps {
        |    / (n10 + n01) > $McNemarCrit ELSE false END AS asymmetric
        |FROM st ORDER BY pair""".stripMargin
   }
+
+  // --- q276: Cochran–Mantel–Haenszel stratified association ---------------
+
+  /** q276 — Cochran–Mantel–Haenszel test: is long-document status
+    * associated with passing the Gopher gate AFTER controlling for
+    * language? The marginal 2×2 (q227's χ² family) confounds with
+    * language because both length and pass rates vary by lang —
+    * CMH accumulates per-stratum hypergeometric observed−expected
+    * evidence (the q275 log-rank machinery applied to strata instead
+    * of days), the standard guard against Simpson reversals in
+    * corpus audits. Exposure = length above the STRATUM median (the
+    * within-stratum balanced cut); outcome = the shared production
+    * Gopher gate.
+    *
+    * Exactness: per-stratum a, row/col margins are integers; the
+    * stratum medians are order statistics on length cells; E and V
+    * freeze to ×1e9 before the order-free stratum sum; χ²_CMH (with
+    * continuity correction) is one expression.
+    *
+    * Scale (100 TB): one corpus pass to (lang, length-side, pass)
+    * cells; medians from per-lang length cells; the test is
+    * |strata|-row algebra. */
+  def cmhTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents").select(col("lang"),
+      col("n_chars"), col("doc_id"),
+      TrainPrepOps.gopherPassOf(col("text")).as("pass")).persist()
+    val med = d.groupBy("lang", "n_chars")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("lang").orderBy("n_chars")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy("lang")))
+      .groupBy("lang")
+      .agg(min(when(expr("2 * cum >= n"), col("n_chars"))).as("medlen"))
+    val cells = d.join(broadcast(med), "lang")
+      .selectExpr("lang", "CAST(n_chars > medlen AS INT) AS long_doc",
+        "CAST(pass AS INT) AS p")
+      .groupBy("lang").agg(
+        sum(expr("long_doc * p")).as("a"),
+        sum(expr("long_doc * (1 - p)")).as("b"),
+        sum(expr("(1 - long_doc) * p")).as("c"),
+        sum(expr("(1 - long_doc) * (1 - p)")).as("dd"))
+      .withColumn("n", expr("a + b + c + dd"))
+      .filter(col("n") > 1)
+      .withColumn("e_fp", expr("CAST(floor(CAST(a + b AS DOUBLE) * " +
+        "(a + c) / n * 1e9) AS BIGINT)"))
+      .withColumn("v_fp", expr("CAST(floor(CAST(a + b AS DOUBLE) * " +
+        "(c + dd) / n * (a + c) / n * (b + dd) / (n - 1) * 1e9) " +
+        "AS BIGINT)"))
+    cells.agg(sum(col("a")).as("o"), sum(col("e_fp")).as("e_fp"),
+        sum(col("v_fp")).as("v_fp"), count(lit(1)).as("n_strata"))
+      .selectExpr("n_strata", "o",
+        "round(CAST(e_fp AS DOUBLE) / 1e9, 4) AS expected",
+        "round((abs(CAST(o AS DOUBLE) - CAST(e_fp AS DOUBLE) / 1e9) " +
+          "- 0.5) * (abs(CAST(o AS DOUBLE) - CAST(e_fp AS DOUBLE) / " +
+          "1e9) - 0.5) / (CAST(v_fp AS DOUBLE) / 1e9), 4) AS chi2_cmh",
+        "(abs(CAST(o AS DOUBLE) - CAST(e_fp AS DOUBLE) / 1e9) " +
+          "- 0.5) * (abs(CAST(o AS DOUBLE) - CAST(e_fp AS DOUBLE) / " +
+          "1e9) - 0.5) / (CAST(v_fp AS DOUBLE) / 1e9) > " +
+          s"$McNemarCrit AS associated")
+  }
+
+  def cmhTestOracle: String =
+    s"""WITH d AS (SELECT lang, n_chars, ($GopherSql) AS pass
+       |  FROM documents),
+       |lc AS (SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM d GROUP BY lang, n_chars),
+       |lcc AS (SELECT *,
+       |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cum,
+       |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+       |  FROM lc),
+       |med AS (SELECT lang, min(CASE WHEN 2 * cum >= n THEN n_chars
+       |    END) AS medlen FROM lcc GROUP BY lang),
+       |cl AS (SELECT d.lang,
+       |    CASE WHEN n_chars > medlen THEN 1 ELSE 0 END AS long_doc,
+       |    CASE WHEN pass THEN 1 ELSE 0 END AS p
+       |  FROM d JOIN med ON med.lang = d.lang),
+       |st AS (SELECT lang,
+       |    CAST(sum(long_doc * p) AS BIGINT) AS a,
+       |    CAST(sum(long_doc * (1 - p)) AS BIGINT) AS b,
+       |    CAST(sum((1 - long_doc) * p) AS BIGINT) AS c,
+       |    CAST(sum((1 - long_doc) * (1 - p)) AS BIGINT) AS dd
+       |  FROM cl GROUP BY lang),
+       |fz AS (SELECT a, a + b + c + dd AS n,
+       |    CAST(floor(CAST(a + b AS DOUBLE) * (a + c) /
+       |      (a + b + c + dd) * 1e9) AS BIGINT) AS e_fp,
+       |    CAST(floor(CAST(a + b AS DOUBLE) * (c + dd) /
+       |      (a + b + c + dd) * (a + c) / (a + b + c + dd) *
+       |      (b + dd) / (a + b + c + dd - 1) * 1e9) AS BIGINT) AS v_fp
+       |  FROM st WHERE a + b + c + dd > 1),
+       |ag AS (SELECT CAST(sum(a) AS BIGINT) AS o,
+       |    CAST(sum(e_fp) AS BIGINT) AS e_fp,
+       |    CAST(sum(v_fp) AS BIGINT) AS v_fp,
+       |    CAST(count(*) AS BIGINT) AS n_strata FROM fz)
+       |SELECT n_strata, o,
+       |  round(CAST(e_fp AS DOUBLE) / 1e9, 4) AS expected,
+       |  round((abs(CAST(o AS DOUBLE) - CAST(e_fp AS DOUBLE) / 1e9)
+       |    - 0.5) * (abs(CAST(o AS DOUBLE) - CAST(e_fp AS DOUBLE) /
+       |    1e9) - 0.5) / (CAST(v_fp AS DOUBLE) / 1e9), 4)
+       |    AS chi2_cmh,
+       |  (abs(CAST(o AS DOUBLE) - CAST(e_fp AS DOUBLE) / 1e9)
+       |    - 0.5) * (abs(CAST(o AS DOUBLE) - CAST(e_fp AS DOUBLE) /
+       |    1e9) - 0.5) / (CAST(v_fp AS DOUBLE) / 1e9) >
+       |    $McNemarCrit AS associated
+       |FROM ag""".stripMargin
 }

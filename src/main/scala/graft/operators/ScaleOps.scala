@@ -966,4 +966,116 @@ object ScaleOps {
        |FROM cfg LEFT JOIN fpc ON fpc.bpk = cfg.bpk, nn
        |ORDER BY bits_per_key""".stripMargin
   }
+
+  // --- q277: LRU miss-ratio curve from stack distances ---------------------
+
+  /** Cache-size grid audited (entries). */
+  val MrcSizes: Seq[Int] = Seq(10, 25, 50, 75, 100, 150)
+  /** Reuse-interval tile width for the range equi-join. */
+  val MrcTile = 256L
+  /** SHARDS-style key-sampling mod (identity at test scale; at volume
+    * sample 1-in-mod KEYS and scale distances ×mod). */
+  val MrcSampleMod: Long =
+    sys.env.getOrElse("GRAFT_MRC_MOD", "1").toLong
+
+  /** q277 — LRU miss-ratio curve by Mattson stack distances over the
+    * event stream (key = user_id): the hit rate of EVERY cache size in
+    * one pass over the trace — the sizing tool behind broadcast-cache
+    * and state-store decisions. An access's stack distance is the
+    * number of DISTINCT keys touched since that key's previous access;
+    * under LRU it hits a cache of c entries iff distance < c.
+    *
+    * Distributed shape: reuse intervals (prev_rn, rn) tile into
+    * [[MrcTile]]-wide buckets, the interval×access pairing becomes an
+    * equi-join on the tile (the q244 lesson: never an inequality
+    * join), and the distinct count per interval is one (interval, key)
+    * dedup + count. Cost is Σ interval lengths ≈ n·K (K = working-set
+    * size), NOT n² — and the production knob is SHARDS key-sampling
+    * ([[MrcSampleMod]]): sample 1-in-mod keys, scale distances ×mod.
+    *
+    * Exactness: all counting; hit rates are single divisions; cold
+    * (first-access) misses are counted separately.
+    *
+    * Scale (100 TB): one global rank window (at volume: per-shard
+    * ranks with offset scalars — the q74 layout discipline); the tile
+    * join is linear in Σ interval lengths with the sampling knob
+    * bounding K. */
+  def missRatioCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VectorFunctions.register(s)
+    val acc = EtlOps.t(s, dir, "events")
+      .filter(call_function("md5_fp60", concat(lit("mrc:"),
+        col("user_id").cast("string"))) % MrcSampleMod === 0)
+      .selectExpr("user_id", "ts", "event_id")
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("ts"), col("event_id"))))
+      .select("user_id", "rn").persist()
+    val iv = acc.withColumn("prev", lag(col("rn"), 1).over(
+        Window.partitionBy("user_id").orderBy("rn")))
+    val nAcc = acc.count()
+    val intervals = iv.filter(col("prev").isNotNull)
+      .select(col("rn").as("iid"), col("prev"))
+      .filter(col("rn") > col("prev") + 1)
+    val tiled = intervals.withColumn("tile", explode(expr(
+      s"sequence(CAST(floor((prev + 1) / $MrcTile) AS BIGINT), " +
+        s"CAST(floor((iid - 1) / $MrcTile) AS BIGINT))")))
+    val accT = acc.withColumn("tile",
+      expr(s"CAST(floor(rn / $MrcTile) AS BIGINT)"))
+    val dist = tiled.join(accT, "tile")
+      .filter(col("rn") > col("prev") && col("rn") < col("iid"))
+      .select(col("iid"), col("user_id")).distinct()
+      .groupBy("iid").agg(count(lit(1)).as("sd"))
+    // adjacent re-accesses (empty interval) have stack distance 0
+    val dAll = iv.filter(col("prev").isNotNull)
+      .select(col("rn").as("iid"))
+      .join(dist, Seq("iid"), "left")
+      .selectExpr(s"coalesce(sd, 0) * $MrcSampleMod AS sd")
+    val cold = iv.filter(col("prev").isNull).count()
+    val sizes = s.createDataFrame(MrcSizes.map(Tuple1(_)))
+      .toDF("cache_size")
+    sizes.crossJoin(dAll)
+      .groupBy("cache_size")
+      .agg(sum(when(col("sd") < col("cache_size"), 1L).otherwise(0L))
+        .as("hits"), count(lit(1)).as("reuses"))
+      .selectExpr("CAST(cache_size AS BIGINT) AS cache_size", "hits",
+        "reuses", s"CAST($cold AS BIGINT) AS cold_misses",
+        s"round(CAST(hits AS DOUBLE) / $nAcc, 4) AS hit_rate")
+      .orderBy("cache_size")
+  }
+
+  def missRatioCurveOracle: String = {
+    val fp = "CAST(CAST('0x' || substr(md5('mrc:' || " +
+      "CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS BIGINT)"
+    val sizesSql = MrcSizes.map(c => s"SELECT $c AS cache_size")
+      .mkString(" UNION ALL ")
+    s"""WITH acc AS (SELECT user_id,
+       |    CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT)
+       |      AS rn
+       |  FROM events WHERE $fp % $MrcSampleMod = 0),
+       |iv AS (SELECT user_id, rn,
+       |    lag(rn, 1) OVER (PARTITION BY user_id ORDER BY rn) AS prev
+       |  FROM acc),
+       |n_acc AS (SELECT CAST(count(*) AS BIGINT) AS na FROM acc),
+       |dist AS (SELECT a.rn AS iid,
+       |    CAST(count(DISTINCT b.user_id) AS BIGINT) AS sd
+       |  FROM iv a JOIN acc b ON b.rn > a.prev AND b.rn < a.rn
+       |  WHERE a.prev IS NOT NULL
+       |  GROUP BY a.rn),
+       |dall AS (SELECT coalesce(sd, 0) * $MrcSampleMod AS sd
+       |  FROM iv LEFT JOIN dist ON dist.iid = iv.rn
+       |  WHERE iv.prev IS NOT NULL),
+       |cold AS (SELECT CAST(count(*) AS BIGINT) AS cm FROM iv
+       |  WHERE prev IS NULL),
+       |sz AS ($sizesSql)
+       |SELECT CAST(cache_size AS BIGINT) AS cache_size,
+       |  CAST(sum(CASE WHEN sd < cache_size THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS hits,
+       |  CAST(count(*) AS BIGINT) AS reuses,
+       |  cm AS cold_misses,
+       |  round(CAST(sum(CASE WHEN sd < cache_size THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / na, 4) AS hit_rate
+       |FROM sz, dall, cold, n_acc
+       |GROUP BY cache_size, cm, na
+       |ORDER BY cache_size""".stripMargin
+  }
 }

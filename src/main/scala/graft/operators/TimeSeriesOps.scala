@@ -983,4 +983,348 @@ object TimeSeriesOps {
        |FROM sg p JOIN sg q ON q.et = p.et AND p.seg = 0 AND q.seg = 1
        |ORDER BY event_type""".stripMargin
   }
+
+  // --- q273: exact two-change-point segmentation ---------------------------
+
+  /** Planted double step: extra copies after each of these days. */
+  val Seg2Step1 = 10L
+  val Seg2Step2 = 20L
+
+  /** q273 — exact two-change-point segmentation per stream: where
+    * q253's CUSUM detects ONE shift online and q265 quantifies a KNOWN
+    * intervention day, this finds the best (s, t) pair of UNKNOWN
+    * breakpoints by exhaustive SSE minimization — optimal, not the
+    * greedy binary-segmentation approximation, because the candidate
+    * grid is |days|² ≈ 435 cells per stream (calendar-bounded metadata,
+    * the q246 pairwise discipline). Segment SSEs come from prefix sums
+    * (SSE(a,b) = ΣX² − (ΣX)²/n on the slice), so the whole search is
+    * one window pass plus two broadcast joins of 30-row frames.
+    *
+    * Fixture: a planted 'two_steps' stream with level shifts at days
+    * [[Seg2Step1]]/[[Seg2Step2]] (×2 then ×4) that the argmin must
+    * recover exactly.
+    *
+    * Exactness: prefix sums are bigints; per-candidate SSE is a fixed
+    * double expression; the argmin tie-breaks on (s, t).
+    *
+    * Scale (100 TB): one (type, day) collapse; the quadratic grid is
+    * calendar-sized forever. */
+  def twoChangepoints(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.t(s, dir, "events")
+    val base = ev.selectExpr("event_type AS et",
+      "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS d",
+      "event_id")
+    val plant0 = ev.filter(col("event_type") === "click")
+      .selectExpr("'two_steps' AS et",
+        "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS d",
+        "event_id")
+    val plant1 = plant0.filter(col("d") >= Seg2Step1)
+    val plant2 = plant0.filter(col("d") >= Seg2Step2)
+    val daily = base.unionAll(plant0).unionAll(plant1)
+      .unionAll(plant2).unionAll(plant2)
+      .groupBy("et", "d").agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("et").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pre = daily
+      .withColumn("cs", sum(col("x")).over(w))
+      .withColumn("css", sum(expr("x * x")).over(w))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("et").orderBy("d")))
+      .select("et", "i", "d", "cs", "css").persist()
+    val tot = pre.groupBy("et").agg(max(col("i")).as("n"),
+      max(col("cs")).as("csn"), max(col("css")).as("cssn"))
+    // candidate pair grid: boundaries AFTER positions s < t (1-based)
+    val sGrid = pre.select(col("et"), col("i").as("si"),
+      col("d").as("sd"), col("cs").as("cs1"), col("css").as("css1"))
+    val tGrid = pre.select(col("et"), col("i").as("ti"),
+      col("d").as("td"), col("cs").as("cs2"), col("css").as("css2"))
+    val sse = "CAST(css1 AS DOUBLE) - CAST(cs1 AS DOUBLE) * cs1 / si" +
+      " + (CAST(css2 - css1 AS DOUBLE) - CAST(cs2 - cs1 AS DOUBLE) *" +
+      " (cs2 - cs1) / (ti - si))" +
+      " + (CAST(cssn - css2 AS DOUBLE) - CAST(csn - cs2 AS DOUBLE) *" +
+      " (csn - cs2) / (n - ti))"
+    val grid = sGrid.join(tGrid, "et")
+      .filter(col("si") < col("ti"))
+      .join(broadcast(tot), "et")
+      .filter(col("ti") < col("n"))
+      .withColumn("sse2", expr(sse))
+    val best = grid.withColumn("rn", row_number().over(
+        Window.partitionBy("et")
+          .orderBy(col("sse2"), col("si"), col("ti"))))
+      .filter(col("rn") === 1)
+    best.selectExpr("et AS event_type", "sd AS split1_after_day",
+        "td AS split2_after_day",
+        "round(CAST(cs1 AS DOUBLE) / si, 4) AS mean1",
+        "round(CAST(cs2 - cs1 AS DOUBLE) / (ti - si), 4) AS mean2",
+        "round(CAST(csn - cs2 AS DOUBLE) / (n - ti), 4) AS mean3",
+        "round(CAST(cssn AS DOUBLE) - CAST(csn AS DOUBLE) * csn / n" +
+          ", 4) AS sse0",
+        "round(sse2, 4) AS sse2",
+        "round(1.0 - sse2 / (CAST(cssn AS DOUBLE) - CAST(csn " +
+          "AS DOUBLE) * csn / n), 4) AS reduction")
+      .orderBy("event_type")
+  }
+
+  def twoChangepointsOracle: String = {
+    val sse = "CAST(css1 AS DOUBLE) - CAST(cs1 AS DOUBLE) * cs1 / si" +
+      " + (CAST(css2 - css1 AS DOUBLE) - CAST(cs2 - cs1 AS DOUBLE) *" +
+      " (cs2 - cs1) / (ti - si))" +
+      " + (CAST(cssn - css2 AS DOUBLE) - CAST(csn - cs2 AS DOUBLE) *" +
+      " (csn - cs2) / (n - ti))"
+    s"""WITH base AS (SELECT event_type AS et,
+       |    CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+       |      AS d, event_id
+       |  FROM events
+       |  UNION ALL
+       |  SELECT 'two_steps', CAST(date_diff('day', DATE '2024-01-01',
+       |    ts) AS BIGINT), event_id FROM events
+       |  WHERE event_type = 'click'
+       |  UNION ALL
+       |  SELECT 'two_steps', CAST(date_diff('day', DATE '2024-01-01',
+       |    ts) AS BIGINT), event_id FROM events
+       |  WHERE event_type = 'click'
+       |    AND CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+       |      >= $Seg2Step1
+       |  UNION ALL
+       |  SELECT 'two_steps', CAST(date_diff('day', DATE '2024-01-01',
+       |    ts) AS BIGINT), event_id FROM events
+       |  WHERE event_type = 'click'
+       |    AND CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+       |      >= $Seg2Step2
+       |  UNION ALL
+       |  SELECT 'two_steps', CAST(date_diff('day', DATE '2024-01-01',
+       |    ts) AS BIGINT), event_id FROM events
+       |  WHERE event_type = 'click'
+       |    AND CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+       |      >= $Seg2Step2),
+       |daily AS (SELECT et, d, CAST(count(*) AS BIGINT) AS x
+       |  FROM base GROUP BY et, d),
+       |pre AS (SELECT et, d,
+       |    CAST(sum(x) OVER w AS BIGINT) AS cs,
+       |    CAST(sum(x * x) OVER w AS BIGINT) AS css,
+       |    CAST(row_number() OVER (PARTITION BY et ORDER BY d)
+       |      AS BIGINT) AS i
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY et ORDER BY d ROWS BETWEEN
+       |    UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |tot AS (SELECT et, max(i) AS n, max(cs) AS csn,
+       |    max(css) AS cssn FROM pre GROUP BY et),
+       |grid AS (SELECT a.et, a.i AS si, a.d AS sd, a.cs AS cs1,
+       |    a.css AS css1, b.i AS ti, b.d AS td, b.cs AS cs2,
+       |    b.css AS css2, tot.n, tot.csn, tot.cssn
+       |  FROM pre a JOIN pre b ON b.et = a.et AND a.i < b.i
+       |  JOIN tot ON tot.et = a.et
+       |  WHERE b.i < tot.n),
+       |sc AS (SELECT *, $sse AS sse2 FROM grid),
+       |best AS (SELECT *, row_number() OVER (PARTITION BY et
+       |    ORDER BY sse2, si, ti) AS rn FROM sc QUALIFY rn = 1)
+       |SELECT et AS event_type, sd AS split1_after_day,
+       |  td AS split2_after_day,
+       |  round(CAST(cs1 AS DOUBLE) / si, 4) AS mean1,
+       |  round(CAST(cs2 - cs1 AS DOUBLE) / (ti - si), 4) AS mean2,
+       |  round(CAST(csn - cs2 AS DOUBLE) / (n - ti), 4) AS mean3,
+       |  round(CAST(cssn AS DOUBLE) - CAST(csn AS DOUBLE) * csn / n,
+       |    4) AS sse0,
+       |  round(sse2, 4) AS sse2,
+       |  round(1.0 - sse2 / (CAST(cssn AS DOUBLE) - CAST(csn
+       |    AS DOUBLE) * csn / n), 4) AS reduction
+       |FROM best ORDER BY event_type""".stripMargin
+  }
+
+  // --- q274/q275: survival analysis (Kaplan–Meier + log-rank) ------------
+
+  /** Planted churn cohort: odd users' activity ends by this day. */
+  val SurvChurnCap = 20L
+  /** Interim withdrawal: every 4th user's observation stops here. */
+  val SurvWithdrawDay = 15L
+  /** Observation window end (censoring boundary). */
+  val SurvEndDay = 29L
+
+  /** Per-(cohort, day) survival grid: number at risk, churn events,
+    * censorings — the shared risk table behind q274's KM curve and
+    * q275's log-rank test. Odd users (cohort 1) have their activity
+    * truncated at day [[SurvChurnCap]] (the planted early churn);
+    * every 4th user is WITHDRAWN at day [[SurvWithdrawDay]] (interim
+    * censoring — what makes KM differ from naive survival); users
+    * active on the last day are right-censored. */
+  private[operators] def survivalGrid(s: SparkSession,
+      dir: String): DataFrame = {
+    val ud = EtlOps.t(s, dir, "events").selectExpr("user_id",
+        "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS d")
+      .filter(expr(s"user_id % 2 = 0 OR d <= $SurvChurnCap"))
+      .groupBy("user_id").agg(max(col("d")).as("l0"))
+      .selectExpr("user_id % 2 AS cohort",
+        s"CASE WHEN user_id % 4 = 0 AND l0 >= $SurvWithdrawDay " +
+          s"THEN $SurvWithdrawDay ELSE l0 END AS t",
+        s"CASE WHEN user_id % 4 = 0 AND l0 >= $SurvWithdrawDay " +
+          s"THEN 0 WHEN l0 = $SurvEndDay THEN 0 ELSE 1 END AS e")
+    val cells = ud.groupBy("cohort", "t").agg(
+      sum(col("e")).as("d"), sum(lit(1L) - col("e")).as("c"))
+    val grid = cells.select(col("cohort")).distinct()
+      .crossJoin(s.range(SurvEndDay + 1).selectExpr(
+        "CAST(id AS BIGINT) AS day"))
+      .join(cells.withColumnRenamed("t", "day"),
+        Seq("cohort", "day"), "left")
+      .selectExpr("cohort", "day", "coalesce(d, 0) AS d",
+        "coalesce(c, 0) AS c")
+    grid.withColumn("n_risk",
+      sum(col("d") + col("c")).over(
+        Window.partitionBy("cohort").orderBy("day")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+  }
+
+  /** Shared oracle CTE text producing the same grid (cohort, day,
+    * n_risk, d, c). */
+  private[operators] val SurvivalGridSql: String =
+    s"""ud AS (SELECT user_id % 2 AS cohort,
+       |    CASE WHEN user_id % 4 = 0 AND l0 >= $SurvWithdrawDay
+       |      THEN $SurvWithdrawDay ELSE l0 END AS t,
+       |    CASE WHEN user_id % 4 = 0 AND l0 >= $SurvWithdrawDay
+       |      THEN 0 WHEN l0 = $SurvEndDay THEN 0 ELSE 1 END AS e
+       |  FROM (SELECT user_id, CAST(max(d) AS BIGINT) AS l0
+       |    FROM (SELECT user_id,
+       |        CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+       |          AS d
+       |      FROM events)
+       |    WHERE user_id % 2 = 0 OR d <= $SurvChurnCap
+       |    GROUP BY user_id)),
+       |cells AS (SELECT cohort, t, CAST(sum(e) AS BIGINT) AS d,
+       |    CAST(sum(1 - e) AS BIGINT) AS c
+       |  FROM ud GROUP BY cohort, t),
+       |grid AS (SELECT ch.cohort, dy.day,
+       |    coalesce(cells.d, 0) AS d, coalesce(cells.c, 0) AS c
+       |  FROM (SELECT DISTINCT cohort FROM cells) ch
+       |  CROSS JOIN (SELECT CAST(unnest(range(0, ${SurvEndDay + 1}))
+       |    AS BIGINT) AS day) dy
+       |  LEFT JOIN cells ON cells.cohort = ch.cohort
+       |    AND cells.t = dy.day),
+       |rg AS (SELECT cohort, day, d, c,
+       |    CAST(sum(d + c) OVER (PARTITION BY cohort ORDER BY day
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |      AS BIGINT) AS n_risk
+       |  FROM grid)""".stripMargin
+
+  /** q274 — Kaplan–Meier survival curves per cohort with interim
+    * censoring: user churn (last-activity day) under a withdrawal
+    * process that REMOVES users from observation mid-window — the
+    * setting where naive survival is biased and KM's risk-set
+    * renormalization Π(1 − dᵢ/nᵢ) is the fix. The planted early-churn
+    * cohort's curve must drop to ~0 by day [[SurvChurnCap]] while the
+    * control cohort retains its right-censored tail.
+    *
+    * Exactness: the KM product runs ENTIRELY in integers — surv_fp ←
+    * surv_fp·(n−d) div n at ×1e12 — so the 30-step chain is
+    * bit-identical on both engines (Spark iterates driver-side over
+    * the 60-cell collected grid, the q272 metadata boundary; the
+    * oracle uses a linear recursive CTE).
+    *
+    * Scale (100 TB): one user_id exchange to last-activity rows; the
+    * grid is |cohorts|·|calendar| cells; KM itself is O(days). */
+  def kaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    val grid = survivalGrid(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(r => (r._1, r._2))
+    val out = grid.groupBy(_._1).toSeq.flatMap { case (cohort, rows) =>
+      var fp = 1000000000000L
+      rows.sortBy(_._2).map { case (_, day, d, c, nRisk) =>
+        if (nRisk > 0) fp = fp * (nRisk - d) / nRisk
+        (cohort, day, nRisk, d, c, fp)
+      }
+    }.filter(r => r._4 > 0 || r._5 > 0)
+    s.createDataFrame(out).toDF("cohort", "day", "n_risk", "d_churn",
+        "c_censored", "surv_fp")
+      .selectExpr("cohort", "day", "n_risk", "d_churn", "c_censored",
+        "round(CAST(surv_fp AS DOUBLE) / 1e12, 6) AS survival")
+      .orderBy("cohort", "day")
+  }
+
+  def kaplanMeierOracle: String =
+    s"""WITH RECURSIVE $SurvivalGridSql,
+       |km AS (
+       |  SELECT cohort, CAST(-1 AS BIGINT) AS day,
+       |    CAST(1000000000000 AS BIGINT) AS surv_fp
+       |  FROM (SELECT DISTINCT cohort FROM rg)
+       |  UNION ALL
+       |  SELECT km.cohort AS cohort, rg.day AS day,
+       |    CASE WHEN rg.n_risk > 0
+       |      THEN km.surv_fp * (rg.n_risk - rg.d) // rg.n_risk
+       |      ELSE km.surv_fp END AS surv_fp
+       |  FROM km JOIN rg ON rg.cohort = km.cohort
+       |    AND rg.day = km.day + 1
+       |  WHERE km.day < $SurvEndDay)
+       |SELECT rg.cohort, rg.day, rg.n_risk, rg.d AS d_churn,
+       |  rg.c AS c_censored,
+       |  round(CAST(km.surv_fp AS DOUBLE) / 1e12, 6) AS survival
+       |FROM rg JOIN km ON km.cohort = rg.cohort AND km.day = rg.day
+       |WHERE rg.d > 0 OR rg.c > 0
+       |ORDER BY rg.cohort, rg.day""".stripMargin
+
+  /** χ²₁ critical value at α = 0.05 for the log-rank verdict. */
+  val LogRankCrit = 3.8415
+
+  /** q275 — log-rank test between the two survival cohorts: the
+    * standard significance companion to q274's KM curves (means tests
+    * like q245 ignore censoring; the log-rank accumulates per-day
+    * hypergeometric observed−expected evidence over the shared risk
+    * table). The planted early-churn cohort must reject decisively.
+    *
+    * Exactness: per-day E and V are fixed double expressions over
+    * integer risk counts; the day sums freeze to ×1e9 bigints before
+    * the order-free total (the q195 discipline); χ² is one division.
+    *
+    * Scale (100 TB): shares q274's grid; the test is |calendar|-cell
+    * algebra. */
+  def logRank(s: SparkSession, dir: String): DataFrame = {
+    val g = survivalGrid(s, dir)
+    val a = g.filter(col("cohort") === 1).select(col("day"),
+      col("n_risk").as("n1"), col("d").as("d1"))
+    val b = g.filter(col("cohort") === 0).select(col("day"),
+      col("n_risk").as("n0"), col("d").as("d0"))
+    a.join(b, "day")
+      .filter(expr("n1 + n0 > 1 AND d1 + d0 > 0"))
+      .withColumn("e1_fp", expr("CAST(floor(CAST(d1 + d0 AS DOUBLE) " +
+        "* n1 / (n1 + n0) * 1e9) AS BIGINT)"))
+      .withColumn("v_fp", expr("CAST(floor(CAST(d1 + d0 AS DOUBLE) " +
+        "* n1 / (n1 + n0) * n0 / (n1 + n0) * " +
+        "(n1 + n0 - d1 - d0) / (n1 + n0 - 1) * 1e9) AS BIGINT)"))
+      .agg(sum(col("d1")).as("o1"), sum(col("e1_fp")).as("e1_fp"),
+        sum(col("v_fp")).as("v_fp"))
+      .selectExpr("o1",
+        "round(CAST(e1_fp AS DOUBLE) / 1e9, 4) AS e1",
+        "round((CAST(o1 AS DOUBLE) - CAST(e1_fp AS DOUBLE) / 1e9) * " +
+          "(CAST(o1 AS DOUBLE) - CAST(e1_fp AS DOUBLE) / 1e9) / " +
+          "(CAST(v_fp AS DOUBLE) / 1e9), 4) AS chi2",
+        "(CAST(o1 AS DOUBLE) - CAST(e1_fp AS DOUBLE) / 1e9) * " +
+          "(CAST(o1 AS DOUBLE) - CAST(e1_fp AS DOUBLE) / 1e9) / " +
+          s"(CAST(v_fp AS DOUBLE) / 1e9) > $LogRankCrit " +
+          "AS survival_differs")
+  }
+
+  def logRankOracle: String =
+    s"""WITH $SurvivalGridSql,
+       |j AS (SELECT a.day, a.n_risk AS n1, a.d AS d1,
+       |    b.n_risk AS n0, b.d AS d0
+       |  FROM rg a JOIN rg b ON b.day = a.day
+       |    AND a.cohort = 1 AND b.cohort = 0
+       |  WHERE a.n_risk + b.n_risk > 1 AND a.d + b.d > 0),
+       |f AS (SELECT d1,
+       |    CAST(floor(CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0)
+       |      * 1e9) AS BIGINT) AS e1_fp,
+       |    CAST(floor(CAST(d1 + d0 AS DOUBLE) * n1 / (n1 + n0)
+       |      * n0 / (n1 + n0) * (n1 + n0 - d1 - d0) / (n1 + n0 - 1)
+       |      * 1e9) AS BIGINT) AS v_fp
+       |  FROM j),
+       |ag AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+       |    CAST(sum(e1_fp) AS BIGINT) AS e1_fp,
+       |    CAST(sum(v_fp) AS BIGINT) AS v_fp FROM f)
+       |SELECT o1, round(CAST(e1_fp AS DOUBLE) / 1e9, 4) AS e1,
+       |  round((CAST(o1 AS DOUBLE) - CAST(e1_fp AS DOUBLE) / 1e9) *
+       |    (CAST(o1 AS DOUBLE) - CAST(e1_fp AS DOUBLE) / 1e9) /
+       |    (CAST(v_fp AS DOUBLE) / 1e9), 4) AS chi2,
+       |  (CAST(o1 AS DOUBLE) - CAST(e1_fp AS DOUBLE) / 1e9) *
+       |    (CAST(o1 AS DOUBLE) - CAST(e1_fp AS DOUBLE) / 1e9) /
+       |    (CAST(v_fp AS DOUBLE) / 1e9) > $LogRankCrit
+       |    AS survival_differs
+       |FROM ag""".stripMargin
 }

@@ -2565,4 +2565,98 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.values.foreach(v => assert(v._3 < 0.35, s"m estimate off: $v"))
     assert(rows("name")._1 > rows("balance")._1)
   }
+
+  test("q273 two change points: exhaustive SSE search recovers both planted steps") {
+    val rows = TimeSeriesOps.twoChangepoints(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6), r.getDouble(7), r.getDouble(8))).toMap
+    val p = rows("two_steps")
+    // boundaries land within a few days of the planted steps — the
+    // search is EXACT, so at sf0.001 the argmin sits wherever the
+    // noisy realization's true optimum is (±3); the sf0.01 oracle
+    // pins the exact 9/19 recovery
+    assert(math.abs(p._1 - (TimeSeriesOps.Seg2Step1 - 1)) <= 3,
+      s"first split off: ${p._1}")
+    assert(math.abs(p._2 - (TimeSeriesOps.Seg2Step2 - 1)) <= 3,
+      s"second split off: ${p._2}")
+    // the three levels are ordered and the fit explains most variance
+    assert(p._3 < p._4 && p._4 < p._5, s"levels not stepped: $p")
+    assert(p._8 > 0.6, s"reduction too weak: ${p._8}")
+    rows.values.foreach { v =>
+      assert(v._7 <= v._6 + 1e-6) // splitting never increases SSE
+      assert(v._8 >= -1e-9 && v._8 <= 1.0)
+    }
+    // stationary streams gain little from two splits
+    rows.filterKeys(_ != "two_steps").values
+      .foreach(v => assert(v._8 < p._8))
+  }
+
+  test("q274 kaplan-meier: planted churn cohort dies by the cap; control keeps its censored tail") {
+    val rows = TimeSeriesOps.kaplanMeier(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val c1 = rows.filter(_._1 == 1).sortBy(_._2)
+    val c0 = rows.filter(_._1 == 0).sortBy(_._2)
+    assert(c1.nonEmpty && c0.nonEmpty)
+    // survival is monotone nonincreasing within each cohort
+    Seq(c0, c1).foreach(c => assert(c.map(_._6).sliding(2)
+      .forall(p => p(0) >= p(1) - 1e-9)))
+    // the early-churn cohort's curve hits 0 by the cap
+    assert(c1.last._2 <= TimeSeriesOps.SurvChurnCap &&
+      c1.last._6 == 0.0, s"churn cohort tail: ${c1.last}")
+    // the control cohort survives past the cap with mass left
+    assert(c0.last._2 > TimeSeriesOps.SurvChurnCap &&
+      c0.last._6 > 0.3, s"control tail: ${c0.last}")
+    // interim censoring is present (what separates KM from naive)
+    assert(rows.exists(r => r._5 > 0 &&
+      r._2 == TimeSeriesOps.SurvWithdrawDay))
+  }
+
+  test("q275 log-rank: the planted survival split rejects decisively") {
+    val r = TimeSeriesOps.logRank(spark, dir).collect().head
+    val (o1, e1, chi2, differs) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getBoolean(3))
+    assert(differs && chi2 > TimeSeriesOps.LogRankCrit)
+    // the churn cohort observes far MORE events than expected under
+    // the null
+    assert(o1 > e1, s"direction wrong: o=$o1 e=$e1")
+    assert(chi2 > 2 * TimeSeriesOps.LogRankCrit,
+      s"evidence too weak: $chi2")
+  }
+
+  test("q276 cmh: stratified association survives the language control") {
+    val r = CurationOps.cmhTest(spark, dir).collect().head
+    val (nStrata, o, e, chi2, assoc) = (r.getLong(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getBoolean(4))
+    assert(nStrata >= 3, s"too few strata: $nStrata")
+    assert(chi2 >= 0)
+    assert(assoc == (chi2 > CurationOps.McNemarCrit))
+    // long docs pass the gopher gate MORE than expected under
+    // conditional independence (length literally enters the gate)
+    assert(o > e, s"association direction wrong: o=$o e=$e")
+  }
+
+  test("q277 miss-ratio curve: hit rate is monotone in cache size and saturates at the working set") {
+    val rows = ScaleOps.missRatioCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.length == ScaleOps.MrcSizes.length)
+    // monotone nondecreasing hits with size
+    assert(rows.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+    // reuses + cold = total accesses; hit_rate consistent
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val total = ev.count()
+    val users = ev.select("user_id").distinct().count()
+    rows.foreach { r =>
+      assert(r._2 <= r._3) // hits ⊆ reuses
+      assert(r._3 + r._4 == total)
+      assert(math.abs(r._5 - r._2.toDouble / total) < 1e-3)
+    }
+    assert(rows.head._4 == users, "cold misses != working set")
+    // a cache of the full working set hits every reuse
+    assert(rows.last._1 >= users && rows.last._2 == rows.last._3,
+      s"full-size cache missed reuses: ${rows.last}")
+  }
 }

@@ -1341,4 +1341,45 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(!p.contains("Scan parquet"),
       s"EM result re-derives from the corpus:\n${p.take(1800)}")
   }
+
+  test("q273 two change points: prefix window + calendar-cell grid joins only") {
+    val p = plan(TimeSeriesOps.twoChangepoints(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"segmentation went cartesian:\n${p.take(1800)}")
+    assert(p.contains("Window") && p.contains("InMemoryTableScan"),
+      s"segmentation lost its prefix/persist shape:\n${p.take(1800)}")
+  }
+
+  test("q274 kaplan-meier: the returned curve is driver-built — no corpus in its plan") {
+    val p = plan(TimeSeriesOps.kaplanMeier(spark, dir))
+    assert(!p.contains("Scan parquet"),
+      s"KM re-derives from the corpus:\n${p.take(1800)}")
+  }
+
+  test("q275 log-rank: risk-table algebra on calendar cells, one cohort equi-join") {
+    val p = plan(TimeSeriesOps.logRank(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"log-rank went cartesian:\n${p.take(1800)}")
+    assert(p.contains("HashAggregate") && p.contains("Window"),
+      s"log-rank lost its risk-table shape:\n${p.take(1800)}")
+  }
+
+  test("q276 cmh: per-stratum medians broadcast; single collapse to strata") {
+    val p = plan(CurationOps.cmhTest(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"cmh shuffled a join:\n${p.take(1800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"stratum medians not broadcast:\n${p.take(1800)}")
+  }
+
+  test("q277 mrc: reuse intervals meet accesses in a tile equi-join, never an inequality product") {
+    val p = plan(ScaleOps.missRatioCurve(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"mrc went cartesian:\n${p.take(1800)}")
+    assert(p.contains("Generate"),
+      s"mrc lost its tile generator:\n${p.take(1800)}")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"tile pairing is not an equi-join:\n${p.take(1800)}")
+  }
 }
