@@ -295,6 +295,16 @@ object SparkEntry {
     "q275_log_rank"          -> (TimeSeriesOps.logRank _),
     "q276_cmh_test"          -> (CurationOps.cmhTest _),
     "q277_miss_ratio_curve"  -> (ScaleOps.missRatioCurve _),
+    "q278_w1_drift"          -> (ProfileOps.w1Drift _),
+    "q279_anisotropy"        -> (SimilarityOps.embeddingAnisotropy _),
+    "q280_hill_tail"         -> (ProfileOps.hillTail _),
+    "q281_cluster_quality"   -> (SimilarityOps.clusterQuality _),
+    "q282_markov_attrib"     -> (TimeSeriesOps.markovAttribution _),
+    "q283_pack_attention"    -> (TrainPrepOps.packAttentionAudit _),
+    "q284_delta_ratio"       -> (AnalyticsOps.deltaRatio _),
+    "q285_label_noise"       -> (CurationOps.labelNoise _),
+    "q286_propensity_overlap" -> (AnalyticsOps.propensityOverlap _),
+    "q287_msprt_monitor"     -> (AnalyticsOps.msprtMonitor _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -854,6 +864,16 @@ object SparkEntry {
     "q275_log_rank" -> TimeSeriesOps.logRankOracle,
     "q276_cmh_test" -> CurationOps.cmhTestOracle,
     "q277_miss_ratio_curve" -> ScaleOps.missRatioCurveOracle,
+    "q278_w1_drift" -> ProfileOps.w1DriftOracle,
+    "q279_anisotropy" -> SimilarityOps.embeddingAnisotropyOracle,
+    "q280_hill_tail" -> ProfileOps.hillTailOracle,
+    "q281_cluster_quality" -> SimilarityOps.clusterQualityOracle,
+    "q282_markov_attrib" -> TimeSeriesOps.markovAttributionOracle,
+    "q283_pack_attention" -> TrainPrepOps.packAttentionAuditOracle,
+    "q284_delta_ratio" -> AnalyticsOps.deltaRatioOracle,
+    "q285_label_noise" -> CurationOps.labelNoiseOracle,
+    "q286_propensity_overlap" -> AnalyticsOps.propensityOverlapOracle,
+    "q287_msprt_monitor" -> AnalyticsOps.msprtMonitorOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -1916,4 +1916,437 @@ object AnalyticsOps {
        |FROM qs t JOIN qs c ON c.et = t.et AND c.k = t.k
        |  AND t.arm = 1 AND c.arm = 0
        |ORDER BY event_type, decile""".stripMargin
+
+  // --- q284: delta-method ratio metrics ------------------------------------
+
+  /** Planted effect: arm B's clicks with value above this count double
+    * in the ratio's numerator. */
+  val DrPlantThr = 5.0
+
+  /** q284 — delta-method ratio metrics: per-user ratio metrics
+    * (events-per-view) compared across A/B arms with the DELTA-METHOD
+    * variance — the correction every experimentation platform needs
+    * because a ratio of user-level sums is NOT a mean of iid
+    * observations (users contribute correlated numerators and
+    * denominators; naive binomial/t intervals are anti-conservative,
+    * the classic ratio-metric pitfall). q200 tests binary conversion;
+    * this tests continuous ratios: R = ΣX/ΣY per arm,
+    * Var(R) ≈ (s²_x − 2R·s_xy + R²·s²_y)/(n·ȳ²). A planted numerator
+    * boost on arm B's click metric must reject; error-per-view is the
+    * clean A/A control. (purchase-per-view carries a REAL parity
+    * imbalance in the stock generator — arm 1 purchases more and views
+    * less — which the method correctly reports; the spec pins the
+    * ordering, not a false-positive claim.)
+    *
+    * Exactness: all five user-level moments (Sx, Sy, Sxx, Syy, Sxy)
+    * are exact BIGINT sums of event counts; the variance and z are one
+    * fixed-order double expression over the 2-row-per-metric pivot.
+    *
+    * Scale (100 TB): one user_id exchange collapses events to user
+    * rows (map-side combined); moments collapse per (metric, arm);
+    * everything after is six-row algebra. */
+  def deltaRatio(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.events(s, dir)
+    val perUser = ev.groupBy(col("user_id")).agg(
+      sum(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("y"),
+      (sum(when(col("event_type") === "click", 1L).otherwise(0L)) +
+        sum(when(col("event_type") === "click" &&
+          col("value") > DrPlantThr &&
+          col("user_id") % 2 === 1, 1L).otherwise(0L))).as("x_click"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("x_purchase"),
+      sum(when(col("event_type") === "error", 1L).otherwise(0L))
+        .as("x_error"))
+    val long = Seq("click", "purchase", "error").map { m =>
+      perUser.selectExpr(s"'$m' AS metric",
+        "CAST(user_id % 2 AS BIGINT) AS arm", s"x_$m AS x", "y")
+    }.reduce(_ unionAll _)
+    val mom = long.groupBy("metric", "arm").agg(
+      count(lit(1L)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"),
+      sum(expr("x * y")).as("sxy"))
+    // delta-method Var(R) per arm, as one fixed-order double chain
+    val varExpr = (p: String) =>
+      s"(((CAST(${p}sxx AS DOUBLE) - CAST(${p}sx AS DOUBLE) * ${p}sx " +
+        s"/ ${p}n) - 2.0 * (CAST(${p}sx AS DOUBLE) / ${p}sy) * " +
+        s"(CAST(${p}sxy AS DOUBLE) - CAST(${p}sx AS DOUBLE) * ${p}sy " +
+        s"/ ${p}n) + (CAST(${p}sx AS DOUBLE) / ${p}sy) * " +
+        s"(CAST(${p}sx AS DOUBLE) / ${p}sy) * " +
+        s"(CAST(${p}syy AS DOUBLE) - CAST(${p}sy AS DOUBLE) * ${p}sy " +
+        s"/ ${p}n)) / (${p}n - 1.0)) / ${p}n / " +
+        s"((CAST(${p}sy AS DOUBLE) / ${p}n) * " +
+        s"(CAST(${p}sy AS DOUBLE) / ${p}n))"
+    val piv = mom.groupBy("metric").agg(
+      max(when(col("arm") === 0, col("n"))).as("an"),
+      max(when(col("arm") === 0, col("sx"))).as("asx"),
+      max(when(col("arm") === 0, col("sy"))).as("asy"),
+      max(when(col("arm") === 0, col("sxx"))).as("asxx"),
+      max(when(col("arm") === 0, col("syy"))).as("asyy"),
+      max(when(col("arm") === 0, col("sxy"))).as("asxy"),
+      max(when(col("arm") === 1, col("n"))).as("bn"),
+      max(when(col("arm") === 1, col("sx"))).as("bsx"),
+      max(when(col("arm") === 1, col("sy"))).as("bsy"),
+      max(when(col("arm") === 1, col("sxx"))).as("bsxx"),
+      max(when(col("arm") === 1, col("syy"))).as("bsyy"),
+      max(when(col("arm") === 1, col("sxy"))).as("bsxy"))
+    piv.selectExpr("metric", "an AS n_a", "bn AS n_b",
+        "round(CAST(asx AS DOUBLE) / asy, 6) AS ratio_a",
+        "round(CAST(bsx AS DOUBLE) / bsy, 6) AS ratio_b",
+        s"round(sqrt(${varExpr("a")} + ${varExpr("b")}), 6) AS se_diff",
+        s"round((CAST(bsx AS DOUBLE) / bsy - CAST(asx AS DOUBLE) " +
+          s"/ asy) / sqrt(${varExpr("a")} + ${varExpr("b")}), 4) AS z",
+        s"abs((CAST(bsx AS DOUBLE) / bsy - CAST(asx AS DOUBLE) " +
+          s"/ asy) / sqrt(${varExpr("a")} + ${varExpr("b")})) > 1.96 " +
+          "AS significant")
+      .orderBy("metric")
+  }
+
+  def deltaRatioOracle: String = {
+    val varExpr = (p: String) =>
+      s"(((CAST(${p}sxx AS DOUBLE) - CAST(${p}sx AS DOUBLE) * ${p}sx " +
+        s"/ ${p}n) - 2.0 * (CAST(${p}sx AS DOUBLE) / ${p}sy) * " +
+        s"(CAST(${p}sxy AS DOUBLE) - CAST(${p}sx AS DOUBLE) * ${p}sy " +
+        s"/ ${p}n) + (CAST(${p}sx AS DOUBLE) / ${p}sy) * " +
+        s"(CAST(${p}sx AS DOUBLE) / ${p}sy) * " +
+        s"(CAST(${p}syy AS DOUBLE) - CAST(${p}sy AS DOUBLE) * ${p}sy " +
+        s"/ ${p}n)) / (${p}n - 1.0)) / ${p}n / " +
+        s"((CAST(${p}sy AS DOUBLE) / ${p}n) * " +
+        s"(CAST(${p}sy AS DOUBLE) / ${p}n))"
+    s"""WITH pu AS (SELECT user_id,
+       |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS y,
+       |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       |      + sum(CASE WHEN event_type = 'click'
+       |        AND value > $DrPlantThr AND user_id % 2 = 1
+       |        THEN 1 ELSE 0 END) AS BIGINT) AS x_click,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+       |      END) AS BIGINT) AS x_purchase,
+       |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS x_error
+       |  FROM events GROUP BY user_id),
+       |lng AS (
+       |  SELECT 'click' AS metric, CAST(user_id % 2 AS BIGINT) AS arm,
+       |    x_click AS x, y FROM pu
+       |  UNION ALL
+       |  SELECT 'purchase', CAST(user_id % 2 AS BIGINT),
+       |    x_purchase, y FROM pu
+       |  UNION ALL
+       |  SELECT 'error', CAST(user_id % 2 AS BIGINT), x_error, y
+       |  FROM pu),
+       |mom AS (SELECT metric, arm, count(*) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM lng GROUP BY metric, arm),
+       |piv AS (SELECT metric,
+       |    max(CASE WHEN arm = 0 THEN n END) AS an,
+       |    max(CASE WHEN arm = 0 THEN sx END) AS asx,
+       |    max(CASE WHEN arm = 0 THEN sy END) AS asy,
+       |    max(CASE WHEN arm = 0 THEN sxx END) AS asxx,
+       |    max(CASE WHEN arm = 0 THEN syy END) AS asyy,
+       |    max(CASE WHEN arm = 0 THEN sxy END) AS asxy,
+       |    max(CASE WHEN arm = 1 THEN n END) AS bn,
+       |    max(CASE WHEN arm = 1 THEN sx END) AS bsx,
+       |    max(CASE WHEN arm = 1 THEN sy END) AS bsy,
+       |    max(CASE WHEN arm = 1 THEN sxx END) AS bsxx,
+       |    max(CASE WHEN arm = 1 THEN syy END) AS bsyy,
+       |    max(CASE WHEN arm = 1 THEN sxy END) AS bsxy
+       |  FROM mom GROUP BY metric)
+       |SELECT metric, an AS n_a, bn AS n_b,
+       |  round(CAST(asx AS DOUBLE) / asy, 6) AS ratio_a,
+       |  round(CAST(bsx AS DOUBLE) / bsy, 6) AS ratio_b,
+       |  round(sqrt(${varExpr("a")} + ${varExpr("b")}), 6) AS se_diff,
+       |  round((CAST(bsx AS DOUBLE) / bsy - CAST(asx AS DOUBLE)
+       |    / asy) / sqrt(${varExpr("a")} + ${varExpr("b")}), 4) AS z,
+       |  abs((CAST(bsx AS DOUBLE) / bsy - CAST(asx AS DOUBLE)
+       |    / asy) / sqrt(${varExpr("a")} + ${varExpr("b")})) > 1.96
+       |    AS significant
+       |FROM piv ORDER BY metric""".stripMargin
+  }
+
+  // --- q286: propensity positivity / overlap audit --------------------------
+
+  /** q286 — propensity positivity & overlap audit for the q269
+    * observational fixture: per confounder stratum (user_id % 7, the
+    * variable that drives BOTH treatment probability and outcome), the
+    * estimated propensity p̂ₛ, each arm's share of its own population,
+    * and the global overlap coefficient Σₛ min(share_t, share_c) — the
+    * pre-flight check EVERY causal estimate (q250's IPW, q269's
+    * matching) silently assumes: p̂ bounded away from {0,1}
+    * (positivity) and arms actually sharing support (overlap). Also
+    * reports the IPW effective sample size (Σw)²/Σw² per arm — how many
+    * units of information survive reweighting (Kish).
+    *
+    * Exactness: per-stratum counts are integers; p̂, shares, ESS and
+    * the overlap sum are fixed-order double expressions over the
+    * 7-row stratum frame (window totals, no second scan).
+    *
+    * Scale (100 TB): one user collapse, one 7-row stratum collapse;
+    * the audit is strata-sized algebra forever. */
+  def propensityOverlap(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val treatSql = "CAST(md5_fp60(concat('psm:', " +
+      "CAST(user_id AS STRING))) % 100 < 80 - 10 * (user_id % 7) " +
+      "AS INT)"
+    val users = EtlOps.t(s, dir, "events")
+      .selectExpr("user_id").distinct()
+      .selectExpr("user_id % 7 AS stratum", s"$treatSql AS treat")
+      .groupBy("stratum").agg(count(lit(1L)).as("n"),
+        sum(col("treat")).as("nt"))
+      .withColumn("nc", col("n") - col("nt"))
+    // per-stratum double terms freeze to ×1e9 BIGINTs BEFORE the
+    // cross-stratum window sums (the q195 order-free discipline)
+    val frozen = users
+      .withColumn("gnt", sum(col("nt")).over(Window.partitionBy(lit(1))))
+      .withColumn("gnc", sum(col("nc")).over(Window.partitionBy(lit(1))))
+      // strata violating positivity contribute nothing to the ESS
+      // sums (they are flagged, not averaged over)
+      .withColumn("wt2_fp", expr(
+        "CASE WHEN nt = 0 THEN 0 ELSE " +
+          "CAST(floor(CAST(n AS DOUBLE) * n / nt * 1e9) AS BIGINT) " +
+          "END"))
+      .withColumn("wc2_fp", expr(
+        "CASE WHEN nc = 0 THEN 0 ELSE " +
+          "CAST(floor(CAST(n AS DOUBLE) * n / nc * 1e9) AS BIGINT) " +
+          "END"))
+      .withColumn("ov_fp", expr(
+        "CASE WHEN CAST(nt AS DOUBLE) / gnt < " +
+          "CAST(nc AS DOUBLE) / gnc THEN " +
+          "CAST(floor(CAST(nt AS DOUBLE) / gnt * 1e9) AS BIGINT) " +
+          "ELSE CAST(floor(CAST(nc AS DOUBLE) / gnc * 1e9) AS BIGINT) " +
+          "END"))
+    frozen
+      .withColumn("swt2", sum(col("wt2_fp")).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("swc2", sum(col("wc2_fp")).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("sov", sum(col("ov_fp")).over(
+        Window.partitionBy(lit(1))))
+      // ESS numerators cover the SAME strata as the denominators —
+      // only positivity-satisfying ones (Cauchy–Schwarz then bounds
+      // ESS by the covered unit count)
+      .withColumn("vtn", sum(when(col("nt") > 0, col("n"))
+        .otherwise(0L)).over(Window.partitionBy(lit(1))))
+      .withColumn("vcn", sum(when(col("nc") > 0, col("n"))
+        .otherwise(0L)).over(Window.partitionBy(lit(1))))
+      .selectExpr("stratum", "n", "nt AS n_treat",
+        "round(CAST(nt AS DOUBLE) / n, 4) AS p_hat",
+        "round(CAST(nt AS DOUBLE) / gnt, 4) AS share_treat",
+        "round(CAST(nc AS DOUBLE) / gnc, 4) AS share_ctrl",
+        "nt > 0 AND nc > 0 AS positivity_ok",
+        "round(CAST(sov AS DOUBLE) / 1e9, 4) AS overlap_coef",
+        "round(CAST(vtn AS DOUBLE) * vtn / " +
+          "(CAST(swt2 AS DOUBLE) / 1e9), 2) AS ess_treat",
+        "round(CAST(vcn AS DOUBLE) * vcn / " +
+          "(CAST(swc2 AS DOUBLE) / 1e9), 2) AS ess_ctrl")
+      .orderBy("stratum")
+  }
+
+  def propensityOverlapOracle: String =
+    s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+       |st AS (SELECT user_id % 7 AS stratum,
+       |    CASE WHEN CAST('0x' || substr(md5('psm:' ||
+       |      CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 <
+       |      80 - 10 * (user_id % 7) THEN 1 ELSE 0 END AS treat
+       |  FROM u),
+       |g AS (SELECT stratum, count(*) AS n,
+       |    CAST(sum(treat) AS BIGINT) AS nt,
+       |    CAST(count(*) - sum(treat) AS BIGINT) AS nc
+       |  FROM st GROUP BY stratum),
+       |t AS (SELECT *,
+       |    CAST(sum(nt) OVER () AS BIGINT) AS gnt,
+       |    CAST(sum(nc) OVER () AS BIGINT) AS gnc
+       |  FROM g),
+       |f AS (SELECT *,
+       |    CASE WHEN nt = 0 THEN 0 ELSE
+       |      CAST(floor(CAST(n AS DOUBLE) * n / nt * 1e9) AS BIGINT)
+       |      END AS wt2_fp,
+       |    CASE WHEN nc = 0 THEN 0 ELSE
+       |      CAST(floor(CAST(n AS DOUBLE) * n / nc * 1e9) AS BIGINT)
+       |      END AS wc2_fp,
+       |    CASE WHEN CAST(nt AS DOUBLE) / gnt <
+       |      CAST(nc AS DOUBLE) / gnc THEN
+       |      CAST(floor(CAST(nt AS DOUBLE) / gnt * 1e9) AS BIGINT)
+       |      ELSE CAST(floor(CAST(nc AS DOUBLE) / gnc * 1e9)
+       |      AS BIGINT) END AS ov_fp
+       |  FROM t),
+       |z AS (SELECT *,
+       |    CAST(sum(wt2_fp) OVER () AS BIGINT) AS swt2,
+       |    CAST(sum(wc2_fp) OVER () AS BIGINT) AS swc2,
+       |    CAST(sum(ov_fp) OVER () AS BIGINT) AS sov,
+       |    CAST(sum(CASE WHEN nt > 0 THEN n ELSE 0 END) OVER ()
+       |      AS BIGINT) AS vtn,
+       |    CAST(sum(CASE WHEN nc > 0 THEN n ELSE 0 END) OVER ()
+       |      AS BIGINT) AS vcn
+       |  FROM f)
+       |SELECT stratum, n, nt AS n_treat,
+       |  round(CAST(nt AS DOUBLE) / n, 4) AS p_hat,
+       |  round(CAST(nt AS DOUBLE) / gnt, 4) AS share_treat,
+       |  round(CAST(nc AS DOUBLE) / gnc, 4) AS share_ctrl,
+       |  nt > 0 AND nc > 0 AS positivity_ok,
+       |  round(CAST(sov AS DOUBLE) / 1e9, 4) AS overlap_coef,
+       |  round(CAST(vtn AS DOUBLE) * vtn /
+       |    (CAST(swt2 AS DOUBLE) / 1e9), 2) AS ess_treat,
+       |  round(CAST(vcn AS DOUBLE) * vcn /
+       |    (CAST(swc2 AS DOUBLE) / 1e9), 2) AS ess_ctrl
+       |FROM z ORDER BY stratum""".stripMargin
+
+  // --- q287: mSPRT always-valid sequential monitor --------------------------
+
+  /** Mixture scale τ², the fire threshold 1/α, the conversion
+    * threshold, and the planted shift day. */
+  val MsprtTau2 = 0.01
+  val MsprtFire = 20.0
+  val MsprtConvThr = 50.0
+  val MsprtShiftDay = 10
+
+  /** q287 — mSPRT always-valid sequential monitor: q200's fixed-horizon
+    * z-test is only valid if you look ONCE; an experimentation platform
+    * that peeks daily needs an always-valid p-value. This runs the
+    * mixture SPRT (Johari et al.): per stream, daily cumulative
+    * conversion counts per arm give θ̂ₙ = p̂_b − p̂_a and
+    * Vₙ = p̄(1−p̄)(1/n_a + 1/n_b), and the mixture likelihood ratio
+    * Λₙ = √(Vₙ/(Vₙ+τ²))·exp(τ²θ̂ₙ²/(2Vₙ(Vₙ+τ²))) is a test
+    * martingale — the monitor fires the FIRST day Λₙ > 1/α and the
+    * always-valid p-value is 1/max_k Λ_k. A planted stream whose
+    * treatment arm converts more from day [[MsprtShiftDay]] must fire
+    * after (not before) the shift; A/A streams must not fire.
+    *
+    * Exactness: the daily (arm, conversions, units) cells are exact
+    * integer cumsums; Λ is one fixed-order double expression per
+    * calendar cell; the running max and the fire-day argmin are exact
+    * comparisons.
+    *
+    * Scale (100 TB): one (stream, user, day) collapse with map-side
+    * combine, then calendar-cell windows — the monitor's cost is the
+    * dedup of user-days, which is the metric's own definition. */
+  def msprtMonitor(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.t(s, dir, "events").selectExpr("event_type AS et",
+      "user_id", "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS d",
+      "value")
+    val base = ev.selectExpr("et", "user_id", "d",
+      s"CAST(value > $MsprtConvThr AS INT) AS cv")
+    val plant = ev.filter(col("et") === "purchase").selectExpr(
+      "'purchase_boost' AS et", "user_id", "d",
+      s"CAST(value > $MsprtConvThr OR (user_id % 2 = 1 AND " +
+        s"d >= $MsprtShiftDay AND value > ${MsprtConvThr / 2}) " +
+        "AS INT) AS cv")
+    val ud = base.unionAll(plant)
+      .groupBy("et", "user_id", "d")
+      .agg(max(col("cv")).as("cv"))
+      .selectExpr("et", "d", "CAST(user_id % 2 AS INT) AS arm", "cv")
+    val daily = ud.groupBy("et", "d").agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na_d"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb_d"),
+      sum(when(col("arm") === 0, col("cv")).otherwise(0)).as("ca_d"),
+      sum(when(col("arm") === 1, col("cv")).otherwise(0)).as("cb_d"))
+    val wc = Window.partitionBy("et").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = daily
+      .withColumn("na", sum(col("na_d")).over(wc))
+      .withColumn("nb", sum(col("nb_d")).over(wc))
+      .withColumn("ca", sum(col("ca_d")).over(wc))
+      .withColumn("cb", sum(col("cb_d")).over(wc))
+    val lam = "CASE WHEN na = 0 OR nb = 0 OR ca + cb = 0 " +
+      "OR ca + cb = na + nb THEN 1.0 ELSE " +
+      "sqrt((CAST(ca + cb AS DOUBLE) / (na + nb) * " +
+      "(1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
+      "(1.0 / na + 1.0 / nb)) / " +
+      "(CAST(ca + cb AS DOUBLE) / (na + nb) * " +
+      "(1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
+      s"(1.0 / na + 1.0 / nb) + $MsprtTau2)) * " +
+      s"exp($MsprtTau2 * (CAST(cb AS DOUBLE) / nb - " +
+      "CAST(ca AS DOUBLE) / na) * (CAST(cb AS DOUBLE) / nb - " +
+      "CAST(ca AS DOUBLE) / na) / (2.0 * " +
+      "(CAST(ca + cb AS DOUBLE) / (na + nb) * " +
+      "(1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
+      "(1.0 / na + 1.0 / nb)) * " +
+      "(CAST(ca + cb AS DOUBLE) / (na + nb) * " +
+      "(1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
+      s"(1.0 / na + 1.0 / nb) + $MsprtTau2))) END"
+    cum.withColumn("lam", expr(lam))
+      .groupBy("et").agg(
+        count(lit(1L)).as("n_days"),
+        max(col("lam")).as("lam_max"),
+        min(when(col("lam") > MsprtFire, col("d"))).as("fire_day"))
+      .selectExpr("et AS stream", "n_days",
+        "round(lam_max, 4) AS lambda_max",
+        "round(CASE WHEN 1.0 / lam_max < 1.0 THEN 1.0 / lam_max " +
+          "ELSE 1.0 END, 6) AS always_valid_p",
+        "fire_day",
+        "fire_day IS NOT NULL AS fired")
+      .orderBy("stream")
+  }
+
+  def msprtMonitorOracle: String = {
+    val lam = "CASE WHEN na = 0 OR nb = 0 OR ca + cb = 0 " +
+      "OR ca + cb = na + nb THEN 1.0 ELSE " +
+      "sqrt((CAST(ca + cb AS DOUBLE) / (na + nb) * " +
+      "(1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
+      "(1.0 / na + 1.0 / nb)) / " +
+      "(CAST(ca + cb AS DOUBLE) / (na + nb) * " +
+      "(1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
+      s"(1.0 / na + 1.0 / nb) + $MsprtTau2)) * " +
+      s"exp($MsprtTau2 * (CAST(cb AS DOUBLE) / nb - " +
+      "CAST(ca AS DOUBLE) / na) * (CAST(cb AS DOUBLE) / nb - " +
+      "CAST(ca AS DOUBLE) / na) / (2.0 * " +
+      "(CAST(ca + cb AS DOUBLE) / (na + nb) * " +
+      "(1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
+      "(1.0 / na + 1.0 / nb)) * " +
+      "(CAST(ca + cb AS DOUBLE) / (na + nb) * " +
+      "(1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
+      s"(1.0 / na + 1.0 / nb) + $MsprtTau2))) END"
+    s"""WITH ev AS (SELECT event_type AS et, user_id,
+       |    CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+       |      AS d, value
+       |  FROM events),
+       |src AS (SELECT et, user_id, d,
+       |    CASE WHEN value > $MsprtConvThr THEN 1 ELSE 0 END AS cv
+       |  FROM ev
+       |  UNION ALL
+       |  SELECT 'purchase_boost', user_id, d,
+       |    CASE WHEN value > $MsprtConvThr OR (user_id % 2 = 1 AND
+       |      d >= $MsprtShiftDay AND value > ${MsprtConvThr / 2})
+       |      THEN 1 ELSE 0 END
+       |  FROM ev WHERE et = 'purchase'),
+       |ud AS (SELECT et, d, CAST(user_id % 2 AS INT) AS arm,
+       |    max(cv) AS cv
+       |  FROM src GROUP BY et, d, user_id),
+       |daily AS (SELECT et, d,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS na_d,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nb_d,
+       |    CAST(sum(CASE WHEN arm = 0 THEN cv ELSE 0 END) AS BIGINT)
+       |      AS ca_d,
+       |    CAST(sum(CASE WHEN arm = 1 THEN cv ELSE 0 END) AS BIGINT)
+       |      AS cb_d
+       |  FROM ud GROUP BY et, d),
+       |cum AS (SELECT et, d,
+       |    CAST(sum(na_d) OVER (PARTITION BY et ORDER BY d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS na,
+       |    CAST(sum(nb_d) OVER (PARTITION BY et ORDER BY d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS nb,
+       |    CAST(sum(ca_d) OVER (PARTITION BY et ORDER BY d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS ca,
+       |    CAST(sum(cb_d) OVER (PARTITION BY et ORDER BY d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cb
+       |  FROM daily),
+       |lm AS (SELECT et, d, $lam AS lam FROM cum)
+       |SELECT et AS stream, count(*) AS n_days,
+       |  round(max(lam), 4) AS lambda_max,
+       |  round(CASE WHEN 1.0 / max(lam) < 1.0 THEN 1.0 / max(lam)
+       |    ELSE 1.0 END, 6) AS always_valid_p,
+       |  min(CASE WHEN lam > $MsprtFire THEN d END) AS fire_day,
+       |  min(CASE WHEN lam > $MsprtFire THEN d END) IS NOT NULL
+       |    AS fired
+       |FROM lm GROUP BY et ORDER BY stream""".stripMargin
+  }
 }

@@ -2485,4 +2485,163 @@ object CurationOps {
        |    1e9) - 0.5) / (CAST(v_fp AS DOUBLE) / 1e9) >
        |    $McNemarCrit AS associated
        |FROM ag""".stripMargin
+
+  // --- q285: confident-learning label-noise audit ---------------------------
+
+  /** Label-noise fixture geometry: [[LnClasses]] classes each owning a
+    * [[LnBlock]]-dim coordinate block bumped by [[LnBump]]; labels of
+    * vec_id ≡ 0 (mod [[LnFlipMod]]) are observed FLIPPED to the next
+    * class — the planted noise the audit must recover. */
+  val LnClasses = 5
+  val LnBlock = 12
+  val LnBump = 3.0
+  val LnFlipMod = 17
+
+  /** q285 — confident-learning label-noise audit (Northcutt et al.'s
+    * construction): classifier-labeled corpora (quality gates, topic
+    * routers, synthetic-data graders) carry label noise that silently
+    * caps downstream model quality; this estimates the noise matrix
+    * WITHOUT ground truth. Per observed class j a self-confidence
+    * threshold t_j = mean cosine of j-labeled points to the j centroid;
+    * each point joins the confident-joint matrix C[observed, argmax
+    * candidate class] only where its cosine clears the target class's
+    * threshold. Off-diagonal mass estimates the flip rate: the planted
+    * next-class flips (≈1/17 of rows) must land in exactly the
+    * (c → c−1 mod 5) cells.
+    *
+    * The class structure is an in-query fixture (block-bumped
+    * embeddings, the q149 pattern) because the stock labels are not
+    * directionally clustered (q279 measures their anisotropy ≈ 0 — a
+    * centroid classifier there would be noise).
+    *
+    * Exactness: per-element features freeze to ×1e6 BIGINTs, so class
+    * centroids are exact integer sums; cosines are fixed-order double
+    * chains frozen to ×1e9; the threshold compare is the integer cross
+    * product cos_fp·n_j ≥ Σcos_fp(j) — no double mean ever compared.
+    *
+    * Scale (100 TB): two corpus passes (centroid sums; scoring against
+    * the broadcast 5×64 centroid frame) — the q268 two-scan shape; the
+    * matrix is |classes|² cells. */
+  def labelNoise(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dims = VecSql.Dims
+    def xq(el: Int => String): Seq[String] =
+      (1 to dims).map { j =>
+        val blk = (j - 1) / LnBlock
+        val bump =
+          if (blk < LnClasses)
+            s"CASE WHEN vec_id % $LnClasses = $blk THEN $LnBump " +
+              "ELSE 0.0 END"
+          else "0.0"
+        f"CAST(floor((${el(j)} + $bump) * 1e6) AS BIGINT) AS x$j%02d"
+      }
+    val obsCol = s"CASE WHEN vec_id % $LnFlipMod = 0 THEN " +
+      s"CAST((vec_id % $LnClasses + 1) % $LnClasses AS INT) " +
+      s"ELSE CAST(vec_id % $LnClasses AS INT) END AS obs"
+    def sparkEl(j: Int) = s"CAST(element_at(embedding, $j) AS DOUBLE)"
+    val q2 = (1 to dims).map(j => f"x$j%02d * x$j%02d").mkString(" + ")
+    val rows = EtlOps.t(s, dir, "embeddings")
+      .selectExpr(("vec_id" +: obsCol +: xq(sparkEl)): _*)
+      .selectExpr(("vec_id" +: "obs" +: (q2 + " AS q2") +:
+        (1 to dims).map(j => f"x$j%02d")): _*)
+      .persist()
+    val centAggs = count(lit(1L)).as("n_j") +:
+      (1 to dims).map(j => sum(col(f"x$j%02d")).as(f"s$j%02d"))
+    val s2 = (1 to dims).map(j =>
+      f"CAST(s$j%02d AS DOUBLE) * CAST(s$j%02d AS DOUBLE)")
+      .mkString(" + ")
+    val cents = rows.groupBy(col("obs").as("cls"))
+      .agg(centAggs.head, centAggs.tail: _*)
+      .withColumn("s2", expr(s2))
+    val dot = (1 to dims).map(j =>
+      f"CAST(x$j%02d AS DOUBLE) * CAST(s$j%02d AS DOUBLE)")
+      .mkString(" + ")
+    val scored = rows.crossJoin(broadcast(cents))
+      .selectExpr("vec_id", "obs", "cls",
+        s"CAST(floor(($dot) / (sqrt(CAST(q2 AS DOUBLE)) * sqrt(s2)) " +
+          "* 1e9) AS BIGINT) AS cos_fp")
+      .persist()
+    val thr = scored.filter(col("obs") === col("cls"))
+      .groupBy(col("cls").as("tc"))
+      .agg(count(lit(1L)).as("tn"), sum(col("cos_fp")).as("tsum"))
+    val conf = scored.join(broadcast(thr), col("cls") === col("tc"))
+      .filter(expr("cos_fp * tn >= tsum"))
+    val pred = conf.withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("cos_fp").desc, col("cls"))))
+      .filter(col("rn") === 1)
+    val mat = pred.groupBy(col("obs").as("obs_label"),
+        col("cls").as("pred_label"))
+      .agg(count(lit(1L)).as("n_rows"))
+    mat
+      .withColumn("tot", sum(col("n_rows")).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("offd", sum(when(
+          col("obs_label") =!= col("pred_label"), col("n_rows"))
+          .otherwise(0L)).over(Window.partitionBy(lit(1))))
+      .selectExpr("obs_label", "pred_label", "n_rows",
+        "obs_label <> pred_label AS off_diagonal",
+        "round(CAST(offd AS DOUBLE) / tot, 6) AS est_noise_rate")
+      .orderBy("obs_label", "pred_label")
+  }
+
+  def labelNoiseOracle: String = {
+    val dims = VecSql.Dims
+    def duckEl(j: Int) = s"CAST(embedding[$j] AS DOUBLE)"
+    val xq = (1 to dims).map { j =>
+      val blk = (j - 1) / LnBlock
+      val bump =
+        if (blk < LnClasses)
+          s"CASE WHEN vec_id % $LnClasses = $blk THEN $LnBump " +
+            "ELSE 0.0 END"
+        else "0.0"
+      f"CAST(floor((${duckEl(j)} + $bump) * 1e6) AS BIGINT) AS x$j%02d"
+    }.mkString(",\n    ")
+    val obsCol = s"CASE WHEN vec_id % $LnFlipMod = 0 THEN " +
+      s"CAST((vec_id % $LnClasses + 1) % $LnClasses AS INT) " +
+      s"ELSE CAST(vec_id % $LnClasses AS INT) END AS obs"
+    val q2 = (1 to dims).map(j => f"x$j%02d * x$j%02d").mkString(" + ")
+    val xlist = (1 to dims).map(j => f"x$j%02d").mkString(", ")
+    val sums = (1 to dims).map(j =>
+      f"CAST(sum(x$j%02d) AS BIGINT) AS s$j%02d").mkString(", ")
+    val s2 = (1 to dims).map(j =>
+      f"CAST(s$j%02d AS DOUBLE) * CAST(s$j%02d AS DOUBLE)")
+      .mkString(" + ")
+    val dot = (1 to dims).map(j =>
+      f"CAST(x$j%02d AS DOUBLE) * CAST(s$j%02d AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH feat AS (SELECT vec_id, $obsCol,
+       |    $xq
+       |  FROM embeddings),
+       |rows2 AS (SELECT vec_id, obs, $q2 AS q2, $xlist FROM feat),
+       |cents AS (SELECT obs AS cls, count(*) AS n_j, $sums
+       |  FROM rows2 GROUP BY obs),
+       |c2 AS (SELECT *, $s2 AS s2 FROM cents),
+       |scored AS (SELECT r.vec_id, r.obs, c.cls,
+       |    CAST(floor(($dot) / (sqrt(CAST(q2 AS DOUBLE)) * sqrt(s2))
+       |      * 1e9) AS BIGINT) AS cos_fp
+       |  FROM rows2 r, c2 c),
+       |thr AS (SELECT cls AS tc, count(*) AS tn,
+       |    CAST(sum(cos_fp) AS BIGINT) AS tsum
+       |  FROM scored WHERE obs = cls GROUP BY cls),
+       |conf AS (SELECT scored.* FROM scored
+       |  JOIN thr ON thr.tc = scored.cls
+       |  WHERE cos_fp * tn >= tsum),
+       |pred AS (SELECT vec_id, obs, cls FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_fp DESC, cls) AS rn FROM conf)
+       |  WHERE rn = 1),
+       |mat AS (SELECT obs AS obs_label, cls AS pred_label,
+       |    count(*) AS n_rows
+       |  FROM pred GROUP BY 1, 2),
+       |w AS (SELECT *,
+       |    CAST(sum(n_rows) OVER () AS BIGINT) AS tot,
+       |    CAST(sum(CASE WHEN obs_label <> pred_label THEN n_rows
+       |      ELSE 0 END) OVER () AS BIGINT) AS offd
+       |  FROM mat)
+       |SELECT obs_label, pred_label, n_rows,
+       |  obs_label <> pred_label AS off_diagonal,
+       |  round(CAST(offd AS DOUBLE) / tot, 6) AS est_noise_rate
+       |FROM w ORDER BY obs_label, pred_label""".stripMargin
+  }
 }

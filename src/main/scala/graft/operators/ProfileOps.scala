@@ -2943,4 +2943,201 @@ object ProfileOps {
        |FROM pu, th GROUP BY th.q, x_thr, y_thr
        |ORDER BY level_pct""".stripMargin
   }
+
+  // --- q278: Wasserstein-1 (earth-mover) drift -----------------------------
+
+  /** W1 drift flag threshold, in `value` units: the planted
+    * [[MwPlantShift]] = 25.0 shift must fire; natural half-month
+    * variation on the un-planted streams stays well under it. */
+  val W1Flag = 5.0
+
+  /** q278 — Wasserstein-1 (earth-mover) drift per event type between
+    * the two half-month snapshots (the q245/q270 split and plant):
+    * completes the drift family with the MAGNITUDE-aware metric. q155's
+    * KS reports the largest CDF gap (bounded by 1, blind to how FAR
+    * mass moved), q245's MW reports rank evidence, q270's energy is a
+    * squared-distance statistic in test units — W1 = ∫|F₁−F₂| is the
+    * average distance mass must travel, in the VALUE's own units, so
+    * "W1 ≈ 25" reads directly as "the distribution shifted by ~25".
+    * For the planted click_drift stream (second half +25.0) W1 must
+    * report ≈ [[MwPlantShift]]; every natural stream stays near 0.
+    *
+    * Exactness: values collapse to ×100 integer cells (the family
+    * discipline); per-cell |F₁−F₂|·gap is |ca·m − cb·n|·gap — an exact
+    * BIGINT in the fused numerator — frozen to a ×1e9 fixed-point term
+    * after the single double division by n·m, so the cross-cell total
+    * is an order-free integer sum (the q195/q275 discipline).
+    *
+    * Scale (100 TB): one (type, value-cell) collapse with map-side
+    * combine; the cumulative window runs per type over the CELL grid
+    * (value-resolution-bounded, saturates under replication — the q155
+    * argument); no join, no pair, no sort beyond the grid window. */
+  def w1Drift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+    val base = ev.selectExpr("event_type AS et",
+      "CAST(round(value * 100, 0) AS BIGINT) AS v",
+      s"CASE WHEN extract(day FROM ts) <= $MwSplitDay THEN 1 ELSE 0 " +
+        "END AS h1")
+    val plant = ev.filter(col("event_type") === "click").selectExpr(
+      "'click_drift' AS et",
+      s"CAST(round((value + CASE WHEN extract(day FROM ts) <= " +
+        s"$MwSplitDay THEN 0.0 ELSE $MwPlantShift END) * 100, 0) " +
+        "AS BIGINT) AS v",
+      s"CASE WHEN extract(day FROM ts) <= $MwSplitDay THEN 1 ELSE 0 " +
+        "END AS h1")
+    val cells = base.unionAll(plant).groupBy("et", "v")
+      .agg(sum(col("h1")).as("a"), sum(lit(1L) - col("h1")).as("b"))
+    val w = Window.partitionBy("et").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("et")
+    val pre = cells
+      .withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+      .withColumn("gap",
+        coalesce(lead(col("v"), 1).over(
+          Window.partitionBy("et").orderBy("v")) - col("v"), lit(0L)))
+      .withColumn("n", sum(col("a")).over(wAll))
+      .withColumn("m", sum(col("b")).over(wAll))
+    pre
+      .withColumn("term_fp", expr(
+        "CAST(floor(CAST(abs(ca * m - cb * n) AS DOUBLE) * gap " +
+          "/ n / m * 1e9) AS BIGINT)"))
+      .groupBy("et").agg(max(col("n")).as("n1"), max(col("m")).as("n2"),
+        sum(col("term_fp")).as("w1_fp"))
+      .selectExpr("et AS event_type", "n1", "n2",
+        "round(CAST(w1_fp AS DOUBLE) / 1e9 / 100.0, 4) AS w1",
+        s"CAST(w1_fp AS DOUBLE) / 1e9 / 100.0 > $W1Flag AS drifted")
+      .orderBy("event_type")
+  }
+
+  def w1DriftOracle: String =
+    s"""WITH src AS (SELECT event_type AS et,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS v,
+       |    CASE WHEN extract(day FROM ts) <= $MwSplitDay THEN 1
+       |      ELSE 0 END AS h1
+       |  FROM events
+       |  UNION ALL
+       |  SELECT 'click_drift',
+       |    CAST(round((value + CASE WHEN extract(day FROM ts) <=
+       |      $MwSplitDay THEN 0.0 ELSE $MwPlantShift END) * 100, 0)
+       |      AS BIGINT),
+       |    CASE WHEN extract(day FROM ts) <= $MwSplitDay THEN 1
+       |      ELSE 0 END
+       |  FROM events WHERE event_type = 'click'),
+       |cells AS (SELECT et, v, CAST(sum(h1) AS BIGINT) AS a,
+       |    CAST(sum(1 - h1) AS BIGINT) AS b
+       |  FROM src GROUP BY et, v),
+       |pre AS (SELECT et, v, a, b,
+       |    CAST(sum(a) OVER (PARTITION BY et ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS ca,
+       |    CAST(sum(b) OVER (PARTITION BY et ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cb,
+       |    coalesce(lead(v, 1) OVER (PARTITION BY et ORDER BY v) - v,
+       |      0) AS gap,
+       |    CAST(sum(a) OVER (PARTITION BY et) AS BIGINT) AS n,
+       |    CAST(sum(b) OVER (PARTITION BY et) AS BIGINT) AS m
+       |  FROM cells),
+       |terms AS (SELECT et, n, m,
+       |    CAST(floor(CAST(abs(ca * m - cb * n) AS DOUBLE) * gap
+       |      / n / m * 1e9) AS BIGINT) AS term_fp
+       |  FROM pre)
+       |SELECT et AS event_type, max(n) AS n1, max(m) AS n2,
+       |  round(CAST(sum(term_fp) AS DOUBLE) / 1e9 / 100.0, 4) AS w1,
+       |  CAST(sum(term_fp) AS DOUBLE) / 1e9 / 100.0 > $W1Flag
+       |    AS drifted
+       |FROM terms GROUP BY et ORDER BY event_type""".stripMargin
+
+  // --- q280: Hill tail-index estimator -------------------------------------
+
+  /** Order statistics the Hill estimator averages over (top-K per
+    * source). */
+  val HillK = 25
+
+  /** Heavy-tail verdict threshold: tail index α < 2 ⇒ infinite
+    * variance ⇒ mean-based size accounting is unstable for the source. */
+  val HillHeavy = 2.0
+
+  /** q280 — Hill tail-index of the document-size distribution per
+    * source: α̂ = 1 / mean(ln x₍ᵢ₎ − ln x₍ₖ₎) over the top-[[HillK]]
+    * order statistics. q142's Zipf slope measures the VOCABULARY's
+    * power law; this measures the SIZE distribution's tail — the number
+    * that decides whether per-source size budgeting can use means
+    * (α > 2) or must switch to quantile-based accounting (α ≤ 2,
+    * infinite variance: a single document can dominate a shard, the
+    * straggler mode q100/q105 plan around). The planted 'pareto'
+    * source applies x → x² div 100 to src0's sizes, which doubles
+    * every log-spacing and therefore must report ~half src0's tail
+    * index (spec-pinned to 1%; the div-100 truncation keeps it from
+    * being exact; at the fixture's short
+    * synthetic sizes every source reads α < 2, so the discriminating
+    * output is the index itself, not the flag).
+    *
+    * Exactness: each of the K−1 log-spacings freezes to a ×1e6 BIGINT
+    * the moment it is computed (the q142 ln discipline), so the mean is
+    * an exact integer sum and α is one final double division.
+    *
+    * Scale (100 TB): the rank window partitions by source and the
+    * top-K filter prunes immediately after it (K rows per source
+    * survive); at 1000 executors this is one shuffle on source with
+    * the per-partition top-K pushed map-side (WindowGroupLimit). */
+  def hillTail(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents")
+    val base = d.selectExpr("source", "n_chars AS x", "doc_id")
+    // planted heavy tail: squared-and-rescaled doc sizes — a Pareto-ish
+    // transform (x → x² div 100) that thickens the upper tail decisively
+    val plant = d.filter(col("source") === "src0")
+      .selectExpr("'pareto_plant' AS source",
+        "(n_chars * n_chars) div 100 AS x", "doc_id")
+    val ranked = base.unionAll(plant)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("x").desc, col("doc_id"))))
+      .filter(col("rk") <= HillK)
+    val xk = ranked.filter(col("rk") === HillK)
+      .select(col("source"), col("x").as("xk"))
+    ranked.filter(col("rk") < HillK)
+      .join(xk, "source")
+      .withColumn("sp_fp", expr(
+        "CAST(floor((ln(CAST(x AS DOUBLE)) - ln(CAST(xk AS DOUBLE))) " +
+          "* 1000000.0) AS BIGINT)"))
+      .groupBy("source").agg(count(lit(1)).as("k_used"),
+        sum(col("sp_fp")).as("ss_fp"), max(col("xk")).as("x_k"))
+      .selectExpr("source", "k_used", "x_k",
+        "round(CAST(ss_fp AS DOUBLE) / 1e6 / k_used, 6) AS hill_h",
+        "round(CAST(k_used AS DOUBLE) * 1e6 / CAST(ss_fp AS DOUBLE)" +
+          ", 6) AS tail_index",
+        s"CAST(k_used AS DOUBLE) * 1e6 / CAST(ss_fp AS DOUBLE) " +
+          s"< $HillHeavy AS heavy_tail")
+      .orderBy("source")
+  }
+
+  def hillTailOracle: String =
+    s"""WITH base AS (SELECT source, n_chars AS x, doc_id
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 'pareto_plant',
+       |    CAST((n_chars * n_chars) // 100 AS BIGINT), doc_id
+       |  FROM documents WHERE source = 'src0'),
+       |ranked AS (SELECT source, x, row_number() OVER (
+       |    PARTITION BY source ORDER BY x DESC, doc_id) AS rk
+       |  FROM base),
+       |xk AS (SELECT source, x AS xk FROM ranked WHERE rk = $HillK),
+       |sp AS (SELECT r.source,
+       |    CAST(floor((ln(CAST(r.x AS DOUBLE))
+       |      - ln(CAST(xk.xk AS DOUBLE))) * 1000000.0) AS BIGINT)
+       |      AS sp_fp, xk.xk
+       |  FROM ranked r JOIN xk ON xk.source = r.source
+       |  WHERE r.rk < $HillK)
+       |SELECT source, count(*) AS k_used, max(xk) AS x_k,
+       |  round(CAST(sum(sp_fp) AS DOUBLE) / 1e6 / count(*), 6)
+       |    AS hill_h,
+       |  round(CAST(count(*) AS DOUBLE) * 1e6
+       |    / CAST(sum(sp_fp) AS DOUBLE), 6) AS tail_index,
+       |  CAST(count(*) AS DOUBLE) * 1e6 / CAST(sum(sp_fp) AS DOUBLE)
+       |    < $HillHeavy AS heavy_tail
+       |FROM sp GROUP BY source ORDER BY source""".stripMargin
 }

@@ -1002,4 +1002,248 @@ object SimilarityOps {
        |  round(max(norm), 6) AS max_norm
        |FROM n GROUP BY label ORDER BY label""".stripMargin
   }
+
+  // --- q279: embedding anisotropy audit ------------------------------------
+
+  /** Planted-cone stream size and label. */
+  val ConeN = 200
+  val ConeLabel = 99
+
+  /** Anisotropy verdict: mean pairwise cosine above this reads
+    * "embeddings collapse toward one direction" (Ethayarajh 2019's
+    * contextual-embedding finding; healthy spread sits near 0). */
+  val ConeTau = 0.5
+
+  /** q279 — embedding anisotropy audit per label: the mean pairwise
+    * cosine of unit-normalized vectors (Ethayarajh's anisotropy — a
+    * collapsed embedding space scores near 1, an isotropic one near 0)
+    * plus each label centroid's alignment with the GLOBAL mean
+    * direction. The two numbers separate the failure modes a similarity
+    * index cares about: "this label's vectors all point one way"
+    * (within-label collapse — LSH buckets overload, q35/q43 recall
+    * craters) vs "every label points the SAME way" (global cone — the
+    * whole index degenerates). A planted cone stream (near-parallel
+    * synthetic vectors, label [[ConeLabel]]) must read ≈ 1 on both.
+    *
+    * The quadratic pairwise metric never materializes a pair (the q270
+    * discipline): Σ_{i≠k} uᵢ·uₖ = ‖Σu‖² − Σ‖u‖², so the whole statistic
+    * collapses to 64 per-label coordinate sums. Coordinates freeze to
+    * ×1e6 BIGINTs per row (exact integer sums, order-free); the final
+    * cosines/ratios are fixed-order double chains over the ≤11-row
+    * aggregate.
+    *
+    * Scale (100 TB): one corpus scan into a 64-column map-combined
+    * aggregate (11 groups); everything after runs on an 11×64 frame. */
+  def embeddingAnisotropy(s: SparkSession, dir: String): DataFrame = {
+    def realEl(j: Int) = s"CAST(element_at(embedding, $j) AS DOUBLE)"
+    def coneEl(j: Int) =
+      s"(1.0 + 0.001 * CAST((vec_id * $j) % 7 AS DOUBLE))"
+    def uq(el: Int => String): Seq[String] = {
+      val norm = "sqrt(" + (1 to VecSql.Dims).map(j =>
+        s"${el(j)} * ${el(j)}").mkString(" + ") + ")"
+      (1 to VecSql.Dims).map(j =>
+        f"CAST(floor(${el(j)} / $norm * 1e6) AS BIGINT) AS u$j%02d")
+    }
+    val e = t(s, dir, "embeddings")
+    val real = e.selectExpr(("label" +: uq(realEl)): _*)
+    val cone = e.filter(col("vec_id") < ConeN)
+      .selectExpr((s"$ConeLabel AS label" +: uq(coneEl)): _*)
+    val rowq2 = (1 to VecSql.Dims).map(j => f"u$j%02d * u$j%02d")
+      .mkString(" + ")
+    val rows = real.unionAll(cone)
+      .selectExpr(("label" +: (rowq2 + " AS q2") +:
+        (1 to VecSql.Dims).map(j => f"u$j%02d")): _*)
+    val aggs = sum(expr("CAST(q2 AS DECIMAL(38,0))")).as("uu") +:
+      count(lit(1L)).as("n") +:
+      (1 to VecSql.Dims).map(j => sum(col(f"u$j%02d")).as(f"s$j%02d"))
+    val byLabel = rows.groupBy("label").agg(aggs.head, aggs.tail: _*)
+    // Σ_j sj² as DECIMAL (exact), plus the label-centroid double chain
+    val ssq = (1 to VecSql.Dims).map(j =>
+      f"CAST(s$j%02d AS DECIMAL(38,0)) * s$j%02d").mkString(" + ")
+    val wAll = Window.partitionBy(lit(1))
+    val withG = byLabel
+      .withColumn("ssq", expr(ssq))
+      .withColumns((1 to VecSql.Dims).map(j =>
+        f"g$j%02d" -> sum(col(f"s$j%02d")).over(wAll)).toMap)
+    val dotSG = (1 to VecSql.Dims).map(j =>
+      f"CAST(s$j%02d AS DOUBLE) * CAST(g$j%02d AS DOUBLE)")
+      .mkString(" + ")
+    val normG = "sqrt(" + (1 to VecSql.Dims).map(j =>
+      f"CAST(g$j%02d AS DOUBLE) * CAST(g$j%02d AS DOUBLE)")
+      .mkString(" + ") + ")"
+    withG.selectExpr("label", "n",
+        "round((CAST(ssq AS DOUBLE) - CAST(uu AS DOUBLE)) " +
+          "/ (CAST(n AS DOUBLE) * n - n) / 1e12, 4) AS anisotropy",
+        s"round(($dotSG) / (sqrt(CAST(ssq AS DOUBLE)) * $normG), 4) " +
+          "AS centroid_align",
+        "(CAST(ssq AS DOUBLE) - CAST(uu AS DOUBLE)) " +
+          s"/ (CAST(n AS DOUBLE) * n - n) / 1e12 > $ConeTau " +
+          "AS collapsed")
+      .orderBy("label")
+  }
+
+  def embeddingAnisotropyOracle: String = {
+    def realEl(j: Int) = s"CAST(embedding[$j] AS DOUBLE)"
+    def coneEl(j: Int) =
+      s"(1.0 + 0.001 * CAST((vec_id * $j) % 7 AS DOUBLE))"
+    def uq(el: Int => String): String = {
+      val norm = "sqrt(" + (1 to VecSql.Dims).map(j =>
+        s"${el(j)} * ${el(j)}").mkString(" + ") + ")"
+      (1 to VecSql.Dims).map(j =>
+        f"CAST(floor(${el(j)} / $norm * 1e6) AS BIGINT) AS u$j%02d")
+        .mkString(", ")
+    }
+    val rowq2 = (1 to VecSql.Dims).map(j => f"u$j%02d * u$j%02d")
+      .mkString(" + ")
+    val ulist = (1 to VecSql.Dims).map(j => f"u$j%02d").mkString(", ")
+    val sums = (1 to VecSql.Dims).map(j =>
+      f"CAST(sum(u$j%02d) AS BIGINT) AS s$j%02d").mkString(", ")
+    val ssq = (1 to VecSql.Dims).map(j =>
+      f"CAST(s$j%02d AS HUGEINT) * s$j%02d").mkString(" + ")
+    val gsums = (1 to VecSql.Dims).map(j =>
+      f"CAST(sum(s$j%02d) OVER () AS HUGEINT) AS g$j%02d")
+      .mkString(", ")
+    val dotSG = (1 to VecSql.Dims).map(j =>
+      f"CAST(s$j%02d AS DOUBLE) * CAST(g$j%02d AS DOUBLE)")
+      .mkString(" + ")
+    val normG = "sqrt(" + (1 to VecSql.Dims).map(j =>
+      f"CAST(g$j%02d AS DOUBLE) * CAST(g$j%02d AS DOUBLE)")
+      .mkString(" + ") + ")"
+    s"""WITH rows0 AS (
+       |  SELECT label, ${uq(realEl)} FROM embeddings
+       |  UNION ALL
+       |  SELECT $ConeLabel AS label, ${uq(coneEl)}
+       |  FROM embeddings WHERE vec_id < $ConeN),
+       |rows2 AS (SELECT label, $rowq2 AS q2, $ulist FROM rows0),
+       |ag AS (SELECT label, CAST(sum(q2) AS HUGEINT) AS uu,
+       |    count(*) AS n, $sums
+       |  FROM rows2 GROUP BY label),
+       |wg AS (SELECT *, $ssq AS ssq, $gsums FROM ag)
+       |SELECT label, n,
+       |  round((CAST(ssq AS DOUBLE) - CAST(uu AS DOUBLE))
+       |    / (CAST(n AS DOUBLE) * n - n) / 1e12, 4) AS anisotropy,
+       |  round(($dotSG) / (sqrt(CAST(ssq AS DOUBLE)) * $normG), 4)
+       |    AS centroid_align,
+       |  (CAST(ssq AS DOUBLE) - CAST(uu AS DOUBLE))
+       |    / (CAST(n AS DOUBLE) * n - n) / 1e12 > $ConeTau
+       |    AS collapsed
+       |FROM wg ORDER BY label""".stripMargin
+  }
+
+  // --- q281: cluster-quality audit (silhouette + Davies–Bouldin) ----------
+
+  /** q281 — cluster-quality audit over the q43 IVF partition: per-list
+    * centroid silhouette (s = (cos₁−cos₂)/(1−cos₂) from each point's
+    * best and second-best centroid cosines — the O(n·c) simplified
+    * silhouette, not the O(n²) pairwise one) and the Davies–Bouldin
+    * ratio (worst (σᵢ+σⱼ)/d(cᵢ,cⱼ) over rival lists). q193 audits the
+    * IVF index's SIZE balance; this audits its GEOMETRY — low
+    * silhouette / high DB on a list means its vectors straddle centroid
+    * boundaries, which is exactly where nprobe=1 recall (q113) dies.
+    * Together they say whether to retrain centroids before scaling the
+    * index out.
+    *
+    * Exactness: cosines evaluate through the same fixed-order chains as
+    * q43 (native dot_product ≡ the oracle's generated 64-term chain);
+    * per-point silhouette and own-distance freeze to ×1e9 BIGINTs, so
+    * list means are exact integer ratios; the DB max runs over exact
+    * double comparisons on the c² pair frame.
+    *
+    * Scale (100 TB): one corpus scan against broadcast centroids (the
+    * q43 shape), collapsed map-side to |c| lists; everything after is
+    * c²-frame algebra (c = [[IvfCentroids]], metadata-sized). */
+  def clusterQuality(s: SparkSession, dir: String): DataFrame = {
+    val v = withNorm(baseVectors(s, dir))
+    val cents = v.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
+        col("norm").as("cent_norm"))
+    val asg = v.crossJoin(broadcast(cents))
+      .selectExpr("vec_id", "cent_id",
+        "dot_product(emb, cent_emb) / (norm * cent_norm) AS cent_cos")
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cent_cos").desc, col("cent_id"))
+    val top = asg.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("vec_id").agg(
+        max(when(col("rn") === 1, col("cent_id"))).as("bucket"),
+        max(when(col("rn") === 1, col("cent_cos"))).as("cos1"),
+        max(when(col("rn") === 2, col("cent_cos"))).as("cos2"))
+    val pts = top.selectExpr("bucket",
+      "CAST(floor((1.0 - cos1) * 1e9) AS BIGINT) AS a_fp",
+      "CASE WHEN 1.0 - cos2 <= 0.0 THEN 0 ELSE " +
+        "CAST(floor((cos1 - cos2) / (1.0 - cos2) * 1e9) AS BIGINT) " +
+        "END AS s_fp")
+    val clus = pts.groupBy("bucket").agg(count(lit(1L)).as("n"),
+        sum(col("s_fp")).as("ss_fp"), sum(col("a_fp")).as("sa_fp"))
+      .withColumn("sigma", expr("CAST(sa_fp AS DOUBLE) / n / 1e9"))
+    val cd = cents.select(col("cent_id").as("ci"),
+        col("cent_emb").as("ea"), col("cent_norm").as("na"))
+      .crossJoin(cents.select(col("cent_id").as("cj"),
+        col("cent_emb").as("eb"), col("cent_norm").as("nb")))
+      .filter(col("ci") =!= col("cj"))
+      .selectExpr("ci", "cj",
+        "1.0 - dot_product(ea, eb) / (na * nb) AS d")
+    val si = clus.select(col("bucket").as("ci"),
+      col("sigma").as("sig_i"))
+    val sj = clus.select(col("bucket").as("cj"),
+      col("sigma").as("sig_j"))
+    val db = cd.join(broadcast(si), "ci").join(broadcast(sj), "cj")
+      .withColumn("r", expr("(sig_i + sig_j) / d"))
+      .groupBy("ci").agg(max(col("r")).as("db_i"))
+    clus.join(broadcast(db), clus("bucket") === db("ci"), "left")
+      .selectExpr("bucket", "n",
+        "round(CAST(ss_fp AS DOUBLE) / n / 1e9, 6) AS silhouette",
+        "round(sigma, 6) AS mean_own_dist",
+        "round(db_i, 6) AS davies_bouldin")
+      .orderBy("bucket")
+  }
+
+  def clusterQualityOracle: String =
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb,
+       |    sqrt(${VecSql.dot("emb", "emb", spark = false)}) AS norm
+       |  FROM v),
+       |cents AS (SELECT vec_id AS cent_id, emb AS cent_emb,
+       |    norm AS cent_norm
+       |  FROM n WHERE vec_id < $IvfCentroids),
+       |asg AS (SELECT vec_id, cent_id,
+       |    (${VecSql.dot("emb", "cent_emb", spark = false)})
+       |      / (norm * cent_norm) AS cent_cos
+       |  FROM n, cents),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cent_cos DESC, cent_id) AS rn FROM asg),
+       |top AS (SELECT vec_id,
+       |    max(CASE WHEN rn = 1 THEN cent_id END) AS bucket,
+       |    max(CASE WHEN rn = 1 THEN cent_cos END) AS cos1,
+       |    max(CASE WHEN rn = 2 THEN cent_cos END) AS cos2
+       |  FROM rk WHERE rn <= 2 GROUP BY vec_id),
+       |pts AS (SELECT bucket,
+       |    CAST(floor((1.0 - cos1) * 1e9) AS BIGINT) AS a_fp,
+       |    CASE WHEN 1.0 - cos2 <= 0.0 THEN 0 ELSE
+       |      CAST(floor((cos1 - cos2) / (1.0 - cos2) * 1e9) AS BIGINT)
+       |      END AS s_fp
+       |  FROM top),
+       |clus AS (SELECT bucket, count(*) AS n,
+       |    CAST(sum(s_fp) AS BIGINT) AS ss_fp,
+       |    CAST(sum(a_fp) AS BIGINT) AS sa_fp,
+       |    CAST(sum(a_fp) AS DOUBLE) / count(*) / 1e9 AS sigma
+       |  FROM pts GROUP BY bucket),
+       |cd AS (SELECT a.cent_id AS ci, b.cent_id AS cj,
+       |    1.0 - (${VecSql.dot("a.cent_emb", "b.cent_emb",
+                     spark = false)})
+       |      / (a.cent_norm * b.cent_norm) AS d
+       |  FROM cents a, cents b WHERE a.cent_id <> b.cent_id),
+       |db AS (SELECT cd.ci, max((si.sigma + sj.sigma) / cd.d) AS db_i
+       |  FROM cd JOIN clus si ON si.bucket = cd.ci
+       |  JOIN clus sj ON sj.bucket = cd.cj
+       |  GROUP BY cd.ci)
+       |SELECT c.bucket, c.n,
+       |  round(CAST(c.ss_fp AS DOUBLE) / c.n / 1e9, 6) AS silhouette,
+       |  round(c.sigma, 6) AS mean_own_dist,
+       |  round(db.db_i, 6) AS davies_bouldin
+       |FROM clus c LEFT JOIN db ON db.ci = c.bucket
+       |ORDER BY c.bucket""".stripMargin
 }

@@ -1327,4 +1327,183 @@ object TimeSeriesOps {
        |    (CAST(v_fp AS DOUBLE) / 1e9) > $LogRankCrit
        |    AS survival_differs
        |FROM ag""".stripMargin
+
+  // --- q282: Markov removal-effect attribution -----------------------------
+
+  /** Transient channel states (every event type except the conversion
+    * event), in the fixed order both engines iterate over. */
+  val MkChannels: Seq[String] = Seq("click", "error", "signup", "view")
+
+  /** Fixed-point scale and Jacobi iteration count of the absorption
+    * chain. 40 iterations ≥ geometric convergence far below the ×1e12
+    * resolution; the count is part of the operator's definition, so
+    * both engines run the identical chain. */
+  val MkFp = 1000000000000L
+  val MkIters = 40
+
+  /** q282 — Markov removal-effect attribution: q63 credits conversions
+    * by a last-touch window join; this is the model-based alternative —
+    * user-day event paths become a first-order Markov chain
+    * (channels → {conv, drop}), conversion probability is the chain's
+    * absorption probability from START, and each channel's credit is
+    * its REMOVAL EFFECT (how much absorption drops when paths through
+    * the channel are severed — Anderl et al.'s framework). Unlike
+    * last-touch, assist channels that never finish a path still earn
+    * credit.
+    *
+    * Exactness: transition probabilities freeze to ×[[MkFp]] integers
+    * (floor division by the row sum); the Jacobi iteration runs
+    * [[MkIters]] steps ENTIRELY in integers — products in
+    * BigInt/HUGEINT, one floor division per step — so the chain is
+    * bit-identical cross-engine (Spark iterates driver-side over the
+    * collected ≤30-cell count matrix, the q274 metadata boundary; the
+    * oracle uses a linear recursive CTE with the matrix PIVOTED to one
+    * row so the recursion never aggregates).
+    *
+    * Scale (100 TB): one (user, day) exchange orders the paths; the
+    * chain collapses to |states|² counts via map-side combine; the
+    * iteration is O(states²·iters) on metadata. */
+  def markovAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.t(s, dir, "events").selectExpr("user_id",
+      "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS day",
+      "ts", "event_id", "event_type")
+    val w = Window.partitionBy("user_id", "day")
+      .orderBy("ts", "event_id")
+    val sq = ev.withColumn("seq", row_number().over(w))
+    val fp = sq.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "day").agg(min(col("seq")).as("fpseq"))
+    val pth = sq.join(fp, Seq("user_id", "day"), "left")
+      .filter(col("fpseq").isNull || col("seq") <= col("fpseq"))
+      .withColumn("m", expr("CASE WHEN event_type = 'purchase' " +
+        "THEN 'conv' ELSE event_type END"))
+    val w2 = Window.partitionBy("user_id", "day").orderBy("seq")
+    val tr0 = pth
+      .withColumn("from_s",
+        coalesce(lag(col("m"), 1).over(w2), lit("start")))
+      .withColumn("mx", max(col("seq")).over(
+        Window.partitionBy("user_id", "day")))
+    val trans = tr0.select(col("from_s"), col("m").as("to_s"))
+      .unionAll(tr0.filter(col("fpseq").isNull &&
+          col("seq") === col("mx"))
+        .select(col("m").as("from_s"), lit("drop").as("to_s")))
+    val cnt = trans.groupBy("from_s", "to_s")
+      .agg(count(lit(1L)).as("n")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val rowSum: Map[String, Long] =
+      cnt.groupBy(_._1._1).map { case (f, m) => (f, m.values.sum) }
+    def pfp(f: String, t: String): BigInt =
+      cnt.get((f, t)) match {
+        case Some(n) => BigInt(n) * MkFp / BigInt(rowSum.getOrElse(f, 1L))
+        case None    => BigInt(0)
+      }
+    def absorb(removed: String): BigInt = {
+      var v: Map[String, BigInt] =
+        MkChannels.map(c => c -> BigInt(0)).toMap
+      for (_ <- 1 to MkIters) {
+        v = MkChannels.map { c =>
+          c -> (if (c == removed) BigInt(0)
+                else pfp(c, "conv") +
+                  MkChannels.map(c2 => pfp(c, c2) * v(c2)).sum / MkFp)
+        }.toMap
+      }
+      pfp("start", "conv") +
+        MkChannels.map(c => pfp("start", c) * v(c)).sum / MkFp
+    }
+    val vb = absorb("none")
+    val rows = ("none", vb.toLong, None: Option[Long]) +:
+      MkChannels.map { c =>
+        val vc = absorb(c)
+        (c, vc.toLong, Some((vb - vc).toLong))
+      }
+    val den = rows.flatMap(_._3).sum
+    import s.implicits._
+    rows.map { case (run, v, en) =>
+      (run, v, en.getOrElse(-1L), en.isDefined) }
+      .toDF("removed_channel", "v_fp", "en", "is_ch")
+      .selectExpr("removed_channel",
+        "round(CAST(v_fp AS DOUBLE) / 1e12, 6) AS conv_prob",
+        s"CASE WHEN is_ch THEN round(CAST(en AS DOUBLE) / $vb.0, 6) " +
+          "END AS removal_effect",
+        s"CASE WHEN is_ch THEN round(CAST(en AS DOUBLE) / $den.0, 6) " +
+          "END AS attribution_share")
+      .orderBy("removed_channel")
+  }
+
+  def markovAttributionOracle: String = {
+    val toStates = MkChannels :+ "conv"
+    val fromStates = "start" +: MkChannels
+    val pmCols = (for (f <- fromStates; t <- toStates) yield
+      s"CAST(max(CASE WHEN from_s = '$f' AND to_s = '$t' THEN p_fp " +
+        s"ELSE 0 END) AS BIGINT) AS p_${f}_$t").mkString(",\n  ")
+    def step(c: String) =
+      s"""CASE WHEN it.run = '$c' THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(pm.p_${c}_conv + (""".stripMargin +
+        MkChannels.map(c2 =>
+          s"CAST(pm.p_${c}_$c2 AS HUGEINT) * it.v_$c2")
+          .mkString(" + ") +
+        s") // $MkFp AS BIGINT) END AS v_$c"
+    val vStart = s"CAST(pm.p_start_conv + (" +
+      MkChannels.map(c => s"CAST(pm.p_start_$c AS HUGEINT) * it.v_$c")
+        .mkString(" + ") + s") // $MkFp AS BIGINT)"
+    s"""WITH RECURSIVE ev AS (SELECT user_id,
+       |    CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+       |      AS day, ts, event_id, event_type
+       |  FROM events),
+       |sq AS (SELECT *, row_number() OVER (PARTITION BY user_id, day
+       |    ORDER BY ts, event_id) AS seq FROM ev),
+       |fp AS (SELECT user_id, day, min(seq) AS fpseq FROM sq
+       |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+       |pth AS (SELECT sq.user_id, sq.day, sq.seq,
+       |    CASE WHEN sq.event_type = 'purchase' THEN 'conv'
+       |      ELSE sq.event_type END AS m, fp.fpseq
+       |  FROM sq LEFT JOIN fp ON fp.user_id = sq.user_id
+       |    AND fp.day = sq.day
+       |  WHERE fp.fpseq IS NULL OR sq.seq <= fp.fpseq),
+       |tr0 AS (SELECT user_id, day, seq, m, fpseq,
+       |    coalesce(lag(m) OVER (PARTITION BY user_id, day
+       |      ORDER BY seq), 'start') AS from_s,
+       |    max(seq) OVER (PARTITION BY user_id, day) AS mx
+       |  FROM pth),
+       |trans AS (SELECT from_s, m AS to_s FROM tr0
+       |  UNION ALL
+       |  SELECT m, 'drop' FROM tr0 WHERE fpseq IS NULL AND seq = mx),
+       |cnt AS (SELECT from_s, to_s, count(*) AS n FROM trans
+       |  GROUP BY 1, 2),
+       |rs AS (SELECT from_s, CAST(sum(n) AS BIGINT) AS tot FROM cnt
+       |  GROUP BY 1),
+       |p AS (SELECT c.from_s, c.to_s,
+       |    CAST(CAST(c.n AS HUGEINT) * $MkFp // rs.tot AS BIGINT)
+       |      AS p_fp
+       |  FROM cnt c JOIN rs ON rs.from_s = c.from_s),
+       |pm AS (SELECT
+       |  $pmCols
+       |  FROM p),
+       |it AS (SELECT r.run, 0 AS k,
+       |    ${MkChannels.map(c => s"CAST(0 AS BIGINT) AS v_$c")
+             .mkString(", ")}
+       |  FROM (VALUES ${("none" +: MkChannels)
+             .map(r => s"('$r')").mkString(", ")}) r(run)
+       |  UNION ALL
+       |  SELECT it.run, it.k + 1,
+       |    ${MkChannels.map(step).mkString(",\n    ")}
+       |  FROM it, pm WHERE it.k < $MkIters),
+       |fin AS (SELECT it.run, $vStart AS v_fp
+       |  FROM it, pm WHERE it.k = $MkIters),
+       |b AS (SELECT v_fp AS vb FROM fin WHERE run = 'none'),
+       |eff AS (SELECT f.run, f.v_fp,
+       |    CASE WHEN f.run = 'none' THEN NULL
+       |      ELSE b.vb - f.v_fp END AS en
+       |  FROM fin f, b),
+       |t2 AS (SELECT CAST(sum(en) AS BIGINT) AS den FROM eff
+       |  WHERE run <> 'none')
+       |SELECT eff.run AS removed_channel,
+       |  round(CAST(eff.v_fp AS DOUBLE) / 1e12, 6) AS conv_prob,
+       |  CASE WHEN eff.run = 'none' THEN NULL
+       |    ELSE round(CAST(eff.en AS DOUBLE) / CAST(b.vb AS DOUBLE), 6)
+       |    END AS removal_effect,
+       |  CASE WHEN eff.run = 'none' THEN NULL
+       |    ELSE round(CAST(eff.en AS DOUBLE) / CAST(t2.den AS DOUBLE),
+       |      6) END AS attribution_share
+       |FROM eff, b, t2 ORDER BY removed_channel""".stripMargin
+  }
 }

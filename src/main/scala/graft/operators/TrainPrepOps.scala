@@ -1512,4 +1512,78 @@ object TrainPrepOps {
        |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS correction_wins
        |FROM agg ORDER BY metric""".stripMargin
   }
+
+  // --- q283: packing cross-attention contamination audit -------------------
+
+  /** q283 — cross-attention contamination of the q101 greedy bins: in a
+    * packed training sequence WITHOUT document-boundary masking, every
+    * token attends to every earlier token in the bin — including tokens
+    * of OTHER documents. Per bin this audit counts total ordered-pair
+    * slots T·(T−1)/2, the same-document pairs Σnᵢ(nᵢ−1)/2, and the
+    * difference = cross-document pairs a naive causal mask would leak;
+    * the leak share is the number that decides whether the run needs
+    * per-document attention masks (the llm.c/HF `attention_mask`
+    * decision) or can train on raw concatenation.
+    *
+    * Each document's length is recovered from the packing itself
+    * (fill − lag(fill) within the bin — the running fill resets to
+    * n_chars at each bin start), so the audit needs NO join back to the
+    * corpus. All counts are exact BIGINTs (T ≤ budget, so T² fits);
+    * the leak share is one final division.
+    *
+    * Scale (100 TB): inherits q101's single (source) exchange; the
+    * audit adds one in-partition window and a (source, bin) collapse —
+    * no new shuffle of corpus-sized data. */
+  def packAttentionAudit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val packed = packDocs(t(s, dir, "documents"))
+    val w = Window.partitionBy("source", "bin").orderBy("doc_id")
+    packed
+      .withColumn("len",
+        col("fill") - coalesce(lag(col("fill"), 1).over(w), lit(0L)))
+      .groupBy("source", "bin")
+      .agg(count(lit(1L)).as("n_docs"), sum(col("len")).as("seq_len"),
+        sum(expr("len * (len - 1)")).as("same2"))
+      .selectExpr("source", "bin", "n_docs", "seq_len",
+        "(seq_len * (seq_len - 1)) div 2 AS total_pairs",
+        "same2 div 2 AS same_doc_pairs",
+        "(seq_len * (seq_len - 1) - same2) div 2 AS cross_doc_pairs",
+        "CASE WHEN seq_len > 1 THEN round(" +
+          "CAST(seq_len * (seq_len - 1) - same2 AS DOUBLE) / " +
+          "(CAST(seq_len AS DOUBLE) * (seq_len - 1)), 6) " +
+          "ELSE 0.0 END AS leak_share")
+      .orderBy("source", "bin")
+  }
+
+  def packAttentionAuditOracle: String =
+    s"""WITH RECURSIVE ord AS (
+       |  SELECT source, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY doc_id)
+       |      AS rn
+       |  FROM documents),
+       |packed AS (
+       |  SELECT source, doc_id, n_chars, rn,
+       |    CAST(0 AS BIGINT) AS bin, n_chars AS fill
+       |  FROM ord WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.source, o.doc_id, o.n_chars, o.rn,
+       |    CASE WHEN p.fill + o.n_chars <= $PackBudget THEN p.bin
+       |      ELSE p.bin + 1 END,
+       |    CASE WHEN p.fill + o.n_chars <= $PackBudget
+       |      THEN p.fill + o.n_chars ELSE o.n_chars END
+       |  FROM packed p JOIN ord o ON o.source = p.source
+       |    AND o.rn = p.rn + 1),
+       |b AS (SELECT source, bin, count(*) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS seq_len,
+       |    CAST(sum(n_chars * (n_chars - 1)) AS BIGINT) AS same2
+       |  FROM packed GROUP BY source, bin)
+       |SELECT source, bin, n_docs, seq_len,
+       |  (seq_len * (seq_len - 1)) // 2 AS total_pairs,
+       |  same2 // 2 AS same_doc_pairs,
+       |  (seq_len * (seq_len - 1) - same2) // 2 AS cross_doc_pairs,
+       |  CASE WHEN seq_len > 1 THEN round(
+       |    CAST(seq_len * (seq_len - 1) - same2 AS DOUBLE) /
+       |    (CAST(seq_len AS DOUBLE) * (seq_len - 1)), 6)
+       |    ELSE 0.0 END AS leak_share
+       |FROM b ORDER BY source, bin""".stripMargin
 }

@@ -2659,4 +2659,190 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.last._1 >= users && rows.last._2 == rows.last._3,
       s"full-size cache missed reuses: ${rows.last}")
   }
+
+  test("q278 w1 drift: the planted +25 shift reads as W1 ~ 25, far above every natural stream") {
+    val rows = ProfileOps.w1Drift(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toMap
+    val p = rows("click_drift")
+    // W1 is magnitude-calibrated: the +25.0 plant must read ~25 in
+    // value units (the property KS/MW/energy don't have)
+    assert(math.abs(p._3 - ProfileOps.MwPlantShift) < 4,
+      s"planted W1 off: ${p._3}")
+    assert(p._4, "plant not flagged")
+    // every natural stream sits well below the plant (at sf0.001 the
+    // n~100 noise floor is a few units; the flag itself is calibrated
+    // for sf0.01+ snapshot sizes where CORRECTNESS runs)
+    rows.filterKeys(_ != "click_drift").values
+      .foreach(v => assert(v._3 < p._3 / 2, s"natural W1 high: $v"))
+    // W1 is nonnegative and counts match the split
+    rows.values.foreach(v => assert(v._3 >= 0 && v._1 > 0 && v._2 > 0))
+  }
+
+  test("q279 anisotropy: the planted cone collapses; real labels stay isotropic") {
+    val rows = SimilarityOps.embeddingAnisotropy(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toMap
+    val cone = rows(SimilarityOps.ConeLabel)
+    assert(cone._1 == SimilarityOps.ConeN)
+    assert(cone._2 > 0.99 && cone._4,
+      s"cone not collapsed: $cone")
+    // the cone's centroid dominates the global mean direction
+    assert(cone._3 > 0.9, s"cone centroid misaligned: $cone")
+    rows.filterKeys(_ != SimilarityOps.ConeLabel).values.foreach { v =>
+      assert(math.abs(v._2) < 0.2 && !v._4,
+        s"real label reads collapsed: $v")
+      assert(v._3 >= -1.0 - 1e-9 && v._3 <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q280 hill tail: the x -> x^2 plant halves the tail index (2x log-spacings)") {
+    val rows = ProfileOps.hillTail(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    val (src0, plant) = (rows("src0"), rows("pareto_plant"))
+    // x -> x^2 doubles every ln-spacing, so alpha halves (up to the
+    // div-100 truncation)
+    val ratio = src0._4 / plant._4
+    assert(math.abs(ratio - 2.0) < 0.05, s"alpha ratio off: $ratio")
+    rows.values.foreach { v =>
+      assert(v._1 == ProfileOps.HillK - 1, s"k_used wrong: $v")
+      assert(v._3 > 0 && v._4 > 0, s"nonpositive estimate: $v")
+      assert(v._5 == (v._4 < ProfileOps.HillHeavy))
+    }
+  }
+
+  test("q281 cluster quality: silhouettes bounded, lists partition the corpus, DB consistent") {
+    val rows = SimilarityOps.clusterQuality(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_._2).sum == nVecs, "lists don't partition corpus")
+    rows.foreach { r =>
+      assert(r._3 >= -1.0 - 1e-9 && r._3 <= 1.0 + 1e-9,
+        s"silhouette out of range: $r")
+      assert(r._4 >= 0 && r._4 <= 2.0 + 1e-9,
+        s"cosine distance out of range: $r")
+      assert(r._5 > 0, s"DB ratio nonpositive: $r")
+    }
+    // every centroid's own vector assigns to itself (cos = 1), so all
+    // 16 lists are nonempty
+    assert(rows.length == SimilarityOps.IvfCentroids)
+  }
+
+  test("q282 markov attribution: removal always hurts, shares normalize, assists earn credit") {
+    val rows = TimeSeriesOps.markovAttribution(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    val base = rows("none")._1
+    assert(base > 0 && base < 1)
+    val chans = TimeSeriesOps.MkChannels.map(rows)
+    // removing any channel reduces absorption (monotonicity of the
+    // removal effect)
+    chans.foreach(c => assert(c._1 <= base + 1e-9, s"removal helped: $c"))
+    chans.foreach(c => assert(c._2 >= 0 && c._2 < 1))
+    // shares are a probability vector over channels
+    val shareSum = chans.map(_._3).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3, s"shares sum: $shareSum")
+    // every channel that appears in paths earns SOME credit — the
+    // model-based property last-touch lacks
+    chans.foreach(c => assert(c._3 > 0, s"assist got zero credit: $c"))
+  }
+
+  test("q283 pack attention: pair accounting is exact and leak share bounded") {
+    val rows = TrainPrepOps.packAttentionAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._5 == r._6 + r._7, s"pairs don't partition: $r")
+      assert(r._8 >= 0.0 && r._8 <= 1.0, s"leak share out of range: $r")
+      // a single-doc bin leaks nothing
+      if (r._3 == 1) assert(r._7 == 0 && r._8 == 0.0, s"1-doc bin leaks: $r")
+    }
+    // multi-doc bins DO leak — the reason masking exists
+    assert(rows.filter(_._3 > 1).forall(_._7 > 0))
+    // bins respect the budget unless a single doc overflows alone
+    rows.filter(_._3 > 1).foreach(r =>
+      assert(r._4 <= TrainPrepOps.PackBudget, s"overfull bin: $r"))
+  }
+
+  test("q284 delta ratio: planted click boost rejects; error A/A does not") {
+    val rows = AnalyticsOps.deltaRatio(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getBoolean(7))).toMap
+    val click = rows("click")
+    val err = rows("error")
+    assert(click._7 && click._6 > 2.0, s"plant missed: $click")
+    assert(!err._7, s"A/A rejected: $err")
+    assert(math.abs(err._6) < click._6)
+    rows.values.foreach(v => assert(v._5 > 0, s"se nonpositive: $v"))
+    // the plant inflates B's ratio, never A's
+    assert(click._4 > click._3)
+  }
+
+  test("q285 label noise: planted flips land in exactly the next-class cells") {
+    val rows = CurationOps.labelNoise(spark, dir).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2),
+        r.getBoolean(3), r.getDouble(4)))
+    val offd = rows.filter(_._3)
+    val diag = rows.filter(!_._3)
+    assert(diag.length == CurationOps.LnClasses)
+    // every off-diagonal cell is an (obs = true+1 -> pred = true) flip
+    offd.foreach { case ((obs, pred), _, _, _) =>
+      assert((pred + 1) % CurationOps.LnClasses == obs,
+        s"unexpected off-diag cell: ($obs, $pred)")
+    }
+    // estimated noise rate ~ 1/17
+    val est = rows.head._4
+    assert(math.abs(est - 1.0 / CurationOps.LnFlipMod) < 0.02,
+      s"noise estimate off: $est")
+    // flips are recovered: off-diagonal mass > 0 in every class
+    assert(offd.length == CurationOps.LnClasses)
+  }
+
+  test("q286 propensity overlap: positivity flags exactly the empty-arm strata") {
+    val rows = AnalyticsOps.propensityOverlap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6),
+        r.getDouble(7), r.getDouble(8), r.getDouble(9)))
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r._7 == (r._3 > 0 && r._3 < r._2), s"positivity flag wrong: $r")
+      assert(r._4 >= 0.0 && r._4 <= 1.0)
+    }
+    val overlap = rows.head._8
+    assert(overlap > 0.0 && overlap <= 1.0 + 1e-9, s"overlap: $overlap")
+    // ESS never exceeds the total unit count (weighting only loses
+    // information)
+    val total = rows.map(_._2).sum
+    assert(rows.head._9 <= total + 1e-6 && rows.head._10 <= total + 1e-6)
+    // shares are probability vectors over strata (up to excluded-zero
+    // rounding)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 0.01)
+    assert(math.abs(rows.map(_._6).sum - 1.0) < 0.01)
+  }
+
+  test("q287 msprt: the planted shift stream dominates; A/A streams never fire") {
+    val rows = AnalyticsOps.msprtMonitor(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getBoolean(5))).toMap
+    val plant = rows("purchase_boost")
+    // the plant's evidence dwarfs every A/A stream (at sf0.001 it may
+    // sit under the fire line; the sf0.01 oracle hash pins fire_day)
+    rows.filterKeys(_ != "purchase_boost").values.foreach { v =>
+      assert(!v._5, s"A/A stream fired: $v")
+      assert(v._2 < plant._2, s"A/A lambda above plant: $v")
+    }
+    // always-valid p is the smallest for the plant
+    rows.filterKeys(_ != "purchase_boost").values
+      .foreach(v => assert(v._3 >= plant._3))
+    // if anything fired, it fired AFTER the shift day
+    rows.values.filter(_._5).foreach(v =>
+      assert(v._4 >= AnalyticsOps.MsprtShiftDay, s"fired pre-shift: $v"))
+  }
 }

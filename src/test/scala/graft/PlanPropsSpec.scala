@@ -1382,4 +1382,83 @@ class PlanPropsSpec extends AnyFunSuite {
       || p.contains("BroadcastHashJoin"),
       s"tile pairing is not an equi-join:\n${p.take(1800)}")
   }
+
+  test("q278 w1: pure cell-grid windows — no join anywhere in the plan") {
+    val p = plan(ProfileOps.w1Drift(spark, dir))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"W1 grew a join:\n${p.take(1800)}")
+    assert(p.contains("Window"),
+      s"W1 lost its cumulative window:\n${p.take(1800)}")
+  }
+
+  test("q279 anisotropy: one 64-column map-combined aggregate, no pair join") {
+    val p = plan(SimilarityOps.embeddingAnisotropy(spark, dir))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"anisotropy materialized a pair:\n${p.take(1800)}")
+    assert(p.contains("HashAggregate"),
+      s"anisotropy lost its sum collapse:\n${p.take(1800)}")
+  }
+
+  test("q280 hill: per-source top-K is rank-limited map-side; xk joins broadcast") {
+    val p = plan(ProfileOps.hillTail(spark, dir))
+    assert(p.contains("WindowGroupLimit"),
+      s"top-K not pushed map-side:\n${p.take(1800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"xk side not broadcast:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q281 cluster quality: corpus meets centroids via broadcast only") {
+    val p = plan(SimilarityOps.clusterQuality(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"quality audit went cartesian:\n${p.take(1800)}")
+    assert(p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"centroids not broadcast:\n${p.take(1800)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"a data-sized shuffle join appeared:\n${p.take(1800)}")
+  }
+
+  test("q282 markov attribution: the returned frame is driver-built — no corpus in its plan") {
+    val p = plan(TimeSeriesOps.markovAttribution(spark, dir))
+    assert(!p.contains("Scan parquet"),
+      s"attribution re-derives from the corpus:\n${p.take(1800)}")
+  }
+
+  test("q283 pack attention: inherits q101's single source exchange — no new corpus shuffle") {
+    val p = plan(TrainPrepOps.packAttentionAudit(spark, dir))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"audit joined back to the corpus:\n${p.take(1800)}")
+    // exactly the packing exchange + the (source,bin) agg + final sort
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(p).length
+    assert(exchanges <= 2, s"extra shuffles appeared ($exchanges):\n${p.take(1800)}")
+  }
+
+  test("q284 delta ratio: one user collapse, moments map-combined, no join") {
+    val p = plan(AnalyticsOps.deltaRatio(spark, dir))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"ratio metrics grew a join:\n${p.take(1800)}")
+    assert(p.contains("HashAggregate"),
+      s"moment collapse missing:\n${p.take(1800)}")
+  }
+
+  test("q285 label noise: corpus meets centroids and thresholds via broadcast only") {
+    val p = plan(CurationOps.labelNoise(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"label noise went cartesian:\n${p.take(1800)}")
+    assert(p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"centroid/threshold frames not broadcast:\n${p.take(1800)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"a data-sized shuffle join appeared:\n${p.take(1800)}")
+  }
+
+  test("q287 msprt: user-day collapse then calendar-cell windows, no join") {
+    val p = plan(AnalyticsOps.msprtMonitor(spark, dir))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"monitor grew a join:\n${p.take(1800)}")
+    assert(p.contains("Window"),
+      s"cumulative window missing:\n${p.take(1800)}")
+  }
 }
