@@ -305,6 +305,11 @@ object SparkEntry {
     "q285_label_noise"       -> (CurationOps.labelNoise _),
     "q286_propensity_overlap" -> (AnalyticsOps.propensityOverlap _),
     "q287_msprt_monitor"     -> (AnalyticsOps.msprtMonitor _),
+    "q288_grounding_audit"   -> (MlPrepOps.groundingAudit _),
+    "q289_dr_ope"            -> (MixtureOps.drOpe _),
+    "q290_kcenter_coreset"   -> (SimilarityOps.kcenterCoreset _),
+    "q291_pref_length_bias"  -> (TrainPrepOps.prefLengthBias _),
+    "q292_obf_monitor"       -> (AnalyticsOps.obfMonitor _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -874,6 +879,11 @@ object SparkEntry {
     "q285_label_noise" -> CurationOps.labelNoiseOracle,
     "q286_propensity_overlap" -> AnalyticsOps.propensityOverlapOracle,
     "q287_msprt_monitor" -> AnalyticsOps.msprtMonitorOracle,
+    "q288_grounding_audit" -> MlPrepOps.groundingAuditOracle,
+    "q289_dr_ope" -> MixtureOps.drOpeOracle,
+    "q290_kcenter_coreset" -> SimilarityOps.kcenterCoresetOracle,
+    "q291_pref_length_bias" -> TrainPrepOps.prefLengthBiasOracle,
+    "q292_obf_monitor" -> AnalyticsOps.obfMonitorOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

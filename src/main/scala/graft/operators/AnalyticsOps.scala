@@ -2223,7 +2223,12 @@ object AnalyticsOps {
     * Scale (100 TB): one (stream, user, day) collapse with map-side
     * combine, then calendar-cell windows — the monitor's cost is the
     * dedup of user-days, which is the metric's own definition. */
-  def msprtMonitor(s: SparkSession, dir: String): DataFrame = {
+  /** Shared daily-cumulative conversion frame (et, d, na, nb, ca, cb)
+    * behind q287's mSPRT and q292's group-sequential looks: per-stream
+    * user-day units with the planted purchase_boost shift, collapsed to
+    * calendar cells and cumulated per stream. */
+  private[operators] def msprtCum(s: SparkSession,
+      dir: String): DataFrame = {
     val ev = EtlOps.t(s, dir, "events").selectExpr("event_type AS et",
       "user_id", "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS d",
       "value")
@@ -2245,11 +2250,15 @@ object AnalyticsOps {
       sum(when(col("arm") === 1, col("cv")).otherwise(0)).as("cb_d"))
     val wc = Window.partitionBy("et").orderBy("d")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = daily
+    daily
       .withColumn("na", sum(col("na_d")).over(wc))
       .withColumn("nb", sum(col("nb_d")).over(wc))
       .withColumn("ca", sum(col("ca_d")).over(wc))
       .withColumn("cb", sum(col("cb_d")).over(wc))
+  }
+
+  def msprtMonitor(s: SparkSession, dir: String): DataFrame = {
+    val cum = msprtCum(s, dir)
     val lam = "CASE WHEN na = 0 OR nb = 0 OR ca + cb = 0 " +
       "OR ca + cb = na + nb THEN 1.0 ELSE " +
       "sqrt((CAST(ca + cb AS DOUBLE) / (na + nb) * " +
@@ -2281,25 +2290,10 @@ object AnalyticsOps {
       .orderBy("stream")
   }
 
-  def msprtMonitorOracle: String = {
-    val lam = "CASE WHEN na = 0 OR nb = 0 OR ca + cb = 0 " +
-      "OR ca + cb = na + nb THEN 1.0 ELSE " +
-      "sqrt((CAST(ca + cb AS DOUBLE) / (na + nb) * " +
-      "(1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
-      "(1.0 / na + 1.0 / nb)) / " +
-      "(CAST(ca + cb AS DOUBLE) / (na + nb) * " +
-      "(1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
-      s"(1.0 / na + 1.0 / nb) + $MsprtTau2)) * " +
-      s"exp($MsprtTau2 * (CAST(cb AS DOUBLE) / nb - " +
-      "CAST(ca AS DOUBLE) / na) * (CAST(cb AS DOUBLE) / nb - " +
-      "CAST(ca AS DOUBLE) / na) / (2.0 * " +
-      "(CAST(ca + cb AS DOUBLE) / (na + nb) * " +
-      "(1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
-      "(1.0 / na + 1.0 / nb)) * " +
-      "(CAST(ca + cb AS DOUBLE) / (na + nb) * " +
-      "(1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
-      s"(1.0 / na + 1.0 / nb) + $MsprtTau2))) END"
-    s"""WITH ev AS (SELECT event_type AS et, user_id,
+  /** Shared oracle CTE chain producing the same (et, d, na, nb, ca,
+    * cb) cumulative frame as [[msprtCum]]. */
+  private[operators] def MsprtCumSql: String =
+    s"""ev AS (SELECT event_type AS et, user_id,
        |    CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
        |      AS d, value
        |  FROM events),
@@ -2338,7 +2332,27 @@ object AnalyticsOps {
        |    CAST(sum(cb_d) OVER (PARTITION BY et ORDER BY d
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |      AS BIGINT) AS cb
-       |  FROM daily),
+       |  FROM daily)""".stripMargin
+
+  def msprtMonitorOracle: String = {
+    val lam = "CASE WHEN na = 0 OR nb = 0 OR ca + cb = 0 " +
+      "OR ca + cb = na + nb THEN 1.0 ELSE " +
+      "sqrt((CAST(ca + cb AS DOUBLE) / (na + nb) * " +
+      "(1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
+      "(1.0 / na + 1.0 / nb)) / " +
+      "(CAST(ca + cb AS DOUBLE) / (na + nb) * " +
+      "(1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
+      s"(1.0 / na + 1.0 / nb) + $MsprtTau2)) * " +
+      s"exp($MsprtTau2 * (CAST(cb AS DOUBLE) / nb - " +
+      "CAST(ca AS DOUBLE) / na) * (CAST(cb AS DOUBLE) / nb - " +
+      "CAST(ca AS DOUBLE) / na) / (2.0 * " +
+      "(CAST(ca + cb AS DOUBLE) / (na + nb) * " +
+      "(1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
+      "(1.0 / na + 1.0 / nb)) * " +
+      "(CAST(ca + cb AS DOUBLE) / (na + nb) * " +
+      "(1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
+      s"(1.0 / na + 1.0 / nb) + $MsprtTau2))) END"
+    s"""WITH $MsprtCumSql,
        |lm AS (SELECT et, d, $lam AS lam FROM cum)
        |SELECT et AS stream, count(*) AS n_days,
        |  round(max(lam), 4) AS lambda_max,
@@ -2348,5 +2362,79 @@ object AnalyticsOps {
        |  min(CASE WHEN lam > $MsprtFire THEN d END) IS NOT NULL
        |    AS fired
        |FROM lm GROUP BY et ORDER BY stream""".stripMargin
+  }
+
+  // --- q292: O'Brien–Fleming group-sequential monitor -----------------------
+
+  /** Five equally-spaced interim looks (end of each 6-day block) and
+    * the O'Brien–Fleming two-sided α=0.05 group-sequential z
+    * boundaries for 5 looks (Jennison & Turnbull, Table 2.3 — public
+    * literals, the q252 build-time-constant discipline). */
+  val ObfLookDays: Seq[Long] = Seq(5L, 11L, 17L, 23L, 29L)
+  val ObfBounds: Seq[Double] =
+    Seq(4.8769, 3.3569, 2.6803, 2.2898, 2.0310)
+
+  /** q292 — O'Brien–Fleming group-sequential monitor: the OTHER
+    * standard answer to peeking (q287's mSPRT is always-valid at every
+    * instant; OBF pre-registers K looks and spends almost no α early —
+    * boundary 4.88 at look 1 — so the final look keeps near-nominal
+    * power). Same fixture, same cumulative cells: per stream the
+    * monitor evaluates z at each look day against the boundary; the
+    * planted purchase_boost stream must cross at an interim look while
+    * every A/A stream survives all five. Running both monitors on one
+    * fixture is the comparison experimentation platforms publish.
+    *
+    * Exactness: z is one fixed-order double expression over exact
+    * cumulative integers; boundaries are compile-time literals; the
+    * crossing flag and first-cross window are exact comparisons.
+    *
+    * Scale (100 TB): shares q287's (stream, user, day) collapse; the
+    * looks filter keeps 5 calendar cells per stream. */
+  def obfMonitor(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val looks = ObfLookDays.zip(ObfBounds).zipWithIndex
+      .map { case ((d, b), i) => (i + 1L, d, b) }
+      .toDF("look", "d", "bound")
+    val z = "CASE WHEN na = 0 OR nb = 0 OR ca + cb = 0 " +
+      "OR ca + cb = na + nb THEN 0.0 ELSE " +
+      "(CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na) / " +
+      "sqrt(CAST(ca + cb AS DOUBLE) / (na + nb) * " +
+      "(1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
+      "(1.0 / na + 1.0 / nb)) END"
+    val atLooks = msprtCum(s, dir)
+      .join(broadcast(looks), Seq("d"))
+      .withColumn("z", expr(z))
+      .withColumn("crossed", expr("abs(z) > bound"))
+    atLooks
+      .withColumn("first_cross", min(when(col("crossed"),
+        col("look"))).over(Window.partitionBy("et")))
+      .selectExpr("et AS stream", "look", "d AS day",
+        "na + nb AS n_units", "round(z, 4) AS z", "bound",
+        "crossed", "first_cross")
+      .orderBy("stream", "look")
+  }
+
+  def obfMonitorOracle: String = {
+    val z = "CASE WHEN na = 0 OR nb = 0 OR ca + cb = 0 " +
+      "OR ca + cb = na + nb THEN 0.0 ELSE " +
+      "(CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na) / " +
+      "sqrt(CAST(ca + cb AS DOUBLE) / (na + nb) * " +
+      "(1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
+      "(1.0 / na + 1.0 / nb)) END"
+    val lookRows = ObfLookDays.zip(ObfBounds).zipWithIndex
+      .map { case ((d, b), i) => s"(${i + 1}, $d, $b)" }
+      .mkString(", ")
+    s"""WITH $MsprtCumSql,
+       |lk AS (SELECT * FROM (VALUES $lookRows) l("look", d, bound)),
+       |at_looks AS (SELECT cum.et, lk."look", cum.d, cum.na, cum.nb,
+       |    cum.ca, cum.cb, lk.bound, $z AS z
+       |  FROM cum JOIN lk ON lk.d = cum.d),
+       |fl AS (SELECT *, abs(z) > bound AS crossed FROM at_looks)
+       |SELECT et AS stream, CAST("look" AS BIGINT) AS "look",
+       |  d AS day, na + nb AS n_units, round(z, 4) AS z, bound,
+       |  crossed,
+       |  CAST(min(CASE WHEN crossed THEN "look" END)
+       |    OVER (PARTITION BY et) AS BIGINT) AS first_cross
+       |FROM fl ORDER BY stream, "look"""".stripMargin
   }
 }

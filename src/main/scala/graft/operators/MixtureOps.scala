@@ -1080,4 +1080,118 @@ object MixtureOps {
        |  round(board_mean / 100.0, 4) AS board_mean
        |FROM ch JOIN cells ON cells.arm = ch.arm AND cells.d = ch.d
        |ORDER BY day""".stripMargin
+
+  // --- q289: doubly-robust off-policy evaluation ---------------------------
+
+  /** Known logging-policy inverse propensity (the stream logs all
+    * [[DrArms]] arms; the DESIGN propensity 1/5 is what IPS/DR divide
+    * by — with the EMPIRICAL propensity both collapse to the replay
+    * mean and the comparison is vacuous). */
+  val DrArms = 5
+
+  /** q289 — doubly-robust off-policy evaluation: completes the OPE
+    * triad (q234 importance-weighted eval, q266 replay) with the
+    * estimator production systems actually ship (Dudík et al.): per
+    * day, DM trusts the model (the q266 cumulative board), IPS trusts
+    * only matched logged rewards reweighted by the known 1/[[DrArms]]
+    * logging propensity, and DR = DM + IPS-weighted residual — unbiased
+    * like IPS when the model is wrong, low-variance like DM when it is
+    * right. The output pins the textbook ordering: DR's between-day
+    * variance must undercut IPS's (the board is a decent model here).
+    *
+    * Exactness: daily estimates are fixed-order double expressions over
+    * exact integer cells, frozen to ×1e9 BIGINTs before the cross-day
+    * moment sums (squares in DECIMAL(38,0)/HUGEINT); mean and variance
+    * are final divisions.
+    *
+    * Scale (100 TB): the q266 (arm, day) cell collapse; estimators are
+    * calendar-cell algebra. */
+  def drOpe(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = EtlOps.t(s, dir, "events").selectExpr(
+        "event_type AS arm",
+        "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS d",
+        "CAST(round(value * 100, 0) AS BIGINT) AS v")
+      .groupBy("arm", "d")
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("c")).persist()
+    val wCum = Window.partitionBy("arm").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = cells
+      .withColumn("cumv", sum(col("sv")).over(wCum))
+      .withColumn("cumc", sum(col("c")).over(wCum))
+    val board = cum.select((col("d") + 1).as("d"), col("arm"),
+      (col("cumv").cast("double") / col("cumc")).as("m"))
+    val chosen = board.withColumn("rn", row_number().over(
+        Window.partitionBy("d").orderBy(col("m").desc, col("arm"))))
+      .filter(col("rn") === 1).select(col("d"), col("arm"),
+        col("m").as("q"))
+    val nd = cells.groupBy("d").agg(sum(col("c")).as("n_d"))
+    val daily = chosen
+      .join(cells.select(col("arm"), col("d"),
+        col("sv").as("sv_c"), col("c").as("c_c")),
+        Seq("arm", "d"), "left")
+      .join(nd, Seq("d"))
+      .selectExpr("d",
+        "CAST(floor(q / 100.0 * 1e9) AS BIGINT) AS dm_fp",
+        s"CAST(floor($DrArms.0 * coalesce(sv_c, 0) / 100.0 / n_d " +
+          "* 1e9) AS BIGINT) AS ips_fp",
+        s"CAST(floor((q / 100.0 + $DrArms.0 * " +
+          "(coalesce(sv_c, 0) / 100.0 - coalesce(c_c, 0) * q / 100.0)" +
+          " / n_d) * 1e9) AS BIGINT) AS dr_fp")
+    val est = daily.selectExpr(
+      "stack(3, 'dm', dm_fp, 'ips', ips_fp, 'dr', dr_fp) " +
+        "AS (estimator, fp)")
+    est.groupBy("estimator").agg(
+        count(lit(1L)).as("n_days"),
+        sum(col("fp")).as("sf"),
+        sum(expr("CAST(fp AS DECIMAL(38,0)) * fp")).as("sff"))
+      .selectExpr("estimator", "n_days",
+        "round(CAST(sf AS DOUBLE) / n_days / 1e9, 4) AS value_hat",
+        "round(sqrt((CAST(sff AS DOUBLE) - CAST(sf AS DOUBLE) * sf " +
+          "/ n_days) / (n_days - 1.0)) / 1e9, 4) AS day_sd")
+      .orderBy("estimator")
+  }
+
+  def drOpeOracle: String =
+    s"""WITH cells AS (SELECT event_type AS arm,
+       |    CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+       |      AS d,
+       |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+       |      AS sv,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1, 2),
+       |cum AS (SELECT *,
+       |    CAST(sum(sv) OVER w AS BIGINT) AS cumv,
+       |    CAST(sum(c) OVER w AS BIGINT) AS cumc
+       |  FROM cells
+       |  WINDOW w AS (PARTITION BY arm ORDER BY d ROWS BETWEEN
+       |    UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |board AS (SELECT d + 1 AS d, arm,
+       |    CAST(cumv AS DOUBLE) / cumc AS m FROM cum),
+       |ch AS (SELECT d, arm, m AS q,
+       |    row_number() OVER (PARTITION BY d ORDER BY m DESC, arm)
+       |      AS rn
+       |  FROM board QUALIFY rn = 1),
+       |nd AS (SELECT d, CAST(sum(c) AS BIGINT) AS n_d FROM cells
+       |  GROUP BY d),
+       |daily AS (SELECT ch.d,
+       |    CAST(floor(ch.q / 100.0 * 1e9) AS BIGINT) AS dm_fp,
+       |    CAST(floor($DrArms.0 * coalesce(cells.sv, 0) / 100.0
+       |      / nd.n_d * 1e9) AS BIGINT) AS ips_fp,
+       |    CAST(floor((ch.q / 100.0 + $DrArms.0 *
+       |      (coalesce(cells.sv, 0) / 100.0 - coalesce(cells.c, 0)
+       |      * ch.q / 100.0) / nd.n_d) * 1e9) AS BIGINT) AS dr_fp
+       |  FROM ch
+       |  LEFT JOIN cells ON cells.arm = ch.arm AND cells.d = ch.d
+       |  JOIN nd ON nd.d = ch.d),
+       |lng AS (SELECT 'dm' AS estimator, dm_fp AS fp FROM daily
+       |  UNION ALL SELECT 'ips', ips_fp FROM daily
+       |  UNION ALL SELECT 'dr', dr_fp FROM daily)
+       |SELECT estimator, count(*) AS n_days,
+       |  round(CAST(sum(fp) AS DOUBLE) / count(*) / 1e9, 4)
+       |    AS value_hat,
+       |  round(sqrt((CAST(sum(CAST(fp AS HUGEINT) * fp) AS DOUBLE)
+       |    - CAST(sum(fp) AS DOUBLE) * sum(fp) / count(*))
+       |    / (count(*) - 1.0)) / 1e9, 4) AS day_sd
+       |FROM lng GROUP BY estimator ORDER BY estimator""".stripMargin
 }

@@ -954,4 +954,100 @@ object MlPrepOps {
        |  round(CAST(cum_pos AS DOUBLE) / n1, 4) AS cum_recall,
        |  round(auc, 6) AS auc
        |FROM cp, a2 ORDER BY decile""".stripMargin
+
+  // --- q288: RAG grounding / faithfulness audit -----------------------------
+
+  /** Answer construction: first [[GroundAnsToks]] context tokens; every
+    * [[GroundHallMod]]-th answer is contaminated with
+    * [[GroundForeignToks]] tokens lifted from a FAR document (the
+    * planted hallucination). Flag threshold on the support share. */
+  val GroundAnsToks = 20
+  val GroundForeignToks = 10
+  val GroundHallMod = 13
+  val GroundFlagTau = 0.95
+
+  /** q288 — RAG grounding (faithfulness) audit: for each (context,
+    * answer) pair, the share of answer tokens SUPPORTED by the context
+    * — the cheap lexical proxy every RAG evaluation stack runs before
+    * any model-based judge (RAGAS-style faithfulness, attributable-
+    * token precision). The fixture builds answers from their own
+    * context's first tokens and plants hallucinations by splicing in
+    * tokens from a document 250 ids away. Clean answers ground at
+    * EXACTLY 1.0 (every token is lexically present), so flagged pairs
+    * are a subset of the planted ones by construction — zero false
+    * positives; splices whose foreign tokens all happen to appear in
+    * the context vocabulary legitimately evade a lexical audit (the
+    * known blind spot of token-support faithfulness metrics, which is
+    * why the SCORE, not the flag, is the primary output).
+    *
+    * Shape: answers explode to (doc, token) rows bounded by the answer
+    * length (≤30 per doc, never corpus-sized); support is a LEFT SEMI
+    * against the context's distinct-token set on the (doc_id, token)
+    * equi key. The far-doc splice is one self-join on a computed id.
+    *
+    * Exactness: token counts are integers; the share is one division.
+    *
+    * Scale (100 TB): answer tokens are a bounded multiple of the
+    * document count; the support probe shuffles on (doc_id, token) with
+    * map-side distinct. */
+  def groundingAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = EtlOps.t(s, dir, "documents")
+    val base = d.selectExpr("doc_id", "split(text, ' ') AS toks")
+    val far = base.selectExpr(
+      "(doc_id + 250) % 500 + (doc_id div 500) * 500 AS doc_id",
+      s"slice(toks, 1, $GroundForeignToks) AS far_toks")
+    val answers = base
+      .join(far, Seq("doc_id"))
+      .selectExpr("doc_id",
+        s"CASE WHEN doc_id % $GroundHallMod = 0 THEN " +
+          s"concat(slice(toks, 1, $GroundAnsToks), far_toks) " +
+          s"ELSE slice(toks, 1, $GroundAnsToks) END AS ans")
+    val ansToks = answers.selectExpr("doc_id",
+      "explode(ans) AS tok")
+    val ctxToks = base.selectExpr("doc_id", "explode(toks) AS tok")
+      .distinct()
+    val supported = ansToks.join(ctxToks, Seq("doc_id", "tok"),
+      "left_semi")
+    val nAns = ansToks.groupBy("doc_id")
+      .agg(count(lit(1L)).as("n_ans"))
+    val nSup = supported.groupBy("doc_id")
+      .agg(count(lit(1L)).as("n_sup"))
+    nAns.join(nSup, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_ans",
+        "coalesce(n_sup, 0) AS n_supported",
+        "round(CAST(coalesce(n_sup, 0) AS DOUBLE) / n_ans, 4) " +
+          "AS grounding",
+        s"CAST(coalesce(n_sup, 0) AS DOUBLE) / n_ans < $GroundFlagTau " +
+          "AS flagged")
+      .orderBy("doc_id")
+  }
+
+  def groundingAuditOracle: String =
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |far AS (SELECT (doc_id + 250) % 500 + (doc_id // 500) * 500
+       |    AS doc_id,
+       |    toks[1:$GroundForeignToks] AS far_toks
+       |  FROM base),
+       |answers AS (SELECT b.doc_id,
+       |    CASE WHEN b.doc_id % $GroundHallMod = 0 THEN
+       |      list_concat(b.toks[1:$GroundAnsToks], f.far_toks)
+       |      ELSE b.toks[1:$GroundAnsToks] END AS ans
+       |  FROM base b JOIN far f ON f.doc_id = b.doc_id),
+       |ansToks AS (SELECT doc_id, unnest(ans) AS tok FROM answers),
+       |ctx AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM base),
+       |na AS (SELECT doc_id, count(*) AS n_ans FROM ansToks
+       |  GROUP BY doc_id),
+       |ns AS (SELECT a.doc_id, count(*) AS n_sup FROM ansToks a
+       |  WHERE EXISTS (SELECT 1 FROM ctx c
+       |    WHERE c.doc_id = a.doc_id AND c.tok = a.tok)
+       |  GROUP BY a.doc_id)
+       |SELECT na.doc_id, na.n_ans,
+       |  coalesce(ns.n_sup, 0) AS n_supported,
+       |  round(CAST(coalesce(ns.n_sup, 0) AS DOUBLE) / na.n_ans, 4)
+       |    AS grounding,
+       |  CAST(coalesce(ns.n_sup, 0) AS DOUBLE) / na.n_ans
+       |    < $GroundFlagTau AS flagged
+       |FROM na LEFT JOIN ns ON ns.doc_id = na.doc_id
+       |ORDER BY na.doc_id""".stripMargin
 }

@@ -1038,16 +1038,25 @@ object SimilarityOps {
     def realEl(j: Int) = s"CAST(element_at(embedding, $j) AS DOUBLE)"
     def coneEl(j: Int) =
       s"(1.0 + 0.001 * CAST((vec_id * $j) % 7 AS DOUBLE))"
-    def uq(el: Int => String): Seq[String] = {
-      val norm = "sqrt(" + (1 to VecSql.Dims).map(j =>
+    // the norm is HOISTED into its own column: referenced 64 times,
+    // CollapseProject keeps it materialized once, so the projection
+    // stays ~64 nodes instead of 64 inlined copies of the 128-op norm
+    // chain (which blew the generated method past Janino's limit and
+    // dropped the stage out of codegen — 89 s vs sub-second at sf0.1)
+    def normOf(el: Int => String): String =
+      "sqrt(" + (1 to VecSql.Dims).map(j =>
         s"${el(j)} * ${el(j)}").mkString(" + ") + ")"
+    def uq(el: Int => String): Seq[String] =
       (1 to VecSql.Dims).map(j =>
-        f"CAST(floor(${el(j)} / $norm * 1e6) AS BIGINT) AS u$j%02d")
-    }
+        f"CAST(floor(${el(j)} / nrm * 1e6) AS BIGINT) AS u$j%02d")
     val e = t(s, dir, "embeddings")
-    val real = e.selectExpr(("label" +: uq(realEl)): _*)
+    val real = e
+      .selectExpr("label", s"${normOf(realEl)} AS nrm", "embedding")
+      .selectExpr(("label" +: uq(realEl)): _*)
     val cone = e.filter(col("vec_id") < ConeN)
-      .selectExpr((s"$ConeLabel AS label" +: uq(coneEl)): _*)
+      .selectExpr(s"$ConeLabel AS label", s"${normOf(coneEl)} AS nrm",
+        "vec_id")
+      .selectExpr(("label" +: uq(coneEl)): _*)
     val rowq2 = (1 to VecSql.Dims).map(j => f"u$j%02d * u$j%02d")
       .mkString(" + ")
     val rows = real.unionAll(cone)
@@ -1246,4 +1255,102 @@ object SimilarityOps {
        |  round(db.db_i, 6) AS davies_bouldin
        |FROM clus c LEFT JOIN db ON db.ci = c.bucket
        |ORDER BY c.bucket""".stripMargin
+
+  // --- q290: greedy k-center coreset ---------------------------------------
+
+  /** Coreset size (greedy 2-approximation steps) and the fixed seed. */
+  val KcK = 6
+  val KcSeed = 0L
+
+  /** q290 — greedy k-center coreset (Gonzalez's farthest-point
+    * traversal): iteratively add the point FARTHEST from the current
+    * center set — the classic 2-approximation to the k-center optimum
+    * and the standard coverage-maximizing coreset for "pick K examples
+    * that span the embedding space" (diverse eval panels, seed sets for
+    * active learning, codebook init that beats random). Output: each
+    * center with the covering distance that selected it (monotone
+    * NONINCREASING — the greedy invariant the spec pins) and the final
+    * coverage radius, i.e. the worst-case distance any point must
+    * travel to its nearest center.
+    *
+    * Shape: K−1 rounds of corpus × broadcast-centers min-distance, each
+    * ending in an orderBy-limit(1) argmax (one-row collect — the q274
+    * metadata boundary), plus one final radius pass. K scans total, no
+    * pair join; at 1000 executors each round is a map-side broadcast
+    * probe + a top-1 reduction.
+    *
+    * Exactness: distances evaluate through the native dot_product ≡
+    * the oracle's fixed 64-term chains; min/argmax are exact double
+    * comparisons with a vec_id tie-break; the oracle UNROLLS the same
+    * K−1 argmax steps as chained CTEs (selection is data-dependent, so
+    * the recursion is made literal instead of recursive). */
+  def kcenterCoreset(s: SparkSession, dir: String): DataFrame = {
+    val v = withNorm(baseVectors(s, dir)).persist()
+    var centers = Vector((1, KcSeed, Option.empty[Double]))
+    for (step <- 2 to KcK) {
+      val ids = centers.map(_._2)
+      val cents = v.filter(col("vec_id").isInCollection(ids))
+        .select(col("vec_id").as("cid"), col("emb").as("ce"),
+          col("norm").as("cn"))
+      val far = v.crossJoin(broadcast(cents))
+        .selectExpr("vec_id",
+          "1.0 - dot_product(emb, ce) / (norm * cn) AS dist")
+        .groupBy("vec_id").agg(min(col("dist")).as("mind"))
+        .orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .collect()(0)
+      centers = centers :+ ((step, far.getLong(0),
+        Some(far.getDouble(1))))
+    }
+    val ids = centers.map(_._2)
+    val cents = v.filter(col("vec_id").isInCollection(ids))
+      .select(col("vec_id").as("cid"), col("emb").as("ce"),
+        col("norm").as("cn"))
+    val radius = v.crossJoin(broadcast(cents))
+      .selectExpr("vec_id",
+        "1.0 - dot_product(emb, ce) / (norm * cn) AS dist")
+      .groupBy("vec_id").agg(min(col("dist")).as("mind"))
+      .agg(max(col("mind")).as("r")).collect()(0).getDouble(0)
+    import s.implicits._
+    centers.map { case (step, cid, selD) =>
+      (step, cid, selD.map(d => math.floor(d * 1e9) / 1e9), radius)
+    }.toDF("step", "center_vec_id", "sel_dist_raw", "final_raw")
+      .selectExpr("CAST(step AS BIGINT) AS step", "center_vec_id",
+        "round(sel_dist_raw, 6) AS sel_dist",
+        "round(final_raw, 6) AS final_radius")
+      .orderBy("step")
+  }
+
+  def kcenterCoresetOracle: String = {
+    val dist = s"1.0 - (${VecSql.dot("v.emb", "e.emb", spark = false)})" +
+      " / (v.norm * e.norm)"
+    def stepCtes(k: Int): String =
+      s"""m$k AS (SELECT v.vec_id, min($dist) AS mind
+         |  FROM n v, c${k - 1} ck JOIN n e ON e.vec_id = ck.cid
+         |  GROUP BY v.vec_id),
+         |p$k AS (SELECT vec_id, mind FROM (
+         |    SELECT *, row_number() OVER (ORDER BY mind DESC, vec_id)
+         |      AS rn FROM m$k) WHERE rn = 1),
+         |c$k AS (SELECT cid, step, sel FROM c${k - 1}
+         |  UNION ALL SELECT vec_id, $k, mind FROM p$k)""".stripMargin
+    val steps = (2 to KcK).map(stepCtes).mkString(",\n")
+    s"""WITH v0 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb,
+       |    sqrt(${VecSql.dot("emb", "emb", spark = false)}) AS norm
+       |  FROM v0),
+       |c1 AS (SELECT CAST($KcSeed AS BIGINT) AS cid, 1 AS step,
+       |  CAST(NULL AS DOUBLE) AS sel),
+       |$steps,
+       |fin AS (SELECT max(mind) AS r FROM (
+       |  SELECT v.vec_id, min($dist) AS mind
+       |  FROM n v, c$KcK ck JOIN n e ON e.vec_id = ck.cid
+       |  GROUP BY v.vec_id))
+       |SELECT CAST(step AS BIGINT) AS step, cid AS center_vec_id,
+       |  round(CASE WHEN sel IS NULL THEN NULL
+       |    ELSE floor(sel * 1e9) / 1e9 END, 6) AS sel_dist,
+       |  round(fin.r, 6) AS final_radius
+       |FROM c$KcK, fin ORDER BY step""".stripMargin
+  }
 }

@@ -1367,25 +1367,34 @@ object TimeSeriesOps {
     val ev = EtlOps.t(s, dir, "events").selectExpr("user_id",
       "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS day",
       "ts", "event_id", "event_type")
+    // ONE (user, day) exchange carries everything: seq + lag share the
+    // ordered spec; first-purchase seq and path length are unordered
+    // window aggs over the same partitioning (no groupBy+join detour).
+    // lag computed BEFORE the truncation filter equals lag after it —
+    // only suffix rows (seq > fpseq) are dropped, so every kept row's
+    // predecessor is kept.
     val w = Window.partitionBy("user_id", "day")
       .orderBy("ts", "event_id")
-    val sq = ev.withColumn("seq", row_number().over(w))
-    val fp = sq.filter(col("event_type") === "purchase")
-      .groupBy("user_id", "day").agg(min(col("seq")).as("fpseq"))
-    val pth = sq.join(fp, Seq("user_id", "day"), "left")
-      .filter(col("fpseq").isNull || col("seq") <= col("fpseq"))
+    val wp = Window.partitionBy("user_id", "day")
+    val tr0 = ev
       .withColumn("m", expr("CASE WHEN event_type = 'purchase' " +
         "THEN 'conv' ELSE event_type END"))
-    val w2 = Window.partitionBy("user_id", "day").orderBy("seq")
-    val tr0 = pth
-      .withColumn("from_s",
-        coalesce(lag(col("m"), 1).over(w2), lit("start")))
-      .withColumn("mx", max(col("seq")).over(
-        Window.partitionBy("user_id", "day")))
-    val trans = tr0.select(col("from_s"), col("m").as("to_s"))
-      .unionAll(tr0.filter(col("fpseq").isNull &&
-          col("seq") === col("mx"))
-        .select(col("m").as("from_s"), lit("drop").as("to_s")))
+      .withColumn("seq", row_number().over(w))
+      .withColumn("prev", lag(col("m"), 1).over(w))
+      .withColumn("fpseq", min(when(
+        col("event_type") === "purchase", col("seq"))).over(wp))
+      .withColumn("mx", max(col("seq")).over(wp))
+      .filter(col("fpseq").isNull || col("seq") <= col("fpseq"))
+      .withColumn("from_s", coalesce(col("prev"), lit("start")))
+    // both the step transition and (for unconverted path tails) the
+    // terminal →drop transition emit from ONE pass — a union would
+    // recompute the whole window stage twice
+    val trans = tr0.selectExpr(
+      "explode(CASE WHEN fpseq IS NULL AND seq = mx THEN " +
+        "array(struct(from_s AS f, m AS t), " +
+        "struct(m AS f, 'drop' AS t)) " +
+        "ELSE array(struct(from_s AS f, m AS t)) END) AS tr")
+      .selectExpr("tr.f AS from_s", "tr.t AS to_s")
     val cnt = trans.groupBy("from_s", "to_s")
       .agg(count(lit(1L)).as("n")).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap

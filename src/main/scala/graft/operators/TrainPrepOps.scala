@@ -1586,4 +1586,108 @@ object TrainPrepOps {
        |    (CAST(seq_len AS DOUBLE) * (seq_len - 1)), 6)
        |    ELSE 0.0 END AS leak_share
        |FROM b ORDER BY source, bin""".stripMargin
+
+  // --- q291: preference-pair length-bias audit ------------------------------
+
+  /** Length-delta bucket width (chars) and the bias verdict threshold
+    * on the overall longer-wins rate. */
+  val PlbBucket = 25
+  val PlbBiasTau = 0.6
+
+  /** q291 — preference-pair length-bias audit: before training a reward
+    * model on preference pairs, measure how often the LONGER response
+    * wins — the best-documented reward-hacking channel (RLHF models
+    * inflate length because raters and heuristic scorers do). Documents
+    * pair off within source (consecutive by doc_id); the winner is the
+    * lexically richer one (distinct-token count — deliberately a
+    * length-correlated judge, standing in for the correlated raters the
+    * audit exists to expose). Output: the signed length-delta
+    * histogram with the overall longer-wins rate and the bias verdict —
+    * a debiasing step (length-matched pairs, per-length normalization)
+    * is warranted when the rate clears [[PlbBiasTau]].
+    *
+    * Exactness: scores, lengths, deltas and bucket indices are
+    * integers; the rate is one division; floor on the signed
+    * delta/width quotient buckets negatives identically on both
+    * engines.
+    *
+    * Scale (100 TB): one (source) window pairs rows; the histogram is
+    * a bucket-keyed collapse with map-side combine. */
+  def prefLengthBias(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = t(s, dir, "documents").selectExpr("doc_id", "source",
+      "n_chars",
+      "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS sc")
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    val pairs = scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("pair", expr("(rn - 1) div 2"))
+      .groupBy("source", "pair").agg(
+        count(lit(1L)).as("cnt"),
+        max(when(col("rn") % 2 === 1, col("sc"))).as("s1"),
+        max(when(col("rn") % 2 === 1, col("n_chars"))).as("l1"),
+        max(when(col("rn") % 2 === 1, col("doc_id"))).as("i1"),
+        max(when(col("rn") % 2 === 0, col("sc"))).as("s2"),
+        max(when(col("rn") % 2 === 0, col("n_chars"))).as("l2"),
+        max(when(col("rn") % 2 === 0, col("doc_id"))).as("i2"))
+      .filter(col("cnt") === 2)
+      .selectExpr(
+        "CASE WHEN s1 > s2 OR (s1 = s2 AND i1 < i2) THEN l1 ELSE l2 " +
+          "END AS len_c",
+        "CASE WHEN s1 > s2 OR (s1 = s2 AND i1 < i2) THEN l2 ELSE l1 " +
+          "END AS len_r")
+      .selectExpr("len_c - len_r AS delta")
+    pairs
+      .selectExpr("delta",
+        s"CAST(floor(CAST(delta AS DOUBLE) / $PlbBucket) AS BIGINT) " +
+          "AS bucket")
+      .groupBy("bucket").agg(count(lit(1L)).as("n_pairs"),
+        sum(when(col("delta") > 0, 1L).otherwise(0L)).as("longer_wins"))
+      .withColumn("tot", sum(col("n_pairs")).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("wins", sum(col("longer_wins")).over(
+        Window.partitionBy(lit(1))))
+      .selectExpr("bucket", "n_pairs",
+        "round(CAST(n_pairs AS DOUBLE) / tot, 4) AS share",
+        "round(CAST(wins AS DOUBLE) / tot, 4) AS longer_wins_rate",
+        s"CAST(wins AS DOUBLE) / tot > $PlbBiasTau AS length_biased")
+      .orderBy("bucket")
+  }
+
+  def prefLengthBiasOracle: String =
+    s"""WITH sc AS (SELECT doc_id, source, n_chars,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+       |      AS sc
+       |  FROM documents),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY doc_id) AS rn FROM sc),
+       |p AS (SELECT source, (rn - 1) // 2 AS pair, count(*) AS cnt,
+       |    max(CASE WHEN rn % 2 = 1 THEN sc END) AS s1,
+       |    max(CASE WHEN rn % 2 = 1 THEN n_chars END) AS l1,
+       |    max(CASE WHEN rn % 2 = 1 THEN doc_id END) AS i1,
+       |    max(CASE WHEN rn % 2 = 0 THEN sc END) AS s2,
+       |    max(CASE WHEN rn % 2 = 0 THEN n_chars END) AS l2,
+       |    max(CASE WHEN rn % 2 = 0 THEN doc_id END) AS i2
+       |  FROM r GROUP BY source, (rn - 1) // 2),
+       |d AS (SELECT
+       |    CASE WHEN s1 > s2 OR (s1 = s2 AND i1 < i2) THEN l1 ELSE l2
+       |      END -
+       |    CASE WHEN s1 > s2 OR (s1 = s2 AND i1 < i2) THEN l2 ELSE l1
+       |      END AS delta
+       |  FROM p WHERE cnt = 2),
+       |b AS (SELECT
+       |    CAST(floor(CAST(delta AS DOUBLE) / $PlbBucket) AS BIGINT)
+       |      AS bucket,
+       |    count(*) AS n_pairs,
+       |    CAST(sum(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS longer_wins
+       |  FROM d GROUP BY 1),
+       |t AS (SELECT *, CAST(sum(n_pairs) OVER () AS BIGINT) AS tot,
+       |    CAST(sum(longer_wins) OVER () AS BIGINT) AS wins
+       |  FROM b)
+       |SELECT bucket, n_pairs,
+       |  round(CAST(n_pairs AS DOUBLE) / tot, 4) AS share,
+       |  round(CAST(wins AS DOUBLE) / tot, 4) AS longer_wins_rate,
+       |  CAST(wins AS DOUBLE) / tot > $PlbBiasTau AS length_biased
+       |FROM t ORDER BY bucket""".stripMargin
 }

@@ -2845,4 +2845,98 @@ class PipelineOpsSpec extends AnyFunSuite {
     rows.values.filter(_._5).foreach(v =>
       assert(v._4 >= AnalyticsOps.MsprtShiftDay, s"fired pre-shift: $v"))
   }
+
+  test("q288 grounding: clean answers ground at exactly 1.0; flags are a subset of plants") {
+    val rows = MlPrepOps.groundingAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r._3 <= r._2, s"supported > answered: $r")
+      if (r._1 % MlPrepOps.GroundHallMod != 0)
+        assert(r._4 == 1.0 && !r._5, s"clean pair not fully grounded: $r")
+    }
+    // a meaningful share of the planted splices is caught, and every
+    // flag IS a plant (zero false positives by construction)
+    val planted = rows.filter(_._1 % MlPrepOps.GroundHallMod == 0)
+    assert(planted.count(_._5) * 2 >= planted.length,
+      s"caught ${planted.count(_._5)} of ${planted.length}")
+    rows.filter(_._5).foreach(r =>
+      assert(r._1 % MlPrepOps.GroundHallMod == 0, s"false positive: $r"))
+  }
+
+  test("q289 dr-ope: DR variance undercuts IPS (the doubly-robust promise)") {
+    val rows = MixtureOps.drOpe(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    val (dm, ips, dr) = (rows("dm"), rows("ips"), rows("dr"))
+    assert(dr._3 < ips._3,
+      s"DR day-sd ${dr._3} not below IPS ${ips._3}")
+    // the three estimators agree on the ballpark (same target policy)
+    Seq(dm, ips, dr).combinations(2).foreach { case Seq(a, b) =>
+      assert(math.abs(a._2 - b._2) < 0.5 * math.max(a._2, b._2),
+        s"estimates diverge: $rows")
+    }
+    assert(dm._1 == ips._1 && ips._1 == dr._1)
+  }
+
+  test("q290 k-center: selection distances are the nonincreasing greedy invariant") {
+    val rows = SimilarityOps.kcenterCoreset(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(rows.length == SimilarityOps.KcK)
+    assert(rows.head._2 == SimilarityOps.KcSeed && rows.head._3.isNaN)
+    val sel = rows.tail.map(_._3)
+    // greedy farthest-point: each selection distance is <= the prior
+    sel.sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(0) >= p(1) - 1e-9,
+        s"greedy invariant broken: ${sel.toSeq}"))
+    // final coverage radius <= the last selection distance
+    assert(rows.last._4 <= sel.last + 1e-9,
+      s"radius ${rows.last._4} above last selection ${sel.last}")
+    // centers are distinct
+    assert(rows.map(_._2).distinct.length == SimilarityOps.KcK)
+  }
+
+  test("q291 pref length bias: the length-correlated judge reads biased") {
+    val rows = TrainPrepOps.prefLengthBias(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    val rate = rows.head._4
+    assert(rate > TrainPrepOps.PlbBiasTau && rows.head._5,
+      s"bias not detected: $rate")
+    // shares are a distribution over buckets
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 0.01)
+    // positive-delta mass dominates (the bias made visible)
+    val pos = rows.filter(_._1 >= 0).map(_._2).sum
+    val neg = rows.filter(_._1 < 0).map(_._2).sum
+    assert(pos > 2 * neg, s"positive deltas don't dominate: $pos vs $neg")
+  }
+
+  test("q292 obf: only the planted stream crosses; early looks spend almost no alpha") {
+    val rows = AnalyticsOps.obfMonitor(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6),
+        if (r.isNullAt(7)) -1L else r.getLong(7)))
+    assert(rows.length == 6 * AnalyticsOps.ObfLookDays.length)
+    // A/A streams never cross any boundary — even when an interim |z|
+    // exceeds 1.96 (the fixed-horizon threshold), the OBF boundary
+    // holds it (the property the design exists for)
+    rows.filter(_._1 != "purchase_boost").foreach(r =>
+      assert(!r._7, s"A/A crossed: $r"))
+    // the planted stream crosses at an interim or final look
+    val plantCross = rows.filter(r =>
+      r._1 == "purchase_boost" && r._7)
+    assert(plantCross.nonEmpty, "plant never crossed")
+    // boundaries are the monotone-decreasing OBF shape
+    val bounds = rows.filter(_._1 == "error").sortBy(_._2).map(_._6)
+    bounds.sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(0) > p(1)))
+    // n_units is cumulative (nondecreasing in look)
+    rows.groupBy(_._1).values.foreach { g =>
+      g.sortBy(_._2).map(_._4).sliding(2).foreach(p =>
+        if (p.length == 2) assert(p(0) <= p(1)))
+    }
+  }
 }

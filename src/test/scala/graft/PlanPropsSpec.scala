@@ -1461,4 +1461,44 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(p.contains("Window"),
       s"cumulative window missing:\n${p.take(1800)}")
   }
+
+  test("q288 grounding: support probe is an equi semi-join, answers never corpus-sized") {
+    val p = plan(MlPrepOps.groundingAudit(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"grounding went cartesian:\n${p.take(1800)}")
+    assert(p.contains("LeftSemi"),
+      s"support probe is not a semi-join:\n${p.take(1800)}")
+  }
+
+  test("q289 dr-ope: cell algebra over the persisted (arm, day) collapse") {
+    val p = plan(MixtureOps.drOpe(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"dr-ope went cartesian:\n${p.take(1800)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"cells not shared via persist:\n${p.take(1800)}")
+    assert(p.contains("Generate") || p.contains("Expand"),
+      s"estimator unpivot missing:\n${p.take(1800)}")
+  }
+
+  test("q290 k-center: the returned frame is driver-built — no corpus in its plan") {
+    val p = plan(SimilarityOps.kcenterCoreset(spark, dir))
+    assert(!p.contains("Scan parquet"),
+      s"coreset re-derives from the corpus:\n${p.take(1800)}")
+  }
+
+  test("q291 pref length bias: one source window + bucket collapse, no join") {
+    val p = plan(TrainPrepOps.prefLengthBias(spark, dir))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"length bias grew a join:\n${p.take(1800)}")
+    assert(p.contains("Window") && p.contains("HashAggregate"),
+      s"pairing window / histogram collapse missing:\n${p.take(1800)}")
+  }
+
+  test("q292 obf: looks table broadcast against the calendar cells") {
+    val p = plan(AnalyticsOps.obfMonitor(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"looks join shuffled:\n${p.take(1800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"looks not broadcast:\n${p.take(1800)}")
+  }
 }
