@@ -310,6 +310,11 @@ object SparkEntry {
     "q290_kcenter_coreset"   -> (SimilarityOps.kcenterCoreset _),
     "q291_pref_length_bias"  -> (TrainPrepOps.prefLengthBias _),
     "q292_obf_monitor"       -> (AnalyticsOps.obfMonitor _),
+    "q293_contam_ladder"     -> (DedupOps.contamLadder _),
+    "q294_capped_metric"     -> (AnalyticsOps.cappedMetricCurve _),
+    "q295_lpt_makespan"      -> (ScaleOps.lptMakespan _),
+    "q296_checkpoint_interval" -> (ScaleOps.checkpointInterval _),
+    "q297_aa_calibration"    -> (AnalyticsOps.aaCalibration _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -884,6 +889,11 @@ object SparkEntry {
     "q290_kcenter_coreset" -> SimilarityOps.kcenterCoresetOracle,
     "q291_pref_length_bias" -> TrainPrepOps.prefLengthBiasOracle,
     "q292_obf_monitor" -> AnalyticsOps.obfMonitorOracle,
+    "q293_contam_ladder" -> DedupOps.contamLadderOracle,
+    "q294_capped_metric" -> AnalyticsOps.cappedMetricCurveOracle,
+    "q295_lpt_makespan" -> ScaleOps.lptMakespanOracle,
+    "q296_checkpoint_interval" -> ScaleOps.checkpointIntervalOracle,
+    "q297_aa_calibration" -> AnalyticsOps.aaCalibrationOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

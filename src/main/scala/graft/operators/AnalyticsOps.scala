@@ -2437,4 +2437,222 @@ object AnalyticsOps {
        |    OVER (PARTITION BY et) AS BIGINT) AS first_cross
        |FROM fl ORDER BY stream, "look"""".stripMargin
   }
+
+  // --- q294: capped-metric sensitivity curve --------------------------------
+
+  /** Cap percentiles swept (100 = uncapped). */
+  val CapPcts: Seq[Int] = Seq(50, 75, 90, 95, 99, 100)
+
+  /** q294 — capped-metric sensitivity curve: heavy-tailed metrics
+    * (revenue per event) bury real treatment effects under tail
+    * variance, so experimentation platforms CAP them — but the cap is
+    * a bias/variance dial that should be chosen from data, not folklore.
+    * This sweeps exact pooled-percentile caps over the q200 fixture
+    * (arm B's purchase values doubled) and reports the Welch z of the
+    * planted effect under each cap: too-low caps clip the effect away,
+    * no cap drowns it — the max-|z| cap is the sensitivity-optimal
+    * choice (Winsorized metrics, the q89 single-stat primitive, turned
+    * into the decision curve).
+    *
+    * Exactness: values are ×100 integers; caps are exact percentiles
+    * from the pooled value-cell cumulative (integer compare
+    * cum·100 ≥ p·n); capped moments are integer sums per (cap, arm);
+    * z is one fixed-order double expression.
+    *
+    * Scale (100 TB): one (arm, value-cell) collapse; the cap sweep
+    * joins |caps| broadcast scalars against the CELL grid, never
+    * re-scanning events. */
+  def cappedMetricCurve(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.events(s, dir)
+    val cells = ev.filter(col("event_type") === "purchase")
+      .selectExpr("CAST(user_id % 2 AS INT) AS arm",
+        "CAST(round(value * (1 + user_id % 2) * 100, 0) AS BIGINT) " +
+          "AS v")
+      .groupBy("arm", "v").agg(count(lit(1L)).as("c")).persist()
+    val pooled = cells.groupBy("v").agg(sum(col("c")).as("pc"))
+      .withColumn("cum", sum(col("pc")).over(
+        Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum(col("pc")).over(Window.partitionBy(lit(1))))
+    val caps = CapPcts.map { p =>
+      pooled.filter(expr(s"cum * 100 >= $p * n"))
+        .orderBy("v").limit(1)
+        .selectExpr(s"$p AS cap_pct", "v AS cap_v")
+    }.reduce(_ unionAll _)
+    val capped = cells.crossJoin(broadcast(caps))
+      .selectExpr("cap_pct", "cap_v", "arm", "c",
+        "CASE WHEN v < cap_v THEN v ELSE cap_v END AS cv")
+    val mom = capped.groupBy("cap_pct", "cap_v").agg(
+      sum(when(col("arm") === 0, col("c"))).as("na"),
+      sum(when(col("arm") === 1, col("c"))).as("nb"),
+      sum(when(col("arm") === 0, expr("c * cv"))).as("sa"),
+      sum(when(col("arm") === 1, expr("c * cv"))).as("sb"),
+      sum(when(col("arm") === 0,
+        expr("CAST(c AS DECIMAL(38,0)) * cv * cv"))).as("qa"),
+      sum(when(col("arm") === 1,
+        expr("CAST(c AS DECIMAL(38,0)) * cv * cv"))).as("qb"))
+    val z = "(CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na) / " +
+      "sqrt((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na) " +
+      "/ (na - 1.0) / na + " +
+      "(CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) " +
+      "/ (nb - 1.0) / nb)"
+    mom
+      .withColumn("z", expr(z))
+      .withColumn("zmax", max(abs(col("z"))).over(
+        Window.partitionBy(lit(1))))
+      .selectExpr("cap_pct",
+        "round(CAST(cap_v AS DOUBLE) / 100.0, 2) AS cap_value",
+        "na + nb AS n",
+        "round(CAST(sa AS DOUBLE) / na / 100.0, 4) AS mean_a",
+        "round(CAST(sb AS DOUBLE) / nb / 100.0, 4) AS mean_b",
+        "round(z, 4) AS z",
+        "abs(z) = zmax AS best_cap")
+      .orderBy("cap_pct")
+  }
+
+  def cappedMetricCurveOracle: String = {
+    val z = "(CAST(sb AS DOUBLE) / nb - CAST(sa AS DOUBLE) / na) / " +
+      "sqrt((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na) " +
+      "/ (na - 1.0) / na + " +
+      "(CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) " +
+      "/ (nb - 1.0) / nb)"
+    val capSel = CapPcts.map { p =>
+      s"""(SELECT $p AS cap_pct, v AS cap_v FROM pooled
+         |  WHERE cum * 100 >= $p * n ORDER BY v LIMIT 1)""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH cells AS (SELECT CAST(user_id % 2 AS INT) AS arm,
+       |    CAST(round(value * (1 + user_id % 2) * 100, 0) AS BIGINT)
+       |      AS v,
+       |    count(*) AS c
+       |  FROM events WHERE event_type = 'purchase'
+       |  GROUP BY 1, 2),
+       |pooled AS (SELECT v, CAST(sum(c) AS BIGINT) AS pc,
+       |    CAST(sum(sum(c)) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+       |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(sum(sum(c)) OVER () AS BIGINT) AS n
+       |  FROM cells GROUP BY v),
+       |caps AS (
+       |  $capSel),
+       |capped AS (SELECT cap_pct, cap_v, arm, c,
+       |    CASE WHEN v < cap_v THEN v ELSE cap_v END AS cv
+       |  FROM cells, caps),
+       |mom AS (SELECT cap_pct, cap_v,
+       |    CAST(sum(CASE WHEN arm = 0 THEN c END) AS BIGINT) AS na,
+       |    CAST(sum(CASE WHEN arm = 1 THEN c END) AS BIGINT) AS nb,
+       |    CAST(sum(CASE WHEN arm = 0 THEN c * cv END) AS BIGINT)
+       |      AS sa,
+       |    CAST(sum(CASE WHEN arm = 1 THEN c * cv END) AS BIGINT)
+       |      AS sb,
+       |    sum(CASE WHEN arm = 0 THEN CAST(c AS HUGEINT) * cv * cv
+       |      END) AS qa,
+       |    sum(CASE WHEN arm = 1 THEN CAST(c AS HUGEINT) * cv * cv
+       |      END) AS qb
+       |  FROM capped GROUP BY cap_pct, cap_v),
+       |wz AS (SELECT *, $z AS z FROM mom),
+       |mz AS (SELECT *, max(abs(z)) OVER () AS zmax FROM wz)
+       |SELECT cap_pct,
+       |  round(CAST(cap_v AS DOUBLE) / 100.0, 2) AS cap_value,
+       |  na + nb AS n,
+       |  round(CAST(sa AS DOUBLE) / na / 100.0, 4) AS mean_a,
+       |  round(CAST(sb AS DOUBLE) / nb / 100.0, 4) AS mean_b,
+       |  round(z, 4) AS z,
+       |  abs(z) = zmax AS best_cap
+       |FROM mz ORDER BY cap_pct""".stripMargin
+  }
+
+  // --- q297: A/A calibration fleet ------------------------------------------
+
+  /** Number of synthetic A/A re-randomizations and the fleet pass bar
+    * (binomial(20, 0.05) upper tail: P(>3 sig) < 2%). */
+  val AaK = 20
+  val AaMaxSig = 3
+
+  /** q297 — A/A calibration fleet: before trusting any A/B verdict,
+    * platforms re-randomize the SAME population K times with null
+    * assignments and check the false-positive rate tracks α — the
+    * end-to-end test that catches broken hash-based bucketing,
+    * interference, and variance mis-estimation all at once (Kohavi's
+    * "run A/A tests first"). Each of [[AaK]] assignments hashes
+    * (seed k, user) to an arm; the q200 two-proportion z runs per
+    * assignment; the fleet verdict is n_significant ≤ [[AaMaxSig]].
+    *
+    * Exactness: arms are hash integers; per-assignment counts are
+    * integers; z is one fixed-order double expression over the
+    * 2·K-cell pivot.
+    *
+    * Scale (100 TB): one user collapse to a converted flag, one
+    * constant ×K explode, then a (k, arm) cell collapse — the audit
+    * costs K× a user scan of booleans, never K× the event log. */
+  def aaCalibration(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val users = EtlOps.events(s, dir)
+      .groupBy("user_id")
+      .agg(max(when(col("value") > AbConvValue, 1L).otherwise(0L))
+        .as("conv"))
+    val assigned = users
+      .selectExpr("user_id", "conv",
+        s"explode(sequence(0, ${AaK - 1})) AS k")
+      .selectExpr("k", "conv",
+        "CAST(md5_fp60(concat('aa', CAST(k AS STRING), ':', " +
+          "CAST(user_id AS STRING))) % 2 AS INT) AS arm")
+    val cellsK = assigned.groupBy("k").agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("ca"),
+      sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("cb"))
+    val z = "CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN 0.0 " +
+      "ELSE (CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na) / " +
+      "sqrt(CAST(ca + cb AS DOUBLE) / (na + nb) * " +
+      "(1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
+      "(1.0 / na + 1.0 / nb)) END"
+    cellsK
+      .withColumn("z", expr(z))
+      .withColumn("sig", expr("abs(z) > 1.96"))
+      .withColumn("n_sig", sum(when(col("sig"), 1L).otherwise(0L))
+        .over(Window.partitionBy(lit(1))))
+      .selectExpr("k AS assignment", "na", "nb",
+        "round(CAST(ca AS DOUBLE) / na, 4) AS p_a",
+        "round(CAST(cb AS DOUBLE) / nb, 4) AS p_b",
+        "round(z, 4) AS z", "sig AS significant", "n_sig",
+        s"round(CAST(n_sig AS DOUBLE) / $AaK, 4) AS fp_rate",
+        s"n_sig <= $AaMaxSig AS calibrated")
+      .orderBy("assignment")
+  }
+
+  def aaCalibrationOracle: String = {
+    val z = "CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN 0.0 " +
+      "ELSE (CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na) / " +
+      "sqrt(CAST(ca + cb AS DOUBLE) / (na + nb) * " +
+      "(1.0 - CAST(ca + cb AS DOUBLE) / (na + nb)) * " +
+      "(1.0 / na + 1.0 / nb)) END"
+    s"""WITH u AS (SELECT user_id,
+       |    CAST(max(CASE WHEN value > $AbConvValue THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS conv
+       |  FROM events GROUP BY user_id),
+       |a AS (SELECT k.k, u.conv,
+       |    CAST(CAST('0x' || substr(md5('aa' || CAST(k.k AS VARCHAR)
+       |      || ':' || CAST(u.user_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |      % 2 AS INT) AS arm
+       |  FROM u, (SELECT unnest(range(0, $AaK)) AS k) k),
+       |c AS (SELECT k,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS na,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS nb,
+       |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+       |      AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+       |      AS BIGINT) AS cb
+       |  FROM a GROUP BY k),
+       |wz AS (SELECT *, $z AS z, abs($z) > 1.96 AS sig FROM c),
+       |f AS (SELECT *, CAST(sum(CASE WHEN sig THEN 1 ELSE 0 END)
+       |    OVER () AS BIGINT) AS n_sig FROM wz)
+       |SELECT k AS assignment, na, nb,
+       |  round(CAST(ca AS DOUBLE) / na, 4) AS p_a,
+       |  round(CAST(cb AS DOUBLE) / nb, 4) AS p_b,
+       |  round(z, 4) AS z, sig AS significant, n_sig,
+       |  round(CAST(n_sig AS DOUBLE) / $AaK, 4) AS fp_rate,
+       |  n_sig <= $AaMaxSig AS calibrated
+       |FROM f ORDER BY assignment""".stripMargin
+  }
 }

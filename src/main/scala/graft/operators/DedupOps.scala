@@ -2524,4 +2524,132 @@ object DedupOps {
        |  FROM $fin, sup)
        |ORDER BY comparator""".stripMargin
   }
+
+  // --- q293: contamination normalization ladder -----------------------------
+
+  /** Plant cadence: of val docs (doc_id % 10 = 0), those ≡ 0 (mod 30)
+    * leak into train verbatim, ≡ 10 case-perturbed (upper-cased),
+    * ≡ 20 punctuation-perturbed (commas injected at spaces). */
+  val LadderPlantOffset = 2000000L
+
+  /** q293 — contamination normalization ladder: q119 asks IF the eval
+    * set leaked; this asks how deep the decontamination firewall must
+    * normalize to SEE it. Evasive leaks (re-cased, re-punctuated
+    * copies — exactly what crawl pipelines produce) are invisible to
+    * exact matching, so production firewalls stack normalization
+    * layers (Brown et al.'s GPT-3 dedup, the Dolma/RedPajama
+    * decontamination recipes). Each layer L ∈ {exact, casefold,
+    * punct-strip} matches full-document fingerprints of the
+    * L-normalized text; the output is the ladder — how many val docs
+    * each layer catches and how many it catches FIRST. The planted
+    * verbatim/case/punct copies must first appear at layers 0/1/2
+    * respectively (spec-pinned cell-exact).
+    *
+    * Exactness: every layer's key is the shared 60-bit md5 of a
+    * deterministic normalization chain; counts are integers.
+    *
+    * Scale (100 TB): the corpus streams once into a 3×-stacked
+    * fingerprint frame (a constant-factor explode, not a gram
+    * explosion — full-doc equality is the primitive, q119 owns partial
+    * n-gram coverage); the probe is a (layer, fp) equi semi-join. */
+  def contamLadder(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val valD = d.filter(col("doc_id") % 10 === 0)
+    val plants = valD.filter(col("doc_id") % 30 === 0)
+      .selectExpr(s"doc_id + $LadderPlantOffset AS doc_id", "text")
+      .unionAll(valD.filter(col("doc_id") % 30 === 10)
+        .selectExpr(s"doc_id + $LadderPlantOffset AS doc_id",
+          "upper(text) AS text"))
+      .unionAll(valD.filter(col("doc_id") % 30 === 20)
+        .selectExpr(s"doc_id + $LadderPlantOffset AS doc_id",
+          "regexp_replace(text, ' ', ' , ') AS text"))
+    val train = d.filter(col("doc_id") % 10 =!= 0).unionAll(plants)
+    val norms = Seq(
+      "text",
+      "lower(text)",
+      "regexp_replace(regexp_replace(lower(text), '[.,!?;]', '')," +
+        " ' +', ' ')")
+    val stackExpr = "stack(3, " + norms.zipWithIndex.map {
+      case (n, i) => s"$i, md5_fp60($n)" }.mkString(", ") +
+      ") AS (layer, fp)"
+    graft.functions.VectorFunctions.register(s)
+    val trainFps = train.selectExpr(stackExpr)
+      .select("layer", "fp").distinct()
+    val valFps = valD.selectExpr("doc_id", stackExpr)
+    val caught = valFps.join(trainFps, Seq("layer", "fp"), "left_semi")
+    val firstL = caught.groupBy("doc_id")
+      .agg(min(col("layer")).as("first_layer"))
+    val perLayer = caught.groupBy("layer")
+      .agg(count(lit(1L)).as("n_caught"))
+    val firstCnt = firstL.groupBy(col("first_layer").as("layer"))
+      .agg(count(lit(1L)).as("n_first"))
+    val nv = valD.count()
+    perLayer.join(firstCnt, Seq("layer"), "left")
+      .withColumn("n_first", coalesce(col("n_first"), lit(0L)))
+      .withColumn("cum_first", sum(col("n_first")).over(
+        Window.orderBy("layer")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .selectExpr("layer",
+        "CASE layer WHEN 0 THEN 'exact' WHEN 1 THEN 'casefold' " +
+          "ELSE 'punct_strip' END AS layer_name",
+        s"CAST($nv AS BIGINT) AS n_val", "n_caught", "n_first",
+        "cum_first",
+        s"round(CAST(cum_first AS DOUBLE) / $nv, 4) AS cum_share")
+      .orderBy("layer")
+  }
+
+  def contamLadderOracle: String = {
+    def fp(x: String) =
+      s"CAST('0x' || substr(md5($x), 1, 15) AS BIGINT)"
+    val norms = Seq(
+      "text",
+      "lower(text)",
+      "regexp_replace(regexp_replace(lower(text), '[.,!?;]', ''," +
+        " 'g'), ' +', ' ', 'g')")
+    def stacked(src: String, cols: String) = norms.zipWithIndex.map {
+      case (n, i) =>
+        s"SELECT $cols $i AS layer, ${fp(n)} AS fp FROM $src"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |vd AS (SELECT doc_id, text FROM d WHERE doc_id % 10 = 0),
+       |plants AS (
+       |  SELECT doc_id + $LadderPlantOffset AS doc_id, text FROM vd
+       |  WHERE doc_id % 30 = 0
+       |  UNION ALL
+       |  SELECT doc_id + $LadderPlantOffset, upper(text) FROM vd
+       |  WHERE doc_id % 30 = 10
+       |  UNION ALL
+       |  SELECT doc_id + $LadderPlantOffset,
+       |    regexp_replace(text, ' ', ' , ', 'g')
+       |  FROM vd WHERE doc_id % 30 = 20),
+       |train AS (SELECT doc_id, text FROM d WHERE doc_id % 10 <> 0
+       |  UNION ALL SELECT * FROM plants),
+       |tf AS (SELECT DISTINCT layer, fp FROM (
+       |  ${stacked("train", "")})),
+       |vf AS (${stacked("vd", "doc_id,")}),
+       |caught AS (SELECT vf.doc_id, vf.layer FROM vf
+       |  WHERE EXISTS (SELECT 1 FROM tf
+       |    WHERE tf.layer = vf.layer AND tf.fp = vf.fp)),
+       |fl AS (SELECT doc_id, min(layer) AS first_layer FROM caught
+       |  GROUP BY doc_id),
+       |pl AS (SELECT layer, count(*) AS n_caught FROM caught
+       |  GROUP BY layer),
+       |fc AS (SELECT first_layer AS layer, count(*) AS n_first
+       |  FROM fl GROUP BY first_layer),
+       |nv AS (SELECT count(*) AS n FROM vd)
+       |SELECT pl.layer,
+       |  CASE pl.layer WHEN 0 THEN 'exact' WHEN 1 THEN 'casefold'
+       |    ELSE 'punct_strip' END AS layer_name,
+       |  CAST(nv.n AS BIGINT) AS n_val, pl.n_caught,
+       |  CAST(coalesce(fc.n_first, 0) AS BIGINT) AS n_first,
+       |  CAST(sum(coalesce(fc.n_first, 0)) OVER (ORDER BY pl.layer
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS cum_first,
+       |  round(CAST(sum(coalesce(fc.n_first, 0)) OVER (
+       |    ORDER BY pl.layer ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |    CURRENT ROW) AS DOUBLE) / nv.n, 4) AS cum_share
+       |FROM pl LEFT JOIN fc ON fc.layer = pl.layer, nv
+       |ORDER BY pl.layer""".stripMargin
+  }
 }

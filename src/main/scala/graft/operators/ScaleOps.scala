@@ -1078,4 +1078,196 @@ object ScaleOps {
        |GROUP BY cache_size, cm, na
        |ORDER BY cache_size""".stripMargin
   }
+
+  // --- q295: LPT makespan simulation ----------------------------------------
+
+  /** Executor count the schedule is simulated for. */
+  val LptExecutors = 8
+
+  /** q295 — LPT (longest-processing-time-first) makespan simulation:
+    * q105 plans shard SIZES and q220 prices reshard moves; this audits
+    * the SCHEDULE — given the (event_type, day) shard size table, how
+    * well does greedy LPT assignment onto [[LptExecutors]] executors
+    * balance? Output: per-executor load, the makespan, the
+    * max(total/E, max-shard) lower bound, and the ratio — Graham's
+    * bound guarantees ≤ 4/3·OPT, and the measured ratio is the number
+    * that says whether stage stragglers at 100 TB come from shard skew
+    * (ratio ≈ 1, nothing to schedule better) or from scheduling
+    * (ratio ≫ 1, re-split shards).
+    *
+    * Exactness: loads are exact integer sums over the deterministic
+    * LPT order (size desc, type, day); Spark simulates on the
+    * collected calendar-bounded shard table (the q274 metadata
+    * boundary), the oracle carries the [[LptExecutors]] load/count
+    * columns through a PIVOTED linear recursive CTE (the q282
+    * technique) with the argmin as a generated left-biased CASE chain
+    * — integer state, bit-identical.
+    *
+    * Scale (100 TB): the shard table is |types|·|calendar| cells; the
+    * simulation is O(shards·E) on metadata. */
+  def lptMakespan(s: SparkSession, dir: String): DataFrame = {
+    val shards = EtlOps.t(s, dir, "events")
+      .selectExpr("event_type AS et",
+        "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS d")
+      .groupBy("et", "d").agg(count(lit(1L)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (et, d, c) => (-c, et, d) }
+    val e = LptExecutors
+    val loads = Array.fill(e)(0L)
+    val counts = Array.fill(e)(0L)
+    shards.foreach { case (_, _, c) =>
+      var best = 0
+      var i = 1
+      while (i < e) { if (loads(i) < loads(best)) best = i; i += 1 }
+      loads(best) += c
+      counts(best) += 1
+    }
+    val total = shards.map(_._3).sum
+    val cmax = if (shards.isEmpty) 0L else shards.map(_._3).max
+    val makespan = loads.max
+    import s.implicits._
+    (0 until e).map(i => (i.toLong + 1, counts(i), loads(i)))
+      .toDF("executor", "n_shards", "load")
+      .selectExpr("executor", "n_shards", "`load`",
+        s"CAST($makespan AS BIGINT) AS makespan",
+        s"CAST($total AS BIGINT) AS total_work",
+        s"round(greatest(CAST($total AS DOUBLE) / $e, " +
+          s"CAST($cmax AS DOUBLE)), 2) AS lower_bound",
+        s"round(CAST($makespan AS DOUBLE) / " +
+          s"greatest(CAST($total AS DOUBLE) / $e, " +
+          s"CAST($cmax AS DOUBLE)), 4) AS lpt_ratio")
+      .orderBy("executor")
+  }
+
+  def lptMakespanOracle: String = {
+    val e = LptExecutors
+    val range = 1 to e
+    // left-biased integer argmin over the e load columns
+    def winCond(i: Int): String = {
+      val later = (i + 1 to e).map(j => s"l$i <= l$j")
+      val strictEarlier = (1 until i).map(j => s"l$i < l$j")
+      // executor i wins iff it is < all earlier and <= all later
+      (strictEarlier ++ later).mkString(" AND ") match {
+        case "" => "TRUE"
+        case c  => c
+      }
+    }
+    val stepCols = range.map { i =>
+      s"""CASE WHEN ${winCond(i)} THEN l$i + r.c ELSE l$i END
+         | AS l$i""".stripMargin.replace("\n", "")
+    }.mkString(",\n    ")
+    val cntCols = range.map { i =>
+      s"""CASE WHEN ${winCond(i)} THEN n$i + 1 ELSE n$i END
+         | AS n$i""".stripMargin.replace("\n", "")
+    }.mkString(",\n    ")
+    // seed column ORDER must match the recursive term (all loads,
+    // then all counts) — UNION ALL binds by position
+    val zeros = range.map(i => s"CAST(0 AS BIGINT) AS l$i")
+      .mkString(", ") + ", " +
+      range.map(i => s"CAST(0 AS BIGINT) AS n$i").mkString(", ")
+    val unpivot = range.map(i =>
+      s"SELECT $i AS executor, n$i AS n_shards, l$i AS " +
+        s"\"load\", mk, tot FROM fin").mkString("\n  UNION ALL ")
+    val mk = "greatest(" + range.map(i => s"l$i").mkString(", ") + ")"
+    s"""WITH RECURSIVE shards AS (SELECT event_type AS et,
+       |    CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+       |      AS d, count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |rk AS (SELECT *, row_number() OVER (ORDER BY c DESC, et, d)
+       |    AS rn FROM shards),
+       |sim AS (
+       |  SELECT 0 AS k, $zeros
+       |  UNION ALL
+       |  SELECT sim.k + 1,
+       |    $stepCols,
+       |    $cntCols
+       |  FROM sim JOIN rk r ON r.rn = sim.k + 1),
+       |fin AS (SELECT $mk AS mk,
+       |    ${range.map(i => s"l$i").mkString(" + ")} AS tot, *
+       |  FROM sim WHERE k = (SELECT max(rn) FROM rk)),
+       |up AS (
+       |  $unpivot),
+       |cm AS (SELECT max(c) AS cmax FROM shards)
+       |SELECT CAST(executor AS BIGINT) AS executor, n_shards, "load",
+       |  mk AS makespan, tot AS total_work,
+       |  round(greatest(CAST(tot AS DOUBLE) / $e,
+       |    CAST(cm.cmax AS DOUBLE)), 2) AS lower_bound,
+       |  round(CAST(mk AS DOUBLE) / greatest(CAST(tot AS DOUBLE)
+       |    / $e, CAST(cm.cmax AS DOUBLE)), 4) AS lpt_ratio
+       |FROM up, cm ORDER BY executor""".stripMargin
+  }
+
+  // --- q296: optimal checkpoint interval (Young/Daly) -----------------------
+
+  /** Checkpoint write cost (seconds) and the candidate interval grid. */
+  val DalyDelta = 30.0
+  val DalyGrid: Seq[Int] = Seq(60, 120, 300, 600, 1200, 1800, 3600)
+
+  /** q296 — Young/Daly optimal checkpoint interval: long-running jobs
+    * (multi-day training runs, giant backfills) checkpoint at interval
+    * τ; too often wastes δ per write, too rarely wastes τ/2 of rework
+    * per failure. With MTBF M estimated from the observed error-event
+    * stream, first-order expected overhead is δ/τ + τ/(2M), minimized
+    * at Daly's τ* = √(2δM). The sweep makes the tradeoff a table: the
+    * grid point bracketing τ* must carry the minimum overhead — the
+    * number that sets checkpoint cadence before a 1000-executor run
+    * starts.
+    *
+    * Exactness: MTBF comes from exact epoch-microsecond extremes and
+    * an integer failure count; the curve is a fixed double expression
+    * per grid literal.
+    *
+    * Scale (100 TB): one error-stream min/max/count aggregate; the
+    * grid is compile-time literals. */
+  def checkpointInterval(s: SparkSession, dir: String): DataFrame = {
+    val agg = EtlOps.t(s, dir, "events")
+      .filter(col("event_type") === "error")
+      .agg(count(lit(1L)).as("nf"),
+        min(expr("unix_micros(ts)")).as("t0"),
+        max(expr("unix_micros(ts)")).as("t1"))
+    val grid = DalyGrid.mkString(", ")
+    agg
+      .selectExpr("nf",
+        "(CAST(t1 AS DOUBLE) - CAST(t0 AS DOUBLE)) / 1e6 / nf " +
+          "AS mtbf_s")
+      .selectExpr("nf", "mtbf_s",
+        s"sqrt(2.0 * $DalyDelta * mtbf_s) AS tau_opt",
+        s"explode(array($grid)) AS tau_s")
+      .withColumn("overhead", expr(
+        s"$DalyDelta / tau_s + tau_s / (2.0 * mtbf_s)"))
+      .withColumn("omin", min(col("overhead")).over(
+        Window.partitionBy(lit(1))))
+      .selectExpr("CAST(tau_s AS BIGINT) AS tau_s",
+        "round(overhead, 6) AS overhead_frac",
+        "nf AS n_failures", "round(mtbf_s, 2) AS mtbf_s",
+        "round(tau_opt, 2) AS tau_opt_s",
+        "overhead = omin AS is_best")
+      .orderBy("tau_s")
+  }
+
+  def checkpointIntervalOracle: String = {
+    val taus = DalyGrid.map(t => s"($t)").mkString(", ")
+    s"""WITH a AS (SELECT count(*) AS nf,
+       |    min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+       |  FROM events WHERE event_type = 'error'),
+       |m AS (SELECT nf,
+       |    (CAST(t1 AS DOUBLE) - CAST(t0 AS DOUBLE)) / 1e6 / nf
+       |      AS mtbf_s
+       |  FROM a),
+       |g AS (SELECT m.nf, m.mtbf_s,
+       |    sqrt(2.0 * $DalyDelta * m.mtbf_s) AS tau_opt,
+       |    t.tau_s
+       |  FROM m, (VALUES $taus) t(tau_s)),
+       |o AS (SELECT *,
+       |    $DalyDelta / tau_s + tau_s / (2.0 * mtbf_s) AS overhead
+       |  FROM g),
+       |w AS (SELECT *, min(overhead) OVER () AS omin FROM o)
+       |SELECT CAST(tau_s AS BIGINT) AS tau_s,
+       |  round(overhead, 6) AS overhead_frac,
+       |  nf AS n_failures, round(mtbf_s, 2) AS mtbf_s,
+       |  round(tau_opt, 2) AS tau_opt_s,
+       |  overhead = omin AS is_best
+       |FROM w ORDER BY tau_s""".stripMargin
+  }
 }

@@ -2939,4 +2939,103 @@ class PipelineOpsSpec extends AnyFunSuite {
         if (p.length == 2) assert(p(0) <= p(1)))
     }
   }
+
+  test("q293 contam ladder: each plant family first appears at exactly its layer") {
+    val rows = DedupOps.contamLadder(spark, dir).collect()
+      .map(r => (r.getInt(0).toLong, r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .sortBy(_._1)
+    assert(rows.map(_._2) === Seq("exact", "casefold", "punct_strip"))
+    // verbatim plants: val docs % 30 == 0; case: == 10; punct: == 20
+    val nVal = rows.head._3
+    val expFirst = Seq(0L, 10L, 20L).map(m =>
+      (0L until nVal * 10 by 10).count(_ % 30 == m).toLong)
+    assert(rows.map(_._5) === expFirst,
+      s"first-caught counts ${rows.map(_._5)} != planted $expFirst")
+    // deeper layers only ever catch MORE
+    rows.map(_._4).sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(0) <= p(1)))
+    // all val docs caught by the full ladder (every val doc has a
+    // planted copy in this fixture family union)
+    assert(rows.last._6 == nVal && rows.last._7 == 1.0)
+  }
+
+  test("q294 capped metric: an interior cap beats uncapped sensitivity") {
+    val rows = AnalyticsOps.cappedMetricCurve(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+      .sortBy(_._1)
+    assert(rows.map(_._1) === AnalyticsOps.CapPcts)
+    // cap values are nondecreasing in percentile; means nondecreasing
+    // with looser caps
+    rows.sliding(2).foreach { p =>
+      if (p.length == 2) {
+        assert(p(0)._2 <= p(1)._2)
+        assert(p(0)._4 <= p(1)._4 + 1e-9 && p(0)._5 <= p(1)._5 + 1e-9)
+      }
+    }
+    // the planted effect is detected at every cap, B above A
+    rows.foreach(r => assert(r._6 > 1.96 && r._5 > r._4, s"effect lost: $r"))
+    // exactly one best cap, and it strictly beats the uncapped z
+    val best = rows.filter(_._7)
+    assert(best.length == 1)
+    val uncapped = rows.last
+    if (!uncapped._7)
+      assert(best.head._6 > uncapped._6, "interior cap should win")
+  }
+
+  test("q295 lpt: loads partition the work and Graham's bound holds") {
+    val rows = ScaleOps.lptMakespan(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.length == ScaleOps.LptExecutors)
+    val total = rows.head._5
+    assert(rows.map(_._3).sum == total, "loads don't partition work")
+    assert(rows.map(_._3).max == rows.head._4, "makespan != max load")
+    // LPT guarantee: ratio <= 4/3 (and our skew-free fixture is near 1)
+    assert(rows.head._7 <= 4.0 / 3.0 + 1e-9, s"ratio ${rows.head._7}")
+    assert(rows.head._7 >= 1.0 - 1e-9)
+  }
+
+  test("q296 daly: the grid point bracketing tau* carries the minimum overhead") {
+    val rows = ScaleOps.checkpointInterval(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+      .sortBy(_._1)
+    assert(rows.map(_._1) === ScaleOps.DalyGrid.map(_.toLong))
+    val best = rows.filter(_._6)
+    assert(best.length == 1)
+    val tauOpt = rows.head._5
+    // the winning grid point is one of the two bracketing tau*
+    val below = rows.filter(_._1 <= tauOpt).lastOption
+    val above = rows.find(_._1 > tauOpt)
+    assert(Seq(below, above).flatten.exists(_._1 == best.head._1),
+      s"best ${best.head._1} does not bracket tau* $tauOpt")
+    // the curve is convex-ish: overhead decreases to the best then rises
+    val bi = rows.indexWhere(_._6)
+    rows.take(bi + 1).map(_._2).sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(0) >= p(1)))
+    rows.drop(bi).map(_._2).sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(0) <= p(1)))
+  }
+
+  test("q297 aa fleet: null assignments keep the false-positive rate at alpha") {
+    val rows = AnalyticsOps.aaCalibration(spark, dir).collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6),
+        r.getLong(7), r.getDouble(8), r.getBoolean(9)))
+    assert(rows.length == AnalyticsOps.AaK)
+    // every assignment covers the whole population, and both arms are
+    // populated in at least most assignments (at sf0.001 n~15, so a
+    // single lopsided hash split is within binomial range)
+    val nTot = rows.head._2 + rows.head._3
+    rows.foreach(r => assert(r._2 + r._3 == nTot, s"population varies: $r"))
+    assert(rows.count(r => r._2 > 0 && r._3 > 0) >= rows.length - 2,
+      "arms empty in many assignments")
+    // the fleet verdict matches the count, and the fixture calibrates
+    val nSig = rows.count(_._7)
+    assert(rows.head._8 == nSig)
+    assert(rows.head._10 == (nSig <= AnalyticsOps.AaMaxSig))
+    assert(rows.head._10, s"A/A fleet miscalibrated: $nSig significant")
+  }
 }

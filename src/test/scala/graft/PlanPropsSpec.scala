@@ -1501,4 +1501,49 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"looks not broadcast:\n${p.take(1800)}")
   }
+
+  test("q293 contam ladder: full-doc fingerprints only — no gram explosion, semi-join probe") {
+    val p = plan(DedupOps.contamLadder(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"ladder went cartesian:\n${p.take(1800)}")
+    assert(p.contains("LeftSemi"),
+      s"probe is not a semi-join:\n${p.take(1800)}")
+    // the stack explode is constant ×3, not a per-token Generate over
+    // split() arrays
+    assert(!p.contains("posexplode"),
+      s"unexpected token explosion:\n${p.take(1800)}")
+  }
+
+  test("q294 capped metric: the cap sweep joins broadcast scalars against the cell grid") {
+    val p = plan(AnalyticsOps.cappedMetricCurve(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"cap sweep went cartesian:\n${p.take(1800)}")
+    assert(p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"caps not broadcast:\n${p.take(1800)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"value cells not shared via persist:\n${p.take(1800)}")
+  }
+
+  test("q295 lpt: the returned schedule is driver-built — no corpus in its plan") {
+    val p = plan(ScaleOps.lptMakespan(spark, dir))
+    assert(!p.contains("Scan parquet"),
+      s"schedule re-derives from the corpus:\n${p.take(1800)}")
+  }
+
+  test("q296 daly: one failure-stream aggregate, grid is literals") {
+    val p = plan(ScaleOps.checkpointInterval(spark, dir))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"daly grew a join:\n${p.take(1800)}")
+    assert(p.contains("Generate"),
+      s"grid explode missing:\n${p.take(1800)}")
+  }
+
+  test("q297 aa fleet: one user collapse then a constant-factor explode, no join") {
+    val p = plan(AnalyticsOps.aaCalibration(spark, dir))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"fleet grew a join:\n${p.take(1800)}")
+    assert(p.contains("Generate"),
+      s"assignment explode missing:\n${p.take(1800)}")
+  }
 }
