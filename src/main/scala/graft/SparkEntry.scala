@@ -315,6 +315,9 @@ object SparkEntry {
     "q295_lpt_makespan"      -> (ScaleOps.lptMakespan _),
     "q296_checkpoint_interval" -> (ScaleOps.checkpointInterval _),
     "q297_aa_calibration"    -> (AnalyticsOps.aaCalibration _),
+    "q298_json_schema_drift" -> (RelationalOps.jsonSchemaDrift _),
+    "q299_nprobe_curve"      -> (SimilarityOps.nprobeCurve _),
+    "q300_drift_consensus"   -> (ProfileOps.driftConsensus _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -894,6 +897,9 @@ object SparkEntry {
     "q295_lpt_makespan" -> ScaleOps.lptMakespanOracle,
     "q296_checkpoint_interval" -> ScaleOps.checkpointIntervalOracle,
     "q297_aa_calibration" -> AnalyticsOps.aaCalibrationOracle,
+    "q298_json_schema_drift" -> RelationalOps.jsonSchemaDriftOracle,
+    "q299_nprobe_curve" -> SimilarityOps.nprobeCurveOracle,
+    "q300_drift_consensus" -> ProfileOps.driftConsensusOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

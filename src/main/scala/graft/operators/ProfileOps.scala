@@ -3140,4 +3140,236 @@ object ProfileOps {
        |  CAST(count(*) AS DOUBLE) * 1e6 / CAST(sum(sp_fp) AS DOUBLE)
        |    < $HillHeavy AS heavy_tail
        |FROM sp GROUP BY source ORDER BY source""".stripMargin
+
+  // --- q300: drift-detector consensus fleet ---------------------------------
+
+  /** KS two-sample α=0.05 critical coefficient and the MW critical z
+    * (q245's 99% two-sided). */
+  val KsCoef = 1.358
+  val MwCrit = 2.576
+
+  /** q300 — drift-detector consensus: the q156 agreement-Venn pattern
+    * applied to the DRIFT fleet. Five detectors with different failure
+    * modes — KS (max CDF gap, bounded), Wasserstein-1 (magnitude in
+    * value units), Mann–Whitney (rank evidence, tie-corrected),
+    * energy distance (squared-distance statistic), PSI (binned
+    * share divergence, the scorecard favorite) — all evaluate the SAME
+    * half-month split and plant (the q245/q270/q278 convention,
+    * restated on ×100 integer cells). The output is the consensus
+    * table: which detectors fire per stream, the majority verdict, and
+    * the disagreement flag that routes a stream to a human instead of
+    * an auto-page. The planted click_drift stream must fire all five;
+    * disagreement on natural streams is the fleet's noise floor made
+    * visible.
+    *
+    * Scale (100 TB): ONE (type, value-cell) collapse feeds the whole
+    * fleet — KS/W1/MW/energy read it through one ordered window pass,
+    * PSI through a 10-bin re-collapse — so five monitors cost one
+    * cell-grid scan, not five event-log scans. Every cross-cell sum is
+    * an exact integer (the detectors' own ×1e9 freezes); the five
+    * statistics are fixed-order double expressions per stream row. */
+  def driftConsensus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, dir, "events")
+    val base = ev.selectExpr("event_type AS et",
+      "CAST(round(value * 100, 0) AS BIGINT) AS v",
+      s"CASE WHEN extract(day FROM ts) <= $MwSplitDay THEN 1 ELSE 0 " +
+        "END AS h1")
+    val plant = ev.filter(col("event_type") === "click").selectExpr(
+      "'click_drift' AS et",
+      s"CAST(round((value + CASE WHEN extract(day FROM ts) <= " +
+        s"$MwSplitDay THEN 0.0 ELSE $MwPlantShift END) * 100, 0) " +
+        "AS BIGINT) AS v",
+      s"CASE WHEN extract(day FROM ts) <= $MwSplitDay THEN 1 ELSE 0 " +
+        "END AS h1")
+    val cells = base.unionAll(plant).groupBy("et", "v")
+      .agg(sum(col("h1")).as("a"), sum(lit(1L) - col("h1")).as("b"))
+      .persist()
+    val wIn = Window.partitionBy("et").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wEx = Window.partitionBy("et").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy("et")
+    val pre = cells
+      .withColumn("ca", sum(col("a")).over(wIn))
+      .withColumn("cb", sum(col("b")).over(wIn))
+      .withColumn("cax", coalesce(sum(col("a")).over(wEx), lit(0L)))
+      .withColumn("cbx", coalesce(sum(col("b")).over(wEx), lit(0L)))
+      .withColumn("cav", coalesce(sum(expr("a * v")).over(wEx), lit(0L)))
+      .withColumn("cbv", coalesce(sum(expr("b * v")).over(wEx), lit(0L)))
+      .withColumn("cumb", coalesce(sum(expr("a + b")).over(wEx), lit(0L)))
+      .withColumn("gap", coalesce(lead(col("v"), 1).over(
+        Window.partitionBy("et").orderBy("v")) - col("v"), lit(0L)))
+      .withColumn("n", sum(col("a")).over(wAll))
+      .withColumn("m", sum(col("b")).over(wAll))
+    val main = pre
+      .withColumn("w1term", expr(
+        "CAST(floor(CAST(abs(ca * m - cb * n) AS DOUBLE) * gap " +
+          "/ n / m * 1e9) AS BIGINT)"))
+      .groupBy("et").agg(
+        max(col("n")).as("n1"), max(col("m")).as("n2"),
+        max(expr("abs(ca * m - cb * n)")).as("ks_int"),
+        sum(col("w1term")).as("w1_fp"),
+        sum(expr("a * (2 * cumb + a + b + 1)")).as("r1x2"),
+        sum(expr("(a + b) * (a + b) * (a + b) - (a + b)"))
+          .as("tie_sum"),
+        sum(expr("a * (v * cbx - cbv) + b * (v * cax - cav)"))
+          .as("sxy"),
+        sum(expr("a * (v * cax - cav)")).as("sxx"),
+        sum(expr("b * (v * cbx - cbv)")).as("syy"))
+    // PSI over fixed-width bins, dense-completed with Laplace smoothing
+    val binned = cells
+      .withColumn("bin", expr(
+        s"least(v div ${(PsiBinWidth * 100).toLong}, ${PsiBins - 1})"))
+      .groupBy("et", "bin")
+      .agg(sum(col("a")).as("a_cnt"), sum(col("b")).as("b_cnt"))
+    val tot = binned.groupBy("et")
+      .agg(sum(col("a_cnt")).as("n_a"), sum(col("b_cnt")).as("n_b"))
+    val psi = tot
+      .select(col("et"), col("n_a"), col("n_b"), explode(expr(
+        s"sequence(CAST(0 AS BIGINT), CAST(${PsiBins - 1} AS BIGINT))"))
+        .as("bin"))
+      .join(binned, Seq("et", "bin"), "left")
+      .na.fill(0L, Seq("a_cnt", "b_cnt"))
+      .withColumn("term_fp", expr(
+        s"CAST(floor((CAST(a_cnt + 1 AS DOUBLE) / (n_a + $PsiBins) - " +
+          s"CAST(b_cnt + 1 AS DOUBLE) / (n_b + $PsiBins)) * " +
+          s"ln((CAST(a_cnt + 1 AS DOUBLE) / (n_a + $PsiBins)) / " +
+          s"(CAST(b_cnt + 1 AS DOUBLE) / (n_b + $PsiBins))) * " +
+          "1000000000.0) AS BIGINT)"))
+      .groupBy("et").agg(sum(col("term_fp")).as("psi_fp"))
+    val ks = "CAST(ks_int AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)"
+    val ksCrit = s"$KsCoef * sqrt(CAST(n1 + n2 AS DOUBLE) / " +
+      "(CAST(n1 AS DOUBLE) * n2))"
+    val w1 = "CAST(w1_fp AS DOUBLE) / 1e9 / 100.0"
+    val energy = "CAST(n1 AS DOUBLE) * n2 / (n1 + n2) * " +
+      "(2.0 * CAST(sxy AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) " +
+      "- 2.0 * CAST(sxx AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1) - " +
+      "2.0 * CAST(syy AS DOUBLE) / (CAST(n2 AS DOUBLE) * n2)) / 100.0"
+    main.join(broadcast(psi), "et")
+      .withColumn("f_ks", expr(s"$ks > $ksCrit"))
+      .withColumn("f_w1", expr(s"$w1 > $W1Flag"))
+      .withColumn("f_mw", expr(s"abs($MwZExpr) > $MwCrit"))
+      .withColumn("f_en", expr(s"$energy > $EnergyFlag"))
+      .withColumn("f_psi", expr(s"psi_fp >= $PsiActFp"))
+      .withColumn("n_fired", expr(
+        "CAST(f_ks AS INT) + CAST(f_w1 AS INT) + CAST(f_mw AS INT) " +
+          "+ CAST(f_en AS INT) + CAST(f_psi AS INT)"))
+      .selectExpr("et AS event_type", "n1", "n2",
+        s"round($ks, 6) AS ks", "f_ks",
+        s"round($w1, 4) AS w1", "f_w1",
+        s"round($MwZExpr, 4) AS mw_z", "f_mw",
+        s"round($energy, 4) AS energy", "f_en",
+        "round(CAST(psi_fp AS DOUBLE) / 1e9, 6) AS psi", "f_psi",
+        "CAST(n_fired AS BIGINT) AS n_fired",
+        "n_fired >= 3 AS consensus_drift",
+        "n_fired > 0 AND n_fired < 5 AS disagreement")
+      .orderBy("event_type")
+  }
+
+  def driftConsensusOracle: String = {
+    val mwz = "(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) " +
+      "- CAST(n1 * n2 AS DOUBLE)) / (2.0 * sqrt(" +
+      "(CAST(n1 AS DOUBLE) * n2 / 12.0) * " +
+      "(CAST(n1 + n2 + 1 AS DOUBLE) - CAST(tie_sum AS DOUBLE) / " +
+      "(CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1)))))"
+    val ks = "CAST(ks_int AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)"
+    val ksCrit = s"$KsCoef * sqrt(CAST(n1 + n2 AS DOUBLE) / " +
+      "(CAST(n1 AS DOUBLE) * n2))"
+    val w1 = "CAST(w1_fp AS DOUBLE) / 1e9 / 100.0"
+    val energy = "CAST(n1 AS DOUBLE) * n2 / (n1 + n2) * " +
+      "(2.0 * CAST(sxy AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2) " +
+      "- 2.0 * CAST(sxx AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1) - " +
+      "2.0 * CAST(syy AS DOUBLE) / (CAST(n2 AS DOUBLE) * n2)) / 100.0"
+    s"""WITH src AS (SELECT event_type AS et,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS v,
+       |    CASE WHEN extract(day FROM ts) <= $MwSplitDay THEN 1
+       |      ELSE 0 END AS h1
+       |  FROM events
+       |  UNION ALL
+       |  SELECT 'click_drift',
+       |    CAST(round((value + CASE WHEN extract(day FROM ts) <=
+       |      $MwSplitDay THEN 0.0 ELSE $MwPlantShift END) * 100, 0)
+       |      AS BIGINT),
+       |    CASE WHEN extract(day FROM ts) <= $MwSplitDay THEN 1
+       |      ELSE 0 END
+       |  FROM events WHERE event_type = 'click'),
+       |cells AS (SELECT et, v, CAST(sum(h1) AS BIGINT) AS a,
+       |    CAST(sum(1 - h1) AS BIGINT) AS b
+       |  FROM src GROUP BY et, v),
+       |pre AS (SELECT et, v, a, b,
+       |    CAST(sum(a) OVER wi AS BIGINT) AS ca,
+       |    CAST(sum(b) OVER wi AS BIGINT) AS cb,
+       |    CAST(coalesce(sum(a) OVER wx, 0) AS BIGINT) AS cax,
+       |    CAST(coalesce(sum(b) OVER wx, 0) AS BIGINT) AS cbx,
+       |    CAST(coalesce(sum(a * v) OVER wx, 0) AS BIGINT) AS cav,
+       |    CAST(coalesce(sum(b * v) OVER wx, 0) AS BIGINT) AS cbv,
+       |    CAST(coalesce(sum(a + b) OVER wx, 0) AS BIGINT) AS cumb,
+       |    coalesce(lead(v) OVER (PARTITION BY et ORDER BY v) - v, 0)
+       |      AS gap,
+       |    CAST(sum(a) OVER (PARTITION BY et) AS BIGINT) AS n,
+       |    CAST(sum(b) OVER (PARTITION BY et) AS BIGINT) AS m
+       |  FROM cells
+       |  WINDOW wi AS (PARTITION BY et ORDER BY v ROWS BETWEEN
+       |      UNBOUNDED PRECEDING AND CURRENT ROW),
+       |    wx AS (PARTITION BY et ORDER BY v ROWS BETWEEN
+       |      UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |main AS (SELECT et, max(n) AS n1, max(m) AS n2,
+       |    CAST(max(abs(ca * m - cb * n)) AS BIGINT) AS ks_int,
+       |    CAST(sum(CAST(floor(CAST(abs(ca * m - cb * n) AS DOUBLE)
+       |      * gap / n / m * 1e9) AS BIGINT)) AS BIGINT) AS w1_fp,
+       |    CAST(sum(a * (2 * cumb + a + b + 1)) AS BIGINT) AS r1x2,
+       |    CAST(sum((a + b) * (a + b) * (a + b) - (a + b)) AS BIGINT)
+       |      AS tie_sum,
+       |    CAST(sum(a * (v * cbx - cbv) + b * (v * cax - cav))
+       |      AS BIGINT) AS sxy,
+       |    CAST(sum(a * (v * cax - cav)) AS BIGINT) AS sxx,
+       |    CAST(sum(b * (v * cbx - cbv)) AS BIGINT) AS syy
+       |  FROM pre GROUP BY et),
+       |binned AS (SELECT et,
+       |    least(v // ${(PsiBinWidth * 100).toLong}, ${PsiBins - 1})
+       |      AS bin,
+       |    CAST(sum(a) AS BIGINT) AS a_cnt,
+       |    CAST(sum(b) AS BIGINT) AS b_cnt
+       |  FROM cells GROUP BY 1, 2),
+       |tt AS (SELECT et, CAST(sum(a_cnt) AS BIGINT) AS n_a,
+       |    CAST(sum(b_cnt) AS BIGINT) AS n_b
+       |  FROM binned GROUP BY et),
+       |dense AS (SELECT tt.et, tt.n_a, tt.n_b, g.bin,
+       |    coalesce(binned.a_cnt, 0) AS a_cnt,
+       |    coalesce(binned.b_cnt, 0) AS b_cnt
+       |  FROM tt CROSS JOIN (SELECT CAST(unnest(range(0, $PsiBins))
+       |    AS BIGINT) AS bin) g
+       |  LEFT JOIN binned ON binned.et = tt.et AND binned.bin = g.bin),
+       |psi AS (SELECT et, CAST(sum(CAST(floor(
+       |    (CAST(a_cnt + 1 AS DOUBLE) / (n_a + $PsiBins) -
+       |     CAST(b_cnt + 1 AS DOUBLE) / (n_b + $PsiBins)) *
+       |    ln((CAST(a_cnt + 1 AS DOUBLE) / (n_a + $PsiBins)) /
+       |       (CAST(b_cnt + 1 AS DOUBLE) / (n_b + $PsiBins))) *
+       |    1000000000.0) AS BIGINT)) AS BIGINT) AS psi_fp
+       |  FROM dense GROUP BY et),
+       |j AS (SELECT main.*, psi.psi_fp FROM main
+       |  JOIN psi ON psi.et = main.et),
+       |fl AS (SELECT *,
+       |    $ks > $ksCrit AS f_ks,
+       |    $w1 > $W1Flag AS f_w1,
+       |    abs($mwz) > $MwCrit AS f_mw,
+       |    $energy > $EnergyFlag AS f_en,
+       |    psi_fp >= $PsiActFp AS f_psi
+       |  FROM j),
+       |nf AS (SELECT *,
+       |    CAST(f_ks AS INT) + CAST(f_w1 AS INT) + CAST(f_mw AS INT)
+       |      + CAST(f_en AS INT) + CAST(f_psi AS INT) AS n_fired
+       |  FROM fl)
+       |SELECT et AS event_type, n1, n2,
+       |  round($ks, 6) AS ks, f_ks,
+       |  round($w1, 4) AS w1, f_w1,
+       |  round($mwz, 4) AS mw_z, f_mw,
+       |  round($energy, 4) AS energy, f_en,
+       |  round(CAST(psi_fp AS DOUBLE) / 1e9, 6) AS psi, f_psi,
+       |  CAST(n_fired AS BIGINT) AS n_fired,
+       |  n_fired >= 3 AS consensus_drift,
+       |  n_fired > 0 AND n_fired < 5 AS disagreement
+       |FROM nf ORDER BY event_type""".stripMargin
+  }
 }

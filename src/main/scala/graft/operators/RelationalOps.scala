@@ -183,4 +183,110 @@ object RelationalOps {
        |    ORDER BY score_fp DESC, event_id) AS rnk FROM e)
        |SELECT user_id, CAST(rnk AS BIGINT) AS "rank", event_id, score_fp
        |FROM r WHERE rnk <= $TopKDepth ORDER BY user_id, rnk""".stripMargin
+
+  // --- q298: JSON schema-drift audit ----------------------------------------
+
+  /** Day the planted payload change ships. */
+  val JsonDriftDay = 15
+
+  /** q298 — semi-structured (JSON payload) schema-drift audit: event
+    * `props` payloads have no enforced schema, so upstream producers
+    * ship key additions and removals silently — the drift q187's
+    * COLUMN contracts can't see because the column itself is just a
+    * string. Per key: first/last day observed, days present, event
+    * share before and after the change day — new keys (appeared
+    * mid-stream), retired keys, and coverage shifts all fall out of
+    * one table. The planted producer change at day [[JsonDriftDay]]
+    * (a `v2` key on every 3rd event; every 7th event replaces the `k`
+    * payload with `alt`) must read as: `v2`/`alt` first seen exactly
+    * then, `k` coverage dropping after.
+    *
+    * Exactness: key extraction is engine JSON parsing of identical
+    * strings; all outputs are integer counts and single divisions.
+    *
+    * Scale (100 TB): keys explode bounded by payload size (≤ a few per
+    * event); one (key, day) collapse with map-side combine. */
+  def jsonSchemaDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.t(s, dir, "events").selectExpr("event_id",
+      "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS d", "props")
+    val mutated = ev.selectExpr("event_id", "d",
+      s"CASE WHEN d >= $JsonDriftDay AND event_id % 7 = 0 " +
+        "THEN '{\"alt\": 1}' " +
+        s"WHEN d >= $JsonDriftDay AND event_id % 3 = 0 " +
+        "THEN concat(substring(props, 1, length(props) - 1), " +
+        "', \"v2\": 1}') " +
+        "ELSE props END AS p")
+    val keyed = mutated.selectExpr("d",
+      "explode(json_object_keys(p)) AS key")
+    val tot = mutated.groupBy("d").agg(count(lit(1L)).as("n_d"))
+    val perKeyDay = keyed.groupBy("key", "d")
+      .agg(count(lit(1L)).as("n"))
+    perKeyDay.join(broadcast(tot), "d")
+      .groupBy("key").agg(
+        min(col("d")).as("first_day"), max(col("d")).as("last_day"),
+        count(lit(1L)).as("days_present"),
+        sum(col("n")).as("n_events"),
+        sum(when(col("d") < JsonDriftDay, col("n")).otherwise(0L))
+          .as("n_before"),
+        sum(when(col("d") < JsonDriftDay, col("n_d")).otherwise(0L))
+          .as("tot_before"),
+        sum(when(col("d") >= JsonDriftDay, col("n")).otherwise(0L))
+          .as("n_after"),
+        sum(when(col("d") >= JsonDriftDay, col("n_d")).otherwise(0L))
+          .as("tot_after"))
+      .selectExpr("key", "first_day", "last_day", "days_present",
+        "n_events",
+        "CASE WHEN tot_before > 0 THEN round(CAST(n_before AS DOUBLE)" +
+          " / tot_before, 4) ELSE 0.0 END AS share_before",
+        "CASE WHEN tot_after > 0 THEN round(CAST(n_after AS DOUBLE)" +
+          " / tot_after, 4) ELSE 0.0 END AS share_after",
+        s"first_day >= $JsonDriftDay AS appeared_mid",
+        "CASE WHEN tot_before > 0 AND tot_after > 0 THEN " +
+          "abs(CAST(n_after AS DOUBLE) / tot_after - " +
+          "CAST(n_before AS DOUBLE) / tot_before) > 0.05 " +
+          "ELSE TRUE END AS coverage_shifted")
+      .orderBy("key")
+  }
+
+  def jsonSchemaDriftOracle: String =
+    s"""WITH ev AS (SELECT event_id,
+       |    CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+       |      AS d, props
+       |  FROM events),
+       |m AS (SELECT event_id, d,
+       |    CASE WHEN d >= $JsonDriftDay AND event_id % 7 = 0
+       |      THEN '{"alt": 1}'
+       |      WHEN d >= $JsonDriftDay AND event_id % 3 = 0
+       |      THEN concat(substring(props, 1, length(props) - 1),
+       |        ', "v2": 1}')
+       |      ELSE props END AS p
+       |  FROM ev),
+       |keyed AS (SELECT d, unnest(json_keys(p)) AS "key" FROM m),
+       |tot AS (SELECT d, count(*) AS n_d FROM m GROUP BY d),
+       |pkd AS (SELECT "key", d, count(*) AS n FROM keyed
+       |  GROUP BY 1, 2),
+       |agg AS (SELECT "key",
+       |    min(pkd.d) AS first_day, max(pkd.d) AS last_day,
+       |    count(*) AS days_present,
+       |    CAST(sum(n) AS BIGINT) AS n_events,
+       |    CAST(sum(CASE WHEN pkd.d < $JsonDriftDay THEN n ELSE 0
+       |      END) AS BIGINT) AS n_before,
+       |    CAST(sum(CASE WHEN pkd.d < $JsonDriftDay THEN n_d ELSE 0
+       |      END) AS BIGINT) AS tot_before,
+       |    CAST(sum(CASE WHEN pkd.d >= $JsonDriftDay THEN n ELSE 0
+       |      END) AS BIGINT) AS n_after,
+       |    CAST(sum(CASE WHEN pkd.d >= $JsonDriftDay THEN n_d ELSE 0
+       |      END) AS BIGINT) AS tot_after
+       |  FROM pkd JOIN tot ON tot.d = pkd.d GROUP BY "key")
+       |SELECT "key", first_day, last_day, days_present, n_events,
+       |  CASE WHEN tot_before > 0 THEN round(CAST(n_before AS DOUBLE)
+       |    / tot_before, 4) ELSE 0.0 END AS share_before,
+       |  CASE WHEN tot_after > 0 THEN round(CAST(n_after AS DOUBLE)
+       |    / tot_after, 4) ELSE 0.0 END AS share_after,
+       |  first_day >= $JsonDriftDay AS appeared_mid,
+       |  CASE WHEN tot_before > 0 AND tot_after > 0 THEN
+       |    abs(CAST(n_after AS DOUBLE) / tot_after -
+       |    CAST(n_before AS DOUBLE) / tot_before) > 0.05
+       |    ELSE TRUE END AS coverage_shifted
+       |FROM agg ORDER BY "key"""".stripMargin
 }

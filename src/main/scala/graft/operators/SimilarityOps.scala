@@ -1353,4 +1353,149 @@ object SimilarityOps {
        |  round(fin.r, 6) AS final_radius
        |FROM c$KcK, fin ORDER BY step""".stripMargin
   }
+
+  // --- q299: IVF nprobe recall/cost curve -----------------------------------
+
+  /** Probe depths swept and the top-k the recall is measured at. */
+  val NprobeMax = 4
+  val NprobeK = 3
+
+  /** q299 — IVF nprobe recall/cost curve: q43 runs the index at
+    * nprobe=1 and q113 audits one operating point; this sweeps
+    * nprobe ∈ 1..[[NprobeMax]] and reports recall@[[NprobeK]] against
+    * the exact top-k TOGETHER with the scanned-candidate share — the
+    * actual tuning artifact an ANN deployment publishes (FAISS-style
+    * recall/QPS tables). Recall must be nondecreasing in nprobe and
+    * the cost share ≈ nprobe/nlist; where the curve flattens is the
+    * deployment's operating point.
+    *
+    * Shape: each probe row (query × centroid rank rc) EXPLODES into
+    * the depths it serves (np ≥ rc), so the sweep joins the bucketed
+    * corpus once, not once per depth; exact top-k is the q34 broadcast
+    * baseline.
+    *
+    * Exactness: cosines are the shared fixed-order chains; ranks
+    * tie-break on ids; recall/cost are integer ratios. */
+  def nprobeCurve(s: SparkSession, dir: String): DataFrame = {
+    val v = withNorm(baseVectors(s, dir)).persist()
+    val cents = v.filter(col("vec_id") < IvfCentroids)
+      .select(col("vec_id").as("cid"), col("emb").as("ce"),
+        col("norm").as("cn"))
+    val asg = v.crossJoin(broadcast(cents))
+      .selectExpr("vec_id", "emb", "norm", "cid",
+        "dot_product(emb, ce) / (norm * cn) AS ccos")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("cand_id"), col("emb").as("emb_c"),
+        col("norm").as("norm_c"), col("cid").as("bucket"))
+    val qf = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("emb").as("emb_q"),
+        col("norm").as("norm_q"))
+    val exact = v.crossJoin(broadcast(qf))
+      .filter(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id AS cand_id",
+        "dot_product(emb, emb_q) / (norm * norm_q) AS cos")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("cand_id"))))
+      .filter(col("rk") <= NprobeK)
+      .select("q_id", "cand_id")
+    val qc = qf.crossJoin(broadcast(cents))
+      .selectExpr("q_id", "cid",
+        "dot_product(emb_q, ce) / (norm_q * cn) AS qcos")
+      .withColumn("rc", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("qcos").desc, col("cid"))))
+      .filter(col("rc") <= NprobeMax)
+      .selectExpr("q_id", "cid AS bucket",
+        s"explode(sequence(rc, $NprobeMax)) AS np")
+    val cand = qc.join(asg, "bucket")
+      .filter(col("cand_id") =!= col("q_id"))
+      .join(broadcast(qf), "q_id")
+      .selectExpr("np", "q_id", "cand_id",
+        "dot_product(emb_c, emb_q) / (norm_c * norm_q) AS cos")
+    val top = cand.withColumn("rk", row_number().over(
+        Window.partitionBy("np", "q_id")
+          .orderBy(col("cos").desc, col("cand_id"))))
+      .filter(col("rk") <= NprobeK)
+    val hits = top.join(exact, Seq("q_id", "cand_id"), "left_semi")
+      .groupBy("np").agg(count(lit(1L)).as("n_hits"))
+    val costs = cand.groupBy("np").agg(count(lit(1L)).as("n_cand"))
+    val nCorpus = v.count()
+    hits.join(costs, "np")
+      .selectExpr("CAST(np AS BIGINT) AS nprobe",
+        "CAST(8 AS BIGINT) AS n_queries",
+        s"round(CAST(n_hits AS DOUBLE) / (8.0 * $NprobeK), 4) " +
+          "AS recall_at_k",
+        "round(CAST(n_cand AS DOUBLE) / 8.0, 1) AS avg_candidates",
+        s"round(CAST(n_cand AS DOUBLE) / (8.0 * $nCorpus), 4) " +
+          "AS scan_share")
+      .orderBy("nprobe")
+  }
+
+  def nprobeCurveOracle: String = {
+    val nv = "(SELECT count(*) FROM n)"
+    s"""WITH v0 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, emb,
+       |    sqrt(${VecSql.dot("emb", "emb", spark = false)}) AS norm
+       |  FROM v0),
+       |cents AS (SELECT vec_id AS cid, emb AS ce, norm AS cn
+       |  FROM n WHERE vec_id < $IvfCentroids),
+       |asg0 AS (SELECT v.vec_id, v.emb, v.norm, c.cid,
+       |    (${VecSql.dot("v.emb", "c.ce", spark = false)})
+       |      / (v.norm * c.cn) AS ccos
+       |  FROM n v, cents c),
+       |asg AS (SELECT vec_id AS cand_id, emb AS emb_c,
+       |    norm AS norm_c, cid AS bucket FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cid) AS rn FROM asg0)
+       |  WHERE rn = 1),
+       |qf AS (SELECT vec_id AS q_id, emb AS emb_q, norm AS norm_q
+       |  FROM n WHERE vec_id < 8),
+       |ex0 AS (SELECT q.q_id, v.vec_id AS cand_id,
+       |    (${VecSql.dot("v.emb", "q.emb_q", spark = false)})
+       |      / (v.norm * q.norm_q) AS cos
+       |  FROM n v, qf q WHERE v.vec_id <> q.q_id),
+       |exact AS (SELECT q_id, cand_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, cand_id) AS rk FROM ex0)
+       |  WHERE rk <= $NprobeK),
+       |qc0 AS (SELECT q.q_id, c.cid,
+       |    (${VecSql.dot("q.emb_q", "c.ce", spark = false)})
+       |      / (q.norm_q * c.cn) AS qcos
+       |  FROM qf q, cents c),
+       |qc AS (SELECT q_id, cid AS bucket,
+       |    unnest(range(rc, $NprobeMax + 1)) AS np FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY qcos DESC, cid) AS rc FROM qc0)
+       |  WHERE rc <= $NprobeMax),
+       |cand AS (SELECT qc.np, qc.q_id, a.cand_id,
+       |    (${VecSql.dot("a.emb_c", "q.emb_q", spark = false)})
+       |      / (a.norm_c * q.norm_q) AS cos
+       |  FROM qc JOIN asg a ON a.bucket = qc.bucket
+       |  JOIN qf q ON q.q_id = qc.q_id
+       |  WHERE a.cand_id <> qc.q_id),
+       |top AS (SELECT np, q_id, cand_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY np, q_id
+       |      ORDER BY cos DESC, cand_id) AS rk FROM cand)
+       |  WHERE rk <= $NprobeK),
+       |hits AS (SELECT np, count(*) AS n_hits FROM top
+       |  WHERE EXISTS (SELECT 1 FROM exact e
+       |    WHERE e.q_id = top.q_id AND e.cand_id = top.cand_id)
+       |  GROUP BY np),
+       |costs AS (SELECT np, count(*) AS n_cand FROM cand GROUP BY np)
+       |SELECT CAST(hits.np AS BIGINT) AS nprobe,
+       |  CAST(8 AS BIGINT) AS n_queries,
+       |  round(CAST(n_hits AS DOUBLE) / (8.0 * $NprobeK), 4)
+       |    AS recall_at_k,
+       |  round(CAST(n_cand AS DOUBLE) / 8.0, 1) AS avg_candidates,
+       |  round(CAST(n_cand AS DOUBLE) / (8.0 * $nv), 4) AS scan_share
+       |FROM hits JOIN costs ON costs.np = hits.np
+       |ORDER BY nprobe""".stripMargin
+  }
 }

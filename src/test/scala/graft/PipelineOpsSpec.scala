@@ -3038,4 +3038,58 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.head._10 == (nSig <= AnalyticsOps.AaMaxSig))
     assert(rows.head._10, s"A/A fleet miscalibrated: $nSig significant")
   }
+
+  test("q298 json drift: planted keys first appear exactly at the change day") {
+    val rows = RelationalOps.jsonSchemaDrift(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getBoolean(7), r.getBoolean(8))).toMap
+    assert(rows.keySet == Set("k", "alt", "v2"))
+    val (k, alt, v2) = (rows("k"), rows("alt"), rows("v2"))
+    // new keys appear exactly at the producer-change day
+    Seq(alt, v2).foreach { r =>
+      assert(r._1 == RelationalOps.JsonDriftDay && r._7,
+        s"new key wrong first day: $r")
+      assert(r._5 == 0.0, s"new key present before change: $r")
+    }
+    // the legacy key predates the change and loses coverage after
+    assert(k._1 == 0 && !k._7)
+    assert(k._5 == 1.0 && k._6 < 1.0 && k._8, s"k coverage: $k")
+    // shares are consistent: after-change k + alt share = 1
+    assert(math.abs(k._6 + alt._6 - 1.0) < 0.01)
+  }
+
+  test("q299 nprobe curve: recall nondecreasing, cost linear in probes") {
+    val rows = SimilarityOps.nprobeCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(rows.map(_._1) === (1L to SimilarityOps.NprobeMax))
+    rows.sliding(2).foreach { p =>
+      if (p.length == 2) {
+        assert(p(0)._3 <= p(1)._3 + 1e-9, "recall decreased")
+        assert(p(0)._4 < p(1)._4, "candidates not growing")
+      }
+    }
+    // probing the best list already finds most neighbors
+    assert(rows.head._3 > 0.8, s"nprobe=1 recall ${rows.head._3}")
+    // cost share stays a small fraction of the corpus (the point of IVF)
+    assert(rows.last._5 < 0.5, s"scan share ${rows.last._5}")
+  }
+
+  test("q300 drift consensus: the plant fires all five; naturals fire none") {
+    val rows = ProfileOps.driftConsensus(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getBoolean(4), r.getBoolean(6),
+        r.getBoolean(8), r.getBoolean(10), r.getBoolean(12),
+        r.getLong(13), r.getBoolean(14), r.getBoolean(15))).toMap
+    val plant = rows("click_drift")
+    assert(plant._6 == 5 && plant._7 && !plant._8,
+      s"plant consensus wrong: $plant")
+    assert(plant._1 && plant._2 && plant._3 && plant._4 && plant._5)
+    rows.filterKeys(_ != "click_drift").values.foreach { v =>
+      assert(!v._7, s"natural stream reached consensus: $v")
+      // a lone detector may fire on noise — that is exactly what the
+      // disagreement flag routes to a human — but never a majority
+      assert(v._6 < 3, s"natural stream fired $v")
+    }
+  }
 }

@@ -1546,4 +1546,34 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(p.contains("Generate"),
       s"assignment explode missing:\n${p.take(1800)}")
   }
+
+  test("q298 json drift: bounded key explode, day totals broadcast") {
+    val p = plan(RelationalOps.jsonSchemaDrift(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"json drift shuffled a join:\n${p.take(1800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"day totals not broadcast:\n${p.take(1800)}")
+    assert(p.contains("Generate"),
+      s"key explode missing:\n${p.take(1800)}")
+  }
+
+  test("q299 nprobe curve: one bucketed-corpus join serves every depth") {
+    val p = plan(SimilarityOps.nprobeCurve(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"nprobe sweep went cartesian:\n${p.take(1800)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"corpus not shared via persist:\n${p.take(1800)}")
+    assert(p.contains("Generate"),
+      s"depth explode missing:\n${p.take(1800)}")
+  }
+
+  test("q300 drift consensus: one cell collapse feeds five detectors — psi side broadcast") {
+    val p = plan(ProfileOps.driftConsensus(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"consensus shuffled a join:\n${p.take(1800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"psi frame not broadcast:\n${p.take(1800)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"cells not shared via persist:\n${p.take(1800)}")
+  }
 }
