@@ -318,6 +318,9 @@ object SparkEntry {
     "q298_json_schema_drift" -> (RelationalOps.jsonSchemaDrift _),
     "q299_nprobe_curve"      -> (SimilarityOps.nprobeCurve _),
     "q300_drift_consensus"   -> (ProfileOps.driftConsensus _),
+    "q301_chunk_config"      -> (TrainPrepOps.chunkConfigCurve _),
+    "q302_sample_aqp"        -> (ScaleOps.sampleAqp _),
+    "q303_session_gap_curve" -> (ScaleOps.sessionGapCurve _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -900,6 +903,9 @@ object SparkEntry {
     "q298_json_schema_drift" -> RelationalOps.jsonSchemaDriftOracle,
     "q299_nprobe_curve" -> SimilarityOps.nprobeCurveOracle,
     "q300_drift_consensus" -> ProfileOps.driftConsensusOracle,
+    "q301_chunk_config" -> TrainPrepOps.chunkConfigCurveOracle,
+    "q302_sample_aqp" -> ScaleOps.sampleAqpOracle,
+    "q303_session_gap_curve" -> ScaleOps.sessionGapCurveOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -1270,4 +1270,195 @@ object ScaleOps {
        |  overhead = omin AS is_best
        |FROM w ORDER BY tau_s""".stripMargin
   }
+
+  // --- q302: sampling-based AQP error audit ----------------------------------
+
+  /** Sample rates audited (percent). */
+  val AqpRates: Seq[Int] = Seq(1, 5, 10)
+
+  /** q302 — approximate-query-processing error audit: can the daily
+    * dashboard run on a 1% hash-sample of the 100 TB event log? For
+    * each rate the audit computes every per-type mean from the sampled
+    * rows, the EXACT mean, the realized error, and the 95% CI the
+    * sample itself would publish — the within-CI flag is the
+    * end-to-end check that the sampling estimator's error bars can be
+    * trusted (q42 audits sketches for distinct counts; this audits row
+    * sampling for means — the other half of the AQP toolbox).
+    *
+    * Exactness: the sample membership is a hash predicate; all moments
+    * are ×100-integer sums; estimates/errors/CI are fixed-order double
+    * expressions.
+    *
+    * Scale (100 TB): ONE scan computes all rates' moments (a rate-r
+    * sample is hash % 100 < r, so conditional aggregation nests the
+    * samples); output is |rates|·|types| rows. */
+  def sampleAqp(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val ev = EtlOps.t(s, dir, "events").selectExpr("event_type AS et",
+      "CAST(round(value * 100, 0) AS BIGINT) AS v",
+      "CAST(md5_fp60(concat('aqp:', CAST(event_id AS STRING))) % 100 " +
+        "AS INT) AS h")
+    val aggs = AqpRates.flatMap { r =>
+      Seq(sum(when(col("h") < r, 1L).otherwise(0L)).as(s"n$r"),
+        sum(when(col("h") < r, col("v")).otherwise(0L)).as(s"s$r"),
+        sum(when(col("h") < r,
+          expr("CAST(v AS DECIMAL(38,0)) * v")).otherwise(expr(
+          "CAST(0 AS DECIMAL(38,0))"))).as(s"q$r"))
+    } ++ Seq(count(lit(1L)).as("n_all"), sum(col("v")).as("s_all"))
+    val mom = ev.groupBy("et").agg(aggs.head, aggs.tail: _*)
+    val stacked = AqpRates.map { r =>
+      s"struct($r AS rate, n$r AS n, s$r AS sv, q$r AS qv)"
+    }.mkString(", ")
+    mom.selectExpr("et", "n_all", "s_all",
+        s"explode(array($stacked)) AS m")
+      .selectExpr("et", "m.rate AS rate", "m.n AS n_sampled",
+        "m.sv AS sv", "m.qv AS qv", "n_all", "s_all")
+      .filter(col("n_sampled") > 1)
+      .selectExpr("CAST(rate AS BIGINT) AS rate_pct", "et AS event_type",
+        "n_sampled",
+        "round(CAST(sv AS DOUBLE) / n_sampled / 100.0, 4) AS est_mean",
+        "round(CAST(s_all AS DOUBLE) / n_all / 100.0, 4) AS exact_mean",
+        "round(abs(CAST(sv AS DOUBLE) / n_sampled - " +
+          "CAST(s_all AS DOUBLE) / n_all) / 100.0, 4) AS abs_err",
+        "round(1.96 * sqrt((CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) " +
+          "* sv / n_sampled) / (n_sampled - 1.0) / n_sampled) / 100.0" +
+          ", 4) AS ci_half",
+        "abs(CAST(sv AS DOUBLE) / n_sampled - CAST(s_all AS DOUBLE) " +
+          "/ n_all) <= 1.96 * sqrt((CAST(qv AS DOUBLE) - " +
+          "CAST(sv AS DOUBLE) * sv / n_sampled) / (n_sampled - 1.0) " +
+          "/ n_sampled) AS within_ci")
+      .orderBy("rate_pct", "event_type")
+  }
+
+  def sampleAqpOracle: String = {
+    val perRate = AqpRates.map { r =>
+      s"""SELECT $r AS rate, et, n$r AS n_sampled, s$r AS sv, q$r AS qv,
+         |  n_all, s_all FROM mom""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    val rateAggs = AqpRates.map { r =>
+      s"""CAST(sum(CASE WHEN h < $r THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n$r,
+         |    CAST(sum(CASE WHEN h < $r THEN v ELSE 0 END) AS BIGINT)
+         |      AS s$r,
+         |    sum(CASE WHEN h < $r THEN CAST(v AS HUGEINT) * v
+         |      ELSE CAST(0 AS HUGEINT) END) AS q$r""".stripMargin
+    }.mkString(",\n    ")
+    s"""WITH ev AS (SELECT event_type AS et,
+       |    CAST(round(value * 100, 0) AS BIGINT) AS v,
+       |    CAST(CAST('0x' || substr(md5('aqp:' ||
+       |      CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 100
+       |      AS INT) AS h
+       |  FROM events),
+       |mom AS (SELECT et,
+       |    $rateAggs,
+       |    count(*) AS n_all, CAST(sum(v) AS BIGINT) AS s_all
+       |  FROM ev GROUP BY et),
+       |lng AS (
+       |  $perRate)
+       |SELECT CAST(rate AS BIGINT) AS rate_pct, et AS event_type,
+       |  n_sampled,
+       |  round(CAST(sv AS DOUBLE) / n_sampled / 100.0, 4) AS est_mean,
+       |  round(CAST(s_all AS DOUBLE) / n_all / 100.0, 4) AS exact_mean,
+       |  round(abs(CAST(sv AS DOUBLE) / n_sampled -
+       |    CAST(s_all AS DOUBLE) / n_all) / 100.0, 4) AS abs_err,
+       |  round(1.96 * sqrt((CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE)
+       |    * sv / n_sampled) / (n_sampled - 1.0) / n_sampled) / 100.0
+       |    , 4) AS ci_half,
+       |  abs(CAST(sv AS DOUBLE) / n_sampled - CAST(s_all AS DOUBLE)
+       |    / n_all) <= 1.96 * sqrt((CAST(qv AS DOUBLE) -
+       |    CAST(sv AS DOUBLE) * sv / n_sampled) / (n_sampled - 1.0)
+       |    / n_sampled) AS within_ci
+       |FROM lng WHERE n_sampled > 1
+       |ORDER BY rate_pct, event_type""".stripMargin
+  }
+
+  // --- q303: sessionization gap-sensitivity curve -----------------------------
+
+  /** Candidate inactivity gaps (minutes). */
+  val GapGrid: Seq[Int] = Seq(5, 15, 30, 60, 120)
+
+  /** q303 — sessionization gap-sensitivity: q39 sessionizes at the
+    * folklore 30-minute gap; this prices the KNOB — for each candidate
+    * inactivity threshold, the session count, mean events per session,
+    * and the single-event-session share, all from ONE per-user ordered
+    * pass (a session break at threshold τ is just `gap > τ`, so every
+    * threshold is a conditional sum over the SAME gap column — five
+    * sessionizations for the price of one window). Where the curve's
+    * knee sits is the data-driven gap choice.
+    *
+    * Exactness: gaps are exact microsecond integers; counts are
+    * integers; the means are single divisions. Single-event sessions
+    * per τ are counted by the standard identity: a session is
+    * single-event iff the break pattern isolates the row (both its
+    * own gap and the NEXT row's gap exceed τ, with stream edges
+    * counting as breaks).
+    *
+    * Scale (100 TB): one user_id exchange, one in-partition sort, one
+    * |grid|-column conditional aggregate, a 5-row unpivot. */
+  def sessionGapCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = EtlOps.t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap",
+        expr("unix_micros(ts)") - lag(expr("unix_micros(ts)"), 1)
+          .over(w))
+      .withColumn("ngap", lead(col("gap"), 1).over(w))
+    val aggs = GapGrid.flatMap { g =>
+      val us = g * 60L * 1000000L
+      Seq(
+        sum(expr(s"CAST(gap IS NULL OR gap > $us AS INT)"))
+          .as(s"br$g"),
+        sum(expr(s"CAST((gap IS NULL OR gap > $us) AND " +
+          s"(ngap IS NULL OR ngap > $us) AS INT)")).as(s"sg$g"))
+    } :+ count(lit(1L)).as("n_events")
+    val m = ev.agg(aggs.head, aggs.tail: _*)
+    val stacked = GapGrid.map(g =>
+      s"struct($g AS gap_min, br$g AS ns, sg$g AS single)")
+      .mkString(", ")
+    m.selectExpr("n_events", s"explode(array($stacked)) AS r")
+      .selectExpr("CAST(r.gap_min AS BIGINT) AS gap_minutes",
+        "CAST(r.ns AS BIGINT) AS n_sessions",
+        "n_events",
+        "round(CAST(n_events AS DOUBLE) / r.ns, 2) " +
+          "AS mean_events_per_session",
+        "CAST(r.single AS BIGINT) AS n_single_event",
+        "round(CAST(r.single AS DOUBLE) / r.ns, 4) AS single_share")
+      .orderBy("gap_minutes")
+  }
+
+  def sessionGapCurveOracle: String = {
+    val aggs = GapGrid.map { g =>
+      val us = g * 60L * 1000000L
+      s"""CAST(sum(CASE WHEN gap IS NULL OR gap > $us THEN 1 ELSE 0
+         |      END) AS BIGINT) AS br$g,
+         |    CAST(sum(CASE WHEN (gap IS NULL OR gap > $us) AND
+         |      (ngap IS NULL OR ngap > $us) THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS sg$g""".stripMargin
+    }.mkString(",\n    ")
+    val perGap = GapGrid.map(g =>
+      s"SELECT $g AS gap_min, br$g AS ns, sg$g AS single, n_events " +
+        "FROM m").mkString("\n  UNION ALL ")
+    s"""WITH e0 AS (SELECT user_id, ts, event_id,
+       |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |e AS (SELECT *,
+       |    lead(gap) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS ngap
+       |  FROM e0),
+       |m AS (SELECT
+       |    $aggs,
+       |    count(*) AS n_events
+       |  FROM e),
+       |lng AS (
+       |  $perGap)
+       |SELECT CAST(gap_min AS BIGINT) AS gap_minutes,
+       |  ns AS n_sessions, n_events,
+       |  round(CAST(n_events AS DOUBLE) / ns, 2)
+       |    AS mean_events_per_session,
+       |  single AS n_single_event,
+       |  round(CAST(single AS DOUBLE) / ns, 4) AS single_share
+       |FROM lng ORDER BY gap_minutes""".stripMargin
+  }
 }

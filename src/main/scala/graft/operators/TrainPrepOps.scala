@@ -1690,4 +1690,101 @@ object TrainPrepOps {
        |  round(CAST(wins AS DOUBLE) / tot, 4) AS longer_wins_rate,
        |  CAST(wins AS DOUBLE) / tot > $PlbBiasTau AS length_biased
        |FROM t ORDER BY bucket""".stripMargin
+
+  // --- q301: RAG chunk-configuration coverage curve --------------------------
+
+  /** Candidate (chunk_size, stride) configs, the probe-span length,
+    * and the span sampling cadence (a probe span starts every
+    * [[ChunkSpanStep]] chars). */
+  val ChunkConfigs: Seq[(Int, Int)] =
+    Seq((128, 128), (128, 96), (256, 256), (256, 192), (512, 384))
+  val ChunkSpanLen = 64
+  val ChunkSpanStep = 16
+
+  /** q301 — RAG chunk-configuration coverage curve: q153 materializes
+    * ONE chunking; this prices the CONFIG GRID — for each (chunk_size,
+    * stride) candidate, the probability that an answer span of
+    * [[ChunkSpanLen]] chars is fully contained in at least one chunk,
+    * against the storage redundancy (size/stride) and index row count
+    * the config costs. Containment is pure offset arithmetic (a span
+    * [s, s+L) fits some chunk k·stride + [0, size) iff
+    * s mod stride ≤ size − L OR the span sits in the doc's final
+    * partial chunk), so the audit never touches text — probe spans
+    * start every [[ChunkSpanStep]] chars and the whole curve is one
+    * explode + one (config) collapse. The tuning table every RAG
+    * deployment computes before choosing overlap.
+    *
+    * Exactness: all counts are integers; rates are single divisions.
+    *
+    * Scale (100 TB): spans are n_chars/[[ChunkSpanStep]] rows per doc
+    * (a bounded explode of the LENGTH column, not the text); configs
+    * are compile-time literals crossed in the same projection. */
+  def chunkConfigCurve(s: SparkSession, dir: String): DataFrame = {
+    val cfgRows = ChunkConfigs.map { case (sz, st) =>
+      s"struct($sz AS size, $st AS stride)" }.mkString(", ")
+    val d = t(s, dir, "documents")
+      .selectExpr("doc_id", "n_chars",
+        s"explode(array($cfgRows)) AS cfg")
+      .selectExpr("doc_id", "n_chars", "cfg.size AS sz",
+        "cfg.stride AS st")
+      .filter(col("n_chars") >= ChunkSpanLen)
+    val spans = d.selectExpr("doc_id", "n_chars", "sz", "st",
+      s"explode(sequence(CAST(0 AS BIGINT), n_chars - $ChunkSpanLen, " +
+        s"$ChunkSpanStep)) AS sp")
+    val covered = spans.selectExpr("sz", "st",
+      // span [sp, sp+L) is covered iff it fits under some full chunk
+      // start (sp mod stride <= size - L) AND that chunk does not run
+      // past the doc end for the span... a chunk starting at
+      // k*stride covers [k*stride, min(k*stride+size, n_chars));
+      // taking k = sp div stride (the latest start <= sp), coverage
+      // needs sp + L <= k*stride + size (chunk tail may be cut by the
+      // doc end but the span itself ends <= n_chars by construction)
+      s"CAST(sp % st <= sz - $ChunkSpanLen AS INT) AS cov")
+    val nChunks = d.selectExpr("sz", "st",
+      // chunks per doc: ceil(max(n_chars - size, 0) / stride) + 1
+      "CASE WHEN n_chars <= sz THEN 1 ELSE " +
+        "CAST(ceil(CAST(n_chars - sz AS DOUBLE) / st) AS BIGINT) + 1 " +
+        "END AS nc")
+      .groupBy("sz", "st").agg(sum(col("nc")).as("n_chunks"),
+        count(lit(1L)).as("n_docs"))
+    covered.groupBy("sz", "st")
+      .agg(count(lit(1L)).as("n_spans"), sum(col("cov")).as("n_cov"))
+      .join(nChunks, Seq("sz", "st"))
+      .selectExpr("CAST(sz AS BIGINT) AS chunk_size",
+        "CAST(st AS BIGINT) AS stride", "n_docs", "n_chunks",
+        "n_spans",
+        "round(CAST(n_cov AS DOUBLE) / n_spans, 4) AS span_coverage",
+        "round(CAST(sz AS DOUBLE) / st, 4) AS redundancy")
+      .orderBy("chunk_size", "stride")
+  }
+
+  def chunkConfigCurveOracle: String = {
+    val cfgRows = ChunkConfigs.map { case (sz, st) => s"($sz, $st)" }
+      .mkString(", ")
+    s"""WITH cfg AS (SELECT * FROM (VALUES $cfgRows) c(sz, st)),
+       |d AS (SELECT doc_id, n_chars, sz, st
+       |  FROM documents, cfg WHERE n_chars >= $ChunkSpanLen),
+       |spans AS (SELECT sz, st,
+       |    unnest(range(0, n_chars - $ChunkSpanLen + 1,
+       |      $ChunkSpanStep)) AS sp
+       |  FROM d),
+       |cov AS (SELECT sz, st,
+       |    CASE WHEN sp % st <= sz - $ChunkSpanLen THEN 1 ELSE 0 END
+       |      AS cov
+       |  FROM spans),
+       |nch AS (SELECT sz, st, count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN n_chars <= sz THEN 1 ELSE
+       |      CAST(ceil(CAST(n_chars - sz AS DOUBLE) / st) AS BIGINT)
+       |      + 1 END) AS BIGINT) AS n_chunks
+       |  FROM d GROUP BY sz, st),
+       |cv AS (SELECT sz, st, count(*) AS n_spans,
+       |    CAST(sum(cov) AS BIGINT) AS n_cov
+       |  FROM cov GROUP BY sz, st)
+       |SELECT CAST(cv.sz AS BIGINT) AS chunk_size,
+       |  CAST(cv.st AS BIGINT) AS stride, n_docs, n_chunks, n_spans,
+       |  round(CAST(n_cov AS DOUBLE) / n_spans, 4) AS span_coverage,
+       |  round(CAST(cv.sz AS DOUBLE) / cv.st, 4) AS redundancy
+       |FROM cv JOIN nch ON nch.sz = cv.sz AND nch.st = cv.st
+       |ORDER BY chunk_size, stride""".stripMargin
+  }
 }

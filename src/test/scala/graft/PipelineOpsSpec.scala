@@ -3092,4 +3092,64 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(v._6 < 3, s"natural stream fired $v")
     }
   }
+
+  test("q301 chunk config: overlap buys coverage; zero-overlap configs leak spans") {
+    val rows = TrainPrepOps.chunkConfigCurve(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.length == TrainPrepOps.ChunkConfigs.length)
+    val byCfg = rows.map(r => r._1 -> r).toMap
+    // (no interior-span analytic bound here: most fixture docs are
+    // shorter than the chunk size, and a doc that fits one chunk
+    // covers EVERY span — the short-doc mass dominates the curve)
+    rows.foreach { case ((sz, st), _, _, _, cov, red) =>
+      assert(cov >= 0 && cov <= 1)
+      assert(math.abs(red - sz.toDouble / st) < 1e-3)
+    }
+    // overlap strictly improves coverage at equal size
+    assert(byCfg((128L, 96L))._5 > byCfg((128L, 128L))._5)
+    assert(byCfg((256L, 192L))._5 > byCfg((256L, 256L))._5)
+    // bigger chunks store fewer index rows
+    assert(byCfg((512L, 384L))._3 < byCfg((128L, 128L))._3)
+  }
+
+  test("q302 sample aqp: error shrinks with rate and CIs are honest") {
+    val rows = ScaleOps.sampleAqp(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getBoolean(7)))
+    val byRate = rows.groupBy(_._1._1)
+    // mean absolute error decreases as the rate grows
+    val errs = ScaleOps.AqpRates.map(r =>
+      byRate(r.toLong).map(_._5).sum / byRate(r.toLong).size)
+    errs.sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(0) >= p(1) - 1e-9,
+        s"error not shrinking: $errs"))
+    // the CI flag matches its definition and most estimates are honest
+    rows.foreach(r => assert(r._7 == (r._5 <= r._6 + 1e-9), s"flag: $r"))
+    assert(rows.count(_._7) >= rows.length - 2,
+      s"too many CI misses: ${rows.filterNot(_._7).mkString(";")}")
+  }
+
+  test("q303 session gap curve: sessions merge monotonically as the gap loosens") {
+    val rows = ScaleOps.sessionGapCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5))).sortBy(_._1)
+    assert(rows.map(_._1) === ScaleOps.GapGrid.map(_.toLong))
+    // looser gaps only MERGE sessions
+    rows.map(_._2).sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(0) >= p(1), "sessions grew"))
+    rows.map(_._5).sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(0) >= p(1), "singles grew"))
+    // accounting: sessions never exceed events; singles never exceed
+    // sessions; mean consistent
+    rows.foreach { r =>
+      assert(r._2 <= r._3 && r._5 <= r._2)
+      assert(math.abs(r._4 - r._3.toDouble / r._2) < 0.01)
+    }
+    // the 30-minute row must agree with q39's sessionization count
+    val s30 = rows.find(_._1 == 30L).get._2
+    val q39 = ScaleOps.sessionize(spark, dir).count()
+    assert(s30 == q39, s"gap-curve 30min $s30 != q39 $q39")
+  }
 }

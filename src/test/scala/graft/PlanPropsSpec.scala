@@ -1576,4 +1576,34 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"),
       s"cells not shared via persist:\n${p.take(1800)}")
   }
+
+  test("q301 chunk config: arithmetic over the LENGTH column only — no text, no join") {
+    val p = plan(TrainPrepOps.chunkConfigCurve(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"config sweep went cartesian:\n${p.take(1800)}")
+    assert(p.contains("Generate"),
+      s"config/span explode missing:\n${p.take(1800)}")
+    // the scan must prune text away (offset math needs n_chars only)
+    assert(!p.toLowerCase.contains("text#") ||
+      !p.contains("ReadSchema") || !p.contains("text"),
+      s"text column not pruned:\n${p.take(1800)}")
+  }
+
+  test("q302 sample aqp: one scan computes every rate's moments") {
+    val p = plan(ScaleOps.sampleAqp(spark, dir))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"aqp grew a join:\n${p.take(1800)}")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected ONE scan, got $scans:\n${p.take(1800)}")
+  }
+
+  test("q303 session gap curve: one user window pass prices every threshold") {
+    val p = plan(ScaleOps.sessionGapCurve(spark, dir))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"gap curve grew a join:\n${p.take(1800)}")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected ONE scan, got $scans:\n${p.take(1800)}")
+    assert(p.contains("Window"),
+      s"gap window missing:\n${p.take(1800)}")
+  }
 }
