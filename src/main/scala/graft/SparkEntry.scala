@@ -321,6 +321,8 @@ object SparkEntry {
     "q301_chunk_config"      -> (TrainPrepOps.chunkConfigCurve _),
     "q302_sample_aqp"        -> (ScaleOps.sampleAqp _),
     "q303_session_gap_curve" -> (ScaleOps.sessionGapCurve _),
+    "q304_retention_audit"   -> (ScaleOps.retentionAudit _),
+    "q305_backfill_plan"     -> (ScaleOps.backfillPlan _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -906,6 +908,8 @@ object SparkEntry {
     "q301_chunk_config" -> TrainPrepOps.chunkConfigCurveOracle,
     "q302_sample_aqp" -> ScaleOps.sampleAqpOracle,
     "q303_session_gap_curve" -> ScaleOps.sessionGapCurveOracle,
+    "q304_retention_audit" -> ScaleOps.retentionAuditOracle,
+    "q305_backfill_plan" -> ScaleOps.backfillPlanOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -1461,4 +1461,167 @@ object ScaleOps {
        |  round(CAST(single AS DOUBLE) / ns, 4) AS single_share
        |FROM lng ORDER BY gap_minutes""".stripMargin
   }
+
+  // --- q304: retention / TTL compliance audit --------------------------------
+
+  /** Per-stream retention policy (days) — signup identity data keeps
+    * the shortest clock, telemetry the longest. */
+  val RetentionDays: Seq[(String, Int)] = Seq(
+    ("click", 21), ("error", 28), ("purchase", 30),
+    ("signup", 14), ("view", 21))
+
+  /** q304 — retention/TTL compliance audit: every data platform carries
+    * per-stream retention policies (privacy clocks on identity data,
+    * cost clocks on telemetry) and needs the daily answer to "what is
+    * PAST its TTL right now, and how bad is the backlog?". As-of the
+    * newest event day, per stream: expired row count and share, the
+    * oldest surviving day vs the policy cutoff, and the violation flag
+    * — the table a purge job consumes and a compliance report quotes.
+    *
+    * Exactness: day arithmetic on integers; shares are single
+    * divisions.
+    *
+    * Scale (100 TB): one (type, day) cell collapse (map-side combined);
+    * the policy is a broadcast literal frame; at the real scale the
+    * day cells ARE the partition manifest, so the audit never scans
+    * row data at all. */
+  def retentionAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val policy = RetentionDays.toDF("et", "ttl_days")
+    val cells = EtlOps.t(s, dir, "events")
+      .selectExpr("event_type AS et",
+        "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS d")
+      .groupBy("et", "d").agg(count(lit(1L)).as("c"))
+      .withColumn("asof", max(col("d")).over(
+        Window.partitionBy(lit(1))))
+    cells.join(broadcast(policy), "et")
+      .groupBy("et").agg(
+        max(col("asof")).as("asof_day"),
+        max(col("ttl_days")).as("ttl_days"),
+        sum(col("c")).as("n_rows"),
+        min(col("d")).as("oldest_day"),
+        sum(when(expr("d < asof - ttl_days"), col("c"))
+          .otherwise(0L)).as("n_expired"))
+      .selectExpr("et AS event_type", "asof_day",
+        "CAST(ttl_days AS BIGINT) AS ttl_days",
+        "asof_day - ttl_days AS cutoff_day", "oldest_day", "n_rows",
+        "n_expired",
+        "round(CAST(n_expired AS DOUBLE) / n_rows, 4) AS expired_share",
+        "n_expired > 0 AS in_violation")
+      .orderBy("event_type")
+  }
+
+  def retentionAuditOracle: String = {
+    val pol = RetentionDays.map { case (e, t) => s"('$e', $t)" }
+      .mkString(", ")
+    s"""WITH cells AS (SELECT event_type AS et,
+       |    CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+       |      AS d, count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |w AS (SELECT *, CAST(max(d) OVER () AS BIGINT) AS asof_d
+       |  FROM cells),
+       |p AS (SELECT * FROM (VALUES $pol) pol(et, ttl_days)),
+       |j AS (SELECT w.*, p.ttl_days FROM w JOIN p ON p.et = w.et)
+       |SELECT et AS event_type, max(asof_d) AS asof_day,
+       |  CAST(max(ttl_days) AS BIGINT) AS ttl_days,
+       |  max(asof_d) - max(ttl_days) AS cutoff_day,
+       |  min(d) AS oldest_day,
+       |  CAST(sum(c) AS BIGINT) AS n_rows,
+       |  CAST(sum(CASE WHEN d < asof_d - ttl_days THEN c ELSE 0 END)
+       |    AS BIGINT) AS n_expired,
+       |  round(CAST(sum(CASE WHEN d < asof_d - ttl_days THEN c ELSE 0
+       |    END) AS DOUBLE) / sum(c), 4) AS expired_share,
+       |  sum(CASE WHEN d < asof_d - ttl_days THEN c ELSE 0 END) > 0
+       |    AS in_violation
+       |FROM j GROUP BY et ORDER BY event_type""".stripMargin
+  }
+
+  // --- q305: lineage-aware backfill planner -----------------------------------
+
+  /** The pipeline DAG as (stage order, name, per-row cost factor
+    * ×1000) — the reference's Luigi chain generalized: each stage
+    * consumes the previous stage's output for the same day partition. */
+  val BackfillStages: Seq[(Int, String, Long)] = Seq(
+    (1, "ingest", 1000L), (2, "clean", 400L), (3, "dedup", 2500L),
+    (4, "mixture", 300L), (5, "pack", 600L))
+
+  /** Code change: stage the fix lands in, and the first affected day. */
+  val BackfillStage = 3
+  val BackfillFromDay = 12L
+
+  /** q305 — lineage-aware backfill planner: when a fix lands in stage
+    * [[BackfillStage]] effective day [[BackfillFromDay]], every
+    * (stage ≥ fix, day ≥ effective) partition is stale and must
+    * recompute IN STAGE ORDER — the plan the reference's Luigi
+    * scheduler derives from task dependencies, generalized with a cost
+    * model. Per stage: affected partition count, row volume, cost
+    * (rows × stage factor), cumulative cost in execution order, and
+    * the share of the full-history rebuild this targeted backfill
+    * avoids.
+    *
+    * Exactness: partitions and rows are integer cells; costs are
+    * integer products; shares are single divisions.
+    *
+    * Scale (100 TB): one (day) cell collapse of the fact stream; the
+    * DAG is a literal frame; the plan is |stages|·|calendar| cells. */
+  def backfillPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stages = BackfillStages.toDF("stage", "stage_name", "cost_fac")
+    val days = EtlOps.t(s, dir, "events")
+      .selectExpr("CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) " +
+        "AS d")
+      .groupBy("d").agg(count(lit(1L)).as("c"))
+    val full = days.crossJoin(broadcast(stages))
+      .withColumn("affected", expr(
+        s"stage >= $BackfillStage AND d >= $BackfillFromDay"))
+    full.groupBy("stage", "stage_name", "cost_fac").agg(
+        count(lit(1L)).as("n_partitions"),
+        sum(when(col("affected"), 1L).otherwise(0L)).as("n_affected"),
+        sum(when(col("affected"), col("c")).otherwise(0L))
+          .as("rows_affected"),
+        sum(col("c")).as("rows_total"))
+      .selectExpr("CAST(stage AS BIGINT) AS stage", "stage_name",
+        "n_affected", "rows_affected",
+        "rows_affected * cost_fac AS cost",
+        "rows_total * cost_fac AS full_rebuild_cost")
+      .withColumn("cum_cost", sum(col("cost")).over(
+        Window.orderBy("stage")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .selectExpr("stage", "stage_name", "n_affected", "rows_affected",
+        "cost", "cum_cost",
+        "round(CAST(cost AS DOUBLE) / full_rebuild_cost, 4) " +
+          "AS vs_full_rebuild")
+      .orderBy("stage")
+  }
+
+  def backfillPlanOracle: String = {
+    val dag = BackfillStages.map { case (i, n, f) => s"($i, '$n', $f)" }
+      .mkString(", ")
+    s"""WITH days AS (SELECT
+       |    CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+       |      AS d, count(*) AS c
+       |  FROM events GROUP BY 1),
+       |st AS (SELECT * FROM (VALUES $dag)
+       |  s(stage, stage_name, cost_fac)),
+       |f AS (SELECT days.*, st.*,
+       |    stage >= $BackfillStage AND d >= $BackfillFromDay
+       |      AS affected
+       |  FROM days, st),
+       |g AS (SELECT stage, stage_name, cost_fac,
+       |    CAST(sum(CASE WHEN affected THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_affected,
+       |    CAST(sum(CASE WHEN affected THEN c ELSE 0 END) AS BIGINT)
+       |      AS rows_affected,
+       |    CAST(sum(c) AS BIGINT) AS rows_total
+       |  FROM f GROUP BY 1, 2, 3)
+       |SELECT CAST(stage AS BIGINT) AS stage, stage_name, n_affected,
+       |  rows_affected,
+       |  rows_affected * cost_fac AS cost,
+       |  CAST(sum(rows_affected * cost_fac) OVER (ORDER BY stage
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS cum_cost,
+       |  round(CAST(rows_affected * cost_fac AS DOUBLE) /
+       |    (rows_total * cost_fac), 4) AS vs_full_rebuild
+       |FROM g ORDER BY stage""".stripMargin
+  }
 }

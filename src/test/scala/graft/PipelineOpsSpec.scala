@@ -3152,4 +3152,48 @@ class PipelineOpsSpec extends AnyFunSuite {
     val q39 = ScaleOps.sessionize(spark, dir).count()
     assert(s30 == q39, s"gap-curve 30min $s30 != q39 $q39")
   }
+
+  test("q304 retention: violation iff data older than the cutoff exists") {
+    val rows = ScaleOps.retentionAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7), r.getBoolean(8))).toMap
+    assert(rows.keySet ==
+      ScaleOps.RetentionDays.map(_._1).toSet)
+    rows.foreach { case (et, r) =>
+      assert(r._3 == r._1 - r._2, s"cutoff wrong: $et $r")
+      assert(r._8 == (r._6 > 0), s"flag inconsistent: $et $r")
+      // violation iff the oldest surviving day is before the cutoff
+      assert(r._8 == (r._4 < r._3), s"oldest/cutoff disagree: $et $r")
+      assert(r._6 <= r._5 && r._7 >= 0 && r._7 <= 1)
+    }
+    // across STRICTLY different TTLs, a shorter clock expires more of
+    // the (near-uniform) history; same-TTL streams differ only by
+    // their own day noise, so ties are not ordered
+    val byTtl = rows.values.toSeq.sortBy(_._2)
+    byTtl.sliding(2).foreach(p =>
+      if (p.length == 2 && p(0)._2 < p(1)._2)
+        assert(p(0)._7 >= p(1)._7 - 0.05,
+          s"expiry share not monotone in TTL: ${byTtl.map(r => (r._2, r._7))}"))
+  }
+
+  test("q305 backfill: only downstream-of-fix stages recompute, cost accumulates in order") {
+    val rows = ScaleOps.backfillPlan(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .sortBy(_._1)
+    assert(rows.map(_._2) === ScaleOps.BackfillStages.map(_._2))
+    // stages upstream of the fix are untouched
+    rows.filter(_._1 < ScaleOps.BackfillStage).foreach(r =>
+      assert(r._3 == 0 && r._5 == 0, s"upstream touched: $r"))
+    // downstream stages all recompute the same partition/row set
+    val down = rows.filter(_._1 >= ScaleOps.BackfillStage)
+    assert(down.nonEmpty && down.map(_._3).distinct.length == 1)
+    assert(down.map(_._4).distinct.length == 1)
+    // cumulative cost is the running sum of per-stage costs
+    var cum = 0L
+    rows.foreach { r => cum += r._5; assert(r._6 == cum, s"cum: $r") }
+    // the targeted backfill always beats the full-history rebuild
+    down.foreach(r => assert(r._7 > 0 && r._7 < 1, s"share: $r"))
+  }
 }

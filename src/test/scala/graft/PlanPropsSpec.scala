@@ -1606,4 +1606,23 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(p.contains("Window"),
       s"gap window missing:\n${p.take(1800)}")
   }
+
+  test("q304 retention: day cells against a broadcast policy frame") {
+    val p = plan(ScaleOps.retentionAudit(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"retention shuffled a join:\n${p.take(1800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"policy not broadcast:\n${p.take(1800)}")
+  }
+
+  test("q305 backfill: day cells × broadcast DAG literals only") {
+    val p = plan(ScaleOps.backfillPlan(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"backfill shuffled a join:\n${p.take(1800)}")
+    assert(p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"DAG not broadcast:\n${p.take(1800)}")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected ONE scan, got $scans:\n${p.take(1800)}")
+  }
 }
