@@ -1958,10 +1958,12 @@ object AnalyticsOps {
         .as("x_purchase"),
       sum(when(col("event_type") === "error", 1L).otherwise(0L))
         .as("x_error"))
-    val long = Seq("click", "purchase", "error").map { m =>
-      perUser.selectExpr(s"'$m' AS metric",
-        "CAST(user_id % 2 AS BIGINT) AS arm", s"x_$m AS x", "y")
-    }.reduce(_ unionAll _)
+    // one pass: the three metrics unpivot via stack, never re-scanning
+    // the user collapse (the union form re-read events 3×)
+    val long = perUser.selectExpr(
+      "CAST(user_id % 2 AS BIGINT) AS arm", "y",
+      "stack(3, 'click', x_click, 'purchase', x_purchase, " +
+        "'error', x_error) AS (metric, x)")
     val mom = long.groupBy("metric", "arm").agg(
       count(lit(1L)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
