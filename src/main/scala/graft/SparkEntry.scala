@@ -323,6 +323,11 @@ object SparkEntry {
     "q303_session_gap_curve" -> (ScaleOps.sessionGapCurve _),
     "q304_retention_audit"   -> (ScaleOps.retentionAudit _),
     "q305_backfill_plan"     -> (ScaleOps.backfillPlan _),
+    "q306_assoc_rules"       -> (AnalyticsOps.assocRules _),
+    "q307_triangle_census"   -> (GraphOps.triangleCensus _),
+    "q308_pca_power"         -> (SimilarityOps.pcaPower _),
+    "q309_gate_fairness"     -> (CurationOps.gateFairness _),
+    "q310_acf_whiteness"     -> (TimeSeriesOps.acfWhiteness _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -910,6 +915,11 @@ object SparkEntry {
     "q303_session_gap_curve" -> ScaleOps.sessionGapCurveOracle,
     "q304_retention_audit" -> ScaleOps.retentionAuditOracle,
     "q305_backfill_plan" -> ScaleOps.backfillPlanOracle,
+    "q306_assoc_rules" -> AnalyticsOps.assocRulesOracle,
+    "q307_triangle_census" -> GraphOps.triangleCensusOracle,
+    "q308_pca_power" -> SimilarityOps.pcaPowerOracle,
+    "q309_gate_fairness" -> CurationOps.gateFairnessOracle,
+    "q310_acf_whiteness" -> TimeSeriesOps.acfWhitenessOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -2657,4 +2657,113 @@ object AnalyticsOps {
        |  n_sig <= $AaMaxSig AS calibrated
        |FROM f ORDER BY assignment""".stripMargin
   }
+
+  // --- q306: association-rule mining (support / confidence / lift) -------
+
+  /** Minimum pair support (share of all baskets) for a reported rule. */
+  val ArMinSupport = 0.05
+
+  /** Lift beyond which a rule is flagged as a real association. */
+  val ArLiftFlag = 1.1
+
+  /** q306 — association-rule mining over (user, day) activity baskets:
+    * every ordered rule A→B above [[ArMinSupport]] support reports
+    * P(A∧B), confidence P(B|A), lift P(B|A)/P(B) and an [[ArLiftFlag]]
+    * flag — the classic market-basket readout, here answering the
+    * curation question "which activity types co-occur beyond chance"
+    * before anyone builds a funnel (q67) on a pair that doesn't. The
+    * raw streams are independent by construction, so a planted 'promo'
+    * item (added to every purchase basket) must surface as the ONLY
+    * flagged rule pair while the independent pairs sit at lift ≈ 0.92.
+    *
+    * Exactness: all counts are exact integers off one distinct
+    * (user, day, item) frame; support/confidence/lift are single
+    * double divisions over those integers.
+    *
+    * Scale (100 TB): the basket frame collapses the raw stream
+    * map-side; pair generation self-joins WITHIN the (user, day) key —
+    * bounded by the item alphabet, never by event volume — and the
+    * per-item marginals broadcast to the pair frame. At a larger
+    * alphabet the production guard is a per-basket cap (the q118
+    * hot-bucket discipline); at |items| = 6 it is vacuous and
+    * omitted. */
+  def assocRules(s: SparkSession, dir: String): DataFrame = {
+    // ONE events scan: the collapsed basket frame (plus the planted
+    // promo item) is persisted and feeds the pair join, both
+    // marginals and the basket count
+    val base = EtlOps.t(s, dir, "events")
+      .selectExpr("user_id",
+        "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS g",
+        "event_type AS item")
+      .distinct()
+    val items = base.unionAll(
+      base.filter(col("item") === "purchase")
+        .select(col("user_id"), col("g"), lit("promo").as("item")))
+      .persist()
+    val nBaskets = items.select("user_id", "g").distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val marg = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.g") === col("b.g") && col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("antecedent"),
+        col("b.item").as("consequent"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(marg.select(col("item").as("antecedent"),
+        col("n_item").as("n_ant"))), "antecedent")
+      .join(broadcast(marg.select(col("item").as("consequent"),
+        col("n_item").as("n_cons"))), "consequent")
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("support",
+        col("n_both").cast("double") / col("n_baskets").cast("double"))
+      .filter(col("support") >= ArMinSupport)
+      .withColumn("confidence",
+        col("n_both").cast("double") / col("n_ant").cast("double"))
+      .withColumn("lift", col("confidence") *
+        col("n_baskets").cast("double") / col("n_cons").cast("double"))
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        col("n_ant"), col("n_cons"), col("n_baskets"),
+        round(col("support"), 6).as("support"),
+        round(col("confidence"), 6).as("confidence"),
+        round(col("lift"), 6).as("lift"),
+        (col("lift") > ArLiftFlag).as("associated"))
+      .orderBy("antecedent", "consequent")
+  }
+
+  def assocRulesOracle: String =
+    s"""WITH base AS (SELECT DISTINCT user_id,
+       |    CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+       |      AS g, event_type AS item
+       |  FROM events),
+       |items AS (SELECT * FROM base
+       |  UNION ALL SELECT user_id, g, 'promo' FROM base
+       |  WHERE item = 'purchase'),
+       |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets
+       |  FROM (SELECT DISTINCT user_id, g FROM items)),
+       |marg AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item
+       |  FROM items GROUP BY item),
+       |pairs AS (SELECT a.item AS antecedent, b.item AS consequent,
+       |    CAST(count(*) AS BIGINT) AS n_both
+       |  FROM items a JOIN items b ON a.user_id = b.user_id
+       |    AND a.g = b.g AND a.item <> b.item
+       |  GROUP BY 1, 2),
+       |j AS (SELECT p.*, ma.n_item AS n_ant, mc.n_item AS n_cons,
+       |    nb.n_baskets,
+       |    CAST(p.n_both AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE)
+       |      AS support,
+       |    CAST(p.n_both AS DOUBLE) / CAST(ma.n_item AS DOUBLE)
+       |      AS confidence
+       |  FROM pairs p
+       |  JOIN marg ma ON ma.item = p.antecedent
+       |  JOIN marg mc ON mc.item = p.consequent, nb)
+       |SELECT antecedent, consequent, n_both, n_ant, n_cons, n_baskets,
+       |  round(support, 6) AS support,
+       |  round(confidence, 6) AS confidence,
+       |  round(confidence * CAST(n_baskets AS DOUBLE)
+       |    / CAST(n_cons AS DOUBLE), 6) AS lift,
+       |  confidence * CAST(n_baskets AS DOUBLE)
+       |    / CAST(n_cons AS DOUBLE) > $ArLiftFlag AS associated
+       |FROM j WHERE support >= $ArMinSupport
+       |ORDER BY antecedent, consequent""".stripMargin
 }

@@ -2644,4 +2644,96 @@ object CurationOps {
        |  round(CAST(offd AS DOUBLE) / tot, 6) AS est_noise_rate
        |FROM w ORDER BY obs_label, pred_label""".stripMargin
   }
+
+  // --- q309: gate fairness audit (disparate impact / equal opportunity) --
+
+  /** The four-fifths rule: a group selected at < 80% of the
+    * best-selected group's rate is adversely impacted (US EEOC
+    * guideline; the standard first fairness screen). */
+  val FourFifths = 0.8
+
+  /** q309 — fairness audit of the q129 production classifier gate
+    * across sources (the pipeline's protected-attribute analog: a gate
+    * that silently starves one domain/language reshapes the corpus):
+    * per source, the selection rate, its disparate-impact ratio
+    * against the best-selected source ([[FourFifths]]-rule flag), and
+    * the equal-opportunity view — the selection rate among QUALIFIED
+    * documents (q104's rule stack as the ground-truth proxy, the q194
+    * pairing) with its gap to the pooled qualified rate. κ (q194) says
+    * whether the gates agree, calibration (q195) whether scores mean
+    * anything — THIS says who pays for the disagreement.
+    *
+    * Exactness: all cells are exact integer conditional sums off one
+    * scan; rates are single divisions; the DI denominator and pooled
+    * rate are broadcast window scalars over |sources| rows.
+    *
+    * Scale (100 TB): both gates evaluate in ONE codegen'd projection
+    * (shared `logitOf` / `gopherPassOf` — the audited definitions);
+    * the aggregate collapses map-side to |sources| rows and the
+    * windows run over those rows, so fairness costs one corpus scan. */
+  def gateFairness(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = t(s, dir, "documents").select(
+      col("source"),
+      (MixtureOps.logitOf >= 0L).as("kept"),
+      TrainPrepOps.gopherPassOf(col("text")).as("qual"))
+    val perSrc = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("qual"), 1L).otherwise(0L)).as("n_qual"),
+      sum(when(col("kept") && col("qual"), 1L).otherwise(0L))
+        .as("n_qual_kept"))
+    val w = Window.partitionBy(lit(1))
+    perSrc
+      .withColumn("sel_rate",
+        col("n_kept").cast("double") / col("n_docs").cast("double"))
+      .withColumn("best_rate", max(col("sel_rate")).over(w))
+      .withColumn("di_ratio", col("sel_rate") / col("best_rate"))
+      .withColumn("qual_sel_rate",
+        col("n_qual_kept").cast("double") / col("n_qual").cast("double"))
+      .withColumn("pooled_qual_rate",
+        sum(col("n_qual_kept")).over(w).cast("double") /
+          sum(col("n_qual")).over(w).cast("double"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("n_qual"), col("n_qual_kept"),
+        round(col("sel_rate"), 6).as("sel_rate"),
+        round(col("di_ratio"), 6).as("di_ratio"),
+        (col("di_ratio") >= FourFifths).as("passes_four_fifths"),
+        round(col("qual_sel_rate"), 6).as("qual_sel_rate"),
+        round(col("qual_sel_rate") - col("pooled_qual_rate"), 6)
+          .as("equal_opp_gap"))
+      .orderBy("source")
+  }
+
+  def gateFairnessOracle: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |lg AS (SELECT doc_id, CAST(sum($ClfLogitWSql) AS BIGINT) AS logit
+       |  FROM tok GROUP BY doc_id),
+       |g AS (SELECT source, lg.logit >= 0 AS kept, ($GopherSql) AS qual
+       |  FROM documents JOIN lg USING (doc_id)),
+       |ps AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_kept,
+       |    CAST(sum(CASE WHEN qual THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_qual,
+       |    CAST(sum(CASE WHEN kept AND qual THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_qual_kept
+       |  FROM g GROUP BY source),
+       |r AS (SELECT *,
+       |    CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE) AS sel_rate,
+       |    CAST(n_qual_kept AS DOUBLE) / CAST(n_qual AS DOUBLE)
+       |      AS qual_sel_rate,
+       |    CAST(sum(n_qual_kept) OVER () AS DOUBLE)
+       |      / CAST(sum(n_qual) OVER () AS DOUBLE) AS pooled_qual_rate
+       |  FROM ps),
+       |r2 AS (SELECT *, sel_rate / max(sel_rate) OVER () AS di_ratio
+       |  FROM r)
+       |SELECT source, n_docs, n_kept, n_qual, n_qual_kept,
+       |  round(sel_rate, 6) AS sel_rate,
+       |  round(di_ratio, 6) AS di_ratio,
+       |  di_ratio >= $FourFifths AS passes_four_fifths,
+       |  round(qual_sel_rate, 6) AS qual_sel_rate,
+       |  round(qual_sel_rate - pooled_qual_rate, 6) AS equal_opp_gap
+       |FROM r2 ORDER BY source""".stripMargin
 }

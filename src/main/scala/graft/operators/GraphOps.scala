@@ -668,4 +668,182 @@ object GraphOps {
        |  CAST(sum(parts) AS BIGINT) AS n_base_parts,
        |  TRUE AS incr_agrees
        |FROM o GROUP BY outcome ORDER BY outcome""".stripMargin
+
+  // --- q307: triangle census / clustering coefficient --------------------
+
+  /** Hot-cell guard: at most this many users per (type, hour) cell feed
+    * pair generation (the q118 hot-bucket discipline — vacuous at test
+    * scale where the largest cell holds 10 users, load-bearing at any
+    * scale where a cell goes viral). Deterministic: lowest user ids. */
+  val CoocCellCap = 64
+
+  /** Edge threshold: user pairs must share ≥ this many cells. */
+  val CoocMinCells = 3
+
+  /** Degree-band width for the census rows. */
+  val TriBandWidth = 5
+
+  /** q307 — triangle census with per-degree-band clustering
+    * coefficients over the user co-activity graph (edges = user pairs
+    * sharing ≥ [[CoocMinCells]] distinct (event_type, hour) activity
+    * cells). Triangles separate genuine communities from hub noise —
+    * a bot herd hitting one endpoint produces stars (degree without
+    * closure) while coordinated accounts close triangles; transitivity
+    * vs degree is the standard first look.
+    *
+    * Counting is the degree-ordered edge-iterator (Schank & Wagner
+    * 2005): every edge orients from lower to higher (degree, id) rank,
+    * each triangle is counted exactly once at its lowest-rank vertex,
+    * and a vertex's oriented out-degree is O(√m) regardless of hub
+    * size — the bound that keeps every adjacency array small at scale.
+    *
+    * Exactness: triangles, degrees and wedge counts are exact
+    * integers; each local coefficient 2·tri/(deg·(deg−1)) is one
+    * double division, band means are rounded sums of those.
+    *
+    * Scale (100 TB): the stream collapses to distinct (cell, user)
+    * rows; pair volume is bounded by cap²·|cells| ([[CoocCellCap]]);
+    * the Θ(Σ wedges) closure work happens INSIDE rows as sorted-array
+    * intersections of O(√m)-bounded neighbor lists — the wedge stream
+    * is never materialized or shuffled; the only exchanges are the
+    * adjacency groupBy and two m-row joins. */
+  /** The co-activity edge list (ua < ub) — exposed so the spec can
+    * count triangles independently of the oriented wedge join. */
+  private[graft] def cooccurEdges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = EtlOps.t(s, dir, "events")
+      .select(col("event_type").as("et"),
+        date_trunc("hour", col("ts")).as("h"), col("user_id").as("u"))
+      .distinct()
+    val capped = cells
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("et", "h").orderBy("u")))
+      .filter(col("rn") <= CoocCellCap)
+      .select("et", "h", "u")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.et") === col("b.et") && col("a.h") === col("b.h") &&
+          col("a.u") < col("b.u"))
+      .groupBy(col("a.u").as("ua"), col("b.u").as("ub"))
+      .agg(count(lit(1)).as("nc"))
+      .filter(col("nc") >= CoocMinCells)
+      .select("ua", "ub")
+  }
+
+  def triangleCensus(s: SparkSession, dir: String): DataFrame = {
+    val edges = cooccurEdges(s, dir).persist()
+    val deg = edges.select(col("ua").as("u"))
+      .unionAll(edges.select(col("ub").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("u").as("ua"), col("deg").as("da")), "ua")
+      .join(deg.select(col("u").as("ub"), col("deg").as("db")), "ub")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("ua") < col("ub")),
+        col("ua")).otherwise(col("ub")).as("lo"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("ua") < col("ub")),
+        col("ub")).otherwise(col("ua")).as("hi"))
+    // edge-iterator with adjacency intersection: each node's (rank-
+    // bounded, O(√m)) higher-rank neighbor list collapses to a sorted
+    // array once; per oriented edge (u, v) the closing vertices are
+    // adj(u) ∩ adj(v) — an in-row array_intersect, so the Θ(Σ wedge)
+    // work never materializes as rows and never shuffles. Exchanges:
+    // the adjacency groupBy and two m-row joins against the |V|-row
+    // adjacency table — the same asymptotics GraphFrames ships for
+    // triangle counting.
+    val adj = oriented.groupBy(col("lo").as("u"))
+      .agg(sort_array(collect_list(col("hi"))).as("nbrs"))
+    val perEdge = oriented
+      .join(adj.select(col("u").as("lo"), col("nbrs").as("nbrs_u")), "lo")
+      .join(adj.select(col("u").as("hi"), col("nbrs").as("nbrs_v")),
+        Seq("hi"), "left")
+      .select(col("lo").as("eu"), col("hi").as("ev"),
+        array_intersect(col("nbrs_u"),
+          coalesce(col("nbrs_v"), lit(Array.empty[Long]))).as("ws"))
+    // ONE explode emits every node's triangle contribution directly —
+    // (u, |ws|), (v, |ws|) and (w, 1) per closing vertex — instead of
+    // materializing (u, v, w) rows and re-exploding them 3-wide
+    val triPerNode = perEdge
+      .select(explode(expr(
+        "concat(array(named_struct('n', eu, 'c', CAST(size(ws) AS BIGINT)), " +
+          "named_struct('n', ev, 'c', CAST(size(ws) AS BIGINT))), " +
+          "transform(ws, x -> named_struct('n', x, 'c', 1L)))")).as("t"))
+      .select(col("t.n").as("u"), col("t.c"))
+      .groupBy("u").agg(sum(col("c")).as("tri"))
+      .filter(col("tri") > 0)
+    val nodes = deg.join(triPerNode, Seq("u"), "left")
+      .withColumn("tri", coalesce(col("tri"), lit(0L)))
+      .withColumn("cc", when(col("deg") >= 2,
+        lit(2.0) * col("tri").cast("double") /
+          (col("deg") * (col("deg") - 1)).cast("double")))
+    // global triangle/wedge totals as window sums over the ≤7 band
+    // rows — a separate nodes.agg would recompute the whole triangle
+    // pipeline a second time (measured 2× at sf0.1)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    nodes
+      .withColumn("degree_band",
+        expr(s"least(deg div $TriBandWidth, 6L)"))
+      .groupBy("degree_band")
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(col("tri")).as("n_closed"),
+        round(avg(col("cc")), 6).as("mean_local_cc"),
+        sum(expr("deg * (deg - 1)") / 2L).as("bw"))
+      .withColumn("gt", sum(col("n_closed")).over(wAll) / 3L)
+      .withColumn("nw", sum(col("bw")).over(wAll))
+      .selectExpr("degree_band", "n_nodes", "n_closed", "mean_local_cc",
+        "CAST(gt AS BIGINT) AS global_triangles",
+        "round(3.0 * gt / CAST(nw AS DOUBLE), 6)" +
+          " AS global_transitivity")
+      .orderBy("degree_band")
+  }
+
+  def triangleCensusOracle: String =
+    s"""WITH cells AS (SELECT DISTINCT event_type AS et,
+       |    date_trunc('hour', ts) AS h, user_id AS u FROM events),
+       |capped AS (SELECT et, h, u FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY et, h ORDER BY u) AS rn
+       |  FROM cells) WHERE rn <= $CoocCellCap),
+       |edges AS (SELECT a.u AS ua, b.u AS ub
+       |  FROM capped a JOIN capped b
+       |    ON a.et = b.et AND a.h = b.h AND a.u < b.u
+       |  GROUP BY 1, 2 HAVING count(*) >= $CoocMinCells),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg
+       |  FROM (SELECT ua AS u FROM edges
+       |        UNION ALL SELECT ub FROM edges)
+       |  GROUP BY u),
+       |orient AS (SELECT
+       |    CASE WHEN da.deg < db.deg
+       |      OR (da.deg = db.deg AND e.ua < e.ub)
+       |      THEN e.ua ELSE e.ub END AS lo,
+       |    CASE WHEN da.deg < db.deg
+       |      OR (da.deg = db.deg AND e.ua < e.ub)
+       |      THEN e.ub ELSE e.ua END AS hi
+       |  FROM edges e
+       |  JOIN deg da ON da.u = e.ua JOIN deg db ON db.u = e.ub),
+       |tris AS (SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+       |  FROM orient e1 JOIN orient e2
+       |    ON e1.lo = e2.lo AND e1.hi < e2.hi
+       |  WHERE EXISTS (SELECT 1 FROM edges x
+       |    WHERE x.ua = e1.hi AND x.ub = e2.hi)),
+       |tpn AS (SELECT u, CAST(count(*) AS BIGINT) AS tri
+       |  FROM (SELECT u FROM tris UNION ALL SELECT v FROM tris
+       |        UNION ALL SELECT w FROM tris)
+       |  GROUP BY u),
+       |nodes AS (SELECT d.u, d.deg, coalesce(t.tri, 0) AS tri,
+       |    CASE WHEN d.deg >= 2 THEN 2.0 * coalesce(t.tri, 0)
+       |      / CAST(d.deg * (d.deg - 1) AS DOUBLE) END AS cc
+       |  FROM deg d LEFT JOIN tpn t ON t.u = d.u),
+       |g AS (SELECT sum(tri) / 3 AS global_triangles,
+       |    sum(deg * (deg - 1)) / 2 AS n_wedges FROM nodes)
+       |SELECT least(deg // $TriBandWidth, 6) AS degree_band,
+       |  count(*) AS n_nodes, CAST(sum(tri) AS BIGINT) AS n_closed,
+       |  round(avg(cc), 6) AS mean_local_cc,
+       |  CAST(g.global_triangles AS BIGINT) AS global_triangles,
+       |  round(3.0 * g.global_triangles
+       |    / CAST(g.n_wedges AS DOUBLE), 6) AS global_transitivity
+       |FROM nodes, g
+       |GROUP BY 1, g.global_triangles, g.n_wedges
+       |ORDER BY degree_band""".stripMargin
 }

@@ -1498,4 +1498,104 @@ object SimilarityOps {
        |FROM hits JOIN costs ON costs.np = hits.np
        |ORDER BY nprobe""".stripMargin
   }
+
+  // --- q308: distributed PCA power iteration ------------------------------
+
+  /** Fixed power-iteration count (unrolled in the oracle). */
+  val PcaIters = 3
+
+  /** Fixed-point scale for the order-independent row sums — the q70
+    * PageRank discipline. */
+  private val PcaFp = "1000000000000.0"
+
+  /** q308 — top principal component of the embedding corpus by
+    * distributed power iteration: v ← normalize(Xᵀ(X·v)) for
+    * [[PcaIters]] rounds from the uniform start v₀ = 1/√64 — the
+    * whitening/anisotropy primitive (q279 measures the mean direction;
+    * THIS finds the dominant variance axis any ABTT/whitening pass
+    * removes first, with its Rayleigh eigenvalue and share of total
+    * second moment).
+    *
+    * The distributed shape is the one that matters: the d×d Gram
+    * matrix is never materialized — each pass computes y_r = x_r·v
+    * inside one codegen'd projection ([[graft.functions.DotProduct]])
+    * and reduces Σ_r y_r·x_r to d values, so a pass moves d BIGINTs
+    * per task, not d² anything.
+    *
+    * Parity: y_r is the native dot-product chain (same IEEE order as
+    * the oracle's generated 64-term chain); each per-row contribution
+    * x_rd·y_r quantizes to floor(·10¹²) BIGINT before the cross-row
+    * sum (exact, order-independent — the q70 discipline); the norm and
+    * the element-wise normalize run in one fixed op order over the
+    * 64-element vector on both engines. Results are bit-identical with
+    * no tolerance.
+    *
+    * Scale (100 TB): [[PcaIters]]+1 corpus passes (power iteration IS
+    * k passes), each a narrow map + one 64-row map-side-combined
+    * aggregate; the iterate v broadcasts at 512 bytes. Nothing else
+    * moves. */
+  def pcaPower(s: SparkSession, dir: String): DataFrame = {
+    val corpus = baseVectors(s, dir).persist()
+    val v0 = s.range(1).selectExpr(
+      s"transform(sequence(1, ${VecSql.Dims}), i -> CAST(0.125 AS DOUBLE)) AS v")
+    def step(vF: DataFrame): DataFrame = {
+      val y = corpus.crossJoin(broadcast(vF))
+        .selectExpr("emb", "dot_product(emb, v) AS y")
+      val ufp = y.select(col("y"), posexplode(col("emb")))
+        .selectExpr("pos + 1 AS p",
+          s"CAST(floor(col * y * $PcaFp) AS BIGINT) AS q")
+        .groupBy("p").agg(sum("q").as("ufp"))
+      ufp.agg(expr("array_sort(collect_list(struct(p, ufp))) AS pairs"))
+        .selectExpr(
+          s"transform(pairs, t -> CAST(t.ufp AS DOUBLE) / $PcaFp) AS u")
+        .selectExpr("u", "sqrt(dot_product(u, u)) AS nrm")
+        .selectExpr("transform(u, x -> x / nrm) AS v", "nrm")
+    }
+    val last = (1 to PcaIters).foldLeft(v0)((f, _) => step(f.select("v")))
+    val trace = corpus.selectExpr(
+      s"CAST(floor(dot_product(emb, emb) * $PcaFp) AS BIGINT) AS q")
+      .agg(sum("q").as("tfp"))
+    last.crossJoin(broadcast(trace))
+      .select(col("nrm"), col("tfp"), posexplode(col("v")))
+      .selectExpr("CAST(pos + 1 AS BIGINT) AS dim",
+        "round(col, 6) AS loading", "round(nrm, 4) AS eigval",
+        s"round(nrm / (CAST(tfp AS DOUBLE) / $PcaFp), 6)" +
+          " AS explained_share")
+      .orderBy("dim")
+  }
+
+  def pcaPowerOracle: String = {
+    val n = VecSql.Dims
+    def d(a: String, b: String) = VecSql.dot(a, b, spark = false, n)
+    val iters = (1 to PcaIters).map { k =>
+      val pv = if (k == 1) "v0" else s"v${k - 1}"
+      s"""y$k AS (SELECT e.emb, (${d("e.emb", s"$pv.v")}) AS y
+         |  FROM e, $pv),
+         |c$k AS (SELECT dd.p,
+         |    CAST(floor(y$k.emb[dd.p] * y$k.y * $PcaFp) AS BIGINT) AS q
+         |  FROM y$k, dd),
+         |ufp$k AS (SELECT p, CAST(sum(q) AS BIGINT) AS ufp
+         |  FROM c$k GROUP BY p),
+         |u$k AS (SELECT list(CAST(ufp AS DOUBLE) / $PcaFp ORDER BY p)
+         |    AS u FROM ufp$k),
+         |n$k AS (SELECT u, sqrt(${d("u", "u")}) AS nrm FROM u$k),
+         |v$k AS (SELECT list_transform(u, x -> x / nrm) AS v, nrm
+         |  FROM n$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |dd AS (SELECT unnest(range(1, ${n + 1})) AS p),
+       |v0 AS (SELECT list_transform(range(1, ${n + 1}),
+       |    i -> CAST(0.125 AS DOUBLE)) AS v),
+       |$iters,
+       |tr AS (SELECT CAST(sum(CAST(floor((${d("emb", "emb")})
+       |    * $PcaFp) AS BIGINT)) AS BIGINT) AS tfp FROM e)
+       |SELECT CAST(dd.p AS BIGINT) AS dim,
+       |  round(v$PcaIters.v[dd.p], 6) AS loading,
+       |  round(v$PcaIters.nrm, 4) AS eigval,
+       |  round(v$PcaIters.nrm / (CAST(tr.tfp AS DOUBLE) / $PcaFp), 6)
+       |    AS explained_share
+       |FROM dd, v$PcaIters, tr ORDER BY dim""".stripMargin
+  }
 }

@@ -1515,4 +1515,138 @@ object TimeSeriesOps {
        |      6) END AS attribution_share
        |FROM eff, b, t2 ORDER BY removed_channel""".stripMargin
   }
+
+  // --- q310: ACF + Ljung–Box whiteness audit -------------------------------
+
+  /** Portmanteau depth: ACF lags 1..[[AcfMaxLag]] are tested jointly. */
+  val AcfMaxLag = 7
+
+  /** χ²(0.95, df) critical values for df = 1..[[AcfMaxLag]] (standard
+    * table constants — Ljung & Box 1978 usage). */
+  val Chi2Crit95: Seq[Double] =
+    Seq(3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067)
+
+  /** q310 — residual-whiteness audit: the sample autocorrelation
+    * function at lags 1..[[AcfMaxLag]] of each stream's daily-count
+    * series, with the cumulative Ljung–Box portmanteau statistic
+    * Q(K) = n(n+2)·Σ_{k≤K} r_k²/(n−k) tested against χ²(0.95, K).
+    * q262's lag-1 r flags the periodic-batch SHAPE; this is the full
+    * test every anomaly monitor upstream assumes implicitly — CUSUM
+    * (q253), z-scores (q73) and control-band alerting are calibrated
+    * for white residuals, and a stream that fails whiteness here will
+    * false-alarm there at far above its nominal rate. The planted
+    * 'bursty' stream (q262's fixture: dow-0 days tripled) must fail
+    * with the period-7 signature (r₇ ≫ 0) while plain daily noise
+    * passes.
+    *
+    * Exactness: with S = Σx and n the day count, each lag's numerator
+    * Σ_t (n·x_t − S)(n·x_{t−k} − S) and the shared denominator
+    * Σ_t (n·x_t − S)² are exact BIGINTs (the q262 discipline, extended
+    * to [[AcfMaxLag]] lags); r_k is ONE double division, and Q
+    * accumulates r_k² in fixed lag order on both engines.
+    *
+    * Scale (100 TB): one (type, day) cell collapse (map-side combined);
+    * the [[AcfMaxLag]] lag columns come from ONE per-type window sort
+    * over |calendar| cells; everything after is arithmetic on
+    * |types|·|lags| rows. */
+  def acfWhiteness(s: SparkSession, dir: String): DataFrame = {
+    val ev = EtlOps.t(s, dir, "events")
+    val base = ev.selectExpr("event_type AS et",
+      "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS d")
+    val plant1 = ev.selectExpr("'bursty' AS et",
+      "CAST(datediff(ts, DATE '2024-01-01') AS BIGINT) AS d")
+    val plantX = plant1.filter(col("d") % 7 === 0)
+    val daily = base.unionAll(plant1).unionAll(plantX).unionAll(plantX)
+      .groupBy("et", "d").agg(count(lit(1)).as("x"))
+    val wAll = Window.partitionBy("et")
+    val wOrd = Window.partitionBy("et").orderBy("d")
+    val lagged = (1 to AcfMaxLag).foldLeft(
+      daily.withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("sx", sum(col("x")).over(wAll))) { (df, k) =>
+      df.withColumn(s"xl$k", lag(col("x"), k).over(wOrd))
+    }
+    // dev_t = n·x_t − S is an exact BIGINT; num_k/den are exact sums
+    val numCols = (1 to AcfMaxLag).flatMap { k =>
+      Seq(sum(when(col(s"xl$k").isNotNull,
+        expr(s"(n * x - sx) * (n * xl$k - sx)")).otherwise(0L))
+        .as(s"num$k"))
+    }
+    val aggCols = Seq(
+      sum(expr("(n * x - sx) * (n * x - sx)")).as("den")) ++ numCols
+    val ag = lagged.groupBy("et")
+      .agg(max(col("n")).as("n"), aggCols: _*)
+    val stackArgs = (1 to AcfMaxLag)
+      .map(k => s"${k}L, num$k, ${Chi2Crit95(k - 1)}D").mkString(", ")
+    val perLag = ag.select(col("et"), col("n"), col("den"),
+      expr(s"stack($AcfMaxLag, $stackArgs) AS (lag, num, chi2_crit)"))
+      .withColumn("acf",
+        col("num").cast("double") / col("den").cast("double"))
+    val wQ = Window.partitionBy("et").orderBy("lag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perLag
+      .withColumn("q_stat",
+        col("n").cast("double") * (col("n") + lit(2L)).cast("double") *
+          sum(col("acf") * col("acf") /
+            (col("n") - col("lag")).cast("double")).over(wQ))
+      .selectExpr("et AS event_type", "lag", "n AS n_days",
+        "round(acf, 6) AS acf", "round(q_stat, 4) AS q_stat",
+        "chi2_crit", "q_stat <= chi2_crit AS is_white_noise")
+      .orderBy("event_type", "lag")
+  }
+
+  def acfWhitenessOracle: String = {
+    val numSel = (1 to AcfMaxLag).map(k =>
+      s"""    CAST(sum(CASE WHEN xl$k IS NOT NULL
+         |      THEN (n * x - sx) * (n * xl$k - sx) ELSE 0 END)
+         |      AS BIGINT) AS num$k""".stripMargin).mkString(",\n")
+    val lagSel = (1 to AcfMaxLag).map(k =>
+      s"lag(x, $k) OVER (PARTITION BY et ORDER BY d) AS xl$k")
+      .mkString(",\n       |    ")
+    val unions = (1 to AcfMaxLag).map { k =>
+      s"SELECT et, n, den, CAST($k AS BIGINT) AS lag, num$k AS num, " +
+        s"CAST(${Chi2Crit95(k - 1)} AS DOUBLE) AS chi2_crit FROM ag"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH base AS (SELECT event_type AS et,
+       |    CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT) AS d
+       |  FROM events
+       |  UNION ALL
+       |  SELECT 'bursty', CAST(date_diff('day', DATE '2024-01-01', ts)
+       |    AS BIGINT) FROM events
+       |  UNION ALL
+       |  SELECT 'bursty', CAST(date_diff('day', DATE '2024-01-01', ts)
+       |    AS BIGINT) FROM events
+       |  WHERE CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+       |    % 7 = 0
+       |  UNION ALL
+       |  SELECT 'bursty', CAST(date_diff('day', DATE '2024-01-01', ts)
+       |    AS BIGINT) FROM events
+       |  WHERE CAST(date_diff('day', DATE '2024-01-01', ts) AS BIGINT)
+       |    % 7 = 0),
+       |daily AS (SELECT et, d, CAST(count(*) AS BIGINT) AS x
+       |  FROM base GROUP BY et, d),
+       |lw AS (SELECT *,
+       |    CAST(count(*) OVER (PARTITION BY et) AS BIGINT) AS n,
+       |    CAST(sum(x) OVER (PARTITION BY et) AS BIGINT) AS sx,
+       |    $lagSel
+       |  FROM daily),
+       |ag AS (SELECT et, max(n) AS n,
+       |    CAST(sum((n * x - sx) * (n * x - sx)) AS BIGINT) AS den,
+       |$numSel
+       |  FROM lw GROUP BY et),
+       |st AS (
+       |  $unions),
+       |r AS (SELECT *, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS acf
+       |  FROM st),
+       |q AS (SELECT *,
+       |    CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE) *
+       |      sum(acf * acf / CAST(n - lag AS DOUBLE))
+       |        OVER (PARTITION BY et ORDER BY lag
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS q_stat
+       |  FROM r)
+       |SELECT et AS event_type, lag, n AS n_days,
+       |  round(acf, 6) AS acf, round(q_stat, 4) AS q_stat, chi2_crit,
+       |  q_stat <= chi2_crit AS is_white_noise
+       |FROM q ORDER BY event_type, lag""".stripMargin
+  }
 }

@@ -3196,4 +3196,139 @@ class PipelineOpsSpec extends AnyFunSuite {
     // the targeted backfill always beats the full-history rebuild
     down.foreach(r => assert(r._7 > 0 && r._7 < 1, s"share: $r"))
   }
+
+  test("q306 assoc rules: the planted promo rule is the only certain association") {
+    val rows = AnalyticsOps.assocRules(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+        r.getDouble(7), r.getDouble(8), r.getBoolean(9))).toMap
+    // the plant: promo appears in exactly the purchase baskets, so
+    // both directed rules have confidence 1 and identical counts
+    val pp = rows(("promo", "purchase"))
+    val pr = rows(("purchase", "promo"))
+    assert(pp._6 == 1.0 && pr._6 == 1.0, s"planted conf: $pp $pr")
+    assert(pp._1 == pr._1 && pp._2 == pp._3 && pp._8 && pr._8)
+    // the planted lift is the maximum in the table
+    val maxLift = rows.values.map(_._7).max
+    assert(pp._7 == maxLift, s"plant not max lift: ${pp._7} vs $maxLift")
+    rows.foreach { case (k, r) =>
+      // accounting: support/confidence/lift consistent with counts
+      assert(math.abs(r._5 - r._1.toDouble / r._4) < 1e-5, s"$k support")
+      assert(math.abs(r._6 - r._1.toDouble / r._2) < 1e-5, s"$k conf")
+      assert(math.abs(r._7 - r._6 * r._4 / r._3) < 1e-4, s"$k lift")
+      assert(r._8 == (r._7 > AnalyticsOps.ArLiftFlag), s"$k flag")
+      // symmetry: A→B and B→A share the pair count
+      assert(rows(k.swap)._1 == r._1, s"$k asymmetric n_both")
+    }
+  }
+
+  test("q307 triangle census: global count matches a brute-force count of the edge list") {
+    val edges = GraphOps.cooccurEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val brute = edges.toSeq.map { case (a, b) =>
+      // count common neighbors above b among a's and b's successors —
+      // each triangle {a<b<c} found once via its (a,b) edge
+      adj.getOrElse(a, Set.empty[Long])
+        .count(c => c > b && edges.contains((b, c)))
+    }.sum
+    val out = GraphOps.triangleCensus(spark, dir).collect()
+    assert(out.nonEmpty)
+    val global = out.head.getLong(4)
+    assert(out.forall(_.getLong(4) == global), "global count varies")
+    assert(global == brute, s"census $global != brute $brute")
+    // per-node closures sum to 3 triangles each
+    assert(out.map(_.getLong(2)).sum == 3 * global)
+    // node accounting: every band's nodes counted once, totals = |V|
+    val nNodes = edges.flatMap(e => Seq(e._1, e._2)).size
+    assert(out.map(_.getLong(1)).sum == nNodes)
+    // coefficients are probabilities
+    out.foreach { r =>
+      if (!r.isNullAt(3))
+        assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1, s"cc: $r")
+      assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1, s"trans: $r")
+    }
+  }
+
+  test("q308 pca power: matches a driver-side replica and returns a unit vector") {
+    val rows = SimilarityOps.pcaPower(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(rows.length == VecSql.Dims)
+    // unit loading vector (up to output rounding)
+    val norm2 = rows.map(r => r._2 * r._2).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4, s"||v||² = $norm2")
+    assert(rows.forall(r => r._3 == rows.head._3 && r._4 == rows.head._4))
+    assert(rows.head._3 > 0 && rows.head._4 > 0 && rows.head._4 <= 1)
+    // driver-side replica: identical fixed-point power iteration
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .collect().map(_.getSeq[Double](0).toArray)
+    var v = Array.fill(VecSql.Dims)(0.125)
+    var nrm = 0.0
+    for (_ <- 1 to SimilarityOps.PcaIters) {
+      val ufp = Array.fill(VecSql.Dims)(0L)
+      emb.foreach { x =>
+        val y = (0 until VecSql.Dims).map(j => x(j) * v(j)).sum
+        (0 until VecSql.Dims).foreach(j =>
+          ufp(j) += math.floor(x(j) * y * 1e12).toLong)
+      }
+      val u = ufp.map(_.toDouble / 1e12)
+      nrm = math.sqrt(u.map(x => x * x).sum)
+      v = u.map(_ / nrm)
+    }
+    rows.foreach { case (d, loading, eig, _) =>
+      assert(math.abs(loading - v(d.toInt - 1)) < 1e-5,
+        s"dim $d: $loading vs ${v(d.toInt - 1)}")
+      assert(math.abs(eig - nrm) < 1e-3, s"eigval $eig vs $nrm")
+    }
+  }
+
+  test("q309 gate fairness: DI is relative to the best source and gaps balance") {
+    val rows = CurationOps.gateFairness(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getBoolean(7), r.getDouble(8), r.getDouble(9)))
+    assert(rows.nonEmpty)
+    // exactly the best-selected source(s) sit at DI = 1; none above
+    assert(rows.map(_._7).max == 1.0)
+    rows.foreach { r =>
+      assert(r._7 > 0 && r._7 <= 1.0, s"di range: $r")
+      assert(r._8 == (r._7 >= CurationOps.FourFifths - 1e-9), s"flag: $r")
+      assert(r._5 <= r._4 && r._4 <= r._2 && r._3 <= r._2, s"counts: $r")
+      assert(math.abs(r._6 - r._3.toDouble / r._2) < 1e-5, s"sel: $r")
+    }
+    // equal-opportunity gaps are deviations from the pooled rate:
+    // the n_qual-weighted gap sum is zero (up to rounding)
+    val wGap = rows.map(r => r._4 * r._10).sum
+    val nQual = rows.map(_._4).sum
+    assert(math.abs(wGap / nQual) < 1e-4, s"weighted gap $wGap/$nQual")
+  }
+
+  test("q310 acf whiteness: the periodic plant fails exactly at its period") {
+    val rows = TimeSeriesOps.acfWhiteness(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    val byType = rows.groupBy(_._1)
+    assert(byType.contains("bursty"))
+    // the dow-0 tripled plant: strong positive lag-7 autocorrelation
+    // that blows the portmanteau test at df = 7
+    val b7 = byType("bursty").find(_._2 == 7L).get
+    assert(b7._4 > 0.3, s"planted r7 weak: $b7")
+    assert(!b7._7, s"plant passed whiteness: $b7")
+    byType.foreach { case (et, rs) =>
+      assert(rs.length == TimeSeriesOps.AcfMaxLag, s"$et lag rows")
+      // Q accumulates non-negative terms: monotone in lag
+      rs.sortBy(_._2).map(_._5).sliding(2).foreach(p =>
+        if (p.length == 2) assert(p(0) <= p(1) + 1e-9, s"$et Q not monotone"))
+      rs.foreach { r =>
+        assert(r._4 >= -1.0 - 1e-9 && r._4 <= 1.0 + 1e-9, s"$et acf: $r")
+        assert(r._7 == (r._5 <= r._6), s"$et flag: $r")
+      }
+    }
+    // plain daily noise: the majority of raw streams stay white
+    val plain = byType.filter(_._1 != "bursty")
+    val nWhite = plain.count(_._2.forall(_._7))
+    assert(nWhite * 2 > plain.size, s"only $nWhite/${plain.size} white")
+  }
 }

@@ -1625,4 +1625,57 @@ class PlanPropsSpec extends AnyFunSuite {
     val scans = "Scan parquet".r.findAllIn(p).length
     assert(scans == 1, s"expected ONE scan, got $scans:\n${p.take(1800)}")
   }
+
+  test("q306 assoc rules: baskets persisted once, marginals broadcast") {
+    val df = AnalyticsOps.assocRules(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"assoc rules went cartesian:\n${p.take(1800)}")
+    // marginal and basket-count sides reach the pair frame as broadcasts
+    assert(p.contains("BroadcastHashJoin"),
+      s"marginals not broadcast:\n${p.take(1800)}")
+    // the persisted basket frame feeds every consumer (pair sides,
+    // both marginals, the basket count) — each branch reads the cache,
+    // not the raw events parquet (the FileScan lines remaining in the
+    // printout sit INSIDE the InMemoryRelation's recorded child)
+    val cacheReads = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheReads >= 4,
+      s"expected >=4 cache reads, got $cacheReads:\n${p.take(1800)}")
+  }
+
+  test("q307 triangle census: persisted edges, no cartesian wedge join") {
+    val p = plan(GraphOps.triangleCensus(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"census went cartesian:\n${p.take(1800)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"edge list not persisted:\n${p.take(1800)}")
+  }
+
+  test("q308 pca power: corpus persisted; iterate moves as a broadcast") {
+    val p = plan(SimilarityOps.pcaPower(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"pca grew a shuffled join:\n${p.take(1800)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"iterate not broadcast:\n${p.take(1800)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"corpus not persisted:\n${p.take(1800)}")
+  }
+
+  test("q309 gate fairness: one scan, one collapse, windows over source rows") {
+    val p = plan(CurationOps.gateFairness(spark, dir))
+    assert(!p.contains("Join"),
+      s"fairness grew a join:\n${p.take(1800)}")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected ONE scan, got $scans:\n${p.take(1800)}")
+    assert(p.contains("Window"),
+      s"pooled scalars lost their window:\n${p.take(1800)}")
+  }
+
+  test("q310 acf whiteness: cell collapse + one ordered window per type — no joins") {
+    val p = plan(TimeSeriesOps.acfWhiteness(spark, dir))
+    assert(!p.contains("Join"),
+      s"acf grew a join:\n${p.take(1800)}")
+    assert(p.contains("Window") && p.contains("HashAggregate"),
+      s"acf lost its sweep shape:\n${p.take(1800)}")
+  }
 }
