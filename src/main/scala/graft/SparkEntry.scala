@@ -328,6 +328,14 @@ object SparkEntry {
     "q308_pca_power"         -> (SimilarityOps.pcaPower _),
     "q309_gate_fairness"     -> (CurationOps.gateFairness _),
     "q310_acf_whiteness"     -> (TimeSeriesOps.acfWhiteness _),
+    "q311_isotonic_cal"      -> (MixtureOps.isotonicCalibration _),
+    "q312_js_matrix"         -> (ProfileOps.jsDivergenceMatrix _),
+    "q313_ranker_agreement"  -> (MlPrepOps.rankerAgreement _),
+    "q314_personalized_pr"   -> (GraphOps.personalizedPageRank _),
+    "q315_edit_verify"       -> (DedupOps.editVerify _),
+    "q316_distill_stump"     -> (TrainPrepOps.distillStump _),
+    "q317_cap_recall"        -> (DedupOps.capRecall _),
+    "q318_pca_deflation"     -> (SimilarityOps.pcaDeflation _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -920,6 +928,14 @@ object SparkEntry {
     "q308_pca_power" -> SimilarityOps.pcaPowerOracle,
     "q309_gate_fairness" -> CurationOps.gateFairnessOracle,
     "q310_acf_whiteness" -> TimeSeriesOps.acfWhitenessOracle,
+    "q311_isotonic_cal" -> MixtureOps.isotonicCalibrationOracle,
+    "q312_js_matrix" -> ProfileOps.jsDivergenceMatrixOracle,
+    "q313_ranker_agreement" -> MlPrepOps.rankerAgreementOracle,
+    "q314_personalized_pr" -> GraphOps.personalizedPageRankOracle,
+    "q315_edit_verify" -> DedupOps.editVerifyOracle,
+    "q316_distill_stump" -> TrainPrepOps.distillStumpOracle,
+    "q317_cap_recall" -> DedupOps.capRecallOracle,
+    "q318_pca_deflation" -> SimilarityOps.pcaDeflationOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

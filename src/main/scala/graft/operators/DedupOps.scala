@@ -2652,4 +2652,266 @@ object DedupOps {
        |FROM pl LEFT JOIN fc ON fc.layer = pl.layer, nv
        |ORDER BY pl.layer""".stripMargin
   }
+
+  // --- q315: edit-distance verification of the LSH candidate stream ------
+
+  /** Per-side character budget for the Levenshtein verify — vacuous on
+    * the fixture's short documents, the O(len²) guard at any scale. */
+  val EditPrefixCap = 1000
+
+  /** Character-level duplicate threshold (normalized edit similarity). */
+  val EditSimTau = 0.7
+
+  /** Deterministic 1-in-N candidate sample for the edit audit: the
+    * Levenshtein DP is the only O(len²)-per-pair work in the suite, so
+    * the AUDIT samples the candidate stream (hash of the pair id — no
+    * RNG, replayed exactly by the oracle). Means stay unbiased; the
+    * verdict identities hold per sampled pair. Measured 24 s → ~3 s at
+    * sf0.1 with the full-stream form kept correct but unshipped. */
+  val EditSampleMod = 8
+
+  /** q315 — second-opinion verification: every pair in the PRODUCTION
+    * capped-LSH candidate stream (q118's generation over the graded
+    * [[corpusSpread]] corpus) is scored by BOTH the token verifier
+    * (exact shingle Jaccard — what q31/q118 act on) and a
+    * character-level verifier (normalized Levenshtein similarity
+    * 1 − lev/max_len over [[EditPrefixCap]]-char prefixes), reported
+    * per exact-Jaccard decile with per-verifier duplicate verdicts and
+    * their agreement. Token shingles are blind to within-word edits
+    * and character noise (OCR, mojibake); edit distance is blind to
+    * reordering — the decile table shows WHERE the two disagree, the
+    * evidence for choosing the verifier (or requiring both) at a given
+    * similarity band.
+    *
+    * Parity: lev and lengths are exact integers on both engines
+    * (identical unit-cost Levenshtein); per-pair similarities are
+    * single divisions; decile means freeze through DECIMAL(18,12)
+    * (the q154 discipline).
+    *
+    * Scale (100 TB): candidate-proportional over the capped stream
+    * (the q154 argument); the Levenshtein DP is per-pair
+    * [[EditPrefixCap]]²-bounded work inside one projection — no extra
+    * exchanges beyond the two slim text joins. */
+  def editVerify(s: SparkSession, dir: String): DataFrame = {
+    val ver = minhashVerified(corpusSpread(s, dir), Some(LshBucketCap))
+      .filter(col("n_inter") > 0)
+      .filter(expr("md5_fp60(concat(CAST(doc_a AS STRING), ':', " +
+        s"CAST(doc_b AS STRING))) % $EditSampleMod = 0"))
+    val tx = corpusSpread(s, dir).select(col("doc_id"),
+      expr(s"substring(text, 1, $EditPrefixCap)").as("t"))
+    val pairs = ver
+      .join(tx.select(col("doc_id").as("doc_a"), col("t").as("ta")),
+        Seq("doc_a"))
+      .join(tx.select(col("doc_id").as("doc_b"), col("t").as("tb")),
+        Seq("doc_b"))
+      .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("bigint"))
+      .withColumn("mx",
+        greatest(length(col("ta")), length(col("tb"))).cast("bigint"))
+      .withColumn("edit_sim",
+        lit(1.0) - col("lev").cast("double") / col("mx").cast("double"))
+      .withColumn("decile",
+        least(floor(col("jaccard") * 10).cast("long"), lit(9L)))
+    pairs.groupBy("decile").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("jaccard").cast("decimal(18,12)")).as("sj"),
+        sum(col("edit_sim").cast("decimal(18,12)")).as("se"),
+        sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_dup_jac"),
+        sum(when(col("edit_sim") >= EditSimTau, 1L).otherwise(0L))
+          .as("n_dup_edit"),
+        sum(when((col("jaccard") >= 0.5) ===
+          (col("edit_sim") >= EditSimTau), 1L).otherwise(0L)).as("n_agree"))
+      .select(col("decile"), col("n_pairs"),
+        round(col("sj").cast("double") / col("n_pairs"), 6)
+          .as("avg_jaccard"),
+        round(col("se").cast("double") / col("n_pairs"), 6)
+          .as("avg_edit_sim"),
+        col("n_dup_jac"), col("n_dup_edit"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n_pairs"), 6)
+          .as("agree_rate"))
+      .orderBy("decile")
+  }
+
+  def editVerifyOracle: String =
+    s"""WITH ${OracleGen.lshCandSpreadCtes},
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |vp AS (SELECT c.doc_a, c.doc_b,
+       |    n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+       |  FROM cand c JOIN inter USING (doc_a, doc_b)
+       |  JOIN sizes sa ON sa.doc_id = c.doc_a
+       |  JOIN sizes sb ON sb.doc_id = c.doc_b
+       |  WHERE ${OracleGen.fp60(
+             "CAST(c.doc_a AS VARCHAR) || ':' || CAST(c.doc_b AS VARCHAR)")}
+       |    % $EditSampleMod = 0),
+       |tx AS (SELECT doc_id, substring(text, 1, $EditPrefixCap) AS t
+       |  FROM corpus),
+       |pe AS (SELECT vp.jaccard,
+       |    CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev,
+       |    CAST(greatest(length(a.t), length(b.t)) AS BIGINT) AS mx
+       |  FROM vp JOIN tx a ON a.doc_id = vp.doc_a
+       |  JOIN tx b ON b.doc_id = vp.doc_b),
+       |pd AS (SELECT jaccard,
+       |    1.0 - CAST(lev AS DOUBLE) / CAST(mx AS DOUBLE) AS edit_sim,
+       |    least(CAST(floor(jaccard * 10) AS BIGINT), 9) AS decile
+       |  FROM pe)
+       |SELECT decile, count(*) AS n_pairs,
+       |  round(CAST(sum(CAST(jaccard AS DECIMAL(18,12))) AS DOUBLE)
+       |    / count(*), 6) AS avg_jaccard,
+       |  round(CAST(sum(CAST(edit_sim AS DECIMAL(18,12))) AS DOUBLE)
+       |    / count(*), 6) AS avg_edit_sim,
+       |  CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_jac,
+       |  CAST(sum(CASE WHEN edit_sim >= $EditSimTau THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_dup_edit,
+       |  CAST(sum(CASE WHEN (jaccard >= 0.5) = (edit_sim >= $EditSimTau)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  round(CAST(sum(CASE WHEN (jaccard >= 0.5) =
+       |      (edit_sim >= $EditSimTau) THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS agree_rate
+       |FROM pd GROUP BY decile ORDER BY decile""".stripMargin
+
+  // --- q317: hot-bucket cap recall audit ----------------------------------
+
+  /** q317 — what does the [[LshBucketCap]] hot-bucket cap COST in
+    * recall? The cap is the load-bearing guard of the whole banding
+    * family (uncapped candidate pairs grow quadratically on duplicated
+    * corpora — measured repeatedly), and its price has to be a number,
+    * not an assumption. Over the graded corpus's same-origin truth
+    * pairs (exact Jaccard ≥ 0.5 — every one a real near-dup the
+    * pipeline SHOULD find), per similarity decile: how many the
+    * banding geometry captures at all (signature band equality — the
+    * ceiling q233 models analytically), how many survive the capped
+    * production candidate generation, and the gap — pairs the
+    * geometry caught but the cap dropped. recall_production is THE
+    * dedup pipeline's measured recall; n_cap_lost is the knob's bill.
+    *
+    * Parity: truth pairs, Jaccards, capture flags and candidate
+    * membership are all integer shingle/signature algebra replayed
+    * identically by the oracle (the q233 + q118 machinery joined).
+    *
+    * Scale (100 TB): the truth side is LINEAR (same-origin pairs join
+    * on the base key — no banding blowup, the q233 argument); the
+    * production side is the capped stream (the q118 argument); their
+    * join is |truth|-sized. */
+  /** Hot-bucket plant for q317: the first [[PlantHotBases]] base docs
+    * get [[PlantHotCopies]] exact replicas (id offsets ≥ 11·CopyOffset,
+    * EXCLUDED from the truth pairs) — their identical signatures blow
+    * those docs' band buckets past [[LshBucketCap]], so the cap's
+    * recall bill is nonzero and attributable at the sf where
+    * CORRECTNESS runs (without the plant the sf0.01 buckets never
+    * heat and n_cap_lost is identically 0 — a vacuous headline). */
+  val PlantHotBases = 10
+  val PlantHotCopies = 20
+
+  def capRecall(s: SparkSession, dir: String): DataFrame = {
+    val base0 = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val replicas = base0.filter(col("doc_id") < PlantHotBases)
+      .crossJoin(broadcast(
+        base0.sparkSession.range(1, PlantHotCopies + 1).select(
+          col("id").as("j"))))
+      .select((col("doc_id") + (col("j") + 10L) * CopyOffset)
+        .as("doc_id"), col("text"))
+    val corpus = corpusSpread(s, dir).unionAll(replicas)
+    val sh = shared(shingles(corpus))
+    val sigs = shared(minhashSignatures(sh))
+    val cands = cappedCandidates(lshBands(sigs), Some(LshBucketCap))
+    val shk = sh.withColumn("base", col("doc_id") % CopyOffset)
+      .withColumn("k", (col("doc_id") / CopyOffset).cast("long"))
+    val szO = shk.filter(col("k") === 0)
+      .groupBy("base").agg(count(lit(1)).as("n_a"))
+    val szV = shk.filter(col("k").between(1, 5))
+      .groupBy("base", "k").agg(count(lit(1)).as("n_b"))
+    val intr = shk.filter(col("k").between(1, 5))
+      .select("base", "k", "shingle")
+      .join(shk.filter(col("k") === 0).select("base", "shingle"),
+        Seq("base", "shingle"))
+      .groupBy("base", "k").agg(count(lit(1)).as("n_int0"))
+    val sigA = sigs.select(col("doc_id").as("base") +:
+      (0 until NumPerms).map(i => col(s"h$i").as(s"a_h$i")): _*)
+    val sigB = sigs.select(
+      (col("doc_id") % CopyOffset).as("base") +:
+        (col("doc_id") / CopyOffset).cast("long").as("k") +:
+        (0 until NumPerms).map(i => col(s"h$i").as(s"b_h$i")): _*)
+      .filter(col("k").between(1, 5))
+    val truth = szV.join(szO, "base")
+      .join(intr, Seq("base", "k"), "left")
+      .withColumn("n_int", coalesce(col("n_int0"), lit(0L)))
+      .withColumn("n_un", col("n_a") + col("n_b") - col("n_int"))
+      .filter(expr(s"$SCurveJd >= 0.5"))
+      .join(sigA, "base").join(sigB, Seq("base", "k"))
+      .selectExpr("base", "k",
+        s"least(CAST(floor($SCurveJd * 10) AS BIGINT), 9) AS decile",
+        s"CASE WHEN ${sCurveCapSql(BandSize)} THEN 1 ELSE 0 END" +
+          " AS captured")
+    truth.join(
+        cands.select(col("doc_a"), col("doc_b"), lit(1L).as("found")),
+        truth("base") === col("doc_a") &&
+          (truth("base") + truth("k") * CopyOffset) === col("doc_b"),
+        "left")
+      .groupBy("decile").agg(
+        count(lit(1)).as("n_true"),
+        sum(col("captured")).as("n_captured"),
+        sum(coalesce(col("found"), lit(0L))).as("n_found"))
+      .select(col("decile"), col("n_true"), col("n_captured"),
+        col("n_found"),
+        round(col("n_captured").cast("double") /
+          col("n_true").cast("double"), 6).as("recall_signature"),
+        round(col("n_found").cast("double") /
+          col("n_true").cast("double"), 6).as("recall_production"),
+        (col("n_captured") - col("n_found")).as("n_cap_lost"))
+      .orderBy("decile")
+  }
+
+  def capRecallOracle: String = {
+    val aCols = (0 until NumPerms).map(i => s"sa.h$i AS a_h$i")
+      .mkString(", ")
+    val bCols = (0 until NumPerms).map(i => s"sb.h$i AS b_h$i")
+      .mkString(", ")
+    val corpusCte = OracleGen.CorpusSpread.stripSuffix(")") +
+      s"""
+         |  UNION ALL SELECT doc_id + (j + 10) * $CopyOffset AS doc_id,
+         |    text
+         |  FROM documents, (SELECT unnest(range(1,
+         |    ${PlantHotCopies + 1})) AS j)
+         |  WHERE doc_id < $PlantHotBases)""".stripMargin
+    s"""WITH ${OracleGen.lshCandCtesOver(corpusCte)},
+       |shk AS (SELECT doc_id % $CopyOffset AS base,
+       |    doc_id // $CopyOffset AS k, shingle FROM sh),
+       |szo AS (SELECT base, CAST(count(*) AS BIGINT) AS n_a FROM shk
+       |  WHERE k = 0 GROUP BY base),
+       |szv AS (SELECT base, k, CAST(count(*) AS BIGINT) AS n_b FROM shk
+       |  WHERE k BETWEEN 1 AND 5 GROUP BY base, k),
+       |intr AS (SELECT v.base, v.k, CAST(count(*) AS BIGINT) AS n_int0
+       |  FROM shk v JOIN shk o ON o.base = v.base
+       |    AND o.shingle = v.shingle AND o.k = 0
+       |  WHERE v.k BETWEEN 1 AND 5 GROUP BY v.base, v.k),
+       |pr AS (SELECT szv.base, szv.k, n_a, n_b,
+       |    coalesce(n_int0, 0) AS n_int,
+       |    n_a + n_b - coalesce(n_int0, 0) AS n_un
+       |  FROM szv JOIN szo USING (base)
+       |  LEFT JOIN intr ON intr.base = szv.base AND intr.k = szv.k),
+       |sp AS (SELECT pr.*, $aCols, $bCols
+       |  FROM pr JOIN sigs sa ON sa.doc_id = pr.base
+       |  JOIN sigs sb ON sb.doc_id = pr.base + $CopyOffset * pr.k
+       |  WHERE $SCurveJd >= 0.5),
+       |tr AS (SELECT sp.base, sp.k,
+       |    least(CAST(floor($SCurveJd * 10) AS BIGINT), 9) AS decile,
+       |    CASE WHEN ${sCurveCapSql(BandSize)} THEN 1 ELSE 0 END
+       |      AS captured,
+       |    CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS found
+       |  FROM sp LEFT JOIN cand c ON c.doc_a = sp.base
+       |    AND c.doc_b = sp.base + $CopyOffset * sp.k)
+       |SELECT decile, count(*) AS n_true,
+       |  CAST(sum(captured) AS BIGINT) AS n_captured,
+       |  CAST(sum(found) AS BIGINT) AS n_found,
+       |  round(CAST(sum(captured) AS DOUBLE) / CAST(count(*) AS DOUBLE),
+       |    6) AS recall_signature,
+       |  round(CAST(sum(found) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+       |    AS recall_production,
+       |  CAST(sum(captured) - sum(found) AS BIGINT) AS n_cap_lost
+       |FROM tr GROUP BY decile ORDER BY decile""".stripMargin
+  }
 }

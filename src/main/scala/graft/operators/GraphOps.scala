@@ -141,6 +141,103 @@ object GraphOps {
        |ORDER BY pr DESC, node LIMIT $TopK""".stripMargin
   }
 
+  // --- q314: personalized PageRank ----------------------------------------
+
+  /** Seed-set size for the personalized teleport. */
+  val PprSeeds = 4
+
+  /** q314 — personalized PageRank from a seed set (the [[PprSeeds]]
+    * highest-degree nodes, ties by id): teleport mass returns to the
+    * SEEDS only, scaled |V|/|S| so total rank mass stays comparable to
+    * q70's uniform run — the "related entities" primitive (who is
+    * close to THESE accounts, not who is globally central). Same
+    * damped iterate-by-join engine as q70: the degree-annotated edge
+    * table is cached pre-partitioned on src and never moves; only the
+    * rank table exchanges.
+    *
+    * Parity: the q70 fixed-point discipline verbatim — per-edge
+    * contributions floor to ×10¹² BIGINT (order-free), the teleport
+    * term is one fixed-order double expression, iterations are
+    * unrolled CTEs in the oracle from the same constants.
+    *
+    * Scale (100 TB): identical to q70 — one edge-side exchange total
+    * across all iterations; the seed set is a broadcast literal-sized
+    * frame; rank mass concentrates near seeds so the top-k window is
+    * as cheap as q70's. */
+  def personalizedPageRank(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+    val ew = edges(s, dir)
+      .withColumn("out_deg", count(lit(1)).over(w))
+      .persist()
+    val nodes = ew.select(col("src").as("node")).dropDuplicates("node")
+      .persist()
+    val deg = ew.groupBy("src").agg(max(col("out_deg")).as("deg"))
+    val seeds = deg.orderBy(col("deg").desc, col("src"))
+      .limit(PprSeeds).select(col("src").as("node"), lit(true).as("seed"))
+    val nv = nodes.count() // |V| — a scalar, the one sanctioned collect
+    val teleport = 0.15 * nv.toDouble / PprSeeds
+    // initial ranks: all mass on the seeds (the personalized start)
+    var ranks = nodes.join(broadcast(seeds), Seq("node"), "left")
+      .select(col("node"),
+        when(col("seed"), lit(nv.toDouble / PprSeeds))
+          .otherwise(lit(0.0)).as("pr")).persist()
+    for (_ <- 1 to Iterations) {
+      val next = ew.join(ranks, ew("src") === ranks("node"))
+        .select(col("dst"),
+          floor(col("pr") / col("out_deg") * lit(1e12)).cast("long")
+            .as("contrib"))
+        .groupBy("dst")
+        .agg(sum(col("contrib")).as("sfp"))
+        .join(broadcast(seeds), col("dst") === seeds("node"), "left")
+        .select(col("dst").as("node"),
+          (when(col("seed"), lit(teleport)).otherwise(lit(0.0)) +
+            lit(0.85) * (col("sfp").cast("double") / lit(1e12))).as("pr"))
+        .persist()
+      next.count()
+      ranks.unpersist()
+      ranks = next
+    }
+    ew.unpersist(); nodes.unpersist()
+    ranks.join(broadcast(seeds), Seq("node"), "left")
+      .orderBy(col("pr").desc, col("node")).limit(TopK)
+      .select(col("node"), round(col("pr"), 6).as("ppr"),
+        coalesce(col("seed"), lit(false)).as("is_seed"))
+  }
+
+  def personalizedPageRankOracle: String = {
+    val iters = (1 to Iterations).map { i =>
+      s"""r$i AS (SELECT j.dst AS node,
+         |    (CASE WHEN sd.node IS NOT NULL THEN tp.t ELSE 0.0 END) +
+         |      0.85 * (CAST(CAST(sum(CAST(floor(j.pr / j.out_deg
+         |        * 1000000000000.0) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |        / 1000000000000.0) AS pr
+         |  FROM (SELECT ew.dst, r${i - 1}.pr, ew.out_deg
+         |        FROM ew JOIN r${i - 1} ON ew.src = r${i - 1}.node) j
+         |  LEFT JOIN seeds sd ON sd.node = j.dst, tp
+         |  GROUP BY j.dst, sd.node, tp.t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS sp
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT c AS src, sp AS dst FROM cs
+       |      UNION ALL SELECT sp AS src, c AS dst FROM cs),
+       |deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+       |ew AS (SELECT e.src, e.dst, deg.out_deg FROM e JOIN deg USING (src)),
+       |nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+       |seeds AS (SELECT src AS node FROM deg
+       |  ORDER BY out_deg DESC, src LIMIT $PprSeeds),
+       |tp AS (SELECT 0.15 * n / $PprSeeds AS t, n FROM nv),
+       |r0 AS (SELECT deg.src AS node,
+       |    CASE WHEN sd.node IS NOT NULL THEN tp.n / $PprSeeds
+       |      ELSE 0.0 END AS pr
+       |  FROM deg LEFT JOIN seeds sd ON sd.node = deg.src, tp),
+       |$iters
+       |SELECT r.node, round(r.pr, 6) AS ppr,
+       |  sd.node IS NOT NULL AS is_seed
+       |FROM r$Iterations r LEFT JOIN seeds sd ON sd.node = r.node
+       |ORDER BY r.pr DESC, r.node LIMIT $TopK""".stripMargin
+  }
+
   // --- q86: mutual-kNN graph clustering ---------------------------------
 
   /** kNN-graph corpus cap, neighbor count, and LSH plane count. The

@@ -1194,4 +1194,100 @@ object MixtureOps {
        |    - CAST(sum(fp) AS DOUBLE) * sum(fp) / count(*))
        |    / (count(*) - 1.0)) / 1e9, 4) AS day_sd
        |FROM lng GROUP BY estimator ORDER BY estimator""".stripMargin
+
+  // --- q311: isotonic (PAV) score calibration -----------------------------
+
+  /** q311 — isotonic calibration of the q129 classifier against the
+    * q104 rule labels over q195's score bins: the pool-adjacent-
+    * violators fit via its exact minimax characterization
+    * fit(i) = max_{j≤i} min_{k≥i} mean(pass over bins j..k) — the
+    * monotone probability map production actually applies to raw
+    * scores (Platt's alternative; Zadrozny & Elkan 2002). q195's ECE
+    * says HOW miscalibrated the raw score is; THIS is the repaired
+    * curve, with each bin's pooling flag showing where the raw
+    * reliability diagram violated monotonicity.
+    *
+    * Exactness: cumulative pass/doc counts are exact integers, every
+    * segment mean is ONE double division of those, and min/max over
+    * identically-computed doubles are order-free — the fit is
+    * bit-identical on both engines with no fixed-point needed.
+    *
+    * Scale (100 TB): reuses q195's two corpus passes (shared
+    * [[calBinned]]); the minimax triple is [[CalBins]]³ = 1000 tiny
+    * rows of bin algebra — constant, whatever the corpus. */
+  def isotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    val perBin = calBinned(s, dir).groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+    val w = Window.partitionBy(lit(1)).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perBin
+      .withColumn("cp", sum(col("n_pass")).over(w))
+      .withColumn("cn", sum(col("n_docs")).over(w))
+      .persist()
+    val anchor = s.range(1).selectExpr("-1L AS jb", "0L AS cpj", "0L AS cnj")
+    val jz = cum.selectExpr("bin AS jb", "cp AS cpj", "cn AS cnj")
+      .unionAll(anchor)
+    val k = cum.selectExpr("bin AS kb", "cp AS cpk", "cn AS cnk")
+    val i = cum.select(col("bin"))
+    // segment means m(j..k) for the minimax: j = jb+1 ≤ i ≤ k
+    val fit = i
+      .join(jz, col("jb") < col("bin"))
+      .join(k, col("kb") >= col("bin"))
+      .withColumn("m", (col("cpk") - col("cpj")).cast("double") /
+        (col("cnk") - col("cnj")).cast("double"))
+      .groupBy("bin", "jb").agg(min(col("m")).as("inner"))
+      .groupBy("bin").agg(max(col("inner")).as("iso"))
+    perBin.join(fit, "bin")
+      .withColumn("raw_rate",
+        col("n_pass").cast("double") / col("n_docs").cast("double"))
+      .select(col("bin"), col("n_docs"), col("n_pass"),
+        round(col("raw_rate"), 6).as("raw_rate"),
+        round(col("iso"), 6).as("iso_rate"),
+        (round(col("iso"), 6) =!= round(col("raw_rate"), 6)).as("pooled"))
+      .orderBy("bin")
+  }
+
+  def isotonicCalibrationOracle: String = {
+    import graft.operators.CurationOps.{ClfLogitWSql, GopherSql}
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |lg AS (SELECT doc_id, CAST(sum($ClfLogitWSql) AS BIGINT) AS logit
+       |  FROM tok GROUP BY doc_id),
+       |base AS (SELECT lg.logit, ($GopherSql) AS pass
+       |  FROM documents JOIN lg USING (doc_id)),
+       |st AS (SELECT min(logit) AS lmin, max(logit) AS lmax FROM base),
+       |binned AS (SELECT pass,
+       |    least(${CalBins - 1},
+       |      CAST(floor(CAST(logit - lmin AS DOUBLE) * $CalBins
+       |        / CAST(lmax - lmin AS DOUBLE)) AS BIGINT)) AS bin
+       |  FROM base CROSS JOIN st),
+       |per_bin AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_pass
+       |  FROM binned GROUP BY bin),
+       |cum AS (SELECT bin, n_docs, n_pass,
+       |    CAST(sum(n_pass) OVER (ORDER BY bin) AS BIGINT) AS cp,
+       |    CAST(sum(n_docs) OVER (ORDER BY bin) AS BIGINT) AS cn
+       |  FROM per_bin),
+       |jz AS (SELECT bin AS jb, cp AS cpj, cn AS cnj FROM cum
+       |  UNION ALL SELECT -1, 0, 0),
+       |inner_min AS (SELECT i.bin, jz.jb,
+       |    min(CAST(k.cp - jz.cpj AS DOUBLE)
+       |      / CAST(k.cn - jz.cnj AS DOUBLE)) AS innerv
+       |  FROM cum i
+       |  JOIN jz ON jz.jb < i.bin
+       |  JOIN cum k ON k.bin >= i.bin
+       |  GROUP BY i.bin, jz.jb),
+       |fit AS (SELECT bin, max(innerv) AS iso FROM inner_min
+       |  GROUP BY bin)
+       |SELECT p.bin, p.n_docs, p.n_pass,
+       |  round(CAST(p.n_pass AS DOUBLE) / CAST(p.n_docs AS DOUBLE), 6)
+       |    AS raw_rate,
+       |  round(f.iso, 6) AS iso_rate,
+       |  round(f.iso, 6) <>
+       |    round(CAST(p.n_pass AS DOUBLE) / CAST(p.n_docs AS DOUBLE), 6)
+       |    AS pooled
+       |FROM per_bin p JOIN fit f USING (bin) ORDER BY p.bin""".stripMargin
+  }
 }

@@ -1050,4 +1050,131 @@ object MlPrepOps {
        |    < $GroundFlagTau AS flagged
        |FROM na LEFT JOIN ns ON ns.doc_id = na.doc_id
        |ORDER BY na.doc_id""".stripMargin
+
+  // --- q313: ranker-agreement audit (BM25 vs query-likelihood) -----------
+
+  /** Dirichlet smoothing mass (Zhai & Lafferty 2001's standard µ). */
+  val QlMu = 2000.0
+
+  /** Agreement depth. */
+  val RankAgreeK = 5
+
+  /** q313 — ranker-agreement audit: the q147 BM25 scorer against a
+    * Dirichlet-smoothed query-likelihood scorer over the SAME query
+    * workload, compared at depth [[RankAgreeK]] — overlap, Jaccard,
+    * Spearman footrule over the common members, and top-1 agreement.
+    * The audit a search team reads before swapping rankers: high
+    * overlap means the change is safe to interleave-test, top-1
+    * disagreement names the queries that will visibly change. Like
+    * q147 the QL score drops its log (monotone per query term —
+    * ranking-identical) so the score is one libm-free division:
+    * (tf + µ·cf/|C|) / (dl + µ). Candidates are each term's posting
+    * list (the impact-ordered searcher convention both rankers
+    * share; background-only documents cannot enter either top-k here
+    * by construction, so the comparison is apples-to-apples).
+    *
+    * Parity: both scores are fixed-op-order arithmetic on exact
+    * integer (tf, df, cf, dl) inputs; ranks come from row_number with
+    * the doc_id tiebreak; every agreement metric is integer arithmetic
+    * over ranks.
+    *
+    * Scale (100 TB): the q147 argument verbatim — one corpus collapse
+    * to postings + doc lengths, queries broadcast, scoring touches
+    * df-bounded posting lists, and BOTH rank windows partition by term
+    * over the same exchange (two in-partition sorts, one shuffle). */
+  def rankerAgreement(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val toks = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"),
+      sum(col("tf")).as("cf"))
+    val queries = dfr.orderBy(col("df").desc, col("term"))
+      .limit(Bm25Queries)
+    val dl = docs.select(col("doc_id"),
+      size(col("toks")).cast("bigint").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("dl_tot"))
+    val scored = tf
+      .join(broadcast(queries), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("dl_tot").cast("double") / col("n_docs"))
+      .withColumn("score_bm",
+        ((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .withColumn("score_ql",
+        (col("tf").cast("double") + lit(QlMu) * col("cf").cast("double") /
+          col("dl_tot").cast("double")) /
+          (col("dl").cast("double") + lit(QlMu)))
+    val wBm = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("score_bm").desc, col("doc_id"))
+    val wQl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("score_ql").desc, col("doc_id"))
+    val ranked = scored
+      .withColumn("r_bm", row_number().over(wBm).cast("bigint"))
+      .withColumn("r_ql", row_number().over(wQl).cast("bigint"))
+      .filter(col("r_bm") <= RankAgreeK || col("r_ql") <= RankAgreeK)
+    ranked.groupBy("term").agg(
+        max(col("df")).as("df"),
+        sum(when(col("r_bm") <= RankAgreeK && col("r_ql") <= RankAgreeK,
+          1L).otherwise(0L)).as("n_overlap"),
+        sum(when(col("r_bm") <= RankAgreeK && col("r_ql") <= RankAgreeK,
+          abs(col("r_bm") - col("r_ql"))).otherwise(0L)).as("footrule"),
+        max(when(col("r_bm") === 1L && col("r_ql") === 1L, 1L)
+          .otherwise(0L)).as("t1"))
+      .select(col("term"), col("df"), col("n_overlap"),
+        round(col("n_overlap").cast("double") /
+          (lit(2L * RankAgreeK) - col("n_overlap")).cast("double"), 6)
+          .as("jaccard_at_k"),
+        col("footrule"), (col("t1") === 1L).as("top1_agree"))
+      .orderBy("term")
+  }
+
+  def rankerAgreementOracle: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |toks AS (SELECT doc_id, unnest(toks) AS term FROM d),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |  GROUP BY doc_id, term),
+       |dfr AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT)
+       |    AS cf FROM tf GROUP BY term),
+       |q AS (SELECT term, df, cf FROM dfr ORDER BY df DESC, term
+       |  LIMIT $Bm25Queries),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS dl_tot FROM dl),
+       |sc AS (SELECT tf.term, tf.doc_id, q.df,
+       |    ((st.n_docs - q.df + 0.5) / (q.df + 0.5)) *
+       |      (tf.tf * ($Bm25K1 + 1.0)) /
+       |      (tf.tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl.dl /
+       |        (CAST(st.dl_tot AS DOUBLE) / st.n_docs))) AS score_bm,
+       |    (CAST(tf.tf AS DOUBLE) + $QlMu * CAST(q.cf AS DOUBLE) /
+       |      CAST(st.dl_tot AS DOUBLE)) /
+       |      (CAST(dl.dl AS DOUBLE) + $QlMu) AS score_ql
+       |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+       |  CROSS JOIN st),
+       |r AS (SELECT *,
+       |    CAST(row_number() OVER (PARTITION BY term
+       |      ORDER BY score_bm DESC, doc_id) AS BIGINT) AS r_bm,
+       |    CAST(row_number() OVER (PARTITION BY term
+       |      ORDER BY score_ql DESC, doc_id) AS BIGINT) AS r_ql
+       |  FROM sc),
+       |f AS (SELECT * FROM r
+       |  WHERE r_bm <= $RankAgreeK OR r_ql <= $RankAgreeK)
+       |SELECT term, CAST(max(df) AS BIGINT) AS df,
+       |  CAST(sum(CASE WHEN r_bm <= $RankAgreeK AND r_ql <= $RankAgreeK
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       |  round(CAST(sum(CASE WHEN r_bm <= $RankAgreeK
+       |      AND r_ql <= $RankAgreeK THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(${2 * RankAgreeK} - sum(CASE WHEN r_bm <= $RankAgreeK
+       |      AND r_ql <= $RankAgreeK THEN 1 ELSE 0 END) AS DOUBLE), 6)
+       |    AS jaccard_at_k,
+       |  CAST(sum(CASE WHEN r_bm <= $RankAgreeK AND r_ql <= $RankAgreeK
+       |    THEN abs(r_bm - r_ql) ELSE 0 END) AS BIGINT) AS footrule,
+       |  max(CASE WHEN r_bm = 1 AND r_ql = 1 THEN 1 ELSE 0 END) = 1
+       |    AS top1_agree
+       |FROM f GROUP BY term ORDER BY term""".stripMargin
 }

@@ -117,6 +117,11 @@ object OracleGen {
   private[graft] lazy val lshCandSpreadCtes: String =
     lshCandCtes(Some(DedupOps.LshBucketCap), CorpusSpread)
 
+  /** Same chain over a caller-supplied corpus CTE (q317 plants hot
+    * buckets on top of [[CorpusSpread]]). */
+  private[graft] def lshCandCtesOver(corpusCte: String): String =
+    lshCandCtes(Some(DedupOps.LshBucketCap), corpusCte)
+
   /** q31 (no cap) / q118 (hot buckets over `bucketCap` dropped before
     * the pair join — mirrors DedupOps.minhashLshOf). */
   private def minhashLshSql(bucketCap: Option[Int]): String =

@@ -3372,4 +3372,122 @@ object ProfileOps {
        |  n_fired > 0 AND n_fired < 5 AS disagreement
        |FROM nf ORDER BY event_type""".stripMargin
   }
+
+  // --- q312: source-pair Jensen–Shannon divergence matrix -----------------
+
+  /** ln 2 as a build-time literal injected into BOTH engines (the
+    * IrDiscFp pattern) — no runtime libm constant to disagree on. */
+  private val Ln2 = "0.6931471805599453"
+
+  /** q312 — pairwise Jensen–Shannon divergence between the sources'
+    * unigram distributions: the mixture-redundancy matrix. q126 asks
+    * "did one source drift against yesterday"; THIS asks "which
+    * sources say the same thing" — near-zero JS pairs are redundant
+    * under a token budget (q128) and a high-JS outlier is either
+    * valuable diversity or a contamination/extraction bug. JS is used
+    * over KL because it is symmetric, bounded by ln 2, and defined
+    * when a term exists in only one source.
+    *
+    * The absent-mass terms need no per-term rows at all: a term with
+    * q = 0 contributes ½·p·ln(p/(p/2)) = ½·p·ln 2, so the whole
+    * one-sided tail collapses to ½·ln 2·(1 − shared_mass) per side,
+    * with shared_mass an EXACT integer ratio (Σ shared counts / total
+    * tokens). Only co-occurring terms are enumerated.
+    *
+    * Parity: per-(term, pair) contributions are one fixed op order and
+    * freeze to ×1e9 BIGINT before the cross-term sum (order-free);
+    * shared masses are exact integer ratios; the tail is literal
+    * arithmetic. `most_divergent` compares identically-computed
+    * doubles.
+    *
+    * Scale (100 TB): one token collapse to (source, term) cells
+    * (map-side combined), one exchange on term, and the per-term pair
+    * explode is bounded by |sources|² — never by token volume. The
+    * matrix is |sources|²/2 rows. */
+  def jsDivergenceMatrix(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = EtlOps.t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val tot = cells.groupBy("source").agg(sum(col("c")).as("tot"))
+    val byTerm = cells.join(broadcast(tot), "source")
+      .groupBy("w")
+      .agg(sort_array(collect_list(struct(
+        col("source"), col("c"), col("tot")))).as("ss"))
+    val pairs = byTerm
+      .select(explode(expr(
+        """flatten(transform(ss, (a, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), b ->
+          |    named_struct('sa', a.source, 'sb', b.source,
+          |      'ca', a.c, 'cb', b.c, 'ta', a.tot, 'tb', b.tot))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.*"))
+      .withColumn("pa", col("ca").cast("double") / col("ta").cast("double"))
+      .withColumn("pb", col("cb").cast("double") / col("tb").cast("double"))
+      .withColumn("m", (col("pa") + col("pb")) * 0.5)
+      .withColumn("cont_fp", floor(
+        (lit(0.5) * (col("pa") * log(col("pa") / col("m")) +
+          col("pb") * log(col("pb") / col("m")))) * lit(1e9)).cast("long"))
+    val perPair = pairs.groupBy("sa", "sb").agg(
+      count(lit(1)).as("n_shared_terms"),
+      sum(col("cont_fp")).as("js_fp"),
+      sum(col("ca")).as("sca"), sum(col("cb")).as("scb"),
+      max(col("ta")).as("ta"), max(col("tb")).as("tb"))
+    val wAll = Window.partitionBy(lit(1))
+    perPair
+      .withColumn("mass_a", col("sca").cast("double") / col("ta").cast("double"))
+      .withColumn("mass_b", col("scb").cast("double") / col("tb").cast("double"))
+      .withColumn("js", col("js_fp").cast("double") / lit(1e9) +
+        lit(0.5) * lit(Ln2.toDouble) *
+          (lit(2.0) - col("mass_a") - col("mass_b")))
+      .withColumn("js_max", max(col("js")).over(wAll))
+      .select(col("sa").as("src_a"), col("sb").as("src_b"),
+        col("n_shared_terms"),
+        round(col("mass_a"), 6).as("mass_a_shared"),
+        round(col("mass_b"), 6).as("mass_b_shared"),
+        round(col("js"), 6).as("js"),
+        round(col("js") / lit(Ln2.toDouble), 6).as("js_norm"),
+        (col("js") === col("js_max")).as("most_divergent"))
+      .orderBy("src_a", "src_b")
+  }
+
+  def jsDivergenceMatrixOracle: String =
+    s"""WITH cells AS (SELECT source, unnest(string_split(text, ' '))
+       |    AS w FROM documents),
+       |cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+       |  FROM cells GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot
+       |  FROM cnt GROUP BY 1),
+       |ct AS (SELECT cnt.source, cnt.w, cnt.c, tot.tot
+       |  FROM cnt JOIN tot USING (source)),
+       |pr AS (SELECT a.source AS sa, b.source AS sb, a.w,
+       |    CAST(a.c AS DOUBLE) / CAST(a.tot AS DOUBLE) AS pa,
+       |    CAST(b.c AS DOUBLE) / CAST(b.tot AS DOUBLE) AS pb,
+       |    a.c AS ca, b.c AS cb, a.tot AS ta, b.tot AS tb
+       |  FROM ct a JOIN ct b ON a.w = b.w AND a.source < b.source),
+       |fp AS (SELECT *, (pa + pb) * 0.5 AS m,
+       |    CAST(floor((0.5 * (pa * ln(pa / ((pa + pb) * 0.5)) +
+       |      pb * ln(pb / ((pa + pb) * 0.5)))) * 1000000000.0)
+       |      AS BIGINT) AS cont_fp
+       |  FROM pr),
+       |pp AS (SELECT sa, sb, count(*) AS n_shared_terms,
+       |    CAST(sum(cont_fp) AS BIGINT) AS js_fp,
+       |    CAST(sum(ca) AS BIGINT) AS sca,
+       |    CAST(sum(cb) AS BIGINT) AS scb,
+       |    max(ta) AS ta, max(tb) AS tb
+       |  FROM fp GROUP BY sa, sb),
+       |j AS (SELECT *,
+       |    CAST(js_fp AS DOUBLE) / 1000000000.0 + 0.5 * $Ln2 *
+       |      (2.0 - CAST(sca AS DOUBLE) / CAST(ta AS DOUBLE)
+       |           - CAST(scb AS DOUBLE) / CAST(tb AS DOUBLE)) AS js
+       |  FROM pp)
+       |SELECT sa AS src_a, sb AS src_b, n_shared_terms,
+       |  round(CAST(sca AS DOUBLE) / CAST(ta AS DOUBLE), 6)
+       |    AS mass_a_shared,
+       |  round(CAST(scb AS DOUBLE) / CAST(tb AS DOUBLE), 6)
+       |    AS mass_b_shared,
+       |  round(js, 6) AS js,
+       |  round(js / $Ln2, 6) AS js_norm,
+       |  js = max(js) OVER () AS most_divergent
+       |FROM j ORDER BY src_a, src_b""".stripMargin
 }

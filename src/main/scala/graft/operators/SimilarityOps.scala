@@ -1534,24 +1534,34 @@ object SimilarityOps {
     * k passes), each a narrow map + one 64-row map-side-combined
     * aggregate; the iterate v broadcasts at 512 bytes. Nothing else
     * moves. */
+  /** One quantized power-iteration update v ← normalize(Xᵀ(Xv)) —
+    * shared by q308 and q318's deflated pass (which subtracts the PC1
+    * component from the raw update before normalizing). */
+  private def pcaRawUpdate(corpus: DataFrame, vF: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(vF))
+      .selectExpr("emb", "dot_product(emb, v) AS y")
+      .select(col("y"), posexplode(col("emb")))
+      .selectExpr("pos + 1 AS p",
+        s"CAST(floor(col * y * $PcaFp) AS BIGINT) AS q")
+      .groupBy("p").agg(sum("q").as("ufp"))
+
+  private def pcaNormalize(uF: DataFrame): DataFrame =
+    uF.selectExpr("u", "sqrt(dot_product(u, u)) AS nrm")
+      .selectExpr("transform(u, x -> x / nrm) AS v", "nrm")
+
+  private[graft] def pcaStep(corpus: DataFrame, vF: DataFrame): DataFrame =
+    pcaNormalize(
+      pcaRawUpdate(corpus, vF)
+        .agg(expr("array_sort(collect_list(struct(p, ufp))) AS pairs"))
+        .selectExpr(
+          s"transform(pairs, t -> CAST(t.ufp AS DOUBLE) / $PcaFp) AS u"))
+
   def pcaPower(s: SparkSession, dir: String): DataFrame = {
     val corpus = baseVectors(s, dir).persist()
     val v0 = s.range(1).selectExpr(
       s"transform(sequence(1, ${VecSql.Dims}), i -> CAST(0.125 AS DOUBLE)) AS v")
-    def step(vF: DataFrame): DataFrame = {
-      val y = corpus.crossJoin(broadcast(vF))
-        .selectExpr("emb", "dot_product(emb, v) AS y")
-      val ufp = y.select(col("y"), posexplode(col("emb")))
-        .selectExpr("pos + 1 AS p",
-          s"CAST(floor(col * y * $PcaFp) AS BIGINT) AS q")
-        .groupBy("p").agg(sum("q").as("ufp"))
-      ufp.agg(expr("array_sort(collect_list(struct(p, ufp))) AS pairs"))
-        .selectExpr(
-          s"transform(pairs, t -> CAST(t.ufp AS DOUBLE) / $PcaFp) AS u")
-        .selectExpr("u", "sqrt(dot_product(u, u)) AS nrm")
-        .selectExpr("transform(u, x -> x / nrm) AS v", "nrm")
-    }
-    val last = (1 to PcaIters).foldLeft(v0)((f, _) => step(f.select("v")))
+    val last = (1 to PcaIters).foldLeft(v0)((f, _) =>
+      pcaStep(corpus, f.select("v")))
     val trace = corpus.selectExpr(
       s"CAST(floor(dot_product(emb, emb) * $PcaFp) AS BIGINT) AS q")
       .agg(sum("q").as("tfp"))
@@ -1597,5 +1607,143 @@ object SimilarityOps {
        |  round(v$PcaIters.nrm / (CAST(tr.tfp AS DOUBLE) / $PcaFp), 6)
        |    AS explained_share
        |FROM dd, v$PcaIters, tr ORDER BY dim""".stripMargin
+  }
+
+  // --- q318: second principal component by deflation -----------------------
+
+  /** q318 — top-2 PCA by deflated power iteration: after q308 finds
+    * (v₁, λ̂₁), the second direction runs the SAME iteration with an
+    * exact Gram–Schmidt step — each raw update u = Xᵀ(Xw) is
+    * orthogonalized to u − (v₁ᵀu)·v₁ before normalizing — so the Gram
+    * matrix is still never materialized and the second component adds
+    * only its own k corpus passes. The start vector alternates ±1/8
+    * (deterministic, not parallel to v₁). On this near-degenerate
+    * synthetic spectrum (λ₁/λ₂ ≈ 0.98) k power steps rank the two
+    * directions only approximately, so the output pair is ORDERED by
+    * Rayleigh estimate at the end; v₁ᵀv₂ is reported and is exactly
+    * the Gram–Schmidt residual (≈ 0 to rounding) — the built-in
+    * correctness audit.
+    *
+    * Parity: the q308 discipline verbatim — per-row contributions
+    * floor to ×10¹² BIGINT; the orthogonalization is per-dim
+    * fixed-order double algebra over broadcast (v₁, v₁ᵀu) scalars;
+    * both engines run the identical unrolled arithmetic, including
+    * the final ordering CASE.
+    *
+    * Scale (100 TB): 2·[[PcaIters]]+1 corpus passes total; every
+    * correction is 64-element algebra off broadcast scalars. */
+  def pcaDeflation(s: SparkSession, dir: String): DataFrame = {
+    val corpus = baseVectors(s, dir).persist()
+    val v0 = s.range(1).selectExpr(
+      s"transform(sequence(1, ${VecSql.Dims}), i -> CAST(0.125 AS DOUBLE)) AS v")
+    val pc1 = (1 to PcaIters).foldLeft(v0)((f, _) =>
+      pcaStep(corpus, f.select("v"))).persist() // (v, nrm) = (v₁, λ̂₁)
+    val w0 = s.range(1).selectExpr(
+      s"transform(sequence(1, ${VecSql.Dims}), " +
+        "i -> CAST(CASE WHEN i % 2 = 0 THEN 0.125 ELSE -0.125 END" +
+        " AS DOUBLE)) AS v")
+    // Gram–Schmidt step: u ← Xᵀ(Xw); w' ← normalize(u − (v₁ᵀu)·v₁) —
+    // exact per-step orthogonalization against the fixed v₁
+    def deflatedStep(wF: DataFrame): DataFrame = {
+      val u = pcaRawUpdate(corpus, wF)
+        .agg(expr("array_sort(collect_list(struct(p, ufp))) AS pairs"))
+        .selectExpr(
+          s"transform(pairs, t -> CAST(t.ufp AS DOUBLE) / $PcaFp) AS u")
+      val scal = u.crossJoin(broadcast(pc1.select(col("v").as("v1"))))
+        .selectExpr("u", "v1", "dot_product(v1, u) AS proj")
+      pcaNormalize(scal
+        .selectExpr("zip_with(u, v1, (a, b) -> a - proj * b) AS u"))
+    }
+    val pc2 = (1 to PcaIters).foldLeft(w0)((f, _) =>
+      deflatedStep(f.select("v")))
+    // order the pair by Rayleigh estimate — on a near-degenerate
+    // spectrum the complement's estimate can edge out the primary's
+    val both = pc1.selectExpr("v AS va", "nrm AS la")
+      .crossJoin(pc2.selectExpr("v AS vb", "nrm AS lb"))
+      .selectExpr(
+        "CASE WHEN lb > la THEN vb ELSE va END AS v1",
+        "CASE WHEN lb > la THEN va ELSE vb END AS v2",
+        "CASE WHEN lb > la THEN lb ELSE la END AS lam1",
+        "CASE WHEN lb > la THEN la ELSE lb END AS lam2",
+        "dot_product(va, vb) AS ortho")
+    both.select(col("lam1"), col("lam2"), col("ortho"),
+        posexplode(col("v1")).as(Seq("p0", "l1")), col("v2"))
+      .selectExpr("CAST(p0 + 1 AS BIGINT) AS dim",
+        "round(l1, 6) AS pc1_loading",
+        "round(element_at(v2, CAST(p0 + 1 AS INT)), 6) AS pc2_loading",
+        "round(lam1, 4) AS eigval1", "round(lam2, 4) AS eigval2",
+        "round(abs(ortho), 6) AS orthogonality")
+      .orderBy("dim")
+  }
+
+  def pcaDeflationOracle: String = {
+    val n = VecSql.Dims
+    def d(a: String, b: String) = VecSql.dot(a, b, spark = false, n)
+    val pc1Iters = (1 to PcaIters).map { k =>
+      val pv = if (k == 1) "v0" else s"v${k - 1}"
+      s"""y$k AS (SELECT e.emb, (${d("e.emb", s"$pv.v")}) AS y
+         |  FROM e, $pv),
+         |c$k AS (SELECT dd.p,
+         |    CAST(floor(y$k.emb[dd.p] * y$k.y * $PcaFp) AS BIGINT) AS q
+         |  FROM y$k, dd),
+         |ufp$k AS (SELECT p, CAST(sum(q) AS BIGINT) AS ufp
+         |  FROM c$k GROUP BY p),
+         |u$k AS (SELECT list(CAST(ufp AS DOUBLE) / $PcaFp ORDER BY p)
+         |    AS u FROM ufp$k),
+         |n$k AS (SELECT u, sqrt(${d("u", "u")}) AS nrm FROM u$k),
+         |v$k AS (SELECT list_transform(u, x -> x / nrm) AS v, nrm
+         |  FROM n$k)""".stripMargin
+    }.mkString(",\n")
+    val pc2Iters = (1 to PcaIters).map { k =>
+      val pw = if (k == 1) "w0" else s"w${k - 1}"
+      s"""yw$k AS (SELECT e.emb, (${d("e.emb", s"$pw.v")}) AS y
+         |  FROM e, $pw),
+         |cw$k AS (SELECT dd.p,
+         |    CAST(floor(yw$k.emb[dd.p] * yw$k.y * $PcaFp) AS BIGINT) AS q
+         |  FROM yw$k, dd),
+         |ufw$k AS (SELECT p, CAST(sum(q) AS BIGINT) AS ufp
+         |  FROM cw$k GROUP BY p),
+         |uraw$k AS (SELECT list(CAST(ufp AS DOUBLE) / $PcaFp
+         |    ORDER BY p) AS u FROM ufw$k),
+         |sc$k AS (SELECT uraw$k.u, v$PcaIters.v AS v1,
+         |    (${d(s"v$PcaIters.v", s"uraw$k.u")}) AS proj
+         |  FROM uraw$k, v$PcaIters),
+         |ud$k AS (SELECT dd.p, sc$k.u[dd.p] - sc$k.proj
+         |    * sc$k.v1[dd.p] AS ud
+         |  FROM dd, sc$k),
+         |uw$k AS (SELECT list(ud ORDER BY p) AS u FROM ud$k),
+         |nw$k AS (SELECT u, sqrt(${d("u", "u")}) AS nrm FROM uw$k),
+         |w$k AS (SELECT list_transform(u, x -> x / nrm) AS v, nrm
+         |  FROM nw$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |dd AS (SELECT unnest(range(1, ${n + 1})) AS p),
+       |v0 AS (SELECT list_transform(range(1, ${n + 1}),
+       |    i -> CAST(0.125 AS DOUBLE)) AS v),
+       |w0 AS (SELECT list_transform(range(1, ${n + 1}),
+       |    i -> CAST(CASE WHEN i % 2 = 0 THEN 0.125 ELSE -0.125 END
+       |      AS DOUBLE)) AS v),
+       |$pc1Iters,
+       |$pc2Iters,
+       |fin AS (SELECT
+       |    CASE WHEN w$PcaIters.nrm > v$PcaIters.nrm
+       |      THEN w$PcaIters.v ELSE v$PcaIters.v END AS v1,
+       |    CASE WHEN w$PcaIters.nrm > v$PcaIters.nrm
+       |      THEN v$PcaIters.v ELSE w$PcaIters.v END AS v2,
+       |    CASE WHEN w$PcaIters.nrm > v$PcaIters.nrm
+       |      THEN w$PcaIters.nrm ELSE v$PcaIters.nrm END AS lam1,
+       |    CASE WHEN w$PcaIters.nrm > v$PcaIters.nrm
+       |      THEN v$PcaIters.nrm ELSE w$PcaIters.nrm END AS lam2,
+       |    (${d(s"v$PcaIters.v", s"w$PcaIters.v")}) AS ortho
+       |  FROM v$PcaIters, w$PcaIters)
+       |SELECT CAST(dd.p AS BIGINT) AS dim,
+       |  round(fin.v1[dd.p], 6) AS pc1_loading,
+       |  round(fin.v2[dd.p], 6) AS pc2_loading,
+       |  round(fin.lam1, 4) AS eigval1,
+       |  round(fin.lam2, 4) AS eigval2,
+       |  round(abs(fin.ortho), 6) AS orthogonality
+       |FROM dd, fin ORDER BY dim""".stripMargin
   }
 }

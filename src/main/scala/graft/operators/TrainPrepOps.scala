@@ -1787,4 +1787,169 @@ object TrainPrepOps {
        |FROM cv JOIN nch ON nch.sz = cv.sz AND nch.st = cv.st
        |ORDER BY chunk_size, stride""".stripMargin
   }
+
+  // --- q316: gate-distillation stump (histogram split finding) -----------
+
+  /** Histogram resolution for candidate split thresholds — the
+    * XGBoost/LightGBM approximate-split construction. */
+  val StumpBins = 16
+
+  /** q316 — gate-distillation stump: which single interpretable rule
+    * best mimics the LEARNED q129 classifier gate? Each per-document
+    * feature (word count, mean word length, symbol ratio — q104's
+    * inputs) is histogrammed into [[StumpBins]] equi-width bins, every
+    * bin edge is a candidate threshold, and the best split per feature
+    * is chosen by exact Gini gain — the histogram-based split finding
+    * every distributed GBDT ships (one aggregation pass, candidates
+    * from bin edges, never a per-value sort). The audit a curation team
+    * runs before replacing an opaque classifier with a cheap rule, or
+    * to explain WHAT the classifier learned.
+    *
+    * Parity: bin ids and (n, pos) cells are exact integers; cumulative
+    * sums run over ≤[[StumpBins]] rows per feature; each candidate's
+    * gain is one fixed-op-order double expression of those integers;
+    * the per-feature argmax orders by (gain DESC, bin) over
+    * identically-computed doubles.
+    *
+    * Scale (100 TB): TWO corpus passes (global per-feature min/max,
+    * then bin + aggregate — the q87/q195 shape), both map-side
+    * combined; everything after is |features|·[[StumpBins]] rows. */
+  def distillStump(s: SparkSession, dir: String): DataFrame = {
+    val nWords = wsTokenCount(col("text"))
+    val nonspace = length(regexp_replace(col("text"), "\\s+", ""))
+      .cast("bigint")
+    val base = t(s, dir, "documents").select(
+      (MixtureOps.logitOf >= 0L).as("y"),
+      nWords.cast("double").as("f_words"),
+      (nonspace.cast("double") / nWords.cast("double")).as("f_mwl"),
+      stopwordHits(col("text"), LangStopwords.head._2).cast("double")
+        .as("f_stop"))
+      .persist()
+    val st = base.agg(
+      min(col("f_words")).as("lo_words"), max(col("f_words")).as("hi_words"),
+      min(col("f_mwl")).as("lo_mwl"), max(col("f_mwl")).as("hi_mwl"),
+      min(col("f_stop")).as("lo_stop"), max(col("f_stop")).as("hi_stop"))
+    val stacked = base.crossJoin(broadcast(st)).selectExpr("y",
+      s"""stack(3,
+         |  'f_words', f_words, lo_words, hi_words,
+         |  'f_mwl', f_mwl, lo_mwl, hi_mwl,
+         |  'f_stop', f_stop, lo_stop, hi_stop) AS (feature, x, lo, hi)"""
+        .stripMargin)
+      .withColumn("rng",
+        when(col("hi") === col("lo"), lit(1.0))
+          .otherwise(col("hi") - col("lo")))
+      .withColumn("bin", least(lit(StumpBins - 1L),
+        floor((col("x") - col("lo")) * StumpBins / col("rng"))
+          .cast("long")))
+    val cells = stacked.groupBy("feature", "bin").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
+      max(col("lo")).as("lo"), max(col("rng")).as("rng"))
+    val wCum = Window.partitionBy("feature").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("feature")
+    val cand = cells
+      .withColumn("nl", sum(col("n")).over(wCum))
+      .withColumn("pl", sum(col("pos")).over(wCum))
+      .withColumn("nt", sum(col("n")).over(wAll))
+      .withColumn("pt", sum(col("pos")).over(wAll))
+      .filter(col("nl") < col("nt")) // a split must leave a right side
+      .withColumn("nr", col("nt") - col("nl"))
+      .withColumn("pr", col("pt") - col("pl"))
+      .withColumn("gain", expr(
+        """2.0 * (CAST(pt AS DOUBLE) / nt) * (1.0 - CAST(pt AS DOUBLE) / nt)
+          |  - (CAST(nl AS DOUBLE) / nt) * (2.0 * (CAST(pl AS DOUBLE) / nl)
+          |      * (1.0 - CAST(pl AS DOUBLE) / nl))
+          |  - (CAST(nr AS DOUBLE) / nt) * (2.0 * (CAST(pr AS DOUBLE) / nr)
+          |      * (1.0 - CAST(pr AS DOUBLE) / nr))""".stripMargin))
+      .withColumn("threshold",
+        col("lo") + (col("bin") + 1L).cast("double") *
+          col("rng") / StumpBins)
+    val wBest = Window.partitionBy("feature")
+      .orderBy(col("gain").desc, col("bin"))
+    val best = cand.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+    val wGlob = Window.partitionBy(lit(1))
+    best
+      .withColumn("gmax", max(col("gain")).over(wGlob))
+      .select(col("feature"),
+        round(col("threshold"), 6).as("threshold"),
+        round(col("gain"), 6).as("gini_gain"),
+        col("nl").as("n_left"), col("nr").as("n_right"),
+        round(col("pl").cast("double") / col("nl").cast("double"), 6)
+          .as("left_pass_rate"),
+        round(col("pr").cast("double") / col("nr").cast("double"), 6)
+          .as("right_pass_rate"),
+        (col("gain") === col("gmax")).as("best_overall"))
+      .orderBy("feature")
+  }
+
+  def distillStumpOracle: String = {
+    import CurationOps.ClfLogitWSql
+    val b = StumpBins
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |lg AS (SELECT doc_id, CAST(sum($ClfLogitWSql) AS BIGINT) AS logit
+       |  FROM tok GROUP BY doc_id),
+       |base AS (SELECT lg.logit >= 0 AS y,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+       |      AS f_words,
+       |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |      / CAST(len(string_split_regex(trim(text), '\\s+'))
+       |        AS DOUBLE) AS f_mwl,
+       |    CAST(len(regexp_extract_all(text,
+       |      '\\b(the|and|of|to|in|is|you|that)\\b')) AS DOUBLE)
+       |      AS f_stop
+       |  FROM documents JOIN lg USING (doc_id)),
+       |st AS (SELECT min(f_words) AS lo_words, max(f_words) AS hi_words,
+       |    min(f_mwl) AS lo_mwl, max(f_mwl) AS hi_mwl,
+       |    min(f_stop) AS lo_stop, max(f_stop) AS hi_stop FROM base),
+       |stacked AS (
+       |  SELECT y, 'f_words' AS feature, f_words AS x, lo_words AS lo,
+       |    hi_words AS hi FROM base, st
+       |  UNION ALL SELECT y, 'f_mwl', f_mwl, lo_mwl, hi_mwl FROM base, st
+       |  UNION ALL SELECT y, 'f_stop', f_stop, lo_stop, hi_stop
+       |    FROM base, st),
+       |binned AS (SELECT y, feature,
+       |    CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END AS rng, lo,
+       |    least($b - 1, CAST(floor((x - lo) * $b /
+       |      (CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END)) AS BIGINT))
+       |      AS bin
+       |  FROM stacked),
+       |cells AS (SELECT feature, bin, count(*) AS n,
+       |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+       |    max(lo) AS lo, max(rng) AS rng
+       |  FROM binned GROUP BY feature, bin),
+       |cum AS (SELECT *,
+       |    CAST(sum(n) OVER (PARTITION BY feature ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS nl,
+       |    CAST(sum(pos) OVER (PARTITION BY feature ORDER BY bin
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS pl,
+       |    CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS nt,
+       |    CAST(sum(pos) OVER (PARTITION BY feature) AS BIGINT) AS pt
+       |  FROM cells),
+       |cand AS (SELECT *, nt - nl AS nr, pt - pl AS pr,
+       |    2.0 * (CAST(pt AS DOUBLE) / nt) * (1.0 - CAST(pt AS DOUBLE) / nt)
+       |      - (CAST(nl AS DOUBLE) / nt) * (2.0 * (CAST(pl AS DOUBLE) / nl)
+       |          * (1.0 - CAST(pl AS DOUBLE) / nl))
+       |      - (CAST(nt - nl AS DOUBLE) / nt)
+       |          * (2.0 * (CAST(pt - pl AS DOUBLE) / (nt - nl))
+       |          * (1.0 - CAST(pt - pl AS DOUBLE) / (nt - nl))) AS gain,
+       |    lo + CAST(bin + 1 AS DOUBLE) * rng / $b AS threshold
+       |  FROM cum WHERE nl < nt),
+       |best AS (SELECT * FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY feature
+       |      ORDER BY gain DESC, bin) AS rk FROM cand) WHERE rk = 1)
+       |SELECT feature, round(threshold, 6) AS threshold,
+       |  round(gain, 6) AS gini_gain,
+       |  nl AS n_left, nr AS n_right,
+       |  round(CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE), 6)
+       |    AS left_pass_rate,
+       |  round(CAST(pr AS DOUBLE) / CAST(nr AS DOUBLE), 6)
+       |    AS right_pass_rate,
+       |  gain = max(gain) OVER () AS best_overall
+       |FROM best ORDER BY feature""".stripMargin
+  }
 }

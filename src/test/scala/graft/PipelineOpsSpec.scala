@@ -3331,4 +3331,268 @@ class PipelineOpsSpec extends AnyFunSuite {
     val nWhite = plain.count(_._2.forall(_._7))
     assert(nWhite * 2 > plain.size, s"only $nWhite/${plain.size} white")
   }
+
+  test("q311 isotonic: matches a stack-based PAV replica and is monotone") {
+    val rows = MixtureOps.isotonicCalibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    // monotone nondecreasing fit — the defining property
+    rows.map(_._5).sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(0) <= p(1) + 1e-9, "fit not monotone"))
+    rows.foreach { r =>
+      assert(math.abs(r._4 - r._3.toDouble / r._2) < 1e-5, s"raw: $r")
+      assert(r._6 == (r._5 != r._4), s"pooled flag: $r")
+    }
+    // classic pool-adjacent-violators replica on the same bin stats
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    rows.foreach { r =>
+      blocks += ((r._3, r._2)) // (pass, docs)
+      while (blocks.length >= 2 && {
+        val a = blocks(blocks.length - 2); val b = blocks.last
+        a._1.toDouble / a._2 > b._1.toDouble / b._2
+      }) {
+        val b = blocks.remove(blocks.length - 1)
+        val a = blocks.remove(blocks.length - 1)
+        blocks += ((a._1 + b._1, a._2 + b._2))
+      }
+    }
+    // walk bins against merged blocks via cumulative doc counts
+    var bi = 0; var used = 0L
+    rows.foreach { r =>
+      val (bp, bn) = blocks(bi)
+      val expect = bp.toDouble / bn
+      assert(math.abs(r._5 - expect) < 1e-6,
+        s"bin ${r._1}: iso ${r._5} != PAV $expect")
+      used += r._2
+      if (used == bn) { bi += 1; used = 0L }
+      else assert(used < bn, s"block overrun at bin ${r._1}")
+    }
+  }
+
+  test("q312 js matrix: brute-force replica on one pair, bounds hold") {
+    val rows = ProfileOps.jsDivergenceMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getBoolean(7)))
+    assert(rows.nonEmpty)
+    val ln2 = math.log(2.0)
+    rows.foreach { r =>
+      assert(r._1 < r._2, s"pair order: $r")
+      assert(r._6 >= 0 && r._6 <= ln2 + 1e-9, s"js bounds: $r")
+      assert(r._7 >= 0 && r._7 <= 1 + 1e-9, s"js_norm: $r")
+      assert(r._4 > 0 && r._4 <= 1 && r._5 > 0 && r._5 <= 1, s"mass: $r")
+    }
+    assert(rows.count(_._8) >= 1, "no most_divergent flagged")
+    assert(rows.filter(_._8).forall(f => rows.forall(_._6 <= f._6)))
+    // brute-force replica of the FIRST pair from raw token counts,
+    // identical arithmetic (frozen contributions + closed-form tail)
+    val (sa, sb) = (rows.head._1, rows.head._2)
+    val cnt = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("source", "explode(split(text, ' ')) AS w")
+      .groupBy("source", "w").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val tot = cnt.groupBy(_._1._1).map { case (s0, m) => s0 -> m.values.sum }
+    val shared = cnt.keys.filter(_._1 == sa).map(_._2)
+      .filter(w => cnt.contains((sb, w))).toSeq
+    var fp = 0L; var ca = 0L; var cb = 0L
+    shared.foreach { w =>
+      val pa = cnt((sa, w)).toDouble / tot(sa)
+      val pb = cnt((sb, w)).toDouble / tot(sb)
+      val m = (pa + pb) * 0.5
+      fp += math.floor(
+        0.5 * (pa * math.log(pa / m) + pb * math.log(pb / m)) * 1e9).toLong
+      ca += cnt((sa, w)); cb += cnt((sb, w))
+    }
+    val js = fp.toDouble / 1e9 + 0.5 * ln2 *
+      (2.0 - ca.toDouble / tot(sa) - cb.toDouble / tot(sb))
+    assert(math.abs(rows.head._6 - js) < 1e-6,
+      s"brute $js vs ${rows.head._6}")
+    assert(rows.head._3 == shared.size)
+  }
+
+  test("q313 ranker agreement: BM25 side matches q147's run, metrics consistent") {
+    val k = MlPrepOps.RankAgreeK
+    val rows = MlPrepOps.rankerAgreement(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.length == MlPrepOps.Bm25Queries)
+    rows.foreach { r =>
+      assert(r._3 >= 0 && r._3 <= k, s"overlap: $r")
+      assert(math.abs(r._4 - r._3.toDouble / (2 * k - r._3)) < 1e-5)
+      assert(r._5 <= r._3 * (k - 1), s"footrule bound: $r")
+      if (r._6) assert(r._3 >= 1, s"top1 without overlap: $r")
+    }
+    // the BM25 ranking inside the audit IS q147's: same top-k sets
+    val q147 = MlPrepOps.bm25TopK(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2))).groupBy(_._1)
+      .map { case (t, v) => t -> v.map(_._2).toSet }
+    assert(rows.map(_._1).toSet == q147.keySet)
+  }
+
+  test("q314 personalized pagerank: teleport mass pins the seeds on top") {
+    val rows = GraphOps.personalizedPageRank(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getBoolean(2)))
+    assert(rows.length == GraphOps.TopK)
+    rows.foreach(r => assert(r._2 > 0, s"nonpositive ppr: $r"))
+    // all seeds surface, and the seed floor (0.15·|V|/|S| of teleport
+    // mass every iteration) dominates any damped non-seed inflow
+    val seeds = rows.filter(_._3)
+    assert(seeds.length == GraphOps.PprSeeds, s"seeds missing: $seeds")
+    val minSeed = seeds.map(_._2).min
+    val maxNon = rows.filterNot(_._3).map(_._2).max
+    assert(minSeed > maxNon, s"seed floor broken: $minSeed <= $maxNon")
+    // output is rank-ordered
+    rows.map(_._2).sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(0) >= p(1)))
+  }
+
+  test("q315 edit verify: decile identities hold and verifiers disagree only mid-band") {
+    val rows = DedupOps.editVerify(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getDouble(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // decile = floor(jaccard·10) makes the token verdict an identity
+      // of the bucketing: every pair in deciles ≥ 5 is a token dup
+      if (r._1 >= 5) assert(r._5 == r._2, s"jac verdict identity: $r")
+      else assert(r._5 == 0, s"jac verdict identity: $r")
+      assert(r._6 >= 0 && r._6 <= r._2 && r._7 >= 0 && r._7 <= r._2)
+      assert(r._8 >= 0 && r._8 <= 1)
+      assert(r._3 >= r._1 / 10.0 - 1e-9 && r._3 < (r._1 + 1) / 10.0 + 0.1,
+        s"avg jaccard outside decile: $r")
+    }
+    // per-decile means rise with the decile on both metrics
+    rows.sortBy(_._1).sliding(2).foreach { p =>
+      if (p.length == 2) {
+        assert(p(0)._3 <= p(1)._3 + 1e-9, "jaccard not monotone")
+      }
+    }
+    // the graded corpus puts near-identical pairs on top: the top
+    // decile must be a full-agreement dup band
+    val top = rows.maxBy(_._1)
+    assert(top._1 == 9 && top._6 == top._2 && top._7 == top._2)
+  }
+
+  test("q316 distill stump: f_words split matches a driver-side replica") {
+    val rows = TrainPrepOps.distillStump(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getBoolean(7))).toMap
+    assert(rows.keySet == Set("f_words", "f_mwl", "f_stop"))
+    val nTotal = rows.values.head._3 + rows.values.head._4
+    rows.foreach { case (f, r) =>
+      assert(r._2 >= -1e-12, s"$f negative gain")
+      assert(r._3 + r._4 == nTotal, s"$f split doesn't partition")
+      assert(r._5 >= 0 && r._5 <= 1 && r._6 >= 0 && r._6 <= 1)
+    }
+    assert(rows.values.count(_._7) >= 1, "no best_overall")
+    // replica: exact histogram split finding on collected (words, y)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(MixtureOps.logitOf.geq(0L).as("y"),
+        graft.operators.TextOps.wsTokenCount(col("text"))
+          .cast("double").as("x"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1)))
+    val (lo, hi) = (docs.map(_._2).min, docs.map(_._2).max)
+    val rng = if (hi == lo) 1.0 else hi - lo
+    val b = TrainPrepOps.StumpBins
+    val bins = docs.groupBy(d =>
+      math.min(b - 1L, math.floor((d._2 - lo) * b / rng).toLong))
+    val cells = (0L until b.toLong).map { i =>
+      val v = bins.getOrElse(i, Array.empty[(Boolean, Double)])
+      (v.length.toLong, v.count(_._1).toLong)
+    }
+    val nt = cells.map(_._1).sum; val pt = cells.map(_._2).sum
+    def gini(p: Long, n: Long) =
+      if (n == 0) 0.0 else 2.0 * (p.toDouble / n) * (1.0 - p.toDouble / n)
+    var best = (-1.0, -1L)
+    var (nl, pl) = (0L, 0L)
+    (0 until b - 1).foreach { i =>
+      nl += cells(i)._1; pl += cells(i)._2
+      if (nl > 0 && nl < nt) {
+        val gain = gini(pt, nt) - (nl.toDouble / nt) * gini(pl, nl) -
+          ((nt - nl).toDouble / nt) * gini(pt - pl, nt - nl)
+        if (gain > best._1) best = (gain, i.toLong)
+      }
+    }
+    val expectThr = lo + (best._2 + 1).toDouble * rng / b
+    val got = rows("f_words")
+    assert(math.abs(got._1 - expectThr) < 1e-6,
+      s"threshold ${got._1} vs $expectThr")
+    assert(math.abs(got._2 - best._1) < 1e-6, s"gain ${got._2} vs $best")
+  }
+
+  test("q317 cap recall: the planted hot buckets cost recall, and only they do") {
+    val rows = DedupOps.capRecall(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // candidates arise only through shared bands: found ⊆ captured
+      assert(r._4 <= r._3 && r._3 <= r._2, s"found beyond capture: $r")
+      assert(r._6 <= r._5 + 1e-9, s"production above ceiling: $r")
+      assert(r._7 == r._3 - r._4, s"cap_lost accounting: $r")
+      assert(r._1 >= 5, s"sub-threshold truth pair leaked in: $r")
+    }
+    // the hot-bucket plant must actually bite...
+    val lost = rows.map(_._7).sum
+    assert(lost > 0, "plant did not heat any bucket")
+    // ...and its bill is bounded by the planted bases' truth pairs
+    assert(lost <= DedupOps.PlantHotBases * 5L, s"lost $lost too high")
+    // signature capture follows the S-curve: nondecreasing in decile
+    rows.sortBy(_._1).map(_._5).sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(0) <= p(1) + 0.05, "capture not S-shaped"))
+    assert(rows.maxBy(_._1)._5 > 0.9, "near-identical pairs not captured")
+  }
+
+  test("q318 pca deflation: unit orthogonal pair matching a driver replica") {
+    val rows = SimilarityOps.pcaDeflation(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+    assert(rows.length == VecSql.Dims)
+    val h = rows.head
+    assert(h._4 >= h._5 && h._5 > 0, s"eigvals unordered: $h")
+    assert(h._6 < 1e-5, s"not orthogonal: ${h._6}")
+    assert(math.abs(rows.map(r => r._2 * r._2).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(r => r._3 * r._3).sum - 1.0) < 1e-4)
+    // driver replica of BOTH iterations (identical fixed-point math)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("transform(embedding, x -> CAST(x AS DOUBLE)) AS e")
+      .collect().map(_.getSeq[Double](0).toArray)
+    val dims = VecSql.Dims
+    def rawUpdate(v: Array[Double]): Array[Double] = {
+      val ufp = Array.fill(dims)(0L)
+      emb.foreach { x =>
+        val y = (0 until dims).map(j => x(j) * v(j)).sum
+        (0 until dims).foreach(j =>
+          ufp(j) += math.floor(x(j) * y * 1e12).toLong)
+      }
+      ufp.map(_.toDouble / 1e12)
+    }
+    def normalize(u: Array[Double]): (Array[Double], Double) = {
+      val n = math.sqrt(u.map(x => x * x).sum); (u.map(_ / n), n)
+    }
+    var v = Array.fill(dims)(0.125); var la = 0.0
+    for (_ <- 1 to SimilarityOps.PcaIters) {
+      val (nv, n) = normalize(rawUpdate(v)); v = nv; la = n
+    }
+    var w = Array.tabulate(dims)(i =>
+      if ((i + 1) % 2 == 0) 0.125 else -0.125)
+    var lb = 0.0
+    for (_ <- 1 to SimilarityOps.PcaIters) {
+      val u = rawUpdate(w)
+      val proj = (0 until dims).map(j => v(j) * u(j)).sum
+      val (nw, n) = normalize(
+        Array.tabulate(dims)(j => u(j) - proj * v(j)))
+      w = nw; lb = n
+    }
+    val (e1, e2, p1, p2) =
+      if (lb > la) (lb, la, w, v) else (la, lb, v, w)
+    assert(math.abs(h._4 - e1) < 1e-3 && math.abs(h._5 - e2) < 1e-3)
+    rows.foreach { r =>
+      assert(math.abs(r._2 - p1(r._1.toInt - 1)) < 1e-5, s"pc1 dim ${r._1}")
+      assert(math.abs(r._3 - p2(r._1.toInt - 1)) < 1e-5, s"pc2 dim ${r._1}")
+    }
+  }
 }

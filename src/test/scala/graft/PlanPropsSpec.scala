@@ -1678,4 +1678,86 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(p.contains("Window") && p.contains("HashAggregate"),
       s"acf lost its sweep shape:\n${p.take(1800)}")
   }
+
+  test("q311 isotonic: corpus persisted once; the minimax triple is bin-sized BNLJ") {
+    val p = plan(MixtureOps.isotonicCalibration(spark, dir))
+    assert(p.contains("InMemoryTableScan"),
+      s"scored corpus not persisted:\n${p.take(1800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"bin algebra shuffled a join:\n${p.take(1800)}")
+  }
+
+  test("q312 js matrix: token cells collapse; totals broadcast; pairs in-row") {
+    val p = plan(ProfileOps.jsDivergenceMatrix(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"js matrix shuffled a join:\n${p.take(1800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"totals not broadcast:\n${p.take(1800)}")
+    assert(p.contains("Generate"),
+      s"pair explode missing:\n${p.take(1800)}")
+  }
+
+  test("q313 ranker agreement: both rank windows share ONE term exchange") {
+    val p = plan(MlPrepOps.rankerAgreement(spark, dir))
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"agreement went cartesian:\n${p.take(1800)}")
+    // 2 = the df-ranking aggregate + ONE exchange shared by both rank
+    // windows (3 would mean the windows stopped sharing partitioning)
+    val termEx = "hashpartitioning\\(term".r.findAllIn(p).length
+    assert(termEx == 2,
+      s"expected 2 term exchanges (agg + shared windows), got $termEx:\n${p.take(2400)}")
+    val windows = "Window \\[".r.findAllIn(p).length
+    assert(windows == 2, s"expected two rank windows, got $windows")
+  }
+
+  test("q314 personalized pagerank: final generation reads the cache; seeds broadcast") {
+    val p = plan(GraphOps.personalizedPageRank(spark, dir))
+    assert(p.contains("InMemoryTableScan"),
+      s"rank generation not materialized:\n${p.take(1800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"seed set not broadcast:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct"),
+      s"ppr went cartesian:\n${p.take(1800)}")
+  }
+
+  test("q315 edit verify: candidates flow through the cap window; levenshtein in-row") {
+    val p = plan(DedupOps.editVerify(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"edit verify went cartesian:\n${p.take(1800)}")
+    assert(p.contains("Window"),
+      s"hot-bucket cap window missing:\n${p.take(1800)}")
+    assert(p.contains("levenshtein"),
+      s"levenshtein not in the projection:\n${p.take(1800)}")
+  }
+
+  test("q317 cap recall: truth pairs join on the base key; candidates through the cap window") {
+    val p = plan(DedupOps.capRecall(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"cap recall went cartesian:\n${p.take(1800)}")
+    assert(p.contains("Window"),
+      s"hot-bucket cap window missing:\n${p.take(1800)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"shared shingle/signature frames not persisted:\n${p.take(1800)}")
+  }
+
+  test("q318 pca deflation: corpus persisted; corrections ride broadcasts") {
+    val p = plan(SimilarityOps.pcaDeflation(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"deflation grew a shuffled join:\n${p.take(1800)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"iterate/scalars not broadcast:\n${p.take(1800)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"corpus not persisted:\n${p.take(1800)}")
+  }
+
+  test("q316 distill stump: scored corpus persisted; bin algebra join-free beyond broadcasts") {
+    val p = plan(TrainPrepOps.distillStump(spark, dir))
+    assert(p.contains("InMemoryTableScan"),
+      s"scored corpus not persisted:\n${p.take(1800)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"stump shuffled a join:\n${p.take(1800)}")
+    assert(p.contains("Window"),
+      s"cumulative split window missing:\n${p.take(1800)}")
+  }
 }
