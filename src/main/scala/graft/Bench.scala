@@ -176,12 +176,19 @@ object Bench {
     // aren't inflated by first-use compile
     calibOnce(spark); calibShuffleOnce(spark); calibPlanOnce(spark)
     // SPARK_GRAFT_ONLY=q86_knn_graph,q70_pagerank → time just those
-    // (single-query iteration; the driver leaves it unset)
+    // (single-query iteration; the driver leaves it unset).
+    // SPARK_GRAFT_EXCLUDE=q30_ngram_jaccard → skip named queries (the
+    // builder's synthetic-10× net excludes the deliberately-UNCAPPED
+    // q30 baseline, whose quadratic pair join is kept out of the
+    // production order by design; the driver leaves this unset too).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val excl = sys.env.get("SPARK_GRAFT_EXCLUDE")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val shuffleProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val planProbes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }.map {
+      .filter { case (n, _) => only.forall(_.contains(n)) && !excl(n) }
+      .map {
       case (name, fn) =>
         // progress marker: when a run stalls, the LAST marker names the
         // query that is stuck (the JSON contract is unaffected — the
