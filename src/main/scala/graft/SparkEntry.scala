@@ -336,6 +336,7 @@ object SparkEntry {
     "q316_distill_stump"     -> (TrainPrepOps.distillStump _),
     "q317_cap_recall"        -> (DedupOps.capRecall _),
     "q318_pca_deflation"     -> (SimilarityOps.pcaDeflation _),
+    "q319_lpa_communities"   -> (GraphOps.lpaCommunities _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -936,6 +937,7 @@ object SparkEntry {
     "q316_distill_stump" -> TrainPrepOps.distillStumpOracle,
     "q317_cap_recall" -> DedupOps.capRecallOracle,
     "q318_pca_deflation" -> SimilarityOps.pcaDeflationOracle,
+    "q319_lpa_communities" -> GraphOps.lpaCommunitiesOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -238,6 +238,147 @@ object GraphOps {
        |ORDER BY r.pr DESC, r.node LIMIT $TopK""".stripMargin
   }
 
+  // --- q319: label-propagation communities + modularity -------------------
+
+  /** Synchronous LPA iterations (fixed, unrolled in the oracle). At 4
+    * the co-activity fixture settles to 3 communities (107/42/1 at
+    * sf0.01 — measured); more iterations only merge further. */
+  val LpaIters = 4
+
+  /** q319 — label-propagation community detection (Raghavan et al.
+    * 2007) over the q307 co-activity graph, with Newman modularity as
+    * the quality readout: each node adopts the most frequent label
+    * among its neighbors (ties → smallest label), synchronously, for
+    * [[LpaIters]] rounds. Communities are DENSITY structure — q59's
+    * connected components answer "what is reachable" (this graph is
+    * one component), LPA answers "where are the social clusters", and
+    * modularity Q = Σ_c [m_c/m − (d_c/2m)²] says whether the split
+    * beats random expectation. The audit a cohort/abuse team runs
+    * before treating co-activity as community evidence.
+    *
+    * Parity: label counts are exact integers and the per-node argmax
+    * is a rank window ordered (count DESC, label ASC); modularity's
+    * per-community term freezes to ×1e9 BIGINT before the cross-
+    * community sum; m, m_c, d_c are exact integers.
+    *
+    * Scale (100 TB): per iteration ONE join of the (cached,
+    * pre-partitioned) directed edge table against the |V|-row label
+    * table plus a (node, label) count collapse — the q70 iterate-by-
+    * join discipline with the same cache-truncation; the modularity
+    * tail is two |E|/|V|-bounded joins against final labels. */
+  def lpaCommunities(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = cooccurEdges(s, dir).persist()
+    val edges = und.select(col("ua").as("src"), col("ub").as("dst"))
+      .unionAll(und.select(col("ub").as("src"), col("ua").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")).persist()
+    val wTop = Window.partitionBy("node")
+      .orderBy(col("cnt").desc, col("nlbl"))
+    for (_ <- 1 to LpaIters) {
+      val next = edges
+        .join(labels.select(col("node").as("dst"), col("lbl").as("nlbl")),
+          "dst")
+        .groupBy(col("src").as("node"), col("nlbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") === 1)
+        .select(col("node"), col("nlbl").as("lbl"))
+        .persist()
+      next.count()
+      labels.unpersist()
+      labels = next
+    }
+    val m = und.count() // |undirected edges| — a scalar
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val comm = labels
+      .join(deg.select(col("src").as("node"), col("deg")), "node")
+      .groupBy("lbl").agg(count(lit(1)).as("size"),
+        sum(col("deg")).as("d_c"))
+    val intra = und
+      .join(labels.select(col("node").as("ua"), col("lbl").as("la")), "ua")
+      .join(labels.select(col("node").as("ub"), col("lbl").as("lb")), "ub")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("m_c"))
+    val terms = comm.join(intra, Seq("lbl"), "left")
+      .withColumn("m_c", coalesce(col("m_c"), lit(0L)))
+      .withColumn("q_fp", floor(
+        (col("m_c").cast("double") / lit(m.toDouble) -
+          (col("d_c").cast("double") / lit(2.0 * m)) *
+            (col("d_c").cast("double") / lit(2.0 * m))) * lit(1e9))
+        .cast("long"))
+    val wAll = Window.partitionBy(lit(1))
+    terms
+      .withColumn("size_band", expr("least(size div 20, 6L)"))
+      .groupBy("size_band")
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("size")).as("n_nodes"),
+        sum(col("m_c")).as("intra_edges"),
+        sum(col("q_fp")).as("q_fp"))
+      .withColumn("modularity",
+        round(sum(col("q_fp")).over(wAll).cast("double") / lit(1e9), 6))
+      .withColumn("n_communities_total",
+        sum(col("n_communities")).over(wAll))
+      .select(col("size_band"), col("n_communities"), col("n_nodes"),
+        col("intra_edges"), col("n_communities_total"), col("modularity"))
+      .orderBy("size_band")
+  }
+
+  def lpaCommunitiesOracle: String = {
+    val iters = (1 to LpaIters).map { i =>
+      s"""l$i AS (SELECT node, nlbl AS lbl FROM (
+         |  SELECT e.src AS node, l.lbl AS nlbl, count(*) AS cnt,
+         |    row_number() OVER (PARTITION BY e.src
+         |      ORDER BY count(*) DESC, l.lbl) AS rk
+         |  FROM ed e JOIN l${i - 1} l ON l.node = e.dst
+         |  GROUP BY e.src, l.lbl) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (SELECT event_type AS et, date_trunc('hour', ts) AS h,
+       |    user_id AS u FROM events GROUP BY 1, 2, 3),
+       |capped AS (SELECT et, h, u FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY et, h ORDER BY u) AS rn
+       |  FROM c) WHERE rn <= $CoocCellCap),
+       |und AS (SELECT a.u AS ua, b.u AS ub
+       |  FROM capped a JOIN capped b
+       |    ON a.et = b.et AND a.h = b.h AND a.u < b.u
+       |  GROUP BY 1, 2 HAVING count(*) >= $CoocMinCells),
+       |ed AS (SELECT ua AS src, ub AS dst FROM und
+       |      UNION ALL SELECT ub, ua FROM und),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM ed),
+       |$iters,
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM ed GROUP BY src),
+       |comm AS (SELECT l.lbl, CAST(count(*) AS BIGINT) AS sz,
+       |    CAST(sum(deg.deg) AS BIGINT) AS d_c
+       |  FROM l$LpaIters l JOIN deg USING (node) GROUP BY l.lbl),
+       |intra AS (SELECT la.lbl, CAST(count(*) AS BIGINT) AS m_c
+       |  FROM und
+       |  JOIN l$LpaIters la ON la.node = und.ua
+       |  JOIN l$LpaIters lb ON lb.node = und.ub
+       |  WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+       |terms AS (SELECT comm.lbl, comm.sz, comm.d_c,
+       |    coalesce(intra.m_c, 0) AS m_c,
+       |    CAST(floor((CAST(coalesce(intra.m_c, 0) AS DOUBLE)
+       |        / CAST(mm.m AS DOUBLE)
+       |      - (CAST(comm.d_c AS DOUBLE) / (2.0 * mm.m))
+       |        * (CAST(comm.d_c AS DOUBLE) / (2.0 * mm.m))) * 1e9)
+       |      AS BIGINT) AS q_fp
+       |  FROM comm LEFT JOIN intra USING (lbl), mm),
+       |bands AS (SELECT least(sz // 20, 6) AS size_band,
+       |    count(*) AS n_communities,
+       |    CAST(sum(sz) AS BIGINT) AS n_nodes,
+       |    CAST(sum(m_c) AS BIGINT) AS intra_edges,
+       |    CAST(sum(q_fp) AS BIGINT) AS q_fp
+       |  FROM terms GROUP BY 1)
+       |SELECT size_band, n_communities, n_nodes, intra_edges,
+       |  CAST(sum(n_communities) OVER () AS BIGINT)
+       |    AS n_communities_total,
+       |  round(CAST(sum(q_fp) OVER () AS DOUBLE) / 1e9, 6) AS modularity
+       |FROM bands ORDER BY size_band""".stripMargin
+  }
+
   // --- q86: mutual-kNN graph clustering ---------------------------------
 
   /** kNN-graph corpus cap, neighbor count, and LSH plane count. The

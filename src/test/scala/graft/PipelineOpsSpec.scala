@@ -3595,4 +3595,42 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(math.abs(r._3 - p2(r._1.toInt - 1)) < 1e-5, s"pc2 dim ${r._1}")
     }
   }
+
+  test("q319 lpa communities: matches a driver-side synchronous LPA replica") {
+    val und = GraphOps.cooccurEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (und.map(e => e._1 -> e._2) ++ und.map(e => e._2 -> e._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+    var lbl = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to GraphOps.LpaIters) {
+      lbl = adj.map { case (n, ns) =>
+        val cnt = ns.groupBy(lbl).map { case (l, v) => l -> v.size }
+        val mx = cnt.values.max
+        n -> cnt.filter(_._2 == mx).keys.min
+      }
+    }
+    val sizes = lbl.values.groupBy(identity).map(_._2.size.toLong)
+    val m = und.length.toLong
+    val deg = adj.map { case (n, ns) => n -> ns.size.toLong }
+    val qExp = lbl.values.toSeq.distinct.map { c =>
+      val members = lbl.filter(_._2 == c).keySet
+      val mc = und.count(e => members(e._1) && members(e._2)).toLong
+      val dc = members.toSeq.map(deg).sum
+      math.floor((mc.toDouble / m -
+        (dc.toDouble / (2.0 * m)) * (dc.toDouble / (2.0 * m))) * 1e9)
+        .toLong
+    }.sum / 1e9
+    val rows = GraphOps.lpaCommunities(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    assert(rows.head._5 == sizes.size.toLong,
+      s"community count ${rows.head._5} vs replica ${sizes.size}")
+    assert(rows.map(_._2).sum == sizes.size.toLong)
+    assert(rows.map(_._3).sum == adj.size.toLong, "node accounting")
+    assert(rows.map(_._4).sum <= m, "intra edges exceed m")
+    assert(math.abs(rows.head._6 - math.rint(qExp * 1e6) / 1e6) < 2e-6,
+      s"modularity ${rows.head._6} vs replica $qExp")
+    assert(rows.head._6 > -0.5 && rows.head._6 < 1.0)
+  }
 }

@@ -1751,6 +1751,14 @@ class PlanPropsSpec extends AnyFunSuite {
       s"corpus not persisted:\n${p.take(1800)}")
   }
 
+  test("q319 lpa: edge table cached; iterations materialize (no lineage blowup)") {
+    val p = plan(GraphOps.lpaCommunities(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"lpa went cartesian:\n${p.take(1800)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"edge/label generations not cached:\n${p.take(1800)}")
+  }
+
   test("q316 distill stump: scored corpus persisted; bin algebra join-free beyond broadcasts") {
     val p = plan(TrainPrepOps.distillStump(spark, dir))
     assert(p.contains("InMemoryTableScan"),
