@@ -337,6 +337,8 @@ object SparkEntry {
     "q317_cap_recall"        -> (DedupOps.capRecall _),
     "q318_pca_deflation"     -> (SimilarityOps.pcaDeflation _),
     "q319_lpa_communities"   -> (GraphOps.lpaCommunities _),
+    "q320_shingle_width"     -> (DedupOps.shingleWidthCurve _),
+    "q321_mi_ranking"        -> (TrainPrepOps.miRanking _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -938,6 +940,8 @@ object SparkEntry {
     "q317_cap_recall" -> DedupOps.capRecallOracle,
     "q318_pca_deflation" -> SimilarityOps.pcaDeflationOracle,
     "q319_lpa_communities" -> GraphOps.lpaCommunitiesOracle,
+    "q320_shingle_width" -> DedupOps.shingleWidthCurveOracle,
+    "q321_mi_ranking" -> TrainPrepOps.miRankingOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

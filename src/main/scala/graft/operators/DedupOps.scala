@@ -2773,6 +2773,112 @@ object DedupOps {
        |    / count(*), 6) AS agree_rate
        |FROM pd GROUP BY decile ORDER BY decile""".stripMargin
 
+  // --- q320: shingle-width sensitivity curve -------------------------------
+
+  /** Widths swept by the sensitivity curve (production uses 3). */
+  val ShingleWidths = Seq(2, 3, 4)
+
+  /** q320 — shingle-width sensitivity: the w in w-gram shingling is
+    * the OTHER dedup knob (q196 sweeps τ, q233 sweeps the banding
+    * geometry — all three assume w = 3), and it couples to τ directly:
+    * a k-word edit breaks ~k·w shingles, so wider shingles depress the
+    * measured Jaccard of the SAME pair and a τ tuned at w = 3 silently
+    * tightens at w = 4. Over the graded same-origin truth pairs, per
+    * (width, variant grade): pair count, mean exact Jaccard, and the
+    * τ = 0.5 duplicate verdict rate — the table that says what
+    * changing w would do to recall BEFORE anyone changes it; the
+    * per-width mean shingle count per doc prices the index.
+    *
+    * Parity: per-width shingle sets are integer algebra; means freeze
+    * through DECIMAL(18,12); dup verdicts are exact comparisons.
+    *
+    * Scale (100 TB): the corpus tokenizes ONCE (persisted frame feeds
+    * all widths); each width's truth evaluation is the q233 linear
+    * same-origin join — no banding, no candidate blowup; output is
+    * |widths|·|grades| rows. */
+  def shingleWidthCurve(s: SparkSession, dir: String): DataFrame = {
+    val tokd = corpusSpread(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select("doc_id", "toks").persist()
+    val perWidth = ShingleWidths.map { w =>
+      val sh = tokd.select(col("doc_id"),
+        explode(array_distinct(expr(wordGramArrayExpr(w)))).as("shingle"))
+        .withColumn("base", col("doc_id") % CopyOffset)
+        .withColumn("k", (col("doc_id") / CopyOffset).cast("long"))
+      val szO = sh.filter(col("k") === 0)
+        .groupBy("base").agg(count(lit(1)).as("n_a"))
+      val szV = sh.filter(col("k").between(1, 5))
+        .groupBy("base", "k").agg(count(lit(1)).as("n_b"))
+      val intr = sh.filter(col("k").between(1, 5))
+        .select("base", "k", "shingle")
+        .join(sh.filter(col("k") === 0).select("base", "shingle"),
+          Seq("base", "shingle"))
+        .groupBy("base", "k").agg(count(lit(1)).as("n_int0"))
+      szV.join(szO, "base")
+        .join(intr, Seq("base", "k"), "left")
+        .withColumn("n_int", coalesce(col("n_int0"), lit(0L)))
+        .withColumn("jac", col("n_int").cast("double") /
+          (col("n_a") + col("n_b") - col("n_int")).cast("double"))
+        .groupBy("k").agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("jac").cast("decimal(18,12)")).as("sj"),
+          sum(when(col("jac") >= 0.5, 1L).otherwise(0L)).as("n_dup"),
+          sum(col("n_a")).as("sa"))
+        .selectExpr(s"CAST($w AS BIGINT) AS width", "k AS grade",
+          "n_pairs",
+          "round(CAST(sj AS DOUBLE) / n_pairs, 6) AS avg_jaccard",
+          "n_dup",
+          "round(CAST(n_dup AS DOUBLE) / n_pairs, 6) AS dup_rate",
+          "round(CAST(sa AS DOUBLE) / n_pairs, 2) AS avg_doc_shingles")
+    }
+    perWidth.reduce(_ unionAll _).orderBy("width", "grade")
+  }
+
+  def shingleWidthCurveOracle: String = {
+    def gramSql(w: Int): String = {
+      val cat = (0 until w).map(j =>
+        if (j == 0) "toks[i]" else s"toks[i+$j]").mkString(" || ' ' || ")
+      s"list_transform(range(1, len(toks) - ${w - 2}), i -> $cat)"
+    }
+    val widths = ShingleWidths.map { w =>
+      s"""SELECT $w AS width, k AS grade, count(*) AS n_pairs,
+         |  round(CAST(sum(CAST(jac AS DECIMAL(18,12))) AS DOUBLE)
+         |    / count(*), 6) AS avg_jaccard,
+         |  CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup,
+         |  round(CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / count(*), 6) AS dup_rate,
+         |  round(CAST(sum(n_a) AS DOUBLE) / count(*), 2)
+         |    AS avg_doc_shingles
+         |FROM (
+         |  SELECT szv.base, szv.k, szo.n_a, szv.n_b,
+         |    coalesce(intr.n_int0, 0) /
+         |      (szo.n_a + szv.n_b - coalesce(intr.n_int0, 0)) AS jac
+         |  FROM (SELECT base, k, count(*) AS n_b FROM sh$w
+         |        WHERE k BETWEEN 1 AND 5 GROUP BY base, k) szv
+         |  JOIN (SELECT base, count(*) AS n_a FROM sh$w
+         |        WHERE k = 0 GROUP BY base) szo USING (base)
+         |  LEFT JOIN (SELECT v.base, v.k, count(*) AS n_int0
+         |    FROM sh$w v JOIN sh$w o ON o.base = v.base
+         |      AND o.shingle = v.shingle AND o.k = 0
+         |    WHERE v.k BETWEEN 1 AND 5 GROUP BY v.base, v.k) intr
+         |    USING (base, k))
+         |GROUP BY k""".stripMargin
+    }.mkString("\nUNION ALL ")
+    val shCtes = ShingleWidths.map { w =>
+      s"""sh$w AS (SELECT DISTINCT doc_id % $CopyOffset AS base,
+         |    doc_id // $CopyOffset AS k, shingle FROM (
+         |  SELECT doc_id, unnest(${gramSql(w)}) AS shingle FROM tok) u)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${OracleGen.CorpusSpread},
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM corpus),
+       |$shCtes
+       |SELECT * FROM ($widths)
+       |ORDER BY width, grade""".stripMargin
+  }
+
   // --- q317: hot-bucket cap recall audit ----------------------------------
 
   /** q317 — what does the [[LshBucketCap]] hot-bucket cap COST in

@@ -1814,7 +1814,9 @@ object TrainPrepOps {
     * Scale (100 TB): TWO corpus passes (global per-feature min/max,
     * then bin + aggregate — the q87/q195 shape), both map-side
     * combined; everything after is |features|·[[StumpBins]] rows. */
-  def distillStump(s: SparkSession, dir: String): DataFrame = {
+  /** Shared label + equi-width-binned feature frame for q316/q321:
+    * (y, feature, bin, lo, rng) per document×feature. */
+  private[graft] def stumpBinned(s: SparkSession, dir: String): DataFrame = {
     val nWords = wsTokenCount(col("text"))
     val nonspace = length(regexp_replace(col("text"), "\\s+", ""))
       .cast("bigint")
@@ -1829,7 +1831,7 @@ object TrainPrepOps {
       min(col("f_words")).as("lo_words"), max(col("f_words")).as("hi_words"),
       min(col("f_mwl")).as("lo_mwl"), max(col("f_mwl")).as("hi_mwl"),
       min(col("f_stop")).as("lo_stop"), max(col("f_stop")).as("hi_stop"))
-    val stacked = base.crossJoin(broadcast(st)).selectExpr("y",
+    base.crossJoin(broadcast(st)).selectExpr("y",
       s"""stack(3,
          |  'f_words', f_words, lo_words, hi_words,
          |  'f_mwl', f_mwl, lo_mwl, hi_mwl,
@@ -1841,6 +1843,10 @@ object TrainPrepOps {
       .withColumn("bin", least(lit(StumpBins - 1L),
         floor((col("x") - col("lo")) * StumpBins / col("rng"))
           .cast("long")))
+  }
+
+  def distillStump(s: SparkSession, dir: String): DataFrame = {
+    val stacked = stumpBinned(s, dir)
     val cells = stacked.groupBy("feature", "bin").agg(
       count(lit(1)).as("n"),
       sum(when(col("y"), 1L).otherwise(0L)).as("pos"),
@@ -1951,5 +1957,136 @@ object TrainPrepOps {
        |    AS right_pass_rate,
        |  gain = max(gain) OVER () AS best_overall
        |FROM best ORDER BY feature""".stripMargin
+  }
+
+  // --- q321: mutual-information feature ranking ---------------------------
+
+  /** q321 — mutual information I(X_binned; Y) in nats between each
+    * interpretable feature (q316's equi-width bins — the SAME binned
+    * frame) and the learned q129 gate label, with the uncertainty
+    * coefficient U = I/H(Y) — the model-free companion to q316's Gini
+    * stump: a feature can carry information the best SINGLE threshold
+    * can't use (multi-modal dependence), and I vs gain ranking
+    * disagreement is exactly that signal. The standard filter-method
+    * feature screen (Battiti's MIFS family) run where selection
+    * actually happens — over the histogram cells, never row pairs.
+    *
+    * Parity: all cell counts are exact integers off one collapse; each
+    * nonzero cell's term (n_by/N)·ln(n_by·N/(n_b·n_y)) is one
+    * fixed-op-order double frozen to ×1e9 BIGINT before the cell sum
+    * (the ulp-tolerant freeze: a 1-ulp ln difference moves a floor
+    * only at ~1e-7 probability per cell, 96 cells); H(Y) freezes the
+    * same way.
+    *
+    * Scale (100 TB): reuses q316's two corpus passes; MI is
+    * |features|·[[StumpBins]]·2 cell algebra. */
+  def miRanking(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = stumpBinned(s, dir)
+      .groupBy("feature", "bin", "y").agg(count(lit(1)).as("n_by"))
+    val wf = Window.partitionBy("feature")
+    val wfb = Window.partitionBy("feature", "bin")
+    val wfy = Window.partitionBy("feature", "y")
+    val terms = cells
+      .withColumn("n", sum(col("n_by")).over(wf))
+      .withColumn("n_b", sum(col("n_by")).over(wfb))
+      .withColumn("n_y", sum(col("n_by")).over(wfy))
+      .withColumn("mi_fp", floor(
+        (col("n_by").cast("double") / col("n").cast("double")) *
+          log(col("n_by").cast("double") * col("n").cast("double") /
+            (col("n_b").cast("double") * col("n_y").cast("double"))) *
+          lit(1e9)).cast("long"))
+      // H(Y) from the same cells: y-marginal terms, counted once per
+      // (feature, y) via the first bin row
+      .withColumn("rn_y", row_number().over(
+        Window.partitionBy("feature", "y").orderBy("bin")))
+      .withColumn("hy_fp", when(col("rn_y") === 1, floor(
+        -(col("n_y").cast("double") / col("n").cast("double")) *
+          log(col("n_y").cast("double") / col("n").cast("double")) *
+          lit(1e9)).cast("long")).otherwise(0L))
+    val perFeature = terms.groupBy("feature").agg(
+      sum(col("mi_fp")).as("mi_fp"),
+      sum(col("hy_fp")).as("hy_fp"),
+      countDistinct(col("bin")).as("n_bins_populated"))
+    val wRank = Window.partitionBy(lit(1))
+      .orderBy(col("mi_fp").desc, col("feature"))
+    perFeature
+      .withColumn("rank", row_number().over(wRank).cast("bigint"))
+      .selectExpr("feature", "rank",
+        "round(CAST(mi_fp AS DOUBLE) / 1e9, 6) AS mi_nats",
+        "round(CAST(hy_fp AS DOUBLE) / 1e9, 6) AS h_y",
+        "round(CAST(mi_fp AS DOUBLE) / CAST(hy_fp AS DOUBLE), 6)" +
+          " AS uncertainty_coef",
+        "n_bins_populated")
+      .orderBy("feature")
+  }
+
+  def miRankingOracle: String = {
+    import CurationOps.ClfLogitWSql
+    val b = StumpBins
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |lg AS (SELECT doc_id, CAST(sum($ClfLogitWSql) AS BIGINT) AS logit
+       |  FROM tok GROUP BY doc_id),
+       |base AS (SELECT lg.logit >= 0 AS y,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+       |      AS f_words,
+       |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |      / CAST(len(string_split_regex(trim(text), '\\s+'))
+       |        AS DOUBLE) AS f_mwl,
+       |    CAST(len(regexp_extract_all(text,
+       |      '\\b(the|and|of|to|in|is|you|that)\\b')) AS DOUBLE)
+       |      AS f_stop
+       |  FROM documents JOIN lg USING (doc_id)),
+       |st AS (SELECT min(f_words) AS lo_words, max(f_words) AS hi_words,
+       |    min(f_mwl) AS lo_mwl, max(f_mwl) AS hi_mwl,
+       |    min(f_stop) AS lo_stop, max(f_stop) AS hi_stop FROM base),
+       |stacked AS (
+       |  SELECT y, 'f_words' AS feature, f_words AS x, lo_words AS lo,
+       |    hi_words AS hi FROM base, st
+       |  UNION ALL SELECT y, 'f_mwl', f_mwl, lo_mwl, hi_mwl FROM base, st
+       |  UNION ALL SELECT y, 'f_stop', f_stop, lo_stop, hi_stop
+       |    FROM base, st),
+       |binned AS (SELECT y, feature,
+       |    least($b - 1, CAST(floor((x - lo) * $b /
+       |      (CASE WHEN hi = lo THEN 1.0 ELSE hi - lo END)) AS BIGINT))
+       |      AS bin
+       |  FROM stacked),
+       |cells AS (SELECT feature, bin, y, CAST(count(*) AS BIGINT)
+       |    AS n_by
+       |  FROM binned GROUP BY feature, bin, y),
+       |m AS (SELECT *,
+       |    CAST(sum(n_by) OVER (PARTITION BY feature) AS BIGINT) AS n,
+       |    CAST(sum(n_by) OVER (PARTITION BY feature, bin) AS BIGINT)
+       |      AS n_b,
+       |    CAST(sum(n_by) OVER (PARTITION BY feature, y) AS BIGINT)
+       |      AS n_y,
+       |    row_number() OVER (PARTITION BY feature, y ORDER BY bin)
+       |      AS rn_y
+       |  FROM cells),
+       |t AS (SELECT feature,
+       |    CAST(floor((CAST(n_by AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      ln(CAST(n_by AS DOUBLE) * CAST(n AS DOUBLE) /
+       |        (CAST(n_b AS DOUBLE) * CAST(n_y AS DOUBLE))) *
+       |      1000000000.0) AS BIGINT) AS mi_fp,
+       |    CASE WHEN rn_y = 1 THEN CAST(floor(
+       |      -(CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      ln(CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      1000000000.0) AS BIGINT) ELSE 0 END AS hy_fp,
+       |    bin
+       |  FROM m),
+       |pf AS (SELECT feature, CAST(sum(mi_fp) AS BIGINT) AS mi_fp,
+       |    CAST(sum(hy_fp) AS BIGINT) AS hy_fp,
+       |    CAST(count(DISTINCT bin) AS BIGINT) AS n_bins_populated
+       |  FROM t GROUP BY feature)
+       |SELECT feature,
+       |  CAST(row_number() OVER (ORDER BY mi_fp DESC, feature)
+       |    AS BIGINT) AS rank,
+       |  round(CAST(mi_fp AS DOUBLE) / 1e9, 6) AS mi_nats,
+       |  round(CAST(hy_fp AS DOUBLE) / 1e9, 6) AS h_y,
+       |  round(CAST(mi_fp AS DOUBLE) / CAST(hy_fp AS DOUBLE), 6)
+       |    AS uncertainty_coef,
+       |  n_bins_populated
+       |FROM pf ORDER BY feature""".stripMargin
   }
 }

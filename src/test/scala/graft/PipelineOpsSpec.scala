@@ -3633,4 +3633,78 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"modularity ${rows.head._6} vs replica $qExp")
     assert(rows.head._6 > -0.5 && rows.head._6 < 1.0)
   }
+
+  test("q320 shingle width: wider shingles depress jaccard at every grade") {
+    val rows = DedupOps.shingleWidthCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    val widths = DedupOps.ShingleWidths.map(_.toLong)
+    val grades = rows.keys.map(_._2).toSeq.distinct.sorted
+    assert(grades.nonEmpty && rows.keys.map(_._1).toSet == widths.toSet)
+    // the knob's effect: for a fixed pair set, measured J is monotone
+    // NON-INCREASING in shingle width (a k-word edit breaks ~k·w grams)
+    grades.foreach { g =>
+      widths.sliding(2).foreach { p =>
+        if (p.length == 2 && rows.contains((p(0), g)) &&
+          rows.contains((p(1), g)))
+          assert(rows((p(0), g))._2 >= rows((p(1), g))._2 - 1e-6,
+            s"grade $g: J rose with width ${p(1)}")
+      }
+    }
+    // grade semantics: drop-k variants decrease in J with k (1..4);
+    // grade 5 (drop-first-word) is the most similar
+    widths.foreach { w =>
+      (1L to 3L).foreach { g =>
+        if (rows.contains((w, g)) && rows.contains((w, g + 1)))
+          assert(rows((w, g))._2 > rows((w, g + 1))._2,
+            s"width $w: grades not graded")
+      }
+      assert(rows((w, 5L))._2 > rows((w, 1L))._2, s"width $w grade 5")
+    }
+    rows.foreach { case (k, r) =>
+      assert(r._3 <= r._1 && r._4 >= 0 && r._4 <= 1, s"$k verdicts")
+      assert(math.abs(r._4 - r._3.toDouble / r._1) < 1e-5, s"$k rate")
+    }
+  }
+
+  test("q321 mi ranking: matches a driver-side replica and orders like the data") {
+    val rows = TrainPrepOps.miRanking(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(rows.keySet == Set("f_words", "f_mwl", "f_stop"))
+    val hy = rows.values.head._3
+    rows.values.foreach { r =>
+      assert(r._3 == hy, "H(Y) must be feature-independent")
+      assert(r._2 >= -1e-6, "MI negative beyond freeze error")
+      assert(math.abs(r._4 - r._2 / r._3) < 1e-4, "uncertainty coef")
+    }
+    // ranks are the MI ordering
+    val byMi = rows.toSeq.sortBy(-_._2._2).map(_._1)
+    byMi.zipWithIndex.foreach { case (f, i) =>
+      assert(rows(f)._1 == i + 1, s"$f rank ${rows(f)._1} != ${i + 1}")
+    }
+    // driver replica for f_words: same binning, same frozen MI
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(MixtureOps.logitOf.geq(0L).as("y"),
+        graft.operators.TextOps.wsTokenCount(col("text"))
+          .cast("double").as("x"))
+      .collect().map(r => (r.getBoolean(0), r.getDouble(1)))
+    val (lo, hi) = (docs.map(_._2).min, docs.map(_._2).max)
+    val rng = if (hi == lo) 1.0 else hi - lo
+    val b = TrainPrepOps.StumpBins
+    val cells = docs.groupBy(d => (math.min(b - 1L,
+      math.floor((d._2 - lo) * b / rng).toLong), d._1))
+      .map { case (k, v) => k -> v.length.toLong }
+    val n = docs.length.toLong
+    val nB = cells.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val nY = cells.groupBy(_._1._2).map { case (k, v) => k -> v.values.sum }
+    val miFp = cells.map { case ((bin, y), nby) =>
+      math.floor((nby.toDouble / n) *
+        math.log(nby.toDouble * n / (nB(bin).toDouble * nY(y))) * 1e9)
+        .toLong
+    }.sum
+    assert(math.abs(rows("f_words")._2 - miFp / 1e9) < 2e-6,
+      s"f_words MI ${rows("f_words")._2} vs replica ${miFp / 1e9}")
+  }
 }

@@ -1759,6 +1759,22 @@ class PlanPropsSpec extends AnyFunSuite {
       s"edge/label generations not cached:\n${p.take(1800)}")
   }
 
+  test("q320 shingle width: corpus tokenized once; truth joins on the base key") {
+    val p = plan(DedupOps.shingleWidthCurve(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"width curve went cartesian:\n${p.take(1800)}")
+    assert(p.contains("InMemoryTableScan"),
+      s"token frame not persisted:\n${p.take(1800)}")
+  }
+
+  test("q321 mi ranking: one scan via the shared binned frame; cell windows only") {
+    val p = plan(TrainPrepOps.miRanking(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"mi ranking shuffled a join:\n${p.take(1800)}")
+    assert(p.contains("InMemoryTableScan") && p.contains("Window"),
+      s"binned frame/windows missing:\n${p.take(1800)}")
+  }
+
   test("q316 distill stump: scored corpus persisted; bin algebra join-free beyond broadcasts") {
     val p = plan(TrainPrepOps.distillStump(spark, dir))
     assert(p.contains("InMemoryTableScan"),
