@@ -339,6 +339,7 @@ object SparkEntry {
     "q319_lpa_communities"   -> (GraphOps.lpaCommunities _),
     "q320_shingle_width"     -> (DedupOps.shingleWidthCurve _),
     "q321_mi_ranking"        -> (TrainPrepOps.miRanking _),
+    "q322_rate_limit"        -> (ScaleOps.rateLimitReplay _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -942,6 +943,7 @@ object SparkEntry {
     "q319_lpa_communities" -> GraphOps.lpaCommunitiesOracle,
     "q320_shingle_width" -> DedupOps.shingleWidthCurveOracle,
     "q321_mi_ranking" -> TrainPrepOps.miRankingOracle,
+    "q322_rate_limit" -> ScaleOps.rateLimitReplayOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

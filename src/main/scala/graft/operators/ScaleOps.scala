@@ -1634,4 +1634,109 @@ object ScaleOps {
        |    (rows_total * cost_fac), 4) AS vs_full_rebuild
        |FROM g ORDER BY stage""".stripMargin
   }
+
+  // --- q322: token-bucket rate-limiter replay ------------------------------
+
+  /** Bucket capacity (tokens) and refill interval (µs per token):
+    * 3-token burst, one token per 6 hours — a daily-quota-style
+    * throttle sized so the replay BINDS on this fixture (360 of 10k
+    * events rejected at sf0.01; a per-minute bucket admits everything
+    * and the audit says nothing). All state lives in exact µs-token
+    * units (capacity = [[RlBurst]]·[[RlTokenUs]]). */
+  val RlBurst = 3L
+  val RlTokenUs = 21600000000L
+
+  final case class RlIn(user_id: Long, us: Long, event_id: Long,
+      event_type: String)
+  final case class RlOut(event_type: String, admitted: Long)
+
+  /** q322 — token-bucket rate-limiter replay: simulate the standard
+    * per-user admission policy (burst [[RlBurst]], one token per
+    * [[RlTokenUs]] µs) over the historical event stream and report, per
+    * event type, what it WOULD have rejected — the capacity-planning
+    * replay every rate-limit/quota change ships behind. The recurrence
+    * tokens' = min(cap, tokens + Δt) − admit·unit is order-dependent
+    * and non-associative, so this is the genuinely-sequential case:
+    * ONE hash exchange on the user key, an in-partition secondary
+    * sort by (user, time, id), and a streaming `mapPartitions` state
+    * machine resetting at user boundaries (the q101 packing shape) —
+    * O(1) state per task, no per-group collect, no window tricks
+    * pretending the recurrence is a prefix sum.
+    *
+    * Parity: timestamps enter as EXACT µs epochs (unix_micros /
+    * epoch_us) and the whole bucket state is integer µs-token units —
+    * no floats anywhere; the oracle replays the recurrence as a
+    * recursive CTE stepping every user one event per round.
+    *
+    * Scale (100 TB): the exchange is user-keyed (the sessionization
+    * partitioning); per task the replay is a single streaming pass
+    * over sorted rows. At real scale the unit becomes (user, day) with
+    * carried opening state — the state machine is unchanged. */
+  def rateLimitReplay(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val cap = RlBurst * RlTokenUs
+    val unit = RlTokenUs
+    val admits = EtlOps.t(s, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "event_type")
+      .as(Encoders.product[RlIn])
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "us", "event_id")
+      .mapPartitions({ it =>
+        var user = Long.MinValue
+        var tokens = 0L
+        var prevUs = 0L
+        it.map { r =>
+          if (r.user_id != user) { user = r.user_id; tokens = cap }
+          else tokens = math.min(cap, tokens + (r.us - prevUs))
+          prevUs = r.us
+          val ok = tokens >= unit
+          if (ok) tokens -= unit
+          RlOut(r.event_type, if (ok) 1L else 0L)
+        }
+      })(Encoders.product[RlOut])
+      .toDF()
+    admits.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("admitted")).as("n_admitted"))
+      .withColumn("n_rejected", col("n_events") - col("n_admitted"))
+      .withColumn("reject_rate", round(
+        col("n_rejected").cast("double") / col("n_events").cast("double"),
+        6))
+      .orderBy("event_type")
+  }
+
+  def rateLimitReplayOracle: String = {
+    val cap = RlBurst * RlTokenUs
+    val unit = RlTokenUs
+    s"""WITH RECURSIVE ev AS (SELECT user_id,
+       |    epoch_us(ts) AS us, event_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events),
+       |r AS (
+       |  SELECT user_id, rn, us, event_type,
+       |    CAST($cap AS BIGINT) >= $unit AS admitted,
+       |    CAST($cap AS BIGINT)
+       |      - (CASE WHEN CAST($cap AS BIGINT) >= $unit
+       |         THEN $unit ELSE 0 END) AS tokens_after
+       |  FROM ev WHERE rn = 1
+       |  UNION ALL
+       |  SELECT e.user_id, e.rn, e.us, e.event_type,
+       |    least($cap, r.tokens_after + (e.us - r.us)) >= $unit
+       |      AS admitted,
+       |    least($cap, r.tokens_after + (e.us - r.us))
+       |      - (CASE WHEN least($cap, r.tokens_after + (e.us - r.us))
+       |          >= $unit THEN $unit ELSE 0 END) AS tokens_after
+       |  FROM r JOIN ev e ON e.user_id = r.user_id
+       |    AND e.rn = r.rn + 1)
+       |SELECT event_type, count(*) AS n_events,
+       |  CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_admitted,
+       |  CAST(sum(CASE WHEN admitted THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_rejected,
+       |  round(CAST(sum(CASE WHEN admitted THEN 0 ELSE 1 END)
+       |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS reject_rate
+       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
 }

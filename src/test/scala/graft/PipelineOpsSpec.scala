@@ -3707,4 +3707,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(rows("f_words")._2 - miFp / 1e9) < 2e-6,
       s"f_words MI ${rows("f_words")._2} vs replica ${miFp / 1e9}")
   }
+
+  test("q322 rate limit: exactly matches an integer driver replica") {
+    val got = ScaleOps.rateLimitReplay(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toMap
+    // replica: the same integer recurrence over driver-sorted events
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id",
+        "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+      .sortBy(e => (e._1, e._2, e._3))
+    val cap = ScaleOps.RlBurst * ScaleOps.RlTokenUs
+    val unit = ScaleOps.RlTokenUs
+    var user = Long.MinValue; var tokens = 0L; var prev = 0L
+    val adm = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    ev.foreach { case (u, us, _, et) =>
+      if (u != user) { user = u; tokens = cap }
+      else tokens = math.min(cap, tokens + (us - prev))
+      prev = us
+      val ok = tokens >= unit
+      if (ok) tokens -= unit
+      val (n, a) = adm.getOrElse(et, (0L, 0L))
+      adm(et) = (n + 1, a + (if (ok) 1L else 0L))
+    }
+    assert(got.keySet == adm.keySet)
+    adm.foreach { case (et, (n, a)) =>
+      val g = got(et)
+      assert(g._1 == n && g._2 == a && g._3 == n - a,
+        s"$et: $g vs replica ($n, $a)")
+    }
+    // the throttle must BIND on the fixture — a vacuous all-admit
+    // replay audits nothing
+    assert(got.values.map(_._3).sum > 0, "no rejections — limiter vacuous")
+  }
 }

@@ -1775,6 +1775,17 @@ class PlanPropsSpec extends AnyFunSuite {
       s"binned frame/windows missing:\n${p.take(1800)}")
   }
 
+  test("q322 rate limit: one user exchange + in-partition sort + streaming state pass") {
+    val p = plan(ScaleOps.rateLimitReplay(spark, dir))
+    assert(!p.contains("Join"),
+      s"rate limit grew a join:\n${p.take(1800)}")
+    val userEx = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userEx == 1,
+      s"expected ONE user exchange, got $userEx:\n${p.take(1800)}")
+    assert(p.contains("MapPartitions"),
+      s"state machine missing:\n${p.take(1800)}")
+  }
+
   test("q316 distill stump: scored corpus persisted; bin algebra join-free beyond broadcasts") {
     val p = plan(TrainPrepOps.distillStump(spark, dir))
     assert(p.contains("InMemoryTableScan"),
