@@ -21,8 +21,8 @@ object TimeQ {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false") // naive-us ts reads as LTZ (UTC session)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
-      // the uncapped q30 baseline at 10x+ can push an AQE broadcast build
-      // past the 1g default; the 128 GiB driver has the headroom
+      // headroom for AQE broadcast builds on 10x+ synthetic fixtures
+      // (the 128 GiB driver affords far more than the 1g default)
       .config("spark.driver.maxResultSize", "4g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

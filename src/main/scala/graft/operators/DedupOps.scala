@@ -482,16 +482,46 @@ object DedupOps {
         col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")))
   }
 
-  /** q30 — n-gram Jaccard near-dup pairs (threshold 0.6): the exact
-    * all-pairs verifier. Deliberately naive — it is the ground truth the
-    * LSH path is measured against; q31 (MinHash banding + candidate-only
-    * exact Jaccard) is the 100 TB path. (A prefix-filter variant was
-    * measured 3-10x SLOWER here: the corpus vocabulary is tiny, so even
+  /** SPEC-ONLY exact all-pairs verifier for [[ngramJaccard]] — the same
+    * demotion applied to [[simhashDedupAllPairs]] and
+    * `GraphOps.knnEdgesBrute`: every pair sharing ≥1 shingle pays an
+    * exact Jaccard (group-then-combine, still O(collisions²) pair rows),
+    * which is ground truth at fixture scale and a scale-killer at any
+    * real corpus size. It therefore lives ONLY behind the
+    * PipelineOpsSpec equivalence/recall gates for q30/q31 and never on
+    * the query or bench surface. (A prefix-filter variant was measured
+    * 3-10x SLOWER here: the corpus vocabulary is tiny, so even
     * globally-rare shingles are hot and the extra freq/rank/join passes
     * dominate — prefix filtering pays off on heavy-tailed vocabularies.)
     */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+  def ngramJaccardAllPairs(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(shingles(corpusNear(s, dir)))
+      .filter(col("jaccard") >= 0.6)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  /** q30 — n-gram Jaccard near-dup pairs at threshold 0.6, generated
+    * the only way that survives 100 TB: the production capped-LSH
+    * candidate stream ([[minhashVerified]] with [[LshBucketCap]] — the
+    * exact q118 generation) verified by exact shingle Jaccard, then
+    * thresholded at 0.6. Same verified-Jaccard semantics as the retired
+    * all-pairs form ([[ngramJaccardAllPairs]], now spec-only): any pair
+    * this emits IS an exact-Jaccard-0.6 pair (the verify step is exact,
+    * so banding can only MISS pairs, never invent them — soundness and
+    * measured recall are pinned by the PipelineOpsSpec equivalence
+    * gates).
+    *
+    * Parity: the oracle replays shingling, the 16-perm MinHash, band
+    * hashing, the hot-bucket cap, and the final single-division Jaccard
+    * — candidate-set and value parity, not just value parity.
+    *
+    * Scale (100 TB): candidate-proportional — band buckets are capped,
+    * so candidate volume is ≤ cap²/2 per bucket (linear in corpus size);
+    * the all-pairs shingle self-join never runs. This retired the one
+    * quadratic plan that forced `SPARK_GRAFT_EXCLUDE=q30_ngram_jaccard`
+    * on 10×+ suite runs. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    minhashVerified(corpusNear(s, dir), Some(LshBucketCap))
       .filter(col("jaccard") >= 0.6)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")

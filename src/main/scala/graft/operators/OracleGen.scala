@@ -63,10 +63,11 @@ object OracleGen {
        |SELECT min(doc_id) AS survivor_id, count(*) AS n_copies
        |FROM corpus GROUP BY md5(text) ORDER BY survivor_id""".stripMargin
 
+  /** q30 (banded, mirrors DedupOps.ngramJaccard): the capped-LSH
+    * candidate chain verified by exact Jaccard at threshold 0.6 — the
+    * same generation as q118, different threshold. */
   val q30NgramJaccard: String =
-    s"""WITH $CorpusNear,
-       |$ShingleCtes,
-       |${jaccardTail("0.6")}""".stripMargin
+    minhashLshSql(Some(DedupOps.LshBucketCap), "0.6")
 
   /** 60-bit md5 fingerprint in DuckDB (≡ TextOps.md5Fingerprint60). */
   def fp60(x: String): String =
@@ -123,10 +124,12 @@ object OracleGen {
     lshCandCtes(Some(DedupOps.LshBucketCap), corpusCte)
 
   /** q31 (no cap) / q118 (hot buckets over `bucketCap` dropped before
-    * the pair join — mirrors DedupOps.minhashLshOf). */
-  private def minhashLshSql(bucketCap: Option[Int]): String =
+    * the pair join) / q30 (capped, threshold 0.6) — mirrors
+    * DedupOps.minhashLshOf / ngramJaccard. */
+  private def minhashLshSql(bucketCap: Option[Int],
+      threshold: String = "0.5"): String =
     s"""WITH ${lshCandCtes(bucketCap)},
-       |${jaccardTail("0.5",
+       |${jaccardTail(threshold,
           "JOIN cand USING (doc_a, doc_b)")}""".stripMargin
 
   val q31MinhashLsh: String = minhashLshSql(None)
@@ -439,6 +442,9 @@ object OracleGen {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** q33 (banded, mirrors SimilarityOps.embeddingNearDup): same LCG
+    * plane weights as the Spark-side `lsh_sig`, bucket-equi candidate
+    * join, exact cosine on candidates only. */
   val q33EmbeddingNearDup: String =
     s"""WITH base AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
@@ -448,10 +454,12 @@ object OracleGen {
        |  UNION ALL SELECT vec_id + ${SimilarityOps.CopyOffset} AS vec_id,
        |    list_transform(emb, x -> x * 1.001) AS emb FROM base),
        |v AS (SELECT vec_id, emb,
-       |    sqrt(${dot("emb", "emb", spark = false)}) AS norm FROM corpus),
+       |    sqrt(${dot("emb", "emb", spark = false)}) AS norm,
+       |    (${lshSig("emb", SimilarityOps.AnnPlanes, spark = false)}) AS bucket
+       |  FROM corpus),
        |s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |    (${dot("a.emb", "b.emb", spark = false)}) / (a.norm * b.norm) AS cos
-       |  FROM v a, v b WHERE a.vec_id < b.vec_id)
+       |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
        |SELECT vec_a, vec_b, round(cos, 6) AS cos_sim FROM s
        |WHERE cos >= 0.999 ORDER BY vec_a, vec_b""".stripMargin
 

@@ -119,15 +119,56 @@ object SimilarityOps {
       "transform(emb, x -> x * 1.001) AS emb"))
   }
 
-  /** q33 — embedding-cosine near-dup pairs (cos ≥ 0.999). All-pairs at
-    * sf scale; the LSH variant (q35) is the 100 TB path. */
-  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+  /** SPEC-ONLY exact all-pairs verifier for [[embeddingNearDup]] — the
+    * same demotion as `DedupOps.ngramJaccardAllPairs` /
+    * `simhashDedupAllPairs` / `GraphOps.knnEdgesBrute`: a corpus
+    * cross-join is ground truth at fixture scale and a scale-killer at
+    * any real one, so it lives ONLY behind the PipelineOpsSpec
+    * banding-lossless gate and never on the query or bench surface. */
+  def embeddingNearDupAllPairs(s: SparkSession, dir: String): DataFrame = {
     val v = withNorm(corpusNear(s, dir))
     val a = v.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
       col("norm").as("norm_a"))
     val b = v.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
       col("norm").as("norm_b"))
     a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .selectExpr("vec_a", "vec_b",
+        "dot_product(emb_a, emb_b) / (norm_a * norm_b) AS cos")
+      .filter(col("cos") >= 0.999)
+      .selectExpr("vec_a", "vec_b", "round(cos, 6) AS cos_sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** q33 — embedding-cosine near-dup pairs (cos ≥ 0.999), generated the
+    * way 100 TB demands: each vector gets ONE random-hyperplane LSH
+    * bucket (`lsh_sig`, the exact q35 signature), candidate pairs share
+    * a bucket, and exact cosine is paid for candidates only. At
+    * cos ≥ 0.999 the pair's angle is ≤ ~2.6°, so the chance any of the
+    * 8 hyperplanes separates it is small — and the PipelineOpsSpec
+    * banding-lossless gate pins (measured, not assumed) that the banded
+    * result set EQUALS the retired all-pairs form
+    * ([[embeddingNearDupAllPairs]], now spec-only) on the fixture.
+    *
+    * Parity: the oracle replays the same LCG-derived plane weights
+    * (integer literals over 2³¹ — [[VecSql.lshSig]]) and the same
+    * left-associated 64-term dot chains, so bucket ids and cosines are
+    * bit-identical across engines.
+    *
+    * Scale (100 TB): one narrow scan computes signatures; the join is
+    * bucket-equi (shuffle on bucket id, ~n²/2^planes candidate pairs
+    * instead of n²/2; planes scale with corpus size). Near-dup mass
+    * concentrated in one bucket is exact-dup mass q29 owns first —
+    * the q118 hot-bucket-cap pattern slots in here unchanged if the
+    * bucket histogram (q198) shows floods. */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val v = withNorm(corpusNear(s, dir))
+      .selectExpr("vec_id", "emb", "norm", "lsh_sig(emb) AS bucket")
+    val a = v.select(col("vec_id").as("vec_a"), col("emb").as("emb_a"),
+      col("norm").as("norm_a"), col("bucket"))
+    val b = v.select(col("vec_id").as("vec_b"), col("emb").as("emb_b"),
+      col("norm").as("norm_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .selectExpr("vec_a", "vec_b",
         "dot_product(emb_a, emb_b) / (norm_a * norm_b) AS cos")

@@ -20,8 +20,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(1) == 2)) // every group: original + copy
   }
 
-  test("ngram jaccard finds every planted near-dup pair") {
-    val pairs = DedupOps.ngramJaccard(spark, dir)
+  test("all-pairs ngram jaccard (spec-only verifier) finds every planted near-dup pair") {
+    val pairs = DedupOps.ngramJaccardAllPairs(spark, dir)
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val docs = spark.read.parquet(s"$dir/documents.parquet")
@@ -32,7 +32,7 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("minhash LSH recall vs exact jaccard is high and candidates are sound") {
-    val exact = DedupOps.ngramJaccard(spark, dir)
+    val exact = DedupOps.ngramJaccardAllPairs(spark, dir)
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = DedupOps.minhashLsh(spark, dir)
@@ -41,6 +41,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     // LSH (threshold .5) must be a superset-or-close of exact (threshold .6)
     val recall = exact.count(lsh.contains).toDouble / exact.size
     assert(recall >= 0.95, s"LSH recall $recall too low")
+  }
+
+  test("q30 banded ngram jaccard: sound (subset of all-pairs, same values) with high measured recall") {
+    // the production q30 verifies candidates with EXACT Jaccard, so any
+    // emitted pair must appear in the all-pairs verifier with the SAME
+    // jaccard value — banding can miss pairs, never invent or distort
+    val allPairs = DedupOps.ngramJaccardAllPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val banded = DedupOps.ngramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(banded.nonEmpty)
+    banded.foreach { case (k, j) =>
+      assert(allPairs.get(k).contains(j),
+        s"banded pair $k (j=$j) not in all-pairs ground truth")
+    }
+    val recall = allPairs.keys.count(banded.contains).toDouble / allPairs.size
+    assert(recall >= 0.95, s"banded q30 recall $recall vs all-pairs")
   }
 
   test("q196 threshold curve reconciles with per-threshold q118 reruns") {
@@ -176,6 +193,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out.length == 500)
     assert(out.forall(r =>
       r.getLong(1) == r.getLong(0) + SimilarityOps.CopyOffset))
+  }
+
+  test("q33 embedding banding is lossless: identical result set to all-pairs (q35-candidates ⊇ exact pairs)") {
+    // every exact cos≥0.999 pair must share an lsh_sig bucket — the
+    // banding-covers-exact pin that licensed demoting the all-pairs
+    // form off the query surface (and the recall evidence that q35's
+    // bucket candidates contain every exact near-dup pair, since both
+    // use the same signature)
+    val banded = SimilarityOps.embeddingNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val allPairs = SimilarityOps.embeddingNearDupAllPairs(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(banded == allPairs,
+      s"banded misses ${allPairs.diff(banded).size} exact pairs / " +
+        s"invents ${banded.diff(allPairs).size}")
   }
 
   test("LSH ANN results are a subset of brute-force candidates with same cosines") {
