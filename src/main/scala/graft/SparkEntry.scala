@@ -340,6 +340,11 @@ object SparkEntry {
     "q320_shingle_width"     -> (DedupOps.shingleWidthCurve _),
     "q321_mi_ranking"        -> (TrainPrepOps.miRanking _),
     "q322_rate_limit"        -> (ScaleOps.rateLimitReplay _),
+    "q323_repetition"        -> (TextOps.repetitionAudit _),
+    "q324_surprisal"         -> (TextOps.unigramSurprisal _),
+    "q325_pii_audit"         -> (TextOps.piiAudit _),
+    "q326_snapshot_diff"     -> (ScaleOps.snapshotDiff _),
+    "q327_perm_curve"        -> (DedupOps.permCountCurve _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -944,6 +949,11 @@ object SparkEntry {
     "q320_shingle_width" -> DedupOps.shingleWidthCurveOracle,
     "q321_mi_ranking" -> TrainPrepOps.miRankingOracle,
     "q322_rate_limit" -> ScaleOps.rateLimitReplayOracle,
+    "q323_repetition" -> TextOps.repetitionAuditOracle,
+    "q324_surprisal" -> TextOps.unigramSurprisalOracle,
+    "q325_pii_audit" -> TextOps.piiAuditOracle,
+    "q326_snapshot_diff" -> ScaleOps.snapshotDiffOracle,
+    "q327_perm_curve" -> DedupOps.permCountCurveOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

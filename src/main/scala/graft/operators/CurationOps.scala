@@ -2121,10 +2121,11 @@ object CurationOps {
     * not an interpolated quantile; coverage counts are integers; the
     * only doubles are per-row ratios and final divisions.
     *
-    * Scale (100 TB): one corpus pass for scores; the calibration sort
-    * runs on the calibration SAMPLE (hash-gated — the q237 discipline:
-    * cap the sample mod as volume grows); coverage is a map-side
-    * (source) collapse against one broadcast threshold scalar. */
+    * Scale (100 TB): one corpus pass for scores; the order statistic
+    * comes from the q114 distributed global rank (range partition +
+    * offsets — no single-partition sort even on a corpus-sized
+    * calibration split); coverage is a map-side (source) collapse
+    * against one broadcast threshold scalar. */
   def conformalGate(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VectorFunctions.register(s)
@@ -2147,9 +2148,12 @@ object CurationOps {
       .select("doc_id", "source", "score")
       .unionAll(plant)
     val nCal = cal.agg(count(lit(1)).as("n_cal"))
-    val thr = cal.select(col("score"), col("doc_id"))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("score"), col("doc_id"))))
+    // the order statistic via the q114 distributed global rank — the
+    // calibration set is corpus-scaled, so a bare ORDER BY window
+    // would single-partition it
+    val thr = ScaleOps.withGlobalRank(
+        cal.select(col("score"), col("doc_id")), "rn",
+        col("score"), col("doc_id"))
       .crossJoin(broadcast(nCal))
       .filter(col("rn") ===
         expr(s"CAST((($ConfAlphaPm) * (n_cal + 1)) div 1000 AS INT)"))

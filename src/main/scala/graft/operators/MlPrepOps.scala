@@ -856,8 +856,9 @@ object MlPrepOps {
     * lifts and recalls are single divisions of exact integers.
     *
     * Scale (100 TB): the score collapses map-side to value cells for
-    * AUC; the decile window runs over the EVAL SET (by construction
-    * eval-set-sized, not corpus-sized — sample upstream if not). */
+    * AUC; deciles come from the q114 distributed global rank (range
+    * partition + offsets), so nothing in the plan single-partitions
+    * even when the eval frame is corpus-scaled. */
   def aucDecileLift(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = t(s, dir, "documents")
@@ -892,8 +893,15 @@ object MlPrepOps {
       .selectExpr("n1", "n0",
         "1.0 - CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / " +
           "(2.0 * CAST(n1 AS DOUBLE) * n0) AS auc")
-    val dec = all.withColumn("pr", percent_rank().over(
-        Window.orderBy(col("score"), col("doc_id"))))
+    // percent_rank over a unique key ≡ (rank−1)/(n−1) from the q114
+    // distributed global rank — the eval frame is corpus-scaled here,
+    // so a bare ORDER BY window would single-partition it
+    val nAll = all.agg(count(lit(1)).as("n_all"))
+    val dec = ScaleOps.withGlobalRank(all, "rn",
+        col("score"), col("doc_id"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("pr", (col("rn") - 1).cast("double") /
+        (col("n_all") - 1).cast("double"))
       .withColumn("decile",
         least(floor(col("pr") * 10), lit(9)).cast("bigint"))
       .groupBy("decile").agg(count(lit(1)).as("n"),

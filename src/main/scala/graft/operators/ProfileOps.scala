@@ -80,10 +80,11 @@ object ProfileOps {
       approx_count_distinct(col("l_suppkey")).as("approx_supp"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
         .as("amed"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("l_extendedprice"))
-    val ranked = li.select(col("l_extendedprice").as("v"),
-      row_number().over(w).cast("bigint").as("rn"))
+    // exact p40/p60 via the q114 distributed global rank — a plain
+    // row_number() OVER (ORDER BY v) funnels the whole table through
+    // one partition at scale
+    val ranked = ScaleOps.withGlobalRank(
+      li.select(col("l_extendedprice").as("v")), "rn", col("v"))
     ranked.crossJoin(broadcast(agg))
       .agg(
         max(col("n_rows")).as("n_rows"),

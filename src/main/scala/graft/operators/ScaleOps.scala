@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -43,28 +43,46 @@ object ScaleOps {
     * would exceed codegen method limits at the ~10⁵ range partitions a
     * 100 TB input produces, while the join keeps the plan constant-size
     * in partition count. */
-  def globalEnumeration(s: SparkSession, dir: String): DataFrame = {
+  def globalEnumeration(s: SparkSession, dir: String): DataFrame =
+    withGlobalRank(EtlOps.t(s, dir, "documents")
+        .select(col("doc_id"), col("source")), "global_rank", col("doc_id"))
+      .withColumn("global_id", col("global_rank") - 1L)
+      .select(col("doc_id"), col("source"), col("global_id"))
+      .orderBy("doc_id")
+
+  /** The q114 two-pass global rank as a reusable primitive: 1-based
+    * dense `row_number() OVER (ORDER BY sortCols)` semantics WITHOUT
+    * the single-partition window — range partition on the sort key
+    * (pinned partition count), per-partition local rank, per-partition
+    * offsets collected once (#partitions scalars, the documented
+    * metadata-size collect) and joined back via broadcast. Shared by
+    * q114, q42's exact percentiles, q249's conformal order statistic
+    * and q261's decile grid, so every exact global order statistic in
+    * the suite runs through the ONE plan shape that survives 100 TB.
+    * Ties in sortCols get an arbitrary stable rank within their equal
+    * range (RangePartitioner keeps equal keys in one partition), so
+    * rank-k VALUE lookups — every use here — are deterministic. */
+  private[graft] def withGlobalRank(df: DataFrame, rankCol: String,
+      sortCols: Column*): DataFrame = {
+    val s = df.sparkSession
     import s.implicits._
     val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val docs = EtlOps.t(s, dir, "documents")
-      .select(col("doc_id"), col("source"))
-      .repartitionByRange(nParts, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+    val parted = df.repartitionByRange(nParts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
       .persist()
     // #partitions rows — the one driver-side scalar pass
-    val counts = docs.groupBy("pid").count().collect()
+    val counts = parted.groupBy("__pid").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.map(_._1)
       .zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
-    val offDf = broadcast(offsets.toSeq.toDF("pid", "pid_offset"))
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__pid_offset"))
     val localRank = row_number().over(
-      Window.partitionBy("pid").orderBy("doc_id")).cast("bigint")
-    docs
-      .withColumn("local_rank", localRank)
-      .join(offDf, "pid")
-      .withColumn("global_id", col("pid_offset") + col("local_rank") - 1L)
-      .select(col("doc_id"), col("source"), col("global_id"))
-      .orderBy("doc_id")
+      Window.partitionBy("__pid").orderBy(sortCols: _*)).cast("bigint")
+    parted
+      .withColumn("__local", localRank)
+      .join(offDf, "__pid")
+      .withColumn(rankCol, col("__pid_offset") + col("__local"))
+      .drop("__pid", "__pid_offset", "__local")
   }
 
   import EtlOps.t
@@ -1739,4 +1757,77 @@ object ScaleOps {
        |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS reject_rate
        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
   }
+  // --- q326: corpus snapshot diff ------------------------------------------
+
+  /** doc_id offset of the planted "added" documents in snapshot B. */
+  val DiffAddOffset = 4000000L
+
+  /** Snapshot B: snapshot A (the documents table) with planted
+    * mutations — every 11th-mod-3 doc deleted, every 5th doc's content
+    * revised, every 13th doc re-ingested under a fresh id — so all four
+    * diff classes are populated at every sf (the q149 fixture
+    * discipline). */
+  private def diffSnapshots(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val docs = EtlOps.t(s, dir, "documents")
+    val a = docs.select(col("doc_id"), col("source"),
+      md5(col("text")).as("h"))
+    val b = docs.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"), col("source"),
+        md5(when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text"))).as("h"))
+      .unionAll(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + DiffAddOffset).as("doc_id"), col("source"),
+          md5(concat(lit("new "), col("text"))).as("h")))
+    (a, b)
+  }
+
+  /** q326 — corpus snapshot diff: classify every document across two
+    * corpus snapshots as added / removed / changed / unchanged by
+    * comparing CONTENT HASHES under a full outer join on doc_id, and
+    * report the per-(source, status) census. This is the audit between
+    * any two ingest runs — what the idempotency marker (q13) asserts
+    * coarsely per partition, stated exactly per document: a re-crawl
+    * that silently rewrites 40% of a source shows up here before it
+    * poisons a dedup index built on the old snapshot.
+    *
+    * Parity: md5 hex strings compare byte-equal across engines; counts
+    * are exact; the status CASE has one deterministic arm order.
+    *
+    * Scale (100 TB): both sides collapse to (doc_id, source, 32-char
+    * hash) manifests BEFORE the join — document text never moves. The
+    * full outer join hash-partitions on doc_id (co-partitioned if both
+    * snapshots are bucketed by doc_id, as an ingest ledger would be),
+    * and the output aggregate is |sources|x4 rows. */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val (a, b) = diffSnapshots(s, dir)
+    a.select(col("doc_id"), col("source").as("src_a"), col("h").as("h_a"))
+      .join(b.select(col("doc_id"), col("source").as("src_b"),
+        col("h").as("h_b")), Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_a"), col("src_b")).as("source"),
+        when(col("h_b").isNull, "removed")
+          .when(col("h_a").isNull, "added")
+          .when(col("h_a") =!= col("h_b"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "status")
+  }
+
+  def snapshotDiffOracle: String =
+    s"""WITH a AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+       |b AS (SELECT doc_id, source,
+       |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' rev2'
+       |        ELSE text END) AS h
+       |  FROM documents WHERE doc_id % 11 <> 3
+       |  UNION ALL SELECT doc_id + $DiffAddOffset AS doc_id, source,
+       |    md5('new ' || text) AS h
+       |  FROM documents WHERE doc_id % 13 = 0),
+       |j AS (SELECT COALESCE(a.source, b.source) AS source,
+       |    CASE WHEN b.h IS NULL THEN 'removed'
+       |         WHEN a.h IS NULL THEN 'added'
+       |         WHEN a.h <> b.h THEN 'changed'
+       |         ELSE 'unchanged' END AS status
+       |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+       |SELECT source, status, count(*) AS n_docs FROM j
+       |GROUP BY source, status ORDER BY source, status""".stripMargin
 }

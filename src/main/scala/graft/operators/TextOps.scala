@@ -1023,4 +1023,237 @@ object TextOps {
        |  odds_ppm
        |FROM r WHERE rnk <= $DistinctiveTopK
        |ORDER BY source, rnk""".stripMargin
+
+  // --- q323: intra-document repetition audit ------------------------------
+
+  /** Duplicate-2-gram flag threshold: the natural corpus sits below
+    * ~0.14 (measured at sf0.01: median 0.028, max 0.133), the planted
+    * loops at ≥ 0.8 — 0.2 separates them with margin on both sides. */
+  val RepFlagTau = 0.2
+
+  /** doc_id offset of the planted repetition loops. */
+  val RepLoopOffset = 3000000L
+
+  /** q323 corpus: documents ∪ planted "loop" docs (every 9th doc's
+    * first five words repeated 10×) — degenerate-decoding/boilerplate
+    * repetition planted in-query so the flag column is substantive at
+    * every sf (the q149/q262 fixture discipline). */
+  def repetitionCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val loops = base.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + RepLoopOffset).as("doc_id"),
+        trim(repeat(concat(concat_ws(" ",
+          slice(split(col("text"), " "), 1, 5)), lit(" ")), 10)).as("text"))
+    base.unionAll(loops)
+  }
+
+  /** q323 — intra-document repetition audit (the Gopher repetition
+    * filter family, Rae et al. 2021, Appendix A1.1): per document, the
+    * fraction of duplicated word 2-grams and 3-grams (1 −
+    * distinct/total — a doc that keeps repeating the same phrase has
+    * few distinct grams), plus the [[RepFlagTau]] duplicate verdict.
+    * This is the one dedup axis the cross-document family (q29–q31)
+    * cannot see: a document that is 90% one looped sentence is unique
+    * corpus-wide but worthless as training data.
+    *
+    * Parity: gram arrays are the shared [[DedupOps.wordGramArrayExpr]]
+    * construction (mirrored token-for-token by the oracle's range()
+    * CTEs); counts are exact integers; each rep fraction is one
+    * division rounded once.
+    *
+    * Scale (100 TB): entirely IN-ROW — tokenize, build the gram array,
+    * count distincts with a per-row hash set; no explode, no shuffle,
+    * no aggregate. Runs at parquet-scan speed and the flag prunes
+    * before any downstream shuffle. */
+  def repetitionAudit(s: SparkSession, dir: String): DataFrame =
+    repetitionCorpus(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("g2", expr(DedupOps.wordGramArrayExpr(2)))
+      .withColumn("g3", expr(DedupOps.wordGramArrayExpr(3)))
+      .select(col("doc_id"),
+        size(col("g2")).cast("bigint").as("n_g2"),
+        size(array_distinct(col("g2"))).cast("bigint").as("d_g2"),
+        size(col("g3")).cast("bigint").as("n_g3"),
+        size(array_distinct(col("g3"))).cast("bigint").as("d_g3"))
+      .select(col("doc_id"), col("n_g2"), col("d_g2"),
+        round(lit(1.0) - col("d_g2").cast("double") / col("n_g2"), 6)
+          .as("rep2"),
+        col("n_g3"), col("d_g3"),
+        round(lit(1.0) - col("d_g3").cast("double") / col("n_g3"), 6)
+          .as("rep3"),
+        (lit(1.0) - col("d_g2").cast("double") / col("n_g2") >= RepFlagTau)
+          .as("flagged"))
+      .orderBy("doc_id")
+
+  /** q323 oracle — same corpus plant, range()-built gram lists. */
+  def repetitionAuditOracle: String = {
+    def gramList(n: Int): String = {
+      val cat = (0 until n).map(k => s"toks[i + $k]").mkString(" || ' ' || ")
+      s"list_transform(range(1, len(toks) - ${n - 2}), i -> $cat)"
+    }
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + $RepLoopOffset AS doc_id,
+       |    trim(repeat(array_to_string(string_split(text, ' ')[1:5], ' ')
+       |      || ' ', 10)) AS text
+       |  FROM documents WHERE doc_id % 9 = 0),
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus),
+       |g AS (SELECT doc_id, ${gramList(2)} AS g2, ${gramList(3)} AS g3
+       |  FROM tok),
+       |c AS (SELECT doc_id,
+       |    CAST(len(g2) AS BIGINT) AS n_g2,
+       |    CAST(len(list_distinct(g2)) AS BIGINT) AS d_g2,
+       |    CAST(len(g3) AS BIGINT) AS n_g3,
+       |    CAST(len(list_distinct(g3)) AS BIGINT) AS d_g3
+       |  FROM g)
+       |SELECT doc_id, n_g2, d_g2,
+       |  round(1.0 - CAST(d_g2 AS DOUBLE) / n_g2, 6) AS rep2,
+       |  n_g3, d_g3,
+       |  round(1.0 - CAST(d_g3 AS DOUBLE) / n_g3, 6) AS rep3,
+       |  (1.0 - CAST(d_g2 AS DOUBLE) / n_g2 >= $RepFlagTau) AS flagged
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  // --- q324: unigram-LM surprisal -----------------------------------------
+
+  /** q324 — unigram language-model surprisal per document: train the
+    * simplest possible LM on the corpus itself (global token
+    * frequencies) and score every document by its mean token surprisal
+    * −Σ ln p(tok) / n — the cheap tier of the perplexity-filter ladder
+    * (CCNet / KenLM-style quality gates): documents full of corpus-rare
+    * tokens score high (outliers/noise), documents of pure boilerplate
+    * tokens score low. Output: doc_id, token count, mean surprisal in
+    * nats.
+    *
+    * Parity: p = cnt/total is one exact division; each token's
+    * surprisal is frozen to floor(−ln(p)·10⁹) BIGINT (the q70
+    * discipline — ln is libm, 1-ulp safe under the freeze, and only
+    * |distinct counts| ≈ vocab-size distinct ln arguments exist), so
+    * the per-doc sum is order-free exact integer algebra; ONE double
+    * division + round at the end.
+    *
+    * Scale (100 TB): token frequencies are a vocab-sized aggregate
+    * (map-side combinable) broadcast back to the token stream; per-doc
+    * aggregation shuffles (doc_id, surp_fp) longs only. Two exchanges
+    * total, both partial-aggregated. */
+  def unigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("n_total"))
+    toks.join(broadcast(freq), Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .withColumn("surp_fp", expr(
+        "CAST(floor((-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)))" +
+          " * 1e9) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"), sum(col("surp_fp")).as("ssum"))
+      .select(col("doc_id"), col("n_toks"),
+        round(col("ssum").cast("double") / 1e9 / col("n_toks"), 6)
+          .as("surprisal"))
+      .orderBy("doc_id")
+  }
+
+  def unigramSurprisalOracle: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+       |tot AS (SELECT sum(cnt) AS n_total FROM freq),
+       |sc AS (SELECT doc_id,
+       |    CAST(floor((-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)))
+       |      * 1e9) AS BIGINT) AS surp_fp
+       |  FROM tok JOIN freq USING (tok), tot),
+       |d AS (SELECT doc_id, count(*) AS n_toks, sum(surp_fp) AS ssum
+       |  FROM sc GROUP BY doc_id)
+       |SELECT doc_id, n_toks,
+       |  round(CAST(ssum AS DOUBLE) / 1e9 / n_toks, 6) AS surprisal
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  // --- q325: PII detection / redaction audit ------------------------------
+
+  /** PII patterns kept to constructs Java regex and RE2 (DuckDB) parse
+    * identically: plain character classes, no backrefs, no lookaround. */
+  val PiiEmailRe = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+  val PiiPhoneRe = "555-[0-9]{4}"
+
+  /** q325 corpus: every 7th document gets a deterministic planted email
+    * + phone tail (the base corpus is letters-and-spaces only, so the
+    * plants are the exact PII population — zero false positives by
+    * construction, and the flag column is substantive at every sf). */
+  def piiCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("source"),
+      when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example or call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(col("text")).as("text"))
+
+  /** q325 — PII detection and redaction audit: per source, how many
+    * documents carry an email/phone pattern, total pattern hits, and
+    * the exact character mass a redaction pass (pattern → fixed token)
+    * removes — the compliance report a training-data pipeline emits
+    * BEFORE the redacted corpus ships. Patterns are deliberately
+    * simple ([[PiiEmailRe]]/[[PiiPhoneRe]]); the operator is the
+    * distributed scan/replace/account shape, not an NER system.
+    *
+    * Parity: counts are regexp_count vs len(regexp_extract_all) on a
+    * shared RE2-compatible pattern; redaction is global regexp_replace
+    * on both engines; char deltas are exact integers.
+    *
+    * Scale (100 TB): narrow per-row regex work (codegen'd, no UDF),
+    * then ONE |sources|-group aggregate — scan-bound, and the regex
+    * pass is exactly what a redaction writer pipelines in front of the
+    * sink. */
+  def piiAudit(s: SparkSession, dir: String): DataFrame = {
+    val red = piiCorpus(s, dir)
+      .withColumn("n_emails",
+        regexp_count(col("text"), lit(PiiEmailRe)).cast("bigint"))
+      .withColumn("n_phones",
+        regexp_count(col("text"), lit(PiiPhoneRe)).cast("bigint"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("text"), PiiEmailRe, "<EMAIL>"),
+          PiiPhoneRe, "<PHONE>"))
+    red.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") + col("n_phones") > 0, 1L).otherwise(0L))
+          .as("n_pii_docs"),
+        sum(col("n_emails")).as("n_emails"),
+        sum(col("n_phones")).as("n_phones"),
+        sum((length(col("text")) - length(col("redacted"))).cast("bigint"))
+          .as("chars_redacted"))
+      .select(col("source"), col("n_docs"), col("n_pii_docs"),
+        col("n_emails"), col("n_phones"), col("chars_redacted"),
+        round(col("n_pii_docs").cast("double") / col("n_docs"), 6)
+          .as("pii_rate"))
+      .orderBy("source")
+  }
+
+  def piiAuditOracle: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN doc_id % 7 = 0 THEN
+       |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |        || '@mail.example or call 555-'
+       |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |    ELSE text END AS text
+       |  FROM documents),
+       |red AS (SELECT source,
+       |    CAST(len(regexp_extract_all(text, '$PiiEmailRe')) AS BIGINT)
+       |      AS n_emails,
+       |    CAST(len(regexp_extract_all(text, '$PiiPhoneRe')) AS BIGINT)
+       |      AS n_phones,
+       |    CAST(length(text) AS BIGINT)
+       |      - CAST(length(regexp_replace(regexp_replace(text,
+       |          '$PiiEmailRe', '<EMAIL>', 'g'), '$PiiPhoneRe', '<PHONE>',
+       |          'g')) AS BIGINT) AS delta
+       |  FROM corpus)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_pii_docs,
+       |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
+       |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
+       |  CAST(sum(delta) AS BIGINT) AS chars_redacted,
+       |  round(CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0
+       |    END) AS DOUBLE) / count(*), 6) AS pii_rate
+       |FROM red GROUP BY source ORDER BY source""".stripMargin
 }

@@ -3775,4 +3775,108 @@ class PipelineOpsSpec extends AnyFunSuite {
     // replay audits nothing
     assert(got.values.map(_._3).sum > 0, "no rejections — limiter vacuous")
   }
+  test("q323 repetition: planted loops flagged high, natural corpus clean, identities hold") {
+    val rows = TextOps.repetitionAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getBoolean(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r._3 <= r._2 && r._6 <= r._5.toDouble, s"distinct > total: $r")
+      assert(r._4 >= 0 && r._4 <= 1 && r._7 >= 0 && r._7 <= 1)
+    }
+    val planted = rows.filter(_._1 >= TextOps.RepLoopOffset)
+    assert(planted.nonEmpty)
+    planted.foreach(r => assert(r._8 && r._4 >= 0.8,
+      s"planted loop not flagged: $r"))
+    val natural = rows.filter(_._1 < TextOps.RepLoopOffset)
+    natural.foreach(r => assert(!r._8 && r._4 < TextOps.RepFlagTau,
+      s"natural doc flagged: $r"))
+    // every planted loop corresponds to a %9 base doc
+    assert(planted.map(_._1 - TextOps.RepLoopOffset).toSet ==
+      natural.map(_._1).filter(_ % 9 == 0).toSet)
+  }
+
+  test("q324 surprisal matches a driver-side exact replica") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val freq = docs.flatMap(_._2).groupBy(identity).map { case (t, v) =>
+      t -> v.length.toLong }
+    val total = freq.values.sum.toDouble
+    val expect = docs.map { case (id, toks) =>
+      val ssum = toks.map(t =>
+        math.floor(-math.log(freq(t) / total) * 1e9).toLong).sum
+      id -> (toks.length.toLong,
+        BigDecimal(ssum / 1e9 / toks.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    val got = TextOps.unigramSurprisal(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (id, (n, sv)) =>
+      assert(n == expect(id)._1, s"doc $id token count")
+      assert(math.abs(sv - expect(id)._2) <= 1e-6, s"doc $id surprisal " +
+        s"$sv vs ${expect(id)._2}")
+    }
+  }
+
+  test("q325 pii audit: planted docs are the exact flagged population per source") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.groupBy(_._2).map { case (src, v) =>
+      src -> (v.length.toLong, v.count(_._1 % 7 == 0).toLong) }
+    val got = TextOps.piiAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(got.keySet == expect.keySet)
+    got.foreach { case (src, (nDocs, nPii, nEm, nPh, chars, rate)) =>
+      assert(nDocs == expect(src)._1)
+      assert(nPii == expect(src)._2, s"$src planted population")
+      // exactly one planted email + phone per pii doc, nothing invented
+      assert(nEm == nPii && nPh == nPii, s"$src hit counts")
+      assert((chars > 0) == (nPii > 0), s"$src redacted mass")
+      assert(math.abs(rate - nPii.toDouble / nDocs) <= 5e-7)
+    }
+  }
+
+  test("q326 snapshot diff matches the planted mutation census") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.groupBy(_._2).flatMap { case (src, v) =>
+      val removed = v.count(_._1 % 11 == 3).toLong
+      val added = v.count(_._1 % 13 == 0).toLong
+      val changed = v.count(d => d._1 % 11 != 3 && d._1 % 5 == 0).toLong
+      val unchanged = v.length - removed - changed
+      Seq((src, "added", added), (src, "changed", changed),
+        (src, "removed", removed), (src, "unchanged", unchanged.toLong))
+        .filter(_._3 > 0)
+    }.toSet
+    val got = ScaleOps.snapshotDiff(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expect,
+      s"diff census mismatch: missing ${expect.diff(got)}, extra ${got.diff(expect)}")
+    // all four classes must be populated corpus-wide
+    assert(got.map(_._2) == Set("added", "changed", "removed", "unchanged"))
+  }
+
+  test("q327 perm curve: sketch noise shrinks with k; conditioning bias positive and monotone") {
+    val rows = DedupOps.permCountCurve(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == DedupOps.PermCounts.map(_.toLong))
+    // same candidate pairs under every k — the sweep rides one frame
+    assert(rows.map(_._2._1).distinct.length == 1)
+    rows.foreach { case (k, (n, mae, bias)) =>
+      assert(n > 0 && mae >= 0, s"k=$k")
+      assert(bias > 0, s"k=$k: candidate-conditioning bias must be " +
+        s"positive (pairs enter by sharing a band), got $bias")
+    }
+    val byK = rows.toMap
+    // more permutations -> strictly less sketch noise on this fixture
+    assert(byK(4L)._2 > byK(8L)._2 && byK(8L)._2 > byK(16L)._2,
+      s"mean_abs_err not decreasing in k: $rows")
+    assert(byK(4L)._3 >= byK(16L)._3,
+      s"bias should shrink as k grows: $rows")
+  }
 }

@@ -1795,4 +1795,122 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(p.contains("Window"),
       s"cumulative split window missing:\n${p.take(1800)}")
   }
+
+  test("q323 repetition: fully in-row — no join, no pre-sort aggregate") {
+    val p = plan(TextOps.repetitionAudit(spark, dir))
+    assert(!p.contains("Join"), s"repetition grew a join:\n${p.take(1500)}")
+    assert(!p.contains("HashAggregate"),
+      s"repetition aggregates (should be per-row):\n${p.take(1500)}")
+  }
+
+  test("q324 surprisal: vocab-sized freq table broadcasts; no sort-merge join") {
+    val p = plan(TextOps.unigramSurprisal(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"freq table not broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream shuffled for the join:\n${p.take(1500)}")
+  }
+
+  test("q325 pii audit: regex work is join-free; one aggregate to sources") {
+    val p = plan(TextOps.piiAudit(spark, dir))
+    assert(!p.contains("Join"), s"pii audit grew a join:\n${p.take(1500)}")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q326 snapshot diff: manifests join on doc_id, no cartesian; text collapsed to hashes below the join") {
+    val df = ScaleOps.snapshotDiff(spark, dir)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"diff join degenerated:\n${p.take(1500)}")
+    assert(p.contains("FullOuter") || p.contains("full_outer"),
+      s"full outer join missing:\n${p.take(1500)}")
+    // the join must see (doc_id, source, md5) projections, not raw text:
+    // md5 is computed below the join on both sides
+    val joinAt = p.indexOf("SortMergeJoin")
+    assert(joinAt >= 0 && p.indexOf("md5", joinAt) >= 0,
+      s"hash not computed scan-side:\n${p.take(1800)}")
+  }
+
+  test("q327 perm curve: shingle/signature frames shared; candidates through the cap window") {
+    val p = plan(DedupOps.permCountCurve(spark, dir))
+    assert(p.contains("InMemoryTableScan"),
+      s"shared frames not persisted:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      s"perm curve went cartesian:\n${p.take(1500)}")
+    assert(p.contains("Window"),
+      s"hot-bucket cap window missing:\n${p.take(1500)}")
+  }
+
+  // --- suite-wide invariant: unpartitioned windows ------------------------
+
+  /** The leaves an UNPARTITIONED (or literal-partitioned — same single
+    * partition) window would pull through one task, with any leaf below
+    * an Aggregate/Limit excused: an aggregate collapses its subtree to
+    * group-bounded rows before the window sees it, which is the
+    * documented rationale at every legitimate site (per-bucket reports,
+    * |communities|-sized modularity frames, literal grids). A window
+    * whose single-task input contains a RAW corpus-sized leaf is the
+    * 100×-scale hazard this property turns from audit-trust into a CI
+    * failure. */
+  private def unguardedWindowLeaves(
+      df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    // a persisted frame shows up as an opaque InMemoryRelation leaf —
+    // recurse into its cached PHYSICAL plan with the same rule, so a
+    // cached 1-row stats frame is excused while a cached raw corpus
+    // frame is still flagged
+    def rawLeavesPhys(p: SparkPlan): Seq[String] = {
+      val n = p.getClass.getSimpleName
+      if (n.contains("Aggregate") || n.contains("Limit")) Nil
+      else p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          rawLeavesPhys(a.inputPlan)
+        case im: InMemoryTableScanExec => rawLeavesPhys(im.relation.cachedPlan)
+        case leaf if leaf.children.isEmpty =>
+          if (n.contains("LocalTableScan") || n.contains("RDDScan") ||
+            n.contains("Range") || n.contains("OneRowRelation")) Nil
+          else Seq(n)
+        case other => other.children.flatMap(rawLeavesPhys)
+      }
+    }
+    def rawLeaves(p: LogicalPlan): Seq[String] = p match {
+      case _: Aggregate => Nil // group-bounded before the window
+      case _: GlobalLimit | _: LocalLimit => Nil // row-bounded
+      case _: LocalRelation | _: OneRowRelation => Nil // literal data
+      case r: Range if r.numElements.isValidLong &&
+        r.numElements.toLong <= 100000 => Nil // literal grid
+      case imr: InMemoryRelation => rawLeavesPhys(imr.cachedPlan)
+      case l: LeafNode => Seq(l.nodeName)
+      case other => other.children.flatMap(rawLeaves)
+    }
+    df.queryExecution.optimizedPlan.collect {
+      case w: Window if w.partitionSpec.forall(_.foldable) =>
+        rawLeaves(w.child)
+    }.flatten
+  }
+
+  test("suite-wide: no unpartitioned window sits above a corpus-sized scan (all queries)") {
+    // negative control first — the property must be able to fail: a
+    // corpus-sized global row_number() is exactly the hazard class
+    val scratch = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+    assert(unguardedWindowLeaves(scratch).nonEmpty,
+      "walker failed to flag a corpus-sized unpartitioned window")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = try unguardedWindowLeaves(fn(spark, dir))
+          catch { case e: Throwable => Seq(s"plan build failed: $e") }
+        // shared()/persist() at construction time would otherwise leak
+        // InMemoryRelation into later queries' plans (PlanAudit note)
+        spark.catalog.clearCache()
+        bad.map(leaf => s"$name: unpartitioned window over raw leaf $leaf")
+    }
+    assert(offenders.isEmpty,
+      s"${offenders.size} unpartitioned-window hazard(s):\n" +
+        offenders.mkString("\n"))
+  }
 }
