@@ -345,6 +345,9 @@ object SparkEntry {
     "q325_pii_audit"         -> (TextOps.piiAudit _),
     "q326_snapshot_diff"     -> (ScaleOps.snapshotDiff _),
     "q327_perm_curve"        -> (DedupOps.permCountCurve _),
+    "q328_gibberish"         -> (TextOps.gibberishGate _),
+    "q329_quantile_acc"      -> (ProfileOps.quantileAccuracy _),
+    "q330_negative_table"    -> (TrainPrepOps.negativeTable _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -954,6 +957,9 @@ object SparkEntry {
     "q325_pii_audit" -> TextOps.piiAuditOracle,
     "q326_snapshot_diff" -> ScaleOps.snapshotDiffOracle,
     "q327_perm_curve" -> DedupOps.permCountCurveOracle,
+    "q328_gibberish" -> TextOps.gibberishGateOracle,
+    "q329_quantile_acc" -> ProfileOps.quantileAccuracyOracle,
+    "q330_negative_table" -> TrainPrepOps.negativeTableOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -54,6 +54,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("blob_pixel_stats"),
       info(classOf[BlobPixelStats], "blob_pixel_stats"),
       (exprs: Seq[Expression]) => BlobPixelStats(exprs.head)))
+    e.injectFunction((FunctionIdentifier("char_run_stats"),
+      info(classOf[CharRunStats], "char_run_stats"),
+      (exprs: Seq[Expression]) => CharRunStats(exprs.head)))
     e.injectFunction((FunctionIdentifier("blob_wave_stats"),
       info(classOf[BlobWaveStats], "blob_wave_stats"),
       (exprs: Seq[Expression]) => BlobWaveStats(exprs(0), exprs(1))))

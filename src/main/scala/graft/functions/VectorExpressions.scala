@@ -160,6 +160,7 @@ object VectorFunctions {
     add("bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)))
     add("md5_fp60", Md5Fp60.builder)
     add("blob_pixel_stats", exprs => BlobPixelStats(exprs.head))
+    add("char_run_stats", exprs => CharRunStats(exprs.head))
     add("blob_wave_stats", exprs => BlobWaveStats(exprs(0), exprs(1)))
     add("blob_phash", exprs => BlobPhash(exprs(0), exprs(1)))
     add("cdc_bounds", CdcBoundsExpr.builder)

@@ -67,11 +67,13 @@ object ProfileOps {
     *
     * The exact anchors (row count, exact distinct, exact rank-picked
     * p40/p60) are emitted alongside and hash-compared. Rank-picking is
-    * pure integer arithmetic on row_number ordered by value — the value
-    * AT a rank is deterministic under ties — so both engines select the
-    * identical parquet double: bit parity without tolerance. The global
-    * window sort is the exact-verifier side only; the sketch path (one
-    * map-combinable aggregate) is what runs at 100 TB. */
+    * pure integer arithmetic on the global rank ordered by value — the
+    * value AT a rank is deterministic under ties — so both engines
+    * select the identical parquet double: bit parity without tolerance.
+    * The exact-rank verifier side runs through the q114 distributed
+    * global rank (range partition + offsets — no single-partition
+    * window anywhere); the sketch path (one map-combinable aggregate)
+    * is what runs at 100 TB. */
   def approxStats(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val agg = li.agg(
@@ -101,6 +103,83 @@ object ProfileOps {
           col("exact_supp") * 0.15).as("supp_within_3sigma"),
         (col("amed") >= col("p40") && col("amed") <= col("p60"))
           .as("median_in_bounds"))
+  }
+
+  /** Accuracy parameters swept by the q329 audit (Spark's
+    * percentile_approx guarantees relative RANK error <= 1/accuracy). */
+  val QuantAccuracies = Seq(50, 200, 1000, 10000)
+
+  /** q329 — approximate-quantile accuracy audit: sweep
+    * percentile_approx's accuracy knob and check each estimate against
+    * its CONTRACTUAL rank window — the exact values at ranks
+    * median +/- ceil(n/accuracy), computed distributively via the q114
+    * global rank. q42 spot-checks one sketch at one setting; this is
+    * the sizing curve: the smallest accuracy whose bounds are still
+    * tight enough is the memory knob a 100 TB profiling pass should
+    * run at (sketch memory grows with accuracy; rank error shrinks).
+    *
+    * Parity: ranks, tolerances and bound VALUES are exact (integer
+    * rank algebra + order statistics the oracle replays with a plain
+    * window); the sketch estimate itself is engine-specific, so the
+    * output carries the exact bounds and the boolean contract verdict
+    * (oracle: literal TRUE — the q60 pattern), never the estimate.
+    *
+    * Scale (100 TB): one pass for the four sketches (one aggregate),
+    * one range-partitioned rank pass for the bounds; the bound lookup
+    * joins a broadcast 4-row grid against three ranks per accuracy. */
+  def quantileAccuracy(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_extendedprice").as("v"))
+    val nRow = li.agg(count(lit(1)).as("n"))
+    val apxCols = QuantAccuracies.map(a =>
+      percentile_approx(col("v"), lit(0.5), lit(a)).as(s"apx_$a"))
+    val apxRow = li.agg(apxCols.head, apxCols.tail: _*)
+    val ranked = ScaleOps.withGlobalRank(li, "rn", col("v"))
+    val accArr = array(QuantAccuracies.map(a => lit(a.toLong)): _*)
+    val grid = nRow.select(explode(accArr).as("accuracy"), col("n"))
+      .withColumn("tol", expr("(n + accuracy - 1) div accuracy"))
+      .withColumn("k_med", expr("(n + 1) div 2"))
+      .withColumn("k_lo", greatest(lit(1L), expr("k_med - tol")))
+      .withColumn("k_hi", least(col("n"), expr("k_med + tol")))
+    val pts = ranked.join(broadcast(grid),
+        col("rn") === col("k_lo") || col("rn") === col("k_med") ||
+          col("rn") === col("k_hi"))
+      .groupBy("accuracy")
+      .agg(min(when(col("rn") === col("k_lo"), col("v"))).as("lo_v"),
+        min(when(col("rn") === col("k_med"), col("v"))).as("exact_med"),
+        max(when(col("rn") === col("k_hi"), col("v"))).as("hi_v"),
+        min(col("tol")).as("rank_tol"))
+    val apxCase = "CASE " + QuantAccuracies
+      .map(a => s"WHEN accuracy = $a THEN apx_$a").mkString(" ") + " END"
+    pts.crossJoin(broadcast(apxRow))
+      .withColumn("apx", expr(apxCase))
+      .select(col("accuracy"), col("rank_tol"), col("exact_med"),
+        col("lo_v"), col("hi_v"),
+        (col("apx") >= col("lo_v") && col("apx") <= col("hi_v"))
+          .as("approx_in_bounds"))
+      .orderBy("accuracy")
+  }
+
+  def quantileAccuracyOracle: String = {
+    val accList = QuantAccuracies.mkString("[", ", ", "]")
+    s"""WITH nn AS (SELECT count(*) AS n FROM lineitem),
+       |r AS (SELECT l_extendedprice AS v,
+       |    row_number() OVER (ORDER BY l_extendedprice) AS rn
+       |  FROM lineitem),
+       |g0 AS (SELECT CAST(unnest($accList) AS BIGINT) AS accuracy),
+       |g1 AS (SELECT accuracy, (n + accuracy - 1) // accuracy AS tol,
+       |    (n + 1) // 2 AS k_med, n FROM g0, nn),
+       |g2 AS (SELECT accuracy, tol, greatest(1, k_med - tol) AS k_lo,
+       |    k_med, least(n, k_med + tol) AS k_hi FROM g1),
+       |pts AS (SELECT accuracy,
+       |    min(CASE WHEN rn = k_lo THEN v END) AS lo_v,
+       |    min(CASE WHEN rn = k_med THEN v END) AS exact_med,
+       |    max(CASE WHEN rn = k_hi THEN v END) AS hi_v,
+       |    min(tol) AS rank_tol
+       |  FROM r JOIN g2 ON rn = k_lo OR rn = k_med OR rn = k_hi
+       |  GROUP BY accuracy)
+       |SELECT accuracy, rank_tol, exact_med, lo_v, hi_v,
+       |  TRUE AS approx_in_bounds
+       |FROM pts ORDER BY accuracy""".stripMargin
   }
 
   /** q60 — sketch-accuracy contract: exact distinct counts plus booleans

@@ -1024,6 +1024,96 @@ object TextOps {
        |FROM r WHERE rnk <= $DistinctiveTopK
        |ORDER BY source, rnk""".stripMargin
 
+  // --- q328: character-level gibberish gate -------------------------------
+
+  /** doc_id offset of the planted single-character gibberish docs. */
+  val GibberishOffset = 5000000L
+
+  /** Simpson-diversity flag floor (ppm) and identical-char run ceiling.
+    * Natural word-soup docs measure ≥ ~0.85 diversity and runs ≤ ~4;
+    * the planted single-char docs sit at 0 diversity with doc-length
+    * runs — both thresholds separate with wide margin. */
+  val GibDivFloorPpm = 500000L
+  val GibMaxRun = 20L
+
+  /** q328 corpus: documents ∪ planted gibberish (every 17th doc's text
+    * replaced by a same-length single-character run — the degenerate
+    * generation / stuck-key / binary-spill shape a byte-level gate must
+    * catch), planted in-query so the flag column is substantive at
+    * every sf. */
+  def gibberishCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    base.unionAll(base.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + GibberishOffset).as("doc_id"),
+        expr("repeat('z', length(text))").as("text")))
+  }
+
+  /** q328 — character-level gibberish gate: per document, byte count,
+    * distinct-byte class count, Simpson character diversity (1 − Σp²,
+    * in exact ppm integer arithmetic — chosen over Shannon entropy
+    * precisely because it needs NO logarithm, so parity is exact with
+    * zero libm exposure) and the longest identical-character run; a
+    * document is flagged when diversity collapses below
+    * [[GibDivFloorPpm]] or a run reaches [[GibMaxRun]]. Catches what
+    * the token-level gates (q27 quality, q323 repetition) are blind
+    * to: byte-level degeneracy inside "tokens" — stuck generation,
+    * base64/binary spills, mojibake floods.
+    *
+    * Parity: all four statistics are exact integers from the native
+    * [[graft.functions.CharRunStats]] byte loop (ASCII corpus: byte ≡
+    * character ≡ the oracle's string_split element — spec-pinned
+    * against an exploded Spark replay); div_ppm is integer division of
+    * exact longs on both engines.
+    *
+    * Scale (100 TB): ONE in-row byte loop per document (native
+    * expression, no explode, no shuffle, no UDF) — the gate runs at
+    * parquet-scan speed; the exploded (doc, char) exchange form it
+    * replaces is the spec-side equivalence reference. */
+  def gibberishGate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    gibberishCorpus(s, dir)
+      .withColumn("cs", expr("char_run_stats(text)"))
+      .selectExpr("doc_id",
+        "cs.n_chars AS n_chars",
+        "cs.n_classes AS n_classes",
+        "((cs.n_chars * cs.n_chars - cs.sumsq) * 1000000)" +
+          " div (cs.n_chars * cs.n_chars) AS div_ppm",
+        "cs.max_run AS max_run")
+      .withColumn("flagged",
+        col("div_ppm") < GibDivFloorPpm || col("max_run") >= GibMaxRun)
+      .orderBy("doc_id")
+  }
+
+  def gibberishGateOracle: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + $GibberishOffset AS doc_id,
+       |    repeat('z', length(text)) AS text
+       |  FROM documents WHERE doc_id % 17 = 0),
+       |pos AS (SELECT doc_id, text,
+       |    unnest(range(1, length(text) + 1)) AS i FROM corpus),
+       |ch AS (SELECT doc_id, i, substring(text, i, 1) AS c FROM pos),
+       |cc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+       |st AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+       |    CAST(count(*) AS BIGINT) AS n_classes,
+       |    CAST(sum(cnt * cnt) AS BIGINT) AS sumsq
+       |  FROM cc GROUP BY doc_id),
+       |runs AS (SELECT doc_id, c,
+       |    i - row_number() OVER (PARTITION BY doc_id, c ORDER BY i) AS grp
+       |  FROM ch),
+       |rl AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS max_run FROM (
+       |    SELECT doc_id, c, grp, count(*) AS n FROM runs
+       |    GROUP BY doc_id, c, grp)
+       |  GROUP BY doc_id),
+       |o AS (SELECT st.doc_id, n_chars, n_classes,
+       |    ((n_chars * n_chars - sumsq) * 1000000)
+       |      // (n_chars * n_chars) AS div_ppm,
+       |    max_run
+       |  FROM st JOIN rl ON rl.doc_id = st.doc_id)
+       |SELECT doc_id, n_chars, n_classes, div_ppm, max_run,
+       |  (div_ppm < $GibDivFloorPpm OR max_run >= $GibMaxRun) AS flagged
+       |FROM o ORDER BY doc_id""".stripMargin
+
   // --- q323: intra-document repetition audit ------------------------------
 
   /** Duplicate-2-gram flag threshold: the natural corpus sits below

@@ -2089,4 +2089,61 @@ object TrainPrepOps {
        |  n_bins_populated
        |FROM pf ORDER BY feature""".stripMargin
   }
+  // --- q330: unigram^0.75 negative-sampling table ---------------------------
+
+  /** q330 — negative-sampling table (the word2vec / contrastive-training
+    * unigram^0.75 distribution, Mikolov et al. 2013): per token, the
+    * smoothed sampling weight floor(cnt^0.75 * 1e9) as an exact BIGINT
+    * fixed-point, its ppm share of the total, and the HALF-OPEN
+    * cumulative range [cum_lo, cum_hi) a sampler needs — draw a uniform
+    * integer in [0, Sigma w_fp) and binary-search the range column; the
+    * table IS the sampler, no alias tables or rejection loops, and it
+    * shards by range at any vocabulary size.
+    *
+    * Parity: cnt^0.75 is the one libm call (pow), frozen to x1e9
+    * BIGINT per token — only |distinct counts| distinct pow arguments
+    * exist (the q324 ln argument); cumulative ranges are an exact
+    * integer prefix sum ordered by token; weight_ppm is integer
+    * division of exact longs.
+    *
+    * Scale (100 TB): token frequencies are the map-side-combinable
+    * vocab collapse; everything after is vocab-sized algebra (the
+    * prefix window runs over the aggregate output, never the corpus).
+    * Headroom: w_fp * 1e6 stays under 2^63 up to cnt ~ 10^12 per
+    * token; past that, drop the freeze to x1e3 (one constant). */
+  def negativeTable(s: SparkSession, dir: String): DataFrame = {
+    val freq = EtlOps.t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val w = freq.withColumn("w_fp",
+      expr("CAST(floor(pow(CAST(cnt AS DOUBLE), 0.75) * 1e9) AS BIGINT)"))
+    val tot = w.agg(sum(col("w_fp")).as("w_total"))
+    val win = Window.orderBy("token")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    w.crossJoin(broadcast(tot))
+      .withColumn("cum_lo", coalesce(sum(col("w_fp")).over(win), lit(0L)))
+      .select(col("token"), col("cnt"), col("w_fp"),
+        expr("(w_fp * 1000000) div w_total").as("weight_ppm"),
+        col("cum_lo"), (col("cum_lo") + col("w_fp")).as("cum_hi"))
+      .orderBy("token")
+  }
+
+  def negativeTableOracle: String =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |f AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+       |w AS (SELECT token, cnt,
+       |    CAST(floor(pow(CAST(cnt AS DOUBLE), 0.75) * 1e9) AS BIGINT)
+       |      AS w_fp
+       |  FROM f),
+       |t AS (SELECT CAST(sum(w_fp) AS BIGINT) AS w_total FROM w),
+       |c AS (SELECT token, cnt, w_fp,
+       |    CAST(COALESCE(sum(w_fp) OVER (ORDER BY token
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_lo
+       |  FROM w)
+       |SELECT token, cnt, w_fp,
+       |  CAST((w_fp * 1000000) // w_total AS BIGINT) AS weight_ppm,
+       |  cum_lo, cum_lo + w_fp AS cum_hi
+       |FROM c, t ORDER BY token""".stripMargin
 }

@@ -3879,4 +3879,87 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(byK(4L)._3 >= byK(16L)._3,
       s"bias should shrink as k grows: $rows")
   }
+  test("q328 gibberish gate: native byte loop matches a driver replica; plants flagged, corpus clean") {
+    val rows = TextOps.gibberishGate(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    // driver-side exact replica over the same planted corpus
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val corpus = base ++ base.filter(_._1 % 17 == 0).map { case (id, t) =>
+      (id + TextOps.GibberishOffset, "z" * t.length) }
+    assert(rows.keySet == corpus.map(_._1).toSet)
+    corpus.foreach { case (id, text) =>
+      val counts = text.groupBy(identity).map(_._2.length.toLong)
+      val n = text.length.toLong
+      val sumsq = counts.map(k => k * k).sum
+      var maxRun = 0L; var run = 0L; var prev = '\u0000'
+      text.foreach { ch =>
+        if (ch == prev) run += 1 else { prev = ch; run = 1 }
+        if (run > maxRun) maxRun = run
+      }
+      val divPpm = ((n * n - sumsq) * 1000000L) / (n * n)
+      val (gn, gc, gd, gr, gf) = rows(id)
+      assert(gn == n && gc == counts.size && gd == divPpm && gr == maxRun,
+        s"doc $id: got ($gn,$gc,$gd,$gr) want ($n,${counts.size},$divPpm,$maxRun)")
+      assert(gf == (divPpm < TextOps.GibDivFloorPpm ||
+        maxRun >= TextOps.GibMaxRun), s"doc $id flag")
+    }
+    // plants all flagged, natural docs all clean
+    rows.foreach { case (id, v) =>
+      assert(v._5 == (id >= TextOps.GibberishOffset), s"doc $id")
+    }
+  }
+
+  test("q329 quantile accuracy: every sketch setting honors its rank-error contract; bounds tighten with accuracy") {
+    val rows = ProfileOps.quantileAccuracy(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5)))
+    assert(rows.map(_._1).toSeq ==
+      ProfileOps.QuantAccuracies.map(_.toLong))
+    rows.foreach { case (acc, tol, med, lo, hi, ok) =>
+      assert(ok, s"accuracy=$acc sketch broke its contract")
+      assert(lo <= med && med <= hi, s"accuracy=$acc bounds disordered")
+      assert(tol >= 1, s"accuracy=$acc tol")
+    }
+    // higher accuracy -> smaller rank tolerance -> bounds no wider
+    rows.sliding(2).foreach { p =>
+      if (p.length == 2) {
+        assert(p(0)._2 >= p(1)._2, "tolerance must shrink with accuracy")
+        assert(p(0)._5 - p(0)._4 >= p(1)._5 - p(1)._4 - 1e-9,
+          "value bounds must tighten with accuracy")
+      }
+    }
+  }
+
+  test("q330 negative table: weights match pow replica; ranges partition [0, total)") {
+    val rows = TrainPrepOps.negativeTable(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().flatMap(_.getString(0).split(" "))
+    val freq = toks.groupBy(identity).map { case (t, v) =>
+      t -> v.length.toLong }
+    assert(rows.map(_._1).toSet == freq.keySet)
+    rows.foreach { case (t, cnt, wfp, _, _, _) =>
+      assert(cnt == freq(t), s"$t cnt")
+      assert(wfp ==
+        math.floor(math.pow(cnt.toDouble, 0.75) * 1e9).toLong, s"$t w_fp")
+    }
+    val total = rows.map(_._3).sum
+    // half-open ranges tile [0, total) in token order with no gaps
+    val sorted = rows.sortBy(_._1)
+    assert(sorted.head._5 == 0L)
+    assert(sorted.last._6 == total)
+    sorted.sliding(2).foreach { p =>
+      if (p.length == 2) assert(p(0)._6 == p(1)._5,
+        s"gap between ${p(0)._1} and ${p(1)._1}")
+    }
+    rows.foreach { case (t, _, wfp, ppm, lo, hi) =>
+      assert(hi - lo == wfp, s"$t range width")
+      assert(ppm == wfp * 1000000L / total, s"$t ppm")
+    }
+  }
 }

@@ -1842,6 +1842,38 @@ class PlanPropsSpec extends AnyFunSuite {
       s"hot-bucket cap window missing:\n${p.take(1500)}")
   }
 
+  test("q328 gibberish: native char loop in-row — no explode, no join, no pre-sort shuffle") {
+    val p = plan(TextOps.gibberishGate(spark, dir))
+    assert(p.contains("char_run_stats"),
+      s"native expression missing:\n${p.take(1500)}")
+    assert(!p.contains("Generate") && !p.contains("Join"),
+      s"gibberish gate exploded or joined:\n${p.take(1500)}")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"gate shuffled before the sort:\n${p.take(1500)}")
+  }
+
+  test("q329 quantile accuracy: rank side is the q114 shape; grid broadcast; no cartesian") {
+    val p = plan(ProfileOps.quantileAccuracy(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"quantile audit went cartesian:\n${p.take(1800)}")
+    assert(p.contains("percentile_approx") || p.contains("approx_percentile"),
+      s"sketch aggregate missing:\n${p.take(1800)}")
+    // the rank window stays pid-partitioned (never a global sort window)
+    assert("Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isEmpty &&
+      p.contains("Window"),
+      s"rank window lost its pid partition:\n${p.take(1800)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"offset/grid joins must broadcast:\n${p.take(1800)}")
+  }
+
+  test("q330 negative table: one corpus collapse; prefix window over the vocab aggregate; total broadcast") {
+    val p = plan(TrainPrepOps.negativeTable(spark, dir))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"negative table shuffled a join:\n${p.take(1500)}")
+    assert(p.contains("HashAggregate") && p.contains("Window"),
+      s"vocab collapse / prefix window missing:\n${p.take(1500)}")
+  }
+
   // --- suite-wide invariant: unpartitioned windows ------------------------
 
   /** The leaves an UNPARTITIONED (or literal-partitioned — same single
