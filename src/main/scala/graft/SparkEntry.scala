@@ -348,6 +348,12 @@ object SparkEntry {
     "q328_gibberish"         -> (TextOps.gibberishGate _),
     "q329_quantile_acc"      -> (ProfileOps.quantileAccuracy _),
     "q330_negative_table"    -> (TrainPrepOps.negativeTable _),
+    "q331_nb_classifier"     -> (MlPrepOps.nbClassifier _),
+    "q332_logreg_gd"         -> (MlPrepOps.logregGd _),
+    "q333_blocklist"         -> (TextOps.blocklistAudit _),
+    "q334_ppl_buckets"       -> (TextOps.pplBuckets _),
+    "q335_simpson_scan"      -> (AnalyticsOps.simpsonScan _),
+    "q336_huber_location"    -> (ProfileOps.huberLocation _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -960,6 +966,12 @@ object SparkEntry {
     "q328_gibberish" -> TextOps.gibberishGateOracle,
     "q329_quantile_acc" -> ProfileOps.quantileAccuracyOracle,
     "q330_negative_table" -> TrainPrepOps.negativeTableOracle,
+    "q331_nb_classifier" -> MlPrepOps.nbClassifierOracle,
+    "q332_logreg_gd" -> MlPrepOps.logregGdOracle,
+    "q333_blocklist" -> TextOps.blocklistAuditOracle,
+    "q334_ppl_buckets" -> TextOps.pplBucketsOracle,
+    "q335_simpson_scan" -> AnalyticsOps.simpsonScanOracle,
+    "q336_huber_location" -> ProfileOps.huberLocationOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -66,6 +66,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("cdc_bounds"),
       info(classOf[CdcBoundsExpr], "cdc_bounds"),
       CdcBoundsExpr.builder(_)))
+    e.injectFunction((FunctionIdentifier("multi_match_stats"),
+      info(classOf[MultiMatchStats], "multi_match_stats"),
+      (exprs: Seq[Expression]) => MultiMatchStats(exprs.head)))
     // the portable conv(substring(md5(x),1,15),16,10) idiom executes as
     // the native expression even when written longhand in SQL
     e.injectOptimizerRule(_ => FingerprintRewrite)

@@ -164,5 +164,6 @@ object VectorFunctions {
     add("blob_wave_stats", exprs => BlobWaveStats(exprs(0), exprs(1)))
     add("blob_phash", exprs => BlobPhash(exprs(0), exprs(1)))
     add("cdc_bounds", CdcBoundsExpr.builder)
+    add("multi_match_stats", exprs => MultiMatchStats(exprs.head))
   }
 }

@@ -2766,4 +2766,102 @@ object AnalyticsOps {
        |    / CAST(n_cons AS DOUBLE) > $ArLiftFlag AS associated
        |FROM j WHERE support >= $ArMinSupport
        |ORDER BY antecedent, consequent""".stripMargin
+
+  // --- q335: Simpson's-paradox reversal scan -------------------------------
+
+  /** q335 — Simpson's-paradox scan (Simpson 1951; the standard
+    * stratified-aggregation sanity check every experimentation /
+    * BI readout should run): compare the urgent-vs-regular order value
+    * gap in the POOLED data against the same gap WITHIN each customer
+    * nation, and flag strata whose direction contradicts the pooled
+    * direction — the signature of a confounded rollup (stratum sizes
+    * correlated with both treatment and outcome). Treatment: order
+    * priority 1-URGENT/2-HIGH; stratum: customer nation; metric: mean
+    * order value. Output: one row per stratum plus the pooled row
+    * (stratum = −1), each with group sizes, means, an exact direction
+    * sign, and the reversal flag.
+    *
+    * Parity: prices are frozen to cents (floor(·100) BIGINT) so group
+    * sums are exact integers; the direction sign is the exact integer
+    * cross-product test sT·nC vs sC·nT — computed in 128-bit
+    * (DECIMAL(38)/HUGEINT on Spark/DuckDB) so it cannot overflow
+    * before ~1e38 (the BIGINT form would overflow the pooled row near
+    * sf1); means are ONE double division + round at the end.
+    *
+    * Scale (100 TB): one broadcast dim join (customer→nation), ONE
+    * per-stratum aggregate over the data (map-side combinable), and
+    * the pooled row is a RE-AGGREGATE of the |strata|-row frame (the
+    * integer sums compose exactly) — the data is scanned once; rollup
+    * semantics at metadata cost. (Not `Dataset.rollup`: in Spark 4.1
+    * a rollup directly above a join trips the ambiguous-self-join
+    * detector on the duplicated grouping attribute.) */
+  def simpsonScan(s: SparkSession, dir: String): DataFrame = {
+    val j = t(s, dir, "orders").join(
+        broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .selectExpr("c_nationkey AS nat",
+        "o_orderpriority IN ('1-URGENT', '2-HIGH') AS treated",
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS price_fp")
+    val strata = j.groupBy("nat").agg(
+        sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("treated"), col("price_fp")).otherwise(0L))
+          .as("s_t"),
+        sum(when(!col("treated"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(!col("treated"), col("price_fp")).otherwise(0L))
+          .as("s_c"))
+    val pooled = strata.agg(
+        sum(col("n_t")).as("n_t"), sum(col("s_t")).as("s_t"),
+        sum(col("n_c")).as("n_c"), sum(col("s_c")).as("s_c"))
+      .selectExpr("CAST(-1 AS BIGINT) AS nat", "n_t", "s_t", "n_c", "s_c")
+    val agg = strata.selectExpr("CAST(nat AS BIGINT) AS nat", "n_t",
+        "s_t", "n_c", "s_c")
+      .unionByName(pooled)
+      .selectExpr("nat AS stratum", "n_t", "n_c",
+        "round(((CAST(s_t AS DOUBLE) / 100) / n_t), 6) AS avg_t",
+        "round(((CAST(s_c AS DOUBLE) / 100) / n_c), 6) AS avg_c",
+        "CAST(CASE WHEN CAST(s_t AS DECIMAL(38, 0)) * n_c" +
+          " > CAST(s_c AS DECIMAL(38, 0)) * n_t THEN 1" +
+          " WHEN CAST(s_t AS DECIMAL(38, 0)) * n_c" +
+          " < CAST(s_c AS DECIMAL(38, 0)) * n_t THEN -1" +
+          " ELSE 0 END AS BIGINT) AS direction")
+    // pooled-direction attach via an unpartitioned window — the frame
+    // is the ROLLUP output (|strata|+1 rows, group-bounded), so the
+    // single-partition window is metadata-sized by construction
+    agg.withColumn("pooled_dir",
+        max(when(col("stratum") === -1L, col("direction")))
+          .over(org.apache.spark.sql.expressions.Window
+            .rowsBetween(Long.MinValue, Long.MaxValue)))
+      .selectExpr("stratum", "n_t", "n_c", "avg_t", "avg_c", "direction",
+        "stratum <> -1 AND direction <> pooled_dir AS reversed")
+      .orderBy("stratum")
+  }
+
+  def simpsonScanOracle: String =
+    s"""WITH j AS (SELECT c.c_nationkey AS nat,
+       |    o.o_orderpriority IN ('1-URGENT', '2-HIGH') AS treated,
+       |    CAST(floor(o.o_totalprice * 100) AS BIGINT) AS price_fp
+       |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+       |agg AS (SELECT CAST(coalesce(nat, -1) AS BIGINT) AS stratum,
+       |    CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_t,
+       |    CAST(sum(CASE WHEN treated THEN price_fp ELSE 0 END)
+       |      AS BIGINT) AS s_t,
+       |    CAST(sum(CASE WHEN treated THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS n_c,
+       |    CAST(sum(CASE WHEN treated THEN 0 ELSE price_fp END)
+       |      AS BIGINT) AS s_c
+       |  FROM j GROUP BY ROLLUP (nat)),
+       |d AS (SELECT stratum, n_t, n_c,
+       |    round(((CAST(s_t AS DOUBLE) / 100) / n_t), 6) AS avg_t,
+       |    round(((CAST(s_c AS DOUBLE) / 100) / n_c), 6) AS avg_c,
+       |    CAST(CASE WHEN CAST(s_t AS HUGEINT) * n_c
+       |        > CAST(s_c AS HUGEINT) * n_t THEN 1
+       |      WHEN CAST(s_t AS HUGEINT) * n_c
+       |        < CAST(s_c AS HUGEINT) * n_t THEN -1
+       |      ELSE 0 END AS BIGINT) AS direction
+       |  FROM agg),
+       |p AS (SELECT direction AS pooled_dir FROM d WHERE stratum = -1)
+       |SELECT stratum, n_t, n_c, avg_t, avg_c, direction,
+       |  stratum <> -1 AND direction <> pooled_dir AS reversed
+       |FROM d, p ORDER BY stratum""".stripMargin
 }

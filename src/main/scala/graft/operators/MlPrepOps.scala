@@ -1185,4 +1185,238 @@ object MlPrepOps {
        |  max(CASE WHEN r_bm = 1 AND r_ql = 1 THEN 1 ELSE 0 END) = 1
        |    AS top1_agree
        |FROM f GROUP BY term ORDER BY term""".stripMargin
+
+  // --- q331: Naive-Bayes quality-classifier training ----------------------
+
+  /** q331 — train a multinomial Naive-Bayes text classifier IN the
+    * engine and evaluate it on a held-out split: the fastText/CCNet
+    * quality-classifier step of an LLM data pipeline, done as pure
+    * distributed aggregation (McCallum & Nigam 1998, the public
+    * multinomial-NB construction). Task: predict lang='en' from the
+    * token bag; split is doc_id % 5 (80 % train / 20 % test); Laplace
+    * +1 smoothing; test tokens outside the training vocabulary are
+    * dropped (the standard multinomial convention — both engines use
+    * the same inner join). Output: the 2×2 confusion matrix with
+    * per-cell mean log-odds score.
+    *
+    * Parity: every count is an exact integer; each token's class
+    * log-likelihood ln((c+1)/(N+V)) is frozen to floor(·1e9) BIGINT
+    * (q70 discipline — one exact double division feeds one libm ln;
+    * only |vocab| distinct arguments exist), so per-document scores
+    * are order-free integer sums; prediction is an integer sign test;
+    * ONE double division + round per confusion cell at the end.
+    *
+    * Scale (100 TB): the model IS a vocab-sized aggregate (map-side
+    * combinable, two exchanges: token→class counts, then per-doc
+    * score sums) broadcast back to the test token stream — no
+    * all-pairs, no iteration, no driver math. This is why NB remains
+    * the production quality-gate trainer at corpus scale. */
+  def nbClassifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), (col("lang") === "en").as("pos"))
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val test = docs.filter(col("doc_id") % 5 === 0)
+    val trainToks = train
+      .select(col("pos"), explode(split(col("text"), " ")).as("tok"))
+    val counts = trainToks.groupBy("tok").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("cneg"))
+    val totals = counts.agg(
+      sum(col("cpos")).as("npos"), sum(col("cneg")).as("nneg"),
+      count(lit(1)).as("v"))
+    val llr = counts.crossJoin(broadcast(totals)).selectExpr("tok",
+      "CAST(floor(ln(CAST(cpos + 1 AS DOUBLE) / CAST(npos + v AS DOUBLE))" +
+        " * 1e9) AS BIGINT)" +
+        " - CAST(floor(ln(CAST(cneg + 1 AS DOUBLE) /" +
+        " CAST(nneg + v AS DOUBLE)) * 1e9) AS BIGINT) AS llr_fp")
+    val prior = train.agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("dpos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("dneg"))
+      .selectExpr(
+        "CAST(floor(ln(CAST(dpos AS DOUBLE)) * 1e9) AS BIGINT)" +
+          " - CAST(floor(ln(CAST(dneg AS DOUBLE)) * 1e9) AS BIGINT)" +
+          " AS prior_fp")
+    val scores = test
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(llr), Seq("tok"))
+      .groupBy("doc_id").agg(sum(col("llr_fp")).as("sfp"))
+    test.join(scores, Seq("doc_id"), "left")
+      .crossJoin(broadcast(prior))
+      .select(col("pos").as("actual_en"),
+        (col("prior_fp") + coalesce(col("sfp"), lit(0L))).as("score_fp"))
+      .withColumn("pred_en", col("score_fp") >= 0L)
+      .groupBy("actual_en", "pred_en")
+      .agg(count(lit(1)).as("n_docs"), sum(col("score_fp")).as("ssum"))
+      .select(col("actual_en"), col("pred_en"), col("n_docs"),
+        round(col("ssum").cast("double") / 1e9 / col("n_docs"), 6)
+          .as("mean_score"))
+      .orderBy("actual_en", "pred_en")
+  }
+
+  def nbClassifierOracle: String =
+    s"""WITH docs AS (SELECT doc_id, text, lang = 'en' AS pos
+       |  FROM documents),
+       |train AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
+       |test AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+       |ttok AS (SELECT pos, unnest(string_split(text, ' ')) AS tok
+       |  FROM train),
+       |counts AS (SELECT tok,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+       |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cneg
+       |  FROM ttok GROUP BY tok),
+       |totals AS (SELECT CAST(sum(cpos) AS BIGINT) AS npos,
+       |    CAST(sum(cneg) AS BIGINT) AS nneg,
+       |    CAST(count(*) AS BIGINT) AS v FROM counts),
+       |llr AS (SELECT tok,
+       |    CAST(floor(ln(CAST(cpos + 1 AS DOUBLE)
+       |        / CAST(npos + v AS DOUBLE)) * 1e9) AS BIGINT)
+       |      - CAST(floor(ln(CAST(cneg + 1 AS DOUBLE)
+       |        / CAST(nneg + v AS DOUBLE)) * 1e9) AS BIGINT) AS llr_fp
+       |  FROM counts, totals),
+       |prior AS (SELECT
+       |    CAST(floor(ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END)
+       |      AS DOUBLE)) * 1e9) AS BIGINT)
+       |    - CAST(floor(ln(CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END)
+       |      AS DOUBLE)) * 1e9) AS BIGINT) AS prior_fp FROM train),
+       |stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM test),
+       |sc AS (SELECT doc_id, CAST(sum(llr_fp) AS BIGINT) AS sfp
+       |  FROM stok JOIN llr USING (tok) GROUP BY doc_id),
+       |pred AS (SELECT t.pos AS actual_en,
+       |    prior_fp + coalesce(sc.sfp, 0) AS score_fp
+       |  FROM test t LEFT JOIN sc USING (doc_id), prior)
+       |SELECT actual_en, score_fp >= 0 AS pred_en,
+       |  count(*) AS n_docs,
+       |  round(CAST(sum(score_fp) AS DOUBLE) / 1e9 / count(*), 6)
+       |    AS mean_score
+       |FROM pred GROUP BY actual_en, score_fp >= 0
+       |ORDER BY actual_en, pred_en""".stripMargin
+
+  // --- q332: logistic-regression gate trained by distributed GD -----------
+
+  /** Fixed GD iteration count and learning rate (deterministic — the
+    * operator is the distributed-training SHAPE, convergence tuning is
+    * a knob). */
+  val LogRegIters = 3
+  val LogRegLr = "0.5"
+
+  /** q332 — train a logistic-regression quality gate by full-batch
+    * gradient descent, entirely as Spark aggregates: each of the
+    * [[LogRegIters]] iterations is ONE pass computing the exact batch
+    * gradient Σ(y−σ(w·x))·x, and the updated weight vector is a
+    * 1-row broadcast — the classic "ML on a relational engine" shape
+    * (iterate-by-aggregate), and the upgrade path from the q331 NB
+    * gate to a calibrated linear probe. Features: token count /100,
+    * type-token ratio, bias; label lang='en'. Output: per-iteration
+    * weights, frozen train log-loss, and 0.5-threshold accuracy.
+    *
+    * Parity: features are exact-integer-derived doubles; z and the
+    * weight update are parenthesis-pinned exactly-rounded double
+    * chains, identical on both engines; every transcendental
+    * (σ's exp, the log-loss ln) is frozen to floor(·1e9) BIGINT before
+    * summation (q70 discipline), so gradients and losses are
+    * order-free integer sums and each iteration's weights are exact
+    * functions of integers. The oracle unrolls the three iterations as
+    * CTEs (the q308 PCA pattern).
+    *
+    * Scale (100 TB): per iteration ONE map-side-combinable aggregate
+    * over the (persisted) feature frame + a 1-row broadcast back —
+    * no driver-side math, no shuffle of the data itself, iteration
+    * count fixed. The feature pass is scan-bound; this is exactly how
+    * MLlib's LBFGS/GD treeAggregate works, expressed relationally. */
+  def logregGd(s: SparkSession, dir: String): DataFrame = {
+    val feat = t(s, dir, "documents").selectExpr(
+      "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y",
+      "CAST(size(split(text, ' ')) AS DOUBLE) / 100 AS x1",
+      "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)" +
+        " / CAST(size(split(text, ' ')) AS DOUBLE) AS x2")
+      .persist()
+    val w0 = s.range(1).selectExpr(
+      "CAST(0 AS DOUBLE) AS wb", "CAST(0 AS DOUBLE) AS wl",
+      "CAST(0 AS DOUBLE) AS wt")
+    val zExpr = "(wb + (wl * x1)) + (wt * x2)"
+    def step(w: DataFrame): DataFrame =
+      feat.crossJoin(broadcast(w))
+        .selectExpr("y", "x1", "x2",
+          s"1.0 / (1.0 + exp(-($zExpr))) AS p")
+        .agg(
+          sum(expr("CAST(floor((y - p) * 1e9) AS BIGINT)")).as("gb"),
+          sum(expr("CAST(floor(((y - p) * x1) * 1e9) AS BIGINT)"))
+            .as("gl"),
+          sum(expr("CAST(floor(((y - p) * x2) * 1e9) AS BIGINT)"))
+            .as("gt"),
+          count(lit(1)).as("n"))
+        .crossJoin(broadcast(w))
+        .selectExpr(
+          s"wb + ($LogRegLr * ((CAST(gb AS DOUBLE) / 1e9) / n)) AS wb",
+          s"wl + ($LogRegLr * ((CAST(gl AS DOUBLE) / 1e9) / n)) AS wl",
+          s"wt + ($LogRegLr * ((CAST(gt AS DOUBLE) / 1e9) / n)) AS wt")
+    def stats(w: DataFrame, k: Int): DataFrame =
+      feat.crossJoin(broadcast(w))
+        .selectExpr("y", s"$zExpr AS z")
+        .agg(
+          sum(expr("CAST(floor(ln(1.0 + exp(CASE WHEN y = 1.0 THEN -z" +
+            " ELSE z END)) * 1e9) AS BIGINT)")).as("lfp"),
+          sum(expr("CASE WHEN (z >= 0) = (y = 1.0) THEN 1 ELSE 0 END")
+            .cast("long")).as("ncorr"),
+          count(lit(1)).as("n"))
+        .crossJoin(broadcast(w))
+        .selectExpr(s"CAST($k AS BIGINT) AS iter",
+          "round(wb, 6) AS w_bias", "round(wl, 6) AS w_len",
+          "round(wt, 6) AS w_ttr",
+          "round((CAST(lfp AS DOUBLE) / 1e9) / n, 6) AS loss",
+          "round(CAST(ncorr AS DOUBLE) / n, 6) AS accuracy")
+    val (rows, _) = (1 to LogRegIters).foldLeft(
+        (Seq.empty[DataFrame], w0)) { case ((acc, w), k) =>
+      val w1 = step(w)
+      (acc :+ stats(w1, k), w1)
+    }
+    rows.reduce(_.union(_)).orderBy("iter")
+  }
+
+  def logregGdOracle: String = {
+    val z = "(wb + (wl * x1)) + (wt * x2)"
+    val iters = (1 to LogRegIters).map { k =>
+      val pw = s"w${k - 1}"
+      s"""z$k AS (SELECT y, x1, x2,
+         |    1.0 / (1.0 + exp(-($z))) AS p
+         |  FROM feat, $pw),
+         |g$k AS (SELECT
+         |    CAST(sum(CAST(floor((y - p) * 1e9) AS BIGINT)) AS BIGINT)
+         |      AS gb,
+         |    CAST(sum(CAST(floor(((y - p) * x1) * 1e9) AS BIGINT))
+         |      AS BIGINT) AS gl,
+         |    CAST(sum(CAST(floor(((y - p) * x2) * 1e9) AS BIGINT))
+         |      AS BIGINT) AS gt,
+         |    count(*) AS n FROM z$k),
+         |w$k AS (SELECT
+         |    wb + ($LogRegLr * ((CAST(gb AS DOUBLE) / 1e9) / n)) AS wb,
+         |    wl + ($LogRegLr * ((CAST(gl AS DOUBLE) / 1e9) / n)) AS wl,
+         |    wt + ($LogRegLr * ((CAST(gt AS DOUBLE) / 1e9) / n)) AS wt
+         |  FROM g$k, $pw),
+         |e$k AS (SELECT y, $z AS z FROM feat, w$k),
+         |s$k AS (SELECT CAST($k AS BIGINT) AS iter,
+         |    round((SELECT wb FROM w$k), 6) AS w_bias,
+         |    round((SELECT wl FROM w$k), 6) AS w_len,
+         |    round((SELECT wt FROM w$k), 6) AS w_ttr,
+         |    round((CAST(sum(CAST(floor(ln(1.0 + exp(CASE WHEN y = 1.0
+         |        THEN -z ELSE z END)) * 1e9) AS BIGINT)) AS DOUBLE)
+         |      / 1e9) / count(*), 6) AS loss,
+         |    round(CAST(sum(CASE WHEN (z >= 0) = (y = 1.0) THEN 1
+         |      ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy
+         |  FROM e$k)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to LogRegIters).map(k => s"SELECT * FROM s$k")
+      .mkString(" UNION ALL ")
+    s"""WITH feat AS (SELECT
+       |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) / 100 AS x1,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2
+       |  FROM documents),
+       |w0 AS (SELECT CAST(0 AS DOUBLE) AS wb, CAST(0 AS DOUBLE) AS wl,
+       |  CAST(0 AS DOUBLE) AS wt),
+       |$iters
+       |SELECT * FROM ($sel) ORDER BY iter""".stripMargin
+  }
 }

@@ -3570,4 +3570,107 @@ object ProfileOps {
        |  round(js / $Ln2, 6) AS js_norm,
        |  js = max(js) OVER () AS most_divergent
        |FROM j ORDER BY src_a, src_b""".stripMargin
+
+  // --- q336: Huber M-estimator of per-source location ----------------------
+
+  /** Huber clipping constant in n_chars units: residuals beyond ±100
+    * chars of the current location get down-weighted ∝ 1/|r|. With the
+    * synthetic corpus spread (48–553 chars, mean ≈ 298) roughly the
+    * outer half of every source down-weights — substantive at every
+    * sf. */
+  val HuberC = "100.0"
+
+  /** Fixed IRLS iteration count (deterministic; 3 is where the
+    * location moves < 1 char on this corpus). */
+  val HuberIters = 3
+
+  /** q336 — Huber M-estimator of each source's typical document
+    * length via iteratively-reweighted least squares (Huber 1964 —
+    * the public robust-location construction): start at the mean,
+    * then [[HuberIters]] rounds of m ← Σwᵢxᵢ/Σwᵢ with wᵢ =
+    * min(1, c/|xᵢ−m|). Completes the robust-stats ladder (q89
+    * winsorized mean caps mass, q259 MAD flags outliers; Huber
+    * DOWN-WEIGHTS smoothly — the estimator a profiling report quotes
+    * when the column is heavy-tailed but trimming is too blunt).
+    * Output per source: n, plain mean, Huber location, final total
+    * weight, and how many documents were down-weighted.
+    *
+    * Parity: x = n_chars is an exact integer; m₀ = Σx/n is one double
+    * division; each iteration's weight products are frozen to
+    * floor(·1e6) BIGINT before summation, so mₖ = Σnum_fp/Σden_fp is
+    * an exact integer ratio evaluated with ONE double division —
+    * order-free and engine-identical; the oracle unrolls the three
+    * iterations as per-group CTE joins (the q308 pattern, GROUP BY
+    * instead of a single vector).
+    *
+    * Scale (100 TB): per iteration ONE |sources|-group
+    * map-side-combinable aggregate plus a broadcast of the
+    * |sources|-row location table back to the scan — iterate-by-
+    * aggregate with fixed depth, no data shuffle, no driver math. */
+  def huberLocation(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("source"), col("n_chars")).persist()
+    val m0 = docs.groupBy("source").agg(
+      (sum(col("n_chars")).cast("double") / count(lit(1))).as("m"),
+      count(lit(1)).as("n"),
+      (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean0"))
+    def step(m: DataFrame): DataFrame =
+      docs.join(broadcast(m), Seq("source"))
+        .selectExpr("source", "n", "mean0",
+          s"CASE WHEN abs(CAST(n_chars AS DOUBLE) - m) <= $HuberC" +
+            s" THEN 1.0 ELSE $HuberC / abs(CAST(n_chars AS DOUBLE) - m)" +
+            " END AS w",
+          "n_chars")
+        .groupBy("source")
+        .agg(first(col("n")).as("n"), first(col("mean0")).as("mean0"),
+          sum(expr("CAST(floor((w * n_chars) * 1e6) AS BIGINT)"))
+            .as("num_fp"),
+          sum(expr("CAST(floor(w * 1e6) AS BIGINT)")).as("den_fp"),
+          sum(when(expr("w < 1.0"), 1L).otherwise(0L)).as("n_down"))
+        .selectExpr("source", "n", "mean0",
+          "CAST(num_fp AS DOUBLE) / CAST(den_fp AS DOUBLE) AS m",
+          "den_fp", "n_down")
+    val last = (1 to HuberIters).foldLeft(m0.withColumn("den_fp", lit(0L))
+        .withColumn("n_down", lit(0L)))((m, _) => step(m))
+    last.selectExpr("source", "n", "round(mean0, 6) AS mean",
+        "round(m, 6) AS huber_loc",
+        "round(CAST(den_fp AS DOUBLE) / 1e6, 6) AS total_weight",
+        "n_down AS n_downweighted")
+      .orderBy("source")
+  }
+
+  def huberLocationOracle: String = {
+    val iters = (1 to HuberIters).map { k =>
+      val pm = if (k == 1) "m0" else s"m${k - 1}"
+      s"""w$k AS (SELECT d.source, d.n_chars,
+         |    CASE WHEN abs(CAST(d.n_chars AS DOUBLE) - $pm.m) <= $HuberC
+         |      THEN 1.0
+         |      ELSE $HuberC / abs(CAST(d.n_chars AS DOUBLE) - $pm.m)
+         |    END AS w
+         |  FROM documents d JOIN $pm ON d.source = $pm.source),
+         |m$k AS (SELECT source,
+         |    CAST(CAST(sum(CAST(floor((w * n_chars) * 1e6) AS BIGINT))
+         |        AS BIGINT) AS DOUBLE)
+         |      / CAST(CAST(sum(CAST(floor(w * 1e6) AS BIGINT)) AS BIGINT)
+         |        AS DOUBLE) AS m,
+         |    CAST(sum(CAST(floor(w * 1e6) AS BIGINT)) AS BIGINT)
+         |      AS den_fp,
+         |    CAST(sum(CASE WHEN w < 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_down
+         |  FROM w$k GROUP BY source)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH m0 AS (SELECT source,
+       |    CAST(sum(n_chars) AS DOUBLE) / count(*) AS m,
+       |    count(*) AS n,
+       |    CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean0
+       |  FROM documents GROUP BY source),
+       |$iters
+       |SELECT m0.source, m0.n, round(m0.mean0, 6) AS mean,
+       |  round(m$HuberIters.m, 6) AS huber_loc,
+       |  round(CAST(m$HuberIters.den_fp AS DOUBLE) / 1e6, 6)
+       |    AS total_weight,
+       |  m$HuberIters.n_down AS n_downweighted
+       |FROM m0 JOIN m$HuberIters ON m0.source = m$HuberIters.source
+       |ORDER BY m0.source""".stripMargin
+  }
 }

@@ -1346,4 +1346,188 @@ object TextOps {
        |  round(CAST(sum(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0
        |    END) AS DOUBLE) / count(*), 6) AS pii_rate
        |FROM red GROUP BY source ORDER BY source""".stripMargin
+
+  // --- q333: multi-pattern blocklist audit (Aho–Corasick) ------------------
+
+  /** Flag a document when it matches at least this many DISTINCT
+    * blocklist patterns — set where the per-source flag rate is
+    * substantive (neither 0 nor 1) on the synthetic vocabulary. */
+  val BlocklistFlagMin = 16L
+
+  /** q333 — blocklist audit: every document is scanned for a fixed
+    * literal blocklist (safety wordlists, license markers, spam
+    * templates — the multi-pattern literal-matching shape every
+    * curation pipeline runs), and per source the audit reports document
+    * counts, total occurrence mass, distinct-pattern coverage, and how
+    * many documents trip the ≥[[BlocklistFlagMin]]-distinct-patterns
+    * flag.
+    *
+    * The scan is the native [[graft.functions.MultiMatchStats]]
+    * Aho–Corasick expression: ONE pass over the bytes per document for
+    * ALL patterns, vs one full text scan PER pattern in the
+    * replace-count form (the oracle, and the spec-side A/B baseline
+    * [[blocklistAuditNaive]]) — at a realistic 10³–10⁴-term blocklist
+    * the single-pass property is the difference between a scan-bound
+    * job and an unrunnable one. Match-count semantics (greedy leftmost
+    * non-overlapping, per pattern independently) are pinned to the
+    * `replace`-arithmetic oracle by construction; see [[graft.functions.MultiMatch]].
+    *
+    * Scale (100 TB): narrow per-row byte loop (no explode, no shuffle),
+    * then ONE |sources|-group aggregate — parquet-scan-bound. */
+  def blocklistAudit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"), expr("multi_match_stats(text)").as("m"))
+      .select(col("source"), col("m.n_hits").as("n_hits"),
+        col("m.n_patterns").as("n_patterns"),
+        col("m.max_pattern_hits").as("max_pattern_hits"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_hits")).as("total_hits"),
+        sum(col("n_patterns")).as("sum_distinct"),
+        max(col("max_pattern_hits")).as("max_single"),
+        sum(when(col("n_patterns") >= BlocklistFlagMin, 1L).otherwise(0L))
+          .as("n_flagged"))
+      .select(col("source"), col("n_docs"), col("total_hits"),
+        round(col("sum_distinct").cast("double") / col("n_docs"), 6)
+          .as("mean_distinct"),
+        col("max_single"), col("n_flagged"))
+      .orderBy("source")
+
+  /** Spec-side A/B baseline: the |patterns|-scan replace-count form the
+    * oracle uses — kept off the query surface; [[blocklistAudit]]'s
+    * automaton must reproduce it exactly (PipelineOpsSpec) and beat it
+    * at the bench (BENCH_NOTES). */
+  def blocklistAuditNaive(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.MultiMatch.Blocklist
+    val perPat = Blocklist.map { p =>
+      val lit = p.replace("'", "''")
+      s"CAST((length(text) - length(replace(text, '$lit', ''))) / ${p.length} AS BIGINT)"
+    }
+    val hitsArr = s"array(${perPat.mkString(", ")})"
+    t(s, dir, "documents")
+      .selectExpr("source",
+        s"aggregate($hitsArr, 0L, (a, x) -> a + x) AS n_hits",
+        s"aggregate($hitsArr, 0L, (a, x) -> a + IF(x > 0, 1L, 0L)) AS n_patterns",
+        s"aggregate($hitsArr, 0L, (a, x) -> greatest(a, x)) AS max_pattern_hits")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_hits")).as("total_hits"),
+        sum(col("n_patterns")).as("sum_distinct"),
+        max(col("max_pattern_hits")).as("max_single"),
+        sum(when(col("n_patterns") >= BlocklistFlagMin, 1L).otherwise(0L))
+          .as("n_flagged"))
+      .select(col("source"), col("n_docs"), col("total_hits"),
+        round(col("sum_distinct").cast("double") / col("n_docs"), 6)
+          .as("mean_distinct"),
+        col("max_single"), col("n_flagged"))
+      .orderBy("source")
+  }
+
+  def blocklistAuditOracle: String = {
+    import graft.functions.MultiMatch.Blocklist
+    val pats = Blocklist.map(p => s"('${p.replace("'", "''")}')")
+      .mkString(", ")
+    s"""WITH pats(p) AS (VALUES $pats),
+       |hits AS (SELECT d.doc_id, d.source,
+       |    CAST((length(d.text) - length(replace(d.text, pats.p, '')))
+       |      / length(pats.p) AS BIGINT) AS h
+       |  FROM documents d CROSS JOIN pats),
+       |doc AS (SELECT doc_id, source,
+       |    CAST(sum(h) AS BIGINT) AS n_hits,
+       |    CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_patterns,
+       |    CAST(max(h) AS BIGINT) AS max_pattern_hits
+       |  FROM hits GROUP BY doc_id, source)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_hits) AS BIGINT) AS total_hits,
+       |  round(CAST(sum(n_patterns) AS DOUBLE) / count(*), 6)
+       |    AS mean_distinct,
+       |  CAST(max(max_pattern_hits) AS BIGINT) AS max_single,
+       |  CAST(sum(CASE WHEN n_patterns >= $BlocklistFlagMin THEN 1
+       |    ELSE 0 END) AS BIGINT) AS n_flagged
+       |FROM doc GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // --- q334: perplexity head/middle/tail buckets (CCNet-style) -------------
+
+  /** q334 — CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data" — public construction): per LANGUAGE, rank every
+    * document by its unigram-LM mean surprisal (the q324 score) and
+    * split the ranking into terciles — head (lowest perplexity,
+    * highest quality), middle, tail — then report each bucket's
+    * document count, token mass, mean surprisal, and share of the
+    * language's documents. This is the standard quality-stratified
+    * mixture input: train on head+middle, drop or down-weight tail.
+    *
+    * Parity: per-doc surprisal is the q324 frozen integer sum (ssum
+    * BIGINT, n_toks BIGINT); the ranking key is ssum/1e9/n_toks — two
+    * exactly-rounded double ops from exact integers, identical on both
+    * engines — with doc_id as the deterministic tie-break; ntile(3) is
+    * rank arithmetic on that total order. Bucket means re-aggregate the
+    * integer sums (order-free), ONE double division + round at the end.
+    *
+    * Scale (100 TB): rides q324's two partial-aggregated exchanges,
+    * then ONE per-language window (languages are the natural partition;
+    * within-language ordering is the unavoidable sort a quantile split
+    * needs — at the cluster this is a range-partitioned sort per lang,
+    * not a global one) and a |lang × 3|-group aggregate. */
+  def pplBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("n_total"))
+    val perDoc = toks.join(broadcast(freq), Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .withColumn("surp_fp", expr(
+        "CAST(floor((-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)))" +
+          " * 1e9) AS BIGINT)"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_toks"), sum(col("surp_fp")).as("ssum"))
+      .withColumn("mean_surp",
+        col("ssum").cast("double") / 1e9 / col("n_toks"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("mean_surp").asc, col("doc_id").asc)
+    perDoc.withColumn("bucket", ntile(3).over(w).cast("bigint"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_toks"),
+        sum(col("ssum")).as("ssum"))
+      .withColumn("lang_docs",
+        sum(col("n_docs")).over(Window.partitionBy("lang")))
+      .select(col("lang"), col("bucket"), col("n_docs"), col("n_toks"),
+        round(col("ssum").cast("double") / 1e9 / col("n_toks"), 6)
+          .as("mean_surp"),
+        round(col("n_docs").cast("double") / col("lang_docs"), 6)
+          .as("doc_share"))
+      .orderBy("lang", "bucket")
+  }
+
+  def pplBucketsOracle: String =
+    s"""WITH tok AS (SELECT doc_id, lang,
+       |    unnest(string_split(text, ' ')) AS tok FROM documents),
+       |freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+       |tot AS (SELECT sum(cnt) AS n_total FROM freq),
+       |sc AS (SELECT doc_id, lang,
+       |    CAST(floor((-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)))
+       |      * 1e9) AS BIGINT) AS surp_fp
+       |  FROM tok JOIN freq USING (tok), tot),
+       |d AS (SELECT doc_id, lang, count(*) AS n_toks,
+       |    sum(surp_fp) AS ssum FROM sc GROUP BY doc_id, lang),
+       |r AS (SELECT doc_id, lang, n_toks, ssum,
+       |    ntile(3) OVER (PARTITION BY lang
+       |      ORDER BY CAST(ssum AS DOUBLE) / 1e9 / n_toks ASC, doc_id ASC)
+       |      AS bucket
+       |  FROM d),
+       |b AS (SELECT lang, CAST(bucket AS BIGINT) AS bucket,
+       |    count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_toks,
+       |    CAST(sum(ssum) AS BIGINT) AS ssum
+       |  FROM r GROUP BY lang, bucket)
+       |SELECT lang, bucket, n_docs, n_toks,
+       |  round(CAST(ssum AS DOUBLE) / 1e9 / n_toks, 6) AS mean_surp,
+       |  round(CAST(n_docs AS DOUBLE)
+       |    / sum(n_docs) OVER (PARTITION BY lang), 6) AS doc_share
+       |FROM b ORDER BY lang, bucket""".stripMargin
 }

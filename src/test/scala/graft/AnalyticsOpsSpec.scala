@@ -738,4 +738,24 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(math.abs(rate - v.toDouble / n) <= 5e-7)
     }
   }
+
+  test("q335 simpson scan: pooled row is the exact sum of strata; flags only strata; direction sign-consistent with means") {
+    val rows = AnalyticsOps.simpsonScan(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getBoolean(6)))
+    val (pooled, strata) = rows.partition(_._1 == -1L)
+    assert(pooled.length == 1)
+    assert(strata.nonEmpty)
+    assert(pooled.head._2 == strata.map(_._2).sum) // n_t conserves
+    assert(pooled.head._3 == strata.map(_._3).sum) // n_c conserves
+    assert(!pooled.head._7) // the pooled row itself is never "reversed"
+    rows.foreach { case (st, _, _, avgT, avgC, dir_, rev) =>
+      // integer cross-product sign agrees with the rounded means except
+      // within rounding distance of a tie
+      if (math.abs(avgT - avgC) > 1e-4)
+        assert(dir_ == (if (avgT > avgC) 1L else -1L), s"stratum $st")
+      if (st == -1L) assert(!rev)
+      else assert(rev == (dir_ != pooled.head._6), s"stratum $st")
+    }
+  }
 }

@@ -3962,4 +3962,114 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(ppm == wfp * 1000000L / total, s"$t ppm")
     }
   }
+
+  // --- round 11: q331–q336 ------------------------------------------------
+
+  test("Aho–Corasick automaton pins greedy-leftmost non-overlapping (replace) semantics") {
+    import graft.functions.MultiMatch
+    val a = new MultiMatch.Automaton(Seq("aa", "hash", "custom", "customer"))
+    def st(s: String) = {
+      val r = a.stats(s.getBytes("UTF-8"))
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // bordered pattern: "aa" in "aaaa" → 2 (replace semantics), not the
+    // 3 overlapping automaton ends
+    assert(st("aaaa") == ((2L, 1L, 2L)))
+    // "hash" occurs at 0 and (overlapping) 3 → 1 counted
+    assert(st("hashash") == ((1L, 1L, 1L)))
+    // nested patterns count independently at the same end position
+    assert(st("customer") == ((2L, 2L, 1L)))
+    assert(st("xyz") == ((0L, 0L, 0L)))
+    assert(st("") == ((0L, 0L, 0L)))
+  }
+
+  test("q333 native blocklist audit equals the |patterns|-scan replace form exactly") {
+    val fast = TextOps.blocklistAudit(spark, dir).collect()
+      .map(_.toSeq).toSeq
+    val slow = TextOps.blocklistAuditNaive(spark, dir).collect()
+      .map(_.toSeq).toSeq
+    assert(fast == slow)
+    // the never-occurring probe pattern contributes nothing anywhere:
+    // distinct-pattern mean stays below |blocklist|
+    val nPat = graft.functions.MultiMatch.Blocklist.length
+    fast.foreach(r =>
+      assert(r(3).asInstanceOf[Double] < nPat.toDouble))
+  }
+
+  test("q331 NB classifier: confusion covers the held-out split; scores sign-consistent") {
+    val rows = MlPrepOps.nbClassifier(spark, dir).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getLong(2),
+        r.getDouble(3)))
+    val nTest = spark.read.parquet(s"$dir/documents.parquet")
+      .filter("doc_id % 5 = 0").count()
+    assert(rows.map(_._3).sum == nTest)
+    // per-cell mean log-odds must agree in sign with the prediction the
+    // cell was routed by (means of same-sign values keep the sign)
+    rows.foreach { case (_, pred, _, mean) =>
+      assert(if (pred) mean >= 0.0 else mean < 0.0)
+    }
+    // both predicted classes are populated (the gate is not degenerate)
+    assert(rows.filter(_._2).map(_._3).sum > 0)
+    assert(rows.filterNot(_._2).map(_._3).sum > 0)
+  }
+
+  test("q332 logreg GD: per-iteration loss strictly decreases from the ln2 start") {
+    val rows = MlPrepOps.logregGd(spark, dir).orderBy("iter").collect()
+    assert(rows.length == MlPrepOps.LogRegIters)
+    val losses = rows.map(_.getDouble(4))
+    assert(losses.head < math.log(2.0)) // one step already beats w = 0
+    losses.sliding(2).foreach { p =>
+      if (p.length == 2) assert(p(1) < p(0),
+        s"loss did not decrease: ${p.mkString(" -> ")}")
+    }
+    rows.foreach(r => assert(r.getDouble(5) >= 0.5)) // ≥ majority-ish
+  }
+
+  test("q334 ppl buckets: terciles per language, shares sum to 1, head ≤ tail surprisal") {
+    val rows = TextOps.pplBuckets(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5)))
+    val byLang = rows.groupBy(_._1)
+    byLang.foreach { case (lang, bs) =>
+      assert(bs.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L), lang)
+      assert(math.abs(bs.map(_._5).sum - 1.0) < 1e-5, lang)
+      // ntile balance: bucket sizes differ by at most 1
+      assert(bs.map(_._3).max - bs.map(_._3).min <= 1, lang)
+      // ranking actually stratifies: head (1) mean ≤ tail (3) mean
+      val m = bs.map(b => b._2 -> b._4).toMap
+      assert(m(1L) <= m(3L), lang)
+    }
+  }
+
+  test("q336 huber location matches a driver-side replay of the frozen IRLS recurrence") {
+    val xs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val out = ProfileOps.huberLocation(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getLong(5))).toMap
+    assert(out.keySet == xs.keySet)
+    val c = ProfileOps.HuberC.toDouble
+    xs.foreach { case (src, v) =>
+      var m = v.sum.toDouble / v.length
+      var nDown = 0L
+      for (_ <- 1 to ProfileOps.HuberIters) {
+        var num = 0L; var den = 0L; nDown = 0L
+        v.foreach { x =>
+          val r = x.toDouble - m
+          val w = if (math.abs(r) <= c) 1.0 else c / math.abs(r)
+          num += math.floor((w * x) * 1e6).toLong
+          den += math.floor(w * 1e6).toLong
+          if (w < 1.0) nDown += 1
+        }
+        m = num.toDouble / den.toDouble
+      }
+      val (n, loc, down) = out(src)
+      assert(n == v.length, src)
+      assert(math.abs(loc - m) < 1e-6, s"$src: $loc vs replay $m")
+      assert(down == nDown, src)
+      assert(loc >= v.min.toDouble && loc <= v.max.toDouble, src)
+    }
+  }
 }
