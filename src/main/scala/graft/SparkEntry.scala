@@ -354,6 +354,10 @@ object SparkEntry {
     "q334_ppl_buckets"       -> (TextOps.pplBuckets _),
     "q335_simpson_scan"      -> (AnalyticsOps.simpsonScan _),
     "q336_huber_location"    -> (ProfileOps.huberLocation _),
+    "q337_bbit_minhash"      -> (DedupOps.bbitTradeoff _),
+    "q338_kcore_peel"        -> (GraphOps.kcorePeel _),
+    "q339_assortativity"     -> (GraphOps.degreeAssortativity _),
+    "q340_prf_expansion"     -> (MlPrepOps.prfExpansion _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -972,6 +976,10 @@ object SparkEntry {
     "q334_ppl_buckets" -> TextOps.pplBucketsOracle,
     "q335_simpson_scan" -> AnalyticsOps.simpsonScanOracle,
     "q336_huber_location" -> ProfileOps.huberLocationOracle,
+    "q337_bbit_minhash" -> DedupOps.bbitTradeoffOracle,
+    "q338_kcore_peel" -> GraphOps.kcorePeelOracle,
+    "q339_assortativity" -> GraphOps.degreeAssortativityOracle,
+    "q340_prf_expansion" -> MlPrepOps.prfExpansionOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -3184,4 +3184,115 @@ object DedupOps {
        |  CAST(sum(captured) - sum(found) AS BIGINT) AS n_cap_lost
        |FROM tr GROUP BY decile ORDER BY decile""".stripMargin
   }
+
+  // --- q337: b-bit minhash storage/accuracy tradeoff -----------------------
+
+  /** The b values swept, with their precomputed moduli 2^b. */
+  val BbitGrid: Seq[(Int, Long)] = Seq(1, 2, 4, 8).map(b => (b, 1L << b))
+
+  /** q337 — b-bit minhash tradeoff curve (Li & König 2010, "b-Bit
+    * Minwise Hashing" — public construction): keeping only the low b
+    * bits of each of the [[NumPerms]] minhash slots shrinks the
+    * signature store 64/b-fold (the difference between an index that
+    * fits in executor memory at 100 TB and one that doesn't), at the
+    * cost of accidental collisions — correctable in expectation via
+    * Ĵ = (coll·2ᵇ − k)/(k·(2ᵇ − 1)). Over the planted near-dup pairs,
+    * for b ∈ {1,2,4,8}: signature bits, the full-width agreement
+    * estimate, the corrected b-bit estimate, and its mean absolute
+    * error vs full width — the storage/accuracy menu an index planner
+    * reads before choosing b.
+    *
+    * Parity: ZERO transcendentals — per-pair agreement and collision
+    * counts are integer, the corrected estimator and its error are
+    * exact integer rationals summed as integers, ONE double division +
+    * round per output cell (the numerators: est = coll·m − k over
+    * k·(m−1); err = |(coll·m − k) − matches·(m−1)| over the same
+    * denominator).
+    *
+    * Scale (100 TB): signatures are the one corpus-sized aggregate
+    * (map-combinable, same pass as q31); the pair frame here is the
+    * planted-pair audit (|docs| rows, an equijoin on doc_id+offset);
+    * in production the b-bit table replaces the full table in the
+    * same banded LSH flow. */
+  def bbitTradeoff(s: SparkSession, dir: String): DataFrame = {
+    val sigs = shared(minhashSignatures(shared(shingles(
+      corpusNear(s, dir)))))
+    def side(p: String) = sigs.select(
+      (col("doc_id").as(s"doc_$p") +:
+        (0 until NumPerms).map(i => col(s"h$i").as(s"${p}_h$i"))): _*)
+    val matches = (0 until NumPerms).map(i =>
+      when(col(s"a_h$i") === col(s"b_h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    // coll is evaluated per (pair, b) row — it references g.m, so the
+    // h columns must survive the grid explode and drop only afterwards
+    val coll = (0 until NumPerms).map(i =>
+      when(col(s"a_h$i") % col("g.m") === col(s"b_h$i") % col("g.m"), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    val grid = BbitGrid.map { case (b, m) =>
+      struct(lit(b.toLong).as("b"), lit(m).as("m"))
+    }
+    side("a")
+      .join(side("b"), col("doc_b") === col("doc_a") + CopyOffset)
+      .withColumn("matches", matches)
+      .withColumn("g", explode(array(grid: _*)))
+      .select(col("g.b").as("b"), col("g.m").as("m"), col("matches"),
+        coll.as("coll"))
+      .withColumn("est_num", col("coll") * col("m") - lit(NumPerms.toLong))
+      .withColumn("err_num", abs(col("est_num")
+        - col("matches") * (col("m") - 1L)))
+      .groupBy("b", "m")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("matches")).as("s_match"),
+        sum(col("est_num")).as("s_est"),
+        sum(col("err_num")).as("s_err"))
+      .selectExpr("b", s"b * ${NumPerms}L AS bits_per_sig", "n_pairs",
+        s"round(CAST(s_match AS DOUBLE) / (n_pairs * ${NumPerms}L), 6)" +
+          " AS mean_jfull",
+        s"round(CAST(s_est AS DOUBLE) / (n_pairs * ${NumPerms}L * (m - 1)), 6)" +
+          " AS mean_est",
+        s"round(CAST(s_err AS DOUBLE) / (n_pairs * ${NumPerms}L * (m - 1)), 6)" +
+          " AS mean_abs_err")
+      .orderBy("b")
+  }
+
+  def bbitTradeoffOracle: String = {
+    val p = MinhashPrime
+    val x = s"${OracleGen.fp60("shingle")} % $p"
+    val mins = (0 until NumPerms).map { i =>
+      s"min((($x) * ${permA(i)} + ${permB(i)}) % $p) AS h$i"
+    }.mkString(",\n    ")
+    val matches = (0 until NumPerms)
+      .map(i => s"CASE WHEN a.h$i = sb.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val coll = (0 until NumPerms)
+      .map(i => s"CASE WHEN a.h$i % g.m = sb.h$i % g.m THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val gridVals = BbitGrid.map { case (b, m) => s"($b, $m)" }
+      .mkString(", ")
+    s"""WITH ${OracleGen.CorpusNear},
+       |${OracleGen.ShingleCtes},
+       |sigs AS (SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY doc_id),
+       |g(b, m) AS (VALUES $gridVals),
+       |pr AS (SELECT CAST(g.b AS BIGINT) AS b, CAST(g.m AS BIGINT) AS m,
+       |    CAST($matches AS BIGINT) AS matches,
+       |    CAST($coll AS BIGINT) AS coll
+       |  FROM sigs a JOIN sigs sb ON sb.doc_id = a.doc_id + $CopyOffset
+       |  CROSS JOIN g),
+       |ag AS (SELECT b, m, count(*) AS n_pairs,
+       |    CAST(sum(matches) AS BIGINT) AS s_match,
+       |    CAST(sum(coll * m - $NumPerms) AS BIGINT) AS s_est,
+       |    CAST(sum(abs((coll * m - $NumPerms)
+       |      - matches * (m - 1))) AS BIGINT) AS s_err
+       |  FROM pr GROUP BY b, m)
+       |SELECT b, b * $NumPerms AS bits_per_sig, n_pairs,
+       |  round(CAST(s_match AS DOUBLE) / (n_pairs * $NumPerms), 6)
+       |    AS mean_jfull,
+       |  round(CAST(s_est AS DOUBLE) / (n_pairs * $NumPerms * (m - 1)),
+       |    6) AS mean_est,
+       |  round(CAST(s_err AS DOUBLE) / (n_pairs * $NumPerms * (m - 1)),
+       |    6) AS mean_abs_err
+       |FROM ag ORDER BY b""".stripMargin
+  }
 }

@@ -1084,4 +1084,162 @@ object GraphOps {
        |FROM nodes, g
        |GROUP BY 1, g.global_triangles, g.n_wedges
        |ORDER BY degree_band""".stripMargin
+
+  // --- q338: k-core peeling ------------------------------------------------
+
+  /** Fixed peeling rounds — convergence is REPORTED per round, not
+    * assumed. */
+  val KCoreRounds = 4
+
+  /** q338 — k-core decomposition by iterative peeling (Seidman 1983;
+    * Batagelj–Zaveršnik gives the sequential version — here the
+    * classic synchronous distributed peel): each round removes every
+    * node whose CURRENT degree is below k and the edges touching it;
+    * the k-core is the fixed point. k is HALF the initial
+    * mean degree (⌈m/2n⌉) rather than a constant: the trade-graph
+    * fixture densifies with sf (mean degree ~13 → 61 → 73 across the
+    * test scales), so any absolute k degenerates to all-kept or
+    * all-peeled at some scale, and the full-mean threshold unravels
+    * the whole graph (the classic k-core cascade); the half-mean core
+    * peels a substantive fringe AND retains a stable core at every
+    * scale — the curation use: drop the noise fringe before trusting
+    * co-occurrence stats.
+    * Per round: surviving nodes/edges, nodes removed, convergence.
+    *
+    * Parity: k is ⌈exact-integer ratio⌉; degrees, node/edge counts,
+    * and the convergence flag are exact integers on both engines; the
+    * oracle unrolls the [[KCoreRounds]] rounds as CTEs.
+    *
+    * Scale (100 TB): iterate-by-join with fixed depth — per round ONE
+    * degree aggregate (map-combinable) and a semi-join of the edge
+    * list against the surviving-node set on both endpoints (two
+    * hash joins on the edge partitioning); the stats rows are 1-row
+    * aggregates crossed together. Peeling state never leaves the
+    * cluster; rounds-to-convergence is bounded by the peel depth,
+    * which the report itself surfaces. */
+  def kcorePeel(s: SparkSession, dir: String): DataFrame = {
+    val e0 = edges(s, dir).persist()
+    val kthr = e0.agg(ceil(count(lit(1)).cast("double")
+      / countDistinct(col("src")) / 2).cast("bigint").as("k"))
+    val rows = scala.collection.mutable.Buffer.empty[DataFrame]
+    var cur = e0
+    var prevNodes = e0.agg(countDistinct(col("src")).as("n_prev"))
+    (1 to KCoreRounds).foreach { r =>
+      val deg = cur.groupBy("src").agg(count(lit(1)).as("deg"))
+      val keep = deg.crossJoin(broadcast(kthr))
+        .filter(col("deg") >= col("k"))
+        .select(col("src").as("node")).persist()
+      val next = cur
+        .join(keep.select(col("node").as("src")), Seq("src"))
+        .join(keep.select(col("node").as("dst")), Seq("dst"))
+        .select(col("src"), col("dst")).persist()
+      val stat = keep.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(next.agg(count(lit(1)).as("n_edges_directed")))
+        .crossJoin(prevNodes)
+        .selectExpr(s"CAST($r AS BIGINT) AS round", "n_nodes",
+          "CAST(n_edges_directed / 2 AS BIGINT) AS n_edges",
+          "n_prev - n_nodes AS n_removed",
+          "(n_prev - n_nodes) = 0 AS converged")
+      rows += stat
+      prevNodes = keep.agg(count(lit(1)).as("n_prev"))
+      cur = next
+    }
+    rows.reduce(_.union(_)).orderBy("round")
+  }
+
+  def kcorePeelOracle: String = {
+    val iters = (1 to KCoreRounds).map { r =>
+      val pe = if (r == 1) "e0" else s"e${r - 1}"
+      val pn = if (r == 1) "n0" else s"n${r - 1}"
+      s"""d$r AS (SELECT src, count(*) AS deg FROM $pe GROUP BY src),
+         |k$r AS (SELECT src AS node FROM d$r
+         |  WHERE deg >= (SELECT k FROM kk)),
+         |e$r AS (SELECT e.src, e.dst FROM $pe e
+         |  JOIN k$r a ON e.src = a.node JOIN k$r b ON e.dst = b.node),
+         |n$r AS (SELECT count(*) AS n_prev FROM k$r),
+         |s$r AS (SELECT CAST($r AS BIGINT) AS round,
+         |    (SELECT count(*) FROM k$r) AS n_nodes,
+         |    CAST((SELECT count(*) FROM e$r) / 2 AS BIGINT) AS n_edges,
+         |    (SELECT n_prev FROM $pn) - (SELECT count(*) FROM k$r)
+         |      AS n_removed,
+         |    ((SELECT n_prev FROM $pn) - (SELECT count(*) FROM k$r)) = 0
+         |      AS converged)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to KCoreRounds).map(r => s"SELECT * FROM s$r")
+      .mkString(" UNION ALL ")
+    s"""WITH cs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS sp
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e0 AS (SELECT c AS src, sp AS dst FROM cs
+       |       UNION ALL SELECT sp AS src, c AS dst FROM cs),
+       |n0 AS (SELECT count(DISTINCT src) AS n_prev FROM e0),
+       |kk AS (SELECT CAST(ceil(CAST(count(*) AS DOUBLE)
+       |  / count(DISTINCT src) / 2) AS BIGINT) AS k FROM e0),
+       |$iters
+       |SELECT * FROM ($sel) ORDER BY round""".stripMargin
+  }
+
+  // --- q339: degree assortativity ------------------------------------------
+
+  /** q339 — degree assortativity coefficient (Newman 2002, "Assortative
+    * mixing in networks"): the Pearson correlation of endpoint degrees
+    * over the directed edge list — do high-degree customers trade with
+    * high-degree suppliers (assortative, r > 0) or with the fringe
+    * (disassortative, r < 0)? Bipartite trade graphs are typically
+    * disassortative; the summary row carries the exact edge count,
+    * mean endpoint degrees, and r — the one-glance topology
+    * fingerprint next to q307's census.
+    *
+    * Parity: degrees and all five Pearson sums (Σx, Σy, Σxy, Σx²,
+    * Σy²) are exact integers; r is one parenthesis-pinned double
+    * chain (two casts, one sqrt) + round — no per-row floats anywhere.
+    *
+    * Scale (100 TB): one degree aggregate, one broadcast-joinable
+    * degree attach per endpoint (the degree table is |nodes|-sized;
+    * at web scale this is the classic two-hash-join shape on the edge
+    * partitioning), ONE global aggregate of five integer sums. */
+  def degreeAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+    e.join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")),
+        Seq("dst"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .selectExpr("m AS n_edges_directed",
+        "round(CAST(sx AS DOUBLE) / m, 6) AS mean_src_deg",
+        "round(CAST(sy AS DOUBLE) / m, 6) AS mean_dst_deg",
+        "round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)" +
+          " / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)" +
+          " * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)" +
+          " AS assortativity")
+  }
+
+  def degreeAssortativityOracle: String =
+    s"""WITH cs AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS sp
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS (SELECT c AS src, sp AS dst FROM cs
+       |      UNION ALL SELECT sp AS src, c AS dst FROM cs),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |j AS (SELECT dx.deg AS dx, dy.deg AS dy
+       |  FROM e JOIN deg dx ON e.src = dx.src
+       |         JOIN deg dy ON e.dst = dy.src),
+       |ag AS (SELECT count(*) AS m,
+       |    CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+       |    CAST(sum(dx * dy) AS BIGINT) AS sxy,
+       |    CAST(sum(dx * dx) AS BIGINT) AS sxx,
+       |    CAST(sum(dy * dy) AS BIGINT) AS syy
+       |  FROM j)
+       |SELECT m AS n_edges_directed,
+       |  round(CAST(sx AS DOUBLE) / m, 6) AS mean_src_deg,
+       |  round(CAST(sy AS DOUBLE) / m, 6) AS mean_dst_deg,
+       |  round((CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+       |    / (sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+       |    * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+       |    AS assortativity
+       |FROM ag""".stripMargin
 }

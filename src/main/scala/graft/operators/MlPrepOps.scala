@@ -1186,6 +1186,87 @@ object MlPrepOps {
        |    AS top1_agree
        |FROM f GROUP BY term ORDER BY term""".stripMargin
 
+  // --- q340: pseudo-relevance-feedback query expansion ---------------------
+
+  /** Expansion terms emitted per query. */
+  val PrfExpansions = 5
+
+  /** q340 — pseudo-relevance feedback (Rocchio 1971; the classic PRF
+    * loop every retrieval stack ships): take each BM25 query's
+    * top-[[Bm25TopK]] documents as assumed-relevant feedback, score
+    * every term they contain by Σ tf·idf over the feedback set
+    * (excluding the query term itself), and emit the top
+    * [[PrfExpansions]] expansion terms per query — the second-pass
+    * query an engine actually reruns. Rides the exact q147 ranked run
+    * (one scoring definition, spec-shared), so the feedback sets here
+    * are the production ones.
+    *
+    * Parity: idf is the same ln-free Robertson ratio q147 uses; each
+    * (doc, term) contribution tf·idf is frozen to floor(·1e6) BIGINT
+    * before the per-(query, term) sum (order-free), and the top-E cut
+    * is rank arithmetic with term as the total-order tie-break.
+    *
+    * Scale (100 TB): the feedback set is |queries|·k doc ids — the
+    * expansion join is (tiny fb) ⋈ (doc-keyed postings) on doc_id,
+    * then a |queries × feedback vocab| aggregate; nothing corpus-sized
+    * moves except the one postings build already paid by q147. */
+  def prfExpansion(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val toks = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val ndocs = docs.agg(count(lit(1)).as("n_docs"))
+    val fb = bm25Ranked(s, dir).filter(col("rank") <= Bm25TopK)
+      .select(col("term").as("qterm"), col("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qterm"))
+      .orderBy(col("w_fp").desc, col("term"))
+    fb.join(tf, Seq("doc_id"))
+      .filter(col("term") =!= col("qterm"))
+      .join(dfr, Seq("term"))
+      .crossJoin(broadcast(ndocs))
+      // the 0.5 terms must be forced into DOUBLE territory explicitly:
+      // DuckDB types the bare literal as DECIMAL and would evaluate the
+      // ratio in decimal arithmetic, off by an ulp from Spark's double
+      // (q147 hides this under round(,6); the fixed-point freeze here
+      // would expose it)
+      .withColumn("contrib_fp", expr(
+        "CAST(floor((tf * ((CAST(n_docs - df AS DOUBLE) + 0.5)" +
+          " / (CAST(df AS DOUBLE) + 0.5))) * 1e6) AS BIGINT)"))
+      .groupBy("qterm", "term")
+      .agg(sum(col("contrib_fp")).as("w_fp"),
+        count(lit(1)).as("n_fb_docs"))
+      .withColumn("exp_rank", row_number().over(w).cast("bigint"))
+      .filter(col("exp_rank") <= PrfExpansions)
+      .select(col("qterm").as("query_term"), col("exp_rank"),
+        col("term").as("exp_term"), col("n_fb_docs"),
+        round(col("w_fp").cast("double") / 1e6, 6).as("weight"))
+      .orderBy("query_term", "exp_rank")
+  }
+
+  def prfExpansionOracle: String =
+    s"""WITH $bm25RankedCtes,
+       |fb AS (SELECT term AS qterm, doc_id FROM r WHERE rnk <= $Bm25TopK),
+       |cand AS (SELECT fb.qterm, tf.term AS exp_term,
+       |    CAST(sum(CAST(floor((tf.tf *
+       |      ((CAST(st.n_docs - dfr.df AS DOUBLE) + 0.5)
+       |      / (CAST(dfr.df AS DOUBLE) + 0.5))) * 1e6) AS BIGINT))
+       |      AS BIGINT) AS w_fp,
+       |    count(*) AS n_fb_docs
+       |  FROM fb JOIN tf USING (doc_id)
+       |  JOIN dfr ON tf.term = dfr.term CROSS JOIN st
+       |  WHERE tf.term <> fb.qterm
+       |  GROUP BY fb.qterm, tf.term),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY qterm
+       |    ORDER BY w_fp DESC, exp_term) AS exp_rank FROM cand)
+       |SELECT qterm AS query_term, CAST(exp_rank AS BIGINT) AS exp_rank,
+       |  exp_term, n_fb_docs,
+       |  round(CAST(w_fp AS DOUBLE) / 1e6, 6) AS weight
+       |FROM rk WHERE exp_rank <= $PrfExpansions
+       |ORDER BY query_term, exp_rank""".stripMargin
+
   // --- q331: Naive-Bayes quality-classifier training ----------------------
 
   /** q331 — train a multinomial Naive-Bayes text classifier IN the

@@ -739,6 +739,59 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q338 k-core peel matches a driver-side synchronous-peel replay; monotone; flag honest") {
+    val edges = GraphOps.edges(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val adj = scala.collection.mutable.Map.empty[String,
+      scala.collection.mutable.Set[String]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+    }
+    val n = adj.size.toLong
+    val m = edges.length.toLong
+    val k = math.ceil(m.toDouble / n / 2).toLong
+    val rows = GraphOps.kcorePeel(spark, dir).orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.length == GraphOps.KCoreRounds)
+    var prev = n
+    rows.foreach { case (_, nodes, edgesU, removed, conv) =>
+      // synchronous replay of one peel round
+      val rm = adj.keys.filter(u => adj(u).size < k).toSeq
+      rm.foreach { u => adj(u).foreach(w => adj(w) -= u); adj -= u }
+      assert(nodes == adj.size.toLong)
+      assert(edgesU == adj.values.map(_.size.toLong).sum / 2)
+      assert(removed == rm.length.toLong)
+      assert(removed == prev - nodes)
+      assert(conv == (removed == 0L))
+      prev = nodes
+    }
+    // nodes monotone non-increasing across rounds
+    rows.map(_._2).sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(1) <= p(0)))
+  }
+
+  test("q339 assortativity matches a driver-side Pearson replay and lies in [-1, 1]") {
+    val edges = GraphOps.edges(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val m = edges.length.toLong
+    var sx, sy, sxy, sxx, syy = 0L
+    edges.foreach { case (a, b) =>
+      val (x, y) = (deg(a), deg(b))
+      sx += x; sy += y; sxy += x * y; sxx += x * x; syy += y * y
+    }
+    val r = (m.toDouble * sxy - sx.toDouble * sy) /
+      (math.sqrt(m.toDouble * sxx - sx.toDouble * sx) *
+        math.sqrt(m.toDouble * syy - sy.toDouble * sy))
+    val row = GraphOps.degreeAssortativity(spark, dir).collect().head
+    assert(row.getLong(0) == m)
+    assert(math.abs(row.getDouble(3) - r) < 1e-6)
+    assert(row.getDouble(3) >= -1.0 && row.getDouble(3) <= 1.0)
+    // both-directions edge list → symmetric endpoint-degree moments
+    assert(row.getDouble(1) == row.getDouble(2))
+  }
+
   test("q335 simpson scan: pooled row is the exact sum of strata; flags only strata; direction sign-consistent with means") {
     val rows = AnalyticsOps.simpsonScan(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

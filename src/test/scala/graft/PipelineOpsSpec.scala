@@ -4041,6 +4041,45 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q337 b-bit minhash: error shrinks monotonically with b; estimates bracket full width") {
+    val rows = DedupOps.bbitTradeoff(spark, dir).orderBy("b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == DedupOps.BbitGrid.map(_._1.toLong))
+    rows.foreach { case (b, bits, nPairs, _, _, _) =>
+      assert(bits == b * DedupOps.NumPerms)
+      assert(nPairs == 500L)
+    }
+    // the full-width estimate is b-independent (same pairs, same sigs)
+    assert(rows.map(_._4).distinct.length == 1)
+    // Li–König correction: mean |error| non-increasing in b, near zero
+    // at b=8 (collision prob 1/256 per slot)
+    val errs = rows.map(_._6)
+    errs.sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(1) <= p(0), errs.mkString(",")))
+    assert(errs.last < 0.01, s"b=8 err ${errs.last}")
+  }
+
+  test("q340 PRF expansions: exclude the query term, capped per query, weights ranked") {
+    val rows = MlPrepOps.prfExpansion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == MlPrepOps.Bm25Queries)
+    byQ.foreach { case (q, es) =>
+      assert(es.length == MlPrepOps.PrfExpansions, q)
+      assert(es.forall(_._3 != q), s"$q expanded to itself")
+      assert(es.map(_._2).sorted.toSeq ==
+        (1L to MlPrepOps.PrfExpansions.toLong), q)
+      // weights non-increasing in rank; every expansion came from at
+      // least one feedback doc and at most the whole feedback set
+      val sorted = es.sortBy(_._2)
+      sorted.sliding(2).foreach(p =>
+        if (p.length == 2) assert(p(1)._5 <= p(0)._5, q))
+      es.foreach(e => assert(e._4 >= 1L && e._4 <= MlPrepOps.Bm25TopK, q))
+    }
+  }
+
   test("q336 huber location matches a driver-side replay of the frozen IRLS recurrence") {
     val xs = spark.read.parquet(s"$dir/documents.parquet")
       .select("source", "n_chars").collect()
