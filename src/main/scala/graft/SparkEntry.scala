@@ -358,6 +358,10 @@ object SparkEntry {
     "q338_kcore_peel"        -> (GraphOps.kcorePeel _),
     "q339_assortativity"     -> (GraphOps.degreeAssortativity _),
     "q340_prf_expansion"     -> (MlPrepOps.prfExpansion _),
+    "q341_count_sketch"      -> (ProfileOps.countSketchAudit _),
+    "q342_greedy_cover"      -> (CurationOps.greedyCover _),
+    "q343_ipf_raking"        -> (MixtureOps.ipfRaking _),
+    "q344_tracin_attrib"     -> (MlPrepOps.tracinAttribution _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -980,6 +984,10 @@ object SparkEntry {
     "q338_kcore_peel" -> GraphOps.kcorePeelOracle,
     "q339_assortativity" -> GraphOps.degreeAssortativityOracle,
     "q340_prf_expansion" -> MlPrepOps.prfExpansionOracle,
+    "q341_count_sketch" -> ProfileOps.countSketchAuditOracle,
+    "q342_greedy_cover" -> CurationOps.greedyCoverOracle,
+    "q343_ipf_raking" -> MixtureOps.ipfRakingOracle,
+    "q344_tracin_attrib" -> MlPrepOps.tracinAttributionOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

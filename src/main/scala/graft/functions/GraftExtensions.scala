@@ -66,6 +66,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("cdc_bounds"),
       info(classOf[CdcBoundsExpr], "cdc_bounds"),
       CdcBoundsExpr.builder(_)))
+    e.injectFunction((FunctionIdentifier("count_sketch_agg"),
+      info(classOf[CountSketchAgg], "count_sketch_agg"),
+      CountSketchAgg.builder(_)))
     e.injectFunction((FunctionIdentifier("multi_match_stats"),
       info(classOf[MultiMatchStats], "multi_match_stats"),
       (exprs: Seq[Expression]) => MultiMatchStats(exprs.head)))

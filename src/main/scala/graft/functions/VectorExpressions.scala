@@ -155,6 +155,7 @@ object VectorFunctions {
     add("minhash_agg", MinHashAgg.builder)
     add("space_saving_agg", SpaceSavingAgg.builder)
     add("count_min_agg", CountMinAgg.builder)
+    add("count_sketch_agg", CountSketchAgg.builder)
     add("topk_agg", TopKAgg.builder)
     add("hll_agg", HllAgg.builder)
     add("bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)))

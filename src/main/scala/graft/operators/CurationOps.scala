@@ -2740,4 +2740,101 @@ object CurationOps {
        |  round(qual_sel_rate, 6) AS qual_sel_rate,
        |  round(qual_sel_rate - pooled_qual_rate, 6) AS equal_opp_gap
        |FROM r2 ORDER BY source""".stripMargin
+
+  // --- q342: greedy set-cover source selection ------------------------------
+
+  /** Selection rounds (sources picked). */
+  val CoverRounds = 5
+
+  /** q342 — greedy weighted set cover for source selection (the
+    * ln(n)-approximation greedy of Johnson 1974 / Chvátal 1979): which
+    * [[CoverRounds]] sources, licensed/crawled in what order, cover the
+    * most distinct corpus content? Universe = distinct word 3-shingles
+    * (content at sub-document granularity, so sources genuinely
+    * overlap); each round picks the source with the largest NOVEL
+    * coverage given everything already selected (ties: source asc) and
+    * reports its marginal gain, the running cover, and the cover
+    * share — the diminishing-returns curve a data-acquisition budget
+    * is planned against.
+    *
+    * Parity: pure distinct-count arithmetic (shingle sets, anti-joins,
+    * argmax by (gain, source) — a total order), ONE double division +
+    * round for the share; the oracle unrolls the greedy rounds as
+    * CTEs with the same tie-break.
+    *
+    * Scale (100 TB): per round ONE map-combinable
+    * (source × uncovered-shingle) distinct-aggregate and a semi-join
+    * of the (shingle→covered) set — the covered set is itself
+    * shingle-keyed and partitions with the universe; the argmax is a
+    * |sources|-row sort. Rounds are a small constant (the budget), so
+    * the whole selection is CoverRounds passes, each the q138-class
+    * distinct collapse. */
+  def greedyCover(s: SparkSession, dir: String): DataFrame = {
+    val tokd = t(s, dir, "documents")
+      .select(col("source"), split(col("text"), " ").as("toks"))
+    val srcSh = tokd.select(col("source"),
+      explode(array_distinct(expr(DedupOps.wordGramArrayExpr(3))))
+        .as("shingle"))
+      .distinct().persist()
+    val universe = srcSh.select("shingle").distinct().persist()
+    val uTot = universe.agg(count(lit(1)).as("n_universe"))
+    val rows = scala.collection.mutable.Buffer.empty[DataFrame]
+    var covered = universe.filter(lit(false)).persist() // empty, same schema
+    var cum = covered.agg(count(lit(1)).as("n_cum_prev"))
+    (1 to CoverRounds).foreach { r =>
+      val gains = srcSh.join(covered, Seq("shingle"), "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("gain"))
+      val best = gains
+        .orderBy(col("gain").desc, col("source")).limit(1)
+        .select(col("source").as("best_source"), col("gain"))
+        .persist()
+      val newly = srcSh.crossJoin(broadcast(best))
+        .filter(col("source") === col("best_source"))
+        .select("shingle")
+        .join(covered, Seq("shingle"), "left_anti")
+      covered = covered.select("shingle").union(newly).persist()
+      val stat = best.crossJoin(cum).crossJoin(broadcast(uTot))
+        .selectExpr(s"CAST($r AS BIGINT) AS round",
+          "best_source AS source", "gain",
+          "n_cum_prev + gain AS n_covered",
+          "round(CAST(n_cum_prev + gain AS DOUBLE) / n_universe, 6)" +
+            " AS cover_share")
+      rows += stat
+      cum = covered.agg(count(lit(1)).as("n_cum_prev"))
+    }
+    rows.reduce(_.union(_)).orderBy("round")
+  }
+
+  def greedyCoverOracle: String = {
+    val rounds = (1 to CoverRounds).map { r =>
+      val pc = if (r == 1) "c0" else s"c${r - 1}"
+      s"""g$r AS (SELECT source, count(*) AS gain FROM ss
+         |  WHERE shingle NOT IN (SELECT shingle FROM $pc)
+         |  GROUP BY source),
+         |b$r AS (SELECT source, gain FROM g$r
+         |  ORDER BY gain DESC, source LIMIT 1),
+         |c$r AS (SELECT shingle FROM $pc
+         |  UNION SELECT ss.shingle FROM ss, b$r
+         |  WHERE ss.source = b$r.source),
+         |s$r AS (SELECT CAST($r AS BIGINT) AS round,
+         |    (SELECT source FROM b$r) AS source,
+         |    (SELECT gain FROM b$r) AS gain,
+         |    (SELECT count(*) FROM c$r) AS n_covered,
+         |    round(CAST((SELECT count(*) FROM c$r) AS DOUBLE)
+         |      / (SELECT n FROM u), 6) AS cover_share)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to CoverRounds).map(r => s"SELECT * FROM s$r")
+      .mkString(" UNION ALL ")
+    s"""WITH tok AS (SELECT source, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |ss AS (SELECT DISTINCT source, shingle FROM (
+       |  SELECT source, unnest(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |    AS shingle
+       |  FROM tok)),
+       |u AS (SELECT count(DISTINCT shingle) AS n FROM ss),
+       |c0 AS (SELECT shingle FROM ss WHERE 1 = 0),
+       |$rounds
+       |SELECT * FROM ($sel) ORDER BY round""".stripMargin
+  }
 }

@@ -1290,4 +1290,117 @@ object MixtureOps {
        |    AS pooled
        |FROM per_bin p JOIN fit f USING (bin) ORDER BY p.bin""".stripMargin
   }
+
+  // --- q343: IPF raking to reference marginals ------------------------------
+
+  /** Full IPF rounds (each = one row step + one column step). */
+  val IpfRounds = 3
+
+  /** q343 — iterative proportional fitting / raking (Deming & Stephan
+    * 1940 — the survey-weighting classic): reweight one hash-split
+    * half of the corpus so its (lang × source) cell masses match the
+    * marginals OBSERVED on the other half — the standard fix when a
+    * corpus slice over/under-represents languages or sources relative
+    * to a reference population. (The split is md5(doc_id) parity, NOT
+    * doc_id parity: sources cycle with doc_id in the fixture, so an
+    * arithmetic split makes the two halves' source sets DISJOINT and
+    * the rake degenerate.) [[IpfRounds]] rounds of alternating
+    * row (lang) and column (source) mass scaling; output: each cell's
+    * count, its final rake weight, and the residual marginal gaps
+    * (shares of population mass) the fixed rounds leave.
+    *
+    * Parity: targets are exact-integer ratios; each half-step's
+    * achieved marginal mass is Σ floor(n·w·1e9) BIGINT (order-free),
+    * and the weight update w·(D/(afp/1e9)) is a parenthesis-pinned
+    * double chain — engine-identical given identical inputs, so the
+    * whole 6-half-step recurrence is deterministic (the q308/q332
+    * discipline). The marginal sums are PARTITIONED WINDOWS over the
+    * cell frame rather than aggregate-rejoins — one exchange per half
+    * step and no self-join (the q335 rollup lesson).
+    *
+    * Scale (100 TB): the corpus collapses ONCE to |lang × source|
+    * metadata cells; all six half-steps are window passes over that
+    * metadata frame. This is why raking is free at any corpus size —
+    * the data is touched once. */
+  def ipfRaking(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+      .select(TextOps.md5Fingerprint60(col("doc_id").cast("string"))
+        .as("hsplit"), col("lang"), col("source"))
+    val cells = docs.filter(col("hsplit") % 2 === 1)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n")).persist()
+    val nPop = cells.agg(sum(col("n")).as("n_pop"))
+    val ref = docs.filter(col("hsplit") % 2 === 0)
+    val nRef = ref.agg(count(lit(1)).as("n_ref"))
+    val dl = ref.groupBy("lang").agg(count(lit(1)).as("r_l"))
+      .crossJoin(broadcast(nRef)).crossJoin(broadcast(nPop))
+      .selectExpr("lang", "(CAST(r_l AS DOUBLE) * n_pop) / n_ref AS d_l")
+    val ds = ref.groupBy("source").agg(count(lit(1)).as("c_s"))
+      .crossJoin(broadcast(nRef)).crossJoin(broadcast(nPop))
+      .selectExpr("source",
+        "(CAST(c_s AS DOUBLE) * n_pop) / n_ref AS d_s")
+    val wl = Window.partitionBy("lang")
+    val ws = Window.partitionBy("source")
+    val fp = expr("CAST(floor((n * w) * 1e9) AS BIGINT)")
+    var w = cells.withColumn("w", lit(1.0))
+      .join(broadcast(dl), Seq("lang"))
+      .join(broadcast(ds), Seq("source"))
+    (1 to IpfRounds).foreach { _ =>
+      w = w.withColumn("afp", sum(fp).over(wl))
+        .withColumn("w", expr("w * (d_l / (CAST(afp AS DOUBLE) / 1e9))"))
+        .drop("afp")
+      w = w.withColumn("afp", sum(fp).over(ws))
+        .withColumn("w", expr("w * (d_s / (CAST(afp AS DOUBLE) / 1e9))"))
+        .drop("afp")
+    }
+    w.withColumn("afp_l", sum(fp).over(wl))
+      .withColumn("afp_s", sum(fp).over(ws))
+      .crossJoin(broadcast(nPop))
+      .selectExpr("lang", "source", "n", "round(w, 6) AS weight",
+        "round((CAST(afp_l AS DOUBLE) / 1e9 - d_l) / n_pop, 6) + 0.0" +
+          " AS lang_gap",
+        "round((CAST(afp_s AS DOUBLE) / 1e9 - d_s) / n_pop, 6) + 0.0" +
+          " AS source_gap")
+      .orderBy("lang", "source")
+  }
+
+  def ipfRakingOracle: String = {
+    val steps = (1 to IpfRounds).map { r =>
+      val prev = if (r == 1) "w0" else s"wc${r - 1}"
+      s"""wr$r AS (SELECT lang, source, n, d_l, d_s,
+         |    w * (d_l / (CAST(sum(CAST(floor((n * w) * 1e9) AS BIGINT))
+         |      OVER (PARTITION BY lang) AS DOUBLE) / 1e9)) AS w
+         |  FROM $prev),
+         |wc$r AS (SELECT lang, source, n, d_l, d_s,
+         |    w * (d_s / (CAST(sum(CAST(floor((n * w) * 1e9) AS BIGINT))
+         |      OVER (PARTITION BY source) AS DOUBLE) / 1e9)) AS w
+         |  FROM wr$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH hs AS (SELECT lang, source,
+       |    ${OracleGen.fp60("CAST(doc_id AS VARCHAR)")} % 2 AS hsplit
+       |  FROM documents),
+       |pop AS (SELECT lang, source, count(*) AS n FROM hs
+       |  WHERE hsplit = 1 GROUP BY lang, source),
+       |np AS (SELECT CAST(sum(n) AS BIGINT) AS n_pop FROM pop),
+       |ref AS (SELECT lang, source FROM hs WHERE hsplit = 0),
+       |nr AS (SELECT count(*) AS n_ref FROM ref),
+       |dl AS (SELECT lang,
+       |    (CAST(count(*) AS DOUBLE) * n_pop) / n_ref AS d_l
+       |  FROM ref, np, nr GROUP BY lang, n_pop, n_ref),
+       |ds AS (SELECT source,
+       |    (CAST(count(*) AS DOUBLE) * n_pop) / n_ref AS d_s
+       |  FROM ref, np, nr GROUP BY source, n_pop, n_ref),
+       |w0 AS (SELECT pop.lang, pop.source, pop.n, dl.d_l, ds.d_s,
+       |    CAST(1.0 AS DOUBLE) AS w
+       |  FROM pop JOIN dl USING (lang) JOIN ds USING (source)),
+       |$steps
+       |SELECT lang, source, n, round(w, 6) AS weight,
+       |  round((CAST(sum(CAST(floor((n * w) * 1e9) AS BIGINT))
+       |    OVER (PARTITION BY lang) AS DOUBLE) / 1e9 - d_l)
+       |    / (SELECT n_pop FROM np), 6) + 0.0 AS lang_gap,
+       |  round((CAST(sum(CAST(floor((n * w) * 1e9) AS BIGINT))
+       |    OVER (PARTITION BY source) AS DOUBLE) / 1e9 - d_s)
+       |    / (SELECT n_pop FROM np), 6) + 0.0 AS source_gap
+       |FROM wc$IpfRounds ORDER BY lang, source""".stripMargin
+  }
 }

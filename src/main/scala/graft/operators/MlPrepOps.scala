@@ -1405,33 +1405,46 @@ object MlPrepOps {
     * no driver-side math, no shuffle of the data itself, iteration
     * count fixed. The feature pass is scan-bound; this is exactly how
     * MLlib's LBFGS/GD treeAggregate works, expressed relationally. */
-  def logregGd(s: SparkSession, dir: String): DataFrame = {
-    val feat = t(s, dir, "documents").selectExpr(
+  /** The shared (doc_id, y, x1, x2) feature frame — q332 trains on it,
+    * q344 attributes against it; one definition so model and
+    * attribution cannot drift. */
+  private[graft] def logregFeatures(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").selectExpr("doc_id",
       "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y",
       "CAST(size(split(text, ' ')) AS DOUBLE) / 100 AS x1",
       "CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)" +
         " / CAST(size(split(text, ' ')) AS DOUBLE) AS x2")
-      .persist()
-    val w0 = s.range(1).selectExpr(
+
+  private[graft] val LogRegZ = "(wb + (wl * x1)) + (wt * x2)"
+
+  private[graft] def logregW0(s: SparkSession): DataFrame =
+    s.range(1).selectExpr(
       "CAST(0 AS DOUBLE) AS wb", "CAST(0 AS DOUBLE) AS wl",
       "CAST(0 AS DOUBLE) AS wt")
-    val zExpr = "(wb + (wl * x1)) + (wt * x2)"
-    def step(w: DataFrame): DataFrame =
-      feat.crossJoin(broadcast(w))
-        .selectExpr("y", "x1", "x2",
-          s"1.0 / (1.0 + exp(-($zExpr))) AS p")
-        .agg(
-          sum(expr("CAST(floor((y - p) * 1e9) AS BIGINT)")).as("gb"),
-          sum(expr("CAST(floor(((y - p) * x1) * 1e9) AS BIGINT)"))
-            .as("gl"),
-          sum(expr("CAST(floor(((y - p) * x2) * 1e9) AS BIGINT)"))
-            .as("gt"),
-          count(lit(1)).as("n"))
-        .crossJoin(broadcast(w))
-        .selectExpr(
-          s"wb + ($LogRegLr * ((CAST(gb AS DOUBLE) / 1e9) / n)) AS wb",
-          s"wl + ($LogRegLr * ((CAST(gl AS DOUBLE) / 1e9) / n)) AS wl",
-          s"wt + ($LogRegLr * ((CAST(gt AS DOUBLE) / 1e9) / n)) AS wt")
+
+  /** One full-batch GD step (frozen-gradient; see [[logregGd]]). */
+  private[graft] def logregStep(feat: DataFrame, w: DataFrame): DataFrame =
+    feat.crossJoin(broadcast(w))
+      .selectExpr("y", "x1", "x2",
+        s"1.0 / (1.0 + exp(-($LogRegZ))) AS p")
+      .agg(
+        sum(expr("CAST(floor((y - p) * 1e9) AS BIGINT)")).as("gb"),
+        sum(expr("CAST(floor(((y - p) * x1) * 1e9) AS BIGINT)"))
+          .as("gl"),
+        sum(expr("CAST(floor(((y - p) * x2) * 1e9) AS BIGINT)"))
+          .as("gt"),
+        count(lit(1)).as("n"))
+      .crossJoin(broadcast(w))
+      .selectExpr(
+        s"wb + ($LogRegLr * ((CAST(gb AS DOUBLE) / 1e9) / n)) AS wb",
+        s"wl + ($LogRegLr * ((CAST(gl AS DOUBLE) / 1e9) / n)) AS wl",
+        s"wt + ($LogRegLr * ((CAST(gt AS DOUBLE) / 1e9) / n)) AS wt")
+
+  def logregGd(s: SparkSession, dir: String): DataFrame = {
+    val feat = logregFeatures(s, dir).persist()
+    val w0 = logregW0(s)
+    val zExpr = LogRegZ
+    def step(w: DataFrame): DataFrame = logregStep(feat, w)
     def stats(w: DataFrame, k: Int): DataFrame =
       feat.crossJoin(broadcast(w))
         .selectExpr("y", s"$zExpr AS z")
@@ -1455,12 +1468,25 @@ object MlPrepOps {
     rows.reduce(_.union(_)).orderBy("iter")
   }
 
-  def logregGdOracle: String = {
-    val z = "(wb + (wl * x1)) + (wt * x2)"
-    val iters = (1 to LogRegIters).map { k =>
+  /** Shared oracle CTE fragments: the feature frame and the unrolled
+    * weight recurrence w1..wN — q332's oracle adds per-iteration stats,
+    * q344's oracle reads w[[LogRegIters]] for attribution. */
+  private def logregFeatCte: String =
+    s"""feat AS (SELECT doc_id,
+       |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
+       |    CAST(len(string_split(text, ' ')) AS DOUBLE) / 100 AS x1,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2
+       |  FROM documents),
+       |w0 AS (SELECT CAST(0 AS DOUBLE) AS wb, CAST(0 AS DOUBLE) AS wl,
+       |  CAST(0 AS DOUBLE) AS wt)""".stripMargin
+
+  /** The unrolled weight-recurrence CTEs z1/g1/w1 … w[[LogRegIters]]. */
+  private def logregWCtes: String =
+    (1 to LogRegIters).map { k =>
       val pw = s"w${k - 1}"
       s"""z$k AS (SELECT y, x1, x2,
-         |    1.0 / (1.0 + exp(-($z))) AS p
+         |    1.0 / (1.0 + exp(-($LogRegZ))) AS p
          |  FROM feat, $pw),
          |g$k AS (SELECT
          |    CAST(sum(CAST(floor((y - p) * 1e9) AS BIGINT)) AS BIGINT)
@@ -1474,8 +1500,13 @@ object MlPrepOps {
          |    wb + ($LogRegLr * ((CAST(gb AS DOUBLE) / 1e9) / n)) AS wb,
          |    wl + ($LogRegLr * ((CAST(gl AS DOUBLE) / 1e9) / n)) AS wl,
          |    wt + ($LogRegLr * ((CAST(gt AS DOUBLE) / 1e9) / n)) AS wt
-         |  FROM g$k, $pw),
-         |e$k AS (SELECT y, $z AS z FROM feat, w$k),
+         |  FROM g$k, $pw)""".stripMargin
+    }.mkString(",\n")
+
+  def logregGdOracle: String = {
+    val z = LogRegZ
+    val stats = (1 to LogRegIters).map { k =>
+      s"""e$k AS (SELECT y, $z AS z FROM feat, w$k),
          |s$k AS (SELECT CAST($k AS BIGINT) AS iter,
          |    round((SELECT wb FROM w$k), 6) AS w_bias,
          |    round((SELECT wl FROM w$k), 6) AS w_len,
@@ -1489,15 +1520,113 @@ object MlPrepOps {
     }.mkString(",\n")
     val sel = (1 to LogRegIters).map(k => s"SELECT * FROM s$k")
       .mkString(" UNION ALL ")
-    s"""WITH feat AS (SELECT
-       |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE) AS y,
-       |    CAST(len(string_split(text, ' ')) AS DOUBLE) / 100 AS x1,
-       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2
-       |  FROM documents),
-       |w0 AS (SELECT CAST(0 AS DOUBLE) AS wb, CAST(0 AS DOUBLE) AS wl,
-       |  CAST(0 AS DOUBLE) AS wt),
-       |$iters
+    s"""WITH $logregFeatCte,
+       |$logregWCtes,
+       |$stats
        |SELECT * FROM ($sel) ORDER BY iter""".stripMargin
+  }
+
+  // --- q344: gradient-similarity data attribution (TracIn-style) -----------
+
+  /** Docs reported per direction (helpful / harmful). */
+  val TracInK = 10
+
+  /** q344 — training-data attribution by gradient similarity (the
+    * single-checkpoint special case of TracIn, Pruthi et al. 2020; the
+    * public "influence ≈ ∇ℓ_train · ∇ℓ_val" construction): using the
+    * exact q332 model (shared [[logregFeatures]]/[[logregStep]] —
+    * one training definition), compute the mean validation gradient on
+    * the held-out doc_id%5=0 slice, score every training document by
+    * the dot product of its own gradient with it, and report the
+    * [[TracInK]] most helpful and most harmful documents — the
+    * data-pruning / mislabel-hunting readout ("which documents push
+    * the model toward/away from the validation set").
+    *
+    * Parity: the weight recurrence is q332's (frozen gradients); the
+    * validation mean gradient is three frozen integer sums turned into
+    * pinned doubles; each document's influence is ONE frozen
+    * floor(·1e9) scalar, so the top-k cut is integer rank arithmetic
+    * with doc_id tie-break. For a logistic model ∇ℓ_i = (y_i−p_i)·x_i,
+    * so the dot product collapses to (y−p)·(g·x) — one expression.
+    *
+    * Scale (100 TB): three feature-frame passes (train, val-grad,
+    * score) + two global top-k sorts (TakeOrdered, no full sort);
+    * the model and val-gradient are 1-row broadcasts. Attribution at
+    * corpus scale is exactly this shape — per-doc work linear, all
+    * cross-doc state O(dims). */
+  def tracinAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feat = logregFeatures(s, dir).persist()
+    val w3 = (1 to LogRegIters)
+      .foldLeft(logregW0(s))((w, _) => logregStep(feat, w))
+    val gv = feat.filter(col("doc_id") % 5 === 0)
+      .crossJoin(broadcast(w3))
+      .selectExpr("y", "x1", "x2",
+        s"1.0 / (1.0 + exp(-($LogRegZ))) AS p")
+      .agg(
+        sum(expr("CAST(floor((y - p) * 1e9) AS BIGINT)")).as("gb"),
+        sum(expr("CAST(floor(((y - p) * x1) * 1e9) AS BIGINT)")).as("gl"),
+        sum(expr("CAST(floor(((y - p) * x2) * 1e9) AS BIGINT)")).as("gt"),
+        count(lit(1)).as("n"))
+      .selectExpr("(CAST(gb AS DOUBLE) / 1e9) / n AS gvb",
+        "(CAST(gl AS DOUBLE) / 1e9) / n AS gvl",
+        "(CAST(gt AS DOUBLE) / 1e9) / n AS gvt")
+    val scored = feat.filter(col("doc_id") % 5 =!= 0)
+      .crossJoin(broadcast(w3)).crossJoin(broadcast(gv))
+      .selectExpr("doc_id", "CAST(y AS BIGINT) AS label",
+        s"CAST(floor(((y - (1.0 / (1.0 + exp(-($LogRegZ)))))" +
+          " * ((gvb + (gvl * x1)) + (gvt * x2))) * 1e9) AS BIGINT)" +
+          " AS score_fp")
+    def cut(top: Boolean) = {
+      val lim = scored
+        .orderBy(if (top) col("score_fp").desc else col("score_fp").asc,
+          col("doc_id").asc)
+        .limit(TracInK)
+      // rank window sits above a Limit — row-bounded by construction
+      val w = Window.orderBy(
+        if (top) col("score_fp").desc else col("score_fp").asc,
+        col("doc_id").asc)
+      lim.withColumn("rank", row_number().over(w).cast("bigint"))
+        .withColumn("helpful", lit(top))
+    }
+    cut(top = true).union(cut(top = false))
+      .select(col("helpful"), col("rank"), col("doc_id"), col("label"),
+        round(col("score_fp").cast("double") / 1e9, 6).as("influence"))
+      .orderBy(col("helpful").desc, col("rank"))
+  }
+
+  def tracinAttributionOracle: String = {
+    val z = LogRegZ
+    val wN = s"w$LogRegIters"
+    s"""WITH $logregFeatCte,
+       |$logregWCtes,
+       |gv AS (SELECT
+       |    (CAST(sum(CAST(floor((y - p) * 1e9) AS BIGINT)) AS DOUBLE)
+       |      / 1e9) / count(*) AS gvb,
+       |    (CAST(sum(CAST(floor(((y - p) * x1) * 1e9) AS BIGINT))
+       |      AS DOUBLE) / 1e9) / count(*) AS gvl,
+       |    (CAST(sum(CAST(floor(((y - p) * x2) * 1e9) AS BIGINT))
+       |      AS DOUBLE) / 1e9) / count(*) AS gvt
+       |  FROM (SELECT y, x1, x2, 1.0 / (1.0 + exp(-($z))) AS p
+       |    FROM feat, $wN WHERE doc_id % 5 = 0)),
+       |sc AS (SELECT doc_id, CAST(y AS BIGINT) AS label,
+       |    CAST(floor(((y - (1.0 / (1.0 + exp(-($z)))))
+       |      * ((gvb + (gvl * x1)) + (gvt * x2))) * 1e9) AS BIGINT)
+       |      AS score_fp
+       |  FROM feat, $wN, gv WHERE doc_id % 5 <> 0)
+       |SELECT * FROM (
+       |  SELECT TRUE AS helpful,
+       |    row_number() OVER (ORDER BY score_fp DESC, doc_id) AS "rank",
+       |    doc_id, label, round(CAST(score_fp AS DOUBLE) / 1e9, 6)
+       |      AS influence
+       |  FROM sc ORDER BY score_fp DESC, doc_id LIMIT $TracInK)
+       |UNION ALL
+       |SELECT * FROM (
+       |  SELECT FALSE AS helpful,
+       |    row_number() OVER (ORDER BY score_fp ASC, doc_id) AS "rank",
+       |    doc_id, label, round(CAST(score_fp AS DOUBLE) / 1e9, 6)
+       |      AS influence
+       |  FROM sc ORDER BY score_fp ASC, doc_id LIMIT $TracInK)
+       |ORDER BY helpful DESC, "rank"""".stripMargin
   }
 }

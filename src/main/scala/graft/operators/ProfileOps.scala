@@ -3673,4 +3673,100 @@ object ProfileOps {
        |FROM m0 JOIN m$HuberIters ON m0.source = m$HuberIters.source
        |ORDER BY m0.source""".stripMargin
   }
+
+  // --- q341: Count-Sketch vs Count-Min bias audit ---------------------------
+
+  /** Count-Sketch geometry: odd depth so the median is a single order
+    * statistic (exact integer), width shared with the CMS side so the
+    * collision pressure is identical. */
+  val CsDepth = 5
+  val CsWidth = 64
+
+  /** q341 — Count-Sketch vs Count-Min head-to-head on the same skewed
+    * stream (Charikar–Chen–Farach-Colton 2002 vs Cormode–Muthukrishnan
+    * 2005): both sketches get depth×width = 5×64 counters and the same
+    * md5-derived bucket hashes; CMS adds +1 and reads the MIN, CS adds
+    * a hash-derived ±1 and reads the MEDIAN of sign-corrected
+    * counters. The audit emits both estimates and signed errors per
+    * key — CMS errors are ≥ 0 by construction (every collision
+    * inflates), CS errors straddle zero (collisions cancel in
+    * expectation; the estimator is unbiased). This is the sketch a
+    * pipeline picks when UNDER-counting is as bad as over-counting
+    * (e.g. change detection on frequency deltas).
+    *
+    * Parity: both counter matrices are plain (signed) integer sums —
+    * merge-order independent — and both estimators are integer order
+    * statistics, so the DuckDB oracle rebuilds everything
+    * hash-for-hash (the q175 discipline); zero floats anywhere.
+    *
+    * Scale (100 TB): two O(depth·width)-state map-combinable
+    * aggregates over the stream ([[graft.functions.CountSketchAgg]] /
+    * [[graft.functions.CountMinAgg]]); the exact side is the
+    * 100-group audit baseline. */
+  def countSketchAudit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val keyed = EtlOps.events(s, dir)
+      .select(floor(sqrt(col("event_id") % 10000)).cast("long").as("k"))
+    def hcol(j: Int) = call_function("md5_fp60",
+      concat(lit(s"$j:"), col("k").cast("string"))) % CsWidth
+    def sgn(j: Int) = when(call_function("md5_fp60",
+      concat(lit(s"s$j:"), col("k").cast("string"))) % 2 === 0, 1L)
+      .otherwise(-1L)
+    def hIdx = array((0 until CsDepth).map(hcol): _*)
+    def enc = array((0 until CsDepth).map(j =>
+      sgn(j) * (hcol(j) + 1L)): _*)
+    val cs = keyed.withColumn("enc", enc)
+      .agg(expr(s"count_sketch_agg(enc, $CsDepth, $CsWidth)").as("cs"))
+    val cm = keyed.withColumn("hs", hIdx)
+      .agg(expr(s"count_min_agg(hs, $CsDepth, $CsWidth)").as("cm"))
+    val exact = keyed.groupBy("k").agg(count(lit(1)).as("exact_n"))
+    exact.crossJoin(broadcast(cs)).crossJoin(broadcast(cm))
+      .withColumn("hs", hIdx)
+      .withColumn("cms_est", least((0 until CsDepth).map(j =>
+        expr(s"cm[CAST($j * $CsWidth + hs[$j] AS INT)]")): _*))
+      .withColumn("cs_vals", array((0 until CsDepth).map(j =>
+        sgn(j) * expr(s"cs[CAST($j * $CsWidth + hs[$j] AS INT)]")): _*))
+      .withColumn("cs_est", expr("element_at(array_sort(cs_vals), 3)"))
+      .select(col("k"), col("exact_n"), col("cms_est"), col("cs_est"),
+        (col("cms_est") - col("exact_n")).as("cms_err"),
+        (col("cs_est") - col("exact_n")).as("cs_err"))
+      .orderBy("k")
+  }
+
+  def countSketchAuditOracle: String = {
+    val hash = (j: String, k: String) =>
+      s"CAST('0x' || substr(md5(CAST($j AS VARCHAR) || ':' || " +
+        s"CAST($k AS VARCHAR)), 1, 15) AS BIGINT) % $CsWidth"
+    val shash = (j: String, k: String) =>
+      s"CAST('0x' || substr(md5('s' || CAST($j AS VARCHAR) || ':' || " +
+        s"CAST($k AS VARCHAR)), 1, 15) AS BIGINT) % 2"
+    s"""WITH k AS (SELECT CAST(floor(sqrt(event_id % 10000)) AS BIGINT)
+       |    AS k FROM events),
+       |j AS (SELECT unnest(range(0, $CsDepth)) AS j),
+       |h AS (SELECT k.k, j.j, ${hash("j.j", "k.k")} AS hh,
+       |    CASE WHEN ${shash("j.j", "k.k")} = 0 THEN 1 ELSE -1 END AS sg
+       |  FROM k, j),
+       |cs_counters AS (SELECT j, hh, CAST(sum(sg) AS BIGINT) AS c
+       |  FROM h GROUP BY j, hh),
+       |cm_counters AS (SELECT j, hh, count(*) AS c
+       |  FROM h GROUP BY j, hh),
+       |exact AS (SELECT k, count(*) AS exact_n FROM k GROUP BY k),
+       |keys AS (SELECT DISTINCT k FROM k),
+       |kh AS (SELECT keys.k, j.j, ${hash("j.j", "keys.k")} AS hh,
+       |    CASE WHEN ${shash("j.j", "keys.k")} = 0 THEN 1 ELSE -1 END
+       |      AS sg
+       |  FROM keys, j),
+       |cse AS (SELECT kh.k,
+       |    CAST((list_sort(list(kh.sg * c.c)))[3] AS BIGINT) AS cs_est
+       |  FROM kh JOIN cs_counters c ON kh.j = c.j AND kh.hh = c.hh
+       |  GROUP BY kh.k),
+       |cme AS (SELECT kh.k, CAST(min(c.c) AS BIGINT) AS cms_est
+       |  FROM kh JOIN cm_counters c ON kh.j = c.j AND kh.hh = c.hh
+       |  GROUP BY kh.k)
+       |SELECT e.k, e.exact_n, cme.cms_est, cse.cs_est,
+       |  cme.cms_est - e.exact_n AS cms_err,
+       |  cse.cs_est - e.exact_n AS cs_err
+       |FROM exact e JOIN cme USING (k) JOIN cse USING (k)
+       |ORDER BY e.k""".stripMargin
+  }
 }

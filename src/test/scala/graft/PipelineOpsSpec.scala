@@ -4080,6 +4080,154 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q341 count-sketch and count-min match a driver-side sketch replay; CMS one-sided, CS two-sided") {
+    def fp60(x: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val ks = EtlOps.events(spark, dir)
+      .selectExpr("CAST(floor(sqrt(event_id % 10000)) AS BIGINT) AS k")
+      .collect().map(_.getLong(0))
+    val d = ProfileOps.CsDepth
+    val wd = ProfileOps.CsWidth
+    val cm = Array.ofDim[Long](d, wd)
+    val cs = Array.ofDim[Long](d, wd)
+    ks.foreach { k =>
+      (0 until d).foreach { j =>
+        val h = (fp60(s"$j:$k") % wd).toInt
+        val sg = if (fp60(s"s$j:$k") % 2 == 0) 1L else -1L
+        cm(j)(h) += 1L
+        cs(j)(h) += sg
+      }
+    }
+    val exact = ks.groupBy(identity).view.mapValues(_.length.toLong)
+    val rows = ProfileOps.countSketchAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == exact.size)
+    rows.foreach { case (k, exN, cmsEst, csEst, cmsErr, csErr) =>
+      assert(exN == exact(k))
+      val expCms = (0 until d)
+        .map(j => cm(j)((fp60(s"$j:$k") % wd).toInt)).min
+      val expCs = (0 until d).map { j =>
+        val sg = if (fp60(s"s$j:$k") % 2 == 0) 1L else -1L
+        sg * cs(j)((fp60(s"$j:$k") % wd).toInt)
+      }.sorted.apply(2) // median of 5
+      assert(cmsEst == expCms, s"key $k cms")
+      assert(csEst == expCs, s"key $k cs")
+      assert(cmsErr == cmsEst - exN && csErr == csEst - exN)
+      // the structural guarantee: CMS errs one way only
+      assert(cmsErr >= 0L, s"key $k cms underestimated")
+    }
+    // width 64 vs ~100 keys forces real collisions
+    assert(rows.map(_._5).sum > 0L, "no CMS collisions — audit vacuous")
+  }
+
+  test("q342 greedy cover matches a driver-side greedy replay; gains diminish") {
+    val out = CurationOps.greedyCover(spark, dir).orderBy("round")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // driver replay over the same (source, shingle) distinct set
+    val pairs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(col("source"), explode(array_distinct(
+        expr(DedupOps.wordGramArrayExpr(3)))).as("sh"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val bySrc = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      .toMap
+    val universe = pairs.map(_._2).toSet
+    var covered = Set.empty[String]
+    out.foreach { case (round, src, gain, nCov, share) =>
+      val (bestSrc, bestGain) = bySrc.view
+        .map { case (s0, set) => (s0, (set -- covered).size) }
+        .toSeq.sortBy { case (s0, g) => (-g, s0) }.head
+      assert(src == bestSrc, s"round $round picked $src not $bestSrc")
+      assert(gain == bestGain.toLong, s"round $round")
+      covered ++= bySrc(bestSrc)
+      assert(nCov == covered.size.toLong)
+      assert(math.abs(share - covered.size.toDouble / universe.size)
+        < 1e-5)
+    }
+    // greedy marginal gains are non-increasing
+    out.map(_._3).sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(1) <= p(0)))
+    assert(out.map(_._2).distinct.length == out.length) // no re-picks
+  }
+
+  test("q343 IPF raking drives both marginal gaps toward zero with positive weights") {
+    val rows = MixtureOps.ipfRaking(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (l, s0, n, w, _, _) =>
+      assert(n > 0L, s"$l/$s0")
+      assert(w > 0.0, s"$l/$s0 non-positive weight $w")
+    }
+    // after 3 full rounds the residual marginal gaps are tiny (shares
+    // of population mass)
+    assert(rows.map(r => math.abs(r._5)).max < 0.005)
+    assert(rows.map(r => math.abs(r._6)).max < 0.005)
+    // total raked mass ≈ population size (raking preserves total mass
+    // up to the residual gaps)
+    val mass = rows.map(r => r._3 * r._4).sum
+    val nPop = rows.map(_._3).sum.toDouble
+    assert(math.abs(mass - nPop) / nPop < 0.01, s"$mass vs $nPop")
+  }
+
+  test("q344 TracIn attribution matches a driver-side replay of model, val-grad, and top-k") {
+    val feat = MlPrepOps.logregFeatures(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    // replay the exact frozen recurrence
+    var (wb, wl, wt) = (0.0, 0.0, 0.0)
+    for (_ <- 1 to MlPrepOps.LogRegIters) {
+      var (gb, gl, gt) = (0L, 0L, 0L)
+      feat.foreach { case (_, y, x1, x2) =>
+        val p = 1.0 / (1.0 + math.exp(-((wb + (wl * x1)) + (wt * x2))))
+        gb += math.floor((y - p) * 1e9).toLong
+        gl += math.floor(((y - p) * x1) * 1e9).toLong
+        gt += math.floor(((y - p) * x2) * 1e9).toLong
+      }
+      val n = feat.length
+      wb += 0.5 * ((gb.toDouble / 1e9) / n)
+      wl += 0.5 * ((gl.toDouble / 1e9) / n)
+      wt += 0.5 * ((gt.toDouble / 1e9) / n)
+    }
+    val valSet = feat.filter(_._1 % 5 == 0)
+    var (vb, vl2, vt) = (0L, 0L, 0L)
+    valSet.foreach { case (_, y, x1, x2) =>
+      val p = 1.0 / (1.0 + math.exp(-((wb + (wl * x1)) + (wt * x2))))
+      vb += math.floor((y - p) * 1e9).toLong
+      vl2 += math.floor(((y - p) * x1) * 1e9).toLong
+      vt += math.floor(((y - p) * x2) * 1e9).toLong
+    }
+    val nv = valSet.length
+    val (gvb, gvl, gvt) = ((vb.toDouble / 1e9) / nv,
+      (vl2.toDouble / 1e9) / nv, (vt.toDouble / 1e9) / nv)
+    val scores = feat.filter(_._1 % 5 != 0).map { case (id, y, x1, x2) =>
+      val p = 1.0 / (1.0 + math.exp(-((wb + (wl * x1)) + (wt * x2))))
+      id -> math.floor(((y - p) * ((gvb + (gvl * x1)) + (gvt * x2)))
+        * 1e9).toLong
+    }
+    val expTop = scores.sortBy { case (id, s0) => (-s0, id) }
+      .take(MlPrepOps.TracInK).map(_._1).toSeq
+    val expBot = scores.sortBy { case (id, s0) => (s0, id) }
+      .take(MlPrepOps.TracInK).map(_._1).toSeq
+    val out = MlPrepOps.tracinAttribution(spark, dir).collect()
+      .map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val gotTop = out.filter(_._1).sortBy(_._2).map(_._3).toSeq
+    val gotBot = out.filterNot(_._1).sortBy(_._2).map(_._3).toSeq
+    assert(gotTop == expTop)
+    assert(gotBot == expBot)
+    // helpful floor clears the harmful ceiling (400 train docs ≫ 2k)
+    val minHelp = out.filter(_._1).map(_._5).min
+    val maxHarm = out.filterNot(_._1).map(_._5).max
+    assert(minHelp >= maxHarm)
+  }
+
   test("q336 huber location matches a driver-side replay of the frozen IRLS recurrence") {
     val xs = spark.read.parquet(s"$dir/documents.parquet")
       .select("source", "n_chars").collect()
