@@ -2784,15 +2784,19 @@ object CurationOps {
     (1 to CoverRounds).foreach { r =>
       val gains = srcSh.join(covered, Seq("shingle"), "left_anti")
         .groupBy("source").agg(count(lit(1)).as("gain"))
-      val best = gains
+      // cutLineage per pick: best/covered reference the previous
+      // covered set multiple times per round (gain scan + two
+      // anti-joins), so the uncut plan grows geometrically with rounds
+      // (the q338 lesson)
+      val best = CurationOps.cutLineage(gains
         .orderBy(col("gain").desc, col("source")).limit(1)
-        .select(col("source").as("best_source"), col("gain"))
-        .persist()
+        .select(col("source").as("best_source"), col("gain")))
       val newly = srcSh.crossJoin(broadcast(best))
         .filter(col("source") === col("best_source"))
         .select("shingle")
         .join(covered, Seq("shingle"), "left_anti")
-      covered = covered.select("shingle").union(newly).persist()
+      covered = CurationOps.cutLineage(covered.select("shingle")
+        .union(newly))
       val stat = best.crossJoin(cum).crossJoin(broadcast(uTot))
         .selectExpr(s"CAST($r AS BIGINT) AS round",
           "best_source AS source", "gain",

@@ -1126,13 +1126,22 @@ object GraphOps {
     var prevNodes = e0.agg(countDistinct(col("src")).as("n_prev"))
     (1 to KCoreRounds).foreach { r =>
       val deg = cur.groupBy("src").agg(count(lit(1)).as("deg"))
-      val keep = deg.crossJoin(broadcast(kthr))
+      // cutLineage per generation: each round references the previous
+      // frame THREE times (degree pass + two endpoint joins), so
+      // without the cut the logical plan grows ~3^r and optimizer time
+      // dominates by round 4 (measured 39 s → ~8 s; the q70/q110
+      // iterative-DataFrame discipline)
+      val keep = CurationOps.cutLineage(deg.crossJoin(broadcast(kthr))
         .filter(col("deg") >= col("k"))
-        .select(col("src").as("node")).persist()
-      val next = cur
-        .join(keep.select(col("node").as("src")), Seq("src"))
-        .join(keep.select(col("node").as("dst")), Seq("dst"))
-        .select(col("src"), col("dst")).persist()
+        .select(col("src").as("node")))
+      // the surviving-node set is dimension-bounded (customers +
+      // suppliers), so both endpoint semi-joins broadcast; at a scale
+      // where nodes outgrow broadcast the same plan shuffles on the
+      // edge partitioning (one exchange, both joins share it)
+      val next = CurationOps.cutLineage(cur
+        .join(broadcast(keep.select(col("node").as("src"))), Seq("src"))
+        .join(broadcast(keep.select(col("node").as("dst"))), Seq("dst"))
+        .select(col("src"), col("dst")))
       val stat = keep.agg(count(lit(1)).as("n_nodes"))
         .crossJoin(next.agg(count(lit(1)).as("n_edges_directed")))
         .crossJoin(prevNodes)
