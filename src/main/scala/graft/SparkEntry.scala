@@ -362,6 +362,10 @@ object SparkEntry {
     "q342_greedy_cover"      -> (CurationOps.greedyCover _),
     "q343_ipf_raking"        -> (MixtureOps.ipfRaking _),
     "q344_tracin_attrib"     -> (MlPrepOps.tracinAttribution _),
+    "q345_cartography"       -> (MlPrepOps.datasetCartography _),
+    "q346_loo_source"        -> (MlPrepOps.looSourceEval _),
+    "q347_skipping_audit"    -> (ScaleOps.skippingAudit _),
+    "q348_ivm_join_view"     -> (ScaleOps.ivmJoinView _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -988,6 +992,10 @@ object SparkEntry {
     "q342_greedy_cover" -> CurationOps.greedyCoverOracle,
     "q343_ipf_raking" -> MixtureOps.ipfRakingOracle,
     "q344_tracin_attrib" -> MlPrepOps.tracinAttributionOracle,
+    "q345_cartography" -> MlPrepOps.datasetCartographyOracle,
+    "q346_loo_source" -> MlPrepOps.looSourceEvalOracle,
+    "q347_skipping_audit" -> ScaleOps.skippingAuditOracle,
+    "q348_ivm_join_view" -> ScaleOps.ivmJoinViewOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

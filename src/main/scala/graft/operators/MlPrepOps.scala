@@ -1267,6 +1267,125 @@ object MlPrepOps {
        |FROM rk WHERE exp_rank <= $PrfExpansions
        |ORDER BY query_term, exp_rank""".stripMargin
 
+  // --- q345: dataset cartography over the GD checkpoints -------------------
+
+  /** Region bounds are DATASET-RELATIVE (the paper's construction is
+    * dataset-relative thirds): hard-to-learn = confidence below the
+    * corpus mean; ambiguous = variability above the corpus mean (among
+    * the rest). Both comparisons are exact integer cross-products
+    * (n·spᵢ vs Σsp; n·varᵢ vs Σvar) — no percentile machinery, no
+    * per-corpus magic constants, and all three regions populate
+    * whenever the two statistics are non-constant. Integer bound:
+    * n·var_num ≤ n·k²·(1e6)² keeps inside 2⁶³ through ~50M docs. */
+
+  /** Cartography checkpoint count — deeper than q332's 3 training
+    * iterations: across only the first 3 near-zero checkpoints every
+    * p sits at ~0.52 and the map degenerates to two label-split cells;
+    * 8 checkpoints give the weights room to move so all three regions
+    * populate. Probabilities freeze at ×1e6 (not 1e9): the variance
+    * numerator k·Σp² − (Σp)² must stay inside BIGINT, and at k = 8 a
+    * 1e9 freeze would overflow ((8e9)² > 2⁶³). */
+  val CartoIters = 8
+
+  /** q345 — dataset cartography (Swayamdipta et al. 2020, "Dataset
+    * Cartography: Mapping and Diagnosing Datasets with Training
+    * Dynamics" — public construction): for every training document,
+    * the MEAN true-class probability (confidence) and its STANDARD
+    * DEVIATION (variability) across the q332 GD checkpoints w1..w3,
+    * binned into the easy / hard-to-learn / ambiguous map regions.
+    * Hard-to-learn mass is the mislabel-audit queue; ambiguous mass is
+    * the curriculum frontier. Shares [[logregFeatures]]/[[logregStep]]
+    * with q332 — the checkpoints ARE the training run's.
+    *
+    * Parity: per (doc, checkpoint) the true-class probability is one
+    * frozen floor(·1e9) BIGINT; mean and variance over the fixed 3
+    * checkpoints are exact integer algebra (3·Σp² − (Σp)² over 3²),
+    * and the region test compares integers against frozen literal
+    * bounds — no per-row doubles reach the output. Output is the
+    * |region × label| summary (counts + mean confidence), not per-doc
+    * rows.
+    *
+    * Scale (100 TB): three broadcast-weight scoring passes over the
+    * feature frame and ONE 6-group aggregate — training dynamics at
+    * corpus scale without storing per-example traces anywhere but in
+    * the aggregate. */
+  def datasetCartography(s: SparkSession, dir: String): DataFrame = {
+    val k = CartoIters
+    val feat = logregFeatures(s, dir).persist()
+    val ws = (1 to k).scanLeft(logregW0(s))((w, _) =>
+      logregStep(feat, w)).tail
+    val pcols = ws.zipWithIndex.map { case (w, i) =>
+      feat.crossJoin(broadcast(w))
+        .selectExpr("doc_id", "y",
+          s"CAST(floor((CASE WHEN y = 1.0 THEN 1.0 / (1.0 + exp(-($LogRegZ)))" +
+            s" ELSE 1.0 - (1.0 / (1.0 + exp(-($LogRegZ)))) END) * 1e6)" +
+            s" AS BIGINT) AS p${i + 1}")
+    }
+    val joined = pcols.reduce((a, b) => a.join(b.drop("y"), Seq("doc_id")))
+    val spE = (1 to k).map(i => s"p$i").mkString("(", " + ", ")")
+    val sppE = (1 to k).map(i => s"(p$i * p$i)").mkString("(", " + ", ")")
+    val withSums = joined
+      .withColumn("sp", expr(spE))
+      .withColumn("spp", expr(sppE))
+      .withColumn("varn", expr(s"$k * spp - sp * sp"))
+      .persist()
+    val tot = withSums.agg(count(lit(1)).as("nd"),
+      sum(col("sp")).as("tsp"), sum(col("varn")).as("tvar"))
+    withSums.crossJoin(broadcast(tot))
+      // mean_fp in 1e6 units; var numerator in 1e12 units:
+      // k·Σp² − (Σp)² over k²; bounds are corpus means via exact
+      // integer cross-products
+      .withColumn("region", expr(
+        "CASE WHEN nd * sp < tsp THEN 'hard_to_learn'" +
+          " WHEN nd * varn > tvar THEN 'ambiguous'" +
+          " ELSE 'easy' END"))
+      .groupBy("region", "y")
+      .agg(count(lit(1)).as("n_docs"), sum(col("sp")).as("ssp"))
+      .select(col("region"), col("y").cast("bigint").as("label"),
+        col("n_docs"),
+        round(col("ssp").cast("double") / 1e6 / lit(k) / col("n_docs"), 6)
+          .as("mean_confidence"))
+      .orderBy("region", "label")
+  }
+
+  def datasetCartographyOracle: String = {
+    val k = CartoIters
+    val ps = (1 to k).map { i =>
+      s"""p$i AS (SELECT doc_id, y,
+         |    CAST(floor((CASE WHEN y = 1.0
+         |      THEN 1.0 / (1.0 + exp(-($LogRegZ)))
+         |      ELSE 1.0 - (1.0 / (1.0 + exp(-($LogRegZ)))) END) * 1e6)
+         |      AS BIGINT) AS p$i
+         |  FROM feat, w$i)""".stripMargin
+    }.mkString(",\n")
+    val joinChain = (2 to k).map(i => s"JOIN p$i USING (doc_id)")
+      .mkString(" ")
+    val pCols = (1 to k).map(i => s"p$i.p$i").mkString(", ")
+    val spE = (1 to k).map(i => s"p$i").mkString("(", " + ", ")")
+    val sppE = (1 to k).map(i => s"(p$i * p$i)").mkString("(", " + ", ")")
+    s"""WITH $logregFeatCte,
+       |${logregWCtes(k)},
+       |$ps,
+       |j AS (SELECT p1.doc_id, p1.y, $pCols
+       |  FROM p1 $joinChain),
+       |m AS (SELECT doc_id, y,
+       |    $spE AS sp,
+       |    $sppE AS spp,
+       |    $k * $sppE - $spE * $spE AS varn
+       |  FROM j),
+       |tot AS (SELECT count(*) AS nd, CAST(sum(sp) AS BIGINT) AS tsp,
+       |    CAST(sum(varn) AS BIGINT) AS tvar FROM m),
+       |r AS (SELECT y,
+       |    CASE WHEN nd * sp < tsp THEN 'hard_to_learn'
+       |    WHEN nd * varn > tvar THEN 'ambiguous'
+       |    ELSE 'easy' END AS region, sp
+       |  FROM m, tot)
+       |SELECT region, CAST(y AS BIGINT) AS label, count(*) AS n_docs,
+       |  round(CAST(sum(sp) AS DOUBLE) / 1e6 / $k / count(*), 6)
+       |    AS mean_confidence
+       |FROM r GROUP BY region, y ORDER BY region, label""".stripMargin
+  }
+
   // --- q331: Naive-Bayes quality-classifier training ----------------------
 
   /** q331 — train a multinomial Naive-Bayes text classifier IN the
@@ -1372,6 +1491,174 @@ object MlPrepOps {
        |    AS mean_score
        |FROM pred GROUP BY actual_en, score_fp >= 0
        |ORDER BY actual_en, pred_en""".stripMargin
+
+  // --- q346: leave-one-source-out NB evaluation (algebraic LOO) ------------
+
+  /** q346 — leave-one-source-out domain evaluation of the q331
+    * Naive-Bayes gate, with all 20 LOO models derived ALGEBRAICALLY
+    * from one aggregate: NB sufficient statistics are counts, so
+    * "train without source s" is global counts MINUS s's counts — one
+    * (token, source) aggregate and a re-aggregation replace 20
+    * retraining passes (the Spark-native trick that makes LOO free at
+    * corpus scale). Each source's documents are scored under the model
+    * that never saw that source — the domain-shift readout ("which
+    * sources does the classifier only get right by memorizing
+    * themselves").
+    *
+    * Conventions: classes en/not-en as q331; Laplace +1 over the LOO
+    * vocabulary (tokens with nonzero LOO count); test tokens outside
+    * the LOO vocabulary are dropped (q331's inner-join convention,
+    * here a filter on the adjusted count).
+    *
+    * Parity: every count is exact (global = Σ per-source, so the
+    * subtraction is exact integer algebra); per-token log-likelihoods
+    * freeze to floor(·1e9) BIGINT per (token, source-out) pair; the
+    * decision is an integer sign test; accuracies are ONE division +
+    * round per source.
+    *
+    * Scale (100 TB): ONE (token, source) aggregate (map-combinable) +
+    * a vocab-sized re-aggregation to global counts, broadcast back to
+    * the token stream; per-source totals/vocab-exclusives are
+    * |sources|- and vocab-sized frames. No per-model pass exists
+    * anywhere. */
+  def looSourceEval(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), (col("lang") === "en").as("pos"),
+        explode(split(col("text"), " ")).as("tok"))
+    val perSrc = toks.groupBy("tok", "source").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("spos"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("sneg")).persist()
+    val global = perSrc.groupBy("tok").agg(
+      sum(col("spos")).as("gpos"), sum(col("sneg")).as("gneg")).persist()
+    // per-source class token totals and exclusive-vocab counts
+    val srcTotals = perSrc.groupBy("source").agg(
+      sum(col("spos")).as("nspos"), sum(col("sneg")).as("nsneg"))
+    val gTotals = global.agg(sum(col("gpos")).as("ngpos"),
+      sum(col("gneg")).as("ngneg"), count(lit(1)).as("v"))
+    val excl = perSrc.join(broadcast(global), Seq("tok"))
+      .filter(col("spos") + col("sneg") === col("gpos") + col("gneg"))
+      .groupBy("source").agg(count(lit(1)).as("v_excl"))
+    val docPrior = t(s, dir, "documents")
+      .select(col("source"), (col("lang") === "en").as("pos"))
+    val srcPrior = docPrior.groupBy("source").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("dspos"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("dsneg"))
+    val gPrior = docPrior.agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("dgpos"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("dgneg"))
+    // score every doc's tokens under ITS source's LOO model
+    val scored = toks
+      .join(broadcast(global), Seq("tok"))
+      .join(broadcast(perSrc), Seq("tok", "source"), "left")
+      .join(broadcast(srcTotals), Seq("source"))
+      .join(broadcast(excl), Seq("source"), "left")
+      .crossJoin(broadcast(gTotals))
+      .selectExpr("doc_id", "source", "pos",
+        "gpos - coalesce(spos, 0L) AS lpos",
+        "gneg - coalesce(sneg, 0L) AS lneg",
+        "ngpos - nspos AS npos", "ngneg - nsneg AS nneg",
+        "v - coalesce(v_excl, 0L) AS vloo")
+      .filter(col("lpos") + col("lneg") > 0L)
+      .selectExpr("doc_id", "source", "pos",
+        "CAST(floor(ln(CAST(lpos + 1 AS DOUBLE)" +
+          " / CAST(npos + vloo AS DOUBLE)) * 1e9) AS BIGINT)" +
+          " - CAST(floor(ln(CAST(lneg + 1 AS DOUBLE)" +
+          " / CAST(nneg + vloo AS DOUBLE)) * 1e9) AS BIGINT) AS llr_fp")
+      .groupBy("doc_id", "source", "pos")
+      .agg(sum(col("llr_fp")).as("sfp"))
+    val priors = srcPrior.crossJoin(broadcast(gPrior)).selectExpr("source",
+      "CAST(floor(ln(CAST(dgpos - dspos AS DOUBLE)) * 1e9) AS BIGINT)" +
+        " - CAST(floor(ln(CAST(dgneg - dsneg AS DOUBLE)) * 1e9)" +
+        " AS BIGINT) AS prior_fp")
+    // docs whose every token fell outside the LOO vocab score prior-only
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), (col("lang") === "en").as("pos"))
+    docs.join(scored.drop("source", "pos"), Seq("doc_id"), "left")
+      .join(broadcast(priors), Seq("source"))
+      .selectExpr("source", "pos",
+        "prior_fp + coalesce(sfp, 0L) AS score_fp")
+      .withColumn("correct",
+        when((col("score_fp") >= 0L) === col("pos"), 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("correct")).as("n_correct"),
+        sum(col("score_fp")).as("ssum"))
+      .select(col("source"), col("n_docs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_docs"), 6)
+          .as("accuracy"),
+        round(col("ssum").cast("double") / 1e9 / col("n_docs"), 6)
+          .as("mean_score"))
+      .orderBy("source")
+  }
+
+  def looSourceEvalOracle: String =
+    s"""WITH tk AS (SELECT doc_id, source, lang = 'en' AS pos,
+       |    unnest(string_split(text, ' ')) AS tok FROM documents),
+       |per_src AS (SELECT tok, source,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS spos,
+       |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS sneg
+       |  FROM tk GROUP BY tok, source),
+       |g AS (SELECT tok, CAST(sum(spos) AS BIGINT) AS gpos,
+       |    CAST(sum(sneg) AS BIGINT) AS gneg FROM per_src GROUP BY tok),
+       |src_tot AS (SELECT source, CAST(sum(spos) AS BIGINT) AS nspos,
+       |    CAST(sum(sneg) AS BIGINT) AS nsneg
+       |  FROM per_src GROUP BY source),
+       |g_tot AS (SELECT CAST(sum(gpos) AS BIGINT) AS ngpos,
+       |    CAST(sum(gneg) AS BIGINT) AS ngneg,
+       |    CAST(count(*) AS BIGINT) AS v FROM g),
+       |excl AS (SELECT source, CAST(count(*) AS BIGINT) AS v_excl
+       |  FROM per_src JOIN g USING (tok)
+       |  WHERE spos + sneg = gpos + gneg GROUP BY source),
+       |src_prior AS (SELECT source,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS dspos,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS dsneg
+       |  FROM documents GROUP BY source),
+       |g_prior AS (SELECT
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS dgpos,
+       |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS dgneg
+       |  FROM documents),
+       |sc AS (SELECT tk.doc_id, tk.source, tk.pos,
+       |    CAST(floor(ln(CAST((g.gpos - coalesce(ps.spos, 0)) + 1
+       |        AS DOUBLE) / CAST((g_tot.ngpos - st.nspos)
+       |        + (g_tot.v - coalesce(excl.v_excl, 0)) AS DOUBLE)) * 1e9)
+       |      AS BIGINT)
+       |    - CAST(floor(ln(CAST((g.gneg - coalesce(ps.sneg, 0)) + 1
+       |        AS DOUBLE) / CAST((g_tot.ngneg - st.nsneg)
+       |        + (g_tot.v - coalesce(excl.v_excl, 0)) AS DOUBLE)) * 1e9)
+       |      AS BIGINT) AS llr_fp
+       |  FROM tk JOIN g USING (tok)
+       |  LEFT JOIN per_src ps ON tk.tok = ps.tok
+       |    AND tk.source = ps.source
+       |  JOIN src_tot st ON tk.source = st.source
+       |  LEFT JOIN excl ON tk.source = excl.source
+       |  CROSS JOIN g_tot
+       |  WHERE (g.gpos - coalesce(ps.spos, 0))
+       |    + (g.gneg - coalesce(ps.sneg, 0)) > 0),
+       |doc_sc AS (SELECT doc_id, source, pos,
+       |    CAST(sum(llr_fp) AS BIGINT) AS sfp
+       |  FROM sc GROUP BY doc_id, source, pos),
+       |pr AS (SELECT sp.source,
+       |    CAST(floor(ln(CAST(gp.dgpos - sp.dspos AS DOUBLE)) * 1e9)
+       |      AS BIGINT)
+       |    - CAST(floor(ln(CAST(gp.dgneg - sp.dsneg AS DOUBLE)) * 1e9)
+       |      AS BIGINT) AS prior_fp
+       |  FROM src_prior sp CROSS JOIN g_prior gp),
+       |d AS (SELECT doc.source, doc.lang = 'en' AS pos,
+       |    pr.prior_fp + coalesce(ds.sfp, 0) AS score_fp
+       |  FROM documents doc
+       |  LEFT JOIN doc_sc ds ON doc.doc_id = ds.doc_id
+       |  JOIN pr ON doc.source = pr.source)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN (score_fp >= 0) = pos THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_correct,
+       |  round(CAST(sum(CASE WHEN (score_fp >= 0) = pos THEN 1 ELSE 0
+       |    END) AS DOUBLE) / count(*), 6) AS accuracy,
+       |  round(CAST(sum(score_fp) AS DOUBLE) / 1e9 / count(*), 6)
+       |    AS mean_score
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
 
   // --- q332: logistic-regression gate trained by distributed GD -----------
 
@@ -1481,9 +1768,9 @@ object MlPrepOps {
        |w0 AS (SELECT CAST(0 AS DOUBLE) AS wb, CAST(0 AS DOUBLE) AS wl,
        |  CAST(0 AS DOUBLE) AS wt)""".stripMargin
 
-  /** The unrolled weight-recurrence CTEs z1/g1/w1 … w[[LogRegIters]]. */
-  private def logregWCtes: String =
-    (1 to LogRegIters).map { k =>
+  /** The unrolled weight-recurrence CTEs z1/g1/w1 … w`iters`. */
+  private def logregWCtes(iters: Int = LogRegIters): String =
+    (1 to iters).map { k =>
       val pw = s"w${k - 1}"
       s"""z$k AS (SELECT y, x1, x2,
          |    1.0 / (1.0 + exp(-($LogRegZ))) AS p
@@ -1521,7 +1808,7 @@ object MlPrepOps {
     val sel = (1 to LogRegIters).map(k => s"SELECT * FROM s$k")
       .mkString(" UNION ALL ")
     s"""WITH $logregFeatCte,
-       |$logregWCtes,
+       |${logregWCtes()},
        |$stats
        |SELECT * FROM ($sel) ORDER BY iter""".stripMargin
   }
@@ -1599,7 +1886,7 @@ object MlPrepOps {
     val z = LogRegZ
     val wN = s"w$LogRegIters"
     s"""WITH $logregFeatCte,
-       |$logregWCtes,
+       |${logregWCtes()},
        |gv AS (SELECT
        |    (CAST(sum(CAST(floor((y - p) * 1e9) AS BIGINT)) AS DOUBLE)
        |      / 1e9) / count(*) AS gvb,

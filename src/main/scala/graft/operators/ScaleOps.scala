@@ -1830,4 +1830,244 @@ object ScaleOps {
        |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
        |SELECT source, status, count(*) AS n_docs FROM j
        |GROUP BY source, status ORDER BY source, status""".stripMargin
+
+  // --- q348: incremental join-view maintenance (delta algebra) -------------
+
+  /** q348 — incremental view maintenance of a join-aggregate view
+    * (classic delta-algebra IVM, Blakeley–Larson–Tompa 1986): the
+    * materialized view V = π_segment(γ_count,sum(orders ⋈ customer))
+    * is maintained under a fact-side CDC batch — inserts ΔA⁺ (order
+    * keys ≡ 0 mod 7, "newly arrived") and deletes ΔA⁻ (current keys
+    * ≡ 3 mod 11, "retracted") — as V′ = V + γ(ΔA⁺ ⋈ C) − γ(ΔA⁻ ⋈ C):
+    * only the DELTAS touch the join, never the base fact table. The
+    * query applies the delta algebra AND recomputes V′ from scratch,
+    * emitting both next to a per-segment consistency flag — the
+    * IVM ≡ recompute proof runs in-query (the q229 composition
+    * discipline), so a broken maintenance rule is a failing row, not a
+    * silent drift. (Dim-side deltas are out of scope here: customer is
+    * the static side; fact-side CDC is the shape a warehouse pays
+    * hourly.)
+    *
+    * Parity: counts and floor(·100)-cent sums are exact integers;
+    * additivity of (count, sum) under union/difference is exact
+    * integer algebra — zero doubles until the final pretty-print
+    * division.
+    *
+    * Scale (100 TB): the recompute side exists only as the audit's
+    * ground truth; the IVM side joins |Δ| rows against the broadcast
+    * dim and touches |segments| view rows — the whole point of IVM is
+    * that its cost is O(|Δ|), not O(|A|), and this report certifies
+    * the algebra that licenses skipping the recompute. */
+  def ivmJoinView(s: SparkSession, dir: String): DataFrame = {
+    val cust = broadcast(t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment")))
+    val orders = t(s, dir, "orders").selectExpr("o_orderkey", "o_custkey",
+      "CAST(floor(o_totalprice * 100) AS BIGINT) AS price_fp")
+    val a0 = orders.filter(col("o_orderkey") % 7 =!= 0)
+    val dIns = orders.filter(col("o_orderkey") % 7 === 0)
+    val dDel = a0.filter(col("o_orderkey") % 11 === 3)
+    def view(a: DataFrame) = a.join(cust,
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), sum(col("price_fp")).as("sfp"))
+    val v0 = view(a0)
+    val vIns = view(dIns).withColumnRenamed("n", "n_ins")
+      .withColumnRenamed("sfp", "s_ins")
+    val vDel = view(dDel).withColumnRenamed("n", "n_del")
+      .withColumnRenamed("sfp", "s_del")
+    val ivm = v0
+      .join(vIns, Seq("segment"), "full_outer")
+      .join(vDel, Seq("segment"), "full_outer")
+      .selectExpr("segment",
+        "coalesce(n, 0L) AS n_before",
+        "(coalesce(n, 0L) + coalesce(n_ins, 0L)) - coalesce(n_del, 0L)" +
+          " AS n_ivm",
+        "(coalesce(sfp, 0L) + coalesce(s_ins, 0L))" +
+          " - coalesce(s_del, 0L) AS s_ivm")
+    val recomputed = view(
+        a0.filter(col("o_orderkey") % 11 =!= 3).unionByName(dIns))
+      .withColumnRenamed("n", "n_rec").withColumnRenamed("sfp", "s_rec")
+    ivm.join(recomputed, Seq("segment"), "full_outer")
+      .selectExpr("segment", "n_before", "n_ivm",
+        "round((CAST(s_ivm AS DOUBLE) / 100) / n_ivm, 6) AS avg_ivm",
+        "coalesce(n_rec, 0L) AS n_recomputed",
+        "n_ivm = coalesce(n_rec, 0L) AND s_ivm = coalesce(s_rec, 0L)" +
+          " AS consistent")
+      .orderBy("segment")
+  }
+
+  def ivmJoinViewOracle: String =
+    s"""WITH o AS (SELECT o_orderkey, o_custkey,
+       |    CAST(floor(o_totalprice * 100) AS BIGINT) AS price_fp
+       |  FROM orders),
+       |c AS (SELECT c_custkey, c_mktsegment AS segment FROM customer),
+       |a0 AS (SELECT * FROM o WHERE o_orderkey % 7 <> 0),
+       |dins AS (SELECT * FROM o WHERE o_orderkey % 7 = 0),
+       |ddel AS (SELECT * FROM a0 WHERE o_orderkey % 11 = 3),
+       |v0 AS (SELECT segment, count(*) AS n,
+       |    CAST(sum(price_fp) AS BIGINT) AS sfp
+       |  FROM a0 JOIN c ON o_custkey = c_custkey GROUP BY segment),
+       |vi AS (SELECT segment, count(*) AS n_ins,
+       |    CAST(sum(price_fp) AS BIGINT) AS s_ins
+       |  FROM dins JOIN c ON o_custkey = c_custkey GROUP BY segment),
+       |vd AS (SELECT segment, count(*) AS n_del,
+       |    CAST(sum(price_fp) AS BIGINT) AS s_del
+       |  FROM ddel JOIN c ON o_custkey = c_custkey GROUP BY segment),
+       |ivm AS (SELECT segment,
+       |    coalesce(n, 0) AS n_before,
+       |    (coalesce(n, 0) + coalesce(n_ins, 0)) - coalesce(n_del, 0)
+       |      AS n_ivm,
+       |    (coalesce(sfp, 0) + coalesce(s_ins, 0)) - coalesce(s_del, 0)
+       |      AS s_ivm
+       |  FROM v0 FULL JOIN vi USING (segment)
+       |  FULL JOIN vd USING (segment)),
+       |rec AS (SELECT segment, count(*) AS n_rec,
+       |    CAST(sum(price_fp) AS BIGINT) AS s_rec
+       |  FROM (SELECT * FROM a0 WHERE o_orderkey % 11 <> 3
+       |        UNION ALL SELECT * FROM dins) an
+       |  JOIN c ON o_custkey = c_custkey GROUP BY segment)
+       |SELECT segment, CAST(n_before AS BIGINT) AS n_before,
+       |  CAST(n_ivm AS BIGINT) AS n_ivm,
+       |  round((CAST(s_ivm AS DOUBLE) / 100) / n_ivm, 6) AS avg_ivm,
+       |  CAST(coalesce(n_rec, 0) AS BIGINT) AS n_recomputed,
+       |  n_ivm = coalesce(n_rec, 0) AND s_ivm = coalesce(s_rec, 0)
+       |    AS consistent
+       |FROM ivm FULL JOIN rec USING (segment)
+       |ORDER BY segment""".stripMargin
+
+  // --- q347: data-skipping effectiveness audit (z-order vs natural) --------
+
+  /** File count target per layout: natural files are equal-width key
+    * ranges; z-order files are Morton cells of `zval >> ZSkipShift`
+    * (2·[[MortonBits]] − 6 ⇒ 64 cells). */
+  val ZSkipFiles = 64L
+  val ZSkipShift: Int = 2 * MortonBits - 6
+
+  /** The two-column range-predicate grid the audit probes: 4×4 (x, y)
+    * windows of width 8 × 64 over (p_size, price-bucket) space. */
+  val ZSkipXLos: Seq[Long] = Seq(0L, 8L, 16L, 24L)
+  val ZSkipYLos: Seq[Long] = Seq(0L, 64L, 128L, 192L)
+  val ZSkipXW = 8L
+  val ZSkipYW = 64L
+
+  /** q347 — data-skipping effectiveness: the min/max-pruning audit
+    * behind every columnar table format (parquet row-group stats,
+    * Delta/Iceberg file skipping; Morton layout per Orenstein &
+    * Merrett 1984). Rows are laid out twice — natural key order cut
+    * into [[ZSkipFiles]] equal-width key ranges, and z-order cut at
+    * Morton-cell boundaries — and for every predicate in the 4×4
+    * two-column range grid the audit counts the files a min/max pruner
+    * must scan under each layout, next to the files that actually
+    * contain matches (the perfect-pruning floor). The z-order column
+    * bounds BOTH dimensions per file, the natural layout only the key
+    * — this report prices that difference predicate by predicate.
+    *
+    * Parity: pure integer min/max/overlap arithmetic; file ids are
+    * value-derived (key ranges, Morton-cell shifts), NOT rank-derived —
+    * no global row_number, so the audit itself has no corpus-sized
+    * single-partition stage (the layout writer at 100 TB would
+    * range-partition by the same keys).
+    *
+    * Scale (100 TB): two |files|-group aggregates for the stats, one
+    * broadcast of the 16-row predicate grid against the |files|-row
+    * stats frames, and one pass with the same broadcast for the
+    * matching-file floor. The audit costs one scan; the decision it
+    * informs (lay out by z before writing) saves the cluster from
+    * scanning everything for every two-column query forever after. */
+  def skippingAudit(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "part")
+      .selectExpr("p_partkey", "CAST(p_size AS BIGINT) AS x",
+        // cents, not dollars: the fixture's dollar residues mod 256
+        // occupy only [132, 231], which empties half the predicate
+        // grid; cent residues spread over the full byte
+        "CAST(floor(p_retailprice * 100) AS BIGINT) % 256 AS y")
+      .selectExpr("p_partkey", "x", "y",
+        s"(${mortonExpr("x", "y", spark = true)}) AS zval")
+    val width = base.agg(
+      (((max(col("p_partkey")) + 1L) + (ZSkipFiles - 1L))
+        / ZSkipFiles).cast("bigint").as("kw"))
+    val rows = base.crossJoin(broadcast(width))
+      .selectExpr("x", "y",
+        "CAST(p_partkey / kw AS BIGINT) AS f_nat",
+        s"shiftright(zval, $ZSkipShift) AS f_z").persist()
+    val preds = ZSkipXLos.flatMap(xl => ZSkipYLos.map(yl => (xl, yl)))
+    val predDf = s.createDataFrame(preds).toDF("x_lo", "y_lo")
+    def fileStats(fcol: String) = rows.groupBy(col(fcol).as("f")).agg(
+      min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+      min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+    def scanned(fcol: String, name: String) =
+      fileStats(fcol).crossJoin(broadcast(predDf))
+        .filter(col("min_x") < col("x_lo") + ZSkipXW &&
+          col("max_x") >= col("x_lo") &&
+          col("min_y") < col("y_lo") + ZSkipYW &&
+          col("max_y") >= col("y_lo"))
+        .groupBy("x_lo", "y_lo").agg(count(lit(1)).as(name))
+    def matching(fcol: String, name: String) =
+      rows.crossJoin(broadcast(predDf))
+        .filter(col("x") >= col("x_lo") && col("x") < col("x_lo") + ZSkipXW
+          && col("y") >= col("y_lo") && col("y") < col("y_lo") + ZSkipYW)
+        .groupBy("x_lo", "y_lo")
+        .agg(countDistinct(col(fcol)).as(name))
+    predDf
+      .join(scanned("f_nat", "files_scanned_natural"), Seq("x_lo", "y_lo"),
+        "left")
+      .join(scanned("f_z", "files_scanned_zorder"), Seq("x_lo", "y_lo"),
+        "left")
+      .join(matching("f_nat", "files_matching_natural"),
+        Seq("x_lo", "y_lo"), "left")
+      .join(matching("f_z", "files_matching_zorder"), Seq("x_lo", "y_lo"),
+        "left")
+      .selectExpr("x_lo", "y_lo",
+        "coalesce(files_scanned_natural, 0L) AS files_scanned_natural",
+        "coalesce(files_matching_natural, 0L) AS files_matching_natural",
+        "coalesce(files_scanned_zorder, 0L) AS files_scanned_zorder",
+        "coalesce(files_matching_zorder, 0L) AS files_matching_zorder")
+      .orderBy("x_lo", "y_lo")
+  }
+
+  def skippingAuditOracle: String = {
+    val preds = ZSkipXLos.flatMap(xl => ZSkipYLos.map(yl =>
+      s"($xl, $yl)")).mkString(", ")
+    s"""WITH base AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS x,
+       |    CAST(floor(p_retailprice * 100) AS BIGINT) % 256 AS y
+       |  FROM part),
+       |bz AS (SELECT p_partkey, x, y,
+       |    (${mortonExpr("x", "y", spark = false)}) AS zval FROM base),
+       |wd AS (SELECT CAST(((max(p_partkey) + 1) + (${ZSkipFiles} - 1))
+       |    // $ZSkipFiles AS BIGINT) AS kw FROM bz),
+       |rws AS (SELECT x, y,
+       |    CAST(p_partkey // kw AS BIGINT) AS f_nat,
+       |    (zval >> $ZSkipShift) AS f_z FROM bz, wd),
+       |preds(x_lo, y_lo) AS (VALUES $preds),
+       |fs_nat AS (SELECT f_nat AS f, min(x) AS min_x, max(x) AS max_x,
+       |    min(y) AS min_y, max(y) AS max_y FROM rws GROUP BY f_nat),
+       |fs_z AS (SELECT f_z AS f, min(x) AS min_x, max(x) AS max_x,
+       |    min(y) AS min_y, max(y) AS max_y FROM rws GROUP BY f_z),
+       |sc_nat AS (SELECT x_lo, y_lo, count(*) AS n
+       |  FROM fs_nat, preds WHERE min_x < x_lo + $ZSkipXW
+       |    AND max_x >= x_lo AND min_y < y_lo + $ZSkipYW
+       |    AND max_y >= y_lo GROUP BY x_lo, y_lo),
+       |sc_z AS (SELECT x_lo, y_lo, count(*) AS n
+       |  FROM fs_z, preds WHERE min_x < x_lo + $ZSkipXW
+       |    AND max_x >= x_lo AND min_y < y_lo + $ZSkipYW
+       |    AND max_y >= y_lo GROUP BY x_lo, y_lo),
+       |mt_nat AS (SELECT x_lo, y_lo, count(DISTINCT f_nat) AS n
+       |  FROM rws, preds WHERE x >= x_lo AND x < x_lo + $ZSkipXW
+       |    AND y >= y_lo AND y < y_lo + $ZSkipYW GROUP BY x_lo, y_lo),
+       |mt_z AS (SELECT x_lo, y_lo, count(DISTINCT f_z) AS n
+       |  FROM rws, preds WHERE x >= x_lo AND x < x_lo + $ZSkipXW
+       |    AND y >= y_lo AND y < y_lo + $ZSkipYW GROUP BY x_lo, y_lo)
+       |SELECT CAST(p.x_lo AS BIGINT) AS x_lo,
+       |  CAST(p.y_lo AS BIGINT) AS y_lo,
+       |  CAST(coalesce(sn.n, 0) AS BIGINT) AS files_scanned_natural,
+       |  CAST(coalesce(mn.n, 0) AS BIGINT) AS files_matching_natural,
+       |  CAST(coalesce(sz.n, 0) AS BIGINT) AS files_scanned_zorder,
+       |  CAST(coalesce(mz.n, 0) AS BIGINT) AS files_matching_zorder
+       |FROM preds p
+       |LEFT JOIN sc_nat sn USING (x_lo, y_lo)
+       |LEFT JOIN sc_z sz USING (x_lo, y_lo)
+       |LEFT JOIN mt_nat mn USING (x_lo, y_lo)
+       |LEFT JOIN mt_z mz USING (x_lo, y_lo)
+       |ORDER BY x_lo, y_lo""".stripMargin
+  }
 }

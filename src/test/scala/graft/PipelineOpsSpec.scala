@@ -4228,6 +4228,67 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(minHelp >= maxHarm)
   }
 
+  test("q345 cartography: all three regions populate, partition the corpus, and order by confidence") {
+    val rows = MlPrepOps.datasetCartography(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val regions = rows.map(_._1).toSet
+    assert(regions == Set("easy", "hard_to_learn", "ambiguous"),
+      s"regions: $regions")
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(_._3).sum == nDocs)
+    // hard-to-learn is below-mean confidence BY DEFINITION
+    val hardMax = rows.filter(_._1 == "hard_to_learn").map(_._4).max
+    val easyMin = rows.filter(_._1 == "easy").map(_._4).min
+    assert(hardMax < easyMin)
+  }
+
+  test("q346 LOO-by-subtraction equals direct leave-one-source-out retraining (spot source)") {
+    // replay ONE source's LOO model by direct retraining on the driver
+    // with the exact frozen math, and compare its accuracy row
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2) == "en",
+        r.getString(3).split(" ").toSeq))
+    val src = docs.map(_._2).distinct.sorted.head
+    val train = docs.filter(_._2 != src)
+    val test = docs.filter(_._2 == src)
+    val cpos = scala.collection.mutable.Map.empty[String, Long]
+    val cneg = scala.collection.mutable.Map.empty[String, Long]
+    train.foreach { case (_, _, pos, toks) =>
+      toks.foreach { tk =>
+        if (pos) cpos(tk) = cpos.getOrElse(tk, 0L) + 1
+        else cneg(tk) = cneg.getOrElse(tk, 0L) + 1
+      }
+    }
+    val vocab = (cpos.keySet ++ cneg.keySet).toSet
+    val (npos, nneg) = (cpos.values.sum, cneg.values.sum)
+    val v = vocab.size.toLong
+    val dpos = train.count(_._3).toLong
+    val dneg = train.length - dpos
+    val priorFp = math.floor(math.log(dpos.toDouble) * 1e9).toLong -
+      math.floor(math.log(dneg.toDouble) * 1e9).toLong
+    var correct = 0L
+    test.foreach { case (_, _, pos, toks) =>
+      var s0 = priorFp
+      toks.foreach { tk =>
+        if (vocab(tk)) {
+          val lp = (cpos.getOrElse(tk, 0L) + 1).toDouble / (npos + v)
+          val ln0 = (cneg.getOrElse(tk, 0L) + 1).toDouble / (nneg + v)
+          s0 += math.floor(math.log(lp) * 1e9).toLong -
+            math.floor(math.log(ln0) * 1e9).toLong
+        }
+      }
+      if ((s0 >= 0L) == pos) correct += 1
+    }
+    val row = MlPrepOps.looSourceEval(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      .apply(src)
+    assert(row._1 == test.length.toLong)
+    assert(row._2 == correct,
+      s"$src: engine ${row._2} vs direct-retrain replay $correct")
+  }
+
   test("q336 huber location matches a driver-side replay of the frozen IRLS recurrence") {
     val xs = spark.read.parquet(s"$dir/documents.parquet")
       .select("source", "n_chars").collect()

@@ -186,4 +186,35 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(math.abs(mean - chars.toDouble / n) < 1e-9)
     }
   }
+
+  test("q347 skipping audit: min/max pruning is sound and z-order dominates the natural layout") {
+    val rows = ScaleOps.skippingAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length ==
+      ScaleOps.ZSkipXLos.length * ScaleOps.ZSkipYLos.length)
+    rows.foreach { case (xl, yl, scanN, matchN, scanZ, matchZ) =>
+      // soundness: a min/max pruner may over-scan but never misses a
+      // file that contains a matching row
+      assert(scanN >= matchN, s"pred ($xl,$yl) natural")
+      assert(scanZ >= matchZ, s"pred ($xl,$yl) zorder")
+    }
+    val totScanN = rows.map(_._3).sum
+    val totScanZ = rows.map(_._5).sum
+    assert(totScanZ < totScanN,
+      s"zorder scanned $totScanZ vs natural $totScanN")
+    assert(rows.map(_._4).sum > 0, "no matching rows anywhere — vacuous")
+  }
+
+  test("q348 IVM delta algebra is consistent with recomputation on every segment") {
+    val rows = ScaleOps.ivmJoinView(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (seg, before, ivm, rec, ok) =>
+      assert(ok, s"segment $seg inconsistent")
+      assert(ivm == rec, seg)
+      assert(ivm != before, s"$seg: delta batch was a no-op — vacuous")
+    }
+  }
 }
