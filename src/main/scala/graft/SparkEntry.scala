@@ -366,6 +366,8 @@ object SparkEntry {
     "q346_loo_source"        -> (MlPrepOps.looSourceEval _),
     "q347_skipping_audit"    -> (ScaleOps.skippingAudit _),
     "q348_ivm_join_view"     -> (ScaleOps.ivmJoinView _),
+    "q349_unseen_mass"       -> (TextOps.unseenMass _),
+    "q350_pointer_jump"      -> (GraphOps.pointerJump _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -996,6 +998,8 @@ object SparkEntry {
     "q346_loo_source" -> MlPrepOps.looSourceEvalOracle,
     "q347_skipping_audit" -> ScaleOps.skippingAuditOracle,
     "q348_ivm_join_view" -> ScaleOps.ivmJoinViewOracle,
+    "q349_unseen_mass" -> TextOps.unseenMassOracle,
+    "q350_pointer_jump" -> GraphOps.pointerJumpOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -1188,6 +1188,91 @@ object GraphOps {
        |SELECT * FROM ($sel) ORDER BY round""".stripMargin
   }
 
+  // --- q350: pointer-jumping redirect resolution ----------------------------
+
+  /** Redirect-chain modulus: doc i points at i−1 unless i ≡ 0 (mod 32),
+    * giving chains up to 31 hops — deep enough that sequential
+    * resolution needs 31 passes while pointer jumping needs
+    * ⌈log₂ 31⌉ = 5. */
+  val JumpMod = 32L
+
+  /** Pointer-jumping rounds (⌈log₂(JumpMod − 1)⌉). */
+  val JumpRounds = 5
+
+  /** q350 — redirect resolution by pointer jumping (Wyllie 1979 — the
+    * classic parallel list-ranking primitive): every document carries a
+    * redirect pointer (synthetic chains: i → i−1 until the chain head
+    * at i ≡ 0 mod [[JumpMod]], heads self-point), and each round
+    * replaces every pointer with its pointer's pointer — p ← p(p) —
+    * halving every chain, so 31-hop chains resolve in [[JumpRounds]]
+    * joins instead of 31. Per round: how many pointers already sit at
+    * their chain head, and how many sit at the CORRECT head (the
+    * closed-form i − i mod [[JumpMod]] — a bug that jumps to some
+    * OTHER head fails this column, not just the convergence one).
+    * This is how a crawl pipeline collapses redirect/alias chains
+    * (URL canonicalization, entity merge forests) without a
+    * sequential walk.
+    *
+    * Parity: pure integer pointers and counts; the oracle unrolls the
+    * five doubling rounds as self-join CTEs.
+    *
+    * Scale (100 TB): each round is ONE equi-join of the pointer table
+    * with itself on the pointer key (hash-partitioned both sides, no
+    * driver state) + a cutLineage (the q338 discipline — the frame is
+    * re-referenced twice per round); log₂(depth) rounds total. The
+    * sequential alternative — follow one hop per pass — pays
+    * max-chain-depth passes; pointer jumping is why the cluster pays
+    * 5. */
+  def pointerJump(s: SparkSession, dir: String): DataFrame = {
+    val base = EtlOps.t(s, dir, "documents").selectExpr(
+      "doc_id AS id",
+      s"CASE WHEN doc_id % $JumpMod = 0 THEN doc_id" +
+        " ELSE doc_id - 1 END AS ptr")
+    var p = CurationOps.cutLineage(base)
+    val rows = scala.collection.mutable.Buffer.empty[DataFrame]
+    (1 to JumpRounds).foreach { r =>
+      val nxt = CurationOps.cutLineage(
+        p.as("a").join(p.as("b"), col("a.ptr") === col("b.id"))
+          .select(col("a.id").as("id"), col("b.ptr").as("ptr")))
+      rows += nxt.agg(
+          count(lit(1)).as("n_nodes"),
+          sum(when(col("ptr") % JumpMod === 0L, 1L).otherwise(0L))
+            .as("n_at_head"),
+          sum(when(col("ptr") === col("id") - (col("id") % JumpMod), 1L)
+            .otherwise(0L)).as("n_correct_head"))
+        .selectExpr(s"CAST($r AS BIGINT) AS round", "n_nodes",
+          "n_at_head", "n_correct_head",
+          "n_at_head = n_nodes AS converged")
+      p = nxt
+    }
+    rows.reduce(_.union(_)).orderBy("round")
+  }
+
+  def pointerJumpOracle: String = {
+    val iters = (1 to JumpRounds).map { r =>
+      val pp = s"p${r - 1}"
+      s"""p$r AS (SELECT a.id, b.ptr FROM $pp a
+         |  JOIN $pp b ON a.ptr = b.id),
+         |s$r AS (SELECT CAST($r AS BIGINT) AS round,
+         |    count(*) AS n_nodes,
+         |    CAST(sum(CASE WHEN ptr % $JumpMod = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_at_head,
+         |    CAST(sum(CASE WHEN ptr = id - (id % $JumpMod) THEN 1
+         |      ELSE 0 END) AS BIGINT) AS n_correct_head,
+         |    sum(CASE WHEN ptr % $JumpMod = 0 THEN 1 ELSE 0 END)
+         |      = count(*) AS converged
+         |  FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to JumpRounds).map(r => s"SELECT * FROM s$r")
+      .mkString(" UNION ALL ")
+    s"""WITH p0 AS (SELECT doc_id AS id,
+       |    CASE WHEN doc_id % $JumpMod = 0 THEN doc_id
+       |    ELSE doc_id - 1 END AS ptr
+       |  FROM documents),
+       |$iters
+       |SELECT * FROM ($sel) ORDER BY round""".stripMargin
+  }
+
   // --- q339: degree assortativity ------------------------------------------
 
   /** q339 — degree assortativity coefficient (Newman 2002, "Assortative

@@ -1312,8 +1312,13 @@ object MlPrepOps {
   def datasetCartography(s: SparkSession, dir: String): DataFrame = {
     val k = CartoIters
     val feat = logregFeatures(s, dir).persist()
+    // cutLineage per checkpoint: each step references its predecessor
+    // twice (gradient crossJoin + update crossJoin), so the uncut
+    // 8-deep weight chain doubles per iteration (measured 24 s at
+    // sf0.1, planning-dominated; 2.4 s cut — the q338 lesson on a
+    // 1-row frame)
     val ws = (1 to k).scanLeft(logregW0(s))((w, _) =>
-      logregStep(feat, w)).tail
+      CurationOps.cutLineage(logregStep(feat, w))).tail
     val pcols = ws.zipWithIndex.map { case (w, i) =>
       feat.crossJoin(broadcast(w))
         .selectExpr("doc_id", "y",

@@ -1448,6 +1448,73 @@ object TextOps {
        |FROM doc GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // --- q349: unseen-vocabulary mass (Good–Turing / Chao1) ------------------
+
+  /** q349 — how much vocabulary has the crawl NOT seen yet? Per source
+    * and for the pooled corpus: hapax/dis-legomena counts, the
+    * Good–Turing unseen-probability mass P₀ = n₁/N (Good 1953), and
+    * the Chao1 richness floor V + n₁²/(2n₂) (Chao 1984) — the
+    * crawl-budget readout that says whether another pass over a source
+    * buys new tokens or re-reads the same ones. Complements q143
+    * (Heaps exponent = growth SHAPE) with absolute unseen-mass
+    * estimates.
+    *
+    * Parity: token counts, n₁, n₂, V are exact integers; P₀ and Chao1
+    * are ONE division each over integer products + round — zero
+    * transcendentals.
+    *
+    * Scale (100 TB): one (source, token) count aggregate
+    * (map-combinable), then a |vocab|-sized frequency-of-frequency
+    * collapse per source — the same two-exchange shape as q65; the
+    * pooled row re-aggregates the per-source token counts, not the
+    * corpus. */
+  def unseenMass(s: SparkSession, dir: String): DataFrame = {
+    val tf = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c")).persist()
+    val perSrc = tf.groupBy("source").agg(
+      sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+    val pooledTf = tf.groupBy("tok").agg(sum(col("c")).as("c"))
+    val pooled = pooledTf.agg(
+      sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+      sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+      .withColumn("source", lit("__pooled__"))
+    perSrc.unionByName(pooled.select(perSrc.columns.map(col): _*))
+      .selectExpr("source", "n_tokens", "vocab", "n1", "n2",
+        "round(CAST(n1 AS DOUBLE) / n_tokens, 6) AS gt_unseen_mass",
+        "round(CAST(vocab AS DOUBLE)" +
+          " + (CAST(n1 AS DOUBLE) * n1) / (2.0 * greatest(n2, 1L)), 6)" +
+          " AS chao1_richness")
+      .orderBy("source")
+  }
+
+  def unseenMassOracle: String =
+    s"""WITH tf AS (SELECT source, tok, count(*) AS c FROM (
+       |    SELECT source, unnest(string_split(text, ' ')) AS tok
+       |    FROM documents) GROUP BY source, tok),
+       |per_src AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    count(*) AS vocab,
+       |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+       |  FROM tf GROUP BY source),
+       |ptf AS (SELECT tok, CAST(sum(c) AS BIGINT) AS c FROM tf
+       |  GROUP BY tok),
+       |pooled AS (SELECT '__pooled__' AS source,
+       |    CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab,
+       |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+       |  FROM ptf),
+       |u AS (SELECT * FROM per_src UNION ALL SELECT * FROM pooled)
+       |SELECT source, n_tokens, vocab, n1, n2,
+       |  round(CAST(n1 AS DOUBLE) / n_tokens, 6) AS gt_unseen_mass,
+       |  round(CAST(vocab AS DOUBLE)
+       |    + (CAST(n1 AS DOUBLE) * n1) / (2.0 * greatest(n2, 1)), 6)
+       |    AS chao1_richness
+       |FROM u ORDER BY source""".stripMargin
+
   // --- q334: perplexity head/middle/tail buckets (CCNet-style) -------------
 
   /** q334 — CCNet-style perplexity bucketing (Wenzek et al. 2020,

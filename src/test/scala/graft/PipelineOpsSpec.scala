@@ -4289,6 +4289,58 @@ class PipelineOpsSpec extends AnyFunSuite {
       s"$src: engine ${row._2} vs direct-retrain replay $correct")
   }
 
+  test("q349 unseen mass: pooled row dominates sources; Chao1 >= observed vocab; GT mass sane") {
+    val rows = TextOps.unseenMass(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    val (pooled, srcs) = rows.partition(_._1 == "__pooled__")
+    assert(pooled.length == 1 && srcs.nonEmpty)
+    val p = pooled.head
+    // pooled token mass is the exact sum of the sources'
+    assert(p._2 == srcs.map(_._2).sum)
+    // pooled vocab is at most the union bound and at least the max
+    assert(p._3 <= srcs.map(_._3).sum && p._3 >= srcs.map(_._3).max)
+    rows.foreach { case (src, n, v, n1, n2, gt, chao) =>
+      assert(n1 + n2 <= v, src)
+      assert(gt >= 0.0 && gt <= 1.0, src)
+      assert(chao >= v.toDouble, src) // richness floor ≥ observed
+      assert(math.abs(gt - n1.toDouble / n) < 1e-5, src)
+    }
+    // pooling removes hapaxes (cross-source repeats), so the pooled
+    // unseen mass is below the source-weighted average
+    val wavg = srcs.map(r => r._4.toDouble).sum / p._2
+    assert(p._6 <= wavg + 1e-9)
+  }
+
+  test("q350 pointer jumping: chains halve each round, converge in log2 rounds to the CORRECT heads") {
+    val rows = GraphOps.pointerJump(spark, dir).orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.length == GraphOps.JumpRounds)
+    val n = rows.head._2
+    rows.foreach { case (_, nn, atHead, correct, conv) =>
+      assert(nn == n)
+      // every pointer at A head is at the RIGHT head (the closed-form
+      // target) — a jump that lands on a foreign head fails here
+      assert(atHead == correct)
+      assert(conv == (atHead == n))
+    }
+    // monotone convergence and full resolution at the last round
+    rows.map(_._3).sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(1) >= p(0)))
+    assert(rows.last._5, "did not converge in log2(depth) rounds")
+    // after round r a pointer covers 2^r hops: a node is at its head
+    // exactly when its chain offset is ≤ 2^r
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    rows.foreach { case (r, _, atHead, _, _) =>
+      val bound = docs.count(id =>
+        (id % GraphOps.JumpMod) <= (1L << r.toInt))
+      assert(atHead == bound.toLong,
+        s"round $r: $atHead at head, expected exactly $bound")
+    }
+  }
+
   test("q336 huber location matches a driver-side replay of the frozen IRLS recurrence") {
     val xs = spark.read.parquet(s"$dir/documents.parquet")
       .select("source", "n_chars").collect()
