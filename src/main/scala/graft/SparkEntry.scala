@@ -368,6 +368,8 @@ object SparkEntry {
     "q348_ivm_join_view"     -> (ScaleOps.ivmJoinView _),
     "q349_unseen_mass"       -> (TextOps.unseenMass _),
     "q350_pointer_jump"      -> (GraphOps.pointerJump _),
+    "q351_postings_bytes"    -> (MlPrepOps.postingsCompression _),
+    "q352_three_way_merge"   -> (ScaleOps.threeWayMerge _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1000,6 +1002,8 @@ object SparkEntry {
     "q348_ivm_join_view" -> ScaleOps.ivmJoinViewOracle,
     "q349_unseen_mass" -> TextOps.unseenMassOracle,
     "q350_pointer_jump" -> GraphOps.pointerJumpOracle,
+    "q351_postings_bytes" -> MlPrepOps.postingsCompressionOracle,
+    "q352_three_way_merge" -> ScaleOps.threeWayMergeOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -1186,6 +1186,91 @@ object MlPrepOps {
        |    AS top1_agree
        |FROM f GROUP BY term ORDER BY term""".stripMargin
 
+  // --- q351: posting-list delta-gap compression estimate -------------------
+
+  /** q351 — inverted-index size budgeting via delta-gap VByte
+    * estimation (Zobel & Moffat 2006 survey; VByte per
+    * Thiel/Heaps-era practice): per term, postings are the sorted
+    * doc_id list; stored as first-id + gaps, each integer costs
+    * ⌈bits/7⌉ VByte bytes. The audit aggregates per document-frequency
+    * decile: raw 8-byte cost, delta-gap VByte cost, and the
+    * compression ratio — the capacity-planning readout an index build
+    * runs BEFORE allocating the posting store (high-df terms compress
+    * hardest: dense postings → tiny gaps → 1-byte codes).
+    *
+    * Parity: gaps via a lag window partitioned by term (doc_id total
+    * order); the VByte size of a positive integer g is exact integer
+    * CASE arithmetic (g < 2⁷ → 1, < 2¹⁴ → 2, < 2²¹ → 3, else 4);
+    * decile = exact integer rank arithmetic over the df ladder.
+    *
+    * Scale (100 TB): rides the q147/q223 postings build (one
+    * (term, doc) collapse); the gap pass is a term-partitioned window
+    * (the index's natural partitioning); the report is a 10-group
+    * aggregate. */
+  def postingsCompression(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("term"), col("doc_id"))
+      .distinct()
+    val w = Window.partitionBy("term").orderBy("doc_id")
+    val gaps = postings
+      .withColumn("gap",
+        coalesce(col("doc_id") - lag(col("doc_id"), 1).over(w),
+          col("doc_id") + 1L))
+      .withColumn("vbytes", expr(
+        "CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2" +
+          " WHEN gap < 2097152 THEN 3 ELSE 4 END").cast("long"))
+    val perTerm = gaps.groupBy("term").agg(
+      count(lit(1)).as("df"), sum(col("vbytes")).as("vb"))
+    val wd = Window.orderBy(col("df").asc, col("term").asc)
+    // decile rank over the |vocab|-sized term ladder — vocabulary-
+    // bounded, and the aggregate below collapses it immediately
+    val nTerms = perTerm.agg(count(lit(1)).as("n_terms"))
+    perTerm.crossJoin(broadcast(nTerms))
+      .withColumn("rk", row_number().over(wd).cast("bigint"))
+      .withColumn("decile",
+        expr("least(((rk - 1) * 10) div n_terms, 9)"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("df")).as("n_postings"),
+        (sum(col("df")) * 8L).as("raw_bytes"),
+        sum(col("vb")).as("vbyte_bytes"))
+      .select(col("decile"), col("n_terms"), col("n_postings"),
+        col("raw_bytes"), col("vbyte_bytes"),
+        round(col("raw_bytes").cast("double") / col("vbyte_bytes"), 6)
+          .as("compression"))
+      .orderBy("decile")
+  }
+
+  def postingsCompressionOracle: String =
+    s"""WITH p AS (SELECT DISTINCT term, doc_id FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS term, doc_id
+       |    FROM documents)),
+       |g AS (SELECT term, doc_id,
+       |    coalesce(doc_id - lag(doc_id) OVER (PARTITION BY term
+       |      ORDER BY doc_id), doc_id + 1) AS gap
+       |  FROM p),
+       |v AS (SELECT term, CAST(CASE WHEN gap < 128 THEN 1
+       |      WHEN gap < 16384 THEN 2 WHEN gap < 2097152 THEN 3
+       |      ELSE 4 END AS BIGINT) AS vbytes
+       |  FROM g),
+       |pt AS (SELECT term, count(*) AS df,
+       |    CAST(sum(vbytes) AS BIGINT) AS vb
+       |  FROM v GROUP BY term),
+       |nt AS (SELECT count(*) AS n_terms FROM pt),
+       |rk AS (SELECT pt.*, nt.n_terms,
+       |    row_number() OVER (ORDER BY df ASC, term ASC) AS rk
+       |  FROM pt, nt),
+       |d AS (SELECT least(((rk - 1) * 10) // n_terms, 9)
+       |    AS decile, df, vb
+       |  FROM rk)
+       |SELECT decile, count(*) AS n_terms,
+       |  CAST(sum(df) AS BIGINT) AS n_postings,
+       |  CAST(sum(df) * 8 AS BIGINT) AS raw_bytes,
+       |  CAST(sum(vb) AS BIGINT) AS vbyte_bytes,
+       |  round(CAST(sum(df) * 8 AS DOUBLE) / sum(vb), 6) AS compression
+       |FROM d GROUP BY decile ORDER BY decile""".stripMargin
+
   // --- q340: pseudo-relevance-feedback query expansion ---------------------
 
   /** Expansion terms emitted per query. */

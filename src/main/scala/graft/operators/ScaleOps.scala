@@ -1831,6 +1831,93 @@ object ScaleOps {
        |SELECT source, status, count(*) AS n_docs FROM j
        |GROUP BY source, status ORDER BY source, status""".stripMargin
 
+  // --- q352: three-way dataset merge (row-level, git-like) -----------------
+
+  /** q352 — three-way merge of two dataset branches against their
+    * common base (the row-level version of the classic 3-way text
+    * merge; the semantics Delta/lakeFS-style data version control
+    * implements): branch OURS edits doc_id ≡ 1 (mod 5) and deletes
+    * ≡ 2 (mod 17); branch THEIRS edits ≡ 2 (mod 7) and deletes
+    * ≡ 3 (mod 19). Per row the merge resolves to one of: unchanged,
+    * take_ours, take_theirs, delete (agreed or one-sided on an
+    * untouched row), or CONFLICT — both sides changed it differently
+    * (edit/edit) or one edited what the other deleted (edit/delete).
+    * The report is the outcome census + per-conflict-kind counts — the
+    * gate a data-branch merge runs before fast-forwarding the main
+    * table.
+    *
+    * Parity: change detection is md5-fingerprint equality (engine-
+    * portable); outcomes are pure CASE algebra over existence/equality
+    * flags; counts exact.
+    *
+    * Scale (100 TB): in production the branches arrive as CDC deltas,
+    * so the joins are |Δ|-sized against the base's key partitioning;
+    * here the full-frame form is one 3-way outer join on the key with
+    * the same resolution expression — the census is one |outcomes|-
+    * group aggregate either way. */
+  def threeWayMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .selectExpr("doc_id", "md5(text) AS fp")
+    val ours = t(s, dir, "documents")
+      .filter(col("doc_id") % 17 =!= 2)
+      .selectExpr("doc_id",
+        "md5(CASE WHEN doc_id % 5 = 1 THEN upper(text) ELSE text END)" +
+          " AS fp_o")
+    val theirs = t(s, dir, "documents")
+      .filter(col("doc_id") % 19 =!= 3)
+      .selectExpr("doc_id",
+        "md5(CASE WHEN doc_id % 7 = 2 THEN text || ' theirs' ELSE text" +
+          " END) AS fp_t")
+    base.join(ours, Seq("doc_id"), "left")
+      .join(theirs, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "fp_o IS NULL AS del_o", "fp_t IS NULL AS del_t",
+        "fp_o IS NOT NULL AND fp_o <> fp AS mod_o",
+        "fp_t IS NOT NULL AND fp_t <> fp AS mod_t")
+      .selectExpr("CASE" +
+        " WHEN del_o AND del_t THEN 'delete_agreed'" +
+        " WHEN (mod_o AND del_t) OR (mod_t AND del_o)" +
+        " THEN 'conflict_edit_delete'" +
+        " WHEN mod_o AND mod_t THEN 'conflict_edit_edit'" +
+        " WHEN del_o OR del_t THEN 'delete_one_sided'" +
+        " WHEN mod_o THEN 'take_ours'" +
+        " WHEN mod_t THEN 'take_theirs'" +
+        " ELSE 'unchanged' END AS outcome")
+      .groupBy("outcome").agg(count(lit(1)).as("n_docs"))
+      .withColumn("is_conflict", col("outcome").startsWith("conflict"))
+      .orderBy("outcome")
+  }
+
+  def threeWayMergeOracle: String =
+    s"""WITH base AS (SELECT doc_id, md5(text) AS fp FROM documents),
+       |ours AS (SELECT doc_id,
+       |    md5(CASE WHEN doc_id % 5 = 1 THEN upper(text) ELSE text END)
+       |      AS fp_o
+       |  FROM documents WHERE doc_id % 17 <> 2),
+       |theirs AS (SELECT doc_id,
+       |    md5(CASE WHEN doc_id % 7 = 2 THEN text || ' theirs'
+       |      ELSE text END) AS fp_t
+       |  FROM documents WHERE doc_id % 19 <> 3),
+       |f AS (SELECT b.doc_id,
+       |    o.fp_o IS NULL AS del_o, t.fp_t IS NULL AS del_t,
+       |    o.fp_o IS NOT NULL AND o.fp_o <> b.fp AS mod_o,
+       |    t.fp_t IS NOT NULL AND t.fp_t <> b.fp AS mod_t
+       |  FROM base b LEFT JOIN ours o USING (doc_id)
+       |  LEFT JOIN theirs t USING (doc_id)),
+       |r AS (SELECT CASE
+       |    WHEN del_o AND del_t THEN 'delete_agreed'
+       |    WHEN (mod_o AND del_t) OR (mod_t AND del_o)
+       |      THEN 'conflict_edit_delete'
+       |    WHEN mod_o AND mod_t THEN 'conflict_edit_edit'
+       |    WHEN del_o OR del_t THEN 'delete_one_sided'
+       |    WHEN mod_o THEN 'take_ours'
+       |    WHEN mod_t THEN 'take_theirs'
+       |    ELSE 'unchanged' END AS outcome
+       |  FROM f)
+       |SELECT outcome, count(*) AS n_docs,
+       |  outcome LIKE 'conflict%' AS is_conflict
+       |FROM r GROUP BY outcome ORDER BY outcome""".stripMargin
+
   // --- q348: incremental join-view maintenance (delta algebra) -------------
 
   /** q348 — incremental view maintenance of a join-aggregate view

@@ -4341,6 +4341,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q351 postings compression matches a driver-side VByte replay; high-df deciles compress hardest") {
+    val pairs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS term", "doc_id")
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def vb(g: Long): Long =
+      if (g < 128) 1 else if (g < 16384) 2 else if (g < 2097152) 3 else 4
+    val perTerm = pairs.groupBy(_._1).map { case (term, ps) =>
+      val ids = ps.map(_._2).sorted.toSeq
+      val gaps = (ids.head + 1) +: ids.sliding(2).collect {
+        case Seq(a, b) => b - a }.toSeq
+      (term, ids.length.toLong, gaps.map(vb).sum)
+    }.toSeq
+    val n = perTerm.size.toLong
+    val ranked = perTerm.sortBy { case (t, df, _) => (df, t) }.zipWithIndex
+    val expected = ranked.groupBy { case (_, i) =>
+      math.min(i.toLong * 10 / n, 9L) }
+      .view.mapValues { g =>
+        (g.length.toLong, g.map(_._1._2).sum, g.map(_._1._3).sum) }.toMap
+    val rows = MlPrepOps.postingsCompression(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    rows.foreach { case (d, nt, np, raw, vbb) =>
+      val (en, edf, evb) = expected(d)
+      assert(nt == en && np == edf && vbb == evb, s"decile $d")
+      assert(raw == edf * 8)
+      assert(vbb <= raw)
+    }
+  }
+
   test("q336 huber location matches a driver-side replay of the frozen IRLS recurrence") {
     val xs = spark.read.parquet(s"$dir/documents.parquet")
       .select("source", "n_chars").collect()

@@ -206,6 +206,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(rows.map(_._4).sum > 0, "no matching rows anywhere — vacuous")
   }
 
+  test("q352 three-way merge census matches the closed-form outcome replay; conserves rows") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    // the edits always change the fingerprint (upper() on letters,
+    // ' theirs' append), so outcomes are a closed form of doc_id
+    val expected = docs.map { id =>
+      val delO = id % 17 == 2
+      val delT = id % 19 == 3
+      val modO = !delO && id % 5 == 1
+      val modT = !delT && id % 7 == 2
+      if (delO && delT) "delete_agreed"
+      else if ((modO && delT) || (modT && delO)) "conflict_edit_delete"
+      else if (modO && modT) "conflict_edit_edit"
+      else if (delO || delT) "delete_one_sided"
+      else if (modO) "take_ours"
+      else if (modT) "take_theirs"
+      else "unchanged"
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = ScaleOps.threeWayMerge(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.map(_._2).sum == docs.length.toLong)
+    assert(rows.map(r => r._1 -> r._2).toMap == expected)
+    rows.foreach { case (o, _, c) =>
+      assert(c == o.startsWith("conflict"), o) }
+  }
+
   test("q348 IVM delta algebra is consistent with recomputation on every segment") {
     val rows = ScaleOps.ivmJoinView(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
