@@ -370,6 +370,7 @@ object SparkEntry {
     "q350_pointer_jump"      -> (GraphOps.pointerJump _),
     "q351_postings_bytes"    -> (MlPrepOps.postingsCompression _),
     "q352_three_way_merge"   -> (ScaleOps.threeWayMerge _),
+    "q353_rff_kernel"        -> (SimilarityOps.rffKernelAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1004,6 +1005,7 @@ object SparkEntry {
     "q350_pointer_jump" -> GraphOps.pointerJumpOracle,
     "q351_postings_bytes" -> MlPrepOps.postingsCompressionOracle,
     "q352_three_way_merge" -> ScaleOps.threeWayMergeOracle,
+    "q353_rff_kernel" -> SimilarityOps.rffKernelAuditOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -1787,4 +1787,170 @@ object SimilarityOps {
        |  round(abs(fin.ortho), 6) AS orthogonality
        |FROM dd, fin ORDER BY dim""".stripMargin
   }
+
+  // --- q353: random-Fourier-feature kernel approximation audit -------------
+
+  /** RFF feature budgets swept — prefix subsets of one feature table,
+    * so one build serves all three (the q327 prefix pattern). */
+  val RffDGrid: Seq[Int] = Seq(8, 32, 64)
+  val RffMaxD = 64
+
+  /** 2π and √2 (σ for γ = 1: w ~ N(0, 2γI)) as exact double literals
+    * shared by both engines. */
+  val RffTwoPi = "6.283185307179586"
+  val RffSigma = "1.4142135623730951"
+
+  /** q353 — random Fourier features kernel audit (Rahimi & Recht 2007,
+    * "Random Features for Large-Scale Kernel Machines"): the RBF
+    * kernel k(x,y) = exp(−‖x−y‖²) is approximated by
+    * (2/D)·Σᵢ cos(wᵢ·x + bᵢ)·cos(wᵢ·y + bᵢ) with wᵢ ~ N(0, 2I) — the
+    * trick that turns kernel methods into LINEAR feature maps, i.e.
+    * the difference between O(n²) kernel matrices and one feature
+    * pass at corpus scale. Over consecutive embedding pairs the audit
+    * prices the estimator at D ∈ {8, 32, 64} features: mean estimate,
+    * mean exact kernel, and mean absolute error — the features-vs-
+    * fidelity menu that decides D before anyone builds the index.
+    *
+    * Determinism/parity: the "random" draws are md5-derived uniforms
+    * pushed through Box–Muller, and EVERY stage freezes — w and b to
+    * ×1e6 BIGINT at generation (so 1-ulp libm differences cannot leak
+    * downstream), per-dimension dot terms to integer products, the
+    * cos features to ×1e6, and the per-pair products are exact
+    * integer sums (D·(1e6)² ≤ 6.4e13 — no overflow). One double
+    * division chain per output cell.
+    *
+    * Scale (100 TB): the w table is D×dims METADATA joined to the
+    * exploded vectors (one pass builds all features); everything
+    * downstream is feature-keyed aggregation — no pairwise kernel
+    * matrix exists anywhere except the |pairs|-sized audit itself. */
+  def rffKernelAudit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val dims = VecSql.Dims
+    val wfp = s.range(RffMaxD.toLong).selectExpr("id AS i")
+      .crossJoin(s.range(1, dims + 1L).selectExpr("id AS d"))
+      .selectExpr("i", "d",
+        s"""CAST(floor((sqrt(-2.0 * ln(((${fp60sql("'w:' || CAST(i AS STRING) || ':' || CAST(d AS STRING)", spark = true)}) % 1000000 + 0.5) / 1000000.0))
+           | * cos($RffTwoPi * ((${fp60sql("'v:' || CAST(i AS STRING) || ':' || CAST(d AS STRING)", spark = true)}) % 1000000 + 0.5) / 1000000.0))
+           | * $RffSigma * 1e6) AS BIGINT) AS w_fp""".stripMargin
+          .replaceAll("\n", " "))
+    val bfp = s.range(RffMaxD.toLong).selectExpr("id AS i",
+      s"CAST(floor((((${fp60sql("'b:' || CAST(id AS STRING)", spark = true)}) % 1000000 + 0.5) / 1000000.0) * $RffTwoPi * 1e6) AS BIGINT) AS b_fp")
+    val vx = t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .selectExpr("vec_id", "CAST(pos + 1 AS BIGINT) AS d",
+        "CAST(col AS DOUBLE) AS xd").persist()
+    val feats = vx.join(broadcast(wfp), Seq("d"))
+      .selectExpr("vec_id", "i",
+        "CAST(floor(CAST(w_fp AS DOUBLE) * xd) AS BIGINT) AS term")
+      .groupBy("vec_id", "i").agg(sum(col("term")).as("dot_fp"))
+      .join(broadcast(bfp), Seq("i"))
+      .selectExpr("vec_id", "i",
+        "CAST(floor(cos(CAST(dot_fp + b_fp AS DOUBLE) / 1e6) * 1e6)" +
+          " AS BIGINT) AS z_fp")
+    val prods = feats.as("fa")
+      .join(feats.as("fb"),
+        col("fb.vec_id") === col("fa.vec_id") + 1 &&
+          col("fa.i") === col("fb.i"))
+      .select(col("fa.vec_id").as("vec_id"), col("fa.i").as("i"),
+        col("fa.z_fp").as("za"), col("fb.z_fp").as("zb"))
+      .groupBy("vec_id").agg(
+        sum(when(col("i") < 8, col("za") * col("zb")).otherwise(0L))
+          .as("s8"),
+        sum(when(col("i") < 32, col("za") * col("zb")).otherwise(0L))
+          .as("s32"),
+        sum(col("za") * col("zb")).as("s64"))
+    val exact = vx.as("va")
+      .join(vx.as("vb"),
+        col("vb.vec_id") === col("va.vec_id") + 1 &&
+          col("va.d") === col("vb.d"))
+      .select(col("va.vec_id").as("vec_id"),
+        col("va.xd").as("xa"), col("vb.xd").as("xb"))
+      .groupBy("vec_id").agg(
+        sum(expr("CAST(floor(((xa - xb) * (xa - xb)) * 1e9) AS BIGINT)"))
+          .as("d2_fp"))
+      .selectExpr("vec_id",
+        "CAST(floor(exp(-(CAST(d2_fp AS DOUBLE) / 1e9)) * 1e6)" +
+          " AS BIGINT) AS kex6")
+    val grid = RffDGrid.map(dd =>
+      s"struct(CAST($dd AS BIGINT) AS d_feats, s$dd AS sd)")
+    prods.join(exact, Seq("vec_id"))
+      .select(col("kex6"),
+        explode(expr(s"array(${grid.mkString(", ")})")).as("g"))
+      .selectExpr("g.d_feats AS d_feats", "kex6",
+        "CAST(floor(((2.0 * g.sd) / (g.d_feats * 1e12)) * 1e6) AS BIGINT)" +
+          " AS est6")
+      .groupBy("d_feats").agg(count(lit(1)).as("n_pairs"),
+        sum(col("est6")).as("se"), sum(col("kex6")).as("sk"),
+        sum(abs(col("est6") - col("kex6"))).as("serr"))
+      .selectExpr("d_feats", "n_pairs",
+        "round((CAST(se AS DOUBLE) / 1e6) / n_pairs, 6) AS mean_est",
+        "round((CAST(sk AS DOUBLE) / 1e6) / n_pairs, 6) AS mean_exact",
+        "round((CAST(serr AS DOUBLE) / 1e6) / n_pairs, 6)" +
+          " AS mean_abs_err")
+      .orderBy("d_feats")
+  }
+
+  /** md5-fp60 spelled for either engine (the q175 hash convention;
+    * the Spark side uses the registered native `md5_fp60`). */
+  private def fp60sql(arg: String, spark: Boolean): String =
+    if (spark) s"md5_fp60($arg)"
+    else s"CAST('0x' || substr(md5($arg), 1, 15) AS BIGINT)"
+
+  def rffKernelAuditOracle: String = {
+    def u(pfx: String, i: String, d: String) =
+      s"((${fp60sql(s"'$pfx:' || CAST($i AS VARCHAR) || ':' || CAST($d AS VARCHAR)", spark = false)}) % 1000000 + 0.5) / 1000000.0"
+    val grid = RffDGrid.map(dd => s"($dd)").mkString(", ")
+    val sCase = s"CASE g.df WHEN 8 THEN p.s8 WHEN 32 THEN p.s32" +
+      s" ELSE p.s64 END"
+    s"""WITH wfp AS (SELECT i.i, d.d,
+       |    CAST(floor((sqrt(-2.0 * ln(${u("w", "i.i", "d.d")}))
+       |      * cos($RffTwoPi * ${u("v", "i.i", "d.d")}))
+       |      * $RffSigma * 1e6) AS BIGINT) AS w_fp
+       |  FROM (SELECT unnest(range(0, $RffMaxD)) AS i) i,
+       |       (SELECT unnest(range(1, ${VecSql.Dims + 1})) AS d) d),
+       |bfp AS (SELECT i,
+       |    CAST(floor(((${fp60sql("'b:' || CAST(i AS VARCHAR)", spark = false)}) % 1000000 + 0.5) / 1000000.0
+       |      * $RffTwoPi * 1e6) AS BIGINT) AS b_fp
+       |  FROM (SELECT unnest(range(0, $RffMaxD)) AS i)),
+       |vx AS (SELECT vec_id, d.d,
+       |    CAST(embedding[d.d] AS DOUBLE) AS xd
+       |  FROM embeddings,
+       |       (SELECT unnest(range(1, ${VecSql.Dims + 1})) AS d) d),
+       |feats AS (SELECT vec_id, i,
+       |    CAST(floor(cos(CAST(dot_fp + b_fp AS DOUBLE) / 1e6) * 1e6)
+       |      AS BIGINT) AS z_fp
+       |  FROM (SELECT vx.vec_id, wfp.i,
+       |      CAST(sum(CAST(floor(CAST(w_fp AS DOUBLE) * xd) AS BIGINT))
+       |        AS BIGINT) AS dot_fp
+       |    FROM vx JOIN wfp ON vx.d = wfp.d
+       |    GROUP BY vx.vec_id, wfp.i) q JOIN bfp USING (i)),
+       |prods AS (SELECT a.vec_id,
+       |    CAST(sum(CASE WHEN a.i < 8 THEN a.z_fp * b.z_fp ELSE 0 END)
+       |      AS BIGINT) AS s8,
+       |    CAST(sum(CASE WHEN a.i < 32 THEN a.z_fp * b.z_fp ELSE 0 END)
+       |      AS BIGINT) AS s32,
+       |    CAST(sum(a.z_fp * b.z_fp) AS BIGINT) AS s64
+       |  FROM feats a JOIN feats b
+       |    ON b.vec_id = a.vec_id + 1 AND a.i = b.i
+       |  GROUP BY a.vec_id),
+       |ex AS (SELECT a.vec_id,
+       |    CAST(floor(exp(-(CAST(sum(CAST(floor(((a.xd - b.xd)
+       |      * (a.xd - b.xd)) * 1e9) AS BIGINT)) AS DOUBLE) / 1e9))
+       |      * 1e6) AS BIGINT) AS kex6
+       |  FROM vx a JOIN vx b ON b.vec_id = a.vec_id + 1 AND a.d = b.d
+       |  GROUP BY a.vec_id),
+       |g(df) AS (VALUES $grid),
+       |r AS (SELECT CAST(g.df AS BIGINT) AS d_feats, ex.kex6,
+       |    CAST(floor(((2.0 * ($sCase)) / (g.df * 1e12)) * 1e6)
+       |      AS BIGINT) AS est6
+       |  FROM prods p JOIN ex USING (vec_id) CROSS JOIN g)
+       |SELECT d_feats, count(*) AS n_pairs,
+       |  round((CAST(sum(est6) AS DOUBLE) / 1e6) / count(*), 6)
+       |    AS mean_est,
+       |  round((CAST(sum(kex6) AS DOUBLE) / 1e6) / count(*), 6)
+       |    AS mean_exact,
+       |  round((CAST(sum(abs(est6 - kex6)) AS DOUBLE) / 1e6) / count(*),
+       |    6) AS mean_abs_err
+       |FROM r GROUP BY d_feats ORDER BY d_feats""".stripMargin
+  }
 }

@@ -4371,6 +4371,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q353 RFF kernel: error falls with feature count at the 1/sqrt(D) rate; exact side D-invariant") {
+    val rows = SimilarityOps.rffKernelAudit(spark, dir).orderBy("d_feats")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq ==
+      SimilarityOps.RffDGrid.map(_.toLong))
+    // the exact kernel never depends on D
+    assert(rows.map(_._4).distinct.length == 1)
+    val exact = rows.head._4
+    assert(exact > 0.0 && exact < 1.0)
+    // Monte-Carlo error shrinks monotonically with the feature budget,
+    // and the 8→64 ratio is in the 1/√D ballpark (√8 ≈ 2.8; accept ≥ 2)
+    val errs = rows.map(_._5)
+    errs.sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(1) < p(0), errs.mkString(",")))
+    assert(errs.head / errs.last >= 2.0,
+      s"8→64 error ratio ${errs.head / errs.last}")
+    rows.foreach { case (_, n, est, _, _) =>
+      assert(n > 0)
+      assert(est > -1.0 && est < 1.0)
+    }
+  }
+
   test("q336 huber location matches a driver-side replay of the frozen IRLS recurrence") {
     val xs = spark.read.parquet(s"$dir/documents.parquet")
       .select("source", "n_chars").collect()
