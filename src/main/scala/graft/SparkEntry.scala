@@ -371,6 +371,7 @@ object SparkEntry {
     "q351_postings_bytes"    -> (MlPrepOps.postingsCompression _),
     "q352_three_way_merge"   -> (ScaleOps.threeWayMerge _),
     "q353_rff_kernel"        -> (SimilarityOps.rffKernelAudit _),
+    "q354_halving_search"    -> (MlPrepOps.successiveHalving _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1006,6 +1007,7 @@ object SparkEntry {
     "q351_postings_bytes" -> MlPrepOps.postingsCompressionOracle,
     "q352_three_way_merge" -> ScaleOps.threeWayMergeOracle,
     "q353_rff_kernel" -> SimilarityOps.rffKernelAuditOracle,
+    "q354_halving_search" -> MlPrepOps.successiveHalvingOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

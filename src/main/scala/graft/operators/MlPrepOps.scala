@@ -1271,6 +1271,176 @@ object MlPrepOps {
        |  round(CAST(sum(df) * 8 AS DOUBLE) / sum(vb), 6) AS compression
        |FROM d GROUP BY decile ORDER BY decile""".stripMargin
 
+  // --- q354: successive-halving threshold search ----------------------------
+
+  /** The candidate decision thresholds swept (configs), in NB
+    * log-odds NATS — frozen to ×1e9 integers so every decision is an
+    * exact integer comparison. The grid spans the corpus's actual
+    * score range ([−1.97, 2.34] nats at sf0.01); the q332 logistic z
+    * was rejected as the search score because its sigmoid clusters in
+    * [0.46, 0.47] and every probability threshold outside that sliver
+    * ties. */
+  val ShTaus: Seq[Double] =
+    Seq(-1.2, -0.8, -0.4, -0.2, 0.0, 0.2, 0.4, 0.8)
+  val ShRungs = 3
+
+  /** Full-corpus NB log-odds per document (the q331 model WITHOUT the
+    * held-out split — q354 tunes a decision threshold on in-sample
+    * scores, documented as such): (doc_id, pos, score_fp ×1e9). */
+  private[graft] def nbScoresAll(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), (col("lang") === "en").as("pos"))
+    val counts = docs
+      .select(col("pos"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("cneg"))
+    val totals = counts.agg(sum(col("cpos")).as("npos"),
+      sum(col("cneg")).as("nneg"), count(lit(1)).as("v"))
+    val llr = counts.crossJoin(broadcast(totals)).selectExpr("tok",
+      "CAST(floor(ln(CAST(cpos + 1 AS DOUBLE) / CAST(npos + v AS DOUBLE))" +
+        " * 1e9) AS BIGINT)" +
+        " - CAST(floor(ln(CAST(cneg + 1 AS DOUBLE) /" +
+        " CAST(nneg + v AS DOUBLE)) * 1e9) AS BIGINT) AS llr_fp")
+    val prior = docs.agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("dpos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("dneg"))
+      .selectExpr(
+        "CAST(floor(ln(CAST(dpos AS DOUBLE)) * 1e9) AS BIGINT)" +
+          " - CAST(floor(ln(CAST(dneg AS DOUBLE)) * 1e9) AS BIGINT)" +
+          " AS prior_fp")
+    val sums = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(llr), Seq("tok"))
+      .groupBy("doc_id").agg(sum(col("llr_fp")).as("sfp"))
+    docs.join(sums, Seq("doc_id"), "left").crossJoin(broadcast(prior))
+      .selectExpr("doc_id", "pos",
+        "prior_fp + coalesce(sfp, 0L) AS score_fp")
+  }
+
+  /** Shared oracle CTEs producing `nbsc(doc_id, pos, score_fp)`. */
+  private def nbScoresAllCtes: String =
+    s"""nbd AS (SELECT doc_id, text, lang = 'en' AS pos FROM documents),
+       |nbtok AS (SELECT pos, unnest(string_split(text, ' ')) AS tok
+       |  FROM nbd),
+       |nbcnt AS (SELECT tok,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+       |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cneg
+       |  FROM nbtok GROUP BY tok),
+       |nbtot AS (SELECT CAST(sum(cpos) AS BIGINT) AS npos,
+       |    CAST(sum(cneg) AS BIGINT) AS nneg,
+       |    CAST(count(*) AS BIGINT) AS v FROM nbcnt),
+       |nbllr AS (SELECT tok,
+       |    CAST(floor(ln(CAST(cpos + 1 AS DOUBLE)
+       |        / CAST(npos + v AS DOUBLE)) * 1e9) AS BIGINT)
+       |      - CAST(floor(ln(CAST(cneg + 1 AS DOUBLE)
+       |        / CAST(nneg + v AS DOUBLE)) * 1e9) AS BIGINT) AS llr_fp
+       |  FROM nbcnt, nbtot),
+       |nbpr AS (SELECT
+       |    CAST(floor(ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END)
+       |      AS DOUBLE)) * 1e9) AS BIGINT)
+       |    - CAST(floor(ln(CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END)
+       |      AS DOUBLE)) * 1e9) AS BIGINT) AS prior_fp FROM nbd),
+       |nbsum AS (SELECT doc_id, CAST(sum(llr_fp) AS BIGINT) AS sfp
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |    FROM nbd) st JOIN nbllr USING (tok) GROUP BY doc_id),
+       |nbsc AS (SELECT d.doc_id, d.pos,
+       |    nbpr.prior_fp + coalesce(nbsum.sfp, 0) AS score_fp
+       |  FROM nbd d LEFT JOIN nbsum USING (doc_id), nbpr)""".stripMargin
+
+  /** q354 — successive halving (Jamieson & Talwalkar 2016; Hyperband's
+    * inner loop) over the q331 NB gate's decision threshold: 8
+    * candidate τ values (nats) are evaluated on a 12.5 % hash slice,
+    * the best half advances to 25 %, then 50 % — the compute-efficient
+    * tuning loop that spends full budget only on surviving configs.
+    * Slices are NESTED (md5(doc_id) mod 8 prefixes), so every rung
+    * reuses the previous rung's documents plus new ones, exactly as
+    * the algorithm prescribes. Output: one row per (rung, τ)
+    * evaluated, with budget, accuracy, and survival.
+    *
+    * Parity: scores are the frozen ×1e9 NB log-odds
+    * ([[nbScoresAll]]); every decision score_fp ≥ τ·1e9 is an exact
+    * INTEGER comparison against a build-time literal; accuracies are
+    * integer counts; survivor selection is rank arithmetic with τ as
+    * tie-break — the whole search is exact end to end.
+    *
+    * Scale (100 TB): rung r touches (2^(r−1)/8)·N rows ONCE with a
+    * broadcast config grid — total work (1/8 + 1/4·½ + 1/2·¼)·8·N
+    * score-comparisons versus full-budget-everywhere 8N; the scoring
+    * pass itself is the one vocab-aggregate NB shape. Survivor frames
+    * are metadata; cutLineage per rung (data-dependent iteration). */
+  def successiveHalving(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val scored = nbScoresAll(s, dir)
+      .selectExpr("doc_id", "pos", "score_fp",
+        "md5_fp60(CAST(doc_id AS STRING)) % 8 AS slice")
+      .persist()
+    val cfgRows = ShTaus.zipWithIndex.map { case (t, k) =>
+      val tfp = math.round(t * 1e9)
+      s"struct(CAST($k AS BIGINT) AS k, CAST($t AS DOUBLE) AS tau," +
+        s" CAST(${tfp}L AS BIGINT) AS tau_fp)"
+    }
+    val cfg0 = s.range(1)
+      .select(explode(expr(s"array(${cfgRows.mkString(", ")})")).as("c"))
+      .selectExpr("c.k AS k", "c.tau AS tau", "c.tau_fp AS tau_fp")
+    var alive = cfg0
+    val out = scala.collection.mutable.Buffer.empty[DataFrame]
+    (1 to ShRungs).foreach { r =>
+      val keepN = ShTaus.length / (1 << r) // 4, 2, 1
+      val budget = 1L << (r - 1) // slices {0}, {0,1}, {0..3}
+      val evald = scored.filter(col("slice") < budget)
+        .crossJoin(broadcast(alive))
+        .withColumn("correct",
+          when((col("score_fp") >= col("tau_fp")) === col("pos"), 1L)
+            .otherwise(0L))
+        .groupBy("k", "tau", "tau_fp")
+        .agg(count(lit(1)).as("n_docs"), sum(col("correct")).as("n_corr"))
+      val ranked = CurationOps.cutLineage(evald.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_corr").desc, col("tau").asc))))
+      out += ranked.selectExpr(s"CAST($r AS BIGINT) AS rung", "tau",
+        "n_docs", "n_corr",
+        "round(CAST(n_corr AS DOUBLE) / n_docs, 6) AS accuracy",
+        s"rk <= $keepN AS survived")
+      alive = ranked.filter(col("rk") <= keepN)
+        .select("k", "tau", "tau_fp")
+    }
+    out.reduce(_.union(_)).orderBy("rung", "tau")
+  }
+
+  def successiveHalvingOracle: String = {
+    val cfgVals = ShTaus.zipWithIndex.map { case (t, k) =>
+      s"($k, CAST($t AS DOUBLE), CAST(${math.round(t * 1e9)} AS BIGINT))"
+    }.mkString(", ")
+    val rungs = (1 to ShRungs).map { r =>
+      val keepN = ShTaus.length / (1 << r)
+      val budget = 1L << (r - 1)
+      val prevAlive = if (r == 1) "cfg" else s"a${r - 1}"
+      s"""e$r AS (SELECT c.k, c.tau, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN (sc.score_fp >= c.tau_fp) = sc.pos
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_corr
+         |  FROM sc CROSS JOIN $prevAlive c WHERE sc.slice < $budget
+         |  GROUP BY c.k, c.tau),
+         |k$r AS (SELECT *, row_number() OVER (ORDER BY n_corr DESC,
+         |    tau ASC) AS rk FROM e$r),
+         |a$r AS (SELECT cfg.k, cfg.tau, cfg.tau_fp FROM k$r
+         |  JOIN cfg ON k$r.k = cfg.k WHERE k$r.rk <= $keepN),
+         |s$r AS (SELECT CAST($r AS BIGINT) AS rung, tau, n_docs,
+         |    n_corr, round(CAST(n_corr AS DOUBLE) / n_docs, 6)
+         |      AS accuracy, rk <= $keepN AS survived
+         |  FROM k$r)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to ShRungs).map(r => s"SELECT * FROM s$r")
+      .mkString(" UNION ALL ")
+    s"""WITH $nbScoresAllCtes,
+       |sc AS (SELECT doc_id, pos, score_fp,
+       |    ${OracleGen.fp60("CAST(doc_id AS VARCHAR)")} % 8 AS slice
+       |  FROM nbsc),
+       |cfg(k, tau, tau_fp) AS (VALUES $cfgVals),
+       |$rungs
+       |SELECT * FROM ($sel) ORDER BY rung, tau""".stripMargin
+  }
+
   // --- q340: pseudo-relevance-feedback query expansion ---------------------
 
   /** Expansion terms emitted per query. */

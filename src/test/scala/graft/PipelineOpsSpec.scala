@@ -4395,6 +4395,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q354 successive halving: nested budgets, rank-correct survivors, single winner") {
+    val rows = MlPrepOps.successiveHalving(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(5)))
+    val byRung = rows.groupBy(_._1)
+    assert(byRung.keySet == (1 to MlPrepOps.ShRungs).map(_.toLong).toSet)
+    var prevSurvivors = MlPrepOps.ShTaus.toSet
+    var prevBudget = 0L
+    (1 to MlPrepOps.ShRungs).foreach { r =>
+      val es = byRung(r.toLong)
+      val keepN = MlPrepOps.ShTaus.length / (1 << r)
+      // only the previous rung's survivors are evaluated
+      assert(es.map(_._2).toSet == prevSurvivors, s"rung $r configs")
+      // nested budgets strictly grow
+      assert(es.map(_._3).distinct.length == 1)
+      assert(es.head._3 > prevBudget, s"rung $r budget")
+      prevBudget = es.head._3
+      // survival = top keepN by (n_corr desc, tau asc), exactly
+      val expect = es.sortBy { case (_, tau, _, nc, _) => (-nc, tau) }
+        .take(keepN).map(_._2).toSet
+      assert(es.filter(_._5).map(_._2).toSet == expect, s"rung $r")
+      assert(es.count(_._5) == keepN)
+      prevSurvivors = expect
+    }
+    assert(prevSurvivors.size == 1) // a single winning threshold
+  }
+
   test("q336 huber location matches a driver-side replay of the frozen IRLS recurrence") {
     val xs = spark.read.parquet(s"$dir/documents.parquet")
       .select("source", "n_chars").collect()
