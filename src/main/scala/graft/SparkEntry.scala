@@ -372,6 +372,7 @@ object SparkEntry {
     "q352_three_way_merge"   -> (ScaleOps.threeWayMerge _),
     "q353_rff_kernel"        -> (SimilarityOps.rffKernelAudit _),
     "q354_halving_search"    -> (MlPrepOps.successiveHalving _),
+    "q355_hits"              -> (GraphOps.hits _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1008,6 +1009,7 @@ object SparkEntry {
     "q352_three_way_merge" -> ScaleOps.threeWayMergeOracle,
     "q353_rff_kernel" -> SimilarityOps.rffKernelAuditOracle,
     "q354_halving_search" -> MlPrepOps.successiveHalvingOracle,
+    "q355_hits" -> GraphOps.hitsOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

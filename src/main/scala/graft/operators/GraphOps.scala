@@ -1336,4 +1336,131 @@ object GraphOps {
        |    * sqrt(CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
        |    AS assortativity
        |FROM ag""".stripMargin
+
+  // --- q355: HITS hubs & authorities ---------------------------------------
+
+  val HitsIters = 2
+  val HitsTopK = 10
+
+  /** q355 — HITS (Kleinberg 1999, "Authoritative sources in a
+    * hyperlinked environment") on the DIRECTED bipartite trade graph:
+    * customers are hubs (they point at the suppliers they buy from),
+    * suppliers are authorities. Two mutual-reinforcement iterations,
+    * sum-normalized each half-step so each side's score mass equals its
+    * node count; output is the top-[[HitsTopK]] per role. q70/q314 rank
+    * by random-walk mass on the symmetrized graph — HITS keeps the
+    * bipartite direction and answers the two DIFFERENT questions at
+    * once: which suppliers are bought by the best-connected customers
+    * (authority), and which customers concentrate their buying on
+    * those suppliers (hub).
+    *
+    * Parity: per-edge contributions are floor(score·10¹²) summed as
+    * BIGINT (the q70 discipline — exact and order-independent); each
+    * normalization is ONE double division by the exact BIGINT total
+    * times the exact node count, a pinned op order identical in the
+    * unrolled-CTE oracle.
+    *
+    * Scale (100 TB): the distinct (customer, supplier) pair table is
+    * built once (the only corpus-sized exchange) and cached; every
+    * half-step joins it against a |nodes|-sized score table and
+    * aggregates on the opposite key — the classic reused-partitioning
+    * iterate-by-join shape — and each normalizer is a 1-row aggregate
+    * cross-joined back (broadcast by construction). */
+  def hits(s: SparkSession, dir: String): DataFrame = {
+    val (hubs, auths) = hitsScores(s, dir, HitsIters)
+    val wh = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("node"))
+    def top(df: DataFrame, role: String): DataFrame =
+      df.select(lit(role).as("role"), col("node"),
+          round(col("score"), 6).as("score"))
+        .withColumn("rnk", row_number().over(wh))
+        .filter(col("rnk") <= HitsTopK)
+    top(auths, "authority").unionAll(top(hubs, "hub"))
+      .orderBy("role", "rnk")
+  }
+
+  /** (hub, authority) score tables after `iters` full iterations —
+    * exposed so the spec can pin the uniform-start property that
+    * iteration-1 authority ranking IS the in-degree ranking. */
+  private[graft] def hitsScores(
+      s: SparkSession, dir: String, iters: Int): (DataFrame, DataFrame) = {
+    val li = EtlOps.t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = EtlOps.t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+      .select(concat(lit("c"), col("ck")).as("c"),
+        concat(lit("s"), col("sk")).as("sp"))
+      .persist()
+    val nC = pairs.select(countDistinct("c").as("n"))
+    val nS = pairs.select(countDistinct("sp").as("n"))
+    var h = pairs.select(col("c").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("score"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val araw = pairs.join(h, pairs("c") === h("node"))
+        .select(col("sp"),
+          floor(col("score") * lit(1e12)).cast("long").as("fp"))
+        .groupBy("sp").agg(sum(col("fp")).as("raw"))
+      val atot = araw.agg(sum(col("raw")).as("tot"))
+      a = araw.crossJoin(broadcast(atot)).crossJoin(broadcast(nS))
+        .select(col("sp").as("node"),
+          (col("raw").cast("double") / col("tot").cast("double")
+            * col("n").cast("double")).as("score"))
+      val hraw = pairs.join(a, pairs("sp") === a("node"))
+        .select(col("c"),
+          floor(col("score") * lit(1e12)).cast("long").as("fp"))
+        .groupBy("c").agg(sum(col("fp")).as("raw"))
+      val htot = hraw.agg(sum(col("raw")).as("tot"))
+      h = hraw.crossJoin(broadcast(htot)).crossJoin(broadcast(nC))
+        .select(col("c").as("node"),
+          (col("raw").cast("double") / col("tot").cast("double")
+            * col("n").cast("double")).as("score"))
+    }
+    (h, a)
+  }
+
+  def hitsOracle: String = {
+    val iters = (1 to HitsIters).map { i =>
+      val ph = s"h${i - 1}"
+      s"""a${i}raw AS (SELECT p.sp,
+         |    CAST(sum(CAST(floor($ph.score * 1000000000000.0) AS BIGINT))
+         |      AS BIGINT) AS raw
+         |  FROM pairs p JOIN $ph ON p.c = $ph.node GROUP BY p.sp),
+         |a$i AS (SELECT sp AS node,
+         |    CAST(raw AS DOUBLE) / CAST(t.tot AS DOUBLE)
+         |      * CAST(ns.n AS DOUBLE) AS score
+         |  FROM a${i}raw,
+         |    (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM a${i}raw) t, ns),
+         |h${i}raw AS (SELECT p.c,
+         |    CAST(sum(CAST(floor(a$i.score * 1000000000000.0) AS BIGINT))
+         |      AS BIGINT) AS raw
+         |  FROM pairs p JOIN a$i ON p.sp = a$i.node GROUP BY p.c),
+         |h$i AS (SELECT c AS node,
+         |    CAST(raw AS DOUBLE) / CAST(t.tot AS DOUBLE)
+         |      * CAST(nc.n AS DOUBLE) AS score
+         |  FROM h${i}raw,
+         |    (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM h${i}raw) t, nc)"""
+        .stripMargin
+    }.mkString(",\n")
+    val k = HitsIters
+    s"""WITH pairs AS (SELECT DISTINCT
+       |    'c' || CAST(o_custkey AS VARCHAR) AS c,
+       |    's' || CAST(l_suppkey AS VARCHAR) AS sp
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |nc AS (SELECT count(DISTINCT c) AS n FROM pairs),
+       |ns AS (SELECT count(DISTINCT sp) AS n FROM pairs),
+       |h0 AS (SELECT DISTINCT c AS node, 1.0::DOUBLE AS score FROM pairs),
+       |$iters,
+       |ranked AS (
+       |  SELECT 'authority' AS role, node, round(score, 6) AS score,
+       |    CAST(row_number() OVER (ORDER BY score DESC, node) AS INT)
+       |      AS rnk FROM a$k
+       |  UNION ALL
+       |  SELECT 'hub' AS role, node, round(score, 6) AS score,
+       |    CAST(row_number() OVER (ORDER BY score DESC, node) AS INT)
+       |      AS rnk FROM h$k)
+       |SELECT role, node, score, rnk FROM ranked
+       |WHERE rnk <= $HitsTopK ORDER BY role, rnk""".stripMargin
+  }
 }

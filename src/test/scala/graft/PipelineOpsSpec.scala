@@ -4453,4 +4453,54 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(loc >= v.min.toDouble && loc <= v.max.toDouble, src)
     }
   }
+
+  test("q355 hits: matches a driver-side replay; iteration-1 authority ranking IS in-degree") {
+    // exact driver replay of the fixed-point HITS arithmetic
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val pairs = li.flatMap { case (ok, sk) =>
+      ord.get(ok).map(ck => (s"c$ck", s"s$sk")) }.distinct
+    val nC = pairs.map(_._1).distinct.length
+    val nS = pairs.map(_._2).distinct.length
+    var h = pairs.map(_._1).distinct.map(_ -> 1.0).toMap
+    var a = Map.empty[String, Double]
+    for (_ <- 1 to GraphOps.HitsIters) {
+      val araw = pairs.groupBy(_._2).map { case (sp, ps) =>
+        sp -> ps.map(p => math.floor(h(p._1) * 1e12).toLong).sum }
+      val at = araw.values.sum
+      a = araw.map { case (k, v) => k -> v.toDouble / at.toDouble * nS }
+      val hraw = pairs.groupBy(_._1).map { case (c, ps) =>
+        c -> ps.map(p => math.floor(a(p._2) * 1e12).toLong).sum }
+      val ht = hraw.values.sum
+      h = hraw.map { case (k, v) => k -> v.toDouble / ht.toDouble * nC }
+    }
+    def top(m: Map[String, Double]) = m.toSeq
+      .sortBy { case (n, s) => (-s, n) }.take(GraphOps.HitsTopK)
+      .zipWithIndex.map { case ((n, s), i) =>
+        (n, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, i + 1) }
+    val out = GraphOps.hits(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getInt(3)))
+    val gotA = out.filter(_._1 == "authority").map(t => (t._2, t._3, t._4))
+    val gotH = out.filter(_._1 == "hub").map(t => (t._2, t._3, t._4))
+    assert(gotA.toSeq == top(a).toSeq, "authority top-k mismatch")
+    assert(gotH.toSeq == top(h).toSeq, "hub top-k mismatch")
+    // uniform start ⇒ iteration-1 authority raw score ∝ in-degree:
+    // the rankings must be identical (same tiebreak)
+    val (_, a1) = GraphOps.hitsScores(spark, dir, 1)
+    val a1rank = a1.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy { case (n, s) => (-s, n) }.map(_._1)
+    val degRank = pairs.groupBy(_._2).map { case (sp, ps) =>
+      (sp, ps.length) }.toSeq.sortBy { case (n, d) => (-d, n) }.map(_._1)
+    assert(a1rank.toSeq == degRank.toSeq,
+      "iteration-1 authority ranking must equal the in-degree ranking")
+    // sum-normalization: each role's score mass equals its node count
+    assert(math.abs(a.values.sum - nS) < 1e-3)
+    assert(math.abs(h.values.sum - nC) < 1e-3)
+  }
 }
