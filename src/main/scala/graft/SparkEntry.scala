@@ -373,6 +373,7 @@ object SparkEntry {
     "q353_rff_kernel"        -> (SimilarityOps.rffKernelAudit _),
     "q354_halving_search"    -> (MlPrepOps.successiveHalving _),
     "q355_hits"              -> (GraphOps.hits _),
+    "q356_kmv_sketch"        -> (ProfileOps.kmvSetAlgebra _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1010,6 +1011,7 @@ object SparkEntry {
     "q353_rff_kernel" -> SimilarityOps.rffKernelAuditOracle,
     "q354_halving_search" -> MlPrepOps.successiveHalvingOracle,
     "q355_hits" -> GraphOps.hitsOracle,
+    "q356_kmv_sketch" -> ProfileOps.kmvSetAlgebraOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

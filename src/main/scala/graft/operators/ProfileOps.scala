@@ -3769,4 +3769,180 @@ object ProfileOps {
        |FROM exact e JOIN cme USING (k) JOIN cse USING (k)
        |ORDER BY e.k""".stripMargin
   }
+
+  // --- q356: KMV bottom-k sketch set algebra -------------------------------
+
+  /** Sketch size for the KMV (k-minimum-values) distinct sketch. */
+  val KmvK = 64
+
+  /** 2^60 — the md5_fp60 hash space size, exactly representable as a
+    * double (so the estimator arithmetic is bit-identical on both
+    * engines). */
+  private val Kmv2p60 = "CAST(1152921504606846976 AS DOUBLE)"
+
+  /** q356 — KMV / bottom-k distinct sketch set algebra (Bar-Yossef et
+    * al. 2002; Beyer et al. SIGMOD 2007) over per-source word-trigram
+    * shingle sets,
+    * head-to-head with exact truth for every source pair: the
+    * inclusion–exclusion-free alternative to q238's HLL algebra. A KMV
+    * sketch is the k smallest hash values of a set; its kth value
+    * estimates the distinct count as (k−1)·2⁶⁰/h₍ₖ₎, and — the part HLL
+    * cannot do natively — the UNION sketch is just the k smallest of
+    * the two sketches' rows, and the fraction of those that appear in
+    * BOTH input sketches is an unbiased Jaccard estimator, giving the
+    * intersection as Ĵ·Û without differencing two noisy estimates.
+    *
+    * Parity: hashes are md5_fp60 integers; ranks are integer windows
+    * with (h, token) tiebreak; the only doubles are the two pinned
+    * divisions and the Ĵ·Û product, identical op order in the oracle.
+    *
+    * Scale (100 TB): the corpus is touched ONCE to build the distinct
+    * (source, token) frame; everything pairwise runs on k-row sketches
+    * (|sources|²·k rows total — catalog-sized). The exact-truth side
+    * (the audit's yardstick) is the expensive part by design and is
+    * bounded by |vocab|·s², s = sources sharing a token; at production
+    * scale it would be sampled or dropped, and the sketch columns are
+    * the product. */
+  def kmvSetAlgebra(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val k = KmvK
+    // element universe: distinct word-trigram shingles per source (the
+    // bare vocab is ~31 tokens/source on this corpus — smaller than k,
+    // which would make every sketch trivially exact and the audit empty)
+    val tok = EtlOps.t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("source"),
+        explode(array_distinct(expr(DedupOps.wordGramArrayExpr(3))))
+          .as("token"))
+      .distinct().persist()
+    val hashed = tok.withColumn("h", call_function("md5_fp60", col("token")))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("h"), col("token"))
+    val sk = hashed.withColumn("rnk", row_number().over(wS))
+      .filter(col("rnk") <= k).persist()
+    val cnt = tok.groupBy("source").agg(count(lit(1)).as("n"))
+    // per-source estimate: exact when the sketch holds the whole set
+    val est = sk.groupBy("source").agg(
+        max(when(col("rnk") === k, col("h"))).as("hk"),
+        count(lit(1)).as("sk_n"))
+      .join(cnt, "source")
+      .selectExpr("source", "n",
+        s"""CASE WHEN sk_n < $k THEN CAST(sk_n AS DOUBLE)
+           | ELSE CAST(${k - 1} AS DOUBLE) * $Kmv2p60 / CAST(hk AS DOUBLE)
+           | END AS est""".stripMargin)
+      .persist()
+    val pairs = est.selectExpr("source AS sa", "n AS exact_a",
+        "est AS est_a")
+      .join(est.selectExpr("source AS sb", "n AS exact_b", "est AS est_b"),
+        col("sa") < col("sb"))
+    val inter = tok.as("x").join(tok.as("y"),
+        col("x.token") === col("y.token") &&
+          col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+      .agg(count(lit(1)).as("exact_inter"))
+    // union sketch per pair from the two bottom-k sketches alone
+    val pl = pairs.select("sa", "sb")
+    val ua = pl.join(sk.select(col("source").as("sa"), col("token"),
+      col("h"), lit(1).as("ia"), lit(0).as("ib")), Seq("sa"))
+    val ub = pl.join(sk.select(col("source").as("sb"), col("token"),
+      col("h"), lit(0).as("ia"), lit(1).as("ib")), Seq("sb"))
+    val u = ua.select("sa", "sb", "token", "h", "ia", "ib")
+      .unionAll(ub.select("sa", "sb", "token", "h", "ia", "ib"))
+      .groupBy("sa", "sb", "token", "h")
+      .agg(max("ia").as("in_a"), max("ib").as("in_b"))
+    val wP = org.apache.spark.sql.expressions.Window
+      .partitionBy("sa", "sb").orderBy(col("h"), col("token"))
+    val usk = u.withColumn("rnk", row_number().over(wP))
+      .filter(col("rnk") <= k)
+      .groupBy("sa", "sb")
+      .agg(max(when(col("rnk") === k, col("h"))).as("hku"),
+        count(lit(1)).as("u_n"),
+        sum(col("in_a") * col("in_b")).as("m"))
+      .selectExpr("sa", "sb",
+        s"""CASE WHEN u_n < $k THEN CAST(u_n AS DOUBLE)
+           | ELSE CAST(${k - 1} AS DOUBLE) * $Kmv2p60 / CAST(hku AS DOUBLE)
+           | END AS est_union""".stripMargin,
+        "CAST(m AS DOUBLE) / CAST(u_n AS DOUBLE) AS est_jacc")
+    pairs.join(inter, Seq("sa", "sb")).join(usk, Seq("sa", "sb"))
+      .selectExpr("sa", "sb", "exact_a", "exact_b",
+        "exact_a + exact_b - exact_inter AS exact_union", "exact_inter",
+        "round(CAST(exact_inter AS DOUBLE) / CAST(exact_a + exact_b" +
+          " - exact_inter AS DOUBLE), 6) AS exact_jacc",
+        "round(est_a, 4) AS est_a", "round(est_b, 4) AS est_b",
+        "round(est_union, 4) AS est_union",
+        "round(est_jacc, 6) AS est_jacc",
+        "round(est_jacc * est_union, 4) AS est_inter",
+        "round((est_union - CAST(exact_a + exact_b - exact_inter" +
+          " AS DOUBLE)) / CAST(exact_a + exact_b - exact_inter" +
+          " AS DOUBLE) * 100.0, 4) AS union_err_pct",
+        "round(abs(est_jacc - CAST(exact_inter AS DOUBLE)" +
+          " / CAST(exact_a + exact_b - exact_inter AS DOUBLE)), 6)" +
+          " AS jacc_abs_err")
+      .orderBy("sa", "sb")
+  }
+
+  def kmvSetAlgebraOracle: String = {
+    val k = KmvK
+    val h = "CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)"
+    s"""WITH tok0 AS (SELECT source, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |tok AS (SELECT DISTINCT source, token FROM (
+       |  SELECT source, unnest(list_transform(range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |      AS token
+       |  FROM tok0) u),
+       |hsh AS (SELECT source, token, $h AS h FROM tok),
+       |sk AS (SELECT * FROM (SELECT source, token, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h, token)
+       |      AS rnk FROM hsh) WHERE rnk <= $k),
+       |cnt AS (SELECT source, count(*) AS n FROM tok GROUP BY source),
+       |est AS (SELECT sk.source, cnt.n,
+       |    CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+       |      ELSE CAST(${k - 1} AS DOUBLE) * $Kmv2p60
+       |        / CAST(max(CASE WHEN rnk = $k THEN h END) AS DOUBLE)
+       |      END AS est
+       |  FROM sk JOIN cnt ON sk.source = cnt.source
+       |  GROUP BY sk.source, cnt.n),
+       |pairs AS (SELECT a.source AS sa, b.source AS sb,
+       |    a.n AS exact_a, b.n AS exact_b, a.est AS est_a, b.est AS est_b
+       |  FROM est a JOIN est b ON a.source < b.source),
+       |inter AS (SELECT x.source AS sa, y.source AS sb,
+       |    count(*) AS exact_inter
+       |  FROM tok x JOIN tok y
+       |    ON x.token = y.token AND x.source < y.source
+       |  GROUP BY x.source, y.source),
+       |u AS (SELECT p.sa, p.sb, s.token, s.h,
+       |    max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+       |    max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+       |  FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
+       |  GROUP BY p.sa, p.sb, s.token, s.h),
+       |ur AS (SELECT *, row_number() OVER (PARTITION BY sa, sb
+       |    ORDER BY h, token) AS rnk FROM u),
+       |usk AS (SELECT sa, sb,
+       |    CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
+       |      ELSE CAST(${k - 1} AS DOUBLE) * $Kmv2p60
+       |        / CAST(max(CASE WHEN rnk = $k THEN h END) AS DOUBLE)
+       |      END AS est_union,
+       |    CAST(CAST(sum(in_a * in_b) AS BIGINT) AS DOUBLE)
+       |      / CAST(count(*) AS DOUBLE) AS est_jacc
+       |  FROM ur WHERE rnk <= $k GROUP BY sa, sb)
+       |SELECT p.sa, p.sb, p.exact_a, p.exact_b,
+       |  p.exact_a + p.exact_b - i.exact_inter AS exact_union,
+       |  i.exact_inter,
+       |  round(CAST(i.exact_inter AS DOUBLE) / CAST(p.exact_a + p.exact_b
+       |    - i.exact_inter AS DOUBLE), 6) AS exact_jacc,
+       |  round(p.est_a, 4) AS est_a, round(p.est_b, 4) AS est_b,
+       |  round(u.est_union, 4) AS est_union,
+       |  round(u.est_jacc, 6) AS est_jacc,
+       |  round(u.est_jacc * u.est_union, 4) AS est_inter,
+       |  round((u.est_union - CAST(p.exact_a + p.exact_b - i.exact_inter
+       |    AS DOUBLE)) / CAST(p.exact_a + p.exact_b - i.exact_inter
+       |    AS DOUBLE) * 100.0, 4) AS union_err_pct,
+       |  round(abs(u.est_jacc - CAST(i.exact_inter AS DOUBLE)
+       |    / CAST(p.exact_a + p.exact_b - i.exact_inter AS DOUBLE)), 6)
+       |    AS jacc_abs_err
+       |FROM pairs p JOIN inter i ON p.sa = i.sa AND p.sb = i.sb
+       |JOIN usk u ON p.sa = u.sa AND p.sb = u.sb
+       |ORDER BY p.sa, p.sb""".stripMargin
+  }
 }

@@ -4503,4 +4503,59 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(a.values.sum - nS) < 1e-3)
     assert(math.abs(h.values.sum - nC) < 1e-3)
   }
+
+  test("q356 kmv sketch: matches an exact driver replay; union-of-sketches IS the sketch of the union") {
+    import graft.functions.Md5Fp60
+    val k = ProfileOps.KmvK
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // per-source distinct shingle sets with their fp60 hashes
+    val sets: Map[String, Set[String]] = docs.groupBy(_._1).map {
+      case (src, ds) =>
+        src -> ds.flatMap { case (_, t) =>
+          val toks = t.split(" ", -1)
+          if (toks.length >= 3) toks.sliding(3).map(_.mkString(" "))
+          else Iterator.empty
+        }.toSet
+    }
+    def hash(sh: String) = Md5Fp60.fp60(sh.getBytes("UTF-8"))
+    def sketch(set: Set[String]): Seq[(Long, String)] =
+      set.toSeq.map(sh => (hash(sh), sh)).sorted.take(k)
+    def estOf(sk: Seq[(Long, String)], n: Long): Double =
+      if (sk.length < k) sk.length.toDouble
+      else (k - 1).toDouble * 1.152921504606846976e18 / sk.last._1.toDouble
+    val out = ProfileOps.kmvSetAlgebra(spark, dir).collect().map { r =>
+      ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(9), r.getDouble(10), r.getDouble(7)))
+    }.toMap
+    val srcs = sets.keys.toSeq.sorted
+    assert(out.size == srcs.combinations(2).size)
+    for (Seq(a, b) <- srcs.combinations(2)) {
+      val (sa, sb) = (sets(a), sets(b))
+      val (ska, skb) = (sketch(sa), sketch(sb))
+      // KMV closure: the k smallest of the two sketches' union equals
+      // the true union's sketch — pairwise algebra never needs raw sets
+      val uFromSk = (ska ++ skb).distinct.sorted.take(k)
+      assert(uFromSk == sketch(sa ++ sb),
+        s"$a|$b: union-of-sketches differs from sketch-of-union")
+      val m = uFromSk.count { case (_, sh) =>
+        ska.exists(_._2 == sh) && skb.exists(_._2 == sh) }
+      val estU = estOf(uFromSk, 0L)
+      val estJ = m.toDouble / uFromSk.length.toDouble
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def r4(x: Double) = BigDecimal(x)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (ea, eb, eu, ei, gotU, gotJ, gotEa) = out((a, b))
+      assert(ea == sa.size.toLong && eb == sb.size.toLong)
+      assert(ei == (sa & sb).size.toLong && eu == (sa | sb).size.toLong)
+      assert(gotU == r4(estU), s"$a|$b est_union")
+      assert(gotJ == r6(estJ), s"$a|$b est_jacc")
+      assert(gotEa == r4(estOf(ska, ea)), s"$a|$b est_a")
+      // the k=64 estimator's 3-sigma band (~38%) must hold everywhere
+      assert(math.abs(estU - eu) / eu < 0.40, s"$a|$b error out of band")
+    }
+  }
 }
