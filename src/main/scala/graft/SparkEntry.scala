@@ -374,6 +374,7 @@ object SparkEntry {
     "q354_halving_search"    -> (MlPrepOps.successiveHalving _),
     "q355_hits"              -> (GraphOps.hits _),
     "q356_kmv_sketch"        -> (ProfileOps.kmvSetAlgebra _),
+    "q357_neyman_alloc"      -> (CurationOps.neymanAllocation _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1012,6 +1013,7 @@ object SparkEntry {
     "q354_halving_search" -> MlPrepOps.successiveHalvingOracle,
     "q355_hits" -> GraphOps.hitsOracle,
     "q356_kmv_sketch" -> ProfileOps.kmvSetAlgebraOracle,
+    "q357_neyman_alloc" -> CurationOps.neymanAllocationOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -2841,4 +2841,152 @@ object CurationOps {
        |$rounds
        |SELECT * FROM ($sel) ORDER BY round""".stripMargin
   }
+
+  // --- q357: Neyman allocation sampling design -----------------------------
+
+  /** Total sample budget the allocation distributes. */
+  val NeymanBudget = 500
+
+  /** q357 — Neyman-optimal stratified sampling design (Neyman 1934)
+    * over per-event-type value strata, head-to-head with proportional
+    * allocation: n_h ∝ N_h·S_h concentrates budget where strata are
+    * big AND noisy, and the stratified-mean variance
+    * V = Σ (N_h/N)²·S_h²/n_h under each design says exactly what that
+    * buys. The sampling-design audit q64/q219 assume away: THEY draw
+    * the sample, THIS says how big each stratum's draw should be.
+    *
+    * Parity: per-row values freeze to integer cents, so all sums and
+    * squared sums are exact BIGINT; each S_h is one pinned
+    * (N·Σy²−(Σy)²)/(N(N−1)) double chain + sqrt (correctly-rounded
+    * libm on both engines); the two cross-stratum double sums (Neyman
+    * weights, variance contributions) freeze ×1e6/×1e12 to BIGINT
+    * before summing — order-independent by construction.
+    *
+    * Scale (100 TB): ONE corpus scan into a |strata|-sized aggregate;
+    * everything after runs on catalog-sized frames (the 1-row totals
+    * cross-join is broadcast by construction). */
+  def neymanAllocation(s: SparkSession, dir: String): DataFrame = {
+    val b = NeymanBudget
+    val st = EtlOps.events(s, dir)
+      .selectExpr("event_type AS stratum",
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents")
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("nh"), sum(col("cents")).as("sy"),
+        sum(col("cents") * col("cents")).as("syy"))
+      .selectExpr("stratum", "nh", "sy", "syy",
+        "(CAST(nh AS DOUBLE) * CAST(syy AS DOUBLE)" +
+          " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))" +
+          " / (CAST(nh AS DOUBLE) * CAST(nh - 1 AS DOUBLE)) AS s2")
+      .selectExpr("stratum", "nh", "sy", "syy", "s2",
+        "CAST(floor(CAST(nh AS DOUBLE) * sqrt(s2) * 1000000.0)" +
+          " AS BIGINT) AS wfp")
+      .persist()
+    val tot = st.agg(sum("nh").as("n"), sum("sy").as("tsy"),
+      sum("syy").as("tsyy"), sum("wfp").as("sw"))
+    val rows = st.crossJoin(broadcast(tot))
+      .selectExpr("stratum", "nh", "sy", "s2",
+        s"CAST($b AS DOUBLE) * CAST(nh AS DOUBLE) / CAST(n AS DOUBLE)" +
+          " AS ap",
+        s"CAST($b AS DOUBLE) * CAST(wfp AS DOUBLE) / CAST(sw AS DOUBLE)" +
+          " AS an",
+        "CAST(nh AS DOUBLE) / CAST(n AS DOUBLE) AS fh")
+      .selectExpr("stratum", "nh", "sy", "s2", "ap", "an",
+        "CAST(floor(fh * fh * s2 / ap * 1000000000000.0) AS BIGINT)" +
+          " AS vp_fp",
+        "CAST(floor(fh * fh * s2 / an * 1000000000000.0) AS BIGINT)" +
+          " AS vn_fp")
+      .persist()
+    val strata = rows.selectExpr("stratum", "nh AS n_pop",
+      "round(CAST(sy AS DOUBLE) / CAST(nh AS DOUBLE) / 100.0, 4)" +
+        " AS mean_value",
+      "round(sqrt(s2) / 100.0, 4) AS sd_value",
+      "round(ap, 2) AS alloc_prop", "round(an, 2) AS alloc_neyman",
+      "round(CAST(vp_fp AS DOUBLE) / 1000000000000.0, 4) AS var_prop",
+      "round(CAST(vn_fp AS DOUBLE) / 1000000000000.0, 4) AS var_neyman",
+      "round(CAST(vn_fp AS DOUBLE) / CAST(vp_fp AS DOUBLE), 4)" +
+        " AS var_ratio")
+    val total = rows.agg(sum("vp_fp").as("tvp"), sum("vn_fp").as("tvn"))
+      .crossJoin(broadcast(tot))
+      .selectExpr("'TOTAL' AS stratum", "n AS n_pop",
+        "round(CAST(tsy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4)" +
+          " AS mean_value",
+        "round(sqrt((CAST(n AS DOUBLE) * CAST(tsyy AS DOUBLE)" +
+          " - CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE))" +
+          " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 100.0, 4)" +
+          " AS sd_value",
+        s"CAST($b AS DOUBLE) AS alloc_prop",
+        s"CAST($b AS DOUBLE) AS alloc_neyman",
+        "round(CAST(tvp AS DOUBLE) / 1000000000000.0, 4) AS var_prop",
+        "round(CAST(tvn AS DOUBLE) / 1000000000000.0, 4) AS var_neyman",
+        "round(CAST(tvn AS DOUBLE) / CAST(tvp AS DOUBLE), 4)" +
+          " AS var_ratio")
+    strata.unionAll(total).orderBy("stratum")
+  }
+
+  def neymanAllocationOracle: String = {
+    val b = NeymanBudget
+    s"""WITH ev AS (SELECT event_type AS stratum,
+       |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+       |  FROM events),
+       |st AS (SELECT stratum, count(*) AS nh,
+       |    CAST(sum(cents) AS BIGINT) AS sy,
+       |    CAST(sum(cents * cents) AS BIGINT) AS syy
+       |  FROM ev GROUP BY stratum),
+       |sv AS (SELECT stratum, nh, sy, syy,
+       |    (CAST(nh AS DOUBLE) * CAST(syy AS DOUBLE)
+       |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / (CAST(nh AS DOUBLE) * CAST(nh - 1 AS DOUBLE)) AS s2
+       |  FROM st),
+       |sw AS (SELECT stratum, nh, sy, syy, s2,
+       |    CAST(floor(CAST(nh AS DOUBLE) * sqrt(s2) * 1000000.0)
+       |      AS BIGINT) AS wfp
+       |  FROM sv),
+       |tot AS (SELECT CAST(sum(nh) AS BIGINT) AS n,
+       |    CAST(sum(sy) AS BIGINT) AS tsy,
+       |    CAST(sum(syy) AS BIGINT) AS tsyy,
+       |    CAST(sum(wfp) AS BIGINT) AS sw FROM sw),
+       |rows_ AS (SELECT stratum, nh, sy, s2,
+       |    CAST($b AS DOUBLE) * CAST(nh AS DOUBLE) / CAST(n AS DOUBLE)
+       |      AS ap,
+       |    CAST($b AS DOUBLE) * CAST(wfp AS DOUBLE) / CAST(sw AS DOUBLE)
+       |      AS an,
+       |    CAST(nh AS DOUBLE) / CAST(n AS DOUBLE) AS fh
+       |  FROM sw, tot),
+       |rf AS (SELECT stratum, nh, sy, s2, ap, an,
+       |    CAST(floor(fh * fh * s2 / ap * 1000000000000.0) AS BIGINT)
+       |      AS vp_fp,
+       |    CAST(floor(fh * fh * s2 / an * 1000000000000.0) AS BIGINT)
+       |      AS vn_fp
+       |  FROM rows_),
+       |strata AS (SELECT stratum, nh AS n_pop,
+       |    round(CAST(sy AS DOUBLE) / CAST(nh AS DOUBLE) / 100.0, 4)
+       |      AS mean_value,
+       |    round(sqrt(s2) / 100.0, 4) AS sd_value,
+       |    round(ap, 2) AS alloc_prop, round(an, 2) AS alloc_neyman,
+       |    round(CAST(vp_fp AS DOUBLE) / 1000000000000.0, 4) AS var_prop,
+       |    round(CAST(vn_fp AS DOUBLE) / 1000000000000.0, 4)
+       |      AS var_neyman,
+       |    round(CAST(vn_fp AS DOUBLE) / CAST(vp_fp AS DOUBLE), 4)
+       |      AS var_ratio
+       |  FROM rf),
+       |ttl AS (SELECT 'TOTAL' AS stratum, n AS n_pop,
+       |    round(CAST(tsy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 4)
+       |      AS mean_value,
+       |    round(sqrt((CAST(n AS DOUBLE) * CAST(tsyy AS DOUBLE)
+       |      - CAST(tsy AS DOUBLE) * CAST(tsy AS DOUBLE))
+       |      / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 100.0, 4)
+       |      AS sd_value,
+       |    CAST($b AS DOUBLE) AS alloc_prop,
+       |    CAST($b AS DOUBLE) AS alloc_neyman,
+       |    round(CAST(t2.tvp AS DOUBLE) / 1000000000000.0, 4)
+       |      AS var_prop,
+       |    round(CAST(t2.tvn AS DOUBLE) / 1000000000000.0, 4)
+       |      AS var_neyman,
+       |    round(CAST(t2.tvn AS DOUBLE) / CAST(t2.tvp AS DOUBLE), 4)
+       |      AS var_ratio
+       |  FROM tot, (SELECT CAST(sum(vp_fp) AS BIGINT) AS tvp,
+       |    CAST(sum(vn_fp) AS BIGINT) AS tvn FROM rf) t2)
+       |SELECT * FROM (SELECT * FROM strata UNION ALL SELECT * FROM ttl)
+       |ORDER BY stratum""".stripMargin
+  }
 }

@@ -537,4 +537,57 @@ class CurationOpsSpec extends AnyFunSuite {
     // sparse cells: the fixture must actually exhibit a shortfall
     assert(a.exists(_._2._3 > 0), "no cell is short — quota audit vacuous")
   }
+
+  test("q357 neyman allocation: matches an exact driver replay; Neyman never loses to proportional") {
+    val cents = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_type",
+        "CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val b = CurationOps.NeymanBudget
+    val st = cents.groupBy(_._1).toSeq.map { case (k, vs) =>
+      val nh = vs.length.toLong
+      val sy = vs.map(_._2).sum
+      val syy = vs.map(v => v._2 * v._2).sum
+      val s2 = (nh.toDouble * syy.toDouble - sy.toDouble * sy.toDouble) /
+        (nh.toDouble * (nh - 1).toDouble)
+      (k, nh, sy, syy, s2,
+        math.floor(nh.toDouble * math.sqrt(s2) * 1e6).toLong)
+    }.sortBy(_._1)
+    val n = st.map(_._2).sum
+    val sw = st.map(_._6).sum
+    def r(x: Double, s: Int) = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = CurationOps.neymanAllocation(spark, dir).collect().map(row =>
+      row.getString(0) -> (row.getLong(1), row.getDouble(2),
+        row.getDouble(3), row.getDouble(4), row.getDouble(5),
+        row.getDouble(6), row.getDouble(7), row.getDouble(8))).toMap
+    var tvp = 0L; var tvn = 0L
+    st.foreach { case (k, nh, sy, _, s2, wfp) =>
+      val ap = b.toDouble * nh.toDouble / n.toDouble
+      val an = b.toDouble * wfp.toDouble / sw.toDouble
+      val fh = nh.toDouble / n.toDouble
+      val vp = math.floor(fh * fh * s2 / ap * 1e12).toLong
+      val vn = math.floor(fh * fh * s2 / an * 1e12).toLong
+      tvp += vp; tvn += vn
+      val (gn, gm, gsd, gap, gan, gvp, gvn, gr) = out(k)
+      assert(gn == nh)
+      assert(gm == r(sy.toDouble / nh.toDouble / 100.0, 4), k)
+      assert(gsd == r(math.sqrt(s2) / 100.0, 4), k)
+      assert(gap == r(ap, 2) && gan == r(an, 2), k)
+      assert(gvp == r(vp.toDouble / 1e12, 4), k)
+      assert(gvn == r(vn.toDouble / 1e12, 4), k)
+      assert(gr == r(vn.toDouble / vp.toDouble, 4), k)
+    }
+    // Neyman optimality: total stratified variance under the optimal
+    // allocation can never exceed proportional's
+    val (_, _, _, _, _, gtvp, gtvn, gtr) = out("TOTAL")
+    assert(gtvp == r(tvp.toDouble / 1e12, 4))
+    assert(gtvn == r(tvn.toDouble / 1e12, 4))
+    assert(gtvn <= gtvp, "Neyman allocation lost to proportional")
+    assert(gtr <= 1.0)
+    // both designs spend exactly the budget (continuous allocations)
+    val sumAp = st.map(t => b.toDouble * t._2.toDouble / n.toDouble).sum
+    val sumAn = st.map(t => b.toDouble * t._6.toDouble / sw.toDouble).sum
+    assert(math.abs(sumAp - b) < 1e-6 && math.abs(sumAn - b) < 1e-6)
+  }
 }
