@@ -375,6 +375,7 @@ object SparkEntry {
     "q355_hits"              -> (GraphOps.hits _),
     "q356_kmv_sketch"        -> (ProfileOps.kmvSetAlgebra _),
     "q357_neyman_alloc"      -> (CurationOps.neymanAllocation _),
+    "q358_boruvka_msf"       -> (GraphOps.boruvkaMst _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1014,6 +1015,7 @@ object SparkEntry {
     "q355_hits" -> GraphOps.hitsOracle,
     "q356_kmv_sketch" -> ProfileOps.kmvSetAlgebraOracle,
     "q357_neyman_alloc" -> CurationOps.neymanAllocationOracle,
+    "q358_boruvka_msf" -> GraphOps.boruvkaMstOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -1463,4 +1463,190 @@ object GraphOps {
        |SELECT role, node, score, rnk FROM ranked
        |WHERE rnk <= $HitsTopK ORDER BY role, rnk""".stripMargin
   }
+
+  // --- q358: Borůvka minimum spanning forest -------------------------------
+
+  /** Borůvka rounds (components at least halve per round — 3 covers the
+    * fixture's cluster sizes; the `resolved`/zero-growth tail rows make
+    * early convergence visible instead of silent). */
+  val BoruvkaRounds = 3
+
+  /** Pointer-jump iterations resolving each round's contraction forest
+    * (depth ≤ 2⁴ = 16; the `resolved` flag is the honesty check). */
+  val BoruvkaJumps = 4
+
+  /** Minimum verified Jaccard for an edge to exist at all. */
+  val MstTau = 0.2
+
+  /** The weighted similarity graph: the production capped-LSH verified
+    * candidate stream over the graded spread corpus (q218's stream),
+    * thresholded at [[MstTau]], with integer distance weights
+    * 10⁹ − ⌊J·10⁹⌋ — exact, and totally ordered by (wfp, a, b) so
+    * "minimum edge" is unambiguous on both engines. */
+  private[graft] def mstEdges(s: SparkSession, dir: String): DataFrame =
+    DedupOps.minhashVerified(DedupOps.corpusSpread(s, dir),
+        Some(DedupOps.LshBucketCap))
+      .filter(col("jaccard") >= MstTau)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"),
+        (lit(1000000000L) - floor(col("jaccard") * lit(1e9)).cast("long"))
+          .as("wfp"))
+
+  /** q358 — Borůvka minimum-spanning-forest rounds (Borůvka 1926; the
+    * textbook parallel MST — e.g. Blelloch's course notes) over the
+    * verified near-dup similarity graph: every component picks its
+    * minimum incident edge under the (wfp, a, b) total order, mutual
+    * picks root at the smaller component id, and the contraction
+    * forest resolves by [[BoruvkaJumps]] pointer jumps (the q350
+    * machinery). Because edge "weights" are totally ordered, the MSF
+    * is UNIQUE — the union of chosen edges equals Kruskal's answer
+    * exactly (spec-pinned) — and the MSF is single-linkage clustering's
+    * dendrogram skeleton: cutting it at a distance threshold IS
+    * single-linkage at that threshold, the principled backbone behind
+    * q59's flat dup-clusters.
+    *
+    * Output: one row per round — components before/after, edges chosen,
+    * exact total frozen weight added, and the resolution flag.
+    *
+    * Parity: weights are exact BIGINTs; every choice is an integer
+    * argmin under a total order; no floats anywhere after edge
+    * generation (which itself is the established q118/q218 replayed
+    * chain).
+    *
+    * Scale (100 TB): the edge list is candidate-proportional (capped
+    * LSH) and is the ONLY corpus-sized frame; it is built once and
+    * cached, each round touches it twice (label attach) with
+    * |nodes|-sized label tables, per-component argmin is one
+    * partitioned window, and contraction runs on the |components|-sized
+    * pointer table. Lineage is cut every round (fanout ≥ 2 per
+    * generation — the round-11 lesson). */
+  def boruvkaMst(s: SparkSession, dir: String): DataFrame =
+    boruvkaRun(s, dir)._2.orderBy("round")
+
+  /** (chosen edges with round, per-round summaries) — the edge frame
+    * feeds the spec's Kruskal equality. */
+  private[graft] def boruvkaRun(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = CurationOps.cutLineage(mstEdges(s, dir)).persist()
+    var labels = CurationOps.cutLineage(
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .distinct().select(col("node"), col("node").as("comp")))
+    val chosenBuf = scala.collection.mutable.Buffer.empty[DataFrame]
+    val sumBuf = scala.collection.mutable.Buffer.empty[DataFrame]
+    for (r <- 1 to BoruvkaRounds) {
+      val la = labels.select(col("node").as("a"), col("comp").as("ca"))
+      val lb = labels.select(col("node").as("b"), col("comp").as("cb"))
+      val er = e.join(la, Seq("a")).join(lb, Seq("b"))
+        .filter(col("ca") =!= col("cb"))
+      val dr = er.select(col("ca").as("comp"), col("cb").as("other"),
+          col("wfp"), col("a"), col("b"))
+        .unionAll(er.select(col("cb").as("comp"), col("ca").as("other"),
+          col("wfp"), col("a"), col("b")))
+      val wC = org.apache.spark.sql.expressions.Window
+        .partitionBy("comp").orderBy("wfp", "a", "b")
+      val mr = CurationOps.cutLineage(
+        dr.withColumn("rn", row_number().over(wC))
+          .filter(col("rn") === 1).drop("rn"))
+      val chosen = mr.select(col("wfp"), col("a"), col("b")).distinct()
+        .withColumn("round", lit(r.toLong))
+      chosenBuf += chosen
+      // contraction pointers: mutual minima root at the smaller comp id
+      val m1 = mr.select(col("comp"), col("other"))
+      val m2 = mr.select(col("comp").as("c2"), col("other").as("o2"))
+      val pr0 = m1.join(m2, col("other") === col("c2"), "left")
+        .select(col("comp"),
+          when(col("o2") === col("comp") && col("comp") < col("other"),
+            col("comp")).otherwise(col("other")).as("par"))
+      var p = CurationOps.cutLineage(
+        labels.select(col("comp")).distinct()
+          .join(pr0, Seq("comp"), "left")
+          .select(col("comp"), coalesce(col("par"), col("comp")).as("par")))
+      for (_ <- 1 to BoruvkaJumps) {
+        val q = p.select(col("comp").as("pc"), col("par").as("pp"))
+        p = CurationOps.cutLineage(
+          p.join(q, col("par") === col("pc"))
+            .select(col("comp"), col("pp").as("par")))
+      }
+      val q2 = p.select(col("comp").as("pc"), col("par").as("pp"))
+      val unresolved = p.join(q2, col("par") === col("pc"))
+        .filter(col("pp") =!= col("pc"))
+      val nextLabels = CurationOps.cutLineage(
+        labels.join(p, Seq("comp"))
+          .select(col("node"), col("par").as("comp")))
+      sumBuf += labels.agg(countDistinct("comp").as("n_comp_before"))
+        .crossJoin(chosen.agg(count(lit(1)).as("n_edges_added"),
+          coalesce(sum("wfp"), lit(0L)).as("wsum_added")))
+        .crossJoin(nextLabels.agg(countDistinct("comp").as("n_comp_after")))
+        .crossJoin(unresolved.agg((count(lit(1)) === 0L).as("resolved")))
+        .selectExpr(s"CAST($r AS BIGINT) AS round", "n_comp_before",
+          "n_edges_added", "wsum_added", "n_comp_after", "resolved")
+      labels = nextLabels
+    }
+    (chosenBuf.reduce(_ unionAll _), sumBuf.reduce(_ unionAll _))
+  }
+
+  def boruvkaMstOracle: String = {
+    val rounds = (1 to BoruvkaRounds).map { r =>
+      val l = s"l${r - 1}"
+      val jumps = (1 to BoruvkaJumps).map { j =>
+        s"""pj${r}_$j AS MATERIALIZED (SELECT x.comp, y.par
+           |  FROM pj${r}_${j - 1} x
+           |  JOIN pj${r}_${j - 1} y ON x.par = y.comp)""".stripMargin
+      }.mkString(",\n")
+      s"""er$r AS MATERIALIZED (
+         |  SELECT la.comp AS ca, lb.comp AS cb, we.wfp, we.a, we.b
+         |  FROM we JOIN $l la ON we.a = la.node
+         |          JOIN $l lb ON we.b = lb.node
+         |  WHERE la.comp <> lb.comp),
+         |dr$r AS (SELECT ca AS comp, cb AS other, wfp, a, b FROM er$r
+         |  UNION ALL SELECT cb, ca, wfp, a, b FROM er$r),
+         |mr$r AS MATERIALIZED (SELECT comp, other, wfp, a, b FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY comp
+         |    ORDER BY wfp, a, b) AS rn FROM dr$r) WHERE rn = 1),
+         |ch$r AS MATERIALIZED (SELECT DISTINCT wfp, a, b FROM mr$r),
+         |pr$r AS (SELECT c.comp, coalesce(
+         |    CASE WHEN m2.o2 = m.comp AND m.comp < m.other THEN m.comp
+         |      ELSE m.other END, c.comp) AS par
+         |  FROM (SELECT DISTINCT comp FROM $l) c
+         |  LEFT JOIN mr$r m ON c.comp = m.comp
+         |  LEFT JOIN (SELECT comp AS c2, other AS o2 FROM mr$r) m2
+         |    ON m.other = m2.c2),
+         |pj${r}_0 AS MATERIALIZED (SELECT comp, par FROM pr$r),
+         |$jumps,
+         |l$r AS MATERIALIZED (SELECT $l.node, p.par AS comp FROM $l
+         |  JOIN pj${r}_$BoruvkaJumps p ON $l.comp = p.comp),
+         |s$r AS (SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT count(DISTINCT comp) FROM $l) AS n_comp_before,
+         |  (SELECT count(*) FROM ch$r) AS n_edges_added,
+         |  (SELECT coalesce(CAST(sum(wfp) AS BIGINT), 0) FROM ch$r)
+         |    AS wsum_added,
+         |  (SELECT count(DISTINCT comp) FROM l$r) AS n_comp_after,
+         |  (SELECT count(*) = 0 FROM pj${r}_$BoruvkaJumps x
+         |     JOIN pj${r}_$BoruvkaJumps y ON x.par = y.comp
+         |     WHERE y.par <> y.comp) AS resolved)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to BoruvkaRounds).map(r => s"SELECT * FROM s$r")
+      .mkString(" UNION ALL ")
+    s"""WITH ${OracleGen.lshCandSpreadCtes},
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |    AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |jac AS (SELECT doc_a, doc_b,
+       |    n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b),
+       |we AS MATERIALIZED (SELECT j.doc_a AS a, j.doc_b AS b,
+       |    1000000000 - CAST(floor(j.jaccard * 1000000000.0) AS BIGINT)
+       |      AS wfp
+       |  FROM jac j JOIN cand USING (doc_a, doc_b)
+       |  WHERE j.jaccard >= $MstTau),
+       |nodes AS (SELECT DISTINCT a AS node FROM we
+       |  UNION SELECT DISTINCT b FROM we),
+       |l0 AS MATERIALIZED (SELECT node, node AS comp FROM nodes),
+       |$rounds
+       |SELECT * FROM ($sel) ORDER BY round""".stripMargin
+  }
 }

@@ -4504,6 +4504,40 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(math.abs(h.values.sum - nC) < 1e-3)
   }
 
+  test("q358 boruvka: chosen edges ARE Kruskal's unique MSF; counts reconcile") {
+    val edges = GraphOps.mstEdges(spark, dir).collect()
+      .map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+    val (chosenDf, sumDf) = GraphOps.boruvkaRun(spark, dir)
+    val chosen = chosenDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // driver Kruskal under the same (wfp, a, b) total order — the MSF
+    // w.r.t. a strict total order is unique, so Borůvka must equal it
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val kruskal = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    edges.sorted.foreach { case (w, a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; kruskal += ((w, a, b)) }
+    }
+    assert(chosen == kruskal.toSet,
+      s"Borůvka ${chosen.size} edges vs Kruskal ${kruskal.size}")
+    // summary reconciliation: edges added = nodes − final components,
+    // components strictly shrink until they can't, every round resolves
+    val sums = sumDf.orderBy("round").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(4), r.getBoolean(5)))
+    val nNodes = edges.flatMap(e => Seq(e._2, e._3)).distinct.length.toLong
+    assert(sums.head._1 == nNodes)
+    assert(sums.map(_._2).sum == nNodes - sums.last._3)
+    assert(sums.forall(_._4), "a contraction round did not resolve")
+    sums.sliding(2).foreach { case Array(x, y) =>
+      assert(y._1 == x._3, "round chaining broken")
+      assert(y._3 <= x._3)
+    case _ => }
+  }
+
   test("q356 kmv sketch: matches an exact driver replay; union-of-sketches IS the sketch of the union") {
     import graft.functions.Md5Fp60
     val k = ProfileOps.KmvK
