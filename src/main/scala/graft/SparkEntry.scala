@@ -376,6 +376,7 @@ object SparkEntry {
     "q356_kmv_sketch"        -> (ProfileOps.kmvSetAlgebra _),
     "q357_neyman_alloc"      -> (CurationOps.neymanAllocation _),
     "q358_boruvka_msf"       -> (GraphOps.boruvkaMst _),
+    "q359_sinkhorn_ot"       -> (ProfileOps.sinkhornOt _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1016,6 +1017,7 @@ object SparkEntry {
     "q356_kmv_sketch" -> ProfileOps.kmvSetAlgebraOracle,
     "q357_neyman_alloc" -> CurationOps.neymanAllocationOracle,
     "q358_boruvka_msf" -> GraphOps.boruvkaMstOracle,
+    "q359_sinkhorn_ot" -> ProfileOps.sinkhornOtOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -3945,4 +3945,241 @@ object ProfileOps {
        |JOIN usk u ON p.sa = u.sa AND p.sb = u.sb
        |ORDER BY p.sa, p.sb""".stripMargin
   }
+
+  // --- q359: Sinkhorn entropic optimal transport ---------------------------
+
+  /** Bucket count / width (value units) for the transport support. */
+  val SinkBuckets = 10
+  val SinkWidth = 50.0
+
+  /** Entropic regularization sweep ε (bucket-distance units): the cost
+    * must collapse onto exact W1 as ε → 0 — the knob curve. */
+  val SinkEpsGrid: Seq[Double] = Seq(0.25, 1.0, 3.0)
+
+  /** Sinkhorn scaling iterations (fixed, unrolled in the oracle). */
+  val SinkIters = 5
+
+  /** Gibbs kernels K_ij = exp(−|i−j|/ε) per grid ε, FROZEN to ×10¹²
+    * integers at generation (the q353 discipline): both engines read
+    * the same literal values, so no libm exp ever runs in-query. */
+  private[graft] def sinkKfp(eps: Double): IndexedSeq[Long] =
+    (0 until SinkBuckets).map(d =>
+      math.floor(math.exp(-d.toDouble / eps) * 1e12).toLong)
+
+  /** q359 — Sinkhorn entropic optimal transport (Cuturi, NeurIPS 2013)
+    * between every pair of event-type value histograms, audited against
+    * the EXACT 1-D Wasserstein-1 answer: in one dimension W1 has a
+    * closed form (Σ|ΔCDF|, exact integer rationals here — q278's
+    * metric), so this is the calibration bench for the algorithm one
+    * would trust in higher dimensions where no closed form exists. Five
+    * diag-scaling iterations u ← r⊘Kv, v ← c⊘Kᵀu on the frozen Gibbs
+    * kernel, swept across [[SinkEpsGrid]] — the curve must collapse
+    * onto W1 as ε → 0, and how fast it collapses is the knob readout;
+    * outputs the plan's transport cost ⟨T, C⟩, the exact W1,
+    * the entropy gap between them, and the plan's residual row-marginal
+    * error (the honesty column: how converged the scaling actually is).
+    *
+    * Parity: the kernel is literal integers; every Σ_j inside the
+    * scaling freezes each term to BIGINT before summing
+    * (order-independent); each u/v update is ONE pinned double
+    * division; the final cost and marginal residual freeze per-cell
+    * ×10¹² and sum as BIGINT. W1 is exact integer arithmetic until one
+    * final division.
+    *
+    * Scale (100 TB): ONE corpus scan into a (type, bucket) histogram;
+    * the entire Sinkhorn iteration runs on |pairs|·K² metadata-sized
+    * frames (here 10·100 cells). This is the general shape: OT between
+    * N-point empirical measures is O(N²) and corpus-sized, OT between
+    * HISTOGRAMS is sketch-sized — bucket first, transport after. */
+  def sinkhornOt(s: SparkSession, dir: String): DataFrame = {
+    val k = SinkBuckets
+    val hist = EtlOps.events(s, dir)
+      .selectExpr("event_type AS t",
+        s"least(CAST(floor(value / $SinkWidth) AS INT), ${k - 1}) AS b")
+      .groupBy("t", "b").agg(count(lit(1)).as("cnt"))
+      .persist()
+    val types = hist.select("t").distinct()
+    val grid = types.crossJoin(
+      s.range(k.toLong).select(col("id").cast("int").as("b")))
+    val dense = grid.join(hist, Seq("t", "b"), "left")
+      .select(col("t"), col("b"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val tot = dense.groupBy("t").agg(sum("cnt").as("n"))
+    val marg = dense.join(tot, Seq("t"))
+      .select(col("t"), col("b"), col("cnt"), col("n"),
+        (col("cnt").cast("double") / col("n").cast("double")).as("p"))
+      .persist()
+    val pairs = types.select(col("t").as("ta"))
+      .crossJoin(types.select(col("t").as("tb")))
+      .filter(col("ta") < col("tb"))
+    // dense pair grid: (ta, tb, b, r, c) + exact counts for W1
+    val m = pairs
+      .join(marg.select(col("t").as("ta"), col("b"), col("p").as("r"),
+        col("cnt").as("cnt_a"), col("n").as("na")), Seq("ta"))
+      .join(marg.select(col("t").as("tb"), col("b"),
+        col("p").as("c"), col("cnt").as("cnt_b"), col("n").as("nb")),
+        Seq("tb", "b"))
+      .persist()
+    val km = s.createDataFrame(
+      for (e <- SinkEpsGrid.indices; i <- 0 until k; j <- 0 until k)
+        yield (e, SinkEpsGrid(e), i, j, math.abs(i - j).toLong,
+          sinkKfp(SinkEpsGrid(e))(math.abs(i - j))))
+      .toDF("eid", "eps", "i", "j", "d", "kfp")
+    val kmB = broadcast(km)
+    val eGrid = broadcast(km.select("eid").distinct())
+    var v = m.select(col("ta"), col("tb"), col("b").as("j"),
+      lit(1.0).as("v")).crossJoin(eGrid)
+    var u: DataFrame = null
+    for (_ <- 1 to SinkIters) {
+      u = CurationOps.cutLineage(
+        v.join(kmB, Seq("eid", "j")).groupBy("ta", "tb", "eid", "i")
+          .agg(sum(floor(col("kfp") * col("v")).cast("long")).as("kv"))
+          .join(m.select(col("ta"), col("tb"), col("b").as("i"),
+            col("r")), Seq("ta", "tb", "i"))
+          .select(col("ta"), col("tb"), col("eid"), col("i"),
+            when(col("r") === 0.0, lit(0.0))
+              .otherwise(col("r") / (col("kv").cast("double")
+                / lit(1e12))).as("u")))
+      v = CurationOps.cutLineage(
+        u.join(kmB, Seq("eid", "i")).groupBy("ta", "tb", "eid", "j")
+          .agg(sum(floor(col("kfp") * col("u")).cast("long")).as("ku"))
+          .join(m.select(col("ta"), col("tb"), col("b").as("j"),
+            col("c")), Seq("ta", "tb", "j"))
+          .select(col("ta"), col("tb"), col("eid"), col("j"),
+            when(col("c") === 0.0, lit(0.0))
+              .otherwise(col("c") / (col("ku").cast("double")
+                / lit(1e12))).as("v")))
+    }
+    // transport plan cells: T_ij = (u_i * (kfp/1e12)) * v_j, pinned
+    val cells = u.join(kmB, Seq("eid", "i"))
+      .join(v, Seq("ta", "tb", "eid", "j"))
+      .select(col("ta"), col("tb"), col("eid"), col("eps"), col("i"),
+        col("j"), col("d"),
+        ((col("u") * (col("kfp").cast("double") / lit(1e12)))
+          * col("v")).as("tm"))
+    val cost = cells.groupBy("ta", "tb", "eid", "eps")
+      .agg(sum(floor(col("tm") * col("d").cast("double") * lit(1e12))
+        .cast("long")).as("cost_fp"))
+    val rowErr = cells.groupBy("ta", "tb", "eid", "i")
+      .agg(sum(floor(col("tm") * lit(1e12)).cast("long")).as("ti"))
+      .join(m.select(col("ta"), col("tb"), col("b").as("i"), col("r")),
+        Seq("ta", "tb", "i"))
+      .groupBy("ta", "tb", "eid")
+      .agg(sum(abs(col("ti") - floor(col("r") * lit(1e12)).cast("long")))
+        .as("rerr_fp"))
+    // exact 1-D W1 in bucket units: sum over b<k-1 of |ΔCDF|
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("ta", "tb").orderBy("b")
+    val w1 = m.select(col("ta"), col("tb"), col("b"),
+        sum(col("cnt_a")).over(wA).as("cum_a"),
+        sum(col("cnt_b")).over(wA).as("cum_b"),
+        col("na"), col("nb"))
+      .filter(col("b") < k - 1)
+      .groupBy("ta", "tb")
+      .agg(sum(abs(col("cum_a") * col("nb") - col("cum_b") * col("na")))
+        .as("num"), max(col("na") * col("nb")).as("den"))
+      .select(col("ta"), col("tb"),
+        (col("num").cast("double") / col("den").cast("double"))
+          .as("w1"))
+    cost.join(rowErr, Seq("ta", "tb", "eid")).join(w1, Seq("ta", "tb"))
+      .selectExpr("ta", "tb", "eps", "round(w1, 6) AS w1_exact",
+        "round(CAST(cost_fp AS DOUBLE) / 1e12, 6) AS sinkhorn_cost",
+        "round(CAST(cost_fp AS DOUBLE) / 1e12 - w1, 6) AS entropy_gap",
+        "round(CAST(rerr_fp AS DOUBLE) / 1e12, 8) AS row_marginal_err")
+      .orderBy("ta", "tb", "eps")
+  }
+
+  def sinkhornOtOracle: String = {
+    val k = SinkBuckets
+    val kmVals = (for (e <- SinkEpsGrid.indices; i <- 0 until k;
+        j <- 0 until k)
+      yield s"($e, ${SinkEpsGrid(e)}::DOUBLE, $i, $j, " +
+        s"${math.abs(i - j)}, ${sinkKfp(SinkEpsGrid(e))(math.abs(i - j))})")
+      .mkString(", ")
+    val iters = (1 to SinkIters).map { t =>
+      s"""u$t AS MATERIALIZED (SELECT m.ta, m.tb, kv.eid, m.b AS i,
+         |    CASE WHEN m.r = 0.0 THEN 0.0
+         |      ELSE m.r / (CAST(kv.kv AS DOUBLE) / 1000000000000.0)
+         |      END AS u
+         |  FROM (SELECT v.ta, v.tb, km.eid, km.i,
+         |      CAST(sum(CAST(floor(km.kfp * v.v) AS BIGINT)) AS BIGINT)
+         |        AS kv
+         |    FROM v${t - 1} v JOIN km ON km.eid = v.eid AND km.j = v.j
+         |    GROUP BY v.ta, v.tb, km.eid, km.i) kv
+         |  JOIN m ON m.ta = kv.ta AND m.tb = kv.tb AND m.b = kv.i),
+         |v$t AS MATERIALIZED (SELECT m.ta, m.tb, ku.eid, m.b AS j,
+         |    CASE WHEN m.c = 0.0 THEN 0.0
+         |      ELSE m.c / (CAST(ku.ku AS DOUBLE) / 1000000000000.0)
+         |      END AS v
+         |  FROM (SELECT u.ta, u.tb, km.eid, km.j,
+         |      CAST(sum(CAST(floor(km.kfp * u.u) AS BIGINT)) AS BIGINT)
+         |        AS ku
+         |    FROM u$t u JOIN km ON km.eid = u.eid AND km.i = u.i
+         |    GROUP BY u.ta, u.tb, km.eid, km.j) ku
+         |  JOIN m ON m.ta = ku.ta AND m.tb = ku.tb AND m.b = ku.j)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH hist AS (SELECT event_type AS t,
+       |    least(CAST(floor(value / $SinkWidth) AS INT), ${k - 1}) AS b,
+       |    count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |types AS (SELECT DISTINCT t FROM hist),
+       |grid AS (SELECT t, CAST(gb.b AS INT) AS b FROM types,
+       |  (SELECT unnest(range(0, $k)) AS b) gb),
+       |dense AS (SELECT g.t, g.b, coalesce(h.cnt, 0) AS cnt
+       |  FROM grid g LEFT JOIN hist h ON g.t = h.t AND g.b = h.b),
+       |tot AS (SELECT t, CAST(sum(cnt) AS BIGINT) AS n FROM dense
+       |  GROUP BY t),
+       |marg AS (SELECT d.t, d.b, CAST(d.cnt AS BIGINT) AS cnt, tot.n,
+       |    CAST(d.cnt AS DOUBLE) / CAST(tot.n AS DOUBLE) AS p
+       |  FROM dense d JOIN tot ON d.t = tot.t),
+       |m AS MATERIALIZED (SELECT a.t AS ta, b2.t AS tb, a.b,
+       |    a.p AS r, b2.p AS c, a.cnt AS cnt_a, b2.cnt AS cnt_b,
+       |    a.n AS na, b2.n AS nb
+       |  FROM marg a JOIN marg b2 ON a.t < b2.t AND a.b = b2.b),
+       |km AS (SELECT * FROM (VALUES $kmVals)
+       |  AS km(eid, eps, i, j, d, kfp)),
+       |v0 AS (SELECT m.ta, m.tb, eg.eid, m.b AS j, 1.0::DOUBLE AS v
+       |  FROM m, (SELECT DISTINCT eid FROM km) eg),
+       |$iters,
+       |cells AS MATERIALIZED (SELECT u.ta, u.tb, u.eid, km.eps, u.i,
+       |    v.j, km.d,
+       |    (u.u * (CAST(km.kfp AS DOUBLE) / 1000000000000.0)) * v.v
+       |      AS tm
+       |  FROM u$SinkIters u
+       |  JOIN km ON km.eid = u.eid AND km.i = u.i
+       |  JOIN v$SinkIters v ON v.ta = u.ta AND v.tb = u.tb
+       |    AND v.eid = u.eid AND v.j = km.j),
+       |cost AS (SELECT ta, tb, eid, eps,
+       |    CAST(sum(CAST(floor(tm * CAST(d AS DOUBLE)
+       |      * 1000000000000.0) AS BIGINT)) AS BIGINT) AS cost_fp
+       |  FROM cells GROUP BY ta, tb, eid, eps),
+       |rerr AS (SELECT ti.ta, ti.tb, ti.eid,
+       |    CAST(sum(abs(ti.ti - CAST(floor(m.r * 1000000000000.0)
+       |      AS BIGINT))) AS BIGINT) AS rerr_fp
+       |  FROM (SELECT ta, tb, eid, i,
+       |      CAST(sum(CAST(floor(tm * 1000000000000.0) AS BIGINT))
+       |        AS BIGINT) AS ti
+       |    FROM cells GROUP BY ta, tb, eid, i) ti
+       |  JOIN m ON m.ta = ti.ta AND m.tb = ti.tb AND m.b = ti.i
+       |  GROUP BY ti.ta, ti.tb, ti.eid),
+       |cum AS (SELECT ta, tb, b, na, nb,
+       |    sum(cnt_a) OVER (PARTITION BY ta, tb ORDER BY b) AS cum_a,
+       |    sum(cnt_b) OVER (PARTITION BY ta, tb ORDER BY b) AS cum_b
+       |  FROM m),
+       |w1 AS (SELECT ta, tb,
+       |    CAST(CAST(sum(abs(cum_a * nb - cum_b * na)) AS BIGINT)
+       |      AS DOUBLE) / CAST(max(na * nb) AS DOUBLE) AS w1
+       |  FROM cum WHERE b < ${k - 1} GROUP BY ta, tb)
+       |SELECT c.ta, c.tb, c.eps, round(w1.w1, 6) AS w1_exact,
+       |  round(CAST(c.cost_fp AS DOUBLE) / 1000000000000.0, 6)
+       |    AS sinkhorn_cost,
+       |  round(CAST(c.cost_fp AS DOUBLE) / 1000000000000.0 - w1.w1, 6)
+       |    AS entropy_gap,
+       |  round(CAST(r.rerr_fp AS DOUBLE) / 1000000000000.0, 8)
+       |    AS row_marginal_err
+       |FROM cost c
+       |JOIN rerr r ON c.ta = r.ta AND c.tb = r.tb AND c.eid = r.eid
+       |JOIN w1 ON w1.ta = c.ta AND w1.tb = c.tb
+       |ORDER BY c.ta, c.tb, c.eps""".stripMargin
+  }
 }

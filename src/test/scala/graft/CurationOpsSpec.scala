@@ -590,4 +590,80 @@ class CurationOpsSpec extends AnyFunSuite {
     val sumAn = st.map(t => b.toDouble * t._6.toDouble / sw.toDouble).sum
     assert(math.abs(sumAp - b) < 1e-6 && math.abs(sumAn - b) < 1e-6)
   }
+
+  test("q359 sinkhorn: matches an exact driver replay; cost collapses onto W1 as eps shrinks") {
+    val k = ProfileOps.SinkBuckets
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_type",
+        s"least(CAST(floor(value / ${ProfileOps.SinkWidth}) AS INT)," +
+          s" ${k - 1}) AS b").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val types = ev.map(_._1).distinct.sorted
+    val cnts: Map[String, Array[Long]] = types.map { t =>
+      val a = Array.fill(k)(0L)
+      ev.filter(_._1 == t).foreach(e => a(e._2) += 1)
+      t -> a
+    }.toMap
+    val out = ProfileOps.sinkhornOt(spark, dir).collect().map(r =>
+      ((r.getString(0), r.getString(1), r.getDouble(2)),
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    def r(x: Double, s: Int) = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (pair <- types.combinations(2)) {
+      val (ta, tb) = (pair(0), pair(1))
+      val (ca, cb) = (cnts(ta), cnts(tb))
+      val (na, nb) = (ca.sum, cb.sum)
+      val rr = ca.map(_.toDouble / na.toDouble)
+      val cc = cb.map(_.toDouble / nb.toDouble)
+      // exact 1-D W1 from integer CDFs
+      var num = 0L; var (cua, cub) = (0L, 0L)
+      for (i <- 0 until k - 1) {
+        cua += ca(i); cub += cb(i)
+        num += math.abs(cua * nb - cub * na)
+      }
+      val w1 = num.toDouble / (na * nb).toDouble
+      for (eps <- ProfileOps.SinkEpsGrid) {
+        val kf = ProfileOps.sinkKfp(eps)
+        var u = Array.fill(k)(0.0); var v = Array.fill(k)(1.0)
+        for (_ <- 1 to ProfileOps.SinkIters) {
+          u = (0 until k).map { i =>
+            val kv = (0 until k)
+              .map(j => math.floor(kf(math.abs(i - j)) * v(j)).toLong).sum
+            if (rr(i) == 0.0) 0.0 else rr(i) / (kv.toDouble / 1e12)
+          }.toArray
+          v = (0 until k).map { j =>
+            val ku = (0 until k)
+              .map(i => math.floor(kf(math.abs(i - j)) * u(i)).toLong).sum
+            if (cc(j) == 0.0) 0.0 else cc(j) / (ku.toDouble / 1e12)
+          }.toArray
+        }
+        var costFp = 0L; var rerrFp = 0L
+        for (i <- 0 until k) {
+          var ti = 0L
+          for (j <- 0 until k) {
+            val tm = (u(i) * (kf(math.abs(i - j)).toDouble / 1e12)) * v(j)
+            costFp += math.floor(tm * math.abs(i - j).toDouble * 1e12)
+              .toLong
+            ti += math.floor(tm * 1e12).toLong
+          }
+          rerrFp += math.abs(ti - math.floor(rr(i) * 1e12).toLong)
+        }
+        val (gw1, gcost, ggap, gerr) = out((ta, tb, eps))
+        assert(gw1 == r(w1, 6), s"$ta|$tb|$eps w1")
+        assert(gcost == r(costFp.toDouble / 1e12, 6), s"$ta|$tb|$eps cost")
+        assert(ggap == r(costFp.toDouble / 1e12 - w1, 6), s"$ta|$tb gap")
+        assert(gerr == r(rerrFp.toDouble / 1e12, 8), s"$ta|$tb err")
+      }
+      // knob curve: transport cost is monotone in eps and lands within
+      // the convergence slack of exact W1 at the smallest eps
+      val costs = ProfileOps.SinkEpsGrid.map(e => out((ta, tb, e))._2)
+      assert(costs == costs.sorted, s"$ta|$tb: cost not monotone in eps")
+      val (smallW1, smallCost, _, smallErr) =
+        out((ta, tb, ProfileOps.SinkEpsGrid.min))
+      assert(math.abs(smallCost - smallW1) <=
+        (k - 1).toDouble * smallErr + 0.02,
+        s"$ta|$tb: small-eps cost did not collapse onto W1")
+    }
+  }
 }
