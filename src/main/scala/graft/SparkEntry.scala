@@ -377,6 +377,7 @@ object SparkEntry {
     "q357_neyman_alloc"      -> (CurationOps.neymanAllocation _),
     "q358_boruvka_msf"       -> (GraphOps.boruvkaMst _),
     "q359_sinkhorn_ot"       -> (ProfileOps.sinkhornOt _),
+    "q360_bpe_merges"        -> (TextOps.bpeMerges _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1018,6 +1019,7 @@ object SparkEntry {
     "q357_neyman_alloc" -> CurationOps.neymanAllocationOracle,
     "q358_boruvka_msf" -> GraphOps.boruvkaMstOracle,
     "q359_sinkhorn_ot" -> ProfileOps.sinkhornOtOracle,
+    "q360_bpe_merges" -> TextOps.bpeMergesOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -811,4 +811,59 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       else assert(rev == (dir_ != pooled.head._6), s"stratum $st")
     }
   }
+
+  test("q360 bpe merges: matches a classic greedy-scan BPE trainer replay") {
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("explode(split(text, ' ')) AS w").collect()
+      .map(_.getString(0))
+    val freq = words.groupBy(identity).map { case (w, ws) =>
+      w -> ws.length.toLong }
+    var syms: Map[String, Vector[String]] =
+      freq.keys.map(w => w -> w.split("").toVector).toMap
+    val expected = scala.collection.mutable.Buffer
+      .empty[(Long, Long, String, String, Long, Boolean)]
+    for (r <- 1 to TextOps.BpeRounds) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (w, ss) =>
+        ss.sliding(2).foreach {
+          case Vector(a, b2) =>
+            pc((a, b2)) = pc.getOrElse((a, b2), 0L) + freq(w)
+          case _ =>
+        }
+      }
+      val ranked = pc.toSeq.sortBy { case ((l, rr), w) => (-w, l, rr) }
+      ranked.take(TextOps.BpeTop).zipWithIndex.foreach {
+        case (((l, rr), w), i) =>
+          expected += ((r.toLong, (i + 1).toLong, l, rr, w, i == 0))
+      }
+      val best = ranked.head._1
+      // classic greedy left-to-right scan — must equal the engine's
+      // gaps-and-islands odd-offset rule
+      syms = syms.map { case (w, ss) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < ss.length) {
+          if (i < ss.length - 1 && (ss(i), ss(i + 1)) == best) {
+            out += ss(i) + ss(i + 1); i += 2
+          } else { out += ss(i); i += 1 }
+        }
+        w -> out.result()
+      }
+    }
+    val got = TextOps.bpeMerges(spark, dir).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == expected.toSeq, "BPE leaderboard mismatch vs replay")
+    // merges must be genuinely applied: the selected pair of round r
+    // cannot reappear in round r+1's counts at the same weight from
+    // unmerged occurrences (its leftover weight is strictly smaller)
+    val sel = got.filter(_._6).map(t => ((t._3, t._4), t._5)).toMap
+    got.filter(t => !t._6).foreach { t =>
+      sel.get((t._3, t._4)).foreach { w0 =>
+        if (t._1 > got.filter(_._6).find(s => (s._3, s._4) == (t._3, t._4))
+              .get._1)
+          assert(t._5 < w0, s"merge ${t._3}+${t._4} not applied")
+      }
+    }
+  }
 }
