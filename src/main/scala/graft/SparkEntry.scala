@@ -378,6 +378,7 @@ object SparkEntry {
     "q358_boruvka_msf"       -> (GraphOps.boruvkaMst _),
     "q359_sinkhorn_ot"       -> (ProfileOps.sinkhornOt _),
     "q360_bpe_merges"        -> (TextOps.bpeMerges _),
+    "q361_dsir_selection"    -> (MlPrepOps.dsirSelection _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1020,6 +1021,7 @@ object SparkEntry {
     "q358_boruvka_msf" -> GraphOps.boruvkaMstOracle,
     "q359_sinkhorn_ot" -> ProfileOps.sinkhornOtOracle,
     "q360_bpe_merges" -> TextOps.bpeMergesOracle,
+    "q361_dsir_selection" -> MlPrepOps.dsirSelectionOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -2176,4 +2176,143 @@ object MlPrepOps {
        |  FROM sc ORDER BY score_fp ASC, doc_id LIMIT $TracInK)
        |ORDER BY helpful DESC, "rank"""".stripMargin
   }
+
+  // --- q361: DSIR importance-weighted data selection -----------------------
+
+  /** Hashed-bigram feature buckets (DSIR's hashed n-gram space). */
+  val DsirBuckets = 64
+
+  /** The planted domain phrase — appended to the target corpus AND to
+    * the hidden in-domain quarter of the pool, so selection has a
+    * falsifiable right answer (the fixture's natural token mix carries
+    * no domain signal — measured: per-lang/per-source unigram shares
+    * are sampling noise). */
+  val DsirMarker = "tensor gradient tensor gradient tensor gradient"
+
+  /** q361 — DSIR data selection with importance resampling weights
+    * (Xie et al., NeurIPS 2023): score every pool document by
+    * Σ_features n·ln(p_target/p_raw) over hashed word-bigram buckets
+    * (two smoothed bucket LMs), select the top-K by score, and report
+    * the recovered composition. Target = a small disjoint planted
+    * in-domain sample; the pool hides an in-domain quarter (doc_id
+    * parity classes — disjoint by construction); K = the planted
+    * quarter's size, so the planted/unplanted selection rates ARE the
+    * method's precision/recall readout. q334 selects by perplexity
+    * against ONE lm; DSIR selects by the RATIO of two — the difference
+    * is what makes it a domain-targeting, not a fluency, filter.
+    *
+    * Parity: bucket counts are exact integers; each λ_b freezes to
+    * floor(ln(ratio)·10⁹) BIGINT once per bucket (64 of them — the
+    * q324 ln discipline), so every doc score is an exact BIGINT sum;
+    * selection is the (score DESC, doc_id) total order through
+    * [[ScaleOps.withGlobalRank]] — no corpus-sized single-partition
+    * window.
+    *
+    * Scale (100 TB): two corpus scans (target is sample-sized), a
+    * 64-row broadcast λ table, one map-side-combinable per-doc sum,
+    * and the range-partitioned global rank. Nothing quadratic,
+    * nothing driver-sized but the 64 λ rows and partition offsets. */
+  def dsirSelection(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val b = DsirBuckets
+    val d = EtlOps.t(s, dir, "documents").select("doc_id", "text")
+    val pool = d.selectExpr("doc_id", "doc_id % 4 = 0 AS planted",
+      s"CASE WHEN doc_id % 4 = 0 THEN concat(text, ' $DsirMarker')" +
+        " ELSE text END AS text")
+    val tgt = d.filter(col("doc_id") % 4 === 1)
+      .selectExpr("doc_id", s"concat(text, ' $DsirMarker') AS text")
+    def feats(df: DataFrame): DataFrame = df
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(DedupOps.wordGramArrayExpr(2))).as("bg"))
+      .withColumn("bkt", call_function("md5_fp60", col("bg")) % b)
+    val pf = feats(pool).persist()
+    val tc = feats(tgt).groupBy("bkt").agg(count(lit(1)).as("ct"))
+    val pc = pf.groupBy("bkt").agg(count(lit(1)).as("cr"))
+    val grid = s.range(b.toLong).select(col("id").as("bkt"))
+    val tots = tc.agg(sum("ct").as("nt"))
+      .crossJoin(pc.agg(sum("cr").as("nr")))
+    val lam = grid.join(tc, Seq("bkt"), "left")
+      .join(pc, Seq("bkt"), "left").crossJoin(broadcast(tots))
+      .selectExpr("bkt",
+        ("CAST(floor(ln((CAST(coalesce(ct, 0) + 1 AS DOUBLE)" +
+          s" / CAST(nt + $b AS DOUBLE))" +
+          " / (CAST(coalesce(cr, 0) + 1 AS DOUBLE)" +
+          s" / CAST(nr + $b AS DOUBLE))) * 1e9) AS BIGINT) AS lam_fp"))
+    val scores = pf.join(broadcast(lam), Seq("bkt"))
+      .groupBy("doc_id").agg(sum("lam_fp").as("score_fp"))
+    val scored = pool.select("doc_id", "planted")
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("planted"),
+        coalesce(col("score_fp"), lit(0L)).as("score_fp"))
+    val k = broadcast(pool.agg(
+      sum(when(col("planted"), 1L).otherwise(0L)).as("k")))
+    val ranked = ScaleOps.withGlobalRank(scored, "rnk",
+      col("score_fp").desc, col("doc_id"))
+    ranked.crossJoin(k)
+      .withColumn("selected", col("rnk") <= col("k"))
+      .groupBy("planted")
+      .agg(count(lit(1)).as("n_pool"),
+        sum(when(col("selected"), 1L).otherwise(0L)).as("n_selected"),
+        sum("score_fp").as("ssum"))
+      .selectExpr("planted", "n_pool", "n_selected",
+        "round(CAST(n_selected AS DOUBLE) / CAST(n_pool AS DOUBLE), 4)" +
+          " AS sel_rate",
+        "round(CAST(ssum AS DOUBLE) / 1e9 / CAST(n_pool AS DOUBLE), 6)" +
+          " AS mean_score")
+      .orderBy("planted")
+  }
+
+  def dsirSelectionOracle: String = {
+    val b = DsirBuckets
+    val h = "CAST('0x' || substr(md5(bg), 1, 15) AS BIGINT)"
+    s"""WITH d AS (SELECT doc_id, text FROM documents),
+       |pool AS (SELECT doc_id, doc_id % 4 = 0 AS planted,
+       |    CASE WHEN doc_id % 4 = 0 THEN text || ' $DsirMarker'
+       |      ELSE text END AS text FROM d),
+       |tgt AS (SELECT doc_id, text || ' $DsirMarker' AS text
+       |  FROM d WHERE doc_id % 4 = 1),
+       |pfx AS MATERIALIZED (SELECT doc_id, $h % $b AS bkt FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM pool))),
+       |tfx AS (SELECT doc_id, $h % $b AS bkt FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+       |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM tgt))),
+       |tc AS (SELECT bkt, count(*) AS ct FROM tfx GROUP BY bkt),
+       |pc AS (SELECT bkt, count(*) AS cr FROM pfx GROUP BY bkt),
+       |tots AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM tc) AS nt,
+       |  (SELECT CAST(sum(cr) AS BIGINT) FROM pc) AS nr),
+       |lam AS MATERIALIZED (SELECT g.bkt,
+       |    CAST(floor(ln((CAST(coalesce(tc.ct, 0) + 1 AS DOUBLE)
+       |      / CAST(tots.nt + $b AS DOUBLE))
+       |      / (CAST(coalesce(pc.cr, 0) + 1 AS DOUBLE)
+       |      / CAST(tots.nr + $b AS DOUBLE))) * 1e9) AS BIGINT)
+       |      AS lam_fp
+       |  FROM (SELECT unnest(range(0, $b)) AS bkt) g
+       |  LEFT JOIN tc ON g.bkt = tc.bkt
+       |  LEFT JOIN pc ON g.bkt = pc.bkt, tots),
+       |sc AS (SELECT pfx.doc_id,
+       |    CAST(sum(lam.lam_fp) AS BIGINT) AS score_fp
+       |  FROM pfx JOIN lam ON pfx.bkt = lam.bkt GROUP BY pfx.doc_id),
+       |scored AS (SELECT p.doc_id, p.planted,
+       |    coalesce(sc.score_fp, 0) AS score_fp
+       |  FROM pool p LEFT JOIN sc ON p.doc_id = sc.doc_id),
+       |kk AS (SELECT CAST(sum(CASE WHEN planted THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS k FROM pool),
+       |ranked AS (SELECT *, row_number() OVER
+       |    (ORDER BY score_fp DESC, doc_id) AS rnk FROM scored)
+       |SELECT planted, count(*) AS n_pool,
+       |  CAST(sum(CASE WHEN rnk <= kk.k THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_selected,
+       |  round(CAST(sum(CASE WHEN rnk <= kk.k THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS sel_rate,
+       |  round(CAST(CAST(sum(score_fp) AS BIGINT) AS DOUBLE) / 1e9
+       |    / CAST(count(*) AS DOUBLE), 6) AS mean_score
+       |FROM ranked, kk GROUP BY planted, kk.k ORDER BY planted"""
+      .stripMargin
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AnalyticsOps, GraphOps, JoinOps, ScaleOps, TextOps}
+import graft.operators.{AnalyticsOps, GraphOps, JoinOps, MlPrepOps, ScaleOps, TextOps}
 
 class AnalyticsOpsSpec extends AnyFunSuite {
 
@@ -854,16 +854,54 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
         r.getLong(4), r.getBoolean(5))).toSeq
     assert(got == expected.toSeq, "BPE leaderboard mismatch vs replay")
-    // merges must be genuinely applied: the selected pair of round r
-    // cannot reappear in round r+1's counts at the same weight from
-    // unmerged occurrences (its leftover weight is strictly smaller)
-    val sel = got.filter(_._6).map(t => ((t._3, t._4), t._5)).toMap
-    got.filter(t => !t._6).foreach { t =>
-      sel.get((t._3, t._4)).foreach { w0 =>
-        if (t._1 > got.filter(_._6).find(s => (s._3, s._4) == (t._3, t._4))
-              .get._1)
-          assert(t._5 < w0, s"merge ${t._3}+${t._4} not applied")
-      }
+  }
+
+  test("q361 dsir selection: matches an exact driver replay; the planted domain quarter is recovered") {
+    import graft.functions.Md5Fp60
+    val b = MlPrepOps.DsirBuckets
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bigramBkts(text: String): Seq[Int] = {
+      val t = text.split(" ", -1)
+      (0 until t.length - 1).map(i =>
+        (Md5Fp60.fp60(s"${t(i)} ${t(i + 1)}".getBytes("UTF-8")) % b).toInt)
     }
+    val marker = MlPrepOps.DsirMarker
+    val pool = docs.map { case (id, t) =>
+      val planted = id % 4 == 0
+      (id, planted, if (planted) s"$t $marker" else t)
+    }
+    val tgt = docs.filter(_._1 % 4 == 1).map(d => s"${d._2} $marker")
+    val tc = Array.fill(b)(0L)
+    tgt.foreach(t => bigramBkts(t).foreach(tc(_) += 1))
+    val pcArr = Array.fill(b)(0L)
+    val poolFeats = pool.map(p => (p._1, p._2, bigramBkts(p._3)))
+    poolFeats.foreach(_._3.foreach(pcArr(_) += 1))
+    val (nt, nr) = (tc.sum, pcArr.sum)
+    val lam = (0 until b).map(i => math.floor(math.log(
+      ((tc(i) + 1).toDouble / (nt + b).toDouble) /
+        ((pcArr(i) + 1).toDouble / (nr + b).toDouble)) * 1e9).toLong)
+    val scored = poolFeats.map { case (id, pl, fs) =>
+      (id, pl, fs.map(lam(_)).sum) }
+    val k = scored.count(_._2)
+    val selected = scored.sortBy { case (id, _, s) => (-s, id) }
+      .take(k).map(_._1).toSet
+    def r(x: Double, sc: Int) = BigDecimal(x)
+      .setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = scored.groupBy(_._2).map { case (pl, rows) =>
+      val np = rows.length.toLong
+      val ns = rows.count(t => selected(t._1)).toLong
+      pl -> (np, ns, r(ns.toDouble / np.toDouble, 4),
+        r(rows.map(_._3).sum.toDouble / 1e9 / np.toDouble, 6))
+    }
+    val out = MlPrepOps.dsirSelection(spark, dir).collect().map(row =>
+      row.getBoolean(0) -> (row.getLong(1), row.getLong(2),
+        row.getDouble(3), row.getDouble(4))).toMap
+    assert(out == expect, "DSIR composition mismatch vs replay")
+    // the method must actually work on its plant: strong separation
+    assert(out(true)._3 >= 0.6, "planted recall collapsed")
+    assert(out(false)._3 <= 0.2, "unplanted over-selected")
+    assert(out(true)._4 > out(false)._4, "score separation inverted")
   }
 }
