@@ -379,6 +379,7 @@ object SparkEntry {
     "q359_sinkhorn_ot"       -> (ProfileOps.sinkhornOt _),
     "q360_bpe_merges"        -> (TextOps.bpeMerges _),
     "q361_dsir_selection"    -> (MlPrepOps.dsirSelection _),
+    "q362_ridge_path"        -> (MlPrepOps.ridgePath _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1022,6 +1023,7 @@ object SparkEntry {
     "q359_sinkhorn_ot" -> ProfileOps.sinkhornOtOracle,
     "q360_bpe_merges" -> TextOps.bpeMergesOracle,
     "q361_dsir_selection" -> MlPrepOps.dsirSelectionOracle,
+    "q362_ridge_path" -> MlPrepOps.ridgePathOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

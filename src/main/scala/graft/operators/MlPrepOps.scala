@@ -2177,6 +2177,133 @@ object MlPrepOps {
        |ORDER BY helpful DESC, "rank"""".stripMargin
   }
 
+  // --- q362: ridge regularization path -------------------------------------
+
+  /** Ridge grid as ratios of the mean centered feature second moment —
+    * data-relative (the q345 lesson: fixed absolute knobs degenerate
+    * across scale factors). */
+  val RidgeRatios: Seq[Double] = Seq(0.0, 0.01, 0.1, 1.0)
+
+  /** q362 — the ridge regularization path (Hoerl & Kennard 1970) for
+    * y = n_chars on (token count, distinct-token count), every λ on
+    * the grid solved from ONE corpus pass: the five centered second
+    * moments are exact-integer sufficient statistics, and each grid
+    * point is a 2×2 Cramer solve on top of them — the "train k models
+    * for the price of one scan" shape (q346's count-subtraction LOO,
+    * one knob over). Reports β, the unpenalized intercept, ‖β‖₂, and
+    * the effective degrees of freedom df(λ) = Σ dᵢ/(dᵢ+λ) from the
+    * closed-form 2×2 eigenvalues — the standard shrinkage readout.
+    *
+    * Parity: all sufficient statistics are exact BIGINTs
+    * (T = n·ΣxᵢxⱼT − ΣxᵢΣxⱼ); each λ's solve is one pinned double
+    * chain (products, one division per coefficient, one sqrt for the
+    * eigen-gap); the grid's Λ values floor to integers in-plan so both
+    * engines add EXACTLY the same ridge.
+    *
+    * Scale (100 TB): ONE map-combinable aggregate of 9 integer sums;
+    * the path itself is metadata-sized arithmetic. Adding grid points
+    * costs zero additional scans. */
+  def ridgePath(s: SparkSession, dir: String): DataFrame = {
+    val sums = EtlOps.t(s, dir, "documents")
+      .selectExpr("CAST(n_chars AS BIGINT) AS y",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS x1",
+        "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS x2")
+      .agg(count(lit(1)).as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"), sum("y").as("sy"),
+        sum(expr("x1 * x1")).as("s11"), sum(expr("x1 * x2")).as("s12"),
+        sum(expr("x2 * x2")).as("s22"), sum(expr("x1 * y")).as("s1y"),
+        sum(expr("x2 * y")).as("s2y"))
+      .selectExpr("n", "s1", "s2", "sy",
+        "n * s11 - s1 * s1 AS t11", "n * s12 - s1 * s2 AS t12",
+        "n * s22 - s2 * s2 AS t22", "n * s1y - s1 * sy AS t1y",
+        "n * s2y - s2 * sy AS t2y")
+    val grid = s.createDataFrame(RidgeRatios.map(Tuple1(_)))
+      .toDF("ratio")
+    sums.crossJoin(broadcast(grid))
+      .selectExpr("ratio", "n", "s1", "s2", "sy",
+        "t11", "t12", "t22", "t1y", "t2y",
+        "CAST(floor(ratio * ((CAST(t11 AS DOUBLE)" +
+          " + CAST(t22 AS DOUBLE)) / 2.0)) AS BIGINT) AS lam")
+      .selectExpr("ratio", "n", "s1", "s2", "sy", "t12", "t1y", "t2y",
+        "lam",
+        "CAST(t11 + lam AS DOUBLE) AS a11",
+        "CAST(t22 + lam AS DOUBLE) AS a22",
+        "CAST(t11 AS DOUBLE) AS d11", "CAST(t22 AS DOUBLE) AS d22",
+        "CAST(t12 AS DOUBLE) AS d12")
+      .selectExpr("ratio", "n", "s1", "s2", "sy", "lam",
+        "(a11 * a22 - d12 * d12) AS det",
+        "(CAST(t1y AS DOUBLE) * a22 - CAST(t2y AS DOUBLE) * d12)" +
+          " AS num1",
+        "(CAST(t2y AS DOUBLE) * a11 - CAST(t1y AS DOUBLE) * d12)" +
+          " AS num2",
+        "((d11 + d22) / 2.0) AS tr2",
+        "sqrt((d11 - d22) * (d11 - d22) / 4.0 + d12 * d12) AS gap")
+      .selectExpr("ratio", "n", "s1", "s2", "sy", "lam",
+        "num1 / det AS b1", "num2 / det AS b2",
+        "(tr2 + gap) AS e1", "(tr2 - gap) AS e2")
+      .selectExpr("ratio", "lam",
+        "round(b1, 6) AS beta1", "round(b2, 6) AS beta2",
+        "round((CAST(sy AS DOUBLE) - (b1 * s1 + b2 * s2))" +
+          " / CAST(n AS DOUBLE), 6) AS intercept",
+        "round(sqrt(b1 * b1 + b2 * b2), 6) AS l2_norm",
+        "round(e1 / (e1 + CAST(lam AS DOUBLE))" +
+          " + e2 / (e2 + CAST(lam AS DOUBLE)), 4) AS df_eff")
+      .orderBy("ratio")
+  }
+
+  def ridgePathOracle: String = {
+    val grid = RidgeRatios.map(r => s"(${r}::DOUBLE)").mkString(", ")
+    s"""WITH rows_ AS (SELECT CAST(n_chars AS BIGINT) AS y,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+       |      AS x2
+       |  FROM documents),
+       |sums AS (SELECT count(*) AS n,
+       |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+       |    CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+       |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+       |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+       |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+       |    CAST(sum(x2 * y) AS BIGINT) AS s2y
+       |  FROM rows_),
+       |t AS (SELECT n, s1, s2, sy,
+       |    n * s11 - s1 * s1 AS t11, n * s12 - s1 * s2 AS t12,
+       |    n * s22 - s2 * s2 AS t22, n * s1y - s1 * sy AS t1y,
+       |    n * s2y - s2 * sy AS t2y
+       |  FROM sums),
+       |g AS (SELECT * FROM t, (SELECT unnest(ARRAY[$grid]) AS ratio)),
+       |l AS (SELECT *, CAST(floor(ratio * ((CAST(t11 AS DOUBLE)
+       |    + CAST(t22 AS DOUBLE)) / 2.0)) AS BIGINT) AS lam FROM g),
+       |a AS (SELECT ratio, n, s1, s2, sy, t12, t1y, t2y, lam,
+       |    CAST(t11 + lam AS DOUBLE) AS a11,
+       |    CAST(t22 + lam AS DOUBLE) AS a22,
+       |    CAST(t11 AS DOUBLE) AS d11, CAST(t22 AS DOUBLE) AS d22,
+       |    CAST(t12 AS DOUBLE) AS d12
+       |  FROM l),
+       |c AS (SELECT ratio, n, s1, s2, sy, lam,
+       |    (a11 * a22 - d12 * d12) AS det,
+       |    (CAST(t1y AS DOUBLE) * a22 - CAST(t2y AS DOUBLE) * d12)
+       |      AS num1,
+       |    (CAST(t2y AS DOUBLE) * a11 - CAST(t1y AS DOUBLE) * d12)
+       |      AS num2,
+       |    ((d11 + d22) / 2.0) AS tr2,
+       |    sqrt((d11 - d22) * (d11 - d22) / 4.0 + d12 * d12) AS gap
+       |  FROM a),
+       |bb AS (SELECT ratio, n, s1, s2, sy, lam,
+       |    num1 / det AS b1, num2 / det AS b2,
+       |    (tr2 + gap) AS e1, (tr2 - gap) AS e2
+       |  FROM c)
+       |SELECT ratio, lam,
+       |  round(b1, 6) AS beta1, round(b2, 6) AS beta2,
+       |  round((CAST(sy AS DOUBLE) - (b1 * s1 + b2 * s2))
+       |    / CAST(n AS DOUBLE), 6) AS intercept,
+       |  round(sqrt(b1 * b1 + b2 * b2), 6) AS l2_norm,
+       |  round(e1 / (e1 + CAST(lam AS DOUBLE))
+       |    + e2 / (e2 + CAST(lam AS DOUBLE)), 4) AS df_eff
+       |FROM bb ORDER BY ratio""".stripMargin
+  }
+
   // --- q361: DSIR importance-weighted data selection -----------------------
 
   /** Hashed-bigram feature buckets (DSIR's hashed n-gram space). */

@@ -904,4 +904,52 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out(false)._3 <= 0.2, "unplanted over-selected")
     assert(out(true)._4 > out(false)._4, "score separation inverted")
   }
+
+  test("q362 ridge path: matches an exact driver replay; shrinkage and df behave") {
+    val rows = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("CAST(n_chars AS BIGINT) AS y",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS x1",
+        "CAST(size(array_distinct(split(text, ' '))) AS BIGINT) AS x2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = rows.length.toLong
+    val s1 = rows.map(_._2).sum; val s2 = rows.map(_._3).sum
+    val sy = rows.map(_._1).sum
+    val t11 = n * rows.map(r => r._2 * r._2).sum - s1 * s1
+    val t12 = n * rows.map(r => r._2 * r._3).sum - s1 * s2
+    val t22 = n * rows.map(r => r._3 * r._3).sum - s2 * s2
+    val t1y = n * rows.map(r => r._2 * r._1).sum - s1 * sy
+    val t2y = n * rows.map(r => r._3 * r._1).sum - s2 * sy
+    def rd(x: Double, sc: Int) = BigDecimal(x)
+      .setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = MlPrepOps.ridgePath(spark, dir).collect().map(r =>
+      r.getDouble(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    for (ratio <- MlPrepOps.RidgeRatios) {
+      val lam = math.floor(
+        ratio * ((t11.toDouble + t22.toDouble) / 2.0)).toLong
+      val (a11, a22) = ((t11 + lam).toDouble, (t22 + lam).toDouble)
+      val (d11, d22, d12) = (t11.toDouble, t22.toDouble, t12.toDouble)
+      val det = a11 * a22 - d12 * d12
+      val b1 = (t1y.toDouble * a22 - t2y.toDouble * d12) / det
+      val b2 = (t2y.toDouble * a11 - t1y.toDouble * d12) / det
+      val tr2 = (d11 + d22) / 2.0
+      val gap = math.sqrt((d11 - d22) * (d11 - d22) / 4.0 + d12 * d12)
+      val (e1, e2) = (tr2 + gap, tr2 - gap)
+      val (glam, gb1, gb2, gint, gl2, gdf) = out(ratio)
+      assert(glam == lam, s"$ratio lam")
+      assert(gb1 == rd(b1, 6) && gb2 == rd(b2, 6), s"$ratio beta")
+      assert(gint == rd((sy.toDouble - (b1 * s1 + b2 * s2)) / n.toDouble,
+        6), s"$ratio intercept")
+      assert(gl2 == rd(math.sqrt(b1 * b1 + b2 * b2), 6), s"$ratio l2")
+      assert(gdf == rd(e1 / (e1 + lam.toDouble)
+        + e2 / (e2 + lam.toDouble), 4), s"$ratio df")
+    }
+    // path shape: λ=0 is OLS with df=2; shrinkage is monotone
+    assert(out(0.0)._6 == 2.0)
+    val path = MlPrepOps.RidgeRatios.map(out(_))
+    path.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._5 <= a._5 + 1e-9, "l2 norm grew along the path")
+      assert(b._6 < a._6, "df did not shrink")
+    case _ => }
+  }
 }
