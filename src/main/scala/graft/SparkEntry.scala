@@ -380,6 +380,7 @@ object SparkEntry {
     "q360_bpe_merges"        -> (TextOps.bpeMerges _),
     "q361_dsir_selection"    -> (MlPrepOps.dsirSelection _),
     "q362_ridge_path"        -> (MlPrepOps.ridgePath _),
+    "q363_effnum_weights"    -> (MlPrepOps.effNumWeights _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1024,6 +1025,7 @@ object SparkEntry {
     "q360_bpe_merges" -> TextOps.bpeMergesOracle,
     "q361_dsir_selection" -> MlPrepOps.dsirSelectionOracle,
     "q362_ridge_path" -> MlPrepOps.ridgePathOracle,
+    "q363_effnum_weights" -> MlPrepOps.effNumWeightsOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

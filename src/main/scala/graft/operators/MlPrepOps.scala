@@ -2304,6 +2304,79 @@ object MlPrepOps {
        |FROM bb ORDER BY ratio""".stripMargin
   }
 
+  // --- q363: class-balanced effective-number weights -----------------------
+
+  /** β sweep — the paper's standard grid; β→1 approaches plain inverse
+    * frequency, small β approaches uniform. */
+  val EffNumBetas: Seq[Double] = Seq(0.9, 0.99, 0.999)
+
+  /** q363 — class-balanced loss weights via the effective number of
+    * samples (Cui et al., CVPR 2019): E_n = (1−βⁿ)/(1−β) counts how
+    * many EFFECTIVELY independent samples a class of size n
+    * contributes (duplication saturates information), and the training
+    * weight is ∝ 1/E_n, normalized so weights sum to the class count.
+    * Swept across [[EffNumBetas]] per language class, with the plain
+    * inverse-frequency weight alongside — the table shows the
+    * interpolation the paper proves: β→1 converges to inverse
+    * frequency, small β flattens toward uniform.
+    *
+    * Parity: n is an exact count; βⁿ is ONE `power` call on the pinned
+    * (β, n) pair (same libm discipline as the suite's in-engine ln);
+    * the two cross-class normalizer sums freeze ×10¹² to BIGINT first
+    * — order-independent.
+    *
+    * Scale (100 TB): one map-combinable class count; everything after
+    * is |classes|-sized arithmetic. */
+  def effNumWeights(s: SparkSession, dir: String): DataFrame = {
+    val betaDf = broadcast(s.createDataFrame(
+      EffNumBetas.map(Tuple1(_))).toDF("beta"))
+    val cls = EtlOps.t(s, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .crossJoin(betaDf)
+      .selectExpr("beta", "lang", "n",
+        "(1.0 - power(beta, CAST(n AS DOUBLE))) / (1.0 - beta) AS eff",
+        "1.0 / CAST(n AS DOUBLE) AS invf")
+      .selectExpr("beta", "lang", "n", "eff", "invf",
+        "CAST(floor(1.0 / eff * 1e12) AS BIGINT) AS w_fp",
+        "CAST(floor(invf * 1e12) AS BIGINT) AS if_fp")
+      .persist()
+    val tots = cls.groupBy("beta")
+      .agg(sum("w_fp").as("sw"), sum("if_fp").as("sif"),
+        count(lit(1)).as("nc"))
+    cls.join(broadcast(tots), Seq("beta"))
+      .selectExpr("beta", "lang", "n", "round(eff, 4) AS eff_n",
+        "round(CAST(w_fp AS DOUBLE) * CAST(nc AS DOUBLE)" +
+          " / CAST(sw AS DOUBLE), 6) AS weight_effnum",
+        "round(CAST(if_fp AS DOUBLE) * CAST(nc AS DOUBLE)" +
+          " / CAST(sif AS DOUBLE), 6) AS weight_invfreq")
+      .orderBy("beta", "lang")
+  }
+
+  def effNumWeightsOracle: String = {
+    val grid = EffNumBetas.map(b => s"(${b}::DOUBLE)").mkString(", ")
+    s"""WITH cls0 AS (SELECT lang, count(*) AS n FROM documents
+       |  GROUP BY lang),
+       |cls AS (SELECT b.beta, c.lang, c.n,
+       |    (1.0 - power(b.beta, CAST(c.n AS DOUBLE))) / (1.0 - b.beta)
+       |      AS eff,
+       |    1.0 / CAST(c.n AS DOUBLE) AS invf
+       |  FROM cls0 c, (SELECT unnest(ARRAY[$grid]) AS beta) b),
+       |fp AS (SELECT beta, lang, n, eff, invf,
+       |    CAST(floor(1.0 / eff * 1e12) AS BIGINT) AS w_fp,
+       |    CAST(floor(invf * 1e12) AS BIGINT) AS if_fp
+       |  FROM cls),
+       |tots AS (SELECT beta, CAST(sum(w_fp) AS BIGINT) AS sw,
+       |    CAST(sum(if_fp) AS BIGINT) AS sif, count(*) AS nc
+       |  FROM fp GROUP BY beta)
+       |SELECT f.beta, f.lang, f.n, round(f.eff, 4) AS eff_n,
+       |  round(CAST(f.w_fp AS DOUBLE) * CAST(t.nc AS DOUBLE)
+       |    / CAST(t.sw AS DOUBLE), 6) AS weight_effnum,
+       |  round(CAST(f.if_fp AS DOUBLE) * CAST(t.nc AS DOUBLE)
+       |    / CAST(t.sif AS DOUBLE), 6) AS weight_invfreq
+       |FROM fp f JOIN tots t ON f.beta = t.beta
+       |ORDER BY f.beta, f.lang""".stripMargin
+  }
+
   // --- q361: DSIR importance-weighted data selection -----------------------
 
   /** Hashed-bigram feature buckets (DSIR's hashed n-gram space). */

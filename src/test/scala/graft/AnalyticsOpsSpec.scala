@@ -952,4 +952,47 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(b._6 < a._6, "df did not shrink")
     case _ => }
   }
+
+  test("q363 effective-number weights: matches a driver replay; beta interpolates uniform to inverse-frequency") {
+    val cls = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def rd(x: Double, sc: Int) = BigDecimal(x)
+      .setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = MlPrepOps.effNumWeights(spark, dir).collect().map(r =>
+      (r.getDouble(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    for (beta <- MlPrepOps.EffNumBetas) {
+      val rows = cls.map { case (lang, n) =>
+        val eff = (1.0 - math.pow(beta, n.toDouble)) / (1.0 - beta)
+        val wfp = math.floor(1.0 / eff * 1e12).toLong
+        val iffp = math.floor(1.0 / n.toDouble * 1e12).toLong
+        (lang, n, eff, wfp, iffp)
+      }
+      val (sw, sif, nc) =
+        (rows.map(_._4).sum, rows.map(_._5).sum, rows.length)
+      rows.foreach { case (lang, n, eff, wfp, iffp) =>
+        val (gn, geff, gw, gif) = out((beta, lang))
+        assert(gn == n)
+        assert(geff == rd(eff, 4), s"$beta/$lang eff")
+        assert(gw == rd(wfp.toDouble * nc / sw.toDouble, 6),
+          s"$beta/$lang w")
+        assert(gif == rd(iffp.toDouble * nc / sif.toDouble, 6),
+          s"$beta/$lang invf")
+      }
+    }
+    // interpolation: the weight spread across classes widens with beta,
+    // and at the largest beta the weights sit close to inverse-frequency
+    val spreads = MlPrepOps.EffNumBetas.map { b =>
+      val ws = cls.map(c => out((b, c._1))._3)
+      ws.max - ws.min
+    }
+    assert(spreads == spreads.sorted, "spread not monotone in beta")
+    cls.foreach { case (lang, _) =>
+      val (_, _, w, invf) = out((MlPrepOps.EffNumBetas.max, lang))
+      assert(math.abs(w - invf) < 0.05 * invf + 0.01,
+        s"$lang: beta=0.999 weight far from inverse frequency")
+    }
+  }
 }
