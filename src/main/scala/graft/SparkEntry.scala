@@ -381,6 +381,7 @@ object SparkEntry {
     "q361_dsir_selection"    -> (MlPrepOps.dsirSelection _),
     "q362_ridge_path"        -> (MlPrepOps.ridgePath _),
     "q363_effnum_weights"    -> (MlPrepOps.effNumWeights _),
+    "q364_batch_mix"         -> (MlPrepOps.batchComposition _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1026,6 +1027,7 @@ object SparkEntry {
     "q361_dsir_selection" -> MlPrepOps.dsirSelectionOracle,
     "q362_ridge_path" -> MlPrepOps.ridgePathOracle,
     "q363_effnum_weights" -> MlPrepOps.effNumWeightsOracle,
+    "q364_batch_mix" -> MlPrepOps.batchCompositionOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -2377,6 +2377,108 @@ object MlPrepOps {
        |ORDER BY f.beta, f.lang""".stripMargin
   }
 
+  // --- q364: training-batch composition audit -------------------------------
+
+  /** Training batch size for the composition audit. */
+  val BatchSize = 32
+
+  /** q364 — batch-composition audit: the same corpus cut into
+    * [[BatchSize]]-document training batches under two schedules —
+    * `ingest` (source-contiguous, the order a naive loader yields) and
+    * `hashed` (the suite's content-stable md5 shuffle, q61's
+    * discipline) — and, per scheme, the distributional quality of the
+    * batches: mean/min distinct sources per batch, the fraction of
+    * single-source batches, and mean source entropy. Correlated
+    * batches are the silent failure mode of epoch pipelines (gradient
+    * noise is no longer i.i.d.; BN/curriculum statistics skew), and
+    * this is the audit that catches it BEFORE a training run does.
+    *
+    * Parity: batch ids come from the (order key, doc_id) total order;
+    * entropy terms freeze to floor(p·(−ln p)·10⁹) BIGINT per
+    * (batch, source) cell before summing.
+    *
+    * Scale (100 TB): two range-partitioned global ranks
+    * ([[ScaleOps.withGlobalRank]] — no single-partition window), one
+    * (batch, source) aggregate each, then batch- and scheme-level
+    * collapses. Everything is map-combinable after the rank. */
+  def batchComposition(s: SparkSession, dir: String): DataFrame = {
+    val d = EtlOps.t(s, dir, "documents").select("doc_id", "source")
+    def scheme(name: String, ordered: DataFrame): DataFrame = {
+      val b = ordered
+        .withColumn("batch", expr(s"(rnk - 1) div $BatchSize"))
+      val cells = b.groupBy("batch", "source")
+        .agg(count(lit(1)).as("cnt"))
+      val bt = cells.groupBy("batch").agg(
+        sum("cnt").as("bn"), count(lit(1)).as("n_src"))
+      val ent = cells.join(bt, Seq("batch"))
+        .selectExpr("batch",
+          "CAST(floor((CAST(cnt AS DOUBLE) / CAST(bn AS DOUBLE))" +
+            " * (-ln(CAST(cnt AS DOUBLE) / CAST(bn AS DOUBLE)))" +
+            " * 1e9) AS BIGINT) AS e_fp")
+        .groupBy("batch").agg(sum("e_fp").as("ent_fp"))
+      bt.join(ent, Seq("batch"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum("n_src").as("sds"), min("n_src").as("min_ds"),
+          sum(when(col("n_src") === 1, 1L).otherwise(0L)).as("n_single"),
+          sum("ent_fp").as("sent"))
+        .selectExpr(s"'$name' AS scheme", "n_batches",
+          "round(CAST(sds AS DOUBLE) / CAST(n_batches AS DOUBLE), 4)" +
+            " AS mean_distinct_sources",
+          "min_ds AS min_distinct_sources",
+          "round(CAST(n_single AS DOUBLE) / CAST(n_batches AS DOUBLE)," +
+            " 4) AS frac_single_source",
+          "round(CAST(sent AS DOUBLE) / 1e9" +
+            " / CAST(n_batches AS DOUBLE), 6) AS mean_entropy")
+    }
+    val ingest = ScaleOps.withGlobalRank(d, "rnk",
+      col("source"), col("doc_id"))
+    val hashed = ScaleOps.withGlobalRank(
+      d.withColumn("h", md5(col("doc_id").cast("string"))), "rnk",
+      col("h"), col("doc_id"))
+    scheme("hashed", hashed).unionAll(scheme("ingest", ingest))
+      .orderBy("scheme")
+  }
+
+  def batchCompositionOracle: String = {
+    def schemeSql(name: String, order: String): String =
+      s"""sel_$name AS (SELECT '$name' AS scheme, count(*) AS n_batches,
+         |    round(CAST(sum(n_src) AS DOUBLE) / count(*), 4)
+         |      AS mean_distinct_sources,
+         |    min(n_src) AS min_distinct_sources,
+         |    round(CAST(sum(CASE WHEN n_src = 1 THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / count(*), 4) AS frac_single_source,
+         |    round(CAST(CAST(sum(ent_fp) AS BIGINT) AS DOUBLE) / 1e9
+         |      / count(*), 6) AS mean_entropy
+         |  FROM (
+         |    SELECT batch, count(*) AS n_src,
+         |      CAST(sum(e_fp) AS BIGINT) AS ent_fp,
+         |      CAST(sum(cnt) AS BIGINT) AS bn0
+         |    FROM (
+         |      SELECT batch, source, cnt,
+         |        CAST(floor((CAST(cnt AS DOUBLE)
+         |          / CAST(sum(cnt) OVER (PARTITION BY batch)
+         |            AS DOUBLE))
+         |          * (-ln(CAST(cnt AS DOUBLE)
+         |          / CAST(sum(cnt) OVER (PARTITION BY batch)
+         |            AS DOUBLE))) * 1e9) AS BIGINT) AS e_fp
+         |      FROM (
+         |        SELECT batch, source, count(*) AS cnt FROM (
+         |          SELECT source,
+         |            CAST((row_number() OVER (ORDER BY $order) - 1)
+         |              // $BatchSize AS BIGINT) AS batch
+         |          FROM d)
+         |        GROUP BY batch, source))
+         |    GROUP BY batch))""".stripMargin
+    s"""WITH d AS (SELECT doc_id, source,
+       |    md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents),
+       |${schemeSql("hashed", "h, doc_id")},
+       |${schemeSql("ingest", "source, doc_id")}
+       |SELECT * FROM (SELECT * FROM sel_hashed
+       |  UNION ALL SELECT * FROM sel_ingest)
+       |ORDER BY scheme""".stripMargin
+  }
+
   // --- q361: DSIR importance-weighted data selection -----------------------
 
   /** Hashed-bigram feature buckets (DSIR's hashed n-gram space). */

@@ -995,4 +995,46 @@ class AnalyticsOpsSpec extends AnyFunSuite {
         s"$lang: beta=0.999 weight far from inverse frequency")
     }
   }
+
+  test("q364 batch composition: matches a driver replay; hash shuffle beats ingest order") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def replay(ordered: Seq[(Long, String)])
+        : (Long, Double, Long, Double, Double) = {
+      val batches = ordered.grouped(MlPrepOps.BatchSize).toSeq
+      val perBatch = batches.map { b =>
+        val cells = b.groupBy(_._2).map(_._2.length.toLong)
+        val n = b.length.toLong
+        val entFp = cells.map { c =>
+          val p = c.toDouble / n.toDouble
+          math.floor(p * (-math.log(p)) * 1e9).toLong
+        }.sum
+        (cells.size.toLong, entFp)
+      }
+      def rd(x: Double, sc: Int) = BigDecimal(x)
+        .setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val nb = perBatch.length.toLong
+      (nb, rd(perBatch.map(_._1).sum.toDouble / nb, 4),
+        perBatch.map(_._1).min,
+        rd(perBatch.count(_._1 == 1L).toDouble / nb, 4),
+        rd(perBatch.map(_._2).sum.toDouble / 1e9 / nb, 6))
+    }
+    val expIngest = replay(docs.sortBy(d => (d._2, d._1)).toSeq)
+    val expHashed = replay(
+      docs.sortBy(d => (md5hex(d._1.toString), d._1)).toSeq)
+    val out = MlPrepOps.batchComposition(spark, dir).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(out("ingest") == expIngest, "ingest scheme mismatch")
+    assert(out("hashed") == expHashed, "hashed scheme mismatch")
+    // the audit's point: the shuffle visibly de-correlates batches
+    assert(out("hashed")._5 > out("ingest")._5 + 0.5,
+      "hash shuffle did not raise batch entropy")
+    assert(out("hashed")._2 > out("ingest")._2,
+      "hash shuffle did not raise source diversity")
+  }
 }
