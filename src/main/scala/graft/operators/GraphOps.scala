@@ -1392,25 +1392,32 @@ object GraphOps {
       .select(concat(lit("c"), col("ck")).as("c"),
         concat(lit("s"), col("sk")).as("sp"))
       .persist()
-    val nC = pairs.select(countDistinct("c").as("n"))
-    val nS = pairs.select(countDistinct("sp").as("n"))
+    // the two side counts are scalars reused every half-step — cut once
+    val nC = CurationOps.cutLineage(pairs.select(countDistinct("c").as("n")))
+    val nS = CurationOps.cutLineage(pairs.select(countDistinct("sp").as("n")))
     var h = pairs.select(col("c").as("node")).distinct()
       .select(col("node"), lit(1.0).as("score"))
     var a: DataFrame = null
+    // each half-step references its raw aggregate TWICE (normalizer +
+    // scores) and the next half-step references the result again — cut
+    // lineage per half-step or the plan grows 4^iterations (the
+    // round-11 iterate-by-join lesson; measured 41 s → ~3 s at sf0.1)
     for (_ <- 1 to iters) {
-      val araw = pairs.join(h, pairs("c") === h("node"))
-        .select(col("sp"),
-          floor(col("score") * lit(1e12)).cast("long").as("fp"))
-        .groupBy("sp").agg(sum(col("fp")).as("raw"))
+      val araw = CurationOps.cutLineage(
+        pairs.join(h, pairs("c") === h("node"))
+          .select(col("sp"),
+            floor(col("score") * lit(1e12)).cast("long").as("fp"))
+          .groupBy("sp").agg(sum(col("fp")).as("raw")))
       val atot = araw.agg(sum(col("raw")).as("tot"))
       a = araw.crossJoin(broadcast(atot)).crossJoin(broadcast(nS))
         .select(col("sp").as("node"),
           (col("raw").cast("double") / col("tot").cast("double")
             * col("n").cast("double")).as("score"))
-      val hraw = pairs.join(a, pairs("sp") === a("node"))
-        .select(col("c"),
-          floor(col("score") * lit(1e12)).cast("long").as("fp"))
-        .groupBy("c").agg(sum(col("fp")).as("raw"))
+      val hraw = CurationOps.cutLineage(
+        pairs.join(a, pairs("sp") === a("node"))
+          .select(col("c"),
+            floor(col("score") * lit(1e12)).cast("long").as("fp"))
+          .groupBy("c").agg(sum(col("fp")).as("raw")))
       val htot = hraw.agg(sum(col("raw")).as("tot"))
       h = hraw.crossJoin(broadcast(htot)).crossJoin(broadcast(nC))
         .select(col("c").as("node"),
