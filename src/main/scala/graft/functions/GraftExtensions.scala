@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("hll_agg"),
       info(classOf[HllAgg], "hll_agg"),
       HllAgg.builder(_)))
+    e.injectFunction((FunctionIdentifier("kmv_agg"),
+      info(classOf[KmvAgg], "kmv_agg"),
+      KmvAgg.builder(_)))
     e.injectFunction((FunctionIdentifier("bloom_might_contain"),
       info(classOf[BloomMightContain], "bloom_might_contain"),
       (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))

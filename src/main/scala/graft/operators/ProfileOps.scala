@@ -3792,13 +3792,20 @@ object ProfileOps {
     * BOTH input sketches is an unbiased Jaccard estimator, giving the
     * intersection as Ĵ·Û without differencing two noisy estimates.
     *
-    * Parity: hashes are md5_fp60 integers; ranks are integer windows
-    * with (h, token) tiebreak; the only doubles are the two pinned
-    * divisions and the Ĵ·Û product, identical op order in the oracle.
+    * Sketches are built by the NATIVE [[graft.functions.KmvAgg]]
+    * (`kmv_agg(h, k)`): one k-bounded deduping buffer per source, map-
+    * side combinable — no per-source sort, no window, no upstream
+    * distinct-by-hash pass. The pairwise algebra then runs ENTIRELY
+    * in-row on the two k-arrays (array_distinct/sort/slice/intersect).
+    *
+    * Parity: hashes are md5_fp60 integers and a KMV sketch is a SET of
+    * them, so the oracle's rank-window-over-distinct-hashes replays the
+    * buffer exactly; the only doubles are the two pinned divisions and
+    * the Ĵ·Û product, identical op order in the oracle.
     *
     * Scale (100 TB): the corpus is touched ONCE to build the distinct
-    * (source, token) frame; everything pairwise runs on k-row sketches
-    * (|sources|²·k rows total — catalog-sized). The exact-truth side
+    * (source, token) frame; everything pairwise runs on k-array rows
+    * (|sources|² rows — catalog-sized). The exact-truth side
     * (the audit's yardstick) is the expensive part by design and is
     * bounded by |vocab|·s², s = sources sharing a token; at production
     * scale it would be sampled or dropped, and the sketch columns are
@@ -3815,55 +3822,46 @@ object ProfileOps {
         explode(array_distinct(expr(DedupOps.wordGramArrayExpr(3))))
           .as("token"))
       .distinct().persist()
-    val hashed = tok.withColumn("h", call_function("md5_fp60", col("token")))
-    val wS = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy(col("h"), col("token"))
-    val sk = hashed.withColumn("rnk", row_number().over(wS))
-      .filter(col("rnk") <= k).persist()
-    val cnt = tok.groupBy("source").agg(count(lit(1)).as("n"))
-    // per-source estimate: exact when the sketch holds the whole set
-    val est = sk.groupBy("source").agg(
-        max(when(col("rnk") === k, col("h"))).as("hk"),
-        count(lit(1)).as("sk_n"))
-      .join(cnt, "source")
-      .selectExpr("source", "n",
-        s"""CASE WHEN sk_n < $k THEN CAST(sk_n AS DOUBLE)
-           | ELSE CAST(${k - 1} AS DOUBLE) * $Kmv2p60 / CAST(hk AS DOUBLE)
+    // sketch + exact count in ONE aggregate: the native kmv_agg buffer
+    // dedupes and selects as it goes (no window, no per-source sort —
+    // k-long partials map-side combine)
+    val est = tok
+      .withColumn("h", call_function("md5_fp60", col("token")))
+      .groupBy("source")
+      .agg(expr(s"kmv_agg(h, $k)").as("sk"), count(lit(1)).as("n"))
+      .selectExpr("source", "n", "sk",
+        s"""CASE WHEN size(sk) < $k THEN CAST(size(sk) AS DOUBLE)
+           | ELSE CAST(${k - 1} AS DOUBLE) * $Kmv2p60
+           |   / CAST(element_at(sk, $k) AS DOUBLE)
            | END AS est""".stripMargin)
       .persist()
     val pairs = est.selectExpr("source AS sa", "n AS exact_a",
-        "est AS est_a")
-      .join(est.selectExpr("source AS sb", "n AS exact_b", "est AS est_b"),
-        col("sa") < col("sb"))
+        "est AS est_a", "sk AS sk_a")
+      .join(est.selectExpr("source AS sb", "n AS exact_b",
+        "est AS est_b", "sk AS sk_b"), col("sa") < col("sb"))
     val inter = tok.as("x").join(tok.as("y"),
         col("x.token") === col("y.token") &&
           col("x.source") < col("y.source"))
       .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
       .agg(count(lit(1)).as("exact_inter"))
-    // union sketch per pair from the two bottom-k sketches alone
-    val pl = pairs.select("sa", "sb")
-    val ua = pl.join(sk.select(col("source").as("sa"), col("token"),
-      col("h"), lit(1).as("ia"), lit(0).as("ib")), Seq("sa"))
-    val ub = pl.join(sk.select(col("source").as("sb"), col("token"),
-      col("h"), lit(0).as("ia"), lit(1).as("ib")), Seq("sb"))
-    val u = ua.select("sa", "sb", "token", "h", "ia", "ib")
-      .unionAll(ub.select("sa", "sb", "token", "h", "ia", "ib"))
-      .groupBy("sa", "sb", "token", "h")
-      .agg(max("ia").as("in_a"), max("ib").as("in_b"))
-    val wP = org.apache.spark.sql.expressions.Window
-      .partitionBy("sa", "sb").orderBy(col("h"), col("token"))
-    val usk = u.withColumn("rnk", row_number().over(wP))
-      .filter(col("rnk") <= k)
-      .groupBy("sa", "sb")
-      .agg(max(when(col("rnk") === k, col("h"))).as("hku"),
-        count(lit(1)).as("u_n"),
-        sum(col("in_a") * col("in_b")).as("m"))
+    // pairwise algebra ENTIRELY in-row on the two k-arrays: the union
+    // sketch is the k smallest of the merged arrays (KMV closure), the
+    // Jaccard estimator is the shared fraction of that union sketch
+    val usk = pairs.select("sa", "sb", "sk_a", "sk_b")
+      .selectExpr("sa", "sb",
+        s"slice(array_sort(array_distinct(concat(sk_a, sk_b))), 1, $k)" +
+          " AS u",
+        "array_intersect(sk_a, sk_b) AS both")
+      .selectExpr("sa", "sb", "size(u) AS u_n",
+        "element_at(u, size(u)) AS hku",
+        "size(array_intersect(u, both)) AS m")
       .selectExpr("sa", "sb",
         s"""CASE WHEN u_n < $k THEN CAST(u_n AS DOUBLE)
            | ELSE CAST(${k - 1} AS DOUBLE) * $Kmv2p60 / CAST(hku AS DOUBLE)
            | END AS est_union""".stripMargin,
         "CAST(m AS DOUBLE) / CAST(u_n AS DOUBLE) AS est_jacc")
-    pairs.join(inter, Seq("sa", "sb")).join(usk, Seq("sa", "sb"))
+    pairs.drop("sk_a", "sk_b")
+      .join(inter, Seq("sa", "sb")).join(usk, Seq("sa", "sb"))
       .selectExpr("sa", "sb", "exact_a", "exact_b",
         "exact_a + exact_b - exact_inter AS exact_union", "exact_inter",
         "round(CAST(exact_inter AS DOUBLE) / CAST(exact_a + exact_b" +
@@ -3891,9 +3889,9 @@ object ProfileOps {
        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
        |      AS token
        |  FROM tok0) u),
-       |hsh AS (SELECT source, token, $h AS h FROM tok),
-       |sk AS (SELECT * FROM (SELECT source, token, h,
-       |    row_number() OVER (PARTITION BY source ORDER BY h, token)
+       |hsh AS (SELECT DISTINCT source, $h AS h FROM tok),
+       |sk AS (SELECT * FROM (SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h)
        |      AS rnk FROM hsh) WHERE rnk <= $k),
        |cnt AS (SELECT source, count(*) AS n FROM tok GROUP BY source),
        |est AS (SELECT sk.source, cnt.n,
@@ -3911,13 +3909,13 @@ object ProfileOps {
        |  FROM tok x JOIN tok y
        |    ON x.token = y.token AND x.source < y.source
        |  GROUP BY x.source, y.source),
-       |u AS (SELECT p.sa, p.sb, s.token, s.h,
+       |u AS (SELECT p.sa, p.sb, s.h,
        |    max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
        |    max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
        |  FROM pairs p JOIN sk s ON s.source = p.sa OR s.source = p.sb
-       |  GROUP BY p.sa, p.sb, s.token, s.h),
+       |  GROUP BY p.sa, p.sb, s.h),
        |ur AS (SELECT *, row_number() OVER (PARTITION BY sa, sb
-       |    ORDER BY h, token) AS rnk FROM u),
+       |    ORDER BY h) AS rnk FROM u),
        |usk AS (SELECT sa, sb,
        |    CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE)
        |      ELSE CAST(${k - 1} AS DOUBLE) * $Kmv2p60

@@ -4554,11 +4554,13 @@ class PipelineOpsSpec extends AnyFunSuite {
         }.toSet
     }
     def hash(sh: String) = Md5Fp60.fp60(sh.getBytes("UTF-8"))
-    def sketch(set: Set[String]): Seq[(Long, String)] =
-      set.toSeq.map(sh => (hash(sh), sh)).sorted.take(k)
-    def estOf(sk: Seq[(Long, String)], n: Long): Double =
+    // a KMV sketch is the k smallest DISTINCT hash values of the set —
+    // this replays the native kmv_agg buffer exactly
+    def sketch(set: Set[String]): Seq[Long] =
+      set.toSeq.map(hash).distinct.sorted.take(k)
+    def estOf(sk: Seq[Long]): Double =
       if (sk.length < k) sk.length.toDouble
-      else (k - 1).toDouble * 1.152921504606846976e18 / sk.last._1.toDouble
+      else (k - 1).toDouble * 1.152921504606846976e18 / sk.last.toDouble
     val out = ProfileOps.kmvSetAlgebra(spark, dir).collect().map { r =>
       ((r.getString(0), r.getString(1)),
         (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
@@ -4566,7 +4568,8 @@ class PipelineOpsSpec extends AnyFunSuite {
     }.toMap
     val srcs = sets.keys.toSeq.sorted
     assert(out.size == srcs.combinations(2).size)
-    for (Seq(a, b) <- srcs.combinations(2)) {
+    for (pair <- srcs.combinations(2)) {
+      val (a, b) = (pair(0), pair(1))
       val (sa, sb) = (sets(a), sets(b))
       val (ska, skb) = (sketch(sa), sketch(sb))
       // KMV closure: the k smallest of the two sketches' union equals
@@ -4574,9 +4577,9 @@ class PipelineOpsSpec extends AnyFunSuite {
       val uFromSk = (ska ++ skb).distinct.sorted.take(k)
       assert(uFromSk == sketch(sa ++ sb),
         s"$a|$b: union-of-sketches differs from sketch-of-union")
-      val m = uFromSk.count { case (_, sh) =>
-        ska.exists(_._2 == sh) && skb.exists(_._2 == sh) }
-      val estU = estOf(uFromSk, 0L)
+      val bothSet = ska.toSet & skb.toSet
+      val m = uFromSk.count(bothSet)
+      val estU = estOf(uFromSk)
       val estJ = m.toDouble / uFromSk.length.toDouble
       def r6(x: Double) = BigDecimal(x)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -4587,7 +4590,7 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(ei == (sa & sb).size.toLong && eu == (sa | sb).size.toLong)
       assert(gotU == r4(estU), s"$a|$b est_union")
       assert(gotJ == r6(estJ), s"$a|$b est_jacc")
-      assert(gotEa == r4(estOf(ska, ea)), s"$a|$b est_a")
+      assert(gotEa == r4(estOf(ska)), s"$a|$b est_a")
       // the k=64 estimator's 3-sigma band (~38%) must hold everywhere
       assert(math.abs(estU - eu) / eu < 0.40, s"$a|$b error out of band")
     }
