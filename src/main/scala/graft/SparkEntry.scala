@@ -382,6 +382,7 @@ object SparkEntry {
     "q362_ridge_path"        -> (MlPrepOps.ridgePath _),
     "q363_effnum_weights"    -> (MlPrepOps.effNumWeights _),
     "q364_batch_mix"         -> (MlPrepOps.batchComposition _),
+    "q365_linkage_curve"     -> (GraphOps.linkageCurve _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1028,6 +1029,7 @@ object SparkEntry {
     "q362_ridge_path" -> MlPrepOps.ridgePathOracle,
     "q363_effnum_weights" -> MlPrepOps.effNumWeightsOracle,
     "q364_batch_mix" -> MlPrepOps.batchCompositionOracle,
+    "q365_linkage_curve" -> GraphOps.linkageCurveOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -1592,6 +1592,32 @@ object GraphOps {
   }
 
   def boruvkaMstOracle: String = {
+    val sel = (1 to BoruvkaRounds).map(r => s"SELECT * FROM s$r")
+      .mkString(" UNION ALL ")
+    s"""WITH $boruvkaWithBody,
+       |${boruvkaSummaryCtes}
+       |SELECT * FROM ($sel) ORDER BY round""".stripMargin
+  }
+
+  /** Per-round summary CTEs s1..sN over the [[boruvkaWithBody]] chain. */
+  private def boruvkaSummaryCtes: String =
+    (1 to BoruvkaRounds).map { r =>
+      val l = s"l${r - 1}"
+      s"""s$r AS (SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT count(DISTINCT comp) FROM $l) AS n_comp_before,
+         |  (SELECT count(*) FROM ch$r) AS n_edges_added,
+         |  (SELECT coalesce(CAST(sum(wfp) AS BIGINT), 0) FROM ch$r)
+         |    AS wsum_added,
+         |  (SELECT count(DISTINCT comp) FROM l$r) AS n_comp_after,
+         |  (SELECT count(*) = 0 FROM pj${r}_$BoruvkaJumps x
+         |     JOIN pj${r}_$BoruvkaJumps y ON x.par = y.comp
+         |     WHERE y.par <> y.comp) AS resolved)""".stripMargin
+    }.mkString(",\n")
+
+  /** The shared WITH body: LSH edge stream → weighted edges → Borůvka
+    * rounds (labels l0..lN, chosen edges ch1..chN, pointer-jump chains)
+    * — reused by q358's summary and q365's dendrogram-cut curve. */
+  private def boruvkaWithBody: String = {
     val rounds = (1 to BoruvkaRounds).map { r =>
       val l = s"l${r - 1}"
       val jumps = (1 to BoruvkaJumps).map { j =>
@@ -1620,20 +1646,9 @@ object GraphOps {
          |pj${r}_0 AS MATERIALIZED (SELECT comp, par FROM pr$r),
          |$jumps,
          |l$r AS MATERIALIZED (SELECT $l.node, p.par AS comp FROM $l
-         |  JOIN pj${r}_$BoruvkaJumps p ON $l.comp = p.comp),
-         |s$r AS (SELECT CAST($r AS BIGINT) AS round,
-         |  (SELECT count(DISTINCT comp) FROM $l) AS n_comp_before,
-         |  (SELECT count(*) FROM ch$r) AS n_edges_added,
-         |  (SELECT coalesce(CAST(sum(wfp) AS BIGINT), 0) FROM ch$r)
-         |    AS wsum_added,
-         |  (SELECT count(DISTINCT comp) FROM l$r) AS n_comp_after,
-         |  (SELECT count(*) = 0 FROM pj${r}_$BoruvkaJumps x
-         |     JOIN pj${r}_$BoruvkaJumps y ON x.par = y.comp
-         |     WHERE y.par <> y.comp) AS resolved)""".stripMargin
+         |  JOIN pj${r}_$BoruvkaJumps p ON $l.comp = p.comp)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to BoruvkaRounds).map(r => s"SELECT * FROM s$r")
-      .mkString(" UNION ALL ")
-    s"""WITH ${OracleGen.lshCandSpreadCtes},
+    s"""${OracleGen.lshCandSpreadCtes},
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -1653,7 +1668,78 @@ object GraphOps {
        |nodes AS (SELECT DISTINCT a AS node FROM we
        |  UNION SELECT DISTINCT b FROM we),
        |l0 AS MATERIALIZED (SELECT node, node AS comp FROM nodes),
-       |$rounds
-       |SELECT * FROM ($sel) ORDER BY round""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  // --- q365: single-linkage dendrogram-cut curve ----------------------------
+
+  /** Jaccard thresholds at which the dendrogram is cut. */
+  val LinkageTaus: Seq[Double] =
+    Seq(0.9, 0.8, 0.7, 0.6, 0.5, 0.4, 0.3, 0.2)
+
+  /** q365 — the single-linkage cluster-count curve read STRAIGHT off
+    * q358's minimum spanning forest: for a threshold τ, single-linkage
+    * clusters are the connected components of the J ≥ τ edge graph, and
+    * by the classic MST cut property those components are exactly what
+    * the MSF's J ≥ τ edges span — so n_clusters(τ) = n_nodes − |{MSF
+    * edges with J ≥ τ}| with NO per-τ component computation at all.
+    * The whole dedup-threshold landscape (q196 prices pair counts; THIS
+    * prices cluster structure) for every τ at once, for the price of
+    * one MSF. Spec pins one τ against a direct union-find over the full
+    * edge set.
+    *
+    * Parity: thresholds compare on the exact integer wfp = 10⁹−⌊J·10⁹⌋
+    * scale (τ cut = 10⁹ − τ·10⁹ computed identically); counts are
+    * integers; the one division (mean cluster size) is pinned.
+    *
+    * Scale (100 TB): q358's cost, then an 8-row grid against the
+    * |nodes|-bounded MSF edge list — the curve itself is free. */
+  def linkageCurve(s: SparkSession, dir: String): DataFrame = {
+    val (chosen, sums) = boruvkaRun(s, dir)
+    val msf = chosen.select("wfp").persist()
+    // node count = round 1's components-before (every node starts as
+    // its own component) — no re-derivation of the edge stream
+    val nodes = sums.filter(col("round") === 1L)
+      .select("n_comp_before").head().getLong(0)
+    val grid = s.createDataFrame(LinkageTaus.map(Tuple1(_))).toDF("tau")
+    // the cut compares on the integer wfp scale; floor() on both
+    // engines (a bare double→BIGINT cast truncates in Spark but ROUNDS
+    // in DuckDB — the known parity trap)
+    broadcast(grid).crossJoin(msf)
+      .selectExpr("tau", "wfp",
+        "1000000000 - CAST(floor(tau * 1000000000.0) AS BIGINT) AS cut")
+      .groupBy("tau")
+      .agg(sum(when(col("wfp") <= col("cut"), 1L).otherwise(0L))
+        .as("n_edges_kept"))
+      .selectExpr("tau", "n_edges_kept",
+        s"CAST($nodes AS BIGINT) - n_edges_kept AS n_clusters",
+        s"round(CAST($nodes AS DOUBLE)" +
+          s" / CAST(CAST($nodes AS BIGINT) - n_edges_kept AS DOUBLE), 4)" +
+          " AS mean_cluster_size")
+      .orderBy(col("tau").desc)
+  }
+
+  def linkageCurveOracle: String = {
+    val taus = LinkageTaus.map(t => s"(${t}::DOUBLE)").mkString(", ")
+    val chUnion = (1 to BoruvkaRounds)
+      .map(r => s"SELECT wfp FROM ch$r").mkString(" UNION ALL ")
+    s"""WITH $boruvkaWithBody,
+       |msf AS MATERIALIZED ($chUnion),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |grid AS (SELECT unnest(ARRAY[$taus]) AS tau)
+       |SELECT g.tau,
+       |  CAST(sum(CASE WHEN m.wfp <= 1000000000
+       |    - CAST(floor(g.tau * 1000000000.0) AS BIGINT)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_edges_kept,
+       |  CAST(nn.n AS BIGINT) - CAST(sum(CASE WHEN m.wfp <= 1000000000
+       |    - CAST(floor(g.tau * 1000000000.0) AS BIGINT)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clusters,
+       |  round(CAST(nn.n AS DOUBLE) / CAST(CAST(nn.n AS BIGINT)
+       |    - CAST(sum(CASE WHEN m.wfp <= 1000000000
+       |      - CAST(floor(g.tau * 1000000000.0) AS BIGINT)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE), 4)
+       |    AS mean_cluster_size
+       |FROM grid g, msf m, nn
+       |GROUP BY g.tau, nn.n ORDER BY g.tau DESC""".stripMargin
   }
 }

@@ -4538,6 +4538,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     case _ => }
   }
 
+  test("q365 linkage curve: MSF cut counts equal direct union-find components at every tau") {
+    val edges = GraphOps.mstEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val out = GraphOps.linkageCurve(spark, dir).collect()
+      .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == GraphOps.LinkageTaus.toSet)
+    for (tau <- GraphOps.LinkageTaus) {
+      // direct single-linkage: union-find over ALL edges at J >= tau
+      val cut = 1000000000L - math.floor(tau * 1e9).toLong
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      nodes.foreach(n => parent.getOrElseUpdate(n, n))
+      edges.filter(_._3 <= cut).foreach { case (a, b, _) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      val nComp = nodes.map(find).distinct.length.toLong
+      assert(out(tau)._2 == nComp,
+        s"tau=$tau: curve says ${out(tau)._2} clusters, union-find $nComp")
+    }
+    // cutting lower can only merge further
+    val curve = GraphOps.LinkageTaus.map(out(_))
+    curve.sliding(2).foreach { case Seq(hi, lo) =>
+      assert(lo._2 <= hi._2)
+    case _ => }
+  }
+
   test("q356 kmv sketch: matches an exact driver replay; union-of-sketches IS the sketch of the union") {
     import graft.functions.Md5Fp60
     val k = ProfileOps.KmvK
