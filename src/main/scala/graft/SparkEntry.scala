@@ -383,6 +383,7 @@ object SparkEntry {
     "q363_effnum_weights"    -> (MlPrepOps.effNumWeights _),
     "q364_batch_mix"         -> (MlPrepOps.batchComposition _),
     "q365_linkage_curve"     -> (GraphOps.linkageCurve _),
+    "q366_risk_coverage"     -> (MlPrepOps.riskCoverage _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1030,6 +1031,7 @@ object SparkEntry {
     "q363_effnum_weights" -> MlPrepOps.effNumWeightsOracle,
     "q364_batch_mix" -> MlPrepOps.batchCompositionOracle,
     "q365_linkage_curve" -> GraphOps.linkageCurveOracle,
+    "q366_risk_coverage" -> MlPrepOps.riskCoverageOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

