@@ -384,6 +384,7 @@ object SparkEntry {
     "q364_batch_mix"         -> (MlPrepOps.batchComposition _),
     "q365_linkage_curve"     -> (GraphOps.linkageCurve _),
     "q366_risk_coverage"     -> (MlPrepOps.riskCoverage _),
+    "q367_session_native"    -> (ScaleOps.sessionWindowNative _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1032,6 +1033,7 @@ object SparkEntry {
     "q364_batch_mix" -> MlPrepOps.batchCompositionOracle,
     "q365_linkage_curve" -> GraphOps.linkageCurveOracle,
     "q366_risk_coverage" -> MlPrepOps.riskCoverageOracle,
+    "q367_session_native" -> ScaleOps.sessionWindowNativeOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

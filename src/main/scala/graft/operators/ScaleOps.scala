@@ -133,6 +133,59 @@ object ScaleOps {
       .orderBy("user_id", "session_idx")
   }
 
+  // --- q367: native session_window form -----------------------------------
+
+  /** q367 — sessionization through Spark's NATIVE `session_window`
+    * grouping (the built-in merging-session-window operator), rolled up
+    * to a per-user session census. Same task as q39, different engine
+    * path: q39 is two window passes (lag → running sum), THIS is one
+    * aggregation whose grouping key is the dynamic merged window —
+    * Spark's own state-merge machinery, the form that also runs
+    * unchanged under Structured Streaming with a watermark. Boundary
+    * semantics: an event arriving EXACTLY gap-after still merges
+    * (Spark's merge test is inclusive of the window end) — identical
+    * to q39's strict-> break rule; the spec pins this on a constructed
+    * two-event exact-gap case (it returns ONE session) and checks
+    * per-user agreement with q39 across the fixture.
+    *
+    * Parity: the oracle replays the q39 CTE chain (strict-> break) —
+    * counts are exact integers; no floats at all.
+    *
+    * Scale (100 TB): ONE user-keyed exchange; the session merge is
+    * per-group state inside the aggregate (no second window pass, no
+    * lag materialization). */
+  def sessionWindowNative(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$SessionGapMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        max("n_events").as("max_session_events"))
+      .orderBy("user_id")
+
+  def sessionWindowNativeOracle: String =
+    s"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+       |           FROM events),
+       |f AS (SELECT user_id, event_id, ts,
+       |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |          AS prev_ts FROM e),
+       |g AS (SELECT *, CASE WHEN prev_ts IS NULL
+       |        OR epoch_us(ts) - epoch_us(prev_ts)
+       |          > ${SessionGapMinutes * 60L * 1000000L}
+       |        THEN 1 ELSE 0 END AS new_session FROM f),
+       |h AS (SELECT *, CAST(sum(new_session) OVER (
+       |        PARTITION BY user_id ORDER BY ts, event_id
+       |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+       |      FROM g),
+       |sess AS (SELECT user_id, session_idx, count(*) AS n_events
+       |  FROM h GROUP BY user_id, session_idx)
+       |SELECT user_id, count(*) AS n_sessions,
+       |  CAST(sum(n_events) AS BIGINT) AS n_events,
+       |  max(n_events) AS max_session_events
+       |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // --- stateful form ----------------------------------------------------
 
   final case class Ev(event_id: Long, user_id: Long, tsMicros: Long)

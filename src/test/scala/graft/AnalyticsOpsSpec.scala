@@ -1089,4 +1089,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     thr.sliding(2).foreach { case Seq(a, b) => assert(b >= a)
     case _ => }
   }
+
+  test("q367 native session_window: agrees with q39 everywhere; exact-gap event still MERGES") {
+    val native = ScaleOps.sessionWindowNative(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val manual = ScaleOps.sessionize(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, ss) => u -> ss.length.toLong }
+    assert(native.keySet == manual.keySet)
+    manual.foreach { case (u, nSess) =>
+      assert(native(u)._1 == nSess, s"user $u session count differs")
+    }
+    // boundary pin (measured, not assumed): a second event EXACTLY gap
+    // minutes later merges into the same session — Spark's merge test
+    // is inclusive of the window end, matching q39's strict-> break
+    import spark.implicits._
+    val gapUs = ScaleOps.SessionGapMinutes * 60L * 1000000L
+    def sessions(deltaUs: Long): Long = Seq((1L, 0L), (1L, deltaUs))
+      .toDF("user_id", "us")
+      .selectExpr("user_id", "timestamp_micros(us) AS ts")
+      .groupBy(col("user_id"), session_window(col("ts"),
+        s"${ScaleOps.SessionGapMinutes} minutes"))
+      .count().count()
+    assert(sessions(gapUs) == 1L, "exact-gap event must merge")
+    assert(sessions(gapUs + 1L) == 2L, "gap+1us event must split")
+  }
 }
