@@ -385,6 +385,7 @@ object SparkEntry {
     "q365_linkage_curve"     -> (GraphOps.linkageCurve _),
     "q366_risk_coverage"     -> (MlPrepOps.riskCoverage _),
     "q367_session_native"    -> (ScaleOps.sessionWindowNative _),
+    "q368_watermark_curve"   -> (ScaleOps.watermarkCurve _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1034,6 +1035,7 @@ object SparkEntry {
     "q365_linkage_curve" -> GraphOps.linkageCurveOracle,
     "q366_risk_coverage" -> MlPrepOps.riskCoverageOracle,
     "q367_session_native" -> ScaleOps.sessionWindowNativeOracle,
+    "q368_watermark_curve" -> ScaleOps.watermarkCurveOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

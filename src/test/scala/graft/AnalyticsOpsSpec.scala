@@ -1114,4 +1114,37 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(sessions(gapUs) == 1L, "exact-gap event must merge")
     assert(sessions(gapUs + 1L) == 2L, "gap+1us event must split")
   }
+
+  test("q368 watermark curve: matches a driver replay; drop fraction is monotone and the planted tail shows") {
+    import graft.functions.Md5Fp60
+    val ids = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id").collect().map(_.getLong(0))
+    val lateUs = ids.map { id =>
+      val u = Md5Fp60.fp60(id.toString.getBytes("UTF-8")) % 1000L
+      if (u < 700) (u % 5) * 60000000L
+      else if (u < 950) (5 + u % 30) * 60000000L
+      else (60 + u % 180) * 60000000L
+    }.sorted
+    val n = lateUs.length
+    def q(p: Double) = lateUs(math.ceil(p * n).toInt - 1)
+    def rd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = ScaleOps.watermarkCurve(spark, dir).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    for (d <- ScaleOps.WatermarkDelaysMin) {
+      val dropped = lateUs.count(_ > d * 60000000L).toLong
+      val exp = (n.toLong, dropped, rd(dropped.toDouble / n),
+        q(0.5) / 60000000L, q(0.95) / 60000000L, q(0.99) / 60000000L)
+      assert(out(d) == exp, s"delay $d mismatch")
+    }
+    // structure: drops shrink with delay; the heavy tail is visible
+    // (p99 far above p50) and the largest delay clears ~everything
+    val fr = ScaleOps.WatermarkDelaysMin.map(out(_)._3)
+    fr.sliding(2).foreach { case Seq(a, b) => assert(b <= a)
+    case _ => }
+    assert(out(ScaleOps.WatermarkDelaysMin.max)._3 < 0.001)
+    assert(out(0L)._6 > 10 * math.max(out(0L)._4, 1L),
+      "tail not heavy — plant broken")
+  }
 }
