@@ -386,6 +386,7 @@ object SparkEntry {
     "q366_risk_coverage"     -> (MlPrepOps.riskCoverage _),
     "q367_session_native"    -> (ScaleOps.sessionWindowNative _),
     "q368_watermark_curve"   -> (ScaleOps.watermarkCurve _),
+    "q369_state_sizing"      -> (ScaleOps.stateSizing _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1036,6 +1037,7 @@ object SparkEntry {
     "q366_risk_coverage" -> MlPrepOps.riskCoverageOracle,
     "q367_session_native" -> ScaleOps.sessionWindowNativeOracle,
     "q368_watermark_curve" -> ScaleOps.watermarkCurveOracle,
+    "q369_state_sizing" -> ScaleOps.stateSizingOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

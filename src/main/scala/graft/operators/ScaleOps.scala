@@ -285,6 +285,73 @@ object ScaleOps {
        |GROUP BY g.delay_min ORDER BY g.delay_min""".stripMargin
   }
 
+  // --- q369: streaming state-store sizing under a TTL grid ------------------
+
+  /** State TTLs priced by the sizing audit, in hours. */
+  val StateTtlHours: Seq[Long] = Seq(1L, 6L, 24L)
+
+  /** q369 — state-store sizing: how many per-user state entries a
+    * streaming job holds at each hourly checkpoint, under each
+    * candidate state TTL — the capacity-planning companion to q367's
+    * sessionizer and [[MarkerTtlHours]]'s design note ("state stays
+    * bounded by users ACTIVE within the horizon"): THIS measures that
+    * bound on real activity. A user occupies state at checkpoint h iff
+    * they had an event in (h − ttl, h]; the per-TTL max is the number
+    * that sizes executor memory, the mean is the steady-state bill.
+    *
+    * Shape: events collapse to distinct (user, hour) presence ONCE;
+    * each presence row then covers exactly ttl checkpoints — an
+    * explode(sequence(...)) of bounded width, so the expansion is
+    * events×ttl-linear, never checkpoint×user-quadratic.
+    *
+    * Parity: hour buckets are integer division of epoch micros; all
+    * counts exact; the one mean division is pinned.
+    *
+    * Scale (100 TB): one distinct-collapse exchange, a ≤24-wide
+    * in-row explode, one (ttl, checkpoint) aggregate. */
+  def stateSizing(s: SparkSession, dir: String): DataFrame = {
+    val uh = t(s, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) div 3600000000 AS h")
+      .distinct().persist()
+    val maxH = broadcast(uh.agg(max("h").as("max_h")))
+    val grid = broadcast(s.createDataFrame(
+      StateTtlHours.map(Tuple1(_))).toDF("ttl_hours"))
+    uh.crossJoin(grid)
+      .selectExpr("ttl_hours", "user_id",
+        "explode(sequence(h, h + ttl_hours - 1)) AS cp")
+      .crossJoin(maxH).filter(col("cp") <= col("max_h"))
+      .select("ttl_hours", "user_id", "cp").distinct()
+      .groupBy("ttl_hours", "cp").agg(count(lit(1)).as("state"))
+      .groupBy("ttl_hours")
+      .agg(count(lit(1)).as("n_checkpoints"),
+        max("state").as("max_state"), sum("state").as("ssum"))
+      .selectExpr("ttl_hours", "n_checkpoints", "max_state",
+        "round(CAST(ssum AS DOUBLE) / CAST(n_checkpoints AS DOUBLE), 4)" +
+          " AS mean_state")
+      .orderBy("ttl_hours")
+  }
+
+  def stateSizingOracle: String = {
+    val grid = StateTtlHours.map(t => s"($t)").mkString(", ")
+    s"""WITH uh AS (SELECT DISTINCT user_id,
+       |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
+       |  FROM events),
+       |mh AS (SELECT max(h) AS max_h FROM uh),
+       |ex AS (SELECT DISTINCT g.ttl_hours, u.user_id, c.cp
+       |  FROM uh u, (SELECT unnest(ARRAY[$grid]) AS ttl_hours) g,
+       |    LATERAL (SELECT unnest(range(u.h, u.h + g.ttl_hours))
+       |      AS cp) c, mh
+       |  WHERE c.cp <= mh.max_h),
+       |st AS (SELECT ttl_hours, cp, count(*) AS state FROM ex
+       |  GROUP BY ttl_hours, cp)
+       |SELECT CAST(ttl_hours AS BIGINT) AS ttl_hours,
+       |  count(*) AS n_checkpoints,
+       |  max(state) AS max_state,
+       |  round(CAST(CAST(sum(state) AS BIGINT) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE), 4) AS mean_state
+       |FROM st GROUP BY ttl_hours ORDER BY ttl_hours""".stripMargin
+  }
+
   // --- stateful form ----------------------------------------------------
 
   final case class Ev(event_id: Long, user_id: Long, tsMicros: Long)

@@ -1147,4 +1147,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(out(0L)._6 > 10 * math.max(out(0L)._4, 1L),
       "tail not heavy — plant broken")
   }
+
+  test("q369 state sizing: matches a driver replay; state grows sub-linearly with TTL") {
+    val uh = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "unix_micros(ts) div 3600000000 AS h")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxH = uh.map(_._2).max
+    def rd(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = ScaleOps.stateSizing(spark, dir).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    for (ttl <- ScaleOps.StateTtlHours) {
+      val perCp = uh.flatMap { case (u, h) =>
+        (h until math.min(h + ttl, maxH + 1)).map(cp => (u, cp))
+      }.distinct.groupBy(_._2).map(_._2.length.toLong)
+      val exp = (perCp.size.toLong, perCp.max,
+        rd(perCp.sum.toDouble / perCp.size))
+      assert(out(ttl) == exp, s"ttl $ttl mismatch")
+    }
+    // more TTL can only hold more state, but never more than the
+    // distinct-user population (the MarkerTtlHours design claim)
+    val maxes = ScaleOps.StateTtlHours.map(out(_)._2)
+    maxes.sliding(2).foreach { case Seq(a, b) => assert(b >= a)
+    case _ => }
+    assert(maxes.max <= uh.map(_._1).distinct.length.toLong)
+  }
 }
