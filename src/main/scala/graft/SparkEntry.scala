@@ -387,6 +387,7 @@ object SparkEntry {
     "q367_session_native"    -> (ScaleOps.sessionWindowNative _),
     "q368_watermark_curve"   -> (ScaleOps.watermarkCurve _),
     "q369_state_sizing"      -> (ScaleOps.stateSizing _),
+    "q370_doremi_weights"    -> (MixtureOps.doremiWeights _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1038,6 +1039,7 @@ object SparkEntry {
     "q367_session_native" -> ScaleOps.sessionWindowNativeOracle,
     "q368_watermark_curve" -> ScaleOps.watermarkCurveOracle,
     "q369_state_sizing" -> ScaleOps.stateSizingOracle,
+    "q370_doremi_weights" -> MixtureOps.doremiWeightsOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -1403,4 +1403,119 @@ object MixtureOps {
        |    / (SELECT n_pop FROM np), 6) + 0.0 AS source_gap
        |FROM wc$IpfRounds ORDER BY lang, source""".stripMargin
   }
+
+  // --- q370: DoReMi-style domain reweighting --------------------------------
+
+  /** Exponentiated-gradient step size (nats⁻¹). */
+  val DoremiEta = 1.0
+
+  /** q370 — DoReMi-shaped domain reweighting (Xie et al., NeurIPS
+    * 2023): per source, the excess loss of the POOLED unigram LM over
+    * that source's OWN specialist LM (both Laplace-smoothed, both
+    * scored on the source's token stream), and the exponentiated-
+    * gradient mixture weights w_d ∝ exp(η·excess_d). A domain the
+    * pooled model underfits relative to what a specialist proves
+    * learnable gets upweighted — DoReMi's core signal, with the
+    * specialist standing in for the reference model and the pooled LM
+    * for the proxy. With losses fixed (no retraining inside a query)
+    * the EG iteration telescopes, so ONE closed-form update is the
+    * honest form. q102 epochs a GIVEN mixture; THIS proposes one.
+    *
+    * Parity: both LMs freeze per (token, source) to floor(ln p·10⁹)
+    * BIGINT (the q324/q331 ln discipline), so per-source loss sums are
+    * exact integers; the exp weights freeze ×10⁹ before the
+    * cross-source normalizer sum; every division is pinned.
+    *
+    * Scale (100 TB): two token-level aggregates (pooled and per-source
+    * counts ride the SAME (source, token) frame), one occurrence-level
+    * join against a vocab-sized broadcast, one |sources|-row tail. */
+  def doremiWeights(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .selectExpr("source", "explode(split(text, ' ')) AS tok")
+      .persist()
+    val st = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .persist()
+    val sTot = st.groupBy("source")
+      .agg(sum("c").as("n"), count(lit(1)).as("v"))
+    val pooled = st.groupBy("tok").agg(sum("c").as("pc"))
+    val pTot = pooled.agg(sum("pc").as("pn"), count(lit(1)).as("pv"))
+    // frozen per-(source, token) log-probs, both models
+    val lnp = st.join(sTot, Seq("source"))
+      .join(pooled, Seq("tok")).crossJoin(broadcast(pTot))
+      .selectExpr("source", "tok", "c",
+        "CAST(floor(ln(CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE))" +
+          " * 1e9) AS BIGINT) AS own_fp",
+        "CAST(floor(ln(CAST(pc + 1 AS DOUBLE) / CAST(pn + pv AS DOUBLE))" +
+          " * 1e9) AS BIGINT) AS pool_fp")
+    val loss = lnp.groupBy("source")
+      .agg(sum(col("c")).as("n_toks"),
+        sum(-col("own_fp") * col("c")).as("own_sum"),
+        sum(-col("pool_fp") * col("c")).as("pool_sum"))
+      .selectExpr("source", "n_toks",
+        "CAST(pool_sum AS DOUBLE) / 1e9 / CAST(n_toks AS DOUBLE)" +
+          " AS loss_pooled",
+        "CAST(own_sum AS DOUBLE) / 1e9 / CAST(n_toks AS DOUBLE)" +
+          " AS loss_own")
+      .selectExpr("source", "n_toks", "loss_pooled", "loss_own",
+        "loss_pooled - loss_own AS excess",
+        s"CAST(floor(exp($DoremiEta * (loss_pooled - loss_own)) * 1e9)" +
+          " AS BIGINT) AS w_fp")
+      .persist()
+    val tot = broadcast(loss.agg(sum("w_fp").as("sw"),
+      count(lit(1)).as("nd")))
+    loss.crossJoin(tot)
+      .selectExpr("source", "n_toks",
+        "round(loss_pooled, 6) AS loss_pooled",
+        "round(loss_own, 6) AS loss_own",
+        "round(excess, 6) AS excess",
+        "round(1.0 / CAST(nd AS DOUBLE), 6) AS w_uniform",
+        "round(CAST(w_fp AS DOUBLE) / CAST(sw AS DOUBLE), 6)" +
+          " AS w_doremi")
+      .orderBy("source")
+  }
+
+  def doremiWeightsOracle: String =
+    s"""WITH toks AS (SELECT source, unnest(string_split(text, ' '))
+       |    AS tok FROM documents),
+       |st AS (SELECT source, tok, count(*) AS c FROM toks
+       |  GROUP BY source, tok),
+       |stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+       |    count(*) AS v FROM st GROUP BY source),
+       |pooled AS (SELECT tok, CAST(sum(c) AS BIGINT) AS pc FROM st
+       |  GROUP BY tok),
+       |ptot AS (SELECT CAST(sum(pc) AS BIGINT) AS pn, count(*) AS pv
+       |  FROM pooled),
+       |lnp AS (SELECT st.source, st.tok, st.c,
+       |    CAST(floor(ln(CAST(st.c + 1 AS DOUBLE)
+       |      / CAST(stot.n + stot.v AS DOUBLE)) * 1e9) AS BIGINT)
+       |      AS own_fp,
+       |    CAST(floor(ln(CAST(pooled.pc + 1 AS DOUBLE)
+       |      / CAST(ptot.pn + ptot.pv AS DOUBLE)) * 1e9) AS BIGINT)
+       |      AS pool_fp
+       |  FROM st JOIN stot ON st.source = stot.source
+       |  JOIN pooled ON st.tok = pooled.tok, ptot),
+       |loss0 AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_toks,
+       |    CAST(sum(-own_fp * c) AS BIGINT) AS own_sum,
+       |    CAST(sum(-pool_fp * c) AS BIGINT) AS pool_sum
+       |  FROM lnp GROUP BY source),
+       |loss1 AS (SELECT source, n_toks,
+       |    CAST(pool_sum AS DOUBLE) / 1e9 / CAST(n_toks AS DOUBLE)
+       |      AS loss_pooled,
+       |    CAST(own_sum AS DOUBLE) / 1e9 / CAST(n_toks AS DOUBLE)
+       |      AS loss_own
+       |  FROM loss0),
+       |loss AS (SELECT source, n_toks, loss_pooled, loss_own,
+       |    loss_pooled - loss_own AS excess,
+       |    CAST(floor(exp($DoremiEta * (loss_pooled - loss_own)) * 1e9)
+       |      AS BIGINT) AS w_fp
+       |  FROM loss1),
+       |tot AS (SELECT CAST(sum(w_fp) AS BIGINT) AS sw, count(*) AS nd
+       |  FROM loss)
+       |SELECT source, n_toks,
+       |  round(loss_pooled, 6) AS loss_pooled,
+       |  round(loss_own, 6) AS loss_own,
+       |  round(excess, 6) AS excess,
+       |  round(1.0 / CAST(nd AS DOUBLE), 6) AS w_uniform,
+       |  round(CAST(w_fp AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS w_doremi
+       |FROM loss, tot ORDER BY source""".stripMargin
 }

@@ -1172,4 +1172,50 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     case _ => }
     assert(maxes.max <= uh.map(_._1).distinct.length.toLong)
   }
+
+  test("q370 doremi weights: matches a driver replay; weights track excess loss") {
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("source", "explode(split(text, ' ')) AS tok")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val st = toks.groupBy(identity).map { case ((s0, t0), xs) =>
+      ((s0, t0), xs.length.toLong) }
+    val sTot = st.groupBy(_._1._1).map { case (s0, m) =>
+      s0 -> (m.values.sum, m.size.toLong) }
+    val pooled = st.groupBy(_._1._2).map { case (t0, m) =>
+      t0 -> m.values.sum }
+    val (pn, pv) = (pooled.values.sum, pooled.size.toLong)
+    val loss = sTot.keys.toSeq.sorted.map { s0 =>
+      val (n0, v0) = sTot(s0)
+      var nToks = 0L; var ownSum = 0L; var poolSum = 0L
+      st.filter(_._1._1 == s0).foreach { case ((_, t0), c) =>
+        val ownFp = math.floor(math.log(
+          (c + 1).toDouble / (n0 + v0).toDouble) * 1e9).toLong
+        val poolFp = math.floor(math.log(
+          (pooled(t0) + 1).toDouble / (pn + pv).toDouble) * 1e9).toLong
+        nToks += c; ownSum += -ownFp * c; poolSum += -poolFp * c
+      }
+      val lp = poolSum.toDouble / 1e9 / nToks.toDouble
+      val lo = ownSum.toDouble / 1e9 / nToks.toDouble
+      val wFp = math.floor(math.exp(
+        MixtureOps.DoremiEta * (lp - lo)) * 1e9).toLong
+      (s0, nToks, lp, lo, lp - lo, wFp)
+    }
+    val sw = loss.map(_._6).sum
+    val nd = loss.length
+    def rd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = MixtureOps.doremiWeights(spark, dir).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    loss.foreach { case (s0, nToks, lp, lo, ex, wFp) =>
+      val exp = (nToks, rd(lp), rd(lo), rd(ex), rd(1.0 / nd),
+        rd(wFp.toDouble / sw.toDouble))
+      assert(out(s0) == exp, s"$s0 mismatch")
+    }
+    // weights are a monotone transform of excess and sum to ~1
+    val byExcess = loss.sortBy(_._5).map(t => out(t._1)._6)
+    byExcess.sliding(2).foreach { case Seq(a, b) => assert(b >= a)
+    case _ => }
+    assert(math.abs(out.values.map(_._6).sum - 1.0) < 1e-3)
+  }
 }
