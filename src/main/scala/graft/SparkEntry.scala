@@ -388,6 +388,7 @@ object SparkEntry {
     "q368_watermark_curve"   -> (ScaleOps.watermarkCurve _),
     "q369_state_sizing"      -> (ScaleOps.stateSizing _),
     "q370_doremi_weights"    -> (MixtureOps.doremiWeights _),
+    "q371_hash_width"        -> (ProfileOps.hashWidthAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1040,6 +1041,7 @@ object SparkEntry {
     "q368_watermark_curve" -> ScaleOps.watermarkCurveOracle,
     "q369_state_sizing" -> ScaleOps.stateSizingOracle,
     "q370_doremi_weights" -> MixtureOps.doremiWeightsOracle,
+    "q371_hash_width" -> ProfileOps.hashWidthAuditOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

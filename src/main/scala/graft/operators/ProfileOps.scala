@@ -3944,6 +3944,81 @@ object ProfileOps {
        |ORDER BY p.sa, p.sb""".stripMargin
   }
 
+  // --- q371: fingerprint-width collision audit ------------------------------
+
+  /** Prefix widths (bits) priced by the audit. */
+  val HashWidthBits: Seq[Int] = Seq(16, 24, 32, 40)
+
+  /** q371 — fingerprint-width sizing: observed vs birthday-bound
+    * expected collisions when the 60-bit md5 fingerprint is truncated
+    * to b bits, over the event-id key population. Exact-dedup and
+    * shuffle-partitioning correctness both rest on "the fingerprint is
+    * wide enough"; this measures the failure rate at each width —
+    * observed collisions n − |distinct prefixes| against the exact
+    * occupancy expectation n − m·(1 − ((m−1)/m)ⁿ) — so the width knob
+    * is chosen from data, not folklore. At 16 bits the fixture already
+    * collides hundreds of times; at 40 bits never — the table IS the
+    * margin-of-safety readout.
+    *
+    * Parity: prefixes are integer division by 2^(60−b); counts exact;
+    * the expectation is one pinned pow/multiply chain (the q363
+    * `power` discipline).
+    *
+    * Scale (100 TB): one scan, |widths| countDistinct aggregates
+    * (Spark rewrites to one expand + aggregate); nothing else. */
+  def hashWidthAudit(s: SparkSession, dir: String): DataFrame = {
+    val keys = EtlOps.events(s, dir)
+      .select(TextOps.md5Fingerprint60(col("event_id").cast("string"))
+        .as("h")).persist()
+    val aggs = HashWidthBits.map { b =>
+      countDistinct(expr(s"h div ${1L << (60 - b)}")).as(s"d$b")
+    } :+ count(lit(1)).as("n")
+    val one = keys.agg(aggs.head, aggs.tail: _*)
+    val grid = s.createDataFrame(HashWidthBits.map(Tuple1(_)))
+      .toDF("bits")
+    one.crossJoin(broadcast(grid))
+      .selectExpr("bits", "n AS n_keys",
+        HashWidthBits.map(b =>
+          s"CASE WHEN bits = $b THEN d$b END").mkString(
+          "coalesce(", ", ", ") AS n_distinct"),
+        "CAST(pow(2.0, CAST(bits AS DOUBLE)) AS BIGINT) AS n_buckets")
+      .selectExpr("bits", "n_keys", "n_distinct", "n_buckets",
+        "n_keys - n_distinct AS n_collisions",
+        "round(CAST(n_keys AS DOUBLE) - CAST(n_buckets AS DOUBLE)" +
+          " * (1.0 - power(CAST(n_buckets - 1 AS DOUBLE)" +
+          " / CAST(n_buckets AS DOUBLE), CAST(n_keys AS DOUBLE))), 2)" +
+          " AS expected_collisions")
+      .orderBy("bits")
+  }
+
+  def hashWidthAuditOracle: String = {
+    val h = "CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)" +
+      " AS BIGINT)"
+    val ds = HashWidthBits.map(b =>
+      s"count(DISTINCT h // ${1L << (60 - b)}) AS d$b").mkString(", ")
+    val co = HashWidthBits.map(b =>
+      s"CASE WHEN bits = $b THEN d$b END").mkString(
+      "coalesce(", ", ", ")")
+    s"""WITH keys AS (SELECT $h AS h FROM events),
+       |one AS (SELECT count(*) AS n, $ds FROM keys),
+       |g AS (SELECT one.*, b.bits FROM one,
+       |  (SELECT unnest(ARRAY[${HashWidthBits.mkString(", ")}])
+       |    AS bits) b)
+       |SELECT CAST(bits AS INT) AS bits, n AS n_keys,
+       |  CAST($co AS BIGINT) AS n_distinct,
+       |  CAST(pow(2.0, CAST(bits AS DOUBLE)) AS BIGINT) AS n_buckets,
+       |  n - CAST($co AS BIGINT) AS n_collisions,
+       |  round(CAST(n AS DOUBLE)
+       |    - CAST(CAST(pow(2.0, CAST(bits AS DOUBLE)) AS BIGINT)
+       |      AS DOUBLE)
+       |    * (1.0 - power(CAST(CAST(pow(2.0, CAST(bits AS DOUBLE))
+       |        AS BIGINT) - 1 AS DOUBLE)
+       |      / CAST(CAST(pow(2.0, CAST(bits AS DOUBLE)) AS BIGINT)
+       |        AS DOUBLE), CAST(n AS DOUBLE))), 2)
+       |    AS expected_collisions
+       |FROM g ORDER BY bits""".stripMargin
+  }
+
   // --- q359: Sinkhorn entropic optimal transport ---------------------------
 
   /** Bucket count / width (value units) for the transport support. */

@@ -1218,4 +1218,32 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     case _ => }
     assert(math.abs(out.values.map(_._6).sum - 1.0) < 1e-3)
   }
+
+  test("q371 hash width: matches a driver replay; observed collisions track the birthday bound") {
+    import graft.functions.Md5Fp60
+    val hs = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id").collect()
+      .map(r => Md5Fp60.fp60(r.getLong(0).toString.getBytes("UTF-8")))
+    val n = hs.length.toLong
+    def rd(x: Double) = BigDecimal(x)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = ProfileOps.hashWidthAudit(spark, dir).collect().map(r =>
+      r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toMap
+    for (b <- ProfileOps.HashWidthBits) {
+      val d = hs.map(_ / (1L << (60 - b))).distinct.length.toLong
+      val m = math.pow(2.0, b)
+      val expCol = rd(n.toDouble -
+        m * (1.0 - math.pow((m - 1.0) / m, n.toDouble)))
+      assert(out(b) == (n, d, m.toLong, n - d, expCol), s"bits $b")
+      // within 4 sigma of the birthday expectation (sigma ~ sqrt(E))
+      val sigma = math.max(math.sqrt(math.max(expCol, 0.0)), 1.0)
+      assert(math.abs((n - d).toDouble - expCol) <= 4.0 * sigma,
+        s"bits $b: collisions off the birthday bound")
+    }
+    // wider fingerprints can only collide less
+    val cs = ProfileOps.HashWidthBits.map(out(_)._4)
+    cs.sliding(2).foreach { case Seq(a, b) => assert(b <= a)
+    case _ => }
+  }
 }
