@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{AnalyticsOps, GraphOps, JoinOps, MixtureOps, MlPrepOps, ScaleOps, TextOps}
+import graft.operators.{AnalyticsOps, GraphOps, JoinOps, MixtureOps, MlPrepOps, ProfileOps, ScaleOps, TextOps}
 
 class AnalyticsOpsSpec extends AnyFunSuite {
 
