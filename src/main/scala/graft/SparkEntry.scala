@@ -377,7 +377,6 @@ object SparkEntry {
     "q357_neyman_alloc"      -> (CurationOps.neymanAllocation _),
     "q358_boruvka_msf"       -> (GraphOps.boruvkaMst _),
     "q359_sinkhorn_ot"       -> (ProfileOps.sinkhornOt _),
-    "q360_bpe_merges"        -> (TextOps.bpeMerges _),
     "q361_dsir_selection"    -> (MlPrepOps.dsirSelection _),
     "q362_ridge_path"        -> (MlPrepOps.ridgePath _),
     "q363_effnum_weights"    -> (MlPrepOps.effNumWeights _),
@@ -385,7 +384,6 @@ object SparkEntry {
     "q365_linkage_curve"     -> (GraphOps.linkageCurve _),
     "q366_risk_coverage"     -> (MlPrepOps.riskCoverage _),
     "q367_session_native"    -> (ScaleOps.sessionWindowNative _),
-    "q368_watermark_curve"   -> (ScaleOps.watermarkCurve _),
     "q369_state_sizing"      -> (ScaleOps.stateSizing _),
     "q370_doremi_weights"    -> (MixtureOps.doremiWeights _),
     "q371_hash_width"        -> (ProfileOps.hashWidthAudit _),
@@ -1030,7 +1028,6 @@ object SparkEntry {
     "q357_neyman_alloc" -> CurationOps.neymanAllocationOracle,
     "q358_boruvka_msf" -> GraphOps.boruvkaMstOracle,
     "q359_sinkhorn_ot" -> ProfileOps.sinkhornOtOracle,
-    "q360_bpe_merges" -> TextOps.bpeMergesOracle,
     "q361_dsir_selection" -> MlPrepOps.dsirSelectionOracle,
     "q362_ridge_path" -> MlPrepOps.ridgePathOracle,
     "q363_effnum_weights" -> MlPrepOps.effNumWeightsOracle,
@@ -1038,7 +1035,6 @@ object SparkEntry {
     "q365_linkage_curve" -> GraphOps.linkageCurveOracle,
     "q366_risk_coverage" -> MlPrepOps.riskCoverageOracle,
     "q367_session_native" -> ScaleOps.sessionWindowNativeOracle,
-    "q368_watermark_curve" -> ScaleOps.watermarkCurveOracle,
     "q369_state_sizing" -> ScaleOps.stateSizingOracle,
     "q370_doremi_weights" -> MixtureOps.doremiWeightsOracle,
     "q371_hash_width" -> ProfileOps.hashWidthAuditOracle,

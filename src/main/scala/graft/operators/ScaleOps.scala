@@ -186,105 +186,6 @@ object ScaleOps {
        |  max(n_events) AS max_session_events
        |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
 
-  // --- q368: watermark-delay lateness curve ---------------------------------
-
-  /** Watermark delays priced by the curve, in minutes. */
-  val WatermarkDelaysMin: Seq[Long] = Seq(0L, 1L, 5L, 15L, 60L, 240L)
-
-  /** q368 — the watermark-delay sizing curve: how much data a streaming
-    * job DROPS at each candidate watermark delay, against the corpus's
-    * arrival-lateness distribution. Lateness is planted (the fixture
-    * has event time only): a deterministic md5-derived heavy-tailed
-    * delay — 70% under 5 min, 25% 5–35 min, 5% 1–4 h — the classic
-    * mobile-client shape, built in-query and mirrored in the oracle.
-    * An event is dropped at delay d iff lateness > d (the standard
-    * lateness-histogram sizing model). Output: per-delay drop counts
-    * and fractions, plus the exact p50/p95/p99 lateness read off the
-    * range-partitioned global rank — the numbers that pick
-    * `withWatermark`'s argument BEFORE a deployment finds out the hard
-    * way (q37/q205 consume a watermark; THIS sizes it).
-    *
-    * Parity: delays and lateness are exact integer microseconds from
-    * md5 arithmetic; quantile indices are ceil-of-integer ranks; the
-    * one division per row is pinned.
-    *
-    * Scale (100 TB): one narrow scan to lateness, ONE global rank
-    * ([[withGlobalRank]]), a 6-row grid cross join, one aggregate. */
-  def watermarkCurve(s: SparkSession, dir: String): DataFrame = {
-    val lat = t(s, dir, "events")
-      .select(col("event_id"))
-      .withColumn("u",
-        TextOps.md5Fingerprint60(col("event_id").cast("string")) % 1000L)
-      .selectExpr("event_id",
-        """CASE WHEN u < 700 THEN (u % 5) * 60000000
-          | WHEN u < 950 THEN (5 + u % 30) * 60000000
-          | ELSE (60 + u % 180) * 60000000 END AS late_us""".stripMargin)
-    val ranked = withGlobalRank(lat.select("late_us", "event_id"),
-      "rnk", col("late_us"), col("event_id")).persist()
-    val n = ranked.count()
-    def q(p: Double): Long = math.ceil(p * n.toDouble).toLong
-    val quants = ranked
-      .filter(col("rnk") === q(0.5) || col("rnk") === q(0.95) ||
-        col("rnk") === q(0.99))
-      .groupBy()
-      .agg(max(when(col("rnk") === q(0.5), col("late_us"))).as("p50_us"),
-        max(when(col("rnk") === q(0.95), col("late_us"))).as("p95_us"),
-        max(when(col("rnk") === q(0.99), col("late_us"))).as("p99_us"))
-    val grid = s.createDataFrame(WatermarkDelaysMin.map(Tuple1(_)))
-      .toDF("delay_min")
-    broadcast(grid).crossJoin(ranked)
-      .groupBy("delay_min")
-      .agg(count(lit(1)).as("n_events"),
-        sum(when(col("late_us") > col("delay_min") * 60000000L, 1L)
-          .otherwise(0L)).as("n_dropped"))
-      .crossJoin(broadcast(quants))
-      .selectExpr("delay_min", "n_events", "n_dropped",
-        "round(CAST(n_dropped AS DOUBLE) / CAST(n_events AS DOUBLE), 6)" +
-          " AS frac_dropped",
-        "p50_us div 60000000 AS p50_late_min",
-        "p95_us div 60000000 AS p95_late_min",
-        "p99_us div 60000000 AS p99_late_min")
-      .orderBy("delay_min")
-  }
-
-  def watermarkCurveOracle: String = {
-    val grid = WatermarkDelaysMin.map(d => s"($d)").mkString(", ")
-    val h = "CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)" +
-      " AS BIGINT)"
-    s"""WITH lat AS (SELECT event_id,
-       |    CASE WHEN u < 700 THEN (u % 5) * CAST(60000000 AS BIGINT)
-       |      WHEN u < 950 THEN (5 + u % 30) * CAST(60000000 AS BIGINT)
-       |      ELSE (60 + u % 180) * CAST(60000000 AS BIGINT)
-       |      END AS late_us
-       |  FROM (SELECT event_id, $h % 1000 AS u FROM events)),
-       |rk AS (SELECT late_us,
-       |    row_number() OVER (ORDER BY late_us, event_id) AS rnk
-       |  FROM lat),
-       |nn AS (SELECT count(*) AS n FROM lat),
-       |qs AS (SELECT
-       |    max(CASE WHEN rnk = CAST(ceil(0.5 * n) AS BIGINT)
-       |      THEN late_us END) AS p50_us,
-       |    max(CASE WHEN rnk = CAST(ceil(0.95 * n) AS BIGINT)
-       |      THEN late_us END) AS p95_us,
-       |    max(CASE WHEN rnk = CAST(ceil(0.99 * n) AS BIGINT)
-       |      THEN late_us END) AS p99_us
-       |  FROM rk, nn)
-       |SELECT CAST(g.delay_min AS BIGINT) AS delay_min,
-       |  count(*) AS n_events,
-       |  CAST(sum(CASE WHEN l.late_us > g.delay_min
-       |      * CAST(60000000 AS BIGINT)
-       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-       |  round(CAST(sum(CASE WHEN l.late_us > g.delay_min
-       |      * CAST(60000000 AS BIGINT)
-       |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-       |    AS frac_dropped,
-       |  max(qs.p50_us) // 60000000 AS p50_late_min,
-       |  max(qs.p95_us) // 60000000 AS p95_late_min,
-       |  max(qs.p99_us) // 60000000 AS p99_late_min
-       |FROM (SELECT unnest(ARRAY[$grid]) AS delay_min) g, lat l, qs
-       |GROUP BY g.delay_min ORDER BY g.delay_min""".stripMargin
-  }
-
   // --- q369: streaming state-store sizing under a TTL grid ------------------
 
   /** State TTLs priced by the sizing audit, in hours. */

@@ -1598,132 +1598,4 @@ object TextOps {
        |    / sum(n_docs) OVER (PARTITION BY lang), 6) AS doc_share
        |FROM b ORDER BY lang, bucket""".stripMargin
 
-  // --- q360: BPE merge discovery -------------------------------------------
-
-  /** Merge rounds and the per-round leaderboard depth. */
-  val BpeRounds = 3
-  val BpeTop = 5
-
-  /** q360 — byte-pair-encoding merge training (Sennrich et al., ACL
-    * 2016) run as pure relational aggregation: [[BpeRounds]] rounds of
-    * (count adjacent symbol pairs frequency-weighted over the corpus →
-    * pick the max under the (weight DESC, pair ASC) total order →
-    * apply it leftmost-greedy non-overlapping everywhere). Output is
-    * the per-round top-[[BpeTop]] pair leaderboard with the selected
-    * merge flagged — the actual artifact a tokenizer-training pipeline
-    * ships. q25/q65 ASSUME a tokenizer; this TRAINS one's merge table.
-    *
-    * Leftmost-greedy overlap semantics ("aaaa" merges positions 0 and
-    * 2, not 1) are made engine-exact with the gaps-and-islands parity
-    * rule: within each maximal run of consecutive best-pair
-    * adjacencies, odd offsets merge — windows all partitioned by word.
-    *
-    * Parity: weights are exact integer token counts; selection is an
-    * integer argmax under a total order; symbol surgery is string
-    * concat — no floats anywhere.
-    *
-    * Scale (100 TB): the ONLY corpus-sized pass is the word-frequency
-    * aggregate; every merge round runs on the word-TYPE symbol table
-    * (|vocab|·word-length rows — exactly how production BPE trainers
-    * work), so rounds cost vocabulary-, not corpus-, sized shuffles.
-    * Lineage cut per round (the round-11 lesson). */
-  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
-    val wc = t(s, dir, "documents")
-      .selectExpr("explode(split(text, ' ')) AS word")
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .persist()
-    var ch = graft.operators.CurationOps.cutLineage(
-      wc.select(col("word"),
-          posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
-        .select(col("word"), col("pos"), col("sym")))
-    val outBuf = scala.collection.mutable.Buffer.empty[DataFrame]
-    val wW = org.apache.spark.sql.expressions.Window
-      .partitionBy("word").orderBy("pos")
-    for (r <- 1 to BpeRounds) {
-      val adj = ch
-        .withColumn("nxt", lead(col("sym"), 1).over(wW))
-      val pc = adj.filter(col("nxt").isNotNull)
-        .join(wc, Seq("word"))
-        .groupBy(col("sym").as("l"), col("nxt").as("r2"))
-        .agg(sum(col("freq")).as("wgt"))
-      val wT = org.apache.spark.sql.expressions.Window
-        .orderBy(col("wgt").desc, col("l"), col("r2"))
-      val top = pc.withColumn("rnk", row_number().over(wT))
-        .filter(col("rnk") <= BpeTop).persist()
-      outBuf += top.selectExpr(s"CAST($r AS BIGINT) AS round",
-        "CAST(rnk AS BIGINT) AS rank", "l AS pair_left",
-        "r2 AS pair_right", "wgt AS weight", "rnk = 1 AS selected")
-      val best = broadcast(top.filter(col("rnk") === 1)
-        .select(col("l").as("bl"), col("r2").as("br")))
-      val cn = adj.crossJoin(best)
-        .withColumn("cand",
-          coalesce(col("sym") === col("bl") &&
-            col("nxt") === col("br"), lit(false)))
-        .withColumn("ra", row_number().over(wW))
-        .withColumn("rc", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("word", "cand").orderBy("pos")))
-      val off = cn.withColumn("off", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("word"), col("cand"), col("ra") - col("rc"))
-          .orderBy("pos")))
-        .withColumn("merged", col("cand") && col("off") % 2 === 1)
-        .withColumn("dropped",
-          coalesce(lag(col("merged"), 1).over(wW), lit(false)))
-      ch = graft.operators.CurationOps.cutLineage(
-        off.filter(!col("dropped"))
-          .select(col("word"), col("pos"),
-            when(col("merged"), concat(col("sym"), col("nxt")))
-              .otherwise(col("sym")).as("sym")))
-    }
-    outBuf.reduce(_ unionAll _).orderBy("round", "rank")
-  }
-
-  def bpeMergesOracle: String = {
-    val rounds = (1 to BpeRounds).map { r =>
-      val c = s"ch${r - 1}"
-      s"""adj$r AS MATERIALIZED (SELECT word, pos, sym,
-         |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-         |  FROM $c),
-         |pc$r AS (SELECT a.sym AS l, a.nxt AS r2,
-         |    CAST(sum(wc.freq) AS BIGINT) AS wgt
-         |  FROM adj$r a JOIN wc ON a.word = wc.word
-         |  WHERE a.nxt IS NOT NULL GROUP BY a.sym, a.nxt),
-         |top$r AS MATERIALIZED (SELECT l, r2, wgt,
-         |    row_number() OVER (ORDER BY wgt DESC, l, r2) AS rnk
-         |  FROM pc$r),
-         |out$r AS (SELECT CAST($r AS BIGINT) AS round,
-         |    CAST(rnk AS BIGINT) AS rank, l AS pair_left,
-         |    r2 AS pair_right, wgt AS weight, rnk = 1 AS selected
-         |  FROM top$r WHERE rnk <= $BpeTop),
-         |cn$r AS (SELECT a.word, a.pos, a.sym, a.nxt,
-         |    coalesce(a.sym = b.l AND a.nxt = b.r2, FALSE) AS cand,
-         |    row_number() OVER (PARTITION BY a.word ORDER BY a.pos)
-         |      AS ra,
-         |    row_number() OVER (PARTITION BY a.word,
-         |      coalesce(a.sym = b.l AND a.nxt = b.r2, FALSE)
-         |      ORDER BY a.pos) AS rc
-         |  FROM adj$r a, (SELECT l, r2 FROM top$r WHERE rnk = 1) b),
-         |mg$r AS MATERIALIZED (SELECT word, pos, sym, nxt,
-         |    cand AND (row_number() OVER (PARTITION BY word, cand,
-         |      ra - rc ORDER BY pos)) % 2 = 1 AS merged
-         |  FROM cn$r),
-         |ch$r AS MATERIALIZED (SELECT word, pos,
-         |    CASE WHEN merged THEN sym || nxt ELSE sym END AS sym
-         |  FROM (SELECT *, coalesce(lag(merged) OVER (
-         |      PARTITION BY word ORDER BY pos), FALSE) AS dropped
-         |    FROM mg$r)
-         |  WHERE NOT dropped)""".stripMargin
-    }.mkString(",\n")
-    val sel = (1 to BpeRounds).map(r => s"SELECT * FROM out$r")
-      .mkString(" UNION ALL ")
-    s"""WITH wc AS MATERIALIZED (SELECT word, count(*) AS freq FROM
-       |  (SELECT unnest(string_split(text, ' ')) AS word
-       |   FROM documents) GROUP BY word),
-       |ch0 AS MATERIALIZED (SELECT word, CAST(i - 1 AS INT) AS pos,
-       |    substr(word, CAST(i AS INT), 1) AS sym
-       |  FROM wc, unnest(range(1, len(word) + 1)) AS t(i)),
-       |$rounds
-       |SELECT * FROM ($sel) ORDER BY round, rank""".stripMargin
-  }
 }

@@ -812,50 +812,6 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("q360 bpe merges: matches a classic greedy-scan BPE trainer replay") {
-    val words = spark.read.parquet(s"$dir/documents.parquet")
-      .selectExpr("explode(split(text, ' ')) AS w").collect()
-      .map(_.getString(0))
-    val freq = words.groupBy(identity).map { case (w, ws) =>
-      w -> ws.length.toLong }
-    var syms: Map[String, Vector[String]] =
-      freq.keys.map(w => w -> w.split("").toVector).toMap
-    val expected = scala.collection.mutable.Buffer
-      .empty[(Long, Long, String, String, Long, Boolean)]
-    for (r <- 1 to TextOps.BpeRounds) {
-      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
-      syms.foreach { case (w, ss) =>
-        ss.sliding(2).foreach {
-          case Vector(a, b2) =>
-            pc((a, b2)) = pc.getOrElse((a, b2), 0L) + freq(w)
-          case _ =>
-        }
-      }
-      val ranked = pc.toSeq.sortBy { case ((l, rr), w) => (-w, l, rr) }
-      ranked.take(TextOps.BpeTop).zipWithIndex.foreach {
-        case (((l, rr), w), i) =>
-          expected += ((r.toLong, (i + 1).toLong, l, rr, w, i == 0))
-      }
-      val best = ranked.head._1
-      // classic greedy left-to-right scan — must equal the engine's
-      // gaps-and-islands odd-offset rule
-      syms = syms.map { case (w, ss) =>
-        val out = Vector.newBuilder[String]
-        var i = 0
-        while (i < ss.length) {
-          if (i < ss.length - 1 && (ss(i), ss(i + 1)) == best) {
-            out += ss(i) + ss(i + 1); i += 2
-          } else { out += ss(i); i += 1 }
-        }
-        w -> out.result()
-      }
-    }
-    val got = TextOps.bpeMerges(spark, dir).collect().map(r =>
-      (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
-        r.getLong(4), r.getBoolean(5))).toSeq
-    assert(got == expected.toSeq, "BPE leaderboard mismatch vs replay")
-  }
-
   test("q361 dsir selection: matches an exact driver replay; the planted domain quarter is recovered") {
     import graft.functions.Md5Fp60
     val b = MlPrepOps.DsirBuckets
@@ -1113,39 +1069,6 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .count().count()
     assert(sessions(gapUs) == 1L, "exact-gap event must merge")
     assert(sessions(gapUs + 1L) == 2L, "gap+1us event must split")
-  }
-
-  test("q368 watermark curve: matches a driver replay; drop fraction is monotone and the planted tail shows") {
-    import graft.functions.Md5Fp60
-    val ids = spark.read.parquet(s"$dir/events.parquet")
-      .select("event_id").collect().map(_.getLong(0))
-    val lateUs = ids.map { id =>
-      val u = Md5Fp60.fp60(id.toString.getBytes("UTF-8")) % 1000L
-      if (u < 700) (u % 5) * 60000000L
-      else if (u < 950) (5 + u % 30) * 60000000L
-      else (60 + u % 180) * 60000000L
-    }.sorted
-    val n = lateUs.length
-    def q(p: Double) = lateUs(math.ceil(p * n).toInt - 1)
-    def rd(x: Double) = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val out = ScaleOps.watermarkCurve(spark, dir).collect().map(r =>
-      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
-        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
-    for (d <- ScaleOps.WatermarkDelaysMin) {
-      val dropped = lateUs.count(_ > d * 60000000L).toLong
-      val exp = (n.toLong, dropped, rd(dropped.toDouble / n),
-        q(0.5) / 60000000L, q(0.95) / 60000000L, q(0.99) / 60000000L)
-      assert(out(d) == exp, s"delay $d mismatch")
-    }
-    // structure: drops shrink with delay; the heavy tail is visible
-    // (p99 far above p50) and the largest delay clears ~everything
-    val fr = ScaleOps.WatermarkDelaysMin.map(out(_)._3)
-    fr.sliding(2).foreach { case Seq(a, b) => assert(b <= a)
-    case _ => }
-    assert(out(ScaleOps.WatermarkDelaysMin.max)._3 < 0.001)
-    assert(out(0L)._6 > 10 * math.max(out(0L)._4, 1L),
-      "tail not heavy — plant broken")
   }
 
   test("q369 state sizing: matches a driver replay; state grows sub-linearly with TTL") {
