@@ -2852,8 +2852,12 @@ object CurationOps {
     * allocation: n_h ∝ N_h·S_h concentrates budget where strata are
     * big AND noisy, and the stratified-mean variance
     * V = Σ (N_h/N)²·S_h²/n_h under each design says exactly what that
-    * buys. The sampling-design audit q64/q219 assume away: THEY draw
-    * the sample, THIS says how big each stratum's draw should be.
+    * buys. q140 ALLOCATES a fixed inspection budget by Neyman over
+    * document sources; THIS prices the design itself — estimator
+    * variance under Neyman vs proportional and the ratio between them
+    * (the design effect) on the event-value strata, the column q140's
+    * allocation table cannot answer ("what did Neyman buy us?").
+    * q64/q219 assume the design away entirely: they draw the sample.
     *
     * Parity: per-row values freeze to integer cents, so all sums and
     * squared sums are exact BIGINT; each S_h is one pinned

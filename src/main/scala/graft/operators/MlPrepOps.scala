@@ -2531,6 +2531,10 @@ object MlPrepOps {
     * batches are the silent failure mode of epoch pipelines (gradient
     * noise is no longer i.i.d.; BN/curriculum statistics skew), and
     * this is the audit that catches it BEFORE a training run does.
+    * q132 measures ADJACENT-pair same-source autocorrelation within
+    * hash shards; THIS measures batch-level composition (distinct
+    * sources, entropy, single-source batches) and A/Bs the shuffled
+    * schedule against the ingest-order worst case q132 never sees.
     *
     * Parity: batch ids come from the (order key, doc_id) total order;
     * entropy terms freeze to floor(p·(−ln p)·10⁹) BIGINT per
@@ -2641,6 +2645,10 @@ object MlPrepOps {
     * method's precision/recall readout. q334 selects by perplexity
     * against ONE lm; DSIR selects by the RATIO of two — the difference
     * is what makes it a domain-targeting, not a fluency, filter.
+    * q131 computes per-SOURCE kept-fractions from unigram-bucket
+    * weights against a source-as-target; THIS is the doc-level
+    * SELECTION with a top-K budget, bigram features, a planted target
+    * with a falsifiable right answer, and the precision/recall readout.
     *
     * Parity: bucket counts are exact integers; each λ_b freezes to
     * floor(ln(ratio)·10⁹) BIGINT once per bucket (64 of them — the
