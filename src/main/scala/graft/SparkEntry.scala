@@ -387,6 +387,7 @@ object SparkEntry {
     "q369_state_sizing"      -> (ScaleOps.stateSizing _),
     "q370_doremi_weights"    -> (MixtureOps.doremiWeights _),
     "q371_hash_width"        -> (ProfileOps.hashWidthAudit _),
+    "q373_rate_limit_native" -> (ScaleOps.rateLimitNative _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1038,6 +1039,7 @@ object SparkEntry {
     "q369_state_sizing" -> ScaleOps.stateSizingOracle,
     "q370_doremi_weights" -> MixtureOps.doremiWeightsOracle,
     "q371_hash_width" -> ProfileOps.hashWidthAuditOracle,
+    "q373_rate_limit_native" -> ScaleOps.rateLimitNativeOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -20,6 +20,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(clazz.getName, name)
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // tier (c) of the custom-operator ladder: whole-operator planner
+    // strategy (logical TokenBucketNode → physical TokenBucketExec)
+    e.injectPlannerStrategy(_ => graft.plans.TokenBucketStrategy)
     e.injectFunction((FunctionIdentifier("dot_product"),
       info(classOf[DotProduct], "dot_product"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))

@@ -1877,6 +1877,73 @@ object ScaleOps {
        |    AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS reject_rate
        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
   }
+  // --- q373: token bucket through the native physical operator --------------
+
+  /** q373 — the q322 token-bucket recurrence run through the engine's
+    * whole-operator extension ([[graft.plans.TokenBucketExec]]: logical
+    * node → injected planner strategy → physical operator with DECLARED
+    * distribution/ordering requirements), rolled up per user: events,
+    * admissions, rejections, and the reject flag. q322 hand-places its
+    * exchange (repartition + sortWithinPartitions + mapPartitions — an
+    * opaque barrier); THIS declares the same requirements to Catalyst,
+    * so EnsureRequirements plans the exchange+sort, skips them when the
+    * child is already user-clustered, and AQE sees a normal exchange.
+    * Same exact integer µs-token recurrence, same admissions
+    * (spec-pinned row-for-row against the mapPartitions form); the
+    * difference is WHO owns the plan.
+    *
+    * Parity: identical recurrence constants ([[RlBurst]]/[[RlTokenUs]]);
+    * the oracle replays it as the same recursive CTE, grouped by user.
+    *
+    * Scale (100 TB): one user-keyed exchange (or none, bucketed), one
+    * in-partition sort, O(1) state per open user. */
+  def rateLimitNative(s: SparkSession, dir: String): DataFrame = {
+    val in = EtlOps.t(s, dir, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id")
+    graft.plans.TokenBucket(in, RlBurst * RlTokenUs, RlTokenUs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("admitted")).as("n_admitted"))
+      .selectExpr("user_id", "n_events", "n_admitted",
+        "n_events - n_admitted AS n_rejected",
+        "n_events > n_admitted AS throttled")
+      .orderBy("user_id")
+  }
+
+  def rateLimitNativeOracle: String = {
+    val cap = RlBurst * RlTokenUs
+    val unit = RlTokenUs
+    s"""WITH RECURSIVE ev AS (SELECT user_id,
+       |    epoch_us(ts) AS us, event_id,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS rn
+       |  FROM events),
+       |r AS (
+       |  SELECT user_id, rn, us,
+       |    CAST($cap AS BIGINT) >= $unit AS admitted,
+       |    CAST($cap AS BIGINT)
+       |      - (CASE WHEN CAST($cap AS BIGINT) >= $unit
+       |         THEN $unit ELSE 0 END) AS tokens_after
+       |  FROM ev WHERE rn = 1
+       |  UNION ALL
+       |  SELECT e.user_id, e.rn, e.us,
+       |    least($cap, r.tokens_after + (e.us - r.us)) >= $unit
+       |      AS admitted,
+       |    least($cap, r.tokens_after + (e.us - r.us))
+       |      - (CASE WHEN least($cap, r.tokens_after + (e.us - r.us))
+       |          >= $unit THEN $unit ELSE 0 END) AS tokens_after
+       |  FROM r JOIN ev e ON e.user_id = r.user_id
+       |    AND e.rn = r.rn + 1)
+       |SELECT user_id, count(*) AS n_events,
+       |  CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_admitted,
+       |  CAST(sum(CASE WHEN admitted THEN 0 ELSE 1 END) AS BIGINT)
+       |    AS n_rejected,
+       |  count(*) > sum(CASE WHEN admitted THEN 1 ELSE 0 END)
+       |    AS throttled
+       |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   // --- q326: corpus snapshot diff ------------------------------------------
 
   /** doc_id offset of the planted "added" documents in snapshot B. */

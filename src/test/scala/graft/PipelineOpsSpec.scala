@@ -4569,6 +4569,39 @@ class PipelineOpsSpec extends AnyFunSuite {
     case _ => }
   }
 
+  test("q373 native token bucket: admissions equal the mapPartitions form AND a driver replay, event for event") {
+    val in = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id")
+    val cap = ScaleOps.RlBurst * ScaleOps.RlTokenUs
+    val native = graft.plans.TokenBucket(in, cap, ScaleOps.RlTokenUs)
+      .select("event_id", "admitted").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver replay of the exact recurrence
+    val evs = in.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(e => (e._1, e._2, e._3))
+    var user = Long.MinValue; var tokens = 0L; var prev = 0L
+    val expect = evs.map { case (u, us, id) =>
+      if (u != user) { user = u; tokens = cap }
+      else tokens = math.min(cap, tokens + (us - prev))
+      prev = us
+      val ok = tokens >= ScaleOps.RlTokenUs
+      if (ok) tokens -= ScaleOps.RlTokenUs
+      id -> (if (ok) 1L else 0L)
+    }.toMap
+    assert(native == expect, "native exec diverged from the recurrence")
+    // and the q322 mapPartitions summary agrees at its own granularity
+    val a = ScaleOps.rateLimitReplay(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val evTypes = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_id", "event_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byType = native.toSeq.groupBy(kv => evTypes(kv._1)).map {
+      case (t, xs) => (t, xs.size.toLong, xs.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    assert(a.toSeq == byType, "q322 and q373 disagree")
+  }
+
   test("q356 kmv sketch: matches an exact driver replay; union-of-sketches IS the sketch of the union") {
     import graft.functions.Md5Fp60
     val k = ProfileOps.KmvK

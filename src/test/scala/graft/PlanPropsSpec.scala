@@ -1945,4 +1945,31 @@ class PlanPropsSpec extends AnyFunSuite {
       s"${offenders.size} unpartitioned-window hazard(s):\n" +
         offenders.mkString("\n"))
   }
+
+  test("q373 TokenBucketExec: strategy plans it; EnsureRequirements adds ONE exchange, or NONE when the child is pre-clustered") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dir = TestSession.sfDir("0.001")
+    val in = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id")
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case x: ShuffleExchangeExec => x }.size
+    def hasExec(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.collectFirst {
+        case x: graft.plans.TokenBucketExec => x }.nonEmpty
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plain = graft.plans.TokenBucket(in, 3L, 1L)
+      assert(hasExec(plain), "strategy did not plan TokenBucketExec")
+      assert(shuffles(plain) == 1,
+        "declared distribution must cost exactly one exchange")
+      // the composability claim: a child already clustered by user_id
+      // satisfies the declared requirement — NO second exchange
+      val pre = graft.plans.TokenBucket(
+        in.repartition(col("user_id")), 3L, 1L)
+      assert(hasExec(pre))
+      assert(shuffles(pre) == 1,
+        "pre-clustered child must not pay a second exchange")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }
