@@ -388,6 +388,7 @@ object SparkEntry {
     "q370_doremi_weights"    -> (MixtureOps.doremiWeights _),
     "q371_hash_width"        -> (ProfileOps.hashWidthAudit _),
     "q373_rate_limit_native" -> (ScaleOps.rateLimitNative _),
+    "q374_icc_design"        -> (CurationOps.iccDesignEffect _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1040,6 +1041,7 @@ object SparkEntry {
     "q370_doremi_weights" -> MixtureOps.doremiWeightsOracle,
     "q371_hash_width" -> ProfileOps.hashWidthAuditOracle,
     "q373_rate_limit_native" -> ScaleOps.rateLimitNativeOracle,
+    "q374_icc_design" -> CurationOps.iccDesignEffectOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

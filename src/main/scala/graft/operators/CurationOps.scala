@@ -2842,6 +2842,95 @@ object CurationOps {
        |SELECT * FROM ($sel) ORDER BY round""".stripMargin
   }
 
+  // --- q374: intraclass correlation & cluster design effect -----------------
+
+  /** q374 — intraclass correlation and the cluster-sampling design
+    * effect (Kish 1965): for each candidate cluster variable, the
+    * one-way-ANOVA ICC estimate ρ = (MSB − MSW)/(MSB + (m̄−1)·MSW) of
+    * document length, the design effect deff = 1 + (m̄−1)·ρ, and the
+    * effective sample size n/deff. THE number a survey-style corpus
+    * audit needs before sampling whole clusters (crawl hosts, sources,
+    * language shards) instead of documents: q357 prices STRATIFIED
+    * designs (sampling within every stratum), this prices CLUSTER
+    * designs (sampling whole groups) — the two classical corrections,
+    * now both measured. A near-zero ICC (lengths don't cluster) means
+    * cluster sampling is almost free; ICC → 1 means a cluster sample
+    * of m docs carries ~1 document of information.
+    *
+    * Parity: per-cluster (n, Σx, Σx²) are exact BIGINTs; the
+    * between/within sums of squares are pinned double chains over
+    * those integers; one division each for MSB, MSW, ρ, deff.
+    *
+    * Scale (100 TB): one map-combinable aggregate per cluster
+    * variable; everything downstream is |clusters|-sized. */
+  def iccDesignEffect(s: SparkSession, dir: String): DataFrame = {
+    def one(clusterCol: String): DataFrame = {
+      val g = EtlOps.t(s, dir, "documents")
+        .groupBy(col(clusterCol).as("cl"))
+        .agg(count(lit(1)).as("m"), sum("n_chars").as("sx"),
+          sum(expr("n_chars * n_chars")).as("sxx"))
+      g.agg(count(lit(1)).as("k"), sum("m").as("n"),
+          sum("sx").as("tsx"), sum("sxx").as("tsxx"),
+          // Σ (Σx_i)²/m_i enters SSB; freeze the per-cluster term to
+          // ×1e6 so the cross-cluster sum is order-independent
+          sum(expr("CAST(floor(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)" +
+            " / CAST(m AS DOUBLE) * 1e6) AS BIGINT)")).as("ssb_fp"))
+        .selectExpr(s"'$clusterCol' AS cluster_var", "k", "n",
+          "CAST(ssb_fp AS DOUBLE) / 1e6" +
+            " - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE)" +
+            " / CAST(n AS DOUBLE) AS ssb",
+          "CAST(tsxx AS DOUBLE) - CAST(ssb_fp AS DOUBLE) / 1e6 AS ssw")
+        .selectExpr("cluster_var", "k", "n",
+          "ssb / CAST(k - 1 AS DOUBLE) AS msb",
+          "ssw / CAST(n - k AS DOUBLE) AS msw",
+          "CAST(n AS DOUBLE) / CAST(k AS DOUBLE) AS mbar")
+        .selectExpr("cluster_var", "k AS n_clusters", "n AS n_docs",
+          "round(mbar, 4) AS mean_cluster_size",
+          "round((msb - msw) / (msb + (mbar - 1.0) * msw), 6) AS icc",
+          "round(1.0 + (mbar - 1.0)" +
+            " * ((msb - msw) / (msb + (mbar - 1.0) * msw)), 4) AS deff",
+          "round(CAST(n AS DOUBLE) / (1.0 + (mbar - 1.0)" +
+            " * ((msb - msw) / (msb + (mbar - 1.0) * msw))), 2)" +
+            " AS eff_sample_size")
+    }
+    one("source").unionAll(one("lang")).orderBy("cluster_var")
+  }
+
+  def iccDesignEffectOracle: String = {
+    def one(clusterCol: String): String =
+      s"""SELECT cluster_var, k AS n_clusters, n AS n_docs,
+         |  round(mbar, 4) AS mean_cluster_size,
+         |  round((msb - msw) / (msb + (mbar - 1.0) * msw), 6) AS icc,
+         |  round(1.0 + (mbar - 1.0)
+         |    * ((msb - msw) / (msb + (mbar - 1.0) * msw)), 4) AS deff,
+         |  round(CAST(n AS DOUBLE) / (1.0 + (mbar - 1.0)
+         |    * ((msb - msw) / (msb + (mbar - 1.0) * msw))), 2)
+         |    AS eff_sample_size
+         |FROM (SELECT cluster_var, k, n,
+         |    ssb / CAST(k - 1 AS DOUBLE) AS msb,
+         |    ssw / CAST(n - k AS DOUBLE) AS msw,
+         |    CAST(n AS DOUBLE) / CAST(k AS DOUBLE) AS mbar
+         |  FROM (SELECT cluster_var, k, n,
+         |      CAST(ssb_fp AS DOUBLE) / 1e6
+         |        - CAST(tsx AS DOUBLE) * CAST(tsx AS DOUBLE)
+         |        / CAST(n AS DOUBLE) AS ssb,
+         |      CAST(tsxx AS DOUBLE) - CAST(ssb_fp AS DOUBLE) / 1e6
+         |        AS ssw
+         |    FROM (SELECT '$clusterCol' AS cluster_var,
+         |        count(*) AS k, CAST(sum(m) AS BIGINT) AS n,
+         |        CAST(sum(sx) AS BIGINT) AS tsx,
+         |        CAST(sum(sxx) AS BIGINT) AS tsxx,
+         |        CAST(sum(CAST(floor(CAST(sx AS DOUBLE)
+         |          * CAST(sx AS DOUBLE) / CAST(m AS DOUBLE) * 1e6)
+         |          AS BIGINT)) AS BIGINT) AS ssb_fp
+         |      FROM (SELECT $clusterCol AS cl, count(*) AS m,
+         |          CAST(sum(n_chars) AS BIGINT) AS sx,
+         |          CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+         |        FROM documents GROUP BY $clusterCol))))""".stripMargin
+    s"""SELECT * FROM (${one("source")} UNION ALL ${one("lang")})
+       |ORDER BY cluster_var""".stripMargin
+  }
+
   // --- q357: Neyman allocation sampling design -----------------------------
 
   /** Total sample budget the allocation distributes. */

@@ -666,4 +666,45 @@ class CurationOpsSpec extends AnyFunSuite {
         s"$ta|$tb: small-eps cost did not collapse onto W1")
     }
   }
+
+  test("q374 icc design effect: matches a driver replay; deff = 1 + (m-1)*icc reconciles") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("source", "lang", "CAST(n_chars AS BIGINT) AS x")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def rd(v: Double, s0: Int) = BigDecimal(v)
+      .setScale(s0, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = CurationOps.iccDesignEffect(spark, dir).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    for ((cvar, key) <- Seq(
+        ("source", (t: (String, String, Long)) => t._1),
+        ("lang", (t: (String, String, Long)) => t._2))) {
+      val cl = docs.groupBy(key).map { case (_, xs) =>
+        (xs.length.toLong, xs.map(_._3).sum,
+          xs.map(t => t._3 * t._3).sum)
+      }.toSeq
+      val k = cl.length.toLong
+      val n = cl.map(_._1).sum
+      val tsx = cl.map(_._2).sum
+      val tsxx = cl.map(_._3).sum
+      val ssbFp = cl.map { case (m, sx, _) =>
+        math.floor(sx.toDouble * sx.toDouble / m.toDouble * 1e6).toLong
+      }.sum
+      val ssb = ssbFp.toDouble / 1e6 -
+        tsx.toDouble * tsx.toDouble / n.toDouble
+      val ssw = tsxx.toDouble - ssbFp.toDouble / 1e6
+      val msb = ssb / (k - 1).toDouble
+      val msw = ssw / (n - k).toDouble
+      val mbar = n.toDouble / k.toDouble
+      val icc = (msb - msw) / (msb + (mbar - 1.0) * msw)
+      val deff = 1.0 + (mbar - 1.0) * icc
+      val exp = (k, n, rd(mbar, 4), rd(icc, 6), rd(deff, 4),
+        rd(n.toDouble / deff, 2))
+      assert(out(cvar) == exp, s"$cvar mismatch")
+      // ANOVA ICC lives in [-1/(mbar-1), 1]; deff reconciles with icc
+      assert(icc <= 1.0 && icc >= -1.0 / (mbar - 1.0) - 1e-9)
+      assert(math.abs(out(cvar)._5 -
+        (1.0 + (rd(mbar, 4) - 1.0) * out(cvar)._4)) < 1e-2)
+    }
+  }
 }
