@@ -389,6 +389,7 @@ object SparkEntry {
     "q371_hash_width"        -> (ProfileOps.hashWidthAudit _),
     "q373_rate_limit_native" -> (ScaleOps.rateLimitNative _),
     "q374_icc_design"        -> (CurationOps.iccDesignEffect _),
+    "q375_attack_robustness" -> (GraphOps.attackRobustness _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1042,6 +1043,7 @@ object SparkEntry {
     "q371_hash_width" -> ProfileOps.hashWidthAuditOracle,
     "q373_rate_limit_native" -> ScaleOps.rateLimitNativeOracle,
     "q374_icc_design" -> CurationOps.iccDesignEffectOracle,
+    "q375_attack_robustness" -> GraphOps.attackRobustnessOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

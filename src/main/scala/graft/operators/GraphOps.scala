@@ -1671,6 +1671,151 @@ object GraphOps {
        |$rounds""".stripMargin
   }
 
+  // --- q375: targeted-attack robustness --------------------------------------
+
+  /** Degree-attack removal fractions. */
+  val AttackFracs: Seq[Double] = Seq(0.0, 0.02, 0.05, 0.10)
+
+  /** Min-label propagation rounds per attack level (diameter bound on
+    * the surviving co-activity graph; the `stable` flag is the
+    * honesty check). */
+  val AttackCcRounds = 8
+
+  /** q375 — targeted-attack robustness (Albert, Jeong & Barabási,
+    * Nature 2000): remove the top-f highest-degree users from the
+    * co-activity graph and measure what survives — kept nodes/edges,
+    * component count, and the giant component's share. Scale-free-ish
+    * graphs shatter under degree-targeted removal long before random
+    * failure would bite; this is the audit that says whether the
+    * cohort/abuse structure q307/q319 report hangs on a few hubs. Per
+    * attack level, components come from [[AttackCcRounds]] synchronous
+    * min-label rounds (q59's fixpoint discipline) with an explicit
+    * stability flag.
+    *
+    * Parity: degrees, ranks, and label minima are all exact integers;
+    * the one share division is pinned.
+    *
+    * Scale (100 TB): the capped co-activity edge list is built ONCE
+    * and cached; each attack level filters it by a broadcast removed-
+    * node set (⌈f·|V|⌉ rows) and runs label rounds on |V'|-sized
+    * frames with per-round lineage cuts. */
+  def attackRobustness(s: SparkSession, dir: String): DataFrame = {
+    val und = CurationOps.cutLineage(cooccurEdges(s, dir)).persist()
+    val deg = und.select(col("ua").as("u"))
+      .unionAll(und.select(col("ub").as("u")))
+      .groupBy("u").agg(count(lit(1)).as("deg"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .orderBy(col("deg").desc, col("u"))
+    val ranked = CurationOps.cutLineage(
+      deg.withColumn("rk", row_number().over(wD))).persist()
+    val nv = ranked.count()
+    val rows = AttackFracs.map { f =>
+      val nRemove = math.ceil(f * nv.toDouble).toLong
+      val kept = broadcast(ranked.filter(col("rk") > nRemove)
+        .select(col("u")))
+      val e = CurationOps.cutLineage(
+        und.join(kept.select(col("u").as("ua")), Seq("ua"))
+          .join(kept.select(col("u").as("ub")), Seq("ub"))
+          .select("ua", "ub"))
+      val ed = e.select(col("ua").as("src"), col("ub").as("dst"))
+        .unionAll(e.select(col("ub").as("src"), col("ua").as("dst")))
+      var lbl = CurationOps.cutLineage(
+        ed.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("lbl")))
+      for (_ <- 1 to AttackCcRounds) {
+        val nb = ed.join(lbl.select(col("node").as("dst"),
+            col("lbl").as("nl")), Seq("dst"))
+          .groupBy(col("src").as("node")).agg(min("nl").as("nmin"))
+        lbl = CurationOps.cutLineage(
+          lbl.join(nb, Seq("node"), "left")
+            .select(col("node"),
+              least(col("lbl"), coalesce(col("nmin"), col("lbl")))
+                .as("lbl")))
+      }
+      val post = ed.join(lbl.select(col("node").as("dst"),
+          col("lbl").as("nl")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(min("nl").as("nmin"))
+      val unstable = lbl.join(post, Seq("node"))
+        .filter(col("nmin") < col("lbl"))
+      val comps = lbl.groupBy("lbl").agg(count(lit(1)).as("sz"))
+      comps.agg(count(lit(1)).as("n_comp"), max("sz").as("giant"),
+          sum("sz").as("n_conn"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(unstable.agg((count(lit(1)) === 0L).as("stable")))
+        .selectExpr(s"CAST($f AS DOUBLE) AS frac_removed",
+          s"CAST(${nv - nRemove} AS BIGINT) AS n_kept_nodes",
+          "n_edges AS n_kept_edges", "n_comp AS n_components",
+          "round(CAST(giant AS DOUBLE) / CAST(n_conn AS DOUBLE), 6)" +
+            " AS giant_share_connected",
+          s"round(CAST(giant AS DOUBLE) / CAST(${math.max(nv - nRemove,
+            1L)} AS DOUBLE), 6) AS giant_share_kept",
+          "stable")
+    }
+    rows.reduce(_ unionAll _).orderBy("frac_removed")
+  }
+
+  def attackRobustnessOracle: String = {
+    val levels = AttackFracs.zipWithIndex.map { case (f, i) =>
+      val rounds = (1 to AttackCcRounds).map { r =>
+        s"""l${i}_$r AS MATERIALIZED (SELECT l.node,
+           |    least(l.lbl, coalesce(nb.nmin, l.lbl)) AS lbl
+           |  FROM l${i}_${r - 1} l LEFT JOIN (
+           |    SELECT e.src AS node, min(x.lbl) AS nmin
+           |    FROM ed$i e JOIN l${i}_${r - 1} x ON x.node = e.dst
+           |    GROUP BY e.src) nb ON nb.node = l.node)""".stripMargin
+      }.mkString(",\n")
+      val last = s"l${i}_$AttackCcRounds"
+      s"""kept$i AS (SELECT u FROM ranked
+         |  WHERE rk > CAST(ceil($f * (SELECT nv FROM nn)) AS BIGINT)),
+         |e$i AS MATERIALIZED (SELECT ua, ub FROM und
+         |  WHERE ua IN (SELECT u FROM kept$i)
+         |    AND ub IN (SELECT u FROM kept$i)),
+         |ed$i AS (SELECT ua AS src, ub AS dst FROM e$i
+         |  UNION ALL SELECT ub, ua FROM e$i),
+         |l${i}_0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+         |    src AS lbl FROM ed$i),
+         |$rounds,
+         |post$i AS (SELECT e.src AS node, min(x.lbl) AS nmin
+         |  FROM ed$i e JOIN $last x ON x.node = e.dst GROUP BY e.src),
+         |cp$i AS (SELECT lbl, count(*) AS sz FROM $last GROUP BY lbl),
+         |s$i AS (SELECT CAST($f AS DOUBLE) AS frac_removed,
+         |  (SELECT nv FROM nn)
+         |    - CAST(ceil($f * (SELECT nv FROM nn)) AS BIGINT)
+         |    AS n_kept_nodes,
+         |  (SELECT count(*) FROM e$i) AS n_kept_edges,
+         |  (SELECT count(*) FROM cp$i) AS n_components,
+         |  round((SELECT CAST(max(sz) AS DOUBLE) FROM cp$i)
+         |    / (SELECT CAST(sum(sz) AS DOUBLE) FROM cp$i), 6)
+         |    AS giant_share_connected,
+         |  round((SELECT CAST(max(sz) AS DOUBLE) FROM cp$i)
+         |    / CAST(greatest((SELECT nv FROM nn)
+         |      - CAST(ceil($f * (SELECT nv FROM nn)) AS BIGINT), 1)
+         |      AS DOUBLE), 6) AS giant_share_kept,
+         |  (SELECT count(*) = 0 FROM $last l JOIN post$i p
+         |     ON p.node = l.node WHERE p.nmin < l.lbl) AS stable)"""
+        .stripMargin
+    }.mkString(",\n")
+    val sel = AttackFracs.indices.map(i => s"SELECT * FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH c AS (SELECT event_type AS et, date_trunc('hour', ts) AS h,
+       |    user_id AS u FROM events GROUP BY 1, 2, 3),
+       |capped AS (SELECT et, h, u FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY et, h ORDER BY u) AS rn
+       |  FROM c) WHERE rn <= $CoocCellCap),
+       |und AS MATERIALIZED (SELECT a.u AS ua, b.u AS ub
+       |  FROM capped a JOIN capped b
+       |    ON a.et = b.et AND a.h = b.h AND a.u < b.u
+       |  GROUP BY 1, 2 HAVING count(*) >= $CoocMinCells),
+       |deg AS (SELECT u, count(*) AS deg FROM (
+       |  SELECT ua AS u FROM und UNION ALL SELECT ub FROM und)
+       |  GROUP BY u),
+       |ranked AS MATERIALIZED (SELECT u, deg,
+       |    row_number() OVER (ORDER BY deg DESC, u) AS rk FROM deg),
+       |nn AS (SELECT count(*) AS nv FROM ranked),
+       |$levels
+       |SELECT * FROM ($sel) ORDER BY frac_removed""".stripMargin
+  }
+
   // --- q365: single-linkage dendrogram-cut curve ----------------------------
 
   /** Jaccard thresholds at which the dendrogram is cut. */

@@ -4602,6 +4602,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.toSeq == byType, "q322 and q373 disagree")
   }
 
+  test("q375 attack robustness: matches a driver union-find replay at every attack level") {
+    val cells = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_type AS et", "date_trunc('hour', ts) AS h",
+        "user_id AS u").distinct().collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1)), r.getLong(2)))
+    val capped = cells.groupBy(_._1).toSeq.flatMap { case (k, xs) =>
+      xs.map(_._2).sorted.take(GraphOps.CoocCellCap).map(u => (k, u)) }
+    val pairCnt = scala.collection.mutable
+      .Map.empty[(Long, Long), Int]
+    capped.groupBy(_._1).foreach { case (_, xs) =>
+      val us = xs.map(_._2).sorted
+      for (i <- us.indices; j <- i + 1 until us.length)
+        pairCnt((us(i), us(j))) =
+          pairCnt.getOrElse((us(i), us(j)), 0) + 1
+    }
+    val edges = pairCnt.filter(_._2 >= GraphOps.CoocMinCells)
+      .keys.toSeq.sorted
+    val deg = scala.collection.mutable.Map.empty[Long, Int]
+    edges.foreach { case (a, b) =>
+      deg(a) = deg.getOrElse(a, 0) + 1; deg(b) = deg.getOrElse(b, 0) + 1 }
+    val ranked = deg.toSeq.sortBy { case (u, d) => (-d, u) }.map(_._1)
+    val nv = ranked.length.toLong
+    val out = GraphOps.attackRobustness(spark, dir).collect().map(r =>
+      r.getDouble(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toMap
+    def rd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (f <- GraphOps.AttackFracs) {
+      val nRem = math.ceil(f * nv.toDouble).toLong
+      val removed = ranked.take(nRem.toInt).toSet
+      val e = edges.filter(p => !removed(p._1) && !removed(p._2))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      e.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+      val conn = e.flatMap(p => Seq(p._1, p._2)).distinct
+      val comps = conn.groupBy(find).map(_._2.length.toLong)
+      val (g, tot) = (if (comps.isEmpty) 0L else comps.max,
+        comps.sum)
+      val exp = (nv - nRem, e.length.toLong, comps.size.toLong,
+        rd(g.toDouble / tot.toDouble),
+        rd(g.toDouble / math.max(nv - nRem, 1L).toDouble), true)
+      assert(out(f) == exp, s"f=$f mismatch")
+    }
+  }
+
   test("q356 kmv sketch: matches an exact driver replay; union-of-sketches IS the sketch of the union") {
     import graft.functions.Md5Fp60
     val k = ProfileOps.KmvK
