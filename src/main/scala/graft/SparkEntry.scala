@@ -390,6 +390,7 @@ object SparkEntry {
     "q373_rate_limit_native" -> (ScaleOps.rateLimitNative _),
     "q374_icc_design"        -> (CurationOps.iccDesignEffect _),
     "q375_attack_robustness" -> (GraphOps.attackRobustness _),
+    "q376_sliding_hll"       -> (ProfileOps.slidingHllDistinct _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1044,6 +1045,7 @@ object SparkEntry {
     "q373_rate_limit_native" -> ScaleOps.rateLimitNativeOracle,
     "q374_icc_design" -> CurationOps.iccDesignEffectOracle,
     "q375_attack_robustness" -> GraphOps.attackRobustnessOracle,
+    "q376_sliding_hll" -> ProfileOps.slidingHllDistinctOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -3944,6 +3944,118 @@ object ProfileOps {
        |ORDER BY p.sa, p.sb""".stripMargin
   }
 
+  // --- q376: sliding-window HLL distinct series ------------------------------
+
+  /** Trailing window width, days. */
+  val SlideWinDays = 7
+
+  /** q376 — trailing-7-day distinct users per day at SKETCH cost: one
+    * 256-register HLL per (day, bucket) cell, and every window's
+    * sketch is the register-max MERGE of its ≤[[SlideWinDays]] daily
+    * sketches — the mergeability property that makes HLL the
+    * time-window operator (day sketches are built once and reused by
+    * every window that covers them; the raw user stream is touched
+    * once). Audited against the exact sliding distinct (the q369
+    * bounded-explode form). q224 audits HLL point estimates; q238 its
+    * set algebra; THIS is the time-series shape a dashboard actually
+    * serves, with per-window error against exact truth.
+    *
+    * Parity: the q224 register discipline verbatim (integer ranks,
+    * DECIMAL(38,0) S′, frozen α and ln table); windows are integer
+    * epoch-days; merge is GROUP BY max — order-free.
+    *
+    * Scale (100 TB): the corpus collapses ONCE to distinct (day, user)
+    * and once more to (day, bucket) registers (365·256 rows/year);
+    * window merges are ≤7× that. The EXACT side re-explodes (day,
+    * user) ×7 — linear but user-stream-sized — and exists here only as
+    * the audit; production serves the sketch column. */
+  def slidingHllDistinct(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val w6 = SlideWinDays - 1
+    val du = EtlOps.events(s, dir)
+      .selectExpr(
+        "unix_micros(date_trunc('day', ts)) div 86400000000 AS d",
+        "user_id AS u")
+      .distinct().persist()
+    val days = du.select("d").distinct().persist()
+    val hashed = du
+      .withColumn("h",
+        call_function("md5_fp60", col("u").cast("string")))
+      .selectExpr("d", s"h % $HllM AS bkt",
+        s"CAST(${hllRankSql("h")} AS BIGINT) AS rnk")
+    val dayRegs = hashed.groupBy("d", "bkt").agg(max("rnk").as("r"))
+    val wDays = days.select(col("d").as("w"))
+    val merged = dayRegs
+      .selectExpr(s"explode(sequence(d, d + $w6)) AS w", "bkt", "r")
+      .join(wDays, Seq("w"), "left_semi")
+      .groupBy("w", "bkt").agg(max("r").as("r"))
+    val dense = wDays
+      .crossJoin(s.range(HllM.toLong).select(col("id").as("bkt")))
+      .join(merged, Seq("w", "bkt"), "left")
+      .selectExpr("w", "coalesce(r, CAST(0 AS BIGINT)) AS r")
+    val st = dense.groupBy("w").agg(
+      expr("sum(CAST(shiftleft(CAST(1 AS BIGINT), CAST(60 - r AS INT))" +
+        " AS DECIMAL(38,0)))").as("sp"),
+      expr("CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)")
+        .as("vz"))
+    val exact = du
+      .selectExpr(s"explode(sequence(d, d + $w6)) AS w", "u")
+      .join(wDays, Seq("w"), "left_semi")
+      .distinct().groupBy("w").agg(count(lit(1)).as("n_exact"))
+    val minD = broadcast(days.agg(min("d").as("min_d")))
+    st.join(exact, Seq("w")).crossJoin(minD)
+      .selectExpr("w AS window_day", "n_exact",
+        s"round(${hllEstSql("sp", "vz", spark = true)}, 4) AS est",
+        s"round((${hllEstSql("sp", "vz", spark = true)}" +
+          " - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)" +
+          " * 100.0, 4) AS rel_err_pct",
+        s"w >= min_d + $w6 AS window_full")
+      .orderBy("window_day")
+  }
+
+  def slidingHllDistinctOracle: String = {
+    val w6 = SlideWinDays - 1
+    val hash = "CAST('0x' || substr(md5(CAST(u AS VARCHAR)), 1, 15)" +
+      " AS BIGINT)"
+    s"""WITH du AS (SELECT DISTINCT
+       |    epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+       |      // 86400000000 AS d,
+       |    user_id AS u
+       |  FROM events),
+       |days AS (SELECT DISTINCT d FROM du),
+       |br AS (SELECT d, h % $HllM AS bkt,
+       |    CAST(${hllRankSql("h")} AS BIGINT) AS rnk
+       |  FROM (SELECT d, $hash AS h FROM du)),
+       |dayregs AS (SELECT d, bkt, max(rnk) AS r FROM br GROUP BY d, bkt),
+       |cov AS (SELECT t.w, dr.bkt, dr.r FROM dayregs dr,
+       |    LATERAL (SELECT unnest(range(dr.d, dr.d + $SlideWinDays))
+       |      AS w) t
+       |  WHERE t.w IN (SELECT d FROM days)),
+       |merged AS (SELECT w, bkt, max(r) AS r FROM cov GROUP BY w, bkt),
+       |dense AS (SELECT dy.d AS w, coalesce(m.r, 0) AS r
+       |  FROM days dy CROSS JOIN (SELECT unnest(range(0, $HllM)) AS b) t
+       |  LEFT JOIN merged m ON m.w = dy.d AND m.bkt = t.b),
+       |st AS (SELECT w,
+       |    sum(CAST((CAST(1 AS BIGINT) << CAST(60 - r AS INT))
+       |      AS DECIMAL(38,0))) AS sp,
+       |    CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS vz
+       |  FROM dense GROUP BY w),
+       |exact AS (SELECT w, count(*) AS n_exact FROM (
+       |  SELECT DISTINCT t.w, du.u FROM du,
+       |    LATERAL (SELECT unnest(range(du.d, du.d + $SlideWinDays))
+       |      AS w) t
+       |  WHERE t.w IN (SELECT d FROM days)) GROUP BY w),
+       |md AS (SELECT min(d) AS min_d FROM days)
+       |SELECT st.w AS window_day, exact.n_exact,
+       |  round(${hllEstSql("st.sp", "st.vz", spark = false)}, 4) AS est,
+       |  round((${hllEstSql("st.sp", "st.vz", spark = false)}
+       |    - CAST(exact.n_exact AS DOUBLE))
+       |    / CAST(exact.n_exact AS DOUBLE) * 100.0, 4) AS rel_err_pct,
+       |  st.w >= md.min_d + $w6 AS window_full
+       |FROM st JOIN exact ON st.w = exact.w, md
+       |ORDER BY window_day""".stripMargin
+  }
+
   // --- q371: fingerprint-width collision audit ------------------------------
 
   /** Prefix widths (bits) priced by the audit. */

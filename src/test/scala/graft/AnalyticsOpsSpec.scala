@@ -1169,4 +1169,53 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     cs.sliding(2).foreach { case Seq(a, b) => assert(b <= a)
     case _ => }
   }
+
+  test("q376 sliding hll: exact side matches a replay; estimates stay inside the 3-sigma band") {
+    import graft.functions.Md5Fp60
+    val du = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr(
+        "unix_micros(date_trunc('day', ts)) div 86400000000 AS d",
+        "user_id AS u")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = du.map(_._1).distinct.toSet
+    val w6 = ProfileOps.SlideWinDays - 1
+    val out = ProfileOps.slidingHllDistinct(spark, dir).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4))).toMap
+    assert(out.keySet == days)
+    for (w <- days) {
+      val exact = du.filter(t => t._1 >= w - w6 && t._1 <= w)
+        .map(_._2).distinct.length.toLong
+      assert(out(w)._1 == exact, s"window $w exact")
+      // m=256 ⇒ sigma ≈ 1.04/sqrt(256) ≈ 6.5%; allow 3 sigma
+      assert(math.abs(out(w)._3) < 20.0, s"window $w error out of band")
+      assert(out(w)._4 == (w >= days.min + w6))
+      // the register-max merge replay: rebuild the window sketch from
+      // scratch and from day sketches — they must agree (mergeability)
+      def rank(h: Long): Long = {
+        val x = h >> 8
+        if (x == 0) 53L
+        else math.min(java.lang.Long.numberOfTrailingZeros(x) + 1L, 53L)
+      }
+      val winUsers = du.filter(t => t._1 >= w - w6 && t._1 <= w)
+      val direct = Array.fill(ProfileOps.HllM)(0L)
+      winUsers.map(_._2).distinct.foreach { u =>
+        val h = Md5Fp60.fp60(u.toString.getBytes("UTF-8"))
+        val b = (h % ProfileOps.HllM).toInt
+        direct(b) = math.max(direct(b), rank(h))
+      }
+      val viaDays = Array.fill(ProfileOps.HllM)(0L)
+      winUsers.groupBy(_._1).foreach { case (_, xs) =>
+        val day = Array.fill(ProfileOps.HllM)(0L)
+        xs.map(_._2).distinct.foreach { u =>
+          val h = Md5Fp60.fp60(u.toString.getBytes("UTF-8"))
+          val b = (h % ProfileOps.HllM).toInt
+          day(b) = math.max(day(b), rank(h))
+        }
+        for (i <- day.indices) viaDays(i) = math.max(viaDays(i), day(i))
+      }
+      assert(direct.toSeq == viaDays.toSeq,
+        s"window $w: day-sketch merge is not the direct sketch")
+    }
+  }
 }
