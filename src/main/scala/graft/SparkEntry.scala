@@ -391,6 +391,7 @@ object SparkEntry {
     "q374_icc_design"        -> (CurationOps.iccDesignEffect _),
     "q375_attack_robustness" -> (GraphOps.attackRobustness _),
     "q376_sliding_hll"       -> (ProfileOps.slidingHllDistinct _),
+    "q377_pool_testing"      -> (CurationOps.poolTesting _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1046,6 +1047,7 @@ object SparkEntry {
     "q374_icc_design" -> CurationOps.iccDesignEffectOracle,
     "q375_attack_robustness" -> GraphOps.attackRobustnessOracle,
     "q376_sliding_hll" -> ProfileOps.slidingHllDistinctOracle,
+    "q377_pool_testing" -> CurationOps.poolTestingOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -2842,6 +2842,124 @@ object CurationOps {
        |SELECT * FROM ($sel) ORDER BY round""".stripMargin
   }
 
+  // --- q377: Dorfman pooled-testing design -----------------------------------
+
+  /** Pool sizes priced by the sweep. */
+  val PoolSizes: Seq[Int] = (1 to 12).toList
+
+  /** q377 — Dorfman group testing (Dorfman 1943): when a QC check is
+    * expensive (human review, a big-model judge), test POOLS of k
+    * documents and only re-test the members of failing pools. Per pool
+    * size: the closed-form expected tests per item 1/k + 1 − (1−p)ᵏ,
+    * AND the exact realized cost of the deterministic hash-ordered
+    * pooling on THIS corpus — the measured-vs-theory pair, with the
+    * closed-form argmin flagged. Defect = document length below the
+    * corpus's exact 10th percentile (data-relative, q345's lesson).
+    * At p ≈ 0.1 pooling cuts QC cost ~2×; the table shows exactly
+    * where the savings collapse (k past the optimum re-tests too many
+    * pools).
+    *
+    * Parity: the percentile and pool assignments ride
+    * [[ScaleOps.withGlobalRank]] (exact integer ranks; md5 order for
+    * pooling); realized tests are exact integers; the closed form is
+    * one pinned power chain.
+    *
+    * Scale (100 TB): two global ranks + a |k-grid|-bounded explode of
+    * pool ids; every aggregate map-combines. */
+  def poolTesting(s: SparkSession, dir: String): DataFrame = {
+    val d = EtlOps.t(s, dir, "documents")
+      .selectExpr("doc_id", "CAST(n_chars AS BIGINT) AS len",
+        "md5(CAST(doc_id AS STRING)) AS hk")
+    val byLen = ScaleOps.withGlobalRank(
+      d.select("doc_id", "len"), "lr", col("len"), col("doc_id"))
+      .persist()
+    val n = byLen.count()
+    val thrRank = math.ceil(0.1 * n.toDouble).toLong
+    val thr = broadcast(byLen.filter(col("lr") === thrRank)
+      .select(col("len").as("thr")))
+    val flagged = ScaleOps.withGlobalRank(
+      d.crossJoin(thr).selectExpr("doc_id", "hk",
+        "len < thr AS defect"),
+      "rnk", col("hk"), col("doc_id")).persist()
+    val p = broadcast(flagged.agg(
+      (sum(when(col("defect"), 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("p")))
+    val grid = broadcast(s.createDataFrame(
+      PoolSizes.map(Tuple1(_))).toDF("k"))
+    val pools = flagged.crossJoin(grid)
+      .selectExpr("k", "(rnk - 1) div k AS pool", "defect")
+      .groupBy("k", "pool")
+      .agg(count(lit(1)).as("m"),
+        max(when(col("defect"), 1L).otherwise(0L)).as("bad"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_pools"),
+        sum("bad").as("n_bad_pools"),
+        sum(when(col("bad") === 1L, col("m")).otherwise(0L))
+          .as("n_retested"))
+    pools.crossJoin(p)
+      .selectExpr("k", s"CAST($n AS BIGINT) AS n_docs",
+        "round(p, 6) AS p_defect",
+        "CASE WHEN k = 1 THEN CAST(1.0 AS DOUBLE)" +
+          " ELSE 1.0 / CAST(k AS DOUBLE)" +
+          " + 1.0 - power(1.0 - p, CAST(k AS DOUBLE)) END" +
+          " AS exp_tests_per_item",
+        "CASE WHEN k = 1 THEN n_pools" +
+          " ELSE n_pools + n_retested END AS actual_tests")
+      .withColumn("best_expected",
+        col("exp_tests_per_item") === min("exp_tests_per_item")
+          .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .selectExpr("k", "n_docs", "p_defect",
+        "round(exp_tests_per_item, 6) AS exp_tests_per_item",
+        "actual_tests",
+        "round(CAST(actual_tests AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)" +
+          " AS actual_tests_per_item",
+        "best_expected")
+      .orderBy("k")
+  }
+
+  def poolTestingOracle: String = {
+    val grid = PoolSizes.mkString(", ")
+    s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS len,
+       |    md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+       |bl AS (SELECT *, row_number() OVER (ORDER BY len, doc_id)
+       |    AS lr FROM d),
+       |nn AS (SELECT count(*) AS n FROM d),
+       |thr AS (SELECT len AS thr FROM bl, nn
+       |  WHERE lr = CAST(ceil(0.1 * n) AS BIGINT)),
+       |fl AS (SELECT doc_id, hk, len < thr.thr AS defect
+       |  FROM d, thr),
+       |rk AS (SELECT *, row_number() OVER (ORDER BY hk, doc_id)
+       |    AS rnk FROM fl),
+       |pp AS (SELECT CAST(sum(CASE WHEN defect THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS p FROM fl),
+       |pools AS (SELECT g.k, (rnk - 1) // g.k AS pool,
+       |    count(*) AS m,
+       |    max(CASE WHEN defect THEN 1 ELSE 0 END) AS bad
+       |  FROM rk, (SELECT unnest(ARRAY[$grid]) AS k) g
+       |  GROUP BY g.k, (rnk - 1) // g.k),
+       |agg AS (SELECT k, count(*) AS n_pools,
+       |    CAST(sum(bad) AS BIGINT) AS n_bad_pools,
+       |    CAST(sum(CASE WHEN bad = 1 THEN m ELSE 0 END) AS BIGINT)
+       |      AS n_retested
+       |  FROM pools GROUP BY k),
+       |res AS (SELECT CAST(k AS INT) AS k,
+       |    (SELECT n FROM nn) AS n_docs,
+       |    round(pp.p, 6) AS p_defect,
+       |    CASE WHEN k = 1 THEN CAST(1.0 AS DOUBLE)
+       |      ELSE 1.0 / CAST(k AS DOUBLE)
+       |      + 1.0 - power(1.0 - pp.p, CAST(k AS DOUBLE)) END
+       |      AS exp_tpi,
+       |    CASE WHEN k = 1 THEN n_pools
+       |      ELSE n_pools + n_retested END AS actual_tests
+       |  FROM agg, pp)
+       |SELECT k, n_docs, p_defect,
+       |  round(exp_tpi, 6) AS exp_tests_per_item, actual_tests,
+       |  round(CAST(actual_tests AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+       |    AS actual_tests_per_item,
+       |  exp_tpi = min(exp_tpi) OVER () AS best_expected
+       |FROM res ORDER BY k""".stripMargin
+  }
+
   // --- q374: intraclass correlation & cluster design effect -----------------
 
   /** q374 — intraclass correlation and the cluster-sampling design

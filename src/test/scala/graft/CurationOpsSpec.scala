@@ -707,4 +707,45 @@ class CurationOpsSpec extends AnyFunSuite {
         (1.0 + (rd(mbar, 4) - 1.0) * out(cvar)._4)) < 1e-2)
     }
   }
+
+  test("q377 pool testing: matches a driver replay; realized cost tracks the closed form") {
+    def md5hex(s0: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s0.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "CAST(n_chars AS BIGINT) AS len").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val n = docs.length
+    val thr = docs.sortBy(t => (t._2, t._1))
+      .apply(math.ceil(0.1 * n).toInt - 1)._2
+    val flagged = docs.map { case (id, len) => (id, len < thr) }
+      .sortBy { case (id, _) => (md5hex(id.toString), id) }
+    val p = flagged.count(_._2).toDouble / n
+    def rd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = CurationOps.poolTesting(spark, dir).collect().map(r =>
+      r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6))).toMap
+    val expRaw = CurationOps.PoolSizes.map { k =>
+      k -> (if (k == 1) 1.0
+        else 1.0 / k + 1.0 - math.pow(1.0 - p, k.toDouble))
+    }.toMap
+    val bestExp = expRaw.values.min
+    for (k <- CurationOps.PoolSizes) {
+      val pools = flagged.grouped(k).toSeq
+      val actual =
+        if (k == 1) pools.length.toLong
+        else pools.length.toLong +
+          pools.filter(_.exists(_._2)).map(_.length.toLong).sum
+      val exp = (n.toLong, rd(p), rd(expRaw(k)), actual,
+        rd(actual.toDouble / n), expRaw(k) == bestExp)
+      assert(out(k) == exp, s"k=$k mismatch")
+      // theory vs realization: within 15% relative on this fixture
+      if (k > 1) assert(
+        math.abs(actual.toDouble / n - expRaw(k)) / expRaw(k) < 0.15,
+        s"k=$k realized cost far from expectation")
+    }
+    assert(out(1)._5 == 1.0)
+    assert(out.values.count(_._6) >= 1, "no optimal k flagged")
+  }
 }
