@@ -392,6 +392,7 @@ object SparkEntry {
     "q375_attack_robustness" -> (GraphOps.attackRobustness _),
     "q376_sliding_hll"       -> (ProfileOps.slidingHllDistinct _),
     "q377_pool_testing"      -> (CurationOps.poolTesting _),
+    "q378_prefix_cache"      -> (TextOps.prefixCacheCurve _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1048,6 +1049,7 @@ object SparkEntry {
     "q375_attack_robustness" -> GraphOps.attackRobustnessOracle,
     "q376_sliding_hll" -> ProfileOps.slidingHllDistinctOracle,
     "q377_pool_testing" -> CurationOps.poolTestingOracle,
+    "q378_prefix_cache" -> TextOps.prefixCacheCurveOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

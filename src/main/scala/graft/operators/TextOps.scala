@@ -1598,4 +1598,93 @@ object TextOps {
        |    / sum(n_docs) OVER (PARTITION BY lang), 6) AS doc_share
        |FROM b ORDER BY lang, bucket""".stripMargin
 
+  // --- q378: prefix-cache hit-mass curve -------------------------------------
+
+  /** Prefix depths (tokens) priced by the curve. */
+  val PrefixCacheDepths: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  /** q378 — prefix-cache sizing for LLM serving: if the server caches
+    * the KV state of every depth-d token prefix (the vLLM/SGLang
+    * prefix-cache design), how many prompt tokens does THIS corpus
+    * skip recomputing? Per depth d: distinct prefixes (= cache
+    * entries), repeated-prefix document count, and the saved token
+    * mass Σ_prefix (count−1)·d — first occurrence pays, every repeat
+    * hits — as a fraction of total prompt tokens. The curve's knee is
+    * the cache depth worth provisioning; deep prefixes approach zero
+    * reuse on a diverse corpus and the table shows exactly where.
+    * q185 compresses sorted URLS for storage; THIS prices runtime
+    * compute reuse over prompt token streams — same prefix algebra,
+    * different bill.
+    *
+    * Parity: prefixes are exact string concat of the first d tokens
+    * (docs shorter than d contribute their full text and are counted
+    * in `n_short`, excluded from that depth's reuse — pinned rule);
+    * all masses are exact integers; one division per row.
+    *
+    * Scale (100 TB): per depth ONE groupBy over ≤|docs| slim prefix
+    * strings — the depth grid explodes ≤|depths| rows per doc, all
+    * map-combinable. */
+  def prefixCacheCurve(s: SparkSession, dir: String): DataFrame = {
+    val grid = broadcast(s.createDataFrame(
+      PrefixCacheDepths.map(Tuple1(_))).toDF("depth"))
+    val d = t(s, dir, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS toks")
+      .selectExpr("doc_id", "toks",
+        "CAST(size(toks) AS BIGINT) AS n_toks")
+    val tot = broadcast(d.agg(sum("n_toks").as("total_toks"),
+      count(lit(1)).as("n_docs")))
+    d.crossJoin(grid)
+      .selectExpr("depth", "n_toks >= depth AS eligible",
+        "CASE WHEN n_toks >= depth THEN" +
+          " array_join(slice(toks, 1, depth), ' ') END AS pfx")
+      .groupBy("depth", "eligible", "pfx")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("depth")
+      .agg(sum(when(col("eligible"), col("c")).otherwise(0L))
+          .as("n_eligible"),
+        sum(when(!col("eligible"), col("c")).otherwise(0L)).as("n_short"),
+        sum(when(col("eligible"), 1L).otherwise(0L)).as("n_prefixes"),
+        sum(when(col("eligible"), (col("c") - 1L) * col("depth"))
+          .otherwise(0L)).as("saved_toks"))
+      .crossJoin(tot)
+      .selectExpr("depth", "n_docs", "n_short", "n_prefixes",
+        "saved_toks",
+        "round(CAST(saved_toks AS DOUBLE)" +
+          " / CAST(total_toks AS DOUBLE), 6) AS saved_frac",
+        "round(CAST(n_prefixes AS DOUBLE)" +
+          " / CAST(n_eligible AS DOUBLE), 6) AS prefix_diversity")
+      .orderBy("depth")
+  }
+
+  def prefixCacheCurveOracle: String = {
+    val grid = PrefixCacheDepths.mkString(", ")
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |tot AS (SELECT CAST(sum(n_toks) AS BIGINT) AS total_toks,
+       |    count(*) AS n_docs FROM d),
+       |px AS (SELECT g.depth, d.n_toks >= g.depth AS eligible,
+       |    CASE WHEN d.n_toks >= g.depth THEN
+       |      array_to_string(d.toks[1:g.depth], ' ') END AS pfx
+       |  FROM d, (SELECT unnest(ARRAY[$grid]) AS depth) g),
+       |pc AS (SELECT depth, eligible, pfx, count(*) AS c FROM px
+       |  GROUP BY depth, eligible, pfx),
+       |agg AS (SELECT depth,
+       |    CAST(sum(CASE WHEN eligible THEN c ELSE 0 END) AS BIGINT)
+       |      AS n_eligible,
+       |    CAST(sum(CASE WHEN eligible THEN 0 ELSE c END) AS BIGINT)
+       |      AS n_short,
+       |    CAST(sum(CASE WHEN eligible THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_prefixes,
+       |    CAST(sum(CASE WHEN eligible THEN (c - 1) * depth ELSE 0 END)
+       |      AS BIGINT) AS saved_toks
+       |  FROM pc GROUP BY depth)
+       |SELECT CAST(a.depth AS INT) AS depth, tot.n_docs, a.n_short,
+       |  a.n_prefixes, a.saved_toks,
+       |  round(CAST(a.saved_toks AS DOUBLE)
+       |    / CAST(tot.total_toks AS DOUBLE), 6) AS saved_frac,
+       |  round(CAST(a.n_prefixes AS DOUBLE)
+       |    / CAST(a.n_eligible AS DOUBLE), 6) AS prefix_diversity
+       |FROM agg a, tot ORDER BY depth""".stripMargin
+  }
 }

@@ -1218,4 +1218,32 @@ class AnalyticsOpsSpec extends AnyFunSuite {
         s"window $w: day-sketch merge is not the direct sketch")
     }
   }
+
+  test("q378 prefix cache: matches a driver replay; diversity saturates with depth") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().map(_.getString(0).split(" ", -1))
+    val totalToks = docs.map(_.length.toLong).sum
+    def rd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = TextOps.prefixCacheCurve(spark, dir).collect().map(r =>
+      r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    for (dep <- TextOps.PrefixCacheDepths) {
+      val (elig, short) = docs.partition(_.length >= dep)
+      val groups = elig.groupBy(_.take(dep).mkString(" "))
+      val saved = groups.values
+        .map(g => (g.length - 1).toLong * dep).sum
+      val exp = (docs.length.toLong, short.length.toLong,
+        groups.size.toLong, saved,
+        rd(saved.toDouble / totalToks.toDouble),
+        rd(groups.size.toDouble / elig.length.toDouble))
+      assert(out(dep) == exp, s"depth $dep mismatch")
+    }
+    // deeper prefixes can only be more diverse (per eligible doc)
+    val divs = TextOps.PrefixCacheDepths.map(out(_)._6)
+    divs.sliding(2).foreach { case Seq(a, b) => assert(b >= a - 1e-9)
+    case _ => }
+    // the knee: depth-1 reuse mass beats depth-4 (diversity saturated)
+    assert(out(1)._5 > out(4)._5)
+  }
 }
