@@ -1370,11 +1370,15 @@ object GraphOps {
     val (hubs, auths) = hitsScores(s, dir, HitsIters)
     val wh = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("node"))
+    // rank over the UNROUNDED score (round only for display): ranking
+    // the rounded alias would tie two nodes whose raw scores differ but
+    // round to the same 6-dp value, and the oracle's window binds to
+    // the pre-rounded base column — rank first, round after.
     def top(df: DataFrame, role: String): DataFrame =
-      df.select(lit(role).as("role"), col("node"),
-          round(col("score"), 6).as("score"))
-        .withColumn("rnk", row_number().over(wh))
+      df.withColumn("rnk", row_number().over(wh))
         .filter(col("rnk") <= HitsTopK)
+        .select(lit(role).as("role"), col("node"),
+          round(col("score"), 6).as("score"), col("rnk"))
     top(auths, "authority").unionAll(top(hubs, "hub"))
       .orderBy("role", "rnk")
   }
@@ -1460,13 +1464,14 @@ object GraphOps {
        |h0 AS (SELECT DISTINCT c AS node, 1.0::DOUBLE AS score FROM pairs),
        |$iters,
        |ranked AS (
-       |  SELECT 'authority' AS role, node, round(score, 6) AS score,
-       |    CAST(row_number() OVER (ORDER BY score DESC, node) AS INT)
-       |      AS rnk FROM a$k
-       |  UNION ALL
-       |  SELECT 'hub' AS role, node, round(score, 6) AS score,
-       |    CAST(row_number() OVER (ORDER BY score DESC, node) AS INT)
-       |      AS rnk FROM h$k)
+       |  SELECT role, node, round(raw_score, 6) AS score, rnk FROM (
+       |    SELECT 'authority' AS role, node, score AS raw_score,
+       |      CAST(row_number() OVER (ORDER BY score DESC, node) AS INT)
+       |        AS rnk FROM a$k
+       |    UNION ALL
+       |    SELECT 'hub' AS role, node, score AS raw_score,
+       |      CAST(row_number() OVER (ORDER BY score DESC, node) AS INT)
+       |        AS rnk FROM h$k))
        |SELECT role, node, score, rnk FROM ranked
        |WHERE rnk <= $HitsTopK ORDER BY role, rnk""".stripMargin
   }
@@ -1529,10 +1534,11 @@ object GraphOps {
   def boruvkaMst(s: SparkSession, dir: String): DataFrame =
     boruvkaRun(s, dir)._2.orderBy("round")
 
-  /** (chosen edges with round, per-round summaries) — the edge frame
-    * feeds the spec's Kruskal equality. */
-  private[graft] def boruvkaRun(
-      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** (chosen edges with round, per-round summaries, final labels, edge
+    * frame) — the edge frame feeds the spec's Kruskal equality; the
+    * final labels + edges feed q365's forest-completeness assertion. */
+  private[graft] def boruvkaRun(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = CurationOps.cutLineage(mstEdges(s, dir)).persist()
     var labels = CurationOps.cutLineage(
       e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
@@ -1588,7 +1594,8 @@ object GraphOps {
           "n_edges_added", "wsum_added", "n_comp_after", "resolved")
       labels = nextLabels
     }
-    (chosenBuf.reduce(_ unionAll _), sumBuf.reduce(_ unionAll _))
+    (chosenBuf.reduce(_ unionAll _), sumBuf.reduce(_ unionAll _),
+      labels, e)
   }
 
   def boruvkaMstOracle: String = {
@@ -1696,27 +1703,35 @@ object GraphOps {
     * the one share division is pinned.
     *
     * Scale (100 TB): the capped co-activity edge list is built ONCE
-    * and cached; each attack level filters it by a broadcast removed-
-    * node set (⌈f·|V|⌉ rows) and runs label rounds on |V'|-sized
-    * frames with per-round lineage cuts. */
+    * and cached; each attack level anti-joins it against a broadcast
+    * REMOVED-node set (⌈f·|V|⌉ rows — the small side by construction;
+    * the f=0 level skips the join entirely) and runs label rounds on
+    * |V'|-sized frames with per-round lineage cuts. The degree rank is
+    * [[ScaleOps.withGlobalRank]] (range-partition + per-partition
+    * offsets), never a single-task global window. */
   def attackRobustness(s: SparkSession, dir: String): DataFrame = {
     val und = CurationOps.cutLineage(cooccurEdges(s, dir)).persist()
     val deg = und.select(col("ua").as("u"))
       .unionAll(und.select(col("ub").as("u")))
       .groupBy("u").agg(count(lit(1)).as("deg"))
-    val wD = org.apache.spark.sql.expressions.Window
-      .orderBy(col("deg").desc, col("u"))
     val ranked = CurationOps.cutLineage(
-      deg.withColumn("rk", row_number().over(wD))).persist()
+      ScaleOps.withGlobalRank(deg, "rk", col("deg").desc, col("u")))
+      .persist()
     val nv = ranked.count()
     val rows = AttackFracs.map { f =>
       val nRemove = math.ceil(f * nv.toDouble).toLong
-      val kept = broadcast(ranked.filter(col("rk") > nRemove)
-        .select(col("u")))
-      val e = CurationOps.cutLineage(
-        und.join(kept.select(col("u").as("ua")), Seq("ua"))
-          .join(kept.select(col("u").as("ub")), Seq("ub"))
-          .select("ua", "ub"))
+      val e =
+        if (nRemove == 0L) und.select("ua", "ub")
+        else {
+          val removed = broadcast(ranked.filter(col("rk") <= nRemove)
+            .select(col("u")))
+          CurationOps.cutLineage(
+            und.join(removed.select(col("u").as("ua")), Seq("ua"),
+                "left_anti")
+              .join(removed.select(col("u").as("ub")), Seq("ub"),
+                "left_anti")
+              .select("ua", "ub"))
+        }
       val ed = e.select(col("ua").as("src"), col("ub").as("dst"))
         .unionAll(e.select(col("ub").as("src"), col("ua").as("dst")))
       var lbl = CurationOps.cutLineage(
@@ -1831,7 +1846,13 @@ object GraphOps {
     * The whole dedup-threshold landscape (q196 prices pair counts; THIS
     * prices cluster structure) for every τ at once, for the price of
     * one MSF. Spec pins one τ against a direct union-find over the full
-    * edge set.
+    * edge set. The cut-property shortcut is only valid if
+    * [[BoruvkaRounds]] rounds FULLY built the forest, so every row
+    * carries an in-query `forest_complete` flag: zero cross-component
+    * edges remain under the final labels (a hypothetical extra round
+    * would merge nothing). If the fixture's component diameter ever
+    * outgrows the round budget, the flag flips false on BOTH engines
+    * and the row diff is loud instead of silently-agreeing-wrong.
     *
     * Parity: thresholds compare on the exact integer wfp = 10⁹−⌊J·10⁹⌋
     * scale (τ cut = 10⁹ − τ·10⁹ computed identically); counts are
@@ -1840,8 +1861,17 @@ object GraphOps {
     * Scale (100 TB): q358's cost, then an 8-row grid against the
     * |nodes|-bounded MSF edge list — the curve itself is free. */
   def linkageCurve(s: SparkSession, dir: String): DataFrame = {
-    val (chosen, sums) = boruvkaRun(s, dir)
+    val (chosen, sums, finalLabels, e) = boruvkaRun(s, dir)
     val msf = chosen.select("wfp").persist()
+    // completeness assertion: no edge still crosses two final
+    // components (|nodes|-sized label table joined twice — cheap)
+    val fc = e
+      .join(finalLabels.select(col("node").as("a"), col("comp").as("ca")),
+        Seq("a"))
+      .join(finalLabels.select(col("node").as("b"), col("comp").as("cb")),
+        Seq("b"))
+      .filter(col("ca") =!= col("cb"))
+      .agg((count(lit(1)) === 0L).as("forest_complete"))
     // node count = round 1's components-before (every node starts as
     // its own component) — no re-derivation of the edge stream
     val nodes = sums.filter(col("round") === 1L)
@@ -1856,11 +1886,13 @@ object GraphOps {
       .groupBy("tau")
       .agg(sum(when(col("wfp") <= col("cut"), 1L).otherwise(0L))
         .as("n_edges_kept"))
+      .crossJoin(broadcast(fc))
       .selectExpr("tau", "n_edges_kept",
         s"CAST($nodes AS BIGINT) - n_edges_kept AS n_clusters",
         s"round(CAST($nodes AS DOUBLE)" +
           s" / CAST(CAST($nodes AS BIGINT) - n_edges_kept AS DOUBLE), 4)" +
-          " AS mean_cluster_size")
+          " AS mean_cluster_size",
+        "forest_complete")
       .orderBy(col("tau").desc)
   }
 
@@ -1868,9 +1900,14 @@ object GraphOps {
     val taus = LinkageTaus.map(t => s"(${t}::DOUBLE)").mkString(", ")
     val chUnion = (1 to BoruvkaRounds)
       .map(r => s"SELECT wfp FROM ch$r").mkString(" UNION ALL ")
+    val lf = s"l$BoruvkaRounds"
     s"""WITH $boruvkaWithBody,
        |msf AS MATERIALIZED ($chUnion),
        |nn AS (SELECT count(*) AS n FROM nodes),
+       |fcq AS (SELECT count(*) = 0 AS forest_complete
+       |  FROM we w JOIN $lf la ON la.node = w.a
+       |            JOIN $lf lb ON lb.node = w.b
+       |  WHERE la.comp <> lb.comp),
        |grid AS (SELECT unnest(ARRAY[$taus]) AS tau)
        |SELECT g.tau,
        |  CAST(sum(CASE WHEN m.wfp <= 1000000000
@@ -1883,8 +1920,10 @@ object GraphOps {
        |    - CAST(sum(CASE WHEN m.wfp <= 1000000000
        |      - CAST(floor(g.tau * 1000000000.0) AS BIGINT)
        |      THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE), 4)
-       |    AS mean_cluster_size
-       |FROM grid g, msf m, nn
-       |GROUP BY g.tau, nn.n ORDER BY g.tau DESC""".stripMargin
+       |    AS mean_cluster_size,
+       |  fcq.forest_complete
+       |FROM grid g, msf m, nn, fcq
+       |GROUP BY g.tau, nn.n, fcq.forest_complete
+       |ORDER BY g.tau DESC""".stripMargin
   }
 }

@@ -1222,12 +1222,13 @@ object MlPrepOps {
           " WHEN gap < 2097152 THEN 3 ELSE 4 END").cast("long"))
     val perTerm = gaps.groupBy("term").agg(
       count(lit(1)).as("df"), sum(col("vbytes")).as("vb"))
-    val wd = Window.orderBy(col("df").asc, col("term").asc)
-    // decile rank over the |vocab|-sized term ladder — vocabulary-
-    // bounded, and the aggregate below collapses it immediately
+    // decile rank over the |vocab|-sized term ladder: vocab GROWS with
+    // the corpus (Heaps' law), so the exact global rank goes through
+    // ScaleOps.withGlobalRank (range-partition + per-partition offsets)
+    // — never a single-task window
     val nTerms = perTerm.agg(count(lit(1)).as("n_terms"))
-    perTerm.crossJoin(broadcast(nTerms))
-      .withColumn("rk", row_number().over(wd).cast("bigint"))
+    ScaleOps.withGlobalRank(perTerm.crossJoin(broadcast(nTerms)),
+        "rk", col("df").asc, col("term").asc)
       .withColumn("decile",
         expr("least(((rk - 1) * 10) div n_terms, 9)"))
       .groupBy("decile")
@@ -2333,8 +2334,11 @@ object MlPrepOps {
     * the effective degrees of freedom df(λ) = Σ dᵢ/(dᵢ+λ) from the
     * closed-form 2×2 eigenvalues — the standard shrinkage readout.
     *
-    * Parity: all sufficient statistics are exact BIGINTs
-    * (T = n·ΣxᵢxⱼT − ΣxᵢΣxⱼ); each λ's solve is one pinned double
+    * Parity: raw sums are exact BIGINTs; the centered moments
+    * T = n·Σxᵢxⱼ − ΣxᵢΣxⱼ are computed in DECIMAL(38,0) on both
+    * engines (n·s11 passes int64 at large SF — Spark would wrap
+    * silently where DuckDB's hugeint keeps the true value; the ~1e36
+    * worst case fits 38 digits exactly); each λ's solve is one pinned double
     * chain (products, one division per coefficient, one sqrt for the
     * eigen-gap); the grid's Λ values floor to integers in-plan so both
     * engines add EXACTLY the same ridge.
@@ -2353,9 +2357,20 @@ object MlPrepOps {
         sum(expr("x2 * x2")).as("s22"), sum(expr("x1 * y")).as("s1y"),
         sum(expr("x2 * y")).as("s2y"))
       .selectExpr("n", "s1", "s2", "sy",
-        "n * s11 - s1 * s1 AS t11", "n * s12 - s1 * s2 AS t12",
-        "n * s22 - s2 * s2 AS t22", "n * s1y - s1 * sy AS t1y",
-        "n * s2y - s2 * sy AS t2y")
+        // centered moments in DECIMAL(38,0): n·s11 can pass int64 at
+        // large SF (n~1e13, s11~1e23) where Spark (non-ANSI) would wrap
+        // silently while DuckDB's hugeint path keeps the true value —
+        // DECIMAL(38,0) holds the ~1e36 worst case exactly on BOTH
+        "CAST(n AS DECIMAL(38,0)) * s11"
+          + " - CAST(s1 AS DECIMAL(38,0)) * s1 AS t11",
+        "CAST(n AS DECIMAL(38,0)) * s12"
+          + " - CAST(s1 AS DECIMAL(38,0)) * s2 AS t12",
+        "CAST(n AS DECIMAL(38,0)) * s22"
+          + " - CAST(s2 AS DECIMAL(38,0)) * s2 AS t22",
+        "CAST(n AS DECIMAL(38,0)) * s1y"
+          + " - CAST(s1 AS DECIMAL(38,0)) * sy AS t1y",
+        "CAST(n AS DECIMAL(38,0)) * s2y"
+          + " - CAST(s2 AS DECIMAL(38,0)) * sy AS t2y")
     val grid = s.createDataFrame(RidgeRatios.map(Tuple1(_)))
       .toDF("ratio")
     sums.crossJoin(broadcast(grid))
@@ -2407,9 +2422,16 @@ object MlPrepOps {
        |    CAST(sum(x2 * y) AS BIGINT) AS s2y
        |  FROM rows_),
        |t AS (SELECT n, s1, s2, sy,
-       |    n * s11 - s1 * s1 AS t11, n * s12 - s1 * s2 AS t12,
-       |    n * s22 - s2 * s2 AS t22, n * s1y - s1 * sy AS t1y,
-       |    n * s2y - s2 * sy AS t2y
+       |    CAST(n AS DECIMAL(38,0)) * s11
+       |      - CAST(s1 AS DECIMAL(38,0)) * s1 AS t11,
+       |    CAST(n AS DECIMAL(38,0)) * s12
+       |      - CAST(s1 AS DECIMAL(38,0)) * s2 AS t12,
+       |    CAST(n AS DECIMAL(38,0)) * s22
+       |      - CAST(s2 AS DECIMAL(38,0)) * s2 AS t22,
+       |    CAST(n AS DECIMAL(38,0)) * s1y
+       |      - CAST(s1 AS DECIMAL(38,0)) * sy AS t1y,
+       |    CAST(n AS DECIMAL(38,0)) * s2y
+       |      - CAST(s2 AS DECIMAL(38,0)) * sy AS t2y
        |  FROM sums),
        |g AS (SELECT * FROM t, (SELECT unnest(ARRAY[$grid]) AS ratio)),
        |l AS (SELECT *, CAST(floor(ratio * ((CAST(t11 AS DOUBLE)

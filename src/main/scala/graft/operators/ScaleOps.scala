@@ -85,6 +85,41 @@ object ScaleOps {
       .drop("__pid", "__pid_offset", "__local")
   }
 
+  /** Exact EXCLUSIVE global prefix sum of `sumCol` under the
+    * `sortCols` total order — [[withGlobalRank]]'s sibling for
+    * cumulative sums: range partition on the sort key, per-partition
+    * exclusive running sum, per-partition totals collected once
+    * (#partitions scalars) and offset-joined back via broadcast. The
+    * scale-safe replacement for `sum().over(Window.orderBy(...))`,
+    * whose single-task sort is the 100×-scale hazard on any
+    * corpus-scaled frame (q330's |vocab|-row alias table). `sortCols`
+    * must be a total order (unique key) for a deterministic result. */
+  private[graft] def withGlobalPrefixSum(df: DataFrame, sumCol: String,
+      outCol: String, sortCols: Column*): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val nParts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parted = df.repartitionByRange(nParts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    // #partitions rows — the one driver-side scalar pass
+    val sums = parted.groupBy("__pid")
+      .agg(coalesce(sum(col(sumCol)), lit(0L)).as("__s")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = sums.map(_._1)
+      .zip(sums.map(_._2).scanLeft(0L)(_ + _).init)
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__pid_soff"))
+    val localCum = coalesce(
+      sum(col(sumCol)).over(Window.partitionBy("__pid")
+        .orderBy(sortCols: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    parted
+      .withColumn("__local", localCum)
+      .join(offDf, "__pid")
+      .withColumn(outCol, col("__pid_soff") + col("__local"))
+      .drop("__pid", "__pid_soff", "__local")
+  }
+
   import EtlOps.t
 
   val SaltBuckets = 16

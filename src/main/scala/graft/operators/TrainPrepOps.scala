@@ -2107,8 +2107,11 @@ object TrainPrepOps {
     * division of exact longs.
     *
     * Scale (100 TB): token frequencies are the map-side-combinable
-    * vocab collapse; everything after is vocab-sized algebra (the
-    * prefix window runs over the aggregate output, never the corpus).
+    * vocab collapse; everything after is vocab-sized algebra — but the
+    * vocab itself GROWS with the corpus (Heaps' law, ~10⁸ terms at
+    * 100 TB), so the cumulative ranges come from
+    * [[graft.operators.ScaleOps.withGlobalPrefixSum]] (range-partition
+    * + per-partition offsets), never a single-task prefix window.
     * Headroom: w_fp * 1e6 stays under 2^63 up to cnt ~ 10^12 per
     * token; past that, drop the freeze to x1e3 (one constant). */
   def negativeTable(s: SparkSession, dir: String): DataFrame = {
@@ -2118,10 +2121,8 @@ object TrainPrepOps {
     val w = freq.withColumn("w_fp",
       expr("CAST(floor(pow(CAST(cnt AS DOUBLE), 0.75) * 1e9) AS BIGINT)"))
     val tot = w.agg(sum(col("w_fp")).as("w_total"))
-    val win = Window.orderBy("token")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    w.crossJoin(broadcast(tot))
-      .withColumn("cum_lo", coalesce(sum(col("w_fp")).over(win), lit(0L)))
+    graft.operators.ScaleOps.withGlobalPrefixSum(
+        w.crossJoin(broadcast(tot)), "w_fp", "cum_lo", col("token"))
       .select(col("token"), col("cnt"), col("w_fp"),
         expr("(w_fp * 1000000) div w_total").as("weight_ppm"),
         col("cum_lo"), (col("cum_lo") + col("w_fp")).as("cum_hi"))

@@ -100,13 +100,17 @@ case class TokenBucketExec(
       val admitRow = new GenericInternalRow(1)
       val proj = UnsafeProjection.create(
         childOutput :+ admittedAttr, childOutput :+ admittedAttr)
-      var user = Long.MinValue
+      // first-row state is an explicit boolean, NOT a sentinel user id
+      // (a legitimate first user_id == Long.MinValue must still open a
+      // fresh bucket at full capacity)
+      var first = true
+      var user = 0L
       var tokens = 0L
       var prevUs = 0L
       iter.map { row =>
         val u = row.getLong(userIdx)
         val us = row.getLong(usIdx)
-        if (u != user) { user = u; tokens = cap }
+        if (first || u != user) { first = false; user = u; tokens = cap }
         else tokens = math.min(cap, tokens + (us - prevUs))
         prevUs = us
         val ok = tokens >= unit

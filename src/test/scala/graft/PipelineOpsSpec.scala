@@ -4507,7 +4507,7 @@ class PipelineOpsSpec extends AnyFunSuite {
   test("q358 boruvka: chosen edges ARE Kruskal's unique MSF; counts reconcile") {
     val edges = GraphOps.mstEdges(spark, dir).collect()
       .map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
-    val (chosenDf, sumDf) = GraphOps.boruvkaRun(spark, dir)
+    val (chosenDf, sumDf, _, _) = GraphOps.boruvkaRun(spark, dir)
     val chosen = chosenDf.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // driver Kruskal under the same (wfp, a, b) total order — the MSF
@@ -4542,7 +4542,12 @@ class PipelineOpsSpec extends AnyFunSuite {
     val edges = GraphOps.mstEdges(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
-    val out = GraphOps.linkageCurve(spark, dir).collect()
+    val rows = GraphOps.linkageCurve(spark, dir).collect()
+    // the in-query completeness assertion must hold on the fixture —
+    // the cut-property shortcut is only valid over a FULLY built forest
+    assert(rows.forall(_.getBoolean(4)),
+      "forest_complete=false: BoruvkaRounds did not finish the forest")
+    val out = rows
       .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out.keySet == GraphOps.LinkageTaus.toSet)
     for (tau <- GraphOps.LinkageTaus) {
@@ -4600,6 +4605,23 @@ class PipelineOpsSpec extends AnyFunSuite {
       case (t, xs) => (t, xs.size.toLong, xs.map(_._2).sum) }
       .toSeq.sortBy(_._1)
     assert(a.toSeq == byType, "q322 and q373 disagree")
+  }
+
+  test("q373 token bucket: a first user_id of Long.MinValue opens a fresh bucket (no sentinel aliasing)") {
+    // regression: exec once used user=Long.MinValue as the 'no previous
+    // user' marker, which treated a real MinValue first user as a
+    // continuation (tokens=0 → first event silently rejected)
+    import spark.implicits._
+    val in = Seq(
+      (Long.MinValue, 0L, 1L), (Long.MinValue, 1L, 2L),
+      (7L, 0L, 3L))
+      .toDF("user_id", "us", "event_id")
+    val out = graft.plans.TokenBucket(in, 10L, 10L)
+      .select("event_id", "admitted").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cap == one token: first event per user admitted, immediate
+    // second event (only 1us refill) rejected
+    assert(out == Map(1L -> 1L, 2L -> 0L, 3L -> 1L))
   }
 
   test("q375 attack robustness: matches a driver union-find replay at every attack level") {

@@ -1876,19 +1876,40 @@ class PlanPropsSpec extends AnyFunSuite {
 
   // --- suite-wide invariant: unpartitioned windows ------------------------
 
+  /** Grouping-key names that mark an aggregate as ENTITY-keyed: node /
+    * user / doc / token ids and the suite's graph endpoint columns. An
+    * aggregate keyed on one of these is corpus-SCALED (|V|, |users|,
+    * |docs|, |vocab| grow with the data), not group-bounded, so it no
+    * longer excuses an unpartitioned window above it — that window
+    * still pulls every entity through one task. Enum-bounded keys
+    * (event_type, source, grid/calendar cells, nation/region dims)
+    * stay excused. */
+  private val entityKeyName =
+    ("(?i)^(.*_(id|key|hash|fp)|id|key|node|comp|user|doc|u|ua|ub|a|b|c" +
+      "|sp|src|dst|w|word|token|term|shingle|bucket|pair|url|host)$").r
+  private def isEntityKey(name: String): Boolean =
+    entityKeyName.matches(name) &&
+      !name.toLowerCase.contains("nation") &&
+      !name.toLowerCase.contains("region")
+
   /** The leaves an UNPARTITIONED (or literal-partitioned — same single
     * partition) window would pull through one task, with any leaf below
-    * an Aggregate/Limit excused: an aggregate collapses its subtree to
-    * group-bounded rows before the window sees it, which is the
-    * documented rationale at every legitimate site (per-bucket reports,
-    * |communities|-sized modularity frames, literal grids). A window
-    * whose single-task input contains a RAW corpus-sized leaf is the
-    * 100×-scale hazard this property turns from audit-trust into a CI
-    * failure. */
+    * a bounded-key Aggregate or a Limit excused: an aggregate with
+    * enum-bounded grouping keys collapses its subtree to group-bounded
+    * rows before the window sees it, which is the documented rationale
+    * at every legitimate site (per-bucket reports, |communities|-sized
+    * modularity frames, literal grids). An ENTITY-keyed aggregate
+    * (node/user/doc/vocab ids — see [[entityKeyName]]) is reported as a
+    * hazard itself: |entities| scales with the corpus, and that is
+    * exactly where q375's |V|-sized rank hid from the round-11 walker.
+    * Sites that need an exact global rank over an entity-keyed frame
+    * must use ScaleOps.withGlobalRank (pid-partitioned — never reaches
+    * this walker) or orderBy+limit (Limit-bounded). */
   private def unguardedWindowLeaves(
       df: org.apache.spark.sql.DataFrame): Seq[String] = {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
     // a persisted frame shows up as an opaque InMemoryRelation leaf —
     // recurse into its cached PHYSICAL plan with the same rule, so a
@@ -1896,8 +1917,13 @@ class PlanPropsSpec extends AnyFunSuite {
     // frame is still flagged
     def rawLeavesPhys(p: SparkPlan): Seq[String] = {
       val n = p.getClass.getSimpleName
-      if (n.contains("Aggregate") || n.contains("Limit")) Nil
-      else p match {
+      p match {
+        case ag: BaseAggregateExec =>
+          val ek = ag.groupingExpressions.flatMap(_.references)
+            .map(_.name).filter(isEntityKey)
+          if (ek.isEmpty) Nil
+          else Seq(s"entity-keyed ${n}[${ek.distinct.mkString(",")}]")
+        case _ if n.contains("Aggregate") || n.contains("Limit") => Nil
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           rawLeavesPhys(a.inputPlan)
         case im: InMemoryTableScanExec => rawLeavesPhys(im.relation.cachedPlan)
@@ -1908,41 +1934,204 @@ class PlanPropsSpec extends AnyFunSuite {
         case other => other.children.flatMap(rawLeavesPhys)
       }
     }
-    def rawLeaves(p: LogicalPlan): Seq[String] = p match {
-      case _: Aggregate => Nil // group-bounded before the window
+    df.queryExecution.optimizedPlan.collect {
+      case w: Window if w.partitionSpec.forall(_.foldable) =>
+        boundedLeavesLogical(w.child, rawLeavesPhys)
+    }.flatten
+  }
+
+  /** Shared boundedness walk: the corpus-scaled content of a logical
+    * subtree that is about to be single-tasked (window walker) or
+    * collected to every executor (broadcast walker). Excuses:
+    * enum/grid-keyed aggregates, Limits, literal data, fixed dims
+    * (nation/region — constant-cardinality at every SF). Flags:
+    * entity-keyed aggregates and raw corpus leaves. */
+  private def boundedLeavesLogical(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      phys: org.apache.spark.sql.execution.SparkPlan => Seq[String])
+      : Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def walk(p: LogicalPlan): Seq[String] = p match {
+      case a: Aggregate =>
+        val ek = a.groupingExpressions.filterNot(_.foldable)
+          .flatMap(_.references).map(_.name).filter(isEntityKey)
+        if (ek.isEmpty) Nil // enum/grid-bounded
+        else Seq(s"entity-keyed Aggregate[${ek.distinct.mkString(",")}]")
       case _: GlobalLimit | _: LocalLimit => Nil // row-bounded
       case _: LocalRelation | _: OneRowRelation => Nil // literal data
       case r: Range if r.numElements.isValidLong &&
         r.numElements.toLong <= 100000 => Nil // literal grid
-      case imr: InMemoryRelation => rawLeavesPhys(imr.cachedPlan)
+      case imr: InMemoryRelation => phys(imr.cachedPlan)
+      case lr: LogicalRelation =>
+        val names = lr.relation match {
+          case h: HadoopFsRelation =>
+            h.location.rootPaths.map(_.getName.toLowerCase).toSeq
+          case _ => Seq("unknown-relation")
+        }
+        // nation/region: constant cardinality (25/5) at every SF
+        if (names.nonEmpty && names.forall(n =>
+          n.contains("nation") || n.contains("region"))) Nil
+        else Seq(s"raw scan ${names.mkString(",")}")
       case l: LeafNode => Seq(l.nodeName)
-      case other => other.children.flatMap(rawLeaves)
+      case other => other.children.flatMap(walk)
+    }
+    walk(p)
+  }
+
+  /** The corpus-scaled leaves an EXPLICIT broadcast() hint would ship
+    * to every executor. q375's round-11 `weak` was exactly this class:
+    * a broadcast of a (1−f)·|V|-row kept-node set — invisible at
+    * sf0.1, the OOM at 100×. A hinted side must be bounded by an
+    * enum-keyed aggregate, a Limit, a literal grid, or a fixed dim;
+    * entity-keyed aggregates (|V|/|users|/|docs| rows) and raw
+    * SF-scaled scans are flagged. Auto-broadcasts are NOT checked:
+    * those are stats-driven and AQE re-plans them at real scale —
+    * the hazard is the hint that FORCES the ship regardless of size. */
+  private def unguardedBroadcastLeaves(
+      df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def phys(p: SparkPlan): Seq[String] = {
+      val n = p.getClass.getSimpleName
+      p match {
+        case ag: BaseAggregateExec =>
+          val ek = ag.groupingExpressions.flatMap(_.references)
+            .map(_.name).filter(isEntityKey)
+          if (ek.isEmpty) Nil
+          else Seq(s"entity-keyed ${n}[${ek.distinct.mkString(",")}]")
+        case _ if n.contains("Aggregate") || n.contains("Limit") => Nil
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          phys(a.inputPlan)
+        case im: InMemoryTableScanExec => phys(im.relation.cachedPlan)
+        case leaf if leaf.children.isEmpty =>
+          if (n.contains("LocalTableScan") || n.contains("RDDScan") ||
+            n.contains("Range") || n.contains("OneRowRelation")) Nil
+          else Seq(n)
+        case other => other.children.flatMap(phys)
+      }
     }
     df.queryExecution.optimizedPlan.collect {
-      case w: Window if w.partitionSpec.forall(_.foldable) =>
-        rawLeaves(w.child)
+      case j: Join =>
+        def side(h: Option[HintInfo], sub: LogicalPlan): Seq[String] =
+          if (h.exists(_.strategy.contains(BROADCAST)))
+            boundedLeavesLogical(sub, phys)
+          else Nil
+        side(j.hint.leftHint, j.left) ++ side(j.hint.rightHint, j.right)
     }.flatten
   }
 
+  /** Documented exemptions from the entity-keyed-aggregate rule: query
+    * name → why that query's flagged aggregate is in fact bounded at
+    * scale. Every entry must still FLAG (stale entries fail the test),
+    * so an exemption can never silently outlive its site. */
+  private val windowInvariantWhitelist: Map[String, String] = Map(
+    "q128_token_budget" -> ("bucket = floor(quality*1000), quality in" +
+      " [0,1] -> <=1001 groups regardless of corpus size"),
+    "q131_dsir_weights" -> ("b = hash % DsirBuckets: FIXED 1024-row" +
+      " model grid; the unbounded windows reduce the grid, not the corpus"),
+    "q135_cluster_sample" -> ("cent_id ranges over the k sampled" +
+      " centroids (k fixed by the operator), not the vector corpus"),
+    "q197_watermark_audit" -> ("bucket = floor(arrival/WmBucket):" +
+      " calendar-span/width grid, bounded by the time window audited"),
+    "q201_pareto_frontier" -> ("bucket = floor(n_chars/SkyBucket):" +
+      " length-domain grid bounded by max doc length / bucket width"),
+    "q291_pref_length_bias" -> ("bucket = length-delta/width quotient:" +
+      " value-domain grid bounded by the length-delta range, not |pairs|"))
+
   test("suite-wide: no unpartitioned window sits above a corpus-sized scan (all queries)") {
-    // negative control first — the property must be able to fail: a
+    // negative control 1 — the property must be able to fail: a
     // corpus-sized global row_number() is exactly the hazard class
     val scratch = spark.read.parquet(s"$dir/documents.parquet")
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
     assert(unguardedWindowLeaves(scratch).nonEmpty,
       "walker failed to flag a corpus-sized unpartitioned window")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+    // negative control 2 — the round-11 escape: an ENTITY-keyed
+    // aggregate (|docs| groups) under a global rank. The old walker's
+    // blanket Aggregate excuse passed this; the tightened one must not.
+    val scratch2 = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("n")))
+    assert(unguardedWindowLeaves(scratch2).nonEmpty,
+      "walker failed to flag an entity-keyed aggregate under a global rank")
+    // and an enum-keyed aggregate stays excused (no false positive)
+    val scratch3 = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("n")))
+    assert(unguardedWindowLeaves(scratch3).isEmpty,
+      "walker wrongly flagged an enum-bounded aggregate")
+    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val bad = try unguardedWindowLeaves(fn(spark, dir))
           catch { case e: Throwable => Seq(s"plan build failed: $e") }
         // shared()/persist() at construction time would otherwise leak
         // InMemoryRelation into later queries' plans (PlanAudit note)
         spark.catalog.clearCache()
-        bad.map(leaf => s"$name: unpartitioned window over raw leaf $leaf")
+        bad.map(leaf => name -> s"$name: unpartitioned window over $leaf")
+    }
+    val stale = windowInvariantWhitelist.keySet --
+      flagged.map(_._1).toSet
+    assert(stale.isEmpty,
+      s"stale whitelist entries (no longer flag anything): $stale")
+    val offenders = flagged.collect {
+      case (name, msg) if !windowInvariantWhitelist.contains(name) => msg
     }
     assert(offenders.isEmpty,
       s"${offenders.size} unpartitioned-window hazard(s):\n" +
+        offenders.mkString("\n"))
+  }
+
+  /** Documented exemptions from the broadcast-size rule: query name →
+    * why that query's hinted broadcast is in fact bounded at scale.
+    * Stale entries (no longer flagging) fail the test. */
+  private val broadcastInvariantWhitelist: Map[String, String] = Map()
+
+  test("suite-wide: no broadcast() hint ships a corpus-sized frame (all queries)") {
+    import org.apache.spark.sql.functions.{broadcast => bc, count, lit}
+    // negative control 1 — hinted broadcast of a raw corpus scan
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val scratch = docs.join(bc(docs.select("doc_id")), "doc_id")
+    assert(unguardedBroadcastLeaves(scratch).nonEmpty,
+      "walker failed to flag a hinted corpus-sized broadcast")
+    // negative control 2 — the q375 class: hinted broadcast of an
+    // ENTITY-keyed aggregate (|docs| rows)
+    val scratch2 = docs.join(
+      bc(docs.groupBy("doc_id").agg(count(lit(1)).as("n"))), "doc_id")
+    assert(unguardedBroadcastLeaves(scratch2).nonEmpty,
+      "walker failed to flag a hinted entity-keyed-aggregate broadcast")
+    // and an enum-keyed aggregate broadcast stays excused
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val scratch3 = ev.join(
+      bc(ev.groupBy("event_type").agg(count(lit(1)).as("n"))),
+      "event_type")
+    assert(unguardedBroadcastLeaves(scratch3).isEmpty,
+      "walker wrongly flagged an enum-bounded aggregate broadcast")
+    val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = try unguardedBroadcastLeaves(fn(spark, dir))
+          catch { case e: Throwable => Seq(s"plan build failed: $e") }
+        spark.catalog.clearCache()
+        bad.map(leaf => name -> s"$name: broadcast() hint over $leaf")
+    }
+    val stale = broadcastInvariantWhitelist.keySet --
+      flagged.map(_._1).toSet
+    assert(stale.isEmpty,
+      s"stale whitelist entries (no longer flag anything): $stale")
+    val offenders = flagged.collect {
+      case (name, msg) if !broadcastInvariantWhitelist.contains(name) => msg
+    }
+    assert(offenders.isEmpty,
+      s"${offenders.size} corpus-sized-broadcast hazard(s):\n" +
         offenders.mkString("\n"))
   }
 
