@@ -393,6 +393,7 @@ object SparkEntry {
     "q376_sliding_hll"       -> (ProfileOps.slidingHllDistinct _),
     "q377_pool_testing"      -> (CurationOps.poolTesting _),
     "q378_prefix_cache"      -> (TextOps.prefixCacheCurve _),
+    "q379_substring_dup"     -> (DedupOps.substringDup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1050,6 +1051,7 @@ object SparkEntry {
     "q376_sliding_hll" -> ProfileOps.slidingHllDistinctOracle,
     "q377_pool_testing" -> CurationOps.poolTestingOracle,
     "q378_prefix_cache" -> TextOps.prefixCacheCurveOracle,
+    "q379_substring_dup" -> DedupOps.substringDupOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

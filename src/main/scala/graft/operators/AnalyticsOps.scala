@@ -2788,7 +2788,9 @@ object AnalyticsOps {
     * before ~1e38 (the BIGINT form would overflow the pooled row near
     * sf1); means are ONE double division + round at the end.
     *
-    * Scale (100 TB): one broadcast dim join (customer→nation), ONE
+    * Scale (100 TB): one dim join (customer — SF-proportional, so no
+    * forced hint: stats/AQE broadcast it under the threshold and
+    * shuffle past it), ONE
     * per-stratum aggregate over the data (map-side combinable), and
     * the pooled row is a RE-AGGREGATE of the |strata|-row frame (the
     * integer sums compose exactly) — the data is scanned once; rollup
@@ -2797,7 +2799,7 @@ object AnalyticsOps {
     * detector on the duplicated grouping attribute.) */
   def simpsonScan(s: SparkSession, dir: String): DataFrame = {
     val j = t(s, dir, "orders").join(
-        broadcast(t(s, dir, "customer")),
+        t(s, dir, "customer"),
         col("o_custkey") === col("c_custkey"))
       .selectExpr("c_nationkey AS nat",
         "o_orderpriority IN ('1-URGENT', '2-HIGH') AS treated",

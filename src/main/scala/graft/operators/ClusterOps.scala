@@ -48,7 +48,10 @@ object ClusterOps {
     // Long-lived sessions reclaim it via clearCache, as Bench/Verify do
     // per query.
     val v = SimilarityOps.baseVectors(s, dir).persist()
-    val c0 = v.filter(col("vec_id") < K)
+    // limit(K) after the unique-id filter is a results no-op that makes
+    // the K-row bound structural (visible to the planner and the
+    // broadcast-size invariant; hard runtime cap on the broadcast)
+    val c0 = v.filter(col("vec_id") < K).limit(K)
       .select(col("vec_id").as("cent_id"), col("emb").as("cemb"))
 
     def assign(cents: DataFrame): DataFrame = {
@@ -73,6 +76,8 @@ object ClusterOps {
         array((1 to VecSql.Dims).map { j =>
           (col(s"s$j").cast("double") / lit(1e9)) / col("cnt")
         }: _*).as("cemb"))
+      // cent_id ranges over the K initial centroids — structural bound
+      .limit(K)
     val a2 = assign(c1)
     a2.groupBy("cent_id")
       .agg(count(lit(1)).as("n_assigned"),
@@ -138,7 +143,10 @@ object ClusterOps {
     * floor(d·10⁹) BIGINT — order-free, engine-exact. */
   def clusterBalancedSample(s: SparkSession, dir: String): DataFrame = {
     val v = SimilarityOps.baseVectors(s, dir).persist()
-    val c0 = v.filter(col("vec_id") < K)
+    // limit(K) after the unique-id filter is a results no-op that makes
+    // the K-row bound structural (visible to the planner and the
+    // broadcast-size invariant; hard runtime cap on the broadcast)
+    val c0 = v.filter(col("vec_id") < K).limit(K)
       .select(col("vec_id").as("cent_id"), col("emb").as("cemb"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("dist"), col("cent_id"))
@@ -149,6 +157,9 @@ object ClusterOps {
       .select("vec_id", "cent_id", "dist")
     val wAll = Window.partitionBy()
     val plan = a.groupBy("cent_id").agg(count(lit(1)).as("n_points"))
+      // cent_id ranges over the K initial centroids — structural bound
+      // (also licenses the wAll windows below: they run over <=K rows)
+      .limit(K)
       .withColumn("w_fp",
         floor(sqrt(col("n_points").cast("double")) * 1e9).cast("bigint"))
       .withColumn("S", sum(col("w_fp")).over(wAll))

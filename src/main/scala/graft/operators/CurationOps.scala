@@ -2158,6 +2158,9 @@ object CurationOps {
       .filter(col("rn") ===
         expr(s"CAST((($ConfAlphaPm) * (n_cal + 1)) div 1000 AS INT)"))
       .select(col("score").as("tau"), col("n_cal"))
+      // the rank-equality filter admits exactly one row; limit(1) makes
+      // that bound structural (planner- and invariant-visible)
+      .limit(1)
     test.crossJoin(broadcast(thr))
       .groupBy("source")
       .agg(count(lit(1)).as("n_test"),

@@ -1313,7 +1313,7 @@ object DedupOps {
     * Scale: propagation joins key on the name (edges are the tiny match
     * table; the label table is one row per distinct name); the final
     * consolidation is the fact-table aggregate re-keyed by resolved
-    * entity — one extra (broadcastable) join over the naive group-by. */
+    * entity — one extra stats-driven join over the naive group-by. */
   def entityConsolidate(s: SparkSession, dir: String): DataFrame = {
     // cutLineage on edges AND per propagation round — the same
     // discipline as q59's dupLabels (CurationOps.scala): each round
@@ -1334,7 +1334,9 @@ object DedupOps {
           .unionAll(lbl)
           .groupBy("p_name").agg(min(col("lbl")).as("lbl")))
     EtlOps.t(s, dir, "part")
-      .join(broadcast(lbl), "p_name")
+      // the label table is one row per DISTINCT NAME (entity-scaled) —
+      // unhinted: broadcast while small, shuffle on p_name past that
+      .join(lbl, "p_name")
       .groupBy(col("lbl").as("canonical_name"))
       .agg(countDistinct(col("p_name")).as("n_names"),
         count(lit(1)).as("n_parts"),
@@ -3294,5 +3296,143 @@ object DedupOps {
        |  round(CAST(s_err AS DOUBLE) / (n_pairs * $NumPerms * (m - 1)),
        |    6) AS mean_abs_err
        |FROM ag ORDER BY b""".stripMargin
+  }
+  // --- q379: exact substring dedup at suffix granularity --------------------
+
+  /** Exact-match window width (tokens) — the suffix-prefix the sort
+    * groups on; a shared substring must span at least this many tokens
+    * to be seen at all (the "50-token" knob of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * scaled to the fixture's ~200-token documents). */
+  val SubstrW = 8
+
+  /** Hot-window occurrence cap: windows occurring in more than this
+    * many (doc, pos) sites are boilerplate and are dropped before
+    * pairing — the same load-bearing guard as [[LshBucketCap]]; without
+    * it one ubiquitous window makes the pair stream quadratic. */
+  val SubstrOccCap = 8
+
+  /** Minimum duplicated-token mass for a pair to be reported. */
+  val SubstrMinMass: Long = SubstrW.toLong
+
+  /** q379 — exact SUBSTRING duplicate mass per doc pair, the suffix
+    * granularity missing between q120 (fixed paragraph segments), q125
+    * (content-defined chunks) and q146 (bag-of-shingles containment):
+    * a verbatim span copied between two documents at DIFFERENT offsets
+    * and not aligned to any segmentation is found here exactly. Every
+    * [[SubstrW]]-token window (= the W-token prefix of every token
+    * suffix, fingerprinted) is grouped across the corpus — two docs
+    * sharing a window share an exact W-token substring; per pair the
+    * matched windows are merged into (a) duplicated token mass in
+    * doc_a (interval union of the matched [pos, pos+W) windows — equal
+    * widths, so union = Σ min(W, nextPos − pos)) and (b) the longest
+    * shared substring (longest consecutive run on a pa−pb diagonal,
+    * + W − 1). Reported per pair with the mass fraction of doc_a.
+    *
+    * Parity: fingerprints, positions, runs and masses are exact
+    * integers; the one division (mass fraction) is pinned.
+    *
+    * Scale (100 TB): windows shard by fingerprint (the sorted-suffix
+    * prefix-group in bucket form — never all-pairs), the occurrence
+    * cap bounds every group, per-pair merge windows partition by
+    * (doc_a, doc_b) [and diagonal], and the pair stream is
+    * candidate-proportional: ≤ occCap² per surviving fingerprint. */
+  private[graft] def substringDupMassOf(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = SubstrW
+    val win = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= W) // Spark sequence() would reverse
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, size(toks) - $W)")).as("pos"),
+        col("toks"))
+      .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+        TextOps.md5Fingerprint60(
+          expr(s"array_join(slice(toks, pos + 1, $W), ' ')")).as("fp"))
+    val keep = win.groupBy("fp").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= SubstrOccCap).select("fp")
+    val w2 = win.join(keep, "fp")
+    val pairs = w2.select(col("fp"), col("doc_id").as("da"),
+        col("pos").as("pa"))
+      .join(w2.select(col("fp"), col("doc_id").as("db"),
+        col("pos").as("pb")), "fp")
+      .filter(col("da") < col("db"))
+      .select("da", "db", "pa", "pb") // (pa, pb) unique per pair: one fp per (doc, pos)
+      .persist()
+    val wP = Window.partitionBy("da", "db").orderBy("pa")
+    val mass = pairs.select("da", "db", "pa").distinct()
+      .withColumn("nx", lead(col("pa"), 1).over(wP))
+      .groupBy("da", "db")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nx").isNull || col("nx") - col("pa") >= W,
+            lit(W.toLong))
+          .otherwise(col("nx") - col("pa"))).as("dup_tokens_a"))
+    val wD = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    val runs = pairs
+      .select(col("da"), col("db"), (col("pa") - col("pb")).as("diag"),
+        col("pa"))
+      .withColumn("grp", col("pa") - row_number().over(wD))
+      .groupBy("da", "db", "diag", "grp").agg(count(lit(1)).as("cnt"))
+      .groupBy("da", "db").agg(max(col("cnt")).as("maxrun"))
+    val dl = corpus.select(col("doc_id").as("da"),
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_toks_a"))
+    mass.join(runs, Seq("da", "db"))
+      .join(dl, "da")
+      .filter(col("dup_tokens_a") >= SubstrMinMass)
+      .selectExpr("da AS doc_a", "db AS doc_b", "n_windows",
+        "dup_tokens_a",
+        "round(CAST(dup_tokens_a AS DOUBLE) / n_toks_a, 6) AS dup_frac_a",
+        s"CAST(maxrun + ${W - 1} AS BIGINT) AS longest_match_toks")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def substringDup(s: SparkSession, dir: String): DataFrame =
+    substringDupMassOf(corpusNear(s, dir))
+
+  def substringDupOracle: String = {
+    val W = SubstrW
+    s"""WITH ${OracleGen.CorpusNear},
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM corpus),
+       |win AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    CAST('0x' || substr(md5(
+       |      array_to_string(toks[i:i + ${W - 1}], ' ')), 1, 15)
+       |      AS BIGINT) AS fp
+       |  FROM tk, unnest(range(1, len(toks) - $W + 2)) AS t(i)),
+       |keep AS (SELECT fp FROM win GROUP BY fp
+       |  HAVING count(*) <= $SubstrOccCap),
+       |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+       |    a.pos AS pa, b.pos AS pb
+       |  FROM win a JOIN win b USING (fp)
+       |  JOIN keep USING (fp)
+       |  WHERE a.doc_id < b.doc_id),
+       |pm AS (SELECT DISTINCT da, db, pa FROM pairs),
+       |gaps AS (SELECT da, db, pa,
+       |    lead(pa) OVER (PARTITION BY da, db ORDER BY pa) AS nx
+       |  FROM pm),
+       |mass AS (SELECT da, db,
+       |    CAST(count(*) AS BIGINT) AS n_windows,
+       |    CAST(sum(CASE WHEN nx IS NULL OR nx - pa >= $W
+       |      THEN $W ELSE nx - pa END) AS BIGINT) AS dup_tokens_a
+       |  FROM gaps GROUP BY da, db),
+       |isl AS (SELECT da, db, pa - pb AS diag, pa,
+       |    pa - row_number() OVER (
+       |      PARTITION BY da, db, pa - pb ORDER BY pa) AS grp
+       |  FROM pairs),
+       |runs AS (SELECT da, db, CAST(max(cnt) AS BIGINT) AS maxrun
+       |  FROM (SELECT da, db, diag, grp, count(*) AS cnt
+       |    FROM isl GROUP BY da, db, diag, grp) GROUP BY da, db),
+       |dl AS (SELECT doc_id AS da,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks_a
+       |  FROM corpus)
+       |SELECT m.da AS doc_a, m.db AS doc_b, m.n_windows,
+       |  m.dup_tokens_a,
+       |  round(CAST(m.dup_tokens_a AS DOUBLE) / dl.n_toks_a, 6)
+       |    AS dup_frac_a,
+       |  CAST(r.maxrun + ${W - 1} AS BIGINT) AS longest_match_toks
+       |FROM mass m JOIN runs r ON r.da = m.da AND r.db = m.db
+       |JOIN dl ON dl.da = m.da
+       |WHERE m.dup_tokens_a >= $SubstrMinMass
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 }

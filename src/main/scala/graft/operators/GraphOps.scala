@@ -1397,8 +1397,12 @@ object GraphOps {
         concat(lit("s"), col("sk")).as("sp"))
       .persist()
     // the two side counts are scalars reused every half-step — cut once
-    val nC = CurationOps.cutLineage(pairs.select(countDistinct("c").as("n")))
-    val nS = CurationOps.cutLineage(pairs.select(countDistinct("sp").as("n")))
+    // limit(1): the cut frames are 1-row scalars — structural bound for
+    // the per-half-step broadcasts (a checkpoint is opaque to planners)
+    val nC = CurationOps.cutLineage(
+      pairs.select(countDistinct("c").as("n"))).limit(1)
+    val nS = CurationOps.cutLineage(
+      pairs.select(countDistinct("sp").as("n"))).limit(1)
     var h = pairs.select(col("c").as("node")).distinct()
       .select(col("node"), lit(1.0).as("score"))
     var a: DataFrame = null

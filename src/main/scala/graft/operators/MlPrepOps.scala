@@ -472,8 +472,11 @@ object MlPrepOps {
     * stream is ≤ |distinct query terms| × [[HnPostCap]] before query
     * fan-out, so mining stays linear in the query count no matter how
     * duplicated the corpus is. The cap window runs over tf ⋈ queried-
-    * terms (one corpus-shaped stream, map-side WindowGroupLimit), the
-    * query set broadcasts, and the top-k window partitions by query.
+    * terms (one corpus-shaped stream, map-side WindowGroupLimit). The
+    * query set is CORPUS-DERIVED (every HnEvery-th doc), so its joins
+    * carry NO forced broadcast hint — stats/AQE broadcast it while it
+    * fits and use a term-keyed shuffle join past that (the index's
+    * natural partitioning); the top-k window partitions by query.
     * The orthogonal production lever — stop-term pruning (drop query
     * terms with df > 0.1·N) — is deliberately NOT applied here: this
     * synthetic vocabulary puts every token at df ≈ 0.8·N, so it would
@@ -492,12 +495,12 @@ object MlPrepOps {
       .select(col("doc_id").as("query_id"),
         explode(slice(col("toks"), 1, HnQueryToks)).as("term"))
       .distinct()
-    val qt = dfr.join(broadcast(qterms), "term")
+    val qt = dfr.join(qterms, "term")
     val qtermset = qt.select("term", "df").distinct()
     // impact-ordered posting truncation: top postings per queried term
     val wCap = Window.partitionBy("term")
       .orderBy(col("tf").desc, col("doc_id"))
-    val capped = tf.join(broadcast(qtermset), "term")
+    val capped = tf.join(qtermset, "term")
       .withColumn("pr", row_number().over(wCap))
       .filter(col("pr") <= HnPostCap).drop("pr")
     def bm25ppm(in: DataFrame): DataFrame = in
@@ -512,11 +515,11 @@ object MlPrepOps {
             (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
       .withColumn("tppm", floor(col("tscore") * 1e6).cast("bigint"))
     val negs = bm25ppm(capped)
-      .join(broadcast(qterms), "term")
+      .join(qterms, "term")
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy("query_id", "doc_id")
       .agg(sum(col("tppm")).as("score_ppm"))
-    val gold = bm25ppm(tf.join(broadcast(qt), "term")
+    val gold = bm25ppm(tf.join(qt, "term")
         .filter(col("doc_id") === col("query_id")))
       .groupBy("query_id").agg(sum(col("tppm")).as("gold_ppm"))
     val w = Window.partitionBy("query_id")

@@ -424,9 +424,10 @@ object ProfileOps {
     * division.
     *
     * Scale (100 TB): each fact table pays one scan + a semi join
-    * against a key set that is 1/[[DelMod]] of its dimension —
-    * broadcast-sized at every realistic scale; fact rows never
-    * shuffle. */
+    * against a key set that is 1/[[DelMod]] of its dimension. The key
+    * sets are SF-proportional, so the semi joins carry NO forced
+    * broadcast hint — stats/AQE broadcast them while they fit the
+    * threshold and fall back to a shuffled semi join past it. */
   def deletionImpact(s: SparkSession, dir: String): DataFrame = {
     def row(label: String, tbl: DataFrame, affected: DataFrame): DataFrame = {
       val tot = tbl.agg(count(lit(1)).as("n_rows"))
@@ -440,11 +441,11 @@ object ProfileOps {
     val delCust = cust.filter(col("c_custkey") % DelMod === 0)
       .select(col("c_custkey"))
     val orders = t(s, dir, "orders")
-    val delOrders = orders.join(broadcast(delCust),
+    val delOrders = orders.join(delCust,
       orders("o_custkey") === delCust("c_custkey"), "left_semi")
     val delOrderKeys = delOrders.select(col("o_orderkey")).distinct()
     val li = t(s, dir, "lineitem")
-    val delLi = li.join(broadcast(delOrderKeys),
+    val delLi = li.join(delOrderKeys,
       li("l_orderkey") === delOrderKeys("o_orderkey"), "left_semi")
     val ev = EtlOps.events(s, dir)
     val delEv = ev.filter(col("user_id") % DelMod === 0)
@@ -737,7 +738,10 @@ object ProfileOps {
     val corpus = tok.groupBy("token").agg(count(lit(1)).as("cc"))
     val srcTotals = tok.groupBy("source").agg(count(lit(1)).as("ts"))
     val srcCnt = tok.groupBy("source", "token").agg(count(lit(1)).as("cs"))
-    val grid = srcTotals.crossJoin(broadcast(corpus))
+    // broadcast the |sources| side (enum-bounded), NEVER the vocabulary:
+    // |vocab| grows with the corpus (Heaps' law) — the per-(source,token)
+    // grid and its srcCnt join shuffle on token, the vocab's natural key
+    val grid = broadcast(srcTotals).crossJoin(corpus)
       .join(srcCnt, Seq("source", "token"), "left")
       .na.fill(0L, Seq("cs"))
       .crossJoin(broadcast(

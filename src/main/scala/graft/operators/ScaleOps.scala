@@ -602,6 +602,9 @@ object ScaleOps {
       .agg(expr("bit_xor(rh_a)").as("dga"), expr("bit_xor(rh_b)").as("dgb"))
       .filter(col("dga") =!= col("dgb"))
       .select(col("bucket"))
+      // bucket = hash % DigestBuckets: the aggregate emits at most
+      // DigestBuckets rows; limit() makes the grid bound structural
+      .limit(DigestBuckets.toInt)
     base.join(broadcast(bad), "bucket")
       .filter(col("qty_a") =!= col("qty_b"))
       .select(col("l_orderkey"), col("l_linenumber"),
@@ -2166,10 +2169,13 @@ object ScaleOps {
     * ground truth; the IVM side joins |Δ| rows against the broadcast
     * dim and touches |segments| view rows — the whole point of IVM is
     * that its cost is O(|Δ|), not O(|A|), and this report certifies
-    * the algebra that licenses skipping the recompute. */
+    * the algebra that licenses skipping the recompute. The dim join
+    * carries NO forced hint — customer is SF-proportional, so
+    * stats/AQE broadcast it under the threshold and shuffle past it
+    * (the delta side stays O(|Δ|) either way). */
   def ivmJoinView(s: SparkSession, dir: String): DataFrame = {
-    val cust = broadcast(t(s, dir, "customer")
-      .select(col("c_custkey"), col("c_mktsegment").as("segment")))
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
     val orders = t(s, dir, "orders").selectExpr("o_orderkey", "o_custkey",
       "CAST(floor(o_totalprice * 100) AS BIGINT) AS price_fp")
     val a0 = orders.filter(col("o_orderkey") % 7 =!= 0)

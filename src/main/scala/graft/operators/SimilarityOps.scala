@@ -96,6 +96,15 @@ object SimilarityOps {
   import EtlOps.t
   import graft.functions.VectorFunctions
 
+  /** Structural cap for a query-/centroid-vector frame selected by a
+    * unique-id predicate (`vec_id < k`, id-parity, …): the filter
+    * already admits at most `k` rows, so `limit(k)` keeps every one of
+    * them — a no-op on results that (a) makes the bound VISIBLE to the
+    * planner and to the suite's broadcast-size invariant (Limit-bounded
+    * subtree), and (b) hard-caps at runtime what a broadcast() of this
+    * frame can ever ship to executors, even if the id predicate drifts. */
+  private def capped(df: DataFrame, k: Int): DataFrame = df.limit(k)
+
   val CopyOffset = 1000000L
   val CorpusCap = 600 // keeps the all-pairs verifier quadratic-but-small
 
@@ -182,7 +191,7 @@ object SimilarityOps {
     * side is broadcast; candidates stream by partition. */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
     val v = withNorm(baseVectors(s, dir))
-    val q = v.filter(col("vec_id") < 8)
+    val q = capped(v.filter(col("vec_id") < 8), 8)
       .select(col("vec_id").as("q_id"), col("emb").as("emb_q"),
         col("norm").as("norm_q"))
     val c = v.select(col("vec_id").as("cand_id"), col("emb").as("emb_c"),
@@ -214,7 +223,7 @@ object SimilarityOps {
     * searched. */
   private[graft] def ivfAssigned(s: SparkSession, dir: String): DataFrame = {
     val v = withNorm(baseVectors(s, dir))
-    val cents = v.filter(col("vec_id") < IvfCentroids)
+    val cents = capped(v.filter(col("vec_id") < IvfCentroids), IvfCentroids)
       .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
         col("norm").as("cent_norm"))
     val w = Window.partitionBy(col("vec_id"))
@@ -230,7 +239,7 @@ object SimilarityOps {
 
   def ivfAnn(s: SparkSession, dir: String): DataFrame = {
     val assigned = ivfAssigned(s, dir)
-    val q = assigned.filter(col("vec_id") < 8)
+    val q = capped(assigned.filter(col("vec_id") < 8), 8)
       .select(col("vec_id").as("q_id"), col("emb").as("emb_q"),
         col("norm").as("norm_q"), col("bucket"))
     val c = assigned.select(col("vec_id").as("cand_id"),
@@ -329,7 +338,7 @@ object SimilarityOps {
     val proj = baseVectors(s, dir)
       .selectExpr(("vec_id" +: comps): _*)
       .selectExpr("*", s"$pnorm AS pnorm")
-    val q = proj.filter(col("vec_id") < 8)
+    val q = capped(proj.filter(col("vec_id") < 8), 8)
       .select(col("vec_id").as("q_id") +:
         (1 to ProjDims).map(p => col(f"d$p%02d").as(f"qd$p%02d")) :+
         col("pnorm").as("qnorm"): _*)
@@ -400,7 +409,7 @@ object SimilarityOps {
   def lshAnn(s: SparkSession, dir: String): DataFrame = {
     val v = withNorm(baseVectors(s, dir))
       .selectExpr("vec_id", "emb", "norm", "lsh_sig(emb) AS bucket")
-    val q = v.filter(col("vec_id") < 8)
+    val q = capped(v.filter(col("vec_id") < 8), 8)
       .select(col("vec_id").as("q_id"), col("emb").as("emb_q"),
         col("norm").as("norm_q"), col("bucket"))
     val c = v.select(col("vec_id").as("cand_id"), col("emb").as("emb_c"),
@@ -601,7 +610,7 @@ object SimilarityOps {
       struct(lit(m).as("m"), expr(sub("emb", m)).as("sv")))
     val vecSub = v.select(col("vec_id"), explode(array(subs: _*)).as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
-    val cb = v.filter(col("vec_id") < PqK)
+    val cb = capped(v.filter(col("vec_id") < PqK), PqK)
       .select(col("vec_id").as("code"),
         explode(array(subs: _*)).as("s"))
       .select(col("code"), col("s.m").as("m"), col("s.sv").as("cv"))
@@ -711,7 +720,7 @@ object SimilarityOps {
     val c = withNorms(v, "c")
       .select(col("vec_id").as("cid") +: col("emb").as("emb_c") +:
         MrlDims.map(d => col(s"cn$d")): _*)
-    val q = withNorms(v.filter(col("vec_id") < MrlQueries), "q")
+    val q = withNorms(capped(v.filter(col("vec_id") < MrlQueries), MrlQueries.toInt), "q")
       .select(col("vec_id").as("qid") +: col("emb").as("emb_q") +:
         MrlDims.map(d => col(s"qn$d")): _*)
     val pairs = broadcast(q).crossJoin(c)
@@ -830,7 +839,7 @@ object SimilarityOps {
     * |queries|·k rows. */
   def indexStaleness(s: SparkSession, dir: String): DataFrame = {
     val v = withNorm(baseVectors(s, dir)).persist()
-    val queries = v.filter(col("vec_id") % 2 === 1 && col("vec_id") < 16)
+    val queries = capped(v.filter(col("vec_id") % 2 === 1 && col("vec_id") < 16), 16)
       .select(col("vec_id").as("q_id"), col("emb").as("emb_q"),
         col("norm").as("norm_q"))
     val wq = Window.partitionBy(col("q_id"))
@@ -885,7 +894,7 @@ object SimilarityOps {
             (col("n_queries") * StaleTopK).cast("double"), 6).as("recall"),
           col("probed_rows"))
     }
-    val fresh = recallOf(v.filter(col("vec_id") < IvfCentroids), "fresh")
+    val fresh = recallOf(capped(v.filter(col("vec_id") < IvfCentroids), IvfCentroids), "fresh")
     val stale = recallOf(v.filter(col("vec_id") % 2 === 0 &&
       col("vec_id") < 2 * IvfCentroids), "stale")
     fresh.unionAll(stale).orderBy("index_age")
@@ -1204,7 +1213,7 @@ object SimilarityOps {
     * c²-frame algebra (c = [[IvfCentroids]], metadata-sized). */
   def clusterQuality(s: SparkSession, dir: String): DataFrame = {
     val v = withNorm(baseVectors(s, dir))
-    val cents = v.filter(col("vec_id") < IvfCentroids)
+    val cents = capped(v.filter(col("vec_id") < IvfCentroids), IvfCentroids)
       .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
         col("norm").as("cent_norm"))
     val asg = v.crossJoin(broadcast(cents))
@@ -1226,6 +1235,9 @@ object SimilarityOps {
     val clus = pts.groupBy("bucket").agg(count(lit(1L)).as("n"),
         sum(col("s_fp")).as("ss_fp"), sum(col("a_fp")).as("sa_fp"))
       .withColumn("sigma", expr("CAST(sa_fp AS DOUBLE) / n / 1e9"))
+      // bucket ranges over the IvfCentroids centroid ids — limit() makes
+      // the K-bound structural for the broadcasts below
+      .limit(IvfCentroids)
     val cd = cents.select(col("cent_id").as("ci"),
         col("cent_emb").as("ea"), col("cent_norm").as("na"))
       .crossJoin(cents.select(col("cent_id").as("cj"),
@@ -1419,7 +1431,7 @@ object SimilarityOps {
     * tie-break on ids; recall/cost are integer ratios. */
   def nprobeCurve(s: SparkSession, dir: String): DataFrame = {
     val v = withNorm(baseVectors(s, dir)).persist()
-    val cents = v.filter(col("vec_id") < IvfCentroids)
+    val cents = capped(v.filter(col("vec_id") < IvfCentroids), IvfCentroids)
       .select(col("vec_id").as("cid"), col("emb").as("ce"),
         col("norm").as("cn"))
     val asg = v.crossJoin(broadcast(cents))
@@ -1431,7 +1443,7 @@ object SimilarityOps {
       .filter(col("rn") === 1)
       .select(col("vec_id").as("cand_id"), col("emb").as("emb_c"),
         col("norm").as("norm_c"), col("cid").as("bucket"))
-    val qf = v.filter(col("vec_id") < 8)
+    val qf = capped(v.filter(col("vec_id") < 8), 8)
       .select(col("vec_id").as("q_id"), col("emb").as("emb_q"),
         col("norm").as("norm_q"))
     val exact = v.crossJoin(broadcast(qf))

@@ -398,7 +398,10 @@ object TextOps {
         length(col("w")).cast("bigint").as("n_chr"))
     t(s, dir, "documents")
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
-      .join(broadcast(vocab), "w")
+      // the trained word->sym table is Heaps-scaled (one row per
+      // distinct corpus word) — no forced hint: stats/AQE broadcast it
+      // while small, shuffle on the word key past that
+      .join(vocab, "w")
       .groupBy("source")
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_tok")).as("n_tokens"),
@@ -825,8 +828,9 @@ object TextOps {
       .select(col("w"),
         size(split(col("sym"), " ")).cast("bigint").as("tok_new"))
     all.select(col("source"), explode(split(col("text"), " ")).as("w"))
-      .join(broadcast(vocabOld), Seq("w"), "left")
-      .join(broadcast(vocabNew), Seq("w"), "left")
+      // both trained vocab tables are Heaps-scaled — unhinted (see q134)
+      .join(vocabOld, Seq("w"), "left")
+      .join(vocabNew, Seq("w"), "left")
       .select(col("source"),
         col("tok_old").isNull.as("fb"),
         coalesce(col("tok_old"), length(col("w")).cast("bigint")).as("ta"),

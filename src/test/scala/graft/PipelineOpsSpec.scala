@@ -751,6 +751,61 @@ class PipelineOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("q379 substring dedup: finds a planted inter-doc span that paragraph AND CDC granularity both miss") {
+    import spark.implicits._
+    // a 40-token verbatim span planted at offsets 13 and 30 (13 % 8 = 5,
+    // 30 % 8 = 6): misaligned for q120's fixed 8-token segments. Span
+    // tokens end in digits, so no "e " anchor digram exists inside the
+    // span or at its boundaries — q125's content-defined sampler never
+    // selects a window inside it. Prefix/suffix tokens DO carry anchors
+    // (trailing 'e'), but every window from those anchors covers
+    // doc-unique prefix/suffix text, so no CDC window is shared either.
+    val span = (0 until 40).map(i => f"span$i%02d")
+    val doc1 = ((0 until 12).map(i => f"lefta$i%02de") :+ "pova01") ++
+      span ++ (0 until 11).map(i => f"righta$i%02de")
+    val doc2 = ((0 until 29).map(i => f"leftb$i%02de") :+ "povb01") ++
+      span ++ (0 until 10).map(i => f"rightb$i%02de")
+    val docs = Seq(1L -> doc1.mkString(" "), 2L -> doc2.mkString(" "))
+      .toDF("doc_id", "text")
+    // 1) the substring operator finds the span exactly
+    val out = DedupOps.substringDupMassOf(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getLong(2) == 33L, s"n_windows ${r.getLong(2)}") // 40-8+1
+    assert(r.getLong(3) == 40L, s"dup mass ${r.getLong(3)}")
+    assert(r.getDouble(4) == 0.625) // 40 / 64 tokens of doc 1
+    assert(r.getLong(5) == 40L, s"longest ${r.getLong(5)}")
+    // 2) q120's paragraph granularity sees NO cross-doc duplication:
+    // both originals keep every segment (a shared aligned segment would
+    // have cost doc 2 at least one)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sspan")
+      .toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val para = DedupOps.paragraphDedup(spark, tmp).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(para(1L) == (8L, 8L) && para(2L) == (10L, 10L),
+      s"paragraph dedup unexpectedly saw the span: $para")
+    // and the full q379 operator (corpusNear of the same dir) still
+    // reports the planted pair end-to-end
+    val e2e = DedupOps.substringDup(spark, tmp).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(e2e.contains((1L, 2L)))
+    // 3) q125's CDC sampling rule (same anchor + window constants)
+    // selects windows in both docs, but none shared between them
+    def cdcWins(text: String): Set[String] = {
+      val L = DedupOps.CdcWindow
+      (0 until text.length)
+        .filter(i => text.startsWith(DedupOps.CdcAnchor, i))
+        .filter(i => i + L <= text.length)
+        .map(i => text.substring(i, i + L)).toSet
+    }
+    val (w1, w2) = (cdcWins(doc1.mkString(" ")), cdcWins(doc2.mkString(" ")))
+    assert(w1.nonEmpty && w2.nonEmpty, "fixture lost its CDC anchors")
+    assert(w1.intersect(w2).isEmpty,
+      "CDC unexpectedly shares a window across the planted docs")
+  }
+
   test("q120 paragraph dedup: copies fully deduped, firsts survive intact") {
     val out = DedupOps.paragraphDedup(spark, dir).collect()
       .map(r => r.getLong(0) ->

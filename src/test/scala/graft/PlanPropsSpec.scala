@@ -1922,8 +1922,14 @@ class PlanPropsSpec extends AnyFunSuite {
           val ek = ag.groupingExpressions.flatMap(_.references)
             .map(_.name).filter(isEntityKey)
           if (ek.isEmpty) Nil
-          else Seq(s"entity-keyed ${n}[${ek.distinct.mkString(",")}]")
-        case _ if n.contains("Aggregate") || n.contains("Limit") => Nil
+          else {
+            val below = ag.children.flatMap(rawLeavesPhys)
+            if (below.isEmpty) Nil
+            else Seq(s"entity-keyed ${n}[${ek.distinct.mkString(",")}]"
+              + s" over ${below.distinct.mkString("; ")}")
+          }
+        case _ if n.contains("Aggregate") || n.contains("Limit") ||
+          n.contains("TakeOrdered") => Nil
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           rawLeavesPhys(a.inputPlan)
         case im: InMemoryTableScanExec => rawLeavesPhys(im.relation.cachedPlan)
@@ -1958,7 +1964,15 @@ class PlanPropsSpec extends AnyFunSuite {
         val ek = a.groupingExpressions.filterNot(_.foldable)
           .flatMap(_.references).map(_.name).filter(isEntityKey)
         if (ek.isEmpty) Nil // enum/grid-bounded
-        else Seq(s"entity-keyed Aggregate[${ek.distinct.mkString(",")}]")
+        else {
+          // entity-keyed: bounded iff its own input is bounded (a
+          // distinct over a Limit-bounded run is fine; over a raw
+          // corpus scan it is |entities|-scaled)
+          val below = a.children.flatMap(walk)
+          if (below.isEmpty) Nil
+          else Seq(s"entity-keyed Aggregate[${ek.distinct.mkString(",")}]"
+            + s" over ${below.distinct.mkString("; ")}")
+        }
       case _: GlobalLimit | _: LocalLimit => Nil // row-bounded
       case _: LocalRelation | _: OneRowRelation => Nil // literal data
       case r: Range if r.numElements.isValidLong &&
@@ -2002,8 +2016,14 @@ class PlanPropsSpec extends AnyFunSuite {
           val ek = ag.groupingExpressions.flatMap(_.references)
             .map(_.name).filter(isEntityKey)
           if (ek.isEmpty) Nil
-          else Seq(s"entity-keyed ${n}[${ek.distinct.mkString(",")}]")
-        case _ if n.contains("Aggregate") || n.contains("Limit") => Nil
+          else {
+            val below = ag.children.flatMap(phys)
+            if (below.isEmpty) Nil
+            else Seq(s"entity-keyed ${n}[${ek.distinct.mkString(",")}]"
+              + s" over ${below.distinct.mkString("; ")}")
+          }
+        case _ if n.contains("Aggregate") || n.contains("Limit") ||
+          n.contains("TakeOrdered") => Nil
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           phys(a.inputPlan)
         case im: InMemoryTableScanExec => phys(im.relation.cachedPlan)
@@ -2033,8 +2053,6 @@ class PlanPropsSpec extends AnyFunSuite {
       " [0,1] -> <=1001 groups regardless of corpus size"),
     "q131_dsir_weights" -> ("b = hash % DsirBuckets: FIXED 1024-row" +
       " model grid; the unbounded windows reduce the grid, not the corpus"),
-    "q135_cluster_sample" -> ("cent_id ranges over the k sampled" +
-      " centroids (k fixed by the operator), not the vector corpus"),
     "q197_watermark_audit" -> ("bucket = floor(arrival/WmBucket):" +
       " calendar-span/width grid, bounded by the time window audited"),
     "q201_pareto_frontier" -> ("bucket = floor(n_chars/SkyBucket):" +
@@ -2094,7 +2112,18 @@ class PlanPropsSpec extends AnyFunSuite {
   /** Documented exemptions from the broadcast-size rule: query name →
     * why that query's hinted broadcast is in fact bounded at scale.
     * Stale entries (no longer flagging) fail the test. */
-  private val broadcastInvariantWhitelist: Map[String, String] = Map()
+  private val broadcastInvariantWhitelist: Map[String, String] = Map(
+    "q128_token_budget" -> ("broadcast(cum): bucket = floor(quality*1000)" +
+      " -> <=1001 rows at every SF"),
+    "q131_dsir_weights" -> ("broadcast(model): b = hash % DsirBuckets," +
+      " a FIXED 1024-row model grid"),
+    "q183_maxsim_retrieval" -> ("documented fixture-exact form: the" +
+      " 2-label query side is tiny on the fixture; the production path" +
+      " swaps the exact pair stream for LSH/IVF candidates (scaladoc)"),
+    "q197_watermark_audit" -> ("broadcast(prev): bucket =" +
+      " floor(arrival/WmBucket), calendar-span/width grid"),
+    "q201_pareto_frontier" -> ("broadcast(bmax-derived prev): bucket =" +
+      " floor(n_chars/SkyBucket), length-domain grid"))
 
   test("suite-wide: no broadcast() hint ships a corpus-sized frame (all queries)") {
     import org.apache.spark.sql.functions.{broadcast => bc, count, lit}
