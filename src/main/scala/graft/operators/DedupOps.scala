@@ -3306,10 +3306,12 @@ object DedupOps {
     * scaled to the fixture's ~200-token documents). */
   val SubstrW = 8
 
-  /** Hot-window occurrence cap: windows occurring in more than this
-    * many (doc, pos) sites are boilerplate and are dropped before
-    * pairing — the same load-bearing guard as [[LshBucketCap]]; without
-    * it one ubiquitous window makes the pair stream quadratic. */
+  /** Hot-window occurrence cap: per fingerprint only the FIRST this
+    * many (doc_id, pos) occurrences survive into pairing — the same
+    * load-bearing truncation as [[LshBucketCap]] (truncate, don't drop:
+    * a corpus of verbatim replicas still reports its duplication
+    * instead of silently emptying); without it one ubiquitous window
+    * makes the pair stream quadratic. */
   val SubstrOccCap = 8
 
   /** Minimum duplicated-token mass for a pair to be reported. */
@@ -3349,9 +3351,9 @@ object DedupOps {
       .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
         TextOps.md5Fingerprint60(
           expr(s"array_join(slice(toks, pos + 1, $W), ' ')")).as("fp"))
-    val keep = win.groupBy("fp").agg(count(lit(1)).as("occ"))
-      .filter(col("occ") <= SubstrOccCap).select("fp")
-    val w2 = win.join(keep, "fp")
+    val wCap = Window.partitionBy("fp").orderBy("doc_id", "pos")
+    val w2 = win.withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= SubstrOccCap).drop("rn")
     val pairs = w2.select(col("fp"), col("doc_id").as("da"),
         col("pos").as("pa"))
       .join(w2.select(col("fp"), col("doc_id").as("db"),
@@ -3399,12 +3401,13 @@ object DedupOps {
        |      array_to_string(toks[i:i + ${W - 1}], ' ')), 1, 15)
        |      AS BIGINT) AS fp
        |  FROM tk, unnest(range(1, len(toks) - $W + 2)) AS t(i)),
-       |keep AS (SELECT fp FROM win GROUP BY fp
-       |  HAVING count(*) <= $SubstrOccCap),
+       |w2 AS (SELECT doc_id, pos, fp FROM (
+       |  SELECT doc_id, pos, fp, row_number() OVER (
+       |    PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM win)
+       |  WHERE rn <= $SubstrOccCap),
        |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
        |    a.pos AS pa, b.pos AS pb
-       |  FROM win a JOIN win b USING (fp)
-       |  JOIN keep USING (fp)
+       |  FROM w2 a JOIN w2 b USING (fp)
        |  WHERE a.doc_id < b.doc_id),
        |pm AS (SELECT DISTINCT da, db, pa FROM pairs),
        |gaps AS (SELECT da, db, pa,

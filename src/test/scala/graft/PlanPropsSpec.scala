@@ -1874,6 +1874,18 @@ class PlanPropsSpec extends AnyFunSuite {
       s"vocab collapse / prefix window missing:\n${p.take(1500)}")
   }
 
+  test("q379 substring dedup: pair stream joins on the fingerprint key; windows pair/diag-partitioned; no cartesian") {
+    val p = plan(DedupOps.substringDup(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup went all-pairs:\n${p.take(1800)}")
+    // the self-join must key on fp (the suffix-prefix bucket), never on
+    // doc ids — that is the never-all-pairs guarantee
+    assert(p.contains("SortMergeJoin [fp") || p.contains("SortMergeJoin keys: [fp") ||
+      ("hashpartitioning\\(fp".r.findFirstIn(p).nonEmpty),
+      s"pair join not keyed on fp:\n${p.take(1800)}")
+  }
+
   // --- suite-wide invariant: unpartitioned windows ------------------------
 
   /** Grouping-key names that mark an aggregate as ENTITY-keyed: node /
