@@ -394,6 +394,7 @@ object SparkEntry {
     "q377_pool_testing"      -> (CurationOps.poolTesting _),
     "q378_prefix_cache"      -> (TextOps.prefixCacheCurve _),
     "q379_substring_dup"     -> (DedupOps.substringDup _),
+    "q380_hyperball"         -> (GraphOps.hyperball _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1052,6 +1053,7 @@ object SparkEntry {
     "q377_pool_testing" -> CurationOps.poolTestingOracle,
     "q378_prefix_cache" -> TextOps.prefixCacheCurveOracle,
     "q379_substring_dup" -> DedupOps.substringDupOracle,
+    "q380_hyperball" -> GraphOps.hyperballOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

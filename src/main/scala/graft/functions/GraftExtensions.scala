@@ -51,6 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("kmv_agg"),
       info(classOf[KmvAgg], "kmv_agg"),
       KmvAgg.builder(_)))
+    e.injectFunction((FunctionIdentifier("hll_merge_agg"),
+      info(classOf[HllMergeAgg], "hll_merge_agg"),
+      HllMergeAgg.builder(_)))
     e.injectFunction((FunctionIdentifier("bloom_might_contain"),
       info(classOf[BloomMightContain], "bloom_might_contain"),
       (exprs: Seq[Expression]) => BloomMightContain(exprs(0), exprs(1))))

@@ -158,6 +158,7 @@ object VectorFunctions {
     add("count_sketch_agg", CountSketchAgg.builder)
     add("topk_agg", TopKAgg.builder)
     add("hll_agg", HllAgg.builder)
+    add("hll_merge_agg", HllMergeAgg.builder)
     add("bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)))
     add("md5_fp60", Md5Fp60.builder)
     add("blob_pixel_stats", exprs => BlobPixelStats(exprs.head))

@@ -1947,4 +1947,170 @@ object GraphOps {
        |GROUP BY g.tau, nn.n, fcq.forest_complete
        |ORDER BY g.tau DESC""".stripMargin
   }
+  // --- q380: HyperBall neighborhood function --------------------------------
+
+  /** Synchronous HyperBall rounds — the ball radius the curve reaches;
+    * the per-round `converged` flag reports honestly whether the
+    * registers were still growing at the budget. */
+  val HyperBallRounds = 3
+
+  /** q380 — HyperBall / ANF neighborhood function (Boldi & Vigna 2013,
+    * "In-core computation of geometric centralities with HyperBall";
+    * Palmer, Gibbons & Faloutsos 2002 ANF): per node, an HLL sketch of
+    * the ball B(v, t) grown by one hop per round (merge own registers
+    * with every neighbor's), so N̂(t) = Σ_v |B(v, t)| estimates the
+    * number of node pairs within distance t — the distance
+    * distribution, reachable-pair curve and effective-diameter readout
+    * of the co-activity graph, at O(|V|·m) state instead of the
+    * quadratic exact BFS. Complements the wing: q59/q375 count
+    * components (connectivity), q358 weighs them (MSF), THIS measures
+    * how far apart the connected mass sits. One row per round: the
+    * pair estimate, exact changed-node count, reach fraction of the
+    * final round, and the convergence flag.
+    *
+    * Registers are RELATIONAL — (node, bkt, rank) rows, merge = GROUP
+    * BY (node, bkt) MAX(rank) — so the DuckDB oracle rebuilds the
+    * identical state with the identical max-merge (the q224 register
+    * discipline) and every derived double matches bitwise: S' is an
+    * exact DECIMAL(38,0) per node, α and the linear-counting ln table
+    * are build-time integer literals ([[ProfileOps.hllEstSql]]), and
+    * the per-node estimate freezes to floor(est·10³) BIGINT before the
+    * order-free global sum.
+    *
+    * Scale (100 TB): rides the shared co-activity artifact; per round
+    * ONE edge⋈register join (sharded on the node key) and ONE
+    * map-combinable (node, bkt) max-aggregate — register state is
+    * |V|·m rows, never materializing pairs; per-round lineage cuts
+    * (the q338 discipline). The exact-BFS audit lives in the spec
+    * only; production pays sketch cost. */
+  def hyperball(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val m = ProfileOps.HllM
+    val und = cooccurEdges(s, dir)
+    val ed = und.select(col("ua").as("src"), col("ub").as("dst"))
+      .unionAll(und.select(col("ub").as("src"), col("ua").as("dst")))
+      .persist()
+    // register state as per-node ARRAYS merged by the native
+    // hll_merge_agg (element-wise max, map-side combinable): the
+    // relational (node, bkt, r) form fans the edge⋈register join out to
+    // |E|·m rows per round (measured 28.5 s at sf0.1 on this graph);
+    // the array form moves |E| array payloads and pre-combines per
+    // mapper. The ORACLE keeps the relational max-merge — same merge
+    // law, identical registers (the q224 discipline).
+    var regs = CurationOps.cutLineage(
+      ed.select(col("src").as("node")).distinct()
+        .withColumn("h", call_function("md5_fp60",
+          concat(lit("hb:"), col("node").cast("string"))))
+        .withColumn("bkt", col("h") % m)
+        .withColumn("rnk", expr(ProfileOps.hllRankSql("h")).cast("long"))
+        .groupBy("node")
+        .agg(expr(s"hll_agg(array(bkt, rnk), $m)").as("regs")))
+    val nNodes = regs.count()
+    // per-node HLL estimate from the register array, frozen to
+    // floor(est*1e3) BIGINT before the order-free corpus sum
+    def nhatFp(rs: DataFrame): DataFrame = rs
+      .selectExpr(
+        s"CAST(size(filter(regs, r -> r = 0)) AS BIGINT) AS vz",
+        "aggregate(regs, CAST(0 AS DECIMAL(38,0)), (acc, r) -> " +
+          "acc + CAST(shiftleft(CAST(1 AS BIGINT), CAST(60 - r AS INT))" +
+          " AS DECIMAL(38,0))) AS sp")
+      .selectExpr("CAST(floor((" +
+        ProfileOps.hllEstSql("sp", "vz", spark = true) +
+        ") * 1000.0) AS BIGINT) AS est_fp")
+      .agg(sum(col("est_fp")).as("nhat_fp"))
+    val rows = scala.collection.mutable.Buffer.empty[DataFrame]
+    rows += nhatFp(regs).selectExpr("CAST(0 AS BIGINT) AS round",
+      s"CAST($nNodes AS BIGINT) AS n_nodes",
+      s"CAST($nNodes AS BIGINT) AS changed_nodes", "nhat_fp")
+    for (t <- 1 to HyperBallRounds) {
+      val nb = ed.join(regs.select(col("node").as("dst"), col("regs")),
+          Seq("dst"))
+        .select(col("src").as("node"), col("regs"))
+      val cur = CurationOps.cutLineage(
+        regs.unionAll(nb).groupBy("node")
+          .agg(expr(s"hll_merge_agg(regs, $m)").as("regs")))
+      // registers only grow (max-merge of a superset), so changed ⟺
+      // the array differs — an exact integer count
+      val changed = cur.join(regs.select(col("node"),
+          col("regs").as("rp")), Seq("node"))
+        .filter(col("regs") =!= col("rp"))
+        .agg(count(lit(1)).as("chg"))
+      rows += nhatFp(cur).crossJoin(broadcast(changed))
+        .selectExpr(s"CAST($t AS BIGINT) AS round",
+          s"CAST($nNodes AS BIGINT) AS n_nodes",
+          "chg AS changed_nodes", "nhat_fp")
+      regs = cur
+    }
+    val curve = rows.reduce(_ unionAll _)
+    val fin = curve.filter(col("round") === HyperBallRounds.toLong)
+      .select(col("nhat_fp").as("final_fp")).limit(1)
+    curve.crossJoin(broadcast(fin))
+      .selectExpr("round", "n_nodes", "changed_nodes",
+        "round(CAST(nhat_fp AS DOUBLE) / 1000.0, 3) AS nhat_pairs",
+        "round(CAST(nhat_fp AS DOUBLE) / CAST(final_fp AS DOUBLE), 6)" +
+          " AS reach_frac",
+        "changed_nodes = 0 AS converged")
+      .orderBy("round")
+  }
+
+  def hyperballOracle: String = {
+    val m = ProfileOps.HllM
+    val est = ProfileOps.hllEstSql("sp", "vz", spark = false)
+    def estCte(t: Int): String =
+      s"""e$t AS (SELECT CAST(sum(est_fp) AS BIGINT) AS nhat_fp FROM (
+         |  SELECT CAST(floor(($est) * 1000.0) AS BIGINT) AS est_fp
+         |  FROM (SELECT node,
+         |      sum(CAST((CAST(1 AS BIGINT) << CAST(60 - r AS INT))
+         |        AS DECIMAL(38,0)))
+         |      + CAST($m - count(*) AS DECIMAL(38,0))
+         |        * CAST(1152921504606846976 AS DECIMAL(38,0)) AS sp,
+         |      CAST($m - count(*) AS BIGINT) AS vz
+         |    FROM r$t GROUP BY node)))""".stripMargin
+    val rounds = (1 to HyperBallRounds).map { t =>
+      s"""r$t AS MATERIALIZED (SELECT node, bkt, max(r) AS r FROM (
+         |    SELECT node, bkt, r FROM r${t - 1}
+         |    UNION ALL SELECT e.src, p.bkt, p.r
+         |    FROM ed e JOIN r${t - 1} p ON p.node = e.dst)
+         |  GROUP BY node, bkt),
+         |ch$t AS (SELECT CAST(count(DISTINCT t.node) AS BIGINT) AS chg
+         |  FROM r$t t LEFT JOIN r${t - 1} p
+         |    ON p.node = t.node AND p.bkt = t.bkt
+         |  WHERE p.r IS NULL OR t.r > p.r),
+         |${estCte(t)}""".stripMargin
+    }.mkString(",\n")
+    val curveSel = (1 to HyperBallRounds).map(t =>
+      s"SELECT CAST($t AS BIGINT), nn.n, ch$t.chg, e$t.nhat_fp" +
+        s" FROM nn, ch$t, e$t").mkString("\n  UNION ALL ")
+    s"""WITH cells AS (SELECT DISTINCT event_type AS et,
+       |    date_trunc('hour', ts) AS h, user_id AS u FROM events),
+       |capped AS (SELECT et, h, u FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY et, h ORDER BY u) AS rn
+       |  FROM cells) WHERE rn <= $CoocCellCap),
+       |und AS MATERIALIZED (SELECT a.u AS ua, b.u AS ub
+       |  FROM capped a JOIN capped b
+       |    ON a.et = b.et AND a.h = b.h AND a.u < b.u
+       |  GROUP BY 1, 2 HAVING count(*) >= $CoocMinCells),
+       |ed AS MATERIALIZED (SELECT ua AS src, ub AS dst FROM und
+       |  UNION ALL SELECT ub, ua FROM und),
+       |r0 AS MATERIALIZED (SELECT node, h % $m AS bkt,
+       |    CAST(${ProfileOps.hllRankSql("h")} AS BIGINT) AS r
+       |  FROM (SELECT node, CAST('0x' || substr(
+       |      md5('hb:' || CAST(node AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |    FROM (SELECT DISTINCT src AS node FROM ed))),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r0),
+       |${estCte(0)},
+       |$rounds,
+       |curve AS (
+       |  SELECT CAST(0 AS BIGINT) AS round, nn.n AS n_nodes,
+       |    nn.n AS changed_nodes, e0.nhat_fp FROM nn, e0
+       |  UNION ALL $curveSel),
+       |fin AS (SELECT nhat_fp AS final_fp FROM curve
+       |  WHERE round = $HyperBallRounds)
+       |SELECT round, n_nodes, changed_nodes,
+       |  round(CAST(nhat_fp AS DOUBLE) / 1000.0, 3) AS nhat_pairs,
+       |  round(CAST(nhat_fp AS DOUBLE) / CAST(final_fp AS DOUBLE), 6)
+       |    AS reach_frac,
+       |  changed_nodes = 0 AS converged
+       |FROM curve, fin ORDER BY round""".stripMargin
+  }
 }

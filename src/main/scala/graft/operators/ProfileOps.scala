@@ -1438,7 +1438,7 @@ object ProfileOps {
     * trick gives bit_count(-1) = 64 ⇒ clamp). `w & -w` isolates the
     * lowest set bit; minus 1 masks the trailing zeros — pure bit
     * arithmetic, identical on both engines. */
-  private def hllRankSql(h: String): String = {
+  private[graft] def hllRankSql(h: String): String = {
     val w = s"($h >> 8)"
     s"least(bit_count((($w & -$w) - 1)) + 1, 53)"
   }
@@ -1446,7 +1446,7 @@ object ProfileOps {
   /** Σ_j 2^(60-M_j) as DECIMAL(38,0): each term is an exact long
     * (M ≤ 53 ⇒ shift ∈ [7, 60]); the sum can exceed int64 when many
     * registers are empty (256·2^60 = 2^68), hence decimal. */
-  private def hllSpSparkSql(regs: String): String =
+  private[graft] def hllSpSparkSql(regs: String): String =
     s"aggregate($regs, CAST(0 AS DECIMAL(38,0)), (acc, r) -> " +
       "acc + CAST(shiftleft(CAST(1 AS BIGINT), CAST(60 - r AS INT)) " +
       "AS DECIMAL(38,0)))"
@@ -1454,13 +1454,13 @@ object ProfileOps {
   /** Raw harmonic-mean estimate α_m·m²·2^60 / S′ — both engines cast
     * the SAME exact integer S′ to double and run the SAME left-assoc
     * chain, so the doubles agree bitwise. */
-  private def hllRawSql(sp: String): String =
+  private[graft] def hllRawSql(sp: String): String =
     s"CAST($HllAlphaFp AS DOUBLE) / 1e9 * " +
       s"${HllM.toDouble * HllM} * 1152921504606846976.0 / CAST($sp AS DOUBLE)"
 
   /** Linear-counting estimate m·ln(m/V) via the frozen table. `spark`
     * selects element-access syntax. */
-  private def hllLinearSql(vz: String, spark: Boolean): String = {
+  private[graft] def hllLinearSql(vz: String, spark: Boolean): String = {
     val lits = HllLnTable.mkString(", ")
     val el =
       if (spark) s"element_at(array($lits), CAST($vz AS INT))"
@@ -1470,7 +1470,7 @@ object ProfileOps {
 
   /** The corrected estimate: linear counting in the small range (raw ≤
     * 2.5m and some register still empty), raw harmonic mean otherwise. */
-  private def hllEstSql(sp: String, vz: String, spark: Boolean): String =
+  private[graft] def hllEstSql(sp: String, vz: String, spark: Boolean): String =
     s"CASE WHEN (${hllRawSql(sp)}) <= $HllLinearThresh AND $vz > 0 " +
       s"THEN (${hllLinearSql(vz, spark)}) ELSE (${hllRawSql(sp)}) END"
 

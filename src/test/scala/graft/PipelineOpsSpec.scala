@@ -4662,6 +4662,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.toSeq == byType, "q322 and q373 disagree")
   }
 
+  test("q380 hyperball: pair-count curve tracks an exact driver BFS within HLL error at every radius") {
+    val edges = GraphOps.cooccurEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    val nodes = adj.keys.toSeq.sorted
+    // exact N(t) = Σ_v |B(v, t)| by per-node frontier expansion
+    var balls = nodes.map(v => v -> Set(v)).toMap
+    val exactN = scala.collection.mutable.Buffer[Long](nodes.size.toLong)
+    for (_ <- 1 to GraphOps.HyperBallRounds) {
+      balls = balls.map { case (v, ball) =>
+        v -> (ball ++ ball.flatMap(adj)) }
+      exactN += balls.values.map(_.size.toLong).sum
+    }
+    val out = GraphOps.hyperball(spark, dir).collect()
+      .map(r => r.getLong(0).toInt ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+    assert(out.keySet == (0 to GraphOps.HyperBallRounds).toSet)
+    assert(out(0)._1 == nodes.size.toLong)
+    for (t <- 0 to GraphOps.HyperBallRounds) {
+      val est = out(t)._3
+      val exact = exactN(t).toDouble
+      val relErr = math.abs(est - exact) / exact
+      assert(relErr <= 0.15,
+        s"t=$t: HLL pair estimate $est vs exact $exact (err $relErr)")
+    }
+    // balls only grow: the estimate curve and reach fraction are
+    // monotone, and the final round's reach fraction is exactly 1
+    val curve = (0 to GraphOps.HyperBallRounds).map(out(_))
+    curve.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 >= a._3 && b._4 >= a._4)
+    case _ => }
+    assert(out(GraphOps.HyperBallRounds)._4 == 1.0)
+    // convergence flag soundness (one-way: registers are a function of
+    // the balls, so exact fixpoint ⇒ register fixpoint; the converse
+    // need not hold — a new ball member may raise no register max)
+    val stillGrowing = exactN.last !=
+      balls.map { case (v, ball) => (ball ++ ball.flatMap(adj)).size.toLong }
+        .sum
+    if (!stillGrowing) assert(out(GraphOps.HyperBallRounds)._5,
+      "exact balls reached fixpoint but converged=false")
+  }
+
   test("q373 token bucket: a first user_id of Long.MinValue opens a fresh bucket (no sentinel aliasing)") {
     // regression: exec once used user=Long.MinValue as the 'no previous
     // user' marker, which treated a real MinValue first user as a

@@ -164,6 +164,28 @@ class SpaceSavingSpec extends AnyFunSuite {
     }
   }
 
+  test("hll_merge_agg: union-of-sketches equals sketch-of-union, partition-invariant") {
+    val m = ProfileOps.HllM
+    val keyed = hllPairs(graft.operators.EtlOps
+      .events(spark, TestSession.sfDir("0.001"))
+      .select(col("user_id").cast("string").as("k")))
+      .withColumn("part", col("bkt") % 7) // arbitrary split into 7 sketches
+    // sketch each part separately, then max-merge the register ARRAYS
+    val merged = keyed.groupBy("part")
+      .agg(expr(s"hll_agg(array(bkt, rnk), $m)").as("regs"))
+      .agg(expr(s"hll_merge_agg(regs, $m)")).first().getSeq[Long](0)
+    // ... must equal the single sketch of the union (the merge law)
+    val whole = keyed.agg(expr(s"hll_agg(array(bkt, rnk), $m)"))
+      .first().getSeq[Long](0)
+    assert(merged == whole, "hll_merge_agg broke the union law")
+    // and the merge itself is partition-order independent
+    val merged13 = keyed.groupBy("part")
+      .agg(expr(s"hll_agg(array(bkt, rnk), $m)").as("regs"))
+      .repartition(13)
+      .agg(expr(s"hll_merge_agg(regs, $m)")).first().getSeq[Long](0)
+    assert(merged13 == whole, "hll_merge_agg depends on partitioning")
+  }
+
   test("hll estimate lands within the analytic error bound on a known set") {
     import spark.implicits._
     val m = ProfileOps.HllM
