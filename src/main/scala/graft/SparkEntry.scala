@@ -395,6 +395,7 @@ object SparkEntry {
     "q378_prefix_cache"      -> (TextOps.prefixCacheCurve _),
     "q379_substring_dup"     -> (DedupOps.substringDup _),
     "q380_hyperball"         -> (GraphOps.hyperball _),
+    "q381_substring_cut"     -> (DedupOps.substringCut _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1054,6 +1055,7 @@ object SparkEntry {
     "q378_prefix_cache" -> TextOps.prefixCacheCurveOracle,
     "q379_substring_dup" -> DedupOps.substringDupOracle,
     "q380_hyperball" -> GraphOps.hyperballOracle,
+    "q381_substring_cut" -> DedupOps.substringCutOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -3438,4 +3438,140 @@ object DedupOps {
        |WHERE m.dup_tokens_a >= $SubstrMinMass
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  // --- q381: keep-first substring CUT plan -----------------------------------
+
+  /** q381 — the TRANSFORM q379 licenses: materialize the keep-first cut
+    * at token granularity. For every matched window pair the LARGER
+    * doc_id loses its copy, so per document the cut set is the union of
+    * its matched window positions against any smaller-id partner;
+    * report per document the cut mass, merged span count, kept
+    * fraction, and the md5 of the kept text — the row a 100 TB
+    * curation run writes back. q120 materializes keeps at PARAGRAPH
+    * granularity and q379 only audits pair mass; THIS applies the
+    * offset-free substring policy (the Lee et al. 2022 "remove the
+    * repeated span, keep one copy" step).
+    *
+    * Parity: cut positions are exact integers built by an equi-join
+    * (window starts exploded to their W covered positions — never a
+    * range join); the kept-text hash orders by position on both
+    * engines; the one division is pinned.
+    *
+    * Scale (100 TB): rides q379's fingerprint-bucketed pair stream
+    * (occurrence-capped, never all-pairs); cut positions are ≤ corpus
+    * token mass and join back to the exploded token stream on
+    * (doc_id, pos) — the token stream's natural key; the rebuild is
+    * one per-doc aggregate. */
+  def substringCut(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = SubstrW
+    val corpus = corpusNear(s, dir)
+    val pairs = substringPairs(corpus)
+    // positions covered in the LOSING (larger-id) doc, exploded to an
+    // equi-joinable (doc_id, pos) set
+    val cut = pairs.select(col("db").as("doc_id"), col("pb"))
+      .distinct()
+      .select(col("doc_id"),
+        explode(expr(s"sequence(pb, pb + ${W - 1})")).as("pos"))
+      .distinct()
+    val toks = corpus
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("pos", "pos0")
+      .select(col("doc_id"), col("pos0").cast("bigint").as("pos"),
+        col("col").as("tok"))
+    val marked = toks.join(cut.withColumn("is_cut", lit(1L)),
+        Seq("doc_id", "pos"), "left")
+    // merged span count: cut positions per doc, islands of consecutive
+    // pos (pos − row_number constant)
+    val spans = cut
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id").agg(countDistinct("grp").as("n_spans"))
+    marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(coalesce(col("is_cut"), lit(0L))).as("cut_tokens"),
+        md5(concat_ws(" ", expr("transform(array_sort(collect_list(" +
+          "CASE WHEN is_cut IS NULL THEN struct(pos, tok) END)), " +
+          "x -> x.tok)"))).as("kept_md5"))
+      .join(spans, Seq("doc_id"), "left")
+      .selectExpr("doc_id", "n_toks", "cut_tokens",
+        "coalesce(n_spans, 0L) AS n_spans",
+        "round(CAST(n_toks - cut_tokens AS DOUBLE) / n_toks, 6)" +
+          " AS kept_frac",
+        "kept_md5")
+      .orderBy("doc_id")
+  }
+
+  /** q379's capped fingerprint pair stream (da < db with positions) —
+    * shared by the audit and the cut plan so the transform cuts
+    * EXACTLY what the audit reported. */
+  private def substringPairs(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val W = SubstrW
+    val win = corpus
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= W)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, size(toks) - $W)")).as("pos"),
+        col("toks"))
+      .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
+        TextOps.md5Fingerprint60(
+          expr(s"array_join(slice(toks, pos + 1, $W), ' ')")).as("fp"))
+    val wCap = Window.partitionBy("fp").orderBy("doc_id", "pos")
+    val w2 = win.withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= SubstrOccCap).drop("rn")
+    w2.select(col("fp"), col("doc_id").as("da"), col("pos").as("pa"))
+      .join(w2.select(col("fp"), col("doc_id").as("db"),
+        col("pos").as("pb")), "fp")
+      .filter(col("da") < col("db"))
+      .select("da", "db", "pa", "pb")
+  }
+
+  def substringCutOracle: String = {
+    val W = SubstrW
+    s"""WITH ${OracleGen.CorpusNear},
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+       |  FROM corpus),
+       |win AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    CAST('0x' || substr(md5(
+       |      array_to_string(toks[i:i + ${W - 1}], ' ')), 1, 15)
+       |      AS BIGINT) AS fp
+       |  FROM tk, unnest(range(1, len(toks) - $W + 2)) AS t(i)),
+       |w2 AS (SELECT doc_id, pos, fp FROM (
+       |  SELECT doc_id, pos, fp, row_number() OVER (
+       |    PARTITION BY fp ORDER BY doc_id, pos) AS rn FROM win)
+       |  WHERE rn <= $SubstrOccCap),
+       |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+       |    a.pos AS pa, b.pos AS pb
+       |  FROM w2 a JOIN w2 b USING (fp)
+       |  WHERE a.doc_id < b.doc_id),
+       |cut AS (SELECT DISTINCT doc_id, pos FROM (
+       |  SELECT db AS doc_id, pb + k.x AS pos
+       |  FROM (SELECT DISTINCT db, pb FROM pairs) d,
+       |    (SELECT unnest(range(0, $W)) AS x) k)),
+       |toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    toks[i] AS tok
+       |  FROM tk, unnest(range(1, len(toks) + 1)) AS t(i)),
+       |marked AS (SELECT t.doc_id, t.pos, t.tok,
+       |    CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END AS is_cut
+       |  FROM toks t LEFT JOIN cut c
+       |    ON c.doc_id = t.doc_id AND c.pos = t.pos),
+       |spans AS (SELECT doc_id,
+       |    CAST(count(DISTINCT grp) AS BIGINT) AS n_spans
+       |  FROM (SELECT doc_id, pos - row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY pos) AS grp FROM cut)
+       |  GROUP BY doc_id),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       |    CAST(sum(is_cut) AS BIGINT) AS cut_tokens,
+       |    md5(coalesce(string_agg(CASE WHEN is_cut = 0 THEN tok END, ' '
+       |      ORDER BY pos), '')) AS kept_md5
+       |  FROM marked GROUP BY doc_id)
+       |SELECT a.doc_id, a.n_toks, a.cut_tokens,
+       |  coalesce(s.n_spans, 0) AS n_spans,
+       |  round(CAST(a.n_toks - a.cut_tokens AS DOUBLE) / a.n_toks, 6)
+       |    AS kept_frac,
+       |  a.kept_md5
+       |FROM agg a LEFT JOIN spans s ON s.doc_id = a.doc_id
+       |ORDER BY a.doc_id""".stripMargin
+  }
 }

@@ -791,6 +791,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     val e2e = DedupOps.substringDup(spark, tmp).collect()
       .map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(e2e.contains((1L, 2L)))
+    // 2b) the q381 cut plan applies keep-first at token granularity:
+    // doc 2 (larger id) loses exactly the 40-token span in ONE merged
+    // span; doc 1 keeps everything, hash-identical to its full text
+    val cutRows = DedupOps.substringCut(spark, tmp).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getString(5))).toMap
+    assert(cutRows(1L)._2 == 0L && cutRows(1L)._3 == 0L,
+      s"doc 1 (first occurrence) must keep the span: ${cutRows(1L)}")
+    assert(cutRows(2L)._2 == 40L && cutRows(2L)._3 == 1L,
+      s"doc 2 must lose the span as one merged span: ${cutRows(2L)}")
+    def md5hex(t: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(t.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(cutRows(1L)._4 == md5hex(doc1.mkString(" ")))
+    assert(cutRows(2L)._4 ==
+      md5hex((doc2.take(30) ++ doc2.drop(70)).mkString(" ")))
     // 3) q125's CDC sampling rule (same anchor + window constants)
     // selects windows in both docs, but none shared between them
     def cdcWins(text: String): Set[String] = {

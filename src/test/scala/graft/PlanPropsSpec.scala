@@ -1886,6 +1886,18 @@ class PlanPropsSpec extends AnyFunSuite {
       s"pair join not keyed on fp:\n${p.take(1800)}")
   }
 
+  test("q381 substring cut: fp-keyed pair stream; cut-position join is an equi-join on (doc_id, pos); no cartesian") {
+    val p = plan(DedupOps.substringCut(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cut plan went all-pairs:\n${p.take(1800)}")
+    // the cut marking must be an equi-join (exploded positions), never
+    // a range-predicate join over the token stream
+    assert("hashpartitioning\\(doc_id".r.findFirstIn(p).nonEmpty ||
+      p.contains("SortMergeJoin [doc_id"),
+      s"cut marking not keyed on (doc_id, pos):\n${p.take(1800)}")
+  }
+
   // --- suite-wide invariant: unpartitioned windows ------------------------
 
   /** Grouping-key names that mark an aggregate as ENTITY-keyed: node /
