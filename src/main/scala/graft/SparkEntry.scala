@@ -396,6 +396,7 @@ object SparkEntry {
     "q379_substring_dup"     -> (DedupOps.substringDup _),
     "q380_hyperball"         -> (GraphOps.hyperball _),
     "q381_substring_cut"     -> (DedupOps.substringCut _),
+    "q382_harmonic_centrality" -> (GraphOps.harmonicCentrality _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1056,6 +1057,7 @@ object SparkEntry {
     "q379_substring_dup" -> DedupOps.substringDupOracle,
     "q380_hyperball" -> GraphOps.hyperballOracle,
     "q381_substring_cut" -> DedupOps.substringCutOracle,
+    "q382_harmonic_centrality" -> GraphOps.harmonicCentralityOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -1983,20 +1983,22 @@ object GraphOps {
     * |V|·m rows, never materializing pairs; per-round lineage cuts
     * (the q338 discipline). The exact-BFS audit lives in the spec
     * only; production pays sketch cost. */
-  def hyperball(s: SparkSession, dir: String): DataFrame = {
+  /** The HyperBall register generations regs_0..regs_R (per-node
+    * m-register ARRAYS, one hop of max-merge growth per round) — shared
+    * by q380's curve and q382's harmonic centrality so both read the
+    * SAME sketch stream. Array state + native hll_merge_agg is the
+    * measured 9× plan over the relational (node, bkt, r) join form
+    * (which fans the edge⋈register join out to |E|·m rows per round);
+    * the oracles keep the relational GROUP BY (node, bkt) → max(r)
+    * rebuild — same merge law, identical registers (q224 discipline). */
+  private[graft] def hbRounds(s: SparkSession, dir: String)
+      : (Long, IndexedSeq[DataFrame]) = {
     graft.functions.VectorFunctions.register(s)
     val m = ProfileOps.HllM
     val und = cooccurEdges(s, dir)
     val ed = und.select(col("ua").as("src"), col("ub").as("dst"))
       .unionAll(und.select(col("ub").as("src"), col("ua").as("dst")))
       .persist()
-    // register state as per-node ARRAYS merged by the native
-    // hll_merge_agg (element-wise max, map-side combinable): the
-    // relational (node, bkt, r) form fans the edge⋈register join out to
-    // |E|·m rows per round (measured 28.5 s at sf0.1 on this graph);
-    // the array form moves |E| array payloads and pre-combines per
-    // mapper. The ORACLE keeps the relational max-merge — same merge
-    // law, identical registers (the q224 discipline).
     var regs = CurationOps.cutLineage(
       ed.select(col("src").as("node")).distinct()
         .withColumn("h", call_function("md5_fp60",
@@ -2006,40 +2008,52 @@ object GraphOps {
         .groupBy("node")
         .agg(expr(s"hll_agg(array(bkt, rnk), $m)").as("regs")))
     val nNodes = regs.count()
-    // per-node HLL estimate from the register array, frozen to
-    // floor(est*1e3) BIGINT before the order-free corpus sum
-    def nhatFp(rs: DataFrame): DataFrame = rs
-      .selectExpr(
+    val gens = scala.collection.mutable.Buffer[DataFrame](regs)
+    for (_ <- 1 to HyperBallRounds) {
+      val nb = ed.join(regs.select(col("node").as("dst"), col("regs")),
+          Seq("dst"))
+        .select(col("src").as("node"), col("regs"))
+      regs = CurationOps.cutLineage(
+        regs.unionAll(nb).groupBy("node")
+          .agg(expr(s"hll_merge_agg(regs, $m)").as("regs")))
+      gens += regs
+    }
+    (nNodes, gens.toIndexedSeq)
+  }
+
+  /** Per-node ball-size estimate from a register-array generation,
+    * frozen to floor(est·10³) BIGINT (column `bfp`). */
+  private def hbBallFp(rs: DataFrame): DataFrame = {
+    val m = ProfileOps.HllM
+    rs.selectExpr("node",
         s"CAST(size(filter(regs, r -> r = 0)) AS BIGINT) AS vz",
         "aggregate(regs, CAST(0 AS DECIMAL(38,0)), (acc, r) -> " +
           "acc + CAST(shiftleft(CAST(1 AS BIGINT), CAST(60 - r AS INT))" +
           " AS DECIMAL(38,0))) AS sp")
-      .selectExpr("CAST(floor((" +
+      .selectExpr("node", "CAST(floor((" +
         ProfileOps.hllEstSql("sp", "vz", spark = true) +
-        ") * 1000.0) AS BIGINT) AS est_fp")
-      .agg(sum(col("est_fp")).as("nhat_fp"))
+        ") * 1000.0) AS BIGINT) AS bfp")
+  }
+
+  def hyperball(s: SparkSession, dir: String): DataFrame = {
+    val (nNodes, gens) = hbRounds(s, dir)
+    def nhatFp(rs: DataFrame): DataFrame =
+      hbBallFp(rs).agg(sum(col("bfp")).as("nhat_fp"))
     val rows = scala.collection.mutable.Buffer.empty[DataFrame]
-    rows += nhatFp(regs).selectExpr("CAST(0 AS BIGINT) AS round",
+    rows += nhatFp(gens(0)).selectExpr("CAST(0 AS BIGINT) AS round",
       s"CAST($nNodes AS BIGINT) AS n_nodes",
       s"CAST($nNodes AS BIGINT) AS changed_nodes", "nhat_fp")
     for (t <- 1 to HyperBallRounds) {
-      val nb = ed.join(regs.select(col("node").as("dst"), col("regs")),
-          Seq("dst"))
-        .select(col("src").as("node"), col("regs"))
-      val cur = CurationOps.cutLineage(
-        regs.unionAll(nb).groupBy("node")
-          .agg(expr(s"hll_merge_agg(regs, $m)").as("regs")))
       // registers only grow (max-merge of a superset), so changed ⟺
       // the array differs — an exact integer count
-      val changed = cur.join(regs.select(col("node"),
+      val changed = gens(t).join(gens(t - 1).select(col("node"),
           col("regs").as("rp")), Seq("node"))
         .filter(col("regs") =!= col("rp"))
         .agg(count(lit(1)).as("chg"))
-      rows += nhatFp(cur).crossJoin(broadcast(changed))
+      rows += nhatFp(gens(t)).crossJoin(broadcast(changed))
         .selectExpr(s"CAST($t AS BIGINT) AS round",
           s"CAST($nNodes AS BIGINT) AS n_nodes",
           "chg AS changed_nodes", "nhat_fp")
-      regs = cur
     }
     val curve = rows.reduce(_ unionAll _)
     val fin = curve.filter(col("round") === HyperBallRounds.toLong)
@@ -2112,5 +2126,106 @@ object GraphOps {
        |    AS reach_frac,
        |  changed_nodes = 0 AS converged
        |FROM curve, fin ORDER BY round""".stripMargin
+  }
+  // --- q382: harmonic centrality off the HyperBall stream --------------------
+
+  /** Harmonic-centrality report depth. */
+  val HarmonicTopK = 20
+
+  /** q382 — harmonic centrality (Boldi & Vigna 2014, "Axioms for
+    * centrality"; THE application HyperBall was built for): H(v) =
+    * Σ_{u≠v} 1/d(v,u), estimated per node from the SAME register
+    * generations as q380 via H(v) ≈ Σ_t (|B(v,t)|−|B(v,t−1)|)/t — each
+    * ball-size delta is the count of nodes first reached at distance t.
+    * Distance-based centrality is well-defined on DISCONNECTED graphs
+    * (unreachable nodes contribute 0, where closeness degenerates) —
+    * the axis q70/q314/q355's walk-mass centralities don't measure: a
+    * node can carry little stationary mass yet sit one hop from
+    * everything. Top-[[HarmonicTopK]] nodes by estimated H.
+    *
+    * Parity: ball sizes are the q380 frozen floor(est·10³) BIGINTs;
+    * H is ONE pinned left-associated double chain over those integers
+    * (identical text both engines), ranked UNROUNDED (the q355
+    * lesson) with node as tiebreak, rounded only for display. Deltas
+    * can be slightly negative when a node's estimator crosses the
+    * linear-counting→raw threshold between rounds — a known HyperBall
+    * artifact, identical on both engines.
+    *
+    * Scale (100 TB): rides [[hbRounds]] (shared artifact + register
+    * stream); the per-node frame is |V| rows joined across R
+    * generations on the node key; top-k is orderBy+limit (TakeOrdered
+    * — never a single-task global window). */
+  def harmonicCentrality(s: SparkSession, dir: String): DataFrame = {
+    val (_, gens) = hbRounds(s, dir)
+    val per = (0 to HyperBallRounds).map(t =>
+      hbBallFp(gens(t)).withColumnRenamed("bfp", s"b$t"))
+    val joined = per.reduce((a, b) => a.join(b, "node"))
+    val hChain = (1 to HyperBallRounds).map(t =>
+      s"(CAST(b$t - b${t - 1} AS DOUBLE) / 1000.0) / $t.0")
+      .mkString(" + ")
+    joined.selectExpr("node", s"($hChain) AS hraw",
+        s"b$HyperBallRounds")
+      .orderBy(col("hraw").desc, col("node"))
+      .limit(HarmonicTopK)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("hraw").desc, col("node"))).cast("bigint"))
+      .selectExpr("rnk", "node", "round(hraw, 6) AS harmonic",
+        s"round(CAST(b$HyperBallRounds AS DOUBLE) / 1000.0, 3)" +
+          " AS ball_final")
+      .orderBy("rnk")
+  }
+
+  def harmonicCentralityOracle: String = {
+    val m = ProfileOps.HllM
+    val est = ProfileOps.hllEstSql("sp", "vz", spark = false)
+    val perCtes = (0 to HyperBallRounds).map { t =>
+      s"""p$t AS (SELECT node,
+         |    CAST(floor(($est) * 1000.0) AS BIGINT) AS b$t
+         |  FROM (SELECT node,
+         |      sum(CAST((CAST(1 AS BIGINT) << CAST(60 - r AS INT))
+         |        AS DECIMAL(38,0)))
+         |      + CAST($m - count(*) AS DECIMAL(38,0))
+         |        * CAST(1152921504606846976 AS DECIMAL(38,0)) AS sp,
+         |      CAST($m - count(*) AS BIGINT) AS vz
+         |    FROM r$t GROUP BY node))""".stripMargin
+    }.mkString(",\n")
+    val joins = (1 to HyperBallRounds)
+      .map(t => s"JOIN p$t USING (node)").mkString(" ")
+    val hChain = (1 to HyperBallRounds).map(t =>
+      s"(CAST(b$t - b${t - 1} AS DOUBLE) / 1000.0) / $t.0")
+      .mkString(" + ")
+    val rounds = (1 to HyperBallRounds).map { t =>
+      s"""r$t AS MATERIALIZED (SELECT node, bkt, max(r) AS r FROM (
+         |    SELECT node, bkt, r FROM r${t - 1}
+         |    UNION ALL SELECT e.src, p.bkt, p.r
+         |    FROM ed e JOIN r${t - 1} p ON p.node = e.dst)
+         |  GROUP BY node, bkt)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cells AS (SELECT DISTINCT event_type AS et,
+       |    date_trunc('hour', ts) AS h, user_id AS u FROM events),
+       |capped AS (SELECT et, h, u FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY et, h ORDER BY u) AS rn
+       |  FROM cells) WHERE rn <= $CoocCellCap),
+       |und AS MATERIALIZED (SELECT a.u AS ua, b.u AS ub
+       |  FROM capped a JOIN capped b
+       |    ON a.et = b.et AND a.h = b.h AND a.u < b.u
+       |  GROUP BY 1, 2 HAVING count(*) >= $CoocMinCells),
+       |ed AS MATERIALIZED (SELECT ua AS src, ub AS dst FROM und
+       |  UNION ALL SELECT ub, ua FROM und),
+       |r0 AS MATERIALIZED (SELECT node, h % $m AS bkt,
+       |    CAST(${ProfileOps.hllRankSql("h")} AS BIGINT) AS r
+       |  FROM (SELECT node, CAST('0x' || substr(
+       |      md5('hb:' || CAST(node AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |    FROM (SELECT DISTINCT src AS node FROM ed))),
+       |$rounds,
+       |$perCtes,
+       |h AS (SELECT node, ($hChain) AS hraw, b$HyperBallRounds AS bf
+       |  FROM p0 $joins),
+       |rk AS (SELECT node, hraw, bf, CAST(row_number() OVER (
+       |    ORDER BY hraw DESC, node) AS BIGINT) AS rnk FROM h)
+       |SELECT rnk, node, round(hraw, 6) AS harmonic,
+       |  round(CAST(bf AS DOUBLE) / 1000.0, 3) AS ball_final
+       |FROM rk WHERE rnk <= $HarmonicTopK ORDER BY rnk""".stripMargin
   }
 }

@@ -4724,6 +4724,42 @@ class PipelineOpsSpec extends AnyFunSuite {
       "exact balls reached fixpoint but converged=false")
   }
 
+  test("q382 harmonic centrality: estimates track exact truncated-BFS harmonic; top set overlaps the exact top") {
+    val edges = GraphOps.cooccurEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) =>
+      adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    val nodes = adj.keys.toSeq.sorted
+    // exact R-truncated harmonic: Σ over u first reached at d ≤ R of 1/d
+    val exactH = nodes.map { v =>
+      var ball = Set(v); var h = 0.0
+      for (t <- 1 to GraphOps.HyperBallRounds) {
+        val next = ball ++ ball.flatMap(adj)
+        h += (next.size - ball.size).toDouble / t
+        ball = next
+      }
+      v -> h
+    }.toMap
+    val out = GraphOps.harmonicCentrality(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = math.min(GraphOps.HarmonicTopK, nodes.size)
+    assert(out.length == expect)
+    assert(out.map(_._1).toSeq == (1L to expect.toLong).toSeq)
+    out.foreach { case (_, node, est) =>
+      val ex = exactH(node)
+      assert(math.abs(est - ex) / math.max(ex, 1.0) <= 0.2,
+        s"node $node: estimated H $est vs exact $ex")
+    }
+    // top-set recall: the sketch's top-k sits inside the exact top-2k
+    val exactTop = exactH.toSeq.sortBy { case (v, h) => (-h, v) }
+      .take(2 * expect).map(_._1).toSet
+    val overlap = out.map(_._2).count(exactTop)
+    assert(overlap >= (expect * 3) / 4,
+      s"only $overlap/$expect reported nodes are in the exact top-${2 * expect}")
+  }
+
   test("q373 token bucket: a first user_id of Long.MinValue opens a fresh bucket (no sentinel aliasing)") {
     // regression: exec once used user=Long.MinValue as the 'no previous
     // user' marker, which treated a real MinValue first user as a
