@@ -397,6 +397,7 @@ object SparkEntry {
     "q380_hyperball"         -> (GraphOps.hyperball _),
     "q381_substring_cut"     -> (DedupOps.substringCut _),
     "q382_harmonic_centrality" -> (GraphOps.harmonicCentrality _),
+    "q383_kn_bigram_lm"      -> (TextOps.knBigramLm _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1058,6 +1059,7 @@ object SparkEntry {
     "q380_hyperball" -> GraphOps.hyperballOracle,
     "q381_substring_cut" -> DedupOps.substringCutOracle,
     "q382_harmonic_centrality" -> GraphOps.harmonicCentralityOracle,
+    "q383_kn_bigram_lm" -> TextOps.knBigramLmOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

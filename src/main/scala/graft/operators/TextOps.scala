@@ -1691,4 +1691,127 @@ object TextOps {
        |    / CAST(a.n_eligible AS DOUBLE), 6) AS prefix_diversity
        |FROM agg a, tot ORDER BY depth""".stripMargin
   }
+  // --- q383: Kneser-Ney bigram LM, held-out cross-entropy --------------------
+
+  /** q383 — interpolated Kneser–Ney bigram language model (Kneser & Ney
+    * 1995; Chen & Goodman 1999's standard formulation) trained on the
+    * even-doc_id half of the corpus and scored on the held-out odd
+    * half, reported as per-source cross-entropy. The CONDITIONAL-model
+    * complement to q324/q334's unigram surprisal machinery: KN's
+    * signature is the continuation count — p_cont(w₂) ∝ |{w₁ :
+    * c(w₁w₂)>0}| — which scores "glue" words by how many contexts they
+    * follow, not how often they occur, and the held-out split makes
+    * this a real generalization readout instead of training-set fit.
+    *
+    * Model (D = 3/4 exact): p(w₂|w₁) = max(c₁₂−D, 0)/c₁ +
+    * D·n1plus(w₁)/c₁ · cont(w₂)/B, algebraically ONE exact rational
+    * [max(4c₁₂−3, 0)·B + 3·n1plus·cont] / (4·c₁·B) with DECIMAL(38,0)
+    * numerator/denominator (the q362 headroom discipline — c₁₂·B
+    * passes int64 at large SF). A held-out bigram is scored iff its
+    * context w₁ was seen and its w₂ has a nonzero continuation count;
+    * others are reported as OOV mass, never ln(0).
+    *
+    * Parity: counts are exact integers; p is one pinned double
+    * division of two exact DECIMALs; ln freezes to floor(−ln(p)·10⁹)
+    * BIGINT per distinct (w₁,w₂) before the order-free sum (the
+    * q324/q131 ln discipline).
+    *
+    * Scale (100 TB): train-side counts are map-combinable vocab/bigram
+    * collapses; scoring joins the held-out bigram aggregate against
+    * the model on (w₁,w₂)/w₁/w₂ — the bigram table's natural keys, no
+    * forced broadcasts (Heaps-scaled sides shuffle); per-source rollup
+    * is enum-keyed. */
+  def knBigramLm(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        split(col("text"), " ").as("toks"))
+    def bigrams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("source"),
+        explode(expr(DedupOps.wordGramArrayExpr(2))).as("bg"))
+      .select(col("source"),
+        split(col("bg"), " ")(0).as("w1"),
+        split(col("bg"), " ")(1).as("w2"))
+    val train = bigrams(toks.filter(col("doc_id") % 2 === 0))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12")).persist()
+    val left = train.groupBy("w1").agg(sum(col("c12")).as("c1"),
+      count(lit(1)).as("n1plus"))
+    val cont = train.groupBy("w2").agg(count(lit(1)).as("cont"))
+    val bTot = train.agg(count(lit(1)).as("b_total"))
+    val ev = bigrams(toks.filter(col("doc_id") % 2 === 1))
+      .groupBy("source", "w1", "w2").agg(count(lit(1)).as("ce"))
+    val scored = ev
+      .join(left, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .join(train, Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(bTot))
+      .withColumn("in_model",
+        col("c1").isNotNull && col("cont").isNotNull)
+      .withColumn("nll_fp", when(col("in_model"), expr(
+        "CAST(floor(-ln(CAST(" +
+          "CAST(greatest(4 * coalesce(c12, 0) - 3, 0) AS DECIMAL(38,0))" +
+          " * b_total + CAST(3 AS DECIMAL(38,0)) * n1plus * cont" +
+          " AS DOUBLE) / CAST(CAST(4 AS DECIMAL(38,0)) * c1 * b_total" +
+          " AS DOUBLE)) * 1e9) AS BIGINT)")))
+    scored.groupBy("source")
+      .agg(
+        sum(when(col("in_model"), col("ce")).otherwise(0L))
+          .as("n_scored"),
+        sum(when(!col("in_model"), col("ce")).otherwise(0L))
+          .as("n_oov"),
+        // DECIMAL(38,0) weighted sum: nll_fp·ce passes int64 at large
+        // SF (the q362 headroom discipline)
+        sum(when(col("in_model"),
+            expr("CAST(nll_fp AS DECIMAL(38,0)) * ce"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("nsum"))
+      .selectExpr("source", "n_scored", "n_oov",
+        "round(CAST(nsum AS DOUBLE) / 1e9 / n_scored, 6)" +
+          " AS cross_entropy_nats",
+        "round(CAST(n_oov AS DOUBLE) / (n_scored + n_oov), 6)" +
+          " AS oov_frac")
+      .orderBy("source")
+  }
+
+  def knBigramLmOracle: String =
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+       |  FROM documents),
+       |bg AS (SELECT doc_id, source,
+       |    toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM d, unnest(range(1, len(toks))) AS t(i)),
+       |train AS (SELECT w1, w2, count(*) AS c12 FROM bg
+       |  WHERE doc_id % 2 = 0 GROUP BY w1, w2),
+       |lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+       |    count(*) AS n1plus FROM train GROUP BY w1),
+       |cnt AS (SELECT w2, count(*) AS cont FROM train GROUP BY w2),
+       |bt AS (SELECT count(*) AS b_total FROM train),
+       |ev AS (SELECT source, w1, w2, count(*) AS ce FROM bg
+       |  WHERE doc_id % 2 = 1 GROUP BY source, w1, w2),
+       |sc AS (SELECT ev.source, ev.ce,
+       |    lft.c1 IS NOT NULL AND cnt.cont IS NOT NULL AS in_model,
+       |    CASE WHEN lft.c1 IS NOT NULL AND cnt.cont IS NOT NULL THEN
+       |      CAST(floor(-ln(CAST(
+       |        CAST(greatest(4 * coalesce(train.c12, 0) - 3, 0)
+       |          AS DECIMAL(38,0)) * bt.b_total
+       |        + CAST(3 AS DECIMAL(38,0)) * lft.n1plus * cnt.cont
+       |        AS DOUBLE) / CAST(CAST(4 AS DECIMAL(38,0)) * lft.c1
+       |        * bt.b_total AS DOUBLE)) * 1e9) AS BIGINT)
+       |    END AS nll_fp
+       |  FROM ev
+       |  LEFT JOIN lft ON lft.w1 = ev.w1
+       |  LEFT JOIN cnt ON cnt.w2 = ev.w2
+       |  LEFT JOIN train ON train.w1 = ev.w1 AND train.w2 = ev.w2
+       |  CROSS JOIN bt),
+       |agg AS (SELECT source,
+       |    CAST(sum(CASE WHEN in_model THEN ce ELSE 0 END) AS BIGINT)
+       |      AS n_scored,
+       |    CAST(sum(CASE WHEN in_model THEN 0 ELSE ce END) AS BIGINT)
+       |      AS n_oov,
+       |    sum(CASE WHEN in_model
+       |      THEN CAST(nll_fp AS DECIMAL(38,0)) * ce
+       |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS nsum
+       |  FROM sc GROUP BY source)
+       |SELECT source, n_scored, n_oov,
+       |  round(CAST(nsum AS DOUBLE) / 1e9 / n_scored, 6)
+       |    AS cross_entropy_nats,
+       |  round(CAST(n_oov AS DOUBLE) / (n_scored + n_oov), 6) AS oov_frac
+       |FROM agg ORDER BY source""".stripMargin
 }

@@ -4724,6 +4724,34 @@ class PipelineOpsSpec extends AnyFunSuite {
       "exact balls reached fixpoint but converged=false")
   }
 
+  test("q383 KN bigram LM: hand-computed micro-model matches; interpolated KN sums to exactly 1 over the vocab") {
+    // train "a b a c b c": c12 = 1 for (a,b),(b,a),(a,c),(c,b),(b,c);
+    // left: a->(c1 2, n1plus 2), b->(2, 2), c->(1, 1);
+    // cont: a 1, b 2, c 2; B = 5; D = 3/4.
+    // p(b|a) = (max(4-3,0)*5 + 3*2*2)/(4*2*5) = 17/40 = 0.425
+    // p(b|b) = (0*5 + 3*2*2)/(4*2*5)          = 12/40 = 0.300 (backoff)
+    // normalization identity: p(a|a)+p(b|a)+p(c|a) = 6/40+17/40+17/40 = 1
+    assert(6.0 / 40 + 17.0 / 40 + 17.0 / 40 == 1.0)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kn").toString
+    Seq(
+      (0L, "s1", "a b a c b c"), // train (even id)
+      (1L, "s1", "a b b"),       // eval: (a,b) seen, (b,b) backoff
+      (3L, "s2", "b b x"))       // eval: (b,b) backoff, (b,x) oov
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = TextOps.knBigramLm(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def rd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val h1 = (math.floor(-math.log(17.0 / 40) * 1e9) +
+      math.floor(-math.log(12.0 / 40) * 1e9)) / 1e9 / 2
+    assert(out("s1") == (2L, 0L, rd(h1)), s"s1: ${out("s1")}")
+    val h2 = math.floor(-math.log(12.0 / 40) * 1e9) / 1e9
+    assert(out("s2") == (1L, 1L, rd(h2)), s"s2: ${out("s2")}")
+  }
+
   test("q382 harmonic centrality: estimates track exact truncated-BFS harmonic; top set overlaps the exact top") {
     val edges = GraphOps.cooccurEdges(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
