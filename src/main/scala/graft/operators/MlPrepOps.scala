@@ -79,7 +79,8 @@ object MlPrepOps {
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= BoilerMinDocs)
       .select(col("fp"), lit(true).as("is_boiler"))
-    segs.join(broadcast(boiler), Seq("fp"), "left")
+    // the boilerplate fingerprint set is corpus-scaled — unhinted
+    segs.join(boiler, Seq("fp"), "left")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_seg"),
@@ -1702,7 +1703,7 @@ object MlPrepOps {
           " AS prior_fp")
     val scores = test
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .join(broadcast(llr), Seq("tok"))
+      .join(llr, Seq("tok")) // vocab-sized model: unhinted
       .groupBy("doc_id").agg(sum(col("llr_fp")).as("sfp"))
     test.join(scores, Seq("doc_id"), "left")
       .crossJoin(broadcast(prior))
@@ -1938,7 +1939,7 @@ object MlPrepOps {
       sum(col("spos")).as("nspos"), sum(col("sneg")).as("nsneg"))
     val gTotals = global.agg(sum(col("gpos")).as("ngpos"),
       sum(col("gneg")).as("ngneg"), count(lit(1)).as("v"))
-    val excl = perSrc.join(broadcast(global), Seq("tok"))
+    val excl = perSrc.join(global, Seq("tok"))
       .filter(col("spos") + col("sneg") === col("gpos") + col("gneg"))
       .groupBy("source").agg(count(lit(1)).as("v_excl"))
     val docPrior = t(s, dir, "documents")
@@ -1951,8 +1952,8 @@ object MlPrepOps {
       sum(when(!col("pos"), 1L).otherwise(0L)).as("dgneg"))
     // score every doc's tokens under ITS source's LOO model
     val scored = toks
-      .join(broadcast(global), Seq("tok"))
-      .join(broadcast(perSrc), Seq("tok", "source"), "left")
+      .join(global, Seq("tok"))      // vocab-scaled model tables:
+      .join(perSrc, Seq("tok", "source"), "left") // unhinted (q324)
       .join(broadcast(srcTotals), Seq("source"))
       .join(broadcast(excl), Seq("source"), "left")
       .crossJoin(broadcast(gTotals))

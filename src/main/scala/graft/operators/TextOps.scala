@@ -1235,7 +1235,9 @@ object TextOps {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val tot = freq.agg(sum(col("cnt")).as("n_total"))
-    toks.join(broadcast(freq), Seq("tok"))
+    // vocab is Heaps-scaled — no forced hint: stats/AQE broadcast it
+    // while small, shuffle on the token key past that
+    toks.join(freq, Seq("tok"))
       .crossJoin(broadcast(tot))
       .withColumn("surp_fp", expr(
         "CAST(floor((-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)))" +
@@ -1550,7 +1552,7 @@ object TextOps {
         explode(split(col("text"), " ")).as("tok"))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val tot = freq.agg(sum(col("cnt")).as("n_total"))
-    val perDoc = toks.join(broadcast(freq), Seq("tok"))
+    val perDoc = toks.join(freq, Seq("tok")) // vocab: unhinted (q324)
       .crossJoin(broadcast(tot))
       .withColumn("surp_fp", expr(
         "CAST(floor((-ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)))" +

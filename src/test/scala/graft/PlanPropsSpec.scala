@@ -1910,7 +1910,8 @@ class PlanPropsSpec extends AnyFunSuite {
     * stay excused. */
   private val entityKeyName =
     ("(?i)^(.*_(id|key|hash|fp)|id|key|node|comp|user|doc|u|ua|ub|a|b|c" +
-      "|sp|src|dst|w|word|token|term|shingle|bucket|pair|url|host)$").r
+      "|sp|src|dst|w|w1|w2|word|tok|token|term|shingle|bucket|pair|fp" +
+      "|url|host)$").r
   private def isEntityKey(name: String): Boolean =
     entityKeyName.matches(name) &&
       !name.toLowerCase.contains("nation") &&
