@@ -398,6 +398,7 @@ object SparkEntry {
     "q381_substring_cut"     -> (DedupOps.substringCut _),
     "q382_harmonic_centrality" -> (GraphOps.harmonicCentrality _),
     "q383_kn_bigram_lm"      -> (TextOps.knBigramLm _),
+    "q384_random_failure"    -> (GraphOps.randomFailure _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1060,6 +1061,7 @@ object SparkEntry {
     "q381_substring_cut" -> DedupOps.substringCutOracle,
     "q382_harmonic_centrality" -> GraphOps.harmonicCentralityOracle,
     "q383_kn_bigram_lm" -> TextOps.knBigramLmOracle,
+    "q384_random_failure" -> GraphOps.randomFailureOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

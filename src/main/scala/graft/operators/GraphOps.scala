@@ -1743,16 +1743,32 @@ object GraphOps {
       val nRemove = math.ceil(f * nv.toDouble).toLong
       val e =
         if (nRemove == 0L) und.select("ua", "ub")
-        else {
-          val removed = broadcast(ranked.filter(col("rk") <= nRemove)
+        else
+          survivingEdges(und, ranked.filter(col("rk") <= nRemove)
             .select(col("u")))
-          CurationOps.cutLineage(
-            und.join(removed.select(col("u").as("ua")), Seq("ua"),
-                "left_anti")
-              .join(removed.select(col("u").as("ub")), Seq("ub"),
-                "left_anti")
-              .select("ua", "ub"))
-        }
+      survivalRow(e, f, nv - nRemove)
+    }
+    rows.reduce(_ unionAll _).orderBy("frac_removed")
+  }
+
+  /** Edges with NEITHER endpoint in the (small, broadcast) removed
+    * set — shared by q375's targeted attack and q384's random
+    * failure. */
+  private def survivingEdges(und: DataFrame, removed: DataFrame)
+      : DataFrame = {
+    val r = broadcast(removed)
+    CurationOps.cutLineage(
+      und.join(r.select(col("u").as("ua")), Seq("ua"), "left_anti")
+        .join(r.select(col("u").as("ub")), Seq("ub"), "left_anti")
+        .select("ua", "ub"))
+  }
+
+  /** One percolation-curve row: [[AttackCcRounds]] synchronous
+    * min-label rounds over the surviving edge list `e`, summarized as
+    * components / giant share / stability — the per-level machinery
+    * shared by q375 and q384. */
+  private def survivalRow(e: DataFrame, f: Double, keptNodes: Long)
+      : DataFrame = {
       val ed = e.select(col("ua").as("src"), col("ub").as("dst"))
         .unionAll(e.select(col("ub").as("src"), col("ua").as("dst")))
       var lbl = CurationOps.cutLineage(
@@ -1779,15 +1795,13 @@ object GraphOps {
         .crossJoin(e.agg(count(lit(1)).as("n_edges")))
         .crossJoin(unstable.agg((count(lit(1)) === 0L).as("stable")))
         .selectExpr(s"CAST($f AS DOUBLE) AS frac_removed",
-          s"CAST(${nv - nRemove} AS BIGINT) AS n_kept_nodes",
+          s"CAST($keptNodes AS BIGINT) AS n_kept_nodes",
           "n_edges AS n_kept_edges", "n_comp AS n_components",
           "round(CAST(giant AS DOUBLE) / CAST(n_conn AS DOUBLE), 6)" +
             " AS giant_share_connected",
-          s"round(CAST(giant AS DOUBLE) / CAST(${math.max(nv - nRemove,
+          s"round(CAST(giant AS DOUBLE) / CAST(${math.max(keptNodes,
             1L)} AS DOUBLE), 6) AS giant_share_kept",
           "stable")
-    }
-    rows.reduce(_ unionAll _).orderBy("frac_removed")
   }
 
   def attackRobustnessOracle: String = {
@@ -2227,5 +2241,109 @@ object GraphOps {
        |SELECT rnk, node, round(hraw, 6) AS harmonic,
        |  round(CAST(bf AS DOUBLE) / 1000.0, 3) AS ball_final
        |FROM rk WHERE rnk <= $HarmonicTopK ORDER BY rnk""".stripMargin
+  }
+  // --- q384: random-failure percolation --------------------------------------
+
+  /** Random-failure removal fractions — same grid as [[AttackFracs]]
+    * so the two curves compare level-for-level. */
+  val FailFracs: Seq[Double] = AttackFracs
+
+  /** q384 — RANDOM-failure percolation: remove each node independently
+    * with probability f (deterministic hash coin, so both engines and
+    * every rerun remove the same nodes) and measure what survives —
+    * the CONTROL curve to q375's degree-targeted attack. The
+    * scale-free signature (Albert, Jeong & Barabási 2000) is the
+    * CONTRAST: such graphs barely notice random failure at levels
+    * where targeted removal has already shattered them, so reading
+    * q384 against q375 at the same f separates "hub-dependent
+    * structure" from "genuinely well-connected". Per level the
+    * surviving-component summary is [[survivalRow]] — the exact
+    * machinery q375 runs, only the removal rule differs.
+    *
+    * Parity: the coin is md5-derived (fp % 1000 < f·1000 — exact
+    * integers); kept-node counts are exact; shares are pinned
+    * divisions; label rounds identical to q375's.
+    *
+    * Scale (100 TB): rides the shared co-activity artifact; the
+    * removed set is ≈ f·|V| rows behind a broadcast anti-join (the
+    * q375 fix's shape); per level the driver holds ONE scalar (the
+    * kept count — metadata-bounded). */
+  def randomFailure(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val und = cooccurEdges(s, dir)
+    val nodes = CurationOps.cutLineage(
+      und.select(col("ua").as("u"))
+        .unionAll(und.select(col("ub").as("u"))).distinct()
+        .withColumn("coin", call_function("md5_fp60",
+          concat(lit("rf:"), col("u").cast("string"))) % 1000))
+      .persist()
+    val rows = FailFracs.map { f =>
+      val thr = math.round(f * 1000).toInt
+      val removed = nodes.filter(col("coin") < thr).select(col("u"))
+      val kept = nodes.filter(col("coin") >= thr).count() // one scalar
+      val e =
+        if (thr == 0) und.select("ua", "ub")
+        else survivingEdges(und, removed)
+      survivalRow(e, f, kept)
+    }
+    rows.reduce(_ unionAll _).orderBy("frac_removed")
+  }
+
+  def randomFailureOracle: String = {
+    val coin = "CAST('0x' || substr(md5('rf:' || CAST(u AS VARCHAR))," +
+      " 1, 15) AS BIGINT) % 1000"
+    val levels = FailFracs.zipWithIndex.map { case (f, i) =>
+      val thr = math.round(f * 1000).toInt
+      val rounds = (1 to AttackCcRounds).map { r =>
+        s"""l${i}_$r AS MATERIALIZED (SELECT l.node,
+           |    least(l.lbl, coalesce(nb.nmin, l.lbl)) AS lbl
+           |  FROM l${i}_${r - 1} l LEFT JOIN (
+           |    SELECT e.src AS node, min(x.lbl) AS nmin
+           |    FROM ed$i e JOIN l${i}_${r - 1} x ON x.node = e.dst
+           |    GROUP BY e.src) nb ON nb.node = l.node)""".stripMargin
+      }.mkString(",\n")
+      val last = s"l${i}_$AttackCcRounds"
+      s"""kept$i AS (SELECT u FROM nodes WHERE coin >= $thr),
+         |e$i AS MATERIALIZED (SELECT ua, ub FROM und
+         |  WHERE ua IN (SELECT u FROM kept$i)
+         |    AND ub IN (SELECT u FROM kept$i)),
+         |ed$i AS (SELECT ua AS src, ub AS dst FROM e$i
+         |  UNION ALL SELECT ub, ua FROM e$i),
+         |l${i}_0 AS MATERIALIZED (SELECT DISTINCT src AS node,
+         |    src AS lbl FROM ed$i),
+         |$rounds,
+         |post$i AS (SELECT e.src AS node, min(x.lbl) AS nmin
+         |  FROM ed$i e JOIN $last x ON x.node = e.dst GROUP BY e.src),
+         |cp$i AS (SELECT lbl, count(*) AS sz FROM $last GROUP BY lbl),
+         |s$i AS (SELECT CAST($f AS DOUBLE) AS frac_removed,
+         |  (SELECT count(*) FROM kept$i) AS n_kept_nodes,
+         |  (SELECT count(*) FROM e$i) AS n_kept_edges,
+         |  (SELECT count(*) FROM cp$i) AS n_components,
+         |  round((SELECT CAST(max(sz) AS DOUBLE) FROM cp$i)
+         |    / (SELECT CAST(sum(sz) AS DOUBLE) FROM cp$i), 6)
+         |    AS giant_share_connected,
+         |  round((SELECT CAST(max(sz) AS DOUBLE) FROM cp$i)
+         |    / CAST(greatest((SELECT count(*) FROM kept$i), 1)
+         |      AS DOUBLE), 6) AS giant_share_kept,
+         |  (SELECT count(*) = 0 FROM $last l JOIN post$i p
+         |     ON p.node = l.node WHERE p.nmin < l.lbl) AS stable)"""
+        .stripMargin
+    }.mkString(",\n")
+    val sel = FailFracs.indices.map(i => s"SELECT * FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH c AS (SELECT event_type AS et, date_trunc('hour', ts) AS h,
+       |    user_id AS u FROM events GROUP BY 1, 2, 3),
+       |capped AS (SELECT et, h, u FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY et, h ORDER BY u) AS rn
+       |  FROM c) WHERE rn <= $CoocCellCap),
+       |und AS MATERIALIZED (SELECT a.u AS ua, b.u AS ub
+       |  FROM capped a JOIN capped b
+       |    ON a.et = b.et AND a.h = b.h AND a.u < b.u
+       |  GROUP BY 1, 2 HAVING count(*) >= $CoocMinCells),
+       |nodes AS MATERIALIZED (SELECT u, $coin AS coin FROM (
+       |  SELECT DISTINCT u FROM (SELECT ua AS u FROM und
+       |    UNION ALL SELECT ub FROM und))),
+       |$levels
+       |SELECT * FROM ($sel) ORDER BY frac_removed""".stripMargin
   }
 }

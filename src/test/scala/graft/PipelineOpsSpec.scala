@@ -4724,6 +4724,57 @@ class PipelineOpsSpec extends AnyFunSuite {
       "exact balls reached fixpoint but converged=false")
   }
 
+  test("q384 random failure: matches a driver union-find replay; random keeps >= targeted giant share at every level") {
+    val edges = GraphOps.cooccurEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    def coin(u: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rf:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(h, 16) % 1000L
+    }
+    val out = GraphOps.randomFailure(spark, dir).collect().map(r =>
+      r.getDouble(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toMap
+    def rd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (f <- GraphOps.FailFracs) {
+      val thr = math.round(f * 1000).toInt
+      val removed = nodes.filter(coin(_) < thr).toSet
+      val e = edges.filter(p => !removed(p._1) && !removed(p._2))
+      val kept = nodes.count(u => !removed(u)).toLong
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      e.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+      val conn = e.flatMap(p => Seq(p._1, p._2)).distinct
+      val sizes = conn.groupBy(find).map(_._2.size.toLong)
+      val (nComp, giant, nConn) =
+        if (sizes.isEmpty) (0L, 0L, 0L)
+        else (sizes.size.toLong, sizes.max, sizes.sum)
+      val got = out(f)
+      assert(got._1 == kept && got._2 == e.length.toLong &&
+        got._3 == nComp, s"f=$f: $got vs ($kept, ${e.length}, $nComp)")
+      if (nConn > 0) {
+        assert(got._4 == rd(giant.toDouble / nConn), s"f=$f share_conn")
+        assert(got._5 == rd(giant.toDouble / math.max(kept, 1L)),
+          s"f=$f share_kept")
+      }
+      assert(got._6, s"f=$f did not stabilize in AttackCcRounds")
+    }
+    // the Albert-Jeong-Barabási contrast: random failure never shatters
+    // MORE than the degree-targeted attack at the same level
+    val atk = GraphOps.attackRobustness(spark, dir).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(4)).toMap
+    for (f <- GraphOps.FailFracs if f > 0.0)
+      assert(out(f)._4 >= atk(f) - 1e-9,
+        s"f=$f: random ${out(f)._4} < targeted ${atk(f)}")
+  }
+
   test("q383 KN bigram LM: hand-computed micro-model matches; interpolated KN sums to exactly 1 over the vocab") {
     // train "a b a c b c": c12 = 1 for (a,b),(b,a),(a,c),(c,b),(b,c);
     // left: a->(c1 2, n1plus 2), b->(2, 2), c->(1, 1);
