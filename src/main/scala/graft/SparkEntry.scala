@@ -399,6 +399,7 @@ object SparkEntry {
     "q382_harmonic_centrality" -> (GraphOps.harmonicCentrality _),
     "q383_kn_bigram_lm"      -> (TextOps.knBigramLm _),
     "q384_random_failure"    -> (GraphOps.randomFailure _),
+    "q385_rendezvous_shards" -> (ScaleOps.rendezvousShards _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1062,6 +1063,7 @@ object SparkEntry {
     "q382_harmonic_centrality" -> GraphOps.harmonicCentralityOracle,
     "q383_kn_bigram_lm" -> TextOps.knBigramLmOracle,
     "q384_random_failure" -> GraphOps.randomFailureOracle,
+    "q385_rendezvous_shards" -> ScaleOps.rendezvousShardsOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -2385,4 +2385,127 @@ object ScaleOps {
        |LEFT JOIN mt_z mz USING (x_lo, y_lo)
        |ORDER BY x_lo, y_lo""".stripMargin
   }
+  // --- q385: rendezvous (HRW) shard assignment + rebalance audit -------------
+
+  /** Shard counts audited: the N→N+1 expansion. */
+  val HrwShards = 8
+
+  /** q385 — rendezvous / highest-random-weight sharding audit (Thaler &
+    * Ravishankar 1998; the consistent-placement scheme behind cache and
+    * object-store routing): every document goes to the shard with the
+    * highest hash(shard, doc) — no ring, no lookup table, and adding a
+    * shard moves ONLY the documents whose new-shard hash wins
+    * (expected 1/(N+1) of the corpus, and NEVER between old shards).
+    * Reports per-shard load (docs + char mass) at N and N+1, the
+    * realized rebalance fraction against the 1/(N+1) ideal, and an
+    * in-query `moved_between_old` anomaly row that must be zero — the
+    * minimal-disruption guarantee as a failing row instead of a slide
+    * claim. Complements q105's capacity shard PLAN: q105 packs known
+    * sizes; THIS is the stateless router a 100 TB serving/storage tier
+    * actually runs per key.
+    *
+    * Parity: winners are exact (hash, shard) argmaxes under a total
+    * order; counts exact; the fracs are pinned divisions.
+    *
+    * Scale (100 TB): assignment is a constant-width map (N+1 hashes
+    * per doc, one partitioned-window argmax over the doc key);
+    * rollups are enum-keyed (≤ N+1 groups); the movement audit
+    * compares the two argmaxes computed in the SAME pass — one corpus
+    * read, no joins against state. */
+  def rendezvousShards(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val n = HrwShards
+    val docs = EtlOps.t(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("bigint").as("n_chars"))
+    val cand = docs.select(col("doc_id"), col("n_chars"),
+        explode(expr(s"sequence(0, $n)")).as("shard"))
+      .withColumn("h", call_function("md5_fp60",
+        concat(lit("hrw:"), col("shard").cast("string"), lit(":"),
+          col("doc_id").cast("string"))))
+    val w8 = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("h").desc, col("shard"))
+    val picked = cand
+      .withColumn("rn9", row_number().over(w8))
+      .withColumn("rn8", when(col("shard") < n,
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(when(col("shard") < n, col("h")).desc,
+            col("shard")))))
+      .persist()
+    val a8 = picked.filter(col("shard") < n && col("rn8") === 1)
+      .select(col("doc_id"), col("n_chars"), col("shard").as("s8"))
+    val a9 = picked.filter(col("rn9") === 1)
+      .select(col("doc_id"), col("shard").as("s9"))
+    val joined = a8.join(a9, "doc_id").persist()
+    val tot = broadcast(joined.agg(count(lit(1)).as("n_total")))
+    def loads(colName: String, scope: String) = joined
+      .groupBy(col(colName).as("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .crossJoin(tot)
+      .selectExpr(s"'$scope' AS scope", "CAST(shard AS BIGINT) AS shard",
+        "n_docs", "n_chars",
+        "round(CAST(n_docs AS DOUBLE) / n_total, 6) AS frac")
+    val moved = joined.filter(col("s8") =!= col("s9"))
+    val reb = moved.filter(col("s9") === n)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"))
+      .crossJoin(tot)
+      .selectExpr("'rebalance_to_new' AS scope",
+        s"CAST($n AS BIGINT) AS shard", "n_docs", "n_chars",
+        "round(CAST(n_docs AS DOUBLE) / n_total, 6) AS frac")
+    val anom = moved.filter(col("s9") =!= n)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_chars")), lit(0L)).as("n_chars"))
+      .crossJoin(tot)
+      .selectExpr("'moved_between_old' AS scope",
+        "CAST(-1 AS BIGINT) AS shard", "n_docs", "n_chars",
+        "round(CAST(n_docs AS DOUBLE) / n_total, 6) AS frac")
+    loads("s8", s"shards_$n").unionAll(loads("s9", s"shards_${n + 1}"))
+      .unionAll(reb).unionAll(anom)
+      .orderBy("scope", "shard")
+  }
+
+  def rendezvousShardsOracle: String = {
+    val n = HrwShards
+    val h = "CAST('0x' || substr(md5('hrw:' || CAST(shard AS VARCHAR)" +
+      " || ':' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars FROM documents),
+       |cand AS (SELECT doc_id, n_chars, t.shard, $h AS h
+       |  FROM d, (SELECT unnest(range(0, ${n + 1})) AS shard) t),
+       |a9 AS (SELECT doc_id, n_chars, shard AS s9 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY h DESC, shard) AS rn FROM cand) WHERE rn = 1),
+       |a8 AS (SELECT doc_id, shard AS s8 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY h DESC, shard) AS rn FROM cand WHERE shard < $n)
+       |  WHERE rn = 1),
+       |j AS (SELECT a9.doc_id, a9.n_chars, a8.s8, a9.s9
+       |  FROM a9 JOIN a8 ON a8.doc_id = a9.doc_id),
+       |tot AS (SELECT count(*) AS n_total FROM j),
+       |l8 AS (SELECT 'shards_$n' AS scope, CAST(s8 AS BIGINT) AS shard,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |    round(CAST(count(*) AS DOUBLE) / (SELECT n_total FROM tot), 6)
+       |      AS frac
+       |  FROM j GROUP BY s8),
+       |l9 AS (SELECT 'shards_${n + 1}', CAST(s9 AS BIGINT),
+       |    CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT),
+       |    round(CAST(count(*) AS DOUBLE) / (SELECT n_total FROM tot), 6)
+       |  FROM j GROUP BY s9),
+       |reb AS (SELECT 'rebalance_to_new', CAST($n AS BIGINT),
+       |    CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum(n_chars), 0) AS BIGINT),
+       |    round(CAST(count(*) AS DOUBLE) / (SELECT n_total FROM tot), 6)
+       |  FROM j WHERE s8 <> s9 AND s9 = $n),
+       |anom AS (SELECT 'moved_between_old', CAST(-1 AS BIGINT),
+       |    CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum(n_chars), 0) AS BIGINT),
+       |    round(CAST(count(*) AS DOUBLE) / (SELECT n_total FROM tot), 6)
+       |  FROM j WHERE s8 <> s9 AND s9 <> $n)
+       |SELECT * FROM (SELECT * FROM l8 UNION ALL SELECT * FROM l9
+       |  UNION ALL SELECT * FROM reb UNION ALL SELECT * FROM anom)
+       |ORDER BY scope, shard""".stripMargin
+  }
 }

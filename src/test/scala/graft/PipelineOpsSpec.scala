@@ -4724,6 +4724,40 @@ class PipelineOpsSpec extends AnyFunSuite {
       "exact balls reached fixpoint but converged=false")
   }
 
+  test("q385 rendezvous shards: driver HRW replay matches; minimal disruption holds exactly") {
+    val n = ScaleOps.HrwShards
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS nc")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def h(shard: Int, doc: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"hrw:$shard:$doc".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def pick(doc: Long, k: Int): Int =
+      (0 until k).maxBy(s => (h(s, doc), -s))
+    val out = ScaleOps.rendezvousShards(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // per-shard loads at N match the driver replay exactly
+    val by8 = docs.groupBy(d => pick(d._1, n))
+    for ((shard, ds) <- by8)
+      assert(out((s"shards_$n", shard.toLong)) ==
+        (ds.length.toLong, ds.map(_._2).sum),
+        s"shard $shard load mismatch")
+    // minimal disruption: anomaly row is exactly zero; the moved set is
+    // exactly the docs whose N+1 winner is the NEW shard
+    assert(out(("moved_between_old", -1L))._1 == 0L,
+      "HRW moved documents between OLD shards")
+    val movedExact = docs.count(d => pick(d._1, n + 1) == n).toLong
+    assert(out(("rebalance_to_new", n.toLong))._1 == movedExact)
+    // expected ~1/(N+1) of the corpus moves; generous band for hash noise
+    val frac = movedExact.toDouble / docs.length
+    assert(frac > 0.3 / (n + 1) && frac < 3.0 / (n + 1),
+      s"rebalance fraction $frac far from 1/${n + 1}")
+  }
+
   test("q384 random failure: matches a driver union-find replay; random keeps >= targeted giant share at every level") {
     val edges = GraphOps.cooccurEdges(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
