@@ -400,6 +400,7 @@ object SparkEntry {
     "q383_kn_bigram_lm"      -> (TextOps.knBigramLm _),
     "q384_random_failure"    -> (GraphOps.randomFailure _),
     "q385_rendezvous_shards" -> (ScaleOps.rendezvousShards _),
+    "q386_srm_gate"          -> (AnalyticsOps.srmGate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1064,6 +1065,7 @@ object SparkEntry {
     "q383_kn_bigram_lm" -> TextOps.knBigramLmOracle,
     "q384_random_failure" -> GraphOps.randomFailureOracle,
     "q385_rendezvous_shards" -> ScaleOps.rendezvousShardsOracle,
+    "q386_srm_gate" -> AnalyticsOps.srmGateOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -2866,4 +2866,89 @@ object AnalyticsOps {
        |SELECT stratum, n_t, n_c, avg_t, avg_c, direction,
        |  stratum <> -1 AND direction <> pooled_dir AS reversed
        |FROM d, p ORDER BY stratum""".stripMargin
+  // --- q386: sample-ratio-mismatch (SRM) gate --------------------------------
+
+  /** Frozen chi-square (df=1) critical values — build-time literals on
+    * both engines (the q252 z-critical discipline): α = .05/.01/.001. */
+  val SrmChi2P05 = 3.841459
+  val SrmChi2P01 = 6.634897
+  val SrmChi2P001 = 10.827566
+
+  /** q386 — sample-ratio-mismatch gate: the integrity pre-test every
+    * experiment readout in this suite (q200 z-test, q260 CUPED, q284
+    * delta-method, q287 mSPRT) implicitly assumes and none of them
+    * checks — is the 50/50 hash assignment ACTUALLY 50/50 in the
+    * logged data? A biased logging/bucketing bug shifts the arm ratio,
+    * and any metric read on top is garbage regardless of its p-value
+    * (Fabijan et al. 2019's diagnosis ladder). Per experiment (event
+    * stream sliced by event_type): distinct users per arm, the df=1
+    * chi-square statistic (n_a−n_b)²/(n_a+n_b) against the frozen
+    * critical values, and a severity verdict. One experiment is
+    * PLANTED broken — 'purchase' drops a third of arm-1 users (a
+    * simulated one-arm logging failure) — so the gate's firing is part
+    * of the oracle-checked output, not a slide claim.
+    *
+    * Parity: arm assignment is an exact md5 coin; counts exact; the
+    * squared deviation goes through DECIMAL(38,0) ((n_a−n_b)² passes
+    * int64 at corpus user counts) with ONE pinned double division;
+    * thresholds are literals.
+    *
+    * Scale (100 TB): one distinct (experiment, user, arm) collapse
+    * (map-combinable) and an enum-keyed rollup; the gate costs one
+    * pass regardless of experiment count. */
+  def srmGate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val units = EtlOps.events(s, dir)
+      .select(col("event_type").as("experiment"), col("user_id").as("u"))
+      .distinct()
+      .withColumn("arm", call_function("md5_fp60",
+        concat(lit("exp:"), col("u").cast("string"))) % 2)
+      // planted one-arm logging failure: 'purchase' silently loses a
+      // third of arm-1 users
+      .filter(!(col("experiment") === "purchase" && col("arm") === 1 &&
+        col("u") % 3 === 0))
+    units.groupBy("experiment")
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"))
+      .selectExpr("experiment", "n_a", "n_b",
+        "round(CAST(CAST(n_a - n_b AS DECIMAL(38,0))" +
+          " * CAST(n_a - n_b AS DECIMAL(38,0)) AS DOUBLE)" +
+          " / CAST(n_a + n_b AS DOUBLE), 6) AS chi2",
+        s"CASE WHEN CAST(CAST(n_a - n_b AS DECIMAL(38,0))" +
+          s" * CAST(n_a - n_b AS DECIMAL(38,0)) AS DOUBLE)" +
+          s" / CAST(n_a + n_b AS DOUBLE) >= $SrmChi2P001 THEN 'p001'" +
+          s" WHEN CAST(CAST(n_a - n_b AS DECIMAL(38,0))" +
+          s" * CAST(n_a - n_b AS DECIMAL(38,0)) AS DOUBLE)" +
+          s" / CAST(n_a + n_b AS DOUBLE) >= $SrmChi2P01 THEN 'p01'" +
+          s" WHEN CAST(CAST(n_a - n_b AS DECIMAL(38,0))" +
+          s" * CAST(n_a - n_b AS DECIMAL(38,0)) AS DOUBLE)" +
+          s" / CAST(n_a + n_b AS DOUBLE) >= $SrmChi2P05 THEN 'p05'" +
+          s" ELSE 'ok' END AS srm_verdict")
+      .orderBy("experiment")
+  }
+
+  def srmGateOracle: String = {
+    val coin = "CAST('0x' || substr(md5('exp:' || CAST(u AS VARCHAR))," +
+      " 1, 15) AS BIGINT) % 2"
+    val chi = "CAST(CAST(n_a - n_b AS DECIMAL(38,0))" +
+      " * CAST(n_a - n_b AS DECIMAL(38,0)) AS DOUBLE)" +
+      " / CAST(n_a + n_b AS DOUBLE)"
+    s"""WITH units AS (SELECT experiment, u, $coin AS arm FROM (
+       |  SELECT DISTINCT event_type AS experiment, user_id AS u
+       |  FROM events)),
+       |kept AS (SELECT * FROM units
+       |  WHERE NOT (experiment = 'purchase' AND arm = 1 AND u % 3 = 0)),
+       |agg AS (SELECT experiment,
+       |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_a,
+       |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_b
+       |  FROM kept GROUP BY experiment)
+       |SELECT experiment, n_a, n_b, round($chi, 6) AS chi2,
+       |  CASE WHEN $chi >= $SrmChi2P001 THEN 'p001'
+       |       WHEN $chi >= $SrmChi2P01 THEN 'p01'
+       |       WHEN $chi >= $SrmChi2P05 THEN 'p05'
+       |       ELSE 'ok' END AS srm_verdict
+       |FROM agg ORDER BY experiment""".stripMargin
+  }
 }
