@@ -439,17 +439,66 @@ object SimilarityOps {
     * queries — the retrieval granularity between single-vector ANN
     * (q34/q35) and exact all-pairs (q33).
     *
-    * Parity: each pairwise cosine is the fixed 64-term chain; MAX is
-    * an exact comparison; the per-query-vector maxima are frozen to
-    * floor(cos·10⁹) BIGINT before the order-free score sum.
+    * Candidate generation is the q35 random-hyperplane LSH bucket
+    * (`lsh_sig`, identical planes): a (query-vector, doc-vector) pair
+    * is scored only when the two vectors share a bucket, so each
+    * per-query-vector MAX ranges over that vector's bucket candidates
+    * and a (q_label, d_label) row exists only when ≥1 query vector
+    * found ≥1 candidate of that doc label. The max/sum MaxSim algebra
+    * downstream is byte-identical to the exact form
+    * ([[maxSimRetrievalExact]], now spec-only) — the PipelineOpsSpec
+    * recall gate pins that top-1 retrieval per query survives banding
+    * on the fixture.
     *
-    * Scale (100 TB): the fixture runs the exact form (queries are a
-    * tiny broadcast set; the pair stream is |Q|·|corpus|, one scan
-    * shape). The production path swaps the exact pair stream for
-    * q35/q43's LSH/IVF candidates per query vector — the max/sum
-    * algebra downstream is UNCHANGED, which is the point of pinning
-    * it here against an exact oracle. */
+    * Parity: the oracle replays the SAME plane signature (integer
+    * literals over 2³¹, [[VecSql.lshSig]]), bucket equi-join, fixed
+    * 64-term cosine chain, exact MAX, and floor(cos·10⁹) BIGINT
+    * freeze before the order-free score sum — candidate-set parity,
+    * not just value parity.
+    *
+    * Scale (100 TB): no broadcast, no cross join — both sides of the
+    * candidate join are corpus-scaled and shuffle on `bucket`
+    * (candidate volume is Σ_b |Q_b|·|C_b|, bucket-local, not
+    * |Q|·|corpus|); the two aggregations are map-combinable. This is
+    * the q30/q33 demotion playbook applied to the last exact pair
+    * stream that was on the production surface. */
   def maxSimRetrieval(s: SparkSession, dir: String): DataFrame = {
+    VectorFunctions.register(s)
+    val v = EtlOps.t(s, dir, "embeddings")
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
+      .selectExpr("vec_id", "label", "emb",
+        "sqrt(dot_product(emb, emb)) AS norm", "lsh_sig(emb) AS bucket")
+    val q = v.filter(col("label").isin(MaxSimQueryLabels: _*))
+      .select(col("label").as("q_label"), col("vec_id").as("q_vec"),
+        col("emb").as("emb_q"), col("norm").as("norm_q"), col("bucket"))
+    val pairs = q.join(
+        v.select(col("label").as("d_label"), col("emb").as("emb_d"),
+          col("norm").as("norm_d"), col("bucket")), Seq("bucket"))
+      .selectExpr("q_label", "q_vec", "d_label",
+        "dot_product(emb_q, emb_d) / (norm_q * norm_d) AS cos")
+    val perVec = pairs.groupBy("q_label", "q_vec", "d_label")
+      .agg(max(col("cos")).as("best"))
+      .withColumn("best_fp", floor(col("best") * 1e9).cast("bigint"))
+    val w = Window.partitionBy("q_label")
+      .orderBy(col("score_fp").desc, col("d_label"))
+    perVec.groupBy("q_label", "d_label")
+      .agg(count(lit(1)).as("n_qvecs"), sum(col("best_fp")).as("score_fp"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .select(col("q_label"), col("rank"), col("d_label"), col("n_qvecs"),
+        col("score_fp"))
+      .orderBy("q_label", "rank")
+  }
+
+  /** SPEC-ONLY exact all-pairs MaxSim verifier — the same demotion as
+    * [[embeddingNearDupAllPairs]] / `DedupOps.ngramJaccardAllPairs`:
+    * `broadcast(q).crossJoin(corpus)` where q is a corpus-derived label
+    * subset is ground truth at fixture scale and a scale-killer at any
+    * real corpus size (|Q|·|corpus| pair rows AND a corpus-scaled
+    * broadcast). It lives ONLY behind the PipelineOpsSpec driver
+    * reference + the q183 recall gate and never on the query or bench
+    * surface. */
+  def maxSimRetrievalExact(s: SparkSession, dir: String): DataFrame = {
     val v = EtlOps.t(s, dir, "embeddings")
       .selectExpr("vec_id", "label",
         "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb")
@@ -482,13 +531,15 @@ object SimilarityOps {
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),
        |n AS (SELECT vec_id, label, emb,
-       |    sqrt(${VecSql.dot("emb", "emb", spark = false)}) AS norm FROM v),
+       |    sqrt(${VecSql.dot("emb", "emb", spark = false)}) AS norm,
+       |    (${VecSql.lshSig("emb", AnnPlanes, spark = false)}) AS bucket
+       |  FROM v),
        |q AS (SELECT label AS q_label, vec_id AS q_vec, emb AS emb_q,
-       |    norm AS norm_q FROM n WHERE label IN ($labels)),
+       |    norm AS norm_q, bucket FROM n WHERE label IN ($labels)),
        |p AS (SELECT q.q_label, q.q_vec, d.label AS d_label,
        |    (${VecSql.dot("q.emb_q", "d.emb", spark = false)}) /
        |      (q.norm_q * d.norm) AS cos
-       |  FROM q CROSS JOIN n d),
+       |  FROM q JOIN n d ON q.bucket = d.bucket),
        |pv AS (SELECT q_label, q_vec, d_label,
        |    CAST(floor(max(cos) * 1e9) AS BIGINT) AS best_fp
        |  FROM p GROUP BY q_label, q_vec, d_label),

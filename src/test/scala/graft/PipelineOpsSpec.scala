@@ -631,8 +631,8 @@ class PipelineOpsSpec extends AnyFunSuite {
       "d=8 ranking identical to full — audit exercises nothing")
   }
 
-  test("q183 maxsim matches a driver-side late-interaction reference") {
-    val got = SimilarityOps.maxSimRetrieval(spark, dir).collect()
+  test("q183 exact maxsim (spec-only) matches a driver-side late-interaction reference") {
+    val got = SimilarityOps.maxSimRetrievalExact(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
         r.getLong(4)))
     assert(got.nonEmpty)
@@ -666,6 +666,42 @@ class PipelineOpsSpec extends AnyFunSuite {
       // (its vectors match themselves at cos = 1)
       assert(rows.find(_._2 == 1L).get._3 == ql,
         s"query $ql does not retrieve itself first")
+    }
+  }
+
+  test("q183 bucketed maxsim: recall gate vs the exact spec-only form") {
+    // (q_label, rank, d_label, n_qvecs, score_fp)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getLong(4)))
+    val banded = rows(SimilarityOps.maxSimRetrieval(spark, dir))
+    val exact = rows(SimilarityOps.maxSimRetrievalExact(spark, dir))
+    assert(banded.nonEmpty)
+    val exactByQ = exact.groupBy(_._1)
+    SimilarityOps.MaxSimQueryLabels.foreach { ql =>
+      val b = banded.filter(_._1 == ql)
+      val e = exactByQ(ql)
+      // top-1 retrieval survives banding: every query vector shares a
+      // bucket with itself (cos = 1), so the self label still dominates
+      assert(b.find(_._2 == 1L).get._3 == e.find(_._2 == 1L).get._3,
+        s"query $ql: banding changed the top-1 retrieved label")
+      assert(b.find(_._2 == 1L).get._3 == ql,
+        s"query $ql does not retrieve itself first under banding")
+      // candidate restriction only shrinks the evidence: per doc label,
+      // the banded MAX ranges over a bucket-candidate SUBSET, so each
+      // per-query-vector best_fp <= the exact best_fp — and n_qvecs
+      // counts only query vectors that found >=1 candidate
+      val eN = e.map(r => r._3 -> r._4).toMap
+      b.foreach { case (_, _, dl, nq, _) =>
+        assert(nq <= eN(dl),
+          s"query $ql doc $dl: banded n_qvecs $nq exceeds exact ${eN(dl)}")
+      }
+      // measured recall on the fixture: banding keeps >= 2 of the exact
+      // top-3 doc labels in its own top-3 (self + at least one neighbor)
+      val bTop3 = b.filter(_._2 <= 3L).map(_._3).toSet
+      val eTop3 = e.filter(_._2 <= 3L).map(_._3).toSet
+      assert(bTop3.intersect(eTop3).size >= 2,
+        s"query $ql: banded top-3 $bTop3 lost the exact top-3 $eTop3")
     }
   }
 

@@ -601,14 +601,17 @@ class PlanPropsSpec extends AnyFunSuite {
       s"child keys not pre-collapsed:\n${p.take(1800)}")
   }
 
-  test("maxsim: query vector set broadcasts; no sort-merge join anywhere") {
+  test("maxsim: candidate join is a bucket equi-join — no cross join, no corpus broadcast") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val p = try plan(SimilarityOps.maxSimRetrieval(spark, dir))
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"query set not broadcast:\n${p.take(1800)}")
-    assert(!p.contains("SortMergeJoin"),
-      s"pair stream sort-merged:\n${p.take(1800)}")
+    // the r12 scale-killer shape is gone: no |Q|x|corpus| pair stream
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"exact pair stream back on the production surface:\n${p.take(1800)}")
+    // candidates come from the LSH bucket equi-join
+    assert(p.contains("bucket"),
+      s"candidate join lost its bucket key:\n${p.take(1800)}")
   }
 
   test("freshness streaks: calendar spine is generated, bounds broadcast") {
@@ -2142,9 +2145,6 @@ class PlanPropsSpec extends AnyFunSuite {
       " -> <=1001 rows at every SF"),
     "q131_dsir_weights" -> ("broadcast(model): b = hash % DsirBuckets," +
       " a FIXED 1024-row model grid"),
-    "q183_maxsim_retrieval" -> ("documented fixture-exact form: the" +
-      " 2-label query side is tiny on the fixture; the production path" +
-      " swaps the exact pair stream for LSH/IVF candidates (scaladoc)"),
     "q197_watermark_audit" -> ("broadcast(prev): bucket =" +
       " floor(arrival/WmBucket), calendar-span/width grid"),
     "q201_pareto_frontier" -> ("broadcast(bmax-derived prev): bucket =" +
