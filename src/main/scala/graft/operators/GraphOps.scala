@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph computation on DataFrames: fixed-iteration PageRank
@@ -1724,12 +1724,14 @@ object GraphOps {
     * the one share division is pinned.
     *
     * Scale (100 TB): the capped co-activity edge list is built ONCE
-    * and cached; each attack level anti-joins it against a broadcast
-    * REMOVED-node set (⌈f·|V|⌉ rows — the small side by construction;
-    * the f=0 level skips the join entirely) and runs label rounds on
-    * |V'|-sized frames with per-round lineage cuts. The degree rank is
-    * [[ScaleOps.withGlobalRank]] (range-partition + per-partition
-    * offsets), never a single-task global window. */
+    * and cached; removal levels are NESTED, so all of them run in ONE
+    * [[survivalCurve]] pass — each node carries its highest survived
+    * level, edges explode to (level, edge) rows (the row volume the
+    * per-level union already paid), and the label rounds run once over
+    * the (level, node) key: `rounds` shuffles instead of
+    * levels×rounds. The degree rank is [[ScaleOps.withGlobalRank]]
+    * (range-partition + per-partition offsets), never a single-task
+    * global window. */
   def attackRobustness(s: SparkSession, dir: String): DataFrame = {
     val und = cooccurEdges(s, dir) // already a shared checkpoint artifact
     val deg = und.select(col("ua").as("u"))
@@ -1739,69 +1741,92 @@ object GraphOps {
       ScaleOps.withGlobalRank(deg, "rk", col("deg").desc, col("u")))
       .persist()
     val nv = ranked.count()
-    val rows = AttackFracs.map { f =>
-      val nRemove = math.ceil(f * nv.toDouble).toLong
-      val e =
-        if (nRemove == 0L) und.select("ua", "ub")
-        else
-          survivingEdges(und, ranked.filter(col("rk") <= nRemove)
-            .select(col("u")))
-      survivalRow(e, f, nv - nRemove)
+    val nRemoves = AttackFracs.map(f => math.ceil(f * nv.toDouble).toLong)
+    // removal sets are NESTED (fracs ascend), so a node's survival
+    // across all levels is ONE integer: the last level whose removed-set
+    // size its degree rank still exceeds
+    var ml: Column = lit(0)
+    for (i <- 1 until AttackFracs.size)
+      ml = when(col("rk") > nRemoves(i), lit(i)).otherwise(ml)
+    val nodeMax = ranked.select(col("u"), ml.as("max_lvl"))
+    val levels = AttackFracs.zipWithIndex.map { case (f, i) =>
+      (i, f, nv - nRemoves(i)) }
+    val out = survivalCurve(und, nodeMax, levels)
+    ranked.unpersist()
+    out
+  }
+
+  /** Level-batched percolation curve shared by q375's targeted attack
+    * and q384's random failure. Both removal rules are NESTED across
+    * levels, so `nodeMaxLvl` carries each node's highest survived level
+    * and an edge survives levels 0..min(endpoint max levels): the edge
+    * stream is exploded once to (level, edge) rows — the same total row
+    * volume the per-level union paid — and the [[AttackCcRounds]]
+    * synchronous min-label rounds run ONCE over a (level, node)-keyed
+    * frame: 1 join per round instead of |levels| joins, one lineage-cut
+    * chain instead of |levels| chains (the r12 form ran
+    * |levels|×rounds ≈ 32 tiny eager jobs; this runs `rounds`).
+    *
+    * `levels` = (level id, removal fraction, kept-node count — the one
+    * metadata scalar per level the driver holds). */
+  private def survivalCurve(und: DataFrame, nodeMaxLvl: DataFrame,
+      levels: Seq[(Int, Double, Long)]): DataFrame = {
+    val e = und
+      .join(nodeMaxLvl.select(col("u").as("ua"), col("max_lvl").as("la")),
+        Seq("ua"))
+      .join(nodeMaxLvl.select(col("u").as("ub"), col("max_lvl").as("lb")),
+        Seq("ub"))
+      .select(col("ua"), col("ub"), least(col("la"), col("lb")).as("mx"))
+    val eLvl = CurationOps.cutLineage(
+      e.select(explode(sequence(lit(0), col("mx"))).as("level"),
+        col("ua"), col("ub")))
+    val ed = eLvl.select(col("level"), col("ua").as("src"),
+        col("ub").as("dst"))
+      .unionAll(eLvl.select(col("level"), col("ub").as("src"),
+        col("ua").as("dst")))
+    var lbl = CurationOps.cutLineage(
+      ed.select(col("level"), col("src").as("node")).distinct()
+        .select(col("level"), col("node"), col("node").as("lbl")))
+    for (_ <- 1 to AttackCcRounds) {
+      val nb = ed.join(lbl.select(col("level"), col("node").as("dst"),
+          col("lbl").as("nl")), Seq("level", "dst"))
+        .groupBy(col("level"), col("src").as("node"))
+        .agg(min("nl").as("nmin"))
+      lbl = CurationOps.cutLineage(
+        lbl.join(nb, Seq("level", "node"), "left")
+          .select(col("level"), col("node"),
+            least(col("lbl"), coalesce(col("nmin"), col("lbl")))
+              .as("lbl")))
     }
-    rows.reduce(_ unionAll _).orderBy("frac_removed")
-  }
-
-  /** Edges with NEITHER endpoint in the (small, broadcast) removed
-    * set — shared by q375's targeted attack and q384's random
-    * failure. */
-  private def survivingEdges(und: DataFrame, removed: DataFrame)
-      : DataFrame = {
-    val r = broadcast(removed)
-    CurationOps.cutLineage(
-      und.join(r.select(col("u").as("ua")), Seq("ua"), "left_anti")
-        .join(r.select(col("u").as("ub")), Seq("ub"), "left_anti")
-        .select("ua", "ub"))
-  }
-
-  /** One percolation-curve row: [[AttackCcRounds]] synchronous
-    * min-label rounds over the surviving edge list `e`, summarized as
-    * components / giant share / stability — the per-level machinery
-    * shared by q375 and q384. */
-  private def survivalRow(e: DataFrame, f: Double, keptNodes: Long)
-      : DataFrame = {
-      val ed = e.select(col("ua").as("src"), col("ub").as("dst"))
-        .unionAll(e.select(col("ub").as("src"), col("ua").as("dst")))
-      var lbl = CurationOps.cutLineage(
-        ed.select(col("src").as("node")).distinct()
-          .select(col("node"), col("node").as("lbl")))
-      for (_ <- 1 to AttackCcRounds) {
-        val nb = ed.join(lbl.select(col("node").as("dst"),
-            col("lbl").as("nl")), Seq("dst"))
-          .groupBy(col("src").as("node")).agg(min("nl").as("nmin"))
-        lbl = CurationOps.cutLineage(
-          lbl.join(nb, Seq("node"), "left")
-            .select(col("node"),
-              least(col("lbl"), coalesce(col("nmin"), col("lbl")))
-                .as("lbl")))
-      }
-      val post = ed.join(lbl.select(col("node").as("dst"),
-          col("lbl").as("nl")), Seq("dst"))
-        .groupBy(col("src").as("node")).agg(min("nl").as("nmin"))
-      val unstable = lbl.join(post, Seq("node"))
-        .filter(col("nmin") < col("lbl"))
-      val comps = lbl.groupBy("lbl").agg(count(lit(1)).as("sz"))
-      comps.agg(count(lit(1)).as("n_comp"), max("sz").as("giant"),
-          sum("sz").as("n_conn"))
-        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
-        .crossJoin(unstable.agg((count(lit(1)) === 0L).as("stable")))
-        .selectExpr(s"CAST($f AS DOUBLE) AS frac_removed",
-          s"CAST($keptNodes AS BIGINT) AS n_kept_nodes",
-          "n_edges AS n_kept_edges", "n_comp AS n_components",
-          "round(CAST(giant AS DOUBLE) / CAST(n_conn AS DOUBLE), 6)" +
-            " AS giant_share_connected",
-          s"round(CAST(giant AS DOUBLE) / CAST(${math.max(keptNodes,
-            1L)} AS DOUBLE), 6) AS giant_share_kept",
-          "stable")
+    val post = ed.join(lbl.select(col("level"), col("node").as("dst"),
+        col("lbl").as("nl")), Seq("level", "dst"))
+      .groupBy(col("level"), col("src").as("node"))
+      .agg(min("nl").as("nmin"))
+    val unstable = lbl.join(post, Seq("level", "node"))
+      .filter(col("nmin") < col("lbl"))
+      .groupBy("level").agg(count(lit(1)).as("n_unstable"))
+    val compAgg = lbl.groupBy("level", "lbl").agg(count(lit(1)).as("sz"))
+      .groupBy("level").agg(count(lit(1)).as("n_comp"),
+        max("sz").as("giant"), sum("sz").as("n_conn"))
+    val eAgg = eLvl.groupBy("level").agg(count(lit(1)).as("n_edges"))
+    // |levels| literal rows — a LocalRelation, broadcast by stats
+    val grid = und.sparkSession.createDataFrame(levels)
+      .toDF("level", "frac_removed", "n_kept_nodes")
+    grid.join(compAgg, Seq("level"), "left")
+      .join(eAgg, Seq("level"), "left")
+      .join(unstable, Seq("level"), "left")
+      .selectExpr(
+        "CAST(frac_removed AS DOUBLE) AS frac_removed",
+        "CAST(n_kept_nodes AS BIGINT) AS n_kept_nodes",
+        "CAST(coalesce(n_edges, 0) AS BIGINT) AS n_kept_edges",
+        "CAST(coalesce(n_comp, 0) AS BIGINT) AS n_components",
+        "round(CAST(giant AS DOUBLE) / CAST(n_conn AS DOUBLE), 6)" +
+          " AS giant_share_connected",
+        "round(CAST(giant AS DOUBLE)" +
+          " / CAST(greatest(n_kept_nodes, 1) AS DOUBLE), 6)" +
+          " AS giant_share_kept",
+        "coalesce(n_unstable, 0) = 0 AS stable")
+      .orderBy("frac_removed")
   }
 
   def attackRobustnessOracle: String = {
@@ -2256,18 +2281,18 @@ object GraphOps {
     * CONTRAST: such graphs barely notice random failure at levels
     * where targeted removal has already shattered them, so reading
     * q384 against q375 at the same f separates "hub-dependent
-    * structure" from "genuinely well-connected". Per level the
-    * surviving-component summary is [[survivalRow]] — the exact
-    * machinery q375 runs, only the removal rule differs.
+    * structure" from "genuinely well-connected". The curve is
+    * [[survivalCurve]] — the exact level-batched machinery q375 runs,
+    * only the removal rule differs.
     *
     * Parity: the coin is md5-derived (fp % 1000 < f·1000 — exact
     * integers); kept-node counts are exact; shares are pinned
     * divisions; label rounds identical to q375's.
     *
-    * Scale (100 TB): rides the shared co-activity artifact; the
-    * removed set is ≈ f·|V| rows behind a broadcast anti-join (the
-    * q375 fix's shape); per level the driver holds ONE scalar (the
-    * kept count — metadata-bounded). */
+    * Scale (100 TB): rides the shared co-activity artifact; coin
+    * thresholds are nested like q375's ranks, so all levels batch into
+    * the one (level, node)-keyed pass; the driver holds ONE metadata
+    * row (kept count per threshold). */
   def randomFailure(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val und = cooccurEdges(s, dir)
@@ -2277,16 +2302,22 @@ object GraphOps {
         .withColumn("coin", call_function("md5_fp60",
           concat(lit("rf:"), col("u").cast("string"))) % 1000))
       .persist()
-    val rows = FailFracs.map { f =>
-      val thr = math.round(f * 1000).toInt
-      val removed = nodes.filter(col("coin") < thr).select(col("u"))
-      val kept = nodes.filter(col("coin") >= thr).count() // one scalar
-      val e =
-        if (thr == 0) und.select("ua", "ub")
-        else survivingEdges(und, removed)
-      survivalRow(e, f, kept)
-    }
-    rows.reduce(_ unionAll _).orderBy("frac_removed")
+    val thrs = FailFracs.map(f => math.round(f * 1000).toInt)
+    // ONE metadata row: the kept-node count at every threshold
+    val keptExprs = thrs.map(t =>
+      sum(when(col("coin") >= t, 1L).otherwise(0L)))
+    val keptRow = nodes.agg(keptExprs.head, keptExprs.tail: _*).head()
+    // coin thresholds ascend, so the removal sets are NESTED — same
+    // one-integer survival encoding as q375's rank
+    var ml: Column = lit(0)
+    for (i <- 1 until FailFracs.size)
+      ml = when(col("coin") >= thrs(i), lit(i)).otherwise(ml)
+    val nodeMax = nodes.select(col("u"), ml.as("max_lvl"))
+    val levels = FailFracs.zipWithIndex.map { case (f, i) =>
+      (i, f, keptRow.getLong(i)) }
+    val out = survivalCurve(und, nodeMax, levels)
+    nodes.unpersist()
+    out
   }
 
   def randomFailureOracle: String = {
