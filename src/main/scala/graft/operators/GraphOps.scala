@@ -958,8 +958,23 @@ object GraphOps {
   private val coocShared =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Memo access for JVM-lifetime shared artifacts keyed by (session,
+    * fixture dir). Assumes fixture dirs are IMMUTABLE within a session
+    * (the testdata contract — the driver never rewrites a sf dir while
+    * a suite runs against it). Entries whose session has stopped are
+    * evicted on every access, so the map is bounded by the live-session
+    * count and stopped sessions don't pin checkpoint blocks. Concurrent
+    * first access may build the artifact twice — benign: both values
+    * are checkpoints of the same deterministic plan, last write wins. */
+  private def memoShared[V](
+      map: scala.collection.concurrent.TrieMap[(SparkSession, String), V],
+      s: SparkSession, dir: String)(build: => V): V = {
+    map.keys.filter(_._1.sparkContext.isStopped).foreach(map.remove)
+    map.getOrElseUpdate((s, dir), build)
+  }
+
   private[graft] def cooccurEdges(s: SparkSession, dir: String): DataFrame =
-    coocShared.getOrElseUpdate((s, dir),
+    memoShared(coocShared, s, dir)(
       CurationOps.cutLineage(cooccurEdgesBuild(s, dir)))
 
   /** The co-activity edge list (ua < ub) — exposed so the spec can
@@ -1990,8 +2005,11 @@ object GraphOps {
 
   /** Synchronous HyperBall rounds — the ball radius the curve reaches;
     * the per-round `converged` flag reports honestly whether the
-    * registers were still growing at the budget. */
-  val HyperBallRounds = 3
+    * registers were still growing at the budget. 4 rounds CONVERGES on
+    * the sf0.1 co-activity graph (round 3 left 4 nodes changing, round
+    * 4 zero), so the final-round reach_frac is an effective-diameter
+    * reading, not a budget truncation. */
+  val HyperBallRounds = 4
 
   /** q380 — HyperBall / ANF neighborhood function (Boldi & Vigna 2013,
     * "In-core computation of geometric centralities with HyperBall";
@@ -2023,42 +2041,49 @@ object GraphOps {
     * (the q338 discipline). The exact-BFS audit lives in the spec
     * only; production pays sketch cost. */
   /** The HyperBall register generations regs_0..regs_R (per-node
-    * m-register ARRAYS, one hop of max-merge growth per round) — shared
-    * by q380's curve and q382's harmonic centrality so both read the
-    * SAME sketch stream. Array state + native hll_merge_agg is the
+    * m-register ARRAYS, one hop of max-merge growth per round) —
+    * memoized per (session, fixture dir) like [[cooccurEdges]], so
+    * q380's curve and q382's harmonic centrality read the SAME
+    * checkpointed sketch stream and the rounds run once per suite. Array state + native hll_merge_agg is the
     * measured 9× plan over the relational (node, bkt, r) join form
     * (which fans the edge⋈register join out to |E|·m rows per round);
     * the oracles keep the relational GROUP BY (node, bkt) → max(r)
     * rebuild — same merge law, identical registers (q224 discipline). */
+  private val hbShared = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Long, IndexedSeq[DataFrame])]
+
   private[graft] def hbRounds(s: SparkSession, dir: String)
-      : (Long, IndexedSeq[DataFrame]) = {
-    graft.functions.VectorFunctions.register(s)
-    val m = ProfileOps.HllM
-    val und = cooccurEdges(s, dir)
-    val ed = und.select(col("ua").as("src"), col("ub").as("dst"))
-      .unionAll(und.select(col("ub").as("src"), col("ua").as("dst")))
-      .persist()
-    var regs = CurationOps.cutLineage(
-      ed.select(col("src").as("node")).distinct()
-        .withColumn("h", call_function("md5_fp60",
-          concat(lit("hb:"), col("node").cast("string"))))
-        .withColumn("bkt", col("h") % m)
-        .withColumn("rnk", expr(ProfileOps.hllRankSql("h")).cast("long"))
-        .groupBy("node")
-        .agg(expr(s"hll_agg(array(bkt, rnk), $m)").as("regs")))
-    val nNodes = regs.count()
-    val gens = scala.collection.mutable.Buffer[DataFrame](regs)
-    for (_ <- 1 to HyperBallRounds) {
-      val nb = ed.join(regs.select(col("node").as("dst"), col("regs")),
-          Seq("dst"))
-        .select(col("src").as("node"), col("regs"))
-      regs = CurationOps.cutLineage(
-        regs.unionAll(nb).groupBy("node")
-          .agg(expr(s"hll_merge_agg(regs, $m)").as("regs")))
-      gens += regs
+      : (Long, IndexedSeq[DataFrame]) =
+    memoShared(hbShared, s, dir) {
+      graft.functions.VectorFunctions.register(s)
+      val m = ProfileOps.HllM
+      val und = cooccurEdges(s, dir)
+      val ed = und.select(col("ua").as("src"), col("ub").as("dst"))
+        .unionAll(und.select(col("ub").as("src"), col("ua").as("dst")))
+        .persist()
+      var regs = CurationOps.cutLineage(
+        ed.select(col("src").as("node")).distinct()
+          .withColumn("h", call_function("md5_fp60",
+            concat(lit("hb:"), col("node").cast("string"))))
+          .withColumn("bkt", col("h") % m)
+          .withColumn("rnk", expr(ProfileOps.hllRankSql("h")).cast("long"))
+          .groupBy("node")
+          .agg(expr(s"hll_agg(array(bkt, rnk), $m)").as("regs")))
+      val nNodes = regs.count()
+      val gens = scala.collection.mutable.Buffer[DataFrame](regs)
+      for (_ <- 1 to HyperBallRounds) {
+        val nb = ed.join(regs.select(col("node").as("dst"), col("regs")),
+            Seq("dst"))
+          .select(col("src").as("node"), col("regs"))
+        regs = CurationOps.cutLineage(
+          regs.unionAll(nb).groupBy("node")
+            .agg(expr(s"hll_merge_agg(regs, $m)").as("regs")))
+        gens += regs
+      }
+      // every generation is checkpointed — the edge cache is done
+      ed.unpersist()
+      (nNodes, gens.toIndexedSeq)
     }
-    (nNodes, gens.toIndexedSeq)
-  }
 
   /** Per-node ball-size estimate from a register-array generation,
     * frozen to floor(est·10³) BIGINT (column `bfp`). */
