@@ -3342,25 +3342,11 @@ object DedupOps {
   private[graft] def substringDupMassOf(corpus: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val W = SubstrW
-    val win = corpus
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= W) // Spark sequence() would reverse
-      .select(col("doc_id"),
-        explode(expr(s"sequence(0, size(toks) - $W)")).as("pos"),
-        col("toks"))
-      .select(col("doc_id"), col("pos").cast("bigint").as("pos"),
-        TextOps.md5Fingerprint60(
-          expr(s"array_join(slice(toks, pos + 1, $W), ' ')")).as("fp"))
-    val wCap = Window.partitionBy("fp").orderBy("doc_id", "pos")
-    val w2 = win.withColumn("rn", row_number().over(wCap))
-      .filter(col("rn") <= SubstrOccCap).drop("rn")
-    val pairs = w2.select(col("fp"), col("doc_id").as("da"),
-        col("pos").as("pa"))
-      .join(w2.select(col("fp"), col("doc_id").as("db"),
-        col("pos").as("pb")), "fp")
-      .filter(col("da") < col("db"))
-      .select("da", "db", "pa", "pb") // (pa, pb) unique per pair: one fp per (doc, pos)
-      .persist()
+    // the SAME capped pair stream q381's cut plan consumes — the "cuts
+    // EXACTLY what the audit reported" guarantee is structural, not a
+    // maintained-by-hand duplicate
+    val pairs = substringPairs(corpus)
+      .persist() // (pa, pb) unique per pair: one fp per (doc, pos)
     val wP = Window.partitionBy("da", "db").orderBy("pa")
     val mass = pairs.select("da", "db", "pa").distinct()
       .withColumn("nx", lead(col("pa"), 1).over(wP))

@@ -1766,8 +1766,11 @@ object TextOps {
             expr("CAST(nll_fp AS DECIMAL(38,0)) * ce"))
           .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("nsum"))
       .selectExpr("source", "n_scored", "n_oov",
-        "round(CAST(nsum AS DOUBLE) / 1e9 / n_scored, 6)" +
-          " AS cross_entropy_nats",
+        // all-OOV guard: 0/0 is NaN in Spark but engine/version-dependent
+        // in DuckDB — a degenerate source reports NULL on both
+        "CASE WHEN n_scored > 0 THEN" +
+          " round(CAST(nsum AS DOUBLE) / 1e9 / n_scored, 6)" +
+          " ELSE NULL END AS cross_entropy_nats",
         "round(CAST(n_oov AS DOUBLE) / (n_scored + n_oov), 6)" +
           " AS oov_frac")
       .orderBy("source")
@@ -1812,8 +1815,9 @@ object TextOps {
        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS nsum
        |  FROM sc GROUP BY source)
        |SELECT source, n_scored, n_oov,
-       |  round(CAST(nsum AS DOUBLE) / 1e9 / n_scored, 6)
-       |    AS cross_entropy_nats,
+       |  CASE WHEN n_scored > 0 THEN
+       |    round(CAST(nsum AS DOUBLE) / 1e9 / n_scored, 6)
+       |  END AS cross_entropy_nats,
        |  round(CAST(n_oov AS DOUBLE) / (n_scored + n_oov), 6) AS oov_frac
        |FROM agg ORDER BY source""".stripMargin
 }
