@@ -104,15 +104,19 @@ object CurationOps {
 
   /** q58 — contamination check: training docs sharing any word 5-gram
     * with the benchmark set (doc_id % 97 == 0 stands in for an eval
-    * suite). At 100 TB the benchmark gram set is tiny and broadcast (or
-    * a bloom filter); the scan side never shuffles. */
+    * suite). The join keys on gram with NO forced broadcast: a real
+    * eval suite is fixed-size and stats/AQE will broadcast it, but THIS
+    * benchmark side is a corpus fraction whose gram set Heaps-scales —
+    * forcing the ship was the hazard the suite's measured-cardinality
+    * invariant caught (a 1/97 slice of 100 TB does not fit an
+    * executor). */
   def contamination(s: SparkSession, dir: String): DataFrame = {
     val grams = wordGrams(
       t(s, dir, "documents").select(col("doc_id"), col("text")), ContamGram)
     val bench = grams.filter(col("doc_id") % 97 === 0)
       .select(col("gram")).distinct()
     grams.filter(col("doc_id") % 97 =!= 0)
-      .join(broadcast(bench), Seq("gram"))
+      .join(bench, Seq("gram"))
       .groupBy("doc_id")
       .agg(countDistinct(col("gram")).as("n_shared_grams"))
       .orderBy("doc_id")
@@ -671,8 +675,9 @@ object CurationOps {
     *
     * Scale (100 TB): per-doc flags are narrow; the dedup stage is ONE
     * window keyed on the content hash (the same exchange the standalone
-    * dedup pays); the contamination stage broadcasts the tiny benchmark
-    * gram set exactly as q58 does; and the stage table is built by
+    * dedup pays); the contamination stage joins the benchmark gram set
+    * on the gram key exactly as q58 does (no forced broadcast — the
+    * slice's gram set Heaps-scales); and the stage table is built by
     * `stack` on a single aggregate row — five output rows regardless of
     * corpus size, no driver-side loop. */
   def curationFunnel(s: SparkSession, dir: String): DataFrame = {
@@ -700,7 +705,7 @@ object CurationOps {
     val bench = grams.filter(col("doc_id") % 97 === 0)
       .select(col("gram")).distinct()
     val contam = grams.filter(col("doc_id") % 97 =!= 0)
-      .join(broadcast(bench), Seq("gram"))
+      .join(bench, Seq("gram"))
       .select(col("doc_id")).distinct()
       .withColumn("contaminated", lit(true))
     flagged.join(contam, Seq("doc_id"), "left")

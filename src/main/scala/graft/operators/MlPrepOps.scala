@@ -859,10 +859,15 @@ object MlPrepOps {
     * deciles by the percent_rank→floor grid (engine-parity-safe);
     * lifts and recalls are single divisions of exact integers.
     *
-    * Scale (100 TB): the score collapses map-side to value cells for
-    * AUC; deciles come from the q114 distributed global rank (range
-    * partition + offsets), so nothing in the plan single-partitions
-    * even when the eval frame is corpus-scaled. */
+    * Scale (100 TB): ONE distributed global rank (q114's range
+    * partition + offsets) serves both halves — deciles read it
+    * directly, and each score cell's strictly-before count (the
+    * midrank ingredient) is min(rank)−1, so the AUC needs no
+    * cumulative window at all. A continuous score does NOT collapse
+    * to few cells (measured: |cells| ≈ |docs| on the fixture — the
+    * suite's measured-cardinality invariant is what caught the old
+    * unpartitioned cumulative window here), so nothing in the plan
+    * may single-partition the cell frame either. */
   def aucDecileLift(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = t(s, dir, "documents")
@@ -881,28 +886,29 @@ object MlPrepOps {
         (size(array_distinct(col("toks"))).cast("double") /
           size(col("toks"))).as("score"))
       .persist()
+    // ONE distributed global rank serves AUC and deciles: ranks are
+    // unique and score-contiguous, so a cell's strictly-before count
+    // is min(rank) − 1
+    val ranked = ScaleOps.withGlobalRank(all, "rn",
+        col("score"), col("doc_id"))
+      .persist()
     // AUC on the (score) cell grid: positives rank LOW, so
     // AUC = 1 − U₁/(n₁·n₀) with midrank ties
-    val cells = all.groupBy("score").agg(
+    val cells = ranked.groupBy("score").agg(
         sum(col("label")).cast("long").as("n1c"),
-        sum(lit(1) - col("label")).cast("long").as("n0c"))
+        sum(lit(1) - col("label")).cast("long").as("n0c"),
+        (min(col("rn")) - lit(1L)).as("cumb"))
       .withColumn("t", col("n1c") + col("n0c"))
-    val wv = Window.orderBy("score")
-      .rowsBetween(Window.unboundedPreceding, -1)
     val auc = cells
-      .withColumn("cumb", coalesce(sum(col("t")).over(wv), lit(0L)))
       .agg(sum(col("n1c")).as("n1"), sum(col("n0c")).as("n0"),
         sum(col("n1c") * (lit(2L) * col("cumb") + col("t") + lit(1L)))
           .as("r1x2"))
       .selectExpr("n1", "n0",
         "1.0 - CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / " +
           "(2.0 * CAST(n1 AS DOUBLE) * n0) AS auc")
-    // percent_rank over a unique key ≡ (rank−1)/(n−1) from the q114
-    // distributed global rank — the eval frame is corpus-scaled here,
-    // so a bare ORDER BY window would single-partition it
+    // percent_rank over a unique key ≡ (rank−1)/(n−1)
     val nAll = all.agg(count(lit(1)).as("n_all"))
-    val dec = ScaleOps.withGlobalRank(all, "rn",
-        col("score"), col("doc_id"))
+    val dec = ranked
       .crossJoin(broadcast(nAll))
       .withColumn("pr", (col("rn") - 1).cast("double") /
         (col("n_all") - 1).cast("double"))

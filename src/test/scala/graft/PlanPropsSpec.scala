@@ -1920,6 +1920,42 @@ class PlanPropsSpec extends AnyFunSuite {
       !name.toLowerCase.contains("nation") &&
       !name.toLowerCase.contains("region")
 
+  /** Measured-cardinality branch of the boundedness walk: an aggregate
+    * whose grouping keys the NAME heuristic excused is re-checked on
+    * the fixture — if its distinct-group count exceeds
+    * [[MeasuredGroupFrac]] of its input rows (inputs below
+    * [[MeasuredMinRows]] are literal grids/micro-frames, skipped), the
+    * key is entity-SCALED regardless of what it is called. This is what
+    * catches `doc_id AS grp`: no name list survives a rename; a
+    * measured ratio does. Results memoized on the canonicalized
+    * subtree — the suite re-walks shared artifacts hundreds of times. */
+  private val MeasuredGroupFrac = 0.5
+  private val MeasuredMinRows = 200L
+  private val measuredCache = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Boolean]
+  private def measuredEntityScaled(
+      a: org.apache.spark.sql.catalyst.plans.logical.Aggregate): Boolean =
+    measuredCache.getOrElseUpdate(a.canonicalized, {
+      import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+      import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+      val keys = a.groupingExpressions.filterNot(_.foldable)
+      if (keys.isEmpty) false
+      else try {
+        val n = org.apache.spark.sql.GraftPlanBridge
+          .ofRows(spark, a.child).count()
+        if (n < MeasuredMinRows) false
+        else {
+          val named = keys.zipWithIndex.map {
+            case (ne: NamedExpression, _) => ne
+            case (e, i) => Alias(e, s"_gk$i")()
+          }
+          val g = org.apache.spark.sql.GraftPlanBridge
+            .ofRows(spark, Aggregate(keys, named, a.child)).count()
+          g.toDouble > MeasuredGroupFrac * n.toDouble
+        }
+      } catch { case _: Throwable => false }
+    })
+
   /** The leaves an UNPARTITIONED (or literal-partitioned — same single
     * partition) window would pull through one task, with any leaf below
     * a bounded-key Aggregate or a Limit excused: an aggregate with
@@ -1991,8 +2027,21 @@ class PlanPropsSpec extends AnyFunSuite {
       case a: Aggregate =>
         val ek = a.groupingExpressions.filterNot(_.foldable)
           .flatMap(_.references).map(_.name).filter(isEntityKey)
-        if (ek.isEmpty) Nil // enum/grid-bounded
-        else {
+        if (ek.isEmpty) {
+          // name heuristic says enum/grid-bounded — but a renamed
+          // entity key dodges names, so when the aggregate's own input
+          // is corpus-scaled, MEASURE it: distinct groups close to
+          // input rows on the fixture means the key is entity-scaled
+          // whatever it is called
+          val below = a.children.flatMap(walk)
+          if (below.nonEmpty && measuredEntityScaled(a))
+            Seq("measured-entity-scaled Aggregate[" +
+              a.groupingExpressions.filterNot(_.foldable)
+                .flatMap(_.references).map(_.name).distinct
+                .mkString(",") +
+              s"] over ${below.distinct.mkString("; ")}")
+          else Nil
+        } else {
           // entity-keyed: bounded iff its own input is bounded (a
           // distinct over a Limit-bounded run is fine; over a raw
           // corpus scan it is |entities|-scaled)
@@ -2116,6 +2165,19 @@ class PlanPropsSpec extends AnyFunSuite {
         org.apache.spark.sql.expressions.Window.orderBy("n")))
     assert(unguardedWindowLeaves(scratch3).isEmpty,
       "walker wrongly flagged an enum-bounded aggregate")
+    // negative control 4 — a NEUTRAL RENAME dodges the name heuristic
+    // (`grp` matches no entity-key name) but not the measured branch:
+    // doc_id AS grp still has |docs| distinct groups over |docs| rows
+    val scratch4 = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id AS grp")
+      .groupBy("grp")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("n")))
+    assert(unguardedWindowLeaves(scratch4)
+      .exists(_.contains("measured-entity-scaled")),
+      "measured branch failed to flag a renamed entity key")
     val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val bad = try unguardedWindowLeaves(fn(spark, dir))
