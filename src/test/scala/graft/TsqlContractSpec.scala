@@ -24,6 +24,8 @@ object TsqlMiniParser {
       cols: Seq[(String, String, Boolean)], // (name, type, notNull)
       pk: Seq[String])
 
+  final case class Insert(target: String, cols: Seq[String], nParams: Int)
+
   private def tokenize(sql: String): List[String] = {
     val buf = scala.collection.mutable.ListBuffer.empty[String]
     var i = 0
@@ -38,6 +40,12 @@ object TsqlMiniParser {
       } else if (c == '\'') {
         val end = s.indexOf('\'', i + 1)
         require(end > 0, s"unterminated string at $i")
+        buf += s.substring(i, end + 1); i = end + 1
+      } else if (c == '"') {
+        // T-SQL/ANSI quoted identifier — one token, quotes kept so
+        // ident() can strip them
+        val end = s.indexOf('"', i + 1)
+        require(end > 0, s"unterminated quoted identifier at $i")
         buf += s.substring(i, end + 1); i = end + 1
       } else if (c.isLetter || c == '_') {
         val j = Iterator.from(i).find(k => k >= s.length ||
@@ -63,9 +71,16 @@ object TsqlMiniParser {
     }
     def ident(): String = {
       val t = next()
-      require(t.nonEmpty && (t.charAt(0).isLetter || t.charAt(0) == '_') &&
-        !Reserved.contains(t.toUpperCase), s"expected identifier, got '$t'")
-      t
+      if (t.length > 2 && t.charAt(0) == '"' && t.last == '"') {
+        val inner = t.substring(1, t.length - 1)
+        require(inner.nonEmpty && !inner.contains('"'),
+          s"malformed quoted identifier $t")
+        inner
+      } else {
+        require(t.nonEmpty && (t.charAt(0).isLetter || t.charAt(0) == '_') &&
+          !Reserved.contains(t.toUpperCase), s"expected identifier, got '$t'")
+        t
+      }
     }
     // dotted name: a.b or a
     def name(): String = {
@@ -156,6 +171,33 @@ object TsqlMiniParser {
       insCols.toSeq)
   }
 
+  /** `INSERT INTO <table> (<col>[, <col>]*) VALUES (?[, ?]*)` — the
+    * batched-insert shape of BOTH S8 writers: the statement Spark's
+    * JDBC sink generates per batch (quoted identifiers) and the marker
+    * ledger's portable fallback insert (bare identifiers). Rejects
+    * duplicate columns, INSERT/VALUES arity mismatch, anything but `?`
+    * parameters, and any trailing tokens. */
+  def parseInsert(sql: String): Insert = {
+    val p = new P(tokenize(sql))
+    p.kw("INSERT"); p.kw("INTO")
+    val target = p.name()
+    p.kw("(")
+    val cols = scala.collection.mutable.Buffer.empty[String]
+    cols += p.ident()
+    while (p.peek == ",") { p.next(); cols += p.ident() }
+    p.kw(")"); p.kw("VALUES"); p.kw("(")
+    var nParams = 0
+    p.kw("?"); nParams += 1
+    while (p.peek == ",") { p.next(); p.kw("?"); nParams += 1 }
+    p.kw(")")
+    require(p.atEnd, s"trailing tokens after INSERT: '${p.peek}'")
+    require(cols.size == nParams,
+      s"INSERT arity ${cols.size} != VALUES arity $nParams")
+    require(cols.distinct.size == cols.size,
+      s"duplicate INSERT columns: ${cols.mkString(",")}")
+    Insert(target, cols.toSeq, nParams)
+  }
+
   def parseDdl(sql: String): Ddl = {
     val p = new P(tokenize(sql))
     p.kw("IF"); p.kw("OBJECT_ID"); p.kw("(")
@@ -231,6 +273,52 @@ class TsqlContractSpec extends AnyFunSuite {
     assert(d.pk.toSet == Set("ParquetSource", "Environment", "TargetTable"))
     assert(d.cols.map(_._1) == Seq("ParquetSource", "TargetTable",
       "Environment", "BackupDate", "InsertedDate"))
+  }
+
+  test("S8 batched INSERT round-trips the parser: Spark's generated statement AND the ledger's portable insert") {
+    // the EXACT statement Spark's JDBC sink generates per executeBatch
+    // round for the S8 SQL Server branch: same API
+    // (JdbcUtils.getInsertStatement), same dialect resolution by URL
+    import org.apache.spark.sql.types._
+    val frame = StructType(Seq(
+      StructField("ParquetSource", StringType),
+      StructField("Environment", StringType),
+      StructField("CIGCopyTime", StringType),
+      StructField("CIGProcessed", StringType)))
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects
+      .get("jdbc:sqlserver://host;databaseName=db")
+    val sql = org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+      .getInsertStatement("raw.cig_target", frame, Some(frame),
+        isCaseSensitive = false, dialect)
+    val ins = parseInsert(sql)
+    assert(ins.target == "raw.cig_target")
+    assert(ins.cols == frame.fieldNames.toSeq,
+      "generated column list must follow the cleaned frame's order")
+    assert(ins.nParams == frame.size)
+    // the portable marker insert (MarkerLedger fallback path) is the
+    // same grammar with bare identifiers; its column order is the
+    // setter order of the prepared statement
+    val marker = "INSERT INTO ingestion_markers (ParquetSource, " +
+      "TargetTable, Environment, BackupDate, InsertedDate) " +
+      "VALUES (?,?,?,?,?)"
+    val mi = parseInsert(marker)
+    assert(mi.cols == Seq("ParquetSource", "TargetTable", "Environment",
+      "BackupDate", "InsertedDate"))
+    // negative controls: a syntactically-invalid column list fails
+    def insFails(sql: String): Boolean =
+      try { parseInsert(sql); false }
+      catch { case _: IllegalArgumentException => true }
+    assert(insFails(marker.replace("TargetTable,", "TargetTable,,")),
+      "empty column slot")
+    assert(insFails(marker.replace("(?,?,?,?,?)", "(?,?,?,?)")),
+      "INSERT/VALUES arity mismatch")
+    assert(insFails(marker.replace("Environment,", "Environment),")),
+      "unbalanced parenthesis")
+    assert(insFails(marker.replace("TargetTable", "ParquetSource")),
+      "duplicate column")
+    assert(insFails(marker + " ON CONFLICT"), "trailing tokens")
+    assert(insFails(marker.replace("VALUES (?,", "VALUES (1,")),
+      "literal where a bind parameter belongs")
   }
 
   test("negative controls: the parser actually rejects invalid T-SQL") {
