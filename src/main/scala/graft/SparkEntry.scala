@@ -401,6 +401,8 @@ object SparkEntry {
     "q384_random_failure"    -> (GraphOps.randomFailure _),
     "q385_rendezvous_shards" -> (ScaleOps.rendezvousShards _),
     "q386_srm_gate"          -> (AnalyticsOps.srmGate _),
+    "q387_ktruss"            -> (GraphOps.ktruss _),
+    "q388_densest_subgraph"  -> (GraphOps.densestSubgraph _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1066,6 +1068,8 @@ object SparkEntry {
     "q384_random_failure" -> GraphOps.randomFailureOracle,
     "q385_rendezvous_shards" -> ScaleOps.rendezvousShardsOracle,
     "q386_srm_gate" -> AnalyticsOps.srmGateOracle,
+    "q387_ktruss" -> GraphOps.ktrussOracle,
+    "q388_densest_subgraph" -> GraphOps.densestSubgraphOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

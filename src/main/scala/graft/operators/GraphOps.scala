@@ -2402,4 +2402,259 @@ object GraphOps {
        |$levels
        |SELECT * FROM ($sel) ORDER BY frac_removed""".stripMargin
   }
+
+  // --- q387: k-truss peeling --------------------------------------------------
+
+  /** Fixed truss-peeling rounds — convergence is REPORTED per round,
+    * never assumed (the q338 discipline). */
+  val TrussRounds = 4
+
+  /** The per-edge triangle-support frame of an (a < b) edge list:
+    * supp(a,b) = |N(a) ∩ N(b)| — computed Spark-side as a sorted-array
+    * intersection INSIDE rows (the q307 adjacency discipline: the wedge
+    * stream is never materialized or shuffled), and oracle-side as the
+    * equivalent wedge join. Zero-support edges keep their row (supp 0),
+    * so the peel can remove them instead of losing them. */
+  private[graft] def edgeSupports(e: DataFrame): DataFrame = {
+    val ed = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val adj = ed.groupBy("src").agg(collect_list(col("dst")).as("nbrs"))
+    e.join(adj.select(col("src").as("a"), col("nbrs").as("na")), Seq("a"))
+      .join(adj.select(col("src").as("b"), col("nbrs").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("na"), col("nb"))).cast("bigint")
+          .as("supp"))
+  }
+
+  /** q387 — k-truss decomposition by synchronous edge peeling (Cohen
+    * 2008, "Trusses: cohesive subgraphs for social network analysis"):
+    * each round removes every edge whose triangle SUPPORT
+    * (|N(a) ∩ N(b)|) is below the threshold; the k-truss is the fixed
+    * point. Where q338's k-core keeps nodes with enough NEIGHBORS,
+    * the truss keeps edges with enough mutual friends — the strictly
+    * stronger cohesion gate (every k-truss sits inside a (k−1)-core),
+    * and the standard next question after q307 counts the triangles:
+    * which edges do the triangles actually certify? The threshold is
+    * half the round-0 mean support (the q338 adaptive-k rationale: the
+    * co-activity fixture densifies with sf, so any absolute k
+    * degenerates at some scale). Per round: surviving edges/nodes,
+    * edges removed, convergence flag.
+    *
+    * Parity: supports, thresholds (⌈exact ratio⌉ with the identical
+    * division text), and counts are exact integers; the oracle unrolls
+    * the [[TrussRounds]] rounds with the wedge-join support form —
+    * set-intersection counts equal wedge counts because the edge list
+    * is duplicate-free.
+    *
+    * Scale (100 TB): rides the shared co-activity artifact; per round
+    * ONE adjacency aggregate (map-combinable collect on the node key)
+    * + two m-row joins + the in-row intersections (Θ(Σ wedges) work
+    * INSIDE rows, O(√m)-ish lists under the artifact's cell cap) — the
+    * wedge stream never shuffles; per-round lineage cuts. */
+  def ktruss(s: SparkSession, dir: String): DataFrame = {
+    val und = cooccurEdges(s, dir)
+    var e = CurationOps.cutLineage(
+      und.select(col("ua").as("a"), col("ub").as("b")))
+    var sup = CurationOps.cutLineage(edgeSupports(e))
+    val thr = sup.agg(ceil(sum(col("supp")).cast("double")
+      / count(lit(1)) / 2).cast("bigint").as("thr"))
+    val rows = scala.collection.mutable.Buffer.empty[DataFrame]
+    var prev = e.agg(count(lit(1)).as("n_prev"))
+    for (r <- 1 to TrussRounds) {
+      val keep = CurationOps.cutLineage(
+        sup.crossJoin(broadcast(thr))
+          .filter(col("supp") >= col("thr"))
+          .select("a", "b"))
+      val nn = keep.select(col("a").as("v"))
+        .unionAll(keep.select(col("b").as("v")))
+        .agg(countDistinct(col("v")).as("n_nodes"))
+      rows += keep.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(prev).crossJoin(nn).crossJoin(broadcast(thr))
+        .selectExpr(s"CAST($r AS BIGINT) AS round", "thr AS support_thr",
+          "n_edges", "n_nodes", "n_prev - n_edges AS n_removed",
+          "(n_prev - n_edges) = 0 AS converged")
+      prev = keep.agg(count(lit(1)).as("n_prev"))
+      e = keep
+      if (r < TrussRounds) sup = CurationOps.cutLineage(edgeSupports(e))
+    }
+    rows.reduce(_ unionAll _).orderBy("round")
+  }
+
+  def ktrussOracle: String = {
+    // supp via the wedge join: common neighbors of the edge's endpoints
+    def supCte(r: Int): String =
+      s"""ed$r AS (SELECT a AS src, b AS dst FROM e$r
+         |  UNION ALL SELECT b, a FROM e$r),
+         |s$r AS MATERIALIZED (SELECT e.a, e.b,
+         |    coalesce(t.supp, 0) AS supp
+         |  FROM e$r e LEFT JOIN (
+         |    SELECT x.src AS a, y.src AS b, count(*) AS supp
+         |    FROM ed$r x JOIN ed$r y ON x.dst = y.dst AND x.src < y.src
+         |    GROUP BY x.src, y.src) t ON t.a = e.a AND t.b = e.b)"""
+        .stripMargin
+    val iters = (1 to TrussRounds).map { r =>
+      val keepNext =
+        if (r < TrussRounds) ",\n" + supCte(r)
+        else ""
+      s"""e$r AS MATERIALIZED (SELECT a, b FROM s${r - 1}
+         |  WHERE supp >= (SELECT thr FROM tt)),
+         |n$r AS (SELECT count(DISTINCT v) AS n_nodes FROM (
+         |  SELECT a AS v FROM e$r UNION ALL SELECT b FROM e$r)),
+         |r$r AS (SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT thr FROM tt) AS support_thr,
+         |  (SELECT count(*) FROM e$r) AS n_edges,
+         |  (SELECT n_nodes FROM n$r) AS n_nodes,
+         |  (SELECT count(*) FROM e${r - 1})
+         |    - (SELECT count(*) FROM e$r) AS n_removed,
+         |  ((SELECT count(*) FROM e${r - 1})
+         |    - (SELECT count(*) FROM e$r)) = 0 AS converged)$keepNext"""
+        .stripMargin
+    }.mkString(",\n")
+    val sel = (1 to TrussRounds).map(r => s"SELECT * FROM r$r")
+      .mkString(" UNION ALL ")
+    s"""WITH c AS (SELECT event_type AS et, date_trunc('hour', ts) AS h,
+       |    user_id AS u FROM events GROUP BY 1, 2, 3),
+       |capped AS (SELECT et, h, u FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY et, h ORDER BY u) AS rn
+       |  FROM c) WHERE rn <= $CoocCellCap),
+       |e0 AS MATERIALIZED (SELECT a.u AS a, b.u AS b
+       |  FROM capped a JOIN capped b
+       |    ON a.et = b.et AND a.h = b.h AND a.u < b.u
+       |  GROUP BY 1, 2 HAVING count(*) >= $CoocMinCells),
+       |${supCte(0)},
+       |tt AS (SELECT CAST(ceil(CAST(sum(supp) AS DOUBLE)
+       |  / count(*) / 2) AS BIGINT) AS thr FROM s0),
+       |$iters
+       |SELECT * FROM ($sel) ORDER BY round""".stripMargin
+  }
+
+  // --- q388: densest subgraph (greedy peeling, 3-approx) ----------------------
+
+  /** Fixed density-peeling rounds; each round strictly shrinks the
+    * node set (an ε-fraction at least), so log-many suffice — the
+    * trailing empty rounds REPORT empty rather than being skipped. */
+  val DsgRounds = 8
+
+  /** q388 — densest-subgraph extraction by parallel greedy peeling
+    * (Charikar 2000's greedy, in the Bahmani–Kumar–Vassilvitskii VLDB
+    * 2012 MapReduce form): per round, remove EVERY node whose degree
+    * is ≤ 2(1+ε) times the current density ρ = m/n, and the best
+    * density seen over all rounds is a 2(1+ε)-approximation of the
+    * maximum-average-degree subgraph. ε = 1/2 on purpose: the removal
+    * test becomes deg·n ≤ 3·m — EXACT integer arithmetic, no double
+    * threshold anywhere. The densest core is the curation complement
+    * of q375's attack question: q375 asks what breaks when hubs leave;
+    * THIS finds the soldered-together block (spam farms, bot rings,
+    * template factories) that survives everything. Per round: nodes,
+    * edges, density (frozen), removed count, running best, and an
+    * `is_densest` flag on the argmax round.
+    *
+    * Parity: the peel test is pure integers; density freezes to
+    * floor(10⁶·m/n) BIGINT; the running max is an integer comparison;
+    * empty rounds report NULL density identically on both engines.
+    *
+    * Scale (100 TB): rides the shared co-activity artifact; per round
+    * ONE map-combinable degree aggregate + a 1-row stats frame + two
+    * endpoint semi-joins sharing the edge partitioning; the round
+    * budget is logarithmic by the ε-fraction-removal guarantee, and
+    * the 9-row curve (never the graph) is what reaches the driver. */
+  def densestSubgraph(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = cooccurEdges(s, dir)
+    var e = CurationOps.cutLineage(
+      und.select(col("ua").as("a"), col("ub").as("b")))
+    val rows = scala.collection.mutable.Buffer.empty[DataFrame]
+    def statRow(r: Int, e: DataFrame): DataFrame =
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(e.select(col("a").as("v"))
+          .unionAll(e.select(col("b").as("v")))
+          .agg(countDistinct(col("v")).as("n_nodes")))
+        .selectExpr(s"CAST($r AS BIGINT) AS round", "n_nodes", "n_edges",
+          "CASE WHEN n_nodes > 0 THEN CAST(floor(1e6 *" +
+            " CAST(n_edges AS DOUBLE) / n_nodes) AS BIGINT) END" +
+            " AS density_fp")
+    rows += statRow(0, e)
+    for (r <- 1 to DsgRounds) {
+      val ed = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      val deg = ed.groupBy("src").agg(count(lit(1)).as("deg"))
+      val st = e.agg(count(lit(1)).as("m"))
+        .crossJoin(ed.agg(countDistinct(col("src")).as("n")))
+      // Charikar/Bahmani peel at eps = 1/2: REMOVE deg <= 2(1+eps)·m/n,
+      // i.e. KEEP deg·n > 3·m — exact integers
+      val keep = CurationOps.cutLineage(
+        deg.crossJoin(broadcast(st))
+          .filter(col("deg") * col("n") > lit(3L) * col("m"))
+          .select(col("src").as("node")))
+      e = CurationOps.cutLineage(e
+        .join(keep.select(col("node").as("a")), Seq("a"))
+        .join(keep.select(col("node").as("b")), Seq("b"))
+        .select("a", "b"))
+      rows += statRow(r, e)
+    }
+    val curve = rows.reduce(_ unionAll _)
+    // 9-row frame: the running max and argmax flag are bounded windows
+    val w = Window.orderBy("round")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    curve
+      .withColumn("best_density_fp", max(col("density_fp")).over(w))
+      .withColumn("is_densest",
+        coalesce(col("density_fp"), lit(-1L)) ===
+          max(col("density_fp")).over(wAll))
+      .withColumn("n_removed",
+        coalesce(lag(col("n_nodes"), 1).over(Window.orderBy("round"))
+          - col("n_nodes"), lit(0L)))
+      .select(col("round"), col("n_nodes"), col("n_edges"),
+        col("density_fp"), col("n_removed"), col("best_density_fp"),
+        col("is_densest"))
+      .orderBy("round")
+  }
+
+  def densestSubgraphOracle: String = {
+    val iters = (1 to DsgRounds).map { r =>
+      val p = r - 1
+      s"""ed$p AS (SELECT a AS src, b AS dst FROM e$p
+         |  UNION ALL SELECT b, a FROM e$p),
+         |st$p AS (SELECT (SELECT count(*) FROM e$p) AS m,
+         |  (SELECT count(DISTINCT src) FROM ed$p) AS n),
+         |k$r AS (SELECT src AS node FROM
+         |  (SELECT src, count(*) AS deg FROM ed$p GROUP BY src) d, st$p
+         |  WHERE d.deg * st$p.n > 3 * st$p.m),
+         |e$r AS MATERIALIZED (SELECT e.a, e.b FROM e$p e
+         |  JOIN k$r x ON e.a = x.node JOIN k$r y ON e.b = y.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    val rowSel = (0 to DsgRounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT count(DISTINCT v) FROM (SELECT a AS v FROM e$r
+         |    UNION ALL SELECT b FROM e$r)) AS n_nodes,
+         |  (SELECT count(*) FROM e$r) AS n_edges""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH c AS (SELECT event_type AS et, date_trunc('hour', ts) AS h,
+       |    user_id AS u FROM events GROUP BY 1, 2, 3),
+       |capped AS (SELECT et, h, u FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY et, h ORDER BY u) AS rn
+       |  FROM c) WHERE rn <= $CoocCellCap),
+       |e0 AS MATERIALIZED (SELECT a.u AS a, b.u AS b
+       |  FROM capped a JOIN capped b
+       |    ON a.et = b.et AND a.h = b.h AND a.u < b.u
+       |  GROUP BY 1, 2 HAVING count(*) >= $CoocMinCells),
+       |$iters,
+       |curve AS (SELECT round, n_nodes, n_edges,
+       |    CASE WHEN n_nodes > 0 THEN CAST(floor(1e6 *
+       |      CAST(n_edges AS DOUBLE) / n_nodes) AS BIGINT) END
+       |      AS density_fp
+       |  FROM ($rowSel))
+       |SELECT round, n_nodes, n_edges, density_fp,
+       |  coalesce(lag(n_nodes) OVER (ORDER BY round) - n_nodes, 0)
+       |    AS n_removed,
+       |  max(density_fp) OVER (ORDER BY round
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS best_density_fp,
+       |  coalesce(density_fp, -1) = (max(density_fp) OVER ())
+       |    AS is_densest
+       |FROM curve ORDER BY round""".stripMargin
+  }
 }

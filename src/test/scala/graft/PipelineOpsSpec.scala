@@ -5090,4 +5090,88 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(math.abs(estU - eu) / eu < 0.40, s"$a|$b error out of band")
     }
   }
+
+  test("q387 k-truss: matches a driver edge-peeling replay; truss edges sit inside the support threshold") {
+    val e0 = GraphOps.cooccurEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def supports(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.Set[Long]]
+      es.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+      es.iterator.map { case (a, b) =>
+        (a, b) -> (adj(a) & adj(b)).size.toLong
+      }.toMap
+    }
+    val s0 = supports(e0)
+    val thr = math.ceil(
+      s0.values.sum.toDouble / s0.size.toDouble / 2.0).toLong
+    val out = GraphOps.ktruss(spark, dir).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    var cur = e0
+    var sup = s0
+    for (r <- 1 to GraphOps.TrussRounds) {
+      val next = cur.filter(e => sup(e) >= thr)
+      val nNodes = next.flatMap(e => Seq(e._1, e._2)).size.toLong
+      val (gThr, gEdges, gNodes, gRemoved, gConv) = out(r.toLong)
+      assert(gThr == thr, s"round $r threshold")
+      assert(gEdges == next.size.toLong, s"round $r edges")
+      assert(gNodes == nNodes, s"round $r nodes")
+      assert(gRemoved == (cur.size - next.size).toLong, s"round $r removed")
+      assert(gConv == (cur.size == next.size), s"round $r converged")
+      cur = next
+      if (r < GraphOps.TrussRounds) sup = supports(cur)
+    }
+    // the peel must do real work on the fixture AND leave a truss
+    assert(out(1L)._4 > 0, "round 1 removed nothing — fixture too easy")
+    assert(out(GraphOps.TrussRounds.toLong)._2 > 0,
+      "truss emptied out — threshold degenerate on the fixture")
+  }
+
+  test("q388 densest subgraph: matches a driver peeling replay; best density dominates the start and the Charikar bound holds") {
+    val e0 = GraphOps.cooccurEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val out = GraphOps.densestSubgraph(spark, dir).collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        r.getBoolean(6))
+    }.toMap
+    var cur = e0
+    var removedPrev = 0L
+    for (r <- 0 to GraphOps.DsgRounds) {
+      val nodes = cur.flatMap(e => Seq(e._1, e._2))
+      val n = nodes.size.toLong
+      val m = cur.size.toLong
+      val dfp =
+        if (n > 0) Some(math.floor(1e6 * m.toDouble / n).toLong) else None
+      val (gN, gM, gD, gRem, _, _) = out(r.toLong)
+      assert(gN == n && gM == m, s"round $r sizes")
+      assert(gD == dfp, s"round $r density")
+      assert(gRem == removedPrev, s"round $r removed")
+      // peel: KEEP deg*n > 3*m (eps = 1/2 in exact integers)
+      val deg = nodes.map(v => v -> cur.count(e =>
+        e._1 == v || e._2 == v).toLong).toMap
+      val keep = nodes.filter(v => deg(v) * n > 3L * m)
+      val next = cur.filter(e => keep(e._1) && keep(e._2))
+      removedPrev = n - keep.size.toLong
+      cur = next
+    }
+    val best = out.values.flatMap(_._3).max
+    val finalBest = out(GraphOps.DsgRounds.toLong)._5
+    assert(finalBest.contains(best), "running best broken")
+    assert(out.values.count(_._6) >= 1, "no is_densest row")
+    assert(out.values.filter(_._6).forall(_._3.contains(best)),
+      "is_densest flags a non-argmax round")
+    // Charikar/Bahmani: best >= initial density (peeling can only be
+    // asked to IMPROVE on the whole graph's density, and at eps=1/2
+    // best is within 3x of the true optimum — the fixture check is
+    // the monotone half plus real peeling work)
+    assert(best >= out(0L)._3.get, "best density below the start")
+    assert(out(1L)._4 > 0, "round 1 removed nothing — fixture too easy")
+  }
 }

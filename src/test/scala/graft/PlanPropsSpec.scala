@@ -1901,6 +1901,39 @@ class PlanPropsSpec extends AnyFunSuite {
       s"cut marking not keyed on (doc_id, pos):\n${p.take(1800)}")
   }
 
+  test("q387 k-truss: per-round support block keeps wedge work inside rows (array_intersect over one adjacency aggregate); no cartesian") {
+    // the iterative peel cuts lineage per round, so the pin targets the
+    // round's building block — the support frame every round re-plans
+    import org.apache.spark.sql.functions.col
+    val e = GraphOps.cooccurEdges(spark, dir)
+      .select(col("ua").as("a"), col("ub").as("b"))
+    val p = plan(GraphOps.edgeSupports(e))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"truss support went all-pairs:\n${p.take(1800)}")
+    assert(p.contains("array_intersect"),
+      s"support not computed in-row — wedge stream materialized?:\n${p.take(1800)}")
+    assert(p.contains("collect_list"),
+      s"adjacency aggregate missing:\n${p.take(1800)}")
+  }
+
+  test("q388 densest subgraph: final curve is 1-row stat frames — no corpus content under its bounded windows") {
+    // per-round peel state is lineage-cut; what remains above the curve
+    // windows must be Limit/aggregate-bounded (the suite-wide window
+    // invariant also walks this query — this pin just localizes it)
+    val df = GraphOps.densestSubgraph(spark, dir)
+    val p = plan(df)
+    // every scan feeding the curve is an RDD leaf (cut peel state) or a
+    // 1-row aggregate — a parquet scan here would mean corpus content
+    // reached the bounded windows
+    assert(!p.contains("Scan parquet"),
+      s"corpus scan leaked above the peel cuts:\n${p.take(1800)}")
+    assert(df.columns.toSeq == Seq("round", "n_nodes", "n_edges",
+      "density_fp", "n_removed", "best_density_fp", "is_densest"))
+    assert(df.count() == GraphOps.DsgRounds + 1,
+      "curve must report every round including round 0")
+  }
+
   // --- suite-wide invariant: unpartitioned windows ------------------------
 
   /** Grouping-key names that mark an aggregate as ENTITY-keyed: node /
