@@ -403,6 +403,8 @@ object SparkEntry {
     "q386_srm_gate"          -> (AnalyticsOps.srmGate _),
     "q387_ktruss"            -> (GraphOps.ktruss _),
     "q388_densest_subgraph"  -> (GraphOps.densestSubgraph _),
+    "q389_butterfly_census"  -> (GraphOps.butterflyCensus _),
+    "q390_luby_mis"          -> (GraphOps.lubyMis _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1070,6 +1072,8 @@ object SparkEntry {
     "q386_srm_gate" -> AnalyticsOps.srmGateOracle,
     "q387_ktruss" -> GraphOps.ktrussOracle,
     "q388_densest_subgraph" -> GraphOps.densestSubgraphOracle,
+    "q389_butterfly_census" -> GraphOps.butterflyCensusOracle,
+    "q390_luby_mis" -> GraphOps.lubyMisOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -1142,49 +1142,77 @@ object GraphOps {
     * and the convergence flag are exact integers on both engines; the
     * oracle unrolls the [[KCoreRounds]] rounds as CTEs.
     *
-    * Scale (100 TB): iterate-by-join with fixed depth — per round ONE
-    * degree aggregate (map-combinable) and a semi-join of the edge
-    * list against the surviving-node set on both endpoints (two
-    * hash joins on the edge partitioning); the stats rows are 1-row
-    * aggregates crossed together. Peeling state never leaves the
-    * cluster; rounds-to-convergence is bounded by the peel depth,
-    * which the report itself surfaces. */
+    * Scale (100 TB): DELTA peeling — the only iterated state is the
+    * |V|-row alive-degree frame; the |E| edge table is built once,
+    * pinned on hashpartitioning(node), and NEVER moves again. Two
+    * earlier forms both failed the synthetic 100× (~120 M directed
+    * edges): shrinking and re-materializing the edge frame per round
+    * (eager localCheckpoint of ~|E| rows × rounds) read 371 s with
+    * forced keep-set broadcasts, and swapping those broadcasts for
+    * shuffles re-moved the big side instead — 667 s. Neither touches
+    * the real cost: no per-round stat NEEDS the surviving edge list.
+    * deg_{r+1}(u) = deg_r(u) − |removed_r ∩ N(u)| reproduces every
+    * report column — n_nodes counts the alive frame, surviving edges
+    * are Σ deg / 2 — so a round is ONE aligned hash join of the cached
+    * edge table with the removed set (|removed| rows move, the |E|
+    * side doesn't; by edge symmetry the removed-neighbor counts group
+    * on the OTHER endpoint, which partial-aggregates map-side) plus a
+    * |V|-row left join. cutLineage per degree generation as ever (the
+    * frame is re-referenced four times per round). */
   def kcorePeel(s: SparkSession, dir: String): DataFrame = {
-    val e0 = edges(s, dir).persist()
+    // Long-keyed private edge build (node = 2·custkey / 2·suppkey+1):
+    // node ids never reach the output — every column is a count — so
+    // the peel skips [[edges]]' string prefixes; 8-byte keys halve the
+    // build shuffle and every per-round hash probe. The explicit
+    // partition count pins the cached layout to exactly what the
+    // per-round degree aggregate and removed-neighbor join require.
+    val li = EtlOps.t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = EtlOps.t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val cs = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+    val np = s.sessionState.conf.numShufflePartitions
+    val e0 = cs.select((col("ck") * 2).cast("long").as("node"),
+        (col("sk") * 2 + 1).cast("long").as("nb"))
+      .unionAll(cs.select((col("sk") * 2 + 1).cast("long").as("node"),
+        (col("ck") * 2).cast("long").as("nb")))
+      .repartition(np, col("node"))
+      .persist()
     val kthr = e0.agg(ceil(count(lit(1)).cast("double")
-      / countDistinct(col("src")) / 2).cast("bigint").as("k"))
+      / countDistinct(col("node")) / 2).cast("bigint").as("k"))
+    var deg = CurationOps.cutLineage(
+      e0.groupBy("node").agg(count(lit(1)).as("deg"))
+        .crossJoin(broadcast(kthr)))
+    var prevNodes = deg.agg(count(lit(1)).as("n_prev"))
     val rows = scala.collection.mutable.Buffer.empty[DataFrame]
-    var cur = e0
-    var prevNodes = e0.agg(countDistinct(col("src")).as("n_prev"))
     (1 to KCoreRounds).foreach { r =>
-      val deg = cur.groupBy("src").agg(count(lit(1)).as("deg"))
-      // cutLineage per generation: each round references the previous
-      // frame THREE times (degree pass + two endpoint joins), so
-      // without the cut the logical plan grows ~3^r and optimizer time
-      // dominates by round 4 (measured 39 s → ~8 s; the q70/q110
-      // iterative-DataFrame discipline)
-      val keep = CurationOps.cutLineage(deg.crossJoin(broadcast(kthr))
-        .filter(col("deg") >= col("k"))
-        .select(col("src").as("node")))
-      // the surviving-node set is dimension-bounded (customers +
-      // suppliers), so both endpoint semi-joins broadcast; at a scale
-      // where nodes outgrow broadcast the same plan shuffles on the
-      // edge partitioning (one exchange, both joins share it)
-      val next = CurationOps.cutLineage(cur
-        .join(broadcast(keep.select(col("node").as("src"))), Seq("src"))
-        .join(broadcast(keep.select(col("node").as("dst"))), Seq("dst"))
-        .select(col("src"), col("dst")))
-      val stat = keep.agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(next.agg(count(lit(1)).as("n_edges_directed")))
+      val removed = deg.filter(col("deg") < col("k")).select("node")
+      val keep = deg.filter(col("deg") >= col("k"))
+      // shuffle_hash (not broadcast: |removed| is |V|-scaled in the
+      // first round; not sort-merge: it would re-sort the cached |E|
+      // side every round) — the hinted removed side builds the hash
+      // map, e0's cached partitioning already satisfies the join
+      val loss = e0.join(removed.hint("shuffle_hash"), Seq("node"))
+        .groupBy("nb").agg(count(lit(1)).as("lost"))
+        .withColumnRenamed("nb", "node")
+      val next = CurationOps.cutLineage(keep.join(loss, Seq("node"), "left")
+        .select(col("node"),
+          (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"),
+          col("k")))
+      val stat = next.agg(count(lit(1)).as("n_nodes"),
+          coalesce(sum(col("deg")), lit(0L)).as("n_edges_directed"))
         .crossJoin(prevNodes)
         .selectExpr(s"CAST($r AS BIGINT) AS round", "n_nodes",
           "CAST(n_edges_directed / 2 AS BIGINT) AS n_edges",
           "n_prev - n_nodes AS n_removed",
           "(n_prev - n_nodes) = 0 AS converged")
       rows += stat
-      prevNodes = keep.agg(count(lit(1)).as("n_prev"))
-      cur = next
+      prevNodes = next.agg(count(lit(1)).as("n_prev"))
+      deg = next
     }
+    // every degree generation is already materialized (cutLineage is
+    // eager); the edge cache is dead state once the loop ends
+    e0.unpersist()
     rows.reduce(_.union(_)).orderBy("round")
   }
 
@@ -1531,13 +1559,23 @@ object GraphOps {
     * thresholded at [[MstTau]], with integer distance weights
     * 10⁹ − ⌊J·10⁹⌋ — exact, and totally ordered by (wfp, a, b) so
     * "minimum edge" is unambiguous on both engines. */
-  private[graft] def mstEdges(s: SparkSession, dir: String): DataFrame =
-    DedupOps.minhashVerified(DedupOps.corpusSpread(s, dir),
-        Some(DedupOps.LshBucketCap))
+  private[graft] def mstEdges(s: SparkSession, dir: String): DataFrame = {
+    // exact-then-near cascade: verbatim replicas fold to one canonical
+    // (min-id) doc BEFORE shingling, so a replica-heavy corpus (mirror
+    // sites; the 100× ScaleUnion fixture, whose copies share text
+    // verbatim) keeps its near-dup structure instead of saturating the
+    // hot-bucket drop-cap and silently emptying the graph (the q379
+    // replica-fixture lesson). A no-op on the 1× fixture — corpusSpread
+    // plants graded/near copies, never verbatim twins.
+    val canon = DedupOps.corpusSpread(s, dir)
+      .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "text")
+    DedupOps.minhashVerified(canon, Some(DedupOps.LshBucketCap))
       .filter(col("jaccard") >= MstTau)
       .select(col("doc_a").as("a"), col("doc_b").as("b"),
         (lit(1000000000L) - floor(col("jaccard") * lit(1e9)).cast("long"))
           .as("wfp"))
+  }
 
   /** q358 — Borůvka minimum-spanning-forest rounds (Borůvka 1926; the
     * textbook parallel MST — e.g. Blelloch's course notes) over the
@@ -1691,7 +1729,7 @@ object GraphOps {
          |l$r AS MATERIALIZED (SELECT $l.node, p.par AS comp FROM $l
          |  JOIN pj${r}_$BoruvkaJumps p ON $l.comp = p.comp)""".stripMargin
     }.mkString(",\n")
-    s"""${OracleGen.lshCandSpreadCtes},
+    s"""${OracleGen.lshCandSpreadCanonCtes},
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -2656,5 +2694,219 @@ object GraphOps {
        |  coalesce(density_fp, -1) = (max(density_fp) OVER ())
        |    AS is_densest
        |FROM curve ORDER BY round""".stripMargin
+  }
+
+  // --- q389: butterfly census (bipartite 4-cycles) --------------------------
+
+  /** Per-supplier customer-list cap for wedge generation — TRUNCATES
+    * hot suppliers (first [[BflyCap]] customers by id, the replica-
+    * fixture lesson: caps keep a deterministic prefix, never drop the
+    * group), bounding pair fan-out at C(cap,2) per supplier. */
+  val BflyCap = 32
+
+  /** q389 — butterfly (2×2 biclique) census of the bipartite trade
+    * graph (Wang–Fu–Cheng VLDB 2014; Sanei-Mehri–Sariyüce–Tirthapura
+    * KDD 2018): a butterfly is two customers sharing two suppliers —
+    * the smallest bipartite cohesion motif, playing the role triangles
+    * (q307) play on unipartite graphs, where the customer–supplier
+    * graph has NO triangles by construction. Per co-degree band (w =
+    * shared suppliers of a customer pair, capped at 8): pair count and
+    * butterfly count Σ C(w,2), plus the global totals on every row.
+    * The curation read: high-butterfly blocks are the bipartite analog
+    * of q388's dense core — order-bot rings and mirrored storefronts
+    * co-purchasing through the same supplier sets.
+    *
+    * Parity: wedge generation is capped by a deterministic
+    * row_number prefix (identical text both engines); w, C(w,2) =
+    * (w·(w−1)) div 2, and all sums are exact integers (DuckDB's
+    * int128 sums cast back to BIGINT).
+    *
+    * Scale (100 TB): the classic butterfly-count hazard is Θ(Σ deg²)
+    * wedge fan-out on hub suppliers; the cap bounds it at C(cap,2) per
+    * supplier — capped, counted, and reported, not silently dropped
+    * (band 8+ aggregates the saturated tail). The self-join shuffles
+    * ONE exchange (both sides are the same cached frame, partitioned
+    * on sk), the (c1,c2) aggregate is map-combinable, and only the
+    * ≤8-row band table reaches the driver. */
+  def butterflyCensus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = EtlOps.t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = EtlOps.t(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val eb = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+    val capped = eb
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("sk").orderBy("ck")))
+      .filter(col("rn") <= BflyCap)
+      .select("ck", "sk")
+      .persist()
+    val pairs = CurationOps.cutLineage(capped.as("x")
+      .join(capped.as("y"),
+        col("x.sk") === col("y.sk") && col("x.ck") < col("y.ck"))
+      .groupBy(col("x.ck").as("c1"), col("y.ck").as("c2"))
+      .agg(count(lit(1)).as("w")))
+    capped.unpersist()
+    val g = pairs.agg(
+      coalesce(sum(expr("(w * (w - 1)) div 2")), lit(0L))
+        .as("global_butterflies"),
+      coalesce(sum(col("w")), lit(0L)).as("global_wedge_pairs"))
+    pairs
+      .groupBy(least(col("w"), lit(8L)).as("codeg_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("(w * (w - 1)) div 2")).as("n_butterflies"))
+      .crossJoin(g)
+      .select(col("codeg_band"), col("n_pairs"), col("n_butterflies"),
+        col("global_butterflies"), col("global_wedge_pairs"))
+      .orderBy("codeg_band")
+  }
+
+  def butterflyCensusOracle: String =
+    s"""WITH eb AS (SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |cap AS (SELECT ck, sk FROM (SELECT ck, sk,
+       |    row_number() OVER (PARTITION BY sk ORDER BY ck) AS rn
+       |  FROM eb) WHERE rn <= $BflyCap),
+       |pairs AS MATERIALIZED (SELECT x.ck AS c1, y.ck AS c2,
+       |    count(*) AS w
+       |  FROM cap x JOIN cap y ON x.sk = y.sk AND x.ck < y.ck
+       |  GROUP BY 1, 2),
+       |g AS (SELECT CAST(coalesce(sum((w * (w - 1)) // 2), 0) AS BIGINT)
+       |    AS gb,
+       |  CAST(coalesce(sum(w), 0) AS BIGINT) AS gw FROM pairs)
+       |SELECT CAST(least(w, 8) AS BIGINT) AS codeg_band,
+       |  count(*) AS n_pairs,
+       |  CAST(sum((w * (w - 1)) // 2) AS BIGINT) AS n_butterflies,
+       |  g.gb AS global_butterflies, g.gw AS global_wedge_pairs
+       |FROM pairs, g GROUP BY 1, g.gb, g.gw
+       |ORDER BY codeg_band""".stripMargin
+
+  // --- q390: Luby maximal independent set ------------------------------------
+
+  /** Fixed Luby rounds — convergence is REPORTED per round, never
+    * assumed (the q338 discipline). */
+  val LubyRounds = 5
+
+  /** Sentinel above every 60-bit md5 priority: a node with no alive
+    * neighbor always wins its own comparison. */
+  private val MisNoNbr = 1L << 62
+
+  /** q390 — maximal independent set by Luby's algorithm (Luby 1986,
+    * SICOMP "A simple parallel algorithm for the maximal independent
+    * set problem"): per round every alive node draws a fresh
+    * deterministic priority (md5 of round:node — the q384 coin
+    * discipline, so both engines draw the SAME "random" numbers), the
+    * strict local minima join the MIS, and winners plus their
+    * neighbors leave the graph; expected O(log n) rounds kill all
+    * edges. Strictness on ties keeps the selected set independent
+    * under (vanishingly unlikely) 60-bit collisions — neither
+    * neighbor enters that round. The MIS is the classic one-hop
+    * spacing primitive: pick spread-out exemplars from the near-dup
+    * graph (one doc per tight cluster neighborhood), seed distributed
+    * graph coloring, thin a crawl frontier.
+    * Per round: selected count, running MIS size, removed, alive,
+    * convergence flag.
+    *
+    * Parity: priorities are 60-bit md5 integers built from identical
+    * strings; counts are exact; the oracle unrolls the
+    * [[LubyRounds]] rounds as CTEs.
+    *
+    * Scale (100 TB): rides the shared co-activity artifact. The only
+    * iterated state is the |V|-row alive set (cutLineage per
+    * generation); the symmetric edge table is cached partitioned on
+    * the neighbor key, so BOTH per-round probes — min alive-neighbor
+    * priority and neighbors-of-winners — hash-join in place
+    * (shuffle_hash on the |V|-bounded side; priorities are computed
+    * in-row, never joined). Nothing |E|-sized ever re-shuffles or
+    * re-materializes. */
+  def lubyMis(s: SparkSession, dir: String): DataFrame = {
+    val und = cooccurEdges(s, dir)
+    val np = s.sessionState.conf.numShufflePartitions
+    val ed = und.select(col("ua").as("u"), col("ub").as("v"))
+      .unionAll(und.select(col("ub").as("u"), col("ua").as("v")))
+      .repartition(np, col("v"))
+      .persist()
+    def prio(r: Int, c: Column): Column =
+      call_function("md5_fp60", concat(lit(s"mis:$r:"), c.cast("string")))
+    var alive = CurationOps.cutLineage(ed.select("u").distinct())
+    var prevAlive = alive.agg(count(lit(1)).as("n_prev"))
+    var misSoFar = s.range(1).select(lit(0L).as("mis"))
+    val rows = scala.collection.mutable.Buffer.empty[DataFrame]
+    (1 to LubyRounds).foreach { r =>
+      val minNbr = ed
+        .join(alive.withColumnRenamed("u", "v").hint("shuffle_hash"),
+          Seq("v"))
+        .select(col("u"), prio(r, col("v")).as("pv"))
+        .groupBy("u").agg(min(col("pv")).as("mp"))
+      val sel = CurationOps.cutLineage(alive
+        .join(minNbr, Seq("u"), "left")
+        .filter(prio(r, col("u")) < coalesce(col("mp"), lit(MisNoNbr)))
+        .select("u"))
+      val nbrSel = ed
+        .join(sel.withColumnRenamed("u", "v").hint("shuffle_hash"),
+          Seq("v"))
+        .select("u").distinct()
+      val next = CurationOps.cutLineage(alive
+        .join(sel, Seq("u"), "left_anti")
+        .join(nbrSel, Seq("u"), "left_anti"))
+      val selCnt = sel.agg(count(lit(1)).as("n_selected"))
+      val aliveCnt = next.agg(count(lit(1)).as("n_alive"))
+      rows += selCnt.crossJoin(misSoFar).crossJoin(prevAlive)
+        .crossJoin(aliveCnt)
+        .selectExpr(s"CAST($r AS BIGINT) AS round", "n_selected",
+          "mis + n_selected AS mis_size", "n_prev - n_alive AS n_removed",
+          "n_alive", "n_alive = 0 AS converged")
+      misSoFar = misSoFar.crossJoin(selCnt)
+        .selectExpr("mis + n_selected AS mis")
+      prevAlive = aliveCnt.withColumnRenamed("n_alive", "n_prev")
+      alive = next
+    }
+    ed.unpersist()
+    rows.reduce(_ unionAll _).orderBy("round")
+  }
+
+  def lubyMisOracle: String = {
+    def prio(r: Int, c: String): String =
+      s"CAST('0x' || substr(md5('mis:$r:' || CAST($c AS VARCHAR)), 1, 15)" +
+        " AS BIGINT)"
+    val iters = (1 to LubyRounds).map { r =>
+      val p = r - 1
+      s"""m$r AS (SELECT e.u, min(${prio(r, "e.v")}) AS mp
+         |  FROM ed e JOIN a$p x ON e.v = x.u GROUP BY e.u),
+         |s$r AS MATERIALIZED (SELECT al.u FROM a$p al
+         |  LEFT JOIN m$r m ON al.u = m.u
+         |  WHERE ${prio(r, "al.u")} < coalesce(m.mp, $MisNoNbr)),
+         |nb$r AS (SELECT DISTINCT e.u FROM ed e
+         |  JOIN s$r sel ON e.v = sel.u),
+         |a$r AS MATERIALIZED (SELECT u FROM a$p
+         |  WHERE u NOT IN (SELECT u FROM s$r)
+         |    AND u NOT IN (SELECT u FROM nb$r))""".stripMargin
+    }.mkString(",\n")
+    val rowSel = (1 to LubyRounds).map { r =>
+      val p = r - 1
+      val cum = (1 to r).map(i => s"(SELECT count(*) FROM s$i)")
+        .mkString(" + ")
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT count(*) FROM s$r) AS n_selected,
+         |  $cum AS mis_size,
+         |  (SELECT count(*) FROM a$p) - (SELECT count(*) FROM a$r)
+         |    AS n_removed,
+         |  (SELECT count(*) FROM a$r) AS n_alive,
+         |  (SELECT count(*) FROM a$r) = 0 AS converged""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH c AS (SELECT event_type AS et, date_trunc('hour', ts) AS h,
+       |    user_id AS u FROM events GROUP BY 1, 2, 3),
+       |capped AS (SELECT et, h, u FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY et, h ORDER BY u) AS rn
+       |  FROM c) WHERE rn <= $CoocCellCap),
+       |e0 AS MATERIALIZED (SELECT a.u AS a, b.u AS b
+       |  FROM capped a JOIN capped b
+       |    ON a.et = b.et AND a.h = b.h AND a.u < b.u
+       |  GROUP BY 1, 2 HAVING count(*) >= $CoocMinCells),
+       |ed AS (SELECT a AS u, b AS v FROM e0
+       |       UNION ALL SELECT b, a FROM e0),
+       |a0 AS MATERIALIZED (SELECT DISTINCT u FROM ed),
+       |$iters
+       |SELECT * FROM ($rowSel) ORDER BY round""".stripMargin
   }
 }

@@ -118,6 +118,23 @@ object OracleGen {
   private[graft] lazy val lshCandSpreadCtes: String =
     lshCandCtes(Some(DedupOps.LshBucketCap), CorpusSpread)
 
+  /** [[CorpusSpread]] with verbatim replicas folded to one canonical
+    * (min-id) doc per distinct text — the exact-then-near cascade the
+    * MST family (q358/q365) runs: on a replica-heavy corpus the
+    * hot-bucket drop-cap would otherwise discard every bucket the
+    * replicas saturate and the near-dup graph silently empties (the
+    * q379 replica-fixture lesson, observed for real on the 100×
+    * ScaleUnion fixture). A no-op on the 1× fixture, which has no
+    * verbatim twins. */
+  private[graft] val CorpusSpreadCanon: String =
+    CorpusSpread.replaceFirst("^corpus AS \\(", "corpus0 AS (") +
+      """,
+        |corpus AS (SELECT min(doc_id) AS doc_id, text
+        |  FROM corpus0 GROUP BY text)""".stripMargin
+
+  private[graft] lazy val lshCandSpreadCanonCtes: String =
+    lshCandCtes(Some(DedupOps.LshBucketCap), CorpusSpreadCanon)
+
   /** Same chain over a caller-supplied corpus CTE (q317 plants hot
     * buckets on top of [[CorpusSpread]]). */
   private[graft] def lshCandCtesOver(corpusCte: String): String =
