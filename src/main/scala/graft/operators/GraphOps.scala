@@ -2728,7 +2728,10 @@ object GraphOps {
     * ONE exchange (both sides are the same cached frame, partitioned
     * on sk), the (c1,c2) aggregate is map-combinable, and only the
     * ≤8-row band table reaches the driver. */
-  def butterflyCensus(s: SparkSession, dir: String): DataFrame = {
+  /** The capped co-degree pair stream (c1 < c2, w = shared suppliers
+    * under the cap) — the wedge half of q389, exposed so the plan pin
+    * can check the self-join shape before the lineage cut. */
+  private[graft] def butterflyPairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val li = EtlOps.t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
     val o = EtlOps.t(s, dir, "orders").select("o_orderkey", "o_custkey")
@@ -2741,12 +2744,15 @@ object GraphOps {
       .filter(col("rn") <= BflyCap)
       .select("ck", "sk")
       .persist()
-    val pairs = CurationOps.cutLineage(capped.as("x")
+    capped.as("x")
       .join(capped.as("y"),
         col("x.sk") === col("y.sk") && col("x.ck") < col("y.ck"))
       .groupBy(col("x.ck").as("c1"), col("y.ck").as("c2"))
-      .agg(count(lit(1)).as("w")))
-    capped.unpersist()
+      .agg(count(lit(1)).as("w"))
+  }
+
+  def butterflyCensus(s: SparkSession, dir: String): DataFrame = {
+    val pairs = CurationOps.cutLineage(butterflyPairs(s, dir))
     val g = pairs.agg(
       coalesce(sum(expr("(w * (w - 1)) div 2")), lit(0L))
         .as("global_butterflies"),
@@ -2791,6 +2797,26 @@ object GraphOps {
     * neighbor always wins its own comparison. */
   private val MisNoNbr = 1L << 62
 
+  /** One Luby round's winner set — the strict local priority minima of
+    * the alive set under fresh round-r md5 priorities. Exposed so the
+    * plan pin can check the round's physical shape: priorities are
+    * in-row expressions (never joined), the alive probe hash-joins
+    * against the cached edge partitioning (no sort-merge re-sort of
+    * the |E| side), and the min-priority aggregate is map-combinable. */
+  private[graft] def misWinners(ed: DataFrame, alive: DataFrame,
+      r: Int): DataFrame = {
+    def prio(c: Column): Column =
+      call_function("md5_fp60", concat(lit(s"mis:$r:"), c.cast("string")))
+    val minNbr = ed
+      .join(alive.withColumnRenamed("u", "v").hint("shuffle_hash"),
+        Seq("v"))
+      .select(col("u"), prio(col("v")).as("pv"))
+      .groupBy("u").agg(min(col("pv")).as("mp"))
+    alive.join(minNbr, Seq("u"), "left")
+      .filter(prio(col("u")) < coalesce(col("mp"), lit(MisNoNbr)))
+      .select("u")
+  }
+
   /** q390 — maximal independent set by Luby's algorithm (Luby 1986,
     * SICOMP "A simple parallel algorithm for the maximal independent
     * set problem"): per round every alive node draws a fresh
@@ -2826,22 +2852,12 @@ object GraphOps {
       .unionAll(und.select(col("ub").as("u"), col("ua").as("v")))
       .repartition(np, col("v"))
       .persist()
-    def prio(r: Int, c: Column): Column =
-      call_function("md5_fp60", concat(lit(s"mis:$r:"), c.cast("string")))
     var alive = CurationOps.cutLineage(ed.select("u").distinct())
     var prevAlive = alive.agg(count(lit(1)).as("n_prev"))
     var misSoFar = s.range(1).select(lit(0L).as("mis"))
     val rows = scala.collection.mutable.Buffer.empty[DataFrame]
     (1 to LubyRounds).foreach { r =>
-      val minNbr = ed
-        .join(alive.withColumnRenamed("u", "v").hint("shuffle_hash"),
-          Seq("v"))
-        .select(col("u"), prio(r, col("v")).as("pv"))
-        .groupBy("u").agg(min(col("pv")).as("mp"))
-      val sel = CurationOps.cutLineage(alive
-        .join(minNbr, Seq("u"), "left")
-        .filter(prio(r, col("u")) < coalesce(col("mp"), lit(MisNoNbr)))
-        .select("u"))
+      val sel = CurationOps.cutLineage(misWinners(ed, alive, r))
       val nbrSel = ed
         .join(sel.withColumnRenamed("u", "v").hint("shuffle_hash"),
           Seq("v"))

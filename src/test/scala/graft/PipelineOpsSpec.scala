@@ -5174,4 +5174,94 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(best >= out(0L)._3.get, "best density below the start")
     assert(out(1L)._4 > 0, "round 1 removed nothing — fixture too easy")
   }
+
+  test("q389 butterfly census: matches a driver capped-wedge replay; cap binds on the fixture") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .selectExpr("CAST(l_orderkey AS BIGINT)", "CAST(l_suppkey AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val om = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("CAST(o_orderkey AS BIGINT)", "CAST(o_custkey AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val eb = li.flatMap { case (ok, sk) => om.get(ok).map(ck => (ck, sk)) }
+      .toSet
+    val bySup = eb.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSeq.sorted.take(GraphOps.BflyCap)).toMap
+    val w = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    bySup.values.foreach { cs =>
+      for (i <- cs.indices; j <- i + 1 until cs.size) {
+        val k = (cs(i), cs(j)); w(k) = w.getOrElse(k, 0L) + 1
+      }
+    }
+    val gb = w.values.map(x => x * (x - 1) / 2).sum
+    val gw = w.values.sum
+    val rows = GraphOps.butterflyCensus(spark, dir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) == gb, "global butterflies")
+      assert(r.getLong(4) == gw, "global wedge pairs")
+    }
+    val bands = w.values.groupBy(x => math.min(x, 8L)).view.mapValues(v =>
+      (v.size.toLong, v.map(x => x * (x - 1) / 2).sum)).toMap
+    assert(rows.length == bands.size, "band row count")
+    rows.foreach { r =>
+      val (np, nb) = bands(r.getLong(0))
+      assert(r.getLong(1) == np && r.getLong(2) == nb,
+        s"band ${r.getLong(0)} mismatch")
+    }
+    assert(gb > 0, "fixture has no butterflies — census vacuous")
+    // the cap must TRUNCATE at least one hub supplier (the replica
+    // lesson: capped and counted, not silently unbounded)
+    assert(eb.groupBy(_._2).exists(_._2.size > GraphOps.BflyCap),
+      "no supplier above the cap — cap path untested")
+  }
+
+  test("q390 Luby MIS: matches a driver replay; independent every round; maximal at convergence") {
+    val e0 = GraphOps.cooccurEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long,
+      scala.collection.mutable.Set[Long]]
+    e0.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    def prio(r: Int, u: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"mis:$r:$u".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    var alive = adj.keySet.toSet
+    val mis = scala.collection.mutable.Set.empty[Long]
+    val out = GraphOps.lubyMis(spark, dir).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toMap
+    for (r <- 1 to GraphOps.LubyRounds) {
+      val sel = alive.filter { u =>
+        val nb = adj(u).filter(alive)
+        val p = prio(r, u)
+        nb.isEmpty || nb.forall(v => p < prio(r, v))
+      }
+      // the round's winner set is independent by construction — the
+      // strict-minimum rule must keep it that way
+      sel.foreach(u => assert((adj(u) & sel).isEmpty,
+        s"round $r selected two neighbors"))
+      mis ++= sel
+      val prevAlive = alive.size
+      alive = alive -- sel -- sel.flatMap(u => adj(u).filter(alive))
+      val (gSel, gMis, gRem, gAlive, gConv) = out(r.toLong)
+      assert(gSel == sel.size.toLong, s"round $r selected")
+      assert(gMis == mis.size.toLong, s"round $r mis size")
+      assert(gRem == (prevAlive - alive.size).toLong, s"round $r removed")
+      assert(gAlive == alive.size.toLong, s"round $r alive")
+      assert(gConv == alive.isEmpty, s"round $r converged flag")
+    }
+    assert(alive.isEmpty,
+      "did not converge within LubyRounds on the fixture")
+    // maximal: every node is in the MIS or adjacent to it; independent:
+    // no edge joins two MIS members
+    adj.keys.foreach(u => assert(mis(u) || (adj(u) & mis).nonEmpty,
+      s"node $u neither selected nor dominated"))
+    e0.foreach { case (a, b) =>
+      assert(!(mis(a) && mis(b)), s"edge ($a,$b) inside the MIS")
+    }
+  }
 }

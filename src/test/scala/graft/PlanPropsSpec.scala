@@ -1934,6 +1934,37 @@ class PlanPropsSpec extends AnyFunSuite {
       "curve must report every round including round 0")
   }
 
+  test("q389 butterfly census: wedge stream is the capped equi-self-join — no cartesian; the cap window partitions on the supplier key") {
+    val p = plan(GraphOps.butterflyPairs(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"butterfly wedge join went all-pairs:\n${p.take(1800)}")
+    assert(p.contains("row_number"),
+      s"hub cap window missing — wedge fan-out unbounded:\n${p.take(1800)}")
+    val df = GraphOps.butterflyCensus(spark, dir)
+    assert(df.columns.toSeq == Seq("codeg_band", "n_pairs",
+      "n_butterflies", "global_butterflies", "global_wedge_pairs"))
+    assert(df.count() <= 8, "co-degree bands must cap at 8")
+  }
+
+  test("q390 Luby MIS: the round block probes the pinned edge cache with a hash join and computes priorities in-row") {
+    val np = spark.sessionState.conf.numShufflePartitions
+    val und = GraphOps.cooccurEdges(spark, dir)
+    val ed = und.select(col("ua").as("u"), col("ub").as("v"))
+      .unionAll(und.select(col("ub").as("u"), col("ua").as("v")))
+      .repartition(np, col("v")).persist()
+    val alive = CurationOps.cutLineage(ed.select("u").distinct())
+    val p = plan(GraphOps.misWinners(ed, alive, 1))
+    assert(p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin"),
+      s"alive probe is not a hash join — |E| side re-sorted per round?:\n${p.take(1800)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"MIS round went all-pairs:\n${p.take(1800)}")
+    assert(p.contains("md5_fp60"),
+      s"priorities not in-row md5 — joined from a table?:\n${p.take(1800)}")
+    ed.unpersist()
+  }
+
   // --- suite-wide invariant: unpartitioned windows ------------------------
 
   /** Grouping-key names that mark an aggregate as ENTITY-keyed: node /
