@@ -405,6 +405,7 @@ object SparkEntry {
     "q388_densest_subgraph"  -> (GraphOps.densestSubgraph _),
     "q389_butterfly_census"  -> (GraphOps.butterflyCensus _),
     "q390_luby_mis"          -> (GraphOps.lubyMis _),
+    "q391_pass_at_k"         -> (AnalyticsOps.passAtK _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1074,6 +1075,7 @@ object SparkEntry {
     "q388_densest_subgraph" -> GraphOps.densestSubgraphOracle,
     "q389_butterfly_census" -> GraphOps.butterflyCensusOracle,
     "q390_luby_mis" -> GraphOps.lubyMisOracle,
+    "q391_pass_at_k" -> AnalyticsOps.passAtKOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

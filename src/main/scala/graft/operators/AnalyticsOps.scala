@@ -2951,4 +2951,103 @@ object AnalyticsOps {
        |       ELSE 'ok' END AS srm_verdict
        |FROM agg ORDER BY experiment""".stripMargin
   }
+
+  // --- q391: pass@k estimator curve ------------------------------------------
+
+  /** The k values of the pass@k curve — powers of two, the HumanEval
+    * reporting convention. */
+  val PassKs = Seq(1, 2, 4, 8)
+
+  /** Fixed-point scale for per-problem pass probabilities. */
+  private val PassFpScale = "1000000000000"
+
+  /** q391 — unbiased pass@k curve (Chen et al. 2021, "Evaluating Large
+    * Language Models Trained on Code", §2.1): per problem with n
+    * samples and c successes, the unbiased estimator of P(≥1 success
+    * in k draws) is 1 − C(n−c,k)/C(n,k), NOT 1 − (1−c/n)^k — each
+    * without-replacement failure factor (n−c−i)/(n−i) is ≤ the
+    * plug-in failure rate (n−c)/n, so the plug-in form is biased LOW,
+    * and the difference is exactly what the estimator exists to
+    * remove. Problems are users, samples are
+    * their events, success is a deterministic md5 coin whose rate
+    * varies by problem (u mod 50 · 2%: the fixture spans impossible
+    * through near-certain problems, so saturation and the k ≤ n gate
+    * both exercise). Per k: evaluable problem count (n ≥ k),
+    * saturated count (n−c < k ⇒ estimator exactly 1), and the mean
+    * pass@k over evaluable problems.
+    *
+    * Parity: C(n−c,k)/C(n,k) is evaluated as the falling-factorial
+    * rational Π(n−c−i)/Π(n−i) with EXACT integer numerator and
+    * denominator (Spark DECIMAL(38,0) products, DuckDB HUGEINT — both
+    * exact at n ≤ 10⁴·⁵), ONE pinned double division, and a floor to
+    * scaled-BIGINT fixed point per problem; means are exact BIGINT
+    * sums with one final division (the q362/q383 discipline).
+    *
+    * Scale (100 TB): one map-combinable (problem → n, c) aggregate
+    * over the event stream, then [[PassKs]].size 1-row aggregates
+    * over the |problems| frame (lineage-cut, referenced once per k);
+    * the curve never materializes per-sample state and the estimator
+    * arithmetic is in-row. */
+  def passAtK(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val per = CurationOps.cutLineage(EtlOps.events(s, dir)
+      .select(col("user_id").as("u"), col("event_id").as("eid"))
+      .withColumn("ok", (call_function("md5_fp60",
+        concat(lit("pk:"), col("eid").cast("string"))) % 1000 <
+        (col("u") % 50) * 20).cast("int"))
+      .groupBy("u")
+      .agg(count(lit(1)).as("n"), sum(col("ok")).cast("long").as("c")))
+    val rows = PassKs.map { k =>
+      val num = (0 until k)
+        .map(i => s"CAST(n - c - $i AS DECIMAL(38,0))").mkString(" * ")
+      val den = (0 until k)
+        .map(i => s"CAST(n - $i AS DECIMAL(38,0))").mkString(" * ")
+      val passFp = s"CASE WHEN n < $k THEN CAST(NULL AS BIGINT)" +
+        s" WHEN n - c < $k THEN CAST($PassFpScale AS BIGINT)" +
+        s" ELSE $PassFpScale - CAST(floor(CAST($num AS DOUBLE)" +
+        s" / CAST($den AS DOUBLE) * 1e12) AS BIGINT) END"
+      per
+        .selectExpr("n", "c", s"$passFp AS pass_fp",
+          s"CASE WHEN n >= $k AND n - c < $k THEN 1 ELSE 0 END AS sat")
+        .agg(count(col("pass_fp")).as("n_problems"),
+          sum(col("sat")).cast("long").as("n_saturated"),
+          sum(col("pass_fp")).as("sum_fp"))
+        .selectExpr(s"CAST($k AS BIGINT) AS k", "n_problems",
+          "n_saturated",
+          "CASE WHEN n_problems > 0 THEN round(CAST(sum_fp AS DOUBLE)" +
+            " / CAST(n_problems AS DOUBLE) / 1e12, 6) END AS pass_at_k")
+    }
+    rows.reduce(_ unionAll _).orderBy("k")
+  }
+
+  def passAtKOracle: String = {
+    val coin = "CAST('0x' || substr(md5('pk:' || CAST(event_id AS" +
+      " VARCHAR)), 1, 15) AS BIGINT) % 1000 < (user_id % 50) * 20"
+    val blocks = PassKs.map { k =>
+      val num = (0 until k)
+        .map(i => s"CAST(n - c - $i AS HUGEINT)").mkString(" * ")
+      val den = (0 until k)
+        .map(i => s"CAST(n - $i AS HUGEINT)").mkString(" * ")
+      val passFp = s"CASE WHEN n < $k THEN CAST(NULL AS BIGINT)" +
+        s" WHEN n - c < $k THEN CAST($PassFpScale AS BIGINT)" +
+        s" ELSE $PassFpScale - CAST(floor(CAST($num AS DOUBLE)" +
+        s" / CAST($den AS DOUBLE) * 1e12) AS BIGINT) END"
+      s"""SELECT CAST($k AS BIGINT) AS k,
+         |  count(pass_fp) AS n_problems,
+         |  CAST(sum(sat) AS BIGINT) AS n_saturated,
+         |  CASE WHEN count(pass_fp) > 0 THEN
+         |    round(CAST(sum(pass_fp) AS DOUBLE)
+         |      / CAST(count(pass_fp) AS DOUBLE) / 1e12, 6) END
+         |    AS pass_at_k
+         |FROM (SELECT n, c, $passFp AS pass_fp,
+         |    CASE WHEN n >= $k AND n - c < $k THEN 1 ELSE 0 END AS sat
+         |  FROM per)""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH per AS (SELECT u, count(*) AS n,
+       |    CAST(sum(ok) AS BIGINT) AS c
+       |  FROM (SELECT user_id AS u,
+       |      CASE WHEN $coin THEN 1 ELSE 0 END AS ok
+       |    FROM events) GROUP BY u)
+       |SELECT * FROM ($blocks) ORDER BY k""".stripMargin
+  }
 }

@@ -5264,4 +5264,58 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(!(mis(a) && mis(b)), s"edge ($a,$b) inside the MIS")
     }
   }
+
+  test("q391 pass@k: matches an exact BigInt replay; dominates the plug-in estimator; monotone in k") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("CAST(user_id AS BIGINT)", "CAST(event_id AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def fp60(s0: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s0.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val per = ev.groupBy(_._1).view.mapValues { rows =>
+      val n = rows.length.toLong
+      val c = rows.count { case (u, e) =>
+        fp60(s"pk:$e") % 1000 < (u % 50) * 20 }.toLong
+      (n, c)
+    }.toMap
+    val out = AnalyticsOps.passAtK(spark, dir).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    AnalyticsOps.PassKs.foreach { k =>
+      val valid = per.values.filter(_._1 >= k).toSeq
+      val fps = valid.map { case (n, c) =>
+        if (n - c < k) 1000000000000L
+        else {
+          val num = (0 until k).map(i => BigInt(n - c - i)).product
+          val den = (0 until k).map(i => BigInt(n - i)).product
+          1000000000000L -
+            math.floor(num.toDouble / den.toDouble * 1e12).toLong
+        }
+      }
+      val (gN, gSat, gPass) = out(k.toLong)
+      assert(gN == valid.size.toLong, s"k=$k evaluable count")
+      assert(gSat == valid.count { case (n, c) => n - c < k }.toLong,
+        s"k=$k saturated count")
+      val exp = fps.sum.toDouble / valid.size / 1e12
+      assert(math.abs(gPass.get - exp) < 2e-6, s"k=$k mean pass")
+      // the unbiased estimator dominates the plug-in 1 − (1−c/n)^k
+      // per problem (without-replacement failures are rarer), so the
+      // means must order the same way
+      val plugin = valid.map { case (n, c) =>
+        1.0 - math.pow(1.0 - c.toDouble / n, k) }.sum / valid.size
+      assert(gPass.get >= plugin - 1e-9,
+        s"k=$k unbiased mean below plug-in — estimator inverted")
+    }
+    // every fixture problem has n ≥ 8, so the curve is genuinely
+    // monotone in k
+    val curve = AnalyticsOps.PassKs.map(k => out(k.toLong)._3.get)
+    curve.sliding(2).foreach(p =>
+      if (p.length == 2) assert(p(1) >= p(0), "pass@k not monotone"))
+    // the rate-0 problem (u ≡ 0 mod 50) anchors the curve below 1
+    assert(per.values.exists(_._2 == 0L), "no impossible problem planted")
+    assert(curve.forall(_ < 1.0), "curve saturated — fixture degenerate")
+  }
 }

@@ -1965,6 +1965,19 @@ class PlanPropsSpec extends AnyFunSuite {
     ed.unpersist()
   }
 
+  test("q391 pass@k: per-k blocks are 1-row aggregates over the lineage-cut problem frame; estimator arithmetic in-row") {
+    val df = AnalyticsOps.passAtK(spark, dir)
+    val p = plan(df)
+    // the event scan sits below the per-problem cut; nothing
+    // sample-sized reaches the per-k estimator blocks
+    assert(!p.contains("Scan parquet"),
+      s"event scan leaked above the problem-frame cut:\n${p.take(1800)}")
+    assert(df.columns.toSeq ==
+      Seq("k", "n_problems", "n_saturated", "pass_at_k"))
+    assert(df.count() == AnalyticsOps.PassKs.size.toLong,
+      "one curve row per k")
+  }
+
   // --- suite-wide invariant: unpartitioned windows ------------------------
 
   /** Grouping-key names that mark an aggregate as ENTITY-keyed: node /
