@@ -406,6 +406,7 @@ object SparkEntry {
     "q389_butterfly_census"  -> (GraphOps.butterflyCensus _),
     "q390_luby_mis"          -> (GraphOps.lubyMis _),
     "q391_pass_at_k"         -> (AnalyticsOps.passAtK _),
+    "q392_random_walks"      -> (GraphOps.randomWalks _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1076,6 +1077,7 @@ object SparkEntry {
     "q389_butterfly_census" -> GraphOps.butterflyCensusOracle,
     "q390_luby_mis" -> GraphOps.lubyMisOracle,
     "q391_pass_at_k" -> AnalyticsOps.passAtKOracle,
+    "q392_random_walks" -> GraphOps.randomWalksOracle,
     "q112_random_projection" -> SimilarityOps.randomProjectionOracle,
     "q113_ann_recall" -> SimilarityOps.annRecallOracle,
     "q114_global_enum" ->

@@ -28,7 +28,23 @@ object CurationOps {
     * way the logical plan downstream starts from materialized data —
     * the property the iteration needs (plan doubling measured
     * 1.4s → 30s without a cut). */
+  /** Test-only intercept: when a thread installs a buffer here, every
+    * [[cutLineage]] on that thread records the optimized plan it is
+    * about to materialize. This exists because the cut is EAGER — an
+    * iterative operator's per-round joins execute during query
+    * CONSTRUCTION and never appear in the returned frame's plan, so a
+    * walker of the final plan is structurally blind to them (exactly
+    * how q338's per-round corpus-sized broadcast hid until a 100× run
+    * measured it at 371 s). The plan-invariant suite installs the
+    * buffer, rebuilds every query, and walks the recorded plans too.
+    * Production threads never install it: one null check per cut. */
+  private[graft] val cutAudit = new java.lang.ThreadLocal[
+    scala.collection.mutable.Buffer[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]
+
   def cutLineage(df: DataFrame): DataFrame = {
+    val audit = cutAudit.get
+    if (audit != null) audit += df.queryExecution.optimizedPlan
     val sc = df.sparkSession.sparkContext
     df.sparkSession.conf.getOption(CheckpointDirKey) match {
       case Some(d) =>

@@ -2925,4 +2925,132 @@ object GraphOps {
        |$iters
        |SELECT * FROM ($rowSel) ORDER BY round""".stripMargin
   }
+
+  // --- q392: random-walk corpus audit ----------------------------------------
+
+  /** Walk length (steps after the start node). */
+  val RwSteps = 4
+
+  /** Start-node sampling modulus: walks start from the ~1/[[RwStartMod]]
+    * of nodes whose md5 coin lands on 0, so the coverage curve has
+    * somewhere to GROW (starting everywhere begins at 100%). */
+  val RwStartMod = 10
+
+  /** q392 — random-walk corpus audit (DeepWalk, Perozzi–Al-Rfou–Skiena
+    * KDD 2014; node2vec's p=q=1 case): the walk corpus that graph
+    * embedding pretraining feeds on, generated IN-ENGINE with
+    * deterministic md5 transition coins (the q384/q390 coin
+    * discipline — both engines draw identical "random" neighbors).
+    * Per node a neighbor INDEX table (row_number over the adjacency,
+    * co-partitioned with the degree) turns each step into one
+    * equi-join: next = neighbors[coin(step, walk) mod deg]. Per step:
+    * walk count, distinct occupied nodes, walks back at their start,
+    * cumulative nodes visited, and the coverage fraction — the curve
+    * that answers "how many walks × how many steps until the corpus
+    * has seen the graph", which is the budget question a DeepWalk
+    * pipeline asks before it burns GPU time.
+    *
+    * Parity: transitions are md5-mod-degree integers; all stats are
+    * exact counts; coverage freezes to floor(10⁶·visited/|V|); the
+    * oracle unrolls the [[RwSteps]] steps as CTEs.
+    *
+    * Scale (100 TB): the neighbor-index table is built once (two
+    * windows over ONE exchange on the node key) and cached; each step
+    * is a single hash join of the |walks|-row state against that
+    * partitioning (the state side builds the hash map — shuffle_hash,
+    * never a per-step re-sort of |E|) plus |walks|-bounded distinct
+    * maintenance; per-step lineage cuts. Walk state never exceeds
+    * |starts| rows; nothing |E|-sized moves after the build. */
+  def randomWalks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val und = cooccurEdges(s, dir)
+    val ed = und.select(col("ua").as("node"), col("ub").as("nbr"))
+      .unionAll(und.select(col("ub").as("node"), col("ua").as("nbr")))
+    val ei = ed
+      .withColumn("idx", row_number().over(
+        Window.partitionBy("node").orderBy("nbr")) - 1)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("node")))
+      .persist()
+    // 1-row cut: the stat rows re-read this after ei is unpersisted
+    val nNodes = CurationOps.cutLineage(
+      ei.agg(countDistinct(col("node")).as("n_nodes")))
+    var walk = CurationOps.cutLineage(ei.select("node").distinct()
+      .filter(call_function("md5_fp60",
+        concat(lit("rws:"), col("node").cast("string")))
+        % RwStartMod === 0)
+      .select(col("node").as("w"), col("node").as("cur")))
+    var visited = CurationOps.cutLineage(walk.select("cur").distinct())
+    val rows = scala.collection.mutable.Buffer.empty[DataFrame]
+    (0 to RwSteps).foreach { t =>
+      if (t > 0) {
+        val coin = call_function("md5_fp60",
+          concat(lit(s"rw:$t:"), col("w").cast("string")))
+        walk = CurationOps.cutLineage(walk.hint("shuffle_hash")
+          .join(ei, walk("cur") === ei("node") &&
+            ei("idx") === coin % ei("deg"))
+          .select(col("w"), col("nbr").as("cur")))
+        visited = CurationOps.cutLineage(
+          visited.unionAll(walk.select("cur")).distinct())
+      }
+      rows += walk.agg(count(lit(1)).as("n_walks"),
+          countDistinct(col("cur")).as("n_distinct_cur"),
+          sum(when(col("w") === col("cur"), 1L).otherwise(0L))
+            .as("n_returned"))
+        .crossJoin(visited.agg(count(lit(1)).as("n_visited_cum")))
+        .crossJoin(nNodes)
+        .selectExpr(s"CAST($t AS BIGINT) AS step", "n_walks",
+          "n_distinct_cur", "n_returned", "n_visited_cum",
+          "CAST(floor(1e6 * CAST(n_visited_cum AS DOUBLE) / n_nodes)" +
+            " AS BIGINT) AS coverage_fp")
+    }
+    ei.unpersist()
+    rows.reduce(_ unionAll _).orderBy("step")
+  }
+
+  def randomWalksOracle: String = {
+    def coin(salt: String, c: String): String =
+      s"CAST('0x' || substr(md5('$salt' || CAST($c AS VARCHAR)), 1, 15)" +
+        " AS BIGINT)"
+    val iters = (1 to RwSteps).map { t =>
+      val p = t - 1
+      s"""w$t AS MATERIALIZED (SELECT p.w, e.nbr AS cur
+         |  FROM w$p p JOIN ei e ON e.node = p.cur
+         |    AND e.idx = ${coin(s"rw:$t:", "p.w")} % e.deg),
+         |v$t AS MATERIALIZED (SELECT DISTINCT cur FROM (
+         |  SELECT cur FROM v$p UNION ALL SELECT cur FROM w$t))"""
+        .stripMargin
+    }.mkString(",\n")
+    val rowSel = (0 to RwSteps).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS step,
+         |  (SELECT count(*) FROM w$t) AS n_walks,
+         |  (SELECT count(DISTINCT cur) FROM w$t) AS n_distinct_cur,
+         |  (SELECT count(*) FROM w$t WHERE w = cur) AS n_returned,
+         |  (SELECT count(*) FROM v$t) AS n_visited_cum,
+         |  CAST(floor(1e6 * CAST((SELECT count(*) FROM v$t) AS DOUBLE)
+         |    / (SELECT n_nodes FROM nn)) AS BIGINT) AS coverage_fp"""
+        .stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH c AS (SELECT event_type AS et, date_trunc('hour', ts) AS h,
+       |    user_id AS u FROM events GROUP BY 1, 2, 3),
+       |capped AS (SELECT et, h, u FROM (SELECT *,
+       |    row_number() OVER (PARTITION BY et, h ORDER BY u) AS rn
+       |  FROM c) WHERE rn <= $CoocCellCap),
+       |e0 AS MATERIALIZED (SELECT a.u AS a, b.u AS b
+       |  FROM capped a JOIN capped b
+       |    ON a.et = b.et AND a.h = b.h AND a.u < b.u
+       |  GROUP BY 1, 2 HAVING count(*) >= $CoocMinCells),
+       |ed AS (SELECT a AS node, b AS nbr FROM e0
+       |       UNION ALL SELECT b, a FROM e0),
+       |ei AS MATERIALIZED (SELECT node, nbr,
+       |    row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS idx,
+       |    count(*) OVER (PARTITION BY node) AS deg
+       |  FROM ed),
+       |nn AS (SELECT count(DISTINCT node) AS n_nodes FROM ei),
+       |w0 AS MATERIALIZED (SELECT node AS w, node AS cur
+       |  FROM (SELECT DISTINCT node FROM ei)
+       |  WHERE ${coin("rws:", "node")} % $RwStartMod = 0),
+       |v0 AS MATERIALIZED (SELECT DISTINCT cur FROM w0),
+       |$iters
+       |SELECT * FROM ($rowSel) ORDER BY step""".stripMargin
+  }
 }

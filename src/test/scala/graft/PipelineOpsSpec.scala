@@ -5318,4 +5318,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(per.values.exists(_._2 == 0L), "no impossible problem planted")
     assert(curve.forall(_ < 1.0), "curve saturated — fixture degenerate")
   }
+
+  test("q392 random walks: matches a driver step-by-step replay; coverage monotone; walks conserved") {
+    val e0 = GraphOps.cooccurEdges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+    e0.foreach { case (a, b) =>
+      adj(a) = b :: adj.getOrElse(a, Nil)
+      adj(b) = a :: adj.getOrElse(b, Nil)
+    }
+    val nbrs = adj.view.mapValues(_.sorted.toVector).toMap
+    def fp60(s0: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s0.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val starts = nbrs.keySet.toSeq.sorted
+      .filter(u => fp60(s"rws:$u") % GraphOps.RwStartMod == 0)
+    val out = GraphOps.randomWalks(spark, dir).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    var cur = starts.map(w => w -> w)
+    val visited = scala.collection.mutable.Set.empty[Long]
+    visited ++= starts
+    val nV = nbrs.size.toLong
+    (0 to GraphOps.RwSteps).foreach { t =>
+      if (t > 0) {
+        cur = cur.map { case (w, x) =>
+          val ns = nbrs(x)
+          w -> ns((fp60(s"rw:$t:$w") % ns.size).toInt)
+        }
+        visited ++= cur.map(_._2)
+      }
+      val (gW, gD, gR, gV, gC) = out(t.toLong)
+      assert(gW == cur.size.toLong, s"step $t walk count")
+      assert(gD == cur.map(_._2).distinct.size.toLong, s"step $t occupied")
+      assert(gR == cur.count(p => p._1 == p._2).toLong, s"step $t returned")
+      assert(gV == visited.size.toLong, s"step $t visited")
+      assert(gC == math.floor(1e6 * visited.size.toDouble / nV).toLong,
+        s"step $t coverage")
+    }
+    // walk count conserved (no dead ends: every node has degree >= 1),
+    // coverage strictly grew somewhere, start sampling non-trivial
+    assert(starts.nonEmpty && starts.size < nbrs.size,
+      "start sampling degenerate")
+    assert(out(GraphOps.RwSteps.toLong)._4 > out(0L)._4,
+      "coverage never grew — walks stuck")
+  }
 }

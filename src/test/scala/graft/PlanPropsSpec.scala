@@ -1978,6 +1978,19 @@ class PlanPropsSpec extends AnyFunSuite {
       "one curve row per k")
   }
 
+  test("q392 random walks: curve is 1-row stat frames over cut walk state; step count pinned") {
+    val df = GraphOps.randomWalks(spark, dir)
+    val p = plan(df)
+    // walk state and visited sets are lineage-cut per step; nothing
+    // event-sized reaches the curve aggregates
+    assert(!p.contains("Scan parquet"),
+      s"corpus scan leaked above the walk cuts:\n${p.take(1800)}")
+    assert(df.columns.toSeq == Seq("step", "n_walks", "n_distinct_cur",
+      "n_returned", "n_visited_cum", "coverage_fp"))
+    assert(df.count() == GraphOps.RwSteps + 1L,
+      "curve must report every step including step 0")
+  }
+
   // --- suite-wide invariant: unpartitioned windows ------------------------
 
   /** Grouping-key names that mark an aggregate as ENTITY-keyed: node /
@@ -2142,11 +2155,36 @@ class PlanPropsSpec extends AnyFunSuite {
         if (names.nonEmpty && names.forall(n =>
           n.contains("nation") || n.contains("region"))) Nil
         else Seq(s"raw scan ${names.mkString(",")}")
+      case lrdd: org.apache.spark.sql.execution.LogicalRDD =>
+        // lineage-cut leaf: no stats, so MEASURE it (the q338
+        // laundering blind spot — the frame is already materialized,
+        // the count is a local job over cached blocks, memoized)
+        val rows = rddRowsCache.getOrElseUpdate(lrdd.rdd.id,
+          lrdd.rdd.count())
+        if (rows >= BroadcastMeasuredMaxRows)
+          Seq(s"LogicalRDD(measured $rows rows — lineage-cut" +
+            " corpus-scaled frame)")
+        else Nil
       case l: LeafNode => Seq(l.nodeName)
       case other => other.children.flatMap(walk)
     }
     walk(p)
   }
+
+  /** Measured branch for lineage-cut leaves under a broadcast hint: a
+    * checkpointed frame reaches the physical walk as an RDD scan with
+    * NO size stats and used to be excused wholesale — exactly how
+    * q338's per-round broadcast(keep) (a |V|-row kept-node set behind
+    * cutLineage) dodged this invariant until the 100× run caught it at
+    * 371 s (the laundering blind spot). The RDD is already
+    * materialized (cutLineage is eager), so counting it is a cheap
+    * local job; memoized by RDD id — shared artifacts re-walk
+    * hundreds of times. Threshold 300 at sf0.001 separates literal
+    * grids and stat rows from anything corpus-shaped (docs = 500,
+    * events = 1000 there). */
+  private val BroadcastMeasuredMaxRows = 300L
+  private val rddRowsCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Long]
 
   /** The corpus-scaled leaves an EXPLICIT broadcast() hint would ship
     * to every executor. q375's round-11 `weak` was exactly this class:
@@ -2154,11 +2192,18 @@ class PlanPropsSpec extends AnyFunSuite {
     * sf0.1, the OOM at 100×. A hinted side must be bounded by an
     * enum-keyed aggregate, a Limit, a literal grid, or a fixed dim;
     * entity-keyed aggregates (|V|/|users|/|docs| rows) and raw
-    * SF-scaled scans are flagged. Auto-broadcasts are NOT checked:
-    * those are stats-driven and AQE re-plans them at real scale —
-    * the hazard is the hint that FORCES the ship regardless of size. */
+    * SF-scaled scans are flagged; lineage-cut RDD leaves are MEASURED
+    * (see [[BroadcastMeasuredMaxRows]]). Auto-broadcasts are NOT
+    * checked: those are stats-driven and AQE re-plans them at real
+    * scale — the hazard is the hint that FORCES the ship regardless
+    * of size. */
   private def unguardedBroadcastLeaves(
-      df: org.apache.spark.sql.DataFrame): Seq[String] = {
+      df: org.apache.spark.sql.DataFrame): Seq[String] =
+    unguardedBroadcastLeavesIn(df.queryExecution.optimizedPlan)
+
+  private def unguardedBroadcastLeavesIn(
+      top: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[String] = {
     import org.apache.spark.sql.catalyst.plans.logical._
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
@@ -2181,6 +2226,14 @@ class PlanPropsSpec extends AnyFunSuite {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
           phys(a.inputPlan)
         case im: InMemoryTableScanExec => phys(im.relation.cachedPlan)
+        case r: org.apache.spark.sql.execution.RDDScanExec =>
+          // lineage-cut leaf: no stats, so MEASURE it (eager
+          // checkpoint — the count is a local job over cached blocks)
+          val rows = rddRowsCache.getOrElseUpdate(r.rdd.id, r.rdd.count())
+          if (rows >= BroadcastMeasuredMaxRows)
+            Seq(s"RDDScan(measured $rows rows — lineage-cut" +
+              " corpus-scaled frame)")
+          else Nil
         case leaf if leaf.children.isEmpty =>
           if (n.contains("LocalTableScan") || n.contains("RDDScan") ||
             n.contains("Range") || n.contains("OneRowRelation")) Nil
@@ -2188,7 +2241,7 @@ class PlanPropsSpec extends AnyFunSuite {
         case other => other.children.flatMap(phys)
       }
     }
-    df.queryExecution.optimizedPlan.collect {
+    top.collect {
       case j: Join =>
         def side(h: Option[HintInfo], sub: LogicalPlan): Seq[String] =
           if (h.exists(_.strategy.contains(BROADCAST)))
@@ -2196,6 +2249,22 @@ class PlanPropsSpec extends AnyFunSuite {
           else Nil
         side(j.hint.leftHint, j.left) ++ side(j.hint.rightHint, j.right)
     }.flatten
+  }
+
+  /** The broadcast walk, INCLUDING the plans a query materializes
+    * during construction: eager cutLineage hides per-round joins from
+    * the final plan (the q338 laundering blind spot), so the audit
+    * hook records every plan the cut is about to execute and each one
+    * is walked like the top-level plan. */
+  private def unguardedBroadcastLeavesWithAudit(
+      build: => org.apache.spark.sql.DataFrame): Seq[String] = {
+    val buf = scala.collection.mutable.Buffer.empty[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+    CurationOps.cutAudit.set(buf)
+    try {
+      val topLevel = unguardedBroadcastLeaves(build)
+      topLevel ++ buf.flatMap(unguardedBroadcastLeavesIn)
+    } finally CurationOps.cutAudit.remove()
   }
 
   /** Documented exemptions from the entity-keyed-aggregate rule: query
@@ -2309,9 +2378,34 @@ class PlanPropsSpec extends AnyFunSuite {
       "event_type")
     assert(unguardedBroadcastLeaves(scratch3).isEmpty,
       "walker wrongly flagged an enum-bounded aggregate broadcast")
+    // negative control 3 — the q338 laundering class: a corpus-sized
+    // frame behind cutLineage reaches the walk as a stats-free RDD
+    // leaf; the MEASURED branch must flag it
+    val scratch4 = docs.join(
+      bc(CurationOps.cutLineage(docs.select("doc_id"))), "doc_id")
+    assert(unguardedBroadcastLeaves(scratch4)
+      .exists(_.contains("measured")),
+      "measured branch failed to flag a lineage-cut corpus broadcast")
+    // ... while a genuinely bounded cut frame stays excused
+    val scratch5 = docs.join(
+      bc(CurationOps.cutLineage(docs.select("doc_id").limit(5))),
+      "doc_id")
+    assert(unguardedBroadcastLeaves(scratch5).isEmpty,
+      "measured branch wrongly flagged a 5-row lineage-cut broadcast")
+    // negative control 4 — the hazard buried BEHIND an eager cut: the
+    // per-round join executes during construction, the returned frame
+    // is a clean RDD leaf, and only the audit hook can see it
+    val buried = unguardedBroadcastLeavesWithAudit {
+      CurationOps.cutLineage(
+          docs.join(bc(docs.select("doc_id")), "doc_id"))
+        .groupBy().count()
+    }
+    assert(buried.nonEmpty,
+      "audit hook failed to surface a broadcast hazard buried behind" +
+        " an eager lineage cut")
     val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val bad = try unguardedBroadcastLeaves(fn(spark, dir))
+        val bad = try unguardedBroadcastLeavesWithAudit(fn(spark, dir))
           catch { case e: Throwable => Seq(s"plan build failed: $e") }
         spark.catalog.clearCache()
         bad.map(leaf => name -> s"$name: broadcast() hint over $leaf")
