@@ -2060,16 +2060,19 @@ class PlanPropsSpec extends AnyFunSuite {
     * must use ScaleOps.withGlobalRank (pid-partitioned — never reaches
     * this walker) or orderBy+limit (Limit-bounded). */
   private def unguardedWindowLeaves(
-      df: org.apache.spark.sql.DataFrame): Seq[String] = {
-    import org.apache.spark.sql.catalyst.plans.logical._
-    import org.apache.spark.sql.execution.SparkPlan
+      df: org.apache.spark.sql.DataFrame): Seq[String] =
+    unguardedWindowLeavesIn(df.queryExecution.optimizedPlan,
+      rawLeavesPhys)
+
+  // a persisted frame shows up as an opaque InMemoryRelation leaf —
+  // recurse into its cached PHYSICAL plan with the same rule, so a
+  // cached 1-row stats frame is excused while a cached raw corpus
+  // frame is still flagged
+  private def rawLeavesPhys(
+      p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
-    // a persisted frame shows up as an opaque InMemoryRelation leaf —
-    // recurse into its cached PHYSICAL plan with the same rule, so a
-    // cached 1-row stats frame is excused while a cached raw corpus
-    // frame is still flagged
-    def rawLeavesPhys(p: SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    {
       val n = p.getClass.getSimpleName
       p match {
         case ag: BaseAggregateExec =>
@@ -2094,10 +2097,33 @@ class PlanPropsSpec extends AnyFunSuite {
         case other => other.children.flatMap(rawLeavesPhys)
       }
     }
-    df.queryExecution.optimizedPlan.collect {
+  }
+
+  private def unguardedWindowLeavesIn(
+      top: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      phys: org.apache.spark.sql.execution.SparkPlan => Seq[String])
+      : Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    top.collect {
       case w: Window if w.partitionSpec.forall(_.foldable) =>
-        boundedLeavesLogical(w.child, rawLeavesPhys)
+        boundedLeavesLogical(w.child, phys)
     }.flatten
+  }
+
+  /** The window walk, INCLUDING construction-time plans (the same
+    * cut-audit rule as the broadcast walk): an unpartitioned window
+    * inside an eagerly-cut per-round frame single-tasks its input just
+    * as surely as one in the final plan, and is just as invisible
+    * there. */
+  private def unguardedWindowLeavesWithAudit(
+      build: => org.apache.spark.sql.DataFrame): Seq[String] = {
+    val buf = scala.collection.mutable.Buffer.empty[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+    CurationOps.cutAudit.set(buf)
+    try {
+      val topLevel = unguardedWindowLeaves(build)
+      topLevel ++ buf.flatMap(p => unguardedWindowLeavesIn(p, rawLeavesPhys))
+    } finally CurationOps.cutAudit.remove()
   }
 
   /** Shared boundedness walk: the corpus-scaled content of a logical
@@ -2281,7 +2307,13 @@ class PlanPropsSpec extends AnyFunSuite {
     "q201_pareto_frontier" -> ("bucket = floor(n_chars/SkyBucket):" +
       " length-domain grid bounded by max doc length / bucket width"),
     "q291_pref_length_bias" -> ("bucket = length-delta/width quotient:" +
-      " value-domain grid bounded by the length-delta range, not |pairs|"))
+      " value-domain grid bounded by the length-delta range, not |pairs|"),
+    "q354_halving_search" -> ("construction-time (cut-audit) flag:" +
+      " the per-rung rank window orders the FROZEN 8-row tau config" +
+      " grid (groupBy k/tau/tau_fp of the crossJoined ShTaus literals" +
+      " — tau_fp trips the .*_fp name pattern); the corpus-scaled NB" +
+      " scoring sits BELOW the grid aggregate, which bounds the" +
+      " window input at |ShTaus| rows at every SF"))
 
   test("suite-wide: no unpartitioned window sits above a corpus-sized scan (all queries)") {
     // negative control 1 — the property must be able to fail: a
@@ -2324,9 +2356,21 @@ class PlanPropsSpec extends AnyFunSuite {
     assert(unguardedWindowLeaves(scratch4)
       .exists(_.contains("measured-entity-scaled")),
       "measured branch failed to flag a renamed entity key")
+    // negative control 5 — a global rank buried behind an eager cut:
+    // invisible in the returned plan, surfaced only by the audit hook
+    val docsNc = spark.read.parquet(s"$dir/documents.parquet")
+    val buried = unguardedWindowLeavesWithAudit {
+      CurationOps.cutLineage(docsNc.withColumn("rn",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy("doc_id"))))
+        .groupBy().count()
+    }
+    assert(buried.nonEmpty,
+      "audit hook failed to surface a window hazard buried behind" +
+        " an eager lineage cut")
     val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val bad = try unguardedWindowLeaves(fn(spark, dir))
+        val bad = try unguardedWindowLeavesWithAudit(fn(spark, dir))
           catch { case e: Throwable => Seq(s"plan build failed: $e") }
         // shared()/persist() at construction time would otherwise leak
         // InMemoryRelation into later queries' plans (PlanAudit note)
