@@ -1022,8 +1022,13 @@ object MixtureOps {
     *
     * Exactness: cumulative means are rationals over integer sums
     * (values frozen ×100); the per-day argmax orders one exact double
-    * division with an alphabetical tie-break; replay estimates are
-    * single divisions.
+    * division with an alphabetical tie-break. The OUTPUT roundings are
+    * exact integer half-up on the underlying rationals ((200a+b) div
+    * (2b), then one bigint→double cast and one /10000.0 — bit-identical
+    * on both engines): round-13 found an exact tie cell (30703/8/100 =
+    * 38.378750) where Spark's shortest-repr double round (HALF_UP on
+    * "38.37875" → .3788) and DuckDB's IEEE-value round (38.3787499…99 →
+    * .3787) disagree, so no double ever reaches a round() here.
     *
     * Scale (100 TB): one (arm, day) cell collapse; cumulative sums and
     * the per-day argmax are windows over |arms|·|calendar| cells; the
@@ -1043,15 +1048,16 @@ object MixtureOps {
       .withColumn("cumc", sum(col("c")).over(wCum))
     // the policy for day d+1 reads the cumulative board through d
     val board = cum.select((col("d") + 1).as("d"), col("arm"),
-      (col("cumv").cast("double") / col("cumc")).as("m"))
+      (col("cumv").cast("double") / col("cumc")).as("m"),
+      col("cumv"), col("cumc"))
     val chosen = board.withColumn("rn", row_number().over(
         Window.partitionBy("d").orderBy(col("m").desc, col("arm"))))
-      .filter(col("rn") === 1).select(col("d"), col("arm"),
-        col("m").as("board_mean"))
+      .filter(col("rn") === 1)
+      .select(col("d"), col("arm"), col("cumv"), col("cumc"))
     chosen.join(cells, Seq("arm", "d"))
       .selectExpr("d AS day", "arm AS chosen_arm", "c AS n_matched",
-        "round(CAST(sv AS DOUBLE) / c / 100.0, 4) AS replay_reward",
-        "round(board_mean / 100.0, 4) AS board_mean")
+        "CAST((200L*sv + c) DIV (2*c) AS DOUBLE) / 10000.0 AS replay_reward",
+        "CAST((200L*cumv + cumc) DIV (2*cumc) AS DOUBLE) / 10000.0 AS board_mean")
       .orderBy("day")
   }
 
@@ -1070,14 +1076,16 @@ object MixtureOps {
        |  WINDOW w AS (PARTITION BY arm ORDER BY d ROWS BETWEEN
        |    UNBOUNDED PRECEDING AND CURRENT ROW)),
        |board AS (SELECT d + 1 AS d, arm,
-       |    CAST(cumv AS DOUBLE) / cumc AS m FROM cum),
-       |ch AS (SELECT d, arm, m AS board_mean,
+       |    CAST(cumv AS DOUBLE) / cumc AS m, cumv, cumc FROM cum),
+       |ch AS (SELECT d, arm, cumv, cumc,
        |    row_number() OVER (PARTITION BY d ORDER BY m DESC, arm)
        |      AS rn
        |  FROM board QUALIFY rn = 1)
        |SELECT ch.d AS day, ch.arm AS chosen_arm, c AS n_matched,
-       |  round(CAST(sv AS DOUBLE) / c / 100.0, 4) AS replay_reward,
-       |  round(board_mean / 100.0, 4) AS board_mean
+       |  CAST((200*sv + c) // (2*c) AS DOUBLE) / 10000.0
+       |    AS replay_reward,
+       |  CAST((200*cumv + cumc) // (2*cumc) AS DOUBLE) / 10000.0
+       |    AS board_mean
        |FROM ch JOIN cells ON cells.arm = ch.arm AND cells.d = ch.d
        |ORDER BY day""".stripMargin
 
