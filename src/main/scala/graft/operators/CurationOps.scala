@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object CurationOps {
 
   import EtlOps.t
-  import DedupOps.{corpusNear, minhashLsh}
+  import DedupOps.corpusNear
 
   /** Conf key selecting the lineage-cut mode for iterative DataFrames. */
   val CheckpointDirKey = "spark.graft.checkpoint.dir"
@@ -250,12 +250,31 @@ object CurationOps {
       .select(col("lbl").as("cluster_id"), col("n_members"))
       .orderBy("cluster_id")
 
+  /** One near-dup cluster-label artifact per (session, fixture dir):
+    * FIVE queries consume the SAME q59 clustering — q59 (cluster
+    * sizes), q110 (representatives), q116 (clean val split), q178
+    * (soft-dedup weights), q213 (ESS clip curve) — and each was
+    * re-running the full LSH pipeline plus the label-propagation
+    * fixpoint (round-13 measurement: 2.7–4.4 s apiece, ~18.5 s of the
+    * bench total for five audits of one clustering). Hoisted to the
+    * [[GraphOps.memoShared]] pattern (the co-activity precedent):
+    * cluster once per session, hang the survivor/audit tables off it.
+    * Oracles are unchanged — each still states the full closure — and
+    * a fresh session recomputes from parquet. */
+  private val dupLabelsShared =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** The per-node cluster labels behind q59/q110: min-label propagation
-    * over the MinHash near-dup edges to the fixpoint. */
+    * over the MinHash near-dup edges to the fixpoint. Uses the UNSORTED
+    * pair stream ([[DedupOps.minhashLshPairs]]) — propagation is
+    * order-free, and q31's output sort was a dead range exchange that
+    * the propagation's first lineage cut materialized. */
   private def dupLabels(s: SparkSession, dir: String): DataFrame =
-    propagateLabels(
-      minhashLsh(s, dir).select(col("doc_a"), col("doc_b")),
-      corpusNear(s, dir).select(col("doc_id")))
+    GraphOps.memoShared(dupLabelsShared, s, dir)(
+      cutLineage(propagateLabels(
+        DedupOps.minhashLshPairs(corpusNear(s, dir), bucketCap = None)
+          .select(col("doc_a"), col("doc_b")),
+        corpusNear(s, dir).select(col("doc_id")))))
 
   /** Min-label propagation to the fixpoint over an arbitrary
     * (doc_a, doc_b) pair table and node set — the ONE connected-
