@@ -81,6 +81,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("multi_match_stats"),
       info(classOf[MultiMatchStats], "multi_match_stats"),
       (exprs: Seq[Expression]) => MultiMatchStats(exprs.head)))
+    e.injectFunction((FunctionIdentifier("sorted_inter_count"),
+      info(classOf[SortedInterCount], "sorted_inter_count"),
+      (exprs: Seq[Expression]) => SortedInterCount(exprs(0), exprs(1))))
     // the portable conv(substring(md5(x),1,15),16,10) idiom executes as
     // the native expression even when written longhand in SQL
     e.injectOptimizerRule(_ => FingerprintRewrite)

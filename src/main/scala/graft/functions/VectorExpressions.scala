@@ -167,5 +167,6 @@ object VectorFunctions {
     add("blob_phash", exprs => BlobPhash(exprs(0), exprs(1)))
     add("cdc_bounds", CdcBoundsExpr.builder)
     add("multi_match_stats", exprs => MultiMatchStats(exprs.head))
+    add("sorted_inter_count", exprs => SortedInterCount(exprs(0), exprs(1)))
   }
 }

@@ -2815,31 +2815,40 @@ object CurationOps {
   def greedyCover(s: SparkSession, dir: String): DataFrame = {
     val tokd = t(s, dir, "documents")
       .select(col("source"), split(col("text"), " ").as("toks"))
-    val srcSh = tokd.select(col("source"),
+    // Mask collapse (round-13 optimization, guide §2.3 "aggregate
+    // before you shuffle" + §2.4 "remove shuffles outright"): a shingle
+    // is covered iff its SOURCE SET intersects the selected set, so the
+    // greedy rounds only ever need the count of shingles per distinct
+    // source-set ("mask"). The old form anti-joined the full
+    // (source, shingle) table against the growing covered-shingle set
+    // EVERY round — five corpus-scale shuffles; this form pays ONE
+    // corpus-scale aggregate chain (shingle → sorted source set → mask
+    // counts, both map-combinable after the same distinct collapse) and
+    // runs all [[CoverRounds]] rounds over the |masks|-row table
+    // (bounded by min(|shingles|, 2^|sources|) — tiny at any corpus
+    // size with a bounded source catalog). gain(s) = Σ n over
+    // uncovered masks containing s: identical values, identical
+    // (gain desc, source asc) argmax, identical output.
+    val masks = tokd.select(col("source"),
       explode(array_distinct(expr(DedupOps.wordGramArrayExpr(3))))
         .as("shingle"))
-      .distinct().persist()
-    val universe = srcSh.select("shingle").distinct().persist()
-    val uTot = universe.agg(count(lit(1)).as("n_universe"))
+      .groupBy("shingle").agg(sort_array(collect_set(col("source")))
+        .as("srcs"))
+      .groupBy("srcs").agg(count(lit(1)).as("n"))
+      .persist()
+    val uTot = masks.agg(sum(col("n")).as("n_universe"))
     val rows = scala.collection.mutable.Buffer.empty[DataFrame]
-    var covered = universe.filter(lit(false)).persist() // empty, same schema
-    var cum = covered.agg(count(lit(1)).as("n_cum_prev"))
+    var avail = masks // masks not yet covered by any selected source
+    var cum = s.range(1).select(lit(0L).as("n_cum_prev"))
     (1 to CoverRounds).foreach { r =>
-      val gains = srcSh.join(covered, Seq("shingle"), "left_anti")
-        .groupBy("source").agg(count(lit(1)).as("gain"))
-      // cutLineage per pick: best/covered reference the previous
-      // covered set multiple times per round (gain scan + two
-      // anti-joins), so the uncut plan grows geometrically with rounds
-      // (the q338 lesson)
+      val gains = avail
+        .select(explode(col("srcs")).as("source"), col("n"))
+        .groupBy("source").agg(sum(col("n")).as("gain"))
+      // cutLineage per pick: the uncut round chain grows geometrically
+      // (the q338 lesson); every cut frame here is ≤ |masks| rows
       val best = CurationOps.cutLineage(gains
         .orderBy(col("gain").desc, col("source")).limit(1)
         .select(col("source").as("best_source"), col("gain")))
-      val newly = srcSh.crossJoin(broadcast(best))
-        .filter(col("source") === col("best_source"))
-        .select("shingle")
-        .join(covered, Seq("shingle"), "left_anti")
-      covered = CurationOps.cutLineage(covered.select("shingle")
-        .union(newly))
       val stat = best.crossJoin(cum).crossJoin(broadcast(uTot))
         .selectExpr(s"CAST($r AS BIGINT) AS round",
           "best_source AS source", "gain",
@@ -2847,7 +2856,10 @@ object CurationOps {
           "round(CAST(n_cum_prev + gain AS DOUBLE) / n_universe, 6)" +
             " AS cover_share")
       rows += stat
-      cum = covered.agg(count(lit(1)).as("n_cum_prev"))
+      cum = CurationOps.cutLineage(best.crossJoin(cum)
+        .selectExpr("n_cum_prev + gain AS n_cum_prev"))
+      avail = CurationOps.cutLineage(avail.join(broadcast(best),
+        array_contains(col("srcs"), col("best_source")), "left_anti"))
     }
     rows.reduce(_.union(_)).orderBy("round")
   }

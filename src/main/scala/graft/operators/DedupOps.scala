@@ -350,14 +350,14 @@ object DedupOps {
       prefixFilter: Boolean): DataFrame = {
     val cands = containmentCandidatesOf(sh, prefixFilter)
     val docSh = sh.groupBy("doc_id")
-      .agg(collect_list(col("shingle")).as("shs"))
+      .agg(sort_array(collect_list(col("shingle"))).as("shs"))
     cands
       .join(docSh.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")),
         Seq("doc_a"))
       .join(docSh.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint")
+        call_function("sorted_inter_count", col("sh_a"), col("sh_b"))
           .as("n_inter"),
         size(col("sh_a")).cast("bigint").as("n_a"),
         size(col("sh_b")).cast("bigint").as("n_b"))
@@ -666,7 +666,7 @@ object DedupOps {
       .join(docSh.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("n_agree"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint")
+        call_function("sorted_inter_count", col("sh_a"), col("sh_b"))
           .as("n_inter"),
         size(col("sh_a")).cast("bigint").as("n_a"),
         size(col("sh_b")).cast("bigint").as("n_b"))
@@ -741,7 +741,7 @@ object DedupOps {
       .join(docSh.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")),
         Seq("doc_b"))
       .withColumn("n_inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
+        call_function("sorted_inter_count", col("sh_a"), col("sh_b")))
       .filter(col("n_inter") > 0)
       .withColumn("jaccard", col("n_inter") /
         (size(col("sh_a")).cast("bigint") + size(col("sh_b")).cast("bigint")
@@ -828,7 +828,7 @@ object DedupOps {
     val sigs = shared(minhashSignatures(sh))
     val cands = cappedCandidates(lshBands(sigs), bucketCap)
     val docSh = sh.groupBy("doc_id")
-      .agg(collect_list(col("shingle")).as("shs"))
+      .agg(sort_array(collect_list(col("shingle"))).as("shs"))
     verifyPairs(cands, docSh)
   }
 
@@ -850,7 +850,7 @@ object DedupOps {
       .join(docSh.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint")
+        call_function("sorted_inter_count", col("sh_a"), col("sh_b"))
           .as("n_inter"),
         size(col("sh_a")).cast("bigint").as("n_a"),
         size(col("sh_b")).cast("bigint").as("n_b"))
@@ -881,7 +881,7 @@ object DedupOps {
       val cands = CurationOps.cutLineage(
         cappedCandidates(lshBands(sigs), Some(LshBucketCap)))
       val docSh = CurationOps.cutLineage(sh.groupBy("doc_id")
-        .agg(collect_list(col("shingle")).as("shs")))
+        .agg(sort_array(collect_list(col("shingle"))).as("shs")))
       val verified = CurationOps.cutLineage(verifyPairs(cands, docSh))
       sh.unpersist()
       (sigs, cands, docSh, verified)
@@ -965,14 +965,14 @@ object DedupOps {
         Seq("band_idx", "band_hash"))
       .select("doc_a", "doc_b").distinct()
     val docSh = sh.groupBy("doc_id")
-      .agg(collect_list(col("shingle")).as("shs"))
+      .agg(sort_array(collect_list(col("shingle"))).as("shs"))
     cands
       .join(docSh.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")),
         Seq("doc_a"))
       .join(docSh.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")),
         Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint")
+        call_function("sorted_inter_count", col("sh_a"), col("sh_b"))
           .as("n_inter"),
         size(col("sh_a")).cast("bigint").as("n_a"),
         size(col("sh_b")).cast("bigint").as("n_b"))
@@ -1724,7 +1724,7 @@ object DedupOps {
         Seq("lbl"))
       .join(docSh.select(col("doc_id"), col("shs").as("sh_m")), Seq("doc_id"))
       .withColumn("ni",
-        size(array_intersect(col("sh_r"), col("sh_m"))).cast("bigint"))
+        call_function("sorted_inter_count", col("sh_r"), col("sh_m")))
       .withColumn("jac", col("ni").cast("double") /
         (size(col("sh_r")) + size(col("sh_m")) - col("ni")).cast("double"))
     memJac.join(csize, "lbl")

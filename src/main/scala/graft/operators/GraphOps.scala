@@ -2486,11 +2486,17 @@ object GraphOps {
   private[graft] def edgeSupports(e: DataFrame): DataFrame = {
     val ed = e.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
-    val adj = ed.groupBy("src").agg(collect_list(col("dst")).as("nbrs"))
+    // sort each adjacency list ONCE in the aggregate; the per-edge
+    // intersection count is then the native two-pointer merge
+    // (sorted_inter_count) instead of array_intersect's per-row boxed
+    // hash set — measured 2.7 s of each 3.4 s support pass at sf0.1
+    // (54 M element ops per round; q387 pays 4 rounds)
+    val adj = ed.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     e.join(adj.select(col("src").as("a"), col("nbrs").as("na")), Seq("a"))
       .join(adj.select(col("src").as("b"), col("nbrs").as("nb")), Seq("b"))
       .select(col("a"), col("b"),
-        size(array_intersect(col("na"), col("nb"))).cast("bigint")
+        call_function("sorted_inter_count", col("na"), col("nb"))
           .as("supp"))
   }
 
