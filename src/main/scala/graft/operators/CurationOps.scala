@@ -272,7 +272,8 @@ object CurationOps {
   private def dupLabels(s: SparkSession, dir: String): DataFrame =
     GraphOps.memoShared(dupLabelsShared, s, dir)(
       cutLineage(propagateLabels(
-        DedupOps.minhashLshPairs(corpusNear(s, dir), bucketCap = None)
+        DedupOps.nearVerified(s, dir, bucketCap = None)
+          .filter(col("jaccard") >= 0.5)
           .select(col("doc_a"), col("doc_b")),
         corpusNear(s, dir).select(col("doc_id")))))
 
